@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Checker
+
+class CheckerSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def src = Seq(
+    (1L, 10.0, "a"), // OK
+    (2L, 20.0, "b"), // DIFF (v differs)
+    (3L, Double.NaN, "c"), // OK — NaN == NaN must hold
+    (4L, 40.0, "d")) // MISS (absent in dst)
+    .toDF("k", "v", "s")
+
+  private def dst = Seq(
+    (1L, 10.0, "a"),
+    (2L, 21.0, "b"),
+    (3L, Double.NaN, "c"),
+    (5L, 50.0, "e")) // ORPHAN
+    .toDF("k", "v", "s")
+
+  test("diff classifies MISS/ORPHAN/DIFF/OK with NaN-tolerant equality") {
+    val out = Checker.diff(src, dst, Seq("k"))
+      .select(col("k"), col(Checker.StatusCol)).as[(Long, String)]
+      .collect().toMap
+    assert(out(1L) == "OK")
+    assert(out(2L) == "DIFF")
+    assert(out(3L) == "OK") // NaN == NaN (reference col_value.rs:135-150)
+    assert(out(4L) == "MISS")
+    assert(out(5L) == "ORPHAN")
+  }
+
+  test("diff_cols lists exactly the differing columns, sorted") {
+    val out = Checker.diff(src, dst, Seq("k"))
+      .filter(col(Checker.StatusCol) === "DIFF")
+      .select(col("k"), col(Checker.DiffColsCol)).as[(Long, Seq[String])]
+      .collect().toMap
+    assert(out(2L) == Seq("v"))
+  }
+
+  test("revise ops map MISS→insert DIFF→update ORPHAN→delete") {
+    val out = Checker.diff(src, dst, Seq("k"))
+      .filter(col(Checker.StatusCol) =!= "OK")
+      .select(col("k"), Checker.reviseOp(col(Checker.StatusCol)))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "update", 4L -> "insert", 5L -> "delete"))
+  }
+
+  test("placeholder revise SQL shapes") {
+    val out = Checker.diff(src, dst, Seq("k"))
+      .filter(col(Checker.StatusCol) =!= "OK")
+      .select(col("k"), Checker.reviseSqlPlaceholder("t", Seq("k"),
+        col(Checker.DiffColsCol), col(Checker.StatusCol)))
+      .as[(Long, String)].collect().toMap
+    assert(out(2L) == "UPDATE t SET v=? WHERE k=2")
+    assert(out(4L) == "INSERT INTO t VALUES (?)")
+    assert(out(5L) == "DELETE FROM t WHERE k=5")
+  }
+
+  test("sampling filter keeps ~rate% deterministically") {
+    val df = spark.range(10000).toDF("k1").withColumn("k2", lit(0L))
+    val h = Checker.arithKeyHash(col("k1"), col("k2"))
+    val n = df.filter(Checker.sampleFilter(h, 10)).count()
+    assert(n > 800 && n < 1200)
+    // deterministic: same filter twice, same rows
+    val a = df.filter(Checker.sampleFilter(h, 10)).collect().toSet
+    val b = df.filter(Checker.sampleFilter(h, 10)).collect().toSet
+    assert(a == b)
+  }
+}
