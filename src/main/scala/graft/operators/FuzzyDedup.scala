@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Near-duplicate detection for training-data pipelines: word-shingle
+  * Jaccard, MinHash + LSH banding, and SimHash — all as pure higher-order
+  * column expressions with exact DuckDB oracles (every hash is explicit
+  * integer arithmetic, no engine-private hash functions).
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - shingling is a per-row map (no shuffle);
+  *  - candidate generation shuffles only (docId, 64-bit key) pairs —
+  *    explode on shingle/band key, join on the key, never on text;
+  *  - verification runs only on candidate pairs, not the n² cross join.
+  *  - SimHash pair scan here is a small-n cross join for the oracle; the
+  *    scale path is bucketing by fingerprint prefix (same band-join shape).
+  */
+object FuzzyDedup {
+
+  import TextOps.{charFold, charFoldSql, tokens, tokensSql, FoldP}
+
+  /** Distinct word-5-gram shingle strings per document. */
+  def shingles(text: Column, n: Int = 5): Column = {
+    val toks = tokens(text)
+    val nShingles = size(toks) - (n - 1)
+    array_distinct(
+      when(nShingles >= 1,
+        transform(sequence(lit(1), greatest(nShingles, lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** DuckDB mirror of [[shingles]] (slice is inclusive: toks[i:i+n-1]). */
+  def shinglesSql(e: String, n: Int = 5): String = {
+    val toks = tokensSql(e)
+    s"list_distinct(list_transform(" +
+      s"range(1, greatest(len($toks) - ${n - 1}, 0) + 1), " +
+      s"i -> array_to_string(($toks)[i:i+${n - 1}], ' ')))"
+  }
+
+  /** Shingle-hash list per doc: rolling char hash of each shingle. */
+  def shingleHashes(text: Column): Column =
+    transform(shingles(text), s => charFold(s))
+
+  def shingleHashesSql(e: String): String =
+    s"list_transform(${shinglesSql(e)}, s -> ${charFoldSql("s")})"
+
+  // ---------------------------------------------------------------- q34
+  /** Word-5-gram Jaccard near-dup pairs: explode distinct shingles, join
+    * on shingle, count intersections, compute exact |A∩B| / |A∪B| as
+    * integers. Output every pair sharing ≥1 shingle.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairsOf(Tables.documents(spark, dir))
+
+  /** Same operator over any (doc_id, text) DataFrame. */
+  def ngramJaccardPairsOf(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sizes = d.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_a") + col("n_b") - col("n_common")).as("n_union"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+
+  val ngramJaccardPairsSql: String = {
+    val sh = shinglesSql("text")
+    s"""WITH d AS (SELECT doc_id, $sh AS sh FROM documents),
+       |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM d),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common,
+       |  sa.n_sh + sb.n_sh - n_common AS n_union,
+       |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q35
+  /** MinHash/LSH parameters: k signatures in b bands of r rows. The
+    * per-signature permutation is (a_i * h + b_i) mod P with fixed odd
+    * multipliers — explicit arithmetic, oracle-replicable.
+    */
+  final val MinhashA = Seq(370248451L, 668265263L, 735632797L, 868864229L,
+    903678863L, 965726881L, 982451653L, 998244353L)
+  final val MinhashB = Seq(12345L, 67891L, 23457L, 78913L,
+    34569L, 89123L, 45678L, 91234L)
+  final val MinhashP = 1000000007L
+  final val BandRows = 2
+
+  /** Per-doc MinHash signature as an array column. The shingle hash is
+    * reduced mod P before the multiply — a*h with h < FoldP (1e15) would
+    * overflow int64; with h < P (1e9) the product stays < 1e18.
+    */
+  def minhashSig(text: Column): Column = {
+    val hs = shingleHashes(text)
+    val sigs = MinhashA.zip(MinhashB).map { case (a, b) =>
+      array_min(transform(hs,
+        h => pmod(lit(a) * pmod(h, lit(MinhashP)) + lit(b), lit(MinhashP))))
+    }
+    array(sigs: _*)
+  }
+
+  def minhashSigSql(e: String): String = {
+    val hs = shingleHashesSql(e)
+    val sigs = MinhashA.zip(MinhashB).map { case (a, b) =>
+      s"list_min(list_transform($hs, " +
+        s"h -> ($a * (h % $MinhashP) + $b) % $MinhashP))"
+    }
+    s"[${sigs.mkString(", ")}]"
+  }
+
+  /** q35 — LSH candidate pairs: band the signature (b bands × r rows),
+    * join docs agreeing on any full band, emit distinct candidate pairs
+    * with the number of agreeing bands.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val nBands = MinhashA.size / BandRows
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), minhashSig(col("text")).as("sig"))
+    val bandCols = (0 until nBands).map { j =>
+      concat_ws(":", (lit(j.toString) +:
+        (0 until BandRows).map(r =>
+          element_at(col("sig"), j * BandRows + r + 1)
+            .cast("string"))): _*)
+    }
+    val bands = d.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("band_key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  val minhashLshSql: String = {
+    val nBands = MinhashA.size / BandRows
+    val sig = minhashSigSql("text")
+    val bandKeys = (0 until nBands).map { j =>
+      val parts = (0 until BandRows)
+        .map(r => s"CAST(sig[${j * BandRows + r + 1}] AS VARCHAR)")
+      s"concat_ws(':', '$j', ${parts.mkString(", ")})"
+    }
+    s"""WITH d AS (SELECT doc_id, $sig AS sig FROM documents),
+       |bands AS (SELECT doc_id,
+       |  unnest([${bandKeys.mkString(", ")}]) AS band_key FROM d)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+       |FROM bands a JOIN bands b
+       |  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q36
+  /** 30-bit SimHash fingerprint: per token-occurrence hash, per-bit
+    * majority vote. Bit extraction uses floor(h / 2^j) % 2 — exact double
+    * arithmetic for h < 2^30, identical in both engines.
+    */
+  final val SimBits = 30
+
+  def simhash(text: Column): Column = {
+    val hs = transform(tokens(text),
+      t => pmod(charFold(t), lit(1L << SimBits)))
+    val bitSum = (j: Int) => aggregate(hs, lit(0L), (acc, h) =>
+      acc + (floor(h / pow(lit(2.0), lit(j))).cast("long") % 2) * 2 - 1)
+    (0 until SimBits).map(j =>
+      when(bitSum(j) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  def simhashSql(e: String): String = {
+    val hs = s"list_transform(${tokensSql(e)}, " +
+      s"t -> ${charFoldSql("t")} % ${1L << SimBits})"
+    val terms = (0 until SimBits).map { j =>
+      val bitSum = s"list_reduce(list_prepend(0, list_transform($hs, " +
+        s"h -> (CAST(floor(h / pow(2.0, $j)) AS BIGINT) % 2) * 2 - 1)), " +
+        s"(acc, x) -> acc + x)"
+      s"CASE WHEN $bitSum > 0 THEN ${1L << j} ELSE 0 END"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** q36 — SimHash fingerprints + hamming-close pairs (≤ 8 of 30 bits).
+    * Small-n exact pair scan; at scale the same fingerprints feed a
+    * prefix-bucket join.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), simhash(col("text")).as("fp"))
+    d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .filter(col("hamming") <= 1)
+  }
+
+  val simhashPairsSql: String = {
+    val fp = simhashSql("text")
+    s"""WITH d AS (SELECT doc_id, $fp AS fp FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.fp, b.fp)) AS hamming
+       |FROM d a JOIN d b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 1""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_ngram_jaccard" -> (ngramJaccardPairs _),
+    "q35_minhash_lsh" -> (minhashLsh _),
+    "q36_simhash_pairs" -> (simhashPairs _))
+
+  val oracles: Map[String, String] = Map(
+    "q34_ngram_jaccard" -> ngramJaccardPairsSql,
+    "q35_minhash_lsh" -> minhashLshSql,
+    "q36_simhash_pairs" -> simhashPairsSql)
+}

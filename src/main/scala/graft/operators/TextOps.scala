@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * quality scoring, language ID, document fingerprinting, exact dedup.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` higher-order
+  * expressions — whole-stage-codegen-friendly, no UDFs, no driver loops —
+  * and arithmetically replicable in ANSI SQL so every operator has an exact
+  * DuckDB oracle. At 100 TB these are embarrassingly parallel per-row maps:
+  * no shuffle at all until a groupBy (dedup) — which shuffles only the
+  * 64-bit fingerprint, not the text.
+  */
+object TextOps {
+
+  /** Rolling-hash modulus: < 1e15 so acc*31+x stays well inside int64. */
+  final val FoldP = 999999999999989L
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokensSql(e: String): String = s"string_split_regex(trim($e), '\\s+')"
+
+  /** Polynomial rolling hash over the characters of a (non-empty) string:
+    * fold acc = (acc*31 + codepoint) % FoldP. The document-fingerprinting
+    * primitive; also the leaf hash for MinHash/SimHash. Matches
+    * `charFoldSql` digit for digit.
+    */
+  def charFold(c: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), greatest(length(c), lit(1))),
+        i => ascii(substr(c, i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, x) => pmod(acc * lit(31L) + x, lit(FoldP)))
+
+  def charFoldSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(" +
+      s"range(1, greatest(length($e),1)+1), " +
+      s"i -> ord(substring($e, i, 1)))), " +
+      s"(acc, x) -> (acc*31 + x) % $FoldP)"
+
+  /** Normalized text: lowercase, trimmed, whitespace collapsed. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  def normTextSql(e: String): String =
+    s"regexp_replace(lower(trim($e)), '\\s+', ' ', 'g')"
+
+  // ---------------------------------------------------------------- q30
+  /** Token counting + quality scoring: length/punctuation/stopword ratios
+    * (per-row double arithmetic only — deterministic across engines).
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is")
+    val nTokens = size(toks)
+    val nChars = length(col("text"))
+    val nPunct = length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+    val nStop = size(filter(toks,
+      t => t.isin(stop.map(s => s: Any): _*)))
+    d.select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      nChars.as("n_chars_txt"),
+      nPunct.as("n_punct"),
+      nStop.as("n_stopwords"),
+      (nStop.cast("double") / nTokens).as("stop_ratio"),
+      (nPunct.cast("double") / nChars).as("punct_ratio"),
+      (nChars.cast("double") / nTokens).as("avg_token_span"))
+  }
+
+  val textStatsSql: String = {
+    val toks = tokensSql("text")
+    """SELECT doc_id,
+      |  len(TOKS) AS n_tokens,
+      |  length(text) AS n_chars_txt,
+      |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+      |  len(list_filter(TOKS, t -> t IN ('the','a','of','to','and','in','is'))) AS n_stopwords,
+      |  CAST(len(list_filter(TOKS, t -> t IN ('the','a','of','to','and','in','is'))) AS DOUBLE) / len(TOKS) AS stop_ratio,
+      |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+      |  CAST(length(text) AS DOUBLE) / len(TOKS) AS avg_token_span
+      |FROM documents""".stripMargin.replace("TOKS", toks)
+  }
+
+  // ---------------------------------------------------------------- q31
+  /** Language ID by marker-word voting (n-gram/stopword heuristic).
+    * Deterministic argmax with a fixed precedence order on ties.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "fr" -> Seq("le", "la", "les", "et", "de"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = tokens(lower(col("text")))
+    val counts = langMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+    }
+    val withCounts = counts.foldLeft(
+      d.select(col("doc_id"), col("lang").as("labeled_lang"), col("text"))) {
+      case (df, (lang, c)) => df.withColumn(s"c_$lang", c)
+    }
+    val best = counts.map(_._1).foldRight(lit("und")) { (lang, elseCol) =>
+      val others = counts.map(_._1).filterNot(_ == lang)
+        .map(o => col(s"c_$o"))
+      val isMax = others.map(col(s"c_$lang") >= _).reduce(_ && _) &&
+        col(s"c_$lang") > 0
+      when(isMax, lit(lang)).otherwise(elseCol)
+    }
+    withCounts.select(col("doc_id"), col("labeled_lang"),
+      col("c_en"), col("c_fr"), col("c_de"), col("c_es"),
+      best.as("pred_lang"))
+  }
+
+  val langIdSql: String = {
+    val toks = tokensSql("lower(text)")
+    def cnt(words: Seq[String]) =
+      s"len(list_filter($toks, t -> t IN (" +
+        words.map(w => s"'$w'").mkString(",") + ")))"
+    val cs = langMarkers.map { case (l, ws) => s"${cnt(ws)} AS c_$l" }
+    val langs = langMarkers.map(_._1)
+    val best = langs.foldRight("'und'") { (lang, acc) =>
+      val others = langs.filterNot(_ == lang).map(o => s"c_$lang >= c_$o")
+      s"CASE WHEN ${others.mkString(" AND ")} AND c_$lang > 0 " +
+        s"THEN '$lang' ELSE $acc END"
+    }
+    s"""WITH c AS (SELECT doc_id, lang AS labeled_lang, ${cs.mkString(", ")}
+       |FROM documents)
+       |SELECT doc_id, labeled_lang, c_en, c_fr, c_de, c_es,
+       |  $best AS pred_lang
+       |FROM c""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q32
+  /** Document fingerprint: rolling hash of normalized text. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      charFold(normText(col("text"))).as("fingerprint"))
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id, ${charFoldSql(normTextSql("text"))} AS fingerprint
+       |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Exact dedup: re-ingestion scenario — the corpus unioned with a
+    * shifted copy of itself; group by normalized-text fingerprint, keep the
+    * lowest doc_id. Only the 64-bit fingerprint shuffles, never the text.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val doubled = d.unionByName(
+      d.withColumn("doc_id", col("doc_id") + 10000L))
+    doubled
+      .withColumn("fp", charFold(normText(col("text"))))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        max(col("doc_id")).as("max_dup_id"))
+      .select(col("keep_id"), col("n_copies"), col("max_dup_id"))
+  }
+
+  val dedupExactSql: String = {
+    val fp = charFoldSql(normTextSql("text"))
+    s"""WITH u AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 10000, text FROM documents)
+       |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+       |  max(doc_id) AS max_dup_id
+       |FROM (SELECT doc_id, $fp AS fp FROM u)
+       |GROUP BY fp""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_text_stats" -> (textStats _),
+    "q31_lang_id" -> (langId _),
+    "q32_fingerprint" -> (fingerprint _),
+    "q33_dedup_exact" -> (dedupExact _))
+
+  val oracles: Map[String, String] = Map(
+    "q30_text_stats" -> textStatsSql,
+    "q31_lang_id" -> langIdSql,
+    "q32_fingerprint" -> fingerprintSql,
+    "q33_dedup_exact" -> dedupExactSql)
+}

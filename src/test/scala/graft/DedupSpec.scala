@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{FuzzyDedup, TextOps}
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  // Planted corpus: 0/1 near-dups (one word changed), 2 identical to 0,
+  // 3/4 unrelated.
+  private val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the old barn"),
+    (1L, "the quick brown fox jumps over the lazy cat near the old barn"),
+    (2L, "the quick brown fox jumps over the lazy dog near the old barn"),
+    (3L, "completely different words about spark query engines and scale"),
+    (4L, "partitioning shuffles broadcast joins and adaptive execution"))
+    .toDF("doc_id", "text")
+
+  test("shingles: distinct word-5-grams, short docs safe") {
+    val sh = corpus.select(col("doc_id"),
+      FuzzyDedup.shingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(0L).size == 9) // 13 tokens → 9 5-grams
+    assert(sh(0L).head == "the quick brown fox jumps")
+    val short = Seq((9L, "only four words here")).toDF("doc_id", "text")
+      .select(FuzzyDedup.shingles(col("text"))).as[Seq[String]].head
+    assert(short.isEmpty) // 4 tokens can't form a 5-gram → guard path
+  }
+
+  test("ngram jaccard finds near-dups and exact dups, not unrelated") {
+    val pairs = FuzzyDedup.ngramJaccardPairsOf(corpus)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(pairs((0L, 2L)) == 1.0) // identical
+    assert(pairs((0L, 1L)) > 0.2 && pairs((0L, 1L)) < 1.0) // near-dup
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((3L, 4L)))
+  }
+
+  test("minhash signature identical for identical docs") {
+    val sigs = corpus.select(col("doc_id"),
+      FuzzyDedup.minhashSig(col("text")).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(0L) == sigs(2L))
+    assert(sigs(0L) != sigs(3L))
+    // near-dup (jaccard ≈ 0.29 → E[shared] ≈ 2.3 of 8) still collides
+    // somewhere; unrelated docs share nothing
+    val shared = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }
+    assert(shared >= 1, s"near-dup shared $shared of 8 minhashes")
+    assert(sigs(0L).zip(sigs(3L)).count { case (a, b) => a == b } == 0)
+  }
+
+  test("simhash: identical docs equal, near-dups close, unrelated far") {
+    val fps = corpus.select(col("doc_id"),
+      FuzzyDedup.simhash(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fps(0L) == fps(2L))
+    assert(hamming(fps(0L), fps(1L)) <= 6)
+    assert(hamming(fps(0L), fps(3L)) > 6)
+  }
+
+  test("charFold fingerprint: normalization collapses case/whitespace") {
+    val a = Seq(("A  Quick   Fox ")).toDF("text")
+      .select(TextOps.charFold(TextOps.normText(col("text")))).as[Long].head
+    val b = Seq(("a quick fox")).toDF("text")
+      .select(TextOps.charFold(TextOps.normText(col("text")))).as[Long].head
+    assert(a == b)
+  }
+}
