@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Cdc.queries ++ Routing.queries ++
-      CheckQueries.queries ++ TextOps.queries ++ FuzzyDedup.queries
+      CheckQueries.queries ++ TextOps.queries ++ FuzzyDedup.queries ++
+      VectorOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Cdc.oracles ++ Routing.oracles ++
-      CheckQueries.oracles ++ TextOps.oracles ++ FuzzyDedup.oracles
+      CheckQueries.oracles ++ TextOps.oracles ++ FuzzyDedup.oracles ++
+      VectorOps.oracles
 }

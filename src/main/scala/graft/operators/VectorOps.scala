@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Cross-engine determinism: dot products and norms are accumulated as
+  * SCALED INTEGERS — each per-element product is computed in double
+  * (float→double is exact), scaled by 1e12, rounded to a bigint, and
+  * summed exactly. Cosine = intDot / sqrt(intNormA · intNormB) is then a
+  * per-row double expression over identical integers, so both engines get
+  * bit-identical similarities, ranks, and thresholds.
+  *
+  * Scale shape: brute-force top-k broadcasts the (small) query set against
+  * the candidate corpus — no shuffle of the corpus, one partial top-k per
+  * partition via window over query. The LSH path buckets vectors by
+  * random-hyperplane signs (deterministic arithmetic hyperplanes) so
+  * candidate generation joins only within buckets — the 100 TB path.
+  */
+object VectorOps {
+
+  final val Scale = 1e12
+
+  /** Exact scaled-integer dot product of two float-array columns. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        round(x.cast(DoubleType) * y.cast(DoubleType) * lit(Scale))
+          .cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** DuckDB mirror: index-based product over `range`, same rounding. */
+  def intDotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, len($a)+1), " +
+      s"i -> CAST(round(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
+      s"* 1e12) AS BIGINT))), (acc, x) -> acc + x)"
+
+  /** Cosine from scaled-integer dot/norms (per-row double math). */
+  def cosine(dot: Column, na: Column, nb: Column): Column =
+    dot.cast(DoubleType) /
+      sqrt(na.cast(DoubleType) * nb.cast(DoubleType))
+
+  // ---------------------------------------------------------------- q40
+  /** Brute-force cosine top-k: query vectors (vec_id < 20) against the
+    * whole corpus; k = 10. Query side is broadcast — the corpus never
+    * moves.
+    */
+  def knn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("norm", intDot(col("embedding"), col("embedding")))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("dot", intDot(col("q_emb"), col("embedding")))
+      .withColumn("sim",
+        cosine(col("dot"), col("q_norm"), col("norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
+  val knnSql: String = {
+    val dot = intDotSql("q.embedding", "e.embedding")
+    val qn = intDotSql("q.embedding", "q.embedding")
+    val en = intDotSql("e.embedding", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+       |  WHERE vec_id < 20),
+       |p AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    CAST($dot AS DOUBLE) /
+       |      sqrt(CAST($qn AS DOUBLE) * CAST($en AS DOUBLE)) AS sim
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id) AS rank FROM p)
+       |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q41
+  /** Embedding near-dup pairs: all pairs with cosine ≥ 0.3 (corpus max is
+    * ≈0.39 — the threshold keeps a small discriminating set). Small-n exact
+    * scan; the scale path feeds the q43 buckets first.
+    */
+  def cosineNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("norm", intDot(col("embedding"), col("embedding")))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", cosine(
+        intDot(col("a.embedding"), col("b.embedding")),
+        col("a.norm"), col("b.norm")))
+      .filter(col("sim") >= 0.3)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("sim"))
+  }
+
+  val cosineNearDupsSql: String = {
+    val dot = intDotSql("a.embedding", "b.embedding")
+    val na = intDotSql("a.embedding", "a.embedding")
+    val nb = intDotSql("b.embedding", "b.embedding")
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  CAST($dot AS DOUBLE) /
+       |    sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE)) AS sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE CAST($dot AS DOUBLE) /
+       |    sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE)) >= 0.3""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q42
+  /** Per-label centroids: posexplode + exact decimal accumulation per
+    * (label, dim). The aggregation pattern for corpus statistics.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(DoubleType).cast(DecimalType(27, 12)))
+          .cast(DoubleType).as("sum_x"))
+      .filter(col("dim") < 8)
+
+  val labelCentroidsSql: String =
+    """SELECT label, i - 1 AS dim, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,12)))
+      |    AS DOUBLE) AS sum_x
+      |FROM embeddings, range(1, 65) t(i)
+      |WHERE i - 1 < 8
+      |GROUP BY label, i""".stripMargin
+
+  // ---------------------------------------------------------------- q43
+  /** Random-hyperplane LSH bucketing (the ANN scale path): 8 deterministic
+    * arithmetic hyperplanes; bucket = sign-bit vector of the 8 dots.
+    * Vector values are scaled to ints (×1e6) and hyperplane weights are
+    * pseudo-random ints, so every dot is exact integer arithmetic.
+    */
+  final val Planes = 8
+
+  private def planeWeight(j: Int): Column => Column = i =>
+    pmod((i + lit(j * 64)) * lit(2654435761L), lit(1000003L)) - lit(501001L)
+
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val xs = transform(col("embedding"),
+      x => round(x.cast(DoubleType) * lit(1e6)).cast(LongType))
+    val bits = (0 until Planes).map { j =>
+      val dot = aggregate(
+        zip_with(xs, sequence(lit(0), lit(63)),
+          (x, i) => x * planeWeight(j)(i.cast(LongType))),
+        lit(0L), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), bits.reduce(_ + _).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"))
+  }
+
+  val lshBucketsSql: String = {
+    val xs = "list_transform(embedding, " +
+      "x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+    val bits = (0 until Planes).map { j =>
+      val dot = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range(1, 65), " +
+        s"i -> ($xs)[i] * ((((i - 1) + ${j * 64}) * 2654435761) % 1000003 " +
+        s"- 501001))), (acc, x) -> acc + x)"
+      s"CASE WHEN $dot > 0 THEN ${1L << j} ELSE 0 END"
+    }
+    s"""WITH b AS (SELECT vec_id,
+       |  (${bits.mkString(" + ")}) AS bucket FROM embeddings)
+       |SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec,
+       |  MAX(vec_id) AS max_vec
+       |FROM b GROUP BY bucket""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_knn_cosine" -> (knn _),
+    "q41_cosine_neardup" -> (cosineNearDups _),
+    "q42_label_centroids" -> (labelCentroids _),
+    "q43_lsh_buckets" -> (lshBuckets _))
+
+  val oracles: Map[String, String] = Map(
+    "q40_knn_cosine" -> knnSql,
+    "q41_cosine_neardup" -> cosineNearDupsSql,
+    "q42_label_centroids" -> labelCentroidsSql,
+    "q43_lsh_buckets" -> lshBucketsSql)
+}

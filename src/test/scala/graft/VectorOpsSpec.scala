@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorOps
+
+class VectorOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // identical to 0
+    (2L, Array(-1.0f, 0.0f, 0.0f, 0.0f)), // opposite
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))) // orthogonal
+    .toDF("vec_id", "embedding")
+
+  private def sims = {
+    val e = vecs.withColumn("norm",
+      VectorOps.intDot(col("embedding"), col("embedding")))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        VectorOps.cosine(
+          VectorOps.intDot(col("a.embedding"), col("b.embedding")),
+          col("a.norm"), col("b.norm")).as("sim"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => ((a, b), s) }.toMap
+  }
+
+  test("cosine: identical → 1, opposite → -1, orthogonal → 0") {
+    assert(sims((0L, 1L)) == 1.0)
+    assert(sims((0L, 2L)) == -1.0)
+    assert(sims((0L, 3L)) == 0.0)
+  }
+
+  test("knn ranks real corpus deterministically, k respected") {
+    val out = graft.operators.VectorOps.knn(spark, sf)
+    val counts = out.groupBy("query_id").count().as[(Long, Long)]
+      .collect().toMap
+    assert(counts.size == 20 && counts.values.forall(_ == 10))
+    // rank 1 must have max sim per query
+    val top = out.filter(col("rank") === 1).select("query_id", "sim")
+      .as[(Long, Double)].collect().toMap
+    val best = out.groupBy("query_id").agg(max("sim")).as[(Long, Double)]
+      .collect().toMap
+    assert(top == best)
+  }
+
+  test("lsh buckets: deterministic and bounded") {
+    val a = graft.operators.VectorOps.lshBuckets(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b = graft.operators.VectorOps.lshBuckets(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(a == b)
+    assert(a.forall { case (bucket, _, _, _) => bucket >= 0 && bucket < 256 })
+  }
+}
