@@ -22,12 +22,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Cdc.queries ++ Routing.queries ++
       CheckQueries.queries ++ TextOps.queries ++ FuzzyDedup.queries ++
-      VectorOps.queries
+      VectorOps.queries ++ InfraQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Cdc.oracles ++ Routing.oracles ++
       CheckQueries.oracles ++ TextOps.oracles ++ FuzzyDedup.oracles ++
-      VectorOps.oracles
+      VectorOps.oracles ++ InfraQueries.oracles
 }

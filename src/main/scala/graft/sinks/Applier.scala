@@ -1,0 +1,134 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Compaction
+
+/** Micro-batch apply orchestration — the reference's merge_parallelizer
+  * (/root/reference/dt-parallelizer/src/merge_parallelizer.rs:54-242):
+  * per compacted batch, deletes sink first, then upserts, then the
+  * serial (unmergeable) lane in original order; batches split to
+  * ≤ batchSize rows; a failed batch falls back to row-by-row apply for
+  * error isolation (mysql_sinker.rs:344-354).
+  *
+  * Execution is distributed: `applyCompacted` runs the planner inside
+  * `foreachPartition` (each partition owns a connection), with the serial
+  * lane coalesced to one ordered partition. The planner itself is pure
+  * (Iterator[Row] → statement batches) so semantics are testable without
+  * a database; `StatementSink` is a JDBC connection in production.
+  */
+object Applier {
+
+  /** One executable unit: a statement shape + its parameter rows. */
+  final case class StatementBatch(sql: String, rows: Seq[Seq[Any]])
+
+  /** Where statements go (a JDBC connection in production, a buffer in
+    * tests). Implementations must be serializable: one instance is built
+    * per partition via the factory passed to [[applyCompacted]].
+    */
+  trait StatementSink {
+    /** Execute one batch; throw to trigger the serial fallback. */
+    def execute(batch: StatementBatch): Unit
+  }
+
+  private def vals(r: Row, cs: Seq[String]): Seq[Any] =
+    cs.map(c => r.getAs[Any](c))
+
+  /** Pure planner for one partition's mergeable rows: delete batches
+    * first, then upsert batches (the reference's deletes-then-inserts
+    * ordering gives per-key upsert semantics on idempotent sinks).
+    */
+  def planMergeable(dialect: RdbQueryBuilder.Dialect, table: String,
+      rows: Iterator[Row], keys: Seq[String], cols: Seq[String],
+      batchSize: Int = 1000): Seq[StatementBatch] = {
+    val (dels, ups) = rows.toSeq.partition(
+      _.getAs[String](Compaction.ActionCol) == Compaction.Delete)
+    val deleteBatches = dels.grouped(batchSize).map { rs =>
+      StatementBatch(
+        RdbQueryBuilder.batchDelete(dialect, table, keys, rs.size),
+        rs.map(vals(_, keys)))
+    }.toSeq
+    val upsertBatches = ups.grouped(batchSize).map { rs =>
+      StatementBatch(dialect.upsert(table, cols, keys, rs.size),
+        rs.map(vals(_, cols)))
+    }.toSeq
+    deleteBatches ++ upsertBatches
+  }
+
+  /** Pure planner for the serial lane (NULL-keyed rows): one statement
+    * per row, original order. Deletes match on the FULL row with
+    * null-safe equality — batch delete-by-key would silently drop
+    * NULL-keyed rows (reference row_data.rs:273-281).
+    */
+  def planSerial(dialect: RdbQueryBuilder.Dialect, table: String,
+      rows: Iterator[Row], cols: Seq[String],
+      rowTypeCol: String = "row_type"): Seq[StatementBatch] =
+    rows.map { r =>
+      r.getAs[String](rowTypeCol) match {
+        case "delete" =>
+          StatementBatch(
+            s"DELETE FROM $table WHERE " +
+              cols.map(c => s"${dialect.quote(c)}<=>?").mkString(" AND "),
+            Seq(vals(r, cols)))
+        case _ =>
+          StatementBatch(
+            RdbQueryBuilder.batchInsert(dialect, table, cols, 1),
+            Seq(vals(r, cols)))
+      }
+    }.toSeq
+
+  /** Distributed apply of a compacted micro-batch (carries
+    * Compaction.ActionCol). Mergeable lanes apply per partition in
+    * parallel; the serial lane is coalesced to a single ordered
+    * partition and applied last.
+    */
+  def applyCompacted(dialect: RdbQueryBuilder.Dialect, table: String,
+      compacted: DataFrame, keys: Seq[String], cols: Seq[String],
+      orderCols: Seq[String], sinkFactory: () => StatementSink,
+      batchSize: Int = 1000): Unit = {
+    val selectCols = (cols ++ Seq(Compaction.ActionCol, "row_type"))
+      .distinct.map(col)
+    compacted.filter(col(Compaction.ActionCol) =!= Compaction.Serial)
+      .select(selectCols: _*)
+      .foreachPartition { it: Iterator[Row] =>
+        val sink = sinkFactory()
+        applyAll(sink,
+          planMergeable(dialect, table, it, keys, cols, batchSize))
+        ()
+      }
+    compacted.filter(col(Compaction.ActionCol) === Compaction.Serial)
+      .orderBy(orderCols.map(col): _*)
+      .coalesce(1)
+      .select(selectCols: _*)
+      .foreachPartition { it: Iterator[Row] =>
+        val sink = sinkFactory()
+        applyAll(sink, planSerial(dialect, table, it, cols))
+        ()
+      }
+  }
+
+  /** Execute with error isolation: a failing batch is retried row by row
+    * so one poison row doesn't kill the batch.
+    */
+  def applyAll(sink: StatementSink, batches: Seq[StatementBatch])
+      : AppliedStats = {
+    var ok = 0L
+    var isolated = 0L
+    var failed = 0L
+    batches.foreach { b =>
+      try { sink.execute(b); ok += b.rows.size }
+      catch {
+        case _: Exception =>
+          b.rows.foreach { r =>
+            try { sink.execute(b.copy(rows = Seq(r))); isolated += 1 }
+            catch { case _: Exception => failed += 1 }
+          }
+      }
+    }
+    AppliedStats(ok, isolated, failed)
+  }
+
+  final case class AppliedStats(batched: Long, isolatedOk: Long,
+      failedRows: Long)
+}

@@ -1,0 +1,56 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Analytics-sink write model for StarRocks / Doris / ClickHouse —
+  * the reference's stream-load sinkers
+  * (/root/reference/dt-connector/src/sinker/starrocks/starrocks_sinker.rs:
+  * 28-169, clickhouse_sinker.rs:18-114): soft delete via a sign column
+  * plus a monotonically increasing version column, so the target's
+  * ReplacingMergeTree / primary-key model resolves the final row state.
+  *
+  * The Spark-side contract is a pure DataFrame transform (adds the two
+  * columns); payload rendering batches rows to JSON per partition. The
+  * HTTP PUT itself (Stream Load / INSERT FORMAT JSON) is a per-partition
+  * side effect behind `PayloadSink`, injectable for tests — there is no
+  * live warehouse in this environment.
+  */
+object StreamLoadSink {
+
+  final val IsDeletedCol = "_graft_is_deleted"
+  final val VersionCol = "_graft_version"
+
+  /** Annotate a change batch with sign + version columns. `version` must
+    * be monotone per key across batches; CDC uses the event position —
+    * here any strictly increasing per-key column works.
+    */
+  def withSignColumns(df: DataFrame, rowType: Column,
+      version: Column): DataFrame =
+    df.withColumn(IsDeletedCol,
+        when(rowType === "delete", lit(1)).otherwise(lit(0)))
+      .withColumn(VersionCol, version)
+
+  /** Render one partition's rows as a JSON-lines payload (the stream-load
+    * body). Uses to_json on a struct of all columns — codegen, no UDF.
+    */
+  def jsonPayload(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("payload"))
+
+  trait PayloadSink {
+    /** PUT one payload chunk (e.g. HTTP stream load); throw to retry. */
+    def put(lines: Seq[String]): Unit
+  }
+
+  /** Ship a batch: render JSON, group into ≤batchRows chunks per
+    * partition, push each chunk.
+    */
+  def ship(df: DataFrame, sinkFactory: () => PayloadSink,
+      batchRows: Int = 10000): Unit =
+    jsonPayload(df).foreachPartition {
+      it: Iterator[org.apache.spark.sql.Row] =>
+        val sink = sinkFactory()
+        it.map(_.getString(0)).grouped(batchRows)
+          .foreach(chunk => sink.put(chunk))
+    }
+}
