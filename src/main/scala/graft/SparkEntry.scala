@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Cdc.queries ++ Routing.queries ++
       CheckQueries.queries ++ TextOps.queries ++ FuzzyDedup.queries ++
-      VectorOps.queries ++ InfraQueries.queries
+      VectorOps.queries ++ InfraQueries.queries ++
+      StreamQueries.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Cdc.oracles ++ Routing.oracles ++
       CheckQueries.oracles ++ TextOps.oracles ++ FuzzyDedup.oracles ++
-      VectorOps.oracles ++ InfraQueries.oracles
+      VectorOps.oracles ++ InfraQueries.oracles ++
+      StreamQueries.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.CdcPipeline
+
+/** Streaming-shaped operators exposed as batch queries for the oracle
+  * gate (the streaming execution itself is covered by StreamingSpec with
+  * a memory sink — same plans, micro-batched).
+  */
+object StreamQueries {
+
+  /** q60 — partition safety (reference rdb_partitioner.rs:43-82): an
+    * update that changes a key value must not be hash-partitioned — two
+    * sub-batches could interleave the delete/insert halves. Synthesized
+    * key change: the event's payload key (props.k mod 15) vs its current
+    * key; changed keys route to the serial lane (-1).
+    */
+  def partitionSafety(spark: SparkSession, dir: String): DataFrame = {
+    val c = Cdc.changes(spark, dir)
+      .withColumn("new_key",
+        pmod(regexp_extract(col("props"), "[0-9]+", 0).cast("long"),
+          lit(15)))
+    val keyChanged = col("row_type") === "update" &&
+      col("new_key") =!= col("user_id")
+    c.withColumn("key_changed", keyChanged)
+      .withColumn("lane",
+        when(keyChanged, lit(-1L))
+          .otherwise(Compaction.sinkPartition(col("user_id"), 8)))
+      .select(col("event_id"), col("user_id"), col("new_key"),
+        col("key_changed"), col("lane"))
+  }
+
+  val partitionSafetySql: String =
+    """WITH c AS (SELECT event_id, user_id,
+      |    CASE WHEN event_type = 'signup' THEN 'insert'
+      |         WHEN event_type = 'error' THEN 'delete'
+      |         ELSE 'update' END AS row_type,
+      |    CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 15 AS new_key
+      |  FROM events)
+      |SELECT event_id, user_id, new_key,
+      |  (row_type = 'update' AND new_key <> user_id) AS key_changed,
+      |  CASE WHEN row_type = 'update' AND new_key <> user_id THEN -1
+      |    ELSE ((user_id * 2654435761) % 1000000007) % 8 END AS lane
+      |FROM c""".stripMargin
+
+  /** q61 — tumbling-window aggregation (the streaming analytics plan run
+    * on the bounded table; StreamingSpec runs the identical plan through
+    * readStream and asserts equality).
+    */
+  def windowedStats(spark: SparkSession, dir: String): DataFrame =
+    CdcPipeline.windowedStats(Cdc.changes(spark, dir))
+
+  val windowedStatsSql: String =
+    """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600
+      |    AS win_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_partition_safety" -> (partitionSafety _),
+    "q61_windowed_stats" -> (windowedStats _))
+
+  val oracles: Map[String, String] = Map(
+    "q60_partition_safety" -> partitionSafetySql,
+    "q61_windowed_stats" -> windowedStatsSql)
+}

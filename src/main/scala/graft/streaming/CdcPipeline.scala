@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.Compaction
+import graft.sinks.{Applier, RdbQueryBuilder}
+
+/** The CDC pipeline re-expressed on Structured Streaming — the reference's
+  * pull loop (/root/reference/dt-pipeline/src/base_pipeline.rs:96-191):
+  * source → queue → parallelizer(merge) → sinkers becomes
+  * readStream → micro-batch → compact → applier, with offsets in the
+  * streaming checkpoint instead of position.log.
+  *
+  * The stand-in source here is a file stream over the events fixture; a
+  * production binlog/pgoutput source plugs in as a DataSource V2
+  * MicroBatchStream with (file, pos, gtid)/LSN offsets — the pipeline
+  * below is source-agnostic past `readStream`.
+  */
+object CdcPipeline {
+
+  /** Event-stream schema as stored in the fixture (ts read as raw nanos —
+    * Spark 4 refuses parquet TIMESTAMP(NANOS) natively).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open the change stream: file-source micro-batches over a directory of
+    * parquet event files, normalized to the engine's change shape.
+    */
+  def readChanges(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "1") // bounded micro-batches
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("row_type",
+        when(col("event_type") === "signup", "insert")
+          .when(col("event_type") === "error", "delete")
+          .otherwise("update"))
+  }
+
+  /** Wire the full pipeline: per micro-batch, compact to final per-key
+    * state and hand ordered batches to the applier. Exactly the
+    * reference's merge parallelizer semantics per drained batch.
+    */
+  def compactAndApply(changes: DataFrame, table: String,
+      keys: Seq[String], cols: Seq[String], orderCols: Seq[String],
+      sinkFactory: () => Applier.StatementSink)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val compacted = Compaction.compact(batch, keys, orderCols,
+          col("row_type"))
+        Applier.applyCompacted(RdbQueryBuilder.MySql, table, compacted,
+          keys, cols, orderCols, sinkFactory)
+        ()
+      }
+
+  /** Watermarked tumbling-window aggregation over the change stream —
+    * the streaming analytics surface (counts + exact decimal sums per
+    * window × event type).
+    */
+  def windowedStats(changes: DataFrame): DataFrame =
+    changes
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+}
