@@ -1,24 +1,78 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line for the driver.
+  *
+  * Methodology:
+  *  - the session is warmed up first (JVM + codegen + parquet footer
+  *    reads) so per-query numbers measure the query, not startup;
+  *  - each query materializes via a noop-format write — `count()` would
+  *    let Catalyst prune every projected column and under-report;
+  *  - two pipeline throughput numbers accompany the per-query seconds:
+  *    bulk snapshot rows/s (scan→transform→sink, the BASELINE.md snapshot
+  *    metric) and compact+apply rows/s (the CDC micro-batch metric).
+  */
 object Bench {
+
+  private def runNoop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // Warmup: JVM, whole-stage codegen, shuffle machinery, file listings.
+    spark.range(2000000).selectExpr("sum(id)").collect()
+    Tables.names.foreach(t =>
+      Tables.load(spark, sfDir, t).limit(1).collect())
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val sec = try time(runNoop(fn(spark, sfDir)))
+          catch { case _: Throwable => -1.0 }
+        name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Bulk snapshot pipeline: full lineitem scan → route/annotate → sink.
+    val liCount = Tables.lineitem(spark, sfDir).count()
+    val snapSec = time {
+      runNoop(Tables.lineitem(spark, sfDir)
+        .withColumn("_ingest_key",
+          pmod(col("l_orderkey") * 2654435761L, lit(1000000007L))))
+    }
+    // CDC micro-batch path: synthesize changes → compact → final state.
+    val evCount = Tables.events(spark, sfDir).count()
+    val compactSec = time {
+      runNoop(operators.Cdc.compactChanges(spark, sfDir))
+    }
+
+    def fmt(d: Double): String = f"$d%.4f"
+    val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val rps =
+      s""""snapshot_rows_per_sec":${fmt(liCount / snapSec)},""" +
+      s""""compact_rows_per_sec":${fmt(evCount / compactSec)}"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries":$qs,$rps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression,
+  Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hash/vector hot paths.
+  *
+  * The composed higher-order-function versions (TextOps.charFold,
+  * VectorOps.intDot) are semantically identical but evaluate interpreted
+  * — lambda HOFs have no codegen — and the char fold pays O(n²) UTF8
+  * seeks through substr. These expressions evaluate in one pass and
+  * generate straight-line Java inside whole-stage codegen
+  * (SURVEY §7.2's "custom Expression beats UDF" tier).
+  */
+object GraftExpressions {
+
+  final val FoldP = 999999999999989L
+
+  /** One-pass code-point rolling hash; exact same result as
+    * aggregate(transform(sequence…, ascii(substr…)), fold) and DuckDB's
+    * list_reduce(ord(substring…)) oracle.
+    */
+  def foldUtf8(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % FoldP
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Exact integer dot product of two long-array columns. */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** charFold(string) → bigint, codegen-capable. */
+case class CharFold(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_char_fold"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExpressions.foldUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftExpressions.foldUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** longDot(array<bigint>, array<bigint>) → bigint, codegen-capable. */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_long_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftExpressions.dotLong(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GraftExpressions.dotLong($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration + Column-level accessors. */
+object GraftFunctions {
+  import org.apache.spark.sql.{Column, SparkSession}
+  import org.apache.spark.sql.functions.call_function
+
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Register the expressions in the session's function registry
+    * (idempotent). Makes them usable from Column DSL (via call_function)
+    * and plain SQL, including inside higher-order lambdas.
+    */
+  def register(spark: SparkSession): Unit = {
+    val classic =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (registered.add(System.identityHashCode(classic).toString)) {
+      val reg = classic.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("graft_char_fold",
+        exprs => CharFold(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("graft_long_dot",
+        exprs => LongDot(exprs(0), exprs(1)), "scala_udf")
+    }
+  }
+
+  def charFold(c: Column): Column = call_function("graft_char_fold", c)
+  def longDot(a: Column, b: Column): Column =
+    call_function("graft_long_dot", a, b)
+}

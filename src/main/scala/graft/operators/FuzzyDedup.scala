@@ -56,13 +56,18 @@ object FuzzyDedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairsOf(Tables.documents(spark, dir))
 
-  /** Same operator over any (doc_id, text) DataFrame. */
+  /** Same operator over any (doc_id, text) DataFrame. Joins on the
+    * 64-bit native shingle hash, not the shingle string — long join keys
+    * shuffle a fraction of the bytes and the fold is codegen'd. The
+    * oracle hashes identically, so results stay bit-equal even in the
+    * (≈1e-6) event of a hash collision.
+    */
   def ngramJaccardPairsOf(docs: DataFrame): DataFrame = {
-    val d = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-    val sizes = d.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
+    val ex = docs.select(col("doc_id"),
+      explode(shingleHashes(col("text"))).as("h"))
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = ex.as("a").join(ex.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs
@@ -77,13 +82,13 @@ object FuzzyDedup {
   }
 
   val ngramJaccardPairsSql: String = {
-    val sh = shinglesSql("text")
+    val sh = shingleHashesSql("text")
     s"""WITH d AS (SELECT doc_id, $sh AS sh FROM documents),
        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM d),
-       |ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
+       |ex AS (SELECT doc_id, unnest(sh) AS h FROM d),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, n_common,
        |  sa.n_sh + sb.n_sh - n_common AS n_union,
@@ -109,8 +114,13 @@ object FuzzyDedup {
     * reduced mod P before the multiply — a*h with h < FoldP (1e15) would
     * overflow int64; with h < P (1e9) the product stays < 1e18.
     */
-  def minhashSig(text: Column): Column = {
-    val hs = shingleHashes(text)
+  /** Signature from an ALREADY-MATERIALIZED shingle-hash array column.
+    * Callers must project [[shingleHashes]] into its own column first —
+    * higher-order lambdas are interpreted (no codegen), so feeding the
+    * raw expression here would re-hash every shingle once per signature
+    * (8×) instead of once.
+    */
+  def minhashSigFromHashes(hs: Column): Column = {
     val sigs = MinhashA.zip(MinhashB).map { case (a, b) =>
       array_min(transform(hs,
         h => pmod(lit(a) * pmod(h, lit(MinhashP)) + lit(b), lit(MinhashP))))
@@ -134,7 +144,8 @@ object FuzzyDedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val nBands = MinhashA.size / BandRows
     val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), minhashSig(col("text")).as("sig"))
+      .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
+      .select(col("doc_id"), minhashSigFromHashes(col("hs")).as("sig"))
     val bandCols = (0 until nBands).map { j =>
       concat_ws(":", (lit(j.toString) +:
         (0 until BandRows).map(r =>
@@ -174,15 +185,22 @@ object FuzzyDedup {
     */
   final val SimBits = 30
 
-  def simhash(text: Column): Column = {
-    val hs = transform(tokens(text),
-      t => pmod(charFold(t), lit(1L << SimBits)))
+  /** Token-hash list (materialize this once per row — see
+    * [[minhashSigFromHashes]] on interpreted HOF cost).
+    */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t => pmod(charFold(t), lit(1L << SimBits)))
+
+  /** Fingerprint from an already-materialized token-hash column. */
+  def simhashFromHashes(hs: Column): Column = {
     val bitSum = (j: Int) => aggregate(hs, lit(0L), (acc, h) =>
       acc + (floor(h / pow(lit(2.0), lit(j))).cast("long") % 2) * 2 - 1)
     (0 until SimBits).map(j =>
       when(bitSum(j) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
   }
+
+  def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
 
   def simhashSql(e: String): String = {
     val hs = s"list_transform(${tokensSql(e)}, " +
@@ -202,7 +220,8 @@ object FuzzyDedup {
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash(col("text")).as("fp"))
+      .select(col("doc_id"), tokenHashes(col("text")).as("hs"))
+      .select(col("doc_id"), simhashFromHashes(col("hs")).as("fp"))
     d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))

@@ -25,12 +25,23 @@ object TextOps {
 
   def tokensSql(e: String): String = s"string_split_regex(trim($e), '\\s+')"
 
-  /** Polynomial rolling hash over the characters of a (non-empty) string:
+  /** Polynomial rolling hash over the characters of a string:
     * fold acc = (acc*31 + codepoint) % FoldP. The document-fingerprinting
     * primitive; also the leaf hash for MinHash/SimHash. Matches
     * `charFoldSql` digit for digit.
+    *
+    * Evaluates through the native codegen expression
+    * [[graft.functions.CharFold]] (registered by Tables.load); the
+    * composed HOF form below is kept as the cross-checked reference
+    * implementation.
     */
   def charFold(c: Column): Column =
+    graft.functions.GraftFunctions.charFold(c)
+
+  /** Reference implementation via composed built-ins (interpreted; O(n²)
+    * through substr) — used to cross-check the native expression.
+    */
+  def charFoldHof(c: Column): Column =
     aggregate(
       transform(sequence(lit(1), greatest(length(c), lit(1))),
         i => ascii(substr(c, i, lit(1))).cast("long")),

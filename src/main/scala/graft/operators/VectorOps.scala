@@ -24,22 +24,34 @@ import graft.Tables
   */
 object VectorOps {
 
-  final val Scale = 1e12
+  final val Scale = 1e6
 
-  /** Exact scaled-integer dot product of two float-array columns. */
+  /** Scale a float vector to integers once (×1e6, rounded) — materialized
+    * per row so every subsequent dot is pure integer multiply-adds.
+    * (Higher-order lambdas are interpreted, not codegen'd: per-pair double
+    * rounding was the dominant cost before this.)
+    */
+  def intVec(v: Column): Column =
+    transform(v, x => round(x.cast(DoubleType) * lit(Scale))
+      .cast(LongType))
+
+  def intVecSql(v: String): String =
+    s"list_transform($v, " +
+      s"x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+
+  /** Exact dot product of two pre-scaled integer vectors (result carries
+    * scale 1e12; |element| ≤ 5.3e5 so 64 products stay < 2e13).
+    * Native codegen expression — the interpreted zip_with/aggregate pair
+    * allocated an array per evaluation and dominated the pair scans.
+    */
   def intDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast(DoubleType) * y.cast(DoubleType) * lit(Scale))
-          .cast(LongType)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.longDot(a, b)
 
-  /** DuckDB mirror: index-based product over `range`, same rounding. */
+  /** DuckDB mirror over pre-scaled vectors. */
   def intDotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, len($a)+1), " +
-      s"i -> CAST(round(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
-      s"* 1e12) AS BIGINT))), (acc, x) -> acc + x)"
+      s"i -> ($a)[i] * ($b)[i])), (acc, x) -> acc + x)"
 
   /** Cosine from scaled-integer dot/norms (per-row double math). */
   def cosine(dot: Column, na: Column, nb: Column): Column =
@@ -53,12 +65,13 @@ object VectorOps {
     */
   def knn(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .withColumn("norm", intDot(col("embedding"), col("embedding")))
+      .select(col("vec_id"), intVec(col("embedding")).as("xs"))
+      .withColumn("norm", intDot(col("xs"), col("xs")))
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"), col("norm").as("q_norm"))
+        col("xs").as("q_xs"), col("norm").as("q_norm"))
     val pairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("dot", intDot(col("q_emb"), col("embedding")))
+      .withColumn("dot", intDot(col("q_xs"), col("xs")))
       .withColumn("sim",
         cosine(col("dot"), col("q_norm"), col("norm")))
     val w = Window.partitionBy(col("query_id"))
@@ -70,16 +83,18 @@ object VectorOps {
   }
 
   val knnSql: String = {
-    val dot = intDotSql("q.embedding", "e.embedding")
-    val qn = intDotSql("q.embedding", "q.embedding")
-    val en = intDotSql("e.embedding", "e.embedding")
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+    val dot = intDotSql("q.xs", "e.xs")
+    s"""WITH v AS (SELECT vec_id, ${intVecSql("embedding")} AS xs
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, xs,
+       |  ${intDotSql("xs", "xs")} AS norm FROM v),
+       |q AS (SELECT vec_id AS query_id, xs, norm FROM e
        |  WHERE vec_id < 20),
        |p AS (
        |  SELECT q.query_id, e.vec_id AS neighbor_id,
        |    CAST($dot AS DOUBLE) /
-       |      sqrt(CAST($qn AS DOUBLE) * CAST($en AS DOUBLE)) AS sim
-       |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+       |      sqrt(CAST(q.norm AS DOUBLE) * CAST(e.norm AS DOUBLE)) AS sim
+       |  FROM q JOIN e ON e.vec_id <> q.query_id),
        |r AS (SELECT query_id, neighbor_id, sim,
        |  ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY sim DESC, neighbor_id) AS rank FROM p)
@@ -93,10 +108,11 @@ object VectorOps {
     */
   def cosineNearDups(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .withColumn("norm", intDot(col("embedding"), col("embedding")))
+      .select(col("vec_id"), intVec(col("embedding")).as("xs"))
+      .withColumn("norm", intDot(col("xs"), col("xs")))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", cosine(
-        intDot(col("a.embedding"), col("b.embedding")),
+        intDot(col("a.xs"), col("b.xs")),
         col("a.norm"), col("b.norm")))
       .filter(col("sim") >= 0.3)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -104,15 +120,17 @@ object VectorOps {
   }
 
   val cosineNearDupsSql: String = {
-    val dot = intDotSql("a.embedding", "b.embedding")
-    val na = intDotSql("a.embedding", "a.embedding")
-    val nb = intDotSql("b.embedding", "b.embedding")
-    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    val dot = intDotSql("a.xs", "b.xs")
+    s"""WITH v AS (SELECT vec_id, ${intVecSql("embedding")} AS xs
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, xs,
+       |  ${intDotSql("xs", "xs")} AS norm FROM v)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  CAST($dot AS DOUBLE) /
-       |    sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE)) AS sim
-       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |    sqrt(CAST(a.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) AS sim
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE CAST($dot AS DOUBLE) /
-       |    sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE)) >= 0.3""".stripMargin
+       |    sqrt(CAST(a.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) >= 0.3""".stripMargin
   }
 
   // ---------------------------------------------------------------- q42
@@ -149,16 +167,15 @@ object VectorOps {
     pmod((i + lit(j * 64)) * lit(2654435761L), lit(1000003L)) - lit(501001L)
 
   def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val xs = transform(col("embedding"),
-      x => round(x.cast(DoubleType) * lit(1e6)).cast(LongType))
     val bits = (0 until Planes).map { j =>
       val dot = aggregate(
-        zip_with(xs, sequence(lit(0), lit(63)),
+        zip_with(col("xs"), sequence(lit(0), lit(63)),
           (x, i) => x * planeWeight(j)(i.cast(LongType))),
         lit(0L), (acc, x) => acc + x)
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }
     Tables.embeddings(spark, dir)
+      .select(col("vec_id"), intVec(col("embedding")).as("xs"))
       .select(col("vec_id"), bits.reduce(_ + _).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"),

@@ -38,8 +38,11 @@ class DedupSpec extends SparkSuite {
   }
 
   test("minhash signature identical for identical docs") {
-    val sigs = corpus.select(col("doc_id"),
-      FuzzyDedup.minhashSig(col("text")).as("sig"))
+    val sigs = corpus
+      .select(col("doc_id"),
+        FuzzyDedup.shingleHashes(col("text")).as("hs"))
+      .select(col("doc_id"),
+        FuzzyDedup.minhashSigFromHashes(col("hs")).as("sig"))
       .as[(Long, Seq[Long])].collect().toMap
     assert(sigs(0L) == sigs(2L))
     assert(sigs(0L) != sigs(3L))

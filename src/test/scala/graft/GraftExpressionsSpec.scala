@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.TextOps
+
+class GraftExpressionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("native charFold equals the composed HOF reference on real docs") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sf)
+    val mismatches = d.select(
+      TextOps.charFold(col("text")).as("fast"),
+      TextOps.charFoldHof(col("text")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatches == 0)
+  }
+
+  test("native charFold handles empty / unicode strings like the HOF") {
+    GraftFunctions.register(spark)
+    val df = Seq("", "a", "abc", "héllo wörld", "日本語テキスト")
+      .toDF("s")
+    val rows = df.select(TextOps.charFold(col("s")),
+      TextOps.charFoldHof(col("s"))).as[(Long, Long)].collect()
+    rows.foreach { case (fast, ref) => assert(fast == ref) }
+  }
+
+  test("native longDot matches manual sum and works in SQL") {
+    GraftFunctions.register(spark)
+    val df = Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L)))
+      .toDF("a", "b")
+    assert(df.select(GraftFunctions.longDot(col("a"), col("b")))
+      .as[Long].head() == 32L)
+    df.createOrReplaceTempView("v")
+    assert(spark.sql("SELECT graft_long_dot(a, b) FROM v")
+      .as[Long].head() == 32L)
+  }
+
+  test("native expressions usable inside higher-order lambdas") {
+    GraftFunctions.register(spark)
+    val df = Seq(Seq("ab", "cd")).toDF("xs")
+    val out = df.select(transform(col("xs"),
+      s => TextOps.charFold(s)).as("hs")).as[Seq[Long]].head()
+    assert(out == Seq((97L * 31 + 98) % TextOps.FoldP,
+      (99L * 31 + 100) % TextOps.FoldP))
+  }
+}

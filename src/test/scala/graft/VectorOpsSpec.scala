@@ -15,12 +15,13 @@ class VectorOpsSpec extends SparkSuite {
     .toDF("vec_id", "embedding")
 
   private def sims = {
-    val e = vecs.withColumn("norm",
-      VectorOps.intDot(col("embedding"), col("embedding")))
+    val e = vecs
+      .select(col("vec_id"), VectorOps.intVec(col("embedding")).as("xs"))
+      .withColumn("norm", VectorOps.intDot(col("xs"), col("xs")))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id"), col("b.vec_id"),
         VectorOps.cosine(
-          VectorOps.intDot(col("a.embedding"), col("b.embedding")),
+          VectorOps.intDot(col("a.xs"), col("b.xs")),
           col("a.norm"), col("b.norm")).as("sim"))
       .as[(Long, Long, Double)].collect()
       .map { case (a, b, s) => ((a, b), s) }.toMap
