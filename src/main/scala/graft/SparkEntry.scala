@@ -23,7 +23,7 @@ object SparkEntry {
     Relational.queries ++ Cdc.queries ++ Routing.queries ++
       CheckQueries.queries ++ TextOps.queries ++ FuzzyDedup.queries ++
       VectorOps.queries ++ InfraQueries.queries ++
-      StreamQueries.queries ++ Multimodal.queries
+      StreamQueries.queries ++ Multimodal.queries ++ DataMarker.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
     Relational.oracles ++ Cdc.oracles ++ Routing.oracles ++
       CheckQueries.oracles ++ TextOps.oracles ++ FuzzyDedup.oracles ++
       VectorOps.oracles ++ InfraQueries.oracles ++
-      StreamQueries.oracles ++ Multimodal.oracles
+      StreamQueries.oracles ++ Multimodal.oracles ++ DataMarker.oracles
 }

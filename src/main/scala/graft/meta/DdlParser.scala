@@ -1,0 +1,203 @@
+package graft.meta
+
+import graft.operators.Router
+
+/** DDL/DCL statement parsing, routing, and replay — the reference's
+  * hand-written parser (/root/reference/dt-common/src/meta/ddl_meta/
+  * ddl_parser.rs, ddl_statement.rs:6-40) reduced to the statement shapes
+  * the pipeline must route and replay. Multi-object DROP/RENAME split into
+  * single-object statements (the reference's `split_to_multi`) so each can
+  * be routed independently.
+  */
+object DdlParser {
+
+  sealed trait DdlStatement {
+    def render: String
+  }
+  final case class CreateDatabase(db: String, ifNotExists: Boolean)
+      extends DdlStatement {
+    def render = s"CREATE DATABASE ${ine(ifNotExists)}${q(db)}"
+  }
+  final case class DropDatabase(db: String, ifExists: Boolean)
+      extends DdlStatement {
+    def render = s"DROP DATABASE ${ie(ifExists)}${q(db)}"
+  }
+  final case class CreateTable(db: Option[String], tb: String,
+      body: String, ifNotExists: Boolean) extends DdlStatement {
+    def render =
+      s"CREATE TABLE ${ine(ifNotExists)}${qt(db, tb)} $body"
+  }
+  final case class DropTable(db: Option[String], tb: String,
+      ifExists: Boolean) extends DdlStatement {
+    def render = s"DROP TABLE ${ie(ifExists)}${qt(db, tb)}"
+  }
+  final case class TruncateTable(db: Option[String], tb: String)
+      extends DdlStatement {
+    def render = s"TRUNCATE TABLE ${qt(db, tb)}"
+  }
+  final case class AlterTable(db: Option[String], tb: String,
+      alteration: String) extends DdlStatement {
+    def render = s"ALTER TABLE ${qt(db, tb)} $alteration"
+  }
+  final case class RenameTable(fromDb: Option[String], fromTb: String,
+      toDb: Option[String], toTb: String) extends DdlStatement {
+    def render =
+      s"RENAME TABLE ${qt(fromDb, fromTb)} TO ${qt(toDb, toTb)}"
+  }
+  final case class CreateIndex(index: String, db: Option[String],
+      tb: String, cols: String) extends DdlStatement {
+    def render = s"CREATE INDEX ${q(index)} ON ${qt(db, tb)} ($cols)"
+  }
+  final case class DropIndex(index: String, db: Option[String], tb: String)
+      extends DdlStatement {
+    def render = s"DROP INDEX ${q(index)} ON ${qt(db, tb)}"
+  }
+  /** Anything we don't model structurally: kept verbatim (still routable
+    * at the statement level = not at all; flagged for manual handling).
+    */
+  final case class RawDdl(sql: String) extends DdlStatement {
+    def render = sql
+  }
+
+  private def q(id: String) = s"`$id`"
+  private def qt(db: Option[String], tb: String) =
+    db.fold(q(tb))(d => s"${q(d)}.${q(tb)}")
+  private def ine(b: Boolean) = if (b) "IF NOT EXISTS " else ""
+  private def ie(b: Boolean) = if (b) "IF EXISTS " else ""
+
+  private val id = """(?:`([^`]+)`|"([^"]+)"|([A-Za-z_][\w$]*))"""
+  private val qual = s"$id(?:\\s*\\.\\s*$id)?"
+
+  private def unq(m: java.util.regex.Matcher, base: Int): String =
+    Seq(base, base + 1, base + 2).iterator
+      .map(m.group).find(_ != null).orNull
+
+  /** (db?, tb) from a qualified-name match starting at group `base`. */
+  private def qualName(m: java.util.regex.Matcher, base: Int)
+      : (Option[String], String) = {
+    val first = unq(m, base)
+    val second = unq(m, base + 3)
+    if (second == null) (None, first) else (Some(first), second)
+  }
+
+  private def re(p: String) =
+    java.util.regex.Pattern.compile(p,
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  private val createDbRe =
+    re(s"^\\s*CREATE\\s+(?:DATABASE|SCHEMA)\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$id\\s*$$")
+  private val dropDbRe =
+    re(s"^\\s*DROP\\s+(?:DATABASE|SCHEMA)\\s+(IF\\s+EXISTS\\s+)?$id\\s*$$")
+  private val createTbRe =
+    re(s"^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$qual\\s*(\\(.*)$$")
+  private val dropTbRe =
+    re(s"^\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?(.*)$$")
+  private val truncateRe =
+    re(s"^\\s*TRUNCATE\\s+(?:TABLE\\s+)?$qual\\s*$$")
+  private val alterRe =
+    re(s"^\\s*ALTER\\s+TABLE\\s+$qual\\s+(.*)$$")
+  private val renameRe =
+    re(s"^\\s*RENAME\\s+TABLE\\s+(.*)$$")
+  private val renamePairRe = re(s"^\\s*$qual\\s+TO\\s+$qual\\s*$$")
+  private val createIdxRe =
+    re(s"^\\s*CREATE\\s+(?:UNIQUE\\s+)?INDEX\\s+$id\\s+ON\\s+$qual\\s*\\((.*)\\)\\s*$$")
+  private val dropIdxRe =
+    re(s"^\\s*DROP\\s+INDEX\\s+$id\\s+ON\\s+$qual\\s*$$")
+  private val qualOnlyRe = re(s"^\\s*$qual\\s*$$")
+
+  /** Parse one statement; multi-object DROP/RENAME yield several
+    * statements (reference `split_to_multi`).
+    */
+  def parse(sql: String): Seq[DdlStatement] = {
+    val s = sql.trim.stripSuffix(";")
+    var m = createDbRe.matcher(s)
+    if (m.matches())
+      return Seq(CreateDatabase(unq(m, 2), m.group(1) != null))
+    m = dropDbRe.matcher(s)
+    if (m.matches())
+      return Seq(DropDatabase(unq(m, 2), m.group(1) != null))
+    m = createTbRe.matcher(s)
+    if (m.matches()) {
+      val (db, tb) = qualName(m, 2)
+      return Seq(CreateTable(db, tb, m.group(8).trim,
+        m.group(1) != null))
+    }
+    m = dropTbRe.matcher(s)
+    if (m.matches()) {
+      val ifExists = m.group(1) != null
+      return m.group(2).split(",").toSeq.map(_.trim).map { one =>
+        val mm = qualOnlyRe.matcher(one)
+        if (mm.matches()) {
+          val (db, tb) = qualName(mm, 1)
+          DropTable(db, tb, ifExists)
+        } else RawDdl(s"DROP TABLE ${ie(ifExists)}$one")
+      }
+    }
+    m = truncateRe.matcher(s)
+    if (m.matches()) {
+      val (db, tb) = qualName(m, 1)
+      return Seq(TruncateTable(db, tb))
+    }
+    m = renameRe.matcher(s)
+    if (m.matches()) {
+      return m.group(1).split(",").toSeq.map(_.trim).map { pair =>
+        val mm = renamePairRe.matcher(pair)
+        if (mm.matches()) {
+          val (fdb, ftb) = qualName(mm, 1)
+          val (tdb, ttb) = qualName(mm, 7)
+          RenameTable(fdb, ftb, tdb, ttb)
+        } else RawDdl(s"RENAME TABLE $pair")
+      }
+    }
+    m = createIdxRe.matcher(s)
+    if (m.matches()) {
+      val (db, tb) = qualName(m, 4)
+      return Seq(CreateIndex(unq(m, 1), db, tb, m.group(10).trim))
+    }
+    m = dropIdxRe.matcher(s)
+    if (m.matches()) {
+      val (db, tb) = qualName(m, 4)
+      return Seq(DropIndex(unq(m, 1), db, tb))
+    }
+    m = alterRe.matcher(s)
+    if (m.matches()) {
+      val (db, tb) = qualName(m, 1)
+      return Seq(AlterTable(db, tb, m.group(7).trim))
+    }
+    Seq(RawDdl(s))
+  }
+
+  /** Route a parsed statement through schema/table maps (the reference's
+    * DDL routing incl. RENAME targets, rdb_router.rs:286-317).
+    */
+  def route(stmt: DdlStatement, router: Router,
+      defaultDb: String): DdlStatement = {
+    def rt(db: Option[String], tb: String): (Option[String], String) = {
+      val (s, t) = router.routeTable(db.getOrElse(defaultDb), tb)
+      (Some(s), t)
+    }
+    stmt match {
+      case CreateDatabase(db, i) =>
+        CreateDatabase(router.routeTable(db, "*")._1, i)
+      case DropDatabase(db, i) =>
+        DropDatabase(router.routeTable(db, "*")._1, i)
+      case c @ CreateTable(db, tb, _, _) =>
+        val (d2, t2) = rt(db, tb); c.copy(db = d2, tb = t2)
+      case d @ DropTable(db, tb, _) =>
+        val (d2, t2) = rt(db, tb); d.copy(db = d2, tb = t2)
+      case t @ TruncateTable(db, tb) =>
+        val (d2, t2) = rt(db, tb); t.copy(db = d2, tb = t2)
+      case a @ AlterTable(db, tb, _) =>
+        val (d2, t2) = rt(db, tb); a.copy(db = d2, tb = t2)
+      case RenameTable(fdb, ftb, tdb, ttb) =>
+        val (f2, ft2) = rt(fdb, ftb)
+        val (t2, tt2) = rt(tdb, ttb)
+        RenameTable(f2, ft2, t2, tt2)
+      case i @ CreateIndex(_, db, tb, _) =>
+        val (d2, t2) = rt(db, tb); i.copy(db = d2, tb = t2)
+      case i @ DropIndex(_, db, tb) =>
+        val (d2, t2) = rt(db, tb); i.copy(db = d2, tb = t2)
+      case r: RawDdl => r
+    }
+  }
+}

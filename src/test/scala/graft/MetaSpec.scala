@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.meta.{DclParser, DdlParser, MetaManager}
+import graft.operators.Routing
+import graft.sources.SnapshotResumer
+
+class MetaSpec extends SparkSuite {
+  import DdlParser._
+
+  test("ddl parse: database / table / truncate / alter") {
+    assert(parse("CREATE DATABASE IF NOT EXISTS app") ==
+      Seq(CreateDatabase("app", ifNotExists = true)))
+    assert(parse("create schema `x`;") ==
+      Seq(CreateDatabase("x", ifNotExists = false)))
+    assert(parse("CREATE TABLE app.t (id INT PRIMARY KEY)") ==
+      Seq(CreateTable(Some("app"), "t", "(id INT PRIMARY KEY)",
+        ifNotExists = false)))
+    assert(parse("TRUNCATE TABLE `app`.`t`") ==
+      Seq(TruncateTable(Some("app"), "t")))
+    assert(parse("ALTER TABLE t ADD COLUMN c INT") ==
+      Seq(AlterTable(None, "t", "ADD COLUMN c INT")))
+  }
+
+  test("ddl parse: multi-object drop/rename split (split_to_multi)") {
+    assert(parse("DROP TABLE IF EXISTS a.t1, b.t2, t3") == Seq(
+      DropTable(Some("a"), "t1", ifExists = true),
+      DropTable(Some("b"), "t2", ifExists = true),
+      DropTable(None, "t3", ifExists = true)))
+    assert(parse("RENAME TABLE a.t1 TO a.t2, `x` TO `y`") == Seq(
+      RenameTable(Some("a"), "t1", Some("a"), "t2"),
+      RenameTable(None, "x", None, "y")))
+  }
+
+  test("ddl parse: index + unknown → raw") {
+    assert(parse("CREATE UNIQUE INDEX idx ON app.t (a, b)") ==
+      Seq(CreateIndex("idx", Some("app"), "t", "a, b")))
+    assert(parse("DROP INDEX idx ON t") ==
+      Seq(DropIndex("idx", None, "t")))
+    assert(parse("OPTIMIZE TABLE weird") ==
+      Seq(RawDdl("OPTIMIZE TABLE weird")))
+  }
+
+  test("ddl routing rewrites names incl. RENAME targets") {
+    val router = Routing.demoRouter // app→app_replica, customer→clients
+    val Seq(stmt) = parse("DROP TABLE app.customer")
+    assert(route(stmt, router, "app").render ==
+      "DROP TABLE `app_replica`.`clients`")
+    val Seq(ren) = parse("RENAME TABLE app.customer TO app.archive")
+    assert(route(ren, router, "app").render ==
+      "RENAME TABLE `app_replica`.`clients` TO `app_replica`.`archive`")
+    // unqualified names resolve against the session default db
+    val Seq(alt) = parse("ALTER TABLE customer ADD c INT")
+    assert(route(alt, router, "app").render ==
+      "ALTER TABLE `app_replica`.`clients` ADD c INT")
+  }
+
+  test("dcl parse battery") {
+    import DclParser._
+    assert(parse("CREATE USER 'u'@'%' IDENTIFIED BY 'p'")
+      .isInstanceOf[CreateUser])
+    assert(parse("GRANT SELECT, INSERT ON app.* TO 'u'@'%'") ==
+      Grant("SELECT, INSERT", "app.*", "'u'@'%'"))
+    assert(parse("REVOKE ALL ON *.* FROM 'u'@'%'") ==
+      Revoke("ALL", "*.*", "'u'@'%'"))
+    assert(parse("DROP USER 'u'@'%'") == DropUser("'u'@'%'"))
+    assert(parse("FLUSH PRIVILEGES").dclType == "raw")
+  }
+
+  test("meta manager caches, refetches after DDL invalidation") {
+    var fetches = 0
+    val mgr = new MetaManager(new MetaManager.MetaFetcher {
+      def fetch(s: String, t: String): MetaManager.TableMeta = {
+        fetches += 1
+        MetaManager.TableMeta(s, t,
+          StructType(Seq(StructField("id", LongType))),
+          idCols = Seq("id"), orderCols = Seq("id"), partitionCol = None)
+      }
+    })
+    mgr.get("a", "t"); mgr.get("a", "t")
+    assert(fetches == 1)
+    mgr.invalidate("a", "t") // DDL barrier → refresh_meta
+    mgr.get("a", "t")
+    assert(fetches == 2)
+    assert(mgr.cachedTables == Set(("a", "t")))
+  }
+
+  test("snapshot resumer: record → resume filter; finish → skip table") {
+    val dir = Files.createTempDirectory("resume").toString
+    val r = new SnapshotResumer(dir)
+    val df = Tables.orders(spark, sf)
+
+    // fresh table: full scan
+    val full = r.resume(df, "app", "orders", col("o_orderkey"))
+    assert(full.get.count() == df.count())
+
+    // recorded progress: only rows past the watermark
+    r.record("app", "orders", "750")
+    val resumed = r.resume(df, "app", "orders", col("o_orderkey")).get
+    assert(resumed.count() ==
+      df.filter(col("o_orderkey") > 750).count())
+
+    // restart-after-crash: a second recorder appends, last wins
+    r.record("app", "orders", "900")
+    assert(r.resumeValue("app", "orders").contains("900"))
+
+    r.finish("app", "orders")
+    assert(r.isFinished("app", "orders"))
+    assert(r.resume(df, "app", "orders", col("o_orderkey")).isEmpty)
+  }
+}
