@@ -23,7 +23,8 @@ object SparkEntry {
     Relational.queries ++ Cdc.queries ++ Routing.queries ++
       CheckQueries.queries ++ TextOps.queries ++ FuzzyDedup.queries ++
       VectorOps.queries ++ InfraQueries.queries ++
-      StreamQueries.queries ++ Multimodal.queries ++ DataMarker.queries
+      StreamQueries.queries ++ Multimodal.queries ++ DataMarker.queries ++
+      Relational2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     Relational.oracles ++ Cdc.oracles ++ Routing.oracles ++
       CheckQueries.oracles ++ TextOps.oracles ++ FuzzyDedup.oracles ++
       VectorOps.oracles ++ InfraQueries.oracles ++
-      StreamQueries.oracles ++ Multimodal.oracles ++ DataMarker.oracles
+      StreamQueries.oracles ++ Multimodal.oracles ++ DataMarker.oracles ++
+      Relational2.oracles
 }
