@@ -14,9 +14,21 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    Relational.regionRevenue(spark, "/root/testdata/sf0.001")
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * A composite of the engine's two halves: revenue per region (broadcast
+    * dimension joins + exact-decimal aggregation) cross-joined with the
+    * compacted change-stream summary (CDC key-dedup to final state).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val revenue = Relational.regionRevenue(spark, sf)
+    val compacted = Cdc.compactChanges(spark, sf)
+      .agg(count(lit(1)).as("live_keys"),
+        sum(when(col("action") === "delete", 1).otherwise(0))
+          .as("deleted_keys"))
+    revenue.crossJoin(compacted)
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -24,7 +36,7 @@ object SparkEntry {
       CheckQueries.queries ++ TextOps.queries ++ FuzzyDedup.queries ++
       VectorOps.queries ++ InfraQueries.queries ++
       StreamQueries.queries ++ Multimodal.queries ++ DataMarker.queries ++
-      Relational2.queries
+      Relational2.queries ++ AdvancedOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +45,5 @@ object SparkEntry {
       CheckQueries.oracles ++ TextOps.oracles ++ FuzzyDedup.oracles ++
       VectorOps.oracles ++ InfraQueries.oracles ++
       StreamQueries.oracles ++ Multimodal.oracles ++ DataMarker.oracles ++
-      Relational2.oracles
+      Relational2.oracles ++ AdvancedOps.oracles
 }
