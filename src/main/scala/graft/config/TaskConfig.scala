@@ -1,0 +1,162 @@
+package graft.config
+
+import scala.collection.mutable
+
+import graft.operators.{NameFilter, Router, TableToken}
+
+/** Task configuration — the reference's INI `task_config`
+  * (/root/reference/docs/en/config.md; dt-common/src/config/
+  * task_config.rs): sections [extractor] [filter] [router] [sinker]
+  * [pipeline] [runtime] parsed into a typed config that the TaskRunner
+  * wires into the Spark pipeline. The INI dialect (k=v lines, `;`/`#`
+  * comments) matches the reference so existing task files carry over.
+  */
+object TaskConfig {
+
+  final case class Section(entries: Map[String, String]) {
+    def apply(k: String): Option[String] = entries.get(k)
+    def get(k: String, default: String): String =
+      entries.getOrElse(k, default)
+    def list(k: String): Seq[String] =
+      entries.get(k).map(_.split(",").toSeq.map(_.trim)
+        .filter(_.nonEmpty)).getOrElse(Nil)
+  }
+
+  final case class Parsed(sections: Map[String, Section]) {
+    def section(name: String): Section =
+      sections.getOrElse(name, Section(Map.empty))
+  }
+
+  /** Minimal INI parse: [section] headers, k=v entries, ; # comments. */
+  def parseIni(text: String): Parsed = {
+    val sections = mutable.LinkedHashMap[String, mutable.Map[String,
+      String]]()
+    var current = "global"
+    text.linesIterator.foreach { raw =>
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith(";") && !line.startsWith("#")) {
+        if (line.startsWith("[") && line.endsWith("]")) {
+          current = line.substring(1, line.length - 1).trim
+          sections.getOrElseUpdate(current, mutable.LinkedHashMap())
+        } else {
+          val i = line.indexOf('=')
+          if (i > 0) {
+            val k = line.substring(0, i).trim
+            val v = line.substring(i + 1).trim
+            sections.getOrElseUpdate(current,
+              mutable.LinkedHashMap())(k) = v
+          }
+        }
+      }
+    }
+    Parsed(sections.map { case (n, m) => n -> Section(m.toMap) }.toMap)
+  }
+
+  sealed trait ExtractType
+  case object SnapshotExtract extends ExtractType
+  case object CdcExtract extends ExtractType
+  case object CheckExtract extends ExtractType
+
+  final case class Task(
+      extractType: ExtractType,
+      sourceDir: String,
+      sinkDir: String,
+      filter: NameFilter,
+      router: Router,
+      batchSize: Int,
+      parallelism: Int,
+      keysByTable: Map[String, Seq[String]],
+      orderColsByTable: Map[String, Seq[String]])
+
+  /** Build the typed task from parsed INI (the reference's
+    * TaskConfig::new).
+    */
+  def fromIni(text: String): Task = {
+    val p = parseIni(text)
+    val ex = p.section("extractor")
+    val sk = p.section("sinker")
+    val fl = p.section("filter")
+    val rt = p.section("router")
+    val pl = p.section("pipeline")
+
+    val extractType = ex.get("extract_type", "snapshot") match {
+      case "cdc" => CdcExtract
+      case "check" => CheckExtract
+      case _ => SnapshotExtract
+    }
+
+    def tbTokens(key: String): Seq[TableToken] =
+      fl.list(key).map { t =>
+        t.split("\\.") match {
+          case Array(s, tb) => TableToken(s, tb)
+          case Array(tb) => TableToken("*", tb)
+          case _ => TableToken(t, "*")
+        }
+      }
+
+    val filter = NameFilter(
+      doSchemas = fl.list("do_dbs"),
+      ignoreSchemas = fl.list("ignore_dbs"),
+      doTbs = tbTokens("do_tbs"),
+      ignoreTbs = tbTokens("ignore_tbs"),
+      doEvents = fl.list("do_events") match {
+        case Nil => Set("insert", "update", "delete")
+        case xs => xs.toSet
+      })
+
+    def pairMap(key: String): Map[String, String] =
+      rt.list(key).flatMap { kv =>
+        kv.split(":") match {
+          case Array(a, b) => Some(a.trim -> b.trim)
+          case _ => None
+        }
+      }.toMap
+
+    val tbMap = pairMap("tb_map").map { case (f, t) =>
+      val Array(fs, ft) = f.split("\\.", 2)
+      val Array(ts, tt) = t.split("\\.", 2)
+      (fs, ft) -> ((ts, tt))
+    }
+    val colMapRaw = rt.list("col_map").flatMap { spec =>
+      // form: db.tb.from:to
+      spec.split(":") match {
+        case Array(from, to) =>
+          val parts = from.split("\\.")
+          if (parts.length == 3)
+            Some(((parts(0), parts(1)), parts(2) -> to.trim))
+          else None
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toMap }
+
+    val router = Router(
+      schemaMap = pairMap("db_map"),
+      tbMap = tbMap,
+      colMap = colMapRaw,
+      topicMap = pairMap("topic_map").map { case (k, v) =>
+        val parts = k.split("\\.", 2)
+        (parts(0), if (parts.length > 1) parts(1) else "*") -> v
+      },
+      defaultTopic = rt.get("default_topic", ""))
+
+    def colSpec(section: Section, key: String): Map[String, Seq[String]] =
+      section.list(key).flatMap { spec =>
+        spec.split(":") match {
+          case Array(tb, cols) =>
+            Some(tb.trim -> cols.split("\\+").toSeq.map(_.trim))
+          case _ => None
+        }
+      }.toMap
+
+    Task(
+      extractType = extractType,
+      sourceDir = ex.get("url", ""),
+      sinkDir = sk.get("url", ""),
+      filter = filter,
+      router = router,
+      batchSize = ex.get("batch_size", "10000").toInt,
+      parallelism = pl.get("parallel_size", "4").toInt,
+      keysByTable = colSpec(ex, "id_cols"),
+      orderColsByTable = colSpec(ex, "order_cols"))
+  }
+}
