@@ -21,6 +21,10 @@ object GraftExpressions {
 
   final val FoldP = 999999999999989L
 
+  /** Java `\s+` — same class Spark's split uses. */
+  val wsPattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile("\\s+")
+
   /** One-pass code-point rolling hash; exact same result as
     * aggregate(transform(sequence…, ascii(substr…)), fold) and DuckDB's
     * list_reduce(ord(substring…)) oracle.
@@ -48,6 +52,57 @@ object GraftExpressions {
     }
     acc
   }
+}
+
+/** shingleHashes(text, n) → array<bigint>: distinct word-n-gram rolling
+  * hashes in one pass. Exactly reproduces the composed pipeline
+  * `transform(array_distinct(5-gram strings), charFold)`:
+  * trim spaces (Spark's trim = 0x20 only), split `\s+` with limit -1
+  * (Spark's split), join each n-token window with a single space, fold.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen
+      .CodegenFallback {
+  import scala.collection.mutable
+
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // Spark trim(): strip 0x20 only
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    val toks = GraftExpressions.wsPattern.split(s.substring(b, e), -1)
+    val out = new mutable.LinkedHashSet[Long]()
+    var i = 0
+    while (i + n <= toks.length) {
+      var acc = 0L
+      var t = 0
+      while (t < n) {
+        if (t > 0) acc = (acc * 31 + 32) % GraftExpressions.FoldP
+        val w = toks(i + t)
+        var j = 0
+        while (j < w.length) {
+          val cp = w.codePointAt(j)
+          acc = (acc * 31 + cp) % GraftExpressions.FoldP
+          j += Character.charCount(cp)
+        }
+        t += 1
+      }
+      out += acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
 }
 
 /** charFold(string) → bigint, codegen-capable. */
@@ -108,10 +163,14 @@ object GraftFunctions {
         exprs => CharFold(exprs.head), "scala_udf")
       reg.createOrReplaceTempFunction("graft_long_dot",
         exprs => LongDot(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("graft_shingle_hashes",
+        exprs => ShingleHashes(exprs.head, 5), "scala_udf")
     }
   }
 
   def charFold(c: Column): Column = call_function("graft_char_fold", c)
   def longDot(a: Column, b: Column): Column =
     call_function("graft_long_dot", a, b)
+  def shingleHashes(c: Column): Column =
+    call_function("graft_shingle_hashes", c)
 }

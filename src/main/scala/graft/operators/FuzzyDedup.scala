@@ -41,8 +41,14 @@ object FuzzyDedup {
       s"i -> array_to_string(($toks)[i:i+${n - 1}], ' ')))"
   }
 
-  /** Shingle-hash list per doc: rolling char hash of each shingle. */
+  /** Shingle-hash list per doc: rolling char hash of each distinct
+    * shingle — the native one-pass expression; the composed form below is
+    * the cross-checked reference.
+    */
   def shingleHashes(text: Column): Column =
+    graft.functions.GraftFunctions.shingleHashes(text)
+
+  def shingleHashesHof(text: Column): Column =
     transform(shingles(text), s => charFold(s))
 
   def shingleHashesSql(e: String): String =

@@ -27,6 +27,24 @@ class GraftExpressionsSpec extends SparkSuite {
     rows.foreach { case (fast, ref) => assert(fast == ref) }
   }
 
+  test("native shingleHashes equals the composed pipeline on real docs") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sf)
+    val mismatches = d.select(
+      graft.operators.FuzzyDedup.shingleHashes(col("text")).as("fast"),
+      graft.operators.FuzzyDedup.shingleHashesHof(col("text")).as("ref"))
+      .filter(expr("array_sort(fast) != array_sort(ref)")).count()
+    assert(mismatches == 0)
+    // edge cases: tabs survive Spark's space-only trim; short docs empty
+    val edge = Seq("\ta b c d e\t", "  x y z  ", "one two",
+      "a  b   c d e f").toDF("text")
+    val bad = edge.select(
+      graft.operators.FuzzyDedup.shingleHashes(col("text")).as("fast"),
+      graft.operators.FuzzyDedup.shingleHashesHof(col("text")).as("ref"))
+      .filter(expr("array_sort(fast) != array_sort(ref)")).count()
+    assert(bad == 0)
+  }
+
   test("native longDot matches manual sum and works in SQL") {
     GraftFunctions.register(spark)
     val df = Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L)))
