@@ -30,6 +30,27 @@ object Checker {
     */
   def tolerantEq(a: Column, b: Column): Column = a <=> b
 
+  /** PG TOAST sentinel (reference col_value.rs UnchangedToast;
+    * checker_engine.rs:259-294): a source column carrying the
+    * unchanged-TOAST marker was not transmitted — it must compare as
+    * equal, never as DIFF.
+    */
+  final val ToastSentinel = "__graft_unchanged_toast__"
+
+  def tolerantEqToast(src: Column, dst: Column): Column =
+    (src === ToastSentinel) || (src <=> dst)
+
+  /** Document-level diff for schemaless rows (reference Mongo checker:
+    * doc-level field expansion, checker_engine.rs:180-294): given two
+    * MAP<STRING,STRING> images, list fields missing either side or
+    * differing — a per-row expression, no shuffle.
+    */
+  def docDiffFields(src: Column, dst: Column): Column = {
+    val allKeys = array_distinct(concat(map_keys(src), map_keys(dst)))
+    array_sort(filter(allKeys, k =>
+      !(element_at(src, k) <=> element_at(dst, k))))
+  }
+
   /** Full-row check. `compareCols` defaults to all non-key columns shared
     * by both sides. Output: key columns, per-side compared columns
     * (prefixed src_/dst_), `_status`, `_diff_cols` (sorted names of

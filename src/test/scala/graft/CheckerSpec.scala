@@ -59,6 +59,28 @@ class CheckerSpec extends SparkSuite {
     assert(out(5L) == "DELETE FROM t WHERE k=5")
   }
 
+  test("TOAST sentinel compares equal regardless of target value") {
+    val df = Seq(
+      (Checker.ToastSentinel, "whatever"),
+      ("same", "same"),
+      ("a", "b")).toDF("src", "dst")
+    val out = df.select(
+      Checker.tolerantEqToast(col("src"), col("dst"))).as[Boolean]
+      .collect().toSeq
+    assert(out == Seq(true, true, false))
+  }
+
+  test("doc-level diff lists missing and differing fields, sorted") {
+    val df = Seq((
+      Map("a" -> "1", "b" -> "2", "c" -> "3"),
+      Map("a" -> "1", "b" -> "9", "d" -> "4")))
+      .toDF("src", "dst")
+    val fields = df.select(
+      Checker.docDiffFields(col("src"), col("dst"))).as[Seq[String]]
+      .head()
+    assert(fields == Seq("b", "c", "d"))
+  }
+
   test("sampling filter keeps ~rate% deterministically") {
     val df = spark.range(10000).toDF("k1").withColumn("k2", lit(0L))
     val h = Checker.arithKeyHash(col("k1"), col("k2"))
