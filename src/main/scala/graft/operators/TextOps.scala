@@ -189,13 +189,68 @@ object TextOps {
        |GROUP BY fp""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q37
+  /** Corpus curation: keep documents passing quality thresholds (the
+    * filter stage of a training-data pipeline). Thresholds on per-row
+    * deterministic stats only.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val nChars = length(col("text"))
+    val avgTok = nChars.cast("double") / nTokens
+    d.withColumn("n_tokens", nTokens)
+      .withColumn("avg_token_span", avgTok)
+      .filter(col("n_tokens") >= 20 &&
+        col("avg_token_span") >= 4.0 && col("avg_token_span") <= 8.0)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("avg_token_span"))
+  }
+
+  val qualityFilterSql: String = {
+    val toks = tokensSql("text")
+    s"""SELECT doc_id, lang, len($toks) AS n_tokens,
+       |  CAST(length(text) AS DOUBLE) / len($toks) AS avg_token_span
+       |FROM documents
+       |WHERE len($toks) >= 20
+       |  AND CAST(length(text) AS DOUBLE) / len($toks) >= 4.0
+       |  AND CAST(length(text) AS DOUBLE) / len($toks) <= 8.0""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q38
+  /** BPE-ish tokenization: word pieces vs punctuation pieces via the
+    * `\w+|[^\w\s]` split every byte-pair pre-tokenizer starts from.
+    */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val words = size(regexp_extract_all(col("text"), lit("\\w+"), lit(0)))
+    val punct = size(regexp_extract_all(col("text"),
+      lit("[^\\w\\s]"), lit(0)))
+    d.select(col("doc_id"), words.as("n_word_tokens"),
+      punct.as("n_punct_tokens"),
+      (words + punct).as("n_tokens"))
+  }
+
+  val bpeTokensSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '\w+')) AS n_word_tokens,
+      |  len(regexp_extract_all(text, '[^\w\s]')) AS n_punct_tokens,
+      |  len(regexp_extract_all(text, '\w+')) +
+      |    len(regexp_extract_all(text, '[^\w\s]')) AS n_tokens
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_quality_filter" -> (qualityFilter _),
+    "q38_bpe_tokens" -> (bpeTokens _),
     "q30_text_stats" -> (textStats _),
     "q31_lang_id" -> (langId _),
     "q32_fingerprint" -> (fingerprint _),
     "q33_dedup_exact" -> (dedupExact _))
 
   val oracles: Map[String, String] = Map(
+    "q37_quality_filter" -> qualityFilterSql,
+    "q38_bpe_tokens" -> bpeTokensSql,
     "q30_text_stats" -> textStatsSql,
     "q31_lang_id" -> langIdSql,
     "q32_fingerprint" -> fingerprintSql,

@@ -200,13 +200,56 @@ object VectorOps {
        |FROM b GROUP BY bucket""".stripMargin
   }
 
+  /** q44 — IVF-style cell assignment (the other ANN scale path next to
+    * LSH): 16 deterministic seed vectors (vec_id < 16) act as the coarse
+    * codebook; every vector joins its nearest seed by exact scaled-int
+    * cosine; queries then probe only their cell. Seeds broadcast — the
+    * corpus never shuffles for assignment.
+    */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), intVec(col("embedding")).as("xs"))
+      .withColumn("norm", intDot(col("xs"), col("xs")))
+    val seeds = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("xs").as("s_xs"),
+        col("norm").as("s_norm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    e.join(broadcast(seeds))
+      .withColumn("sim", cosine(intDot(col("xs"), col("s_xs")),
+        col("norm"), col("s_norm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("vec_id")).as("min_vec"))
+  }
+
+  val ivfAssignSql: String = {
+    val dot = intDotSql("e.xs", "s.xs")
+    s"""WITH v AS (SELECT vec_id, ${intVecSql("embedding")} AS xs
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, xs, ${intDotSql("xs", "xs")} AS norm FROM v),
+       |s AS (SELECT vec_id AS cell, xs, norm FROM e WHERE vec_id < 16),
+       |p AS (SELECT e.vec_id, s.cell,
+       |    CAST($dot AS DOUBLE) /
+       |      sqrt(CAST(e.norm AS DOUBLE) * CAST(s.norm AS DOUBLE)) AS sim
+       |  FROM e, s),
+       |r AS (SELECT vec_id, cell, ROW_NUMBER() OVER
+       |  (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk FROM p)
+       |SELECT cell, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec
+       |FROM r WHERE rk = 1 GROUP BY cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_ivf_assign" -> (ivfAssign _),
     "q40_knn_cosine" -> (knn _),
     "q41_cosine_neardup" -> (cosineNearDups _),
     "q42_label_centroids" -> (labelCentroids _),
     "q43_lsh_buckets" -> (lshBuckets _))
 
   val oracles: Map[String, String] = Map(
+    "q44_ivf_assign" -> ivfAssignSql,
     "q40_knn_cosine" -> knnSql,
     "q41_cosine_neardup" -> cosineNearDupsSql,
     "q42_label_centroids" -> labelCentroidsSql,

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.operators.Skew
+
+/** Tests that assert the SHAPE of plans/results that matter at 100 TB:
+  * bucketed co-located joins (no exchange), salted aggregation
+  * equivalence, and partition-count discipline.
+  */
+class ScaleShapeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("bucketed tables co-locate the join: no shuffle exchange") {
+    // tables land in ./spark-warehouse (gitignored); dropped in finally
+    Tables.orders(spark, sf).write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    Tables.customer(spark, sf).write
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("customer_b")
+    // disable broadcast so the join would otherwise shuffle both sides
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b").join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == Tables.orders(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("salted aggregation equals direct aggregation on a hot key") {
+    // hot key: 90% of rows share key 1
+    val df = spark.range(10000)
+      .select(when(col("id") % 10 === 0, col("id") % 7 + 2)
+        .otherwise(1L).as("k"),
+        (col("id") % 100).cast(DoubleType).as("v"))
+    val direct = df.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(18, 2))).as("v_sum"))
+      .as[(Long, Long, java.math.BigDecimal)].collect()
+      .map(r => (r._1, (r._2, r._3))).toMap
+    val salted = Skew.saltedAgg(df, col("k"), saltBuckets = 16,
+      Map("v_sum" -> col("v").cast(DecimalType(18, 2))))
+      .as[(Long, Long, java.math.BigDecimal)].collect()
+      .map(r => (r._1, (r._2, r._3))).toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, (n, s)) =>
+      assert(direct(k)._1 == n)
+      assert(direct(k)._2.compareTo(s) == 0)
+    }
+  }
+
+  test("shuffle partition count follows session config, not the default") {
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
+    val parts = Tables.orders(spark, sf).groupBy("o_custkey").count()
+      .rdd.getNumPartitions
+    assert(parts <= 4) // AQE may coalesce below the configured count
+  }
+}
