@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.meta.{DdlParser, MetaManager}
+import graft.operators.Router
+
+/** DDL-aware micro-batch processing — the reference's DDL barrier
+  * (/root/reference/dt-pipeline/src/base_pipeline.rs:268-305 +
+  * base_extractor.rs:204-206): DDL forms its own barrier inside a batch;
+  * statements apply serially on the driver, the metadata cache refreshes,
+  * and only then does DML of the batch flow to the sinkers.
+  *
+  * Spark shape: each micro-batch is split on an `is_ddl` column; DDL rows
+  * collect to the driver (a batch contains at most a handful), parse,
+  * route, and execute via the pluggable DdlSink before the DML applier
+  * runs. Streaming schemas are static per query, so in-flight schema
+  * changes affect the NEXT query restart — the same restart-on-DDL
+  * contract the reference documents for heterogeneous sinks.
+  */
+object DdlAwarePipeline {
+
+  trait DdlSink extends Serializable {
+    def execute(ddl: String): Unit
+  }
+
+  final case class BatchReport(batchId: Long, ddlApplied: Seq[String],
+      dmlRows: Long)
+
+  /** Process a mixed DML/DDL stream. `onBatch` receives only DML rows,
+    * after the batch's DDL (if any) has been applied and the meta cache
+    * invalidated.
+    */
+  def process(changes: DataFrame, router: Router, defaultDb: String,
+      meta: MetaManager, ddlSink: DdlSink,
+      onBatch: (DataFrame, Long) => Unit,
+      report: BatchReport => Unit = _ => ())
+      : DataStreamWriter[Row] =
+    // default micro-batch trigger: callers chain .trigger(...) as needed
+    // (AvailableNow would snapshot offsets at start and miss later data)
+    changes.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // DDL barrier: apply serially, invalidate meta, THEN sink DML
+        val ddlRows = batch.filter(col("row_type") === "ddl")
+          .select(col("ddl_text")).collect().map(_.getString(0)).toSeq
+        val applied = ddlRows.flatMap { sql =>
+          DdlParser.parse(sql).map { stmt =>
+            val routed = DdlParser.route(stmt, router, defaultDb)
+            ddlSink.execute(routed.render)
+            stmt match {
+              case DdlParser.AlterTable(db, tb, _) =>
+                meta.invalidate(db.getOrElse(defaultDb), tb)
+              case DdlParser.DropTable(db, tb, _) =>
+                meta.invalidate(db.getOrElse(defaultDb), tb)
+              case DdlParser.RenameTable(fdb, ftb, _, _) =>
+                meta.invalidate(fdb.getOrElse(defaultDb), ftb)
+              case DdlParser.TruncateTable(db, tb) =>
+                meta.invalidate(db.getOrElse(defaultDb), tb)
+              case _ => meta.invalidateAll()
+            }
+            routed.render
+          }
+        }
+        val dml = batch.filter(col("row_type") =!= "ddl")
+        onBatch(dml, batchId)
+        report(BatchReport(batchId, applied, dml.count()))
+        ()
+      }
+}

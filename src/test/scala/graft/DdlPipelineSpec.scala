@@ -1,0 +1,73 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types._
+
+import graft.meta.MetaManager
+import graft.operators.Routing
+import graft.streaming.DdlAwarePipeline
+
+class DdlPipelineSpec extends SparkSuite {
+
+  import DdlPipelineSpec._
+
+  test("DDL barrier: serial apply, routed, meta invalidated, DML flows") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = sparkSession.sqlContext
+
+    fetches.set(0)
+    appliedDdl.synchronized(appliedDdl.clear())
+    dmlCount.set(0)
+
+    val meta = new MetaManager(Fetcher)
+    meta.get("app", "customer") // warm cache
+    assert(fetches.get() == 1)
+
+    val input = MemoryStream[Change]
+    val q = DdlAwarePipeline.process(
+      input.toDF(), Routing.demoRouter, defaultDb = "app", meta,
+      ddlSink = RecordingDdlSink,
+      onBatch = (dml, _) => dmlCount.addAndGet(dml.count())).start()
+    try {
+      input.addData(
+        Change("insert", null, 1L),
+        Change("ddl", "ALTER TABLE customer ADD COLUMN c INT", 0L),
+        Change("update", null, 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // DDL routed through the demo router (customer → clients)
+    assert(appliedDdl.synchronized(appliedDdl.toSeq) ==
+      Seq("ALTER TABLE `app_replica`.`clients` ADD COLUMN c INT"))
+    // meta invalidated: next access refetches
+    meta.get("app", "customer")
+    assert(fetches.get() == 2)
+    // DML flowed without the DDL row
+    assert(dmlCount.get() == 2)
+  }
+}
+
+object DdlPipelineSpec {
+  case class Change(row_type: String, ddl_text: String, user_id: Long)
+
+  val fetches = new java.util.concurrent.atomic.AtomicInteger(0)
+  val dmlCount = new java.util.concurrent.atomic.AtomicLong(0)
+  val appliedDdl = new ArrayBuffer[String]()
+
+  object Fetcher extends MetaManager.MetaFetcher with Serializable {
+    def fetch(s: String, t: String): MetaManager.TableMeta = {
+      fetches.incrementAndGet()
+      MetaManager.TableMeta(s, t,
+        StructType(Seq(StructField("id", LongType))),
+        Seq("id"), Seq("id"), None)
+    }
+  }
+
+  object RecordingDdlSink extends DdlAwarePipeline.DdlSink {
+    def execute(ddl: String): Unit =
+      appliedDdl.synchronized(appliedDdl += ddl)
+  }
+}
