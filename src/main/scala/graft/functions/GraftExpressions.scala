@@ -142,6 +142,34 @@ case class LongDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Cluster-wide registration via SparkSessionExtensions: set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) and every session — including
+  * ones the library never touches — gets the native functions in SQL.
+  */
+class GraftExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.SparkSessionExtensions
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage,
+      "", "", "", "", "", "", "", "scala_udf")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_char_fold"),
+      info("graft_char_fold", "rolling code-point hash"),
+      exprs => CharFold(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_long_dot"),
+      info("graft_long_dot", "integer dot product"),
+      exprs => LongDot(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes", "distinct word-5-gram hashes"),
+      exprs => ShingleHashes(exprs.head, 5)))
+  }
+}
+
 /** Session registration + Column-level accessors. */
 object GraftFunctions {
   import org.apache.spark.sql.{Column, SparkSession}

@@ -167,16 +167,9 @@ object VectorOps {
     pmod((i + lit(j * 64)) * lit(2654435761L), lit(1000003L)) - lit(501001L)
 
   def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val bits = (0 until Planes).map { j =>
-      val dot = aggregate(
-        zip_with(col("xs"), sequence(lit(0), lit(63)),
-          (x, i) => x * planeWeight(j)(i.cast(LongType))),
-        lit(0L), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
-    }
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), intVec(col("embedding")).as("xs"))
-      .select(col("vec_id"), bits.reduce(_ + _).as("bucket"))
+      .select(col("vec_id"), bucketExpr.as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"),
         min(col("vec_id")).as("min_vec"),
@@ -241,8 +234,66 @@ object VectorOps {
        |FROM r WHERE rk = 1 GROUP BY cell""".stripMargin
   }
 
+  /** The shared bucket expression for q43/q45 (sign bits of 8
+    * deterministic hyperplane dots over the scaled vector `xs`).
+    */
+  private def bucketExpr: Column = {
+    val bits = (0 until Planes).map { j =>
+      val dot = aggregate(
+        zip_with(col("xs"), sequence(lit(0), lit(63)),
+          (x, i) => x * planeWeight(j)(i.cast(LongType))),
+        lit(0L), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** q45 — the composed ANN scale pipeline: LSH-bucket first, then
+    * compute exact cosine ONLY within buckets (candidate pairs shrink
+    * from n²/2 to Σ bucket²/2 ≈ n²/256 here). Join key is the bucket —
+    * the full-corpus cross join never happens.
+    */
+  def bucketedNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), intVec(col("embedding")).as("xs"))
+      .withColumn("norm", intDot(col("xs"), col("xs")))
+      .withColumn("bucket", bucketExpr)
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", cosine(intDot(col("a.xs"), col("b.xs")),
+        col("a.norm"), col("b.norm")))
+      .filter(col("sim") >= 0.2)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.bucket").as("bucket"), col("sim"))
+  }
+
+  val bucketedNearDupsSql: String = {
+    val xs = "list_transform(embedding, " +
+      "x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+    val bits = (0 until Planes).map { j =>
+      val dot = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range(1, 65), " +
+        s"i -> xs[i] * ((((i - 1) + ${j * 64}) * 2654435761) % 1000003 " +
+        s"- 501001))), (acc, x) -> acc + x)"
+      s"CASE WHEN $dot > 0 THEN ${1L << j} ELSE 0 END"
+    }
+    val dot = intDotSql("a.xs", "b.xs")
+    s"""WITH v AS (SELECT vec_id, $xs AS xs FROM embeddings),
+       |e AS (SELECT vec_id, xs, ${intDotSql("xs", "xs")} AS norm,
+       |  (${bits.mkString(" + ")}) AS bucket FROM v)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+       |  CAST($dot AS DOUBLE) /
+       |    sqrt(CAST(a.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) AS sim
+       |FROM e a JOIN e b
+       |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE CAST($dot AS DOUBLE) /
+       |    sqrt(CAST(a.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) >= 0.2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_ivf_assign" -> (ivfAssign _),
+    "q45_bucketed_neardup" -> (bucketedNearDups _),
     "q40_knn_cosine" -> (knn _),
     "q41_cosine_neardup" -> (cosineNearDups _),
     "q42_label_centroids" -> (labelCentroids _),
@@ -250,6 +301,7 @@ object VectorOps {
 
   val oracles: Map[String, String] = Map(
     "q44_ivf_assign" -> ivfAssignSql,
+    "q45_bucketed_neardup" -> bucketedNearDupsSql,
     "q40_knn_cosine" -> knnSql,
     "q41_cosine_neardup" -> cosineNearDupsSql,
     "q42_label_centroids" -> labelCentroidsSql,

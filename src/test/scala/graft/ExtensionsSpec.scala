@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.GraftExtensions
+
+class ExtensionsSpec extends SparkSuite {
+
+  test("SparkSessionExtensions injects native functions into fresh sessions") {
+    spark // ensure shared context exists
+    val active = SparkSession.getActiveSession
+    val default = SparkSession.getDefaultSession
+    try {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val fold = s2.sql("SELECT graft_char_fold('abc') AS h")
+        .collect().head.getLong(0)
+      assert(fold == ((97L * 31 + 98) * 31 + 99) % 999999999999989L)
+      val dot = s2.sql(
+        "SELECT graft_long_dot(array(1L,2L), array(3L,4L)) AS d")
+        .collect().head.getLong(0)
+      assert(dot == 11L)
+      assert(s2.sql("SELECT size(graft_shingle_hashes('a b c d e f'))")
+        .collect().head.getInt(0) == 2)
+    } finally {
+      active.foreach(SparkSession.setActiveSession)
+      default.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}
