@@ -36,7 +36,8 @@ object SparkEntry {
       CheckQueries.queries ++ TextOps.queries ++ FuzzyDedup.queries ++
       VectorOps.queries ++ InfraQueries.queries ++
       StreamQueries.queries ++ Multimodal.queries ++ DataMarker.queries ++
-      Relational2.queries ++ AdvancedOps.queries
+      Relational2.queries ++ AdvancedOps.queries ++ CurationOps.queries ++
+      Relational3.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       CheckQueries.oracles ++ TextOps.oracles ++ FuzzyDedup.oracles ++
       VectorOps.oracles ++ InfraQueries.oracles ++
       StreamQueries.oracles ++ Multimodal.oracles ++ DataMarker.oracles ++
-      Relational2.oracles ++ AdvancedOps.oracles
+      Relational2.oracles ++ AdvancedOps.oracles ++ CurationOps.oracles ++
+      Relational3.oracles
 }

@@ -5,7 +5,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Arg order is (sfDir, outDir), but detect the data dir by content —
+    // writing into the read-only testdata tree on a swapped invocation
+    // would be far worse than tolerating either order.
+    def isData(d: String) =
+      Files.exists(Paths.get(d, "lineitem.parquet"))
+    val Array(sfDir, outDir) = args match {
+      case Array(a, b) if !isData(a) && isData(b) => Array(b, a)
+      case other => other
+    }
+    require(isData(sfDir), s"no lineitem.parquet under $sfDir")
+    require(!isData(outDir), s"refusing to write into data dir $outDir")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1,0 +1,310 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators a training-data pipeline needs beyond
+  * find-the-pairs dedup: term weighting, deterministic sampling/splitting,
+  * and duplicate-GROUP resolution (candidate pairs → connected components
+  * → one canonical doc per cluster).
+  *
+  * Scale shapes:
+  *  - TF-IDF shuffles (doc_id, 64-bit term-ish keys), never text; the
+  *    document-frequency side is a tiny broadcast.
+  *  - sampling/splitting is per-row integer arithmetic — zero shuffle,
+  *    fully pushdown-friendly, and *stable across reruns* (hash of the
+  *    key, not `rand()`), which is what makes train/val/test splits
+  *    reproducible at 100 TB.
+  *  - connected components is the standard iterative min-label
+  *    propagation (GraphX-style): O(diameter) rounds of a (node, label)
+  *    shuffle, with `localCheckpoint` cutting lineage each round so plans
+  *    don't grow exponentially. Near-dup clusters have tiny diameters
+  *    (2-3 rounds); each round shuffles two longs per edge.
+  */
+object CurationOps {
+
+  import TextOps.{normText, normTextSql, tokens, tokensSql}
+
+  /** Deterministic per-row hash for sampling: Knuth multiplicative mod a
+    * large prime — explicit integer arithmetic, identical in DuckDB.
+    */
+  final val SampleA = 2654435761L
+  final val SampleP = 1000000007L
+
+  def sampleHash(key: Column): Column =
+    pmod(key * lit(SampleA), lit(SampleP))
+
+  def sampleHashSql(e: String): String =
+    s"(($e * $SampleA) % $SampleP + $SampleP) % $SampleP"
+
+  // ---------------------------------------------------------------- q39
+  /** Rarity-weighted top terms per document (TF-IDF shaped). The idf is
+    * kept rational — score = (tf · N) / df as one IEEE double division —
+    * instead of ln(N/df): libm log differs across engines at the ulp
+    * level and would break hash-exact comparison; a single division is
+    * correctly rounded everywhere.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val terms = docs.select(col("doc_id"),
+      explode(tokens(normText(col("text")))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
+  val tfidfTopTermsSql: String = {
+    val toks = tokensSql(normTextSql("text"))
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest($toks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1,2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, tf.term, tf, df,
+       |    CAST(tf * n_docs AS DOUBLE) / df AS score
+       |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+       |  FROM scored)
+       |SELECT doc_id, term, tf, df, score, rank
+       |FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q23
+  /** Stratified deterministic sampling: per-event-type keep rates (in
+    * permille), membership decided by a hash of the row key — stable
+    * across reruns and engines, no `rand()`.
+    */
+  final val StrataPermille: Seq[(String, Int)] = Seq(
+    "view" -> 20, "click" -> 100, "purchase" -> 1000,
+    "signup" -> 50, "error" -> 0)
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = StrataPermille.foldRight(lit(0)) { case ((t, r), acc) =>
+      when(col("event_type") === t, lit(r)).otherwise(acc)
+    }
+    Tables.events(spark, dir)
+      .withColumn("bucket", sampleHash(col("event_id")) % 1000)
+      .filter(col("bucket") < rate)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("bucket"))
+  }
+
+  val stratifiedSampleSql: String = {
+    val rate = StrataPermille.foldRight("0") { case ((t, r), acc) =>
+      s"CASE WHEN event_type = '$t' THEN $r ELSE $acc END"
+    }
+    s"""SELECT event_id, event_type, user_id,
+       |  ${sampleHashSql("event_id")} % 1000 AS bucket
+       |FROM events
+       |WHERE ${sampleHashSql("event_id")} % 1000 < $rate""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q47
+  /** Reproducible train/val/test split (80/10/10 by key hash), reported
+    * as per-(split, lang) counts + char volume. The assignment is a
+    * per-row map; only the tiny report aggregates.
+    */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = sampleHash(col("doc_id")) % 100
+    val split = when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    Tables.documents(spark, dir)
+      .withColumn("split", split)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+
+  val datasetSplitSql: String = {
+    val h = s"${sampleHashSql("doc_id")} % 100"
+    s"""SELECT CASE WHEN $h < 80 THEN 'train'
+       |            WHEN $h < 90 THEN 'val' ELSE 'test' END AS split,
+       |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM documents GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q46
+  /** Connected components by iterative min-label propagation.
+    *
+    * `nodes` = (v: long), `edges` = (a: long, b: long) undirected.
+    * Each round every node takes the min of its own label and its
+    * neighbors' labels; converged when a round changes nothing. Rounds
+    * are bounded by component diameter. `localCheckpoint` materializes
+    * each round's labels — without it the iterative join lineage grows
+    * exponentially and the convergence-check count re-executes the whole
+    * history every round. (On a cluster: `checkpoint` to reliable
+    * storage instead.)
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    var labels = nodes.select(col("v"), col("v").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nmin = sym.join(labels.withColumnRenamed("v", "b2"),
+          sym("b") === col("b2"))
+        .groupBy(col("a")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(nmin, labels("v") === nmin("a"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.select(col("v"), col("label").as("old")), "v")
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** q46 — duplicate-group resolution: MinHash/LSH candidate pairs (q35)
+    * become edges; every document lands in a component labeled by the
+    * smallest doc_id it transitively near-duplicates; the canonical doc
+    * of a cluster is its label. Singletons label themselves.
+    */
+  def dedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = FuzzyDedup.minhashLsh(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val nodes = Tables.documents(spark, dir).select(col("doc_id").as("v"))
+    connectedComponents(nodes, pairs)
+      .select(col("v").as("doc_id"), col("label").as("component"))
+  }
+
+  val dedupGroupsSql: String =
+    s"""WITH RECURSIVE lsh AS (${FuzzyDedup.minhashLshSql}),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM lsh
+       |      UNION SELECT doc_b, doc_a FROM lsh),
+       |reach(v, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, reach.r FROM e JOIN reach ON reach.v = e.a)
+       |SELECT v AS doc_id, min(r) AS component
+       |FROM reach GROUP BY v""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  /** Content-defined passage chunking: a chunk boundary falls after any
+    * token whose rolling hash ≡ 0 (mod 16) — the CDC-chunking trick that
+    * keeps passage boundaries stable under edits elsewhere in the doc
+    * (fixed-width chunks shift at every insertion; hash-defined ones
+    * don't). Emits one row per passage with token extents. Per-row map +
+    * one generator — no shuffle.
+    */
+  final val ChunkMod = 16
+
+  def passageChunks(spark: SparkSession, dir: String): DataFrame = {
+    import TextOps.charFold
+    val toks = tokens(normText(col("text")))
+    val n = size(toks)
+    // boundary positions: token indices i with hash(tok_i) % ChunkMod == 0,
+    // always terminated by n so the tail forms the last chunk
+    val bounds = array_union(
+      filter(sequence(lit(1), n),
+        i => pmod(charFold(element_at(toks, i)), lit(ChunkMod)) === 0),
+      array(n))
+    // ANSI (Spark 4 default): element_at(_, 0) is an error, so the first
+    // chunk's predecessor is special-cased instead of coalesced.
+    val chunks = transform(sequence(lit(1), size(bounds)), j =>
+      struct((j - 1).as("chunk_idx"),
+        (when(j === 1, lit(0)).otherwise(element_at(bounds, j - 1)) + 1)
+          .as("start_tok"),
+        element_at(bounds, j).as("end_tok")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.start_tok"),
+        col("c.end_tok"))
+      .filter(col("end_tok") >= col("start_tok"))
+  }
+
+  val passageChunksSql: String = {
+    val toks = tokensSql(normTextSql("text"))
+    // outer lambda var must NOT be `i`: charFoldSql expands to a nested
+    // list_transform whose own `i` would shadow it (the hash would then
+    // index tokens by CHARACTER position — silently wrong results).
+    val hash = TextOps.charFoldSql("list_extract(toks, p)")
+    s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+       |b AS (SELECT doc_id, toks, list_sort(list_distinct(
+       |    list_append(list_filter(range(1, len(toks) + 1),
+       |      p -> ($hash) % $ChunkMod = 0), len(toks)))) AS bounds
+       |  FROM d),
+       |c AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(bounds) + 1), j ->
+       |      struct_pack(chunk_idx := j - 1,
+       |        start_tok := coalesce(bounds[j - 1], 0) + 1,
+       |        end_tok := bounds[j]))) AS c
+       |  FROM b)
+       |SELECT doc_id, c.chunk_idx AS chunk_idx, c.start_tok AS start_tok,
+       |  c.end_tok AS end_tok
+       |FROM c WHERE c.end_tok >= c.start_tok""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q49
+  /** Corpus-wide top-20 bigrams with deterministic tie-break — the n-gram
+    * census every data-mix report needs. Explode shuffles (bigram, 1)
+    * with map-side partial aggregation; the final top-k is a single-
+    * partition sort of the already-aggregated counts.
+    */
+  def topBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(normText(col("text")))
+    // sequence(1, 0) would generate DESCENDING [1, 0] — guard the
+    // single-token case explicitly (same pattern as FuzzyDedup.shingles).
+    val nBi = size(toks) - 1
+    val bigrams =
+      when(nBi >= 1,
+        transform(sequence(lit(1), greatest(nBi, lit(1))),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    Tables.documents(spark, dir)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
+  }
+
+  val topBigramsSql: String = {
+    val toks = tokensSql(normTextSql("text"))
+    s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+       |bg AS (SELECT unnest(list_transform(
+       |    range(1, greatest(len(toks) - 1, 0) + 1),
+       |    i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)))
+       |    AS bigram FROM d)
+       |SELECT bigram, count(*) AS n FROM bg GROUP BY 1
+       |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_passage_chunks" -> (passageChunks _),
+    "q49_top_bigrams" -> (topBigrams _),
+    "q39_tfidf_topterms" -> (tfidfTopTerms _),
+    "q23_stratified_sample" -> (stratifiedSample _),
+    "q47_dataset_split" -> (datasetSplit _),
+    "q46_dedup_groups" -> (dedupGroups _))
+
+  val oracles: Map[String, String] = Map(
+    "q48_passage_chunks" -> passageChunksSql,
+    "q49_top_bigrams" -> topBigramsSql,
+    "q39_tfidf_topterms" -> tfidfTopTermsSql,
+    "q23_stratified_sample" -> stratifiedSampleSql,
+    "q47_dataset_split" -> datasetSplitSql,
+    "q46_dedup_groups" -> dedupGroupsSql)
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Relational batch 3: multi-dimensional aggregation (CUBE / grouping
+  * sets) and pivot — the last of the OLAP surface Spark provides natively
+  * that the reference lacks (SURVEY §2.9).
+  *
+  * Both are single-shuffle plans: CUBE expands rows 4× map-side then
+  * aggregates once; pivot is a conditional aggregation (one shuffle on the
+  * group key, the pivoted dimension never shuffles).
+  */
+object Relational3 {
+
+  import graft.Tables
+
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  // ---------------------------------------------------------------- q73
+  /** CUBE over (l_returnflag, l_linestatus) with a grouping-set id.
+    * Spark's `grouping_id()` and DuckDB's `GROUPING(a, b)` both emit the
+    * MSB-first aggregated-column bitmask.
+    */
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+
+  val cubeSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag, l_linestatus) AS gid,
+      |  count(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+  /** Pivot: user cohorts × event types → total value matrix. Explicit
+    * pivot values keep the schema static (no extra distinct-scan job and
+    * no data-dependent columns — the only safe form at 100 TB).
+    */
+  final val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def eventPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("cohort", pmod(col("user_id"), lit(10L)))
+      .groupBy(col("cohort"))
+      .pivot("event_type", EventTypes)
+      .agg(dsum(col("value")))
+
+  val eventPivotSql: String = {
+    val cols = EventTypes.map(t =>
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS $t")
+    s"""SELECT ((user_id % 10) + 10) % 10 AS cohort, ${cols.mkString(", ")}
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_cube" -> (cubeSummary _),
+    "q74_pivot" -> (eventPivot _))
+
+  val oracles: Map[String, String] = Map(
+    "q73_cube" -> cubeSummarySql,
+    "q74_pivot" -> eventPivotSql)
+}

@@ -108,24 +108,33 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "es" -> Seq("el", "los", "las", "y", "es"))
 
+  /** Plan shape: explode tokens once, then conditional sums. A per-row
+    * `size(filter(toks,…))` per language looks natural but is quadratically
+    * worse: Catalyst's project-collapse inlines the interpreted filter HOF
+    * into every argmax comparison that references it (~16 recomputations
+    * of the regex split per row — measured 30s+ on sf0.1). The explode +
+    * aggregate form is a codegen barrier: tokenization runs exactly once,
+    * the marker counts partial-aggregate map-side, and the shuffle carries
+    * one (doc_id, 4 ints) row per doc per partition.
+    */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val toks = tokens(lower(col("text")))
-    val counts = langMarkers.map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+    val tok = d.select(col("doc_id"), col("lang").as("labeled_lang"),
+      explode(tokens(lower(col("text")))).as("t"))
+    val langs = langMarkers.map(_._1)
+    val aggs = langMarkers.map { case (lang, words) =>
+      sum(when(col("t").isin(words.map(w => w: Any): _*), 1).otherwise(0))
+        .as(s"c_$lang")
     }
-    val withCounts = counts.foldLeft(
-      d.select(col("doc_id"), col("lang").as("labeled_lang"), col("text"))) {
-      case (df, (lang, c)) => df.withColumn(s"c_$lang", c)
-    }
-    val best = counts.map(_._1).foldRight(lit("und")) { (lang, elseCol) =>
-      val others = counts.map(_._1).filterNot(_ == lang)
-        .map(o => col(s"c_$o"))
+    val counts = tok.groupBy(col("doc_id"), col("labeled_lang"))
+      .agg(aggs.head, aggs.tail: _*)
+    val best = langs.foldRight(lit("und")) { (lang, elseCol) =>
+      val others = langs.filterNot(_ == lang).map(o => col(s"c_$o"))
       val isMax = others.map(col(s"c_$lang") >= _).reduce(_ && _) &&
         col(s"c_$lang") > 0
       when(isMax, lit(lang)).otherwise(elseCol)
     }
-    withCounts.select(col("doc_id"), col("labeled_lang"),
+    counts.select(col("doc_id"), col("labeled_lang"),
       col("c_en"), col("c_fr"), col("c_de"), col("c_es"),
       best.as("pred_lang"))
   }
