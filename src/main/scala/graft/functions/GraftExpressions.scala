@@ -41,6 +41,70 @@ object GraftExpressions {
     acc
   }
 
+  /** One-pass SimHash from an array of token hashes (each < 2^bits):
+    * bit j of the result is set iff more than half the hashes have bit j
+    * set. Exactly the per-bit ±1 vote-sum > 0 of the composed form
+    * (sum of (bit*2-1) > 0  ⟺  2·ones > n).
+    */
+  def simhashBits(hs: ArrayData, bits: Int): Long = {
+    val n = hs.numElements()
+    val ones = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < bits) {
+        ones(j) += ((h >>> j) & 1L).toInt
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < bits) {
+      if (2 * ones(j) > n) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  final val MinhashP = 1000000007L
+
+  /** Default-permutation signature — the entry generated code calls
+    * (object vals have no Java-static field form, so codegen references
+    * this method instead of the constant arrays).
+    */
+  def minhashSigDefault(hs: ArrayData): ArrayData =
+    minhashSig(hs, MinHashSig.A, MinHashSig.B)
+
+  /** One-pass MinHash signature: min over hashes of (a_k·(h mod P) + b_k)
+    * mod P per permutation k. Empty input → all-null signature (matches
+    * array_min over an empty transform).
+    */
+  def minhashSig(hs: ArrayData, as: Array[Long], bs: Array[Long])
+      : ArrayData = {
+    val k = as.length
+    val n = hs.numElements()
+    if (n == 0) {
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.fill[Any](k)(null))
+    }
+    val mins = Array.fill[Long](k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hm = hs.getLong(i) % MinhashP
+      var p = 0
+      while (p < k) {
+        val v = (as(p) * hm + bs(p)) % MinhashP
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mins.map(v => v: Any))
+  }
+
   /** Exact integer dot product of two long-array columns. */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
@@ -142,6 +206,57 @@ case class LongDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** simhash(array<bigint>, bits) → bigint: one-pass per-bit majority
+  * fingerprint, codegen-capable. Replaces `bits` interpreted aggregate()
+  * passes per row in the composed form.
+  */
+case class SimHashBits(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExpressions.simhashBits(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftExpressions.simhashBits($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** minhashSig(array<bigint>) → array<bigint>: one-pass 8-permutation
+  * MinHash signature, codegen-capable. The permutation constants live in
+  * static arrays so generated code shares them.
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = true)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExpressions.minhashSig(input.asInstanceOf[ArrayData],
+      MinHashSig.A, MinHashSig.B)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftExpressions.minhashSigDefault($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object MinHashSig {
+  // referenced from generated code — must mirror FuzzyDedup.MinhashA/B
+  val A: Array[Long] = Array(370248451L, 668265263L, 735632797L,
+    868864229L, 903678863L, 965726881L, 982451653L, 998244353L)
+  val B: Array[Long] = Array(12345L, 67891L, 23457L, 78913L,
+    34569L, 89123L, 45678L, 91234L)
+}
+
 /** Cluster-wide registration via SparkSessionExtensions: set
   * `spark.sql.extensions=graft.functions.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`) and every session — including
@@ -167,6 +282,12 @@ class GraftExtensions
     e.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes", "distinct word-5-gram hashes"),
       exprs => ShingleHashes(exprs.head, 5)))
+    e.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "30-bit majority simhash of token hashes"),
+      exprs => SimHashBits(exprs.head, 30)))
+    e.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "8-permutation minhash signature"),
+      exprs => MinHashSig(exprs.head)))
   }
 }
 
@@ -193,6 +314,10 @@ object GraftFunctions {
         exprs => LongDot(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("graft_shingle_hashes",
         exprs => ShingleHashes(exprs.head, 5), "scala_udf")
+      reg.createOrReplaceTempFunction("graft_simhash",
+        exprs => SimHashBits(exprs.head, 30), "scala_udf")
+      reg.createOrReplaceTempFunction("graft_minhash_sig",
+        exprs => MinHashSig(exprs.head), "scala_udf")
     }
   }
 
@@ -201,4 +326,7 @@ object GraftFunctions {
     call_function("graft_long_dot", a, b)
   def shingleHashes(c: Column): Column =
     call_function("graft_shingle_hashes", c)
+  def simhash(c: Column): Column = call_function("graft_simhash", c)
+  def minhashSig(c: Column): Column =
+    call_function("graft_minhash_sig", c)
 }

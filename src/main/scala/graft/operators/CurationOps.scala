@@ -212,28 +212,31 @@ object CurationOps {
     */
   final val ChunkMod = 16
 
+  /** Plan shape: posexplode to one row per token, native charFold flags
+    * boundaries (codegen), a running boundary count over (doc, pos)
+    * assigns chunk ids, and a groupBy collapses to extents. The obvious
+    * per-row array form (filter(sequence…) + element_at lambdas) copies
+    * the interpreted tokenize subtree into every reference site — 89s at
+    * sf0.1 vs ~2s for this shape — and would also hit per-row array
+    * limits on book-length docs; token rows have no such cliff.
+    */
   def passageChunks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import TextOps.charFold
-    val toks = tokens(normText(col("text")))
-    val n = size(toks)
-    // boundary positions: token indices i with hash(tok_i) % ChunkMod == 0,
-    // always terminated by n so the tail forms the last chunk
-    val bounds = array_union(
-      filter(sequence(lit(1), n),
-        i => pmod(charFold(element_at(toks, i)), lit(ChunkMod)) === 0),
-      array(n))
-    // ANSI (Spark 4 default): element_at(_, 0) is an error, so the first
-    // chunk's predecessor is special-cased instead of coalesced.
-    val chunks = transform(sequence(lit(1), size(bounds)), j =>
-      struct((j - 1).as("chunk_idx"),
-        (when(j === 1, lit(0)).otherwise(element_at(bounds, j - 1)) + 1)
-          .as("start_tok"),
-        element_at(bounds, j).as("end_tok")))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(chunks).as("c"))
-      .select(col("doc_id"), col("c.chunk_idx"), col("c.start_tok"),
-        col("c.end_tok"))
-      .filter(col("end_tok") >= col("start_tok"))
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(tokens(normText(col("text")))).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val flagged = tok.withColumn("is_bound",
+      (pmod(charFold(col("tok")), lit(ChunkMod)) === 0).cast("int"))
+    // chunk id of a token = boundaries strictly before it
+    val before = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    flagged
+      .withColumn("chunk_idx",
+        coalesce(sum(col("is_bound")).over(before), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(min(col("pos")).as("start_tok"), max(col("pos")).as("end_tok"))
   }
 
   val passageChunksSql: String = {
@@ -265,17 +268,18 @@ object CurationOps {
     * partition sort of the already-aggregated counts.
     */
   def topBigrams(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(normText(col("text")))
-    // sequence(1, 0) would generate DESCENDING [1, 0] — guard the
-    // single-token case explicitly (same pattern as FuzzyDedup.shingles).
-    val nBi = size(toks) - 1
-    val bigrams =
-      when(nBi >= 1,
-        transform(sequence(lit(1), greatest(nBi, lit(1))),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(array().cast("array<string>"))
-    Tables.documents(spark, dir)
-      .select(explode(bigrams).as("bigram"))
+    import org.apache.spark.sql.expressions.Window
+    // posexplode + lead instead of per-row element_at lambdas: the array
+    // form re-evaluates the tokenize subtree per reference (10.8s at
+    // sf0.1); token rows + a codegen'd window run in a fraction of that.
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(tokens(normText(col("text")))).as(Seq("pos", "tok")))
+    val nextTok = lead(col("tok"), 1)
+      .over(Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+    tok.withColumn("next", nextTok)
+      .filter(col("next").isNotNull)
+      .select(concat_ws(" ", col("tok"), col("next")).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(20)

@@ -126,7 +126,14 @@ object FuzzyDedup {
     * raw expression here would re-hash every shingle once per signature
     * (8×) instead of once.
     */
-  def minhashSigFromHashes(hs: Column): Column = {
+  def minhashSigFromHashes(hs: Column): Column =
+    graft.functions.GraftFunctions.minhashSig(hs)
+
+  /** Composed reference implementation (8 interpreted array passes) —
+    * cross-checked against the native one-pass expression in
+    * GraftExpressionsSpec.
+    */
+  def minhashSigFromHashesHof(hs: Column): Column = {
     val sigs = MinhashA.zip(MinhashB).map { case (a, b) =>
       array_min(transform(hs,
         h => pmod(lit(a) * pmod(h, lit(MinhashP)) + lit(b), lit(MinhashP))))
@@ -197,8 +204,17 @@ object FuzzyDedup {
   def tokenHashes(text: Column): Column =
     transform(tokens(text), t => pmod(charFold(t), lit(1L << SimBits)))
 
-  /** Fingerprint from an already-materialized token-hash column. */
-  def simhashFromHashes(hs: Column): Column = {
+  /** Fingerprint from an already-materialized token-hash column —
+    * native one-pass expression.
+    */
+  def simhashFromHashes(hs: Column): Column =
+    graft.functions.GraftFunctions.simhash(hs)
+
+  /** Composed reference implementation (30 interpreted aggregate passes)
+    * — cross-checked against the native expression in
+    * GraftExpressionsSpec.
+    */
+  def simhashFromHashesHof(hs: Column): Column = {
     val bitSum = (j: Int) => aggregate(hs, lit(0L), (acc, h) =>
       acc + (floor(h / pow(lit(2.0), lit(j))).cast("long") % 2) * 2 - 1)
     (0 until SimBits).map(j =>

@@ -45,6 +45,42 @@ class GraftExpressionsSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("native simhash equals the composed 30-pass reference on real docs") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.operators.FuzzyDedup.tokenHashes(col("text")).as("hs"))
+    val mismatches = d.select(
+      graft.operators.FuzzyDedup.simhashFromHashes(col("hs")).as("fast"),
+      graft.operators.FuzzyDedup.simhashFromHashesHof(col("hs")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatches == 0)
+  }
+
+  test("native minhash signature equals the composed 8-pass reference") {
+    GraftFunctions.register(spark)
+    // constants in the native expression must mirror the operator's
+    assert(graft.functions.MinHashSig.A.toSeq ==
+      graft.operators.FuzzyDedup.MinhashA)
+    assert(graft.functions.MinHashSig.B.toSeq ==
+      graft.operators.FuzzyDedup.MinhashB)
+    val d = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.operators.FuzzyDedup.shingleHashes(col("text")).as("hs"))
+    val mismatches = d.select(
+      graft.operators.FuzzyDedup.minhashSigFromHashes(col("hs")).as("fast"),
+      graft.operators.FuzzyDedup.minhashSigFromHashesHof(col("hs")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatches == 0)
+    // empty-input edge: both produce an all-null signature
+    val empty = Seq(Seq.empty[Long]).toDF("hs")
+    val (f, r) = empty.select(
+      graft.operators.FuzzyDedup.minhashSigFromHashes(col("hs")),
+      graft.operators.FuzzyDedup.minhashSigFromHashesHof(col("hs")))
+      .as[(Seq[Option[Long]], Seq[Option[Long]])].head()
+    assert(f == r && f.forall(_.isEmpty) && f.size == 8)
+  }
+
   test("native longDot matches manual sum and works in SQL") {
     GraftFunctions.register(spark)
     val df = Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L)))
