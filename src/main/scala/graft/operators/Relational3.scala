@@ -62,11 +62,45 @@ object Relational3 {
        |FROM events GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q75
+  /** Trailing-7-day revenue via a RANGE window frame over epoch-day
+    * numbers (value-based frames differ from ROWS when days are missing —
+    * exactly what sparse order dates produce). Two-level shape: the big
+    * shuffle is the daily pre-aggregation; the unpartitioned window then
+    * runs over one bounded row-per-day series (~thousands of rows at any
+    * corpus size), so the single-partition sort is never the bottleneck.
+    */
+  def trailingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("rev"))
+      .withColumn("dayn",
+        datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.orderBy(col("dayn")).rangeBetween(-6, 0)
+    daily.select(col("day"),
+      col("rev").cast(DoubleType).as("daily_rev"),
+      sum(col("rev")).over(w).cast(DoubleType).as("rev_7d"))
+  }
+
+  val trailingRevenueSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT day, CAST(rev AS DOUBLE) AS daily_rev,
+      |  CAST(SUM(rev) OVER (
+      |    ORDER BY datediff('day', DATE '1970-01-01', day)
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+      |FROM daily""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_cube" -> (cubeSummary _),
-    "q74_pivot" -> (eventPivot _))
+    "q74_pivot" -> (eventPivot _),
+    "q75_range_window" -> (trailingRevenue _))
 
   val oracles: Map[String, String] = Map(
     "q73_cube" -> cubeSummarySql,
-    "q74_pivot" -> eventPivotSql)
+    "q74_pivot" -> eventPivotSql,
+    "q75_range_window" -> trailingRevenueSql)
 }
