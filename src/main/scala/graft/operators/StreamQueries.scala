@@ -61,11 +61,53 @@ object StreamQueries {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** q63 — native session windows (1-hour inactivity gap), the streaming-
+    * capable form of q71's gaps-and-islands sessionization. Boundary
+    * semantics: an event exactly `gap` after the previous one starts a
+    * NEW session (session_window's window is [start, last+gap)), so the
+    * oracle's island flag uses `>=`. Microsecond-exact via unix_micros /
+    * epoch_us — second-floored epochs could disagree on membership.
+    */
+  def sessionWindowStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    graft.Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "1 hour").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("session_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"), col("session_value"))
+  }
+
+  val sessionWindowStatsSql: String =
+    """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
+      |f AS (SELECT *,
+      |    CASE WHEN lag(us) OVER w IS NULL
+      |      OR us - lag(us) OVER w >= 3600000000 THEN 1 ELSE 0 END
+      |      AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |s AS (SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS sid
+      |  FROM f)
+      |SELECT user_id, MIN(us) AS session_start_us,
+      |  MAX(us) + 3600000000 AS session_end_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS session_value
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_partition_safety" -> (partitionSafety _),
-    "q61_windowed_stats" -> (windowedStats _))
+    "q61_windowed_stats" -> (windowedStats _),
+    "q63_session_window" -> (sessionWindowStats _))
 
   val oracles: Map[String, String] = Map(
     "q60_partition_safety" -> partitionSafetySql,
-    "q61_windowed_stats" -> windowedStatsSql)
+    "q61_windowed_stats" -> windowedStatsSql,
+    "q63_session_window" -> sessionWindowStatsSql)
 }
