@@ -1,0 +1,166 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader,
+  PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 micro-batch CDC source — the custom extension SURVEY §4
+  * flags as genuinely needed ("a custom DataSource V2 is needed for: MySQL
+  * binlog source, PG logical-replication source (both MicroBatchStream)").
+  *
+  * This is the transport-agnostic core of that source: an ordered
+  * changelog of append-only SEGMENTS (the binlog-file analog), each
+  * holding ordered change records. Offsets count fully-read segments —
+  * exactly the `(binlog_file, position)` resume model
+  * (`/root/reference/dt-common/src/meta/position.rs:14-63`) with the
+  * protocol client abstracted to "a directory new segments arrive in"
+  * (object store, WAL shipping, or a binlog downloader all fit). Spark
+  * owns offset persistence: the streaming checkpoint stores
+  * `{"segments":N}`, restart resumes from N with no reprocessing
+  * (proven in ChangelogSourceSpec).
+  *
+  * Record format per line (TAB-separated, engine-internal):
+  * `seq \t schema \t tb \t row_type \t key \t payload`.
+  *
+  * Usage: `spark.readStream.format("graft.sources.ChangelogSource")
+  * .option("path", dir).load()`.
+  */
+class ChangelogSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChangelogSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ChangelogTable(properties.get("path"))
+}
+
+object ChangelogSource {
+  val schema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("schema", StringType, nullable = false),
+    StructField("tb", StringType, nullable = false),
+    StructField("row_type", StringType, nullable = false),
+    StructField("key", StringType, nullable = false),
+    StructField("payload", StringType, nullable = true)))
+
+  /** Segment files in commit order (lexicographic name = arrival order,
+    * like binlog.000001…). Only `.log` files count; in-flight writers
+    * should stage under another suffix and rename.
+    */
+  def segments(dir: String): Seq[String] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) return Seq.empty
+    Files.list(p).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".log"))
+      .toSeq.sorted
+  }
+}
+
+final case class ChangelogOffset(segments: Int) extends Offset {
+  override def json(): String = s"""{"segments":$segments}"""
+}
+
+object ChangelogOffset {
+  private val Re = """\{"segments":(\d+)\}""".r
+  def fromJson(s: String): ChangelogOffset = s match {
+    case Re(n) => ChangelogOffset(n.toInt)
+    case other => throw new IllegalArgumentException(
+      s"bad changelog offset: $other")
+  }
+}
+
+class ChangelogTable(path: String) extends Table with SupportsRead {
+  require(path != null, "graft changelog source requires .option(\"path\")")
+  override def name(): String = s"graft_changelog($path)"
+  override def schema(): StructType = ChangelogSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new Scan {
+      override def readSchema(): StructType = ChangelogSource.schema
+      override def toMicroBatchStream(checkpointLocation: String)
+          : MicroBatchStream = new ChangelogStream(path)
+    }
+  }
+}
+
+/** Offsets advance to "all segments currently present"; a batch is the
+  * half-open segment range (start, end]. Planning is per segment — one
+  * input partition each, so a backlog catches up in parallel while
+  * steady-state ticks read one small segment. Ordering consumers
+  * (compaction) order by `seq` within the micro-batch, as with any
+  * parallel source.
+  */
+class ChangelogStream(path: String) extends MicroBatchStream {
+  override def initialOffset(): Offset = ChangelogOffset(0)
+
+  override def latestOffset(): Offset =
+    ChangelogOffset(ChangelogSource.segments(path).size)
+
+  override def deserializeOffset(json: String): Offset =
+    ChangelogOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[ChangelogOffset].segments
+    val e = end.asInstanceOf[ChangelogOffset].segments
+    val segs = ChangelogSource.segments(path)
+    (s until e).map(i =>
+      ChangelogPartition(Paths.get(path, segs(i)).toString)
+        : InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ChangelogReaderFactory
+
+  override def commit(end: Offset): Unit = () // retention is external
+  override def stop(): Unit = ()
+}
+
+final case class ChangelogPartition(file: String) extends InputPartition
+
+object ChangelogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[ChangelogPartition].file
+    new PartitionReader[InternalRow] {
+      private val lines = Files.readAllLines(
+        Paths.get(file), StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty).iterator
+      private var current: InternalRow = _
+
+      override def next(): Boolean =
+        if (!lines.hasNext) false
+        else {
+          val f = lines.next().split("\t", -1)
+          require(f.length == 6, s"bad changelog record in $file")
+          current = new GenericInternalRow(Array[Any](
+            f(0).toLong,
+            UTF8String.fromString(f(1)), UTF8String.fromString(f(2)),
+            UTF8String.fromString(f(3)), UTF8String.fromString(f(4)),
+            if (f(5).isEmpty) null else UTF8String.fromString(f(5))))
+          true
+        }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

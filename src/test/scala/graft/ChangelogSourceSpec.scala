@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** Drives the DataSource V2 micro-batch changelog source end to end:
+  * incremental segment pickup, offset checkpointing across a restart
+  * (no reprocessing), and compaction over the drained stream.
+  */
+class ChangelogSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def writeSegment(dir: String, name: String,
+      rows: Seq[String]): Unit = {
+    // stage + atomic rename so a half-written segment is never listed
+    val tmp = Paths.get(dir, s"$name.tmp")
+    Files.writeString(tmp, rows.mkString("\n"))
+    Files.move(tmp, Paths.get(dir, s"$name.log"))
+  }
+
+  private def rec(seq: Long, rt: String, key: String, v: String) =
+    s"$seq\tdb\ttb\t$rt\t$key\t$v"
+
+  test("micro-batch source picks up segments incrementally") {
+    val dir = Files.createTempDirectory("graft-changelog").toString
+    writeSegment(dir, "000001", Seq(
+      rec(1, "insert", "k1", "a"), rec(2, "insert", "k2", "b")))
+
+    val q = spark.readStream
+      .format("graft.sources.ChangelogSource")
+      .option("path", dir)
+      .load()
+      .writeStream.format("memory").queryName("cl_inc").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cl_inc").count() == 2)
+
+      writeSegment(dir, "000002", Seq(
+        rec(3, "update", "k1", "a2"), rec(4, "delete", "k2", "")))
+      q.processAllAvailable()
+      val rows = spark.table("cl_inc").orderBy("seq")
+        .select("seq", "row_type", "key", "payload")
+        .as[(Long, String, String, Option[String])].collect()
+      assert(rows.toSeq == Seq(
+        (1L, "insert", "k1", Some("a")), (2L, "insert", "k2", Some("b")),
+        (3L, "update", "k1", Some("a2")), (4L, "delete", "k2", None)))
+    } finally q.stop()
+  }
+
+  test("restart resumes from the checkpointed offset, no reprocessing") {
+    val dir = Files.createTempDirectory("graft-changelog-r").toString
+    val ckpt = Files.createTempDirectory("graft-changelog-ckpt").toString
+    writeSegment(dir, "000001", Seq(rec(1, "insert", "k1", "a")))
+
+    // memory sink can't recover from a checkpoint — collect via
+    // foreachBatch, one buffer per query generation
+    def start(buf: scala.collection.mutable.ArrayBuffer[Long]) =
+      spark.readStream
+        .format("graft.sources.ChangelogSource")
+        .option("path", dir).load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) => {
+          batch.select("seq").collect().foreach(r => buf += r.getLong(0))
+          ()
+        })
+        .start()
+
+    val got1 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q1 = start(got1)
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(got1.toSeq == Seq(1L))
+
+    writeSegment(dir, "000002", Seq(rec(2, "insert", "k2", "b")))
+    val got2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q2 = start(got2)
+    try {
+      q2.processAllAvailable()
+      // only the new segment is processed after restart
+      assert(got2.toSeq == Seq(2L))
+    } finally q2.stop()
+  }
+
+  test("compaction composes with the changelog stream per micro-batch") {
+    val dir = Files.createTempDirectory("graft-changelog-c").toString
+    writeSegment(dir, "000001", Seq(
+      rec(1, "insert", "k1", "a"), rec(2, "insert", "k2", "b"),
+      rec(3, "update", "k1", "a2"), rec(4, "delete", "k2", "")))
+
+    val seen = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val q = spark.readStream
+      .format("graft.sources.ChangelogSource")
+      .option("path", dir).load()
+      .writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) => {
+        // final state per key within the batch: last row by seq wins
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("key").orderBy(col("seq").desc)
+        batch.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("key", "row_type")
+          .collect()
+          .foreach(r => seen += ((r.getString(0), r.getString(1))))
+        ()
+      })
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.toSet == Set("k1" -> "update", "k2" -> "delete"))
+  }
+}
