@@ -291,7 +291,14 @@ class GraftExtensions
   }
 }
 
-/** Session registration + Column-level accessors. */
+/** Session registration + Column-level accessors.
+  *
+  * Every accessor self-registers on the active session before resolving
+  * by name — otherwise each operator would silently depend on
+  * `Tables.load` (which registers) having run first, an ordering hazard
+  * that only held by accident of test-suite order. Registration is
+  * idempotent (identity-keyed set), so the fast path is one set lookup.
+  */
 object GraftFunctions {
   import org.apache.spark.sql.{Column, SparkSession}
   import org.apache.spark.sql.functions.call_function
@@ -321,12 +328,15 @@ object GraftFunctions {
     }
   }
 
-  def charFold(c: Column): Column = call_function("graft_char_fold", c)
+  private def fn(name: String, cols: Column*): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(name, cols: _*)
+  }
+
+  def charFold(c: Column): Column = fn("graft_char_fold", c)
   def longDot(a: Column, b: Column): Column =
-    call_function("graft_long_dot", a, b)
-  def shingleHashes(c: Column): Column =
-    call_function("graft_shingle_hashes", c)
-  def simhash(c: Column): Column = call_function("graft_simhash", c)
-  def minhashSig(c: Column): Column =
-    call_function("graft_minhash_sig", c)
+    fn("graft_long_dot", a, b)
+  def shingleHashes(c: Column): Column = fn("graft_shingle_hashes", c)
+  def simhash(c: Column): Column = fn("graft_simhash", c)
+  def minhashSig(c: Column): Column = fn("graft_minhash_sig", c)
 }

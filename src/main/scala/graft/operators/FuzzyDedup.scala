@@ -259,13 +259,58 @@ object FuzzyDedup {
        |WHERE bit_count(xor(a.fp, b.fp)) <= 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q26
+  /** SimHash at scale: the bucketed candidate join that replaces q36's
+    * exact n² pair scan. Split each 30-bit fingerprint into two 15-bit
+    * halves; by pigeonhole, any pair within hamming distance 1 agrees on
+    * at least one half, so joining within half-buckets finds EXACTLY the
+    * q36 pair set (asserted in DedupSpec) while joining |docs|·2 rows of
+    * two longs instead of n²/2 pairs. General recipe: for hamming ≤ k,
+    * use k+1 bands.
+    */
+  final val SimHalfBits = SimBits / 2 // 15
+  final val SimHalfMod = 1L << SimHalfBits
+
+  def simhashBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenHashes(col("text")).as("hs"))
+      .select(col("doc_id"), simhashFromHashes(col("hs")).as("fp"))
+    // band 0: low half; band 1: high half, offset to its own key space
+    val b = d.select(col("doc_id"), col("fp"),
+      explode(array(
+        pmod(col("fp"), lit(SimHalfMod)),
+        lit(SimHalfMod) + shiftrightunsigned(col("fp"), SimHalfBits)))
+        .as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .filter(col("hamming") <= 1)
+      .distinct()
+  }
+
+  val simhashBucketsSql: String = {
+    val fp = simhashSql("text")
+    s"""WITH d AS (SELECT doc_id, $fp AS fp FROM documents),
+       |b AS (SELECT doc_id, fp, unnest([fp % $SimHalfMod,
+       |    $SimHalfMod + (fp // $SimHalfMod)]) AS bucket FROM d)
+       |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |  bit_count(xor(a.fp, b2.fp)) AS hamming
+       |FROM b a JOIN b b2
+       |  ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+       |WHERE bit_count(xor(a.fp, b2.fp)) <= 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_ngram_jaccard" -> (ngramJaccardPairs _),
     "q35_minhash_lsh" -> (minhashLsh _),
-    "q36_simhash_pairs" -> (simhashPairs _))
+    "q36_simhash_pairs" -> (simhashPairs _),
+    "q26_simhash_buckets" -> (simhashBuckets _))
 
   val oracles: Map[String, String] = Map(
     "q34_ngram_jaccard" -> ngramJaccardPairsSql,
     "q35_minhash_lsh" -> minhashLshSql,
-    "q36_simhash_pairs" -> simhashPairsSql)
+    "q36_simhash_pairs" -> simhashPairsSql,
+    "q26_simhash_buckets" -> simhashBucketsSql)
 }

@@ -63,6 +63,14 @@ class DedupSpec extends SparkSuite {
     assert(hamming(fps(0L), fps(3L)) > 6)
   }
 
+  test("bucketed simhash finds exactly the exact-scan pair set") {
+    val exact = FuzzyDedup.simhashPairs(spark, sf)
+      .as[(Long, Long, Int)].collect().toSet
+    val bucketed = FuzzyDedup.simhashBuckets(spark, sf)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(bucketed == exact)
+  }
+
   test("charFold fingerprint: normalization collapses case/whitespace") {
     val a = Seq(("A  Quick   Fox ")).toDF("text")
       .select(TextOps.charFold(TextOps.normText(col("text")))).as[Long].head
