@@ -138,6 +138,75 @@ object CurationOps {
        |FROM documents GROUP BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q27
+  /** Data-mix rebalancing: downsample every language to the rarest
+    * language's share — the two-pass shape every mix-targeting pipeline
+    * needs. Pass 1 aggregates per-group counts (tiny, broadcast back);
+    * pass 2 keeps a row iff hash(key) scaled by its group's population
+    * clears the global minimum: `(h % 10^6) · n_lang < min_n · 10^6` —
+    * pure integer arithmetic, so membership is reproducible and
+    * engine-exact (no floating keep-probability).
+    */
+  def langRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val minN = counts.agg(min(col("n_lang")).as("min_n"))
+    val kept = docs
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(minN))
+      .filter((sampleHash(col("doc_id")) % 1000000L) * col("n_lang") <
+        col("min_n") * 1000000L)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    counts.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_lang").as("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  val langRebalanceSql: String = {
+    val h = sampleHashSql("doc_id")
+    s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+       |m AS (SELECT min(n_lang) AS min_n FROM c),
+       |k AS (SELECT d.lang FROM documents d
+       |  JOIN c USING (lang) CROSS JOIN m
+       |  WHERE (($h) % 1000000) * n_lang < min_n * 1000000),
+       |kept AS (SELECT lang, count(*) AS n_kept FROM k GROUP BY 1)
+       |SELECT c.lang, n_lang AS n_total,
+       |  coalesce(n_kept, 0) AS n_kept
+       |FROM c LEFT JOIN kept USING (lang)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q28
+  /** Benchmark decontamination: flag training documents sharing any
+    * word-5-gram with a (planted) held-out benchmark set — the overlap
+    * check run before every serious training job. The benchmark's
+    * distinct shingle hashes are a small broadcast; the corpus explodes
+    * to (doc, 64-bit hash) and semi-joins it, so contamination detection
+    * at 100 TB shuffles nothing and streams the corpus once.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(FuzzyDedup.shingleHashes(col("text"))).as("h"))
+    val benchmark = hashes.filter(col("doc_id") % 97 === 0)
+      .select(col("h")).distinct()
+    hashes.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(benchmark), "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_ngrams"))
+  }
+
+  val decontaminateSql: String = {
+    val sh = FuzzyDedup.shingleHashesSql("text")
+    s"""WITH hashes AS (
+       |  SELECT doc_id, unnest($sh) AS h FROM documents),
+       |benchmark AS (
+       |  SELECT DISTINCT h FROM hashes WHERE doc_id % 97 = 0)
+       |SELECT doc_id, count(*) AS n_contaminated_ngrams
+       |FROM hashes JOIN benchmark USING (h)
+       |WHERE doc_id % 97 <> 0
+       |GROUP BY 1""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q46
   /** Connected components by iterative min-label propagation.
     *
@@ -297,6 +366,8 @@ object CurationOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_lang_rebalance" -> (langRebalance _),
+    "q28_decontaminate" -> (decontaminate _),
     "q48_passage_chunks" -> (passageChunks _),
     "q49_top_bigrams" -> (topBigrams _),
     "q39_tfidf_topterms" -> (tfidfTopTerms _),
@@ -305,6 +376,8 @@ object CurationOps {
     "q46_dedup_groups" -> (dedupGroups _))
 
   val oracles: Map[String, String] = Map(
+    "q27_lang_rebalance" -> langRebalanceSql,
+    "q28_decontaminate" -> decontaminateSql,
     "q48_passage_chunks" -> passageChunksSql,
     "q49_top_bigrams" -> topBigramsSql,
     "q39_tfidf_topterms" -> tfidfTopTermsSql,

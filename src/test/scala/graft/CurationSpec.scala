@@ -53,6 +53,23 @@ class CurationSpec extends SparkSuite {
     assert(t.filter(col("rank") < 1 || col("rank") > 3).isEmpty)
   }
 
+  test("lang rebalance keeps at most ~min-share per language") {
+    val r = CurationOps.langRebalance(spark, sf).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val minTotal = r.map(_._2).min
+    r.foreach { case (lang, total, kept) =>
+      assert(kept <= total, lang)
+      // hash-thresholding tracks the target share with slack
+      assert(kept <= 2 * minTotal + 5, s"$lang kept=$kept min=$minTotal")
+    }
+  }
+
+  test("decontamination flags only non-benchmark docs with overlap") {
+    val d = CurationOps.decontaminate(spark, sf)
+    assert(d.filter(col("doc_id") % 97 === 0).isEmpty)
+    assert(d.filter(col("n_contaminated_ngrams") <= 0).isEmpty)
+  }
+
   test("passage chunks tile each document exactly") {
     import spark.implicits._
     val chunks = CurationOps.passageChunks(spark, sf)
