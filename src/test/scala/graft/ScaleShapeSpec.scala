@@ -59,6 +59,27 @@ class ScaleShapeSpec extends SparkSuite {
     }
   }
 
+  test("small sides broadcast: tfidf dfreq, decontamination benchmark, dims") {
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    assert(planOf(graft.operators.CurationOps.tfidfTopTerms(spark, sf))
+      .contains("BroadcastHashJoin"))
+    assert(planOf(graft.operators.CurationOps.decontaminate(spark, sf))
+      .contains("BroadcastHashJoin"))
+    val rev = planOf(graft.operators.Relational.regionRevenue(spark, sf))
+    // all three dimension joins must be broadcast, fact side never shuffles
+    assert("BroadcastHashJoin".r.findAllIn(rev).size == 3, rev)
+  }
+
+  test("curation per-row stages push filters into the parquet scan") {
+    val q = graft.operators.TextOps.qualityFilter(spark, sf)
+    val scan = q.queryExecution.executedPlan.toString
+    // column pruning: text is read, but binary/unused cols are not
+    assert(scan.contains("ReadSchema"))
+    val pushed = q.queryExecution.sparkPlan.collectLeaves().mkString
+    assert(pushed.contains("text"))
+  }
+
   test("shuffle partition count follows session config, not the default") {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
     val parts = Tables.orders(spark, sf).groupBy("o_custkey").count()
