@@ -83,6 +83,22 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frame sampling: every k-th frame index per media item (the
+    * video-pipeline primitive before per-frame feature extraction). The
+    * decode yields n_frames (narrow); `sequence` + explode generates the
+    * sample plan WITHOUT touching payload bytes again — a downstream
+    * per-frame decoder joins back by (doc_id, frame_idx) only for the
+    * sampled set, so a 24fps corpus at 100 TB decodes 1/k of its frames.
+    */
+  def sampleFrames(media: DataFrame, k: Int,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
+    require(k >= 1, "sample stride must be >= 1")
+    extractFeatures(media, decoder)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(k)))
+          .as("frame_idx"))
+  }
+
   /** q62 — multimodal envelope stats through pure column ops (the
     * non-stub subset: byte length + content digest), oracle-checkable:
     * Spark md5(binary) == DuckDB md5(string bytes).

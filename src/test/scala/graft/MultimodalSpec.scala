@@ -25,6 +25,18 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("frame sampling emits ceil(n_frames/k) indices, stride k") {
+    val fixed = new Multimodal.MediaDecoder {
+      def decode(mime: String, payload: Array[Byte]) = (4, 4, 10)
+    }
+    val s = Multimodal.sampleFrames(
+      Multimodal.mediaTable(spark, sf).limit(3), k = 4, fixed)
+      .collect()
+    // 10 frames, stride 4 → indices 0, 4, 8 per item
+    assert(s.length == 9)
+    assert(s.map(_.getAs[Int]("frame_idx")).toSet == Set(0, 4, 8))
+  }
+
   test("custom decoder plugs in at the stub boundary") {
     val fixed = new Multimodal.MediaDecoder {
       def decode(mime: String, payload: Array[Byte]) = (7, 8, 9)
