@@ -138,6 +138,33 @@ object CurationOps {
        |FROM documents GROUP BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q24
+  /** Incremental-ingest dedup: a new batch is admitted only where its
+    * content fingerprint is absent from the already-ingested corpus —
+    * left-anti join on the 64-bit fingerprint, so the historical corpus
+    * contributes one long per document (at 100 TB: a bucketed/bloom-
+    * filtered fingerprint table, not the text). Here the corpus is the
+    * doc_id % 7 == 0 slice and the batch is the rest.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import TextOps.charFold
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), charFold(normText(col("text"))).as("fp"))
+    val corpus = d.filter(col("doc_id") % 7 === 0).select(col("fp"))
+    d.filter(col("doc_id") % 7 =!= 0)
+      .join(corpus, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+  }
+
+  val incrementalDedupSql: String = {
+    val fp = TextOps.charFoldSql(normTextSql("text"))
+    s"""WITH d AS (SELECT doc_id, $fp AS fp FROM documents),
+       |corpus AS (SELECT fp FROM d WHERE doc_id % 7 = 0)
+       |SELECT doc_id, fp FROM d
+       |WHERE doc_id % 7 <> 0
+       |  AND fp NOT IN (SELECT fp FROM corpus)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q27
   /** Data-mix rebalancing: downsample every language to the rarest
     * language's share — the two-pass shape every mix-targeting pipeline
@@ -366,6 +393,7 @@ object CurationOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_incremental_dedup" -> (incrementalDedup _),
     "q27_lang_rebalance" -> (langRebalance _),
     "q28_decontaminate" -> (decontaminate _),
     "q48_passage_chunks" -> (passageChunks _),
@@ -376,6 +404,7 @@ object CurationOps {
     "q46_dedup_groups" -> (dedupGroups _))
 
   val oracles: Map[String, String] = Map(
+    "q24_incremental_dedup" -> incrementalDedupSql,
     "q27_lang_rebalance" -> langRebalanceSql,
     "q28_decontaminate" -> decontaminateSql,
     "q48_passage_chunks" -> passageChunksSql,
