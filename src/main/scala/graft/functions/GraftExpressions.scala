@@ -325,6 +325,11 @@ object GraftFunctions {
         exprs => SimHashBits(exprs.head, 30), "scala_udf")
       reg.createOrReplaceTempFunction("graft_minhash_sig",
         exprs => MinHashSig(exprs.head), "scala_udf")
+      // aggregate: analyzer wraps a bare AggregateFunction returned by a
+      // registry builder in its AggregateExpression
+      reg.createOrReplaceTempFunction("graft_kmin_values",
+        exprs => KMinValues(exprs.head,
+          exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     }
   }
 
@@ -339,4 +344,6 @@ object GraftFunctions {
   def shingleHashes(c: Column): Column = fn("graft_shingle_hashes", c)
   def simhash(c: Column): Column = fn("graft_simhash", c)
   def minhashSig(c: Column): Column = fn("graft_minhash_sig", c)
+  def kminValues(c: Column, k: Int): Column =
+    fn("graft_kmin_values", c, org.apache.spark.sql.functions.lit(k))
 }

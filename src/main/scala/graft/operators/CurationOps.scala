@@ -234,6 +234,48 @@ object CurationOps {
        |GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q29
+  /** KMV distinct sketch per language — the custom
+    * TypedImperativeAggregate ([[graft.functions.KMinValues]]). The k
+    * smallest distinct fingerprint hashes are partitioning- and
+    * merge-order-independent, so unlike HLL this sketch hash-matches the
+    * DuckDB oracle exactly; the estimator (k-1)·D / v_k is one constant-
+    * folded multiply and one IEEE division.
+    */
+  final val KmvK = 16
+
+  def kmvSketch(spark: SparkSession, dir: String): DataFrame = {
+    import TextOps.charFold
+    val kth = element_at(col("kmins"), size(col("kmins")))
+    Tables.documents(spark, dir)
+      .select(col("lang"), charFold(normText(col("text"))).as("fp"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.GraftFunctions.kminValues(col("fp"), KmvK)
+        .as("kmins"))
+      .select(col("lang"),
+        size(col("kmins")).as("k_tracked"),
+        kth.as("kth_min"),
+        when(size(col("kmins")) === KmvK,
+          lit((KmvK - 1).toDouble) * lit(TextOps.FoldP.toDouble) / kth)
+          .otherwise(size(col("kmins")).cast("double"))
+          .as("distinct_est"))
+  }
+
+  val kmvSketchSql: String = {
+    val fp = TextOps.charFoldSql(normTextSql("text"))
+    s"""WITH d AS (SELECT lang, $fp AS fp FROM documents),
+       |km AS (SELECT lang,
+       |    list_sort(list_distinct(list(fp)))[1:$KmvK] AS kmins
+       |  FROM d GROUP BY 1)
+       |SELECT lang, len(kmins) AS k_tracked,
+       |  kmins[len(kmins)] AS kth_min,
+       |  CASE WHEN len(kmins) = $KmvK
+       |    THEN CAST(${KmvK - 1} AS DOUBLE)
+       |      * CAST(${TextOps.FoldP} AS DOUBLE) / kmins[len(kmins)]
+       |    ELSE CAST(len(kmins) AS DOUBLE) END AS distinct_est
+       |FROM km""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q46
   /** Connected components by iterative min-label propagation.
     *
@@ -394,6 +436,7 @@ object CurationOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_incremental_dedup" -> (incrementalDedup _),
+    "q29_kmv_sketch" -> (kmvSketch _),
     "q27_lang_rebalance" -> (langRebalance _),
     "q28_decontaminate" -> (decontaminate _),
     "q48_passage_chunks" -> (passageChunks _),
@@ -405,6 +448,7 @@ object CurationOps {
 
   val oracles: Map[String, String] = Map(
     "q24_incremental_dedup" -> incrementalDedupSql,
+    "q29_kmv_sketch" -> kmvSketchSql,
     "q27_lang_rebalance" -> langRebalanceSql,
     "q28_decontaminate" -> decontaminateSql,
     "q48_passage_chunks" -> passageChunksSql,

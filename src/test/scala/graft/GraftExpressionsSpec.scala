@@ -81,6 +81,29 @@ class GraftExpressionsSpec extends SparkSuite {
     assert(f == r && f.forall(_.isEmpty) && f.size == 8)
   }
 
+  test("KMV aggregate: k smallest distinct values, any partitioning") {
+    GraftFunctions.register(spark)
+    val vals = Seq(50L, 10L, 30L, 10L, 90L, 20L, 40L, 30L, 70L)
+    // answer independent of partition layout (merge-order invariance)
+    Seq(1, 3, 7).foreach { parts =>
+      val df = spark.sparkContext.parallelize(vals, parts).toDF("v")
+      val got = df.agg(GraftFunctions.kminValues(col("v"), 4))
+        .as[Seq[Long]].head()
+      assert(got == Seq(10L, 20L, 30L, 40L), s"parts=$parts")
+    }
+    // fewer distinct values than k → all of them
+    val small = Seq(5L, 5L, 2L).toDF("v")
+      .agg(GraftFunctions.kminValues(col("v"), 4)).as[Seq[Long]].head()
+    assert(small == Seq(2L, 5L))
+    // grouped + SQL surface
+    Seq((1L, 4L), (1L, 2L), (2L, 9L)).toDF("g", "v")
+      .createOrReplaceTempView("kmv_v")
+    val sql = spark.sql(
+      "SELECT g, graft_kmin_values(v, 4) FROM kmv_v GROUP BY g ORDER BY g")
+      .as[(Long, Seq[Long])].collect()
+    assert(sql.toSeq == Seq((1L, Seq(2L, 4L)), (2L, Seq(9L))))
+  }
+
   test("native longDot matches manual sum and works in SQL") {
     GraftFunctions.register(spark)
     val df = Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L)))
