@@ -37,13 +37,21 @@ final class Subscription(spoolDir: String) {
     offset
   }
 
-  /** All staged offsets, ascending. */
+  /** All staged offsets, ascending. Only directories containing the
+    * `_SUCCESS` marker count: a producer crash mid-write leaves a
+    * partial `batch=N` dir, and listing it would hand consumers partial
+    * data — the visibility gate `stage` documents is enforced here, not
+    * merely assumed. The listing stream is closed eagerly.
+    */
   def offsets(): Seq[Long] =
-    Files.list(root).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
-      .toSeq.sorted
+    scala.util.Using.resource(Files.list(root)) { s =>
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("batch="))
+        .filter(d => Files.exists(root.resolve(d).resolve("_SUCCESS")))
+        .map(_.stripPrefix("batch=").toLong)
+        .toSeq.sorted
+    }
 
   /** Consumer bookkeeping: last acked offset (-1 = nothing acked). */
   def acked(): Long =
@@ -92,8 +100,10 @@ final class Subscription(spoolDir: String) {
     val expired = offsets().filter(_ <= acked())
     expired.foreach { o =>
       val dir = root.resolve(s"batch=$o")
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
+      scala.util.Using.resource(Files.walk(dir)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
     }
     expired
   }

@@ -29,15 +29,21 @@ object CurationOps {
 
   /** Deterministic per-row hash for sampling: Knuth multiplicative mod a
     * large prime — explicit integer arithmetic, identical in DuckDB.
+    * The key is reduced mod P BEFORE the multiply: (P-1)·A ≈ 2.7e18
+    * stays under 2^63, whereas key·A overflows Long for keys ≥ ~3.5e9 —
+    * which under Spark 4 ANSI mode (and DuckDB BIGINT) throws at
+    * runtime, breaking sampling for realistic 64-bit ids.
     */
   final val SampleA = 2654435761L
   final val SampleP = 1000000007L
 
   def sampleHash(key: Column): Column =
-    pmod(key * lit(SampleA), lit(SampleP))
+    pmod(pmod(key, lit(SampleP)) * lit(SampleA), lit(SampleP))
 
-  def sampleHashSql(e: String): String =
-    s"(($e * $SampleA) % $SampleP + $SampleP) % $SampleP"
+  def sampleHashSql(e: String): String = {
+    val r = s"(($e % $SampleP + $SampleP) % $SampleP)"
+    s"(($r * $SampleA) % $SampleP + $SampleP) % $SampleP"
+  }
 
   // ---------------------------------------------------------------- q39
   /** Rarity-weighted top terms per document (TF-IDF shaped). The idf is
@@ -313,6 +319,12 @@ object CurationOps {
       labels = next
       i += 1
     }
+    // Returning unconverged labels silently would let downstream dedup
+    // treat wrong components as canonical; a high-diameter graph must
+    // fail loudly so the caller raises maxIter (or pre-contracts edges).
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds maxIter; raise it")
     labels
   }
 

@@ -24,13 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * This is the transport-agnostic core of that source: an ordered
   * changelog of append-only SEGMENTS (the binlog-file analog), each
-  * holding ordered change records. Offsets count fully-read segments —
-  * exactly the `(binlog_file, position)` resume model
-  * (`/root/reference/dt-common/src/meta/position.rs:14-63`) with the
-  * protocol client abstracted to "a directory new segments arrive in"
-  * (object store, WAL shipping, or a binlog downloader all fit). Spark
-  * owns offset persistence: the streaming checkpoint stores
-  * `{"segments":N}`, restart resumes from N with no reprocessing
+  * holding ordered change records. Offsets are the NAME of the last
+  * fully-read segment — exactly the `(binlog_file, position)` resume
+  * model (`/root/reference/dt-common/src/meta/position.rs:14-63`) with
+  * the protocol client abstracted to "a directory new segments arrive
+  * in" (object store, WAL shipping, or a binlog downloader all fit).
+  * Spark owns offset persistence: the streaming checkpoint stores
+  * `{"segment":"<name>"}`, restart resumes past that name with no
+  * reprocessing even if older segments were purged in between
   * (proven in ChangelogSourceSpec).
   *
   * Record format per line (TAB-separated, engine-internal):
@@ -59,28 +60,59 @@ object ChangelogSource {
 
   /** Segment files in commit order (lexicographic name = arrival order,
     * like binlog.000001…). Only `.log` files count; in-flight writers
-    * should stage under another suffix and rename.
+    * should stage under another suffix and rename. The listing stream is
+    * closed eagerly — this runs at least twice per trigger in a
+    * long-running stream, so leaking it would exhaust file descriptors.
     */
   def segments(dir: String): Seq[String] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) return Seq.empty
-    Files.list(p).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".log"))
-      .toSeq.sorted
+    scala.util.Using.resource(Files.list(p)) { s =>
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".log"))
+        .toSeq.sorted
+    }
   }
 }
 
-final case class ChangelogOffset(segments: Int) extends Offset {
-  override def json(): String = s"""{"segments":$segments}"""
+/** Offset = NAME of the last fully-consumed segment ("" before any).
+  * Name-based (not count-based) on purpose: retention may delete old
+  * segments at any time, and a count would silently remap onto the
+  * shifted listing — the same robustness property as the reference's
+  * `(binlog_filename, next_event_position)` pair
+  * (`/root/reference/dt-common/src/position.rs`), where the filename
+  * survives `PURGE BINARY LOGS` of its predecessors.
+  */
+final case class ChangelogOffset(segment: String) extends Offset {
+  override def json(): String =
+    s"""{"segment":"${segment}"}"""
 }
 
 object ChangelogOffset {
-  private val Re = """\{"segments":(\d+)\}""".r
+  val Initial: ChangelogOffset = ChangelogOffset("")
+  private val Re = """\{"segment":"([^"]*)"\}""".r
+  private val LegacyRe = """\{"segments":(\d+)\}""".r
+
   def fromJson(s: String): ChangelogOffset = s match {
-    case Re(n) => ChangelogOffset(n.toInt)
+    case Re(name) => ChangelogOffset(name)
     case other => throw new IllegalArgumentException(
       s"bad changelog offset: $other")
+  }
+
+  /** Resolve an offset, translating the pre-round-2 count-based form
+    * against the live listing (only safe if no retention ran under the
+    * old scheme — which the old scheme required anyway).
+    */
+  def fromJson(s: String, dir: String): ChangelogOffset = s match {
+    case LegacyRe(n) =>
+      val segs = ChangelogSource.segments(dir)
+      val k = n.toInt
+      require(k <= segs.size,
+        s"legacy count-based offset $k exceeds ${segs.size} live segments " +
+          s"in $dir — cannot translate; segments were purged")
+      ChangelogOffset(if (k == 0) "" else segs(k - 1))
+    case other => fromJson(other)
   }
 }
 
@@ -101,29 +133,45 @@ class ChangelogTable(path: String) extends Table with SupportsRead {
   }
 }
 
-/** Offsets advance to "all segments currently present"; a batch is the
-  * half-open segment range (start, end]. Planning is per segment — one
+/** Offsets advance to "newest segment currently present"; a batch is the
+  * half-open NAME range (start, end]. Planning is per segment — one
   * input partition each, so a backlog catches up in parallel while
   * steady-state ticks read one small segment. Ordering consumers
   * (compaction) order by `seq` within the micro-batch, as with any
-  * parallel source.
+  * parallel source. Retention may delete segments ≤ the checkpointed
+  * name at any time: name comparison skips nothing and reprocesses
+  * nothing (count-based offsets would remap onto the shifted listing).
   */
 class ChangelogStream(path: String) extends MicroBatchStream {
-  override def initialOffset(): Offset = ChangelogOffset(0)
+  /** Monotonicity guard: if every segment were purged, a fresh listing
+    * would be empty and a naive latestOffset would regress below the
+    * checkpoint, planning a bogus negative range. Track the high-water
+    * name within this stream instance.
+    */
+  @volatile private var maxSeen: String = ""
 
-  override def latestOffset(): Offset =
-    ChangelogOffset(ChangelogSource.segments(path).size)
+  override def initialOffset(): Offset = ChangelogOffset.Initial
 
-  override def deserializeOffset(json: String): Offset =
-    ChangelogOffset.fromJson(json)
+  override def latestOffset(): Offset = {
+    val names = ChangelogSource.segments(path)
+    if (names.nonEmpty && names.last > maxSeen) maxSeen = names.last
+    ChangelogOffset(maxSeen)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val off = ChangelogOffset.fromJson(json, path)
+    if (off.segment > maxSeen) maxSeen = off.segment
+    off
+  }
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val s = start.asInstanceOf[ChangelogOffset].segments
-    val e = end.asInstanceOf[ChangelogOffset].segments
-    val segs = ChangelogSource.segments(path)
-    (s until e).map(i =>
-      ChangelogPartition(Paths.get(path, segs(i)).toString)
+    val s = start.asInstanceOf[ChangelogOffset].segment
+    val e = end.asInstanceOf[ChangelogOffset].segment
+    // resolve by name against the live listing: segments in (s, e]
+    ChangelogSource.segments(path)
+      .filter(n => n > s && n <= e)
+      .map(n => ChangelogPartition(Paths.get(path, n).toString)
         : InputPartition).toArray
   }
 

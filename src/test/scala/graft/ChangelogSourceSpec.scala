@@ -82,6 +82,44 @@ class ChangelogSourceSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("restart after retention purge: name offsets skip nothing") {
+    val dir = Files.createTempDirectory("graft-changelog-p").toString
+    val ckpt = Files.createTempDirectory("graft-changelog-pckpt").toString
+    writeSegment(dir, "000001", Seq(rec(1, "insert", "k1", "a")))
+    writeSegment(dir, "000002", Seq(rec(2, "insert", "k2", "b")))
+
+    def start(buf: scala.collection.mutable.ArrayBuffer[Long]) =
+      spark.readStream
+        .format("graft.sources.ChangelogSource")
+        .option("path", dir).load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) => {
+          batch.select("seq").collect().foreach(r => buf += r.getLong(0))
+          ()
+        })
+        .start()
+
+    val got1 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q1 = start(got1)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(got1.sorted.toSeq == Seq(1L, 2L))
+
+    // retention deletes both consumed segments; a count-based offset
+    // would remap the checkpoint onto the shifted listing and reprocess
+    // or skip — the name-based offset must resume exactly past 000002
+    Files.delete(Paths.get(dir, "000001.log"))
+    Files.delete(Paths.get(dir, "000002.log"))
+    writeSegment(dir, "000003", Seq(rec(3, "insert", "k3", "c")))
+
+    val got2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q2 = start(got2)
+    try {
+      q2.processAllAvailable()
+      assert(got2.toSeq == Seq(3L))
+    } finally q2.stop()
+  }
+
   test("compaction composes with the changelog stream per micro-batch") {
     val dir = Files.createTempDirectory("graft-changelog-c").toString
     writeSegment(dir, "000001", Seq(

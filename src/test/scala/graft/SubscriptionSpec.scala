@@ -38,6 +38,22 @@ class SubscriptionSpec extends SparkSuite {
     // retention drops acked batches, fetch_new unaffected
     assert(sub.expireAcked() == Seq(0L, 1L))
     assert(sub.offsets() == Seq(2L))
+
+    assert(sub.fetchNew(spark).get.count() == 1)
+
+    // a producer crash mid-write leaves a batch dir without _SUCCESS:
+    // it must be invisible to offsets/fetch until the write completes
+    val partial = java.nio.file.Paths.get(dir, "batch=3")
+    java.nio.file.Files.createDirectories(partial)
+    java.nio.file.Files.writeString(
+      partial.resolve("part-00000.parquet"), "truncated")
+    assert(sub.offsets() == Seq(2L))
+    sub.ack(2L)
+    assert(sub.fetchNew(spark).isEmpty)
+    // completing the write (overwrite with a real parquet commit, which
+    // lands _SUCCESS last) makes the batch visible
+    sub.stage(Seq((5L, "e")).toDF("k", "v"), 3L)
+    assert(sub.offsets() == Seq(2L, 3L))
     assert(sub.fetchNew(spark).get.count() == 1)
   }
 
