@@ -35,25 +35,53 @@ object Applier {
   private def vals(r: Row, cs: Seq[String]): Seq[Any] =
     cs.map(c => r.getAs[Any](c))
 
-  /** Pure planner for one partition's mergeable rows: delete batches
-    * first, then upsert batches (the reference's deletes-then-inserts
-    * ordering gives per-key upsert semantics on idempotent sinks).
+  /** Pure streaming planner for one partition's mergeable rows: a
+    * single pass over the iterator, buffering at most `batchSize` rows
+    * per action lane before emitting a statement batch — never
+    * materializing the partition (a fat partition at 100× scale must
+    * not OOM the executor; peak held rows ≤ 2·batchSize).
+    *
+    * Lane ordering: a lane flushes when full; on input exhaustion
+    * remaining deletes flush before remaining upserts. Compaction
+    * guarantees each key appears at most once per micro-batch, so
+    * cross-lane order between *different* keys is immaterial — the
+    * reference's global deletes-then-inserts ordering
+    * (merge_parallelizer.rs:54-242) only matters for same-key pairs,
+    * which cannot occur post-compaction.
     */
   def planMergeable(dialect: RdbQueryBuilder.Dialect, table: String,
       rows: Iterator[Row], keys: Seq[String], cols: Seq[String],
-      batchSize: Int = 1000): Seq[StatementBatch] = {
-    val (dels, ups) = rows.toSeq.partition(
-      _.getAs[String](Compaction.ActionCol) == Compaction.Delete)
-    val deleteBatches = dels.grouped(batchSize).map { rs =>
-      StatementBatch(
-        RdbQueryBuilder.batchDelete(dialect, table, keys, rs.size),
-        rs.map(vals(_, keys)))
-    }.toSeq
-    val upsertBatches = ups.grouped(batchSize).map { rs =>
-      StatementBatch(dialect.upsert(table, cols, keys, rs.size),
-        rs.map(vals(_, cols)))
-    }.toSeq
-    deleteBatches ++ upsertBatches
+      batchSize: Int = 1000): Iterator[StatementBatch] = {
+    val dels = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val ups = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    def flushDels(): StatementBatch = {
+      val b = StatementBatch(
+        RdbQueryBuilder.batchDelete(dialect, table, keys, dels.size),
+        dels.toSeq)
+      dels.clear(); b
+    }
+    def flushUps(): StatementBatch = {
+      val b = StatementBatch(
+        dialect.upsert(table, cols, keys, ups.size), ups.toSeq)
+      ups.clear(); b
+    }
+    new Iterator[StatementBatch] {
+      override def hasNext: Boolean =
+        rows.hasNext || dels.nonEmpty || ups.nonEmpty
+      override def next(): StatementBatch = {
+        while (rows.hasNext && dels.size < batchSize &&
+            ups.size < batchSize) {
+          val r = rows.next()
+          if (r.getAs[String](Compaction.ActionCol) == Compaction.Delete)
+            dels += vals(r, keys)
+          else ups += vals(r, cols)
+        }
+        if (dels.size >= batchSize) flushDels()
+        else if (ups.size >= batchSize) flushUps()
+        else if (dels.nonEmpty) flushDels() // input drained: deletes first
+        else flushUps()
+      }
+    }
   }
 
   /** Pure planner for the serial lane (NULL-keyed rows): one statement
@@ -63,7 +91,7 @@ object Applier {
     */
   def planSerial(dialect: RdbQueryBuilder.Dialect, table: String,
       rows: Iterator[Row], cols: Seq[String],
-      rowTypeCol: String = "row_type"): Seq[StatementBatch] =
+      rowTypeCol: String = "row_type"): Iterator[StatementBatch] =
     rows.map { r =>
       r.getAs[String](rowTypeCol) match {
         case "delete" =>
@@ -76,7 +104,7 @@ object Applier {
             RdbQueryBuilder.batchInsert(dialect, table, cols, 1),
             Seq(vals(r, cols)))
       }
-    }.toSeq
+    }
 
   /** Distributed apply of a compacted micro-batch (carries
     * Compaction.ActionCol). Mergeable lanes apply per partition in
@@ -111,12 +139,12 @@ object Applier {
   /** Execute with error isolation: a failing batch is retried row by row
     * so one poison row doesn't kill the batch.
     */
-  def applyAll(sink: StatementSink, batches: Seq[StatementBatch])
+  def applyAll(sink: StatementSink, batches: IterableOnce[StatementBatch])
       : AppliedStats = {
     var ok = 0L
     var isolated = 0L
     var failed = 0L
-    batches.foreach { b =>
+    batches.iterator.foreach { b =>
       try { sink.execute(b); ok += b.rows.size }
       catch {
         case _: Exception =>

@@ -87,16 +87,50 @@ class InfraSpec extends SparkSuite {
     val rows = compacted.filter(col(Compaction.ActionCol) =!= "serial")
       .collect().iterator
     val batches = Applier.planMergeable(RdbQueryBuilder.MySql, "t", rows,
-      Seq("k"), Seq("k", "v"))
+      Seq("k"), Seq("k", "v")).toSeq
     assert(batches.head.sql.startsWith("DELETE"))
     assert(batches(1).sql.startsWith("REPLACE"))
     val serialRows = compacted.filter(col(Compaction.ActionCol) === "serial")
       .orderBy("seq").collect().iterator
     val serial = Applier.planSerial(RdbQueryBuilder.MySql, "t",
-      serialRows, Seq("k", "v"))
+      serialRows, Seq("k", "v")).toSeq
     assert(serial.size == 2)
     assert(serial(0).sql.startsWith("INSERT"))
     assert(serial(1).sql == "DELETE FROM t WHERE `k`<=>? AND `v`<=>?")
+  }
+
+  test("applier planner streams: bounded buffering over 1M-row partition") {
+    import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType),
+      StructField(Compaction.ActionCol, StringType)))
+    val n = 1000000
+    var consumed = 0
+    val rows: Iterator[org.apache.spark.sql.Row] =
+      Iterator.range(0, n).map { i =>
+        consumed += 1
+        new GenericRowWithSchema(Array[Any](i.toLong, s"v$i",
+          if (i % 3 == 0) Compaction.Delete else Compaction.Upsert), schema)
+      }
+    val batchSize = 1000
+    val planner = Applier.planMergeable(RdbQueryBuilder.MySql, "t", rows,
+      Seq("k"), Seq("k", "v"), batchSize)
+    // laziness: producing the first batch must not drain the input —
+    // at most one fill pass (≤ 2·batchSize rows) may be consumed
+    val first = planner.next()
+    assert(first.rows.size == batchSize)
+    assert(consumed <= 2 * batchSize,
+      s"planner materialized $consumed rows for the first batch")
+    // full drive-through: every row lands in exactly one batch
+    var dels = first.rows.size.toLong *
+      (if (first.sql.startsWith("DELETE")) 1 else 0)
+    var ups = first.rows.size.toLong - dels
+    planner.foreach { b =>
+      if (b.sql.startsWith("DELETE")) dels += b.rows.size
+      else ups += b.rows.size
+    }
+    assert(dels == (n + 2) / 3 && dels + ups == n)
   }
 
   test("applier error isolation: poison row isolated, rest applied") {
