@@ -139,17 +139,47 @@ object Relational2 {
       |  user_id
       |FROM events""".stripMargin
 
+  /** q52 — the q16 twin through the reference's real wire format: Avro
+    * binary with the fixed envelope schema (avro_converter_schema.rs),
+    * encoded and decoded by avro-core datum writer/readers. Fidelity of
+    * the payload AND the sorted field-descriptor array is proven by
+    * recovering both from the bytes.
+    */
+  def avroRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val changes = Cdc.changes(spark, dir)
+    val wrapped = graft.sinks.AvroEnvelope.wrap(changes, "app", "events",
+      "cdc.app.events", col("event_id"), col("row_type"),
+      beforeCols = Nil,
+      afterCols = Seq("event_id", "user_id", "value"))
+    graft.sinks.AvroEnvelope.unwrap(wrapped)
+      .select(col("key").cast(LongType).as("event_id"),
+        col("schema"), col("tb"), col("row_type"),
+        element_at(col("after"), "user_id").cast(LongType)
+          .as("user_id"),
+        array_join(col("field_names"), ",").as("fields_csv"))
+  }
+
+  val avroRoundTripSql: String =
+    """SELECT event_id, 'app' AS schema, 'events' AS tb,
+      |  CASE WHEN event_type = 'signup' THEN 'insert'
+      |       WHEN event_type = 'error' THEN 'delete'
+      |       ELSE 'update' END AS row_type,
+      |  user_id, 'event_id,user_id,value' AS fields_csv
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q06_semi_anti" -> (semiAnti _),
     "q07_rollup" -> (rollupSummary _),
     "q08_distinct_agg" -> (distinctAgg _),
     "q09_set_ops" -> (setOps _),
-    "q16_kafka_roundtrip" -> (kafkaRoundTrip _))
+    "q16_kafka_roundtrip" -> (kafkaRoundTrip _),
+    "q52_avro_roundtrip" -> (avroRoundTrip _))
 
   val oracles: Map[String, String] = Map(
     "q06_semi_anti" -> semiAntiSql,
     "q07_rollup" -> rollupSummarySql,
     "q08_distinct_agg" -> distinctAggSql,
     "q09_set_ops" -> setOpsSql,
-    "q16_kafka_roundtrip" -> kafkaRoundTripSql)
+    "q16_kafka_roundtrip" -> kafkaRoundTripSql,
+    "q52_avro_roundtrip" -> avroRoundTripSql)
 }
