@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.infra.Precheck
+import graft.infra.{CheckLogs, Precheck}
 import graft.operators.{Checker, Compaction}
 
 /** Config → running task — the reference's TaskRunner
@@ -35,12 +35,23 @@ object TaskRunner {
       val (toSchema, toTb) = task.router.routeTable(schema, tb)
       val out = s"${task.sinkDir}/$toSchema.$toTb"
       routed.write.mode(SaveMode.Overwrite).parquet(out)
-      TableResult(schema, tb, routed.count(), s"$toSchema.$toTb")
+      // count the WRITTEN output, not the source again — a parquet
+      // count() is satisfied from row-group metadata, while re-counting
+      // `routed` would re-run the full source scan per table
+      TableResult(schema, tb, spark.read.parquet(out).count(),
+        s"$toSchema.$toTb")
     }
   }
 
   /** Check task: per admitted table, compare source against the routed
-    * sink output (the post-snapshot verification flow).
+    * sink output (the post-snapshot verification flow) and persist the
+    * check-log artifacts (miss.log/diff.log/summary.log under
+    * `<sinkDir>/checklog/<schema>.<tb>/`) that the revise task replays.
+    *
+    * One full-join pass per table: the non-OK subset (bounded by the
+    * defect count, not the data size) is cached, artifacts and defect
+    * counts both read it, and the OK count is derived as
+    * `src_rows - miss - diff` instead of re-scanning the join.
     */
   def runCheck(spark: SparkSession, task: TaskConfig.Task)
       : Seq[(String, Map[String, Long])] = {
@@ -51,10 +62,29 @@ object TaskRunner {
           Tables.load(spark, task.sourceDir, tb))
         val (toSchema, toTb) = task.router.routeTable(schema, tb)
         val dst = spark.read.parquet(s"${task.sinkDir}/$toSchema.$toTb")
-        val d = Checker.diff(src, dst, keys)
-        val counts = d.groupBy(Checker.StatusCol).count()
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        tb -> counts
+        val compareCols = src.columns.filter(dst.columns.contains)
+          .filterNot(keys.contains).toSeq
+        val nonOk = Checker.diff(src, dst, keys)
+          .filter(col(Checker.StatusCol) =!= "OK").persist()
+        try {
+          val logDir = s"${task.sinkDir}/checklog/$toSchema.$toTb"
+          CheckLogs.write(
+            CheckLogs.toLogs(nonOk, schema, tb, keys, compareCols),
+            logDir)
+          val defects = nonOk.groupBy(Checker.StatusCol).count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val miss = defects.getOrElse("MISS", 0L)
+          val diff = defects.getOrElse("DIFF", 0L)
+          val orphan = defects.getOrElse("ORPHAN", 0L)
+          val srcRows = src.count()
+          val summary = spark.createDataFrame(Seq(
+            (schema, tb, srcRows + orphan, miss, diff, orphan,
+              miss + diff + orphan == 0)))
+            .toDF("schema", "tb", "checked_count", "miss_count",
+              "diff_count", "orphan_count", "is_consistent")
+          CheckLogs.writeSummary(summary, logDir)
+          tb -> (defects + ("OK" -> (srcRows - miss - diff)))
+        } finally { nonOk.unpersist(); () }
       }
     }
   }

@@ -138,13 +138,72 @@ object CheckQueries {
       |FROM lineitem
       |WHERE ((l_orderkey * 1000003 + l_linenumber) % 1000000007) % 100 < 10""".stripMargin
 
+  /** q53 — the check-log loop as one dataflow: the check result renders
+    * to CheckLog JSON lines (miss/diff artifacts), the lines parse back
+    * through the reader schema, and revise SQL derives from the PARSED
+    * log only — proving the persisted artifact carries everything the
+    * revise task needs (ids, diff columns, both images).
+    */
+  def checkLogLoop(spark: SparkSession, dir: String): DataFrame = {
+    import graft.infra.CheckLogs
+    val lines = CheckLogs.toLogs(checked(spark, dir), "app", "orders",
+      keys, cmpCols)
+    val parsed = lines.select(
+      from_json(col("line"), CheckLogs.logSchema).as("log"))
+      .select(col("log.*"))
+    CheckLogs.reviseFromLogs(parsed, "orders", keys)
+      .select(
+        element_at(col("id_col_values"), "o_orderkey").cast("long")
+          .as("o_orderkey"),
+        col("op"), col("sql"),
+        element_at(col("diff_col_values"), "o_totalprice")("src")
+          .cast("double").as("src_price"),
+        element_at(col("diff_col_values"), "o_totalprice")("dst")
+          .cast("double").as("dst_price"))
+  }
+
+  val checkLogLoopSql: String =
+    s"""$checkJoinSql
+       |SELECT o_orderkey,
+       |  CASE status WHEN 'MISS' THEN 'insert' ELSE 'update' END AS op,
+       |  CASE status
+       |    WHEN 'MISS' THEN 'INSERT INTO orders VALUES (?)'
+       |    ELSE 'UPDATE orders SET ' ||
+       |      replace(diff_cols, ',', '=?, ') || '=?' ||
+       |      ' WHERE o_orderkey=' || CAST(o_orderkey AS VARCHAR)
+       |  END AS sql,
+       |  CASE WHEN status = 'DIFF' AND src_price IS DISTINCT FROM dst_price
+       |    THEN src_price END AS src_price,
+       |  CASE WHEN status = 'DIFF' AND src_price IS DISTINCT FROM dst_price
+       |    THEN dst_price END AS dst_price
+       |FROM j WHERE status IN ('MISS', 'DIFF')""".stripMargin
+
+  /** q54 — per-table check summary counts (summary.log shape). */
+  def checkSummary(spark: SparkSession, dir: String): DataFrame =
+    graft.infra.CheckLogs.tableSummary(checked(spark, dir), "app",
+      "orders")
+
+  val checkSummarySql: String =
+    s"""$checkJoinSql
+       |SELECT 'app' AS schema, 'orders' AS tb,
+       |  count(*) AS checked_count,
+       |  count(CASE WHEN status = 'MISS' THEN 1 END) AS miss_count,
+       |  count(CASE WHEN status = 'DIFF' THEN 1 END) AS diff_count,
+       |  count(CASE WHEN status = 'ORPHAN' THEN 1 END) AS orphan_count,
+       |  count(CASE WHEN status <> 'OK' THEN 1 END) = 0 AS is_consistent
+       |FROM j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_check_diff" -> (checkDiff _),
     "q21_revise_sql" -> (reviseSql _),
-    "q22_sample_check" -> (sampleCheck _))
+    "q22_sample_check" -> (sampleCheck _),
+    "q53_check_log_loop" -> (checkLogLoop _),
+    "q54_check_summary" -> (checkSummary _))
 
   val oracles: Map[String, String] = Map(
     "q20_check_diff" -> checkDiffSql,
     "q21_revise_sql" -> reviseSqlSql,
-    "q22_sample_check" -> sampleCheckSql)
+    "q22_sample_check" -> sampleCheckSql,
+    "q53_check_log_loop" -> checkLogLoopSql,
+    "q54_check_summary" -> checkSummarySql)
 }

@@ -76,6 +76,42 @@ class TaskConfigSpec extends SparkSuite {
     assert(check("customer").keySet == Set("OK"))
   }
 
+  test("check task with defects writes replayable artifacts") {
+    val sink = Files.createTempDirectory("task").toString
+    val t = task(sink)
+    TaskRunner.runSnapshot(spark, t)
+    // perturb the sink: drop every 97th≡13 order (→ MISS)
+    val dst = s"$sink/app_replica.orders"
+    val kept = spark.read.parquet(dst)
+      .filter(org.apache.spark.sql.functions
+        .pmod(org.apache.spark.sql.functions.col("o_orderkey"),
+          org.apache.spark.sql.functions.lit(97)) =!= 13)
+    val tmp = Files.createTempDirectory("task-perturb").toString
+    kept.write.parquet(s"$tmp/orders")
+    spark.read.parquet(s"$tmp/orders").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst)
+
+    val check = TaskRunner.runCheck(spark, t).toMap
+    assert(check("orders").getOrElse("MISS", 0L) > 0)
+
+    val logDir = java.nio.file.Paths.get(sink, "checklog",
+      "app_replica.orders")
+    val missLines = java.nio.file.Files
+      .readAllLines(logDir.resolve("miss.log"))
+    assert(missLines.size().toLong == check("orders")("MISS"))
+    assert(missLines.get(0).contains("\"id_col_values\":{\"o_orderkey\""))
+    val summary = java.nio.file.Files
+      .readAllLines(logDir.resolve("summary.log"))
+    assert(summary.get(0).contains("\"is_consistent\":false"))
+
+    // the artifacts drive the revise task end to end
+    val revise = graft.infra.CheckLogs.reviseFromLogs(
+      graft.infra.CheckLogs.read(spark, logDir.toString), "orders",
+      Seq("o_orderkey"))
+    assert(revise.filter(org.apache.spark.sql.functions.col("op") ===
+      "insert").count() == check("orders")("MISS"))
+  }
+
   test("precheck admits the configured tables") {
     val t = task("/tmp/unused")
     val res = TaskRunner.precheck(spark, t)
