@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.meta.{DdlParser, MetaManager}
+import graft.meta.{AlterParser, DdlParser, MetaManager}
 import graft.operators.Router
 
 /** DDL-aware micro-batch processing — the reference's DDL barrier
@@ -51,8 +51,11 @@ object DdlAwarePipeline {
             val routed = DdlParser.route(stmt, router, defaultDb)
             ddlSink.execute(routed.render)
             stmt match {
-              case DdlParser.AlterTable(db, tb, _) =>
-                meta.invalidate(db.getOrElse(defaultDb), tb)
+              case DdlParser.AlterTable(db, tb, alteration) =>
+                // typed actions evolve the cached StructType in place;
+                // evolve() itself invalidates when out of model
+                meta.evolve(db.getOrElse(defaultDb), tb,
+                  AlterParser.parse(alteration)): Unit
               case DdlParser.DropTable(db, tb, _) =>
                 meta.invalidate(db.getOrElse(defaultDb), tb)
               case DdlParser.RenameTable(fdb, ftb, _, _) =>

@@ -42,9 +42,11 @@ class DdlPipelineSpec extends SparkSuite {
     // DDL routed through the demo router (customer → clients)
     assert(appliedDdl.synchronized(appliedDdl.toSeq) ==
       Seq("ALTER TABLE `app_replica`.`clients` ADD COLUMN c INT"))
-    // meta invalidated: next access refetches
-    meta.get("app", "customer")
-    assert(fetches.get() == 2)
+    // typed ALTER evolved the cached meta IN PLACE: no refetch, and the
+    // cached struct already carries the new column
+    val evolved = meta.get("app", "customer")
+    assert(fetches.get() == 1)
+    assert(evolved.structType.fieldNames.toSeq == Seq("id", "c"))
     // DML flowed without the DDL row
     assert(dmlCount.get() == 2)
   }
