@@ -51,10 +51,16 @@ object CdcPipeline {
   /** Wire the full pipeline: per micro-batch, compact to final per-key
     * state and hand ordered batches to the applier. Exactly the
     * reference's merge parallelizer semantics per drained batch.
+    *
+    * `limiter`: optional rows-per-second token bucket (the reference's
+    * pipeline rps limiter) — each micro-batch acquires its row count
+    * before the apply, in capacity-sized slices so a large batch
+    * throttles smoothly instead of erroring on one oversized acquire.
     */
   def compactAndApply(changes: DataFrame, table: String,
       keys: Seq[String], cols: Seq[String], orderCols: Seq[String],
-      sinkFactory: () => Applier.StatementSink)
+      sinkFactory: () => Applier.StatementSink,
+      limiter: Option[graft.infra.RateLimiter] = None)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream
       .outputMode("update")
@@ -62,6 +68,14 @@ object CdcPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val compacted = Compaction.compact(batch, keys, orderCols,
           col("row_type"))
+        limiter.foreach { l =>
+          var remaining = batch.count()
+          while (remaining > 0) {
+            val take = math.min(remaining, l.capacity)
+            l.acquire(take)
+            remaining -= take
+          }
+        }
         Applier.applyCompacted(RdbQueryBuilder.MySql, table, compacted,
           keys, cols, orderCols, sinkFactory)
         ()
