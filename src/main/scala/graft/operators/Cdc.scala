@@ -92,15 +92,52 @@ object Cdc {
       |  MIN(event_id) AS min_event, MAX(event_id) AS max_event
       |FROM events GROUP BY 1""".stripMargin
 
+  /** q55 — the user-script transform surface (the Lua-contract hook) in
+    * its scale form: a runtime-supplied SQL-expression script over the
+    * change envelope, compiled to pure Catalyst (no UDF, stays in
+    * codegen). The script routes the table, derives a column, renames
+    * one, and drops deletes — one of each statement kind.
+    */
+  def scriptTransform(spark: SparkSession, dir: String): DataFrame = {
+    val envelope = changes(spark, dir).select(
+      lit("app").as("schema"), lit("events").as("tb"), col("row_type"),
+      map().cast("map<string,string>").as("before"),
+      map(lit("event_id"), col("event_id").cast("string"),
+        lit("user_id"), col("user_id").cast("string"),
+        lit("value"), col("value").cast("string"),
+        lit("event_type"), col("event_type")).as("after"))
+    val script =
+      """set tb = concat(tb, '_v2')
+        |set after.value_cents = floor(cast(after.value as double) * 100)
+        |rename after.event_type to kind
+        |drop if row_type = 'delete'
+        |""".stripMargin
+    graft.transform.ScriptTransform.sqlScript(script)(envelope)
+      .select(
+        element_at(col("after"), "event_id").cast("long").as("event_id"),
+        col("tb"), col("row_type"),
+        element_at(col("after"), "kind").as("kind"),
+        element_at(col("after"), "value_cents").cast("long")
+          .as("value_cents"))
+  }
+
+  val scriptTransformSql: String =
+    s"""SELECT event_id, 'events_v2' AS tb, ($rowTypeSql) AS row_type,
+       |  event_type AS kind,
+       |  CAST(floor(value * 100) AS BIGINT) AS value_cents
+       |FROM events WHERE ($rowTypeSql) <> 'delete'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_compact_changes" -> (compactChanges _),
     "q11_event_time_filter" -> (eventTimeFilter _),
     "q12_split_updates" -> (splitUpdates _),
-    "q13_sink_partitions" -> (sinkPartitions _))
+    "q13_sink_partitions" -> (sinkPartitions _),
+    "q55_script_transform" -> (scriptTransform _))
 
   val oracles: Map[String, String] = Map(
     "q10_compact_changes" -> compactChangesSql,
     "q11_event_time_filter" -> eventTimeFilterSql,
     "q12_split_updates" -> splitUpdatesSql,
-    "q13_sink_partitions" -> sinkPartitionsSql)
+    "q13_sink_partitions" -> sinkPartitionsSql,
+    "q55_script_transform" -> scriptTransformSql)
 }
