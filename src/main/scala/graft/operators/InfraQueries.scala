@@ -60,11 +60,42 @@ object InfraQueries {
       |  event_id AS version
       |FROM events""".stripMargin
 
+  /** q56 — table-parallelizer fan-out plan: the multi-table change
+    * stream partitions by full table name (each table's rows stay
+    * together and ordered; tables apply in parallel), and each table
+    * splits into ≤batchSize sub-batches — the per-table lane + batch
+    * arithmetic [[graft.sinks.Applier.applyPerTable]] executes. The
+    * oracle checks rows-per-table, key spread, per-table batch count,
+    * and the ordered boundaries (first/last seq) of each table lane.
+    */
+  def tableFanout(spark: SparkSession, dir: String): DataFrame = {
+    val batchSize = 500
+    Cdc.changes(spark, dir)
+      .withColumn("tb",
+        concat(lit("t"), pmod(col("user_id"), lit(3)).cast("string")))
+      .groupBy(col("tb"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_keys"),
+        min(col("event_id")).as("first_seq"),
+        max(col("event_id")).as("last_seq"),
+        ceil(count(lit(1)) / lit(batchSize.toDouble)).cast("long")
+          .as("n_batches"))
+  }
+
+  val tableFanoutSql: String =
+    """SELECT concat('t', CAST(user_id % 3 AS VARCHAR)) AS tb,
+      |  count(*) AS n_rows, count(DISTINCT user_id) AS n_keys,
+      |  min(event_id) AS first_seq, max(event_id) AS last_seq,
+      |  CAST(ceil(count(*) / 500.0) AS BIGINT) AS n_batches
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_chunk_stats" -> (chunkStats _),
-    "q51_streamload_rows" -> (streamLoadRows _))
+    "q51_streamload_rows" -> (streamLoadRows _),
+    "q56_table_fanout" -> (tableFanout _))
 
   val oracles: Map[String, String] = Map(
     "q50_chunk_stats" -> chunkStatsSql,
-    "q51_streamload_rows" -> streamLoadRowsSql)
+    "q51_streamload_rows" -> streamLoadRowsSql,
+    "q56_table_fanout" -> tableFanoutSql)
 }

@@ -136,6 +136,46 @@ object Applier {
       }
   }
 
+  /** Multi-table fan-out apply — the reference's table parallelizer
+    * (`/root/reference/dt-parallelizer/src/table_parallelizer.rs:22-80`:
+    * partition DML by full table name, sink each table's rows IN ORDER,
+    * tables in parallel). Spark shape: repartition by (schema, tb) so a
+    * table's rows land on one partition (tables spread across
+    * executors), sort within partitions by table then event order, and
+    * stream one pass per partition — consecutive same-table runs batch
+    * into per-table statements, a table switch flushes. Peak held rows
+    * ≤ batchSize; within-table order is exactly the input order, the
+    * reference's contract.
+    */
+  def applyPerTable(dialect: RdbQueryBuilder.Dialect,
+      changes: DataFrame, cols: Seq[String], orderCols: Seq[String],
+      sinkFactory: () => StatementSink, batchSize: Int = 1000): Unit = {
+    val selectCols = (Seq("schema", "tb", "row_type") ++ cols)
+      .distinct.map(col)
+    changes
+      .repartition(col("schema"), col("tb"))
+      .sortWithinPartitions(
+        (Seq(col("schema"), col("tb")) ++ orderCols.map(col)): _*)
+      .select(selectCols: _*)
+      .foreachPartition { it: Iterator[Row] =>
+        val sink = sinkFactory()
+        var table: String = null
+        val buf = scala.collection.mutable.ArrayBuffer[Row]()
+        def flush(): Unit = if (buf.nonEmpty) {
+          applyAll(sink, planSerial(dialect, table, buf.iterator, cols))
+          buf.clear()
+        }
+        it.foreach { r =>
+          val t = dialect.quote(r.getAs[String]("schema")) + "." +
+            dialect.quote(r.getAs[String]("tb"))
+          if (t != table) { flush(); table = t }
+          buf += r
+          if (buf.size >= batchSize) flush()
+        }
+        flush()
+      }
+  }
+
   /** Execute with error isolation: a failing batch is retried row by row
     * so one poison row doesn't kill the batch.
     */

@@ -133,6 +133,33 @@ class InfraSpec extends SparkSuite {
     assert(dels == (n + 2) / 3 && dels + ups == n)
   }
 
+  test("per-table fan-out: tables isolated, within-table order kept") {
+    val acc = InfraSpec.sharedSink
+    acc.synchronized(acc.clear())
+    // 2 tables interleaved in input; order col = seq
+    val changes = Seq(
+      ("app", "ta", "insert", 1L, "a1"),
+      ("app", "tb", "insert", 2L, "b1"),
+      ("app", "ta", "update", 3L, "a2"),
+      ("app", "tb", "delete", 4L, "b2"),
+      ("app", "ta", "delete", 5L, "a3"))
+      .toDF("schema", "tb", "row_type", "seq", "v")
+    Applier.applyPerTable(RdbQueryBuilder.MySql, changes,
+      cols = Seq("seq", "v"), orderCols = Seq("seq"),
+      sinkFactory = () => InfraSpec.SharedSink, batchSize = 2)
+    val got = acc.synchronized(acc.toSeq)
+    // every statement targets a fully-qualified single table
+    assert(got.forall(b => b.sql.contains("`app`.`ta`") ||
+      b.sql.contains("`app`.`tb`")))
+    def lane(t: String) = got.filter(_.sql.contains(s"`app`.`$t`"))
+      .flatMap(_.rows.map(_.head.asInstanceOf[Long]))
+    // within-table order is the input order, regardless of interleave
+    assert(lane("ta") == Seq(1L, 3L, 5L))
+    assert(lane("tb") == Seq(2L, 4L))
+    // delete statements match full row null-safely (serial-lane shape)
+    assert(got.exists(_.sql.startsWith("DELETE FROM `app`.`ta` WHERE")))
+  }
+
   test("applier error isolation: poison row isolated, rest applied") {
     val sink = new BufferSink(failOn = _.contains("poison"))
     val b = Applier.StatementBatch("INSERT", Seq(
