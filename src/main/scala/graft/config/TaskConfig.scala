@@ -102,7 +102,10 @@ object TaskConfig {
       doEvents = fl.list("do_events") match {
         case Nil => Set("insert", "update", "delete")
         case xs => xs.toSet
-      })
+      },
+      doDdls = fl.list("do_ddls").toSet,
+      doStructures = fl.list("do_structures").toSet,
+      ignoreCmds = fl.list("ignore_cmds").toSet)
 
     def pairMap(key: String): Map[String, String] =
       rt.list(key).flatMap { kv =>

@@ -167,6 +167,39 @@ object DdlParser {
     Seq(RawDdl(s))
   }
 
+  /** The reference's DdlType name for a statement (ddl_meta/ddl_type.rs
+    * spellings) — the token `do_ddls` config lists match against.
+    */
+  def ddlType(stmt: DdlStatement): String = stmt match {
+    case _: CreateDatabase => "create_database"
+    case _: DropDatabase => "drop_database"
+    case _: CreateTable => "create_table"
+    case _: DropTable => "drop_table"
+    case _: TruncateTable => "truncate_table"
+    case _: AlterTable => "alter_table"
+    case _: RenameTable => "rename_table"
+    case _: CreateIndex => "create_index"
+    case _: DropIndex => "drop_index"
+    case _: RawDdl => "unknown"
+  }
+
+  /** The (schema, tb) a statement targets, for the DDL filter gate —
+    * database-level statements report an empty tb.
+    */
+  def target(stmt: DdlStatement, defaultDb: String): (String, String) =
+    stmt match {
+      case CreateDatabase(db, _) => (db, "")
+      case DropDatabase(db, _) => (db, "")
+      case CreateTable(db, tb, _, _) => (db.getOrElse(defaultDb), tb)
+      case DropTable(db, tb, _) => (db.getOrElse(defaultDb), tb)
+      case TruncateTable(db, tb) => (db.getOrElse(defaultDb), tb)
+      case AlterTable(db, tb, _) => (db.getOrElse(defaultDb), tb)
+      case RenameTable(fdb, ftb, _, _) => (fdb.getOrElse(defaultDb), ftb)
+      case CreateIndex(_, db, tb, _) => (db.getOrElse(defaultDb), tb)
+      case DropIndex(_, db, tb) => (db.getOrElse(defaultDb), tb)
+      case _: RawDdl => (defaultDb, "")
+    }
+
   /** Route a parsed statement through schema/table maps (the reference's
     * DDL routing incl. RENAME targets, rdb_router.rs:286-317).
     */

@@ -50,7 +50,10 @@ final case class NameFilter(
     ignoreSchemas: Seq[String] = Nil,
     doTbs: Seq[TableToken] = Nil,
     ignoreTbs: Seq[TableToken] = Nil,
-    doEvents: Set[String] = Set("insert", "update", "delete")) {
+    doEvents: Set[String] = Set("insert", "update", "delete"),
+    doDdls: Set[String] = Set.empty,
+    doStructures: Set[String] = Set.empty,
+    ignoreCmds: Set[String] = Set.empty) {
 
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Boolean]()
@@ -74,6 +77,25 @@ final case class NameFilter(
     })
 
   def allowEvent(rowType: String): Boolean = doEvents.contains(rowType)
+
+  /** DDL gate (reference rdb_filter.rs:110-120): DDL replication is
+    * opt-in — a statement passes only when its type is listed (or `*`)
+    * AND its object's schema/table is admitted. Empty `do_ddls` drops
+    * all DDL, the reference's default.
+    */
+  def allowDdl(ddlType: String, schema: String, tb: String): Boolean =
+    (doDdls.contains("*") || doDdls.contains(ddlType)) &&
+      (if (tb == null || tb.isEmpty) allowSchema(schema)
+       else allowTable(schema, tb))
+
+  /** Structure-migration gate (rdb_filter.rs:130-133): which structure
+    * kinds (table/index/constraint/…) the struct task migrates.
+    */
+  def allowStructure(structureType: String): Boolean =
+    doStructures.contains("*") || doStructures.contains(structureType)
+
+  /** Command deny-list (rdb_filter.rs:135-137, Redis ignore_cmds). */
+  def allowCmd(cmd: String): Boolean = !ignoreCmds.contains(cmd)
 
   /** Expand against a catalog listing: the driver-side table pruning that
     * decides which tables get scans at all (SURVEY §4 "partition pruning").

@@ -36,7 +36,12 @@ object DdlAwarePipeline {
   def process(changes: DataFrame, router: Router, defaultDb: String,
       meta: MetaManager, ddlSink: DdlSink,
       onBatch: (DataFrame, Long) => Unit,
-      report: BatchReport => Unit = _ => ())
+      report: BatchReport => Unit = _ => (),
+      // DDL gate (reference do_ddls, deny-by-default in config; the
+      // programmatic default admits all so existing pipelines that
+      // never configured a filter keep replicating DDL)
+      filter: graft.operators.NameFilter =
+        graft.operators.NameFilter(doDdls = Set("*")))
       : DataStreamWriter[Row] =
     // default micro-batch trigger: callers chain .trigger(...) as needed
     // (AvailableNow would snapshot offsets at start and miss later data)
@@ -47,7 +52,10 @@ object DdlAwarePipeline {
         val ddlRows = batch.filter(col("row_type") === "ddl")
           .select(col("ddl_text")).collect().map(_.getString(0)).toSeq
         val applied = ddlRows.flatMap { sql =>
-          DdlParser.parse(sql).map { stmt =>
+          DdlParser.parse(sql).filter { stmt =>
+            val (s, t) = DdlParser.target(stmt, defaultDb)
+            filter.allowDdl(DdlParser.ddlType(stmt), s, t)
+          }.map { stmt =>
             val routed = DdlParser.route(stmt, router, defaultDb)
             ddlSink.execute(routed.render)
             stmt match {

@@ -52,4 +52,27 @@ class NameFilterSpec extends AnyFunSuite {
     val f = NameFilter(doEvents = Set("insert", "delete"))
     assert(f.allowEvent("insert") && !f.allowEvent("update"))
   }
+
+  test("ddl gate: opt-in by type AND object admission") {
+    // deny-by-default: no do_ddls → no DDL replicates
+    assert(!NameFilter().allowDdl("alter_table", "app", "t"))
+    val f = NameFilter(
+      doTbs = Seq(TableToken("app", "orders")),
+      doDdls = Set("alter_table", "truncate_table"))
+    assert(f.allowDdl("alter_table", "app", "orders"))
+    assert(!f.allowDdl("drop_table", "app", "orders")) // type not listed
+    assert(!f.allowDdl("alter_table", "app", "users")) // object filtered
+    // db-level statements check the schema filter; '*' admits all types
+    val g = NameFilter(doSchemas = Seq("app"), doDdls = Set("*"))
+    assert(g.allowDdl("create_database", "app", ""))
+    assert(!g.allowDdl("create_database", "other", ""))
+  }
+
+  test("structure and command gates") {
+    val f = NameFilter(doStructures = Set("table", "index"),
+      ignoreCmds = Set("FLUSHALL", "DEBUG"))
+    assert(f.allowStructure("table") && !f.allowStructure("constraint"))
+    assert(NameFilter(doStructures = Set("*")).allowStructure("sequence"))
+    assert(f.allowCmd("SET") && !f.allowCmd("FLUSHALL"))
+  }
 }

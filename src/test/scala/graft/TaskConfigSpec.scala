@@ -18,6 +18,9 @@ class TaskConfigSpec extends SparkSuite {
     |do_tbs=app.orders,app.customer
     |ignore_tbs=app.lineitem
     |do_events=insert,update
+    |do_ddls=alter_table,truncate_table
+    |do_structures=table,index
+    |ignore_cmds=FLUSHALL
     |
     |[router]
     |db_map=app:app_replica
@@ -43,6 +46,11 @@ class TaskConfigSpec extends SparkSuite {
     assert(t.filter.allowTable("app", "orders"))
     assert(!t.filter.allowTable("app", "lineitem"))
     assert(!t.filter.allowEvent("delete"))
+    assert(t.filter.allowDdl("alter_table", "app", "orders"))
+    assert(!t.filter.allowDdl("drop_table", "app", "orders"))
+    assert(t.filter.allowStructure("index") &&
+      !t.filter.allowStructure("constraint"))
+    assert(!t.filter.allowCmd("FLUSHALL") && t.filter.allowCmd("SET"))
     assert(t.router.routeTable("app", "customer") ==
       ("app_replica", "clients"))
     assert(t.router.routeTable("app", "orders") ==
