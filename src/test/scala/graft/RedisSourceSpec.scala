@@ -1,0 +1,124 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import graft.operators.NameFilter
+import graft.sources.{RedisRdb, RedisResp}
+
+/** Redis source: RDB binary parsing (length/string encodings, opcodes,
+  * per-type entries, LZF) and RESP command-stream mapping.
+  */
+class RedisSourceSpec extends SparkSuite {
+
+  /** Minimal RDB writer mirroring the format the parser reads. */
+  private final class RdbBuilder {
+    private val out = new ByteArrayOutputStream()
+    out.write("REDIS0011".getBytes("ascii"))
+    def byte(b: Int): this.type = { out.write(b); this }
+    def len6(n: Int): this.type = byte(n & 0x3f) // 6-bit length
+    def len14(n: Int): this.type =
+      byte(0x40 | (n >> 8)).byte(n & 0xff)
+    def str(s: String): this.type = {
+      len6(s.length); out.write(s.getBytes("utf-8")); this
+    }
+    def int16Str(v: Short): this.type = // special encoding 1, LE
+      byte(0xc1).byte(v & 0xff).byte((v >> 8) & 0xff)
+    def lzfStr(raw: String, compressed: Array[Byte]): this.type = {
+      byte(0xc3)
+      len6(compressed.length)
+      len6(raw.length)
+      out.write(compressed); this
+    }
+    def selectDb(n: Int): this.type = byte(0xfe).len6(n)
+    def expireMs(ms: Long): this.type = {
+      byte(0xfc)
+      (0 until 8).foreach(i => byte(((ms >> (8 * i)) & 0xff).toInt))
+      this
+    }
+    def aux(k: String, v: String): this.type = byte(0xfa).str(k).str(v)
+    def eof(): Array[Byte] = { out.write(0xff); out.toByteArray }
+  }
+
+  test("rdb: opcodes, string/list/set/hash entries, expiry binding") {
+    val b = new RdbBuilder()
+      .aux("redis-ver", "7.2.0")
+      .selectDb(0)
+      .byte(0).str("k1").str("v1") // plain string
+      .expireMs(1700000000123L)
+      .byte(0).str("k2").int16Str(300.toShort) // int-encoded, expiring
+      .byte(0).str("k3").str("after") // expiry must NOT leak here
+      .selectDb(2)
+      .byte(4).str("h").len6(2).str("f1").str("x").str("f2").str("y")
+      .byte(1).str("l").len6(2).str("a").str("b")
+      .byte(2).str("s").len6(1).str("m")
+    val entries = RedisRdb.parse(b.eof())
+    assert(entries == Seq(
+      RedisRdb.Entry(0, "k1", "string", "", "v1", None),
+      RedisRdb.Entry(0, "k2", "string", "", "300",
+        Some(1700000000123L)),
+      RedisRdb.Entry(0, "k3", "string", "", "after", None),
+      RedisRdb.Entry(2, "h", "hash", "f1", "x", None),
+      RedisRdb.Entry(2, "h", "hash", "f2", "y", None),
+      RedisRdb.Entry(2, "l", "list", "0", "a", None),
+      RedisRdb.Entry(2, "l", "list", "1", "b", None),
+      RedisRdb.Entry(2, "s", "set", "m", "", None)))
+  }
+
+  test("rdb: lzf-compressed string round-trips") {
+    // 'aaaaaaaaaa' (10×a): literal 'a', then back-ref len 9 at offset 1
+    // ctrl for ref: len-2=7 → ctrl=(7<<5)|0=0xe0, ext byte 0, off byte 0
+    val compressed = Array[Byte](0x00, 'a'.toByte, 0xe0.toByte, 0x00,
+      0x00)
+    assert(new String(RedisRdb.lzfDecompress(compressed, 10)) ==
+      "a" * 10)
+    val b = new RdbBuilder()
+      .byte(0).str("big").lzfStr("a" * 10, compressed)
+    assert(RedisRdb.parse(b.eof()) == Seq(
+      RedisRdb.Entry(0, "big", "string", "", "a" * 10, None)))
+  }
+
+  test("rdb: 14-bit lengths and unsupported types fail loudly") {
+    // key written with a 14-bit length header
+    val b = new RdbBuilder().byte(0).len14(3)
+      .byte('k').byte('e').byte('y').str("val")
+    assert(RedisRdb.parse(b.eof()).head.key == "key")
+    val bad = new RdbBuilder().byte(10).str("zip") // ziplist: subset edge
+    val e = intercept[IllegalArgumentException](RedisRdb.parse(bad.eof()))
+    assert(e.getMessage.contains("unsupported rdb value type 10"))
+  }
+
+  test("rdb: distributed read — one task per shard file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rdb")
+    val shard0 = new RdbBuilder().byte(0).str("a").str("1").eof()
+    val shard1 = new RdbBuilder().selectDb(1)
+      .byte(0).str("b").str("2").eof()
+    java.nio.file.Files.write(dir.resolve("shard0.rdb"), shard0)
+    java.nio.file.Files.write(dir.resolve("shard1.rdb"), shard1)
+    val df = RedisRdb.read(spark, dir.toString)
+    import spark.implicits._
+    val got = df.select("db", "key", "value").as[(Long, String, String)]
+      .collect().toSet
+    assert(got == Set((0L, "a", "1"), (1L, "b", "2")))
+  }
+
+  test("resp: command stream parses and maps to change events") {
+    def cmd(args: String*): String =
+      s"*${args.size}\r\n" +
+        args.map(a => s"$$${a.length}\r\n$a\r\n").mkString
+    val stream = cmd("SELECT", "3") + cmd("SET", "k", "v") +
+      cmd("HSET", "h", "f1", "1", "f2", "2") +
+      cmd("DEL", "k", "h") + cmd("FLUSHALL") +
+      cmd("PING")
+    val cmds = RedisResp.parse(stream)
+    assert(cmds.head == Seq("SELECT", "3"))
+    val events = RedisResp.toEvents(cmds,
+      NameFilter(ignoreCmds = Set("FLUSHALL")))
+    assert(events == Seq(
+      RedisResp.CmdEvent(3, "SET", "k", "insert", Map("value" -> "v")),
+      RedisResp.CmdEvent(3, "HSET", "h", "insert",
+        Map("f1" -> "1", "f2" -> "2")),
+      RedisResp.CmdEvent(3, "DEL", "k", "delete", Map.empty),
+      RedisResp.CmdEvent(3, "DEL", "h", "delete", Map.empty),
+      RedisResp.CmdEvent(3, "PING", "", "raw", Map.empty)))
+  }
+}
