@@ -21,11 +21,14 @@ import graft.operators.NameFilter
   * shuffles raw bytes.
   *
   * Format subset (documented): value types string(0), list(1), set(2),
-  * hash(4) in raw encoding; string payloads additionally in INT8/16/32
-  * and LZF encodings; opcodes AUX, RESIZEDB, EXPIRE/EXPIRE_MS, IDLE,
-  * FREQ, SELECT, EOF (`rdb_parser.rs:9-20`, `reader/length.rs:8-60`,
-  * `reader/string.rs:8-42`). Compact encodings (ziplist/listpack/…) and
-  * modules raise with the type id rather than mis-parse.
+  * hash(4) in raw encoding, intset(11), and the Redis-7 listpack family
+  * — hash(16), zset(17), quicklist-v2 list(18, plain + packed nodes),
+  * set(20); string payloads additionally in INT8/16/32 and LZF
+  * encodings; opcodes AUX, RESIZEDB, EXPIRE/EXPIRE_MS, IDLE, FREQ,
+  * SELECT, EOF (`rdb_parser.rs:9-20`, `reader/length.rs:8-60`,
+  * `reader/string.rs:8-42`, `reader/list_pack.rs:12-150`). The
+  * pre-listpack ziplist/zipmap era and modules raise with the type id
+  * rather than mis-parse.
   */
 object RedisRdb {
 
@@ -73,24 +76,108 @@ object RedisRdb {
     }
 
     /** String encodings (reader/string.rs): raw, little-endian
-      * INT8/16/32 rendered decimal, LZF-compressed.
+      * INT8/16/32 rendered decimal, LZF-compressed. Raw bytes variant
+      * for nested binary payloads (listpack/intset envelopes must NOT
+      * round-trip through a charset).
       */
-    def string(): String = {
+    def stringBytes(): Array[Byte] = {
       val (len, special) = encodedLength()
-      if (!special)
-        new String(take(len.toInt), StandardCharsets.UTF_8)
+      if (!special) take(len.toInt)
       else len.toInt match {
-        case 0 => u8().toByte.toString
+        case 0 => u8().toByte.toString.getBytes(StandardCharsets.UTF_8)
         case 1 => ((u8() | (u8() << 8)).toShort).toString
+          .getBytes(StandardCharsets.UTF_8)
         case 2 =>
           (u8() | (u8() << 8) | (u8() << 16) | (u8() << 24)).toString
+            .getBytes(StandardCharsets.UTF_8)
         case 3 =>
           val inLen = length().toInt
           val outLen = length().toInt
-          new String(lzfDecompress(take(inLen), outLen),
-            StandardCharsets.UTF_8)
+          lzfDecompress(take(inLen), outLen)
         case other => throw new IllegalArgumentException(
           s"unknown string encode type $other")
+      }
+    }
+
+    def string(): String =
+      new String(stringBytes(), StandardCharsets.UTF_8)
+
+    /** Listpack payload (reader/list_pack.rs, mirroring listpack.c's
+      * lpGetWithSize): the envelope is an RDB string (possibly LZF);
+      * inside, a 4-byte total + 2-byte count header, then entries in
+      * 7-bit-uint / 6-bit-str / 13-bit-int / 12-bit-str / exact-coded
+      * int / 32-bit-str encodings (each followed by its back-length),
+      * terminated by 0xFF.
+      */
+    def listpack(): Seq[String] = {
+      val r = new Reader(stringBytes())
+      r.take(4) // total-bytes, unused
+      val count = r.u8() | (r.u8() << 8)
+      def backlen(entryLen: Int): Unit = {
+        val n = if (entryLen < 128) 1
+          else if (entryLen < 16384) 2
+          else if (entryLen < (1 << 21)) 3
+          else if (entryLen < (1 << 28)) 4 else 5
+        r.take(n): Unit
+      }
+      def sint(uval: Long, negstart: Long, negmax: Long): String =
+        (if (uval >= negstart) -(negmax - uval) - 1 else uval).toString
+      val out = (0 until count).map { _ =>
+        val b = r.u8()
+        if ((b & 0x80) == 0) { // 7-bit uint
+          backlen(1); (b & 0x7f).toString
+        } else if ((b & 0xc0) == 0x80) { // 6-bit str
+          val len = b & 0x3f
+          val s = new String(r.take(len), StandardCharsets.UTF_8)
+          backlen(1 + len); s
+        } else if ((b & 0xe0) == 0xc0) { // 13-bit int
+          val uval = ((b & 0x1f).toLong << 8) | r.u8()
+          backlen(2); sint(uval, 1L << 12, 8191L)
+        } else if (b == 0xf1) { // 16-bit int LE
+          val uval = (r.u8() | (r.u8() << 8)).toLong
+          backlen(3); sint(uval, 1L << 15, 0xffffL)
+        } else if (b == 0xf2) { // 24-bit int LE
+          val uval = (r.u8() | (r.u8() << 8) | (r.u8() << 16)).toLong
+          backlen(4); sint(uval, 1L << 23, 0xffffffL)
+        } else if (b == 0xf3) { // 32-bit int LE
+          val uval = (r.u8().toLong | (r.u8().toLong << 8) |
+            (r.u8().toLong << 16) | (r.u8().toLong << 24))
+          backlen(5); sint(uval, 1L << 31, 0xffffffffL)
+        } else if (b == 0xf4) { // 64-bit int LE
+          val uval = (0 until 8).foldLeft(0L)((a, i) =>
+            a | (r.u8().toLong << (8 * i)))
+          backlen(9); uval.toString // full 64-bit two's complement
+        } else if ((b & 0xf0) == 0xe0) { // 12-bit str
+          val len = ((b & 0x0f) << 8) | r.u8()
+          val s = new String(r.take(len), StandardCharsets.UTF_8)
+          backlen(2 + len); s
+        } else if (b == 0xf0) { // 32-bit str
+          val len = r.u8() | (r.u8() << 8) | (r.u8() << 16) |
+            (r.u8() << 24)
+          val s = new String(r.take(len), StandardCharsets.UTF_8)
+          backlen(5 + len); s
+        } else throw new IllegalArgumentException(
+          f"bad listpack entry encoding: $b%x")
+      }
+      require(r.u8() == 0xff, "read_listpack: last byte is not 0xFF")
+      out
+    }
+
+    /** Intset payload (reader/int_set.rs): encoding-width u32 LE
+      * (2/4/8), count u32 LE, then little-endian signed ints.
+      */
+    def intset(): Seq[String] = {
+      val r = new Reader(stringBytes())
+      def u32(): Int = r.u8() | (r.u8() << 8) | (r.u8() << 16) |
+        (r.u8() << 24)
+      val width = u32()
+      val count = u32()
+      (0 until count).map { _ =>
+        val uval = (0 until width).foldLeft(0L)((a, i) =>
+          a | (r.u8().toLong << (8 * i)))
+        // sign-extend from width bytes
+        val shift = 64 - 8 * width
+        ((uval << shift) >> shift).toString
       }
     }
   }
@@ -181,9 +268,42 @@ object RedisRdb {
                 val f = r.string()
                 out += Entry(db, key, "hash", f, r.string(), expireMs)
               }
+            case 11 => // intset-encoded set (entry_parser RDB_TYPE 11)
+              r.intset().foreach(m =>
+                out += Entry(db, key, "set", m, "", expireMs))
+            case 16 => // hash listpack (RDB_TYPE_HASH_LISTPACK)
+              r.listpack().grouped(2).foreach {
+                case Seq(f, v) =>
+                  out += Entry(db, key, "hash", f, v, expireMs)
+                case _ => ()
+              }
+            case 17 => // zset listpack (member, score pairs)
+              r.listpack().grouped(2).foreach {
+                case Seq(m, s) =>
+                  out += Entry(db, key, "zset", m, s, expireMs)
+                case _ => ()
+              }
+            case 18 => // quicklist v2: nodes are plain or packed
+              val nodes = r.length()
+              var idx = 0L
+              (0L until nodes).foreach { _ =>
+                val container = r.length()
+                val elems =
+                  if (container == 1) Seq(r.string()) // plain node
+                  else r.listpack() // packed node
+                elems.foreach { e =>
+                  out += Entry(db, key, "list", idx.toString, e,
+                    expireMs)
+                  idx += 1
+                }
+              }
+            case 20 => // set listpack (RDB_TYPE_SET_LISTPACK)
+              r.listpack().foreach(m =>
+                out += Entry(db, key, "set", m, "", expireMs))
             case other => throw new IllegalArgumentException(
               s"unsupported rdb value type $other for key $key " +
-                "(compact encodings are out of the documented subset)")
+                "(ziplist/zipmap-era encodings are out of the " +
+                "documented subset)")
           }
           expireMs = None // expiry binds to the single next entry
       }

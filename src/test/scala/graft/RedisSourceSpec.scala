@@ -87,6 +87,52 @@ class RedisSourceSpec extends SparkSuite {
     assert(e.getMessage.contains("unsupported rdb value type 10"))
   }
 
+  test("rdb: listpack family — hash/zset/set/quicklist2 + intset") {
+    // listpack payload ["a", 5, "b", -3, 300]: 6-bit strs, 7-bit uint,
+    // 13-bit negative int, 16-bit int; header total(4)+count(2) LE
+    def lp(count: Int)(entries: Int*): Array[Byte] =
+      (Array(0, 0, 0, 0, count & 0xff, count >> 8) ++ entries :+ 0xff)
+        .map(_.toByte)
+    val hashLp = lp(4)(
+      0x81, 'a', 0x02, // "a"
+      0x05, 0x01, // 5
+      0x81, 'b', 0x02, // "b"
+      0xdf, 0xfd, 0x01) // -3 (13-bit: 8189)
+    val zsetLp = lp(2)(
+      0x81, 'm', 0x02, // member "m"
+      0xf1, 0x2c, 0x01, 0x01) // score 300 (16-bit LE)
+    val setLp = lp(1)(0x07, 0x01) // {7}
+    val listLp = lp(2)(0x81, 'x', 0x02, 0x81, 'y', 0x02)
+    val intset = Array(2, 0, 0, 0, 2, 0, 0, 0, // width=2, count=2
+      5, 0, 0xff, 0xff).map(_.toByte) // [5, -1]
+
+    val b = new RdbBuilder()
+    def blob(bytes: Array[Byte]): Unit = {
+      b.len6(bytes.length)
+      bytes.foreach(x => b.byte(x & 0xff))
+    }
+    b.byte(16).str("h"); blob(hashLp)
+    b.byte(17).str("z"); blob(zsetLp)
+    b.byte(20).str("s"); blob(setLp)
+    b.byte(11).str("is"); blob(intset)
+    // quicklist2: 2 nodes — packed listpack, then a plain node
+    b.byte(18).str("l").len6(2)
+    b.len6(2); blob(listLp) // container=2 (packed)
+    b.len6(1).str("tail") // container=1 (plain)
+
+    val entries = RedisRdb.parse(b.eof())
+    assert(entries == Seq(
+      RedisRdb.Entry(0, "h", "hash", "a", "5", None),
+      RedisRdb.Entry(0, "h", "hash", "b", "-3", None),
+      RedisRdb.Entry(0, "z", "zset", "m", "300", None),
+      RedisRdb.Entry(0, "s", "set", "7", "", None),
+      RedisRdb.Entry(0, "is", "set", "5", "", None),
+      RedisRdb.Entry(0, "is", "set", "-1", "", None),
+      RedisRdb.Entry(0, "l", "list", "0", "x", None),
+      RedisRdb.Entry(0, "l", "list", "1", "y", None),
+      RedisRdb.Entry(0, "l", "list", "2", "tail", None)))
+  }
+
   test("rdb: distributed read — one task per shard file") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rdb")
     val shard0 = new RdbBuilder().byte(0).str("a").str("1").eof()
