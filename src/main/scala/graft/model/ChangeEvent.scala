@@ -104,4 +104,11 @@ object Position {
   final case class MongoCdc(resumeToken: String) extends Position {
     val kind = "mongo_cdc"; def render = resumeToken
   }
+  /** Redis replication stream position (reference position.rs Redis:
+    * replication id + byte offset from PSYNC).
+    */
+  final case class RedisCdc(replId: String, offset: Long)
+      extends Position {
+    val kind = "redis_cdc"; def render = s"$replId:$offset"
+  }
 }

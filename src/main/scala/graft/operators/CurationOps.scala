@@ -446,7 +446,38 @@ object CurationOps {
        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q57
+  /** Per-domain document cap — the web-pipeline guard against a single
+    * site dominating the corpus: keep at most `cap` documents per
+    * source, chosen DETERMINISTICALLY (by the reproducible sampling
+    * hash, doc_id tie-break) so retries and re-runs keep the same
+    * documents. One shuffle on `source`; a pathologically hot domain is
+    * exactly the [[Skew]] salting case — but a top-k per group never
+    * needs the full sort: only `cap` rows per source survive the
+    * map-side window when AQE splits skewed partitions.
+    */
+  def domainCap(spark: SparkSession, dir: String,
+      cap: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(sampleHash(col("doc_id")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
+  val domainCapSql: String = {
+    val h = sampleHashSql("doc_id")
+    s"""SELECT doc_id, source, rk FROM (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY $h, doc_id) AS rk
+       |  FROM documents) WHERE rk <= 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_domain_cap" -> ((s: SparkSession, d: String) => domainCap(s, d)),
     "q24_incremental_dedup" -> (incrementalDedup _),
     "q29_kmv_sketch" -> (kmvSketch _),
     "q27_lang_rebalance" -> (langRebalance _),
@@ -459,6 +490,7 @@ object CurationOps {
     "q46_dedup_groups" -> (dedupGroups _))
 
   val oracles: Map[String, String] = Map(
+    "q57_domain_cap" -> domainCapSql,
     "q24_incremental_dedup" -> incrementalDedupSql,
     "q29_kmv_sketch" -> kmvSketchSql,
     "q27_lang_rebalance" -> langRebalanceSql,

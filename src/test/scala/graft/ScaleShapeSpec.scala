@@ -80,6 +80,29 @@ class ScaleShapeSpec extends SparkSuite {
     assert(pushed.contains("text"))
   }
 
+  test("round-2 ops: map-only stages have zero exchanges") {
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    // doc diff, $set/$unset apply, avro+script envelopes: per-row only
+    assert(!planOf(graft.operators.MongoOps.docDiff(spark, sf))
+      .contains("Exchange"))
+    assert(!planOf(graft.operators.MongoOps.updateApply(spark, sf))
+      .contains("Exchange"))
+    assert(!planOf(graft.operators.Relational2.avroRoundTrip(spark, sf))
+      .contains("Exchange"))
+    assert(!planOf(graft.operators.Cdc.scriptTransform(spark, sf))
+      .contains("Exchange"))
+  }
+
+  test("mongo merger shuffles ids only, one exchange per branch") {
+    val plan = graft.operators.MongoOps.mongoCompact(spark, sf)
+      .queryExecution.executedPlan.toString
+    // no document bodies in any exchange: only tb/id/row_type/seq flow
+    assert(!plan.contains("text#") && !plan.contains("doc#"), plan)
+    // partial aggregation before the shuffle (map-side combine)
+    assert(plan.contains("partial_max"), plan)
+  }
+
   test("shuffle partition count follows session config, not the default") {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
     val parts = Tables.orders(spark, sf).groupBy("o_custkey").count()
