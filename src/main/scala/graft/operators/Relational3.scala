@@ -23,14 +23,29 @@ object Relational3 {
   /** CUBE over (l_returnflag, l_linestatus) with a grouping-set id.
     * Spark's `grouping_id()` and DuckDB's `GROUPING(a, b)` both emit the
     * MSB-first aggregated-column bitmask.
+    *
+    * Two-level shape on purpose: a naive `.cube` on the fact table
+    * expands EVERY row ×4 (one per grouping set) before the shuffle —
+    * at 100 TB that quadruples shuffle volume for a 12-row answer. The
+    * fact table instead pre-aggregates to the finest grouping (with
+    * map-side combine; output = |flag|×|status| ≈ 6 rows) and the CUBE
+    * expansion runs on that tiny intermediate. All measures are
+    * decomposable (counts sum, decimal sums re-sum exactly), so the
+    * result is bit-identical to the single-level form.
     */
-  def cubeSummary(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .cube(col("l_returnflag"), col("l_linestatus"))
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("l_quantity").cast(DecimalType(18, 4))).as("_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 4)))
+          .as("_price"))
+    base.cube(col("l_returnflag"), col("l_linestatus"))
       .agg(grouping_id().as("gid"),
-        count(lit(1)).as("n_rows"),
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_price"))
+        sum(col("_n")).as("n_rows"),
+        sum(col("_qty")).cast(DoubleType).as("sum_qty"),
+        sum(col("_price")).cast(DoubleType).as("sum_price"))
+  }
 
   val cubeSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
