@@ -17,9 +17,16 @@ object StructMigrator {
   final case class ColumnDef(name: String, dataType: DataType,
       nullable: Boolean = true, comment: Option[String] = None)
 
+  /** Secondary index (the reference migrates these as a separate
+    * structure kind — `do_structures=index`).
+    */
+  final case class IndexDef(name: String, cols: Seq[String],
+      unique: Boolean = false)
+
   final case class TableDef(schema: String, name: String,
       cols: Seq[ColumnDef], primaryKey: Seq[String] = Nil,
-      uniqueKeys: Seq[Seq[String]] = Nil, comment: Option[String] = None)
+      uniqueKeys: Seq[Seq[String]] = Nil, comment: Option[String] = None,
+      indexes: Seq[IndexDef] = Nil)
 
   object TableDef {
     /** Derive from a Spark schema (the engine-native catalog source). */
@@ -34,7 +41,30 @@ object StructMigrator {
     def quote(id: String): String
     def typeName(dt: DataType): String
     def render(t: TableDef): String
+
+    /** Secondary-index DDL, one statement per index (separate from the
+      * table body so the structure filter can admit tables without
+      * indexes, the reference's per-kind migration).
+      */
+    def renderIndexes(t: TableDef): Seq[String] =
+      t.indexes.map { ix =>
+        val u = if (ix.unique) "UNIQUE " else ""
+        s"CREATE ${u}INDEX ${quote(ix.name)} ON " +
+          s"${quote(t.schema)}.${quote(t.name)} " +
+          s"(${ix.cols.map(quote).mkString(", ")})"
+      }
   }
+
+  /** The full structure-migration statement list for one table, gated
+    * by the config's structure filter (`do_structures`): table body and
+    * secondary indexes are independent kinds — reference
+    * rdb_filter.filter_structure.
+    */
+  def migrate(t: TableDef, dialect: Dialect,
+      filter: graft.operators.NameFilter): Seq[String] =
+    (if (filter.allowStructure("table")) Seq(dialect.render(t)) else Nil) ++
+      (if (filter.allowStructure("index")) dialect.renderIndexes(t)
+       else Nil)
 
   private def baseCols(d: Dialect, t: TableDef): Seq[String] =
     t.cols.map { c =>

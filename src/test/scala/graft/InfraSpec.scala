@@ -218,6 +218,26 @@ class InfraSpec extends SparkSuite {
       ch.contains("Nullable(String)") && ch.contains("`id` Int64"))
   }
 
+  test("struct migration honors the do_structures gate per kind") {
+    import StructMigrator._
+    val t = TableDef("app", "users", Seq(
+      ColumnDef("id", LongType, nullable = false),
+      ColumnDef("email", StringType)),
+      primaryKey = Seq("id"),
+      indexes = Seq(IndexDef("ix_email", Seq("email"), unique = true)))
+    val all = StructMigrator.migrate(t, MySqlDialect,
+      graft.operators.NameFilter(doStructures = Set("*")))
+    assert(all.size == 2)
+    assert(all(0).startsWith("CREATE TABLE IF NOT EXISTS `app`.`users`"))
+    assert(all(1) ==
+      "CREATE UNIQUE INDEX `ix_email` ON `app`.`users` (`email`)")
+    val tablesOnly = StructMigrator.migrate(t, MySqlDialect,
+      graft.operators.NameFilter(doStructures = Set("table")))
+    assert(tablesOnly.size == 1 && tablesOnly.head.startsWith("CREATE TABLE"))
+    assert(StructMigrator.migrate(t, MySqlDialect,
+      graft.operators.NameFilter()).isEmpty)
+  }
+
   test("struct migrator derives TableDef from a Spark schema") {
     val st = StructType(Seq(StructField("a", IntegerType, nullable = false),
       StructField("b", StringType)))
