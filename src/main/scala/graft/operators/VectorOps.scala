@@ -291,7 +291,67 @@ object VectorOps {
        |    sqrt(CAST(a.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) >= 0.2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q58
+  /** Product-quantization codes — the memory-side ANN compression next
+    * to IVF's routing: the 64-dim vector splits into 4 subspaces of 16
+    * dims; each sub-vector snaps to its nearest of 4 deterministic
+    * sub-centroids (vec_id < 4, the same seeding rule as IVF); the code
+    * is the 4 centroid ids — 64 floats compress to 4 small ints.
+    * Distances use the exact integer identity
+    * ‖a−b‖² = ‖a‖² + ‖b‖² − 2·a·b over the native LongDot expression
+    * (no per-pair array allocation). The codebook broadcasts; the corpus
+    * shuffles only for the per-vector code assembly (4 rows of
+    * (vec_id, sub, cell) — never vectors).
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val subCount = 4
+    val subDim = 16
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), intVec(col("embedding")).as("xs"))
+    val subs = (0 until subCount).map { s =>
+      e.select(col("vec_id"), lit(s).as("sub"),
+        slice(col("xs"), s * subDim + 1, subDim).as("sxs"))
+    }.reduce(_ unionByName _)
+      .withColumn("snorm", intDot(col("sxs"), col("sxs")))
+    val cents = subs.filter(col("vec_id") < 4)
+      .select(col("sub"), col("vec_id").as("cell"),
+        col("sxs").as("c_sxs"), col("snorm").as("c_norm"))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dist"), col("cell"))
+    subs.join(broadcast(cents), "sub")
+      .withColumn("dist", col("snorm") + col("c_norm") -
+        lit(2) * intDot(col("sxs"), col("c_sxs")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("sub"), col("cell")))),
+        p => p("cell").cast(StringType)), "-").as("code"))
+  }
+
+  val pqCodesSql: String = {
+    val dot = intDotSql("p.sxs", "c.c_sxs")
+    s"""WITH v AS (SELECT vec_id, ${intVecSql("embedding")} AS xs
+       |  FROM embeddings),
+       |subs AS (SELECT vec_id, s.sub,
+       |    list_slice(xs, s.sub*16 + 1, s.sub*16 + 16) AS sxs
+       |  FROM v, (SELECT unnest(range(4)) AS sub) s),
+       |p AS (SELECT vec_id, sub, sxs,
+       |    ${intDotSql("sxs", "sxs")} AS snorm FROM subs),
+       |c AS (SELECT sub, vec_id AS cell, sxs AS c_sxs, snorm AS c_norm
+       |  FROM p WHERE vec_id < 4),
+       |d AS (SELECT p.vec_id, p.sub, c.cell,
+       |    p.snorm + c.c_norm - 2 * ($dot) AS dist
+       |  FROM p JOIN c ON p.sub = c.sub),
+       |r AS (SELECT vec_id, sub, cell, ROW_NUMBER() OVER
+       |    (PARTITION BY vec_id, sub ORDER BY dist, cell) AS rk FROM d)
+       |SELECT vec_id,
+       |  string_agg(CAST(cell AS VARCHAR), '-' ORDER BY sub) AS code
+       |FROM r WHERE rk = 1 GROUP BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_pq_codes" -> (pqCodes _),
     "q44_ivf_assign" -> (ivfAssign _),
     "q45_bucketed_neardup" -> (bucketedNearDups _),
     "q40_knn_cosine" -> (knn _),
@@ -300,6 +360,7 @@ object VectorOps {
     "q43_lsh_buckets" -> (lshBuckets _))
 
   val oracles: Map[String, String] = Map(
+    "q58_pq_codes" -> pqCodesSql,
     "q44_ivf_assign" -> ivfAssignSql,
     "q45_bucketed_neardup" -> bucketedNearDupsSql,
     "q40_knn_cosine" -> knnSql,
