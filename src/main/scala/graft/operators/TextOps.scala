@@ -249,7 +249,57 @@ object TextOps {
       |    len(regexp_extract_all(text, '[^\w\s]')) AS n_tokens
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** Repetition-quality signal: the duplicate word-trigram fraction per
+    * document — the standard repetition filter for web text (a high
+    * ratio marks boilerplate/generated loops). Per-row array arithmetic
+    * only, zero shuffle; the ratio is one double division over exact
+    * integers, so both engines agree bitwise. (The trigram array is
+    * referenced twice → the tokenize subtree evaluates twice per row
+    * under CollapseProject inlining; bounded and still map-only.)
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(normText(col("text")))
+    val tris = when(size(toks) >= 3,
+      transform(sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    val total = size(tris).cast("long")
+    val distinctN = size(array_distinct(tris)).cast("long")
+    graft.Tables.documents(spark, dir).select(
+      col("doc_id"),
+      total.as("n_trigrams"),
+      distinctN.as("n_distinct"),
+      when(total > 0,
+        (total - distinctN).cast("double") / total.cast("double"))
+        .otherwise(lit(0.0)).as("dup_ratio"))
+      .withColumn("flagged", col("dup_ratio") > 0.2)
+  }
+
+  val repetitionStatsSql: String = {
+    val toks = tokensSql(normTextSql("text"))
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |tr AS (SELECT doc_id,
+       |    CASE WHEN len(toks) >= 3 THEN list_transform(
+       |        range(1, greatest(len(toks) - 2, 1) + 1),
+       |        i -> array_to_string(toks[i:i+2], ' '))
+       |      ELSE [] END AS tris FROM t)
+       |SELECT doc_id,
+       |  CAST(len(tris) AS BIGINT) AS n_trigrams,
+       |  CAST(len(list_distinct(tris)) AS BIGINT) AS n_distinct,
+       |  CASE WHEN len(tris) > 0 THEN
+       |    CAST(len(tris) - len(list_distinct(tris)) AS DOUBLE) /
+       |      CAST(len(tris) AS DOUBLE)
+       |  ELSE 0.0 END AS dup_ratio,
+       |  (CASE WHEN len(tris) > 0 THEN
+       |    CAST(len(tris) - len(list_distinct(tris)) AS DOUBLE) /
+       |      CAST(len(tris) AS DOUBLE)
+       |  ELSE 0.0 END) > 0.2 AS flagged
+       |FROM tr""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_repetition" -> (repetitionStats _),
     "q37_quality_filter" -> (qualityFilter _),
     "q38_bpe_tokens" -> (bpeTokens _),
     "q30_text_stats" -> (textStats _),
@@ -258,6 +308,7 @@ object TextOps {
     "q33_dedup_exact" -> (dedupExact _))
 
   val oracles: Map[String, String] = Map(
+    "q59_repetition" -> repetitionStatsSql,
     "q37_quality_filter" -> qualityFilterSql,
     "q38_bpe_tokens" -> bpeTokensSql,
     "q30_text_stats" -> textStatsSql,
