@@ -97,6 +97,122 @@ object AvroEnvelope {
     if (m == null) null
     else m.map { case (k, v) => k -> (v: AnyRef) }.asJava
 
+  // ------------------------------------------------------------------
+  // Typed value branches — the union [null,string,long,double,bytes,
+  // boolean] carries native scalars, not just strings; the branch per
+  // engine value mirrors avro_converter.rs:299-339 (ints/bit/set/enum →
+  // Long, float → Double, blob/json-bytes → Bytes, temporal/decimal →
+  // String, bool → Boolean, None/UnchangedToast → Null).
+  // ------------------------------------------------------------------
+
+  private def toAvroValue(v: Any): AnyRef = v match {
+    case null => null
+    case b: Boolean => java.lang.Boolean.valueOf(b)
+    case b: Byte => java.lang.Long.valueOf(b.toLong)
+    case s: Short => java.lang.Long.valueOf(s.toLong)
+    case i: Int => java.lang.Long.valueOf(i.toLong)
+    case l: Long => java.lang.Long.valueOf(l)
+    case f: Float => java.lang.Double.valueOf(f.toDouble)
+    case d: Double => java.lang.Double.valueOf(d)
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case s: String => s
+    case other => other.toString
+  }
+
+  /** The rsgen variant name for a value's union branch
+    * (avro_converter.rs before/after_avro_types).
+    */
+  def avroTypeName(v: Any): String = v match {
+    case null => "Null"
+    case _: Boolean => "Boolean"
+    case _: Byte | _: Short | _: Int | _: Long => "Long"
+    case _: Float | _: Double => "Double"
+    case _: Array[Byte] => "Bytes"
+    case _ => "String"
+  }
+
+  private def toAvroMapAny(m: Map[String, Any]): AnyRef =
+    if (m == null) null
+    else m.map { case (k, v) => k -> toAvroValue(v) }.asJava
+
+  /** Field descriptors for a typed row: union of image columns, sorted;
+    * the after image's non-Null branch wins over before's
+    * (avro_converter.rs:122-130).
+    */
+  def fieldDefsFor(before: Map[String, Any], after: Map[String, Any],
+      originTypes: Map[String, String] = Map.empty): Seq[FieldDef] = {
+    val b = Option(before).getOrElse(Map.empty)
+    val a = Option(after).getOrElse(Map.empty)
+    (b.keySet ++ a.keySet).toSeq.sorted.map { c =>
+      val bt = b.get(c).map(avroTypeName).getOrElse("")
+      val at = a.get(c).map(avroTypeName).getOrElse("")
+      val t = if (at.nonEmpty && at != "Null") at
+        else if (bt.nonEmpty) bt else "Null"
+      FieldDef(c, originTypes.getOrElse(c, ""), t)
+    }
+  }
+
+  /** Typed encode: images carry native scalars per the union. */
+  def encodeAny(schemaName: String, tb: String, operation: String,
+      before: Map[String, Any], after: Map[String, Any],
+      originTypes: Map[String, String] = Map.empty,
+      extra: Map[String, Any] = null): Array[Byte] = {
+    val rec = new GenericData.Record(avroSchema)
+    rec.put("schema", schemaName)
+    rec.put("tb", tb)
+    rec.put("operation", operation)
+    val defs = fieldDefsFor(before, after, originTypes)
+    rec.put("fields",
+      if (defs.isEmpty) null
+      else defs.map { f =>
+        val fr = new GenericData.Record(fieldDefSchema)
+        fr.put("name", f.name)
+        fr.put("column_type", f.columnType)
+        fr.put("avro_type", f.avroType)
+        fr
+      }.asJava)
+    rec.put("before", toAvroMapAny(before))
+    rec.put("after", toAvroMapAny(after))
+    rec.put("extra", toAvroMapAny(extra))
+    writeRecord(rec)
+  }
+
+  private def fromAvroValue(v: AnyRef): Any = v match {
+    case null => null
+    case l: java.lang.Long => l.longValue()
+    case d: java.lang.Double => d.doubleValue()
+    case b: java.lang.Boolean => b.booleanValue()
+    case bb: java.nio.ByteBuffer =>
+      val out = new Array[Byte](bb.remaining())
+      bb.duplicate().get(out)
+      out
+    case other => other.toString
+  }
+
+  private def fromAvroMapAny(v: AnyRef): Map[String, Any] = v match {
+    case null => null
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, vv) =>
+        k.toString -> fromAvroValue(vv.asInstanceOf[AnyRef])
+      }.toMap
+    case other => throw new IllegalArgumentException(s"not a map: $other")
+  }
+
+  /** Typed decode mirror of [[encodeAny]]. */
+  final case class TypedEnvelope(schema: String, tb: String,
+      operation: String, fields: Seq[FieldDef],
+      before: Map[String, Any], after: Map[String, Any],
+      extra: Map[String, Any])
+
+  def decodeAny(bytes: Array[Byte]): TypedEnvelope = {
+    val rec = readRecord(bytes)
+    TypedEnvelope(rec.get("schema").toString, rec.get("tb").toString,
+      rec.get("operation").toString, readFieldDefs(rec),
+      fromAvroMapAny(rec.get("before")),
+      fromAvroMapAny(rec.get("after")),
+      fromAvroMapAny(rec.get("extra")))
+  }
+
   def encode(schemaName: String, tb: String, operation: String,
       fields: Seq[FieldDef] = null, before: Map[String, String] = null,
       after: Map[String, String] = null,
@@ -117,6 +233,10 @@ object AvroEnvelope {
     rec.put("before", toAvroMap(before))
     rec.put("after", toAvroMap(after))
     rec.put("extra", toAvroMap(extra))
+    writeRecord(rec)
+  }
+
+  private def writeRecord(rec: GenericRecord): Array[Byte] = {
     val out = localOut.get()
     out.reset()
     val enc = EncoderFactory.get().binaryEncoder(out, localEnc.get())
@@ -125,6 +245,24 @@ object AvroEnvelope {
     enc.flush()
     out.toByteArray
   }
+
+  private def readRecord(bytes: Array[Byte]): GenericRecord = {
+    val dec = DecoderFactory.get().binaryDecoder(bytes, localDec.get())
+    localDec.set(dec)
+    reader.read(null, dec)
+  }
+
+  private def readFieldDefs(rec: GenericRecord): Seq[FieldDef] =
+    rec.get("fields") match {
+      case null => null
+      case l: java.util.List[_] =>
+        l.asScala.toSeq.map { case fr: GenericRecord =>
+          FieldDef(fr.get("name").toString,
+            fr.get("column_type").toString, fr.get("avro_type").toString)
+        }
+      case other => throw new IllegalArgumentException(
+        s"bad fields: $other")
+    }
 
   private def fromAvroMap(v: AnyRef): Map[String, String] = v match {
     case null => null
@@ -136,20 +274,9 @@ object AvroEnvelope {
   }
 
   def decode(bytes: Array[Byte]): Envelope = {
-    val dec = DecoderFactory.get().binaryDecoder(bytes, localDec.get())
-    localDec.set(dec)
-    val rec = reader.read(null, dec)
-    val fields = rec.get("fields") match {
-      case null => null
-      case l: java.util.List[_] =>
-        l.asScala.toSeq.map { case fr: GenericRecord =>
-          FieldDef(fr.get("name").toString,
-            fr.get("column_type").toString, fr.get("avro_type").toString)
-        }
-      case other => throw new IllegalArgumentException(s"bad fields: $other")
-    }
+    val rec = readRecord(bytes)
     Envelope(rec.get("schema").toString, rec.get("tb").toString,
-      rec.get("operation").toString, fields,
+      rec.get("operation").toString, readFieldDefs(rec),
       fromAvroMap(rec.get("before")), fromAvroMap(rec.get("after")),
       fromAvroMap(rec.get("extra")))
   }

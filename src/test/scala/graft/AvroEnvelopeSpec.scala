@@ -43,6 +43,29 @@ class AvroEnvelopeSpec extends SparkSuite {
       .getTypes.size() == 6) // null|string|long|double|bytes|boolean
   }
 
+  test("typed value branches round-trip natively, not as strings") {
+    val before = Map[String, Any]("id" -> 7L, "ok" -> false,
+      "gone" -> null)
+    val after = Map[String, Any]("id" -> 7L, "price" -> 1.25,
+      "ok" -> true, "raw" -> Array[Byte](1, 2, 0xff.toByte),
+      "name" -> "x", "gone" -> null)
+    val bytes = AvroEnvelope.encodeAny("db", "t", "update",
+      before, after, originTypes = Map("id" -> "bigint unsigned"))
+    val e = AvroEnvelope.decodeAny(bytes)
+    assert(e.before("id") == 7L && e.before("ok") == false)
+    assert(e.after("price") == 1.25 && e.after("ok") == true)
+    assert(e.after("raw").asInstanceOf[Array[Byte]].toSeq ==
+      Seq[Byte](1, 2, -1))
+    assert(e.after("name") == "x" && e.after("gone") == null)
+    // field descriptors: sorted union, after's non-Null branch wins,
+    // origin type from meta
+    assert(e.fields.map(f => (f.name, f.avroType)) == Seq(
+      ("gone", "Null"), ("id", "Long"), ("name", "String"),
+      ("ok", "Boolean"), ("price", "Double"), ("raw", "Bytes")))
+    assert(e.fields.find(_.name == "id").get.columnType ==
+      "bigint unsigned")
+  }
+
   test("Spark wrap/unwrap carries bytes through a DataFrame") {
     val df = Seq((1L, 10L, "insert"), (2L, 20L, "delete"))
       .toDF("id", "uid", "rt")
