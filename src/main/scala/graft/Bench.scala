@@ -71,7 +71,10 @@ object Bench {
       .createTempDirectory("graft-bench-li").toString
     Tables.lineitem(spark, sfDir).repartition(cpus.toInt)
       .write.mode("overwrite").parquet(snapDir)
-    val li = spark.read.parquet(snapDir)
+    // scan the shard set 8× per run (same files listed repeatedly): the
+    // timed region grows from ~0.2 s — jitter-dominated even as a
+    // median — to multi-second steady state, without extra disk
+    val li = spark.read.parquet(Seq.fill(8)(snapDir): _*)
     val liCount = li.count()
     val snapSec = timeMedian {
       runNoop(li.withColumn("_ingest_key",

@@ -252,27 +252,40 @@ object TextOps {
   // ---------------------------------------------------------------- q59
   /** Repetition-quality signal: the duplicate word-trigram fraction per
     * document — the standard repetition filter for web text (a high
-    * ratio marks boilerplate/generated loops). Per-row array arithmetic
-    * only, zero shuffle; the ratio is one double division over exact
-    * integers, so both engines agree bitwise. (The trigram array is
-    * referenced twice → the tokenize subtree evaluates twice per row
-    * under CollapseProject inlining; bounded and still map-only.)
+    * ratio marks boilerplate/generated loops). The ratio is one double
+    * division over exact integers, so both engines agree bitwise.
+    *
+    * Shape: posexplode the token array ONCE, then form trigrams with
+    * `lead` windows — all codegen. The per-row HOF form (transform over
+    * sequence + slice) re-evaluated the tokenize subtree per reference
+    * under CollapseProject inlining and ran 19 s at sf0.1; this plan is
+    * sub-second. Documents shorter than 3 tokens survive via the left
+    * join (0 trigrams, ratio 0).
     */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(normText(col("text")))
-    val tris = when(size(toks) >= 3,
-      transform(sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-        i => concat_ws(" ", slice(toks, i, lit(3)))))
-      .otherwise(array().cast("array<string>"))
-    val total = size(tris).cast("long")
-    val distinctN = size(array_distinct(tris)).cast("long")
-    graft.Tables.documents(spark, dir).select(
-      col("doc_id"),
-      total.as("n_trigrams"),
-      distinctN.as("n_distinct"),
-      when(total > 0,
-        (total - distinctN).cast("double") / total.cast("double"))
-        .otherwise(lit(0.0)).as("dup_ratio"))
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Tables.documents(spark, dir)
+    val toks = d.select(col("doc_id"),
+      posexplode(tokens(normText(col("text")))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tris = toks
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("tri"))
+    val stats = tris.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        countDistinct(col("tri")).as("n_distinct"))
+    d.select(col("doc_id")).join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+      .withColumn("dup_ratio",
+        when(col("n_trigrams") > 0,
+          (col("n_trigrams") - col("n_distinct")).cast("double") /
+            col("n_trigrams").cast("double"))
+          .otherwise(lit(0.0)))
       .withColumn("flagged", col("dup_ratio") > 0.2)
   }
 
