@@ -334,6 +334,19 @@ object MongoOps {
       |    THEN 'source=' || source END) AS doc
       |FROM documents""".stripMargin
 
+  /** Snapshot sampling limit — reference `estimated_sample_limit`
+    * (`/root/reference/dt-connector/src/extractor/mod.rs:17-28`, shared
+    * by the Mongo/MySQL/PG snapshot extractors): a rate of 1-99 percent
+    * caps the scan at ceil(count·rate/100) documents (at least 1); an
+    * out-of-range rate or unknown count means no cap.
+    */
+  def sampleLimit(ratePercent: Option[Int],
+      estimatedCount: Long): Option[Long] =
+    ratePercent.filter(r => r >= 1 && r < 100).flatMap { r =>
+      if (estimatedCount <= 0) None
+      else Some(math.max(1L, (estimatedCount * r + 99) / 100))
+    }
+
   /** The keyset resume statement the snapshot pager emits per page —
     * reference `build_resume_filter` + find options
     * (`mongo_snapshot_extractor.rs:144-160,219-227`): sorted `_id` scan,

@@ -91,6 +91,16 @@ class MongoSpec extends SparkSuite {
     assert(m == Map("keep" -> "1", "old" -> "9", "new" -> "4"))
   }
 
+  test("snapshot sample limit: ceil(count·rate/100), bounded, opt-in") {
+    assert(MongoOps.sampleLimit(Some(10), 1000L) == Some(100L))
+    assert(MongoOps.sampleLimit(Some(1), 50L) == Some(1L)) // ceil + min 1
+    assert(MongoOps.sampleLimit(Some(33), 100L) == Some(33L))
+    assert(MongoOps.sampleLimit(Some(100), 1000L).isEmpty) // full scan
+    assert(MongoOps.sampleLimit(Some(0), 1000L).isEmpty)
+    assert(MongoOps.sampleLimit(None, 1000L).isEmpty)
+    assert(MongoOps.sampleLimit(Some(10), 0L).isEmpty) // unknown count
+  }
+
   test("sink statement shapes match the bulk-write surface") {
     assert(MongoSink.deleteMany("c1", Seq("a", "b")) ==
       """{"deleteMany":{"coll":"c1","filter":{"_id":{"$in":["a","b"]}}}}""")
