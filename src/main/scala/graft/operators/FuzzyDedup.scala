@@ -237,8 +237,12 @@ object FuzzyDedup {
   }
 
   /** q36 — SimHash fingerprints + hamming-close pairs (≤ 8 of 30 bits).
-    * Small-n exact pair scan; at scale the same fingerprints feed a
-    * prefix-bucket join.
+    *
+    * ORACLE FIXTURE, not the production default: the O(n²) exact pair
+    * scan exists as the engine-checked ground truth for the bucketed
+    * path. USE [[simhashBuckets]] (q26) — pigeonhole band buckets,
+    * |docs|×2 longs instead of n² pairs, equality with the exact scan
+    * asserted in DedupSpec — for any real corpus.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)

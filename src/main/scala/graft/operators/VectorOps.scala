@@ -103,8 +103,13 @@ object VectorOps {
 
   // ---------------------------------------------------------------- q41
   /** Embedding near-dup pairs: all pairs with cosine ≥ 0.3 (corpus max is
-    * ≈0.39 — the threshold keeps a small discriminating set). Small-n exact
-    * scan; the scale path feeds the q43 buckets first.
+    * ≈0.39 — the threshold keeps a small discriminating set).
+    *
+    * ORACLE FIXTURE, not the production default: this is the O(n²)
+    * exact scan kept so the bucketed path has an engine-checked ground
+    * truth. USE [[bucketedNearDups]] (q45) — LSH-bucket-then-exact,
+    * n²/256 candidate shrink, same results (asserted in DedupSpec) —
+    * for any real corpus.
     */
   def cosineNearDups(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
