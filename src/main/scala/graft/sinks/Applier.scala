@@ -20,8 +20,18 @@ import graft.operators.Compaction
   */
 object Applier {
 
-  /** One executable unit: a statement shape + its parameter rows. */
-  final case class StatementBatch(sql: String, rows: Seq[Seq[Any]])
+  /** One executable unit: a statement shape + its parameter rows.
+    * `sqlForRows` rebuilds the statement for a different row count —
+    * the single-row retry in [[applyAll]] needs a 1-row statement, not
+    * the original N-tuple VALUES/IN shape whose placeholder count no
+    * longer matches. Absent (e.g. hand-built batches) the sql is
+    * assumed row-count-independent.
+    */
+  final case class StatementBatch(sql: String, rows: Seq[Seq[Any]],
+      sqlForRows: Option[Int => String] = None) {
+    def forSingleRow(r: Seq[Any]): StatementBatch =
+      StatementBatch(sqlForRows.fold(sql)(f => f(1)), Seq(r), sqlForRows)
+  }
 
   /** Where statements go (a JDBC connection in production, a buffer in
     * tests). Implementations must be serializable: one instance is built
@@ -57,12 +67,14 @@ object Applier {
     def flushDels(): StatementBatch = {
       val b = StatementBatch(
         RdbQueryBuilder.batchDelete(dialect, table, keys, dels.size),
-        dels.toSeq)
+        dels.toSeq,
+        Some(n => RdbQueryBuilder.batchDelete(dialect, table, keys, n)))
       dels.clear(); b
     }
     def flushUps(): StatementBatch = {
       val b = StatementBatch(
-        dialect.upsert(table, cols, keys, ups.size), ups.toSeq)
+        dialect.upsert(table, cols, keys, ups.size), ups.toSeq,
+        Some(n => dialect.upsert(table, cols, keys, n)))
       ups.clear(); b
     }
     new Iterator[StatementBatch] {
@@ -189,7 +201,7 @@ object Applier {
       catch {
         case _: Exception =>
           b.rows.foreach { r =>
-            try { sink.execute(b.copy(rows = Seq(r))); isolated += 1 }
+            try { sink.execute(b.forSingleRow(r)); isolated += 1 }
             catch { case _: Exception => failed += 1 }
           }
       }

@@ -48,6 +48,7 @@ object RedisRdb {
       out
     }
     def hasMore: Boolean = pos < bytes.length
+    def peek: Int = bytes(pos) & 0xff
 
     /** Length encoding (reader/length.rs): 2-bit tag — 6-bit, 14-bit,
       * 0x80→u32 BE, 0x81→u64 BE, tag 3 = special string encoding.
@@ -112,7 +113,11 @@ object RedisRdb {
     def listpack(): Seq[String] = {
       val r = new Reader(stringBytes())
       r.take(4) // total-bytes, unused
+      // 65535 is listpack.c's "unknown count" sentinel (>= 2^16-1
+      // entries): the count header is untrustworthy and the only safe
+      // walk is entry-by-entry until the 0xFF terminator.
       val count = r.u8() | (r.u8() << 8)
+      val walkToTerminator = count == 0xffff
       def backlen(entryLen: Int): Unit = {
         val n = if (entryLen < 128) 1
           else if (entryLen < 16384) 2
@@ -122,9 +127,12 @@ object RedisRdb {
       }
       def sint(uval: Long, negstart: Long, negmax: Long): String =
         (if (uval >= negstart) -(negmax - uval) - 1 else uval).toString
-      val out = (0 until count).map { _ =>
+      val out = Seq.newBuilder[String]
+      var read = 0
+      while (if (walkToTerminator) r.peek != 0xff else read < count) {
+        read += 1
         val b = r.u8()
-        if ((b & 0x80) == 0) { // 7-bit uint
+        out += (if ((b & 0x80) == 0) { // 7-bit uint
           backlen(1); (b & 0x7f).toString
         } else if ((b & 0xc0) == 0x80) { // 6-bit str
           val len = b & 0x3f
@@ -157,10 +165,10 @@ object RedisRdb {
           val s = new String(r.take(len), StandardCharsets.UTF_8)
           backlen(5 + len); s
         } else throw new IllegalArgumentException(
-          f"bad listpack entry encoding: $b%x")
+          f"bad listpack entry encoding: $b%x"))
       }
       require(r.u8() == 0xff, "read_listpack: last byte is not 0xFF")
-      out
+      out.result()
     }
 
     /** Intset payload (reader/int_set.rs): encoding-width u32 LE
@@ -331,18 +339,27 @@ object RedisResp {
 
   /** Parse one RESP buffer into command argument arrays:
     * `*N\r\n($len\r\narg\r\n)×N`, repeated.
+    *
+    * RESP bulk-string $len is a BYTE count (redis protocol spec; the
+    * reference's `redis_resp_reader.rs` reads raw bytes too), so the
+    * cursor walks `Array[Byte]` offsets and each argument is sliced by
+    * byte length FIRST — decoding to UTF-8 only happens on the final
+    * slice. Counting Java String chars would desynchronize on any
+    * multi-byte UTF-8 payload.
     */
-  def parse(text: String): Seq[Seq[String]] = {
-    val out = Seq.newBuilder[Seq[String]]
+  def parseBytes(bytes: Array[Byte]): Seq[Seq[Array[Byte]]] = {
+    val out = Seq.newBuilder[Seq[Array[Byte]]]
     var i = 0
     def line(): String = {
-      val end = text.indexOf("\r\n", i)
-      require(end >= 0, "truncated RESP line")
-      val l = text.substring(i, end)
+      var end = i
+      while (end + 1 < bytes.length &&
+        !(bytes(end) == '\r' && bytes(end + 1) == '\n')) end += 1
+      require(end + 1 < bytes.length, "truncated RESP line")
+      val l = new String(bytes, i, end - i, StandardCharsets.US_ASCII)
       i = end + 2
       l
     }
-    while (i < text.length) {
+    while (i < bytes.length) {
       val head = line()
       require(head.nonEmpty && head.charAt(0) == '*',
         s"expected RESP array, got: $head")
@@ -352,13 +369,20 @@ object RedisResp {
         require(h.nonEmpty && h.charAt(0) == '$',
           s"expected bulk string, got: $h")
         val len = h.substring(1).toInt
-        val s = text.substring(i, i + len)
+        require(i + len + 2 <= bytes.length, "truncated RESP bulk string")
+        val s = java.util.Arrays.copyOfRange(bytes, i, i + len)
         i += len + 2 // payload + \r\n
         s
       }
     }
     out.result()
   }
+
+  def parse(bytes: Array[Byte]): Seq[Seq[String]] =
+    parseBytes(bytes).map(_.map(new String(_, StandardCharsets.UTF_8)))
+
+  def parse(text: String): Seq[Seq[String]] =
+    parse(text.getBytes(StandardCharsets.UTF_8))
 
   /** A command as a change event over the engine's schemaless envelope:
     * (db, key, row_type, fields). SELECT switches the db context; writes

@@ -66,18 +66,26 @@ object CdcPipeline {
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val compacted = Compaction.compact(batch, keys, orderCols,
-          col("row_type"))
-        limiter.foreach { l =>
-          var remaining = batch.count()
-          while (remaining > 0) {
-            val take = math.min(remaining, l.capacity)
-            l.acquire(take)
-            remaining -= take
+        // When throttling, persist the micro-batch before counting —
+        // otherwise count() re-executes the un-cached source scan a
+        // second time just to learn the row count.
+        if (limiter.isDefined) batch.persist()
+        try {
+          val compacted = Compaction.compact(batch, keys, orderCols,
+            col("row_type"))
+          limiter.foreach { l =>
+            var remaining = batch.count()
+            while (remaining > 0) {
+              val take = math.min(remaining, l.capacity)
+              l.acquire(take)
+              remaining -= take
+            }
           }
+          Applier.applyCompacted(RdbQueryBuilder.MySql, table, compacted,
+            keys, cols, orderCols, sinkFactory)
+        } finally {
+          if (limiter.isDefined) { batch.unpersist(); () }
         }
-        Applier.applyCompacted(RdbQueryBuilder.MySql, table, compacted,
-          keys, cols, orderCols, sinkFactory)
         ()
       }
 

@@ -45,10 +45,45 @@ object ScriptTransform {
   private val DropRe = """(?i)^drop\s+if\s+(.+)$""".r
   private val ImgRef = """\b(before|after)\.([A-Za-z_]\w*)\b""".r
 
-  /** Rewrite image field refs to map lookups so plain SQL reads them. */
-  private def rewrite(e: String): String =
-    ImgRef.replaceAllIn(e, m =>
-      s"element_at(${m.group(1)}, '${m.group(2)}')")
+  /** Rewrite image field refs to map lookups so plain SQL reads them.
+    * Substitution is quote-aware: text inside single-quoted SQL string
+    * literals (with `''` escapes) passes through verbatim, so
+    * `set tb = 'after.foo'` keeps the literal text instead of becoming
+    * an `element_at` call.
+    */
+  private def rewrite(e: String): String = {
+    val out = new StringBuilder
+    val plain = new StringBuilder
+    def flushPlain(): Unit = {
+      out ++= ImgRef.replaceAllIn(plain.toString, m =>
+        s"element_at(${m.group(1)}, '${m.group(2)}')")
+      plain.clear()
+    }
+    var i = 0
+    while (i < e.length) {
+      if (e.charAt(i) == '\'') {
+        flushPlain()
+        out += '\''
+        i += 1
+        var closed = false
+        while (!closed && i < e.length) {
+          val c = e.charAt(i)
+          out += c
+          i += 1
+          if (c == '\'') {
+            if (i < e.length && e.charAt(i) == '\'') {
+              out += '\''; i += 1 // '' escape stays inside the literal
+            } else closed = true
+          }
+        }
+      } else {
+        plain += e.charAt(i)
+        i += 1
+      }
+    }
+    flushPlain()
+    out.toString
+  }
 
   private def setField(img: Column, field: String, value: Column): Column =
     map_concat(

@@ -61,6 +61,33 @@ class IdempotentApplySpec extends SparkSuite {
     assert(s1.isolatedOk == 2 && s1.failedRows == 1)
     assert(s2.isolatedOk == 2 && s2.failedRows == 1)
   }
+  test("single-row retry rebuilds a 1-row statement shape") {
+    // A shape-checking sink: placeholder count must equal rows × arity,
+    // like a real JDBC prepared statement would enforce.
+    val applied = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val sink = new Applier.StatementSink {
+      override def execute(b: Applier.StatementBatch): Unit = {
+        val placeholders = b.sql.count(_ == '?')
+        require(placeholders == b.rows.map(_.size).sum,
+          s"placeholder mismatch: $placeholders vs rows ${b.rows}")
+        if (b.rows.exists(_.contains("poison")))
+          throw new RuntimeException("bad row")
+        applied ++= b.rows
+      }
+    }
+    val df = Seq(
+      (1L, "a", "upsert", "insert"),
+      (2L, "poison", "upsert", "insert"),
+      (3L, "c", "upsert", "insert"))
+      .toDF("k", "v", Compaction.ActionCol, "row_type")
+    val batches = Applier.planMergeable(RdbQueryBuilder.MySql, "t",
+      df.collect().iterator, Seq("k"), Seq("k", "v"), batchSize = 10)
+    val stats = Applier.applyAll(sink, batches)
+    // batch of 3 fails on the poison row; 1-row retries succeed for the
+    // two clean rows BECAUSE the retry SQL is rebuilt with 1-row arity
+    assert(stats.isolatedOk == 2 && stats.failedRows == 1)
+    assert(applied.map(_.last).toSet == Set("a", "c"))
+  }
 }
 
 object IdempotentApplySpec {

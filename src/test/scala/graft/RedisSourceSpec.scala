@@ -147,6 +147,45 @@ class RedisSourceSpec extends SparkSuite {
     assert(got == Set((0L, "a", "1"), (1L, "b", "2")))
   }
 
+  test("rdb: listpack 0xFFFF count sentinel walks to the terminator") {
+    // listpack.c stores 65535 when the real count >= 2^16-1; the header
+    // is then untrustworthy and parsing must walk to the 0xFF byte.
+    val lp = (Array(0, 0, 0, 0, 0xff, 0xff) ++ // count = sentinel
+      Array(0x81, 'a'.toInt, 0x02, 0x05, 0x01, 0x81, 'b'.toInt, 0x02) :+
+      0xff).map(_.toByte)
+    val b = new RdbBuilder()
+    b.byte(20).str("s").len6(lp.length)
+    lp.foreach(x => b.byte(x & 0xff))
+    assert(RedisRdb.parse(b.eof()).map(_.field) == Seq("a", "5", "b"))
+  }
+
+  test("resp: bulk lengths are byte counts, not char counts") {
+    // "héllo" is 5 chars but 6 UTF-8 bytes; a char-count cursor would
+    // desynchronize and corrupt the following command.
+    val out = new ByteArrayOutputStream()
+    def cmd(args: Array[Byte]*): Unit = {
+      out.write(s"*${args.size}\r\n".getBytes("ascii"))
+      args.foreach { a =>
+        out.write(s"$$${a.length}\r\n".getBytes("ascii"))
+        out.write(a)
+        out.write("\r\n".getBytes("ascii"))
+      }
+    }
+    cmd("SET".getBytes("ascii"), "k".getBytes("ascii"),
+      "héllo".getBytes("utf-8"))
+    cmd("DEL".getBytes("ascii"), "k".getBytes("ascii"))
+    val cmds = RedisResp.parse(out.toByteArray)
+    assert(cmds == Seq(Seq("SET", "k", "héllo"), Seq("DEL", "k")))
+    // binary payloads round-trip losslessly through parseBytes
+    val bin = Array[Byte](0, -1, 13, 10, 36) // embedded \r\n and '$'
+    val out2 = new ByteArrayOutputStream()
+    out2.write("*2\r\n$3\r\nSET\r\n$5\r\n".getBytes("ascii"))
+    out2.write(bin)
+    out2.write("\r\n".getBytes("ascii"))
+    val raw = RedisResp.parseBytes(out2.toByteArray)
+    assert(raw.head(1).sameElements(bin))
+  }
+
   test("resp: command stream parses and maps to change events") {
     def cmd(args: String*): String =
       s"*${args.size}\r\n" +

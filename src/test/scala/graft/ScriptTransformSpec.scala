@@ -44,6 +44,16 @@ class ScriptTransformSpec extends SparkSuite {
     assert(!plan.toLowerCase.contains("udf"))
   }
 
+  test("sql script: image tokens inside string literals stay literal") {
+    // 'after.foo' is a string literal, not a map reference; and the ''
+    // escape must keep the scanner inside the literal.
+    val out = ScriptTransform.sqlScript(
+      "set tb = concat('after.foo', '''', before.name)")(envelope)
+      .filter(col("row_type") === "update")
+      .select(col("tb")).as[String].head()
+    assert(out == "after.foo'eve")
+  }
+
   test("sql script: image refs on the right-hand side read the maps") {
     val out = ScriptTransform.sqlScript(
       "set after.tag = concat(before.name, '->', after.name)")(envelope)
