@@ -37,7 +37,7 @@ object SparkEntry {
       VectorOps.queries ++ InfraQueries.queries ++
       StreamQueries.queries ++ Multimodal.queries ++ DataMarker.queries ++
       Relational2.queries ++ AdvancedOps.queries ++ CurationOps.queries ++
-      Relational3.queries ++ MongoOps.queries
+      Relational3.queries ++ MongoOps.queries ++ BinlogReplay.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +47,5 @@ object SparkEntry {
       VectorOps.oracles ++ InfraQueries.oracles ++
       StreamQueries.oracles ++ Multimodal.oracles ++ DataMarker.oracles ++
       Relational2.oracles ++ AdvancedOps.oracles ++ CurationOps.oracles ++
-      Relational3.oracles ++ MongoOps.oracles
+      Relational3.oracles ++ MongoOps.oracles ++ BinlogReplay.oracles
 }

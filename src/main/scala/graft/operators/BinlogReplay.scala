@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.model.RowKind
+import graft.sources.{MysqlBinlog, MysqlBinlogWriter}
+import graft.sources.MysqlBinlog.ColType
+
+/** Binlog wire-format replay — the oracle-checked end-to-end proof that
+  * [[graft.sources.MysqlBinlog]] decodes what a MySQL server writes and
+  * that the decoded stream compacts to the right final state (the
+  * reference's extract→pipeline→sink spine, mysql_cdc_extractor.rs →
+  * rdb_merger). Each Spark partition encodes its rows into ONE binlog
+  * file image (insert transactions, updates for 'F' orders, deletes for
+  * every 7th key, every third transaction ZSTD TransactionPayload-
+  * wrapped), decodes it back, and the union compacts by key — the
+  * per-file parallelism a binlog backlog has on a cluster: N files →
+  * N map tasks, the only shuffle is the final key compaction.
+  */
+object BinlogReplay {
+
+  /** One decoded change: partition-local seq keeps per-key event order
+    * (all events for a key are generated in its partition).
+    */
+  final case class Decoded(seq: Long, row_type: String, o_orderkey: Long,
+      o_custkey: Long, o_orderstatus: String, o_totalprice: Double,
+      odate: String, o_orderpriority: String)
+
+  private val Cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "odate", "o_orderpriority")
+  private val Types = Seq(ColType.LongLong, ColType.LongLong,
+    ColType.Varchar, ColType.Double, ColType.DateTime2, ColType.Varchar)
+  private val Meta = Seq(0, 0, 40, 8, 0, 60)
+
+  def binlogRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("odate"),
+      col("o_orderpriority"))
+
+    val decoded = orders.mapPartitions { it =>
+      val rows = it.map { r =>
+        Array(r.getLong(0).toString, r.getLong(1).toString,
+          r.getString(2), r.getDouble(3).toString, r.getString(4),
+          r.getString(5))
+      }.toSeq
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val w = new MysqlBinlogWriter(serverId = 1L)
+        w.fde()
+        var txn = 0L
+        rows.grouped(200).foreach { chunk =>
+          txn += 1
+          def writeTxn(enc: MysqlBinlogWriter): Unit = {
+            enc.begin("tpch")
+            enc.tableMap(11L, "tpch", "orders", Types, Meta,
+              nullable = Seq.fill(6)(true), colNames = Cols)
+            enc.writeRows(11L, chunk)
+            val updated = chunk.filter(_(2) == "F").map { r =>
+              (r, r.updated(5, "X-UPDATED"))
+            }
+            if (updated.nonEmpty) enc.updateRows(11L, updated)
+            val doomed = chunk.map { r =>
+              if (r(2) == "F") r.updated(5, "X-UPDATED") else r
+            }.filter(_(0).toLong % 7 == 0)
+            if (doomed.nonEmpty) enc.deleteRows(11L, doomed)
+            enc.xid(txn)
+          }
+          if (txn % 3 == 0) w.transactionPayload(zstd = true)(writeTxn)
+          else writeTxn(w)
+        }
+        val events = MysqlBinlog.decodeFile(w.bytes(), "binlog.000001")
+        events.iterator.zipWithIndex.map { case (e, i) =>
+          val img = if (e.rowType == RowKind.Delete) e.before else e.after
+          Decoded(i.toLong, e.rowType,
+            img("o_orderkey").toLong, img("o_custkey").toLong,
+            img("o_orderstatus"), img("o_totalprice").toDouble,
+            img("odate"), img("o_orderpriority"))
+        }
+      }
+    }
+
+    // key compaction: last event per key wins, deletes drop out —
+    // shuffles only once, on the key
+    decoded.toDF()
+      .groupBy(col("o_orderkey"))
+      .agg(max_by(struct(col("row_type"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("odate"),
+        col("o_orderpriority")), col("seq")).as("last"))
+      .where(col("last.row_type") =!= RowKind.Delete)
+      .select(col("o_orderkey"), col("last.o_custkey").as("o_custkey"),
+        col("last.o_orderstatus").as("o_orderstatus"),
+        col("last.o_totalprice").as("o_totalprice"),
+        col("last.odate").as("odate"),
+        col("last.o_orderpriority").as("o_orderpriority"))
+  }
+
+  val binlogRoundtripSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
+      |  CASE WHEN o_orderstatus = 'F' THEN 'X-UPDATED'
+      |       ELSE o_orderpriority END AS o_orderpriority
+      |FROM orders
+      |WHERE o_orderkey % 7 <> 0""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_binlog_roundtrip" -> (binlogRoundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "q64_binlog_roundtrip" -> binlogRoundtripSql)
+}

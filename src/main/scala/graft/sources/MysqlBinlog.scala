@@ -1,0 +1,766 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.time.LocalDateTime
+import java.util.zip.CRC32
+
+import graft.model.{ChangeEvent, Position, RowKind}
+
+/** MySQL binlog **binary file** decoder — the wire-format half of the CDC
+  * source that [[ChangelogSource]] transports. The reference consumes the
+  * same format via a protocol client
+  * (`/root/reference/dt-connector/src/extractor/mysql/mysql_cdc_extractor.rs:194-342`
+  * event dispatch, `:354-394` row decode); here the protocol client stays
+  * external (zero-egress build, as with [[RedisRdb]]) and the FILE format —
+  * what `mysqlbinlog` reads, what binlog shipping drops on an object store —
+  * is decoded natively from the public binlog v4 layout.
+  *
+  * Scope (binlog v4, MySQL 5.6–8.x):
+  *   - common header, FDE + CRC32 checksum discovery/verification
+  *   - TableMap incl. MySQL 8.0 optional metadata (SIGNEDNESS,
+  *     COLUMN_NAME — `binlog_row_metadata=FULL` makes files
+  *     self-describing; without it callers supply column names)
+  *   - Write/Update/DeleteRows v1+v2 with included-column and NULL bitmaps
+  *   - column decode: all integer widths (signed/unsigned), FLOAT, DOUBLE,
+  *     NEWDECIMAL (packed BCD), DATE, TIME/TIME2, DATETIME/DATETIME2,
+  *     TIMESTAMP/TIMESTAMP2 (+fractional), YEAR, BIT, VARCHAR/VAR_STRING,
+  *     STRING/ENUM/SET (packed real-type metadata), BLOB family, GEOMETRY,
+  *     JSON (raw bytes, hex-rendered — the reference renders via serde)
+  *   - Query (BEGIN / DDL / DCL passthrough), Xid, Gtid, Rotate,
+  *     TransactionPayload (ZSTD + uncompressed) recursion
+  *
+  * Scale shape: one binlog file = one task inside `mapPartitions`/`flatMap`
+  * — a backlog of N files decodes N-way parallel with zero shuffle, the
+  * same per-segment parallelism [[ChangelogSource]] plans.
+  */
+object MysqlBinlog {
+
+  /** Binlog event type codes (public binlog spec). */
+  object EventType {
+    val Query = 2
+    val Rotate = 4
+    val FormatDescription = 15
+    val Xid = 16
+    val TableMap = 19
+    val WriteRowsV1 = 23
+    val UpdateRowsV1 = 24
+    val DeleteRowsV1 = 25
+    val WriteRowsV2 = 30
+    val UpdateRowsV2 = 31
+    val DeleteRowsV2 = 32
+    val Gtid = 33
+    val AnonymousGtid = 34
+    val PreviousGtids = 35
+    val TransactionPayload = 40
+  }
+
+  /** MySQL column type codes as they appear in TableMap. */
+  object ColType {
+    val Decimal = 0; val Tiny = 1; val Short = 2; val Long = 3
+    val Float = 4; val Double = 5; val Null = 6; val Timestamp = 7
+    val LongLong = 8; val Int24 = 9; val Date = 10; val Time = 11
+    val DateTime = 12; val Year = 13; val NewDate = 14; val Varchar = 15
+    val Bit = 16; val Timestamp2 = 17; val DateTime2 = 18; val Time2 = 19
+    val Json = 245; val NewDecimal = 246; val Enum = 247; val Set = 248
+    val TinyBlob = 249; val MediumBlob = 250; val LongBlob = 251
+    val Blob = 252; val VarString = 253; val StringT = 254
+    val Geometry = 255
+
+    def isNumeric(t: Int): Boolean = t match {
+      case Tiny | Short | Long | LongLong | Int24 | Float | Double |
+        Decimal | NewDecimal | Year => true
+      case _ => false
+    }
+  }
+
+  val Magic: Array[Byte] = Array(0xfe.toByte, 'b'.toByte, 'i'.toByte,
+    'n'.toByte)
+
+  final case class EventHeader(timestamp: Long, eventType: Int,
+      serverId: Long, eventLength: Long, nextPosition: Long, flags: Int)
+
+  sealed trait Event
+  final case class FormatDescription(binlogVersion: Int,
+      serverVersion: String, checksumAlg: Int) extends Event
+  final case class Rotate(position: Long, nextFile: String) extends Event
+  /** `colNames`/`signed` come from 8.0 optional metadata when present. */
+  final case class TableMap(tableId: Long, schema: String, table: String,
+      colTypes: Array[Int], colMeta: Array[Int],
+      nullable: Array[Boolean], colNames: Seq[String],
+      signed: Seq[Boolean]) extends Event
+  /** Row values are pre-rendered Strings (null = SQL NULL); see
+    * [[ChangeEvent]] — the engine's event model is stringly typed so
+    * Mongo docs and DDL-evolving tables share one shape.
+    */
+  final case class WriteRows(tableId: Long, included: Array[Boolean],
+      rows: Seq[Array[String]]) extends Event
+  final case class UpdateRows(tableId: Long,
+      includedBefore: Array[Boolean], includedAfter: Array[Boolean],
+      rows: Seq[(Array[String], Array[String])]) extends Event
+  final case class DeleteRows(tableId: Long, included: Array[Boolean],
+      rows: Seq[Array[String]]) extends Event
+  final case class Query(threadId: Long, schema: String, sql: String)
+      extends Event
+  final case class Xid(xid: Long) extends Event
+  final case class Gtid(uuid: String, gno: Long) extends Event
+  /** Inner events carry the payload's shared next-position (reference
+    * behavior: mysql_cdc_extractor.rs:233-240).
+    */
+  final case class TransactionPayload(
+      events: Seq[(EventHeader, Event)]) extends Event
+  final case class Unknown(eventType: Int) extends Event
+
+  // ---------------------------------------------------------------- reader
+
+  private final class Reader(bytes: Array[Byte], var pos: Int) {
+    def remaining: Int = bytes.length - pos
+    def hasMore: Boolean = pos < bytes.length
+    def u8(): Int = { val b = bytes(pos) & 0xff; pos += 1; b }
+    def i8(): Int = { val b = bytes(pos).toInt; pos += 1; b }
+    def take(n: Int): Array[Byte] = {
+      require(n >= 0 && pos + n <= bytes.length,
+        s"binlog truncated: need $n bytes at $pos of ${bytes.length}")
+      val out = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+      pos += n; out
+    }
+    def skip(n: Int): Unit = { pos += n }
+
+    /** n-byte little-endian unsigned. */
+    def leU(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v |= (bytes(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += n; v
+    }
+    /** n-byte big-endian unsigned (temporal2/decimal encodings). */
+    def beU(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | (bytes(pos + i) & 0xffL); i += 1 }
+      pos += n; v
+    }
+    /** Protocol length-encoded integer. */
+    def lenenc(): Long = u8() match {
+      case v if v < 0xfb => v.toLong
+      case 0xfc => leU(2)
+      case 0xfd => leU(3)
+      case 0xfe => leU(8)
+      case other => throw new IllegalArgumentException(
+        f"bad lenenc lead byte $other%x")
+    }
+    def str(n: Int): String =
+      new String(take(n), StandardCharsets.UTF_8)
+    def cstr(): String = {
+      val start = pos
+      while (bytes(pos) != 0) pos += 1
+      val s = new String(bytes, start, pos - start, StandardCharsets.UTF_8)
+      pos += 1; s
+    }
+  }
+
+  /** Decode a whole binlog file (must start with the 4-byte magic). */
+  def readFile(bytes: Array[Byte]): Seq[(EventHeader, Event)] = {
+    require(bytes.length >= 4 && java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(bytes, 0, 4), Magic),
+      "not a binlog file: bad magic")
+    readEvents(bytes, 4)
+  }
+
+  /** Decode an event stream (no magic), e.g. a relay chunk. The FDE, if
+    * present, switches on checksum stripping for subsequent events.
+    * Row-event decode needs the TableMap that precedes it in the same
+    * stream; the per-thread context carries it across events.
+    */
+  def readEvents(bytes: Array[Byte], offset: Int): Seq[(EventHeader,
+      Event)] = {
+    currentTableMaps.get().clear()
+    val out = Seq.newBuilder[(EventHeader, Event)]
+    var pos = offset
+    var checksum = 0
+    while (pos < bytes.length) {
+      require(bytes.length - pos >= 19,
+        s"binlog truncated: partial header at $pos")
+      val (header, event, next, alg) =
+        readOneEvent(bytes, pos, checksum)
+      if (alg >= 0) checksum = alg
+      out += ((header, event))
+      pos = next
+    }
+    out.result()
+  }
+
+  /** Returns (header, event, nextFileOffset, newChecksumAlg | -1). */
+  private def readOneEvent(bytes: Array[Byte], start: Int,
+      checksumAlg: Int): (EventHeader, Event, Int, Int) = {
+    val r = new Reader(bytes, start)
+    val header = EventHeader(timestamp = r.leU(4), eventType = r.u8(),
+      serverId = r.leU(4), eventLength = r.leU(4),
+      nextPosition = r.leU(4), flags = r.leU(2).toInt)
+    val end = start + header.eventLength.toInt
+    require(end <= bytes.length,
+      s"binlog truncated: event at $start claims length " +
+        s"${header.eventLength} past ${bytes.length}")
+
+    if (header.eventType == EventType.FormatDescription) {
+      val fde = parseFde(bytes, start, end)
+      // FDE checksums itself when alg=CRC32
+      if (fde.checksumAlg == 1)
+        verifyCrc(bytes, start, end - 4)
+      return (header, fde, end, fde.checksumAlg)
+    }
+
+    val bodyEnd =
+      if (checksumAlg == 1) { verifyCrc(bytes, start, end - 4); end - 4 }
+      else end
+    val event = parseBody(header.eventType, r, bodyEnd)
+    (header, event, end, -1)
+  }
+
+  private def verifyCrc(bytes: Array[Byte], start: Int,
+      crcAt: Int): Unit = {
+    val crc = new CRC32
+    crc.update(bytes, start, crcAt - start)
+    var stored = 0L; var i = 0
+    while (i < 4) { stored |= (bytes(crcAt + i) & 0xffL) << (8 * i); i += 1 }
+    require(crc.getValue == stored,
+      f"binlog CRC32 mismatch at $start: computed ${crc.getValue}%x " +
+        f"stored $stored%x")
+  }
+
+  /** FDE: version(2) server_version(50, NUL-padded) created(4)
+    * header_len(1) post-header-length array, then — on ≥5.6.1 servers —
+    * a trailing checksum-alg byte (+4-byte CRC32 when alg=1). The alg
+    * position is disambiguated by CRC self-validation, the same check
+    * connectors apply.
+    */
+  private def parseFde(bytes: Array[Byte], start: Int,
+      end: Int): FormatDescription = {
+    val r = new Reader(bytes, start + 19)
+    val version = r.leU(2).toInt
+    val serverVersion = {
+      val raw = r.take(50)
+      val n = raw.indexOf(0.toByte)
+      new String(raw, 0, if (n < 0) 50 else n, StandardCharsets.UTF_8)
+    }
+    require(version == 4, s"unsupported binlog version $version " +
+      s"(server $serverVersion); only v4 is decoded")
+    val alg =
+      if ((bytes(end - 5) & 0xff) == 1 && crcOk(bytes, start, end - 4)) 1
+      else if ((bytes(end - 1) & 0xff) == 0) 0
+      else throw new IllegalArgumentException(
+        "FDE trailer is neither valid CRC32 nor checksum-off")
+    FormatDescription(version, serverVersion, alg)
+  }
+
+  private def crcOk(bytes: Array[Byte], start: Int, crcAt: Int): Boolean = {
+    val crc = new CRC32
+    crc.update(bytes, start, crcAt - start)
+    var stored = 0L; var i = 0
+    while (i < 4) { stored |= (bytes(crcAt + i) & 0xffL) << (8 * i); i += 1 }
+    crc.getValue == stored
+  }
+
+  private def parseBody(eventType: Int, r: Reader, bodyEnd: Int): Event =
+    eventType match {
+      case EventType.Rotate =>
+        val position = r.leU(8)
+        Rotate(position, r.str(bodyEnd - r.pos))
+      case EventType.TableMap =>
+        val tm = parseTableMap(r, bodyEnd)
+        currentTableMaps.get()(tm.tableId) = tm
+        tm
+      case EventType.WriteRowsV1 | EventType.WriteRowsV2 =>
+        val (tid, inc, _, rows) = parseRows(r, bodyEnd,
+          eventType >= EventType.WriteRowsV2, twoImages = false)
+        WriteRows(tid, inc, rows.map(_._1))
+      case EventType.DeleteRowsV1 | EventType.DeleteRowsV2 =>
+        val (tid, inc, _, rows) = parseRows(r, bodyEnd,
+          eventType >= EventType.WriteRowsV2, twoImages = false)
+        DeleteRows(tid, inc, rows.map(_._1))
+      case EventType.UpdateRowsV1 | EventType.UpdateRowsV2 =>
+        val (tid, incB, incA, rows) = parseRows(r, bodyEnd,
+          eventType >= EventType.WriteRowsV2, twoImages = true)
+        UpdateRows(tid, incB, incA, rows)
+      case EventType.Query =>
+        val threadId = r.leU(4)
+        r.skip(4) // exec time
+        val schemaLen = r.u8()
+        r.skip(2) // error code
+        val statusLen = r.leU(2).toInt
+        r.skip(statusLen)
+        val schema = r.str(schemaLen)
+        r.skip(1) // NUL
+        Query(threadId, schema, r.str(bodyEnd - r.pos))
+      case EventType.Xid => Xid(r.leU(8))
+      case EventType.Gtid | EventType.AnonymousGtid =>
+        r.skip(1) // commit flag
+        val sid = r.take(16)
+        val gno = r.leU(8)
+        Gtid(renderUuid(sid), gno)
+      case EventType.TransactionPayload =>
+        parseTransactionPayload(r, bodyEnd)
+      case other => Unknown(other)
+    }
+
+  private def renderUuid(sid: Array[Byte]): String = {
+    val hex = sid.map(b => f"${b & 0xff}%02x").mkString
+    s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
+      s"${hex.substring(12, 16)}-${hex.substring(16, 20)}-" +
+      s"${hex.substring(20)}"
+  }
+
+  /** TLV fields (type lenenc, [len lenenc, value]) up to the END_MARK,
+    * then the (possibly ZSTD) event stream. MySQL payload field codes:
+    * 0=end 1=payload-size 2=compression-type 3=uncompressed-size;
+    * compression 0=ZSTD 255=NONE. Inner events carry no checksums.
+    */
+  private def parseTransactionPayload(r: Reader,
+      bodyEnd: Int): TransactionPayload = {
+    var compression = 255L
+    var uncompressedSize = 0L
+    var done = false
+    while (!done) {
+      val t = r.lenenc()
+      if (t == 0) done = true
+      else {
+        val len = r.lenenc().toInt
+        t match {
+          case 2 => compression = new Reader(r.take(len), 0).leU(len)
+          case 3 => uncompressedSize = new Reader(r.take(len), 0).leU(len)
+          case _ => r.skip(len) // payload-size etc: sized by bodyEnd anyway
+        }
+      }
+    }
+    val payload = r.take(bodyEnd - r.pos)
+    val raw = compression match {
+      case 255 => payload
+      case 0 =>
+        val out = new Array[Byte](uncompressedSize.toInt)
+        val n = com.github.luben.zstd.Zstd.decompress(out, payload)
+        require(n == uncompressedSize,
+          s"payload zstd length $n != declared $uncompressedSize")
+        out
+      case other => throw new IllegalArgumentException(
+        s"unsupported transaction payload compression $other")
+    }
+    // inner stream: plain v4 events, no magic, no checksums
+    val inner = Seq.newBuilder[(EventHeader, Event)]
+    var pos = 0
+    while (pos < raw.length) {
+      val rr = new Reader(raw, pos)
+      val h = EventHeader(rr.leU(4), rr.u8(), rr.leU(4), rr.leU(4),
+        rr.leU(4), rr.leU(2).toInt)
+      val end = pos + h.eventLength.toInt
+      inner += ((h, parseBody(h.eventType, rr, end)))
+      pos = end
+    }
+    TransactionPayload(inner.result())
+  }
+
+  // ------------------------------------------------------------- table map
+
+  private def parseTableMap(r: Reader, bodyEnd: Int): TableMap = {
+    val tableId = r.leU(6)
+    r.skip(2) // flags
+    val schemaLen = r.u8()
+    val schema = r.str(schemaLen); r.skip(1)
+    val tableLen = r.u8()
+    val table = r.str(tableLen); r.skip(1)
+    val colCount = r.lenenc().toInt
+    val colTypes = Array.fill(colCount)(r.u8())
+    val metaLen = r.lenenc().toInt
+    val metaEnd = r.pos + metaLen
+    val colMeta = colTypes.map(t => readColMeta(t, r))
+    require(r.pos == metaEnd,
+      s"table map metadata length mismatch: at ${r.pos} expected $metaEnd")
+    val nullable = {
+      val bits = r.take((colCount + 7) / 8)
+      Array.tabulate(colCount)(i => ((bits(i / 8) >> (i % 8)) & 1) == 1)
+    }
+    // 8.0 optional metadata TLVs (SIGNEDNESS=1, COLUMN_NAME=4); others
+    // skipped by length
+    var colNames: Seq[String] = Nil
+    var signed: Seq[Boolean] = Nil
+    while (r.pos < bodyEnd) {
+      val t = r.u8()
+      val len = r.lenenc().toInt
+      val fieldEnd = r.pos + len
+      t match {
+        case 1 => // SIGNEDNESS: 1 bit per numeric column, MSB-first
+          val numericCount = colTypes.count(ColType.isNumeric)
+          val bits = r.take(len)
+          signed = (0 until numericCount).map(i =>
+            ((bits(i / 8) >> (7 - i % 8)) & 1) == 0)
+        case 4 => // COLUMN_NAME: lenenc-prefixed strings
+          val names = Seq.newBuilder[String]
+          while (r.pos < fieldEnd) names += r.str(r.lenenc().toInt)
+          colNames = names.result()
+        case _ => r.skip(len)
+      }
+      require(r.pos == fieldEnd, s"optional metadata field $t misparsed")
+    }
+    TableMap(tableId, schema, table, colTypes, colMeta, nullable,
+      colNames, signed)
+  }
+
+  /** Per-column metadata, packed into one Int (see writeColMeta for the
+    * inverse). STRING's two bytes keep their packed-real-type encoding.
+    */
+  private def readColMeta(colType: Int, r: Reader): Int = {
+    import ColType._
+    colType match {
+      case Float | Double | Blob | TinyBlob | MediumBlob | LongBlob |
+        Geometry | Json | Timestamp2 | DateTime2 | Time2 => r.u8()
+      case Varchar | VarString => r.leU(2).toInt
+      case Bit | NewDecimal | StringT | Enum | Set =>
+        (r.u8() << 8) | r.u8()
+      case _ => 0
+    }
+  }
+
+  // ------------------------------------------------------------ row events
+
+  private def parseRows(r: Reader, bodyEnd: Int, v2: Boolean,
+      twoImages: Boolean): (Long, Array[Boolean], Array[Boolean],
+      Seq[(Array[String], Array[String])]) = {
+    val tableId = r.leU(6)
+    r.skip(2) // flags
+    if (v2) {
+      val extraLen = r.leU(2).toInt
+      r.skip(extraLen - 2)
+    }
+    val colCount = r.lenenc().toInt
+    val included = readBitmap(r, colCount)
+    val includedAfter = if (twoImages) readBitmap(r, colCount) else included
+    val tableMap = currentTableMaps.get().getOrElse(tableId,
+      throw new IllegalStateException(
+        s"row event for unmapped table id $tableId"))
+    val rows = Seq.newBuilder[(Array[String], Array[String])]
+    while (r.pos < bodyEnd) {
+      val img1 = parseRowImage(r, tableMap, included)
+      val img2 =
+        if (twoImages) parseRowImage(r, tableMap, includedAfter)
+        else img1
+      rows += ((img1, img2))
+    }
+    (tableId, included, includedAfter, rows.result())
+  }
+
+  private def readBitmap(r: Reader, nbits: Int): Array[Boolean] = {
+    val bytes = r.take((nbits + 7) / 8)
+    Array.tabulate(nbits)(i => ((bytes(i / 8) >> (i % 8)) & 1) == 1)
+  }
+
+  /** One row image: NULL bitmap over *included* columns, then values.
+    * Returns a full-width array with null for NULL/excluded columns.
+    */
+  private def parseRowImage(r: Reader, tm: TableMap,
+      included: Array[Boolean]): Array[String] = {
+    val nIncluded = included.count(identity)
+    val nullBits = r.take((nIncluded + 7) / 8)
+    val out = new Array[String](tm.colTypes.length)
+    var includedIdx = 0
+    var i = 0
+    while (i < tm.colTypes.length) {
+      if (included(i)) {
+        val isNull =
+          ((nullBits(includedIdx / 8) >> (includedIdx % 8)) & 1) == 1
+        includedIdx += 1
+        if (!isNull)
+          out(i) = decodeValue(r, tm.colTypes(i), tm.colMeta(i),
+            signedAt(tm, i))
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def signedAt(tm: TableMap, col: Int): Boolean = {
+    if (tm.signed.isEmpty) return true // no metadata: assume signed
+    val numericIdx = tm.colTypes.take(col).count(ColType.isNumeric)
+    if (!ColType.isNumeric(tm.colTypes(col))) true
+    else tm.signed(numericIdx)
+  }
+
+  /** Thread-local TableMap context so parseRows (called from the
+    * stateless body parser) can resolve column layouts; managed by
+    * [[decodeWithContext]] and the per-file entry points.
+    */
+  private val currentTableMaps =
+    new ThreadLocal[scala.collection.mutable.Map[Long, TableMap]] {
+      override def initialValue() =
+        scala.collection.mutable.Map.empty[Long, TableMap]
+    }
+
+  // -------------------------------------------------------- value decoding
+
+  private def decodeValue(r: Reader, colType: Int, meta: Int,
+      signed: Boolean): String = {
+    import ColType._
+    colType match {
+      case Tiny =>
+        val v = r.u8(); (if (signed) v.toByte.toLong else v.toLong).toString
+      case Short =>
+        val v = r.leU(2)
+        (if (signed) v.toShort.toLong else v).toString
+      case Int24 =>
+        val v = r.leU(3)
+        (if (signed && (v & 0x800000L) != 0) v - 0x1000000L else v).toString
+      case Long =>
+        val v = r.leU(4)
+        (if (signed) v.toInt.toLong else v).toString
+      case LongLong =>
+        val v = r.leU(8)
+        if (signed) v.toString
+        else java.lang.Long.toUnsignedString(v)
+      case Year =>
+        val v = r.u8(); (if (v == 0) 0 else 1900 + v).toString
+      case Float =>
+        java.lang.Float.intBitsToFloat(r.leU(4).toInt).toString
+      case Double =>
+        java.lang.Double.longBitsToDouble(r.leU(8)).toString
+      case Timestamp => r.leU(4).toString // legacy: epoch seconds
+      case Timestamp2 => decodeTimestamp2(r, meta)
+      case Date | NewDate =>
+        val v = r.leU(3)
+        f"${v >> 9}%04d-${(v >> 5) & 15}%02d-${v & 31}%02d"
+      case Time =>
+        val v = r.leU(3).toInt
+        f"${v / 10000}%02d:${(v / 100) % 100}%02d:${v % 100}%02d"
+      case Time2 => decodeTime2(r, meta)
+      case DateTime =>
+        val v = r.leU(8)
+        val d = v / 1000000; val t = v % 1000000
+        f"${d / 10000}%04d-${(d / 100) % 100}%02d-${d % 100}%02d " +
+          f"${t / 10000}%02d:${(t / 100) % 100}%02d:${t % 100}%02d"
+      case DateTime2 => decodeDateTime2(r, meta)
+      case Varchar | VarString =>
+        val len = if (meta < 256) r.u8() else r.leU(2).toInt
+        r.str(len)
+      case StringT | Enum | Set =>
+        decodeStringFamily(r, meta)
+      case Bit =>
+        val nbits = ((meta >> 8) & 0xff) * 8 + (meta & 0xff)
+        r.beU((nbits + 7) / 8).toString
+      case NewDecimal =>
+        decodeNewDecimal(r, meta >> 8, meta & 0xff)
+      case Blob | TinyBlob | MediumBlob | LongBlob | Geometry | Json =>
+        val len = r.leU(meta).toInt
+        r.take(len).map(b => f"${b & 0xff}%02x").mkString
+      case Null => null
+      case other => throw new IllegalArgumentException(
+        s"unsupported binlog column type $other")
+    }
+  }
+
+  /** STRING metadata packs the real type (CHAR/ENUM/SET) and length into
+    * two bytes; lengths ≥256 borrow bits from the type byte.
+    */
+  private def decodeStringFamily(r: Reader, meta: Int): String = {
+    val b0 = (meta >> 8) & 0xff
+    val b1 = meta & 0xff
+    var realType = ColType.StringT
+    var length = b1
+    if (b0 != 0) {
+      if ((b0 & 0x30) != 0x30) {
+        length = b1 | (((b0 & 0x30) ^ 0x30) << 4)
+        realType = b0 | 0x30
+      } else {
+        realType = b0
+        length = b1
+      }
+    }
+    realType match {
+      case ColType.Enum => r.leU(length).toString // 1- or 2-byte index
+      case ColType.Set => r.leU(length).toString // member bitmask
+      case _ =>
+        val n = if (length < 256) r.u8() else r.leU(2).toInt
+        r.str(n)
+    }
+  }
+
+  private def fracDigits(meta: Int): Int = meta
+  private def fracBytes(meta: Int): Int = (meta + 1) / 2
+
+  private def readFrac(r: Reader, meta: Int): Int = {
+    val n = fracBytes(meta)
+    if (n == 0) 0
+    else {
+      val v = r.beU(n).toInt
+      // stored in units of 10^(6 - 2*ceil) — scale to micros
+      v * (n match { case 1 => 10000; case 2 => 100; case _ => 1 })
+    }
+  }
+
+  private def renderFrac(micros: Int, meta: Int): String =
+    if (meta == 0) ""
+    else "." + f"$micros%06d".substring(0, fracDigits(meta))
+
+  private def decodeTimestamp2(r: Reader, meta: Int): String = {
+    val secs = r.beU(4)
+    val micros = readFrac(r, meta)
+    secs.toString + renderFrac(micros, meta)
+  }
+
+  private def decodeDateTime2(r: Reader, meta: Int): String = {
+    val intPart = r.beU(5) - 0x8000000000L
+    val micros = readFrac(r, meta)
+    val ymd = intPart >> 17
+    val ym = ymd >> 5
+    val day = ymd & 31
+    val month = ym % 13
+    val year = ym / 13
+    val hms = intPart & ((1L << 17) - 1)
+    val second = hms & 63
+    val minute = (hms >> 6) & 63
+    val hour = hms >> 12
+    f"$year%04d-$month%02d-$day%02d $hour%02d:$minute%02d:$second%02d" +
+      renderFrac(micros, meta)
+  }
+
+  private def decodeTime2(r: Reader, meta: Int): String = {
+    val raw = r.beU(3) - 0x800000L
+    val neg = raw < 0
+    val v = math.abs(raw)
+    val hour = (v >> 12) & 0x3ff
+    val minute = (v >> 6) & 63
+    val second = v & 63
+    val micros = readFrac(r, meta)
+    (if (neg) "-" else "") +
+      f"$hour%02d:$minute%02d:$second%02d" + renderFrac(micros, meta)
+  }
+
+  private val Dig2Bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+
+  /** Packed-BCD decimal: 9-digit groups in 4 bytes big-endian, partial
+    * groups in 1–4 bytes, sign bit on the first byte, negative values
+    * stored complemented.
+    */
+  private def decodeNewDecimal(r: Reader, precision: Int,
+      scale: Int): String = {
+    val intg = precision - scale
+    val intg0 = intg / 9; val intg0x = intg - intg0 * 9
+    val frac0 = scale / 9; val frac0x = scale - frac0 * 9
+    val binSize = intg0 * 4 + Dig2Bytes(intg0x) + frac0 * 4 +
+      Dig2Bytes(frac0x)
+    val raw = r.take(binSize)
+    val negative = (raw(0) & 0x80) == 0
+    raw(0) = (raw(0) ^ 0x80).toByte
+    if (negative) {
+      var i = 0
+      while (i < raw.length) { raw(i) = (~raw(i)).toByte; i += 1 }
+    }
+    val rr = new Reader(raw, 0)
+    val sb = new StringBuilder
+    if (negative) sb += '-'
+    val first = if (intg0x > 0) rr.beU(Dig2Bytes(intg0x)) else 0L
+    var started = false
+    if (first != 0) { sb.append(first); started = true }
+    var g = 0
+    while (g < intg0) {
+      val v = rr.beU(4)
+      if (started) sb.append(f"$v%09d")
+      else if (v != 0) { sb.append(v); started = true }
+      g += 1
+    }
+    if (!started) sb += '0'
+    if (scale > 0) {
+      sb += '.'
+      var f = 0
+      while (f < frac0) { sb.append(f"${rr.beU(4)}%09d"); f += 1 }
+      if (frac0x > 0) {
+        val v = rr.beU(Dig2Bytes(frac0x))
+        val s = v.toString
+        sb.append("0" * (frac0x - s.length)).append(s)
+      }
+    }
+    sb.toString
+  }
+
+  // --------------------------------------------------- ChangeEvent bridge
+
+  /** Flatten a decoded event stream into [[ChangeEvent]]s, resolving
+    * TableMap context, recursing into TransactionPayload (with the
+    * outer next-position, as the reference does), tracking Rotate for
+    * the position's binlog filename and Gtid for its gtid set. Column
+    * names come from 8.0 optional metadata when present, else from
+    * `colNamesFor` (the meta-manager hook — reference
+    * mysql_cdc_extractor.rs:366 `get_tb_meta`).
+    */
+  def toChangeEvents(events: Seq[(EventHeader, Event)],
+      binlogFile: String,
+      colNamesFor: (String, String) => Seq[String] = (_, _) => Nil)
+      : Seq[ChangeEvent] = {
+    val tables = scala.collection.mutable.Map.empty[Long, TableMap]
+    val out = Seq.newBuilder[ChangeEvent]
+    var file = binlogFile
+    var gtid = ""
+
+    def names(tm: TableMap): Seq[String] =
+      if (tm.colNames.nonEmpty) tm.colNames
+      else {
+        val external = colNamesFor(tm.schema, tm.table)
+        require(external.size == tm.colTypes.length,
+          s"no column names for ${tm.schema}.${tm.table}: binlog has no " +
+            "optional metadata (binlog_row_metadata=FULL) and no " +
+            "external meta was supplied")
+        external
+      }
+
+    def img(tm: TableMap, row: Array[String]): Map[String, String] =
+      names(tm).zip(row).toMap
+
+    def walk(header: EventHeader, event: Event): Unit = {
+      val pos = Position.MysqlCdc(file, header.nextPosition, gtid)
+      def emit(tm: TableMap, rowType: String,
+          before: Map[String, String], after: Map[String, String]): Unit =
+        out += ChangeEvent(tm.schema, tm.table, 0L, rowType, before,
+          after, pos.kind, pos.render, originNode = "")
+      event match {
+        case r: Rotate => file = r.nextFile
+        case g: Gtid => gtid = s"${g.uuid}:${g.gno}"
+        case tm: TableMap => tables(tm.tableId) = tm
+        case w: WriteRows =>
+          val tm = tables(w.tableId)
+          w.rows.foreach(row =>
+            emit(tm, RowKind.Insert, Map.empty, img(tm, row)))
+        case d: DeleteRows =>
+          val tm = tables(d.tableId)
+          d.rows.foreach(row =>
+            emit(tm, RowKind.Delete, img(tm, row), Map.empty))
+        case u: UpdateRows =>
+          val tm = tables(u.tableId)
+          u.rows.foreach { case (b, a) =>
+            emit(tm, RowKind.Update, img(tm, b), img(tm, a))
+          }
+        case p: TransactionPayload =>
+          p.events.foreach { case (h, e) =>
+            walk(h.copy(nextPosition = header.nextPosition), e)
+          }
+        case _ => () // Query/Xid/FDE/Unknown carry no row images
+      }
+    }
+
+    events.foreach { case (h, e) => walk(h, e) }
+    out.result()
+  }
+
+  /** Decode binlog file bytes straight to ChangeEvents. */
+  def decodeFile(bytes: Array[Byte], binlogFile: String,
+      colNamesFor: (String, String) => Seq[String] = (_, _) => Nil)
+      : Seq[ChangeEvent] =
+    toChangeEvents(readFile(bytes), binlogFile, colNamesFor)
+
+  /** Render ChangeEvents as [[ChangelogSource]] segment lines
+    * (`seq \t schema \t tb \t row_type \t key \t payload`) so a decoded
+    * binlog file becomes a streaming segment directly.
+    */
+  def toSegmentLines(events: Seq[ChangeEvent], keyCols: Seq[String],
+      startSeq: Long): Seq[String] =
+    events.zipWithIndex.map { case (e, i) =>
+      val key = keyCols.map(c => e.keyImage.getOrElse(c, "")).mkString("|")
+      val payload = (if (e.rowType == RowKind.Delete) e.before else e.after)
+        .toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=${if (v == null) "" else v}" }
+        .mkString(",")
+      s"${startSeq + i}\t${e.schema}\t${e.tb}\t${e.rowType}\t$key\t$payload"
+    }
+}

@@ -1,0 +1,300 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.RowKind
+import graft.sources.{MysqlBinlog, MysqlBinlogWriter}
+import graft.sources.MysqlBinlog._
+
+/** Binlog v4 file decoder battery — hand-built images through
+  * [[MysqlBinlogWriter]], decoded by [[MysqlBinlog]]; covers the column
+  * types, bitmaps, checksums, optional metadata, and transaction-payload
+  * compression the reference's wire client handles
+  * (mysql_cdc_extractor.rs:194-342, row decode :354-394).
+  */
+class MysqlBinlogSpec extends AnyFunSuite {
+
+  private val AllTypesCols = Seq(
+    ("c_tiny", ColType.Tiny, 0),
+    ("c_short", ColType.Short, 0),
+    ("c_int24", ColType.Int24, 0),
+    ("c_long", ColType.Long, 0),
+    ("c_longlong", ColType.LongLong, 0),
+    ("c_year", ColType.Year, 0),
+    ("c_float", ColType.Float, 4),
+    ("c_double", ColType.Double, 8),
+    ("c_ts", ColType.Timestamp, 0),
+    ("c_ts2", ColType.Timestamp2, 3),
+    ("c_date", ColType.Date, 0),
+    ("c_time", ColType.Time, 0),
+    ("c_time2", ColType.Time2, 2),
+    ("c_dt", ColType.DateTime, 0),
+    ("c_dt2", ColType.DateTime2, 6),
+    ("c_varchar", ColType.Varchar, 300),
+    ("c_varshort", ColType.Varchar, 40),
+    ("c_bit", ColType.Bit, (1 << 8) | 4), // BIT(12): bytes=1 bits=4
+    ("c_dec", ColType.NewDecimal, (14 << 8) | 4),
+    ("c_char", ColType.StringT, (ColType.StringT << 8) | 12),
+    ("c_enum", ColType.Enum, (ColType.Enum << 8) | 1),
+    ("c_set", ColType.Set, (ColType.Set << 8) | 2),
+    ("c_blob", ColType.Blob, 2),
+    ("c_json", ColType.Json, 4))
+
+  private val AllTypesRow: Array[String] = Array(
+    "-128", "-32768", "-8388608", "-2147483648", "-9223372036854775808",
+    "2024", "1.5", "3.141592653589793", "1700000000", "1700000000.123",
+    "2024-02-29", "13:45:09", "-838:59:58.99", "9999-12-31 23:59:59",
+    "2024-06-01 12:34:56.000001", "héllo wörld", "short",
+    "4095", "1234567890.9999", "CHARDATA", "2", "513",
+    "deadbeef00", "0a0b0c")
+
+  private def writerWithTable(colNames: Boolean = true,
+      checksum: Boolean = true, signed: Seq[Boolean] = Nil)
+      : MysqlBinlogWriter = {
+    val w = new MysqlBinlogWriter(serverId = 42L, checksum = checksum)
+    w.fde()
+    w.tableMap(23L, "shop", "all_types",
+      AllTypesCols.map(_._2), AllTypesCols.map(_._3),
+      nullable = Seq.fill(AllTypesCols.size)(true),
+      colNames = if (colNames) AllTypesCols.map(_._1) else Nil,
+      signed = signed)
+    w
+  }
+
+  test("all column types round-trip through write → decode") {
+    val w = writerWithTable()
+    w.begin("shop")
+    w.writeRows(23L, Seq(AllTypesRow))
+    w.xid(99L)
+    val events = MysqlBinlog.readFile(w.bytes())
+    val writes = events.collect { case (_, e: WriteRows) => e }
+    assert(writes.size == 1)
+    assert(writes.head.rows.head.toSeq == AllTypesRow.toSeq)
+  }
+
+  test("NULL bitmap: nulls at both bitmap byte boundaries survive") {
+    val w = writerWithTable()
+    val row = AllTypesRow.clone()
+    row(0) = null; row(7) = null; row(8) = null; row(23) = null
+    w.writeRows(23L, Seq(row))
+    val writes = MysqlBinlog.readFile(w.bytes())
+      .collect { case (_, e: WriteRows) => e }
+    assert(writes.head.rows.head.toSeq == row.toSeq)
+  }
+
+  test("SIGNEDNESS optional metadata decodes unsigned integer widths") {
+    val signed = AllTypesCols.map(_ => true)
+      .updated(4, false) // c_longlong unsigned
+      .updated(0, false) // c_tiny unsigned
+    val w = writerWithTable(signed = signed)
+    val row = AllTypesRow.clone()
+    row(0) = "255"
+    row(4) = "18446744073709551615"
+    w.writeRows(23L, Seq(row))
+    val writes = MysqlBinlog.readFile(w.bytes())
+      .collect { case (_, e: WriteRows) => e }
+    assert(writes.head.rows.head(0) == "255")
+    assert(writes.head.rows.head(4) == "18446744073709551615")
+  }
+
+  test("update and delete events carry before/after images") {
+    val w = writerWithTable()
+    val before = AllTypesRow.clone()
+    val after = AllTypesRow.clone()
+    after(15) = "renamed"
+    w.updateRows(23L, Seq((before, after)))
+    w.deleteRows(23L, Seq(after))
+    val events = MysqlBinlog.readFile(w.bytes())
+    val u = events.collect { case (_, e: UpdateRows) => e }.head
+    assert(u.rows.head._1.toSeq == before.toSeq)
+    assert(u.rows.head._2.toSeq == after.toSeq)
+    val d = events.collect { case (_, e: DeleteRows) => e }.head
+    assert(d.rows.head.toSeq == after.toSeq)
+  }
+
+  test("multi-row events preserve order") {
+    val w = writerWithTable()
+    val rows = (1 to 50).map { i =>
+      val r = AllTypesRow.clone(); r(3) = i.toString; r
+    }
+    w.writeRows(23L, rows)
+    val writes = MysqlBinlog.readFile(w.bytes())
+      .collect { case (_, e: WriteRows) => e }
+    assert(writes.head.rows.map(_(3)) == (1 to 50).map(_.toString))
+  }
+
+  test("checksum off: FDE advertises alg 0 and events have no trailer") {
+    val w = writerWithTable(checksum = false)
+    w.writeRows(23L, Seq(AllTypesRow))
+    val events = MysqlBinlog.readFile(w.bytes())
+    val fde = events.collect { case (_, e: FormatDescription) => e }.head
+    assert(fde.checksumAlg == 0)
+    val writes = events.collect { case (_, e: WriteRows) => e }
+    assert(writes.head.rows.head.toSeq == AllTypesRow.toSeq)
+  }
+
+  test("corrupted byte fails the CRC32 check loudly") {
+    val w = writerWithTable()
+    w.writeRows(23L, Seq(AllTypesRow))
+    val bytes = w.bytes()
+    bytes(bytes.length - 20) = (bytes(bytes.length - 20) ^ 0x40).toByte
+    val err = intercept[IllegalArgumentException] {
+      MysqlBinlog.readFile(bytes)
+    }
+    assert(err.getMessage.contains("CRC32"))
+  }
+
+  test("query, xid, gtid, rotate decode") {
+    val w = writerWithTable()
+    w.gtid("3e11fa47-71ca-11e1-9e33-c80aa9429562", 23L)
+    w.begin("shop")
+    w.query("shop", "ALTER TABLE all_types ADD COLUMN c_new INT")
+    w.xid(77L)
+    w.rotate(4L, "binlog.000002")
+    val events = MysqlBinlog.readFile(w.bytes())
+    val g = events.collect { case (_, e: Gtid) => e }.head
+    assert(g.uuid == "3e11fa47-71ca-11e1-9e33-c80aa9429562" && g.gno == 23L)
+    val qs = events.collect { case (_, e: Query) => e }
+    assert(qs.map(_.sql) ==
+      Seq("BEGIN", "ALTER TABLE all_types ADD COLUMN c_new INT"))
+    assert(qs.forall(_.schema == "shop"))
+    assert(events.collect { case (_, e: Xid) => e }.head.xid == 77L)
+    val r = events.collect { case (_, e: Rotate) => e }.head
+    assert(r.nextFile == "binlog.000002" && r.position == 4L)
+  }
+
+  test("transaction payload: ZSTD and uncompressed both recurse") {
+    for (zstd <- Seq(true, false)) {
+      val w = writerWithTable()
+      w.transactionPayload(zstd) { inner =>
+        inner.begin("shop")
+        inner.writeRows(23L, Seq(AllTypesRow))
+        inner.xid(5L)
+      }
+      val events = MysqlBinlog.readFile(w.bytes())
+      val p = events.collect { case (_, e: TransactionPayload) => e }.head
+      val writes = p.events.collect { case (_, e: WriteRows) => e }
+      assert(writes.head.rows.head.toSeq == AllTypesRow.toSeq,
+        s"zstd=$zstd")
+    }
+  }
+
+  test("NEWDECIMAL vectors: signs, zeros, group boundaries") {
+    val vectors = Seq(
+      ((10, 0), Seq("0", "1", "-1", "9999999999", "-9999999999")),
+      ((18, 9), Seq("0.000000000", "123456789.987654321",
+        "-123456789.987654321", "0.000000001", "-0.000000001")),
+      ((30, 10), Seq("99999999999999999999.9999999999",
+        "-99999999999999999999.9999999999", "0.0000000001")),
+      ((9, 9), Seq("0.123456789", "-0.999999999")),
+      ((4, 2), Seq("12.34", "-0.05", "0.00")))
+    vectors.foreach { case ((p, s), vals) =>
+      val w = new MysqlBinlogWriter()
+      w.fde()
+      w.tableMap(1L, "d", "t", Seq(ColType.NewDecimal),
+        Seq((p << 8) | s), Seq(true), Seq("v"))
+      w.writeRows(1L, vals.map(v => Array(v)))
+      val got = MysqlBinlog.readFile(w.bytes())
+        .collect { case (_, e: WriteRows) => e }
+        .head.rows.map(_(0))
+      // canonical render strips redundant leading zeros, keeps scale
+      val want = vals.map { v =>
+        val neg = v.startsWith("-")
+        val stripped = (if (neg) v.substring(1) else v) match {
+          case x if x.startsWith("0.") => x
+          case x => x.dropWhile(_ == '0') match {
+            case y if y.isEmpty || y.startsWith(".") => "0" + y
+            case y => y
+          }
+        }
+        (if (neg) "-" else "") + stripped
+      }
+      assert(got == want, s"DECIMAL($p,$s)")
+    }
+  }
+
+  test("decodeFile emits ChangeEvents named by 8.0 optional metadata") {
+    val w = writerWithTable()
+    w.gtid("3e11fa47-71ca-11e1-9e33-c80aa9429562", 9L)
+    w.begin("shop")
+    w.writeRows(23L, Seq(AllTypesRow))
+    val upd = AllTypesRow.clone(); upd(15) = "v2"
+    w.updateRows(23L, Seq((AllTypesRow, upd)))
+    w.deleteRows(23L, Seq(upd))
+    w.xid(1L)
+    val evts = MysqlBinlog.decodeFile(w.bytes(), "binlog.000007")
+    assert(evts.map(_.rowType) ==
+      Seq(RowKind.Insert, RowKind.Update, RowKind.Delete))
+    assert(evts.forall(e => e.schema == "shop" && e.tb == "all_types"))
+    assert(evts.head.after("c_varchar") == "héllo wörld")
+    assert(evts(1).before("c_varchar") == "héllo wörld")
+    assert(evts(1).after("c_varchar") == "v2")
+    assert(evts(2).before("c_varchar") == "v2")
+    assert(evts.forall(_.positionKind == "mysql_cdc"))
+    assert(evts.forall(_.positionValue.contains("binlog.000007")))
+    assert(evts.forall(_.positionValue.endsWith(
+      "gtid=3e11fa47-71ca-11e1-9e33-c80aa9429562:9")))
+  }
+
+  test("decodeFile without optional metadata uses the external meta hook") {
+    val w = writerWithTable(colNames = false)
+    w.writeRows(23L, Seq(AllTypesRow))
+    val err = intercept[IllegalArgumentException] {
+      MysqlBinlog.decodeFile(w.bytes(), "f")
+    }
+    assert(err.getMessage.contains("binlog_row_metadata"))
+    val evts = MysqlBinlog.decodeFile(w.bytes(), "f",
+      (s, t) => if (s == "shop" && t == "all_types")
+        AllTypesCols.map(_._1) else Nil)
+    assert(evts.head.after("c_dec") == "1234567890.9999")
+  }
+
+  test("rotate mid-file switches the position's binlog filename") {
+    val w = writerWithTable()
+    w.writeRows(23L, Seq(AllTypesRow))
+    w.rotate(4L, "binlog.000002")
+    w.tableMap(23L, "shop", "all_types",
+      AllTypesCols.map(_._2), AllTypesCols.map(_._3),
+      Seq.fill(AllTypesCols.size)(true), AllTypesCols.map(_._1))
+    w.writeRows(23L, Seq(AllTypesRow))
+    val evts = MysqlBinlog.decodeFile(w.bytes(), "binlog.000001")
+    assert(evts.size == 2)
+    assert(evts.head.positionValue.contains("binlog.000001"))
+    assert(evts(1).positionValue.contains("binlog.000002"))
+  }
+
+  test("toSegmentLines renders the ChangelogSource record format") {
+    val w = writerWithTable()
+    w.writeRows(23L, Seq(AllTypesRow))
+    val del = AllTypesRow.clone()
+    w.deleteRows(23L, Seq(del))
+    val evts = MysqlBinlog.decodeFile(w.bytes(), "binlog.000001")
+    val lines = MysqlBinlog.toSegmentLines(evts,
+      keyCols = Seq("c_long"), startSeq = 100L)
+    assert(lines.size == 2)
+    val f0 = lines.head.split("\t", -1)
+    assert(f0(0) == "100" && f0(1) == "shop" && f0(2) == "all_types" &&
+      f0(3) == "insert" && f0(4) == "-2147483648")
+    assert(f0(5).contains("c_varchar=héllo wörld"))
+    val f1 = lines(1).split("\t", -1)
+    assert(f1(0) == "101" && f1(3) == "delete" &&
+      f1(4) == "-2147483648" && f1(5).contains("c_char=CHARDATA"))
+  }
+
+  test("long varchar (2-byte length) and char beyond 255 bytes") {
+    val long = "x" * 280
+    val w = new MysqlBinlogWriter()
+    w.fde()
+    // CHAR(255) utf8mb4 = 1020 bytes: STRING metadata steals the 0x30
+    // bits of the type byte for length bits 8-9 → (0xce, 0xfc)
+    val charMeta = (0xce << 8) | 0xfc
+    w.tableMap(2L, "d", "t",
+      Seq(ColType.Varchar, ColType.StringT),
+      Seq(300, charMeta), Seq(true, true), Seq("a", "b"))
+    w.writeRows(2L, Seq(Array(long, "y" * 260)))
+    val got = MysqlBinlog.readFile(w.bytes())
+      .collect { case (_, e: WriteRows) => e }.head.rows.head
+    assert(got(0) == long)
+    assert(got(1) == "y" * 260)
+  }
+}
