@@ -99,6 +99,87 @@ object BinlogReplay {
         col("last.o_orderpriority").as("o_orderpriority"))
   }
 
+  /** pgoutput twin of q64: one decoded change per message, text-protocol
+    * values (pgoutput tuples are text-rendered), REPLICA IDENTITY
+    * DEFAULT updates, 'K' deletes, keepalives interleaved. Same
+    * per-partition capture-file parallelism; one key-compaction shuffle.
+    */
+  final case class PgDecoded(seq: Long, row_type: String, c_custkey: Long,
+      c_name: String, c_nationkey: Int, c_acctbal: Double,
+      c_mktsegment: String)
+
+  def pgoutputRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.customer(spark, dir).select(
+      col("c_custkey"), col("c_name"), col("c_nationkey"),
+      col("c_acctbal"), col("c_mktsegment"))
+
+    val decoded = customer.mapPartitions { it =>
+      val rows = it.map { r =>
+        Array(r.getLong(0).toString, r.getString(1),
+          r.getInt(2).toString, r.getDouble(3).toString, r.getString(4))
+      }.toSeq
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val w = new graft.sources.PgOutputWriter()
+        val cols = Seq(
+          graft.sources.PgOutput.RelColumn("c_custkey", keyPart = true,
+            typeOid = 20, typeMod = -1),
+          graft.sources.PgOutput.RelColumn("c_name", false, 25, -1),
+          graft.sources.PgOutput.RelColumn("c_nationkey", false, 23, -1),
+          graft.sources.PgOutput.RelColumn("c_acctbal", false, 701, -1),
+          graft.sources.PgOutput.RelColumn("c_mktsegment", false, 25, -1))
+        var lsn = 0x1000L
+        var xid = 0L
+        rows.grouped(200).zipWithIndex.foreach { case (chunk, ci) =>
+          xid += 1
+          w.begin(lsn + 0x100, 0L, xid)
+          if (ci == 0) w.relation(16385L, "tpch", "customer", 'd', cols)
+          chunk.foreach(r => w.insert(16385L, r))
+          chunk.filter(_(4) == "BUILDING").foreach { r =>
+            w.update(16385L, None, None, r.updated(1, "UPD:" + r(1)))
+          }
+          w.keepalive(replyRequested = false)
+          chunk.filter(_(0).toLong % 5 == 0).foreach { r =>
+            w.delete(16385L, 'K',
+              Array(r(0), null, null, null, null))
+          }
+          w.commit(lsn + 0x100, lsn + 0x200, 0L)
+          lsn += 0x1000
+        }
+        val events = graft.sources.PgOutput.decodeFile(w.bytes(), "0/0")
+        events.iterator.zipWithIndex.map { case (e, i) =>
+          if (e.rowType == graft.model.RowKind.Delete)
+            PgDecoded(i.toLong, e.rowType, e.before("c_custkey").toLong,
+              null, 0, 0.0, null)
+          else
+            PgDecoded(i.toLong, e.rowType, e.after("c_custkey").toLong,
+              e.after("c_name"), e.after("c_nationkey").toInt,
+              e.after("c_acctbal").toDouble, e.after("c_mktsegment"))
+        }
+      }
+    }
+
+    decoded.toDF()
+      .groupBy(col("c_custkey"))
+      .agg(max_by(struct(col("row_type"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
+        col("seq")).as("last"))
+      .where(col("last.row_type") =!= RowKind.Delete)
+      .select(col("c_custkey"), col("last.c_name").as("c_name"),
+        col("last.c_nationkey").as("c_nationkey"),
+        col("last.c_acctbal").as("c_acctbal"),
+        col("last.c_mktsegment").as("c_mktsegment"))
+  }
+
+  val pgoutputRoundtripSql: String =
+    """SELECT c_custkey,
+      |  CASE WHEN c_mktsegment = 'BUILDING' THEN 'UPD:' || c_name
+      |       ELSE c_name END AS c_name,
+      |  c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer
+      |WHERE c_custkey % 5 <> 0""".stripMargin
+
   val binlogRoundtripSql: String =
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
       |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
@@ -108,8 +189,10 @@ object BinlogReplay {
       |WHERE o_orderkey % 7 <> 0""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q64_binlog_roundtrip" -> (binlogRoundtrip _))
+    "q64_binlog_roundtrip" -> (binlogRoundtrip _),
+    "q65_pgoutput_roundtrip" -> (pgoutputRoundtrip _))
 
   val oracles: Map[String, String] = Map(
-    "q64_binlog_roundtrip" -> binlogRoundtripSql)
+    "q64_binlog_roundtrip" -> binlogRoundtripSql,
+    "q65_pgoutput_roundtrip" -> pgoutputRoundtripSql)
 }

@@ -1,0 +1,434 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+
+import graft.model.{ChangeEvent, Position, RowKind}
+import graft.operators.Checker
+
+/** PostgreSQL `pgoutput` logical-replication message decoder — the PG twin
+  * of [[MysqlBinlog]]. The reference consumes these messages through
+  * tokio-postgres (`/root/reference/dt-connector/src/extractor/pg/
+  * pg_cdc_extractor.rs:170-226` dispatch, `pg_cdc_client.rs:219-291`
+  * stream framing); here the protocol client stays external and the
+  * public message layout is decoded natively:
+  *
+  *   - Begin / Commit (8-byte LSNs, micros-since-2000 timestamps)
+  *   - Relation (column names, flags, type oids — pgoutput streams its
+  *     own schema, so decode needs no external catalog)
+  *   - Insert / Update / Delete with TupleData: 't' text, 'n' NULL,
+  *     'u' unchanged-TOAST (rendered as [[Checker.ToastSentinel]], the
+  *     same marker the tolerant diff already honors), 'b' binary
+  *   - Update old-image modes: 'K' (REPLICA IDENTITY key) and 'O'
+  *     (REPLICA IDENTITY FULL)
+  *   - Truncate, Origin, Type, logical-decoding Message — decoded,
+  *     surfaced, never mis-parsed
+  *
+  * Two transports: bare concatenated messages are not self-delimiting,
+  * so captured streams are framed — either PG wire CopyData ('d' +
+  * length) as a capture proxy writes, or the inner XLogData ('w') /
+  * keepalive ('k') layer. [[decodeCopyStream]] peels both.
+  *
+  * Scale shape: one captured WAL segment file = one task (flatMap), the
+  * same per-file parallelism as the binlog decoder; only the downstream
+  * key compaction shuffles.
+  */
+object PgOutput {
+
+  final case class RelColumn(name: String, keyPart: Boolean, typeOid: Int,
+      typeMod: Int)
+
+  sealed trait Message
+  final case class Begin(finalLsn: Long, commitMicros: Long, xid: Long)
+      extends Message
+  final case class Commit(commitLsn: Long, endLsn: Long,
+      commitMicros: Long) extends Message
+  final case class Relation(relId: Long, namespace: String, name: String,
+      replicaIdentity: Char, columns: Seq[RelColumn]) extends Message
+  /** Tuple values: null = SQL NULL; unchanged TOAST renders as the
+    * sentinel; binary ('b') renders as lowercase hex.
+    */
+  final case class Insert(relId: Long, newTuple: Array[String])
+      extends Message
+  final case class Update(relId: Long, oldKind: Option[Char],
+      oldTuple: Option[Array[String]], newTuple: Array[String])
+      extends Message
+  final case class Delete(relId: Long, oldKind: Char,
+      oldTuple: Array[String]) extends Message
+  final case class Truncate(cascade: Boolean, restartIdentity: Boolean,
+      relIds: Seq[Long]) extends Message
+  final case class Origin(originLsn: Long, name: String) extends Message
+  final case class TypeMsg(typeOid: Long, namespace: String, name: String)
+      extends Message
+  final case class LogicalMessage(transactional: Boolean, lsn: Long,
+      prefix: String, content: Array[Byte]) extends Message
+  final case class Keepalive(walEnd: Long, clockMicros: Long,
+      replyRequested: Boolean) extends Message
+  final case class UnknownMessage(tag: Char) extends Message
+
+  /** Standard PG LSN rendering: `XXXXXXXX/XXXXXXXX` (hi/lo 32 bits). */
+  def renderLsn(lsn: Long): String =
+    f"${(lsn >>> 32).toInt & 0xffffffffL}%X/${lsn.toInt & 0xffffffffL}%X"
+
+  // ---------------------------------------------------------------- reader
+
+  private final class Reader(bytes: Array[Byte], var pos: Int) {
+    def hasMore: Boolean = pos < bytes.length
+    def u8(): Int = { val b = bytes(pos) & 0xff; pos += 1; b }
+    def beU(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | (bytes(pos + i) & 0xffL); i += 1 }
+      pos += n; v
+    }
+    def take(n: Int): Array[Byte] = {
+      require(pos + n <= bytes.length,
+        s"pgoutput truncated: need $n bytes at $pos of ${bytes.length}")
+      val out = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+      pos += n; out
+    }
+    def cstr(): String = {
+      val start = pos
+      while (bytes(pos) != 0) pos += 1
+      val s = new String(bytes, start, pos - start, StandardCharsets.UTF_8)
+      pos += 1; s
+    }
+  }
+
+  /** Decode one bare pgoutput message (the payload of one XLogData). */
+  def decodeMessage(bytes: Array[Byte]): Message = {
+    val r = new Reader(bytes, 0)
+    val tag = r.u8().toChar
+    tag match {
+      case 'B' => Begin(r.beU(8), r.beU(8), r.beU(4))
+      case 'C' =>
+        r.u8() // flags, unused
+        Commit(r.beU(8), r.beU(8), r.beU(8))
+      case 'O' => Origin(r.beU(8), r.cstr())
+      case 'R' =>
+        val relId = r.beU(4)
+        val ns = r.cstr(); val name = r.cstr()
+        val identity = r.u8().toChar
+        val ncols = r.beU(2).toInt
+        val cols = (0 until ncols).map { _ =>
+          val flags = r.u8()
+          RelColumn(r.cstr(), (flags & 1) == 1, r.beU(4).toInt,
+            r.beU(4).toInt)
+        }
+        Relation(relId, ns, name, identity, cols)
+      case 'Y' => TypeMsg(r.beU(4), r.cstr(), r.cstr())
+      case 'I' =>
+        val relId = r.beU(4)
+        val kind = r.u8().toChar
+        require(kind == 'N', s"insert tuple kind $kind")
+        Insert(relId, tupleData(r))
+      case 'U' =>
+        val relId = r.beU(4)
+        val next = r.u8().toChar
+        if (next == 'K' || next == 'O') {
+          val old = tupleData(r)
+          val n = r.u8().toChar
+          require(n == 'N', s"update new-tuple kind $n")
+          Update(relId, Some(next), Some(old), tupleData(r))
+        } else {
+          require(next == 'N', s"update tuple kind $next")
+          Update(relId, None, None, tupleData(r))
+        }
+      case 'D' =>
+        val relId = r.beU(4)
+        val kind = r.u8().toChar
+        require(kind == 'K' || kind == 'O', s"delete tuple kind $kind")
+        Delete(relId, kind, tupleData(r))
+      case 'T' =>
+        val n = r.beU(4).toInt
+        val flags = r.u8()
+        Truncate((flags & 1) == 1, (flags & 2) == 2,
+          (0 until n).map(_ => r.beU(4)))
+      case 'M' =>
+        val transactional = r.u8() == 1
+        val lsn = r.beU(8)
+        val prefix = r.cstr()
+        val len = r.beU(4).toInt
+        LogicalMessage(transactional, lsn, prefix, r.take(len))
+      case other => UnknownMessage(other)
+    }
+  }
+
+  private def tupleData(r: Reader): Array[String] = {
+    val n = r.beU(2).toInt
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      r.u8().toChar match {
+        case 'n' => out(i) = null
+        case 'u' => out(i) = Checker.ToastSentinel
+        case 't' =>
+          val len = r.beU(4).toInt
+          out(i) = new String(r.take(len), StandardCharsets.UTF_8)
+        case 'b' =>
+          val len = r.beU(4).toInt
+          out(i) = r.take(len).map(b => f"${b & 0xff}%02x").mkString
+        case other => throw new IllegalArgumentException(
+          s"unknown tuple data kind $other")
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Peel a captured stream: CopyData ('d' + BE length incl. itself)
+    * wrapping XLogData ('w' startLsn endLsn clock + message) and
+    * keepalives ('k' walEnd clock reply). Bare XLogData frames (no
+    * CopyData layer) also decode — the first byte disambiguates.
+    * Returns (walStartLsn, message) pairs; keepalives carry their
+    * walEnd as the LSN.
+    */
+  def decodeCopyStream(bytes: Array[Byte]): Seq[(Long, Message)] = {
+    val out = Seq.newBuilder[(Long, Message)]
+    var pos = 0
+    while (pos < bytes.length) {
+      val tag = bytes(pos) & 0xff
+      if (tag == 'd') {
+        val r = new Reader(bytes, pos + 1)
+        val len = r.beU(4).toInt // includes the length field
+        val end = pos + 1 + len
+        out ++= decodeXLog(bytes, pos + 5, end)
+        pos = end
+      } else if (tag == 'w' || tag == 'k') {
+        // bare inner frames: XLogData payloads are self-terminating
+        // messages, keepalives fixed-width
+        val (res, next) = decodeXLogOne(bytes, pos, bytes.length)
+        out += res
+        pos = next
+      } else throw new IllegalArgumentException(
+        f"unknown replication frame tag $tag%x at $pos")
+    }
+    out.result()
+  }
+
+  private def decodeXLog(bytes: Array[Byte], start: Int,
+      end: Int): Seq[(Long, Message)] = {
+    val (res, next) = decodeXLogOne(bytes, start, end)
+    require(next == end,
+      s"CopyData frame not fully consumed: at $next expected $end")
+    Seq(res)
+  }
+
+  /** One inner frame starting at `start`; returns (result, nextOffset).
+    * XLogData runs to `limit` (one message per frame on the wire).
+    */
+  private def decodeXLogOne(bytes: Array[Byte], start: Int,
+      limit: Int): ((Long, Message), Int) = {
+    val r = new Reader(bytes, start)
+    r.u8().toChar match {
+      case 'w' =>
+        val walStart = r.beU(8)
+        r.beU(8) // walEnd
+        r.beU(8) // server clock
+        val payload = java.util.Arrays.copyOfRange(bytes, r.pos, limit)
+        ((walStart, decodeMessage(payload)), limit)
+      case 'k' =>
+        val walEnd = r.beU(8)
+        val clock = r.beU(8)
+        val reply = r.u8() == 1
+        ((walEnd, Keepalive(walEnd, clock, reply)), r.pos)
+      case other => throw new IllegalArgumentException(
+        s"unknown XLog frame tag $other")
+    }
+  }
+
+  // --------------------------------------------------- ChangeEvent bridge
+
+  /** Flatten decoded messages into [[ChangeEvent]]s. Relation messages
+    * feed the rel-id cache (pgoutput is self-describing — the reference
+    * instead aligns its catalog meta to the wal column order,
+    * pg_cdc_extractor.rs:283-326). Begin fixes the transaction's
+    * position at the PREVIOUS commit's end LSN (reference:145-152:
+    * restart replays the whole open transaction); Commit advances it.
+    * Update without an old image keys on the new tuple (REPLICA
+    * IDENTITY DEFAULT, key unchanged); 'K'/'O' old images become the
+    * before map. Truncate surfaces as a per-relation `truncate` event.
+    */
+  def toChangeEvents(messages: Seq[(Long, Message)],
+      startLsn: String = ""): Seq[ChangeEvent] = {
+    val rels = scala.collection.mutable.Map.empty[Long, Relation]
+    val out = Seq.newBuilder[ChangeEvent]
+    var txEndLsn = startLsn
+    var positionLsn = startLsn
+
+    def img(rel: Relation, tuple: Array[String]): Map[String, String] =
+      rel.columns.map(_.name).zip(tuple).toMap
+
+    def emit(rel: Relation, rowType: String, before: Map[String, String],
+        after: Map[String, String]): Unit =
+      out += ChangeEvent(rel.namespace, rel.name, 0L, rowType, before,
+        after, Position.PgCdc(positionLsn).kind,
+        Position.PgCdc(positionLsn).render, originNode = "")
+
+    messages.foreach {
+      case (_, r: Relation) => rels(r.relId) = r
+      case (_, b: Begin) =>
+        positionLsn = txEndLsn // resume point: previous tx end
+      case (_, c: Commit) =>
+        txEndLsn = renderLsn(c.endLsn)
+        positionLsn = txEndLsn
+      case (_, i: Insert) =>
+        val rel = rels(i.relId)
+        emit(rel, RowKind.Insert, Map.empty, img(rel, i.newTuple))
+      case (_, u: Update) =>
+        val rel = rels(u.relId)
+        val before = u.oldTuple.map(img(rel, _)).getOrElse(Map.empty)
+        emit(rel, RowKind.Update, before, img(rel, u.newTuple))
+      case (_, d: Delete) =>
+        val rel = rels(d.relId)
+        emit(rel, RowKind.Delete, img(rel, d.oldTuple), Map.empty)
+      case (_, t: Truncate) =>
+        t.relIds.foreach { id =>
+          val rel = rels(id)
+          emit(rel, "truncate", Map.empty, Map.empty)
+        }
+      case _ => () // Origin/Type/LogicalMessage/Keepalive: no row images
+    }
+    out.result()
+  }
+
+  /** Decode a captured stream file straight to ChangeEvents. */
+  def decodeFile(bytes: Array[Byte], startLsn: String = "")
+      : Seq[ChangeEvent] =
+    toChangeEvents(decodeCopyStream(bytes), startLsn)
+}
+
+/** pgoutput message **encoder** — fixture builder for the decoder's spec
+  * battery and the distributed round-trip, byte-compatible with the
+  * public layout (CopyData + XLogData framing included).
+  */
+final class PgOutputWriter {
+  private val out = new ByteArrayOutputStream()
+  private var walPos: Long = 0x16000000L
+
+  def bytes(): Array[Byte] = out.toByteArray
+
+  private def beU(b: ByteArrayOutputStream, v: Long, n: Int): Unit = {
+    var i = n - 1
+    while (i >= 0) { b.write(((v >> (8 * i)) & 0xff).toInt); i -= 1 }
+  }
+  private def cstr(b: ByteArrayOutputStream, s: String): Unit = {
+    val raw = s.getBytes(StandardCharsets.UTF_8)
+    b.write(raw, 0, raw.length); b.write(0)
+  }
+
+  /** Wrap one message in XLogData + CopyData and append. */
+  def frame(message: Array[Byte]): Unit = {
+    val x = new ByteArrayOutputStream()
+    x.write('w')
+    beU(x, walPos, 8)
+    beU(x, walPos + message.length, 8)
+    beU(x, 0L, 8) // server clock
+    x.write(message, 0, message.length)
+    val inner = x.toByteArray
+    out.write('d')
+    beU(out, inner.length.toLong + 4, 4)
+    out.write(inner, 0, inner.length)
+    walPos += message.length
+  }
+
+  def keepalive(replyRequested: Boolean): Unit = {
+    val x = new ByteArrayOutputStream()
+    x.write('k')
+    beU(x, walPos, 8)
+    beU(x, 0L, 8)
+    x.write(if (replyRequested) 1 else 0)
+    val inner = x.toByteArray
+    out.write('d')
+    beU(out, inner.length.toLong + 4, 4)
+    out.write(inner, 0, inner.length)
+  }
+
+  def begin(finalLsn: Long, commitMicros: Long, xid: Long): Unit = {
+    val b = new ByteArrayOutputStream()
+    b.write('B'); beU(b, finalLsn, 8); beU(b, commitMicros, 8)
+    beU(b, xid, 4)
+    frame(b.toByteArray)
+  }
+
+  def commit(commitLsn: Long, endLsn: Long, commitMicros: Long): Unit = {
+    val b = new ByteArrayOutputStream()
+    b.write('C'); b.write(0)
+    beU(b, commitLsn, 8); beU(b, endLsn, 8); beU(b, commitMicros, 8)
+    frame(b.toByteArray)
+  }
+
+  def relation(relId: Long, namespace: String, name: String,
+      replicaIdentity: Char,
+      columns: Seq[PgOutput.RelColumn]): Unit = {
+    val b = new ByteArrayOutputStream()
+    b.write('R'); beU(b, relId, 4)
+    cstr(b, namespace); cstr(b, name)
+    b.write(replicaIdentity)
+    beU(b, columns.size.toLong, 2)
+    columns.foreach { c =>
+      b.write(if (c.keyPart) 1 else 0)
+      cstr(b, c.name)
+      beU(b, c.typeOid.toLong, 4)
+      beU(b, c.typeMod.toLong, 4)
+    }
+    frame(b.toByteArray)
+  }
+
+  private def tuple(b: ByteArrayOutputStream,
+      values: Array[String]): Unit = {
+    beU(b, values.length.toLong, 2)
+    values.foreach {
+      case null => b.write('n')
+      case Checker.ToastSentinel => b.write('u')
+      case v =>
+        b.write('t')
+        val raw = v.getBytes(StandardCharsets.UTF_8)
+        beU(b, raw.length.toLong, 4)
+        b.write(raw, 0, raw.length)
+    }
+  }
+
+  def insert(relId: Long, values: Array[String]): Unit = {
+    val b = new ByteArrayOutputStream()
+    b.write('I'); beU(b, relId, 4); b.write('N')
+    tuple(b, values)
+    frame(b.toByteArray)
+  }
+
+  def update(relId: Long, oldKind: Option[Char],
+      oldValues: Option[Array[String]],
+      newValues: Array[String]): Unit = {
+    val b = new ByteArrayOutputStream()
+    b.write('U'); beU(b, relId, 4)
+    oldKind.foreach { k => b.write(k); tuple(b, oldValues.get) }
+    b.write('N'); tuple(b, newValues)
+    frame(b.toByteArray)
+  }
+
+  def delete(relId: Long, oldKind: Char,
+      oldValues: Array[String]): Unit = {
+    val b = new ByteArrayOutputStream()
+    b.write('D'); beU(b, relId, 4); b.write(oldKind)
+    tuple(b, oldValues)
+    frame(b.toByteArray)
+  }
+
+  def truncate(cascade: Boolean, restartIdentity: Boolean,
+      relIds: Seq[Long]): Unit = {
+    val b = new ByteArrayOutputStream()
+    b.write('T'); beU(b, relIds.size.toLong, 4)
+    b.write((if (cascade) 1 else 0) | (if (restartIdentity) 2 else 0))
+    relIds.foreach(id => beU(b, id, 4))
+    frame(b.toByteArray)
+  }
+
+  def logicalMessage(transactional: Boolean, lsn: Long, prefix: String,
+      content: Array[Byte]): Unit = {
+    val b = new ByteArrayOutputStream()
+    b.write('M'); b.write(if (transactional) 1 else 0)
+    beU(b, lsn, 8); cstr(b, prefix)
+    beU(b, content.length.toLong, 4)
+    b.write(content, 0, content.length)
+    frame(b.toByteArray)
+  }
+}
