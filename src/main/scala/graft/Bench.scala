@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   *    reads) so per-query numbers measure the query, not startup;
   *  - each query materializes via a noop-format write — `count()` would
   *    let Catalyst prune every projected column and under-report;
-  *  - every number is the MEDIAN OF 3 runs: single samples on a shared
-  *    32-thread JVM are jitter-dominated (round 1 recorded one query at
-  *    39 s whose steady state is 1.6 s) — the median discards GC pauses
-  *    and first-touch page faults without hiding a genuinely slow plan;
+  *  - every query reports [min, median, max] of 3 runs ("total" sums
+  *    the medians): single samples on a shared 32-thread JVM are
+  *    jitter-dominated (round 1 recorded one query at 39 s whose steady
+  *    state is 1.6 s) — the spread separates a contended box (max ≫
+  *    min) from a genuinely slow plan (min high too);
   *  - two pipeline throughput numbers accompany the per-query seconds:
   *    bulk snapshot rows/s (scan→transform→sink, the BASELINE.md snapshot
   *    metric) and compact+apply rows/s (the CDC micro-batch metric).
@@ -30,11 +31,15 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Median of 3 timed runs of `f`. */
-  private def timeMedian(f: => Unit): Double = {
-    val samples = Seq.fill(3)(time(f)).sorted
-    samples(1)
-  }
+  /** Sorted [min, median, max] of 3 timed runs of `f`. Reporting the
+    * spread makes a contended record self-evident (max ≫ min ⇒ machine
+    * jitter; min high too ⇒ genuinely slow plan) — the r2/r3 bench
+    * whiplash was exactly this ambiguity.
+    */
+  private def timeTriple(f: => Unit): Seq[Double] =
+    Seq.fill(3)(time(f)).sorted
+
+  private def timeMedian(f: => Unit): Double = timeTriple(f)(1)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
@@ -56,9 +61,9 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val sec = try timeMedian(runNoop(fn(spark, sfDir)))
-          catch { case _: Throwable => -1.0 }
-        name -> sec
+        val triple = try timeTriple(runNoop(fn(spark, sfDir)))
+          catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+        name -> triple
     }
 
     // Bulk snapshot pipeline: full lineitem scan → route/annotate → sink.
@@ -87,9 +92,10 @@ object Bench {
     }
 
     def fmt(d: Double): String = f"$d%.4f"
-    val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val qs = results.map { case (k, t) =>
+      s""""$k":[${t.map(fmt).mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2(1)).filter(_ >= 0).sum
     val rps =
       s""""snapshot_rows_per_sec":${fmt(liCount / snapSec)},""" +
       s""""compact_rows_per_sec":${fmt(evCount / compactSec)}"""

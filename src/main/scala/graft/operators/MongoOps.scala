@@ -370,18 +370,51 @@ object MongoOps {
     * chunks, keyset-shaped because string `_id`s have no arithmetic
     * midpoints.
     */
+  /** Global numbering is two-pass distributed (no single-partition
+    * window): range-repartition the pruned id column, number locally
+    * per sorted partition, then add broadcast cumulative partition
+    * offsets — at 10⁹⁺ ids every executor numbers its own range and
+    * only a partition-count-sized offset table moves. The id frame is
+    * persisted so the offset count and the final numbering see the
+    * same (sampled) range boundaries and the source scans once.
+    */
   def idPages(spark: SparkSession, dir: String,
       batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
     val ids = Tables.documents(spark, dir).select(
       concat(lit("oid"), lpad(col("doc_id").cast("string"), 8, "0"))
         .as("_id"))
-    val paged = ids.withColumn("page",
-      ((row_number().over(Window.orderBy(col("_id"))) - 1) / batchSize)
-        .cast("long"))
-    paged.groupBy(col("page"))
+
+    val nBuckets = spark.sessionState.conf.numShufflePartitions
+    val local = ids.repartitionByRange(nBuckets, col("_id"))
+      .sortWithinPartitions(col("_id"))
+      .as[String]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var i = 0L
+        it.map { id => val out = (pid, i, id); i += 1; out }
+      }.toDF("pid", "local_idx", "_id")
+      .persist()
+
+    val counts = local.groupBy(col("pid"))
+      .agg(count(lit(1)).as("n")).as[(Int, Long)].collect()
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) =>
+      val entry = pid -> acc; acc += n; entry
+    }.toMap
+    val offsetCol = {
+      val m = typedLit(offsets)
+      element_at(m, col("pid"))
+    }
+
+    val paged = local.withColumn("page",
+      ((col("local_idx") + offsetCol) / batchSize).cast("long"))
+    val result = paged.groupBy(col("page"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("_id")).as("min_id"), max(col("_id")).as("max_id"))
       .withColumn("next_find", findStatementCol(col("max_id"), batchSize))
+    result
   }
 
   val idPagesSql: String =

@@ -103,6 +103,24 @@ class ScaleShapeSpec extends SparkSuite {
     assert(plan.contains("partial_max"), plan)
   }
 
+  test("q25 id paging numbers rows without a single-partition window") {
+    val df = graft.operators.MongoOps.idPages(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the old shape was row_number() over an empty partition spec — a
+    // global sort onto ONE task; the two-pass shape has no Window at
+    // all and range-repartitions the pruned id column instead
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("REPARTITION_BY_NUM") ||
+      plan.contains("RangePartitioning") ||
+      plan.contains("rangepartitioning"), plan)
+    // and the numbering still matches the serial oracle
+    val pages = df.orderBy("page").collect()
+    assert(pages.nonEmpty)
+    val total = pages.map(_.getAs[Long]("n_docs")).sum
+    assert(pages.init.forall(_.getAs[Long]("n_docs") == 64L))
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
   test("shuffle partition count follows session config, not the default") {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
     val parts = Tables.orders(spark, sf).groupBy("o_custkey").count()
