@@ -49,6 +49,39 @@ object DclParser {
   private val revokeRe =
     re("""^\s*REVOKE\s+(.+?)\s+ON\s+(.+?)\s+FROM\s+(.+?)\s*$""")
 
+  /** Route a GRANT/REVOKE object target through the table router: the
+    * ON clause's `db.tb` / `db.*` rewrites like any replicated table
+    * address; `*.*`, routine grants, and user statements pass verbatim.
+    * Quoting (backticks/double quotes) survives around the rewritten
+    * parts.
+    */
+  def route(stmt: DclStatement,
+      router: graft.operators.Router): DclStatement = stmt match {
+    case g: Grant => g.copy(on = routeOn(g.on, router))
+    case r: Revoke => r.copy(on = routeOn(r.on, router))
+    case other => other
+  }
+
+  private val onRe = re(
+    """^\s*(TABLE\s+)?([`"]?)([^`".*]+)\2\.(([`"]?)([^`".*]+)\5|\*)\s*$""")
+
+  private def routeOn(on: String,
+      router: graft.operators.Router): String = {
+    val m = onRe.matcher(on)
+    if (!m.matches()) return on // *.*, FUNCTION/PROCEDURE, single name
+    val tablePrefix = Option(m.group(1)).getOrElse("")
+    val quote = m.group(2)
+    val schema = m.group(3)
+    if (m.group(4) == "*") {
+      val (ds, _) = router.routeTable(schema, "*")
+      s"$tablePrefix$quote$ds$quote.*"
+    } else {
+      val tq = m.group(5)
+      val (ds, dt) = router.routeTable(schema, m.group(6))
+      s"$tablePrefix$quote$ds$quote.$tq$dt$tq"
+    }
+  }
+
   def parse(sql: String): DclStatement = {
     val s = sql.trim.stripSuffix(";")
     var m = createUserRe.matcher(s)

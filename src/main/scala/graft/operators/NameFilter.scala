@@ -52,6 +52,7 @@ final case class NameFilter(
     ignoreTbs: Seq[TableToken] = Nil,
     doEvents: Set[String] = Set("insert", "update", "delete"),
     doDdls: Set[String] = Set.empty,
+    doDcls: Set[String] = Set.empty,
     doStructures: Set[String] = Set.empty,
     ignoreCmds: Set[String] = Set.empty) {
 
@@ -87,6 +88,13 @@ final case class NameFilter(
     (doDdls.contains("*") || doDdls.contains(ddlType)) &&
       (if (tb == null || tb.isEmpty) allowSchema(schema)
        else allowTable(schema, tb))
+
+  /** DCL gate (reference rdb_filter.rs:126-128): like DDL, DCL
+    * replication is opt-in by statement type (`create_user`, `grant`,
+    * …) or `*`; empty `do_dcls` drops all DCL.
+    */
+  def allowDcl(dclType: String): Boolean =
+    doDcls.contains("*") || doDcls.contains(dclType)
 
   /** Structure-migration gate (rdb_filter.rs:130-133): which structure
     * kinds (table/index/constraint/…) the struct task migrates.

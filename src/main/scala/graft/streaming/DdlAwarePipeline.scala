@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.meta.{AlterParser, DdlParser, MetaManager}
+import graft.meta.{AlterParser, DclParser, DdlParser, MetaManager}
 import graft.operators.Router
 
 /** DDL-aware micro-batch processing — the reference's DDL barrier
@@ -27,7 +27,7 @@ object DdlAwarePipeline {
   }
 
   final case class BatchReport(batchId: Long, ddlApplied: Seq[String],
-      dmlRows: Long)
+      dmlRows: Long, dclApplied: Seq[String] = Nil)
 
   /** Process a mixed DML/DDL stream. `onBatch` receives only DML rows,
     * after the batch's DDL (if any) has been applied and the meta cache
@@ -37,47 +37,65 @@ object DdlAwarePipeline {
       meta: MetaManager, ddlSink: DdlSink,
       onBatch: (DataFrame, Long) => Unit,
       report: BatchReport => Unit = _ => (),
-      // DDL gate (reference do_ddls, deny-by-default in config; the
-      // programmatic default admits all so existing pipelines that
-      // never configured a filter keep replicating DDL)
+      // DDL/DCL gates (reference do_ddls/do_dcls, deny-by-default in
+      // config; the programmatic default admits all so existing
+      // pipelines that never configured a filter keep replicating)
       filter: graft.operators.NameFilter =
-        graft.operators.NameFilter(doDdls = Set("*")))
+        graft.operators.NameFilter(doDdls = Set("*"),
+          doDcls = Set("*")))
       : DataStreamWriter[Row] =
     // default micro-batch trigger: callers chain .trigger(...) as needed
     // (AvailableNow would snapshot offsets at start and miss later data)
     changes.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // DDL barrier: apply serially, invalidate meta, THEN sink DML
-        val ddlRows = batch.filter(col("row_type") === "ddl")
-          .select(col("ddl_text")).collect().map(_.getString(0)).toSeq
-        val applied = ddlRows.flatMap { sql =>
-          DdlParser.parse(sql).filter { stmt =>
-            val (s, t) = DdlParser.target(stmt, defaultDb)
-            filter.allowDdl(DdlParser.ddlType(stmt), s, t)
-          }.map { stmt =>
-            val routed = DdlParser.route(stmt, router, defaultDb)
-            ddlSink.execute(routed.render)
-            stmt match {
-              case DdlParser.AlterTable(db, tb, alteration) =>
-                // typed actions evolve the cached StructType in place;
-                // evolve() itself invalidates when out of model
-                meta.evolve(db.getOrElse(defaultDb), tb,
-                  AlterParser.parse(alteration)): Unit
-              case DdlParser.DropTable(db, tb, _) =>
-                meta.invalidate(db.getOrElse(defaultDb), tb)
-              case DdlParser.RenameTable(fdb, ftb, _, _) =>
-                meta.invalidate(fdb.getOrElse(defaultDb), ftb)
-              case DdlParser.TruncateTable(db, tb) =>
-                meta.invalidate(db.getOrElse(defaultDb), tb)
-              case _ => meta.invalidateAll()
+        // barrier lane: DDL + DCL rows apply serially in arrival order,
+        // meta invalidates, THEN the batch's DML flows (reference
+        // base_pipeline.rs barrier + mysql_sinker.rs:135-152 sink_dcl —
+        // DCL rides the same serial lane and replays as rendered SQL)
+        val barrierRows = batch
+          .filter(col("row_type").isin("ddl", "dcl"))
+          .select(col("row_type"), col("ddl_text")).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        val appliedDdl = Seq.newBuilder[String]
+        val appliedDcl = Seq.newBuilder[String]
+        barrierRows.foreach {
+          case ("dcl", sql) =>
+            val stmt = DclParser.parse(sql)
+            if (filter.allowDcl(stmt.dclType)) {
+              val routed = DclParser.route(stmt, router)
+              ddlSink.execute(routed.render)
+              appliedDcl += routed.render
             }
-            routed.render
-          }
+          case (_, sql) =>
+            DdlParser.parse(sql).filter { stmt =>
+              val (s, t) = DdlParser.target(stmt, defaultDb)
+              filter.allowDdl(DdlParser.ddlType(stmt), s, t)
+            }.foreach { stmt =>
+              val routed = DdlParser.route(stmt, router, defaultDb)
+              ddlSink.execute(routed.render)
+              stmt match {
+                case DdlParser.AlterTable(db, tb, alteration) =>
+                  // typed actions evolve the cached StructType in
+                  // place; evolve() itself invalidates when out of
+                  // model
+                  meta.evolve(db.getOrElse(defaultDb), tb,
+                    AlterParser.parse(alteration)): Unit
+                case DdlParser.DropTable(db, tb, _) =>
+                  meta.invalidate(db.getOrElse(defaultDb), tb)
+                case DdlParser.RenameTable(fdb, ftb, _, _) =>
+                  meta.invalidate(fdb.getOrElse(defaultDb), ftb)
+                case DdlParser.TruncateTable(db, tb) =>
+                  meta.invalidate(db.getOrElse(defaultDb), tb)
+                case _ => meta.invalidateAll()
+              }
+              appliedDdl += routed.render
+            }
         }
-        val dml = batch.filter(col("row_type") =!= "ddl")
+        val dml = batch.filter(!col("row_type").isin("ddl", "dcl"))
         onBatch(dml, batchId)
-        report(BatchReport(batchId, applied, dml.count()))
+        report(BatchReport(batchId, appliedDdl.result(), dml.count(),
+          appliedDcl.result()))
         ()
       }
 }
