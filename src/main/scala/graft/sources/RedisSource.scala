@@ -20,15 +20,20 @@ import graft.operators.NameFilter
   * so [[RedisRdb.read]] parses per file inside `flatMap` and never
   * shuffles raw bytes.
   *
-  * Format subset (documented): value types string(0), list(1), set(2),
-  * hash(4) in raw encoding, intset(11), and the Redis-7 listpack family
-  * — hash(16), zset(17), quicklist-v2 list(18, plain + packed nodes),
-  * set(20); string payloads additionally in INT8/16/32 and LZF
-  * encodings; opcodes AUX, RESIZEDB, EXPIRE/EXPIRE_MS, IDLE, FREQ,
-  * SELECT, EOF (`rdb_parser.rs:9-20`, `reader/length.rs:8-60`,
-  * `reader/string.rs:8-42`, `reader/list_pack.rs:12-150`). The
-  * pre-listpack ziplist/zipmap era and modules raise with the type id
-  * rather than mis-parse.
+  * Format coverage: value types string(0), list(1), set(2), zset(3,5
+  * — ASCII + binary scores), hash(4), intset(11), the ziplist/zipmap
+  * era — zipmap hash(9), ziplist list(10)/zset(12)/hash(13),
+  * quicklist-v1(14) — the Redis-7 listpack family — hash(16),
+  * zset(17), quicklist-v2 list(18, plain + packed nodes), set(20) —
+  * streams v1/v2/v3 (15/19/21: messages, last-id, consumer groups),
+  * and module-2(7) opcode skip; string payloads additionally in
+  * INT8/16/32 and LZF encodings; opcodes AUX, RESIZEDB,
+  * EXPIRE/EXPIRE_MS, IDLE, FREQ, SELECT, EOF (`rdb_parser.rs:9-20`,
+  * `reader/length.rs:8-60`, `reader/string.rs:8-42`,
+  * `reader/list_pack.rs:12-150`, the entry_parser modules). Module
+  * v1(6) and
+  * the hash-TTL metadata types (22-25) raise with the type id rather
+  * than mis-parse.
   */
 object RedisRdb {
 
@@ -171,6 +176,104 @@ object RedisRdb {
       out.result()
     }
 
+    /** Ziplist payload (pre-7.0 packed encoding, ziplist.c layout):
+      * zlbytes u32 + zltail u32 + zllen u16 header (0xFFFF = unknown
+      * count → walk to the 0xFF terminator), then entries of
+      * prevlen (1 byte, or 0xFE + u32) + encoding: 6/14-bit and
+      * 32-bit-BE string lengths, fixed-width 16/24/32/64-bit LE ints,
+      * int8, and 4-bit immediates (reference entry_parser list/hash/
+      * zset ziplist branches).
+      */
+    def ziplist(): Seq[String] = {
+      val r = new Reader(stringBytes())
+      r.take(4); r.take(4) // zlbytes, zltail
+      val count = r.u8() | (r.u8() << 8)
+      val walkToTerminator = count == 0xffff
+      val out = Seq.newBuilder[String]
+      var read = 0
+      while (if (walkToTerminator) r.peek != 0xff else read < count) {
+        read += 1
+        val prev = r.u8()
+        if (prev == 0xfe) r.take(4): Unit // 4-byte prevlen
+        val enc = r.u8()
+        out += (if ((enc & 0xc0) != 0xc0) { // string encodings
+          val len =
+            if ((enc & 0xc0) == 0x00) enc & 0x3f
+            else if ((enc & 0xc0) == 0x40) ((enc & 0x3f) << 8) | r.u8()
+            else // 0x80: 32-bit BE length
+              (r.u8() << 24) | (r.u8() << 16) | (r.u8() << 8) | r.u8()
+          new String(r.take(len), StandardCharsets.UTF_8)
+        } else enc match { // integer encodings
+          case 0xc0 => (r.u8() | (r.u8() << 8)).toShort.toString
+          case 0xd0 => (r.u8() | (r.u8() << 8) | (r.u8() << 16) |
+            (r.u8() << 24)).toString
+          case 0xe0 => (0 until 8).foldLeft(0L)((a, i) =>
+            a | (r.u8().toLong << (8 * i))).toString
+          case 0xf0 => // 24-bit LE signed
+            val v = r.u8() | (r.u8() << 8) | (r.u8() << 16)
+            (if ((v & 0x800000) != 0) v - 0x1000000 else v).toString
+          case 0xfe => r.u8().toByte.toString
+          case imm if imm >= 0xf1 && imm <= 0xfd => // 4-bit immediate
+            ((imm & 0x0f) - 1).toString
+          case other => throw new IllegalArgumentException(
+            f"bad ziplist entry encoding: $other%x")
+        })
+      }
+      require(r.u8() == 0xff, "read_ziplist: last byte is not 0xFF")
+      out.result()
+    }
+
+    /** Zipmap payload (Redis ≤2.4 hash encoding, zipmap.c layout):
+      * zmlen byte (≥254 = unknown → walk), then key/value pairs —
+      * len byte (253 = u32 LE follows), value additionally carries a
+      * free byte whose count of slack bytes follows the data —
+      * terminated by 0xFF.
+      */
+    def zipmap(): Seq[(String, String)] = {
+      val r = new Reader(stringBytes())
+      r.u8() // zmlen: untrustworthy beyond 253 — always walk
+      def zmLen(): Int = {
+        val b = r.u8()
+        if (b < 253) b
+        else if (b == 253) r.u8() | (r.u8() << 8) | (r.u8() << 16) |
+          (r.u8() << 24)
+        else throw new IllegalArgumentException(
+          f"bad zipmap length byte: $b%x")
+      }
+      val out = Seq.newBuilder[(String, String)]
+      while (r.peek != 0xff) {
+        val key = new String(r.take(zmLen()), StandardCharsets.UTF_8)
+        val vlen = zmLen()
+        val free = r.u8()
+        val value = new String(r.take(vlen), StandardCharsets.UTF_8)
+        r.take(free): Unit // slack bytes
+        out += ((key, value))
+      }
+      require(r.u8() == 0xff, "read_zipmap: last byte is not 0xFF")
+      out.result()
+    }
+
+    /** Legacy zset score (RDB_TYPE_ZSET=3): 1-byte length-prefixed
+      * ASCII double with 253/254/255 = NaN/+inf/-inf sentinels.
+      */
+    def legacyDouble(): String = u8() match {
+      case 253 => "nan"
+      case 254 => "inf"
+      case 255 => "-inf"
+      case n => new String(take(n), StandardCharsets.UTF_8)
+    }
+
+    /** Binary double (RDB_TYPE_ZSET_2=5): 8-byte LE IEEE-754. */
+    def binaryDouble(): String = {
+      val bits = (0 until 8).foldLeft(0L)((a, i) =>
+        a | (u8().toLong << (8 * i)))
+      val d = java.lang.Double.longBitsToDouble(bits)
+      if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+    }
+
+    def u64le(): Long =
+      (0 until 8).foldLeft(0L)((a, i) => a | (u8().toLong << (8 * i)))
+
     /** Intset payload (reader/int_set.rs): encoding-width u32 LE
       * (2/4/8), count u32 LE, then little-endian signed ints.
       */
@@ -308,15 +411,184 @@ object RedisRdb {
             case 20 => // set listpack (RDB_TYPE_SET_LISTPACK)
               r.listpack().foreach(m =>
                 out += Entry(db, key, "set", m, "", expireMs))
+            case 3 => // zset, legacy ASCII scores
+              val n = r.length()
+              (0L until n).foreach { _ =>
+                val m = r.string()
+                out += Entry(db, key, "zset", m, r.legacyDouble(),
+                  expireMs)
+              }
+            case 5 => // zset_2, binary doubles
+              val n = r.length()
+              (0L until n).foreach { _ =>
+                val m = r.string()
+                out += Entry(db, key, "zset", m, r.binaryDouble(),
+                  expireMs)
+              }
+            case 9 => // hash zipmap (≤2.4 era)
+              r.zipmap().foreach { case (f, v) =>
+                out += Entry(db, key, "hash", f, v, expireMs)
+              }
+            case 10 => // list ziplist
+              r.ziplist().zipWithIndex.foreach { case (e, i) =>
+                out += Entry(db, key, "list", i.toString, e, expireMs)
+              }
+            case 12 => // zset ziplist (member, score pairs)
+              r.ziplist().grouped(2).foreach {
+                case Seq(m, s) =>
+                  out += Entry(db, key, "zset", m, s, expireMs)
+                case _ => ()
+              }
+            case 13 => // hash ziplist
+              r.ziplist().grouped(2).foreach {
+                case Seq(f, v) =>
+                  out += Entry(db, key, "hash", f, v, expireMs)
+                case _ => ()
+              }
+            case 14 => // quicklist v1: every node is a ziplist string
+              val nodes = r.length()
+              var idx = 0L
+              (0L until nodes).foreach { _ =>
+                r.ziplist().foreach { e =>
+                  out += Entry(db, key, "list", idx.toString, e,
+                    expireMs)
+                  idx += 1
+                }
+              }
+            case 15 | 19 | 21 => // stream listpacks v1/v2/v3
+              out ++= readStream(r, db, key, valueType, expireMs)
+            case 7 => // module v2: opcode-framed, skippable with
+              // position intact (reference module2_parser.rs:47-70)
+              out += readModule2(r, db, key, expireMs)
+            case 6 => throw new IllegalArgumentException(
+              s"rdb module v1 value for key $key: the pre-opcode " +
+                "module format is not self-delimiting and cannot be " +
+                "skipped safely")
             case other => throw new IllegalArgumentException(
-              s"unsupported rdb value type $other for key $key " +
-                "(ziplist/zipmap-era encodings are out of the " +
-                "documented subset)")
+              s"unsupported rdb value type $other for key $key")
           }
           expireMs = None // expiry binds to the single next entry
       }
     }
     out.result()
+  }
+
+  /** Stream value (RDB_TYPE_STREAM_LISTPACKS v15/19/21 — reference
+    * stream_parser.rs): listpacks keyed by big-endian master id; inside
+    * each, a master entry (count, deleted, num-fields, fields…, "0")
+    * then per-message (flags, ms/seq deltas, fields, lp-count). Live
+    * messages emit one row per field as `id/field`; deleted ones only
+    * advance the cursor. The trailer (last id → `stream_meta/last_id`,
+    * the reference's XSETID), v2+ extents, and consumer groups (name +
+    * last-delivered id emitted as `stream_group`; PELs and consumers
+    * walked for cursor sync only) all decode positionally.
+    */
+  private def readStream(r: Reader, db: Long, key: String, typeByte: Int,
+      expireMs: Option[Long]): Seq[Entry] = {
+    val out = Seq.newBuilder[Entry]
+    def beLong(b: Array[Byte], off: Int): Long =
+      (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (b(off + i) & 0xffL))
+    val nListpacks = r.length()
+    (0L until nListpacks).foreach { _ =>
+      val idBytes = r.stringBytes()
+      require(idBytes.length == 16, "stream listpack key is not a 128-bit id")
+      val masterMs = beLong(idBytes, 0)
+      val masterSeq = beLong(idBytes, 8)
+      val elements = r.listpack()
+      var inx = 0
+      def next(): String = { val e = elements(inx); inx += 1; e }
+      var count = next().toLong
+      var deleted = next().toLong
+      val numFields = next().toInt
+      val fields = elements.slice(inx, inx + numFields)
+      inx += numFields
+      require(next() == "0", "stream master entry not ended by zero")
+      while (count != 0 || deleted != 0) {
+        val flags = next().toLong
+        val id = s"${next().toLong + masterMs}-${next().toLong + masterSeq}"
+        val pairs =
+          if ((flags & 2) == 2) fields.map(f => (f, next())) // SAMEFIELDS
+          else {
+            val num = next().toInt
+            (0 until num).map(_ => (next(), next()))
+          }
+        next() // lp_count
+        if ((flags & 1) == 1) deleted -= 1 // tombstone: cursor only
+        else {
+          count -= 1
+          pairs.foreach { case (f, v) =>
+            out += Entry(db, key, "stream", s"$id/$f", v, expireMs)
+          }
+        }
+      }
+    }
+    r.length() // total items
+    val lastId = s"${r.length()}-${r.length()}"
+    out += Entry(db, key, "stream_meta", "last_id", lastId, expireMs)
+    if (typeByte >= 19) {
+      r.length(); r.length() // first entry id
+      r.length(); r.length() // max deleted id
+      r.length(): Unit // entries-added offset
+    }
+    val nGroups = r.length()
+    (0L until nGroups).foreach { _ =>
+      val gname = r.string()
+      val gid = s"${r.length()}-${r.length()}"
+      if (typeByte >= 19) r.length(): Unit // entries_read
+      val nPel = r.length()
+      (0L until nPel).foreach { _ =>
+        r.take(16) // raw stream id
+        r.take(8) // delivery time ms
+        r.length(): Unit // delivery count
+      }
+      val nConsumers = r.length()
+      (0L until nConsumers).foreach { _ =>
+        r.string() // consumer name
+        r.take(8) // seen time
+        if (typeByte >= 21) r.take(8): Unit // active time
+        val nConsumerPel = r.length()
+        (0L until nConsumerPel).foreach(_ => r.take(16): Unit)
+      }
+      out += Entry(db, key, "stream_group", gname, gid, expireMs)
+    }
+    out.result()
+  }
+
+  private val ModuleNameCharset =
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-_"
+
+  /** Module-2 value: opcode-framed and therefore skippable with the
+    * cursor intact (module v1 is not self-delimiting and raises). The
+    * module's 9-char name + encoding version decode from the 64-bit id;
+    * payload fields skip by opcode (EOF=0, S/UINT=length, FLOAT=4,
+    * DOUBLE=8, STRING) — reference module2_parser.rs:35-70.
+    */
+  private def readModule2(r: Reader, db: Long, key: String,
+      expireMs: Option[Long]): Entry = {
+    val moduleId = r.length()
+    val version = moduleId & 1023L
+    val name = {
+      var id = moduleId >>> 10
+      val chars = new Array[Char](9)
+      (8 to 0 by -1).foreach { i =>
+        chars(i) = ModuleNameCharset((id & 63L).toInt)
+        id >>= 6
+      }
+      new String(chars)
+    }
+    var opcode = r.length()
+    while (opcode != 0L) {
+      opcode match {
+        case 1L | 2L => r.length(): Unit // signed/unsigned int
+        case 3L => r.take(4): Unit // float
+        case 4L => r.take(8): Unit // double
+        case 5L => r.stringBytes(): Unit // string
+        case other => throw new IllegalArgumentException(
+          s"unknown module opcode $other for key $key")
+      }
+      opcode = r.length()
+    }
+    Entry(db, key, "module", name, version.toString, expireMs)
   }
 
   /** Distributed read: one task per RDB file (= per cluster shard). */

@@ -82,9 +82,14 @@ class RedisSourceSpec extends SparkSuite {
     val b = new RdbBuilder().byte(0).len14(3)
       .byte('k').byte('e').byte('y').str("val")
     assert(RedisRdb.parse(b.eof()).head.key == "key")
-    val bad = new RdbBuilder().byte(10).str("zip") // ziplist: subset edge
+    val bad = new RdbBuilder().byte(22).str("h") // hash-TTL metadata
     val e = intercept[IllegalArgumentException](RedisRdb.parse(bad.eof()))
-    assert(e.getMessage.contains("unsupported rdb value type 10"))
+    assert(e.getMessage.contains("unsupported rdb value type 22"))
+    // module v1 is not self-delimiting: loud, named failure
+    val mod1 = new RdbBuilder().byte(6).str("m")
+    val e6 = intercept[IllegalArgumentException](
+      RedisRdb.parse(mod1.eof()))
+    assert(e6.getMessage.contains("module v1"))
   }
 
   test("rdb: listpack family — hash/zset/set/quicklist2 + intset") {
@@ -157,6 +162,156 @@ class RedisSourceSpec extends SparkSuite {
     b.byte(20).str("s").len6(lp.length)
     lp.foreach(x => b.byte(x & 0xff))
     assert(RedisRdb.parse(b.eof()).map(_.field) == Seq("a", "5", "b"))
+  }
+
+  test("rdb: 6.x era — ziplist list/zset/hash, zipmap, quicklist v1") {
+    // ziplist ["hello", 42, -5, 1000, 12]: 6-bit str, int8 ×2,
+    // int16 LE, 4-bit immediate; header zlbytes+zltail+zllen
+    val zl = (Array(0, 0, 0, 0, 0, 0, 0, 0, 5, 0) ++ Array(
+      0x00, 0x05, 'h'.toInt, 'e'.toInt, 'l'.toInt, 'l'.toInt, 'o'.toInt,
+      0x07, 0xfe, 42,
+      0x03, 0xfe, 0xfb,
+      0x03, 0xc0, 0xe8, 0x03,
+      0x04, 0xfd) :+ 0xff).map(_.toByte)
+    // zset ziplist [("m", 3)], hash ziplist [("f","v")]
+    val zsetZl = (Array(0, 0, 0, 0, 0, 0, 0, 0, 2, 0) ++ Array(
+      0x00, 0x01, 'm'.toInt, 0x03, 0xfe, 3) :+ 0xff).map(_.toByte)
+    val hashZl = (Array(0, 0, 0, 0, 0, 0, 0, 0, 2, 0) ++ Array(
+      0x00, 0x01, 'f'.toInt, 0x03, 0x01, 'v'.toInt) :+ 0xff)
+      .map(_.toByte)
+    // zipmap {f1: v1, f2: xyz(+2 slack bytes)}
+    val zm = (Array(2,
+      2, 'f'.toInt, '1'.toInt, 2, 0, 'v'.toInt, '1'.toInt,
+      2, 'f'.toInt, '2'.toInt, 3, 2, 'x'.toInt, 'y'.toInt, 'z'.toInt,
+      0xaa, 0xbb) :+ 0xff).map(_.toByte)
+    // quicklist v1: 2 nodes, each a ziplist string
+    val node1 = (Array(0, 0, 0, 0, 0, 0, 0, 0, 2, 0) ++ Array(
+      0x00, 0x02, 'q'.toInt, '1'.toInt,
+      0x04, 0x02, 'q'.toInt, '2'.toInt) :+ 0xff).map(_.toByte)
+    val node2 = (Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 0) ++ Array(
+      0x00, 0x02, 'q'.toInt, '3'.toInt) :+ 0xff).map(_.toByte)
+
+    val b = new RdbBuilder()
+    def blob(bytes: Array[Byte]): Unit = {
+      b.len6(bytes.length); bytes.foreach(x => b.byte(x & 0xff))
+    }
+    b.byte(10).str("zl"); blob(zl)
+    b.byte(12).str("zz"); blob(zsetZl)
+    b.byte(13).str("zh"); blob(hashZl)
+    b.byte(9).str("zm"); blob(zm)
+    b.byte(14).str("ql").len6(2); blob(node1); blob(node2)
+    // legacy zset scores: ASCII + inf sentinel; zset2: binary double
+    b.byte(3).str("zs").len6(2)
+      .str("a").byte(3).byte('1').byte('.').byte('5')
+      .str("b").byte(254)
+    b.byte(5).str("z2").len6(1).str("c")
+    val bits = java.lang.Double.doubleToLongBits(2.5)
+    (0 until 8).foreach(i => b.byte(((bits >> (8 * i)) & 0xff).toInt))
+
+    val entries = RedisRdb.parse(b.eof())
+    assert(entries == Seq(
+      RedisRdb.Entry(0, "zl", "list", "0", "hello", None),
+      RedisRdb.Entry(0, "zl", "list", "1", "42", None),
+      RedisRdb.Entry(0, "zl", "list", "2", "-5", None),
+      RedisRdb.Entry(0, "zl", "list", "3", "1000", None),
+      RedisRdb.Entry(0, "zl", "list", "4", "12", None),
+      RedisRdb.Entry(0, "zz", "zset", "m", "3", None),
+      RedisRdb.Entry(0, "zh", "hash", "f", "v", None),
+      RedisRdb.Entry(0, "zm", "hash", "f1", "v1", None),
+      RedisRdb.Entry(0, "zm", "hash", "f2", "xyz", None),
+      RedisRdb.Entry(0, "ql", "list", "0", "q1", None),
+      RedisRdb.Entry(0, "ql", "list", "1", "q2", None),
+      RedisRdb.Entry(0, "ql", "list", "2", "q3", None),
+      RedisRdb.Entry(0, "zs", "zset", "a", "1.5", None),
+      RedisRdb.Entry(0, "zs", "zset", "b", "inf", None),
+      RedisRdb.Entry(0, "z2", "zset", "c", "2.5", None)))
+  }
+
+  test("rdb: stream v2 — messages, tombstones, last id, groups walk") {
+    // one listpack: master id 5-1; master entry (count=1 deleted=1
+    // num_fields=2 fa fb 0); a SAMEFIELDS live message at +1-0 and a
+    // deleted one at +2-0 (cursor-only)
+    def lpBytes(count: Int)(entries: Int*): Array[Byte] =
+      (Array(0, 0, 0, 0, count & 0xff, count >> 8) ++ entries :+ 0xff)
+        .map(_.toByte)
+    val lp = lpBytes(18)(
+      0x01, 0x01, // count = 1
+      0x01, 0x01, // deleted = 1
+      0x02, 0x01, // num_fields = 2
+      0x82, 'f'.toInt, 'a'.toInt, 0x03,
+      0x82, 'f'.toInt, 'b'.toInt, 0x03,
+      0x00, 0x01, // master entry end "0"
+      0x02, 0x01, // flags = SAMEFIELDS
+      0x01, 0x01, // ms diff 1
+      0x00, 0x01, // seq diff 0
+      0x82, 'v'.toInt, 'a'.toInt, 0x03,
+      0x82, 'v'.toInt, 'b'.toInt, 0x03,
+      0x04, 0x01, // lp_count
+      0x03, 0x01, // flags = SAMEFIELDS | DELETED
+      0x02, 0x01, // ms diff 2
+      0x00, 0x01, // seq diff 0
+      0x82, 'x'.toInt, 'a'.toInt, 0x03,
+      0x82, 'x'.toInt, 'b'.toInt, 0x03,
+      0x04, 0x01) // lp_count
+
+    val b = new RdbBuilder()
+    def blob(bytes: Array[Byte]): Unit = {
+      b.len6(bytes.length); bytes.foreach(x => b.byte(x & 0xff))
+    }
+    b.byte(19).str("st")
+    b.len6(1) // one listpack
+    val id = new Array[Byte](16); id(7) = 5; id(15) = 1 // 5-1 BE
+    blob(id)
+    blob(lp)
+    b.len6(1) // total live items
+    b.len6(7).len6(1) // last id 7-1
+    b.len6(6).len6(1) // first id (v2)
+    b.len6(7).len6(1) // max deleted (v2)
+    b.len6(2) // entries added offset (v2)
+    b.len6(1) // one consumer group
+    b.str("g1").len6(7).len6(1) // name + last-delivered 7-1
+    b.len6(1) // entries_read (v2)
+    b.len6(1) // group PEL: 1 entry
+    (0 until 16).foreach(_ => b.byte(0)) // raw id
+    (0 until 8).foreach(_ => b.byte(0)) // delivery time
+    b.len6(1) // delivery count
+    b.len6(1) // one consumer
+    b.str("c1")
+    (0 until 8).foreach(_ => b.byte(0)) // seen time
+    b.len6(1) // consumer PEL: 1 entry
+    (0 until 16).foreach(_ => b.byte(0))
+
+    val entries = RedisRdb.parse(b.eof())
+    assert(entries == Seq(
+      RedisRdb.Entry(0, "st", "stream", "6-1/fa", "va", None),
+      RedisRdb.Entry(0, "st", "stream", "6-1/fb", "vb", None),
+      RedisRdb.Entry(0, "st", "stream_meta", "last_id", "7-1", None),
+      RedisRdb.Entry(0, "st", "stream_group", "g1", "7-1", None)))
+  }
+
+  test("rdb: module v2 skips by opcode with name and version decoded") {
+    val charset = "ABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      "abcdefghijklmnopqrstuvwxyz0123456789-_"
+    val name = "GraftMod1"
+    var id = 0L
+    name.foreach(c => id = (id << 6) | charset.indexOf(c).toLong)
+    id = (id << 10) | 2L // encoding version 2
+
+    val b = new RdbBuilder()
+    b.byte(7).str("m")
+    b.byte(0x81) // 64-bit BE length encoding
+    (7 to 0 by -1).foreach(i => b.byte(((id >> (8 * i)) & 0xff).toInt))
+    b.len6(2).len6(77) // opcode UINT, value
+    b.len6(5).str("payload") // opcode STRING
+    b.len6(3).byte(0).byte(0).byte(0).byte(0) // opcode FLOAT, 4 bytes
+    b.len6(4) // opcode DOUBLE
+    (0 until 8).foreach(_ => b.byte(0))
+    b.len6(0) // EOF
+    b.byte(0).str("after").str("ok") // parser must land exactly here
+    val entries = RedisRdb.parse(b.eof())
+    assert(entries == Seq(
+      RedisRdb.Entry(0, "m", "module", "GraftMod1", "2", None),
+      RedisRdb.Entry(0, "after", "string", "", "ok", None)))
   }
 
   test("resp: bulk lengths are byte counts, not char counts") {
