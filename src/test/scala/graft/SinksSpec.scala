@@ -39,6 +39,74 @@ class SinksSpec extends SparkSuite {
     assert(keyed.count() == 15) // sf0.001 has 15 users
   }
 
+  test("lake meta protocol: restart merges exactly the unmerged batches") {
+    val root = Files.createTempDirectory("lake-meta").toString
+    def batch(ids: Range, rt: String) =
+      ids.map(i => (i.toLong, i * 10L, rt)).toDF("k", "v", "row_type")
+
+    // pusher: stage 3 sequenced batches with meta files
+    val m0 = LakeSink.stageWithMeta(batch(0 until 4, "insert"), root,
+      "app", "t", sequencerId = 1L, pushSequence = 0L,
+      lastPosition = "binlog.000001:400")
+    val m1 = LakeSink.stageWithMeta(batch(2 until 4, "update"), root,
+      "app", "t", sequencerId = 1L, pushSequence = 1L)
+    val m2 = LakeSink.stageWithMeta(batch(0 until 1, "delete"), root,
+      "app", "t", sequencerId = 1L, pushSequence = 2L)
+    assert(m0.rowCount == 4 && m0.lastPosition == "binlog.000001:400")
+    assert(m0.metaFileName.startsWith("0000000001_0000000000_log_dml"))
+
+    // meta round-trips through its JSON form
+    assert(LakeSink.StageMeta.fromJson(m1.toJson) == m1)
+
+    // merger, first run: consumes metas, merges only the FIRST TWO
+    // (simulating a crash before batch 3), records its position
+    val run1 = LakeSink.unmergedBatches(spark, root, "app", "t", None)
+    assert(run1.metas.map(_.pushSequence) == Seq(0L, 1L, 2L))
+    val mergedNow = run1.metas.take(2)
+    val state1 = LakeSink.mergeBatches(spark, root, "app", "t",
+      mergedNow, keys = Seq("k"), orderCols = Seq("v"))
+    assert(state1.count() == 4) // 4 live keys after insert+update
+    val position = mergedNow.last.metaFileName
+
+    // restart: exactly ONE batch (the delete) is left
+    val run2 = LakeSink.unmergedBatches(spark, root, "app", "t",
+      Some(position))
+    assert(run2.metas.map(_.pushSequence) == Seq(2L))
+    assert(!run2.finished)
+    val state2 = LakeSink.mergeBatches(spark, root, "app", "t",
+      run2.metas, keys = Seq("k"), orderCols = Seq("v"))
+    assert(state2.filter(col("row_type") === "delete").count() == 1)
+
+    // finished marker surfaces, and nothing re-merges
+    LakeSink.writeFinished(spark, root, "app", "t")
+    val run3 = LakeSink.unmergedBatches(spark, root, "app", "t",
+      Some(run2.newPosition.get))
+    assert(run3.finished && run3.metas.isEmpty)
+  }
+
+  test("lake meta protocol: sequence gaps cut the consumable prefix") {
+    // continuity over names alone (no filesystem needed)
+    def name(id: Long, seq: Long) = f"$id%010d_$seq%010d_log_dml_x.orc"
+    assert(LakeSink.findContinuousFiles(
+      Seq(name(1, 0), name(1, 1), name(1, 3)), None) ==
+      Seq(name(1, 0), name(1, 1))) // 2 is missing: stop before 3
+    // pusher restart: new sequencer id must begin at sequence 0
+    assert(LakeSink.findContinuousFiles(
+      Seq(name(1, 0), name(2, 0), name(2, 1)), None) ==
+      Seq(name(1, 0), name(2, 0), name(2, 1)))
+    assert(LakeSink.findContinuousFiles(
+      Seq(name(1, 0), name(2, 5)), None) == Seq(name(1, 0)))
+    // id going backwards is corruption: nothing is safe to consume
+    assert(LakeSink.findContinuousFiles(
+      Seq(name(2, 0), name(1, 0)), None).isEmpty)
+    // resume cursor: only names after it, continuing its sequence
+    assert(LakeSink.findContinuousFiles(
+      Seq(name(1, 2), name(1, 3)), Some(name(1, 1))) ==
+      Seq(name(1, 2), name(1, 3)))
+    assert(LakeSink.findContinuousFiles(
+      Seq(name(1, 3)), Some(name(1, 1))).isEmpty)
+  }
+
   test("redis rewriter: chunking, expiry, idempotent replace") {
     import RedisCommands._
     val big = Entry("k", RList((1 to 1200).map(_.toString)),
