@@ -40,6 +40,60 @@ object Checker {
   def tolerantEqToast(src: Column, dst: Column): Column =
     (src === ToastSentinel) || (src <=> dst)
 
+  /** PG INET/CIDR tolerance (reference checker_engine.rs:269-294
+    * is_same_col_value + normalize_pg_network_text): a host address
+    * stored bare on one engine and with its full-length prefix on the
+    * other (`10.0.0.1` vs `10.0.0.1/32`, `::1` vs `::1/128`) is the
+    * same value; only the exact /32 and /128 suffixes strip.
+    */
+  def tolerantEqPgNetwork(a: Column, b: Column): Column = {
+    def norm(c: Column) = regexp_replace(c, "/(32|128)$", "")
+    norm(a) <=> norm(b)
+  }
+
+  /** MySQL BIGINT UNSIGNED tolerance: values above 2^63-1 arrive as
+    * negative two's-complement i64 from the binlog row image but as
+    * unsigned decimals from a snapshot or target read (reference
+    * mysql_col_value_convertor.rs UnsignedLongLong vs the binlog i64).
+    * Both renderings normalize by adding 2^64 to negatives in exact
+    * DECIMAL arithmetic (conv() would wrap too, but clamps the
+    * Long.MinValue magnitude).
+    */
+  def tolerantEqUnsigned(a: Column, b: Column): Column = {
+    val wrap = lit(new java.math.BigDecimal("18446744073709551616"))
+      .cast(org.apache.spark.sql.types.DecimalType(21, 0))
+    def norm(c: Column) = {
+      val d = c.cast(org.apache.spark.sql.types.DecimalType(21, 0))
+      when(d < 0, d + wrap).otherwise(d)
+    }
+    norm(a) <=> norm(b)
+  }
+
+  /** MySQL zero-date tolerance: `0000-00-00[ 00:00:00]` is
+    * unrepresentable on most targets and round-trips as NULL
+    * (reference mysql targets insert NULL for zero dates); a zero date
+    * on one side therefore matches NULL or any zero date on the other.
+    */
+  def tolerantEqZeroDate(a: Column, b: Column): Column = {
+    def zeroish(c: Column) =
+      c.isNull || c.cast("string").startsWith("0000-00-00")
+    (zeroish(a) && zeroish(b)) || (a <=> b)
+  }
+
+  /** Type-aware comparator dispatch, the shape of the reference's
+    * is_same_col_value: the checker's table meta names a column's
+    * source type and the comparison tolerates that type's known
+    * cross-engine renderings.
+    */
+  def tolerantEqFor(colType: String)(a: Column, b: Column): Column =
+    colType.toLowerCase match {
+      case "inet" | "cidr" => tolerantEqPgNetwork(a, b)
+      case "bigint unsigned" | "unsigned_bigint" =>
+        tolerantEqUnsigned(a, b)
+      case "date" | "datetime" | "timestamp" => tolerantEqZeroDate(a, b)
+      case _ => tolerantEq(a, b)
+    }
+
   /** Document-level diff for schemaless rows (reference Mongo checker:
     * doc-level field expansion, checker_engine.rs:180-294): given two
     * MAP<STRING,STRING> images, list fields missing either side or

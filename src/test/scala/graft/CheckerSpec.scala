@@ -91,4 +91,63 @@ class CheckerSpec extends SparkSuite {
     val b = df.filter(Checker.sampleFilter(h, 10)).collect().toSet
     assert(a == b)
   }
+
+  private def eqVector(cmp: (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      vectors: Seq[(String, String, Boolean)]): Unit = {
+    val df = vectors.zipWithIndex
+      .map { case ((a, b, want), i) => (i, a, b, want) }
+      .toDF("i", "a", "b", "want")
+    val got = df.withColumn("got", cmp(col("a"), col("b")))
+      .filter(col("got") =!= col("want"))
+      .select("a", "b", "want").collect()
+    assert(got.isEmpty, s"mismatched vectors: ${got.mkString(", ")}")
+  }
+
+  test("pg network tolerance: /32 and /128 host suffixes strip") {
+    // reference checker_engine.rs:269-294 vectors
+    eqVector(Checker.tolerantEqPgNetwork, Seq(
+      ("10.0.0.1", "10.0.0.1/32", true),
+      ("10.0.0.1/32", "10.0.0.1", true),
+      ("10.0.0.1/32", "10.0.0.1/32", true),
+      ("::1", "::1/128", true),
+      ("10.0.0.0/24", "10.0.0.0", false), // real prefix must not strip
+      ("10.0.0.0/24", "10.0.0.0/24", true),
+      ("10.0.0.1", "10.0.0.2/32", false),
+      (null, null, true),
+      ("10.0.0.1", null, false)))
+  }
+
+  test("unsigned bigint tolerance: binlog i64 wrap equals unsigned read") {
+    eqVector(Checker.tolerantEqUnsigned, Seq(
+      ("-1", "18446744073709551615", true),
+      ("18446744073709551615", "-1", true),
+      ("-9223372036854775808", "9223372036854775808", true),
+      ("42", "42", true),
+      ("-2", "18446744073709551615", false),
+      (null, null, true),
+      ("0", null, false)))
+  }
+
+  test("zero-date tolerance: 0000-00-00 matches NULL and itself") {
+    eqVector(Checker.tolerantEqZeroDate, Seq(
+      ("0000-00-00", null, true),
+      (null, "0000-00-00 00:00:00", true),
+      ("0000-00-00 00:00:00", "0000-00-00", true),
+      ("2024-01-01", "2024-01-01", true),
+      ("2024-01-01", null, false),
+      ("2024-01-01", "2024-01-02", false)))
+  }
+
+  test("type-aware dispatch picks the tolerant comparator") {
+    eqVector(Checker.tolerantEqFor("inet"), Seq(
+      ("10.0.0.1", "10.0.0.1/32", true)))
+    eqVector(Checker.tolerantEqFor("BIGINT UNSIGNED"), Seq(
+      ("-1", "18446744073709551615", true)))
+    eqVector(Checker.tolerantEqFor("datetime"), Seq(
+      ("0000-00-00 00:00:00", null, true)))
+    // default comparator stays strict
+    eqVector(Checker.tolerantEqFor("text"), Seq(
+      ("10.0.0.1", "10.0.0.1/32", false)))
+  }
 }
