@@ -46,7 +46,10 @@ class ChangelogSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new ChangelogTable(properties.get("path"))
+    new ChangelogTable(properties.get("path"),
+      Option(properties.get("format")).getOrElse("tab"),
+      Option(properties.get("key_cols")).map(_.split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil))
 }
 
 object ChangelogSource {
@@ -116,9 +119,12 @@ object ChangelogOffset {
   }
 }
 
-class ChangelogTable(path: String) extends Table with SupportsRead {
+class ChangelogTable(path: String, format: String = "tab",
+    keyCols: Seq[String] = Nil) extends Table with SupportsRead {
   require(path != null, "graft changelog source requires .option(\"path\")")
-  override def name(): String = s"graft_changelog($path)"
+  require(Set("tab", "binlog", "pgoutput").contains(format),
+    s"unknown changelog format '$format' (tab | binlog | pgoutput)")
+  override def name(): String = s"graft_changelog($path,$format)"
   override def schema(): StructType = ChangelogSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -128,7 +134,7 @@ class ChangelogTable(path: String) extends Table with SupportsRead {
     override def build(): Scan = new Scan {
       override def readSchema(): StructType = ChangelogSource.schema
       override def toMicroBatchStream(checkpointLocation: String)
-          : MicroBatchStream = new ChangelogStream(path)
+          : MicroBatchStream = new ChangelogStream(path, format, keyCols)
     }
   }
 }
@@ -142,7 +148,8 @@ class ChangelogTable(path: String) extends Table with SupportsRead {
   * name at any time: name comparison skips nothing and reprocesses
   * nothing (count-based offsets would remap onto the shifted listing).
   */
-class ChangelogStream(path: String) extends MicroBatchStream {
+class ChangelogStream(path: String, format: String = "tab",
+    keyCols: Seq[String] = Nil) extends MicroBatchStream {
   /** Monotonicity guard: if every segment were purged, a fresh listing
     * would be empty and a naive latestOffset would regress below the
     * checkpoint, planning a bogus negative range. Track the high-water
@@ -171,8 +178,8 @@ class ChangelogStream(path: String) extends MicroBatchStream {
     // resolve by name against the live listing: segments in (s, e]
     ChangelogSource.segments(path)
       .filter(n => n > s && n <= e)
-      .map(n => ChangelogPartition(Paths.get(path, n).toString)
-        : InputPartition).toArray
+      .map(n => ChangelogPartition(Paths.get(path, n).toString, format,
+        keyCols): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -182,23 +189,52 @@ class ChangelogStream(path: String) extends MicroBatchStream {
   override def stop(): Unit = ()
 }
 
-final case class ChangelogPartition(file: String) extends InputPartition
+final case class ChangelogPartition(file: String, format: String = "tab",
+    keyCols: Seq[String] = Nil) extends InputPartition
 
+/** One reader per segment file. `tab` segments hold the engine-internal
+  * TAB records; `binlog` segments are MySQL binlog files and `pgoutput`
+  * segments are captured logical-replication streams — both decode
+  * in-task through [[MysqlBinlog]]/[[PgOutput]] and surface as the SAME
+  * record shape, so compaction and sinks downstream don't know which
+  * wire format fed them. Cross-segment ordering: `seq` is offset by the
+  * segment name's trailing number (binlog.000001-style) so keys
+  * spanning files in one micro-batch still order correctly.
+  */
 object ChangelogReaderFactory extends PartitionReaderFactory {
+  private val TrailingNum = """(\d+)\.log$""".r
+
+  private def baseSeq(file: String): Long =
+    TrailingNum.findFirstMatchIn(file)
+      .map(_.group(1).toLong * 1000000000L).getOrElse(0L)
+
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[ChangelogPartition].file
+    val p = partition.asInstanceOf[ChangelogPartition]
+    val lines: Iterator[String] = p.format match {
+      case "binlog" =>
+        val bytes = Files.readAllBytes(Paths.get(p.file))
+        val events = MysqlBinlog.decodeFile(bytes,
+          Paths.get(p.file).getFileName.toString)
+        MysqlBinlog.toSegmentLines(events, p.keyCols,
+          baseSeq(p.file)).iterator
+      case "pgoutput" =>
+        val bytes = Files.readAllBytes(Paths.get(p.file))
+        val events = PgOutput.decodeFile(bytes)
+        MysqlBinlog.toSegmentLines(events, p.keyCols,
+          baseSeq(p.file)).iterator
+      case _ =>
+        Files.readAllLines(Paths.get(p.file), StandardCharsets.UTF_8)
+          .asScala.filter(_.nonEmpty).iterator
+    }
     new PartitionReader[InternalRow] {
-      private val lines = Files.readAllLines(
-        Paths.get(file), StandardCharsets.UTF_8).asScala
-        .filter(_.nonEmpty).iterator
       private var current: InternalRow = _
 
       override def next(): Boolean =
         if (!lines.hasNext) false
         else {
           val f = lines.next().split("\t", -1)
-          require(f.length == 6, s"bad changelog record in $file")
+          require(f.length == 6, s"bad changelog record in ${p.file}")
           current = new GenericInternalRow(Array[Any](
             f(0).toLong,
             UTF8String.fromString(f(1)), UTF8String.fromString(f(2)),

@@ -751,16 +751,22 @@ object MysqlBinlog {
 
   /** Render ChangeEvents as [[ChangelogSource]] segment lines
     * (`seq \t schema \t tb \t row_type \t key \t payload`) so a decoded
-    * binlog file becomes a streaming segment directly.
+    * binlog file becomes a streaming segment directly. Tabs, newlines,
+    * and backslashes inside values escape as `\t`/`\n`/`\\` so decoded
+    * payloads can never corrupt the record framing.
     */
   def toSegmentLines(events: Seq[ChangeEvent], keyCols: Seq[String],
-      startSeq: Long): Seq[String] =
+      startSeq: Long): Seq[String] = {
+    def esc(s: String): String = s.replace("\\", "\\\\")
+      .replace("\t", "\\t").replace("\n", "\\n")
     events.zipWithIndex.map { case (e, i) =>
-      val key = keyCols.map(c => e.keyImage.getOrElse(c, "")).mkString("|")
+      val key = esc(keyCols.map(c => e.keyImage.getOrElse(c, ""))
+        .mkString("|"))
       val payload = (if (e.rowType == RowKind.Delete) e.before else e.after)
         .toSeq.sortBy(_._1)
-        .map { case (k, v) => s"$k=${if (v == null) "" else v}" }
+        .map { case (k, v) => s"$k=${if (v == null) "" else esc(v)}" }
         .mkString(",")
       s"${startSeq + i}\t${e.schema}\t${e.tb}\t${e.rowType}\t$key\t$payload"
     }
+  }
 }
