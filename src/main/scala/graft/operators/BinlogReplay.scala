@@ -36,11 +36,15 @@ object BinlogReplay {
 
   def binlogRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the sf fixture is one unsplittable parquet file; spread the
+    // encode→decode work across the executors — in production one
+    // binlog file IS one task, the repartition recreates that layout
     val orders = Tables.orders(spark, dir).select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_totalprice"),
       date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("odate"),
       col("o_orderpriority"))
+      .repartition(spark.sparkContext.defaultParallelism)
 
     val decoded = orders.mapPartitions { it =>
       val rows = it.map { r =>
@@ -113,6 +117,7 @@ object BinlogReplay {
     val customer = Tables.customer(spark, dir).select(
       col("c_custkey"), col("c_name"), col("c_nationkey"),
       col("c_acctbal"), col("c_mktsegment"))
+      .repartition(spark.sparkContext.defaultParallelism)
 
     val decoded = customer.mapPartitions { it =>
       val rows = it.map { r =>
