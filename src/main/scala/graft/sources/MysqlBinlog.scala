@@ -542,7 +542,10 @@ object MysqlBinlog {
         r.beU((nbits + 7) / 8).toString
       case NewDecimal =>
         decodeNewDecimal(r, meta >> 8, meta & 0xff)
-      case Blob | TinyBlob | MediumBlob | LongBlob | Geometry | Json =>
+      case Json =>
+        val len = r.leU(meta).toInt
+        JsonBinary.render(r.take(len))
+      case Blob | TinyBlob | MediumBlob | LongBlob | Geometry =>
         val len = r.leU(meta).toInt
         r.take(len).map(b => f"${b & 0xff}%02x").mkString
       case Null => null
@@ -673,6 +676,134 @@ object MysqlBinlog {
       }
     }
     sb.toString
+  }
+
+  /** MySQL binary JSON (jsonb) → JSON text. Public layout: a type byte
+    * then type-specific data; SMALL/LARGE objects and arrays hold
+    * element counts, total size, and offset tables (2-byte fields in
+    * SMALL, 4-byte in LARGE; offsets relative to the count position);
+    * literals/int16/uint16 (and int32/uint32 in LARGE) inline in the
+    * value entry instead of an offset; strings carry a 7-bit varlen
+    * length. Opaque values (DECIMAL, temporal types wrapped in JSON)
+    * render as a tagged hex string rather than failing the row. The
+    * reference decodes the same format via its binlog library
+    * (mysql_cdc_extractor.rs:390 from_binlog on ColValue::Json).
+    */
+  private[graft] object JsonBinary {
+
+    def render(bytes: Array[Byte]): String =
+      if (bytes.isEmpty) "null"
+      else renderAt(bytes, bytes(0) & 0xff, 1)
+
+    private def leU(b: Array[Byte], pos: Int, n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v |= (b(pos + i) & 0xffL) << (8 * i); i += 1 }
+      v
+    }
+
+    /** 7-bit little-endian varlen (string/opaque lengths). */
+    private def varlen(b: Array[Byte], pos: Int): (Int, Int) = {
+      var len = 0L; var shift = 0; var p = pos
+      var done = false
+      while (!done) {
+        val x = b(p) & 0xff; p += 1
+        len |= (x & 0x7fL) << shift
+        shift += 7
+        done = (x & 0x80) == 0
+      }
+      (len.toInt, p)
+    }
+
+    private def escape(s: String): String = {
+      val sb = new StringBuilder(s.length + 2)
+      sb += '"'
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb += c
+      }
+      sb += '"'
+      sb.toString
+    }
+
+    private def literal(v: Long): String = v match {
+      case 0 => "null"
+      case 1 => "true"
+      case 2 => "false"
+      case other => throw new IllegalArgumentException(
+        s"bad jsonb literal $other")
+    }
+
+    private def renderAt(b: Array[Byte], typ: Int, pos: Int): String =
+      typ match {
+        case 0x00 => container(b, pos, small = true, isObject = true)
+        case 0x01 => container(b, pos, small = false, isObject = true)
+        case 0x02 => container(b, pos, small = true, isObject = false)
+        case 0x03 => container(b, pos, small = false, isObject = false)
+        case 0x04 => literal(leU(b, pos, 1))
+        case 0x05 => leU(b, pos, 2).toShort.toString
+        case 0x06 => leU(b, pos, 2).toString
+        case 0x07 => leU(b, pos, 4).toInt.toString
+        case 0x08 => leU(b, pos, 4).toString
+        case 0x09 => leU(b, pos, 8).toString
+        case 0x0a => java.lang.Long.toUnsignedString(leU(b, pos, 8))
+        case 0x0b =>
+          val d = java.lang.Double.longBitsToDouble(leU(b, pos, 8))
+          if (d == d.toLong.toDouble) s"${d.toLong}.0" else d.toString
+        case 0x0c =>
+          val (len, dataPos) = varlen(b, pos)
+          escape(new String(b, dataPos, len, StandardCharsets.UTF_8))
+        case 0x0f =>
+          val fieldType = b(pos) & 0xff
+          val (len, dataPos) = varlen(b, pos + 1)
+          val hex = (dataPos until dataPos + len)
+            .map(i => f"${b(i) & 0xff}%02x").mkString
+          escape(s"opaque($fieldType):$hex")
+        case other => throw new IllegalArgumentException(
+          f"unknown jsonb type $other%#x")
+      }
+
+    /** SMALL entries inline literal/int16/uint16; LARGE also inlines
+      * int32/uint32 (4-byte entry field).
+      */
+    private def inlined(typ: Int, small: Boolean): Boolean = typ match {
+      case 0x04 | 0x05 | 0x06 => true
+      case 0x07 | 0x08 => !small
+      case _ => false
+    }
+
+    private def container(b: Array[Byte], start: Int, small: Boolean,
+        isObject: Boolean): String = {
+      val w = if (small) 2 else 4
+      val count = leU(b, start, w).toInt
+      var p = start + 2 * w // past count + size
+      val keys: Seq[(Int, Int)] =
+        if (isObject) {
+          val ks = (0 until count).map { i =>
+            val off = leU(b, p + i * (w + 2), w).toInt
+            val len = leU(b, p + i * (w + 2) + w, 2).toInt
+            (start + off, len)
+          }
+          p += count * (w + 2)
+          ks
+        } else Nil
+      val values = (0 until count).map { i =>
+        val entry = p + i * (1 + w)
+        val typ = b(entry) & 0xff
+        if (inlined(typ, small)) renderAt(b, typ, entry + 1)
+        else renderAt(b, typ, start + leU(b, entry + 1, w).toInt)
+      }
+      if (isObject)
+        keys.zip(values).map { case ((kPos, kLen), v) =>
+          escape(new String(b, kPos, kLen, StandardCharsets.UTF_8)) +
+            ":" + v
+        }.mkString("{", ",", "}")
+      else values.mkString("[", ",", "]")
+    }
   }
 
   // --------------------------------------------------- ChangeEvent bridge

@@ -46,7 +46,13 @@ class MysqlBinlogSpec extends AnyFunSuite {
     "2024-02-29", "13:45:09", "-838:59:58.99", "9999-12-31 23:59:59",
     "2024-06-01 12:34:56.000001", "héllo wörld", "short",
     "4095", "1234567890.9999", "CHARDATA", "2", "513",
-    "deadbeef00", "0a0b0c")
+    "deadbeef00", "050700") // c_json: writer takes jsonb hex (int16 7)
+
+  /** What the decoder renders for AllTypesRow: identical except JSON,
+    * which decodes from binary to JSON text.
+    */
+  private val AllTypesDecoded: Seq[String] =
+    AllTypesRow.toSeq.updated(23, "7")
 
   private def writerWithTable(colNames: Boolean = true,
       checksum: Boolean = true, signed: Seq[Boolean] = Nil)
@@ -69,7 +75,7 @@ class MysqlBinlogSpec extends AnyFunSuite {
     val events = MysqlBinlog.readFile(w.bytes())
     val writes = events.collect { case (_, e: WriteRows) => e }
     assert(writes.size == 1)
-    assert(writes.head.rows.head.toSeq == AllTypesRow.toSeq)
+    assert(writes.head.rows.head.toSeq == AllTypesDecoded)
   }
 
   test("NULL bitmap: nulls at both bitmap byte boundaries survive") {
@@ -106,10 +112,10 @@ class MysqlBinlogSpec extends AnyFunSuite {
     w.deleteRows(23L, Seq(after))
     val events = MysqlBinlog.readFile(w.bytes())
     val u = events.collect { case (_, e: UpdateRows) => e }.head
-    assert(u.rows.head._1.toSeq == before.toSeq)
-    assert(u.rows.head._2.toSeq == after.toSeq)
+    assert(u.rows.head._1.toSeq == AllTypesDecoded)
+    assert(u.rows.head._2.toSeq == AllTypesDecoded.updated(15, "renamed"))
     val d = events.collect { case (_, e: DeleteRows) => e }.head
-    assert(d.rows.head.toSeq == after.toSeq)
+    assert(d.rows.head.toSeq == AllTypesDecoded.updated(15, "renamed"))
   }
 
   test("multi-row events preserve order") {
@@ -130,7 +136,7 @@ class MysqlBinlogSpec extends AnyFunSuite {
     val fde = events.collect { case (_, e: FormatDescription) => e }.head
     assert(fde.checksumAlg == 0)
     val writes = events.collect { case (_, e: WriteRows) => e }
-    assert(writes.head.rows.head.toSeq == AllTypesRow.toSeq)
+    assert(writes.head.rows.head.toSeq == AllTypesDecoded)
   }
 
   test("corrupted byte fails the CRC32 check loudly") {
@@ -174,7 +180,7 @@ class MysqlBinlogSpec extends AnyFunSuite {
       val events = MysqlBinlog.readFile(w.bytes())
       val p = events.collect { case (_, e: TransactionPayload) => e }.head
       val writes = p.events.collect { case (_, e: WriteRows) => e }
-      assert(writes.head.rows.head.toSeq == AllTypesRow.toSeq,
+      assert(writes.head.rows.head.toSeq == AllTypesDecoded,
         s"zstd=$zstd")
     }
   }
@@ -279,6 +285,63 @@ class MysqlBinlogSpec extends AnyFunSuite {
     val f1 = lines(1).split("\t", -1)
     assert(f1(0) == "101" && f1(3) == "delete" &&
       f1(4) == "-2147483648" && f1(5).contains("c_char=CHARDATA"))
+  }
+
+  test("binary JSON renders to JSON text") {
+    import MysqlBinlog.JsonBinary
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+    // scalars at top level
+    assert(JsonBinary.render(bytes(0x04, 0x00)) == "null")
+    assert(JsonBinary.render(bytes(0x04, 0x01)) == "true")
+    assert(JsonBinary.render(bytes(0x05, 0xf9, 0xff)) == "-7")
+    assert(JsonBinary.render(bytes(0x0a, 0xff, 0xff, 0xff, 0xff, 0xff,
+      0xff, 0xff, 0xff)) == "18446744073709551615")
+    assert(JsonBinary.render(bytes(0x0c, 0x03, 'h', 0xc3, 0xa9)) ==
+      "\"hé\"")
+    // double that is integral renders with .0 (MySQL JSON semantics)
+    assert(JsonBinary.render(
+      bytes(0x0b, 0, 0, 0, 0, 0, 0, 0x08, 0x40)) == "3.0")
+
+    // small object {"a":7,"b":[true,"hi"],"c":-2.5} — nested array,
+    // inlined int16, offset-addressed string and double
+    val obj = bytes(0x00,
+      0x03, 0x00, 0x31, 0x00, // count 3, size 49
+      0x19, 0x00, 0x01, 0x00, // key "a" @25
+      0x1a, 0x00, 0x01, 0x00, // key "b" @26
+      0x1b, 0x00, 0x01, 0x00, // key "c" @27
+      0x05, 0x07, 0x00, // a: inlined int16 7
+      0x02, 0x1c, 0x00, // b: small array @28
+      0x0b, 0x29, 0x00, // c: double @41
+      'a', 'b', 'c',
+      // array @28: [true, "hi"]
+      0x02, 0x00, 0x0d, 0x00,
+      0x04, 0x01, 0x00, // inlined true
+      0x0c, 0x0a, 0x00, // string @ array+10
+      0x02, 'h', 'i',
+      // double @41: -2.5 LE
+      0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x04, 0xc0)
+    assert(JsonBinary.render(obj) ==
+      """{"a":7,"b":[true,"hi"],"c":-2.5}""")
+
+    // large array inlines int32 (4-byte entries)
+    val largeArr = bytes(0x03,
+      0x01, 0x00, 0x00, 0x00, 0x0d, 0x00, 0x00, 0x00,
+      0x07, 0xff, 0xff, 0xff, 0x7f)
+    assert(JsonBinary.render(largeArr) == "[2147483647]")
+
+    // opaque values tag their field type instead of failing the row
+    assert(JsonBinary.render(bytes(0x0f, 0xf6, 0x02, 0xaa, 0xbb)) ==
+      "\"opaque(246):aabb\"")
+
+    // through a full row image: the JSON column yields text
+    val w = new MysqlBinlogWriter()
+    w.fde()
+    w.tableMap(3L, "d", "t", Seq(ColType.Json), Seq(4), Seq(true),
+      Seq("j"))
+    w.writeRows(3L, Seq(Array(obj.map(b => f"${b & 0xff}%02x").mkString)))
+    val evts = MysqlBinlog.decodeFile(w.bytes(), "f")
+    assert(evts.head.after("j") == """{"a":7,"b":[true,"hi"],"c":-2.5}""")
   }
 
   test("long varchar (2-byte length) and char beyond 255 bytes") {
