@@ -26,13 +26,12 @@ import graft.operators.NameFilter
   * quicklist-v1(14) — the Redis-7 listpack family — hash(16),
   * zset(17), quicklist-v2 list(18, plain + packed nodes), set(20) —
   * streams v1/v2/v3 (15/19/21: messages, last-id, consumer groups),
-  * and module-2(7) opcode skip; string payloads additionally in
-  * INT8/16/32 and LZF encodings; opcodes AUX, RESIZEDB,
-  * EXPIRE/EXPIRE_MS, IDLE, FREQ, SELECT, EOF (`rdb_parser.rs:9-20`,
-  * `reader/length.rs:8-60`, `reader/string.rs:8-42`,
-  * `reader/list_pack.rs:12-150`, the entry_parser modules). Module
-  * v1(6) and
-  * the hash-TTL metadata types (22-25) raise with the type id rather
+  * and module-2(7) opcode skip; hash-TTL metadata (22-25) with
+  * per-field expiries; string payloads additionally in INT8/16/32 and
+  * LZF encodings; opcodes AUX, RESIZEDB, EXPIRE/EXPIRE_MS, IDLE, FREQ,
+  * SELECT, EOF (`rdb_parser.rs:9-20`, `reader/length.rs:8-60`,
+  * `reader/string.rs:8-42`, `reader/list_pack.rs:12-150`, the
+  * entry_parser modules). Module v1(6) raises with the type id rather
   * than mis-parse.
   */
 object RedisRdb {
@@ -457,6 +456,35 @@ object RedisRdb {
               }
             case 15 | 19 | 21 => // stream listpacks v1/v2/v3
               out ++= readStream(r, db, key, valueType, expireMs)
+            case 22 | 24 => // hash with per-field TTL metadata (7.4):
+              // min-expiry u64, count, then (ttl, field, value) — ttls
+              // absolute in the pre-GA 22, delta-coded off min-1 in 24
+              // (reference hash_parser.rs:90-117 reads 22 this way and
+              // flags its own 24 path broken; 24 here follows the GA
+              // delta scheme)
+              val minExpire = r.u64le()
+              val n = r.length()
+              (0L until n).foreach { _ =>
+                val raw = r.length()
+                val fieldExpire =
+                  if (raw == 0L) None
+                  else if (valueType == 22) Some(raw)
+                  else Some(minExpire + raw - 1)
+                val f = r.string()
+                out += Entry(db, key, "hash", f, r.string(),
+                  fieldExpire.orElse(expireMs))
+              }
+            case 23 | 25 => // hash listpack with TTLs: (field, value,
+              // ttl) triplets; 25 (GA) prefixes the min-expiry u64
+              // (reference hash_parser.rs:119-138)
+              if (valueType == 25) r.u64le(): Unit
+              r.listpack().grouped(3).foreach {
+                case Seq(f, v, ttl) =>
+                  val fieldExpire =
+                    if (ttl == "0") expireMs else Some(ttl.toLong)
+                  out += Entry(db, key, "hash", f, v, fieldExpire)
+                case _ => ()
+              }
             case 7 => // module v2: opcode-framed, skippable with
               // position intact (reference module2_parser.rs:47-70)
               out += readModule2(r, db, key, expireMs)

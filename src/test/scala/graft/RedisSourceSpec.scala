@@ -82,9 +82,9 @@ class RedisSourceSpec extends SparkSuite {
     val b = new RdbBuilder().byte(0).len14(3)
       .byte('k').byte('e').byte('y').str("val")
     assert(RedisRdb.parse(b.eof()).head.key == "key")
-    val bad = new RdbBuilder().byte(22).str("h") // hash-TTL metadata
+    val bad = new RdbBuilder().byte(26).str("x") // beyond the known set
     val e = intercept[IllegalArgumentException](RedisRdb.parse(bad.eof()))
-    assert(e.getMessage.contains("unsupported rdb value type 22"))
+    assert(e.getMessage.contains("unsupported rdb value type 26"))
     // module v1 is not self-delimiting: loud, named failure
     val mod1 = new RdbBuilder().byte(6).str("m")
     val e6 = intercept[IllegalArgumentException](
@@ -287,6 +287,40 @@ class RedisSourceSpec extends SparkSuite {
       RedisRdb.Entry(0, "st", "stream", "6-1/fb", "vb", None),
       RedisRdb.Entry(0, "st", "stream_meta", "last_id", "7-1", None),
       RedisRdb.Entry(0, "st", "stream_group", "g1", "7-1", None)))
+  }
+
+  test("rdb: hash TTL metadata — per-field expiries, delta and listpack") {
+    val b = new RdbBuilder()
+    def u64(v: Long): Unit =
+      (0 until 8).foreach(i => b.byte(((v >> (8 * i)) & 0xff).toInt))
+    // type 24 (GA): min-expiry + delta-coded per-field ttls; 0 = none
+    b.byte(24).str("h24")
+    u64(1700000000000L) // min expire
+    b.len6(2)
+    b.len14(1001).str("f1").str("v1") // ttl = min + 1001 - 1
+    b.len6(0).str("f2").str("v2") // no ttl
+    // type 22 (pre-GA): absolute per-field ttls
+    b.byte(22).str("h22")
+    u64(0L)
+    b.len6(1)
+    b.len14(12345).str("g").str("w")
+    // type 25: min-expiry u64 then (field, value, ttl) listpack triplets
+    val lp = (Array(0, 0, 0, 0, 3, 0) ++ Array(
+      0x81, 'f'.toInt, 0x02,
+      0x81, 'v'.toInt, 0x02,
+      0xf3, 0x00, 0xca, 0x9a, 0x3b, 0x05) :+ 0xff) // 10^9 32-bit int
+      .map(_.toByte)
+    b.byte(25).str("h25")
+    u64(999L)
+    b.len6(lp.length); lp.foreach(x => b.byte(x & 0xff))
+
+    val entries = RedisRdb.parse(b.eof())
+    assert(entries == Seq(
+      RedisRdb.Entry(0, "h24", "hash", "f1", "v1",
+        Some(1700000000000L + 1000L)),
+      RedisRdb.Entry(0, "h24", "hash", "f2", "v2", None),
+      RedisRdb.Entry(0, "h22", "hash", "g", "w", Some(12345L)),
+      RedisRdb.Entry(0, "h25", "hash", "f", "v", Some(1000000000L))))
   }
 
   test("rdb: module v2 skips by opcode with name and version decoded") {
