@@ -823,7 +823,8 @@ object MysqlBinlog {
     val tables = scala.collection.mutable.Map.empty[Long, TableMap]
     val out = Seq.newBuilder[ChangeEvent]
     var file = binlogFile
-    var gtid = ""
+    val gtids = new graft.meta.GtidSet()
+    def gtid: String = gtids.render
 
     def names(tm: TableMap): Seq[String] =
       if (tm.colNames.nonEmpty) tm.colNames
@@ -847,7 +848,7 @@ object MysqlBinlog {
           after, pos.kind, pos.render, originNode = "")
       event match {
         case r: Rotate => file = r.nextFile
-        case g: Gtid => gtid = s"${g.uuid}:${g.gno}"
+        case g: Gtid => gtids.add(s"${g.uuid}:${g.gno}"): Unit
         case tm: TableMap => tables(tm.tableId) = tm
         case w: WriteRows =>
           val tm = tables(w.tableId)
