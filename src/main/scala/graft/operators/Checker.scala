@@ -62,11 +62,18 @@ object Checker {
   def tolerantEqUnsigned(a: Column, b: Column): Column = {
     val wrap = lit(new java.math.BigDecimal("18446744073709551616"))
       .cast(org.apache.spark.sql.types.DecimalType(21, 0))
-    def norm(c: Column) = {
-      val d = c.cast(org.apache.spark.sql.types.DecimalType(21, 0))
-      when(d < 0, d + wrap).otherwise(d)
-    }
-    norm(a) <=> norm(b)
+    // try_cast, not cast: under Spark 4 default ANSI mode a plain cast
+    // of a non-numeric rendering THROWS and kills the whole check job
+    // (and with ANSI off both sides would cast to null and two
+    // different garbage values would compare EQUAL). A side that fails
+    // to parse falls back to the strict comparison, so malformed
+    // values surface as diffs.
+    def tryDec(c: Column) =
+      c.cast("string").try_cast(org.apache.spark.sql.types.DecimalType(21, 0))
+    def norm(d: Column) = when(d < 0, d + wrap).otherwise(d)
+    val da = tryDec(a); val db = tryDec(b)
+    when(da.isNotNull && db.isNotNull, norm(da) <=> norm(db))
+      .otherwise(tolerantEq(a, b))
   }
 
   /** MySQL zero-date tolerance: `0000-00-00[ 00:00:00]` is

@@ -375,8 +375,12 @@ object MongoOps {
     * per sorted partition, then add broadcast cumulative partition
     * offsets — at 10⁹⁺ ids every executor numbers its own range and
     * only a partition-count-sized offset table moves. The id frame is
-    * persisted so the offset count and the final numbering see the
-    * same (sampled) range boundaries and the source scans once.
+    * eagerly localCheckpoint'ed, not persist()'ed: the checkpoint CUTS
+    * lineage, so the offset count and the final numbering can only ever
+    * see the same materialized (sampled) range boundaries — a lost
+    * block fails loudly instead of silently re-sampling and
+    * mis-numbering — and the blocks are released when the frame is
+    * GC'd rather than pinned in the cache manager per planner call.
     */
   def idPages(spark: SparkSession, dir: String,
       batchSize: Int = 64): DataFrame = {
@@ -394,7 +398,7 @@ object MongoOps {
         var i = 0L
         it.map { id => val out = (pid, i, id); i += 1; out }
       }.toDF("pid", "local_idx", "_id")
-      .persist()
+      .localCheckpoint(true)
 
     val counts = local.groupBy(col("pid"))
       .agg(count(lit(1)).as("n")).as[(Int, Long)].collect()

@@ -619,14 +619,30 @@ object MysqlBinlog {
       renderFrac(micros, meta)
   }
 
+  /** TIME2 stores the 3-byte int part and the 0–3 fraction bytes as ONE
+    * offset-binary big-endian quantity: a negative TIME complements the
+    * fraction too, borrowing from the int part when the fraction is
+    * non-zero (my_time.c `my_time_packed_from_binary`). Decoding the
+    * parts separately — sign-magnitude int + unsigned fraction — reads a
+    * negative fractional TIME as wrong seconds and garbage micros.
+    */
+  /** Test hook: decode one TIME2 value from raw binlog bytes. */
+  private[graft] def decodeTime2Bytes(bytes: Array[Byte], meta: Int): String =
+    decodeTime2(new Reader(bytes, 0), meta)
+
   private def decodeTime2(r: Reader, meta: Int): String = {
-    val raw = r.beU(3) - 0x800000L
-    val neg = raw < 0
-    val v = math.abs(raw)
-    val hour = (v >> 12) & 0x3ff
-    val minute = (v >> 6) & 63
-    val second = v & 63
-    val micros = readFrac(r, meta)
+    val fb = fracBytes(meta)
+    val combined = r.beU(3 + fb) - (0x800000L << (8 * fb))
+    val neg = combined < 0
+    val v = math.abs(combined)
+    val hms = v >> (8 * fb)
+    val hour = (hms >> 12) & 0x3ff
+    val minute = (hms >> 6) & 63
+    val second = hms & 63
+    val fracUnits = if (fb == 0) 0L else v & ((1L << (8 * fb)) - 1)
+    val micros = (fracUnits * (fb match {
+      case 1 => 10000; case 2 => 100; case _ => 1
+    })).toInt
     (if (neg) "-" else "") +
       f"$hour%02d:$minute%02d:$second%02d" + renderFrac(micros, meta)
   }

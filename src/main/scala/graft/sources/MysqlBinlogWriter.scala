@@ -323,12 +323,21 @@ final class MysqlBinlogWriter(serverId: Long = 1L,
         val p = v.split(":")
         leU(b, p(0).toLong * 10000 + p(1).toLong * 100 + p(2).toLong, 3)
       case Time2 =>
+        // int part + fraction are ONE offset-binary quantity: negating
+        // the combined value complements the fraction bytes too
+        // (my_time.c my_time_packed_to_binary), so a negative TIME with
+        // fsp>0 borrows from the int part.
         val neg = v.startsWith("-")
         val (hms, micros) = splitFrac(if (neg) v.substring(1) else v)
         val p = hms.split(":")
         val packed = (p(0).toLong << 12) | (p(1).toLong << 6) | p(2).toLong
-        beU(b, 0x800000L + (if (neg) -packed else packed), 3)
-        writeFrac(b, micros, meta)
+        val fb = (meta + 1) / 2
+        val fracUnits = if (fb == 0) 0L else (micros / (fb match {
+          case 1 => 10000; case 2 => 100; case _ => 1
+        })).toLong
+        val combined = (packed << (8 * fb)) | fracUnits
+        beU(b, (0x800000L << (8 * fb)) + (if (neg) -combined else combined),
+          3 + fb)
       case DateTime =>
         val (d, t) = splitDateTime(v)
         leU(b, (d(0) * 10000L + d(1) * 100L + d(2)) * 1000000L +

@@ -94,11 +94,26 @@ object PgOutput {
     }
   }
 
-  /** Decode one bare pgoutput message (the payload of one XLogData). */
+  /** Decode one bare pgoutput message (the payload of one XLogData).
+    * Trailing bytes after the message are a framing error and raise —
+    * silently ignoring them would drop data.
+    */
   def decodeMessage(bytes: Array[Byte]): Message = {
+    val (m, consumed) = decodeMessageConsumed(bytes)
+    require(consumed == bytes.length,
+      s"pgoutput message consumed $consumed of ${bytes.length} bytes — " +
+        "buffer holds more than one message")
+    m
+  }
+
+  /** Decode one message and report how many bytes it consumed. Every
+    * pgoutput message is self-delimiting except an unknown tag, which
+    * consumes the whole buffer (its length is unknowable).
+    */
+  def decodeMessageConsumed(bytes: Array[Byte]): (Message, Int) = {
     val r = new Reader(bytes, 0)
     val tag = r.u8().toChar
-    tag match {
+    val msg: Message = tag match {
       case 'B' => Begin(r.beU(8), r.beU(8), r.beU(4))
       case 'C' =>
         r.u8() // flags, unused
@@ -150,6 +165,10 @@ object PgOutput {
         val len = r.beU(4).toInt
         LogicalMessage(transactional, lsn, prefix, r.take(len))
       case other => UnknownMessage(other)
+    }
+    msg match {
+      case UnknownMessage(_) => (msg, bytes.length)
+      case _ => (msg, r.pos)
     }
   }
 
@@ -225,7 +244,11 @@ object PgOutput {
         r.beU(8) // walEnd
         r.beU(8) // server clock
         val payload = java.util.Arrays.copyOfRange(bytes, r.pos, limit)
-        ((walStart, decodeMessage(payload)), limit)
+        // decode exactly ONE message and advance by what it consumed:
+        // a capture of concatenated bare XLogData frames must not let
+        // the first frame swallow the rest of the buffer (silent loss).
+        val (msg, consumed) = decodeMessageConsumed(payload)
+        ((walStart, msg), r.pos + consumed)
       case 'k' =>
         val walEnd = r.beU(8)
         val clock = r.beU(8)

@@ -101,15 +101,30 @@ object PgStructures {
     s"ALTER SEQUENCE ${q(o.schema)}.${q(o.sequence)} OWNED BY " +
       s"${q(o.schema)}.${q(o.table)}.${q(o.column)}"
 
+  /** Escaped single-quoted literal: embedded quotes are doubled. */
+  private def strLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Dollar-quote with a tag guaranteed absent from the text — a bare
+    * `$$` breaks (and is injectable) the moment the text itself
+    * contains `$$`.
+    */
+  private def dollarQuote(text: String): String = {
+    var tag = "$graft$"
+    var i = 0
+    while (text.contains(tag)) { tag = "$graft" + i + "$"; i += 1 }
+    tag + text + tag
+  }
+
   /** Dollar-quoted so embedded quotes survive verbatim (reference
     * comment_to_sql).
     */
   def commentSql(c: CommentDef): String = c.column match {
     case None =>
-      s"COMMENT ON TABLE ${q(c.schema)}.${q(c.table)} IS $$$$${c.comment}$$$$"
+      s"COMMENT ON TABLE ${q(c.schema)}.${q(c.table)} IS " +
+        dollarQuote(c.comment)
     case Some(col) =>
-      s"COMMENT ON COLUMN ${q(c.schema)}.${q(c.table)}.${q(col)} " +
-        s"IS $$$$${c.comment}$$$$"
+      s"COMMENT ON COLUMN ${q(c.schema)}.${q(c.table)}.${q(col)} IS " +
+        dollarQuote(c.comment)
   }
 
   def roleSql(r: RoleDef): String = {
@@ -122,8 +137,8 @@ object PgStructures {
       if (r.replication) Some("REPLICATION") else None,
       if (r.bypassRls) Some("BYPASSRLS") else None,
       r.connLimit.filter(_ != -1L).map(n => s"CONNECTION LIMIT $n"),
-      r.password.map(p => s"PASSWORD '$p'"),
-      r.validUntil.map(v => s"VALID UNTIL '$v'")).flatten
+      r.password.map(p => s"PASSWORD ${strLit(p)}"),
+      r.validUntil.map(v => s"VALID UNTIL ${strLit(v)}")).flatten
     val base = s"CREATE ROLE ${q(r.name)}"
     if (opts.isEmpty) base else s"$base WITH ${opts.mkString(" ")}"
   }
@@ -132,7 +147,7 @@ object PgStructures {
     r.configs.collect {
       case (param, value) if param.nonEmpty && value.nonEmpty =>
         (s"rbac.role_config.${r.name}.$param",
-          s"ALTER ROLE ${q(r.name)} SET $param TO '$value'")
+          s"ALTER ROLE ${q(r.name)} SET $param TO ${strLit(value)}")
     }
 
   def roleMemberSql(m: RoleMemberDef): String = {

@@ -126,7 +126,13 @@ class CheckerSpec extends SparkSuite {
       ("42", "42", true),
       ("-2", "18446744073709551615", false),
       (null, null, true),
-      ("0", null, false)))
+      ("0", null, false),
+      // malformed renderings must not crash (ANSI cast) nor compare
+      // equal as a pair of nulls (non-ANSI cast): they fall back to the
+      // strict comparison and surface as diffs
+      ("garbage", "42", false),
+      ("garbage", "other-garbage", false),
+      ("garbage", "garbage", true)))
   }
 
   test("zero-date tolerance: 0000-00-00 matches NULL and itself") {

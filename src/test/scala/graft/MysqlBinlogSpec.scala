@@ -219,6 +219,39 @@ class MysqlBinlogSpec extends AnyFunSuite {
     }
   }
 
+  test("TIME2 vectors: negative fractional times are one complemented " +
+      "quantity") {
+    // Hand-computed from my_time.c storage (TIMEF_INT_OFS borrow /
+    // complemented fraction) — NOT produced by the symmetric writer, so
+    // a decode-side scheme error cannot hide behind a matching encoder.
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val vectors = Seq(
+      (bytes(0x7F, 0x37, 0x47, 0xB2), 2, "-12:34:56.78"),
+      (bytes(0x80, 0xC8, 0xB8, 0x4E), 2, "12:34:56.78"),
+      (bytes(0x7F, 0xF0, 0x00), 0, "-01:00:00"),
+      (bytes(0x80, 0x00, 0x00), 0, "00:00:00"),
+      (bytes(0x7F, 0xFF, 0xFE, 0xFF, 0xFF), 4, "-00:00:01.0001"),
+      (bytes(0x7F, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF), 6, "-00:00:00.000001"))
+    vectors.foreach { case (raw, meta, want) =>
+      assert(MysqlBinlog.decodeTime2Bytes(raw, meta) == want,
+        s"fsp=$meta ${raw.map(b => f"${b & 0xff}%02x").mkString(" ")}")
+    }
+    // Writer round-trip over the same values: with the decoder pinned to
+    // MySQL's bytes above, a passing round-trip pins the encoder too.
+    val times = vectors.map(_._3) :+ "-838:59:58.99"
+    times.foreach { t =>
+      val fsp = { val d = t.indexOf('.'); if (d < 0) 0 else t.length - d - 1 }
+      val w = new MysqlBinlogWriter()
+      w.fde()
+      w.tableMap(1L, "d", "t", Seq(ColType.Time2), Seq(fsp), Seq(true),
+        Seq("v"))
+      w.writeRows(1L, Seq(Array(t)))
+      val got = MysqlBinlog.readFile(w.bytes())
+        .collect { case (_, e: WriteRows) => e }.head.rows.head(0)
+      assert(got == t, s"round-trip $t")
+    }
+  }
+
   test("decodeFile emits ChangeEvents named by 8.0 optional metadata") {
     val w = writerWithTable()
     w.gtid("3e11fa47-71ca-11e1-9e33-c80aa9429562", 9L)

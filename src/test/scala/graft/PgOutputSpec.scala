@@ -138,24 +138,58 @@ class PgOutputSpec extends AnyFunSuite {
       Seq(("users", "truncate"), ("audit", "truncate")))
   }
 
-  test("bare XLogData frames (no CopyData layer) also decode") {
-    val framed = writerWithRel()
-    framed.insert(16385L, Array("9", "z", null))
-    framed.commit(0x1000L, 0x1100L, 0L)
-    // strip the CopyData layer: keep only inner frames, one at a time
-    val bytes = framed.bytes()
+  /** Strip the CopyData layer, keeping every inner frame concatenated. */
+  private def stripCopyData(bytes: Array[Byte]): Array[Byte] = {
     var pos = 0
     val stripped = new java.io.ByteArrayOutputStream()
     while (pos < bytes.length) {
       val len = ((bytes(pos + 1) & 0xff) << 24) |
         ((bytes(pos + 2) & 0xff) << 16) |
         ((bytes(pos + 3) & 0xff) << 8) | (bytes(pos + 4) & 0xff)
-      // a bare 'w' frame is only self-terminating alone; test single
-      if (pos == 0)
-        stripped.write(bytes, pos + 5, len - 4)
+      stripped.write(bytes, pos + 5, len - 4)
       pos += 1 + len
     }
-    val msgs = PgOutput.decodeCopyStream(stripped.toByteArray)
-    assert(msgs.map(_._2).collect { case b: Begin => b }.nonEmpty)
+    stripped.toByteArray
+  }
+
+  test("concatenated bare XLogData frames all decode — none swallowed") {
+    val framed = writerWithRel()
+    framed.insert(16385L, Array("9", "z", null))
+    framed.commit(0x1000L, 0x1100L, 0L)
+    val msgs = PgOutput.decodeCopyStream(stripCopyData(framed.bytes()))
+    // pgoutput messages are self-delimiting: the first bare frame must
+    // consume exactly its own message, not the rest of the capture
+    val kinds = msgs.map(_._2.getClass.getSimpleName)
+    assert(kinds == Seq("Begin", "Relation", "Insert", "Commit"), kinds)
+  }
+
+  test("trailing bytes after a framed message raise instead of dropping") {
+    val framed = writerWithRel()
+    val bytes = framed.bytes()
+    // graft junk onto the last CopyData frame's payload and patch length
+    val junk = Array[Byte](1, 2, 3)
+    val out = java.util.Arrays.copyOf(bytes, bytes.length + junk.length)
+    System.arraycopy(junk, 0, out, bytes.length, junk.length)
+    // find the last frame start to patch its BE length field
+    var pos = 0; var last = 0
+    while (pos < bytes.length) {
+      last = pos
+      val len = ((bytes(pos + 1) & 0xff) << 24) |
+        ((bytes(pos + 2) & 0xff) << 16) |
+        ((bytes(pos + 3) & 0xff) << 8) | (bytes(pos + 4) & 0xff)
+      pos += 1 + len
+    }
+    val oldLen = ((out(last + 1) & 0xff) << 24) |
+      ((out(last + 2) & 0xff) << 16) |
+      ((out(last + 3) & 0xff) << 8) | (out(last + 4) & 0xff)
+    val newLen = oldLen + junk.length
+    out(last + 1) = (newLen >>> 24).toByte
+    out(last + 2) = (newLen >>> 16).toByte
+    out(last + 3) = (newLen >>> 8).toByte
+    out(last + 4) = newLen.toByte
+    val err = intercept[IllegalArgumentException] {
+      PgOutput.decodeCopyStream(out)
+    }
+    assert(err.getMessage.contains("not fully consumed"))
   }
 }

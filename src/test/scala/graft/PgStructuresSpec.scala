@@ -56,7 +56,8 @@ class PgStructuresSpec extends AnyFunSuite {
         """"app"."users"."id"""")
     // dollar-quoted comments survive embedded single quotes verbatim
     assert(byKey("column_comment.app.users.email") ==
-      """COMMENT ON COLUMN "app"."users"."email" IS $$it's unique$$""")
+      """COMMENT ON COLUMN "app"."users"."email" IS """ +
+        "$graft$it's unique$graft$")
     assert(byKey("index.app.users.ix_users_email") ==
       """CREATE UNIQUE INDEX IF NOT EXISTS "ix_users_email" ON """ +
         """"app"."users" ("email")""")
@@ -146,6 +147,26 @@ class PgStructuresSpec extends AnyFunSuite {
     assert(byKey("priv.app.users.app_rw").startsWith("GRANT SELECT"))
     // the rbac kind gates everything at once
     assert(rbac.toSqls(NameFilter(doStructures = Set("table"))) == Nil)
+  }
+
+  test("hostile comment and password text cannot break the DDL") {
+    // a comment containing the quote tag itself forces a fresh tag
+    val evil = CommentDef("app", "users", None,
+      "has $graft$ and $$ inside")
+    assert(commentSql(evil) ==
+      """COMMENT ON TABLE "app"."users" IS """ +
+        "$graft0$has $graft$ and $$ inside$graft0$")
+    // single quotes in password / valid-until literals are doubled
+    val role = RoleDef("evil", login = true,
+      password = Some("o'brien'; DROP ROLE x; --"),
+      validUntil = Some("2027-01-01'x"),
+      configs = Seq(("search_path", "a'b")))
+    assert(roleSql(role) ==
+      """CREATE ROLE "evil" WITH LOGIN """ +
+        "PASSWORD 'o''brien''; DROP ROLE x; --'" +
+        " VALID UNTIL '2027-01-01''x'")
+    assert(roleConfigSqls(role).head._2 ==
+      """ALTER ROLE "evil" SET search_path TO 'a''b'""")
   }
 
   test("udt/udf pass through with per-kind gating") {

@@ -108,11 +108,12 @@ class ScaleShapeSpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString
     // the old shape was row_number() over an empty partition spec — a
     // global sort onto ONE task; the two-pass shape has no Window at
-    // all and range-repartitions the pruned id column instead
+    // all. The numbering stage upstream range-repartitions and is
+    // pinned behind an eager localCheckpoint, so the downstream plan
+    // starts from the checkpointed RDD (lineage cut = the sampled
+    // range boundaries can never be recomputed differently).
     assert(!plan.contains("Window"), plan)
-    assert(plan.contains("REPARTITION_BY_NUM") ||
-      plan.contains("RangePartitioning") ||
-      plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("Scan ExistingRDD"), plan)
     // and the numbering still matches the serial oracle
     val pages = df.orderBy("page").collect()
     assert(pages.nonEmpty)
