@@ -355,7 +355,95 @@ object VectorOps {
        |FROM r WHERE rk = 1 GROUP BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q76
+  /** q76 — the composed IVF SEARCH pipeline (q44 only routes; this
+    * answers queries): base vectors are assigned to their nearest coarse
+    * cell once (seeds broadcast, corpus never shuffles); each query
+    * probes its `nProbe`=4 nearest of 16 cells; exact scaled-int cosine
+    * then runs ONLY against candidates in probed cells (≈ nProbe/nCells
+    * of the corpus) and top-k=10 reranks exactly. The 100 TB ANN read
+    * path: store the corpus partitioned BY CELL, broadcast the
+    * (query, probed-cell) table, and a query scans 4/16 of the data —
+    * candidate rows, never the corpus, are all that moves.
+    */
+  def ivfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val nProbe = 4
+    val k = 10
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), intVec(col("embedding")).as("xs"))
+      .withColumn("norm", intDot(col("xs"), col("xs")))
+    val seeds = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("xs").as("s_xs"),
+        col("norm").as("s_norm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    val assigned = e.join(broadcast(seeds))
+      .withColumn("sim", cosine(intDot(col("xs"), col("s_xs")),
+        col("norm"), col("s_norm")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("cell"), col("vec_id"), col("xs"), col("norm"))
+    val queriesDf = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("xs").as("q_xs"),
+        col("norm").as("q_norm"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    val probes = queriesDf.join(broadcast(seeds))
+      .withColumn("sim", cosine(intDot(col("q_xs"), col("s_xs")),
+        col("q_norm"), col("s_norm")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
+      .select(col("cell"), col("query_id"), col("q_xs"), col("q_norm"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(intDot(col("q_xs"), col("xs")),
+        col("q_norm"), col("norm")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
+  val ivfSearchSql: String = {
+    def cos(dot: String, na: String, nb: String) =
+      s"CAST($dot AS DOUBLE) / sqrt(CAST($na AS DOUBLE) * " +
+        s"CAST($nb AS DOUBLE))"
+    s"""WITH v AS (SELECT vec_id, ${intVecSql("embedding")} AS xs
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, xs, ${intDotSql("xs", "xs")} AS norm FROM v),
+       |s AS (SELECT vec_id AS cell, xs, norm FROM e WHERE vec_id < 16),
+       |pa AS (SELECT e.vec_id, s.cell,
+       |    ${cos(intDotSql("e.xs", "s.xs"), "e.norm", "s.norm")} AS sim
+       |  FROM e, s),
+       |ar AS (SELECT vec_id, cell, ROW_NUMBER() OVER
+       |    (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk FROM pa),
+       |a AS (SELECT vec_id, cell FROM ar WHERE rk = 1),
+       |q AS (SELECT vec_id AS query_id, xs, norm FROM e
+       |  WHERE vec_id < 20),
+       |pq AS (SELECT q.query_id, s.cell,
+       |    ${cos(intDotSql("q.xs", "s.xs"), "q.norm", "s.norm")} AS sim
+       |  FROM q, s),
+       |pr AS (SELECT query_id, cell, ROW_NUMBER() OVER
+       |    (PARTITION BY query_id ORDER BY sim DESC, cell) AS rk
+       |  FROM pq),
+       |probe AS (SELECT query_id, cell FROM pr WHERE rk <= 4),
+       |cand AS (SELECT probe.query_id, a.vec_id FROM probe
+       |  JOIN a ON a.cell = probe.cell WHERE a.vec_id <> probe.query_id),
+       |sims AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    ${cos(intDotSql("qe.xs", "ne.xs"), "qe.norm", "ne.norm")} AS sim
+       |  FROM cand c JOIN e ne ON ne.vec_id = c.vec_id
+       |  JOIN e qe ON qe.vec_id = c.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER
+       |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM sims)
+       |SELECT query_id, neighbor_id, rank, sim FROM r
+       |WHERE rank <= 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_ivf_search" -> (ivfSearch _),
     "q58_pq_codes" -> (pqCodes _),
     "q44_ivf_assign" -> (ivfAssign _),
     "q45_bucketed_neardup" -> (bucketedNearDups _),
@@ -365,6 +453,7 @@ object VectorOps {
     "q43_lsh_buckets" -> (lshBuckets _))
 
   val oracles: Map[String, String] = Map(
+    "q76_ivf_search" -> ivfSearchSql,
     "q58_pq_codes" -> pqCodesSql,
     "q44_ivf_assign" -> ivfAssignSql,
     "q45_bucketed_neardup" -> bucketedNearDupsSql,

@@ -46,6 +46,23 @@ class VectorOpsSpec extends SparkSuite {
     assert(top == best)
   }
 
+  test("ivf search: probed-cell candidates only, ranked, useful recall") {
+    val ivf = graft.operators.VectorOps.ivfSearch(spark, sf)
+    val rows = ivf.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    // contiguous ranks from 1 per query
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length), s"query $q")
+    }
+    // recall@10 vs the brute-force oracle: IVF with nProbe=4 of 16
+    // cells must beat the 25% of random cell probing by a wide margin
+    val exact = graft.operators.VectorOps.knn(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = rows.map(r => (r._1, r._2)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall@10 = $recall")
+  }
+
   test("lsh buckets: deterministic and bounded") {
     val a = graft.operators.VectorOps.lshBuckets(spark, sf)
       .as[(Long, Long, Long, Long)].collect().toSet
