@@ -49,6 +49,62 @@ object Multimodal {
     }
   }
 
+  /** Container-header parser for the common image formats — dimensions
+    * live in the (public, stable) container header, not the compressed
+    * stream, so width/height extraction needs no codec library: PNG
+    * IHDR (big-endian at offset 16/20), JPEG SOF marker walk, GIF
+    * logical screen (little-endian at 6/8), BMP DIB header. This is the
+    * REAL half of the decode boundary; pixel decoding stays stubbed.
+    */
+  object ImageHeader {
+    /** (mime, width, height), or None when no known signature parses. */
+    def parse(p: Array[Byte]): Option[(String, Int, Int)] = {
+      def u8(i: Int) = p(i) & 0xff
+      def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+      def be32(i: Int) =
+        (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int) =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      if (p.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' &&
+          u8(2) == 'N' && u8(3) == 'G')
+        Some(("image/png", be32(16), be32(20)))
+      else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+        // walk FF-marker segments to the first frame header (SOF0-15
+        // minus DHT/JPG/DAC); standalone markers have no length field
+        var i = 2
+        var out: Option[(String, Int, Int)] = None
+        var bad = false
+        while (out.isEmpty && !bad && i + 9 < p.length) {
+          if (u8(i) != 0xff) bad = true
+          else {
+            val m = u8(i + 1)
+            if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+            else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+                m != 0xcc)
+              out = Some(("image/jpeg", be16(i + 7), be16(i + 5)))
+            else i += 2 + be16(i + 2)
+          }
+        }
+        out
+      } else if (p.length >= 10 && u8(0) == 'G' && u8(1) == 'I' &&
+          u8(2) == 'F')
+        Some(("image/gif", le16(6), le16(8)))
+      else if (p.length >= 26 && u8(0) == 'B' && u8(1) == 'M')
+        Some(("image/bmp", le32(18), le32(22)))
+      else None
+    }
+  }
+
+  /** Real header parse with stub fallback for unrecognized payloads. */
+  object HeaderDecoder extends MediaDecoder {
+    def decode(mime: String, payload: Array[Byte]): (Int, Int, Int) =
+      ImageHeader.parse(payload) match {
+        case Some((_, w, h)) => (w, h, 1)
+        case None => StubDecoder.decode(mime, payload)
+      }
+  }
+
   /** Synthesize a media table from documents (text bytes stand in for an
     * image payload).
     */
@@ -116,9 +172,59 @@ object Multimodal {
       |  md5(text) AS digest
       |FROM documents""".stripMargin
 
+  /** q78 — header-parse round-trip: VALID container bytes (PNG, JPEG
+    * with an APP0 segment to skip, GIF) are synthesized per document
+    * with dimensions derived from doc_id, then [[ImageHeader]] parses
+    * the dims back out of the raw bytes in the per-partition batch
+    * path. The oracle computes the same dims arithmetically — so a
+    * hash match proves the byte-level parser inverts the encoding
+    * exactly. Bytes never shuffle; only (doc_id, mime, dims) rows
+    * leave the scan stage.
+    */
+  def imageDims(spark: SparkSession, dir: String): DataFrame = {
+    val w = (pmod(col("doc_id"), lit(640)) + 1).cast("int")
+    val h = (pmod(col("doc_id") * 3, lit(480)) + 1).cast("int")
+    val kind = pmod(col("doc_id"), lit(3))
+    val pngHex = concat(
+      lit("89504E470D0A1A0A0000000D49484452"),
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+      lit("080200000000000000"))
+    val jpgHex = concat(
+      lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+      lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+      lit("03012200021101031101FFD9"))
+    val gifHex = concat(
+      lit("474946383961"),
+      lpad(hex(pmod(w, lit(256))), 2, "0"),
+      lpad(hex(shiftright(w, 8)), 2, "0"),
+      lpad(hex(pmod(h, lit(256))), 2, "0"),
+      lpad(hex(shiftright(h, 8)), 2, "0"),
+      lit("F70000"))
+    val media = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      unhex(when(kind === 0, pngHex).when(kind === 1, jpgHex)
+        .otherwise(gifHex)).as("media"),
+      struct(
+        when(kind === 0, "image/png").when(kind === 1, "image/jpeg")
+          .otherwise("image/gif").as("mime"),
+        col("source").as("source")).as("meta"))
+    extractFeatures(media, HeaderDecoder)
+      .select(col("doc_id"), col("mime"), col("width"), col("height"))
+  }
+
+  val imageDimsSql: String =
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+      |    WHEN 1 THEN 'image/jpeg' ELSE 'image/gif' END AS mime,
+      |  CAST(doc_id % 640 + 1 AS INT) AS width,
+      |  CAST((doc_id * 3) % 480 + 1 AS INT) AS height
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q62_media_stats" -> (mediaStats _))
+    "q62_media_stats" -> (mediaStats _),
+    "q78_image_dims" -> (imageDims _))
 
   val oracles: Map[String, String] = Map(
-    "q62_media_stats" -> mediaStatsSql)
+    "q62_media_stats" -> mediaStatsSql,
+    "q78_image_dims" -> imageDimsSql)
 }

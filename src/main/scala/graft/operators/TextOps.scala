@@ -311,7 +311,90 @@ object TextOps {
        |FROM tr""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q77
+  /** PII patterns shared by the redactor and its DuckDB mirror — plain
+    * character-class regexes, identical semantics under Java regex and
+    * RE2.
+    */
+  final val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val PiiPhone = "\\+1-555-[0-9]{4}"
+  final val PiiIp = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  final val PiiSsn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** Redact PII in a text column: mask emails, phone numbers, IPv4
+    * addresses, and SSN-shaped ids, in that order (email first so its
+    * digits can't be re-matched; phone before SSN so the longer shape
+    * wins). Map-only, codegen — the standard curation pass before
+    * training-data release.
+    */
+  def piiRedact(c: Column): Column = {
+    val e = regexp_replace(c, PiiEmail, "<EMAIL>")
+    val p = regexp_replace(e, PiiPhone, "<PHONE>")
+    val i = regexp_replace(p, PiiIp, "<IP>")
+    regexp_replace(i, PiiSsn, "<ID>")
+  }
+
+  /** q77 — PII scan + redaction over `documents`. The corpus text is
+    * synthetic word salad, so a deterministic contact block derived from
+    * doc_id is appended first (same expression mirrored in the oracle);
+    * the engine-checked outputs are the per-kind match counts and the
+    * rolling-hash digest of the redacted text.
+    */
+  def piiRedactQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(spark, dir)
+    def s(c: Column) = c.cast("string")
+    val contact = concat(
+      lit(" contact user"), s(col("doc_id")),
+      lit("@mail"), s(pmod(col("doc_id"), lit(7))), lit(".org tel +1-555-"),
+      lpad(s(pmod(col("doc_id"), lit(10000))), 4, "0"),
+      lit(" ip 10."), s(pmod(col("doc_id"), lit(256))),
+      lit("."), s(pmod(col("doc_id") * 7, lit(256))),
+      lit("."), s(pmod(col("doc_id") * 13, lit(256))),
+      lit(" ssn "), lpad(s(pmod(col("doc_id"), lit(1000))), 3, "0"),
+      lit("-"), lpad(s(pmod(col("doc_id"), lit(100))), 2, "0"),
+      lit("-"), lpad(s(pmod(col("doc_id"), lit(10000))), 4, "0"))
+    d.withColumn("full", concat(col("text"), contact))
+      .select(col("doc_id"),
+        regexp_count(col("full"), lit(PiiEmail)).as("n_emails"),
+        regexp_count(col("full"), lit(PiiPhone)).as("n_phones"),
+        regexp_count(col("full"), lit(PiiIp)).as("n_ips"),
+        regexp_count(col("full"), lit(PiiSsn)).as("n_ssns"),
+        charFold(piiRedact(col("full"))).as("red_fp"))
+  }
+
+  val piiRedactSql: String = {
+    // DuckDB single-quoted strings keep backslashes literal, so the
+    // Scala pattern values embed verbatim
+    val email = s"'$PiiEmail'"
+    val phone = s"'$PiiPhone'"
+    val ip = s"'$PiiIp'"
+    val ssn = s"'$PiiSsn'"
+    val red = s"regexp_replace(regexp_replace(regexp_replace(" +
+      s"regexp_replace(txt, $email, '<EMAIL>', 'g'), " +
+      s"$phone, '<PHONE>', 'g'), $ip, '<IP>', 'g'), $ssn, '<ID>', 'g')"
+    s"""WITH d AS (SELECT doc_id, text ||
+       |    ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |    '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.org tel +1-555-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+       |    ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+       |    '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+       |    '.' || CAST((doc_id * 13) % 256 AS VARCHAR) ||
+       |    ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+       |    '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+       |    '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+       |  FROM documents),
+       |r AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(txt, $email)) AS INT) AS n_emails,
+       |    CAST(len(regexp_extract_all(txt, $phone)) AS INT) AS n_phones,
+       |    CAST(len(regexp_extract_all(txt, $ip)) AS INT) AS n_ips,
+       |    CAST(len(regexp_extract_all(txt, $ssn)) AS INT) AS n_ssns,
+       |    $red AS red FROM d)
+       |SELECT doc_id, n_emails, n_phones, n_ips, n_ssns,
+       |  ${charFoldSql("red")} AS red_fp FROM r""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_pii_redact" -> (piiRedactQuery _),
     "q59_repetition" -> (repetitionStats _),
     "q37_quality_filter" -> (qualityFilter _),
     "q38_bpe_tokens" -> (bpeTokens _),
@@ -321,6 +404,7 @@ object TextOps {
     "q33_dedup_exact" -> (dedupExact _))
 
   val oracles: Map[String, String] = Map(
+    "q77_pii_redact" -> piiRedactSql,
     "q59_repetition" -> repetitionStatsSql,
     "q37_quality_filter" -> qualityFilterSql,
     "q38_bpe_tokens" -> bpeTokensSql,

@@ -37,6 +37,50 @@ class MultimodalSpec extends SparkSuite {
     assert(s.map(_.getAs[Int]("frame_idx")).toSet == Set(0, 4, 8))
   }
 
+  test("image headers: PNG/JPEG/GIF/BMP dims parse from raw bytes") {
+    import graft.operators.Multimodal.ImageHeader
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+    // PNG 3×2, real layout incl. CRC bytes (ignored by the parser)
+    val png = hx("89504E470D0A1A0A 0000000D 49484452" +
+      "00000003 00000002 08 02 00 00 00 DEADBEEF")
+    assert(ImageHeader.parse(png).contains(("image/png", 3, 2)))
+    // JPEG with APP0 *and* a DQT segment before SOF0 (marker walk must
+    // skip variable-length segments, not just the first)
+    val jpg = hx("FFD8" +
+      "FFE0 0010 4A46494600 0101 00 0001 0001 00 00" +
+      "FFDB 0006 00 112233" +
+      "FFC0 0011 08 0140 00F0 03 012200 021101 031101" +
+      "FFD9")
+    assert(ImageHeader.parse(jpg).contains(("image/jpeg", 240, 320)))
+    // GIF89a little-endian logical screen 320×200
+    val gif = hx("474946383961 4001 C800 F7 00 00")
+    assert(ImageHeader.parse(gif).contains(("image/gif", 320, 200)))
+    // BMP little-endian DIB dims at 18/22
+    val bmp = hx("424D 46000000 0000 0000 36000000 28000000" +
+      "10000000 20000000 0100 1800")
+    assert(ImageHeader.parse(bmp).contains(("image/bmp", 16, 32)))
+    // garbage and truncation fall back to None
+    assert(ImageHeader.parse(Array[Byte](1, 2, 3)).isEmpty)
+    assert(ImageHeader.parse(hx("FFD8FFE000FF")).isEmpty)
+  }
+
+  test("q78 synthesized containers parse back to their encoded dims") {
+    val out = graft.operators.Multimodal.imageDims(spark, sf)
+      .select("doc_id", "mime", "width", "height")
+      .as[(Long, String, Int, Int)].collect()
+    assert(out.length == 500)
+    out.foreach { case (id, mime, w, h) =>
+      assert(w == (id % 640).toInt + 1, s"doc $id")
+      assert(h == ((id * 3) % 480).toInt + 1, s"doc $id")
+      val want = (id % 3) match {
+        case 0 => "image/png"; case 1 => "image/jpeg"; case _ => "image/gif"
+      }
+      assert(mime == want, s"doc $id")
+    }
+  }
+
   test("custom decoder plugs in at the stub boundary") {
     val fixed = new Multimodal.MediaDecoder {
       def decode(mime: String, payload: Array[Byte]) = (7, 8, 9)
