@@ -201,9 +201,31 @@ object VectorOps {
   /** q44 — IVF-style cell assignment (the other ANN scale path next to
     * LSH): 16 deterministic seed vectors (vec_id < 16) act as the coarse
     * codebook; every vector joins its nearest seed by exact scaled-int
-    * cosine; queries then probe only their cell. Seeds broadcast — the
-    * corpus never shuffles for assignment.
+    * cosine; queries then probe only their cell. Seeds broadcast; the
+    * argmax shuffles one narrow (vec_id, sim, cell) row per vector —
+    * the vectors themselves never move (see [[nearestCell]]).
     */
+  /** Nearest-cell argmax as a hash aggregate, not a window: the
+    * seed-join emits 16 rows per vector, and `max(struct(sim, -cell))`
+    * partial-aggregates them back to ONE row per vector map-side —
+    * all 16 candidates of a vector live in the partition that produced
+    * them — so the shuffle carries n narrow rows instead of the
+    * window's 16n (plus its sort). Tie-break matches
+    * `ORDER BY sim DESC, cell`: equal sims pick max(-cell) = min cell.
+    */
+  private def nearestCell(vecs: DataFrame, seeds: DataFrame,
+      keep: Seq[String]): DataFrame = {
+    val firsts = keep.map(c => first(col(c)).as(c))
+    vecs.join(broadcast(seeds))
+      .withColumn("sim", cosine(intDot(col("xs"), col("s_xs")),
+        col("norm"), col("s_norm")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("cell")).as("neg_cell"))).as("m"),
+        firsts: _*)
+      .withColumn("cell", -col("m.neg_cell"))
+      .drop("m")
+  }
+
   def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), intVec(col("embedding")).as("xs"))
@@ -211,13 +233,7 @@ object VectorOps {
     val seeds = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cell"), col("xs").as("s_xs"),
         col("norm").as("s_norm"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cell"))
-    e.join(broadcast(seeds))
-      .withColumn("sim", cosine(intDot(col("xs"), col("s_xs")),
-        col("norm"), col("s_norm")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+    nearestCell(e, seeds, keep = Nil)
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vectors"),
         min(col("vec_id")).as("min_vec"))
@@ -358,7 +374,8 @@ object VectorOps {
   // ---------------------------------------------------------------- q76
   /** q76 — the composed IVF SEARCH pipeline (q44 only routes; this
     * answers queries): base vectors are assigned to their nearest coarse
-    * cell once (seeds broadcast, corpus never shuffles); each query
+    * cell once (seeds broadcast, one argmax row per vector shuffles —
+    * [[nearestCell]]); each query
     * probes its `nProbe`=4 nearest of 16 cells; exact scaled-int cosine
     * then runs ONLY against candidates in probed cells (≈ nProbe/nCells
     * of the corpus) and top-k=10 reranks exactly. The 100 TB ANN read
@@ -375,13 +392,7 @@ object VectorOps {
     val seeds = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cell"), col("xs").as("s_xs"),
         col("norm").as("s_norm"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cell"))
-    val assigned = e.join(broadcast(seeds))
-      .withColumn("sim", cosine(intDot(col("xs"), col("s_xs")),
-        col("norm"), col("s_norm")))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
+    val assigned = nearestCell(e, seeds, keep = Seq("xs", "norm"))
       .select(col("cell"), col("vec_id"), col("xs"), col("norm"))
     val queriesDf = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("xs").as("q_xs"),
