@@ -1,0 +1,186 @@
+package graft.config
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+/** Local task lifecycle manager — the dt-cli analog
+  * (/root/reference/dt-cli/src/main.rs: Create/Start/List/Show/Logs/
+  * Stop/Delete over per-task record directories). Each task owns
+  * `<stateDir>/<name>/` holding:
+  *
+  *   - `task.ini` — the task config, verbatim as created
+  *   - `meta.ini` — status + millisecond timestamps + last error
+  *   - `task.log` — append-only run log (`logs` tails it)
+  *   - `stop.requested` — cooperative stop flag (`stop` plants it)
+  *
+  * The reference forks a child process per task and kills it on stop;
+  * on Spark the runner executes inside the driver JVM, so `start` runs
+  * the task one TABLE UNIT at a time and consults the stop flag between
+  * units — the status lifecycle (created → running → finished | failed
+  * | stopped, restartable from any terminal state) is the same.
+  */
+object TaskManager {
+
+  final val Statuses = Seq("created", "running", "finished", "failed",
+    "stopped")
+
+  final case class TaskMeta(name: String, status: String,
+      createdMs: Long, startedMs: Option[Long], endedMs: Option[Long],
+      error: Option[String])
+
+  private def taskDir(stateDir: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9_.-]+"), s"invalid task name $name")
+    Paths.get(stateDir, name)
+  }
+
+  // ------------------------------------------------------------- meta io
+
+  private def writeMeta(dir: Path, m: TaskMeta): Unit = {
+    val lines = Seq(
+      "[meta]",
+      s"name=${m.name}",
+      s"status=${m.status}",
+      s"created_ms=${m.createdMs}",
+      s"started_ms=${m.startedMs.getOrElse(-1L)}",
+      s"ended_ms=${m.endedMs.getOrElse(-1L)}",
+      s"error=${m.error.getOrElse("").replaceAll("[\r\n]+", " ")}")
+    Files.write(dir.resolve("meta.ini"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def readMeta(dir: Path): TaskMeta = {
+    val text = new String(Files.readAllBytes(dir.resolve("meta.ini")),
+      StandardCharsets.UTF_8)
+    val s = TaskConfig.parseIni(text).section("meta")
+    def opt(k: String): Option[Long] =
+      s(k).map(_.toLong).filter(_ >= 0)
+    TaskMeta(s.get("name", dir.getFileName.toString),
+      s.get("status", "created"),
+      s.get("created_ms", "0").toLong, opt("started_ms"), opt("ended_ms"),
+      s("error").filter(_.nonEmpty))
+  }
+
+  private def log(dir: Path, line: String): Unit =
+    Files.write(dir.resolve("task.log"),
+      s"[${System.currentTimeMillis()}] $line\n"
+        .getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  // ---------------------------------------------------------- lifecycle
+
+  /** Create a task record; refuses to overwrite an existing one. */
+  def create(stateDir: String, name: String, iniText: String): TaskMeta = {
+    val dir = taskDir(stateDir, name)
+    require(!Files.exists(dir), s"task $name already exists")
+    TaskConfig.fromIni(iniText) // validate before recording
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("task.ini"),
+      iniText.getBytes(StandardCharsets.UTF_8))
+    val meta = TaskMeta(name, "created", System.currentTimeMillis(),
+      None, None, None)
+    writeMeta(dir, meta)
+    log(dir, "created")
+    meta
+  }
+
+  def list(stateDir: String): Seq[TaskMeta] = {
+    val root = Paths.get(stateDir)
+    if (!Files.isDirectory(root)) Nil
+    else Files.list(root).iterator().asScala.toSeq
+      .filter(p => Files.exists(p.resolve("meta.ini")))
+      .map(readMeta).sortBy(_.name)
+  }
+
+  def show(stateDir: String, name: String): (TaskMeta, TaskConfig.Task) = {
+    val dir = taskDir(stateDir, name)
+    val ini = new String(Files.readAllBytes(dir.resolve("task.ini")),
+      StandardCharsets.UTF_8)
+    (readMeta(dir), TaskConfig.fromIni(ini))
+  }
+
+  def logs(stateDir: String, name: String): Seq[String] = {
+    val f = taskDir(stateDir, name).resolve("task.log")
+    if (Files.exists(f)) Files.readAllLines(f).asScala.toSeq else Nil
+  }
+
+  /** Plant the cooperative stop flag; the runner honors it between
+    * table units (a no-op unless the task is running).
+    */
+  def requestStop(stateDir: String, name: String): Unit = {
+    val dir = taskDir(stateDir, name)
+    Files.write(dir.resolve("stop.requested"), Array.emptyByteArray)
+    log(dir, "stop requested")
+  }
+
+  /** Delete a task record; refuses while the task is running. */
+  def delete(stateDir: String, name: String): Unit = {
+    val dir = taskDir(stateDir, name)
+    require(readMeta(dir).status != "running",
+      s"task $name is running — stop it first")
+    Files.walk(dir).iterator().asScala.toSeq.reverse
+      .foreach(Files.delete)
+  }
+
+  /** Run the task in-process, one table unit at a time. `afterUnit`
+    * fires after each completed unit (test hook for interleaving a
+    * stop request). Any terminal-state task restarts from scratch;
+    * snapshot unit writes are idempotent overwrites.
+    */
+  def start(spark: SparkSession, stateDir: String, name: String,
+      afterUnit: Int => Unit = _ => ()): TaskMeta = {
+    val dir = taskDir(stateDir, name)
+    val meta0 = readMeta(dir)
+    require(meta0.status != "running", s"task $name is already running")
+    Files.deleteIfExists(dir.resolve("stop.requested"))
+    val ini = new String(Files.readAllBytes(dir.resolve("task.ini")),
+      StandardCharsets.UTF_8)
+    val task = TaskConfig.fromIni(ini)
+    var meta = meta0.copy(status = "running",
+      startedMs = Some(System.currentTimeMillis()), endedMs = None,
+      error = None)
+    writeMeta(dir, meta)
+    log(dir, "started")
+    def finish(status: String, error: Option[String]): TaskMeta = {
+      meta = meta.copy(status = status,
+        endedMs = Some(System.currentTimeMillis()), error = error)
+      writeMeta(dir, meta)
+      log(dir, status + error.fold("")(e => s": $e"))
+      meta
+    }
+    def stopRequested = Files.exists(dir.resolve("stop.requested"))
+    try {
+      val units = TaskRunner.units(task)
+      var i = 0
+      var stopped = false
+      while (i < units.length && !stopped) {
+        val (schema, tb) = units(i)
+        task.extractType match {
+          case TaskConfig.SnapshotExtract =>
+            val r = TaskRunner.snapshotTable(spark, task, schema, tb)
+            log(dir, s"snapshot $schema.$tb -> ${r.dstTable} rows=${r.rows}")
+          case TaskConfig.CheckExtract =>
+            TaskRunner.checkTable(spark, task, schema, tb) match {
+              case Some((t, counts)) =>
+                log(dir, s"check $t " + counts.toSeq.sortBy(_._1)
+                  .map { case (k, v) => s"$k=$v" }.mkString(" "))
+              case None => log(dir, s"check $schema.$tb skipped (no keys)")
+            }
+          case TaskConfig.CdcExtract =>
+            log(dir, s"cdc unit $schema.$tb — wire CdcPipeline with a " +
+              "stream source directory (see CdcPipeline.readChanges)")
+        }
+        afterUnit(i)
+        i += 1
+        if (i < units.length && stopRequested) stopped = true
+      }
+      if (stopped) finish("stopped", None)
+      else finish("finished", None)
+    } catch {
+      case e: Exception => finish("failed", Some(e.toString))
+    }
+  }
+}

@@ -23,25 +23,33 @@ object TaskRunner {
   private def catalog(dir: String): Seq[(String, String)] =
     Tables.names.map(t => ("app", t))
 
-  /** Snapshot task: for every table the filter admits, read, apply the
-    * column map, write to the routed destination.
+  /** The tables a task's filter admits — the task's unit list. */
+  def units(task: TaskConfig.Task): Seq[(String, String)] =
+    task.filter.expand(catalog(task.sourceDir))
+
+  /** One snapshot unit: read a table, apply the column map, write to the
+    * routed destination.
     */
-  def runSnapshot(spark: SparkSession, task: TaskConfig.Task)
-      : Seq[TableResult] = {
-    val tables = task.filter.expand(catalog(task.sourceDir))
-    tables.map { case (schema, tb) =>
-      val df = Tables.load(spark, task.sourceDir, tb)
-      val routed = task.router.renameColumns(schema, tb, df)
-      val (toSchema, toTb) = task.router.routeTable(schema, tb)
-      val out = s"${task.sinkDir}/$toSchema.$toTb"
-      routed.write.mode(SaveMode.Overwrite).parquet(out)
-      // count the WRITTEN output, not the source again — a parquet
-      // count() is satisfied from row-group metadata, while re-counting
-      // `routed` would re-run the full source scan per table
-      TableResult(schema, tb, spark.read.parquet(out).count(),
-        s"$toSchema.$toTb")
-    }
+  def snapshotTable(spark: SparkSession, task: TaskConfig.Task,
+      schema: String, tb: String): TableResult = {
+    val df = Tables.load(spark, task.sourceDir, tb)
+    val routed = task.router.renameColumns(schema, tb, df)
+    val (toSchema, toTb) = task.router.routeTable(schema, tb)
+    val out = s"${task.sinkDir}/$toSchema.$toTb"
+    routed.write.mode(SaveMode.Overwrite).parquet(out)
+    // count the WRITTEN output, not the source again — a parquet
+    // count() is satisfied from row-group metadata, while re-counting
+    // `routed` would re-run the full source scan per table
+    TableResult(schema, tb, spark.read.parquet(out).count(),
+      s"$toSchema.$toTb")
   }
+
+  /** Snapshot task: every admitted table through [[snapshotTable]]. */
+  def runSnapshot(spark: SparkSession, task: TaskConfig.Task)
+      : Seq[TableResult] =
+    units(task).map { case (schema, tb) =>
+      snapshotTable(spark, task, schema, tb)
+    }
 
   /** Check task: per admitted table, compare source against the routed
     * sink output (the post-snapshot verification flow) and persist the
@@ -54,10 +62,15 @@ object TaskRunner {
     * `src_rows - miss - diff` instead of re-scanning the join.
     */
   def runCheck(spark: SparkSession, task: TaskConfig.Task)
-      : Seq[(String, Map[String, Long])] = {
-    val tables = task.filter.expand(catalog(task.sourceDir))
-    tables.flatMap { case (schema, tb) =>
-      task.keysByTable.get(tb).map { keys =>
+      : Seq[(String, Map[String, Long])] =
+    units(task).flatMap { case (schema, tb) =>
+      checkTable(spark, task, schema, tb)
+    }
+
+  /** One check unit (None when the table has no key spec). */
+  def checkTable(spark: SparkSession, task: TaskConfig.Task,
+      schema: String, tb: String): Option[(String, Map[String, Long])] =
+    task.keysByTable.get(tb).map { keys =>
         val src = task.router.renameColumns(schema, tb,
           Tables.load(spark, task.sourceDir, tb))
         val (toSchema, toTb) = task.router.routeTable(schema, tb)
@@ -86,8 +99,6 @@ object TaskRunner {
           tb -> (defects + ("OK" -> (srcRows - miss - diff)))
         } finally { nonOk.unpersist(); () }
       }
-    }
-  }
 
   /** Pre-flight the task (reference dt-precheck before start_task). */
   def precheck(spark: SparkSession, task: TaskConfig.Task)

@@ -1,0 +1,88 @@
+package graft
+
+import graft.config.TaskManager
+
+/** Task lifecycle battery — the dt-cli analog surface
+  * (create/start/list/show/logs/stop/delete, reference
+  * dt-cli/src/main.rs) over per-task record directories.
+  */
+class TaskManagerSpec extends SparkSuite {
+
+  private def ini(sink: String) = s"""
+    |[extractor]
+    |extract_type=snapshot
+    |url=$sf
+    |
+    |[filter]
+    |do_tbs=app.orders,app.customer,app.nation
+    |
+    |[router]
+    |db_map=app:app_replica
+    |
+    |[sinker]
+    |url=$sink
+    |""".stripMargin
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("create → list → show → start → finished, logs tell the story") {
+    val state = tmp("graft-tm-state")
+    val sink = tmp("graft-tm-sink")
+    val created = TaskManager.create(state, "snap1", ini(sink))
+    assert(created.status == "created")
+    intercept[IllegalArgumentException] {
+      TaskManager.create(state, "snap1", ini(sink))
+    }
+    assert(TaskManager.list(state).map(_.name) == Seq("snap1"))
+    val (meta, task) = TaskManager.show(state, "snap1")
+    assert(meta.status == "created" &&
+      task.extractType == graft.config.TaskConfig.SnapshotExtract)
+    val done = TaskManager.start(spark, state, "snap1")
+    assert(done.status == "finished" && done.endedMs.nonEmpty)
+    val logs = TaskManager.logs(state, "snap1")
+    assert(logs.exists(_.contains("snapshot app.orders")))
+    assert(logs.exists(_.contains("app_replica.customer")))
+    assert(logs.count(_.contains("snapshot app.")) == 3)
+    // the snapshot actually landed at the routed destination
+    assert(spark.read.parquet(s"$sink/app_replica.orders").count() > 0)
+  }
+
+  test("stop between units: cooperative, restartable") {
+    val state = tmp("graft-tm-state")
+    val sink = tmp("graft-tm-sink")
+    TaskManager.create(state, "snap2", ini(sink))
+    // plant the stop flag right after the FIRST unit completes
+    val stopped = TaskManager.start(spark, state, "snap2",
+      afterUnit = i => if (i == 0) TaskManager.requestStop(state, "snap2"))
+    assert(stopped.status == "stopped")
+    assert(TaskManager.logs(state, "snap2")
+      .count(_.contains("snapshot app.")) == 1)
+    // a terminal task restarts from scratch; the stale flag is cleared
+    val done = TaskManager.start(spark, state, "snap2")
+    assert(done.status == "finished")
+    assert(TaskManager.logs(state, "snap2")
+      .count(_.contains("snapshot app.")) == 4) // 1 + all 3
+  }
+
+  test("failed tasks record the error and stay restartable") {
+    val state = tmp("graft-tm-state")
+    TaskManager.create(state, "bad", ini("/nonexistent/sink")
+      .replace(s"url=$sf", "url=/nonexistent/source"))
+    val failed = TaskManager.start(spark, state, "bad")
+    assert(failed.status == "failed" && failed.error.nonEmpty)
+    assert(TaskManager.list(state).head.status == "failed")
+  }
+
+  test("delete refuses running tasks, removes terminal ones") {
+    val state = tmp("graft-tm-state")
+    val sink = tmp("graft-tm-sink")
+    TaskManager.create(state, "snap3", ini(sink))
+    TaskManager.start(spark, state, "snap3")
+    TaskManager.delete(state, "snap3")
+    assert(TaskManager.list(state).isEmpty)
+    intercept[java.nio.file.NoSuchFileException] {
+      TaskManager.show(state, "snap3")
+    }
+  }
+}
