@@ -288,6 +288,14 @@ class GraftExtensions
     e.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", "8-permutation minhash signature"),
       exprs => MinHashSig(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg", "deterministic bloom filter of hashes"),
+      exprs => BloomFilterAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains", "bloom membership probe"),
+      exprs => BloomMightContain(exprs(0), exprs(1))))
   }
 }
 
@@ -330,6 +338,12 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_kmin_values",
         exprs => KMinValues(exprs.head,
           exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+      reg.createOrReplaceTempFunction("graft_bloom_agg",
+        exprs => BloomFilterAgg(exprs.head,
+          exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Int]), "scala_udf")
+      reg.createOrReplaceTempFunction("graft_bloom_contains",
+        exprs => BloomMightContain(exprs(0), exprs(1)), "scala_udf")
     }
   }
 
@@ -346,4 +360,10 @@ object GraftFunctions {
   def minhashSig(c: Column): Column = fn("graft_minhash_sig", c)
   def kminValues(c: Column, k: Int): Column =
     fn("graft_kmin_values", c, org.apache.spark.sql.functions.lit(k))
+  def bloomAgg(c: Column, numBits: Int, numHashes: Int): Column =
+    fn("graft_bloom_agg", c,
+      org.apache.spark.sql.functions.lit(numBits),
+      org.apache.spark.sql.functions.lit(numHashes))
+  def bloomContains(bloom: Column, v: Column): Column =
+    fn("graft_bloom_contains", bloom, v)
 }

@@ -240,6 +240,38 @@ object CurationOps {
        |GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q79
+  /** q79 — decontamination at the scale where the held-out set no longer
+    * broadcasts as a hash table: build a Bloom filter over the benchmark
+    * n-gram hashes (OR-merge aggregate — deterministic bytes, a few MB
+    * regardless of set size), ship it as a 1-row broadcast, prefilter
+    * the corpus map-side, and confirm the survivors with the exact join
+    * so false positives die. The result is EXACTLY q28's (no false
+    * negatives by construction), which keeps the oracle exact; the win
+    * is that the expensive join sees only candidates — at kn/m ≈ 0.1
+    * that is ~1e-5 of the corpus n-grams instead of all of them.
+    */
+  final val BloomBits = 1 << 18
+  final val BloomHashes = 5
+
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.{bloomAgg, bloomContains}
+    val hashes = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(FuzzyDedup.shingleHashes(col("text"))).as("h"))
+    val benchmark = hashes.filter(col("doc_id") % 97 === 0)
+      .select(col("h")).distinct()
+    val bloom = benchmark.agg(
+      bloomAgg(col("h"), BloomBits, BloomHashes).as("bf"))
+    hashes.filter(col("doc_id") % 97 =!= 0)
+      .crossJoin(broadcast(bloom))
+      .filter(bloomContains(col("bf"), col("h")))
+      .drop("bf")
+      .join(broadcast(benchmark), "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_ngrams"))
+  }
+
   // ---------------------------------------------------------------- q29
   /** KMV distinct sketch per language — the custom
     * TypedImperativeAggregate ([[graft.functions.KMinValues]]). The k
@@ -482,6 +514,7 @@ object CurationOps {
     "q29_kmv_sketch" -> (kmvSketch _),
     "q27_lang_rebalance" -> (langRebalance _),
     "q28_decontaminate" -> (decontaminate _),
+    "q79_decontaminate_bloom" -> (decontaminateBloom _),
     "q48_passage_chunks" -> (passageChunks _),
     "q49_top_bigrams" -> (topBigrams _),
     "q39_tfidf_topterms" -> (tfidfTopTerms _),
@@ -495,6 +528,9 @@ object CurationOps {
     "q29_kmv_sketch" -> kmvSketchSql,
     "q27_lang_rebalance" -> langRebalanceSql,
     "q28_decontaminate" -> decontaminateSql,
+    // exact-by-construction: the bloom prefilter's false positives are
+    // killed by the confirm join, so q28's oracle is q79's oracle
+    "q79_decontaminate_bloom" -> decontaminateSql,
     "q48_passage_chunks" -> passageChunksSql,
     "q49_top_bigrams" -> topBigramsSql,
     "q39_tfidf_topterms" -> tfidfTopTermsSql,
