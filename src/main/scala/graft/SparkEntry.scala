@@ -37,7 +37,8 @@ object SparkEntry {
       VectorOps.queries ++ InfraQueries.queries ++
       StreamQueries.queries ++ Multimodal.queries ++ DataMarker.queries ++
       Relational2.queries ++ AdvancedOps.queries ++ CurationOps.queries ++
-      Relational3.queries ++ MongoOps.queries ++ BinlogReplay.queries
+      Relational3.queries ++ MongoOps.queries ++ BinlogReplay.queries ++
+      graft.plans.PlanQueries.queries ++ CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
       VectorOps.oracles ++ InfraQueries.oracles ++
       StreamQueries.oracles ++ Multimodal.oracles ++ DataMarker.oracles ++
       Relational2.oracles ++ AdvancedOps.oracles ++ CurationOps.oracles ++
-      Relational3.oracles ++ MongoOps.oracles ++ BinlogReplay.oracles
+      Relational3.oracles ++ MongoOps.oracles ++ BinlogReplay.oracles ++
+      graft.plans.PlanQueries.oracles ++ CorpusOps.oracles
 }

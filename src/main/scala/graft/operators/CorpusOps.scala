@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-level curation operators: statistics that need the WHOLE
+  * corpus as context (cross-document duplication, global token
+  * frequencies, neighborhood label structure, robust distribution
+  * tails) rather than per-row maps.
+  *
+  * Scale shapes: every operator here shuffles only small derived keys
+  * (64-bit shingle hashes, token strings, (query, label) pairs, event
+  * types) — never document text — and aggregates partially map-side.
+  * All four are exact-arithmetic (integer counts or the same
+  * interpolated-percentile formula both engines implement), so the
+  * DuckDB oracle hash-compares bit-for-bit.
+  */
+object CorpusOps {
+
+  import FuzzyDedup.{shingleHashes, shingleHashesSql}
+  import TextOps.tokensSql
+
+  // ---------------------------------------------------------------- q81
+  /** Inter-document duplicated-shingle fraction (the cross-document
+    * complement of q59's within-document repetition filter, and the
+    * corpus analog of line-level dedup): for each document, how many of
+    * its distinct word-5-gram shingles also appear in at least one
+    * OTHER document. `keep` marks documents under 50% cross-duplication
+    * — the Gopher-style "fraction of text in duplicated n-grams" gate
+    * applied corpus-wide.
+    *
+    * Unlike q34 (pairwise Jaccard) this never forms document pairs:
+    * one aggregation over shingle hashes (doc-frequency census) and one
+    * join back, so the shuffled payload is (doc_id, hash) longs only —
+    * the same two-shuffle shape at any corpus size.
+    */
+  def interdupFraction(spark: SparkSession, dir: String): DataFrame =
+    interdupFractionOf(Tables.documents(spark, dir))
+
+  def interdupFractionOf(docs: DataFrame): DataFrame = {
+    val ex = docs.select(col("doc_id"),
+      explode(shingleHashes(col("text"))).as("h"))
+    // shingleHashes is distinct-per-doc, so count(*) = document frequency
+    val dfreq = ex.groupBy(col("h"))
+      .agg(count(lit(1)).as("ndocs"))
+    ex.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("keep", col("n_shared") * 2 <= col("n_shingles"))
+  }
+
+  val interdupFractionSql: String = {
+    val sh = shingleHashesSql("text")
+    s"""WITH ex AS (SELECT doc_id, unnest($sh) AS h FROM documents),
+       |dfreq AS (SELECT h, COUNT(*) AS ndocs FROM ex GROUP BY 1)
+       |SELECT ex.doc_id, COUNT(*) AS n_shingles,
+       |  SUM(CASE WHEN dfreq.ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_shared,
+       |  SUM(CASE WHEN dfreq.ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT * 2
+       |    <= COUNT(*) AS keep
+       |FROM ex JOIN dfreq USING (h)
+       |GROUP BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q82
+  /** Corpus token-rarity scoring — the exact-integer skeleton of a
+    * unigram LM quality score: global occurrence count per token, then
+    * per document the token count, total frequency mass, and the count
+    * of its rarest token. (Real LM scoring takes log of these same
+    * counts; keeping integers makes the cross-engine oracle exact.)
+    *
+    * Same shape as TF-IDF (q39): token census, join the census back to
+    * the token stream. The census is Zipf-compact relative to the
+    * corpus, and only (doc_id, token) rows shuffle.
+    */
+  def tokenRarity(spark: SparkSession, dir: String): DataFrame =
+    tokenRarityOf(Tables.documents(spark, dir))
+
+  def tokenRarityOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+    val census = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("ctf"))
+    toks.join(census, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("ctf")).as("freq_mass"),
+        min(col("ctf")).as("rarest"))
+  }
+
+  val tokenRaritySql: String = {
+    val toks = tokensSql("text")
+    s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+       |census AS (SELECT tok, COUNT(*) AS ctf FROM t GROUP BY 1)
+       |SELECT t.doc_id, COUNT(*) AS n_tokens,
+       |  SUM(census.ctf)::BIGINT AS freq_mass,
+       |  MIN(census.ctf) AS rarest
+       |FROM t JOIN census USING (tok)
+       |GROUP BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q83
+  /** kNN majority-vote label classification over the embedding table:
+    * for each query vector, the 5 nearest neighbors by exact cosine
+    * (same integer-quantized arithmetic as q40), majority label among
+    * them, ties broken toward the smaller label. The standard
+    * label-propagation / weak-annotation step of a training-data
+    * pipeline.
+    *
+    * Queries broadcast (they are a selected subset); candidate
+    * generation at corpus scale would go through the IVF/LSH paths
+    * (q43/q44/q76) — this operator is the rerank+vote stage, which only
+    * ever sees k rows per query.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    import VectorOps.{cosine, intDot, intVec}
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        intVec(col("embedding")).as("xs"))
+      .withColumn("norm", intDot(col("xs"), col("xs")))
+    val q = e.filter(col("vec_id") % 23 === 7)
+      .select(col("vec_id").as("query_id"),
+        col("label").as("true_label"),
+        col("xs").as("q_xs"), col("norm").as("q_norm"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(intDot(col("q_xs"), col("xs")),
+        col("q_norm"), col("norm")))
+    val byDist = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val votes = pairs.withColumn("rank", row_number().over(byDist))
+      .filter(col("rank") <= 5)
+      .groupBy(col("query_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val byVotes = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("vrank", row_number().over(byVotes))
+      .filter(col("vrank") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("label").as("pred_label"), col("votes"))
+  }
+
+  val knnClassifySql: String = {
+    import VectorOps.{intDotSql, intVecSql}
+    val dot = intDotSql("q.xs", "e.xs")
+    s"""WITH v AS (SELECT vec_id, label,
+       |    ${intVecSql("embedding")} AS xs FROM embeddings),
+       |e AS (SELECT vec_id, label, xs,
+       |  ${intDotSql("xs", "xs")} AS norm FROM v),
+       |q AS (SELECT vec_id AS query_id, label AS true_label, xs, norm
+       |  FROM e WHERE vec_id % 23 = 7),
+       |p AS (
+       |  SELECT q.query_id, q.true_label, e.label, e.vec_id,
+       |    CAST($dot AS DOUBLE) /
+       |      sqrt(CAST(q.norm AS DOUBLE) * CAST(e.norm AS DOUBLE)) AS sim
+       |  FROM q JOIN e ON e.vec_id <> q.query_id),
+       |r AS (SELECT query_id, true_label, label,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, vec_id) AS rank FROM p),
+       |votes AS (SELECT query_id, true_label, label,
+       |    COUNT(*) AS votes FROM r WHERE rank <= 5 GROUP BY 1, 2, 3),
+       |w AS (SELECT query_id, true_label, label, votes,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY votes DESC, label) AS vrank FROM votes)
+       |SELECT query_id, true_label, label AS pred_label, votes
+       |FROM w WHERE vrank = 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q84
+  /** Robust outlier census per event type: median, MAD (median absolute
+    * deviation), and the count of values beyond the standard
+    * 3·1.4826·MAD robust-z gate. Two percentile passes + one counting
+    * pass, each a per-type aggregation — the group key is the only
+    * shuffled column, and both engines share the exact
+    * linear-interpolation percentile (proven by q72).
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = ev.join(med, "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(mad, "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("adev") > lit(3.0 * 1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  val madOutliersSql: String =
+    """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT e.event_type, m.med,
+      |    abs(e.value - m.med) AS adev
+      |  FROM events e JOIN m USING (event_type)),
+      |s AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      |  FROM d GROUP BY 1)
+      |SELECT d.event_type, MAX(d.med) AS med, MAX(s.mad) AS mad,
+      |  COUNT(*) AS n,
+      |  SUM(CASE WHEN d.adev > (3 * CAST(1.4826 AS DOUBLE)) * s.mad
+      |    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+      |FROM d JOIN s USING (event_type)
+      |GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_interdup_fraction" -> (interdupFraction _),
+    "q82_token_rarity" -> (tokenRarity _),
+    "q83_knn_classify" -> (knnClassify _),
+    "q84_mad_outliers" -> (madOutliers _))
+
+  val oracles: Map[String, String] = Map(
+    "q81_interdup_fraction" -> interdupFractionSql,
+    "q82_token_rarity" -> tokenRaritySql,
+    "q83_knn_classify" -> knnClassifySql,
+    "q84_mad_outliers" -> madOutliersSql)
+}

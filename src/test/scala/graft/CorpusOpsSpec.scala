@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusOps
+
+class CorpusOpsSpec extends SparkSuite {
+
+  test("interdup fraction: shared shingles counted across docs only") {
+    val s = spark
+    import s.implicits._
+    // docs 1 and 2 share their first 5-gram; doc 3 is disjoint
+    val docs = Seq(
+      (1L, "a b c d e x1 y1 z1 w1 v1"),
+      (2L, "a b c d e x2 y2 z2 w2 v2"),
+      (3L, "p q r s t u")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.interdupFractionOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // 10 tokens -> 6 distinct shingles; exactly one shared
+    assert(out(1L) == ((6L, 1L, true)))
+    assert(out(2L) == ((6L, 1L, true)))
+    // 6 tokens -> 2 shingles, none shared
+    assert(out(3L) == ((2L, 0L, true)))
+  }
+
+  test("interdup fraction: fully duplicated doc pair is dropped") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f g"),
+      (3L, "n o p q r s t")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.interdupFractionOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out(1L) == false && out(2L) == false && out(3L) == true)
+  }
+
+  test("token rarity: census counts occurrences, not documents") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the the cat"),
+      (2L, "the dog")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.tokenRarityOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // "the" x3, "cat" x1, "dog" x1
+    assert(out(1L) == ((3L, 3L + 3L + 1L, 1L)))
+    assert(out(2L) == ((2L, 3L + 1L, 1L)))
+  }
+
+  test("knn classify: one prediction per query with 5 votes total") {
+    val out = CorpusOps.knnClassify(spark, sf).cache()
+    val nQueries = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 23 === 7).count()
+    assert(out.count() == nQueries)
+    // majority vote: winner has between 1 and 5 votes
+    assert(out.filter(col("votes") < 1 || col("votes") > 5).count() == 0)
+    out.unpersist()
+  }
+
+  test("mad outliers: gate is strictly above 3*1.4826*mad") {
+    val out = CorpusOps.madOutliers(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0) // mad
+      assert(r.getLong(4) <= r.getLong(3)) // n_outliers <= n
+    }
+    out.unpersist()
+  }
+}
