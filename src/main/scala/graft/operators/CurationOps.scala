@@ -261,12 +261,16 @@ object CurationOps {
         explode(FuzzyDedup.shingleHashes(col("text"))).as("h"))
     val benchmark = hashes.filter(col("doc_id") % 97 === 0)
       .select(col("h")).distinct()
-    val bloom = benchmark.agg(
-      bloomAgg(col("h"), BloomBits, BloomHashes).as("bf"))
+    // Materialize the 32 KB filter once and inline it as a literal:
+    // joined-in binary columns re-copy the bytes out of the row for
+    // EVERY probe (getBinary is a copy — gigabytes of memcpy per pass),
+    // while a literal lives once in the codegen references array. Same
+    // one-cluster-wide-scalar shape as a broadcast, built eagerly.
+    val bfBytes = benchmark.agg(
+        bloomAgg(col("h"), BloomBits, BloomHashes).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
     hashes.filter(col("doc_id") % 97 =!= 0)
-      .crossJoin(broadcast(bloom))
-      .filter(bloomContains(col("bf"), col("h")))
-      .drop("bf")
+      .filter(bloomContains(lit(bfBytes), col("h")))
       .join(broadcast(benchmark), "h")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated_ngrams"))
@@ -331,6 +335,7 @@ object CurationOps {
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .localCheckpoint()
     var labels = nodes.select(col("v"), col("v").as("label"))
       .localCheckpoint()
     var converged = false
@@ -339,16 +344,17 @@ object CurationOps {
       val nmin = sym.join(labels.withColumnRenamed("v", "b2"),
           sym("b") === col("b2"))
         .groupBy(col("a")).agg(min(col("label")).as("nmin"))
+      // carry the previous label through the update: the convergence
+      // check then filters the just-checkpointed frame (cached blocks,
+      // no shuffle) instead of re-joining next against labels — one
+      // shuffle join per round saved.
       val next = labels.join(nmin, labels("v") === nmin("a"), "left")
-        .select(col("v"),
+        .select(col("v"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.select(col("v"), col("label").as("old")), "v")
-        .filter(col("label") =!= col("old"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select(col("v"), col("label"))
       i += 1
     }
     // Returning unconverged labels silently would let downstream dedup

@@ -121,6 +121,13 @@ case class AsOfJoinExec(
       val valsProj = UnsafeProjection.create(lValExprs)
       val joiner = new JoinedRow
       val nullVals = new GenericInternalRow(nVals)
+      // downstream operators require UnsafeRow (SparkPlan's implicit
+      // row-format contract) — project the joined view like SMJ does.
+      // Bind against `output` (nullability-adjusted carries), not the
+      // original child attrs: a non-nullable binding would read the
+      // null slots of an unmatched probe as zeros.
+      val resultProj = UnsafeProjection.create(
+        output.map(BindReferences.bindReference(_: Expression, output)))
 
       new Iterator[InternalRow] {
         // lookahead on the quote side; key/ts extracted eagerly so the
@@ -176,7 +183,7 @@ case class AsOfJoinExec(
           val matched = k != null && lastVals != null &&
             lastKey != null && keyOrdering.compare(lastKey, k) == 0
           numOutputRows += 1
-          joiner(probe, if (matched) lastVals else nullVals)
+          resultProj(joiner(probe, if (matched) lastVals else nullVals))
         }
       }
     }
