@@ -38,7 +38,8 @@ object SparkEntry {
       StreamQueries.queries ++ Multimodal.queries ++ DataMarker.queries ++
       Relational2.queries ++ AdvancedOps.queries ++ CurationOps.queries ++
       Relational3.queries ++ MongoOps.queries ++ BinlogReplay.queries ++
-      graft.plans.PlanQueries.queries ++ CorpusOps.queries
+      graft.plans.PlanQueries.queries ++ CorpusOps.queries ++
+      ScaleOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
       StreamQueries.oracles ++ Multimodal.oracles ++ DataMarker.oracles ++
       Relational2.oracles ++ AdvancedOps.oracles ++ CurationOps.oracles ++
       Relational3.oracles ++ MongoOps.oracles ++ BinlogReplay.oracles ++
-      graft.plans.PlanQueries.oracles ++ CorpusOps.oracles
+      graft.plans.PlanQueries.oracles ++ CorpusOps.oracles ++
+      ScaleOps.oracles
 }

@@ -273,6 +273,8 @@ class GraftExtensions
       "", "", "", "", "", "", "", "scala_udf")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // custom plan nodes (as-of join) plan through the injected strategy
+    e.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
     e.injectFunction((FunctionIdentifier("graft_char_fold"),
       info("graft_char_fold", "rolling code-point hash"),
       exprs => CharFold(exprs.head)))
@@ -296,6 +298,10 @@ class GraftExtensions
     e.injectFunction((FunctionIdentifier("graft_bloom_contains"),
       info("graft_bloom_contains", "bloom membership probe"),
       exprs => BloomMightContain(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_top_k_by"),
+      info("graft_top_k_by", "bounded top-k (score, id) per group"),
+      exprs => TopKByAgg(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int])))
   }
 }
 
@@ -344,6 +350,9 @@ object GraftFunctions {
           exprs(2).eval().asInstanceOf[Int]), "scala_udf")
       reg.createOrReplaceTempFunction("graft_bloom_contains",
         exprs => BloomMightContain(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("graft_top_k_by",
+        exprs => TopKByAgg(exprs(0), exprs(1),
+          exprs(2).eval().asInstanceOf[Int]), "scala_udf")
     }
   }
 
@@ -366,4 +375,7 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(numHashes))
   def bloomContains(bloom: Column, v: Column): Column =
     fn("graft_bloom_contains", bloom, v)
+  def topKBy(score: Column, id: Column, k: Int): Column =
+    fn("graft_top_k_by", score, id,
+      org.apache.spark.sql.functions.lit(k))
 }
