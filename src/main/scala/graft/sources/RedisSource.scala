@@ -647,9 +647,16 @@ object RedisResp {
     * slice. Counting Java String chars would desynchronize on any
     * multi-byte UTF-8 payload.
     */
-  def parseBytes(bytes: Array[Byte]): Seq[Seq[Array[Byte]]] = {
-    val out = Seq.newBuilder[Seq[Array[Byte]]]
-    var i = 0
+  def parseBytes(bytes: Array[Byte]): Seq[Seq[Array[Byte]]] =
+    parseBytesFrom(bytes, 0).map(_._1)
+
+  /** Offset-aware variant: each command with the buffer position just
+    * past it — the replication-offset bookkeeping PSYNC ACKs need.
+    */
+  def parseBytesFrom(bytes: Array[Byte], start: Int)
+      : Seq[(Seq[Array[Byte]], Int)] = {
+    val out = Seq.newBuilder[(Seq[Array[Byte]], Int)]
+    var i = start
     def line(): String = {
       var end = i
       while (end + 1 < bytes.length &&
@@ -664,7 +671,7 @@ object RedisResp {
       require(head.nonEmpty && head.charAt(0) == '*',
         s"expected RESP array, got: $head")
       val n = head.substring(1).toInt
-      out += (0 until n).map { _ =>
+      val args = (0 until n).map { _ =>
         val h = line()
         require(h.nonEmpty && h.charAt(0) == '$',
           s"expected bulk string, got: $h")
@@ -674,6 +681,7 @@ object RedisResp {
         i += len + 2 // payload + \r\n
         s
       }
+      out += ((args, i))
     }
     out.result()
   }
@@ -723,5 +731,104 @@ object RedisResp {
       }
     }
     out.result()
+  }
+}
+
+/** PSYNC session decoding — the handshake/payload phase the earlier
+  * rounds left external. A captured master→replica byte stream
+  * (`redis_psync_extractor.rs:68-140`: send PSYNC, read the reply, read
+  * the RDB, then tail commands) decodes in one pass:
+  *
+  *   `+FULLRESYNC <replid> <offset>\r\n` then the RDB bulk — either
+  *   disk-backed `$<len>\r\n<len bytes>` (no trailing CRLF) or diskless
+  *   `$EOF:<40-byte delimiter>\r\n …rdb… <delimiter>` — then the live
+  *   RESP command stream; or `+CONTINUE [replid]\r\n` (partial resync)
+  *   straight to commands. Leading handshake replies (`+OK`, `+PONG`)
+  *   are skipped.
+  *
+  * Replication offsets: the master's offset advances one byte per
+  * command-stream byte, so each decoded command carries
+  * `offset + bytesConsumed` — exactly what a REPLCONF ACK would send,
+  * and the resume position for `+CONTINUE`.
+  */
+object RedisPsync {
+
+  final case class PsyncCapture(
+      replId: String,
+      initialOffset: Long,
+      partial: Boolean,
+      snapshot: Seq[RedisRdb.Entry],
+      commands: Seq[(Seq[String], Long)])
+
+  def decode(bytes: Array[Byte]): PsyncCapture = {
+    var i = 0
+    def line(): String = {
+      var end = i
+      while (end + 1 < bytes.length &&
+        !(bytes(end) == '\r' && bytes(end + 1) == '\n')) end += 1
+      require(end + 1 < bytes.length, "truncated PSYNC line")
+      val l = new String(bytes, i, end - i, StandardCharsets.US_ASCII)
+      i = end + 2
+      l
+    }
+    // skip handshake simple-string replies until the PSYNC response
+    var reply = line()
+    while (reply.startsWith("+") &&
+        !reply.startsWith("+FULLRESYNC") &&
+        !reply.startsWith("+CONTINUE")) reply = line()
+
+    if (reply.startsWith("+CONTINUE")) {
+      val replId = reply.split(' ') match {
+        case Array(_, id) => id
+        case _ => ""
+      }
+      val cmds = RedisResp.parseBytesFrom(bytes, i)
+      val streamStart = i
+      PsyncCapture(replId, 0L, partial = true, Nil,
+        cmds.map { case (args, end) =>
+          (args.map(new String(_, StandardCharsets.UTF_8)),
+            (end - streamStart).toLong)
+        })
+    } else {
+      require(reply.startsWith("+FULLRESYNC "),
+        s"unexpected PSYNC reply: $reply")
+      val Array(_, replId, offStr) = reply.split(' ')
+      val offset = offStr.toLong
+      // RDB bulk header
+      val h = line()
+      require(h.nonEmpty && h.charAt(0) == '$',
+        s"expected RDB bulk, got: $h")
+      val rdb: Array[Byte] =
+        if (h.startsWith("$EOF:")) {
+          val delim = h.substring(5)
+            .getBytes(StandardCharsets.US_ASCII)
+          require(delim.length == 40, "EOF delimiter must be 40 bytes")
+          val start = i
+          var at = -1
+          var j = start
+          while (at < 0 && j + delim.length <= bytes.length) {
+            var k = 0
+            while (k < delim.length && bytes(j + k) == delim(k)) k += 1
+            if (k == delim.length) at = j else j += 1
+          }
+          require(at >= 0, "diskless RDB delimiter not found")
+          i = at + delim.length
+          java.util.Arrays.copyOfRange(bytes, start, at)
+        } else {
+          val len = h.substring(1).toInt
+          require(i + len <= bytes.length, "truncated RDB payload")
+          val s = java.util.Arrays.copyOfRange(bytes, i, i + len)
+          i += len // RDB transfer has NO trailing CRLF
+          s
+        }
+      val snapshot = RedisRdb.parse(rdb)
+      val streamStart = i
+      val cmds = RedisResp.parseBytesFrom(bytes, i)
+      PsyncCapture(replId, offset, partial = false, snapshot,
+        cmds.map { case (args, end) =>
+          (args.map(new String(_, StandardCharsets.UTF_8)),
+            offset + (end - streamStart))
+        })
+    }
   }
 }

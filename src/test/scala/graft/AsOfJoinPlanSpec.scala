@@ -86,6 +86,35 @@ class AsOfJoinPlanSpec extends SparkSuite {
     assert(native.nonEmpty && native == composed)
   }
 
+  test("streaming foreachBatch enriches each micro-batch via the exec") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val quotesL = Seq((1L, 100L, 101L), (4L, 999L, 400L))
+      .toDF("user_id", "ts", "quote_id")
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val query = input.toDF().toDF("user_id", "ts", "probe_id")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = GraftPlans.asofJoin(batch, quotesL,
+            "user_id", "ts", Seq("quote_id"))
+          .select("probe_id", "quote_id").collect()
+        results.synchronized {
+          results ++= out.map(r => (r.getLong(0),
+            if (r.isNullAt(1)) -1L else r.getLong(1)))
+        }
+        ()
+      }
+      .start()
+    try {
+      input.addData((1L, 200L, 7001L), (4L, 500L, 7002L))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(results.toSet == Set((7001L, 101L), (7002L, -1L)))
+  }
+
   test("self-join of one relation on both sides stays unambiguous") {
     val ev = Tables.events(spark, sf).select("user_id", "ts", "event_id")
     val out = GraftPlans.asofJoin(ev,

@@ -128,4 +128,26 @@ class ScaleShapeSpec extends SparkSuite {
       .rdd.getNumPartitions
     assert(parts <= 4) // AQE may coalesce below the configured count
   }
+
+  test("round-7 ops: no cartesian anywhere, top-k aggregates partially") {
+    // q81/q82: census + join-back — hash joins only, no pair explosion
+    for (q <- Seq(graft.operators.CorpusOps.interdupFraction _,
+        graft.operators.CorpusOps.tokenRarity _)) {
+      val plan = q(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"), plan)
+    }
+    // q85: the binned interval join stays an equi-join — the naive
+    // range-predicate plan would be a BroadcastNestedLoopJoin
+    val p85 = graft.operators.ScaleOps.sessionConcurrency(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p85.contains("BroadcastNestedLoop") &&
+      !p85.contains("CartesianProduct"), p85)
+    // q86: the top-k aggregate runs a partial (map-side) phase, so only
+    // k-slot buffers reach the exchange — and no Window/Sort appears
+    val p86 = graft.operators.ScaleOps.topOrdersPerPriority(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p86.contains("partial_graft_top_k_by"), p86)
+    assert(!p86.contains("Window"), p86)
+  }
 }
