@@ -453,7 +453,67 @@ object VectorOps {
        |WHERE rank <= 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q87
+  /** One exact k-means (Lloyd) step — the clustering half of semantic
+    * dedup / data-mix curation: assign every vector to its nearest of
+    * k=8 seed centroids by squared Euclidean distance, then emit the
+    * new centroid as per-dimension integer sums plus member counts
+    * (callers divide sum/n when they need the float centroid; keeping
+    * sums exact is what lets the DuckDB oracle hash-match and makes
+    * the merge associative).
+    *
+    * Distance is pure 64-bit integer arithmetic over the pre-scaled
+    * vectors: ‖x−s‖² = x·x − 2·x·s + s·s (max ~2.5e14 at these dims —
+    * no overflow, no float ties). Ties break toward the smaller cell.
+    * Scale shape: seeds broadcast; the argmin is a map-side max(struct)
+    * aggregate (no window); the re-centroid explodes to (cell, dim)
+    * longs — k·dims rows out of the shuffle regardless of corpus size.
+    * Driver-side iteration loops this step exactly like
+    * connectedComponents loops label propagation.
+    */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), intVec(col("embedding")).as("xs"))
+      .withColumn("xx", intDot(col("xs"), col("xs")))
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("xs").as("s_xs"),
+        col("xx").as("ss"))
+    val assigned = e.join(broadcast(seeds))
+      .withColumn("dist", col("xx") -
+        lit(2L) * intDot(col("xs"), col("s_xs")) + col("ss"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct((-col("dist")).as("neg_dist"),
+        (-col("cell")).as("neg_cell"))).as("m"),
+        first(col("xs")).as("xs"))
+      .withColumn("cell", -col("m.neg_cell"))
+    assigned.select(col("cell"), posexplode(col("xs")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(count(lit(1)).as("n_members"), sum(col("col")).as("dim_sum"))
+      .select(col("cell"), (col("pos") + 1).cast(LongType).as("dim"),
+        col("n_members"), col("dim_sum"))
+  }
+
+  val kmeansStepSql: String = {
+    val dot = intDotSql("e.xs", "s.s_xs")
+    s"""WITH v AS (SELECT vec_id, ${intVecSql("embedding")} AS xs
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, xs, ${intDotSql("xs", "xs")} AS xx FROM v),
+       |s AS (SELECT vec_id AS cell, xs AS s_xs, xx AS ss FROM e
+       |  WHERE vec_id < 8),
+       |p AS (SELECT e.vec_id, s.cell, e.xs,
+       |    e.xx - 2 * $dot + s.ss AS dist FROM e, s),
+       |r AS (SELECT vec_id, cell, xs, ROW_NUMBER() OVER
+       |  (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM p),
+       |a AS (SELECT cell, xs FROM r WHERE rk = 1),
+       |x AS (SELECT cell, unnest(xs) AS elem,
+       |  unnest(range(1, len(xs) + 1)) AS dim FROM a)
+       |SELECT cell, CAST(dim AS BIGINT) AS dim,
+       |  COUNT(*) AS n_members, SUM(elem)::BIGINT AS dim_sum
+       |FROM x GROUP BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_kmeans_step" -> (kmeansStep _),
     "q76_ivf_search" -> (ivfSearch _),
     "q58_pq_codes" -> (pqCodes _),
     "q44_ivf_assign" -> (ivfAssign _),
@@ -464,6 +524,7 @@ object VectorOps {
     "q43_lsh_buckets" -> (lshBuckets _))
 
   val oracles: Map[String, String] = Map(
+    "q87_kmeans_step" -> kmeansStepSql,
     "q76_ivf_search" -> ivfSearchSql,
     "q58_pq_codes" -> pqCodesSql,
     "q44_ivf_assign" -> ivfAssignSql,

@@ -71,4 +71,19 @@ class VectorOpsSpec extends SparkSuite {
     assert(a == b)
     assert(a.forall { case (bucket, _, _, _) => bucket >= 0 && bucket < 256 })
   }
+
+  test("kmeans step: every vector in one cell, seeds in their own") {
+    val rows = graft.operators.VectorOps.kmeansStep(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val dims = rows.map(_._2).distinct.sorted
+    assert(dims.head == 1L && dims.length == 64)
+    // membership partition: per dim, counts sum to the corpus size
+    val n = Tables.embeddings(spark, sf).count()
+    dims.foreach { d =>
+      assert(rows.filter(_._2 == d).map(_._3).sum == n)
+    }
+    // a seed is its own nearest centroid (distance 0, tie-break safe)
+    val cells = rows.map(_._1).distinct
+    assert(cells.length <= 8 && cells.forall(c => c >= 0 && c < 8))
+  }
 }
