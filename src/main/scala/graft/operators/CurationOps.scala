@@ -379,16 +379,24 @@ object CurationOps {
       .select(col("v").as("doc_id"), col("label").as("component"))
   }
 
-  val dedupGroupsSql: String =
-    s"""WITH RECURSIVE lsh AS (${FuzzyDedup.minhashLshSql}),
+  /** The q46 oracle's CTE clause list, shared with the downstream
+    * canonical-selection / purge oracles (q89/q92) so the component
+    * definition can never drift between them.
+    */
+  val dedupGroupsCtes: String =
+    s"""lsh AS (${FuzzyDedup.minhashLshSql}),
        |e AS (SELECT doc_a AS a, doc_b AS b FROM lsh
        |      UNION SELECT doc_b, doc_a FROM lsh),
        |reach(v, r) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
-       |  SELECT e.b, reach.r FROM e JOIN reach ON reach.v = e.a)
-       |SELECT v AS doc_id, min(r) AS component
-       |FROM reach GROUP BY v""".stripMargin
+       |  SELECT e.b, reach.r FROM e JOIN reach ON reach.v = e.a),
+       |comps AS (SELECT v AS doc_id, min(r) AS component
+       |  FROM reach GROUP BY v)""".stripMargin
+
+  val dedupGroupsSql: String =
+    s"""WITH RECURSIVE $dedupGroupsCtes
+       |SELECT doc_id, component FROM comps""".stripMargin
 
   // ---------------------------------------------------------------- q48
   /** Content-defined passage chunking: a chunk boundary falls after any

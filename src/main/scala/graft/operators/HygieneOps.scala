@@ -1,0 +1,293 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Corpus-hygiene operators — the decision layer of a dedup pipeline.
+  *
+  * q35/q46 FIND near-duplicates; these operators decide what to DO with
+  * them: measure asymmetric containment (a doc swallowed by a larger
+  * one is a dup even when symmetric Jaccard is low), elect the canonical
+  * representative of each duplicate cluster, grade the ANN index that
+  * generated the candidates, compress the embedding column for the
+  * 100 TB index, and report what a purge would remove.
+  *
+  * Cross-engine determinism: every score is derived from exact integer
+  * counts (shingle-intersection cardinalities, scaled-integer vector
+  * arithmetic, character counts), so the DuckDB oracle hash-compares
+  * bit-for-bit — doubles appear only as final per-row ratios of those
+  * integers.
+  */
+object HygieneOps {
+
+  import FuzzyDedup.{shingleHashes, shingleHashesSql}
+
+  // ---------------------------------------------------------------- q88
+  /** Asymmetric containment over the LSH candidate pairs: for each
+    * (doc_a, doc_b) the MinHash bands propose, the exact shingle
+    * intersection size and `containment` = |A∩B| / min(|A|,|B|). A
+    * short document quoted inside a long one has low Jaccard (the union
+    * is dominated by the long doc) but containment ≈ 1 — the dup class
+    * symmetric q34 scoring systematically under-ranks. `contained`
+    * gates at ≥ 0.9 with integer arithmetic (n·10 ≥ 9·min).
+    *
+    * Scale shape: shingle rows join to the candidate-pair list FIRST,
+    * so only shingles of docs that appear in some candidate pair ever
+    * shuffle — candidate-pair × shingle rows, never the corpus × corpus
+    * hash self-join of q34. All joins carry (long, long) keys.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsOf(Tables.documents(spark, dir),
+      FuzzyDedup.minhashLsh(spark, dir))
+
+  def containmentPairsOf(docs: DataFrame, candidates: DataFrame)
+      : DataFrame = {
+    val cand = candidates.select(col("doc_a"), col("doc_b"))
+    val ex = docs.select(col("doc_id"),
+      explode(shingleHashes(col("text"))).as("h"))
+    // shingleHashes is distinct-per-doc => count(*) = |A ∩ B|
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(ex.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(ex.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        (col("n_common").cast("double") /
+          least(col("n_a"), col("n_b"))).as("containment"),
+        (col("n_common") * 10 >= least(col("n_a"), col("n_b")) * 9)
+          .as("contained"))
+  }
+
+  val containmentPairsSql: String = {
+    val sh = shingleHashesSql("text")
+    s"""WITH cand AS (SELECT doc_a, doc_b
+       |  FROM (${FuzzyDedup.minhashLshSql})),
+       |d AS (SELECT doc_id, $sh AS sh FROM documents),
+       |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM d),
+       |ex AS (SELECT doc_id, unnest(sh) AS h FROM d),
+       |common AS (
+       |  SELECT cand.doc_a, cand.doc_b, count(*) AS n_common
+       |  FROM cand
+       |  JOIN ex ea ON ea.doc_id = cand.doc_a
+       |  JOIN ex eb ON eb.doc_id = cand.doc_b AND eb.h = ea.h
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       |  CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh)
+       |    AS containment,
+       |  n_common * 10 >= least(sa.n_sh, sb.n_sh) * 9 AS contained
+       |FROM common
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q89
+  /** Canonical-representative election: every document maps to the
+    * representative of its near-duplicate component (q46) — the member
+    * with the MOST characters, ties toward the smaller doc_id. Keeping
+    * the longest member (not the min-id label) is the standard curation
+    * choice: truncated or boilerplate-stripped copies lose to the full
+    * document.
+    *
+    * Scale shape: after label propagation, one aggregation of
+    * (component, n_chars, doc_id) triples elects winners via
+    * max(struct) — no window, no per-component sort — and the winner
+    * table (≤ one row per component) joins back by component key.
+    */
+  def dupCanonical(spark: SparkSession, dir: String): DataFrame =
+    dupCanonicalOf(Tables.documents(spark, dir),
+      CurationOps.dedupGroups(spark, dir))
+
+  def dupCanonicalOf(docs: DataFrame, comps: DataFrame): DataFrame = {
+    val labeled = comps.join(
+      docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val canon = labeled.groupBy(col("component"))
+      .agg(max(struct(col("n_chars").as("len"),
+        (-col("doc_id")).as("neg_id"))).as("m"))
+      .select(col("component"), (-col("m.neg_id")).as("canonical_id"))
+    labeled.join(canon, "component")
+      .select(col("doc_id"), col("component"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+  }
+
+  val dupCanonicalSql: String =
+    s"""WITH RECURSIVE ${CurationOps.dedupGroupsCtes},
+       |labeled AS (SELECT c.doc_id, c.component, d.n_chars
+       |  FROM comps c JOIN documents d USING (doc_id)),
+       |canon AS (SELECT component, doc_id AS canonical_id FROM (
+       |    SELECT component, doc_id, ROW_NUMBER() OVER (
+       |      PARTITION BY component
+       |      ORDER BY n_chars DESC, doc_id) AS rn
+       |    FROM labeled) WHERE rn = 1)
+       |SELECT l.doc_id, l.component, canon.canonical_id,
+       |  l.doc_id = canon.canonical_id AS is_canonical
+       |FROM labeled l JOIN canon USING (component)""".stripMargin
+
+  // ---------------------------------------------------------------- q90
+  /** ANN index quality gate: recall@10 of the IVF search (q76) against
+    * the exact brute-force top-10 (q40) for the same query set. A
+    * pipeline that dedups via approximate neighbors must measure this
+    * before trusting the index — `n_hits` counts exact neighbors the
+    * IVF probe recovered, per query.
+    *
+    * Scale shape: both inputs are top-k results — k rows per query —
+    * so the comparison join and aggregation touch k·|queries| rows no
+    * matter the corpus size. (The expensive exact side runs over a
+    * query SAMPLE at scale; grading a sample is the standard recall
+    * protocol.)
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = VectorOps.knn(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = VectorOps.ivfSearch(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("k"))
+          .as("recall"))
+  }
+
+  val annRecallSql: String =
+    s"""WITH exact AS (SELECT query_id, neighbor_id
+       |  FROM (${VectorOps.knnSql})),
+       |approx AS (SELECT query_id, neighbor_id
+       |  FROM (${VectorOps.ivfSearchSql})),
+       |hits AS (SELECT query_id, count(*) AS n_hits
+       |  FROM exact JOIN approx USING (query_id, neighbor_id)
+       |  GROUP BY 1),
+       |ks AS (SELECT query_id, count(*) AS k FROM exact GROUP BY 1)
+       |SELECT ks.query_id, ks.k,
+       |  COALESCE(hits.n_hits, 0)::BIGINT AS n_hits,
+       |  CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / ks.k AS recall
+       |FROM ks LEFT JOIN hits USING (query_id)""".stripMargin
+
+  // ---------------------------------------------------------------- q91
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * compression step that shrinks a 100 TB float index 4× before IVF
+    * sharding. Per vector: codes q_i = floor(x_i·127 / maxabs) over the
+    * pre-scaled integer vector (floor-division via pmod keeps negatives
+    * exact and engine-identical), plus the exact reconstruction-error
+    * mass `err_sum` = Σ (x_i·127 mod maxabs) — the integer residue the
+    * floor discarded, in units of scaled-input·127.
+    *
+    * Scale shape: pure per-row map, no shuffle; everything stays in one
+    * projection. The per-element lambdas are interpreted (Spark HOFs
+    * don't codegen) but allocation-free and branch-free.
+    */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    quantizeInt8Of(Tables.embeddings(spark, dir))
+
+  def quantizeInt8Of(emb: DataFrame): DataFrame = {
+    val xs = VectorOps.intVec(col("embedding"))
+    emb.select(col("vec_id"), xs.as("xs"))
+      .withColumn("maxabs",
+        greatest(array_max(transform(col("xs"), x => abs(x))), lit(1L)))
+      .withColumn("qs", transform(col("xs"), x => {
+        val a = x * 127
+        ((a - pmod(a, col("maxabs"))) / col("maxabs")).cast(LongType)
+      }))
+      .select(col("vec_id"), col("maxabs"),
+        array_min(col("qs")).as("q_min"),
+        array_max(col("qs")).as("q_max"),
+        aggregate(transform(col("xs"),
+            x => pmod(x * 127, col("maxabs"))),
+          lit(0L), (acc, e) => acc + e).as("err_sum"))
+  }
+
+  val quantizeInt8Sql: String = {
+    val xs = VectorOps.intVecSql("embedding")
+    // DuckDB % is truncation-signed; ((a % m) + m) % m = Spark pmod
+    def pm(a: String) = s"((($a) % maxabs + maxabs) % maxabs)"
+    s"""WITH v AS (SELECT vec_id, $xs AS xs FROM embeddings),
+       |m AS (SELECT vec_id, xs, greatest(
+       |    list_aggregate(list_transform(xs, x -> abs(x)), 'max'),
+       |    CAST(1 AS BIGINT)) AS maxabs FROM v),
+       |q AS (SELECT vec_id, maxabs,
+       |    list_transform(xs,
+       |      x -> CAST((x*127 - ${pm("x*127")}) / maxabs AS BIGINT))
+       |      AS qs,
+       |    list_transform(xs, x -> ${pm("x*127")}) AS errs
+       |  FROM m)
+       |SELECT vec_id, maxabs,
+       |  list_aggregate(qs, 'min') AS q_min,
+       |  list_aggregate(qs, 'max') AS q_max,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), errs),
+       |    (acc, x) -> acc + x) AS err_sum
+       |FROM q""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q92
+  /** The purge report — what near-dup removal (keep canonical members
+    * only, q89) does to the corpus, per language: document and
+    * character counts before/after. This is the end-to-end composition
+    * a curation run actually ships: MinHash bands (q35) → components
+    * (q46) → canonical election (q89) → purge accounting.
+    *
+    * Scale shape: the canonical mapping is (doc_id, bool) pairs; the
+    * final aggregation groups by the low-cardinality lang key.
+    */
+  def dedupPurge(spark: SparkSession, dir: String): DataFrame = {
+    val canon = dupCanonical(spark, dir)
+      .select(col("doc_id"), col("is_canonical"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(canon, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_canonical"), 1L).otherwise(0L))
+          .as("n_docs_kept"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(col("is_canonical"), col("n_chars")).otherwise(0L))
+          .as("chars_kept"))
+  }
+
+  val dedupPurgeSql: String =
+    s"""WITH RECURSIVE ${CurationOps.dedupGroupsCtes},
+       |labeled AS (SELECT c.doc_id, c.component, d.n_chars
+       |  FROM comps c JOIN documents d USING (doc_id)),
+       |canon AS (SELECT component, doc_id AS canonical_id FROM (
+       |    SELECT component, doc_id, ROW_NUMBER() OVER (
+       |      PARTITION BY component
+       |      ORDER BY n_chars DESC, doc_id) AS rn
+       |    FROM labeled) WHERE rn = 1),
+       |marked AS (SELECT l.doc_id, l.doc_id = canon.canonical_id
+       |    AS is_canonical
+       |  FROM labeled l JOIN canon USING (component))
+       |SELECT d.lang, count(*) AS n_docs,
+       |  SUM(CASE WHEN m.is_canonical THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_docs_kept,
+       |  SUM(d.n_chars)::BIGINT AS chars_total,
+       |  SUM(CASE WHEN m.is_canonical THEN d.n_chars ELSE 0 END)::BIGINT
+       |    AS chars_kept
+       |FROM documents d JOIN marked m USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
+  // -----------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_containment" -> (containmentPairs _),
+    "q89_dup_canonical" -> (dupCanonical _),
+    "q90_ann_recall" -> (annRecall _),
+    "q91_quantize_int8" -> (quantizeInt8 _),
+    "q92_dedup_purge" -> (dedupPurge _))
+
+  val oracles: Map[String, String] = Map(
+    "q88_containment" -> containmentPairsSql,
+    "q89_dup_canonical" -> dupCanonicalSql,
+    "q90_ann_recall" -> annRecallSql,
+    "q91_quantize_int8" -> quantizeInt8Sql,
+    "q92_dedup_purge" -> dedupPurgeSql)
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CurationOps, HygieneOps}
+
+class HygieneSpec extends SparkSuite {
+
+  test("containment: short doc inside long doc scores ~1 " +
+      "while jaccard stays low") {
+    val s = spark
+    import s.implicits._
+    // doc 2 = doc 1's text embedded in a much longer stream: every
+    // shingle of doc 2's core appears in doc 1.
+    val core = "a b c d e f g h i j"
+    val long = core + " k l m n o p q r s t u v w x y z " +
+      "aa bb cc dd ee ff gg hh"
+    val docs = Seq((1L, long), (2L, core), (3L, "zz yy xx ww vv uu"))
+      .toDF("doc_id", "text")
+    // force (1,2) as the only candidate pair — candidate generation is
+    // q35's job, not this operator's
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = HygieneOps.containmentPairsOf(docs, cand).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nc, na, nb) = (row.getAs[Long]("n_common"),
+      row.getAs[Long]("n_a"), row.getAs[Long]("n_b"))
+    assert(nb == 6)          // 10 tokens -> 6 distinct 5-gram shingles
+    assert(nc == nb)         // all of the short doc's shingles re-occur
+    assert(row.getAs[Boolean]("contained"))
+    assert(row.getAs[Double]("containment") == 1.0)
+    // symmetric jaccard would be 6 / (na + 6 - 6) — well under 0.5
+    assert(nc.toDouble / (na + nb - nc) < 0.5)
+  }
+
+  test("containment: disjoint candidate pair yields no row " +
+      "(zero intersection never fabricates a score)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "t u v w x y"))
+      .toDF("doc_id", "text")
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    assert(HygieneOps.containmentPairsOf(docs, cand).isEmpty)
+  }
+
+  test("canonical election: longest member wins, doc_id breaks ties") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "x", 10L), (2L, "x", 30L), (3L, "x", 30L), // one component
+      (9L, "y", 5L)                                   // singleton
+    ).toDF("doc_id", "text", "n_chars")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "component")
+    val out = HygieneOps.dupCanonicalOf(docs, comps)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("canonical_id"), r.getAs[Boolean]("is_canonical"))))
+      .toMap
+    // 2 and 3 tie on n_chars=30 -> smaller doc_id (2) wins
+    assert(out(1L) == ((2L, false)))
+    assert(out(2L) == ((2L, true)))
+    assert(out(3L) == ((2L, false)))
+    assert(out(9L) == ((9L, true)))
+  }
+
+  test("ann recall: one row per query, n_hits bounded by k, " +
+      "identical inputs give recall 1") {
+    val out = HygieneOps.annRecall(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (k, h) = (r.getAs[Long]("k"), r.getAs[Long]("n_hits"))
+      assert(h >= 0 && h <= k)
+      assert(r.getAs[Double]("recall") == h.toDouble / k)
+    }
+    // sanity against self: exact top-k vs itself recalls everything
+    val exact = graft.operators.VectorOps.knn(spark, sf)
+      .select(col("query_id"), col("neighbor_id"))
+    val self = exact.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").count().collect()
+    assert(self.forall(_.getAs[Long]("count") == 10L))
+    out.unpersist()
+  }
+
+  test("int8 quantization: floor semantics hold for negative values " +
+      "and codes stay within [-127, 127]") {
+    val s = spark
+    import s.implicits._
+    // embedding floats chosen so scaled ints are exact:
+    // xs = [1000000, -500000, 250000], maxabs = 1000000
+    // q = floor(x*127/1e6) = [127, -64 (floor of -63.5), 31]
+    val df = Seq((1L, Seq(1.0f, -0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val r = HygieneOps.quantizeInt8Of(df).collect().head
+    assert(r.getAs[Long]("maxabs") == 1000000L)
+    assert(r.getAs[Long]("q_min") == -64L)
+    assert(r.getAs[Long]("q_max") == 127L)
+    // residues: 0, 500000 (=-63.5 floored leaves +0.5*1e6), 750000
+    assert(r.getAs[Long]("err_sum") == 0L + 500000L + 750000L)
+  }
+
+  test("int8 quantization: zero vector guarded (maxabs clamps to 1)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = HygieneOps.quantizeInt8Of(df).collect().head
+    assert(r.getAs[Long]("maxabs") == 1L)
+    assert(r.getAs[Long]("q_min") == 0L && r.getAs[Long]("q_max") == 0L)
+    assert(r.getAs[Long]("err_sum") == 0L)
+  }
+
+  test("dedup purge accounting: kept counts equal canonical members") {
+    val out = HygieneOps.dedupPurge(spark, sf).collect()
+    val canon = HygieneOps.dupCanonical(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val expect = docs.join(canon.select("doc_id", "is_canonical"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(when(col("is_canonical"), 1L)
+        .otherwise(0L)).as("kept"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("kept")))).toMap
+    out.foreach { r =>
+      val (n, kept) = expect(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_docs_kept") == kept)
+      assert(r.getAs[Long]("chars_kept") <= r.getAs[Long]("chars_total"))
+      assert(kept >= 1) // every lang keeps at least one canonical doc
+    }
+  }
+
+  test("purge keeps exactly one canonical per component") {
+    val canon = HygieneOps.dupCanonical(spark, sf)
+    val perComp = canon.groupBy("component")
+      .agg(sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_canon"))
+      .collect()
+    assert(perComp.nonEmpty)
+    assert(perComp.forall(_.getAs[Long]("n_canon") == 1L))
+  }
+}

@@ -150,4 +150,22 @@ class ScaleShapeSpec extends SparkSuite {
     assert(p86.contains("partial_graft_top_k_by"), p86)
     assert(!p86.contains("Window"), p86)
   }
+
+  test("hygiene ops: quantization is map-only, election has no window, " +
+      "containment never goes cartesian") {
+    // q91: pure projection — zero exchanges in the whole plan
+    val p91 = graft.operators.HygieneOps.quantizeInt8(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p91.contains("Exchange"), p91)
+    // q89: canonical election via max(struct) aggregation, not a
+    // per-component window sort
+    val p89 = graft.operators.HygieneOps.dupCanonical(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p89.contains("Window"), p89)
+    // q88: candidate-restricted shingle joins stay equi-joins
+    val p88 = graft.operators.HygieneOps.containmentPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p88.contains("CartesianProduct") &&
+      !p88.contains("BroadcastNestedLoop"), p88)
+  }
 }
