@@ -340,27 +340,28 @@ object ChunkRebalancer {
 
   // ------------------------------------------------------- DataFrame
 
-  /** Distributed group summary → driver plan → broadcast assignment.
-    * `orderCol` gives rows a deterministic order within their chunk
-    * (the snapshot key); `bytesCol` feeds the bytes cost when present.
-    * Returns the input plus a `partition_id` column; callers
-    * `.repartition(n, col("partition_id"))` before the sink write.
+  /** Distributed per-chunk summary — one aggregation, one collected row
+    * per chunk (bounded by construction, like AQE map-output stats).
+    * Groups return in deterministic (schema, tb, chunk_id) order.
     */
-  def assignPartitions(df: DataFrame, targetPartitions: Int, cfg: Config,
-      orderCol: Column, bytesCol: Option[Column] = None,
-      insertCol: Option[Column] = None): DataFrame = {
-    val keyed = df
-      .withColumn("__bytes", bytesCol.getOrElse(lit(0L)).cast("long"))
-      .withColumn("__ins", insertCol.getOrElse(lit(true)))
-    val statRows = keyed.groupBy(col("schema"), col("tb"), col("chunk_id"))
-      .agg(count(lit(1)).as("rows"), sum(col("__bytes")).as("bytes"),
-        min(when(col("__ins"), 1).otherwise(0)).as("ins"))
-      .collect() // one row per chunk — bounded by construction
-    val groups = statRows.map(r => ChunkGroup(r.getString(0),
-      r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
-      r.getInt(5) == 1)).toSeq
-      .sortBy(g => (g.schema, g.tb, g.chunkId)) // deterministic first-seen
-    val slices = plan(groups, targetPartitions, cfg)
+  def summarize(df: DataFrame, bytesCol: Option[Column] = None,
+      insertCol: Option[Column] = None): Seq[ChunkGroup] =
+    df.groupBy(col("schema"), col("tb"), col("chunk_id"))
+      .agg(count(lit(1)).as("rows"),
+        sum(bytesCol.getOrElse(lit(0L)).cast("long")).as("bytes"),
+        min(when(insertCol.getOrElse(lit(true)), 1).otherwise(0))
+          .as("ins"))
+      .collect()
+      .map(r => ChunkGroup(r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5) == 1)).toSeq
+      .sortBy(g => (g.schema, g.tb, g.chunkId))
+
+  /** Attach `partition_id` per row from a planned slice list. `orderCol`
+    * gives rows their deterministic order within a chunk (the snapshot
+    * key); the slice table broadcasts.
+    */
+  def assignWith(df: DataFrame, slices: Seq[ChunkSlice],
+      orderCol: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val planDf = slices.toDF().select(
@@ -369,15 +370,24 @@ object ChunkRebalancer {
       col("chunkId").as("p_chunk"), col("start"), col("end"))
     val w = Window.partitionBy(col("schema"), col("tb"), col("chunk_id"))
       .orderBy(orderCol)
-    keyed
-      .withColumn("__off", row_number().over(w).cast("long") - 1)
+    df.withColumn("__off", row_number().over(w).cast("long") - 1)
       .join(broadcast(planDf),
         col("schema") === col("p_schema") && col("tb") === col("p_tb") &&
           col("chunk_id") === col("p_chunk") &&
           col("__off") >= col("start") && col("__off") < col("end"))
-      .drop("p_schema", "p_tb", "p_chunk", "start", "end",
-        "__bytes", "__ins", "__off")
+      .drop("p_schema", "p_tb", "p_chunk", "start", "end", "__off")
   }
+
+  /** Distributed group summary → driver plan → broadcast assignment.
+    * Returns the input plus a `partition_id` column; callers
+    * `.repartition(n, col("partition_id"))` before the sink write.
+    */
+  def assignPartitions(df: DataFrame, targetPartitions: Int, cfg: Config,
+      orderCol: Column, bytesCol: Option[Column] = None,
+      insertCol: Option[Column] = None): DataFrame =
+    assignWith(df,
+      plan(summarize(df, bytesCol, insertCol), targetPartitions, cfg),
+      orderCol)
 
   // ------------------------------------------------------------- q93
   /** q93 — the table_min_rows rebalance PLAN over a chunked orders

@@ -188,6 +188,58 @@ object Applier {
       }
   }
 
+  /** Bulk snapshot apply with chunk-rebalanced write partitions — the
+    * reference's snapshot parallelizer spine
+    * (`/root/reference/dt-parallelizer/src/snapshot_parallelizer.rs:29-50`:
+    * drain → ChunkPartitioner.partition_dml → sinkers drain the
+    * partition queue). Spark shape: the per-chunk summary plans the
+    * write queue on the driver ([[graft.operators.ChunkRebalancer]]),
+    * rows pick their planned partition from the broadcast slice table,
+    * and `repartitionByRange(partition_id)` makes task index = queue
+    * position — Spark schedules tasks in index order, so largest-first
+    * plans drain largest-first exactly like the reference's dynamic
+    * sinker queue. Rows are snapshot inserts; each task streams
+    * multi-row batched INSERTs per table run.
+    */
+  def applySnapshot(dialect: RdbQueryBuilder.Dialect, changes: DataFrame,
+      cols: Seq[String], orderCol: org.apache.spark.sql.Column,
+      targetPartitions: Int, cfg: graft.operators.ChunkRebalancer.Config,
+      sinkFactory: () => StatementSink, batchSize: Int = 1000): Unit = {
+    import graft.operators.ChunkRebalancer
+    val groups = ChunkRebalancer.summarize(changes)
+    val slices = ChunkRebalancer.plan(groups, targetPartitions, cfg)
+    if (slices.isEmpty) return
+    val nParts = slices.map(_.partitionId).max + 1
+    val selectCols =
+      (Seq("partition_id", "schema", "tb") ++ cols).distinct.map(col)
+    ChunkRebalancer.assignWith(changes, slices, orderCol)
+      .select(selectCols: _*)
+      .repartitionByRange(nParts, col("partition_id"))
+      .sortWithinPartitions(col("partition_id"), col("schema"),
+        col("tb"), orderCol)
+      .foreachPartition { it: Iterator[Row] =>
+        val sink = sinkFactory()
+        var table: String = null
+        val buf = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+        def flush(): Unit = if (buf.nonEmpty) {
+          applyAll(sink, Iterator(StatementBatch(
+            RdbQueryBuilder.batchInsert(dialect, table, cols, buf.size),
+            buf.toSeq,
+            Some(n => RdbQueryBuilder.batchInsert(dialect, table, cols,
+              n)))))
+          buf.clear()
+        }
+        it.foreach { r =>
+          val t = dialect.quote(r.getAs[String]("schema")) + "." +
+            dialect.quote(r.getAs[String]("tb"))
+          if (t != table) { flush(); table = t }
+          buf += vals(r, cols)
+          if (buf.size >= batchSize) flush()
+        }
+        flush()
+      }
+  }
+
   /** Execute with error isolation: a failing batch is retried row by row
     * so one poison row doesn't kill the batch.
     */

@@ -180,6 +180,35 @@ class ChunkRebalancerSpec extends SparkSuite {
     }
   }
 
+  test("applySnapshot drains rebalanced partitions as batched inserts, " +
+      "largest first, every row exactly once") {
+    val s = spark
+    import s.implicits._
+    import graft.sinks.{Applier, RdbQueryBuilder}
+    // one skewed 800-row chunk + two 100-row chunks
+    val rows = ((1L to 800L).map(k => ("db", "t", 1L, k)) ++
+      (1L to 100L).map(k => ("db", "t", 2L, 1000L + k)) ++
+      (1L to 100L).map(k => ("db", "u", 1L, 2000L + k)))
+      .toDF("schema", "tb", "chunk_id", "pk")
+    ChunkRebalancerSpec.acc.clear()
+    Applier.applySnapshot(RdbQueryBuilder.MySql, rows,
+      cols = Seq("pk"), orderCol = col("pk"), targetPartitions = 4,
+      Config(AutoSplit, minPartitionRows = 100),
+      sinkFactory = () => ChunkRebalancerSpec.CollectingSink,
+      batchSize = 1000)
+    val batches = ChunkRebalancerSpec.acc.toSeq
+    // every row applied exactly once
+    val applied = batches.flatMap(_.rows.map(_.head.asInstanceOf[Long]))
+    assert(applied.sorted == ((1L to 800L) ++ (1001L to 1100L) ++
+      (2001L to 2100L)).sorted)
+    // all statements are multi-row inserts against the right tables
+    assert(batches.forall(_.sql.startsWith("INSERT INTO")))
+    assert(batches.map(_.sql).exists(_.contains("`db`.`t`")))
+    assert(batches.map(_.sql).exists(_.contains("`db`.`u`")))
+    // the skewed chunk split: no single batch carries all 800 rows
+    assert(batches.map(_.rows.size).max < 800)
+  }
+
   test("q93 plan slices reconstruct every chunk exactly once") {
     val out = ChunkRebalancer.rebalancePlan(spark, sf)
     val byChunk = out.groupBy("chunk_id")
@@ -195,5 +224,15 @@ class ChunkRebalancerSpec extends SparkSuite {
     val per = out.groupBy("partition_id").agg(sum("n_rows").as("n"))
       .collect().map(_.getAs[Long]("n"))
     assert(per.count(_ != ChunkRebalancer.Q93MinRows) <= 1)
+  }
+}
+
+object ChunkRebalancerSpec {
+  val acc = new scala.collection.mutable.ArrayBuffer[
+    graft.sinks.Applier.StatementBatch]()
+  object CollectingSink extends graft.sinks.Applier.StatementSink
+      with Serializable {
+    def execute(b: graft.sinks.Applier.StatementBatch): Unit =
+      acc.synchronized { acc += b }
   }
 }
