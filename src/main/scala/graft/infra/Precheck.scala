@@ -65,6 +65,133 @@ object Precheck {
         .mkString(",")}")
   }
 
+  // ------------------------------------------------------ engine gates
+  // The reference's per-engine precheckers are fetch-then-judge; the
+  // judging rules below are pure over the fetched values so every gate
+  // is testable without a server. Sources of truth:
+  // mysql_prechecker.rs:17,40-140,256-394; pg_prechecker.rs:18,40-165;
+  // mongo_prechecker.rs:15,64-116; redis_prechecker.rs:41,83-101.
+
+  /** Version support per engine: MySQL 5.x/8.x (regex), PG
+    * server_version_num ≥ 120000, Mongo 4/5.0/6.0/7.0 (regex), Redis
+    * ≥ 2.8 (float compare).
+    */
+  def checkVersion(dbType: String, version: String): CheckResult = {
+    val ok = dbType match {
+      case "mysql" => version.matches("5\\..*|8\\..*")
+      case "pg" => version.trim.toIntOption.exists(_ >= 120000)
+      case "mongo" => version.matches("4.*|5\\.0.*|6\\.0.*|7\\.0.*")
+      case "redis" => version.trim.toFloatOption.exists(_ >= 2.8f)
+      case _ => false
+    }
+    CheckResult("version_supported", ok, s"$dbType $version")
+  }
+
+  /** CDC-capability gates over fetched server configuration:
+    * MySQL needs log_bin=on, binlog_format=row, binlog_row_image=full;
+    * PG needs wal_level=logical, max_wal_senders>0,
+    * max_replication_slots>0 and a free slot (usedSlots <
+    * max_replication_slots). Target-side databases skip (isSource).
+    */
+  def checkCdcConfigs(dbType: String, configs: Map[String, String],
+      isSource: Boolean = true, usedSlots: Int = 0): CheckResult = {
+    if (!isSource) return CheckResult("cdc_supported", ok = true,
+      s"$dbType: target side — skipped")
+    def low(k: String) = configs.getOrElse(k, "").toLowerCase
+    val errs = dbType match {
+      case "mysql" =>
+        Seq(
+          Option.when(low("log_bin") != "on")(
+            s"log_bin setting:[${low("log_bin")}] is not 'on'"),
+          Option.when(low("binlog_format") != "row")(
+            s"binlog_format setting:[${low("binlog_format")}] is not 'row'"),
+          Option.when(low("binlog_row_image") != "full")(
+            s"binlog_row_image setting:[${low("binlog_row_image")}] " +
+              "is not 'full'")).flatten
+      case "pg" =>
+        val maxSlots = configs.getOrElse("max_replication_slots", "0")
+          .trim.toIntOption.getOrElse(0)
+        val senders = configs.getOrElse("max_wal_senders", "0")
+          .trim.toIntOption.getOrElse(0)
+        Seq(
+          Option.when(low("wal_level") != "logical")(
+            s"wal_level should not be '${low("wal_level")}', " +
+              "need to be 'logical'"),
+          Option.when(maxSlots < 1)(
+            "max_replication_slots needs to be greater than 0. " +
+              s"current is '$maxSlots'"),
+          Option.when(senders < 1)(
+            "max_wal_senders needs to be greater than 0, " +
+              s"current is '$senders'"),
+          Option.when(maxSlots >= 1 && usedSlots >= maxSlots)(
+            s"the current number of slots:[$usedSlots] has reached " +
+              "max_replication_slots, and new slots cannot be created"))
+          .flatten
+      case other => Seq(s"unknown db type $other")
+    }
+    CheckResult("cdc_supported", errs.isEmpty,
+      if (errs.isEmpty) dbType else errs.mkString(";"))
+  }
+
+  /** Mongo CDC topology gate over the `db.hello()` document: mongos
+    * passes outright; otherwise the node must be a replica-set member
+    * AND the primary.
+    */
+  def checkMongoCdcTopology(ok: Boolean, isMongos: Boolean,
+      primary: String, me: String): CheckResult = {
+    val err =
+      if (!ok) "fetching mongodb instance status with 'db.hello()' failed"
+      else if (isMongos) ""
+      else if (primary.isEmpty || me.isEmpty)
+        "mongodb is not a replicaSet architecture"
+      else if (primary != me) "the mongodb instance is not a master"
+      else ""
+    CheckResult("cdc_supported", err.isEmpty,
+      if (err.isEmpty) "mongo" else err)
+  }
+
+  /** One table's constraint row, as fetched from the catalog
+    * (information_schema.table_constraints shape).
+    */
+  final case class Constraint(schema: String, tb: String, kind: String,
+      relSchema: String = "", relTb: String = "")
+
+  /** Table-structure support: tables without a PRIMARY/UNIQUE key are a
+    * WARNING (CDC merge degrades to append-only); a FOREIGN KEY whose
+    * referenced table is outside the replication object set is an ERROR
+    * (applying child rows without the parent breaks the target).
+    * `inScope` is the name filter — a referenced table that IS in scope
+    * is fine.
+    */
+  def checkTableStructs(tables: Seq[(String, String)],
+      constraints: Seq[Constraint],
+      inScope: (String, String) => Boolean): Seq[CheckResult] = {
+    val withPkUk = constraints.collect {
+      case c if c.kind == "PRIMARY KEY" || c.kind == "UNIQUE" =>
+        (c.schema, c.tb)
+    }.toSet
+    val fkMissing = constraints.collect {
+      case c if c.kind == "FOREIGN KEY" && c.relSchema.nonEmpty &&
+          c.relTb.nonEmpty && !inScope(c.relSchema, c.relTb) =>
+        s"${c.relSchema}.${c.relTb}"
+    }.distinct
+    val noKey = tables.filterNot(withPkUk.contains)
+      .map { case (s, t) => s"$s.$t" }
+    val err = Option.when(fkMissing.nonEmpty)(CheckResult(
+      "table_structs", ok = false,
+      "the following foreign key dependent tables are not defined in " +
+        s"the replication object:[${fkMissing.mkString(";")}]"))
+    val warn = Option.when(noKey.nonEmpty)(CheckResult(
+      "table_structs_warn", ok = false,
+      "primary key or unique key are needed, but these tables don't " +
+        s"have any:[${noKey.mkString(";")}]"))
+    val results = err.toSeq ++ warn.toSeq
+    if (results.isEmpty)
+      Seq(CheckResult("table_structs", ok = true,
+        s"${tables.size} tables"))
+    else results
+  }
+
   /** Run the standard battery for a snapshot task over parquet tables. */
   def runAll(spark: SparkSession, dir: String, tables: Seq[String],
       keysByTable: Map[String, Seq[String]]): Seq[CheckResult] = {

@@ -512,6 +512,97 @@ object VectorOps {
        |FROM x GROUP BY 1, 2""".stripMargin
   }
 
+  /** Full Lloyd iteration driven from the driver, the way
+    * [[graft.operators.CurationOps.connectedComponents]] drives label
+    * propagation: per round the k×dims centroid table COLLECTS (it is
+    * tiny by construction), re-broadcasts as the next seed set, and the
+    * corpus is touched by exactly one map-side argmin + one (cell, dim)
+    * aggregation — no window, no corpus shuffle growth across rounds.
+    *
+    * Centroids stay INTEGER: c_dim = floorDiv(Σx_dim, n). Quantized
+    * centroids keep every round bit-deterministic across engines and
+    * retries (float averaging would make iteration order observable);
+    * the ≤1-unit-per-dim quantization error is noise at Scale=1e6. A
+    * cell that loses all members keeps its previous centroid. Returns
+    * after `maxIter` rounds or when centroids are exactly fixed.
+    *
+    * Seeding is deterministic farthest-point (greedy k-means++ with
+    * the max- instead of sampled-probability rule): seed 0 is the
+    * minimum vec_id, each next seed the vector farthest from its
+    * nearest chosen seed (ties to the smaller vec_id). That costs k-1
+    * extra corpus aggregations but removes the local optima that
+    * arbitrary first-k seeds fall into when they land in one cluster,
+    * and needs no RNG — reruns and stragglers agree bit-for-bit.
+    */
+  final case class KmeansResult(assignments: DataFrame,
+      centroids: Map[Long, Seq[Long]], iters: Int, converged: Boolean)
+
+  def kmeansIterate(vectors: DataFrame, k: Int, maxIter: Int = 20)
+      : KmeansResult = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val e = vectors.select(col("vec_id"), col("xs"))
+      .withColumn("xx", intDot(col("xs"), col("xs")))
+      .persist()
+    try {
+      def vecOf(r: org.apache.spark.sql.Row, field: String): Seq[Long] =
+        r.getAs[scala.collection.Seq[Long]](field).toVector
+      val first0 = e.orderBy(col("vec_id")).limit(1).collect().head
+      var seedVecs = Vector(vecOf(first0, "xs"))
+      while (seedVecs.size < k) {
+        val chosen = broadcast(seedVecs.zipWithIndex
+          .map { case (xs, i) => (i.toLong, xs) }.toDF("cell", "s_xs")
+          .withColumn("ss", intDot(col("s_xs"), col("s_xs"))))
+        val far = e.join(chosen)
+          .withColumn("dist", col("xx") -
+            lit(2L) * intDot(col("xs"), col("s_xs")) + col("ss"))
+          .groupBy(col("vec_id"))
+          .agg(min(col("dist")).as("d"), first(col("xs")).as("xs"))
+          .agg(max(struct(col("d"), (-col("vec_id")).as("neg_id"),
+            col("xs"))).as("m"))
+          .select(col("m.xs")).collect().head
+        seedVecs :+= vecOf(far, "xs")
+      }
+      var centroids: Map[Long, Seq[Long]] =
+        seedVecs.zipWithIndex.map { case (xs, i) => i.toLong -> xs }.toMap
+      var iters = 0
+      var converged = false
+      var assigned: DataFrame = null
+      while (!converged && iters < maxIter) {
+        val seeds = broadcast(centroids.toSeq
+          .map { case (c, xs) => (c, xs) }.toDF("cell", "s_xs")
+          .withColumn("ss", intDot(col("s_xs"), col("s_xs"))))
+        assigned = e.join(seeds)
+          .withColumn("dist", col("xx") -
+            lit(2L) * intDot(col("xs"), col("s_xs")) + col("ss"))
+          .groupBy(col("vec_id"))
+          .agg(max(struct((-col("dist")).as("neg_dist"),
+            (-col("cell")).as("neg_cell"))).as("m"),
+            first(col("xs")).as("xs"))
+          .select(col("vec_id"), (-col("m.neg_cell")).as("cell"),
+            col("xs"))
+        val sums = assigned
+          .select(col("cell"), posexplode(col("xs")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(count(lit(1)).as("n"), sum(col("col")).as("s"))
+          .collect()
+        val next = sums.groupBy(_.getLong(0)).map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(r =>
+            Math.floorDiv(r.getLong(3), r.getLong(2))).toSeq
+        }
+        val updated = centroids.map { case (c, xs) =>
+          c -> next.getOrElse(c, xs) // empty cell keeps its centroid
+        }
+        converged = updated == centroids
+        centroids = updated
+        iters += 1
+      }
+      KmeansResult(
+        assignments = assigned.select(col("vec_id"), col("cell")),
+        centroids, iters, converged)
+    } finally e.unpersist()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_kmeans_step" -> (kmeansStep _),
     "q76_ivf_search" -> (ivfSearch _),

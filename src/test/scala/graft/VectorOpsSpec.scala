@@ -86,4 +86,37 @@ class VectorOpsSpec extends SparkSuite {
     val cells = rows.map(_._1).distinct
     assert(cells.length <= 8 && cells.forall(c => c >= 0 && c < 8))
   }
+
+  test("kmeans Lloyd loop converges on separated blobs and recovers " +
+      "the true clustering from bad seeds") {
+    // three tight blobs far apart on distinct axes; first-k seeding
+    // would put all 3 seeds in blob A (a local optimum that merges B
+    // and C), so recovery REQUIRES the farthest-point seeding to place
+    // one seed per blob before Lloyd refines.
+    def blob(base: Array[Float], ids: Range, eps: Float) =
+      ids.map(i => (i.toLong, base.zipWithIndex.map { case (v, d) =>
+        if (d == i % 4) v + eps * ((i % 3) - 1) else v
+      }))
+    val a = blob(Array(1f, 0f, 0f, 0f), 0 until 10, 0.01f)
+    val b = blob(Array(0f, 100f, 0f, 0f), 10 until 20, 0.01f)
+    val c = blob(Array(0f, 0f, -100f, 0f), 20 until 30, 0.01f)
+    val vectors = (a ++ b ++ c).toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id"), VectorOps.intVec(col("embedding")).as("xs"))
+    val r = VectorOps.kmeansIterate(vectors, k = 3, maxIter = 15)
+    assert(r.converged, s"did not converge in ${r.iters} rounds")
+    val labels = r.assignments.as[(Long, Long)].collect().toMap
+    assert(labels.size == 30)
+    // each blob maps to exactly one cell, and the cells differ
+    def cellsOf(ids: Range) = ids.map(i => labels(i.toLong)).toSet
+    val (ca, cb, cc) = (cellsOf(0 until 10), cellsOf(10 until 20),
+      cellsOf(20 until 30))
+    assert(ca.size == 1 && cb.size == 1 && cc.size == 1)
+    assert(Set(ca.head, cb.head, cc.head).size == 3)
+    // centroids sit on the blob centers (within quantization noise)
+    val centB = r.centroids(cb.head)
+    assert(math.abs(centB(1) - 100000000L) < 100000L) // 100 * 1e6
+    // determinism: a second run reproduces labels exactly
+    val r2 = VectorOps.kmeansIterate(vectors, k = 3, maxIter = 15)
+    assert(r2.assignments.as[(Long, Long)].collect().toMap == labels)
+  }
 }
