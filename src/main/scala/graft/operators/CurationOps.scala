@@ -457,6 +457,155 @@ object CurationOps {
        |FROM c WHERE c.end_tok >= c.start_tok""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q94
+  /** Cross-corpus duplicated-passage census — the C4-style boilerplate
+    * signal at PASSAGE granularity: a passage (content-defined chunk,
+    * same boundaries as q48) that appears verbatim in ≥2 distinct
+    * documents is shared boilerplate (headers, licenses, templated
+    * spans); per document we report how many of its passages — and what
+    * fraction of its tokens — are shared. Complements q59 (intra-doc
+    * repetition) and q88 (containment over shingle sets): this one is
+    * exact, cross-doc, and aligned to edit-stable chunk boundaries.
+    *
+    * Scale shape: token rows → per-(doc, chunk) ordered re-assembly via
+    * `array_sort(collect_list(struct(pos, tok)))` (groups are passage-
+    * sized, ~ChunkMod tokens, so the per-group buffer is tiny), then a
+    * census keyed by passage text with map-side partial aggregation and
+    * a shuffle join back. At 100 TB you'd key the census and join on
+    * `xxhash64(ptext)` to shuffle 8-byte keys instead of text; the
+    * text key is kept here because the oracle must be collision-free.
+    */
+  def passageDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import TextOps.charFold
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(tokens(normText(col("text")))).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val flagged = tok.withColumn("is_bound",
+      (pmod(charFold(col("tok")), lit(ChunkMod)) === 0).cast("int"))
+    val before = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val passages = flagged
+      .withColumn("chunk_idx",
+        coalesce(sum(col("is_bound")).over(before), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("ptext"),
+        count(lit(1)).as("n_toks"))
+    val census = passages.groupBy(col("ptext"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+    passages.join(census, "ptext")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("n_docs_with") >= 2, 1L).otherwise(0L))
+          .as("n_shared_passages"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("n_docs_with") >= 2, col("n_toks")).otherwise(0L))
+          .as("n_shared_tokens"))
+      .withColumn("shared_frac",
+        col("n_shared_tokens").cast("double") /
+          col("n_tokens").cast("double"))
+  }
+
+  val passageDedupSql: String = {
+    val toks = tokensSql(normTextSql("text"))
+    val hash = TextOps.charFoldSql("list_extract(toks, p)")
+    s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+       |b AS (SELECT doc_id, toks, list_sort(list_distinct(
+       |    list_append(list_filter(range(1, len(toks) + 1),
+       |      p -> ($hash) % $ChunkMod = 0), len(toks)))) AS bounds
+       |  FROM d),
+       |c AS (SELECT doc_id, toks,
+       |    unnest(list_transform(range(1, len(bounds) + 1), j ->
+       |      struct_pack(s := coalesce(bounds[j - 1], 0) + 1,
+       |        e := bounds[j]))) AS ck
+       |  FROM b),
+       |p AS (SELECT doc_id,
+       |    array_to_string(toks[ck.s:ck.e], ' ') AS ptext,
+       |    ck.e - ck.s + 1 AS n_toks
+       |  FROM c WHERE ck.e >= ck.s),
+       |census AS (SELECT ptext, count(DISTINCT doc_id) AS n_docs_with
+       |  FROM p GROUP BY 1)
+       |SELECT p.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_passages,
+       |  CAST(sum(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_shared_passages,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN n_docs_with >= 2 THEN n_toks ELSE 0 END)
+       |    AS BIGINT) AS n_shared_tokens,
+       |  CAST(sum(CASE WHEN n_docs_with >= 2 THEN n_toks ELSE 0 END)
+       |    AS DOUBLE) / CAST(sum(n_toks) AS DOUBLE) AS shared_frac
+       |FROM p JOIN census USING (ptext)
+       |GROUP BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q96
+  /** Target-weighted dataset mixture planner: given per-language target
+    * weights (permille of the final mix), find the LARGEST corpus the
+    * observed language counts can serve at exactly those proportions,
+    * and the per-language keep counts / sampling rates that realize it.
+    * The limiting language (the one whose supply binds) gets rate 1000;
+    * over-supplied languages are down-sampled. q27 is the uniform
+    * special case; this is the general mix every pre-training data
+    * recipe specifies. All arithmetic is exact integers (permille
+    * scaling, floor division) so both engines agree bitwise; the
+    * selection mechanism for the planned rates is q27's deterministic
+    * [[sampleHash]] permille gate.
+    *
+    * Scale shape: one groupBy(lang) census (5–50 groups), then a
+    * driver-free broadcast of the one-row global min — the corpus is
+    * touched once; the plan itself is O(#langs).
+    */
+  final val MixTargetPermille: Seq[(String, Int)] = Seq(
+    "en" -> 500, "zh" -> 150, "es" -> 150, "de" -> 100, "fr" -> 100)
+
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val weight = MixTargetPermille.foldRight(lit(0)) {
+      case ((l, w), acc) => when(col("lang") === l, lit(w)).otherwise(acc)
+    }
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("target_permille", weight.cast("long"))
+    // feasible corpus size if this language binds: n_docs*1000/weight
+    val feas = counts.filter(col("target_permille") > 0)
+      .select(expr("n_docs * 1000 div target_permille").as("s"))
+      .agg(min(col("s")).as("s_max"))
+    counts.crossJoin(broadcast(feas))
+      .withColumn("n_keep",
+        when(col("target_permille") > 0,
+          expr("s_max * target_permille div 1000")).otherwise(lit(0L)))
+      .withColumn("rate_permille",
+        expr("n_keep * 1000 div n_docs"))
+      .withColumn("is_limiting",
+        col("target_permille") > 0 &&
+          expr("n_docs * 1000 div target_permille") === col("s_max"))
+      .select(col("lang"), col("n_docs"), col("target_permille"),
+        col("n_keep"), col("rate_permille"), col("is_limiting"))
+  }
+
+  val mixturePlanSql: String = {
+    val weight = MixTargetPermille.foldRight("0") { case ((l, w), acc) =>
+      s"CASE WHEN lang = '$l' THEN $w ELSE $acc END"
+    }
+    s"""WITH counts AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST($weight AS BIGINT) AS target_permille
+       |  FROM documents GROUP BY 1),
+       |feas AS (SELECT min(n_docs * 1000 // target_permille) AS s_max
+       |  FROM counts WHERE target_permille > 0)
+       |SELECT lang, n_docs, target_permille,
+       |  CASE WHEN target_permille > 0
+       |    THEN s_max * target_permille // 1000 ELSE 0 END AS n_keep,
+       |  (CASE WHEN target_permille > 0
+       |    THEN s_max * target_permille // 1000 ELSE 0 END) * 1000
+       |    // n_docs AS rate_permille,
+       |  target_permille > 0 AND
+       |    n_docs * 1000 // target_permille = s_max AS is_limiting
+       |FROM counts CROSS JOIN feas""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q49
   /** Corpus-wide top-20 bigrams with deterministic tie-break — the n-gram
     * census every data-mix report needs. Explode shuffles (bigram, 1)
@@ -534,7 +683,9 @@ object CurationOps {
     "q39_tfidf_topterms" -> (tfidfTopTerms _),
     "q23_stratified_sample" -> (stratifiedSample _),
     "q47_dataset_split" -> (datasetSplit _),
-    "q46_dedup_groups" -> (dedupGroups _))
+    "q46_dedup_groups" -> (dedupGroups _),
+    "q94_passage_dedup" -> (passageDedup _),
+    "q96_mixture_plan" -> (mixturePlan _))
 
   val oracles: Map[String, String] = Map(
     "q57_domain_cap" -> domainCapSql,
@@ -550,5 +701,7 @@ object CurationOps {
     "q39_tfidf_topterms" -> tfidfTopTermsSql,
     "q23_stratified_sample" -> stratifiedSampleSql,
     "q47_dataset_split" -> datasetSplitSql,
-    "q46_dedup_groups" -> dedupGroupsSql)
+    "q46_dedup_groups" -> dedupGroupsSql,
+    "q94_passage_dedup" -> passageDedupSql,
+    "q96_mixture_plan" -> mixturePlanSql)
 }

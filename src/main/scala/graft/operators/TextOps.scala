@@ -227,6 +227,82 @@ object TextOps {
        |  AND CAST(length(text) AS DOUBLE) / len($toks) <= 8.0""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q95
+  /** Fixed-weight quality-classifier head over the q30 feature set —
+    * the step after measuring signals (q30) and hard-gating them (q37):
+    * a linear score combining stopword density, punctuation density and
+    * token-span shape into one per-document quality number, bucketed
+    * into deciles for mixture planning (q96 consumes per-bucket counts
+    * in real pipelines). Everything stays in EXACT integer milli-units
+    * — permille features, integer weights, floor division — because a
+    * sigmoid would drag in libm exp, which differs across engines at
+    * the ulp level and breaks hash-exact oracles; the monotone logit
+    * carries the same ranking information. Per-row map, zero shuffle,
+    * survives any scale-up untouched.
+    */
+  def qualityLogit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is")
+    val base = d.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_txt"),
+      length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+        .cast("long").as("n_punct"),
+      size(filter(toks, t => t.isin(stop.map(s => s: Any): _*)))
+        .cast("long").as("n_stop"))
+    base.select(col("doc_id"),
+        when(col("n_tokens") > 0,
+          expr("n_stop * 1000 div n_tokens")).otherwise(lit(0L))
+          .as("stop_permille"),
+        when(col("n_chars_txt") > 0,
+          expr("n_punct * 1000 div n_chars_txt")).otherwise(lit(0L))
+          .as("punct_permille"),
+        when(col("n_tokens") > 0,
+          expr("n_chars_txt * 100 div n_tokens")).otherwise(lit(0L))
+          .as("span_centi"))
+      .withColumn("logit_milli",
+        lit(800L) + lit(3L) * col("stop_permille") -
+          lit(2L) * col("punct_permille") -
+          abs(col("span_centi") - lit(550L)))
+      // div truncates toward zero, DuckDB // floors: they differ only
+      // below zero, where greatest(0, ·) clamps both to bucket 0
+      .withColumn("quality_bucket",
+        least(lit(9L), greatest(lit(0L), expr("logit_milli div 200"))))
+      .withColumn("keep", col("quality_bucket") >= 3)
+  }
+
+  val qualityLogitSql: String = {
+    val toks = tokensSql("text")
+    """WITH f AS (SELECT doc_id,
+      |    CAST(len(TOKS) AS BIGINT) AS n_tokens,
+      |    CAST(length(text) AS BIGINT) AS n_chars_txt,
+      |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+      |      AS BIGINT) AS n_punct,
+      |    CAST(len(list_filter(TOKS,
+      |      t -> t IN ('the','a','of','to','and','in','is')))
+      |      AS BIGINT) AS n_stop
+      |  FROM documents),
+      |g AS (SELECT doc_id,
+      |    CASE WHEN n_tokens > 0 THEN n_stop * 1000 // n_tokens
+      |      ELSE 0 END AS stop_permille,
+      |    CASE WHEN n_chars_txt > 0 THEN n_punct * 1000 // n_chars_txt
+      |      ELSE 0 END AS punct_permille,
+      |    CASE WHEN n_tokens > 0 THEN n_chars_txt * 100 // n_tokens
+      |      ELSE 0 END AS span_centi
+      |  FROM f),
+      |h AS (SELECT doc_id, stop_permille, punct_permille, span_centi,
+      |    800 + 3 * stop_permille - 2 * punct_permille
+      |      - abs(span_centi - 550) AS logit_milli
+      |  FROM g)
+      |SELECT doc_id, stop_permille, punct_permille, span_centi,
+      |  logit_milli,
+      |  least(9, greatest(0, logit_milli // 200)) AS quality_bucket,
+      |  least(9, greatest(0, logit_milli // 200)) >= 3 AS keep
+      |FROM h""".stripMargin.replace("TOKS", toks)
+  }
+
   // ---------------------------------------------------------------- q38
   /** BPE-ish tokenization: word pieces vs punctuation pieces via the
     * `\w+|[^\w\s]` split every byte-pair pre-tokenizer starts from.
@@ -397,6 +473,7 @@ object TextOps {
     "q77_pii_redact" -> (piiRedactQuery _),
     "q59_repetition" -> (repetitionStats _),
     "q37_quality_filter" -> (qualityFilter _),
+    "q95_quality_logit" -> (qualityLogit _),
     "q38_bpe_tokens" -> (bpeTokens _),
     "q30_text_stats" -> (textStats _),
     "q31_lang_id" -> (langId _),
@@ -407,6 +484,7 @@ object TextOps {
     "q77_pii_redact" -> piiRedactSql,
     "q59_repetition" -> repetitionStatsSql,
     "q37_quality_filter" -> qualityFilterSql,
+    "q95_quality_logit" -> qualityLogitSql,
     "q38_bpe_tokens" -> bpeTokensSql,
     "q30_text_stats" -> textStatsSql,
     "q31_lang_id" -> langIdSql,

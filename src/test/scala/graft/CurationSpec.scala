@@ -112,6 +112,56 @@ class CurationSpec extends SparkSuite {
     assert(total == Tables.lineitem(spark, sf).count())
   }
 
+  test("passage dedup agrees with passage chunks and bounds sharing") {
+    val chunks = CurationOps.passageChunks(spark, sf)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("c_passages"),
+        sum(col("end_tok") - col("start_tok") + 1).as("c_tokens"))
+    val dedup = CurationOps.passageDedup(spark, sf)
+    // per-doc passage/token totals must match the q48 tiling exactly
+    val joined = dedup.join(chunks, "doc_id")
+    assert(joined.count() == dedup.count() &&
+      dedup.count() == chunks.count())
+    assert(joined.filter(col("n_passages") =!= col("c_passages") ||
+      col("n_tokens") =!= col("c_tokens")).isEmpty)
+    // shared subsets are bounded and the fraction is consistent
+    assert(dedup.filter(col("n_shared_passages") > col("n_passages") ||
+      col("n_shared_tokens") > col("n_tokens")).isEmpty)
+    assert(dedup.filter(col("shared_frac") < 0.0 ||
+      col("shared_frac") > 1.0).isEmpty)
+  }
+
+  test("quality logit columns satisfy the published formula") {
+    val q = graft.operators.TextOps.qualityLogit(spark, sf)
+    assert(q.count() == Tables.documents(spark, sf).count())
+    val bad = q.filter(
+      col("logit_milli") =!= (lit(800L) + lit(3L) * col("stop_permille") -
+        lit(2L) * col("punct_permille") -
+        abs(col("span_centi") - lit(550L))) ||
+      col("quality_bucket") < 0 || col("quality_bucket") > 9 ||
+      col("keep") =!= (col("quality_bucket") >= 3))
+    assert(bad.isEmpty)
+  }
+
+  test("mixture plan maximizes the corpus at the target proportions") {
+    val rows = CurationOps.mixturePlan(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(rows.map(_._3).sum == 1000L) // targets are a full mix
+    assert(rows.exists(_._6)) // some language binds
+    rows.foreach { case (_, nDocs, _, nKeep, rate, _) =>
+      assert(nKeep <= nDocs && rate >= 0 && rate <= 1000)
+    }
+    // recompute the feasible corpus size from a limiting row and check
+    // every keep count realizes floor(S * w / 1000)
+    val s = rows.filter(_._6).map { case (_, n, w, _, _, _) =>
+      n * 1000L / w }.min
+    rows.filter(_._3 > 0).foreach { case (_, nDocs, w, nKeep, _, _) =>
+      assert(nKeep == s * w / 1000L)
+      assert(nDocs * 1000L / w >= s) // no language over-committed
+    }
+  }
+
   test("pivot matrix accounts for every event value once") {
     val p = Relational3.eventPivot(spark, sf)
     assert(p.count() == 10)
