@@ -512,6 +512,175 @@ object VectorOps {
        |FROM x GROUP BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q97
+  /** SemDeDup-style semantic dedup: cluster first (q87's exact integer
+    * Lloyd assignment to k=8 cells), then look for near-duplicate
+    * cosine pairs ONLY inside each cell, and keep the smallest vec_id
+    * of every duplicate neighborhood. The verdict per vector is the
+    * count of smaller-id same-cell neighbors above the threshold —
+    * `is_kept` iff none.
+    *
+    * Scale shape: this is the production answer to q41's O(n²) oracle
+    * scan — the pair join is equi-keyed on `cell`, so candidates shrink
+    * from n² to Σ|cell|², and the per-cell work parallelizes over the
+    * cell hash partitioning. A skewed giant cell is the [[Skew]]
+    * salting case; at 100 TB you'd also raise k so cells stay bounded
+    * (k scales with corpus, the per-cell scan stays constant).
+    */
+  final val SemDedupThreshold = 0.3
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), intVec(col("embedding")).as("xs"))
+      .withColumn("xx", intDot(col("xs"), col("xs")))
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("xs").as("s_xs"),
+        col("xx").as("ss"))
+    val assigned = e.join(broadcast(seeds))
+      .withColumn("dist", col("xx") -
+        lit(2L) * intDot(col("xs"), col("s_xs")) + col("ss"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct((-col("dist")).as("neg_dist"),
+        (-col("cell")).as("neg_cell"))).as("m"),
+        first(col("xs")).as("xs"), first(col("xx")).as("xx"))
+      .select(col("vec_id"), (-col("m.neg_cell")).as("cell"),
+        col("xs"), col("xx"))
+    val dups = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.cell") === col("y.cell") &&
+          col("x.vec_id") > col("y.vec_id"))
+      .withColumn("sim", cosine(intDot(col("x.xs"), col("y.xs")),
+        col("x.xx"), col("y.xx")))
+      .filter(col("sim") >= SemDedupThreshold)
+      .groupBy(col("x.vec_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_dup_above"))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_dup_above"), lit(0L)).as("n_dup_above"))
+      .withColumn("is_kept", col("n_dup_above") === 0)
+  }
+
+  val semanticDedupSql: String = {
+    val dot = intDotSql("e.xs", "s.s_xs")
+    val pdot = intDotSql("x.xs", "y.xs")
+    s"""WITH v AS (SELECT vec_id, ${intVecSql("embedding")} AS xs
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, xs, ${intDotSql("xs", "xs")} AS xx FROM v),
+       |s AS (SELECT vec_id AS cell, xs AS s_xs, xx AS ss FROM e
+       |  WHERE vec_id < 8),
+       |p AS (SELECT e.vec_id, s.cell, e.xs, e.xx,
+       |    e.xx - 2 * $dot + s.ss AS dist FROM e, s),
+       |r AS (SELECT vec_id, cell, xs, xx, ROW_NUMBER() OVER
+       |  (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM p),
+       |a AS (SELECT vec_id, cell, xs, xx FROM r WHERE rk = 1),
+       |d AS (SELECT x.vec_id, COUNT(*) AS n_dup_above
+       |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id > y.vec_id
+       |  WHERE CAST($pdot AS DOUBLE) /
+       |    sqrt(CAST(x.xx AS DOUBLE) * CAST(y.xx AS DOUBLE))
+       |    >= $SemDedupThreshold
+       |  GROUP BY 1)
+       |SELECT a.vec_id, a.cell,
+       |  CAST(coalesce(d.n_dup_above, 0) AS BIGINT) AS n_dup_above,
+       |  coalesce(d.n_dup_above, 0) = 0 AS is_kept
+       |FROM a LEFT JOIN d ON a.vec_id = d.vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q98
+  /** PQ asymmetric-distance (ADC) search over the q58 codes — the
+    * memory-bound ANN scan: queries (vec_id < 20) never touch stored
+    * vectors, only the 4-int codes. Per query, a lookup table of
+    * ‖q_sub − c_{sub,cell}‖² (4 subs × 4 cells, exact integers) is
+    * built against the broadcast codebook; a stored vector's distance
+    * is the SUM of the 4 LUT entries its code selects. Top-5 per query,
+    * ascending ADC distance.
+    *
+    * Everything stays 64-bit integer — the result column is the exact
+    * scaled squared distance, so the oracle hash-matches bitwise with
+    * no float rule needed. Scale shape: codes are 4 narrow rows per
+    * vector; the LUT (queries × subs × cells) broadcasts; the partial
+    * per-(query, vector) sums aggregate map-side. The corpus-sized
+    * shuffle carries (query_id, vec_id, partial) longs — vectors move
+    * only to build the codebook-side assignment, same as q58.
+    */
+  def pqAdcSearch(spark: SparkSession, dir: String): DataFrame = {
+    val subCount = 4
+    val subDim = 16
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), intVec(col("embedding")).as("xs"))
+    val subs = (0 until subCount).map { s =>
+      e.select(col("vec_id"), lit(s).as("sub"),
+        slice(col("xs"), s * subDim + 1, subDim).as("sxs"))
+    }.reduce(_ unionByName _)
+      .withColumn("snorm", intDot(col("sxs"), col("sxs")))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dist"), col("cell"))
+    val codes = subs.join(broadcast(
+        subs.filter(col("vec_id") < 4).select(col("sub"),
+          col("vec_id").as("cell"), col("sxs").as("c_sxs"),
+          col("snorm").as("c_norm"))), "sub")
+      .withColumn("dist", col("snorm") + col("c_norm") -
+        lit(2L) * intDot(col("sxs"), col("c_sxs")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("cell"))
+    val lut = subs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("sub"),
+        col("sxs").as("q_sxs"), col("snorm").as("q_norm"))
+      .join(subs.filter(col("vec_id") < 4).select(col("sub"),
+        col("vec_id").as("cell"), col("sxs").as("c_sxs"),
+        col("snorm").as("c_norm")), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cell"),
+        (col("q_norm") + col("c_norm") -
+          lit(2L) * intDot(col("q_sxs"), col("c_sxs"))).as("part_dist"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("part_dist")).as("adc_dist"),
+        count(lit(1)).as("n_subs"))
+      .filter(col("n_subs") === subCount)
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(rankW).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("adc_dist"))
+  }
+
+  val pqAdcSearchSql: String = {
+    val cdot = intDotSql("p.sxs", "c.c_sxs")
+    val qdot = intDotSql("q.sxs", "c.c_sxs")
+    s"""WITH v AS (SELECT vec_id, ${intVecSql("embedding")} AS xs
+       |  FROM embeddings),
+       |subs AS (SELECT vec_id, s.sub,
+       |    list_slice(xs, s.sub*16 + 1, s.sub*16 + 16) AS sxs
+       |  FROM v, (SELECT unnest(range(4)) AS sub) s),
+       |p AS (SELECT vec_id, sub, sxs,
+       |    ${intDotSql("sxs", "sxs")} AS snorm FROM subs),
+       |c AS (SELECT sub, vec_id AS cell, sxs AS c_sxs, snorm AS c_norm
+       |  FROM p WHERE vec_id < 4),
+       |d AS (SELECT p.vec_id, p.sub, c.cell,
+       |    p.snorm + c.c_norm - 2 * ($cdot) AS dist
+       |  FROM p JOIN c ON p.sub = c.sub),
+       |r AS (SELECT vec_id, sub, cell, ROW_NUMBER() OVER
+       |    (PARTITION BY vec_id, sub ORDER BY dist, cell) AS rk FROM d),
+       |codes AS (SELECT vec_id, sub, cell FROM r WHERE rk = 1),
+       |lut AS (SELECT q.vec_id AS query_id, q.sub, c.cell,
+       |    q.snorm + c.c_norm - 2 * ($qdot) AS part_dist
+       |  FROM p q JOIN c ON q.sub = c.sub WHERE q.vec_id < 20),
+       |scored AS (SELECT lut.query_id, codes.vec_id,
+       |    SUM(part_dist)::BIGINT AS adc_dist
+       |  FROM codes JOIN lut ON codes.sub = lut.sub
+       |    AND codes.cell = lut.cell
+       |  WHERE codes.vec_id <> lut.query_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) = 4),
+       |ranked AS (SELECT query_id, vec_id, adc_dist, ROW_NUMBER() OVER
+       |  (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT)
+       |  AS rank, adc_dist
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   /** Full Lloyd iteration driven from the driver, the way
     * [[graft.operators.CurationOps.connectedComponents]] drives label
     * propagation: per round the k×dims centroid table COLLECTS (it is
@@ -605,6 +774,8 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_kmeans_step" -> (kmeansStep _),
+    "q97_semantic_dedup" -> (semanticDedup _),
+    "q98_pq_adc_search" -> (pqAdcSearch _),
     "q76_ivf_search" -> (ivfSearch _),
     "q58_pq_codes" -> (pqCodes _),
     "q44_ivf_assign" -> (ivfAssign _),
@@ -616,6 +787,8 @@ object VectorOps {
 
   val oracles: Map[String, String] = Map(
     "q87_kmeans_step" -> kmeansStepSql,
+    "q97_semantic_dedup" -> semanticDedupSql,
+    "q98_pq_adc_search" -> pqAdcSearchSql,
     "q76_ivf_search" -> ivfSearchSql,
     "q58_pq_codes" -> pqCodesSql,
     "q44_ivf_assign" -> ivfAssignSql,

@@ -87,6 +87,41 @@ class VectorOpsSpec extends SparkSuite {
     assert(cells.length <= 8 && cells.forall(c => c >= 0 && c < 8))
   }
 
+  test("semantic dedup: cell minima kept, verdict consistent, subset " +
+      "of the exact pair scan") {
+    val sd = VectorOps.semanticDedup(spark, sf)
+    assert(sd.count() == Tables.embeddings(spark, sf).count())
+    assert(sd.filter(col("is_kept") =!= (col("n_dup_above") === 0)).isEmpty)
+    // the smallest vec_id of every cell has no smaller-id neighbor
+    val minKept = sd.groupBy("cell").agg(min("vec_id").as("vec_id"))
+      .join(sd, Seq("vec_id"))
+    assert(minKept.filter(!col("is_kept")).isEmpty)
+    // cell-restricting can only REMOVE pairs vs the exact corpus scan
+    val exact = VectorOps.cosineNearDups(spark, sf)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val over = sd.join(exact, Seq("vec_id"), "left")
+      .filter(col("n_dup_above") > coalesce(col("n_exact"), lit(0L)))
+    assert(over.isEmpty)
+  }
+
+  test("pq adc search: 5 ascending non-negative ranks per query, " +
+      "self excluded, deterministic") {
+    val r = VectorOps.pqAdcSearch(spark, sf)
+    val rows = r.collect().map(x => (x.getLong(0), x.getLong(1),
+      x.getLong(2), x.getLong(3)))
+    assert(rows.length == 20 * 5)
+    assert(rows.forall { case (q, n, _, d) => q != n && d >= 0 })
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1L to 5L))
+      assert(byRank.map(_._4).toSeq == byRank.map(_._4).sorted.toSeq)
+    }
+    val again = VectorOps.pqAdcSearch(spark, sf).collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(again.toSet == rows.toSet)
+  }
+
   test("kmeans Lloyd loop converges on separated blobs and recovers " +
       "the true clustering from bad seeds") {
     // three tight blobs far apart on distinct axes; first-k seeding
