@@ -653,6 +653,11 @@ object MysqlBinlog {
     * groups in 1–4 bytes, sign bit on the first byte, negative values
     * stored complemented.
     */
+  /** Test hook: decode one NEWDECIMAL value from raw binlog bytes. */
+  private[graft] def decodeNewDecimalBytes(bytes: Array[Byte],
+      precision: Int, scale: Int): String =
+    decodeNewDecimal(new Reader(bytes, 0), precision, scale)
+
   private def decodeNewDecimal(r: Reader, precision: Int,
       scale: Int): String = {
     val intg = precision - scale

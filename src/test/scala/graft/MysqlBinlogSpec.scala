@@ -219,6 +219,32 @@ class MysqlBinlogSpec extends AnyFunSuite {
     }
   }
 
+  test("NEWDECIMAL vectors: hand-built decimal2bin images, not the " +
+      "symmetric writer") {
+    // Hand-computed from MySQL decimal2bin: base-10^9 groups big-endian,
+    // partial groups in Dig2Bytes bytes, digits XOR'd with the sign mask
+    // (all-ones when negative), then the first byte's MSB flipped.
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val vectors = Seq(
+      // DECIMAL(4,2) 12.34: [0x0C | 0x22] -> MSB flip
+      (bytes(0x8C, 0x22), 4, 2, "12.34"),
+      (bytes(0x73, 0xDD), 4, 2, "-12.34"),
+      // DECIMAL(14,4) -1234567890.1234: partial-int 1 byte, one full
+      // int group (234567890 = 0x0DFB38D2), partial-frac 2 bytes
+      (bytes(0x7E, 0xF2, 0x04, 0xC7, 0x2D, 0xFB, 0x2D), 14, 4,
+        "-1234567890.1234"),
+      (bytes(0x81, 0x0D, 0xFB, 0x38, 0xD2, 0x04, 0xD2), 14, 4,
+        "1234567890.1234"),
+      // DECIMAL(9,9) -0.999999999: single full fraction group
+      (bytes(0x44, 0x65, 0x36, 0x00), 9, 9, "-0.999999999"),
+      (bytes(0xBB, 0x9A, 0xC9, 0xFF), 9, 9, "0.999999999"))
+    vectors.foreach { case (raw, p, s, want) =>
+      assert(MysqlBinlog.decodeNewDecimalBytes(raw, p, s) == want,
+        s"DECIMAL($p,$s) " +
+          raw.map(b => f"${b & 0xff}%02x").mkString(" "))
+    }
+  }
+
   test("TIME2 vectors: negative fractional times are one complemented " +
       "quantity") {
     // Hand-computed from my_time.c storage (TIMEF_INT_OFS borrow /
