@@ -597,6 +597,15 @@ object MysqlBinlog {
     if (meta == 0) ""
     else "." + f"$micros%06d".substring(0, fracDigits(meta))
 
+  /** Test hooks: decode one DATETIME2/TIMESTAMP2 value from raw bytes. */
+  private[graft] def decodeDateTime2Bytes(bytes: Array[Byte],
+      meta: Int): String =
+    decodeDateTime2(new Reader(bytes, 0), meta)
+
+  private[graft] def decodeTimestamp2Bytes(bytes: Array[Byte],
+      meta: Int): String =
+    decodeTimestamp2(new Reader(bytes, 0), meta)
+
   private def decodeTimestamp2(r: Reader, meta: Int): String = {
     val secs = r.beU(4)
     val micros = readFrac(r, meta)

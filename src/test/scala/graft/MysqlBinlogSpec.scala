@@ -245,6 +245,25 @@ class MysqlBinlogSpec extends AnyFunSuite {
     }
   }
 
+  test("DATETIME2/TIMESTAMP2 vectors: hand-built packed images") {
+    // Hand-computed from the my_time.c packed layout: 5-byte offset-
+    // binary (ym*13 calendar packing, 17-bit hms) plus big-endian
+    // fraction bytes in 10^(6-2*ceil(fsp/2)) units.
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val dt = Seq(
+      (bytes(0x99, 0xB0, 0xA4, 0xDB, 0x5E, 0x04, 0xCE), 3,
+        "2023-07-18 13:45:30.123"),
+      (bytes(0x80, 0x03, 0x82, 0x00, 0x00), 0, "0001-01-01 00:00:00"),
+      (bytes(0xFE, 0xF3, 0xFF, 0x7E, 0xFB, 0x0F, 0x42, 0x3F), 6,
+        "9999-12-31 23:59:59.999999"))
+    dt.foreach { case (raw, fsp, want) =>
+      assert(MysqlBinlog.decodeDateTime2Bytes(raw, fsp) == want,
+        s"fsp=$fsp")
+    }
+    assert(MysqlBinlog.decodeTimestamp2Bytes(
+      bytes(0x64, 0xB6, 0x97, 0x7A, 0x2D), 2) == "1689687930.45")
+  }
+
   test("TIME2 vectors: negative fractional times are one complemented " +
       "quantity") {
     // Hand-computed from my_time.c storage (TIMEF_INT_OFS borrow /
