@@ -168,4 +168,27 @@ class ScaleShapeSpec extends SparkSuite {
     assert(!p88.contains("CartesianProduct") &&
       !p88.contains("BroadcastNestedLoop"), p88)
   }
+
+  test("semantic dedup pairs join equi-keyed on cell; adc LUT broadcasts") {
+    // q97: the within-cell pair scan must be an equi-join on cell —
+    // a cartesian/nested-loop here is the O(n²) scan the operator
+    // exists to avoid (the only BNLJ allowed is the tiny seed cross)
+    val p97 = graft.operators.VectorOps.semanticDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p97.contains("SortMergeJoin") || p97.contains("ShuffledHashJoin"),
+      p97)
+    assert(!p97.contains("CartesianProduct"), p97)
+    // q98: the per-(query,sub,cell) LUT joins the codes broadcast —
+    // the corpus-sized side must never build a hash relation
+    val p98 = graft.operators.VectorOps.pqAdcSearch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p98.contains("BroadcastHashJoin"), p98)
+    assert(!p98.contains("CartesianProduct"), p98)
+    // q94: the census join is an equi-join keyed on the passage, and
+    // the per-doc chunking window is partitioned (never single-slot)
+    val p94 = graft.operators.CurationOps.passageDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p94.contains("CartesianProduct") &&
+      !p94.contains("BroadcastNestedLoop"), p94)
+  }
 }
