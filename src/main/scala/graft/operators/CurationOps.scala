@@ -457,6 +457,31 @@ object CurationOps {
        |FROM c WHERE c.end_tok >= c.start_tok""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q99
+  /** Leakage-safe train/val/test split: the unit of assignment is the
+    * NEAR-DUP COMPONENT (q46), not the document — two near-duplicate
+    * docs can never straddle train and test, which is how eval
+    * contamination sneaks past a doc-keyed split (q47). Same
+    * deterministic permille-hash gate, applied to the component label;
+    * per-row map on top of the component frame, so the only non-q46
+    * cost is zero additional shuffles.
+    */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = sampleHash(col("component")) % 100
+    val split = when(h < 80, "train").when(h < 90, "val")
+      .otherwise("test")
+    dedupGroups(spark, dir).withColumn("split", split)
+  }
+
+  val leakageSplitSql: String = {
+    val h = s"${sampleHashSql("component")} % 100"
+    s"""WITH RECURSIVE $dedupGroupsCtes
+       |SELECT doc_id, component,
+       |  CASE WHEN $h < 80 THEN 'train'
+       |       WHEN $h < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM comps""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q94
   /** Cross-corpus duplicated-passage census — the C4-style boilerplate
     * signal at PASSAGE granularity: a passage (content-defined chunk,
@@ -685,7 +710,8 @@ object CurationOps {
     "q47_dataset_split" -> (datasetSplit _),
     "q46_dedup_groups" -> (dedupGroups _),
     "q94_passage_dedup" -> (passageDedup _),
-    "q96_mixture_plan" -> (mixturePlan _))
+    "q96_mixture_plan" -> (mixturePlan _),
+    "q99_leakage_split" -> (leakageSplit _))
 
   val oracles: Map[String, String] = Map(
     "q57_domain_cap" -> domainCapSql,
@@ -703,5 +729,6 @@ object CurationOps {
     "q47_dataset_split" -> datasetSplitSql,
     "q46_dedup_groups" -> dedupGroupsSql,
     "q94_passage_dedup" -> passageDedupSql,
-    "q96_mixture_plan" -> mixturePlanSql)
+    "q96_mixture_plan" -> mixturePlanSql,
+    "q99_leakage_split" -> leakageSplitSql)
 }

@@ -162,6 +162,18 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("leakage split never straddles a near-dup component") {
+    val s = CurationOps.leakageSplit(spark, sf)
+    assert(s.count() == Tables.documents(spark, sf).count())
+    // one split per component, by construction AND by measurement
+    val perComp = s.groupBy("component")
+      .agg(countDistinct("split").as("n_splits"))
+    assert(perComp.filter(col("n_splits") =!= 1).isEmpty)
+    // deterministic across reruns
+    val again = CurationOps.leakageSplit(spark, sf)
+    assert(s.exceptAll(again).isEmpty && again.exceptAll(s).isEmpty)
+  }
+
   test("pivot matrix accounts for every event value once") {
     val p = Relational3.eventPivot(spark, sf)
     assert(p.count() == 10)
