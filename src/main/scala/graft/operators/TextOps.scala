@@ -303,6 +303,80 @@ object TextOps {
       |FROM h""".stripMargin.replace("TOKS", toks)
   }
 
+  // ---------------------------------------------------------------- q100
+  /** Top-bigram mass per document — the Gopher repetition gate q59
+    * doesn't cover: q59 asks "how many trigrams repeat at all", this
+    * asks "how much of the document is ONE phrase" (boilerplate
+    * headers, keyword stuffing, generation loops stuck on a phrase).
+    * Reported as the most frequent bigram's share of all bigram slots,
+    * with the 0.2 Gopher-style flag. Exact-integer counts; the share
+    * is one IEEE division.
+    *
+    * Shape: token rows → `lead` bigrams (codegen) → per-(doc, bigram)
+    * hash aggregate → per-doc argmax via one more max(struct)
+    * aggregate — deterministic smallest-bigram tie-break, no window,
+    * so a skewed boilerplate bigram never single-slots a sort. Docs
+    * with <2 tokens survive via the left join with zero mass.
+    */
+  def topNgramMass(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Tables.documents(spark, dir)
+    val toks = d.select(col("doc_id"),
+      posexplode(tokens(normText(col("text")))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = toks
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+    val counts = bigrams.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+    // argmax with ties to the LEXICOGRAPHICALLY SMALLEST bigram: there
+    // is no "negate a string", so rank bigrams by (cnt, reverse order)
+    // via min over a struct of (-cnt, bigram)
+    val top = counts.groupBy(col("doc_id"))
+      .agg(min(struct((-col("cnt")).as("neg_cnt"), col("bigram")))
+          .as("m"),
+        sum(col("cnt")).as("n_bigrams"))
+      .select(col("doc_id"), col("m.bigram").as("top_bigram"),
+        (-col("m.neg_cnt")).as("top_count"), col("n_bigrams"))
+    d.select(col("doc_id")).join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+      .withColumn("top_frac",
+        when(col("n_bigrams") > 0,
+          col("top_count").cast("double") /
+            col("n_bigrams").cast("double")).otherwise(lit(0.0)))
+      .withColumn("flagged", col("top_frac") > 0.2)
+  }
+
+  val topNgramMassSql: String = {
+    val toks = tokensSql(normTextSql("text"))
+    s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+       |bg AS (SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(toks) - 1, 0) + 1),
+       |    i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)))
+       |    AS bigram FROM d),
+       |c AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+       |t AS (SELECT doc_id,
+       |    min(struct_pack(neg_cnt := -cnt, bigram := bigram)) AS m,
+       |    CAST(sum(cnt) AS BIGINT) AS n_bigrams
+       |  FROM c GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(t.m.bigram, '') AS top_bigram,
+       |  CAST(coalesce(-t.m.neg_cnt, 0) AS BIGINT) AS top_count,
+       |  coalesce(t.n_bigrams, 0) AS n_bigrams,
+       |  CASE WHEN coalesce(t.n_bigrams, 0) > 0 THEN
+       |    CAST(-t.m.neg_cnt AS DOUBLE) / CAST(t.n_bigrams AS DOUBLE)
+       |  ELSE 0.0 END AS top_frac,
+       |  (CASE WHEN coalesce(t.n_bigrams, 0) > 0 THEN
+       |    CAST(-t.m.neg_cnt AS DOUBLE) / CAST(t.n_bigrams AS DOUBLE)
+       |  ELSE 0.0 END) > 0.2 AS flagged
+       |FROM d LEFT JOIN t ON d.doc_id = t.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q38
   /** BPE-ish tokenization: word pieces vs punctuation pieces via the
     * `\w+|[^\w\s]` split every byte-pair pre-tokenizer starts from.
@@ -474,6 +548,7 @@ object TextOps {
     "q59_repetition" -> (repetitionStats _),
     "q37_quality_filter" -> (qualityFilter _),
     "q95_quality_logit" -> (qualityLogit _),
+    "q100_topngram_mass" -> (topNgramMass _),
     "q38_bpe_tokens" -> (bpeTokens _),
     "q30_text_stats" -> (textStats _),
     "q31_lang_id" -> (langId _),
@@ -485,6 +560,7 @@ object TextOps {
     "q59_repetition" -> repetitionStatsSql,
     "q37_quality_filter" -> qualityFilterSql,
     "q95_quality_logit" -> qualityLogitSql,
+    "q100_topngram_mass" -> topNgramMassSql,
     "q38_bpe_tokens" -> bpeTokensSql,
     "q30_text_stats" -> textStatsSql,
     "q31_lang_id" -> langIdSql,

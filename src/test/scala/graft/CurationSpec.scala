@@ -174,6 +174,22 @@ class CurationSpec extends SparkSuite {
     assert(s.exceptAll(again).isEmpty && again.exceptAll(s).isEmpty)
   }
 
+  test("top-bigram mass is bounded and counts every bigram slot") {
+    import graft.operators.TextOps
+    val t = TextOps.topNgramMass(spark, sf)
+    assert(t.count() == Tables.documents(spark, sf).count())
+    assert(t.filter(col("top_count") > col("n_bigrams") ||
+      col("top_frac") < 0.0 || col("top_frac") > 1.0).isEmpty)
+    // n_bigrams must equal tokenized length - 1 (0 for shorter docs)
+    val direct = Tables.documents(spark, sf).select(col("doc_id"),
+      greatest(size(TextOps.tokens(TextOps.normText(col("text")))) - 1,
+        lit(0)).cast("long").as("expect"))
+    assert(t.join(direct, "doc_id")
+      .filter(col("n_bigrams") =!= col("expect")).isEmpty)
+    // the flag follows the published threshold exactly
+    assert(t.filter(col("flagged") =!= (col("top_frac") > 0.2)).isEmpty)
+  }
+
   test("pivot matrix accounts for every event value once") {
     val p = Relational3.eventPivot(spark, sf)
     assert(p.count() == 10)
