@@ -453,6 +453,146 @@ object VectorOps {
        |WHERE rank <= 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q101
+  /** The composed production ANN stack — IVF routing (q76) over PQ
+    * ADC ranking (q98): a query probes its 4 nearest of 16 coarse
+    * cells, and candidates inside those cells are ranked by the
+    * 4-int-code ADC distance, never by stored vectors. This is the
+    * "IVFPQ" read path: the corpus is partitioned by coarse cell on
+    * disk, each query scans nProbe/nCells of the CODES (4 longs per
+    * vector), and the only per-candidate math is 4 LUT adds.
+    *
+    * Exactness contract: routing and ranking are both deterministic
+    * (cosine probe ties to the smaller cell, integer ADC ties to the
+    * smaller id), so the oracle hash-matches even though ADC itself is
+    * an approximation of the true distance — q90's recall harness is
+    * the place where approximation QUALITY is graded; here the oracle
+    * pins the algorithm.
+    */
+  def ivfAdcSearch(spark: SparkSession, dir: String): DataFrame = {
+    val nProbe = 4
+    val k = 5
+    val subCount = 4
+    val subDim = 16
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), intVec(col("embedding")).as("xs"))
+      .withColumn("norm", intDot(col("xs"), col("xs")))
+    val seeds = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("xs").as("s_xs"),
+        col("norm").as("s_norm"))
+    val assigned = nearestCell(e, seeds, keep = Nil)
+      .select(col("vec_id"), col("cell"))
+    // PQ codebook + codes (q58/q98 scheme, sub-centroids = vec_id < 4)
+    val subs = (0 until subCount).map { s =>
+      e.select(col("vec_id"), lit(s).as("sub"),
+        slice(col("xs"), s * subDim + 1, subDim).as("sxs"))
+    }.reduce(_ unionByName _)
+      .withColumn("snorm", intDot(col("sxs"), col("sxs")))
+    val cents = subs.filter(col("vec_id") < 4)
+      .select(col("sub"), col("vec_id").as("pcell"),
+        col("sxs").as("c_sxs"), col("snorm").as("c_norm"))
+    val wCode = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dist"), col("pcell"))
+    val codes = subs.join(broadcast(cents), "sub")
+      .withColumn("dist", col("snorm") + col("c_norm") -
+        lit(2L) * intDot(col("sxs"), col("c_sxs")))
+      .withColumn("rk", row_number().over(wCode))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("pcell"))
+    // query-side: coarse probes (cosine) + ADC lookup table
+    val queriesDf = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("xs").as("q_xs"),
+        col("norm").as("q_norm"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    val probes = queriesDf.join(broadcast(seeds))
+      .withColumn("sim", cosine(intDot(col("q_xs"), col("s_xs")),
+        col("q_norm"), col("s_norm")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val lut = subs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("sub"),
+        col("sxs").as("q_sxs"), col("snorm").as("q_norm"))
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("pcell"),
+        (col("q_norm") + col("c_norm") -
+          lit(2L) * intDot(col("q_sxs"), col("c_sxs"))).as("part_dist"))
+    // candidates = vectors in probed cells; rank by summed LUT entries
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val scored = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "pcell"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("part_dist")).as("adc_dist"),
+        count(lit(1)).as("n_subs"))
+      .filter(col("n_subs") === subCount)
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(wTop).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("adc_dist"))
+  }
+
+  val ivfAdcSearchSql: String = {
+    def cos(dot: String, na: String, nb: String) =
+      s"CAST($dot AS DOUBLE) / sqrt(CAST($na AS DOUBLE) * " +
+        s"CAST($nb AS DOUBLE))"
+    val cdot = intDotSql("p.sxs", "c.c_sxs")
+    val qdot = intDotSql("qs.sxs", "c.c_sxs")
+    s"""WITH v AS (SELECT vec_id, ${intVecSql("embedding")} AS xs
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, xs, ${intDotSql("xs", "xs")} AS norm FROM v),
+       |s AS (SELECT vec_id AS cell, xs, norm FROM e WHERE vec_id < 16),
+       |pa AS (SELECT e.vec_id, s.cell,
+       |    ${cos(intDotSql("e.xs", "s.xs"), "e.norm", "s.norm")} AS sim
+       |  FROM e, s),
+       |ar AS (SELECT vec_id, cell, ROW_NUMBER() OVER
+       |    (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk FROM pa),
+       |a AS (SELECT vec_id, cell FROM ar WHERE rk = 1),
+       |subs AS (SELECT vec_id, ss.sub,
+       |    list_slice(xs, ss.sub*16 + 1, ss.sub*16 + 16) AS sxs
+       |  FROM v, (SELECT unnest(range(4)) AS sub) ss),
+       |p AS (SELECT vec_id, sub, sxs,
+       |    ${intDotSql("sxs", "sxs")} AS snorm FROM subs),
+       |c AS (SELECT sub, vec_id AS pcell, sxs AS c_sxs, snorm AS c_norm
+       |  FROM p WHERE vec_id < 4),
+       |cd AS (SELECT p.vec_id, p.sub, c.pcell,
+       |    p.snorm + c.c_norm - 2 * ($cdot) AS dist
+       |  FROM p JOIN c ON p.sub = c.sub),
+       |cr AS (SELECT vec_id, sub, pcell, ROW_NUMBER() OVER
+       |    (PARTITION BY vec_id, sub ORDER BY dist, pcell) AS rk FROM cd),
+       |codes AS (SELECT vec_id, sub, pcell FROM cr WHERE rk = 1),
+       |q AS (SELECT vec_id AS query_id, xs, norm FROM e
+       |  WHERE vec_id < 20),
+       |pq AS (SELECT q.query_id, s.cell,
+       |    ${cos(intDotSql("q.xs", "s.xs"), "q.norm", "s.norm")} AS sim
+       |  FROM q, s),
+       |pr AS (SELECT query_id, cell, ROW_NUMBER() OVER
+       |    (PARTITION BY query_id ORDER BY sim DESC, cell) AS rk
+       |  FROM pq),
+       |probe AS (SELECT query_id, cell FROM pr WHERE rk <= 4),
+       |lut AS (SELECT qs.vec_id AS query_id, qs.sub, c.pcell,
+       |    qs.snorm + c.c_norm - 2 * ($qdot) AS part_dist
+       |  FROM p qs JOIN c ON qs.sub = c.sub WHERE qs.vec_id < 20),
+       |cand AS (SELECT probe.query_id, a.vec_id FROM probe
+       |  JOIN a ON a.cell = probe.cell WHERE a.vec_id <> probe.query_id),
+       |scored AS (SELECT cand.query_id, cand.vec_id,
+       |    SUM(part_dist)::BIGINT AS adc_dist
+       |  FROM cand JOIN codes ON codes.vec_id = cand.vec_id
+       |    JOIN lut ON lut.query_id = cand.query_id
+       |    AND lut.sub = codes.sub AND lut.pcell = codes.pcell
+       |  GROUP BY 1, 2 HAVING COUNT(*) = 4),
+       |ranked AS (SELECT query_id, vec_id, adc_dist, ROW_NUMBER() OVER
+       |  (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT)
+       |  AS rank, adc_dist
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q87
   /** One exact k-means (Lloyd) step — the clustering half of semantic
     * dedup / data-mix curation: assign every vector to its nearest of
@@ -776,6 +916,7 @@ object VectorOps {
     "q87_kmeans_step" -> (kmeansStep _),
     "q97_semantic_dedup" -> (semanticDedup _),
     "q98_pq_adc_search" -> (pqAdcSearch _),
+    "q101_ivf_adc_search" -> (ivfAdcSearch _),
     "q76_ivf_search" -> (ivfSearch _),
     "q58_pq_codes" -> (pqCodes _),
     "q44_ivf_assign" -> (ivfAssign _),
@@ -789,6 +930,7 @@ object VectorOps {
     "q87_kmeans_step" -> kmeansStepSql,
     "q97_semantic_dedup" -> semanticDedupSql,
     "q98_pq_adc_search" -> pqAdcSearchSql,
+    "q101_ivf_adc_search" -> ivfAdcSearchSql,
     "q76_ivf_search" -> ivfSearchSql,
     "q58_pq_codes" -> pqCodesSql,
     "q44_ivf_assign" -> ivfAssignSql,

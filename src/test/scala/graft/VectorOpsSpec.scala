@@ -122,6 +122,21 @@ class VectorOpsSpec extends SparkSuite {
     assert(again.toSet == rows.toSet)
   }
 
+  test("ivf+adc composes: probing can only lose candidates vs full adc") {
+    val full = VectorOps.pqAdcSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val ivf = VectorOps.ivfAdcSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ivf.length == 20 * 5)
+    ivf.groupBy(_._1).foreach { case (q, g) =>
+      val byRank = g.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1L to 5L))
+      // rank-1 under cell probing is never better than rank-1 of the
+      // unrouted ADC scan over the whole corpus
+      assert(byRank.head._4 >= full((q, 1L)))
+    }
+  }
+
   test("kmeans Lloyd loop converges on separated blobs and recovers " +
       "the true clustering from bad seeds") {
     // three tight blobs far apart on distinct axes; first-k seeding
