@@ -457,6 +457,78 @@ object CurationOps {
        |FROM c WHERE c.end_tok >= c.start_tok""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q102
+  /** The dataset card: one report row per (lang, source) cell with the
+    * doc/char/token volumes and the three hygiene rates every corpus
+    * release ships — exact-duplicate docs (corpus-wide fingerprint
+    * census), low-quality docs (q95's keep=false), and one-phrase
+    * repetitive docs (q100's flag). This is deliberately a COMPOSITION
+    * of the per-doc signal operators, joined on doc_id, so the report
+    * can never drift from the signals it summarizes.
+    *
+    * Scale shape: each signal is its own corpus pass (they already
+    * exist as operators; a production pipeline materializes per-doc
+    * signal tables once and this report is a cheap re-aggregation);
+    * joins are doc_id equi-joins, the final rollup groups on the
+    * low-cardinality (lang, source) pair with map-side combine.
+    */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val base = d.select(col("doc_id"), col("lang"), col("source"),
+      col("n_chars"), size(tokens(col("text"))).cast("long")
+        .as("n_tokens"))
+    val fp = d.select(col("doc_id"),
+      TextOps.charFold(normText(col("text"))).as("fp"))
+    val dupFp = fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= 2)
+    val isDup = fp.join(dupFp, Seq("fp"))
+      .select(col("doc_id"), lit(1L).as("is_dup"))
+    val lowQ = TextOps.qualityLogit(spark, dir)
+      .filter(!col("keep"))
+      .select(col("doc_id"), lit(1L).as("is_low_q"))
+    val rep = TextOps.topNgramMass(spark, dir)
+      .filter(col("flagged"))
+      .select(col("doc_id"), lit(1L).as("is_rep"))
+    base.join(isDup, Seq("doc_id"), "left")
+      .join(lowQ, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_exact_dup"),
+        sum(coalesce(col("is_low_q"), lit(0L))).as("n_low_quality"),
+        sum(coalesce(col("is_rep"), lit(0L))).as("n_repetitive"))
+  }
+
+  val corpusReportSql: String = {
+    val toks = tokensSql("text")
+    val fpExpr = TextOps.charFoldSql(normTextSql("text"))
+    s"""WITH base AS (SELECT doc_id, lang, source, n_chars,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+       |fp AS (SELECT doc_id, $fpExpr AS fp FROM documents),
+       |dup AS (SELECT fp.doc_id, 1 AS is_dup FROM fp
+       |  JOIN (SELECT fp FROM fp GROUP BY fp HAVING count(*) >= 2) d
+       |  ON fp.fp = d.fp),
+       |lowq AS (SELECT doc_id, 1 AS is_low_q FROM
+       |  (${TextOps.qualityLogitSql}) ql WHERE NOT keep),
+       |rep AS (SELECT doc_id, 1 AS is_rep FROM
+       |  (${TextOps.topNgramMassSql}) tm WHERE flagged)
+       |SELECT lang, source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(coalesce(is_dup, 0)) AS BIGINT) AS n_exact_dup,
+       |  CAST(sum(coalesce(is_low_q, 0)) AS BIGINT) AS n_low_quality,
+       |  CAST(sum(coalesce(is_rep, 0)) AS BIGINT) AS n_repetitive
+       |FROM base
+       |LEFT JOIN dup USING (doc_id)
+       |LEFT JOIN lowq USING (doc_id)
+       |LEFT JOIN rep USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q99
   /** Leakage-safe train/val/test split: the unit of assignment is the
     * NEAR-DUP COMPONENT (q46), not the document — two near-duplicate
@@ -711,7 +783,8 @@ object CurationOps {
     "q46_dedup_groups" -> (dedupGroups _),
     "q94_passage_dedup" -> (passageDedup _),
     "q96_mixture_plan" -> (mixturePlan _),
-    "q99_leakage_split" -> (leakageSplit _))
+    "q99_leakage_split" -> (leakageSplit _),
+    "q102_corpus_report" -> (corpusReport _))
 
   val oracles: Map[String, String] = Map(
     "q57_domain_cap" -> domainCapSql,
@@ -730,5 +803,6 @@ object CurationOps {
     "q46_dedup_groups" -> dedupGroupsSql,
     "q94_passage_dedup" -> passageDedupSql,
     "q96_mixture_plan" -> mixturePlanSql,
-    "q99_leakage_split" -> leakageSplitSql)
+    "q99_leakage_split" -> leakageSplitSql,
+    "q102_corpus_report" -> corpusReportSql)
 }

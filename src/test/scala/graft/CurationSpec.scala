@@ -190,6 +190,26 @@ class CurationSpec extends SparkSuite {
     assert(t.filter(col("flagged") =!= (col("top_frac") > 0.2)).isEmpty)
   }
 
+  test("corpus report reconciles with the corpus and its signals") {
+    import graft.operators.TextOps
+    val r = CurationOps.corpusReport(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val agg = r.agg(sum("n_docs"), sum("total_chars"), sum("n_low_quality"),
+      sum("n_repetitive")).collect()(0)
+    assert(agg.getLong(0) == docs.count())
+    assert(agg.getLong(1) ==
+      docs.agg(sum("n_chars")).collect()(0).getLong(0))
+    // cross-check the flag totals against the signal operators
+    assert(agg.getLong(2) ==
+      TextOps.qualityLogit(spark, sf).filter(!col("keep")).count())
+    assert(agg.getLong(3) ==
+      TextOps.topNgramMass(spark, sf).filter(col("flagged")).count())
+    // per-cell sanity: no rate exceeds its cell count
+    assert(r.filter(col("n_exact_dup") > col("n_docs") ||
+      col("n_low_quality") > col("n_docs") ||
+      col("n_repetitive") > col("n_docs")).isEmpty)
+  }
+
   test("pivot matrix accounts for every event value once") {
     val p = Relational3.eventPivot(spark, sf)
     assert(p.count() == 10)
