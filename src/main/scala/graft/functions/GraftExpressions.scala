@@ -105,6 +105,29 @@ object GraftExpressions {
       mins.map(v => v: Any))
   }
 
+  /** Exact mirror of the composed scaler `transform(v, x =>
+    * round(cast(x as double) * 1e6).cast(long))`: Spark's Round on a
+    * double routes through BigDecimal.valueOf (the shortest-decimal
+    * rendering) with HALF_UP, and the long cast truncates the integral
+    * double — reproduced term for term so swapping the expression in
+    * cannot move a single quantized value. One native pass replaces
+    * three interpreted per-element steps (HOF lambda + Round + Cast).
+    */
+  def scaleLongs(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = (if (isFloat) a.getFloat(i).toDouble
+        else a.getDouble(i)) * 1e6
+      out(i) = java.math.BigDecimal.valueOf(d)
+        .setScale(0, java.math.RoundingMode.HALF_UP)
+        .doubleValue().toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Exact integer dot product of two long-array columns. */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
@@ -206,6 +229,33 @@ case class LongDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** scaledLongs(array<float|double>) → array<bigint>: the ×1e6 integer
+  * quantizer in front of every vector operator, codegen-capable.
+  * Rounding is bit-identical to the composed round/cast form (see
+  * [[GraftExpressions.scaleLongs]]).
+  */
+case class ScaledLongs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = false)
+  override def prettyName: String = "graft_scaled_longs"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExpressions.scaleLongs(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftExpressions.scaleLongs($c, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** simhash(array<bigint>, bits) → bigint: one-pass per-bit majority
   * fingerprint, codegen-capable. Replaces `bits` interpreted aggregate()
   * passes per row in the composed form.
@@ -302,6 +352,9 @@ class GraftExtensions
       info("graft_top_k_by", "bounded top-k (score, id) per group"),
       exprs => TopKByAgg(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("graft_scaled_longs"),
+      info("graft_scaled_longs", "×1e6 integer quantizer for vectors"),
+      exprs => ScaledLongs(exprs.head)))
   }
 }
 
@@ -353,6 +406,8 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_top_k_by",
         exprs => TopKByAgg(exprs(0), exprs(1),
           exprs(2).eval().asInstanceOf[Int]), "scala_udf")
+      reg.createOrReplaceTempFunction("graft_scaled_longs",
+        exprs => ScaledLongs(exprs.head), "scala_udf")
     }
   }
 
@@ -378,4 +433,5 @@ object GraftFunctions {
   def topKBy(score: Column, id: Column, k: Int): Column =
     fn("graft_top_k_by", score, id,
       org.apache.spark.sql.functions.lit(k))
+  def scaledLongs(c: Column): Column = fn("graft_scaled_longs", c)
 }

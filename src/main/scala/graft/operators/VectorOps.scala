@@ -28,12 +28,13 @@ object VectorOps {
 
   /** Scale a float vector to integers once (×1e6, rounded) — materialized
     * per row so every subsequent dot is pure integer multiply-adds.
-    * (Higher-order lambdas are interpreted, not codegen'd: per-pair double
-    * rounding was the dominant cost before this.)
+    * Native codegen expression; the composed
+    * `transform(v, x => round(cast…)·cast)` form it replaces was an
+    * interpreted HOF with three per-element steps, and the native
+    * rounding is bit-identical (see GraftExpressions.scaleLongs).
     */
   def intVec(v: Column): Column =
-    transform(v, x => round(x.cast(DoubleType) * lit(Scale))
-      .cast(LongType))
+    graft.functions.GraftFunctions.scaledLongs(v)
 
   def intVecSql(v: String): String =
     s"list_transform($v, " +

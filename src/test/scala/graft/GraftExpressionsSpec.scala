@@ -115,6 +115,33 @@ class GraftExpressionsSpec extends SparkSuite {
       .as[Long].head() == 32L)
   }
 
+  test("native scaledLongs is bit-identical to the composed round/cast") {
+    GraftFunctions.register(spark)
+    // adversarial values: negatives, halves landing on .5 in the
+    // shortest-decimal rendering, denormal-ish smalls, exact ints
+    val vecs = Seq(
+      Array(0.1234565f, -0.1234565f, 0.5f, -0.5f, 1.0f, -1.0f),
+      Array(0.0000005f, -0.0000005f, 0.9999995f, -0.9999995f, 0f, -0f),
+      Array(1.5e-6f, -1.5e-6f, 2.5e-6f, -2.5e-6f, 3.3333333f, 5.3e5f))
+    val df = vecs.map(v => Tuple1(v)).toDF("v")
+    val native = df.select(GraftFunctions.scaledLongs(col("v")))
+      .as[Seq[Long]].collect().toSeq
+    val composed = df.select(transform(col("v"),
+        x => round(x.cast("double") * lit(1e6)).cast("long")))
+      .as[Seq[Long]].collect().toSeq
+    assert(native == composed)
+    // and a broad randomized sweep (fixed seed)
+    val rnd = new scala.util.Random(7)
+    val many = Seq.fill(200)(Array.fill(16)(
+      (rnd.nextFloat() - 0.5f) * 2f)).map(Tuple1(_)).toDF("v")
+    val n2 = many.select(GraftFunctions.scaledLongs(col("v")))
+      .as[Seq[Long]].collect().toSeq
+    val c2 = many.select(transform(col("v"),
+        x => round(x.cast("double") * lit(1e6)).cast("long")))
+      .as[Seq[Long]].collect().toSeq
+    assert(n2 == c2)
+  }
+
   test("native expressions usable inside higher-order lambdas") {
     GraftFunctions.register(spark)
     val df = Seq(Seq("ab", "cd")).toDF("xs")
