@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -93,6 +93,57 @@ object Multimodal {
       else if (p.length >= 26 && u8(0) == 'B' && u8(1) == 'M')
         Some(("image/bmp", le32(18), le32(22)))
       else None
+    }
+  }
+
+  /** RIFF/WAVE container parser — like [[ImageHeader]], the audio
+    * facts a pipeline needs (channels, sample rate, sample width,
+    * duration) live in the PUBLIC container header, not the sample
+    * stream: "RIFF" + size + "WAVE", then a chunk walk ("fmt " for
+    * PCM layout, "data" for payload size). The walk is generic — any
+    * chunk order, unknown chunks skipped by their declared size (odd
+    * sizes pad to even, per RIFF) — so a real capture with LIST/INFO
+    * chunks parses the same as the synthetic fixture.
+    */
+  object RiffHeader {
+    final case class Wav(channels: Int, sampleRate: Int, bits: Int,
+        dataBytes: Int) {
+      def nSamples: Long =
+        if (channels <= 0 || bits <= 0) 0L
+        else dataBytes.toLong / (channels.toLong * (bits / 8))
+      def durationMs: Long =
+        if (sampleRate <= 0) 0L else nSamples * 1000L / sampleRate
+    }
+
+    def parse(p: Array[Byte]): Option[Wav] = {
+      def u8(i: Int) = p(i) & 0xff
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int) =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      def tag(i: Int) = new String(p, i, 4, "US-ASCII")
+      if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+        return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None
+      var dataBytes = -1
+      while (i + 8 <= p.length && (fmt.isEmpty || dataBytes < 0)) {
+        val id = tag(i)
+        val size = le32(i + 4)
+        if (size < 0) return None
+        id match {
+          case "fmt " if size >= 16 && i.toLong + 8 + size <= p.length =>
+            fmt = Some((le16(i + 10), le32(i + 12), le16(i + 22)))
+          case "data" =>
+            // declared size; the payload itself may be truncated or
+            // absent (streamed captures declare ahead of the samples)
+            dataBytes = size
+          case _ => ()
+        }
+        i += 8 + size + (size & 1) // RIFF pads odd chunks to even
+      }
+      fmt.collect { case (ch, rate, bits) if dataBytes >= 0 =>
+        Wav(ch, rate, bits, dataBytes)
+      }
     }
   }
 
@@ -220,11 +271,71 @@ object Multimodal {
       |  CAST((doc_id * 3) % 480 + 1 AS INT) AS height
       |FROM documents""".stripMargin
 
+  /** q103 — audio-metadata round-trip, the [[imageDims]] pattern for
+    * sound: VALID RIFF/WAVE header bytes are synthesized from doc_id,
+    * [[RiffHeader]] REALLY walks the chunks, and the oracle recomputes
+    * the expected facts arithmetically — any parser bug breaks the
+    * hash match. Per-row map, no shuffle; at 100 TB this is the
+    * metadata-extraction pass that runs before any costly resample.
+    */
+  def audioMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def le16(c: Column): Column = concat(
+      lpad(hex(pmod(c, lit(256))), 2, "0"),
+      lpad(hex(pmod(shiftright(c, 8), lit(256))), 2, "0"))
+    def le32(c: Column): Column = concat(
+      lpad(hex(pmod(c, lit(256))), 2, "0"),
+      lpad(hex(pmod(shiftright(c, 8), lit(256))), 2, "0"),
+      lpad(hex(pmod(shiftright(c, 16), lit(256))), 2, "0"),
+      lpad(hex(pmod(shiftright(c, 24), lit(256))), 2, "0"))
+    val channels = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+    val rate = when(pmod(col("doc_id"), lit(3)) === 0, 8000)
+      .when(pmod(col("doc_id"), lit(3)) === 1, 16000)
+      .otherwise(44100).cast("int")
+    val bits = lit(16)
+    val nSamples = (pmod(col("doc_id"), lit(1000)) + 1).cast("int")
+    val dataBytes = nSamples * channels * lit(2)
+    val byteRate = rate * channels * lit(2)
+    val blockAlign = channels * lit(2)
+    val wavHex = concat(
+      lit("52494646"), le32(dataBytes + 36), lit("57415645"),
+      lit("666D7420"), le32(lit(16)), le16(lit(1)), le16(channels),
+      le32(rate), le32(byteRate), le16(blockAlign), le16(bits),
+      lit("64617461"), le32(dataBytes))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(wavHex).as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val w = RiffHeader.parse(bytes)
+            .getOrElse(RiffHeader.Wav(0, 0, 0, 0))
+          (id, w.channels, w.sampleRate, w.bits, w.nSamples,
+            w.durationMs)
+        }
+      }
+      .toDF("doc_id", "channels", "sample_rate", "bits", "n_samples",
+        "duration_ms")
+  }
+
+  val audioMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+      |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000
+      |    WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate,
+      |  CAST(16 AS INT) AS bits,
+      |  CAST(doc_id % 1000 + 1 AS BIGINT) AS n_samples,
+      |  CAST((doc_id % 1000 + 1) * 1000 //
+      |    (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000
+      |     WHEN 1 THEN 16000 ELSE 44100 END) AS BIGINT) AS duration_ms
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_media_stats" -> (mediaStats _),
-    "q78_image_dims" -> (imageDims _))
+    "q78_image_dims" -> (imageDims _),
+    "q103_audio_meta" -> (audioMeta _))
 
   val oracles: Map[String, String] = Map(
     "q62_media_stats" -> mediaStatsSql,
-    "q78_image_dims" -> imageDimsSql)
+    "q78_image_dims" -> imageDimsSql,
+    "q103_audio_meta" -> audioMetaSql)
 }

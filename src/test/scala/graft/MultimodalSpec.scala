@@ -81,6 +81,42 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("riff/wav headers: chunk walk handles order, padding, " +
+      "truncation; rejects garbage") {
+    import Multimodal.RiffHeader
+    def hx(s: String): Array[Byte] = s.replaceAll("\\s", "")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // canonical: fmt then data, 1ch 8000Hz 16-bit, 4 declared bytes
+    val canonical = hx(
+      "52494646 28000000 57415645" +
+        "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+        "64617461 04000000 AAAA BBBB")
+    val w = RiffHeader.parse(canonical).get
+    assert((w.channels, w.sampleRate, w.bits, w.dataBytes) ==
+      (1, 8000, 16, 4) && w.nSamples == 2L)
+    // data chunk declared but payload truncated (streamed capture)
+    val truncated = RiffHeader.parse(hx(
+      "52494646 28000000 57415645" +
+        "666D7420 10000000 0100 0200 80BB0000 00EE0200 0400 1000" +
+        "64617461 10270000")).get
+    assert(truncated.channels == 2 && truncated.sampleRate == 48000)
+    assert(truncated.nSamples == 2500L &&
+      truncated.durationMs == 2500L * 1000 / 48000)
+    // an odd-sized unknown chunk BEFORE fmt: walk must pad to even
+    val listFirst = RiffHeader.parse(hx(
+      "52494646 30000000 57415645" +
+        "4C495354 03000000 414243 00" + // LIST, size 3, pad byte
+        "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+        "64617461 00000000")).get
+    assert(listFirst.sampleRate == 8000 && listFirst.dataBytes == 0)
+    // rejects: wrong magic, truncated fmt, negative size
+    assert(RiffHeader.parse(hx("52494658 08000000 57415645")).isEmpty)
+    assert(RiffHeader.parse(hx(
+      "52494646 10000000 57415645 666D7420 10000000 0100")).isEmpty)
+    assert(RiffHeader.parse(hx(
+      "52494646 08000000 57415645 64617461 FFFFFFFF")).isEmpty)
+  }
+
   test("custom decoder plugs in at the stub boundary") {
     val fixed = new Multimodal.MediaDecoder {
       def decode(mime: String, payload: Array[Byte]) = (7, 8, 9)
