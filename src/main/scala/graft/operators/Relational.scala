@@ -38,8 +38,15 @@ object Relational {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(DecimalType(28, 8))).cast(DoubleType).as("sum_disc_price"),
+        // the discounted price is a PRODUCT of noisy doubles: a
+        // double→decimal cast of such a value rounds Spark's shortest-
+        // decimal rendering but DuckDB's true binary expansion, and the
+        // two can disagree at the rounding digit (seen at sf0.1).
+        // floor() is pure binary — bit-identical everywhere — so the
+        // metric is defined as exact 1e-4-unit floor quantization.
+        (sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(10000.0)))
+          .cast(DoubleType) / lit(10000.0)).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
   }
 
@@ -47,7 +54,7 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'

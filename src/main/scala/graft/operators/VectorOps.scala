@@ -140,24 +140,30 @@ object VectorOps {
   }
 
   // ---------------------------------------------------------------- q42
-  /** Per-label centroids: posexplode + exact decimal accumulation per
-    * (label, dim). The aggregation pattern for corpus statistics.
+  /** Per-label centroids: posexplode + exact integer micro-unit sums
+    * per (label, dim) — the aggregation pattern for corpus statistics.
+    * Accumulation uses the SAME ×1e6 quantizer as every other vector
+    * operator (callers divide by 1e6·n for the float centroid): the
+    * earlier decimal(27,12) form diverged at sf0.1 because a
+    * double→decimal cast rounds Spark's shortest-decimal rendering but
+    * DuckDB's true binary expansion — integer quantization has no such
+    * seam, at any corpus size.
     */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"),
+        posexplode(intVec(col("embedding"))).as(Seq("dim", "x_micro")))
       .groupBy(col("label"), col("dim"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("x").cast(DoubleType).cast(DecimalType(27, 12)))
-          .cast(DoubleType).as("sum_x"))
+        sum(col("x_micro")).as("sum_x_micro"))
       .filter(col("dim") < 8)
 
   val labelCentroidsSql: String =
-    """SELECT label, i - 1 AS dim, COUNT(*) AS n,
-      |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,12)))
-      |    AS DOUBLE) AS sum_x
-      |FROM embeddings, range(1, 65) t(i)
+    s"""SELECT label, i - 1 AS dim, COUNT(*) AS n,
+      |  SUM(v.xs[i])::BIGINT AS sum_x_micro
+      |FROM (SELECT label, ${intVecSql("embedding")} AS xs
+      |  FROM embeddings) v, range(1, 65) t(i)
       |WHERE i - 1 < 8
       |GROUP BY label, i""".stripMargin
 
