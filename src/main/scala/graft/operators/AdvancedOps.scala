@@ -88,8 +88,8 @@ object AdvancedOps {
       .agg(count(lit(1)).as("n_events"),
         min(col("epoch")).as("session_start"),
         max(col("epoch")).as("session_end"),
-        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
-          .as("session_value"))
+        (sum(floor(col("value") * lit(1000000.0))).cast(DoubleType) /
+          lit(1000000.0)).as("session_value"))
   }
 
   val sessionizeSql: String =
@@ -108,8 +108,8 @@ object AdvancedOps {
       |  FROM f)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  MIN(epoch) AS session_start, MAX(epoch) AS session_end,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-      |    AS session_value
+      |  CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)
+      |    / 1000000 AS session_value
       |FROM s GROUP BY 1, 2""".stripMargin
 
   /** q72 — exact percentiles per group (both engines: linear

@@ -17,15 +17,42 @@ import graft.Tables
   *
   * Cross-engine determinism rule used throughout this codebase: never emit a
   * multi-row SUM over doubles (accumulation order differs between engines).
-  * Instead cast each row to an exact DECIMAL first, aggregate (exact,
-  * associative), and cast the final value to DOUBLE. Per-row double
+  * Quantize each row to an exact integer/decimal first, aggregate (exact,
+  * associative), and cast the final value to DOUBLE. The quantizer choice
+  * matters: a double→DECIMAL cast is itself an engine seam on full-noise
+  * values (Spark rounds the shortest-decimal rendering, DuckDB the binary
+  * expansion — divergent at scale), so decimal casts are reserved for
+  * decimal-exact inputs and everything noisy goes through floor
+  * quantization ([[fsum]]), which is pure binary arithmetic. Per-row double
   * arithmetic (same inputs, same op order) is IEEE-deterministic and safe.
   */
 object Relational {
 
-  /** Exact-sum helper: decimal-cast accumulate, emit double. */
+  /** Exact-sum helper: decimal-cast accumulate, emit double. Use ONLY
+    * on decimal-exact inputs (integer-valued quantities): on full-noise
+    * doubles the double→decimal cast itself is an engine seam — Spark
+    * rounds the shortest-decimal rendering, DuckDB the binary
+    * expansion — and at large row counts the residues reach the output
+    * hash. Noisy inputs go through [[fsum]]/[[fsumWin]] instead.
+    */
   private def dsum(c: Column, p: Int = 18, s: Int = 4): Column =
     sum(c.cast(DecimalType(p, s))).cast(DoubleType)
+
+  /** Exact-sum for NOISY doubles: quantize each row by `floor(c·10^s)`
+    * — floor of a double is pure binary, bit-identical in every engine
+    * at every scale — accumulate the longs, emit units. The metric is
+    * defined as floor-quantized at 10^-s; per-row quantization error is
+    * bounded and deterministic, unlike a decimal cast's engine skew.
+    */
+  private[operators] def fsum(c: Column, s: Int = 4): Column = {
+    val scale = math.pow(10, s)
+    sum(floor(c * lit(scale))).cast(DoubleType) / lit(scale)
+  }
+
+  private[operators] def fsumSql(e: String, s: Int = 4): String = {
+    val scale = "1" + "0" * s
+    s"CAST(SUM(CAST(floor(($e) * $scale) AS BIGINT)) AS DOUBLE) / $scale"
+  }
 
   /** q01 — TPC-H Q1-style pricing summary over lineitem.
     * Exercises: groupBy aggregation with map-side partial agg, filter pushed
@@ -37,23 +64,16 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        // the discounted price is a PRODUCT of noisy doubles: a
-        // double→decimal cast of such a value rounds Spark's shortest-
-        // decimal rendering but DuckDB's true binary expansion, and the
-        // two can disagree at the rounding digit (seen at sf0.1).
-        // floor() is pure binary — bit-identical everywhere — so the
-        // metric is defined as exact 1e-4-unit floor quantization.
-        (sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * lit(10000.0)))
-          .cast(DoubleType) / lit(10000.0)).as("sum_disc_price"),
+        fsum(col("l_extendedprice")).as("sum_base_price"),
+        fsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
         count(lit(1)).as("count_order"))
   }
 
   val pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(floor(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS sum_base_price,
       |  CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
       |  COUNT(*) AS count_order
       |FROM lineitem
@@ -91,13 +111,12 @@ object Relational {
       .groupBy(col("r_name"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType)
-          .as("revenue"))
+        fsum(col("o_totalprice")).as("revenue"))
   }
 
   val regionRevenueSql: String =
-    """SELECT r_name, COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    s"""SELECT r_name, COUNT(*) AS n_orders,
+      |  ${fsumSql("o_totalprice")} AS revenue
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -115,17 +134,18 @@ object Relational {
     o.select(
       col("o_orderkey"), col("o_custkey"),
       row_number().over(w).as("order_seq"),
-      sum(col("o_totalprice").cast(DecimalType(18, 4)))
+      (sum(floor(col("o_totalprice") * lit(10000.0)))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast(DoubleType).as("running_total"))
+        .cast(DoubleType) / lit(10000.0)).as("running_total"))
   }
 
   val runningTotalsSql: String =
     """SELECT o_orderkey, o_custkey,
       |  ROW_NUMBER() OVER w AS order_seq,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+      |  CAST(SUM(CAST(floor(o_totalprice * 10000) AS BIGINT)) OVER
       |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / 10000 AS running_total
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 

@@ -38,13 +38,14 @@ object Relational3 {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("_n"),
         sum(col("l_quantity").cast(DecimalType(18, 4))).as("_qty"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 4)))
-          .as("_price"))
+        // noisy double: floor-quantized longs (see Relational.fsum)
+        sum(floor(col("l_extendedprice") * lit(10000.0))).as("_price"))
     base.cube(col("l_returnflag"), col("l_linestatus"))
       .agg(grouping_id().as("gid"),
         sum(col("_n")).as("n_rows"),
         sum(col("_qty")).cast(DoubleType).as("sum_qty"),
-        sum(col("_price")).cast(DoubleType).as("sum_price"))
+        (sum(col("_price")).cast(DoubleType) / lit(10000.0))
+          .as("sum_price"))
   }
 
   val cubeSummarySql: String =
@@ -52,7 +53,8 @@ object Relational3 {
       |  GROUPING(l_returnflag, l_linestatus) AS gid,
       |  count(*) AS n_rows,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |  CAST(SUM(CAST(floor(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE)
+      |    / 10000 AS sum_price
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
@@ -68,11 +70,14 @@ object Relational3 {
       .withColumn("cohort", pmod(col("user_id"), lit(10L)))
       .groupBy(col("cohort"))
       .pivot("event_type", EventTypes)
-      .agg(dsum(col("value")))
+      .agg((sum(floor(col("value") * lit(10000.0))).cast(DoubleType) /
+        lit(10000.0)))
 
   val eventPivotSql: String = {
     val cols = EventTypes.map(t =>
-      s"CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS $t")
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN " +
+        s"CAST(floor(value * 10000) AS BIGINT) END) AS DOUBLE) " +
+        s"/ 10000 AS $t")
     s"""SELECT ((user_id % 10) + 10) % 10 AS cohort, ${cols.mkString(", ")}
        |FROM events GROUP BY 1""".stripMargin
   }
@@ -89,24 +94,26 @@ object Relational3 {
     import org.apache.spark.sql.expressions.Window
     val daily = Tables.orders(spark, dir)
       .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("rev"))
+      .agg(sum(floor(col("o_totalprice") * lit(10000.0))).as("rev"))
       .withColumn("dayn",
         datediff(col("day"), lit("1970-01-01").cast("date")))
     val w = Window.orderBy(col("dayn")).rangeBetween(-6, 0)
     daily.select(col("day"),
-      col("rev").cast(DoubleType).as("daily_rev"),
-      sum(col("rev")).over(w).cast(DoubleType).as("rev_7d"))
+      (col("rev").cast(DoubleType) / lit(10000.0)).as("daily_rev"),
+      (sum(col("rev")).over(w).cast(DoubleType) / lit(10000.0))
+        .as("rev_7d"))
   }
 
   val trailingRevenueSql: String =
     """WITH daily AS (
       |  SELECT CAST(o_orderdate AS DATE) AS day,
-      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      |    SUM(CAST(floor(o_totalprice * 10000) AS BIGINT)) AS rev
       |  FROM orders GROUP BY 1)
-      |SELECT day, CAST(rev AS DOUBLE) AS daily_rev,
+      |SELECT day, CAST(rev AS DOUBLE) / 10000 AS daily_rev,
       |  CAST(SUM(rev) OVER (
       |    ORDER BY datediff('day', DATE '1970-01-01', day)
-      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / 10000 AS rev_7d
       |FROM daily""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

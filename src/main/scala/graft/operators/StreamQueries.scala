@@ -57,7 +57,8 @@ object StreamQueries {
     """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600
       |    AS win_start,
       |  event_type, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |  CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)
+      |    / 1000000 AS sum_value
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
@@ -75,8 +76,8 @@ object StreamQueries {
       .groupBy(col("user_id"),
         session_window(col("ts"), "1 hour").as("sw"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
-          .as("session_value"))
+        (sum(floor(col("value") * lit(1000000.0))).cast(DoubleType) /
+          lit(1000000.0)).as("session_value"))
       .select(col("user_id"),
         unix_micros(col("sw.start")).as("session_start_us"),
         unix_micros(col("sw.end")).as("session_end_us"),
@@ -97,8 +98,8 @@ object StreamQueries {
       |SELECT user_id, MIN(us) AS session_start_us,
       |  MAX(us) + 3600000000 AS session_end_us,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-      |    AS session_value
+      |  CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)
+      |    / 1000000 AS session_value
       |FROM s GROUP BY user_id, sid""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -98,8 +98,10 @@ object CdcPipeline {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
-          .as("sum_value"))
+        // noisy double: floor-quantized micro-units (decimal casts of
+        // such values round differently per engine — Relational.fsum)
+        (sum(floor(col("value") * lit(1000000.0))).cast(DoubleType) /
+          lit(1000000.0)).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 }

@@ -218,7 +218,8 @@ class CurationSpec extends SparkSuite {
         .reduce(_ + _).as("s"))
       .agg(sum("s")).collect()(0).getDouble(0)
     val direct = Tables.events(spark, sf)
-      .agg(sum(col("value").cast("decimal(18,4)")).cast("double"))
+      .agg((sum(floor(col("value") * lit(10000.0))).cast("double") /
+        lit(10000.0)).as("s"))
       .collect()(0).getDouble(0)
     assert(math.abs(pivotTotal - direct) < 1e-6)
   }
