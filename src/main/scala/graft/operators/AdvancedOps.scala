@@ -130,13 +130,69 @@ object AdvancedOps {
       |  COUNT(*) AS n
       |FROM orders GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q104
+  /** Histogram quantiles — the SCALE path next to q72's exact form:
+    * q72 sorts every group member (no partial aggregation; at 100 TB
+    * each group's values converge on single tasks), while this
+    * operator floor-quantizes values into 0.1-unit bins (pure binary —
+    * no engine seams), hash-aggregates (bin, count) with map-side
+    * combine, and answers p50/p95/p99 from the ≤ few-thousand-row bin
+    * table with a cumulative window. The estimate is the lower bound
+    * of the first bin whose cumulative count reaches ⌈q·n⌉ — compared
+    * in exact integers (cum·100 ≥ n·q100), no interpolation, so the
+    * answer is deterministic and mergeable across any partitioning.
+    */
+  def quantileHist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * lit(10.0)).as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = hist.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum", sum(col("cnt")).over(w))
+      .join(broadcast(totals), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"),
+        (min(when(col("cum") * 2 >= col("n"), col("bin"))) / lit(10.0))
+          .as("p50_est"),
+        (min(when(col("cum") * 100 >= col("n") * 95, col("bin"))) /
+          lit(10.0)).as("p95_est"),
+        (min(when(col("cum") * 100 >= col("n") * 99, col("bin"))) /
+          lit(10.0)).as("p99_est"))
+  }
+
+  val quantileHistSql: String =
+    """WITH hist AS (
+      |  SELECT event_type, CAST(floor(value * 10) AS BIGINT) AS bin,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |c AS (SELECT event_type, bin, cnt,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM hist)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+      |  CAST(MIN(CASE WHEN cum * 2 >= n THEN bin END) AS DOUBLE) / 10
+      |    AS p50_est,
+      |  CAST(MIN(CASE WHEN cum * 100 >= n * 95 THEN bin END) AS DOUBLE)
+      |    / 10 AS p95_est,
+      |  CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN bin END) AS DOUBLE)
+      |    / 10 AS p99_est
+      |FROM c GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_asof_join" -> (purchaseAsofClick _),
     "q71_sessionize" -> (sessionize _),
-    "q72_quantiles" -> (priceQuantiles _))
+    "q72_quantiles" -> (priceQuantiles _),
+    "q104_quantile_hist" -> (quantileHist _))
 
   val oracles: Map[String, String] = Map(
     "q70_asof_join" -> purchaseAsofClickSql,
     "q71_sessionize" -> sessionizeSql,
-    "q72_quantiles" -> priceQuantilesSql)
+    "q72_quantiles" -> priceQuantilesSql,
+    "q104_quantile_hist" -> quantileHistSql)
 }

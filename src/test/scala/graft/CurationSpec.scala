@@ -210,6 +210,30 @@ class CurationSpec extends SparkSuite {
       col("n_repetitive") > col("n_docs")).isEmpty)
   }
 
+  test("histogram quantiles bracket the exact quantile within one bin") {
+    import graft.operators.AdvancedOps
+    val est = AdvancedOps.quantileHist(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    val values = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    est.foreach { case (t, (p50, p95, p99)) =>
+      val v = values(t)
+      // the operator answers the ceil-rank order statistic: the
+      // smallest value x with #(≤ x) ≥ ⌈q·n⌉ — its estimate is EXACTLY
+      // that statistic's bin floor
+      def stat(q100: Long) = {
+        val r = ((v.length * q100 + 99) / 100).toInt // ceil(n·q)
+        math.floor(v(r - 1) * 10.0) / 10.0
+      }
+      assert(p50 == stat(50), s"$t p50=$p50 want=${stat(50)}")
+      assert(p95 == stat(95), s"$t p95=$p95 want=${stat(95)}")
+      assert(p99 == stat(99), s"$t p99=$p99 want=${stat(99)}")
+    }
+  }
+
   test("pivot matrix accounts for every event value once") {
     val p = Relational3.eventPivot(spark, sf)
     assert(p.count() == 10)
