@@ -191,4 +191,20 @@ class ScaleShapeSpec extends SparkSuite {
     assert(!p94.contains("CartesianProduct") &&
       !p94.contains("BroadcastNestedLoop"), p94)
   }
+
+  test("report and quantile rollups stay equi-joined and partitioned") {
+    // q102: three signal joins on doc_id — no cartesian anywhere
+    val p102 = graft.operators.CurationOps.corpusReport(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p102.contains("CartesianProduct") &&
+      !p102.contains("BroadcastNestedLoop"), p102)
+    // q104: the cumulative window is partitioned by event_type (the
+    // unpartitioned-window warning is the single-slot sort this
+    // operator exists to avoid)
+    val p104 = graft.operators.AdvancedOps.quantileHist(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p104.contains("Window"), p104)
+    assert(p104.contains("event_type"), p104)
+    assert(!p104.contains("CartesianProduct"), p104)
+  }
 }
