@@ -42,6 +42,11 @@ object Main {
             println(s"[check] $tb ${counts.map { case (k, v) =>
               s"$k=$v" }.mkString(" ")}")
           }
+        case TaskConfig.CurationExtract =>
+          val s = TaskRunner.runCuration(spark, task)
+          println(s"[curation] docs=${s.nDocs} kept=${s.nKept} " +
+            s.reasons.toSeq.sortBy(_._1).map { case (k, v) =>
+              s"$k=$v" }.mkString(" "))
         case TaskConfig.CdcExtract =>
           println("[cdc] wire streaming/CdcPipeline with a stream source" +
             " directory; see CdcPipeline.readChanges")

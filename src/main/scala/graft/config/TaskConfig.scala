@@ -56,6 +56,7 @@ object TaskConfig {
   case object SnapshotExtract extends ExtractType
   case object CdcExtract extends ExtractType
   case object CheckExtract extends ExtractType
+  case object CurationExtract extends ExtractType
 
   final case class Task(
       extractType: ExtractType,
@@ -82,6 +83,7 @@ object TaskConfig {
     val extractType = ex.get("extract_type", "snapshot") match {
       case "cdc" => CdcExtract
       case "check" => CheckExtract
+      case "curation" => CurationExtract
       case _ => SnapshotExtract
     }
 

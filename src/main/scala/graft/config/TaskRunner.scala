@@ -51,6 +51,17 @@ object TaskRunner {
       snapshotTable(spark, task, schema, tb)
     }
 
+  /** Curation task: the training-data extension run from the SAME
+    * task-config surface as replication — `extract_type=curation` runs
+    * [[graft.operators.CurationPipeline]] over the source corpus and
+    * materializes verdicts + report under the sink dir. Returns the
+    * per-reason counts for the progress report.
+    */
+  def runCuration(spark: SparkSession, task: TaskConfig.Task)
+      : graft.operators.CurationPipeline.Summary =
+    graft.operators.CurationPipeline.run(spark, task.sourceDir,
+      task.sinkDir)
+
   /** Check task: per admitted table, compare source against the routed
     * sink output (the post-snapshot verification flow) and persist the
     * check-log artifacts (miss.log/diff.log/summary.log under

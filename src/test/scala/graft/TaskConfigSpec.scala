@@ -120,6 +120,20 @@ class TaskConfigSpec extends SparkSuite {
       "insert").count() == check("orders")("MISS"))
   }
 
+  test("curation task runs the pipeline from the same ini surface") {
+    val sink = java.nio.file.Files
+      .createTempDirectory("curation_task").toString
+    val t = TaskConfig.fromIni(
+      ini.replace("SINKDIR", sink)
+        .replace("extract_type=snapshot", "extract_type=curation"))
+    assert(t.extractType == TaskConfig.CurationExtract)
+    val s = TaskRunner.runCuration(spark, t)
+    assert(s.nDocs == Tables.documents(spark, sf).count())
+    assert(s.reasons.values.sum == s.nDocs)
+    val v = spark.read.parquet(s"$sink/verdicts.parquet")
+    assert(v.count() == s.nDocs)
+  }
+
   test("precheck admits the configured tables") {
     val t = task("/tmp/unused")
     val res = TaskRunner.precheck(spark, t)
