@@ -115,14 +115,18 @@ object GraftExpressions {
     */
   def scaleLongs(a: ArrayData, isFloat: Boolean): ArrayData = {
     val n = a.numElements()
-    val out = new Array[Long](n)
+    val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      val d = (if (isFloat) a.getFloat(i).toDouble
-        else a.getDouble(i)) * 1e6
-      out(i) = java.math.BigDecimal.valueOf(d)
-        .setScale(0, java.math.RoundingMode.HALF_UP)
-        .doubleValue().toLong
+      // null elements propagate, exactly as the composed
+      // transform(round(cast)) form does — not silently quantized to 0
+      if (!a.isNullAt(i)) {
+        val d = (if (isFloat) a.getFloat(i).toDouble
+          else a.getDouble(i)) * 1e6
+        out(i) = java.math.BigDecimal.valueOf(d)
+          .setScale(0, java.math.RoundingMode.HALF_UP)
+          .doubleValue().toLong
+      }
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -235,8 +239,13 @@ case class LongDot(left: Expression, right: Expression)
   * [[GraftExpressions.scaleLongs]]).
   */
 case class ScaledLongs(child: Expression) extends UnaryExpression {
+  // null elements pass through (matching the composed round/cast form),
+  // so the output is nullable exactly when the input elements are
   override def dataType: DataType = ArrayType(LongType,
-    containsNull = false)
+    containsNull = child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
   override def prettyName: String = "graft_scaled_longs"
 
   private def isFloat: Boolean = child.dataType match {

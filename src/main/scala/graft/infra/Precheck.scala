@@ -77,10 +77,15 @@ object Precheck {
     * ≥ 2.8 (float compare).
     */
   def checkVersion(dbType: String, version: String): CheckResult = {
+    // Unanchored find, mirroring the reference's Regex::is_match: a
+    // vendor-suffixed "10.5.1-MariaDB" passes the "5\..*" rule by
+    // substring there, so it must pass here too.
+    def anyMatch(res: String*): Boolean =
+      res.exists(_.r.findFirstIn(version).isDefined)
     val ok = dbType match {
-      case "mysql" => version.matches("5\\..*|8\\..*")
+      case "mysql" => anyMatch("5\\..*", "8\\..*")
       case "pg" => version.trim.toIntOption.exists(_ >= 120000)
-      case "mongo" => version.matches("4.*|5\\.0.*|6\\.0.*|7\\.0.*")
+      case "mongo" => anyMatch("4.*", "5\\.0.*", "6\\.0.*", "7\\.0.*")
       case "redis" => version.trim.toFloatOption.exists(_ >= 2.8f)
       case _ => false
     }

@@ -109,7 +109,9 @@ object Multimodal {
     final case class Wav(channels: Int, sampleRate: Int, bits: Int,
         dataBytes: Int) {
       def nSamples: Long =
-        if (channels <= 0 || bits <= 0) 0L
+        // bits < 8 (e.g. 4-bit ADPCM) would make bits/8 zero; treat any
+        // sub-byte sample width as unknown rather than divide by zero
+        if (channels <= 0 || bits < 8) 0L
         else dataBytes.toLong / (channels.toLong * (bits / 8))
       def durationMs: Long =
         if (sampleRate <= 0) 0L else nSamples * 1000L / sampleRate
@@ -123,23 +125,26 @@ object Multimodal {
       def tag(i: Int) = new String(p, i, 4, "US-ASCII")
       if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
         return None
-      var i = 12
+      // Long cursor: a chunk declaring a size near Int.MaxValue must
+      // walk off the end and stop, not overflow into a negative index
+      var i = 12L
       var fmt: Option[(Int, Int, Int)] = None
       var dataBytes = -1
       while (i + 8 <= p.length && (fmt.isEmpty || dataBytes < 0)) {
-        val id = tag(i)
-        val size = le32(i + 4)
+        val at = i.toInt
+        val id = tag(at)
+        val size = le32(at + 4)
         if (size < 0) return None
         id match {
-          case "fmt " if size >= 16 && i.toLong + 8 + size <= p.length =>
-            fmt = Some((le16(i + 10), le32(i + 12), le16(i + 22)))
+          case "fmt " if size >= 16 && i + 8 + size <= p.length =>
+            fmt = Some((le16(at + 10), le32(at + 12), le16(at + 22)))
           case "data" =>
             // declared size; the payload itself may be truncated or
             // absent (streamed captures declare ahead of the samples)
             dataBytes = size
           case _ => ()
         }
-        i += 8 + size + (size & 1) // RIFF pads odd chunks to even
+        i += 8L + size + (size & 1) // RIFF pads odd chunks to even
       }
       fmt.collect { case (ch, rate, bits) if dataBytes >= 0 =>
         Wav(ch, rate, bits, dataBytes)

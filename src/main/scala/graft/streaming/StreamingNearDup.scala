@@ -60,12 +60,16 @@ object StreamingNearDup {
     if (evs.isEmpty) return Iterator.empty
     var members = state.getOption.map(_.members).getOrElse(Seq.empty)
     val out = evs.map { d =>
-      val qualifying = members.iterator.map { case (id, sig) =>
-        val n = math.min(sig.length, d.sig.length)
-        var m = 0; var i = 0
-        while (i < n) { if (sig(i) == d.sig(i)) m += 1; i += 1 }
-        (id, m.toDouble / Perms)
-      }.filter(_._2 >= Threshold).toSeq
+      // skip the doc's own earlier self: under at-least-once delivery a
+      // redelivered document must not be flagged as its own duplicate
+      val qualifying = members.iterator
+        .filter { case (id, _) => id != d.docId }
+        .map { case (id, sig) =>
+          val n = math.min(sig.length, d.sig.length)
+          var m = 0; var i = 0
+          while (i < n) { if (sig(i) == d.sig(i)) m += 1; i += 1 }
+          (id, m.toDouble / Perms)
+        }.filter(_._2 >= Threshold).toSeq
       val verdict = if (qualifying.isEmpty) {
         if (members.size < MaxBucketMembers &&
             !members.exists(_._1 == d.docId))

@@ -140,6 +140,15 @@ class GraftExpressionsSpec extends SparkSuite {
         x => round(x.cast("double") * lit(1e6)).cast("long")))
       .as[Seq[Long]].collect().toSeq
     assert(n2 == c2)
+    // null elements propagate like the composed form (not silently 0)
+    val withNulls = Seq(Tuple1(Seq[java.lang.Double](0.5, null, -1.5)))
+      .toDF("v")
+    val nn = withNulls.select(GraftFunctions.scaledLongs(col("v")))
+      .collect().head.getSeq[Any](0)
+    val nc = withNulls.select(transform(col("v"),
+        x => round(x.cast("double") * lit(1e6)).cast("long")))
+      .collect().head.getSeq[Any](0)
+    assert(nn == nc && nn(1) == null)
   }
 
   test("native expressions usable inside higher-order lambdas") {

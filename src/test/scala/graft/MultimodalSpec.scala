@@ -115,6 +115,21 @@ class MultimodalSpec extends SparkSuite {
       "52494646 10000000 57415645 666D7420 10000000 0100")).isEmpty)
     assert(RiffHeader.parse(hx(
       "52494646 08000000 57415645 64617461 FFFFFFFF")).isEmpty)
+    // a chunk declaring size near Int.MaxValue must walk off the end
+    // and return None — not overflow the cursor into a negative index
+    assert(RiffHeader.parse(hx(
+      "52494646 08000000 57415645" +
+        "4C495354 F7FFFF7F" + // LIST, size 0x7FFFFFF7
+        "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+        "64617461 00000000")).isEmpty)
+    // sub-byte sample width (4-bit ADPCM): nSamples is unknown (0),
+    // never a divide-by-zero
+    val adpcm = RiffHeader.parse(hx(
+      "52494646 28000000 57415645" +
+        "666D7420 10000000 1100 0100 401F0000 D00F0000 0001 0400" +
+        "64617461 00010000")).get
+    assert(adpcm.bits == 4 && adpcm.nSamples == 0L &&
+      adpcm.durationMs == 0L)
   }
 
   test("custom decoder plugs in at the stub boundary") {

@@ -15,6 +15,9 @@ class PrecheckGatesSpec extends AnyFunSuite {
     assert(Precheck.checkVersion("mysql", "8.0.36").ok)
     assert(Precheck.checkVersion("mysql", "5.7.44-log").ok)
     assert(!Precheck.checkVersion("mysql", "10.11.6-MariaDB").ok)
+    // unanchored find, mirroring the reference's Regex::is_match:
+    // "10.5.1-MariaDB" matches "5\..*" as a substring and passes
+    assert(Precheck.checkVersion("mysql", "10.5.1-MariaDB").ok)
     assert(Precheck.checkVersion("pg", "140011").ok)
     assert(Precheck.checkVersion("pg", "120000").ok)
     assert(!Precheck.checkVersion("pg", "110013").ok)

@@ -74,6 +74,14 @@ class StreamingNearDupSpec extends SparkSuite {
     val v200 = out2.filter(_.docId == 200L)
     assert(v200.length == 1 && v200.head.dupOf == 1L &&
       v200.head.estJaccard == 1.0)
+    // at-least-once redelivery: a doc re-delivered after being admitted
+    // to the bucket must NOT match its earlier self
+    val redelivered = (crowd :+ DocBand(1L, 0, "b",
+      sig(1, 1, 1, 1, 1, 1, 1, 1))).toDS()
+    val v1 = StreamingNearDup.detect(redelivered).collect()
+      .filter(_.docId == 1L)
+    assert(v1.forall(_.dupOf == -1L),
+      "redelivered doc flagged as duplicate of itself")
   }
 
   test("text pipeline: identical text collides in every band, " +
