@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.config.{TaskConfig, TaskRunner}
+import graft.infra.Monitoring
 
 /** CLI entry — the reference's dt-main
   * (/root/reference/dt-main/src/main.rs:34-68): precheck the task config,
@@ -23,6 +24,32 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // [metrics] section → monitors + /metrics server, the reference's
+    // prometheus exposition loop (dumped per task step + at exit)
+    val monitors = Monitoring.PipelineMonitors("graft-task")
+    val kind = task.extractType match {
+      case TaskConfig.SnapshotExtract | TaskConfig.CurationExtract =>
+        "snapshot"
+      case TaskConfig.CdcExtract => "cdc"
+      case _ => "check"
+    }
+    val registry = task.metrics.map { mc =>
+      new Monitoring.PrometheusRegistry(mc.labels)
+        .registerStandard(Some(kind))
+    }
+    val server = task.metrics.flatMap { mc =>
+      registry.map { reg =>
+        val s = new Monitoring.MetricsServer(() => reg.exposition,
+          mc.httpHost, mc.httpPort)
+        println(s"[metrics] serving /metrics on " +
+          s"${mc.httpHost}:${s.boundPort}")
+        s
+      }
+    }
+    def publish(extra: Map[String, Long] = Map.empty): Unit =
+      registry.foreach { reg =>
+        reg.setAll(Monitoring.TaskMetrics.calc(monitors.roles) ++ extra)
+      }
     try {
       val checks = TaskRunner.precheck(spark, task)
       checks.foreach(c =>
@@ -33,25 +60,55 @@ object Main {
       task.extractType match {
         case TaskConfig.SnapshotExtract =>
           val results = TaskRunner.runSnapshot(spark, task)
-          results.foreach(r =>
+          var finished = 0L
+          results.foreach { r =>
             println(s"[snapshot] ${r.schema}.${r.tb} -> ${r.dstTable} " +
-              s"rows=${r.rows}"))
+              s"rows=${r.rows}")
+            monitors.extractor
+              .addBatchCounter(Monitoring.ExtractedRecords, r.rows, 1L)
+              .addBatchCounter(Monitoring.RecordCount, r.rows, 1L)
+            monitors.sinker
+              .addBatchCounter(Monitoring.RecordCount, r.rows, 1L)
+              .addBatchCounter(Monitoring.SinkedRecordTotal, r.rows, 1L)
+            finished += 1
+            publish(Monitoring.TaskMetrics
+              .progress(results.size.toLong, finished)
+              .map("progress" -> _).toMap)
+          }
         case TaskConfig.CheckExtract =>
           val results = TaskRunner.runCheck(spark, task)
           results.foreach { case (tb, counts) =>
             println(s"[check] $tb ${counts.map { case (k, v) =>
               s"$k=$v" }.mkString(" ")}")
+            monitors.checker
+              .addBatchCounter(Monitoring.RecordCount,
+                counts.values.sum, 1L)
+              .addBatchCounter(Monitoring.CheckerMissCount,
+                counts.getOrElse("MISS", 0L), 1L)
+              .addBatchCounter(Monitoring.CheckerDiffCount,
+                counts.getOrElse("DIFF", 0L), 1L)
+            publish()
           }
         case TaskConfig.CurationExtract =>
           val s = TaskRunner.runCuration(spark, task)
           println(s"[curation] docs=${s.nDocs} kept=${s.nKept} " +
             s.reasons.toSeq.sortBy(_._1).map { case (k, v) =>
               s"$k=$v" }.mkString(" "))
+          monitors.extractor
+            .addBatchCounter(Monitoring.ExtractedRecords, s.nDocs, 1L)
+          monitors.sinker
+            .addBatchCounter(Monitoring.SinkedRecordTotal, s.nKept, 1L)
+          publish()
         case TaskConfig.CdcExtract =>
+          Monitoring.attach(spark, monitors)
           println("[cdc] wire streaming/CdcPipeline with a stream source" +
             " directory; see CdcPipeline.readChanges")
       }
+      monitors.flushLines().foreach(l => println(s"[monitor] $l"))
       println("task finished")
-    } finally spark.stop()
+    } finally {
+      server.foreach(_.stop())
+      spark.stop()
+    }
   }
 }

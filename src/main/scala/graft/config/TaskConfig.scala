@@ -58,6 +58,14 @@ object TaskConfig {
   case object CheckExtract extends ExtractType
   case object CurationExtract extends ExtractType
 
+  /** `[metrics]` section — the reference's MetricsConfig
+    * (dt-common/src/config/metrics_config.rs, loaded at
+    * task_config.rs:1489-1507): exposition host/port plus const labels
+    * given as `k1=v1,k2=v2`.
+    */
+  final case class MetricsConfig(httpHost: String, httpPort: Int,
+      labels: Map[String, String])
+
   final case class Task(
       extractType: ExtractType,
       sourceDir: String,
@@ -67,7 +75,8 @@ object TaskConfig {
       batchSize: Int,
       parallelism: Int,
       keysByTable: Map[String, Seq[String]],
-      orderColsByTable: Map[String, Seq[String]])
+      orderColsByTable: Map[String, Seq[String]],
+      metrics: Option[MetricsConfig] = None)
 
   /** Build the typed task from parsed INI (the reference's
     * TaskConfig::new).
@@ -153,6 +162,21 @@ object TaskConfig {
         }
       }.toMap
 
+    val metrics = p.sections.get("metrics").map { m =>
+      val labels = m.entries.getOrElse("labels", "").split(",")
+        .flatMap { pair =>
+          pair.split("=", 2) match {
+            case Array(k, v) if k.trim.nonEmpty =>
+              Some(k.trim -> v.trim)
+            case _ => None
+          }
+        }.toMap
+      MetricsConfig(
+        httpHost = m.get("http_host", "127.0.0.1"),
+        httpPort = m.get("http_port", "9090").toInt,
+        labels = labels)
+    }
+
     Task(
       extractType = extractType,
       sourceDir = ex.get("url", ""),
@@ -162,6 +186,7 @@ object TaskConfig {
       batchSize = ex.get("batch_size", "10000").toInt,
       parallelism = pl.get("parallel_size", "4").toInt,
       keysByTable = colSpec(ex, "id_cols"),
-      orderColsByTable = colSpec(ex, "order_cols"))
+      orderColsByTable = colSpec(ex, "order_cols"),
+      metrics = metrics)
   }
 }
