@@ -86,6 +86,13 @@ final class Subscription(spoolDir: String) {
     if (range.isEmpty) None else Some(read(spark, range))
   }
 
+  /** Read exactly one staged batch (None when that offset is absent) —
+    * the per-batch replay unit [[SubscriptionServer]] serves.
+    */
+  def fetchOldExact(spark: SparkSession, offset: Long): Option[DataFrame] =
+    if (offsets().contains(offset)) Some(read(spark, Seq(offset)))
+    else None
+
   /** `/fetch_old`: replay already-acked batches. */
   def fetchOld(spark: SparkSession, from: Long = 0L): Option[DataFrame] = {
     val range = offsets().filter(o => o >= from && o <= acked())
