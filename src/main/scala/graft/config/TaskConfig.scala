@@ -76,7 +76,8 @@ object TaskConfig {
       parallelism: Int,
       keysByTable: Map[String, Seq[String]],
       orderColsByTable: Map[String, Seq[String]],
-      metrics: Option[MetricsConfig] = None)
+      metrics: Option[MetricsConfig] = None,
+      slot: Option[graft.sources.PgSlotLifecycle.SlotConfig] = None)
 
   /** Build the typed task from parsed INI (the reference's
     * TaskConfig::new).
@@ -177,6 +178,17 @@ object TaskConfig {
         labels = labels)
     }
 
+    // PG CDC slot lifecycle config (pg_cdc_client.rs fields), present
+    // when the extractor names a slot
+    val slot = Option.when(ex.get("slot_name", "").nonEmpty)(
+      graft.sources.PgSlotLifecycle.SlotConfig(
+        slotName = ex.get("slot_name", ""),
+        pubName = ex.get("pub_name", ""),
+        startLsn = ex.get("start_lsn", ""),
+        recreateIfExists =
+          ex.get("recreate_slot_if_exists", "false").toBoolean,
+        temporary = ex.get("temporary_slot", "false").toBoolean))
+
     Task(
       extractType = extractType,
       sourceDir = ex.get("url", ""),
@@ -187,6 +199,7 @@ object TaskConfig {
       parallelism = pl.get("parallel_size", "4").toInt,
       keysByTable = colSpec(ex, "id_cols"),
       orderColsByTable = colSpec(ex, "order_cols"),
-      metrics = metrics)
+      metrics = metrics,
+      slot = slot)
   }
 }

@@ -138,6 +138,24 @@ object Precheck {
       if (errs.isEmpty) dbType else errs.mkString(";"))
   }
 
+  /** Slot-plan admission gate: a lifecycle plan that creates a NET-NEW
+    * slot (not a drop-and-recreate, which frees its own slot first)
+    * needs a free slot under max_replication_slots. Complements
+    * [[checkCdcConfigs]]'s generic free-slot check with the decided
+    * plan from [[graft.sources.PgSlotLifecycle.plan]].
+    */
+  def checkSlotPlan(plan: graft.sources.PgSlotLifecycle.Plan,
+      usedSlots: Int, maxSlots: Int): CheckResult = {
+    val needsNew = plan.createsSlot && !plan.dropsSlot
+    val ok = !needsNew || usedSlots < maxSlots
+    CheckResult("slot_plan_admissible", ok,
+      if (ok)
+        (if (plan.createsSlot) "will create slot" else "resumes slot") +
+          plan.warnings.map(w => s"; $w").mkString
+      else s"plan needs a new slot but slots used:[$usedSlots] " +
+        s"reached max_replication_slots:[$maxSlots]")
+  }
+
   /** Mongo CDC topology gate over the `db.hello()` document: mongos
     * passes outright; otherwise the node must be a replica-set member
     * AND the primary.

@@ -49,7 +49,9 @@ class ChangelogSource extends TableProvider {
     new ChangelogTable(properties.get("path"),
       Option(properties.get("format")).getOrElse("tab"),
       Option(properties.get("key_cols")).map(_.split(",").toSeq
-        .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil))
+        .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
+      Option(properties.get("start_timestamp"))
+        .flatMap(_.toLongOption).getOrElse(0L))
 }
 
 object ChangelogSource {
@@ -76,6 +78,51 @@ object ChangelogSource {
         .filter(_.endsWith(".log"))
         .toSeq.sorted
     }
+  }
+
+  /** First-event timestamp (epoch seconds) of a binlog segment, read
+    * from the 8 header bytes after the 4-byte magic WITHOUT decoding
+    * any rows — the event header leads with a 4-byte LE timestamp
+    * (binlog v4 layout), and the first event is the segment's FDE.
+    * 0 when the file is too short or not a binlog.
+    */
+  def binlogStartTimestamp(file: java.nio.file.Path): Long = {
+    if (!Files.isRegularFile(file) || Files.size(file) < 8) return 0L
+    val head = scala.util.Using.resource(Files.newInputStream(file)) {
+      _.readNBytes(8)
+    }
+    if (head.length < 8 || head(0) != 0xfe.toByte || head(1) != 'b' ||
+        head(2) != 'i' || head(3) != 'n') 0L
+    else (head(4) & 0xffL) | ((head(5) & 0xffL) << 8) |
+      ((head(6) & 0xffL) << 16) | ((head(7) & 0xffL) << 24)
+  }
+
+  /** Timestamp pre-seek — the reference's
+    * find_last_binlog_before_timestamp (mysql_cdc_extractor.rs:81-89,
+    * binlog_util.rs): binary-search the segment list for the LAST
+    * segment whose first-event timestamp ≤ `startTs` and return its
+    * PREDECESSOR's name as the initial offset, so streaming starts at
+    * that segment and every earlier segment is skipped without being
+    * decoded. Returns "" (skip nothing) for non-binlog formats or when
+    * `startTs` precedes the first segment. Per-event time filtering
+    * downstream still trims the found segment's leading events —
+    * identical output, minus whole-segment decode work.
+    */
+  def preSeekOffset(dir: String, format: String, startTs: Long): String = {
+    if (format != "binlog" || startTs <= 0) return ""
+    val names = segments(dir)
+    if (names.isEmpty) return ""
+    def ts(i: Int): Long =
+      binlogStartTimestamp(Paths.get(dir, names(i)))
+    // binary search: first index whose start ts > startTs
+    var lo = 0; var hi = names.size
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      if (ts(mid) <= startTs) lo = mid + 1 else hi = mid
+    }
+    // names(lo - 1) is the last segment starting ≤ startTs: stream
+    // from it, i.e. the offset is its predecessor
+    if (lo <= 1) "" else names(lo - 2)
   }
 }
 
@@ -120,7 +167,8 @@ object ChangelogOffset {
 }
 
 class ChangelogTable(path: String, format: String = "tab",
-    keyCols: Seq[String] = Nil) extends Table with SupportsRead {
+    keyCols: Seq[String] = Nil, startTimestamp: Long = 0L)
+    extends Table with SupportsRead {
   require(path != null, "graft changelog source requires .option(\"path\")")
   require(Set("tab", "binlog", "pgoutput").contains(format),
     s"unknown changelog format '$format' (tab | binlog | pgoutput)")
@@ -134,7 +182,8 @@ class ChangelogTable(path: String, format: String = "tab",
     override def build(): Scan = new Scan {
       override def readSchema(): StructType = ChangelogSource.schema
       override def toMicroBatchStream(checkpointLocation: String)
-          : MicroBatchStream = new ChangelogStream(path, format, keyCols)
+          : MicroBatchStream =
+        new ChangelogStream(path, format, keyCols, startTimestamp)
     }
   }
 }
@@ -149,7 +198,8 @@ class ChangelogTable(path: String, format: String = "tab",
   * nothing (count-based offsets would remap onto the shifted listing).
   */
 class ChangelogStream(path: String, format: String = "tab",
-    keyCols: Seq[String] = Nil) extends MicroBatchStream {
+    keyCols: Seq[String] = Nil, startTimestamp: Long = 0L)
+    extends MicroBatchStream {
   /** Monotonicity guard: if every segment were purged, a fresh listing
     * would be empty and a naive latestOffset would regress below the
     * checkpoint, planning a bogus negative range. Track the high-water
@@ -157,7 +207,13 @@ class ChangelogStream(path: String, format: String = "tab",
     */
   @volatile private var maxSeen: String = ""
 
-  override def initialOffset(): Offset = ChangelogOffset.Initial
+  /** First run only (a checkpointed offset bypasses this): pre-seek
+    * past whole segments that end before `start_timestamp`, the
+    * reference's find_last_binlog_before_timestamp.
+    */
+  override def initialOffset(): Offset =
+    ChangelogOffset(
+      ChangelogSource.preSeekOffset(path, format, startTimestamp))
 
   override def latestOffset(): Offset = {
     val names = ChangelogSource.segments(path)

@@ -84,7 +84,8 @@ final class MysqlBinlogWriter(serverId: Long = 1L,
   /** FDE for a 5.6.1+ server: post-header-length array for 40 event
     * types, trailing checksum-alg byte (+CRC32 when on).
     */
-  def fde(serverVersion: String = "8.0.36-graft"): Unit = {
+  def fde(serverVersion: String = "8.0.36-graft",
+      timestamp: Long = 0L): Unit = {
     val b = new ByteArrayOutputStream()
     leU(b, 4, 2)
     val sv = serverVersion.getBytes(StandardCharsets.UTF_8)
@@ -107,7 +108,7 @@ final class MysqlBinlogWriter(serverId: Long = 1L,
     b.write(1) // checksum alg placeholder: rewritten below when off
     val body = b.toByteArray
     if (!checksum) body(body.length - 1) = 0
-    event(EventType.FormatDescription, body)
+    event(EventType.FormatDescription, body, timestamp)
   }
 
   def rotate(position: Long, nextFile: String): Unit = {

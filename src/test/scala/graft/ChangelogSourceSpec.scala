@@ -231,4 +231,58 @@ class ChangelogSourceSpec extends SparkSuite {
         ("update", "1", Some("id=1,name=ladle"))))
     } finally q.stop()
   }
+
+  test("timestamp pre-seek skips whole segments before the start time") {
+    import graft.sources.{ChangelogSource, MysqlBinlog}
+    import MysqlBinlog.ColType
+    val dir = Files.createTempDirectory("graft-changelog-ts").toString
+
+    def binlogSegment(name: String, ts: Long, id: String): Unit = {
+      val w = new graft.sources.MysqlBinlogWriter()
+      w.fde(timestamp = ts)
+      w.begin("shop")
+      w.tableMap(9L, "shop", "items",
+        Seq(ColType.LongLong, ColType.Varchar), Seq(0, 40),
+        nullable = Seq(false, true), colNames = Seq("id", "name"))
+      w.writeRows(9L, Seq(Array(id, s"row$id")))
+      w.xid(1L)
+      val tmp = Paths.get(dir, s"$name.tmp")
+      Files.write(tmp, w.bytes())
+      Files.move(tmp, Paths.get(dir, s"$name.log"))
+    }
+    binlogSegment("000001", 100L, "1")
+    binlogSegment("000002", 200L, "2")
+    binlogSegment("000003", 300L, "3")
+
+    // header read without decode
+    assert(ChangelogSource.binlogStartTimestamp(
+      Paths.get(dir, "000002.log")) == 200L)
+    // start inside segment 2's span → stream FROM segment 2: the
+    // initial offset names segment 1 (exactly one segment skipped)
+    assert(ChangelogSource.preSeekOffset(dir, "binlog", 250L) ==
+      "000001.log")
+    // before the first segment → skip nothing; after the last → only
+    // the last segment streams; tab format never pre-seeks
+    assert(ChangelogSource.preSeekOffset(dir, "binlog", 50L) == "")
+    assert(ChangelogSource.preSeekOffset(dir, "binlog", 400L) ==
+      "000002.log")
+    assert(ChangelogSource.preSeekOffset(dir, "tab", 250L) == "")
+
+    val q = spark.readStream
+      .format("graft.sources.ChangelogSource")
+      .option("path", dir)
+      .option("format", "binlog")
+      .option("key_cols", "id")
+      .option("start_timestamp", "250")
+      .load()
+      .writeStream.format("memory").queryName("cl_ts").start()
+    try {
+      q.processAllAvailable()
+      // identical rows to a full read of segments 2..3 — segment 1
+      // never decoded
+      val keys = spark.table("cl_ts").orderBy("seq")
+        .select("key").as[String].collect().toSeq
+      assert(keys == Seq("2", "3"))
+    } finally q.stop()
+  }
 }
