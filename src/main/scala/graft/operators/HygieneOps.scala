@@ -45,9 +45,21 @@ object HygieneOps {
 
   def containmentPairsOf(docs: DataFrame, candidates: DataFrame)
       : DataFrame = {
+    // pin the candidate pairs once: they feed the doc semi-join AND the
+    // pair join below, and recomputing them would re-run the LSH
     val cand = candidates.select(col("doc_a"), col("doc_b"))
-    val ex = docs.select(col("doc_id"),
-      explode(shingleHashes(col("text"))).as("h"))
+      .localCheckpoint(true)
+    // tokenize ONCE: only docs that appear in some candidate pair are
+    // exploded (side-a/side-b joins drop all others anyway), and the
+    // exploded frame is pinned so both join sides and the size
+    // aggregate read it instead of re-running tokenize+explode per
+    // consumer — this was the heaviest stage, run twice
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val ex = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(shingleHashes(col("text"))).as("h"))
+      .localCheckpoint(true)
     // shingleHashes is distinct-per-doc => count(*) = |A ∩ B|
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = cand

@@ -56,20 +56,26 @@ object CdcPipeline {
     * pipeline rps limiter) — each micro-batch acquires its row count
     * before the apply, in capacity-sized slices so a large batch
     * throttles smoothly instead of erroring on one oversized acquire.
+    *
+    * `monitors`: optional typed counters (the reference's per-sinker
+    * monitor updates): per batch, the sinker records one rt_per_query
+    * observation (apply wall millis) and the pushed record count.
     */
   def compactAndApply(changes: DataFrame, table: String,
       keys: Seq[String], cols: Seq[String], orderCols: Seq[String],
       sinkFactory: () => Applier.StatementSink,
-      limiter: Option[graft.infra.RateLimiter] = None)
+      limiter: Option[graft.infra.RateLimiter] = None,
+      monitors: Option[graft.infra.Monitoring.PipelineMonitors] = None)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // When throttling, persist the micro-batch before counting —
-        // otherwise count() re-executes the un-cached source scan a
-        // second time just to learn the row count.
-        if (limiter.isDefined) batch.persist()
+        // When throttling or monitoring, persist the micro-batch before
+        // counting — otherwise count() re-executes the un-cached source
+        // scan a second time just to learn the row count.
+        val counted = limiter.isDefined || monitors.isDefined
+        if (counted) batch.persist()
         try {
           val compacted = Compaction.compact(batch, keys, orderCols,
             col("row_type"))
@@ -81,10 +87,17 @@ object CdcPipeline {
               remaining -= take
             }
           }
+          val t0 = System.nanoTime()
           Applier.applyCompacted(RdbQueryBuilder.MySql, table, compacted,
             keys, cols, orderCols, sinkFactory)
+          monitors.foreach { m =>
+            import graft.infra.Monitoring._
+            m.sinker.addCounter(RtPerQuery,
+              (System.nanoTime() - t0) / 1000000L)
+            m.sinker.addBatchCounter(RecordCount, batch.count(), 1L)
+          }
         } finally {
-          if (limiter.isDefined) { batch.unpersist(); () }
+          if (counted) { batch.unpersist(); () }
         }
         ()
       }

@@ -167,6 +167,12 @@ class ScaleShapeSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!p88.contains("CartesianProduct") &&
       !p88.contains("BroadcastNestedLoop"), p88)
+    // ...and the corpus tokenize+explode runs ONCE: the exploded
+    // shingle frame is pinned (localCheckpoint) before feeding the
+    // side-a join, the side-b join and the size aggregate, so the
+    // final plan contains no Generate stage at all (it ran when the
+    // checkpoint materialized, exactly once)
+    assert(!p88.contains("Generate"), p88)
   }
 
   test("semantic dedup pairs join equi-keyed on cell; adc LUT broadcasts") {

@@ -30,12 +30,21 @@ class StreamingSpec extends SparkSuite {
   test("streaming compact+apply drains the fixture through foreachBatch") {
     StreamingSpec.acc.synchronized(StreamingSpec.acc.clear())
     val changes = CdcPipeline.readChanges(spark, sf)
+    val monitors = graft.infra.Monitoring.PipelineMonitors("cdc-test")
     val q = CdcPipeline.compactAndApply(changes, "users",
       keys = Seq("user_id"),
       cols = Seq("user_id", "event_id", "value", "row_type"),
       orderCols = Seq("ts", "event_id"),
-      sinkFactory = () => StreamingSpec.CollectingSink).start()
+      sinkFactory = () => StreamingSpec.CollectingSink,
+      monitors = Some(monitors)).start()
     try q.processAllAvailable() finally q.stop()
+    // the sinker monitor saw every micro-batch: one rt observation per
+    // batch and the pushed row total
+    val rt = monitors.sinker
+      .windowStats(graft.infra.Monitoring.RtPerQuery).get
+    val pushed = monitors.sinker
+      .windowStats(graft.infra.Monitoring.RecordCount).get
+    assert(rt.count > 0 && pushed.sum > 0)
     val sqls = StreamingSpec.acc.synchronized(
       StreamingSpec.acc.map(_.sql).toSeq)
     assert(sqls.nonEmpty)
