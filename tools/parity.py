@@ -12,6 +12,7 @@ Exit 0 iff every query matches exactly.
 import json
 import math
 import sys
+import time
 from pathlib import Path
 
 import duckdb
@@ -54,12 +55,14 @@ def main():
             failures += 1
             continue
         spark_tbl = pq.read_table(qdir)
+        t0 = time.time()
         try:
             duck_tbl = con.execute(sql).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             failures += 1
             continue
+        dt = time.time() - t0
         sc, sr = table_to_rows(spark_tbl)
         dc, dr = table_to_rows(duck_tbl)
         if sc != dc:
@@ -75,7 +78,8 @@ def main():
             print(f"  duck:  {dr[bad]}")
             failures += 1
         else:
-            print(f"OK   {name}: {len(sr)} rows, cols={sc}")
+            print(f"OK   {name}: {len(sr)} rows, cols={sc}"
+                  f"  oracle={dt:.1f}s", flush=True)
     # queries without an oracle → rows-only info
     for qdir in sorted(out_dir.iterdir()):
         if qdir.is_dir() and qdir.name not in oracle:
