@@ -725,9 +725,20 @@ object RedisResp {
           out += CmdEvent(db, cmd, args(1), "update",
             Map("expire" -> args(2)))
         case _ =>
-          out += CmdEvent(db, cmd,
-            if (args.size > 1) args(1) else "", "raw",
-            Map.empty)
+          // uninterpreted commands pass through as `raw` for the
+          // command sink, with the routing key extracted per the
+          // public key-spec algorithm (EVAL/BITOP/ZUNIONSTORE & co
+          // do NOT key at argv(1)); extra keys of a multi-key
+          // command surface in fields so slot checks can see them
+          val parsed = RedisKeySpec.parse(args)
+          val keys = parsed.map(_.keys).getOrElse(
+            if (args.size > 1) Seq(args(1)) else Seq.empty)
+          val extra =
+            if (keys.size > 1)
+              Map("keys" -> keys.mkString(","))
+            else Map.empty[String, String]
+          out += CmdEvent(db, cmd, keys.headOption.getOrElse(""),
+            "raw", extra)
       }
     }
     out.result()
