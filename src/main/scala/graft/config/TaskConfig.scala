@@ -187,7 +187,8 @@ object TaskConfig {
         startLsn = ex.get("start_lsn", ""),
         recreateIfExists =
           ex.get("recreate_slot_if_exists", "false").toBoolean,
-        temporary = ex.get("temporary_slot", "false").toBoolean))
+        temporary = ex.get("temporary_slot", "false").toBoolean,
+        streaming = ex.get("streaming_txns", "false").toBoolean))
 
     Task(
       extractType = extractType,

@@ -66,6 +66,26 @@ object PgOutput {
       replyRequested: Boolean) extends Message
   final case class UnknownMessage(tag: Char) extends Message
 
+  /** Protocol v2 streamed in-progress transactions: large transactions
+    * stream before commit in Start/Stop segments, interleaved across
+    * transactions; data messages inside a segment carry the xid of the
+    * (sub)transaction that produced them.
+    */
+  final case class StreamStart(xid: Long, firstSegment: Boolean)
+      extends Message
+  case object StreamStop extends Message
+  final case class StreamCommit(xid: Long, commitLsn: Long,
+      endLsn: Long, commitMicros: Long) extends Message
+  /** `subXid == xid` aborts the whole transaction, otherwise only the
+    * subtransaction's buffered changes.
+    */
+  final case class StreamAbort(xid: Long, subXid: Long) extends Message
+  /** A data message decoded inside a Start/Stop segment, tagged with
+    * its (sub)transaction xid.
+    */
+  final case class Streamed(xid: Long, message: Message)
+      extends Message
+
   /** Standard PG LSN rendering: `XXXXXXXX/XXXXXXXX` (hi/lo 32 bits). */
   def renderLsn(lsn: Long): String =
     f"${(lsn >>> 32).toInt & 0xffffffffL}%X/${lsn.toInt & 0xffffffffL}%X"
@@ -98,21 +118,34 @@ object PgOutput {
     * Trailing bytes after the message are a framing error and raise —
     * silently ignoring them would drop data.
     */
-  def decodeMessage(bytes: Array[Byte]): Message = {
-    val (m, consumed) = decodeMessageConsumed(bytes)
+  def decodeMessage(bytes: Array[Byte],
+      inStream: Boolean = false): Message = {
+    val (m, consumed) = decodeMessageConsumed(bytes, inStream)
     require(consumed == bytes.length,
       s"pgoutput message consumed $consumed of ${bytes.length} bytes — " +
         "buffer holds more than one message")
     m
   }
 
+  /** Data-message tags that carry a leading xid inside a streamed
+    * segment (protocol v2).
+    */
+  private val StreamableTags = "RYIUDTM"
+
   /** Decode one message and report how many bytes it consumed. Every
     * pgoutput message is self-delimiting except an unknown tag, which
-    * consumes the whole buffer (its length is unknowable).
+    * consumes the whole buffer (its length is unknowable). `inStream`
+    * = the decoder is between Stream Start and Stream Stop, where data
+    * messages read their (sub)transaction xid first and wrap in
+    * [[Streamed]].
     */
-  def decodeMessageConsumed(bytes: Array[Byte]): (Message, Int) = {
+  def decodeMessageConsumed(bytes: Array[Byte],
+      inStream: Boolean = false): (Message, Int) = {
     val r = new Reader(bytes, 0)
     val tag = r.u8().toChar
+    val streamXid: Long =
+      if (inStream && StreamableTags.indexOf(tag) >= 0) r.beU(4)
+      else -1L
     val msg: Message = tag match {
       case 'B' => Begin(r.beU(8), r.beU(8), r.beU(4))
       case 'C' =>
@@ -164,10 +197,18 @@ object PgOutput {
         val prefix = r.cstr()
         val len = r.beU(4).toInt
         LogicalMessage(transactional, lsn, prefix, r.take(len))
+      case 'S' => StreamStart(r.beU(4), r.u8() == 1)
+      case 'E' => StreamStop
+      case 'c' =>
+        val xid = r.beU(4)
+        r.u8() // flags, unused
+        StreamCommit(xid, r.beU(8), r.beU(8), r.beU(8))
+      case 'A' => StreamAbort(r.beU(4), r.beU(4))
       case other => UnknownMessage(other)
     }
     msg match {
       case UnknownMessage(_) => (msg, bytes.length)
+      case _ if streamXid >= 0 => (Streamed(streamXid, msg), r.pos)
       case _ => (msg, r.pos)
     }
   }
@@ -204,19 +245,36 @@ object PgOutput {
   def decodeCopyStream(bytes: Array[Byte]): Seq[(Long, Message)] = {
     val out = Seq.newBuilder[(Long, Message)]
     var pos = 0
+    // protocol v2: between Stream Start and Stream Stop, data messages
+    // carry a leading xid — segment boundaries are frames themselves,
+    // so the flag threads across the frame loop
+    var inStream = false
+    def track(m: Message): Message = {
+      m match {
+        case _: StreamStart => inStream = true
+        case StreamStop => inStream = false
+        case _ => ()
+      }
+      m
+    }
     while (pos < bytes.length) {
       val tag = bytes(pos) & 0xff
       if (tag == 'd') {
         val r = new Reader(bytes, pos + 1)
         val len = r.beU(4).toInt // includes the length field
         val end = pos + 1 + len
-        out ++= decodeXLog(bytes, pos + 5, end)
+        val ((lsn, msg), next) =
+          decodeXLogOne(bytes, pos + 5, end, inStream)
+        require(next == end,
+          s"CopyData frame not fully consumed: at $next expected $end")
+        out += ((lsn, track(msg)))
         pos = end
       } else if (tag == 'w' || tag == 'k') {
         // bare inner frames: XLogData payloads are self-terminating
         // messages, keepalives fixed-width
-        val (res, next) = decodeXLogOne(bytes, pos, bytes.length)
-        out += res
+        val (res, next) = decodeXLogOne(bytes, pos, bytes.length,
+          inStream)
+        out += ((res._1, track(res._2)))
         pos = next
       } else throw new IllegalArgumentException(
         f"unknown replication frame tag $tag%x at $pos")
@@ -224,19 +282,11 @@ object PgOutput {
     out.result()
   }
 
-  private def decodeXLog(bytes: Array[Byte], start: Int,
-      end: Int): Seq[(Long, Message)] = {
-    val (res, next) = decodeXLogOne(bytes, start, end)
-    require(next == end,
-      s"CopyData frame not fully consumed: at $next expected $end")
-    Seq(res)
-  }
-
   /** One inner frame starting at `start`; returns (result, nextOffset).
     * XLogData runs to `limit` (one message per frame on the wire).
     */
   private def decodeXLogOne(bytes: Array[Byte], start: Int,
-      limit: Int): ((Long, Message), Int) = {
+      limit: Int, inStream: Boolean = false): ((Long, Message), Int) = {
     val r = new Reader(bytes, start)
     r.u8().toChar match {
       case 'w' =>
@@ -247,7 +297,7 @@ object PgOutput {
         // decode exactly ONE message and advance by what it consumed:
         // a capture of concatenated bare XLogData frames must not let
         // the first frame swallow the rest of the buffer (silent loss).
-        val (msg, consumed) = decodeMessageConsumed(payload)
+        val (msg, consumed) = decodeMessageConsumed(payload, inStream)
         ((walStart, msg), r.pos + consumed)
       case 'k' =>
         val walEnd = r.beU(8)
@@ -287,6 +337,35 @@ object PgOutput {
         after, Position.PgCdc(positionLsn).kind,
         Position.PgCdc(positionLsn).render, originNode = "")
 
+    def applyData(m: Message): Unit = m match {
+      case i: Insert =>
+        val rel = rels(i.relId)
+        emit(rel, RowKind.Insert, Map.empty, img(rel, i.newTuple))
+      case u: Update =>
+        val rel = rels(u.relId)
+        val before = u.oldTuple.map(img(rel, _)).getOrElse(Map.empty)
+        emit(rel, RowKind.Update, before, img(rel, u.newTuple))
+      case d: Delete =>
+        val rel = rels(d.relId)
+        emit(rel, RowKind.Delete, img(rel, d.oldTuple), Map.empty)
+      case t: Truncate =>
+        t.relIds.foreach { id =>
+          val rel = rels(id)
+          emit(rel, "truncate", Map.empty, Map.empty)
+        }
+      case _ => () // Origin/Type/LogicalMessage/Keepalive: no row images
+    }
+
+    // v2 streaming: segments buffer per TOP-LEVEL xid (the Stream
+    // Start xid) until Stream Commit replays them in arrival order or
+    // Stream Abort drops them (whole txn when subXid == xid, else the
+    // subtransaction's entries only). Relation messages inside a
+    // stream update the schema cache immediately — they describe the
+    // wire, not the transaction.
+    val pending = scala.collection.mutable.LinkedHashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Message)]]
+    var openStream: Option[Long] = None
+
     messages.foreach {
       case (_, r: Relation) => rels(r.relId) = r
       case (_, b: Begin) =>
@@ -294,22 +373,29 @@ object PgOutput {
       case (_, c: Commit) =>
         txEndLsn = renderLsn(c.endLsn)
         positionLsn = txEndLsn
-      case (_, i: Insert) =>
-        val rel = rels(i.relId)
-        emit(rel, RowKind.Insert, Map.empty, img(rel, i.newTuple))
-      case (_, u: Update) =>
-        val rel = rels(u.relId)
-        val before = u.oldTuple.map(img(rel, _)).getOrElse(Map.empty)
-        emit(rel, RowKind.Update, before, img(rel, u.newTuple))
-      case (_, d: Delete) =>
-        val rel = rels(d.relId)
-        emit(rel, RowKind.Delete, img(rel, d.oldTuple), Map.empty)
-      case (_, t: Truncate) =>
-        t.relIds.foreach { id =>
-          val rel = rels(id)
-          emit(rel, "truncate", Map.empty, Map.empty)
-        }
-      case _ => () // Origin/Type/LogicalMessage/Keepalive: no row images
+      case (_, s: StreamStart) => openStream = Some(s.xid)
+      case (_, StreamStop) => openStream = None
+      case (_, Streamed(subXid, m)) => m match {
+        case r: Relation => rels(r.relId) = r
+        case data =>
+          val top = openStream.getOrElse(subXid)
+          pending.getOrElseUpdate(top,
+            scala.collection.mutable.ArrayBuffer.empty) +=
+            ((subXid, data))
+      }
+      case (_, a: StreamAbort) =>
+        if (a.subXid == a.xid) pending.remove(a.xid)
+        else pending.get(a.xid)
+          .foreach(_.filterInPlace(_._1 != a.subXid))
+      case (_, sc: StreamCommit) =>
+        // same position contract as Begin/Commit: the replayed txn
+        // keys at the previous commit end, its commit advances it
+        positionLsn = txEndLsn
+        pending.remove(sc.xid)
+          .foreach(_.foreach { case (_, m) => applyData(m) })
+        txEndLsn = renderLsn(sc.endLsn)
+        positionLsn = txEndLsn
+      case (_, m) => applyData(m)
     }
     out.result()
   }
@@ -373,6 +459,46 @@ final class PgOutputWriter {
     frame(b.toByteArray)
   }
 
+  // ---- protocol v2 streamed transactions: between streamStart and
+  // streamStop every data message carries the current (sub)txn xid
+  private var streamXid: Option[Long] = None
+  private def maybeXid(b: ByteArrayOutputStream): Unit =
+    streamXid.foreach(x => beU(b, x, 4))
+
+  def streamStart(xid: Long, firstSegment: Boolean): Unit = {
+    val b = new ByteArrayOutputStream()
+    b.write('S'); beU(b, xid, 4)
+    b.write(if (firstSegment) 1 else 0)
+    frame(b.toByteArray)
+    streamXid = Some(xid)
+  }
+
+  /** Tag subsequent data messages with a subtransaction xid (call
+    * between streamStart and streamStop).
+    */
+  def streamAs(subXid: Long): Unit = streamXid = Some(subXid)
+
+  def streamStop(): Unit = {
+    val b = new ByteArrayOutputStream()
+    b.write('E')
+    frame(b.toByteArray)
+    streamXid = None
+  }
+
+  def streamCommit(xid: Long, commitLsn: Long, endLsn: Long,
+      commitMicros: Long): Unit = {
+    val b = new ByteArrayOutputStream()
+    b.write('c'); beU(b, xid, 4); b.write(0)
+    beU(b, commitLsn, 8); beU(b, endLsn, 8); beU(b, commitMicros, 8)
+    frame(b.toByteArray)
+  }
+
+  def streamAbort(xid: Long, subXid: Long): Unit = {
+    val b = new ByteArrayOutputStream()
+    b.write('A'); beU(b, xid, 4); beU(b, subXid, 4)
+    frame(b.toByteArray)
+  }
+
   def commit(commitLsn: Long, endLsn: Long, commitMicros: Long): Unit = {
     val b = new ByteArrayOutputStream()
     b.write('C'); b.write(0)
@@ -384,7 +510,7 @@ final class PgOutputWriter {
       replicaIdentity: Char,
       columns: Seq[PgOutput.RelColumn]): Unit = {
     val b = new ByteArrayOutputStream()
-    b.write('R'); beU(b, relId, 4)
+    b.write('R'); maybeXid(b); beU(b, relId, 4)
     cstr(b, namespace); cstr(b, name)
     b.write(replicaIdentity)
     beU(b, columns.size.toLong, 2)
@@ -413,7 +539,7 @@ final class PgOutputWriter {
 
   def insert(relId: Long, values: Array[String]): Unit = {
     val b = new ByteArrayOutputStream()
-    b.write('I'); beU(b, relId, 4); b.write('N')
+    b.write('I'); maybeXid(b); beU(b, relId, 4); b.write('N')
     tuple(b, values)
     frame(b.toByteArray)
   }
@@ -422,7 +548,7 @@ final class PgOutputWriter {
       oldValues: Option[Array[String]],
       newValues: Array[String]): Unit = {
     val b = new ByteArrayOutputStream()
-    b.write('U'); beU(b, relId, 4)
+    b.write('U'); maybeXid(b); beU(b, relId, 4)
     oldKind.foreach { k => b.write(k); tuple(b, oldValues.get) }
     b.write('N'); tuple(b, newValues)
     frame(b.toByteArray)
@@ -431,7 +557,7 @@ final class PgOutputWriter {
   def delete(relId: Long, oldKind: Char,
       oldValues: Array[String]): Unit = {
     val b = new ByteArrayOutputStream()
-    b.write('D'); beU(b, relId, 4); b.write(oldKind)
+    b.write('D'); maybeXid(b); beU(b, relId, 4); b.write(oldKind)
     tuple(b, oldValues)
     frame(b.toByteArray)
   }
@@ -439,7 +565,7 @@ final class PgOutputWriter {
   def truncate(cascade: Boolean, restartIdentity: Boolean,
       relIds: Seq[Long]): Unit = {
     val b = new ByteArrayOutputStream()
-    b.write('T'); beU(b, relIds.size.toLong, 4)
+    b.write('T'); maybeXid(b); beU(b, relIds.size.toLong, 4)
     b.write((if (cascade) 1 else 0) | (if (restartIdentity) 2 else 0))
     relIds.foreach(id => beU(b, id, 4))
     frame(b.toByteArray)
@@ -448,7 +574,7 @@ final class PgOutputWriter {
   def logicalMessage(transactional: Boolean, lsn: Long, prefix: String,
       content: Array[Byte]): Unit = {
     val b = new ByteArrayOutputStream()
-    b.write('M'); b.write(if (transactional) 1 else 0)
+    b.write('M'); maybeXid(b); b.write(if (transactional) 1 else 0)
     beU(b, lsn, 8); cstr(b, prefix)
     beU(b, content.length.toLong, 4)
     b.write(content, 0, content.length)

@@ -30,9 +30,12 @@ object PgSlotLifecycle {
     name
   }
 
+  /** `streaming` requests protocol v2 in-progress-transaction
+    * streaming at START_REPLICATION time (PG 14+).
+    */
   final case class SlotConfig(slotName: String, pubName: String = "",
       startLsn: String = "", recreateIfExists: Boolean = false,
-      temporary: Boolean = false) {
+      temporary: Boolean = false, streaming: Boolean = false) {
     checkIdent(slotName, "slot_name")
     if (pubName.nonEmpty) checkIdent(pubName, "pub_name")
   }
@@ -80,11 +83,18 @@ object PgSlotLifecycle {
   val sessionSetupSql: Seq[String] =
     Seq("SET extra_float_digits=3", "SET TIME ZONE 'UTC'")
 
-  def startReplicationSql(slot: String, lsn: String, pub: String)
-      : String =
+  /** `streaming = true` requests protocol v2 in-progress-transaction
+    * streaming (PG 14+; the [[PgOutput]] decoder handles the
+    * Stream Start/Stop/Commit/Abort segment messages it enables).
+    */
+  def startReplicationSql(slot: String, lsn: String, pub: String,
+      streaming: Boolean = false): String = {
+    val proto = if (streaming) 2 else 1
+    val streamOpt = if (streaming) """, "streaming" 'on'""" else ""
     s"START_REPLICATION SLOT ${checkIdent(slot, "slot_name")} " +
-      s"""LOGICAL $lsn ("proto_version" '1', "publication_names" """ +
-      s"""'${checkIdent(pub, "pub_name")}')"""
+      s"""LOGICAL $lsn ("proto_version" '$proto', "publication_names" """ +
+      s"""'${checkIdent(pub, "pub_name")}'$streamOpt)"""
+  }
 
   /** Parse "16/B374D848" to a comparable long (hi<<32 | lo). */
   def parseLsn(s: String): Long = s.split("/") match {

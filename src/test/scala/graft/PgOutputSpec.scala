@@ -163,6 +163,85 @@ class PgOutputSpec extends AnyFunSuite {
     assert(kinds == Seq("Begin", "Relation", "Insert", "Commit"), kinds)
   }
 
+  test("v2 streaming: interleaved transactions replay at their commits") {
+    val w = new PgOutputWriter()
+    w.relation(16385L, "public", "users", 'd', Cols)
+    // txn 100 streams its first segment
+    w.streamStart(100L, firstSegment = true)
+    w.insert(16385L, Array("1", "a", "x"))
+    w.streamStop()
+    // txn 200 interleaves
+    w.streamStart(200L, firstSegment = true)
+    w.insert(16385L, Array("2", "b", "y"))
+    w.streamStop()
+    // txn 100 streams more
+    w.streamStart(100L, firstSegment = false)
+    w.insert(16385L, Array("3", "c", "z"))
+    w.streamStop()
+    // 200 commits FIRST, then 100
+    w.streamCommit(200L, 0x2000L, 0x2100L, 0L)
+    w.streamCommit(100L, 0x3000L, 0x3100L, 0L)
+
+    val msgs = PgOutput.decodeCopyStream(w.bytes())
+    // wire shape: data inside segments is Streamed-wrapped with xid
+    assert(msgs.collect {
+      case (_, PgOutput.Streamed(x, _: PgOutput.Insert)) => x
+    } == Seq(100L, 200L, 100L))
+
+    val evs = PgOutput.toChangeEvents(msgs, startLsn = "0/0")
+    // commit order wins: 200's row first, then 100's two in stream order
+    assert(evs.map(_.after("id")) == Seq("2", "1", "3"))
+    // position anchoring: 200's row keys at the capture start; 100's
+    // rows key at 200's commit end (whole-txn replay contract)
+    assert(evs.map(_.positionValue) == Seq(
+      graft.model.Position.PgCdc("0/0").render,
+      graft.model.Position.PgCdc("0/2100").render,
+      graft.model.Position.PgCdc("0/2100").render))
+  }
+
+  test("v2 streaming: abort drops the whole txn or just a subxact") {
+    val w = new PgOutputWriter()
+    w.relation(16385L, "public", "users", 'd', Cols)
+    // txn 300: top-level rows plus a subtransaction 301
+    w.streamStart(300L, firstSegment = true)
+    w.insert(16385L, Array("10", "a", "x"))
+    w.streamAs(301L)
+    w.insert(16385L, Array("11", "sub", "x"))
+    w.streamAs(300L)
+    w.insert(16385L, Array("12", "b", "x"))
+    w.streamStop()
+    w.streamAbort(300L, 301L) // subxact only
+    w.streamCommit(300L, 0x2000L, 0x2100L, 0L)
+    // txn 400 aborts entirely
+    w.streamStart(400L, firstSegment = true)
+    w.insert(16385L, Array("20", "gone", "x"))
+    w.streamStop()
+    w.streamAbort(400L, 400L)
+
+    val evs = PgOutput.toChangeEvents(
+      PgOutput.decodeCopyStream(w.bytes()))
+    assert(evs.map(_.after("id")) == Seq("10", "12"))
+  }
+
+  test("v2 streaming: stream messages round-trip standalone") {
+    import PgOutput._
+    def roundtrip(bytes: Array[Byte]): Message = decodeMessage(bytes)
+    val s = Array[Byte]('S', 0, 0, 0, 5, 1)
+    assert(roundtrip(s) == StreamStart(5L, firstSegment = true))
+    assert(roundtrip(Array[Byte]('E')) == StreamStop)
+    val a = Array[Byte]('A', 0, 0, 0, 5, 0, 0, 0, 9)
+    assert(roundtrip(a) == StreamAbort(5L, 9L))
+    // streamed insert needs the inStream flag to place the xid
+    val w = new PgOutputWriter()
+    w.streamStart(7L, firstSegment = true)
+    w.insert(1L, Array("1"))
+    val msgs = decodeCopyStream(w.bytes())
+    assert(msgs.last._2 match {
+      case Streamed(7L, Insert(1L, t)) => t.sameElements(Array("1"))
+      case _ => false
+    })
+  }
+
   test("trailing bytes after a framed message raise instead of dropping") {
     val framed = writerWithRel()
     val bytes = framed.bytes()

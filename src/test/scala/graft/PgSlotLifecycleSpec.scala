@@ -141,6 +141,11 @@ class PgSlotLifecycleSpec extends AnyFunSuite {
     assert(createSlotSql("s").contains("\"pgoutput\""))
     assert(startReplicationSql("s", "0/0",
       publicationName(SlotConfig("s"))).contains("\"proto_version\" '1'"))
+    // streaming=true upgrades to protocol v2, which the decoder's
+    // Stream Start/Stop/Commit/Abort handling speaks
+    val v2 = startReplicationSql("s", "0/0", "p", streaming = true)
+    assert(v2.contains("\"proto_version\" '2'") &&
+      v2.contains("\"streaming\" 'on'"))
     val _ = PgSlotLifecycle // referenced for scaladoc linkage
   }
 }
