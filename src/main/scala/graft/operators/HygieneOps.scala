@@ -288,18 +288,119 @@ object HygieneOps {
        |FROM documents d JOIN marked m USING (doc_id)
        |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q105
+  /** Exact duplicated-substring spans — the exact-substring dedup form
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"), re-expressed over positional word 5-grams instead of a
+    * suffix array: a token position is duplicated when the 5-gram
+    * starting there occurs more than once in the corpus (same doc or
+    * another); overlapping or adjacent duplicated positions merge into
+    * maximal spans; each document reports its span count, covered
+    * token budget, and the permille of its tokens inside some
+    * duplicated span (the quantity exact-substring dedup would cut).
+    *
+    * Scale shape: POSITIONAL gram hashes (unlike q34's distinct
+    * shingle sets) explode map-side through the same codegen charFold
+    * leaf as q34/q35; the duplicate set reduces to one 64-bit hash per
+    * repeated gram before joining back; the span merge is a
+    * gaps-and-islands window PARTITIONED BY doc_id (never global); and
+    * only (long, int) pairs shuffle — gram strings never leave the
+    * mapper.
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpansOf(Tables.documents(spark, dir))
+
+  def dupSpansOf(docs: DataFrame, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"),
+      TextOps.tokens(col("text")).as("w"))
+    val nG = size(col("w")) - (n - 1)
+    val grams = base.select(col("doc_id"),
+      posexplode(when(nG >= 1,
+        transform(sequence(lit(1), greatest(nG, lit(1))),
+          i => TextOps.charFold(concat_ws(" ", slice(col("w"), i,
+            lit(n))))))
+        .otherwise(array().cast("array<long>"))).as(Seq("s", "h")))
+    val dup = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("h"))
+    val hits = grams.join(dup, "h")
+      .select(col("doc_id"), col("s"), (col("s") + (n - 1)).as("e"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val prevMaxE = max(col("e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val isl = hits
+      .withColumn("brk", when(prevMaxE.isNull ||
+        col("s") > prevMaxE + 1, 1).otherwise(0))
+      .withColumn("isl", sum(col("brk"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val spans = isl.groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("s")).as("ss"), max(col("e")).as("ee"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("ee") - col("ss") + 1).as("dup_tokens"))
+    docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        expr("coalesce(dup_tokens, 0L) * 1000 div n_tokens")
+          .as("dup_permille"))
+  }
+
+  val dupSpansSql: String = {
+    val toks = TextOps.tokensSql("text")
+    // the gram string materializes under its own name BEFORE charFold:
+    // charFoldSql's transform lambda binds `i`, which would capture the
+    // positional unnest alias inside the slice otherwise
+    s"""WITH base AS (SELECT doc_id, $toks AS w FROM documents),
+       |g AS (SELECT doc_id,
+       |    unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS i, w
+       |  FROM base),
+       |gr AS (SELECT doc_id, i - 1 AS s, i + 3 AS e,
+       |    array_to_string(w[i:i+4], ' ') AS gram
+       |  FROM g),
+       |grams AS (SELECT doc_id, s, e,
+       |    ${TextOps.charFoldSql("gram")} AS h
+       |  FROM gr),
+       |dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+       |hits AS (SELECT doc_id, s, e FROM grams JOIN dup USING (h)),
+       |marked AS (SELECT doc_id, s, e,
+       |    MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS prev_e
+       |  FROM hits),
+       |isl AS (SELECT doc_id, s, e,
+       |    SUM(CASE WHEN prev_e IS NULL OR s > prev_e + 1
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY s) AS isl
+       |  FROM marked),
+       |spans AS (SELECT doc_id, isl, MIN(s) AS ss, MAX(e) AS ee
+       |  FROM isl GROUP BY 1, 2),
+       |per_doc AS (SELECT doc_id, count(*) AS n_spans,
+       |    SUM(ee - ss + 1) AS dup_tokens FROM spans GROUP BY 1)
+       |SELECT b.doc_id, len(b.w)::BIGINT AS n_tokens,
+       |  COALESCE(p.n_spans, 0)::BIGINT AS n_spans,
+       |  COALESCE(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+       |  (COALESCE(p.dup_tokens, 0) * 1000 // len(b.w))::BIGINT
+       |    AS dup_permille
+       |FROM base b LEFT JOIN per_doc p USING (doc_id)""".stripMargin
+  }
+
   // -----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_containment" -> (containmentPairs _),
     "q89_dup_canonical" -> (dupCanonical _),
     "q90_ann_recall" -> (annRecall _),
     "q91_quantize_int8" -> (quantizeInt8 _),
-    "q92_dedup_purge" -> (dedupPurge _))
+    "q92_dedup_purge" -> (dedupPurge _),
+    "q105_dup_spans" -> (dupSpans _))
 
   val oracles: Map[String, String] = Map(
     "q88_containment" -> containmentPairsSql,
     "q89_dup_canonical" -> dupCanonicalSql,
     "q90_ann_recall" -> annRecallSql,
     "q91_quantize_int8" -> quantizeInt8Sql,
-    "q92_dedup_purge" -> dedupPurgeSql)
+    "q92_dedup_purge" -> dedupPurgeSql,
+    "q105_dup_spans" -> dupSpansSql)
 }

@@ -137,4 +137,49 @@ class HygieneSpec extends SparkSuite {
     assert(perComp.nonEmpty)
     assert(perComp.forall(_.getAs[Long]("n_canon") == 1L))
   }
+
+  test("dup spans: repeated phrase merges into one maximal span, " +
+      "clean docs report zero") {
+    val s = spark
+    import s.implicits._
+    // doc 1 repeats a 6-token phrase: grams at token 0 and 1 of both
+    // copies are duplicated, covering [0,5] and [8,13]
+    val phrase = "one two three four five six"
+    val doc1 = s"$phrase aa bb $phrase"
+    // doc 2 contains the phrase once — duplicated vs doc 1's copies
+    val doc2 = s"xx $phrase yy"
+    val doc3 = "p q r s t u v w" // unique text, no dup grams
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3))
+      .toDF("doc_id", "text")
+    val r = HygieneOps.dupSpansOf(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("n_spans"),
+          x.getAs[Long]("dup_tokens"),
+          x.getAs[Long]("dup_permille")))).toMap
+    // doc1: 14 tokens; dup 5-grams start at 0,1 (first copy) and 8,9
+    // (second copy) -> spans [0,5] and [8,13], 12 covered tokens
+    assert(r(1L) == ((14L, 2L, 12L, 857L)))
+    // doc2: 8 tokens, dup grams at 1,2 -> one span [1,6], 6 tokens
+    assert(r(2L) == ((8L, 1L, 6L, 750L)))
+    assert(r(3L) == ((8L, 0L, 0L, 0L)))
+  }
+
+  test("dup spans: adjacent spans coalesce (s <= prev_e + 1)") {
+    val s = spark
+    import s.implicits._
+    // doc 10 = two different duplicated 5-grams back to back: the
+    // second span starts exactly at prev_e + 1 and must merge
+    val a = "a1 a2 a3 a4 a5"
+    val b = "b1 b2 b3 b4 b5"
+    val docs = Seq(
+      (10L, s"$a $b"),
+      (11L, a), (12L, b)).toDF("doc_id", "text")
+    val r = HygieneOps.dupSpansOf(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_spans"), x.getAs[Long]("dup_tokens"))))
+      .toMap
+    assert(r(10L) == ((1L, 10L))) // one merged span covering all 10
+    assert(r(11L) == ((1L, 5L)))
+    assert(r(12L) == ((1L, 5L)))
+  }
 }
