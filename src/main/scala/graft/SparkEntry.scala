@@ -39,7 +39,8 @@ object SparkEntry {
       Relational2.queries ++ AdvancedOps.queries ++ CurationOps.queries ++
       Relational3.queries ++ MongoOps.queries ++ BinlogReplay.queries ++
       graft.plans.PlanQueries.queries ++ CorpusOps.queries ++
-      ScaleOps.queries ++ HygieneOps.queries ++ ChunkRebalancer.queries
+      ScaleOps.queries ++ HygieneOps.queries ++
+      ChunkRebalancer.queries ++ BpeLearn.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +52,6 @@ object SparkEntry {
       Relational2.oracles ++ AdvancedOps.oracles ++ CurationOps.oracles ++
       Relational3.oracles ++ MongoOps.oracles ++ BinlogReplay.oracles ++
       graft.plans.PlanQueries.oracles ++ CorpusOps.oracles ++
-      ScaleOps.oracles ++ HygieneOps.oracles ++ ChunkRebalancer.oracles
+      ScaleOps.oracles ++ HygieneOps.oracles ++
+      ChunkRebalancer.oracles ++ BpeLearn.oracles
 }

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed BPE merge learning — the byte-pair-encoding training
+  * loop (Sennrich et al., "Neural Machine Translation of Rare Words
+  * with Subword Units") a tokenizer pipeline runs before it can count
+  * tokens at all. q38 applies a pre-tokenizer; this learns the merge
+  * table itself.
+  *
+  * Scale shape — the part that matters at 100 TB: BPE trains on the
+  * (distinct pre-token, frequency) table, NOT the corpus. The corpus
+  * is read exactly once ([[wordFreqs]]: explode + one count shuffle);
+  * every merge round after that iterates over the vocabulary table —
+  * bounded by language (≈1e6 rows at any corpus size) — with a
+  * map-side pair explode, one small aggregation, and a map-side
+  * symbol rewrite. Driver state is one chosen merge per round (the
+  * same bounded-plan pattern as the k-means and chunk-rebalance
+  * planners). No word-boundary marker symbol is used — merges are
+  * intra-word (documented divergence from implementations that add
+  * `</w>`; deterministic on both engines).
+  */
+object BpeLearn {
+
+  /** Pre-token frequency table — the ONLY corpus-sized pass. Same
+    * `\w+|[^\w\s]` pre-tokenizer as q38, lowercased (case-folded BPE
+    * vocabularies are the common choice and keep the pair space
+    * dense).
+    */
+  def wordFreqs(docs: DataFrame): DataFrame =
+    docs.select(explode(regexp_extract_all(lower(col("text")),
+        lit("\\w+|[^\\w\\s]"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Char-level starting point of the merge loop. */
+  def initialSymbols(freqs: DataFrame): DataFrame =
+    freqs.select(split(col("word"), "").as("symbols"), col("freq"))
+
+  /** Adjacent-pair counts over a (symbols, freq) vocabulary table:
+    * map-side explode of len-1 pairs per word, one aggregation.
+    */
+  def pairCounts(words: DataFrame): DataFrame = {
+    val n = size(col("symbols"))
+    words.select(col("freq"),
+        explode(when(n >= 2,
+          transform(sequence(lit(1), greatest(n - 1, lit(1))),
+            i => struct(element_at(col("symbols"), i).as("l"),
+              element_at(col("symbols"), i + 1).as("r"))))
+          .otherwise(array().cast(
+            "array<struct<l:string,r:string>>"))).as("p"))
+      .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      .agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Rewrite symbol arrays replacing adjacent (l, r) with the merged
+    * symbol, greedy left-to-right (the classic BPE application order:
+    * after a merge the new symbol can immediately pair with the next
+    * input symbol, and "aaa" under (a,a) yields [aa, a]).
+    */
+  def applyMerge(words: DataFrame, l: String, r: String): DataFrame =
+    words.select(
+      aggregate(col("symbols"), array().cast("array<string>"),
+        (acc, x) => when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat_ws("", element_at(acc, -1), x))))
+          .otherwise(concat(acc, array(x)))).as("symbols"),
+      col("freq"))
+
+  final case class Merge(left: String, right: String, cnt: Long)
+
+  /** Learn `k` merges. Ties break to the lexicographically smallest
+    * (left, right) — deterministic across partitionings. Each round's
+    * vocabulary is pinned (localCheckpoint) so round N+1 reads a
+    * materialized table instead of replaying N rewrites.
+    */
+  def learnMerges(docs: DataFrame, k: Int): Seq[Merge] = {
+    var words = initialSymbols(wordFreqs(docs)).localCheckpoint(true)
+    val out = Seq.newBuilder[Merge]
+    var done = false
+    var round = 0
+    while (round < k && !done) {
+      val top = pairCounts(words)
+        .orderBy(col("cnt").desc, col("left_sym"), col("right_sym"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val m = Merge(top.head.getAs[String]("left_sym"),
+          top.head.getAs[String]("right_sym"),
+          top.head.getAs[Long]("cnt"))
+        out += m
+        val next = applyMerge(words, m.left, m.right)
+          .localCheckpoint(true)
+        words.unpersist()
+        words = next
+      }
+      round += 1
+    }
+    out.result()
+  }
+
+  // ---------------------------------------------------------------- q106
+  /** First-round pair counts — the corpus-wide statistic the first BPE
+    * merge argmaxes over. Emitting every pair (the char-pair space is
+    * alphabet-bounded) keeps the output set deterministic — no
+    * tie-broken top-N boundary.
+    */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame =
+    pairCounts(initialSymbols(wordFreqs(Tables.documents(spark, dir))))
+
+  val bpePairCountsSql: String =
+    """WITH words AS (
+      |  SELECT word, count(*) AS freq FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text),
+      |      '\w+|[^\w\s]')) AS word
+      |    FROM documents) GROUP BY 1),
+      |pairs AS (
+      |  SELECT substring(word, i, 1) AS left_sym,
+      |    substring(word, i + 1, 1) AS right_sym, freq
+      |  FROM (SELECT word, freq,
+      |      unnest(range(1, length(word))) AS i FROM words))
+      |SELECT left_sym, right_sym, SUM(freq)::BIGINT AS cnt
+      |FROM pairs GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_bpe_pairs" -> (bpePairCounts _))
+
+  val oracles: Map[String, String] = Map(
+    "q106_bpe_pairs" -> bpePairCountsSql)
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.BpeLearn
+
+class BpeLearnSpec extends SparkSuite {
+
+  // the classic BPE teaching corpus: low×5, lower×2, newest×6, widest×3
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest")).toDF("doc_id", "text")
+  }
+
+  test("first merges match the hand-computed classic example") {
+    val merges = BpeLearn.learnMerges(corpus, 3)
+    // round 1: (e,s) and (s,t) both count 9 (newest 6 + widest 3);
+    // lexicographic tie-break picks (e,s)
+    assert(merges(0) == BpeLearn.Merge("e", "s", 9L))
+    // round 2: (es,t) now counts 9 — the merged symbol pairs on
+    assert(merges(1) == BpeLearn.Merge("es", "t", 9L))
+    // round 3: (l,o) and (o,w) tie at 7 (low 5 + lower 2); (l,o) wins
+    assert(merges(2) == BpeLearn.Merge("l", "o", 7L))
+  }
+
+  test("merge application is greedy left-to-right") {
+    val s = spark
+    import s.implicits._
+    val words = Seq((Seq("a", "a", "a"), 1L), (Seq("a", "b", "a", "b"), 1L))
+      .toDF("symbols", "freq")
+    val aa = BpeLearn.applyMerge(words, "a", "a")
+      .select("symbols").as[Seq[String]].collect().toSet
+    // "aaa" -> [aa, a]: the merged symbol does not re-merge backward
+    assert(aa.contains(Seq("aa", "a")))
+    val ab = BpeLearn.applyMerge(words, "a", "b")
+      .select("symbols").as[Seq[String]].collect().toSet
+    assert(ab.contains(Seq("ab", "ab")))
+  }
+
+  test("merges monotonically shrink the symbol count") {
+    val freqs = BpeLearn.wordFreqs(corpus)
+    val w0 = BpeLearn.initialSymbols(freqs)
+    val n0 = w0.select(sum(size(col("symbols")) * col("freq")))
+      .head().getLong(0)
+    val w1 = BpeLearn.applyMerge(w0, "e", "s")
+    val n1 = w1.select(sum(size(col("symbols")) * col("freq")))
+      .head().getLong(0)
+    // es occurs once in newest (6) and widest (3): 9 merges removed
+    assert(n0 - n1 == 9L)
+  }
+
+  test("pair counts: singleton symbols contribute nothing") {
+    val s = spark
+    import s.implicits._
+    val words = Seq((Seq("x"), 7L), (Seq("a", "b"), 2L))
+      .toDF("symbols", "freq")
+    val pc = BpeLearn.pairCounts(words).collect()
+    assert(pc.length == 1)
+    assert(pc.head.getAs[String]("left_sym") == "a" &&
+      pc.head.getAs[Long]("cnt") == 2L)
+  }
+}
