@@ -74,6 +74,7 @@ object TaskConfig {
       router: Router,
       batchSize: Int,
       parallelism: Int,
+      sampleRate: Option[Int] = None,
       keysByTable: Map[String, Seq[String]],
       orderColsByTable: Map[String, Seq[String]],
       metrics: Option[MetricsConfig] = None,
@@ -198,6 +199,8 @@ object TaskConfig {
       router = router,
       batchSize = ex.get("batch_size", "10000").toInt,
       parallelism = pl.get("parallel_size", "4").toInt,
+      // percent 1..99 — estimated snapshot sampling (ExplainEstimate)
+      sampleRate = ex.get("sample_rate", "").toIntOption,
       keysByTable = colSpec(ex, "id_cols"),
       orderColsByTable = colSpec(ex, "order_cols"),
       metrics = metrics,
