@@ -41,6 +41,45 @@ object GraftExpressions {
     acc
   }
 
+  /** Every word-n-gram rolling hash of `s` in token-position order —
+    * the shared core of the distinct (ShingleHashes) and positional
+    * (PositionalShingleHashes) expressions. Gram hash i equals
+    * charFold(concat_ws(" ", tokens[i..i+n-1])): tokens fold with a
+    * single space (0x20) separator, trim strips 0x20 only and split
+    * is Java `\s+` with limit -1 — Spark's trim/split semantics, so
+    * the composed-builtin form and the DuckDB oracle agree digit for
+    * digit.
+    */
+  def shingleHashArray(s: String, n: Int): Array[Long] = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    val toks = wsPattern.split(s.substring(b, e), -1)
+    val m = toks.length - n + 1
+    if (m <= 0) return Array.emptyLongArray
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var t = 0
+      while (t < n) {
+        if (t > 0) acc = (acc * 31 + 32) % FoldP
+        val w = toks(i + t)
+        var j = 0
+        while (j < w.length) {
+          val cp = w.codePointAt(j)
+          acc = (acc * 31 + cp) % FoldP
+          j += Character.charCount(cp)
+        }
+        t += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
   /** One-pass SimHash from an array of token hashes (each < 2^bits):
     * bit j of the result is set iff more than half the hashes have bit j
     * set. Exactly the per-bit ±1 vote-sum > 0 of the composed form
@@ -162,35 +201,38 @@ case class ShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "graft_shingle_hashes"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    // Spark trim(): strip 0x20 only
-    var b = 0
-    var e = s.length
-    while (b < e && s.charAt(b) == ' ') b += 1
-    while (e > b && s.charAt(e - 1) == ' ') e -= 1
-    val toks = GraftExpressions.wsPattern.split(s.substring(b, e), -1)
+    val all = GraftExpressions.shingleHashArray(
+      input.asInstanceOf[UTF8String].toString, n)
     val out = new mutable.LinkedHashSet[Long]()
     var i = 0
-    while (i + n <= toks.length) {
-      var acc = 0L
-      var t = 0
-      while (t < n) {
-        if (t > 0) acc = (acc * 31 + 32) % GraftExpressions.FoldP
-        val w = toks(i + t)
-        var j = 0
-        while (j < w.length) {
-          val cp = w.codePointAt(j)
-          acc = (acc * 31 + cp) % GraftExpressions.FoldP
-          j += Character.charCount(cp)
-        }
-        t += 1
-      }
-      out += acc
-      i += 1
-    }
+    while (i < all.length) { out += all(i); i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       out.toArray)
   }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** shingleHashesPos(text, n) → array<bigint>: EVERY word-n-gram rolling
+  * hash in position order (no dedup) — element i hashes the gram
+  * starting at token i. The positional twin of [[ShingleHashes]] for
+  * span-level operators (q105): posexplode gives (token offset, hash)
+  * without ever materializing gram strings.
+  */
+case class PositionalShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen
+      .CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes_pos"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      GraftExpressions.shingleHashArray(
+        input.asInstanceOf[UTF8String].toString, n))
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
@@ -343,6 +385,10 @@ class GraftExtensions
     e.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes", "distinct word-5-gram hashes"),
       exprs => ShingleHashes(exprs.head, 5)))
+    e.injectFunction((FunctionIdentifier("graft_shingle_hashes_pos"),
+      info("graft_shingle_hashes_pos",
+        "positional word-5-gram hashes (no dedup)"),
+      exprs => PositionalShingleHashes(exprs.head, 5)))
     e.injectFunction((FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "30-bit majority simhash of token hashes"),
       exprs => SimHashBits(exprs.head, 30)))
@@ -397,6 +443,8 @@ object GraftFunctions {
         exprs => LongDot(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("graft_shingle_hashes",
         exprs => ShingleHashes(exprs.head, 5), "scala_udf")
+      reg.createOrReplaceTempFunction("graft_shingle_hashes_pos",
+        exprs => PositionalShingleHashes(exprs.head, 5), "scala_udf")
       reg.createOrReplaceTempFunction("graft_simhash",
         exprs => SimHashBits(exprs.head, 30), "scala_udf")
       reg.createOrReplaceTempFunction("graft_minhash_sig",
@@ -429,6 +477,8 @@ object GraftFunctions {
   def longDot(a: Column, b: Column): Column =
     fn("graft_long_dot", a, b)
   def shingleHashes(c: Column): Column = fn("graft_shingle_hashes", c)
+  def shingleHashesPos(c: Column): Column =
+    fn("graft_shingle_hashes_pos", c)
   def simhash(c: Column): Column = fn("graft_simhash", c)
   def minhashSig(c: Column): Column = fn("graft_minhash_sig", c)
   def kminValues(c: Column, k: Int): Column =

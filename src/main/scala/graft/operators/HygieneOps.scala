@@ -312,15 +312,14 @@ object HygieneOps {
 
   def dupSpansOf(docs: DataFrame, n: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col("doc_id"),
-      TextOps.tokens(col("text")).as("w"))
-    val nG = size(col("w")) - (n - 1)
-    val grams = base.select(col("doc_id"),
-      posexplode(when(nG >= 1,
-        transform(sequence(lit(1), greatest(nG, lit(1))),
-          i => TextOps.charFold(concat_ws(" ", slice(col("w"), i,
-            lit(n))))))
-        .otherwise(array().cast("array<long>"))).as(Seq("s", "h")))
+    require(n == 5, "native positional shingle expression is 5-gram")
+    // one native pass per document: element i of the array is the
+    // hash of the gram starting at token i (no gram strings built,
+    // no interpreted HOF chain) — cross-checked against the composed
+    // transform(slice…charFold) form in GraftExpressionsSpec
+    val grams = docs.select(col("doc_id"),
+      posexplode(graft.functions.GraftFunctions
+        .shingleHashesPos(col("text"))).as(Seq("s", "h")))
     val dup = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("h"))
     val hits = grams.join(dup, "h")

@@ -45,6 +45,32 @@ class GraftExpressionsSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("positional shingle hashes equal the composed per-position " +
+      "charFold chain on real docs") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sf)
+    // composed reference: hash of the gram STRING at every position
+    val toks = org.apache.spark.sql.functions.split(
+      org.apache.spark.sql.functions.trim(col("text")), "\\s+")
+    val nG = size(toks) - 4
+    val ref = when(nG >= 1,
+      transform(sequence(lit(1), greatest(nG, lit(1))),
+        i => graft.operators.TextOps.charFold(
+          concat_ws(" ", slice(toks, i, lit(5))))))
+      .otherwise(array().cast("array<long>"))
+    val mismatches = d.select(
+      GraftFunctions.shingleHashesPos(col("text")).as("fast"),
+      ref.as("ref"))
+      .filter(expr("fast != ref")).count() // order matters: no sort
+    assert(mismatches == 0)
+    // repeats must NOT dedup — element i is the gram at token i
+    val rep = Seq("a b c d e a b c d e a b c d e").toDF("text")
+    val arr = rep.select(GraftFunctions.shingleHashesPos(col("text")))
+      .head().getSeq[Long](0)
+    assert(arr.length == 11)
+    assert(arr(0) == arr(5) && arr(0) == arr(10))
+  }
+
   test("native simhash equals the composed 30-pass reference on real docs") {
     GraftFunctions.register(spark)
     val d = Tables.documents(spark, sf)
