@@ -213,4 +213,27 @@ class ScaleShapeSpec extends SparkSuite {
     assert(p104.contains("event_type"), p104)
     assert(!p104.contains("CartesianProduct"), p104)
   }
+
+  test("dup spans window partitions by doc_id; bpe pair count is " +
+      "explode + one aggregation") {
+    // q105: the gaps-and-islands windows must carry a doc_id
+    // partitionSpec — a global (empty-partition) window would funnel
+    // the corpus through one task
+    val p105 = graft.operators.HygieneOps.dupSpans(spark, sf)
+      .queryExecution.executedPlan.toString
+    // every windowspecdefinition carries the doc_id partition key —
+    // no global window anywhere in the plan
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p105).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, p105)
+    assert(specs.forall(_.contains("doc_id")), p105)
+    assert(!p105.contains("CartesianProduct"))
+    // q106: map-side explode feeding one aggregation — no window, no
+    // join, no cartesian in the whole pair-count plan
+    val plan106 = graft.operators.BpeLearn.bpePairCounts(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan106.contains("Window") &&
+      !plan106.contains("CartesianProduct") &&
+      !plan106.contains("Join"), plan106)
+  }
 }
