@@ -25,6 +25,12 @@ object GraftExpressions {
   val wsPattern: java.util.regex.Pattern =
     java.util.regex.Pattern.compile("\\s+")
 
+  /** The BPE pre-tokenizer: word pieces vs punctuation pieces — the
+    * same split q38 and the BPE trainer use.
+    */
+  val preTokenPattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile("\\w+|[^\\w\\s]")
+
   /** One-pass code-point rolling hash; exact same result as
     * aggregate(transform(sequence…, ascii(substr…)), fold) and DuckDB's
     * list_reduce(ord(substring…)) oracle.
@@ -236,6 +242,106 @@ case class PositionalShingleHashes(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
+}
+
+/** bpeEncode(text, merges) → array<string>: apply a learned BPE merge
+  * table (graft.operators.BpeLearn) to a document — pre-tokenize with
+  * the same lowercased `\w+|[^\w\s]` splitter the trainer uses, then
+  * encode each pre-token by RANK-GREEDY merge application: repeatedly
+  * merge the adjacent pair with the lowest merge rank present (all
+  * its occurrences, left to right) until no adjacent pair has a rank.
+  * This is the standard BPE inference order — merge priority comes
+  * from training order, not from per-word pair frequency.
+  *
+  * Scale shape: map-only; the merge table rides inside the expression
+  * (serialized with the task, the broadcast-small analog of a
+  * codebook), and a per-task word→encoding cache collapses the
+  * Zipf-heavy repetition of natural text — each distinct word encodes
+  * once per task, not once per occurrence.
+  */
+case class BpeEncode(child: Expression,
+    merges: Seq[(String, String)])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen
+      .CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType,
+    containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+
+  @transient private lazy val rank: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+  @transient private lazy val cache =
+    new java.util.HashMap[String, Array[String]]()
+
+  private def encodeWord(w: String): Array[String] = {
+    val hit = cache.get(w)
+    if (hit != null) return hit
+    var syms = w.map(_.toString).toArray
+    var done = false
+    while (!done && syms.length > 1) {
+      // lowest-rank adjacent pair present in the word
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (l, r) = merges(best)
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            out += l + r
+            j += 2
+          } else {
+            out += syms(j)
+            j += 1
+          }
+        }
+        syms = out.result()
+      }
+    }
+    // bound the cache against adversarial vocabularies; natural text
+    // plateaus far below this
+    if (cache.size < 100000) cache.put(w, syms)
+    syms
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
+    val m = GraftExpressions.preTokenPattern.matcher(text)
+    val out = Array.newBuilder[Any]
+    while (m.find()) {
+      val toks = encodeWord(m.group())
+      var i = 0
+      while (i < toks.length) {
+        out += UTF8String.fromString(toks(i))
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.result())
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object BpeEncode {
+  /** Decode the foldable array<array<string>> merges argument of the
+    * registered SQL form.
+    */
+  def parseMerges(v: Any): Seq[(String, String)] =
+    v.asInstanceOf[ArrayData].toArray[ArrayData](
+        ArrayType(StringType, containsNull = false))
+      .map { pair =>
+        (pair.getUTF8String(0).toString, pair.getUTF8String(1).toString)
+      }.toSeq
 }
 
 /** charFold(string) → bigint, codegen-capable. */
@@ -465,6 +571,9 @@ object GraftFunctions {
           exprs(2).eval().asInstanceOf[Int]), "scala_udf")
       reg.createOrReplaceTempFunction("graft_scaled_longs",
         exprs => ScaledLongs(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("graft_bpe_encode",
+        exprs => BpeEncode(exprs.head,
+          BpeEncode.parseMerges(exprs(1).eval())), "scala_udf")
     }
   }
 
@@ -493,4 +602,8 @@ object GraftFunctions {
     fn("graft_top_k_by", score, id,
       org.apache.spark.sql.functions.lit(k))
   def scaledLongs(c: Column): Column = fn("graft_scaled_longs", c)
+  def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
+    fn("graft_bpe_encode", c,
+      org.apache.spark.sql.functions.typedLit(
+        merges.map(m => Seq(m._1, m._2))))
 }

@@ -125,6 +125,19 @@ object BpeLearn {
       |SELECT left_sym, right_sym, SUM(freq)::BIGINT AS cnt
       |FROM pairs GROUP BY 1, 2""".stripMargin
 
+  /** Apply a learned merge table to the corpus: per-doc BPE token
+    * count through the native [[graft.functions.BpeEncode]] expression
+    * (rank-greedy merge application with a per-task word cache).
+    * Spec-only — iterative merge application has no reasonable SQL
+    * form; its correctness pins to hand-computed encodings and to
+    * vocabulary-state conservation against [[learnMerges]].
+    */
+  def tokenCounts(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.select(col("doc_id"),
+      size(graft.functions.GraftFunctions.bpeEncode(col("text"),
+        merges)).cast("long").as("n_bpe_tokens"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_bpe_pairs" -> (bpePairCounts _))
 

@@ -54,6 +54,46 @@ class BpeLearnSpec extends SparkSuite {
     assert(n0 - n1 == 9L)
   }
 
+  test("bpe encode: rank-greedy application matches hand encodings") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.GraftFunctions
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"))
+    val df = Seq((1L, "newest low"), (2L, "best!"), (3L, ""))
+      .toDF("doc_id", "text")
+    val enc = df.select(col("doc_id"),
+      GraftFunctions.bpeEncode(col("text"), merges).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    // newest: n,e,w,e,s,t -> (e,s) -> n,e,w,es,t -> (es,t) -> n,e,w,est
+    // low: l,o,w -> (l,o) -> lo,w
+    assert(enc(1L) == Seq("n", "e", "w", "est", "lo", "w"))
+    // best: b,e,s,t -> (e,s) rank 0 -> b,es,t -> (es,t) rank 1 ->
+    // b,est; '!' is its own punctuation pre-token
+    assert(enc(2L) == Seq("b", "est", "!"))
+    assert(enc(3L) == Seq.empty)
+    // uppercase folds into the trained lowercase vocabulary
+    val up = Seq((9L, "NEWEST")).toDF("doc_id", "text")
+      .select(GraftFunctions.bpeEncode(col("text"), merges))
+      .head().getSeq[String](0)
+    assert(up == Seq("n", "e", "w", "est"))
+  }
+
+  test("encode conserves the trainer's vocabulary state") {
+    // after learning k merges, encoding the training corpus must give
+    // exactly the symbol mass the trainer's final words table holds
+    val merges = BpeLearn.learnMerges(corpus, 3)
+    val words = merges.foldLeft(
+      BpeLearn.initialSymbols(BpeLearn.wordFreqs(corpus))) {
+      case (w, m) => BpeLearn.applyMerge(w, m.left, m.right)
+    }
+    val trainerMass = words
+      .select(sum(size(col("symbols")) * col("freq"))).head().getLong(0)
+    val encodedMass = BpeLearn.tokenCounts(corpus,
+        merges.map(m => (m.left, m.right)))
+      .select(sum(col("n_bpe_tokens"))).head().getLong(0)
+    assert(encodedMass == trainerMass)
+  }
+
   test("pair counts: singleton symbols contribute nothing") {
     val s = spark
     import s.implicits._
