@@ -107,6 +107,59 @@ class SinksSpec extends SparkSuite {
       Seq(name(1, 3)), Some(name(1, 1))).isEmpty)
   }
 
+  test("lake source: staged batches read back in push order with " +
+      "positions; resume and finished honored") {
+    import graft.sources.LakeSource
+    val root = Files.createTempDirectory("lake-src").toString
+    def batch(ids: Range, rt: String) =
+      ids.map(i => (i.toLong, i * 10L, rt)).toDF("k", "v", "row_type")
+
+    val m0 = LakeSink.stageWithMeta(batch(0 until 4, "insert"), root,
+      "app", "t", sequencerId = 1L, pushSequence = 0L)
+    val m1 = LakeSink.stageWithMeta(batch(2 until 4, "update"), root,
+      "app", "t", sequencerId = 1L, pushSequence = 1L)
+
+    // first poll: both batches, rows stamped with their meta position
+    val (df1, pos1, fin1) = LakeSource.pollAndRead(
+      spark, root, "app", "t", None)
+    assert(!fin1 && pos1.contains(m1.metaFileName))
+    assert(df1.count() == 6)
+    assert(df1.filter(col("position") === m0.metaFileName).count() == 4)
+    assert(df1.filter(col("position") === m1.metaFileName)
+      .select(col("push_sequence")).distinct().head().getLong(0) == 1L)
+
+    // resume from m0: only m1's rows arrive
+    val (df2, _, _) = LakeSource.pollAndRead(
+      spark, root, "app", "t", Some(m0.metaFileName))
+    assert(df2.count() == 2)
+
+    // a gap hides the out-of-order batch until it closes
+    LakeSink.stageWithMeta(batch(5 until 6, "insert"), root,
+      "app", "t", sequencerId = 1L, pushSequence = 3L) // 2 missing
+    val (df3, pos3, _) = LakeSource.pollAndRead(
+      spark, root, "app", "t", pos1)
+    assert(df3.count() == 0 && pos3 == pos1)
+
+    // empty poll: resume cursor must NOT advance
+    val (_, posEmpty, finEmpty) = LakeSource.pollAndRead(
+      spark, root, "app", "t", pos1)
+    assert(posEmpty == pos1 && !finEmpty)
+
+    // gap closes: both pending batches arrive in one poll
+    val m2 = LakeSink.stageWithMeta(batch(4 until 5, "insert"), root,
+      "app", "t", sequencerId = 1L, pushSequence = 2L)
+    val (df4, pos4, _) = LakeSource.pollAndRead(
+      spark, root, "app", "t", pos1)
+    assert(df4.count() == 2)
+    assert(pos4.exists(_ > m2.metaFileName))
+
+    // finished marker
+    LakeSink.writeFinished(spark, root, "app", "t")
+    val (_, _, fin5) = LakeSource.pollAndRead(
+      spark, root, "app", "t", pos4)
+    assert(fin5)
+  }
+
   test("redis rewriter: chunking, expiry, idempotent replace") {
     import RedisCommands._
     val big = Entry("k", RList((1 to 1200).map(_.toString)),
