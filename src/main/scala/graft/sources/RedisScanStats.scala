@@ -1,0 +1,143 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Redis keyspace statistics scan — the reference's
+  * `redis_scan_extractor.rs`: walk every keyspace with SCAN cursor
+  * pages and collect per-key statistics, in two modes. HotKey reads
+  * `OBJECT FREQ` (gated on `maxmemory-policy = allkeys-lfu`, the only
+  * policy that maintains LFU counters); BigKey reads `MEMORY USAGE` +
+  * `TYPE`. Databases come from `INFO keyspace`.
+  *
+  * The socket stays external (the [[PgSlotLifecycle]] /
+  * [[ExplainEstimate]] boundary): [[drive]] runs the reference's exact
+  * loop over any `Seq[String] => Seq[String]` command transport —
+  * captured replies in tests, a real client in production — and the
+  * rollups turn collected stats into the top-k reports a user reads,
+  * through the bounded [[graft.functions.TopKByAgg]] map-side
+  * aggregate (never a global sort).
+  */
+object RedisScanStats {
+
+  sealed trait Mode
+  case object HotKey extends Mode
+  case object BigKey extends Mode
+
+  final case class KeyStat(db: Long, key: String, freq: Long,
+      dataSize: Long, valueType: String)
+
+  // ---------------------------------------------------------- commands
+  val infoKeyspaceCmd: Seq[String] = Seq("INFO", "keyspace")
+  val maxmemoryPolicyCmd: Seq[String] =
+    Seq("CONFIG", "GET", "maxmemory-policy")
+  def selectCmd(db: Long): Seq[String] = Seq("SELECT", db.toString)
+  def scanCmd(cursor: Long, count: Int): Seq[String] =
+    Seq("SCAN", cursor.toString, "COUNT", count.toString)
+  def objectFreqCmd(key: String): Seq[String] =
+    Seq("OBJECT", "FREQ", key)
+  def memoryUsageCmd(key: String): Seq[String] =
+    Seq("MEMORY", "USAGE", key)
+  def typeCmd(key: String): Seq[String] = Seq("TYPE", key)
+
+  /** `INFO keyspace` → db ids: one `dbN:keys=…` line per keyspace
+    * (first line is the section header).
+    */
+  def parseKeyspaceDbs(info: String): Seq[Long] =
+    info.linesIterator.flatMap { line =>
+      val t = line.split(":")
+      if (t.length < 2 || !t(0).startsWith("db")) None
+      else t(0).stripPrefix("db").toLongOption
+    }.toSeq
+
+  /** SCAN reply: next cursor head, keys tail. */
+  def parseScanReply(reply: Seq[String]): (Long, Seq[String]) =
+    (reply.head.toLong, reply.tail)
+
+  /** Run the extractor loop over a command transport. HotKey mode
+    * refuses to scan under any policy but allkeys-lfu — exactly the
+    * reference's gate: FREQ counters don't exist otherwise and the
+    * numbers would be lies.
+    */
+  def drive(conn: Seq[String] => Seq[String], mode: Mode,
+      scanCount: Int = 100,
+      schemaFilter: Long => Boolean = _ => true): Seq[KeyStat] = {
+    if (mode == HotKey) {
+      val policy = conn(maxmemoryPolicyCmd).lastOption.getOrElse("")
+      require(policy == "allkeys-lfu",
+        s"maxmemory_policy is $policy, should be allkeys-lfu")
+    }
+    val out = Seq.newBuilder[KeyStat]
+    parseKeyspaceDbs(conn(infoKeyspaceCmd).mkString("\n"))
+      .filter(schemaFilter).foreach { db =>
+        require(conn(selectCmd(db)) == Seq("OK"),
+          s"SELECT $db failed")
+        var cursor = 0L
+        var first = true
+        while (first || cursor != 0L) {
+          first = false
+          val (next, keys) = parseScanReply(conn(scanCmd(cursor,
+            scanCount)))
+          cursor = next
+          keys.foreach { key =>
+            mode match {
+              case HotKey =>
+                // non-numeric FREQ replies (key evicted mid-scan) are
+                // skipped, as in the reference's if-let
+                conn(objectFreqCmd(key)).headOption
+                  .flatMap(_.toLongOption).foreach { freq =>
+                    out += KeyStat(db, key, freq, 0L, "")
+                  }
+              case BigKey =>
+                val size = conn(memoryUsageCmd(key)).head.toLong
+                val tpe = conn(typeCmd(key)).head
+                out += KeyStat(db, key, 0L, size, tpe)
+            }
+          }
+        }
+      }
+    out.result()
+  }
+
+  // TopKByAgg carries (score, id) pairs; each stat row gets a stable
+  // synthetic id (hash of db+key) so the winners join back to names
+  private val rowId = xxhash64(col("db"), col("key"))
+
+  /** Top-k hottest keys per db — bounded map-side top-k
+    * ([[graft.functions.TopKByAgg]]), no per-db sort.
+    */
+  def hotKeyReport(spark: SparkSession, stats: Seq[KeyStat],
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val df = stats.toDF()
+    val names = df.select(rowId.as("rowid"), col("key"))
+    df.groupBy(col("db"))
+      .agg(graft.functions.GraftFunctions.topKBy(
+        col("freq").cast("double"), rowId, k).as("top"))
+      .select(col("db"), posexplode(col("top")))
+      .select(col("db"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("rowid"),
+        col("col.score").cast("long").as("freq"))
+      .join(names, "rowid")
+      .select(col("db"), col("rank"), col("key"), col("freq"))
+  }
+
+  /** Top-k biggest keys per (db, value type). */
+  def bigKeyReport(spark: SparkSession, stats: Seq[KeyStat],
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val df = stats.toDF()
+    val names = df.select(rowId.as("rowid"), col("key"))
+    df.groupBy(col("db"), col("valueType"))
+      .agg(graft.functions.GraftFunctions.topKBy(
+        col("dataSize").cast("double"), rowId, k).as("top"))
+      .select(col("db"), col("valueType"), posexplode(col("top")))
+      .select(col("db"), col("valueType"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("rowid"),
+        col("col.score").cast("long").as("data_size"))
+      .join(names, "rowid")
+      .select(col("db"), col("valueType"), col("rank"), col("key"),
+        col("data_size"))
+  }
+}
