@@ -650,6 +650,28 @@ object RedisResp {
   def parseBytes(bytes: Array[Byte]): Seq[Seq[Array[Byte]]] =
     parseBytesFrom(bytes, 0).map(_._1)
 
+  /** RESP wire encoding of one command — the sink-side inverse of
+    * [[parseBytes]] (the reference's `cmd_encoder.rs`): `*<n>\r\n`
+    * then `$<len>\r\n<bytes>\r\n` per argument, binary-safe (lengths
+    * are byte counts).
+    */
+  def encode(args: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def crlf(): Unit = { out.write('\r'); out.write('\n') }
+    def ascii(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write('*'); ascii(args.size.toString); crlf()
+    args.foreach { a =>
+      out.write('$'); ascii(a.length.toString); crlf()
+      out.write(a, 0, a.length); crlf()
+    }
+    out.toByteArray
+  }
+
+  def encodeStrings(args: Seq[String]): Array[Byte] =
+    encode(args.map(
+      _.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
   /** Offset-aware variant: each command with the buffer position just
     * past it — the replication-offset bookkeeping PSYNC ACKs need.
     */

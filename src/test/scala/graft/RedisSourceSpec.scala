@@ -375,6 +375,29 @@ class RedisSourceSpec extends SparkSuite {
     assert(raw.head(1).sameElements(bin))
   }
 
+  test("resp: encode is the byte-exact inverse of parse, binary-safe") {
+    import graft.sources.RedisResp
+    // multi-byte UTF-8 and raw binary arguments round-trip
+    val cmds = Seq(
+      Seq("SET".getBytes("UTF-8"), "k€y".getBytes("UTF-8"),
+        Array[Byte](0, 1, 2, 0xff.toByte, '\r', '\n')),
+      Seq("PING".getBytes("UTF-8")))
+    val wire = cmds.flatMap(RedisResp.encode(_).toSeq).toArray
+    val back = RedisResp.parseBytes(wire)
+    assert(back.size == 2)
+    assert(back(0).size == 3 &&
+      back(0)(2).sameElements(cmds(0)(2)) &&
+      new String(back(0)(1), "UTF-8") == "k€y")
+    // the sink's rewrite commands encode and re-parse identically
+    val rewritten = graft.sinks.RedisCommands.rewrite(
+      graft.sinks.RedisCommands.Entry("h",
+        graft.sinks.RedisCommands.RHash(Seq("f" -> "v")),
+        Some(1234L)))
+    val rt = RedisResp.parse(
+      rewritten.flatMap(RedisResp.encodeStrings(_).toSeq).toArray)
+    assert(rt == rewritten)
+  }
+
   test("resp: command stream parses and maps to change events") {
     def cmd(args: String*): String =
       s"*${args.size}\r\n" +
