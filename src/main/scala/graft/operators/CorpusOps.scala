@@ -209,15 +209,101 @@ object CorpusOps {
       |FROM d JOIN s USING (event_type)
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q107
+  /** Bigram language-model surprisal — the CCNet-style "how unlike the
+    * corpus does this document read" quality signal, in exact integer
+    * arithmetic. A corpus bigram LM with add-one smoothing gives each
+    * adjacent token pair `-log2 P(w2|w1) = log2((c(w1)+V)/(c(w1,w2)+1))`
+    * bits; summing per document and normalizing yields average bits
+    * per transition: low = the document reads like the corpus
+    * (boilerplate, repeated phrasing), high = rare transitions.
+    *
+    * Cross-engine determinism: the log is quantized to the integer
+    * BIT-LENGTH log — `bitlen(c(w1)+V) - bitlen(c(w1,w2)+1)` where
+    * `bitlen(k) = length(bin(k))` — exact integers on both engines
+    * (floor-log2 ± 1 of the true ratio), the same quantize-then-
+    * aggregate rule every oracle-checked score here follows; no libm.
+    *
+    * Scale shape: tokens pair positionally through a per-doc window;
+    * the LM tables shuffle 64-bit token-hash keys only (never text);
+    * the vocabulary size is a 1-row broadcast; join-back keys are
+    * (long, long). Two count shuffles + one join — corpus-size
+    * invariant shape.
+    */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisalOf(Tables.documents(spark, dir))
+
+  def bigramSurprisalOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextOps.tokens(TextOps.normText(col("text"))))
+        .as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = toks
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), TextOps.charFold(col("tok")).as("h1"),
+        TextOps.charFold(col("nxt")).as("h2"))
+      .localCheckpoint(false)
+    val vocab = toks.select(TextOps.charFold(col("tok")).as("h"))
+      .distinct().agg(count(lit(1)).as("v"))
+    val uni = pairs.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    val bi = pairs.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("c12"))
+    def bitlen(c: org.apache.spark.sql.Column) = length(bin(c))
+    pairs
+      .join(bi, Seq("h1", "h2"))
+      .join(uni, Seq("h1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (bitlen(col("c1") + col("v")) - bitlen(col("c12") + 1))
+          .cast("long").as("units"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("units")).as("surprisal_units"))
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal_units"),
+        expr("surprisal_units * 1000 div n_bigrams")
+          .as("bits_per_transition_milli"))
+  }
+
+  val bigramSurprisalSql: String = {
+    val fold = TextOps.charFoldSql("tok")
+    s"""WITH toks AS (
+       |  SELECT doc_id, i - 1 AS pos, w[i] AS tok
+       |  FROM (SELECT doc_id, ${tokensSql(TextOps.normTextSql("text"))}
+       |      AS w FROM documents),
+       |    unnest(range(1, len(w) + 1)) AS t(i)),
+       |hashed AS (SELECT doc_id, pos, $fold AS h FROM toks),
+       |pairs AS (
+       |  SELECT doc_id, h AS h1,
+       |    LEAD(h) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+       |  FROM hashed),
+       |p AS (SELECT doc_id, h1, h2 FROM pairs WHERE h2 IS NOT NULL),
+       |vocab AS (SELECT count(DISTINCT h) AS v FROM hashed),
+       |uni AS (SELECT h1, count(*) AS c1 FROM p GROUP BY 1),
+       |bi AS (SELECT h1, h2, count(*) AS c12 FROM p GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT p.doc_id,
+       |    length(bin(uni.c1 + vocab.v)) - length(bin(bi.c12 + 1))
+       |      AS units
+       |  FROM p JOIN bi USING (h1, h2) JOIN uni USING (h1), vocab)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  SUM(units)::BIGINT AS surprisal_units,
+       |  (SUM(units) * 1000 // count(*))::BIGINT
+       |    AS bits_per_transition_milli
+       |FROM scored GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_interdup_fraction" -> (interdupFraction _),
     "q82_token_rarity" -> (tokenRarity _),
     "q83_knn_classify" -> (knnClassify _),
-    "q84_mad_outliers" -> (madOutliers _))
+    "q84_mad_outliers" -> (madOutliers _),
+    "q107_bigram_surprisal" -> (bigramSurprisal _))
 
   val oracles: Map[String, String] = Map(
     "q81_interdup_fraction" -> interdupFractionSql,
     "q82_token_rarity" -> tokenRaritySql,
     "q83_knn_classify" -> knnClassifySql,
-    "q84_mad_outliers" -> madOutliersSql)
+    "q84_mad_outliers" -> madOutliersSql,
+    "q107_bigram_surprisal" -> bigramSurprisalSql)
 }

@@ -73,4 +73,25 @@ class CorpusOpsSpec extends SparkSuite {
     }
     out.unpersist()
   }
+
+  test("bigram surprisal: repetitive text scores below high-entropy " +
+      "transitions, exact integer units") {
+    val s = spark
+    import s.implicits._
+    // vocab {b, the, cat, dog, pig}: V=5
+    val docs = Seq(
+      (1L, "b b b b b"),               // (b,b)x4: c1=c12=4
+      (2L, "the cat the dog the pig")) // 'the' fans out: c1=3, c12=1
+      .toDF("doc_id", "text")
+    val r = graft.operators.CorpusOps.bigramSurprisalOf(docs)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_bigrams"), x.getAs[Long]("surprisal_units"),
+          x.getAs[Long]("bits_per_transition_milli")))).toMap
+    // doc1 per pair: bitlen(4+5)-bitlen(4+1) = 4-3 = 1  -> 4 units
+    assert(r(1L) == ((4L, 4L, 1000L)))
+    // doc2: (the,*) pairs give bitlen(8)-bitlen(2)=2, (cat/dog,the)
+    // give bitlen(6)-bitlen(2)=1 -> 2+1+2+1+2 = 8 units over 5
+    assert(r(2L) == ((5L, 8L, 1600L)))
+    assert(r(2L)._3 > r(1L)._3)
+  }
 }
