@@ -271,8 +271,10 @@ case class BpeEncode(child: Expression,
 
   @transient private lazy val rank: Map[(String, String), Int] =
     merges.zipWithIndex.toMap
+  // tasks normally deserialize their own expression instance, but a
+  // concurrent map costs nothing and removes the sharing assumption
   @transient private lazy val cache =
-    new java.util.HashMap[String, Array[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
 
   private def encodeWord(w: String): Array[String] = {
     val hit = cache.get(w)
