@@ -30,10 +30,12 @@ import org.apache.spark.sql.SparkSession
   * kafka-compatible row rendering; the Avro wire form remains
   * available via [[graft.sinks.AvroEnvelope]].
   *
-  * Scale shape: the HTTP path only serves DRAINED micro-batches (one
-  * spool offset per call, `batch_size` rows max read via the parquet
-  * spool) — consumers needing bulk history read the spool directly as
-  * files; the endpoint is the low-latency tail protocol.
+  * Scale shape: the HTTP path only serves DRAINED micro-batches; a
+  * spool batch wider than `batch_size` pages under the same batch id
+  * (sent advances only after the final page, so a small client
+  * batch_size never drops rows). Consumers needing bulk history read
+  * the spool directly as files; the endpoint is the low-latency tail
+  * protocol.
   */
 final class SubscriptionServer(spark: SparkSession, sub: Subscription,
     host: String = "127.0.0.1", port: Int = 0) {
@@ -41,6 +43,13 @@ final class SubscriptionServer(spark: SparkSession, sub: Subscription,
 
   // resumes at the ack mark: staged-but-unacked batches re-serve
   private val sentBatchId = new AtomicLong(sub.acked())
+
+  // In-progress batch pagination: a spool batch larger than the
+  // client's batch_size serves in pages under the SAME batch_id;
+  // sentBatchId only advances once the last page ships, so no row is
+  // ever dropped by a small batch_size (the reference sizes batches at
+  // formation time, so its batch_size can never truncate one).
+  private var pending: Option[(Long, Vector[String], Int)] = None
 
   private val mapper = new ObjectMapper()
 
@@ -67,6 +76,37 @@ final class SubscriptionServer(spark: SparkSession, sub: Subscription,
       case None => Seq.empty
     }
     s"""{"batch_id":$batchId,"data":${rows.mkString("[", ",", "]")}}"""
+  }
+
+  /** Serve the next fetch_new page: resume the pending batch if one is
+    * mid-flight, else stage the next spool offset. Advances sentBatchId
+    * only when a batch's final page ships.
+    */
+  private def fetchNewPage(batchSize: Int): String = synchronized {
+    val staged = pending.orElse {
+      sub.offsets().find(_ > sentBatchId.get()).map { off =>
+        val rows = sub.fetchOldExact(spark, off) match {
+          case Some(df) => df.toJSON.collect().toVector
+          case None => Vector.empty
+        }
+        (off, rows, 0)
+      }
+    }
+    staged match {
+      case Some((off, rows, cursor)) =>
+        val page = rows.slice(cursor, cursor + math.max(batchSize, 1))
+        val nextCursor = cursor + page.length
+        if (nextCursor >= rows.length) {
+          pending = None
+          sentBatchId.set(off)
+        } else pending = Some((off, rows, nextCursor))
+        s"""{"batch_id":$off,"data":${page.mkString("[", ",", "]")}}"""
+      case None =>
+        // nothing new: report the current sent id so the returned
+        // batch_id is always ackable (advancing sent here could leap
+        // past a spool offset staged later, hiding that batch forever)
+        s"""{"batch_id":${sentBatchId.get()},"data":[]}"""
+    }
   }
 
   /** do_ack — http_server_pipeline.rs:293-323. Left = 400 message. */
@@ -106,18 +146,7 @@ final class SubscriptionServer(spark: SparkSession, sub: Subscription,
             }
             case None => ()
           }
-          val next = sub.offsets().find(_ > sentBatchId.get())
-          next match {
-            case Some(off) =>
-              val body = fetchResp(off, batchSize)
-              sentBatchId.set(off)
-              respond(ex, 200, body)
-            case None =>
-              // nothing new: empty batch at the next id, NOT recorded
-              // as sent (the reference only tracks non-empty batches)
-              respond(ex, 200,
-                s"""{"batch_id":${sentBatchId.get() + 1},"data":[]}""")
-          }
+          respond(ex, 200, fetchNewPage(batchSize))
 
         case ("GET", "/fetch_old") =>
           val params = queryParams(ex)

@@ -39,16 +39,23 @@ object StreamLoadHttp {
       user: String = "root", password: String = "",
       hardDelete: Boolean = false)
 
-  /** Deterministic label: retries of the same chunk reuse it. */
-  def label(cfg: Config, batchId: Long, chunk: Int): String =
-    s"graft-${cfg.db}-${cfg.tb}-$batchId-$chunk"
+  /** Deterministic label: retries of the same chunk reuse it. `part` is
+    * the Spark partition id — without it, two partitions of one
+    * micro-batch would PUT different data under the same label and the
+    * warehouse's Label-Already-Exists dedup would silently drop every
+    * partition after the first. A task RE-attempt re-PUTs the same
+    * partition under the same labels, which is exactly the dedup we
+    * want.
+    */
+  def label(cfg: Config, batchId: Long, part: Int, chunk: Int): String =
+    s"graft-${cfg.db}-${cfg.tb}-$batchId-$part-$chunk"
 
   /** Build the stream-load PUT — starrocks_sinker.rs:233-277. `op` is
     * "" for upsert batches, "delete" for hard-delete batches (the
     * reference sets it when the batch's rows are deletes and the table
     * has no soft-delete sign column).
     */
-  def buildRequest(cfg: Config, batchId: Long, chunk: Int,
+  def buildRequest(cfg: Config, batchId: Long, part: Int, chunk: Int,
       rows: Seq[String], op: String = ""): Request = {
     val auth = Base64.getEncoder.encodeToString(
       s"${cfg.user}:${cfg.password}".getBytes(StandardCharsets.UTF_8))
@@ -58,7 +65,7 @@ object StreamLoadHttp {
       "format" -> "json",
       "strip_outer_array" -> "true",
       "timezone" -> "UTC",
-      "label" -> label(cfg, batchId, chunk))
+      "label" -> label(cfg, batchId, part, chunk))
     val headers =
       if (op.nonEmpty) base + ("columns" -> s"__op='$op'") else base
     Request("PUT",
@@ -129,10 +136,16 @@ object StreamLoadHttp {
   final class HttpPayloadSink(cfg: Config, batchId: Long,
       op: String = "", retries: Int = 1)
       extends StreamLoadSink.PayloadSink {
+    // Partition discriminator for labels: ship() builds one sink per
+    // partition inside foreachPartition, so TaskContext is live here;
+    // 0 when constructed driver-side (tests, single-writer callers).
+    private val part =
+      Option(org.apache.spark.TaskContext.get()).map(_.partitionId())
+        .getOrElse(0)
     private var chunk = 0
 
     override def put(lines: Seq[String]): Unit = {
-      val req = buildRequest(cfg, batchId, chunk, lines, op)
+      val req = buildRequest(cfg, batchId, part, chunk, lines, op)
       chunk += 1
       var attempt = 0
       var done = false

@@ -89,9 +89,13 @@ object RedisScanStats {
                     out += KeyStat(db, key, freq, 0L, "")
                   }
               case BigKey =>
-                val size = conn(memoryUsageCmd(key)).head.toLong
-                val tpe = conn(typeCmd(key)).head
-                out += KeyStat(db, key, 0L, size, tpe)
+                // a key evicted between SCAN and MEMORY USAGE answers
+                // nil — skip it, same as the HotKey branch's handling
+                conn(memoryUsageCmd(key)).headOption
+                  .flatMap(_.toLongOption).foreach { size =>
+                    val tpe = conn(typeCmd(key)).head
+                    out += KeyStat(db, key, 0L, size, tpe)
+                  }
             }
           }
         }

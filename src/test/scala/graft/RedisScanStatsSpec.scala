@@ -28,7 +28,9 @@ class RedisScanStatsSpec extends SparkSuite {
           case _ => Seq("1")
         }
       case Seq("MEMORY", "USAGE", k) =>
-        Seq(if (k == "big") "100000" else "64")
+        // k3 evicted between SCAN and MEMORY USAGE: nil reply
+        if (k == "k3") Seq.empty
+        else Seq(if (k == "big") "100000" else "64")
       case Seq("TYPE", k) =>
         Seq(if (k == "big") "hash" else "string")
       case other => fail(s"unexpected command: $other")
@@ -53,19 +55,19 @@ class RedisScanStatsSpec extends SparkSuite {
   }
 
   test("big-key mode: memory usage + type, no policy gate, " +
-      "schema filter honors ignored dbs") {
+      "evicted-key nil skipped, schema filter honors ignored dbs") {
     val stats = RedisScanStats.drive(fakeConn("noeviction"), BigKey,
       schemaFilter = _ != 2L)
+    // k3's MEMORY USAGE reply is nil (evicted mid-scan): skipped
     assert(stats.map(s => (s.db, s.key, s.dataSize, s.valueType)) ==
-      Seq((0L, "k1", 64L, "string"), (0L, "k2", 64L, "string"),
-        (0L, "k3", 64L, "string")))
+      Seq((0L, "k1", 64L, "string"), (0L, "k2", 64L, "string")))
 
     val all = RedisScanStats.drive(fakeConn("noeviction"), BigKey)
     val report = RedisScanStats.bigKeyReport(spark, all, k = 2)
     val biggest = report.filter("valueType = 'hash'").collect()
     assert(biggest.length == 1 &&
       biggest.head.getAs[Long]("data_size") == 100000L)
-    // 3 strings in db0, k=2 keeps exactly two
+    // two surviving strings in db0 (k3 evicted), k=2 keeps both
     assert(report.filter("valueType = 'string'").count() == 2)
   }
 }

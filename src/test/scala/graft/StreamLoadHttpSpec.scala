@@ -60,7 +60,7 @@ class StreamLoadHttpSpec extends SparkSuite {
 
   test("request synthesis: url, stream-load headers, label, op") {
     val c = cfg(8030)
-    val req = buildRequest(c, batchId = 7, chunk = 2,
+    val req = buildRequest(c, batchId = 7, part = 0, chunk = 2,
       rows = Seq("""{"id":1}""", """{"id":2}"""))
     assert(req.method == "PUT")
     assert(req.url ==
@@ -73,11 +73,11 @@ class StreamLoadHttpSpec extends SparkSuite {
     assert(req.headers("Authorization") == "Basic " +
       java.util.Base64.getEncoder.encodeToString(
         "root:secret".getBytes("UTF-8")))
-    assert(req.headers("label") == "graft-db1-tb1-7-2")
+    assert(req.headers("label") == "graft-db1-tb1-7-0-2")
     assert(!req.headers.contains("columns")) // upsert: no __op
     assert(req.body == """[{"id":1},{"id":2}]""")
     // hard delete batches carry the __op columns header
-    val del = buildRequest(c, 7, 0, Seq("""{"id":1}"""), op = "delete")
+    val del = buildRequest(c, 7, 0, 0, Seq("""{"id":1}"""), op = "delete")
     assert(del.headers("columns") == "__op='delete'")
   }
 
@@ -103,7 +103,7 @@ class StreamLoadHttpSpec extends SparkSuite {
       val first = stub.seen.head
       assert(first.method == "PUT" &&
         first.path == "/api/db1/tb1/_stream_load")
-      assert(first.headers("label") == "graft-db1-tb1-3-0")
+      assert(first.headers("label") == "graft-db1-tb1-3-0-0")
       assert(first.headers("format") == "json")
       assert(first.body == """[{"id":10,"v":"x"}]""")
 
@@ -117,7 +117,8 @@ class StreamLoadHttpSpec extends SparkSuite {
       sink.put(Seq("""{"id":11}"""))
       val attempts = stub.seen.drop(1)
       assert(attempts.length == 2)
-      assert(attempts.forall(_.headers("label") == "graft-db1-tb1-3-1"))
+      assert(attempts.forall(
+        _.headers("label") == "graft-db1-tb1-3-0-1"))
 
       // persistent in-band failure: 200 + Status=Fail on every attempt
       // → batch-error surfaces (isolation hands it to the caller)
@@ -155,7 +156,35 @@ class StreamLoadHttpSpec extends SparkSuite {
       assert(byId(3L).get(StreamLoadSink.VersionCol).asLong() == 3L)
       // chunk labels advance per put
       assert(stub.seen.map(_.headers("label")).toSet ==
-        Set("graft-db1-tb1-0-0", "graft-db1-tb1-0-1"))
+        Set("graft-db1-tb1-0-0-0", "graft-db1-tb1-0-0-1"))
+    } finally stub.stop()
+  }
+
+  test("multi-partition ship(): distinct labels per partition, " +
+      "no rows lost to label dedup") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val stub = new WarehouseStub
+    try {
+      val c = cfg(stub.port)
+      // 4 partitions of the same micro-batch: before the partition
+      // discriminator, partitions 2..4 collided with partition 1's
+      // label and the warehouse's Label-Already-Exists dedup silently
+      // dropped their rows
+      val df = (1L to 20L).toDF("id").repartition(4)
+      StreamLoadSink.ship(df, () => new HttpPayloadSink(c, batchId = 5),
+        batchRows = 100)
+      val labels = stub.seen.map(_.headers("label"))
+      assert(labels.distinct.length == labels.length,
+        s"colliding labels: $labels")
+      // every partition's first chunk is labelled with ITS partition id
+      assert(labels.forall(_.matches("graft-db1-tb1-5-\\d+-0")))
+      val mapper = new ObjectMapper()
+      val ids = stub.seen.flatMap { s =>
+        val arr = mapper.readTree(s.body)
+        (0 until arr.size()).map(arr.get(_).get("id").asLong())
+      }
+      assert(ids.sorted == (1L to 20L).toVector)
     } finally stub.stop()
   }
 }

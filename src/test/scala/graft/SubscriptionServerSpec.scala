@@ -97,11 +97,12 @@ class SubscriptionServerSpec extends SparkSuite {
       val (fo, fob) = get(p, "/fetch_old?old_batch_id=2")
       assert(fo == 200 && ids(fob) == ((2L, Seq(4L))))
 
-      // nothing new: empty data, sent unchanged
+      // nothing new: empty data at the CURRENT sent id (always
+      // ackable — the reference stores sent_batch_id unconditionally)
       val (ce, be) = ids(get(p, "/fetch_new?batch_size=100")._2) match {
         case (bid, rows) => (bid, rows)
       }
-      assert(ce == 3L && be.isEmpty && server.sent == 2L)
+      assert(ce == 2L && be.isEmpty && server.sent == 2L)
     } finally server.stop()
 
     // restart: acks persisted (ack.offset), unacked batch 2 re-serves
@@ -112,6 +113,43 @@ class SubscriptionServerSpec extends SparkSuite {
       assert(ib2 == """{"acked_batch_id":1,"sent_batch_id":1}""")
       val (cr, br) = get(p2, "/fetch_new?batch_size=100")
       assert(cr == 200 && ids(br) == ((2L, Seq(4L))))
+      // an empty poll's batch_id is ackable (reference parity: it
+      // stores sent_batch_id unconditionally, so the id it reports is
+      // always a valid ack target)
+      val (ce2, be2) = ids(get(p2, "/fetch_new?batch_size=100")._2)
+      assert(ce2 == 2L && be2.isEmpty)
+      val (eac, eab) = post(p2, "/ack", """{"ack_batch_id":2}""")
+      assert(eac == 200 && eab == """{"acked_batch_id":2}""")
     } finally server2.stop()
+  }
+
+  test("fetch_new pages a batch larger than batch_size without loss") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-subpage").toString
+    val sub = new Subscription(dir)
+    sub.stage((1L to 5L).map(k => (k, s"v$k")).toDF("k", "v"), 0L)
+    sub.stage(Seq((9L, "z")).toDF("k", "v"), 1L)
+
+    val server = new SubscriptionServer(spark, sub)
+    try {
+      val p = server.boundPort
+      // 5-row batch fetched 2 rows at a time: same batch_id on every
+      // page, sent advances only after the final page — a client with
+      // a small batch_size loses nothing
+      val (b1, r1) = ids(get(p, "/fetch_new?batch_size=2")._2)
+      assert(b1 == 0L && r1.length == 2 && server.sent == -1L)
+      // mid-batch the not-yet-complete batch can't be acked
+      val (mid, midMsg) = post(p, "/ack", """{"ack_batch_id":0}""")
+      assert(mid == 400 && midMsg.contains("must <= sent_batch_id"))
+      val (b2, r2) = ids(get(p, "/fetch_new?batch_size=2")._2)
+      assert(b2 == 0L && r2.length == 2 && server.sent == -1L)
+      val (b3, r3) = ids(get(p, "/fetch_new?batch_size=2")._2)
+      assert(b3 == 0L && r3.length == 1 && server.sent == 0L)
+      assert((r1 ++ r2 ++ r3).sorted == (1L to 5L))
+      // completed batch acks fine; next fetch moves on to batch 1
+      assert(post(p, "/ack", """{"ack_batch_id":0}""")._1 == 200)
+      val (b4, r4) = ids(get(p, "/fetch_new?batch_size=2")._2)
+      assert(b4 == 1L && r4 == Seq(9L))
+    } finally server.stop()
   }
 }
