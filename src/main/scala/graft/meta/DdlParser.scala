@@ -22,6 +22,35 @@ object DdlParser {
       extends DdlStatement {
     def render = s"DROP DATABASE ${ie(ifExists)}${q(db)}"
   }
+  final case class AlterDatabase(db: String, alteration: String)
+      extends DdlStatement {
+    def render = s"ALTER DATABASE ${q(db)} $alteration"
+  }
+  /** PG-style schema namespace DDL — the reference types these apart
+    * from database DDL by keyword (ddl_parser.rs:183-272), so `CREATE
+    * SCHEMA` is `create_schema` even on engines where SCHEMA aliases
+    * DATABASE.
+    */
+  final case class CreateSchema(schema: String, ifNotExists: Boolean,
+      authorization: Boolean = false) extends DdlStatement {
+    def render = s"CREATE SCHEMA ${ine(ifNotExists)}" +
+      s"${if (authorization) "AUTHORIZATION " else ""}${q(schema)}"
+  }
+  final case class DropSchema(schema: String, ifExists: Boolean)
+      extends DdlStatement {
+    def render = s"DROP SCHEMA ${ie(ifExists)}${q(schema)}"
+  }
+  /** ALTER SCHEMA: RENAME TO is modeled (it re-namespaces every table
+    * under the schema); other alterations ride along verbatim.
+    */
+  final case class AlterSchema(schema: String,
+      newSchema: Option[String], unparsed: String = "")
+      extends DdlStatement {
+    def render = newSchema match {
+      case Some(n) => s"ALTER SCHEMA ${q(schema)} RENAME TO ${q(n)}"
+      case None => s"ALTER SCHEMA ${q(schema)} $unparsed"
+    }
+  }
   final case class CreateTable(db: Option[String], tb: String,
       body: String, ifNotExists: Boolean) extends DdlStatement {
     def render =
@@ -52,6 +81,21 @@ object DdlParser {
       extends DdlStatement {
     def render = s"DROP INDEX ${q(index)} ON ${qt(db, tb)}"
   }
+  /** A MongoDB DDL carried by the change stream (showExpandedEvents) —
+    * the reference's MongoCommandStatement (ddl_statement.rs:296) +
+    * the command document it replays via runCommand
+    * (mongo_sinker.rs run_ddl). `command` is the extended-JSON command
+    * doc as extracted; `render` re-namespaces it from the (possibly
+    * routed) schema/tb fields exactly like the sinker's
+    * rewrite_ddl_command_namespace before execution.
+    */
+  final case class MongoCommand(mongoType: String, schema: String,
+      tb: String, newSchema: String = "", newTb: String = "",
+      command: String = "") extends DdlStatement {
+    def render = MongoDdl.rewriteNamespace(this)
+    def isShardDdl: Boolean = MongoDdl.shardTypes.contains(mongoType)
+  }
+
   /** Anything we don't model structurally: kept verbatim (still routable
     * at the statement level = not at all; flagged for manual handling).
     */
@@ -85,9 +129,18 @@ object DdlParser {
       java.util.regex.Pattern.CASE_INSENSITIVE)
 
   private val createDbRe =
-    re(s"^\\s*CREATE\\s+(?:DATABASE|SCHEMA)\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$id\\s*$$")
+    re(s"^\\s*CREATE\\s+DATABASE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$id\\s*$$")
   private val dropDbRe =
-    re(s"^\\s*DROP\\s+(?:DATABASE|SCHEMA)\\s+(IF\\s+EXISTS\\s+)?$id\\s*$$")
+    re(s"^\\s*DROP\\s+DATABASE\\s+(IF\\s+EXISTS\\s+)?$id\\s*$$")
+  private val alterDbRe =
+    re(s"^\\s*ALTER\\s+DATABASE\\s+$id\\s+(.+)$$")
+  private val createSchemaRe =
+    re(s"^\\s*CREATE\\s+SCHEMA\\s+(IF\\s+NOT\\s+EXISTS\\s+)?(AUTHORIZATION\\s+)?$id\\s*$$")
+  private val dropSchemaRe =
+    re(s"^\\s*DROP\\s+SCHEMA\\s+(IF\\s+EXISTS\\s+)?$id\\s*(?:CASCADE|RESTRICT)?\\s*$$")
+  private val alterSchemaRe =
+    re(s"^\\s*ALTER\\s+SCHEMA\\s+$id\\s+(.+)$$")
+  private val renameToRe = re(s"^RENAME\\s+TO\\s+$id\\s*$$")
   private val createTbRe =
     re(s"^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$qual\\s*(\\(.*)$$")
   private val dropTbRe =
@@ -116,6 +169,24 @@ object DdlParser {
     m = dropDbRe.matcher(s)
     if (m.matches())
       return Seq(DropDatabase(unq(m, 2), m.group(1) != null))
+    m = alterDbRe.matcher(s)
+    if (m.matches())
+      return Seq(AlterDatabase(unq(m, 1), m.group(4).trim))
+    m = createSchemaRe.matcher(s)
+    if (m.matches())
+      return Seq(CreateSchema(unq(m, 3), m.group(1) != null,
+        m.group(2) != null))
+    m = dropSchemaRe.matcher(s)
+    if (m.matches())
+      return Seq(DropSchema(unq(m, 2), m.group(1) != null))
+    m = alterSchemaRe.matcher(s)
+    if (m.matches()) {
+      val rest = m.group(4).trim
+      val rm = renameToRe.matcher(rest)
+      return Seq(
+        if (rm.matches()) AlterSchema(unq(m, 1), Some(unq(rm, 1)))
+        else AlterSchema(unq(m, 1), None, rest))
+    }
     m = createTbRe.matcher(s)
     if (m.matches()) {
       val (db, tb) = qualName(m, 2)
@@ -173,6 +244,11 @@ object DdlParser {
   def ddlType(stmt: DdlStatement): String = stmt match {
     case _: CreateDatabase => "create_database"
     case _: DropDatabase => "drop_database"
+    case _: AlterDatabase => "alter_database"
+    case _: CreateSchema => "create_schema"
+    case _: DropSchema => "drop_schema"
+    case _: AlterSchema => "alter_schema"
+    case m: MongoCommand => m.mongoType
     case _: CreateTable => "create_table"
     case _: DropTable => "drop_table"
     case _: TruncateTable => "truncate_table"
@@ -190,6 +266,11 @@ object DdlParser {
     stmt match {
       case CreateDatabase(db, _) => (db, "")
       case DropDatabase(db, _) => (db, "")
+      case AlterDatabase(db, _) => (db, "")
+      case CreateSchema(sc, _, _) => (sc, "")
+      case DropSchema(sc, _) => (sc, "")
+      case AlterSchema(sc, _, _) => (sc, "")
+      case MongoCommand(_, sc, tb, _, _, _) => (sc, tb)
       case CreateTable(db, tb, _, _) => (db.getOrElse(defaultDb), tb)
       case DropTable(db, tb, _) => (db.getOrElse(defaultDb), tb)
       case TruncateTable(db, tb) => (db.getOrElse(defaultDb), tb)
@@ -214,6 +295,23 @@ object DdlParser {
         CreateDatabase(router.routeTable(db, "*")._1, i)
       case DropDatabase(db, i) =>
         DropDatabase(router.routeTable(db, "*")._1, i)
+      case a @ AlterDatabase(db, _) =>
+        a.copy(db = router.routeTable(db, "*")._1)
+      case c @ CreateSchema(sc, _, _) =>
+        c.copy(schema = router.routeTable(sc, "*")._1)
+      case d @ DropSchema(sc, _) =>
+        d.copy(schema = router.routeTable(sc, "*")._1)
+      case a @ AlterSchema(sc, newSc, _) =>
+        a.copy(schema = router.routeTable(sc, "*")._1,
+          newSchema = newSc.map(router.routeTable(_, "*")._1))
+      case mc @ MongoCommand(_, sc, tb, newSc, newTb, _) =>
+        // rdb_router.rs:286-317: a rename routes BOTH namespaces; all
+        // other mongo commands route (schema, tb) only
+        val (s2, t2) = router.routeTable(sc, tb)
+        if (newTb.nonEmpty) {
+          val (ns2, nt2) = router.routeTable(newSc, newTb)
+          mc.copy(schema = s2, tb = t2, newSchema = ns2, newTb = nt2)
+        } else mc.copy(schema = s2, tb = t2)
       case c @ CreateTable(db, tb, _, _) =>
         val (d2, t2) = rt(db, tb); c.copy(db = d2, tb = t2)
       case d @ DropTable(db, tb, _) =>

@@ -46,9 +46,80 @@ object Routing {
       |  ((c_custkey * 2654435761) % 1000000007) % 16 AS kafka_partition
       |FROM customer""".stripMargin
 
+  /** q108 — the DDL statement lane as a distributed query: every
+    * supplier row deterministically generates one DDL statement (8
+    * shapes spanning the schema / database / table families incl. the
+    * round-9 CREATE/DROP/ALTER SCHEMA + ALTER DATABASE variants), and
+    * each parses, classifies (reference ddl_type.rs spellings),
+    * targets, and re-renders on the executors. The generator is
+    * invertible, so the DuckDB oracle states the expected
+    * classification closed-form. Scale: map-only over the input —
+    * parse state is per-row, nothing shuffles.
+    */
+  def ddlParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.meta.DdlParser
+    val src = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").cast("long").as("stmt_id"),
+        regexp_replace(lower(col("s_name")), "[^a-z0-9]+", "_")
+          .as("nm"))
+      .as[(Long, String)]
+    src.map { case (id, nm) =>
+      val sql = (id % 8) match {
+        case 0 => s"CREATE SCHEMA IF NOT EXISTS s_$nm"
+        case 1 => s"DROP SCHEMA s_$nm CASCADE"
+        case 2 => s"ALTER SCHEMA s_$nm RENAME TO t_$nm"
+        case 3 => s"ALTER DATABASE d_$nm READ ONLY = 1"
+        case 4 => s"CREATE TABLE db_$nm.t_$id (id INT)"
+        case 5 => s"DROP TABLE IF EXISTS db_$nm.t_$id"
+        case 6 => s"TRUNCATE TABLE db_$nm.t_$id"
+        case _ => s"RENAME TABLE db_$nm.t_$id TO db_$nm.u_$id"
+      }
+      val stmt = DdlParser.parse(sql).head
+      val (sc, tb) = DdlParser.target(stmt, "def")
+      (id, DdlParser.ddlType(stmt), sc, tb, stmt.render)
+    }.toDF("stmt_id", "ddl_type", "schema_name", "tb", "rendered")
+  }
+
+  val ddlParseSql: String =
+    """WITH src AS (
+      |  SELECT s_suppkey AS stmt_id,
+      |    regexp_replace(lower(s_name), '[^a-z0-9]+', '_', 'g') AS nm
+      |  FROM supplier)
+      |SELECT stmt_id,
+      |  CASE stmt_id % 8
+      |    WHEN 0 THEN 'create_schema' WHEN 1 THEN 'drop_schema'
+      |    WHEN 2 THEN 'alter_schema' WHEN 3 THEN 'alter_database'
+      |    WHEN 4 THEN 'create_table' WHEN 5 THEN 'drop_table'
+      |    WHEN 6 THEN 'truncate_table' ELSE 'rename_table'
+      |  END AS ddl_type,
+      |  CASE WHEN stmt_id % 8 IN (0, 1, 2) THEN 's_' || nm
+      |    WHEN stmt_id % 8 = 3 THEN 'd_' || nm
+      |    ELSE 'db_' || nm END AS schema_name,
+      |  CASE WHEN stmt_id % 8 IN (0, 1, 2, 3) THEN ''
+      |    ELSE 't_' || stmt_id END AS tb,
+      |  CASE stmt_id % 8
+      |    WHEN 0 THEN 'CREATE SCHEMA IF NOT EXISTS `s_' || nm || '`'
+      |    WHEN 1 THEN 'DROP SCHEMA `s_' || nm || '`'
+      |    WHEN 2 THEN 'ALTER SCHEMA `s_' || nm
+      |      || '` RENAME TO `t_' || nm || '`'
+      |    WHEN 3 THEN 'ALTER DATABASE `d_' || nm || '` READ ONLY = 1'
+      |    WHEN 4 THEN 'CREATE TABLE `db_' || nm || '`.`t_'
+      |      || stmt_id || '` (id INT)'
+      |    WHEN 5 THEN 'DROP TABLE IF EXISTS `db_' || nm || '`.`t_'
+      |      || stmt_id || '`'
+      |    WHEN 6 THEN 'TRUNCATE TABLE `db_' || nm || '`.`t_'
+      |      || stmt_id || '`'
+      |    ELSE 'RENAME TABLE `db_' || nm || '`.`t_' || stmt_id
+      |      || '` TO `db_' || nm || '`.`u_' || stmt_id || '`'
+      |  END AS rendered
+      |FROM src""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q14_route_rename" -> (routeCustomer _))
+    "q14_route_rename" -> (routeCustomer _),
+    "q108_ddl_parse" -> (ddlParse _))
 
   val oracles: Map[String, String] = Map(
-    "q14_route_rename" -> routeCustomerSql)
+    "q14_route_rename" -> routeCustomerSql,
+    "q108_ddl_parse" -> ddlParseSql)
 }

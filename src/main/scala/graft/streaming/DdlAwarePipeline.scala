@@ -68,7 +68,14 @@ object DdlAwarePipeline {
               appliedDcl += routed.render
             }
           case (_, sql) =>
-            DdlParser.parse(sql).filter { stmt =>
+            // Mongo change-stream DDL events arrive as the event's
+            // extended-JSON doc; SQL engines send statement text
+            // (reference: DdlData per db_type, routed identically)
+            val stmts =
+              if (sql.trim.startsWith("{"))
+                graft.meta.MongoDdl.changeStreamEventToDdl(sql).toSeq
+              else DdlParser.parse(sql)
+            stmts.filter { stmt =>
               val (s, t) = DdlParser.target(stmt, defaultDb)
               filter.allowDdl(DdlParser.ddlType(stmt), s, t)
             }.foreach { stmt =>
@@ -87,6 +94,9 @@ object DdlAwarePipeline {
                   meta.invalidate(fdb.getOrElse(defaultDb), ftb)
                 case DdlParser.TruncateTable(db, tb) =>
                   meta.invalidate(db.getOrElse(defaultDb), tb)
+                case DdlParser.MongoCommand(_, sc, tb, _, _, _)
+                    if tb.nonEmpty =>
+                  meta.invalidate(sc, tb)
                 case _ => meta.invalidateAll()
               }
               appliedDdl += routed.render

@@ -50,6 +50,53 @@ class DdlPipelineSpec extends SparkSuite {
     // DML flowed without the DDL row
     assert(dmlCount.get() == 2)
   }
+
+  test("barrier lane replays Mongo change-stream DDL: " +
+      "schema-qualified rename routes both namespaces") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = sparkSession.sqlContext
+
+    fetches.set(0)
+    appliedDdl.synchronized(appliedDdl.clear())
+    dmlCount.set(0)
+
+    val meta = new MetaManager(Fetcher)
+    meta.get("app", "customer") // warm cache
+    assert(fetches.get() == 1)
+
+    val input = MemoryStream[Change]
+    val q = DdlAwarePipeline.process(
+      input.toDF(), Routing.demoRouter, defaultDb = "app", meta,
+      ddlSink = RecordingDdlSink,
+      onBatch = (dml, _) => dmlCount.addAndGet(dml.count())).start()
+    try {
+      input.addData(
+        Change("insert", null, 1L),
+        // the Mongo CDC lane ships the change-stream event doc as the
+        // ddl_text — a rename out of app.customer into app.archive
+        Change("ddl", """{"operationType":"rename",
+          "ns":{"db":"app","coll":"customer"},
+          "to":{"db":"app","coll":"archive"}}""", 0L),
+        Change("ddl", """{"operationType":"createIndexes",
+          "ns":{"db":"app","coll":"orders"},
+          "operationDescription":{"indexes":[{"name":"i1",
+            "key":{"k":1}}]}}""", 0L),
+        Change("update", null, 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // demo router: app→app_replica, (app,customer)→(app_replica,
+    // clients); the replay command re-namespaces from the routed
+    // fields like the reference sinker's rewrite
+    assert(appliedDdl.synchronized(appliedDdl.toSeq) == Seq(
+      """{"renameCollection":"app_replica.clients","to":"app_replica.archive"}""",
+      """{"createIndexes":"orders","indexes":[{"name":"i1","key":{"k":1}}]}"""))
+    // the renamed-away collection's meta invalidated → refetch
+    meta.get("app", "customer")
+    assert(fetches.get() == 2)
+    assert(dmlCount.get() == 2)
+  }
 }
 
 object DdlPipelineSpec {

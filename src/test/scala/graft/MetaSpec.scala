@@ -15,8 +15,8 @@ class MetaSpec extends SparkSuite {
   test("ddl parse: database / table / truncate / alter") {
     assert(parse("CREATE DATABASE IF NOT EXISTS app") ==
       Seq(CreateDatabase("app", ifNotExists = true)))
-    assert(parse("create schema `x`;") ==
-      Seq(CreateDatabase("x", ifNotExists = false)))
+    assert(parse("ALTER DATABASE app CHARACTER SET utf8mb4") ==
+      Seq(AlterDatabase("app", "CHARACTER SET utf8mb4")))
     assert(parse("CREATE TABLE app.t (id INT PRIMARY KEY)") ==
       Seq(CreateTable(Some("app"), "t", "(id INT PRIMARY KEY)",
         ifNotExists = false)))
@@ -34,6 +34,49 @@ class MetaSpec extends SparkSuite {
     assert(parse("RENAME TABLE a.t1 TO a.t2, `x` TO `y`") == Seq(
       RenameTable(Some("a"), "t1", Some("a"), "t2"),
       RenameTable(None, "x", None, "y")))
+  }
+
+  test("ddl parse: schema namespace family (create/drop/alter)") {
+    // keyword-typed apart from database DDL (ddl_parser.rs:183-272):
+    // CREATE SCHEMA is create_schema even where SCHEMA aliases DATABASE
+    assert(parse("create schema `x`;") ==
+      Seq(CreateSchema("x", ifNotExists = false)))
+    assert(parse("CREATE SCHEMA IF NOT EXISTS sales") ==
+      Seq(CreateSchema("sales", ifNotExists = true)))
+    val Seq(auth) = parse("CREATE SCHEMA AUTHORIZATION joe")
+    assert(auth == CreateSchema("joe", ifNotExists = false,
+      authorization = true))
+    assert(auth.render == "CREATE SCHEMA AUTHORIZATION `joe`")
+    assert(parse("DROP SCHEMA IF EXISTS sales CASCADE") ==
+      Seq(DropSchema("sales", ifExists = true)))
+    assert(parse("ALTER SCHEMA sales RENAME TO sales_old") ==
+      Seq(AlterSchema("sales", Some("sales_old"))))
+    assert(parse("ALTER SCHEMA sales OWNER TO joe") ==
+      Seq(AlterSchema("sales", None, "OWNER TO joe")))
+    assert(ddlType(parse("CREATE SCHEMA s").head) == "create_schema")
+    assert(ddlType(parse("DROP SCHEMA s").head) == "drop_schema")
+    assert(ddlType(parse("ALTER SCHEMA s RENAME TO t").head) ==
+      "alter_schema")
+    assert(ddlType(parse("ALTER DATABASE d READ ONLY = 1").head) ==
+      "alter_database")
+    // schema-level statements target (schema, "") for the DDL filter
+    assert(target(parse("DROP SCHEMA sales").head, "def") ==
+      (("sales", "")))
+  }
+
+  test("ddl routing: schema family routes through the schema map") {
+    val router = Routing.demoRouter // app→app_replica
+    assert(route(parse("CREATE SCHEMA app").head, router, "app").render
+      == "CREATE SCHEMA `app_replica`")
+    assert(route(parse("DROP SCHEMA IF EXISTS app").head, router,
+      "app").render == "DROP SCHEMA IF EXISTS `app_replica`")
+    // both sides of a schema rename route
+    assert(route(parse("ALTER SCHEMA app RENAME TO app2").head,
+      router, "app").render ==
+      "ALTER SCHEMA `app_replica` RENAME TO `app2`")
+    assert(route(parse("ALTER DATABASE app READ ONLY = 1").head,
+      router, "app").render ==
+      "ALTER DATABASE `app_replica` READ ONLY = 1")
   }
 
   test("ddl parse: index + unknown → raw") {
