@@ -102,6 +102,106 @@ object BpeLearn {
     out.result()
   }
 
+  /** Production merge loop for large k: ONE distributed corpus census
+    * ([[wordFreqs]] — the only corpus-sized pass), then the remaining
+    * merge rounds run on the driver over the collected vocabulary.
+    * The vocabulary is bounded by language, not corpus (≈1e6 distinct
+    * pre-tokens at any scale), so the collect is a few tens of MB —
+    * while a 30k-merge train through [[learnMerges]] would be 30k
+    * Spark job round-trips (hours of scheduler latency for seconds of
+    * compute). Pair statistics update incrementally: each round
+    * touches only the words containing the chosen pair (subword-nmt's
+    * index structure), not the whole vocabulary.
+    *
+    * Deterministically identical to [[learnMerges]]: same greedy
+    * left-to-right rewrite, same (cnt desc, left asc, right asc)
+    * selection with string order compared as unsigned UTF-8 bytes —
+    * Spark's binary string ordering, not Java's UTF-16 compareTo.
+    */
+  def learnMergesLocal(docs: DataFrame, k: Int): Seq[Merge] = {
+    val census = wordFreqs(docs).collect()
+    learnLocalFromVocab(
+      census.map(r => (r.getAs[String]("word"), r.getAs[Long]("freq"))),
+      k)
+  }
+
+  /** Spark UTF8String ordering: unsigned byte-wise over UTF-8. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** [[applyMerge]]'s rewrite, driver-side: greedy left-to-right. */
+  private def mergeWord(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      val x = syms(i)
+      if (out.nonEmpty && out.last == l && x == r)
+        out(out.length - 1) = out.last + x
+      else out += x
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** The merge loop over an in-memory (word, freq) vocabulary. */
+  def learnLocalFromVocab(vocab: Array[(String, Long)],
+      k: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val syms = vocab.map { case (w, _) => w.split("") }
+    val freq = vocab.map(_._2)
+    val stats = mutable.Map[(String, String), Long]()
+    // pair → word ids that contained it when last indexed (lazy: a
+    // stale id is harmless — its subtract/re-add cancels out)
+    val index = mutable.Map[(String, String), mutable.Set[Int]]()
+
+    def contrib(wid: Int, sign: Long): Unit = {
+      val s = syms(wid)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val next = stats.getOrElse(p, 0L) + sign * freq(wid)
+        if (next == 0L) stats.remove(p) else stats(p) = next
+        if (sign > 0)
+          index.getOrElseUpdate(p, mutable.Set[Int]()) += wid
+        i += 1
+      }
+    }
+    syms.indices.foreach(contrib(_, 1L))
+
+    val out = Seq.newBuilder[Merge]
+    var round = 0
+    while (round < k && stats.nonEmpty) {
+      val (bl, br) = stats.foldLeft(("", ""), Long.MinValue) {
+        case (best @ ((cl, cr), ccnt), (p @ (l, r), cnt)) =>
+          if (cnt > ccnt || (cnt == ccnt && (utf8Lt(l, cl) ||
+              (l == cl && utf8Lt(r, cr))))) (p, cnt)
+          else best
+      }._1
+      out += Merge(bl, br, stats((bl, br)))
+      val touched = index.getOrElse((bl, br), mutable.Set[Int]())
+        .toArray
+      touched.foreach { wid =>
+        contrib(wid, -1L)
+        syms(wid) = mergeWord(syms(wid), bl, br)
+        contrib(wid, 1L)
+      }
+      index.remove((bl, br)): Unit
+      round += 1
+    }
+    out.result()
+  }
+
   // ---------------------------------------------------------------- q106
   /** First-round pair counts — the corpus-wide statistic the first BPE
     * merge argmaxes over. Emitting every pair (the char-pair space is

@@ -94,6 +94,32 @@ class BpeLearnSpec extends SparkSuite {
     assert(encodedMass == trainerMass)
   }
 
+  test("driver-local merge loop (one census, local rounds) is " +
+      "identical to the per-round Spark loop") {
+    // the classic fixture: every merge AND count must agree
+    val sparkLoop = BpeLearn.learnMerges(corpus, 8)
+    val localLoop = BpeLearn.learnMergesLocal(corpus, 8)
+    assert(localLoop == sparkLoop)
+
+    // a messier corpus: ties, punctuation, overlapping runs ("aaaa"
+    // exercises greedy rewrite + incremental stats after self-merge)
+    val s = spark
+    import s.implicits._
+    val messy = Seq(
+      (1L, "aaaa aaaa aa baab"),
+      (2L, "the cat, the hat; the flat cat"),
+      (3L, "zz zzz z az za")).toDF("doc_id", "text")
+    val sparkMessy = BpeLearn.learnMerges(messy, 10)
+    val localMessy = BpeLearn.learnMergesLocal(messy, 10)
+    assert(localMessy == sparkMessy)
+
+    // real documents: first 12 merges agree on the sf fixture
+    val docs = Tables.documents(spark, sf).limit(120)
+      .localCheckpoint(true)
+    assert(BpeLearn.learnMergesLocal(docs, 12) ==
+      BpeLearn.learnMerges(docs, 12))
+  }
+
   test("pair counts: singleton symbols contribute nothing") {
     val s = spark
     import s.implicits._
