@@ -498,26 +498,28 @@ object VectorOps {
     val cents = subs.filter(col("vec_id") < 4)
       .select(col("sub"), col("vec_id").as("pcell"),
         col("sxs").as("c_sxs"), col("snorm").as("c_norm"))
-    val wCode = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("dist"), col("pcell"))
+    // code argmax via min(struct(dist, pcell)) — the q89 aggregate
+    // pattern: partial min map-side, no per-(vec,sub) window sort
     val codes = subs.join(broadcast(cents), "sub")
       .withColumn("dist", col("snorm") + col("c_norm") -
         lit(2L) * intDot(col("sxs"), col("c_sxs")))
-      .withColumn("rk", row_number().over(wCode))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("sub"), col("pcell"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("pcell"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.pcell").as("pcell"))
     // query-side: coarse probes (cosine) + ADC lookup table
     val queriesDf = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("xs").as("q_xs"),
         col("norm").as("q_norm"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cell"))
+    // coarse probe top-nProbe via the bounded top-k aggregate (same
+    // (sim desc, cell asc) order the window form had)
     val probes = queriesDf.join(broadcast(seeds))
       .withColumn("sim", cosine(intDot(col("q_xs"), col("s_xs")),
         col("q_norm"), col("s_norm")))
-      .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= nProbe)
-      .select(col("query_id"), col("cell"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKBy(col("sim"),
+        col("cell"), nProbe).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("cell"))
     val lut = subs.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("sub"),
         col("sxs").as("q_sxs"), col("snorm").as("q_norm"))
@@ -535,12 +537,17 @@ object VectorOps {
       .agg(sum(col("part_dist")).as("adc_dist"),
         count(lit(1)).as("n_subs"))
       .filter(col("n_subs") === subCount)
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(wTop).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank"), col("adc_dist"))
+    // final rank: bounded top-k on negated distance (adc_dist is an
+    // integer LUT sum, exact in a double), rank from array position —
+    // q101's plan is now window-free end to end
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKBy(
+        (-col("adc_dist")).cast("double"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast(LongType).as("rank"),
+        (-col("col.score")).cast(LongType).as("adc_dist"))
   }
 
   val ivfAdcSearchSql: String = {

@@ -196,6 +196,12 @@ class ScaleShapeSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!p94.contains("CartesianProduct") &&
       !p94.contains("BroadcastNestedLoop"), p94)
+    // q101: window-free end to end — code assignment is a min(struct)
+    // argmax, probe and final rank are bounded top-k aggregates (r9)
+    val p101 = graft.operators.VectorOps.ivfAdcSearch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p101.contains("Window"), p101)
+    assert(p101.contains("partial_graft_top_k_by"), p101)
   }
 
   test("report and quantile rollups stay equi-joined and partitioned") {
