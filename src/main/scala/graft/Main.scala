@@ -100,9 +100,52 @@ object Main {
             .addBatchCounter(Monitoring.SinkedRecordTotal, s.nKept, 1L)
           publish()
         case TaskConfig.CdcExtract =>
-          Monitoring.attach(spark, monitors)
-          println("[cdc] wire streaming/CdcPipeline with a stream source" +
-            " directory; see CdcPipeline.readChanges")
+          (task.walCapture, task.slot) match {
+            case (Some(capture), Some(_)) =>
+              // the composed pg→warehouse CDC story: slot plan →
+              // pgoutput decode → compaction → stream-load HTTP, with
+              // positions in the file-backed store (restart-safe)
+              val bytes = java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(capture))
+              val posPath = task.positionStore
+                .getOrElse(s"$capture.positions")
+              val store = new graft.sources.DbResumer.FileStore(posPath)
+              val rec = new graft.sources.DbResumer.Recorder(
+                args(0), store, graft.sources.DbResumer.MySqlDialect)
+              rec.init(isInit = false)
+              val resumer = new graft.sources.DbResumer.Dual(
+                new graft.sources.SnapshotResumer(s"$posPath.d"), rec,
+                () => new graft.sources.DbResumer.Recovery(
+                  args(0), store))
+              val uri = java.net.URI.create(task.sinkDir)
+              val report = graft.streaming.CdcTask.run(spark, task,
+                graft.streaming.CdcTask.PgAnswers(
+                  graft.sources.PgSlotLifecycle.SlotStatus(
+                    exists = false),
+                  pubExists = false, walStream = bytes),
+                sinkFor = (db, tb, batchId) =>
+                  new graft.sinks.StreamLoadHttp.HttpPayloadSink(
+                    graft.sinks.StreamLoadHttp.Config(uri.getHost,
+                      uri.getPort, db, tb, task.sinkUser,
+                      task.sinkPassword), batchId),
+                resumer = resumer, monitors = Some(monitors))
+              report.plan.statements
+                .foreach(s => println(s"[cdc][slot] $s"))
+              println(s"[cdc] start_lsn=${report.startLsn} " +
+                s"replication=${report.replicationSql}")
+              report.batches.foreach(b => println(s"[cdc] batch " +
+                s"${b.batchId} rows=${b.rows} -> " +
+                s"${b.tables.mkString(",")} @ ${b.commitLsn}"))
+              println(s"[cdc] shipped=${report.rowsShipped} " +
+                s"skipped=${report.eventsSkipped} " +
+                s"end=${report.endLsn}")
+              publish()
+            case _ =>
+              Monitoring.attach(spark, monitors)
+              println("[cdc] provide [extractor] wal_capture= and " +
+                "slot_name= to drain a captured stream; live sources " +
+                "plug in via sources/ChangelogSource")
+          }
       }
       monitors.flushLines().foreach(l => println(s"[monitor] $l"))
       println("task finished")

@@ -78,7 +78,14 @@ object TaskConfig {
       keysByTable: Map[String, Seq[String]],
       orderColsByTable: Map[String, Seq[String]],
       metrics: Option[MetricsConfig] = None,
-      slot: Option[graft.sources.PgSlotLifecycle.SlotConfig] = None)
+      slot: Option[graft.sources.PgSlotLifecycle.SlotConfig] = None,
+      // CDC task wiring: a captured replication stream to drain (the
+      // live-socket stand-in), the position store path, and the
+      // warehouse credentials for the stream-load sink
+      walCapture: Option[String] = None,
+      positionStore: Option[String] = None,
+      sinkUser: String = "root",
+      sinkPassword: String = "")
 
   /** Build the typed task from parsed INI (the reference's
     * TaskConfig::new).
@@ -204,6 +211,10 @@ object TaskConfig {
       keysByTable = colSpec(ex, "id_cols"),
       orderColsByTable = colSpec(ex, "order_cols"),
       metrics = metrics,
-      slot = slot)
+      slot = slot,
+      walCapture = ex("wal_capture"),
+      positionStore = ex("position_store"),
+      sinkUser = sk.get("username", "root"),
+      sinkPassword = sk.get("password", ""))
   }
 }

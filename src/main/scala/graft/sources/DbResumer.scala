@@ -243,6 +243,49 @@ object DbResumer {
       doing.values.flatMap(parsePosition(_)).toSeq
   }
 
+  /** position.log-shaped store: the same [[SqlExec]] seam as the
+    * database table, persisted as TSV lines in a local file — the
+    * reference's file recorder form (resumer/recorder/to_file.rs), so a
+    * task without a metadata database still survives restarts. Loaded on
+    * construction; every upsert rewrites the file (position sets are
+    * tiny — one row per table plus one per CDC stream).
+    */
+  final class FileStore(path: String) extends SqlExec {
+    private val p = java.nio.file.Paths.get(path)
+    private val rows = scala.collection.mutable
+      .LinkedHashMap[(String, String, String), String]()
+    locally {
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readAllLines(p).forEach { line =>
+          line.split("\t", 4) match {
+            case Array(t, tpe, k, data) => rows((t, tpe, k)) = data
+            case _ => ()
+          }
+        }
+    }
+    private def flush(): Unit = {
+      Option(p.getParent)
+        .foreach(java.nio.file.Files.createDirectories(_): Unit)
+      val text = rows.map { case ((t, tpe, k), d) =>
+        s"$t\t$tpe\t$k\t$d"
+      }.mkString("\n")
+      java.nio.file.Files.writeString(p, text): Unit
+    }
+    def execute(sql: String, binds: Seq[String]): Unit =
+      if (sql.startsWith("INSERT INTO")) {
+        val Seq(t, tpe, k, data) = binds
+        rows((t, tpe, k)) = data
+        flush()
+      } else if (sql.startsWith("DELETE FROM")) {
+        rows.filterInPlace { case ((t, _, _), _) => t != binds.head }
+        flush()
+      }
+    def query(sql: String, binds: Seq[String]): Seq[Seq[String]] =
+      rows.collect { case ((t, tpe, k), d) if t == binds.head =>
+        Seq(tpe, k, d)
+      }.toSeq
+  }
+
   /** Dual recorder/recovery — reference behavior with BOTH sinks
     * configured: every position records to the database table AND the
     * file log; recovery prefers the table (survives pod restarts with
@@ -269,6 +312,9 @@ object DbResumer {
     }
 
     def recordCdc(p: Position): Unit = recorder.recordPosition(p)
+
+    /** The recovered CDC stream position, if any (single-stream key). */
+    def resumeCdc: Option[Position] = recovered.cdcResumePosition
 
     def isFinished(schema: String, tb: String): Boolean =
       recovered.checkSnapshotFinished(schema, tb) ||

@@ -1,0 +1,255 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.config.TaskConfig
+import graft.infra.{Heartbeat, Monitoring}
+import graft.model.{ChangeEvent, Position}
+import graft.operators.Compaction
+import graft.sinks.StreamLoadSink
+import graft.sources.{DbResumer, PgOutput, PgSlotLifecycle}
+
+/** The composed PG→warehouse CDC task — the reference's flagship
+  * pg→starrocks story (docs/en/cdc/, wired in
+  * /root/reference/dt-task/src/task_runner.rs:153-263 as
+  * extractor→pipeline→parallelizer→sinker): slot lifecycle plan →
+  * pgoutput v2 stream decode → per-transaction batching → compaction →
+  * stream-load ship, with resume positions, heartbeats, and monitor
+  * counters recorded at every batch boundary.
+  *
+  * The PG socket answers (slot status, publication existence, the framed
+  * COPY-BOTH byte stream) arrive as [[PgAnswers]] — the one transport
+  * seam, same pattern as the sink appliers' `StatementSink`. Everything
+  * downstream of the bytes is the product: decode, transaction
+  * accounting, resume arithmetic, compaction, payload shipping.
+  *
+  * Batches break only at transaction boundaries (the reference drains
+  * whole txns into a batch before sinking — base_pipeline.rs:96-191), so
+  * a recorded position is always a commit end and a restart never
+  * replays half a transaction. At cluster scale the same
+  * [[shipBatch]] body runs as the `foreachBatch` of the
+  * [[graft.sources.ChangelogSource]] DSv2 stream; this orchestrator is
+  * the single-stream task form with explicit position bookkeeping.
+  */
+object CdcTask {
+
+  /** What a live replication session would answer — injected so the
+    * composition is drivable without a server.
+    */
+  final case class PgAnswers(
+      slotStatus: PgSlotLifecycle.SlotStatus,
+      pubExists: Boolean,
+      walStream: Array[Byte])
+
+  final case class BatchReport(batchId: Long, tables: Seq[String],
+      rows: Long, commitLsn: String)
+
+  final case class RunReport(
+      plan: PgSlotLifecycle.Plan,
+      startLsn: String,
+      sessionSql: Seq[String],
+      replicationSql: String,
+      batches: Seq[BatchReport],
+      rowsShipped: Long,
+      eventsSkipped: Long,
+      eventsFiltered: Long,
+      endLsn: String)
+
+  /** The LSN streaming starts from: a recovered task position wins over
+    * the lifecycle plan (a restart resumes where it stopped; the plan's
+    * answer covers first start / recreated slots — reference
+    * resumer-before-config precedence, task_runner.rs fetch of the
+    * position store ahead of prepare_slot).
+    */
+  def resolveStartLsn(plan: PgSlotLifecycle.Plan,
+      recovered: Option[Position]): String =
+    recovered.collect { case Position.PgCdc(lsn) => lsn }
+      .orElse(plan.startLsn.filter(_.nonEmpty))
+      .getOrElse("0/0")
+
+  /** Group decoded events into transactions (adjacent events share a
+    * position — the previous commit's end LSN) and attach each txn's own
+    * commit end: the smallest commit boundary past its position. That
+    * commit end is what a batch ending at this txn records as its
+    * resume position.
+    */
+  private def txnGroups(events: Seq[ChangeEvent],
+      commitEnds: Seq[String]): Seq[(String, Seq[ChangeEvent])] = {
+    if (events.isEmpty) return Nil
+    val byPos = scala.collection.mutable.ArrayBuffer
+      .empty[(String, scala.collection.mutable.ArrayBuffer[ChangeEvent])]
+    events.foreach { e =>
+      if (byPos.isEmpty || byPos.last._1 != e.positionValue)
+        byPos += ((e.positionValue,
+          scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]))
+      byPos.last._2 += e
+    }
+    byPos.toSeq.map { case (pos, evs) =>
+      val posLsn =
+        if (pos.isEmpty) 0L else PgSlotLifecycle.parseLsn(pos)
+      val end = commitEnds
+        .find(e => PgSlotLifecycle.parseLsn(e) > posLsn)
+        .getOrElse(commitEnds.lastOption.getOrElse(pos))
+      (end, evs.toSeq)
+    }
+  }
+
+  /** Fold transactions into ship batches: accumulate whole txns until
+    * `batchSize` rows, never splitting one (reference batch drain
+    * semantics). Returns (commitLsn, events) per batch.
+    */
+  private def toBatches(txns: Seq[(String, Seq[ChangeEvent])],
+      batchSize: Int): Seq[(String, Seq[ChangeEvent])] = {
+    val out = Seq.newBuilder[(String, Seq[ChangeEvent])]
+    var acc = Seq.newBuilder[ChangeEvent]
+    var n = 0
+    var lsn = ""
+    txns.foreach { case (end, evs) =>
+      acc ++= evs; n += evs.size; lsn = end
+      if (n >= batchSize) {
+        out += ((lsn, acc.result())); acc = Seq.newBuilder; n = 0
+      }
+    }
+    if (n > 0) out += ((lsn, acc.result()))
+    out.result()
+  }
+
+  /** Ship one batch: per routed table, build the typed frame in the
+    * relation's wire column order, compact to final per-key state, and
+    * push sign+version-annotated JSON lines through the payload sink.
+    * Returns rows shipped per table.
+    */
+  def shipBatch(spark: SparkSession, task: TaskConfig.Task,
+      batchId: Long, events: Seq[ChangeEvent],
+      relCols: Map[(String, String), Seq[String]],
+      relKeys: Map[(String, String), Seq[String]],
+      sinkFor: (String, String, Long) => StreamLoadSink.PayloadSink)
+      : Map[(String, String), Long] = {
+    events.zipWithIndex.groupBy { case (e, _) => (e.schema, e.tb) }
+      .map { case ((s, tb), evs) =>
+        val cols = relCols.getOrElse((s, tb),
+          evs.head._1.keyImage.keys.toSeq.sorted)
+        val keys = task.keysByTable.get(tb)
+          .orElse(relKeys.get((s, tb)).filter(_.nonEmpty))
+          .getOrElse(cols.take(1))
+        val (toSchema, toTb) = task.router.routeTable(s, tb)
+        val routedCols =
+          cols.map(c => task.router.routeColumn(s, tb, c))
+        val routedKeys =
+          keys.map(c => task.router.routeColumn(s, tb, c))
+        val schema = StructType(
+          routedCols.map(StructField(_, StringType)) ++
+            Seq(StructField("row_type", StringType),
+              StructField("_seq", LongType)))
+        val rows = evs.map { case (e, i) =>
+          val img =
+            if (e.rowType == "delete") e.before else e.after
+          Row.fromSeq(cols.map(c => img.get(c).orNull) ++
+            Seq(e.rowType, i.toLong))
+        }
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+        val compacted = Compaction.compact(df, routedKeys,
+          Seq("_seq"), col("row_type"))
+        val signed = StreamLoadSink.withSignColumns(compacted,
+            col("row_type"), col("_seq"))
+          .drop("row_type", "_seq", Compaction.ActionCol)
+        StreamLoadSink.ship(signed,
+          () => sinkFor(toSchema, toTb, batchId), task.batchSize)
+        (toSchema, toTb) -> evs.size.toLong
+      }
+  }
+
+  /** Run the task end-to-end over one captured stream. */
+  def run(spark: SparkSession, task: TaskConfig.Task,
+      answers: PgAnswers,
+      sinkFor: (String, String, Long) => StreamLoadSink.PayloadSink,
+      resumer: DbResumer.Dual,
+      heartbeat: Option[Heartbeat.Emitter] = None,
+      monitors: Option[Monitoring.PipelineMonitors] = None)
+      : RunReport = {
+    val slotCfg = task.slot.getOrElse(throw new IllegalArgumentException(
+      "cdc task needs [extractor] slot_name"))
+
+    // 1. slot lifecycle: what to execute, where the slot says to start
+    val plan =
+      PgSlotLifecycle.plan(slotCfg, answers.slotStatus, answers.pubExists)
+    val startLsn = resolveStartLsn(plan, resumer.resumeCdc)
+    val replicationSql = PgSlotLifecycle.startReplicationSql(
+      slotCfg.slotName, startLsn,
+      PgSlotLifecycle.publicationName(slotCfg), slotCfg.streaming)
+
+    // 2. decode the stream; remember each relation's wire column order
+    //    and replica-identity key columns (pgoutput is self-describing)
+    val msgs = PgOutput.decodeCopyStream(answers.walStream)
+    val relCols = msgs.collect { case (_, r: PgOutput.Relation) =>
+      (r.namespace, r.name) -> r.columns.map(_.name)
+    }.toMap
+    val relKeys = msgs.collect { case (_, r: PgOutput.Relation) =>
+      (r.namespace, r.name) -> r.columns.filter(_.keyPart).map(_.name)
+    }.toMap
+    val commitEnds = msgs.collect {
+      case (_, c: PgOutput.Commit) => PgOutput.renderLsn(c.endLsn)
+      case (_, sc: PgOutput.StreamCommit) => PgOutput.renderLsn(sc.endLsn)
+    }
+    val all = PgOutput.toChangeEvents(msgs, startLsn)
+
+    // 3. pre-seek at transaction granularity: a replayed transaction is
+    //    already shipped iff its commit end is at or behind the resume
+    //    position (positions only ever record commit boundaries)
+    val startCmp = PgSlotLifecycle.parseLsn(
+      if (startLsn.contains("/")) startLsn else "0/0")
+    val (freshTxns, skippedTxns) = txnGroups(all, commitEnds)
+      .partition { case (end, _) =>
+        PgSlotLifecycle.parseLsn(end) > startCmp
+      }
+    val skipped = skippedTxns.map(_._2.size.toLong).sum
+    monitors.foreach(_.extractor.addBatchCounter(
+      Monitoring.ExtractedRecords,
+      freshTxns.map(_._2.size.toLong).sum, 1L): Unit)
+
+    // 4. row-level filter (schema/tb admission + event types); a txn
+    //    filtered to nothing drops — the next batch's commit end covers
+    //    its position
+    val admittedTxns = freshTxns.map { case (end, evs) =>
+      (end, evs.filter(e =>
+        task.filter.allowTable(e.schema, e.tb) &&
+          task.filter.allowEvent(e.rowType)))
+    }.filter(_._2.nonEmpty)
+
+    // 5. txn-aligned batches → compact → ship → record position
+    val batches = toBatches(admittedTxns, task.batchSize)
+    val reports = batches.zipWithIndex.map { case ((lsn, evs), i) =>
+      val t0 = System.nanoTime()
+      val shipped =
+        shipBatch(spark, task, i.toLong, evs, relCols, relKeys, sinkFor)
+      monitors.foreach { m =>
+        m.sinker.addCounter(Monitoring.RtPerQuery,
+          (System.nanoTime() - t0) / 1000000L)
+        m.sinker
+          .addBatchCounter(Monitoring.RecordCount, evs.size.toLong, 1L)
+          .addBatchCounter(Monitoring.SinkedRecordTotal,
+            evs.size.toLong, 1L): Unit
+      }
+      resumer.recordCdc(Position.PgCdc(lsn))
+      heartbeat.foreach(_.maybeBeat(Heartbeat.Positions(
+        receivedSegment = commitEnds.lastOption.getOrElse(lsn),
+        receivedSeq = i.toLong, receivedTs = "",
+        flushedSegment = lsn, flushedSeq = i.toLong,
+        flushedTs = "")): Unit)
+      BatchReport(i.toLong,
+        shipped.keys.map { case (s, t) => s"$s.$t" }.toSeq.sorted,
+        evs.size.toLong, lsn)
+    }
+
+    RunReport(plan, startLsn, PgSlotLifecycle.sessionSetupSql,
+      replicationSql, reports,
+      rowsShipped = reports.map(_.rows).sum,
+      eventsSkipped = skipped,
+      eventsFiltered = freshTxns.map(_._2.size.toLong).sum -
+        admittedTxns.map(_._2.size.toLong).sum,
+      endLsn = commitEnds.lastOption.getOrElse(startLsn))
+  }
+}
