@@ -293,17 +293,131 @@ object CorpusOps {
        |FROM scored GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q109
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each document
+    * by how much more likely its hashed n-gram features are under a
+    * target-domain bag-of-features model than under the raw-corpus
+    * model — λ(d) = Σ_f log(p̂_target(f)/p̂_raw(f)) over d's feature
+    * occurrences, add-one smoothed over B hash buckets. High weight =
+    * reads like the target; resampling by λ tilts a raw crawl toward
+    * the target distribution. The target here is the `source = 'src0'`
+    * slice (the paper's quality-domain stand-in).
+    *
+    * Features are the paper's hashed unigrams + bigrams: charFold token
+    * hashes folded into B=4096 buckets; bigrams combine bucket-reduced
+    * halves (`(h₁ mod M)·4651 + h₂ mod M`, M=1000003) so the product
+    * stays well inside 63 bits on engines that error on overflow.
+    *
+    * The log is the integer bit-length quantization the oracle-checked
+    * scores here share: per occurrence
+    * `bitlen(ct+1) − bitlen(cr+1) + bitlen(Tr+B) − bitlen(Tt+B)`
+    * (the last two are the corpus-constant normalizer). Units can be
+    * NEGATIVE (feature more raw-like than target-like), so the output
+    * is the exact integer sum — no division, whose negative-operand
+    * rounding differs between engines.
+    *
+    * Scale shape: both census tables are B-bounded (4096 rows)
+    * whatever the corpus size → broadcast joins back onto the feature
+    * stream; the only corpus-sized shuffles carry (doc_id, bucket)
+    * longs, never text. Would hold at 100 TB: the model is fixed-size,
+    * the scoring pass is map-heavy with map-side partial counts.
+    */
+  def dsirWeight(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightOf(Tables.documents(spark, dir))
+
+  private val DsirBuckets = 4096
+  private val DsirMod = 1000003L
+  private val DsirMix = 4651L
+
+  def dsirWeightOf(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), col("source"),
+      posexplode(TextOps.tokens(TextOps.normText(col("text"))))
+        .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("source"), col("pos"),
+        TextOps.charFold(col("tok")).as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val uni = hashed.select(col("doc_id"), col("source"),
+      pmod(col("h"), lit(DsirBuckets.toLong)).as("bucket"))
+    val bi = hashed
+      .withColumn("h2", lead(col("h"), 1).over(w))
+      .filter(col("h2").isNotNull)
+      .select(col("doc_id"), col("source"),
+        pmod(pmod(col("h"), lit(DsirMod)) * lit(DsirMix) +
+          pmod(col("h2"), lit(DsirMod)),
+          lit(DsirBuckets.toLong)).as("bucket"))
+    val feats = uni.unionByName(bi).localCheckpoint(false)
+    val raw = feats.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tgt = feats.filter(col("source") === "src0")
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val totals = feats.agg(count(lit(1)).as("tr"),
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tt"))
+    def bitlen(c: org.apache.spark.sql.Column) = length(bin(c))
+    feats
+      .join(broadcast(raw), Seq("bucket"))
+      .join(broadcast(tgt), Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (bitlen(coalesce(col("ct"), lit(0L)) + 1) -
+          bitlen(col("cr") + 1) +
+          bitlen(col("tr") + lit(DsirBuckets.toLong)) -
+          bitlen(col("tt") + lit(DsirBuckets.toLong)))
+          .cast("long").as("units"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("units")).as("dsir_units"))
+  }
+
+  val dsirWeightSql: String = {
+    val fold = TextOps.charFoldSql("tok")
+    val b = DsirBuckets
+    val m = DsirMod
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, i - 1 AS pos, w[i] AS tok
+       |  FROM (SELECT doc_id, source,
+       |      ${tokensSql(TextOps.normTextSql("text"))} AS w
+       |    FROM documents),
+       |    unnest(range(1, len(w) + 1)) AS t(i)),
+       |hashed AS (
+       |  SELECT doc_id, source, pos, $fold AS h FROM toks),
+       |uni AS (SELECT doc_id, source,
+       |    ((h % $b) + $b) % $b AS bucket FROM hashed),
+       |nxt AS (SELECT doc_id, source, h,
+       |    LEAD(h) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+       |  FROM hashed),
+       |bi AS (SELECT doc_id, source,
+       |    (((((h % $m) + $m) % $m) * $DsirMix +
+       |      ((h2 % $m) + $m) % $m) % $b + $b) % $b AS bucket
+       |  FROM nxt WHERE h2 IS NOT NULL),
+       |feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+       |raw AS (SELECT bucket, count(*) AS cr FROM feats GROUP BY 1),
+       |tgt AS (SELECT bucket, count(*) AS ct FROM feats
+       |  WHERE source = 'src0' GROUP BY 1),
+       |totals AS (SELECT count(*) AS tr,
+       |    count(*) FILTER (WHERE source = 'src0') AS tt FROM feats)
+       |SELECT f.doc_id, count(*) AS n_feats,
+       |  SUM(length(bin(COALESCE(t.ct, 0) + 1))
+       |    - length(bin(r.cr + 1))
+       |    + length(bin(totals.tr + $b))
+       |    - length(bin(totals.tt + $b)))::BIGINT AS dsir_units
+       |FROM feats f JOIN raw r USING (bucket)
+       |  LEFT JOIN tgt t USING (bucket), totals
+       |GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_interdup_fraction" -> (interdupFraction _),
     "q82_token_rarity" -> (tokenRarity _),
     "q83_knn_classify" -> (knnClassify _),
     "q84_mad_outliers" -> (madOutliers _),
-    "q107_bigram_surprisal" -> (bigramSurprisal _))
+    "q107_bigram_surprisal" -> (bigramSurprisal _),
+    "q109_dsir_weight" -> (dsirWeight _))
 
   val oracles: Map[String, String] = Map(
     "q81_interdup_fraction" -> interdupFractionSql,
     "q82_token_rarity" -> tokenRaritySql,
     "q83_knn_classify" -> knnClassifySql,
     "q84_mad_outliers" -> madOutliersSql,
-    "q107_bigram_surprisal" -> bigramSurprisalSql)
+    "q107_bigram_surprisal" -> bigramSurprisalSql,
+    "q109_dsir_weight" -> dsirWeightSql)
 }

@@ -94,4 +94,31 @@ class CorpusOpsSpec extends SparkSuite {
     assert(r(2L) == ((5L, 8L, 1600L)))
     assert(r(2L)._3 > r(1L)._3)
   }
+
+  test("dsir weight: target-like document outweighs off-domain one; " +
+      "feature count is unigrams + bigrams") {
+    val s = spark
+    import s.implicits._
+    // target slice (src0) speaks "alpha beta"; doc 3 echoes it from
+    // the raw pool, doc 4 is off-domain vocabulary
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "src0"),
+      (2L, "alpha beta gamma", "src0"),
+      (3L, "alpha beta alpha", "src9"),
+      (4L, "omega psi chi phi", "src9"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.CorpusOps.dsirWeightOf(docs)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_feats"), x.getAs[Long]("dsir_units"))))
+      .toMap
+    // n tokens -> n unigram + (n-1) bigram features
+    assert(r(1L)._1 == 7L && r(2L)._1 == 5L)
+    assert(r(3L)._1 == 5L && r(4L)._1 == 7L)
+    // resampling order: the doc that reads like the target scores
+    // strictly above the off-domain doc
+    assert(r(3L)._2 > r(4L)._2)
+    // off-domain features never occur in the target model: every
+    // occurrence contributes bitlen(1) - bitlen(cr+1) + const < const
+    assert(r(4L)._2 < r(1L)._2)
+  }
 }
