@@ -36,12 +36,17 @@ import graft.sources.{DbResumer, PgOutput, PgSlotLifecycle}
 object CdcTask {
 
   /** What a live replication session would answer — injected so the
-    * composition is drivable without a server.
+    * composition is drivable without a server. `consistentPoint` is the
+    * LSN a CREATE_REPLICATION_SLOT returned (used when the plan creates
+    * the slot and no recorded position exists — the
+    * snapshot-then-CDC handoff point, docs/en/tutorial/
+    * snapshot_and_cdc_without_data_loss.md).
     */
   final case class PgAnswers(
       slotStatus: PgSlotLifecycle.SlotStatus,
       pubExists: Boolean,
-      walStream: Array[Byte])
+      walStream: Array[Byte],
+      consistentPoint: String = "")
 
   final case class BatchReport(batchId: Long, tables: Seq[String],
       rows: Long, commitLsn: String)
@@ -64,9 +69,11 @@ object CdcTask {
     * position store ahead of prepare_slot).
     */
   def resolveStartLsn(plan: PgSlotLifecycle.Plan,
-      recovered: Option[Position]): String =
+      recovered: Option[Position],
+      consistentPoint: String = ""): String =
     recovered.collect { case Position.PgCdc(lsn) => lsn }
       .orElse(plan.startLsn.filter(_.nonEmpty))
+      .orElse(Option(consistentPoint).filter(_.nonEmpty))
       .getOrElse("0/0")
 
   /** Group decoded events into transactions (adjacent events share a
@@ -176,7 +183,8 @@ object CdcTask {
     // 1. slot lifecycle: what to execute, where the slot says to start
     val plan =
       PgSlotLifecycle.plan(slotCfg, answers.slotStatus, answers.pubExists)
-    val startLsn = resolveStartLsn(plan, resumer.resumeCdc)
+    val startLsn =
+      resolveStartLsn(plan, resumer.resumeCdc, answers.consistentPoint)
     val replicationSql = PgSlotLifecycle.startReplicationSql(
       slotCfg.slotName, startLsn,
       PgSlotLifecycle.publicationName(slotCfg), slotCfg.streaming)
