@@ -77,6 +77,10 @@ object TaskConfig {
       sampleRate: Option[Int] = None,
       keysByTable: Map[String, Seq[String]],
       orderColsByTable: Map[String, Seq[String]],
+      // the reference's `json:`-format filter configs (config.md
+      // [filter] table): per-table column drops and source-side WHERE
+      ignoreColsByTable: Map[(String, String), Seq[String]] = Map.empty,
+      whereByTable: Map[(String, String), String] = Map.empty,
       metrics: Option[MetricsConfig] = None,
       slot: Option[graft.sources.PgSlotLifecycle.SlotConfig] = None,
       // CDC task wiring: a captured replication stream to drain (the
@@ -162,6 +166,32 @@ object TaskConfig {
       },
       defaultTopic = rt.get("default_topic", ""))
 
+    // `ignore_cols` / `where_conditions` carry JSON after a `json:`
+    // prefix (config.md: "it should starts with json:"); a bare value
+    // is a config error, matching the reference's parse
+    def jsonEntries(section: Section, key: String)
+        : Seq[com.fasterxml.jackson.databind.JsonNode] =
+      section(key) match {
+        case None => Nil
+        case Some(raw) =>
+          require(raw.startsWith("json:"),
+            s"$key must be JSON prefixed with 'json:', got: $raw")
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(raw.stripPrefix("json:"))
+          (0 until node.size()).map(node.get)
+      }
+
+    val ignoreCols = jsonEntries(fl, "ignore_cols").map { n =>
+      val cols = (0 until n.get("ignore_cols").size())
+        .map(i => n.get("ignore_cols").get(i).asText())
+      (n.get("db").asText(), n.get("tb").asText()) -> cols.toSeq
+    }.toMap
+
+    val whereConds = jsonEntries(fl, "where_conditions").map { n =>
+      (n.get("db").asText(), n.get("tb").asText()) ->
+        n.get("condition").asText()
+    }.toMap
+
     def colSpec(section: Section, key: String): Map[String, Seq[String]] =
       section.list(key).flatMap { spec =>
         spec.split(":") match {
@@ -210,6 +240,8 @@ object TaskConfig {
       sampleRate = ex.get("sample_rate", "").toIntOption,
       keysByTable = colSpec(ex, "id_cols"),
       orderColsByTable = colSpec(ex, "order_cols"),
+      ignoreColsByTable = ignoreCols,
+      whereByTable = whereConds,
       metrics = metrics,
       slot = slot,
       walCapture = ex("wal_capture"),

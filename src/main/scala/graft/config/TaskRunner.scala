@@ -27,12 +27,19 @@ object TaskRunner {
   def units(task: TaskConfig.Task): Seq[(String, String)] =
     task.filter.expand(catalog(task.sourceDir))
 
-  /** One snapshot unit: read a table, apply the column map, write to the
-    * routed destination.
+  /** One snapshot unit: read a table, apply where_conditions and
+    * ignore_cols (the filter's `json:` configs — both reach the scan:
+    * the WHERE becomes a pushed filter, the drop prunes the parquet
+    * read schema), then the column map, then write to the routed
+    * destination.
     */
   def snapshotTable(spark: SparkSession, task: TaskConfig.Task,
       schema: String, tb: String): TableResult = {
-    val df = Tables.load(spark, task.sourceDir, tb)
+    val loaded = Tables.load(spark, task.sourceDir, tb)
+    val conditioned = task.whereByTable.get((schema, tb))
+      .map(c => loaded.filter(expr(c))).getOrElse(loaded)
+    val df = task.ignoreColsByTable.get((schema, tb))
+      .map(cols => conditioned.drop(cols: _*)).getOrElse(conditioned)
     val routed = task.router.renameColumns(schema, tb, df)
     val (toSchema, toTb) = task.router.routeTable(schema, tb)
     val out = s"${task.sinkDir}/$toSchema.$toTb"

@@ -141,4 +141,44 @@ class TaskConfigSpec extends SparkSuite {
     assert(res.find(r => r.item == "pk_present" &&
       r.detail == "orders").exists(_.ok))
   }
+
+  test("where_conditions + ignore_cols (json: filter configs) shape " +
+      "the snapshot source read") {
+    val sink = Files.createTempDirectory("task-where").toString
+    val ini =
+      s"""[extractor]
+         |extract_type=snapshot
+         |url=$sf
+         |
+         |[filter]
+         |do_tbs=orders
+         |where_conditions=json:[{"db":"app","tb":"orders","condition":"o_orderkey <= 100 AND o_totalprice > 0"}]
+         |ignore_cols=json:[{"db":"app","tb":"orders","ignore_cols":["o_comment","o_clerk"]}]
+         |
+         |[sinker]
+         |url=$sink
+         |""".stripMargin
+    val t = TaskConfig.fromIni(ini)
+    assert(t.whereByTable(("app", "orders")) ==
+      "o_orderkey <= 100 AND o_totalprice > 0")
+    assert(t.ignoreColsByTable(("app", "orders")) ==
+      Seq("o_comment", "o_clerk"))
+
+    val results = TaskRunner.runSnapshot(spark, t)
+    val out = spark.read.parquet(s"$sink/app.orders")
+    val expected = Tables.orders(spark, sf)
+      .filter("o_orderkey <= 100 AND o_totalprice > 0").count()
+    assert(results.head.rows == expected && expected > 0)
+    assert(!out.columns.contains("o_comment") &&
+      !out.columns.contains("o_clerk"))
+    assert(out.columns.contains("o_orderkey"))
+    import org.apache.spark.sql.functions.max
+    assert(out.agg(max("o_orderkey")).head.getLong(0) <= 100L)
+
+    // a bare (non-json:) value is a config error, like the reference
+    intercept[IllegalArgumentException] {
+      TaskConfig.fromIni(ini.replace(
+        "where_conditions=json:", "where_conditions="))
+    }: Unit
+  }
 }
