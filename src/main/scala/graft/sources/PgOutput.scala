@@ -322,20 +322,33 @@ object PgOutput {
     * before map. Truncate surfaces as a per-relation `truncate` event.
     */
   def toChangeEvents(messages: Seq[(Long, Message)],
-      startLsn: String = ""): Seq[ChangeEvent] = {
+      startLsn: String = ""): Seq[ChangeEvent] =
+    toChangeEventsIndexed(messages, startLsn).map(_._2)
+
+  /** [[toChangeEvents]] plus each event's COMMIT ORDINAL — the index of
+    * the Commit/Stream Commit that owns it, counting every committed
+    * transaction in the stream (including row-less ones). The position
+    * field alone cannot distinguish adjacent transactions when a
+    * replayed stream resumes exactly at the first one's commit end
+    * (both carry the resume LSN); the ordinal always can.
+    */
+  def toChangeEventsIndexed(messages: Seq[(Long, Message)],
+      startLsn: String = ""): Seq[(Int, ChangeEvent)] = {
     val rels = scala.collection.mutable.Map.empty[Long, Relation]
-    val out = Seq.newBuilder[ChangeEvent]
+    val out = Seq.newBuilder[(Int, ChangeEvent)]
     var txEndLsn = startLsn
     var positionLsn = startLsn
+    var commitOrdinal = 0
 
     def img(rel: Relation, tuple: Array[String]): Map[String, String] =
       rel.columns.map(_.name).zip(tuple).toMap
 
     def emit(rel: Relation, rowType: String, before: Map[String, String],
         after: Map[String, String]): Unit =
-      out += ChangeEvent(rel.namespace, rel.name, 0L, rowType, before,
-        after, Position.PgCdc(positionLsn).kind,
-        Position.PgCdc(positionLsn).render, originNode = "")
+      out += ((commitOrdinal,
+        ChangeEvent(rel.namespace, rel.name, 0L, rowType, before,
+          after, Position.PgCdc(positionLsn).kind,
+          Position.PgCdc(positionLsn).render, originNode = "")))
 
     def applyData(m: Message): Unit = m match {
       case i: Insert =>
@@ -373,6 +386,7 @@ object PgOutput {
       case (_, c: Commit) =>
         txEndLsn = renderLsn(c.endLsn)
         positionLsn = txEndLsn
+        commitOrdinal += 1
       case (_, s: StreamStart) => openStream = Some(s.xid)
       case (_, StreamStop) => openStream = None
       case (_, Streamed(subXid, m)) => m match {
@@ -395,6 +409,7 @@ object PgOutput {
           .foreach(_.foreach { case (_, m) => applyData(m) })
         txEndLsn = renderLsn(sc.endLsn)
         positionLsn = txEndLsn
+        commitOrdinal += 1
       case (_, m) => applyData(m)
     }
     out.result()

@@ -76,32 +76,23 @@ object CdcTask {
       .orElse(Option(consistentPoint).filter(_.nonEmpty))
       .getOrElse("0/0")
 
-  /** Group decoded events into transactions (adjacent events share a
-    * position — the previous commit's end LSN) and attach each txn's own
-    * commit end: the smallest commit boundary past its position. That
-    * commit end is what a batch ending at this txn records as its
-    * resume position.
+  /** Group decoded events into transactions by their COMMIT ORDINAL
+    * (the decoder tags each event with the index of the commit that
+    * owns it) and attach each transaction's own commit end —
+    * `commitEnds(k)` is exactly the k-th commit in stream order.
+    * Grouping by the events' position values instead would merge the
+    * first replayed transaction into its successor whenever a restart
+    * resumes exactly at that transaction's commit end (both then carry
+    * the resume LSN as their position).
     */
-  private def txnGroups(events: Seq[ChangeEvent],
-      commitEnds: Seq[String]): Seq[(String, Seq[ChangeEvent])] = {
-    if (events.isEmpty) return Nil
-    val byPos = scala.collection.mutable.ArrayBuffer
-      .empty[(String, scala.collection.mutable.ArrayBuffer[ChangeEvent])]
-    events.foreach { e =>
-      if (byPos.isEmpty || byPos.last._1 != e.positionValue)
-        byPos += ((e.positionValue,
-          scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]))
-      byPos.last._2 += e
+  private def txnGroups(events: Seq[(Int, ChangeEvent)],
+      commitEnds: Seq[String]): Seq[(String, Seq[ChangeEvent])] =
+    events.groupBy(_._1).toSeq.sortBy(_._1).map { case (k, evs) =>
+      val end =
+        if (k < commitEnds.size) commitEnds(k)
+        else evs.last._2.positionValue
+      (end, evs.map(_._2))
     }
-    byPos.toSeq.map { case (pos, evs) =>
-      val posLsn =
-        if (pos.isEmpty) 0L else PgSlotLifecycle.parseLsn(pos)
-      val end = commitEnds
-        .find(e => PgSlotLifecycle.parseLsn(e) > posLsn)
-        .getOrElse(commitEnds.lastOption.getOrElse(pos))
-      (end, evs.toSeq)
-    }
-  }
 
   /** Fold transactions into ship batches: accumulate whole txns until
     * `batchSize` rows, never splitting one (reference batch drain
@@ -202,7 +193,7 @@ object CdcTask {
       case (_, c: PgOutput.Commit) => PgOutput.renderLsn(c.endLsn)
       case (_, sc: PgOutput.StreamCommit) => PgOutput.renderLsn(sc.endLsn)
     }
-    val all = PgOutput.toChangeEvents(msgs, startLsn)
+    val all = PgOutput.toChangeEventsIndexed(msgs, startLsn)
 
     // 3. pre-seek at transaction granularity: a replayed transaction is
     //    already shipped iff its commit end is at or behind the resume
