@@ -65,7 +65,10 @@ object CdcPipeline {
       keys: Seq[String], cols: Seq[String], orderCols: Seq[String],
       sinkFactory: () => Applier.StatementSink,
       limiter: Option[graft.infra.RateLimiter] = None,
-      monitors: Option[graft.infra.Monitoring.PipelineMonitors] = None)
+      monitors: Option[graft.infra.Monitoring.PipelineMonitors] = None,
+      inlineCheck: Option[(InlineCdcCheck.Checker,
+        (String, Map[String, String], Seq[String]) =>
+          Option[Map[String, String]])] = None)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream
       .outputMode("update")
@@ -95,6 +98,46 @@ object CdcPipeline {
             m.sinker.addCounter(RtPerQuery,
               (System.nanoTime() - t0) / 1000000L)
             m.sinker.addBatchCounter(RecordCount, batch.count(), 1L)
+          }
+          // inline CDC check (write-after-check reconciliation): gate
+          // to the sampled keys EXECUTOR-SIDE first — at scale only
+          // the sampled subset is ever collected — then queue for the
+          // driver-side checker. Checker errors must never fail the
+          // write path (config.md), hence the catch-all.
+          inlineCheck.foreach { case (checker, fetch) =>
+            try {
+              // the serial lane (NULL-key rows) is uncheckable by key
+              // lookup — the reference's checker only covers keyed rows
+              val keyed = compacted
+                .filter(col(Compaction.ActionCol) =!= Compaction.Serial)
+              val gated = checker.sampleRate match {
+                case Some(r) => keyed.filter(
+                  pmod(hash(keys.map(col): _*), lit(100)) < lit(r))
+                case None => keyed
+              }
+              val outCols =
+                (keys ++ cols :+ Compaction.ActionCol).distinct
+              val expected = gated.select(outCols.map(col): _*)
+                .collect().map { row =>
+                  val m = outCols.zipWithIndex
+                    .filter(_._1 != Compaction.ActionCol)
+                    .map { case (c, i) =>
+                      c -> Option(row.get(i)).map(_.toString).orNull
+                    }.toMap
+                  val action =
+                    if (row.getAs[String](Compaction.ActionCol) ==
+                      Compaction.Delete) "delete"
+                    else "upsert"
+                  (m, action)
+                }.toSeq
+              checker.offer(InlineCdcCheck.QueuedBatch(batchId, table,
+                keys, expected, preSampled = true))
+              checker.drain(fetch): Unit
+            } catch {
+              case e: Exception =>
+                checker.warnings +=
+                  s"inline check batch $batchId failed: ${e.getMessage}"
+            }
           }
         } finally {
           if (counted) { batch.unpersist(); () }

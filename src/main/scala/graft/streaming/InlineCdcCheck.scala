@@ -100,11 +100,14 @@ object InlineCdcCheck {
 
   /** One applied batch queued for checking: the compacted final state
     * the sinker wrote (key image + full row for upserts, key image for
-    * deletes).
+    * deletes). `preSampled` marks rows already gated executor-side
+    * (the 100 TB form — only sampled keys ever leave the executors);
+    * the driver-side gate then must not re-sample them.
     */
   final case class QueuedBatch(batchId: Long, table: String,
       idCols: Seq[String],
-      expected: Seq[(Map[String, String], String)]) // (row, action)
+      expected: Seq[(Map[String, String], String)], // (row, action)
+      preSampled: Boolean = false)
 
   final case class Defect(table: String, key: String, status: String,
       batchId: Long)
@@ -161,6 +164,7 @@ object InlineCdcCheck {
     def droppedBatches: Long = dropped
     def pending: Int = queue.size
     def state: Seq[Defect] = defects.values.toSeq
+    def sampleRate: Option[Int] = cfg.sampleRate
 
     /** Enqueue an applied batch; when the queue is full the OLDEST
       * pending batch drops with a warning — the write path never
@@ -205,7 +209,8 @@ object InlineCdcCheck {
       var checked = 0L; var sampledOut = 0L
       var newMiss = 0L; var newDiff = 0L; var reconciled = 0L
       b.expected.foreach { case (row, action) =>
-        if (!sampled(keyHash(row, b.idCols), cfg.sampleRate))
+        if (!b.preSampled &&
+            !sampled(keyHash(row, b.idCols), cfg.sampleRate))
           sampledOut += 1
         else {
           checked += 1

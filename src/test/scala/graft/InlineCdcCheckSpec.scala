@@ -13,6 +13,8 @@ import graft.streaming.InlineCdcCheck._
   * key-hash sampling, reconciliation of old defects by later events,
   * drop-oldest queue behavior, capped snapshots, and state persistence
   * through the resumer store (check.md + config.md contract).
+  * The micro-batch wiring (write → check → reconcile through
+  * CdcPipeline) is in [[InlineCdcCheckPipelineSpec]].
   */
 class InlineCdcCheckSpec extends AnyFunSuite {
 
