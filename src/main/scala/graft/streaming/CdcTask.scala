@@ -127,11 +127,16 @@ object CdcTask {
       : Map[(String, String), Long] = {
     events.zipWithIndex.groupBy { case (e, _) => (e.schema, e.tb) }
       .map { case ((s, tb), evs) =>
-        val cols = relCols.getOrElse((s, tb),
+        val wireCols = relCols.getOrElse((s, tb),
           evs.head._1.keyImage.keys.toSeq.sorted)
         val keys = task.keysByTable.get(tb)
           .orElse(relKeys.get((s, tb)).filter(_.nonEmpty))
-          .getOrElse(cols.take(1))
+          .getOrElse(wireCols.take(1))
+        // ignore_cols applies to the CDC lane too (the same json:
+        // filter config as snapshot) — key columns never drop
+        val ignored = task.ignoreColsByTable.getOrElse((s, tb), Nil)
+        val cols = wireCols.filter(c =>
+          keys.contains(c) || !ignored.contains(c))
         val (toSchema, toTb) = task.router.routeTable(s, tb)
         val routedCols =
           cols.map(c => task.router.routeColumn(s, tb, c))

@@ -268,6 +268,38 @@ class CdcTaskSpec extends SparkSuite {
     } finally wh.stop()
   }
 
+  test("ignore_cols drops the column from shipped CDC payloads but " +
+      "never a key column") {
+    val wh = new Warehouse
+    try {
+      val withIgnore = ini(wh.port).replace(
+        "do_events=insert,update,delete",
+        "do_events=insert,update,delete\n" +
+          """ignore_cols=json:[{"db":"public","tb":"orders_cdc",""" +
+          """"ignore_cols":["amount","id"]}]""")
+      val task = TaskConfig.fromIni(withIgnore)
+      val store = new MemStore
+      val tmp = java.nio.file.Files
+        .createTempDirectory("cdc-task3").toString
+      val port = wh.port
+      val r = CdcTask.run(spark, task,
+        CdcTask.PgAnswers(
+          graft.sources.PgSlotLifecycle.SlotStatus(exists = false),
+          pubExists = false, walStream = wal()),
+        (db, tb, batchId) => new StreamLoadHttp.HttpPayloadSink(
+          StreamLoadHttp.Config("127.0.0.1", port, db, tb,
+            "root", ""), batchId),
+        dual(store, tmp))
+      assert(r.rowsShipped == 5L)
+      val rows = wh.rows
+      assert(rows.nonEmpty)
+      // amount dropped everywhere; id kept (it is the key) even though
+      // the config listed it
+      assert(rows.forall(!_.contains("amount")))
+      assert(rows.forall(_.contains("id")))
+    } finally wh.stop()
+  }
+
   test("file-backed position store survives a process restart " +
       "(position.log form, recorder/to_file.rs)") {
     val tmp = java.nio.file.Files

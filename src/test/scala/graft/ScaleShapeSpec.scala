@@ -242,4 +242,20 @@ class ScaleShapeSpec extends SparkSuite {
       !plan106.contains("CartesianProduct") &&
       !plan106.contains("Join"), plan106)
   }
+
+  test("q109 dsir: B-bounded censuses broadcast back, windows stay " +
+      "per-doc, no cartesian") {
+    val p = graft.operators.CorpusOps.dsirWeight(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the raw/target bucket tables and the totals row join back as
+    // broadcasts — a sort-merge join would mean a corpus-sized shuffle
+    // of the model side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only window is the per-doc bigram pairing
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.forall(_.contains("doc_id")), p)
+  }
 }
