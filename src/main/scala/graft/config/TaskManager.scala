@@ -153,6 +153,39 @@ object TaskManager {
     }
     def stopRequested = Files.exists(dir.resolve("stop.requested"))
     try {
+      // CDC tasks are stream-scoped, not table-unit-scoped: one
+      // CdcTask drain per start, positions in the task dir's
+      // file-backed store (restart-safe) — same composition as Main
+      if (task.extractType == TaskConfig.CdcExtract &&
+          task.walCapture.isDefined && task.slot.isDefined) {
+        val capture = task.walCapture.get
+        val bytes = Files.readAllBytes(
+          java.nio.file.Paths.get(capture))
+        val posPath = task.positionStore
+          .getOrElse(dir.resolve("positions.log").toString)
+        val store = new graft.sources.DbResumer.FileStore(posPath)
+        val rec = new graft.sources.DbResumer.Recorder(name, store,
+          graft.sources.DbResumer.MySqlDialect)
+        rec.init(isInit = false)
+        val resumer = new graft.sources.DbResumer.Dual(
+          new graft.sources.SnapshotResumer(s"$posPath.d"), rec,
+          () => new graft.sources.DbResumer.Recovery(name, store))
+        val uri = java.net.URI.create(task.sinkDir)
+        val report = graft.streaming.CdcTask.run(spark, task,
+          graft.streaming.CdcTask.PgAnswers(
+            graft.sources.PgSlotLifecycle.SlotStatus(exists = false),
+            pubExists = false, walStream = bytes),
+          (db, tb, batchId) =>
+            new graft.sinks.StreamLoadHttp.HttpPayloadSink(
+              graft.sinks.StreamLoadHttp.Config(uri.getHost,
+                uri.getPort, db, tb, task.sinkUser,
+                task.sinkPassword), batchId),
+          resumer)
+        log(dir, s"cdc start_lsn=${report.startLsn} " +
+          s"shipped=${report.rowsShipped} " +
+          s"skipped=${report.eventsSkipped} end=${report.endLsn}")
+        return finish("finished", None)
+      }
       val units = TaskRunner.units(task)
       var i = 0
       var stopped = false

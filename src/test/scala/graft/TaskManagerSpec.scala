@@ -85,4 +85,66 @@ class TaskManagerSpec extends SparkSuite {
       TaskManager.show(state, "snap3")
     }
   }
+
+  test("cdc task through the lifecycle: drains the capture once, a " +
+      "restart ships nothing (positions live in the task dir)") {
+    val state = tmp("graft-tm-cdc")
+    // captured stream: one committed txn, two inserts
+    val w = new graft.sources.PgOutputWriter()
+    w.relation(3L, "public", "t_cdc", 'd', Seq(
+      graft.sources.PgOutput.RelColumn("id", keyPart = true, 20, -1),
+      graft.sources.PgOutput.RelColumn("v", keyPart = false, 25, -1)))
+    w.begin(0x30000100L, 1L, 77L)
+    w.insert(3L, Array("1", "a"))
+    w.insert(3L, Array("2", "b"))
+    w.commit(0x30000100L, 0x30000200L, 1L)
+    val capture = java.nio.file.Files.createTempFile("tm-cdc", ".wal")
+    java.nio.file.Files.write(capture, w.bytes())
+
+    val wh = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val puts = new java.util.concurrent.atomic.AtomicInteger(0)
+    wh.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) =>
+      try {
+        ex.getRequestBody.readAllBytes(): Unit
+        puts.incrementAndGet(): Unit
+        val reply = """{"Status":"Success"}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, reply.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(reply) finally os.close()
+      } finally ex.close())
+    wh.start()
+    try {
+      val cdcIni =
+        s"""[extractor]
+           |extract_type=cdc
+           |slot_name=tm_slot
+           |batch_size=10
+           |id_cols=t_cdc:id
+           |wal_capture=$capture
+           |
+           |[filter]
+           |do_dbs=public
+           |
+           |[sinker]
+           |url=http://127.0.0.1:${wh.getAddress.getPort}
+           |""".stripMargin
+      TaskManager.create(state, "cdc1", cdcIni)
+      val done = TaskManager.start(spark, state, "cdc1")
+      assert(done.status == "finished")
+      assert(TaskManager.logs(state, "cdc1").exists(
+        _.contains("shipped=2")))
+      assert(puts.get() > 0)
+
+      // restart the same task: recovered position pre-seeks the
+      // whole capture away — no new PUTs
+      val before = puts.get()
+      val again = TaskManager.start(spark, state, "cdc1")
+      assert(again.status == "finished")
+      assert(TaskManager.logs(state, "cdc1").exists(
+        _.contains("shipped=0 skipped=2")))
+      assert(puts.get() == before)
+    } finally wh.stop(0)
+  }
 }
