@@ -11,7 +11,7 @@ import graft.infra.Monitoring
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: graft.Main <task_config.ini> [--precheck]")
+    require(args.nonEmpty, "usage: graft.Main <task_config.ini> [--precheck] [--then <cdc.ini>]")
     val configText = java.nio.file.Files.readString(
       java.nio.file.Paths.get(args(0)))
     val task = TaskConfig.fromIni(configText)
@@ -57,6 +57,53 @@ object Main {
       if (args.contains("--precheck")) return
       require(checks.filter(_.item == "source_readable").forall(_.ok),
         "precheck failed: source not readable")
+      // `snapshot.ini --then cdc.ini`: the tutorial's serial
+      // snapshot-then-CDC migration (snapshot_and_cdc_without_data_loss
+      // .md) through streaming/FullSyncTask — shared position store,
+      // slot fence before the copy, CDC from the consistent point
+      val thenIdx = args.indexOf("--then")
+      if (thenIdx >= 0 && task.extractType == TaskConfig.SnapshotExtract) {
+        val cdcTask = TaskConfig.fromIni(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(args(thenIdx + 1))))
+        require(cdcTask.walCapture.isDefined && cdcTask.slot.isDefined,
+          "--then config needs [extractor] wal_capture= and slot_name=")
+        val capture = cdcTask.walCapture.get
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(capture))
+        val posPath =
+          cdcTask.positionStore.getOrElse(s"$capture.positions")
+        val store = new graft.sources.DbResumer.FileStore(posPath)
+        val rec = new graft.sources.DbResumer.Recorder(args(0), store,
+          graft.sources.DbResumer.MySqlDialect)
+        rec.init(isInit = false)
+        val resumer = new graft.sources.DbResumer.Dual(
+          new graft.sources.SnapshotResumer(s"$posPath.d"), rec,
+          () => new graft.sources.DbResumer.Recovery(args(0), store))
+        val uri = java.net.URI.create(cdcTask.sinkDir)
+        val r = graft.streaming.FullSyncTask.run(spark, task, cdcTask,
+          graft.streaming.CdcTask.PgAnswers(
+            graft.sources.PgSlotLifecycle.SlotStatus(exists = false),
+            pubExists = false, walStream = bytes),
+          (db, tb, batchId) =>
+            new graft.sinks.StreamLoadHttp.HttpPayloadSink(
+              graft.sinks.StreamLoadHttp.Config(uri.getHost,
+                uri.getPort, db, tb, cdcTask.sinkUser,
+                cdcTask.sinkPassword), batchId),
+          resumer, Some(monitors))
+        r.slotPlan.statements.foreach(s => println(s"[slot] $s"))
+        r.snapshot.foreach(t => println(
+          s"[snapshot] ${t.schema}.${t.tb} -> ${t.dstTable} " +
+            s"rows=${t.rows}"))
+        r.snapshotSkipped.foreach(t =>
+          println(s"[snapshot] $t already finished, skipped"))
+        println(s"[cdc] start_lsn=${r.cdc.startLsn} " +
+          s"shipped=${r.cdc.rowsShipped} " +
+          s"skipped=${r.cdc.eventsSkipped} end=${r.cdc.endLsn}")
+        publish()
+        monitors.flushLines().foreach(l => println(s"[monitor] $l"))
+        println("task finished")
+        return
+      }
       task.extractType match {
         case TaskConfig.SnapshotExtract =>
           val results = TaskRunner.runSnapshot(spark, task)
