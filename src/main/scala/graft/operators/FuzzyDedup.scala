@@ -69,8 +69,12 @@ object FuzzyDedup {
     * (≈1e-6) event of a hash collision.
     */
   def ngramJaccardPairsOf(docs: DataFrame): DataFrame = {
+    // pinned: the exploded shingle frame feeds BOTH self-join sides
+    // and the size census — unpinned, the corpus tokenize+hash runs
+    // three times (the q88 discipline)
     val ex = docs.select(col("doc_id"),
       explode(shingleHashes(col("text"))).as("h"))
+      .localCheckpoint(false)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -165,8 +169,10 @@ object FuzzyDedup {
           element_at(col("sig"), j * BandRows + r + 1)
             .cast("string"))): _*)
     }
+    // pinned: the signature computation feeds both self-join sides
     val bands = d.select(col("doc_id"),
       explode(array(bandCols: _*)).as("band_key"))
+      .localCheckpoint(false)
     bands.as("a").join(bands.as("b"),
         col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -279,12 +285,15 @@ object FuzzyDedup {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), tokenHashes(col("text")).as("hs"))
       .select(col("doc_id"), simhashFromHashes(col("hs")).as("fp"))
-    // band 0: low half; band 1: high half, offset to its own key space
+    // band 0: low half; band 1: high half, offset to its own key space.
+    // Pinned before the self-join (the q88 discipline): without it the
+    // full corpus tokenize+simhash runs once PER JOIN SIDE.
     val b = d.select(col("doc_id"), col("fp"),
       explode(array(
         pmod(col("fp"), lit(SimHalfMod)),
         lit(SimHalfMod) + shiftrightunsigned(col("fp"), SimHalfBits)))
         .as("bucket"))
+      .localCheckpoint(false)
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
