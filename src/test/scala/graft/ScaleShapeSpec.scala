@@ -243,6 +243,20 @@ class ScaleShapeSpec extends SparkSuite {
       !plan106.contains("Join"), plan106)
   }
 
+  test("fuzzy-dedup self-joins consume the pinned frame: corpus " +
+      "tokenize+hash appears in no final plan") {
+    for (q <- Seq(graft.operators.FuzzyDedup.simhashBuckets _,
+        graft.operators.FuzzyDedup.ngramJaccardPairs _,
+        graft.operators.FuzzyDedup.minhashLsh _)) {
+      val p = q(spark, sf).queryExecution.executedPlan.toString
+      // the explode/hash stage ran once when the checkpoint
+      // materialized — a Generate in the final plan means a join side
+      // is re-running the corpus scan
+      assert(!p.contains("Generate"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("q109 dsir: B-bounded censuses broadcast back, windows stay " +
       "per-doc, no cartesian") {
     val p = graft.operators.CorpusOps.dsirWeight(spark, sf)
