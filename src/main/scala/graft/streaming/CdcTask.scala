@@ -152,8 +152,13 @@ object CdcTask {
           Row.fromSeq(cols.map(c => img.get(c).orNull) ++
             Seq(e.rowType, i.toLong))
         }
+        // partitions follow [pipeline] parallel_size (bounded by the
+        // row count): each partition ships through its own payload
+        // sink, so this is the PUT parallelism per table per batch
+        val slices = math.max(1,
+          math.min(task.parallelism, rows.size / 100 + 1))
         val df = spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1), schema)
+          spark.sparkContext.parallelize(rows, slices), schema)
         val compacted = Compaction.compact(df, routedKeys,
           Seq("_seq"), col("row_type"))
         val signed = StreamLoadSink.withSignColumns(compacted,
