@@ -33,16 +33,27 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses natively.
-    * Read it as a raw long (legacy conf) and truncate to microseconds with
-    * integer division — identical to DuckDB's ns→µs truncation, so
-    * cross-engine ordering and filtering agree. (Double division would lose
-    * precision: epoch-nanos ≈ 1.7e18 > 2^53.)
+  /** events.ts normalized to session-local TimestampType regardless of how
+    * the fixture generation wrote it. Two shapes exist in the wild:
+    *   - TIMESTAMP(NANOS): Spark 4 refuses it natively; the legacy conf reads
+    *     it as a raw epoch-nanos long, which we truncate to microseconds with
+    *     integer division — identical to DuckDB's ns→µs truncation, so
+    *     cross-engine ordering and filtering agree. (Double division would
+    *     lose precision: epoch-nanos ≈ 1.7e18 > 2^53.)
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads as TIMESTAMP_NTZ;
+    *     cast to TimestampType (sessions pin spark.sql.session.timeZone=UTC,
+    *     so the cast is epoch-identity and matches DuckDB's naive epoch()).
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

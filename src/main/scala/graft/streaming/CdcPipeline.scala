@@ -21,12 +21,14 @@ import graft.sinks.{Applier, RdbQueryBuilder}
   */
 object CdcPipeline {
 
-  /** Event-stream schema as stored in the fixture (ts read as raw nanos —
-    * Spark 4 refuses parquet TIMESTAMP(NANOS) natively).
+  /** Event-stream schema as stored in the fixture (ts is parquet
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ; normalized
+    * to session-local TimestampType below, an epoch-identity cast under the
+    * pinned UTC session timezone — see [[graft.Tables.events]]).
     */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -36,12 +38,11 @@ object CdcPipeline {
     * parquet event files, normalized to the engine's change shape.
     */
   def readChanges(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventSchema)
       .option("maxFilesPerTrigger", "1") // bounded micro-batches
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast(TimestampType))
       .withColumn("row_type",
         when(col("event_type") === "signup", "insert")
           .when(col("event_type") === "error", "delete")
