@@ -62,6 +62,12 @@ object Monitoring {
   case object RtPerQuery extends CounterType("rt_per_query", true, ByCount)
   case object BufferSize extends CounterType("buffer_size", true, ByCount)
   case object RecordSize extends CounterType("record_size", true, Seq("avg"))
+  /** graft extension (no counter_type.rs analogue): rows a curation
+    * gate dropped — quality-gate and dup rejections in the streaming
+    * curation topology report through this windowed counter.
+    */
+  case object FilteredRecords
+    extends CounterType("filtered_records", true, BySec)
 
   case object PlanRecordTotal
     extends CounterType("plan_records", false, Seq("latest"))

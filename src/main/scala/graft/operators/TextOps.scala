@@ -240,28 +240,40 @@ object TextOps {
     * carries the same ranking information. Per-row map, zero shuffle,
     * survives any scale-up untouched.
     */
-  def qualityLogit(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def qualityLogit(spark: SparkSession, dir: String): DataFrame =
+    withQualitySignals(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("stop_permille"), col("punct_permille"),
+        col("span_centi"), col("logit_milli"), col("quality_bucket"),
+        col("keep"))
+
+  /** Frame form of q95: append the quality-head columns to ANY frame
+    * with a `text` column (batch or streaming — every expression is a
+    * per-row map, so the same head gates a micro-batch in
+    * [[graft.streaming.StreamingCuration]] and the q95 batch oracle).
+    * Input columns ride along untouched; `text` stays available for
+    * downstream stages.
+    */
+  def withQualitySignals(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val stop = Seq("the", "a", "of", "to", "and", "in", "is")
-    val base = d.select(
-      col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      length(col("text")).cast("long").as("n_chars_txt"),
-      length(regexp_replace(col("text"), "[^.,;:!?]", ""))
-        .cast("long").as("n_punct"),
-      size(filter(toks, t => t.isin(stop.map(s => s: Any): _*)))
-        .cast("long").as("n_stop"))
-    base.select(col("doc_id"),
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_chars_txt", length(col("text")).cast("long"))
+      .withColumn("n_punct",
+        length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(toks, t => t.isin(stop.map(s => s: Any): _*)))
+          .cast("long"))
+      .withColumn("stop_permille",
         when(col("n_tokens") > 0,
-          expr("n_stop * 1000 div n_tokens")).otherwise(lit(0L))
-          .as("stop_permille"),
+          expr("n_stop * 1000 div n_tokens")).otherwise(lit(0L)))
+      .withColumn("punct_permille",
         when(col("n_chars_txt") > 0,
-          expr("n_punct * 1000 div n_chars_txt")).otherwise(lit(0L))
-          .as("punct_permille"),
+          expr("n_punct * 1000 div n_chars_txt")).otherwise(lit(0L)))
+      .withColumn("span_centi",
         when(col("n_tokens") > 0,
-          expr("n_chars_txt * 100 div n_tokens")).otherwise(lit(0L))
-          .as("span_centi"))
+          expr("n_chars_txt * 100 div n_tokens")).otherwise(lit(0L)))
       .withColumn("logit_milli",
         lit(800L) + lit(3L) * col("stop_permille") -
           lit(2L) * col("punct_permille") -
@@ -271,6 +283,7 @@ object TextOps {
       .withColumn("quality_bucket",
         least(lit(9L), greatest(lit(0L), expr("logit_milli div 200"))))
       .withColumn("keep", col("quality_bucket") >= 3)
+      .drop("n_tokens", "n_chars_txt", "n_punct", "n_stop")
   }
 
   val qualityLogitSql: String = {
