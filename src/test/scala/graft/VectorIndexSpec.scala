@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorIndex
+
+/** The persisted IVF-PQ index: build → save → load → search must be
+  * exact round-trips, the on-disk layout must prune unprobed cells at
+  * scan time, and results must obey the probe/rank contracts.
+  */
+class VectorIndexSpec extends SparkSuite {
+
+  private lazy val emb = graft.Tables.embeddings(spark, sf)
+  private lazy val cfg = VectorIndex.Config(nCells = 8, subCount = 4,
+    subDim = 16, pqK = 4, kmeansIters = 3)
+  private lazy val index = VectorIndex.build(emb, cfg)
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("query_id"), col("embedding"))
+
+  test("built index is consistent: every vector coded in every " +
+      "sub-space, one cell each") {
+    val n = emb.count()
+    assert(index.codes.count() == n * cfg.subCount)
+    val cells = index.codes.select("vec_id", "cell").distinct()
+    assert(cells.count() == n)
+    assert(index.centroids.count() == cfg.nCells)
+    assert(index.codebooks.count() == cfg.subCount.toLong * cfg.pqK)
+  }
+
+  test("search after save/load is row-identical to in-memory search") {
+    val dir = Files.createTempDirectory("graft_vecindex").toString
+    VectorIndex.save(index, dir)
+    val loaded = VectorIndex.load(spark, dir)
+    assert(loaded.cfg == cfg)
+    val a = VectorIndex.search(index, queries, nProbe = 2, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = VectorIndex.search(loaded, queries, nProbe = 2, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("probed-cell literal prunes parquet partitions in the plan") {
+    val dir = Files.createTempDirectory("graft_vecindex_pp").toString
+    VectorIndex.save(index, dir)
+    val loaded = VectorIndex.load(spark, dir)
+    val result = VectorIndex.search(loaded, queries.limit(3),
+      nProbe = 2, k = 5)
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"expected a cell partition filter in:\n$plan")
+  }
+
+  test("neighbors come only from probed cells; ranks are dense and " +
+      "distances non-decreasing") {
+    val res = VectorIndex.search(index, queries, nProbe = 2, k = 5)
+      .collect()
+    // rank contract
+    res.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length))
+      val dists = sorted.map(_.getAs[Long]("adc_dist")).toSeq
+      assert(dists == dists.sorted)
+    }
+    // probe containment: a neighbor's cell must be one its query probed
+    val cells = index.codes.select("vec_id", "cell").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val centroidRows = index.centroids.collect()
+    val qx = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"),
+        graft.operators.VectorOps.intVec(col("embedding")).as("xs"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Long]]("xs").toVector).toMap
+    def dot(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val probed: Map[Long, Set[Long]] = qx.map { case (qid, xs) =>
+      val sims = centroidRows.map { cr =>
+        val cxs = cr.getAs[scala.collection.Seq[Long]]("xs").toVector
+        (dot(xs, cxs) / math.sqrt(dot(xs, xs) * dot(cxs, cxs)),
+          cr.getAs[Long]("cell"))
+      }
+      qid -> sims.sortBy { case (s, c) => (-s, c) }.take(2)
+        .map(_._2).toSet
+    }
+    res.foreach { r =>
+      val qid = r.getAs[Long]("query_id")
+      val cell = cells(r.getAs[Long]("neighbor_id"))
+      assert(probed(qid).contains(cell),
+        s"query $qid neighbor in unprobed cell $cell")
+    }
+  }
+}
