@@ -57,6 +57,11 @@ object TaskConfig {
   case object CdcExtract extends ExtractType
   case object CheckExtract extends ExtractType
   case object CurationExtract extends ExtractType
+  /** Continuous curation over an arriving document stream
+    * ([[graft.streaming.StreamingCuration]]); `start` drains what has
+    * arrived and leaves both stages' checkpoints for the next start.
+    */
+  case object CurationStreamExtract extends ExtractType
 
   /** `[metrics]` section — the reference's MetricsConfig
     * (dt-common/src/config/metrics_config.rs, loaded at
@@ -106,6 +111,7 @@ object TaskConfig {
       case "cdc" => CdcExtract
       case "check" => CheckExtract
       case "curation" => CurationExtract
+      case "curation_stream" => CurationStreamExtract
       case _ => SnapshotExtract
     }
 

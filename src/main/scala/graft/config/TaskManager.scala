@@ -186,6 +186,25 @@ object TaskManager {
           s"skipped=${report.eventsSkipped} end=${report.endLsn}")
         return finish("finished", None)
       }
+      // curation tasks are corpus-scoped, not table-unit-scoped
+      if (task.extractType == TaskConfig.CurationExtract) {
+        val s = TaskRunner.runCuration(spark, task)
+        log(dir, s"curation docs=${s.nDocs} kept=${s.nKept} " +
+          s.reasons.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+            .mkString(" "))
+        return finish("finished", None)
+      }
+      // streaming curation: drain what has arrived; checkpoints under
+      // the sink dir make the next start resume after this one
+      if (task.extractType == TaskConfig.CurationStreamExtract) {
+        val r = graft.streaming.StreamingCuration.drain(spark,
+          task.sourceDir, task.sinkDir)
+        log(dir, s"curation_stream in=${r.docsIn} " +
+          s"quality_dropped=${r.qualityDropped} " +
+          s"exact_dropped=${r.exactDropped} " +
+          s"neardup_flagged=${r.nearDupFlagged} kept=${r.kept}")
+        return finish("finished", None)
+      }
       val units = TaskRunner.units(task)
       var i = 0
       var stopped = false

@@ -122,6 +122,56 @@ object StreamingCuration {
       .start()
   }
 
+  /** Input contract for [[drain]]: parquet files of arriving docs. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("ts", TimestampType)))
+
+  final case class DrainReport(docsIn: Long, qualityDropped: Long,
+      exactDropped: Long, nearDupFlagged: Long, kept: Long)
+
+  /** Drain everything that has arrived in `sourceDir` through the full
+    * topology rooted at `workDir` (channel, both checkpoints, and the
+    * cumulative `verdicts` parquet live there), then stop both
+    * queries. Both stages keep their checkpoints, so the next drain
+    * resumes exactly after this one — the task-surface shape of a
+    * bounded CDC drain, applied to curation.
+    *
+    * The report counts THIS drain's batches, read synchronously from
+    * the gate query's own progress records (observed metrics) and the
+    * verdict callback — no dependence on the async listener bus.
+    */
+  def drain(spark: SparkSession, sourceDir: String, workDir: String,
+      horizon: String = "10 minutes"): DrainReport = {
+    val paths = Paths(s"$workDir/channel", s"$workDir/ckpt_gate",
+      s"$workDir/ckpt_neardup")
+    val docs = spark.readStream.schema(docSchema).parquet(sourceDir)
+    var flagged = 0L
+    var kept = 0L
+    val gate = gateQuery(docs, paths, horizon)
+    try gate.processAllAvailable() finally gate.stop()
+    val nd = nearDupQuery(spark, paths, None) { (verdicts, _) =>
+      val f = verdicts.filter(col("is_dup")).count()
+      flagged += f
+      kept += verdicts.count() - f
+      verdicts.write.mode("append").parquet(s"$workDir/verdicts")
+    }
+    try nd.processAllAvailable() finally nd.stop()
+    var docsIn = 0L; var qDropped = 0L; var out = 0L
+    gate.recentProgress.foreach { p =>
+      Option(p.observedMetrics.get("curation_gate")).foreach { r =>
+        docsIn += r.getAs[Long]("docs_in")
+        qDropped += r.getAs[Long]("quality_dropped")
+      }
+      Option(p.observedMetrics.get("curation_channel")).foreach { c =>
+        out += c.getAs[Long]("docs_out")
+      }
+    }
+    DrainReport(docsIn, qDropped,
+      exactDropped = docsIn - qDropped - out, flagged, kept)
+  }
+
   /** Bridge stage A's observed metrics into the monitors: docs_in →
     * extractor records/bytes, quality_dropped → pipeline filtered,
     * channel docs_out → pipeline record_count; exact-dup drops are the

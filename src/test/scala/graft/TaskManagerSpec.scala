@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import graft.config.TaskManager
 
 /** Task lifecycle battery — the dt-cli analog surface
@@ -146,5 +148,82 @@ class TaskManagerSpec extends SparkSuite {
         _.contains("shipped=0 skipped=2")))
       assert(puts.get() == before)
     } finally wh.stop(0)
+  }
+
+  test("curation task runs corpus-scoped and logs the verdict counts") {
+    val state = tmp("graft-tm-cur-state")
+    val sink = tmp("graft-tm-cur-sink")
+    val curIni = s"""
+      |[extractor]
+      |extract_type=curation
+      |url=$sf
+      |
+      |[sinker]
+      |url=$sink
+      |""".stripMargin
+    TaskManager.create(state, "cur1", curIni)
+    val done = TaskManager.start(spark, state, "cur1")
+    assert(done.status == "finished", done.error)
+    val logs = TaskManager.logs(state, "cur1")
+    assert(logs.exists(l => l.contains("curation docs=") &&
+      l.contains("kept=")), logs)
+  }
+
+  test("curation_stream task drains arriving docs; a second start " +
+      "resumes after the first drain") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val state = tmp("graft-tm-cs-state")
+    val src = tmp("graft-tm-cs-src")
+    val sink = tmp("graft-tm-cs-sink")
+    val good =
+      "the cat of the house is in the garden and the dog of the town " +
+      "is in the park at noon while the bird of the tree is in the " +
+      "nest and the fish of the pond is in the weeds"
+    def write(name: String, rows: (Long, String)*): Unit = {
+      // the file stream source lists plain files — land one per drop
+      val tmpOut = tmp("graft-tm-cs-stage")
+      rows.map { case (id, t) =>
+        (id, t, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")) }
+        .toDF("doc_id", "text", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmpOut)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpOut))
+        .iterator().asScala.toSeq // deterministic single part file
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    // the source dir is a stream of parquet drops
+    write("batch1", (1L, good), (2L, "!!!,,,???..."))
+    val csIni = s"""
+      |[extractor]
+      |extract_type=curation_stream
+      |url=$src
+      |
+      |[sinker]
+      |url=$sink
+      |""".stripMargin
+    TaskManager.create(state, "cs1", csIni)
+    val first = TaskManager.start(spark, state, "cs1")
+    assert(first.status == "finished", first.error)
+    assert(TaskManager.logs(state, "cs1").exists(_.contains(
+      "curation_stream in=2 quality_dropped=1 exact_dropped=0 " +
+        "neardup_flagged=0 kept=1")))
+
+    // new files arrive while the task is down: an exact copy (dropped
+    // by the recovered exact-dedup state) and a rewrite (flagged by
+    // the recovered near-dup state)
+    write("batch2", (3L, good), (4L, good.replace("noon", "dusk")))
+    val second = TaskManager.start(spark, state, "cs1")
+    assert(second.status == "finished", second.error)
+    assert(TaskManager.logs(state, "cs1").exists(_.contains(
+      "curation_stream in=2 quality_dropped=0 exact_dropped=1 " +
+        "neardup_flagged=1 kept=0")))
+    // cumulative verdicts: doc 1 kept, doc 4 flagged against it
+    val verdicts = spark.read.parquet(s"$sink/verdicts")
+    assert(verdicts.filter($"is_dup").select("doc_id").as[Long]
+      .collect().toSet == Set(4L))
+    assert(verdicts.filter(!$"is_dup").select("doc_id").as[Long]
+      .collect().toSet == Set(1L))
   }
 }
