@@ -30,7 +30,8 @@ object Main {
     val kind = task.extractType match {
       case TaskConfig.SnapshotExtract | TaskConfig.CurationExtract =>
         "snapshot"
-      case TaskConfig.CdcExtract => "cdc"
+      case TaskConfig.CdcExtract | TaskConfig.CurationStreamExtract =>
+        "cdc"
       case _ => "check"
     }
     val registry = task.metrics.map { mc =>
@@ -51,7 +52,11 @@ object Main {
         reg.setAll(Monitoring.TaskMetrics.calc(monitors.roles) ++ extra)
       }
     try {
-      val checks = TaskRunner.precheck(spark, task)
+      // a curation_stream source is a directory of arriving document
+      // files, not the table catalog the precheck battery reads
+      val checks =
+        if (task.extractType == TaskConfig.CurationStreamExtract) Nil
+        else TaskRunner.precheck(spark, task)
       checks.foreach(c =>
         println(s"[precheck] ${c.item} ${if (c.ok) "OK" else "FAIL"} ${c.detail}"))
       if (args.contains("--precheck")) return
@@ -145,6 +150,20 @@ object Main {
             .addBatchCounter(Monitoring.ExtractedRecords, s.nDocs, 1L)
           monitors.sinker
             .addBatchCounter(Monitoring.SinkedRecordTotal, s.nKept, 1L)
+          publish()
+        case TaskConfig.CurationStreamExtract =>
+          val r = graft.streaming.StreamingCuration.drain(spark,
+            task.sourceDir, task.sinkDir)
+          println(s"[curation_stream] in=${r.docsIn} " +
+            s"quality_dropped=${r.qualityDropped} " +
+            s"exact_dropped=${r.exactDropped} " +
+            s"neardup_flagged=${r.nearDupFlagged} kept=${r.kept}")
+          monitors.extractor
+            .addBatchCounter(Monitoring.ExtractedRecords, r.docsIn, 1L)
+          monitors.pipeline.addBatchCounter(Monitoring.FilteredRecords,
+            r.qualityDropped + r.exactDropped + r.nearDupFlagged, 1L)
+          monitors.sinker
+            .addBatchCounter(Monitoring.SinkedRecordTotal, r.kept, 1L)
           publish()
         case TaskConfig.CdcExtract =>
           (task.walCapture, task.slot) match {
