@@ -51,6 +51,13 @@ class VectorIndexSpec extends SparkSuite {
     val plan = result.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cell"),
       s"expected a cell partition filter in:\n$plan")
+    // scale shape: the codes scan joins only against broadcast sides
+    // (probes, LUT) — a shuffle join here would re-shuffle the corpus
+    // per query batch
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"expected broadcast-only joins in:\n$plan")
+    assert(!plan.contains("Window"), "expected a window-free plan")
   }
 
   test("neighbors come only from probed cells; ranks are dense and " +
