@@ -405,13 +405,93 @@ object CorpusOps {
        |GROUP BY 1""".stripMargin
   }
 
+  /** q112 — CCNet-style perplexity bucketing (Wenzek et al. 2020): each
+    * language's documents are split into head/middle/tail terciles of
+    * the q107 bigram-LM score (lower = more corpus-like), the gate
+    * CCNet uses to keep the well-modeled head of a crawl. Rank within
+    * language is computed WITHOUT a language-sized window task: the
+    * frame is range-partitioned on (lang, score, doc_id) — so a
+    * language's rows span contiguous sorted partitions — ranks are
+    * assigned locally per partition, and a partition×language-sized
+    * count table (bounded: partitions × |langs| rows) broadcasts back
+    * as cumulative offsets plus per-language totals. At 10⁹ documents
+    * per language no task ever holds more than its range slice.
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    ccnetBucketsOf(spark, Tables.documents(spark, dir))
+
+  def ccnetBucketsOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val scored = bigramSurprisalOf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        col("bits_per_transition_milli").as("bptm"))
+
+    val nBuckets = spark.sessionState.conf.numShufflePartitions
+    val local = scored
+      .repartitionByRange(nBuckets, col("lang"), col("bptm"),
+        col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("bptm"), col("doc_id"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var curLang: String = null
+        var i = 0L
+        it.map { case (id, lang, b) =>
+          if (lang != curLang) { curLang = lang; i = 0L }
+          i += 1
+          (pid, id, lang, b, i)
+        }
+      }.toDF("pid", "doc_id", "lang", "bptm", "local_rank")
+      .localCheckpoint(true)
+
+    // partition×language count table → per-language exclusive offsets
+    // in pid order, plus per-language totals; broadcast back
+    val counts = local.groupBy(col("pid"), col("lang"))
+      .agg(count(lit(1)).as("c")).as[(Int, String, Long)].collect()
+    val offsets = counts.sortBy(r => (r._2, r._1)).groupBy(_._2).toSeq
+      .flatMap { case (lang, rows) =>
+        var acc = 0L
+        val n = rows.map(_._3).sum
+        rows.map { case (pid, _, c) =>
+          val row = (pid, lang, acc, n); acc += c; row
+        }.toSeq
+      }.toDF("pid", "lang", "off", "lang_n")
+
+    local.join(broadcast(offsets), Seq("pid", "lang"))
+      .withColumn("lang_rank", col("local_rank") + col("off"))
+      .select(col("doc_id"), col("lang"),
+        col("bptm").as("bits_per_transition_milli"),
+        col("lang_rank"), col("lang_n"),
+        when(col("lang_rank") * 3 <= col("lang_n"), "head")
+          .when(col("lang_rank") * 3 <= col("lang_n") * 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
+  val ccnetBucketsSql: String =
+    s"""WITH surp AS ($bigramSurprisalSql),
+       |ranked AS (
+       |  SELECT s.doc_id, d.lang, s.bits_per_transition_milli,
+       |    row_number() OVER (PARTITION BY d.lang
+       |      ORDER BY s.bits_per_transition_milli, s.doc_id) AS lang_rank,
+       |    count(*) OVER (PARTITION BY d.lang) AS lang_n
+       |  FROM surp s JOIN documents d USING (doc_id))
+       |SELECT doc_id, lang, bits_per_transition_milli,
+       |  CAST(lang_rank AS BIGINT) AS lang_rank,
+       |  CAST(lang_n AS BIGINT) AS lang_n,
+       |  CASE WHEN lang_rank * 3 <= lang_n THEN 'head'
+       |    WHEN lang_rank * 3 <= lang_n * 2 THEN 'middle'
+       |    ELSE 'tail' END AS ppl_bucket
+       |FROM ranked""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_interdup_fraction" -> (interdupFraction _),
     "q82_token_rarity" -> (tokenRarity _),
     "q83_knn_classify" -> (knnClassify _),
     "q84_mad_outliers" -> (madOutliers _),
     "q107_bigram_surprisal" -> (bigramSurprisal _),
-    "q109_dsir_weight" -> (dsirWeight _))
+    "q109_dsir_weight" -> (dsirWeight _),
+    "q112_ccnet_buckets" -> (ccnetBuckets _))
 
   val oracles: Map[String, String] = Map(
     "q81_interdup_fraction" -> interdupFractionSql,
@@ -419,5 +499,6 @@ object CorpusOps {
     "q83_knn_classify" -> knnClassifySql,
     "q84_mad_outliers" -> madOutliersSql,
     "q107_bigram_surprisal" -> bigramSurprisalSql,
-    "q109_dsir_weight" -> dsirWeightSql)
+    "q109_dsir_weight" -> dsirWeightSql,
+    "q112_ccnet_buckets" -> ccnetBucketsSql)
 }

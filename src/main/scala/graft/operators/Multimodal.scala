@@ -152,6 +152,131 @@ object Multimodal {
     }
   }
 
+  /** ISO-BMFF (MP4/MOV) box-tree parser — the video analog of
+    * [[ImageHeader]]/[[RiffHeader]]: every fact a curation pipeline
+    * needs about a video file (duration, dimensions, track layout,
+    * language) lives in the PUBLIC container metadata (`moov` and its
+    * children, ISO/IEC 14496-12), not the compressed sample stream, so
+    * extraction needs no codec. The walk is a real recursive box scan:
+    * 32-bit sizes, the 64-bit `size==1` largesize escape, `size==0`
+    * to-end-of-enclosure, unknown boxes skipped by declared size, and
+    * version-0/version-1 FullBox layouts for `mvhd`/`tkhd`/`mdhd`.
+    * Only sample DATA decoding (the `mdat` payload) stays behind the
+    * stub boundary.
+    */
+  object Mp4Box {
+    final case class VideoMeta(brand: String, mvhdVersion: Int,
+        timescale: Long, durationMs: Long, trackId: Long,
+        mediaTimescale: Long, width: Int, height: Int,
+        handler: String, lang: String)
+
+    private final class Malformed extends RuntimeException
+
+    /** Parse the first video (`hdlr == "vide"`) track's metadata, or
+      * None when the bytes are not a well-formed MP4 with a video
+      * track. Truncations, impossible sizes, and missing boxes all
+      * land on None — a corpus scan classifies instead of crashing.
+      */
+    def parse(p: Array[Byte]): Option[VideoMeta] = {
+      def u8(i: Long): Int = p(i.toInt) & 0xff
+      def be16(i: Long): Int = (u8(i) << 8) | u8(i + 1)
+      def be32(i: Long): Long =
+        ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) |
+          u8(i + 3)) & 0xffffffffL
+      def be64(i: Long): Long = (be32(i) << 32) | be32(i + 4)
+      def tag(i: Long): String = new String(p, i.toInt, 4, "US-ASCII")
+
+      // Walk the boxes in [start, end), yielding (type, body, boxEnd).
+      // Size bookkeeping in Long: a corrupt 32-bit size near 2^32 must
+      // walk out of bounds and fail, not wrap into a negative cursor.
+      def walk(start: Long, end: Long)(f: (String, Long, Long) => Unit)
+          : Unit = {
+        var i = start
+        while (i + 8 <= end) {
+          val size32 = be32(i)
+          val typ = tag(i + 4)
+          var body = i + 8
+          val boxEnd =
+            if (size32 == 1L) {
+              if (i + 16 > end) throw new Malformed
+              body = i + 16
+              i + be64(i + 8)
+            } else if (size32 == 0L) end
+            else i + size32
+          if (boxEnd < body || boxEnd > end) throw new Malformed
+          f(typ, body, boxEnd)
+          i = boxEnd
+        }
+      }
+
+      def langStr(packed: Int): String = new String(Array(
+        (((packed >> 10) & 0x1f) + 0x60).toChar,
+        (((packed >> 5) & 0x1f) + 0x60).toChar,
+        ((packed & 0x1f) + 0x60).toChar))
+
+      try {
+        var brand: Option[String] = None
+        var mvhdV = -1
+        var ts = 0L
+        var dur = 0L
+        var video: Option[(Long, Long, Int, Int, String)] = None
+        walk(0L, p.length.toLong) { (t, b, e) =>
+          t match {
+            case "ftyp" if e - b >= 8 => brand = Some(tag(b))
+            case "moov" => walk(b, e) { (t2, b2, e2) =>
+              t2 match {
+                case "mvhd" =>
+                  mvhdV = u8(b2)
+                  if (mvhdV == 1) { ts = be32(b2 + 20); dur = be64(b2 + 24) }
+                  else { ts = be32(b2 + 12); dur = be32(b2 + 16) }
+                case "trak" if video.isEmpty =>
+                  var tid = -1L
+                  var w = 0; var h = 0
+                  var mts = 0L
+                  var hdl = ""; var lang = ""
+                  walk(b2, e2) { (t3, b3, e3) =>
+                    t3 match {
+                      case "tkhd" =>
+                        tid =
+                          if (u8(b3) == 1) be32(b3 + 20) else be32(b3 + 12)
+                        // width/height close the box: 16.16 fixed point
+                        w = (be32(e3 - 8) >> 16).toInt
+                        h = (be32(e3 - 4) >> 16).toInt
+                      case "mdia" => walk(b3, e3) { (t4, b4, e4) =>
+                        t4 match {
+                          case "mdhd" =>
+                            val v = u8(b4)
+                            mts = if (v == 1) be32(b4 + 20) else be32(b4 + 12)
+                            lang = langStr(
+                              be16(if (v == 1) b4 + 32 else b4 + 20))
+                          case "hdlr" if e4 - b4 >= 12 => hdl = tag(b4 + 8)
+                          case _ => ()
+                        }
+                      }
+                      case _ => ()
+                    }
+                  }
+                  if (hdl == "vide" && tid >= 0)
+                    video = Some((tid, mts, w, h, lang))
+                case _ => ()
+              }
+            }
+            case _ => ()
+          }
+        }
+        for {
+          br <- brand
+          (tid, mts, w, h, lang) <- video
+          if mvhdV >= 0 && ts > 0
+        } yield VideoMeta(br, mvhdV, ts, dur * 1000L / ts, tid, mts, w, h,
+          "vide", lang)
+      } catch {
+        case _: Malformed | _: ArrayIndexOutOfBoundsException |
+            _: StringIndexOutOfBoundsException => None
+      }
+    }
+  }
+
   /** Real header parse with stub fallback for unrecognized payloads. */
   object HeaderDecoder extends MediaDecoder {
     def decode(mime: String, payload: Array[Byte]): (Int, Int, Int) =
@@ -237,25 +362,105 @@ object Multimodal {
     * exactly. Bytes never shuffle; only (doc_id, mime, dims) rows
     * leave the scan stage.
     */
-  def imageDims(spark: SparkSession, dir: String): DataFrame = {
-    val w = (pmod(col("doc_id"), lit(640)) + 1).cast("int")
-    val h = (pmod(col("doc_id") * 3, lit(480)) + 1).cast("int")
-    val kind = pmod(col("doc_id"), lit(3))
-    val pngHex = concat(
+  /** Shared synthetic-container hex builders (all derive their facts
+    * from `doc_id` with the arithmetic the oracles mirror): width
+    * `doc_id%640+1`, height `(doc_id*3)%480+1`, the audio facts of
+    * [[audioMeta]], the movie facts of [[videoMeta]].
+    */
+  private[operators] object Synth {
+    val w: Column = (pmod(col("doc_id"), lit(640)) + 1).cast("int")
+    val h: Column = (pmod(col("doc_id") * 3, lit(480)) + 1).cast("int")
+
+    val pngHex: Column = concat(
       lit("89504E470D0A1A0A0000000D49484452"),
       lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
       lit("080200000000000000"))
-    val jpgHex = concat(
+    val jpgHex: Column = concat(
       lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
       lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
       lit("03012200021101031101FFD9"))
-    val gifHex = concat(
+    val gifHex: Column = concat(
       lit("474946383961"),
       lpad(hex(pmod(w, lit(256))), 2, "0"),
       lpad(hex(shiftright(w, 8)), 2, "0"),
       lpad(hex(pmod(h, lit(256))), 2, "0"),
       lpad(hex(shiftright(h, 8)), 2, "0"),
       lit("F70000"))
+
+    private def le16(c: Column): Column = concat(
+      lpad(hex(pmod(c, lit(256))), 2, "0"),
+      lpad(hex(pmod(shiftright(c, 8), lit(256))), 2, "0"))
+    private def le32(c: Column): Column = concat(
+      lpad(hex(pmod(c, lit(256))), 2, "0"),
+      lpad(hex(pmod(shiftright(c, 8), lit(256))), 2, "0"),
+      lpad(hex(pmod(shiftright(c, 16), lit(256))), 2, "0"),
+      lpad(hex(pmod(shiftright(c, 24), lit(256))), 2, "0"))
+    val wavChannels: Column = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+    val wavRate: Column = when(pmod(col("doc_id"), lit(3)) === 0, 8000)
+      .when(pmod(col("doc_id"), lit(3)) === 1, 16000)
+      .otherwise(44100).cast("int")
+    val wavSamples: Column =
+      (pmod(col("doc_id"), lit(1000)) + 1).cast("int")
+    val wavHex: Column = {
+      val dataBytes = wavSamples * wavChannels * lit(2)
+      val byteRate = wavRate * wavChannels * lit(2)
+      val blockAlign = wavChannels * lit(2)
+      concat(
+        lit("52494646"), le32(dataBytes + 36), lit("57415645"),
+        lit("666D7420"), le32(lit(16)), le16(lit(1)), le16(wavChannels),
+        le32(wavRate), le32(byteRate), le16(blockAlign), le16(lit(16)),
+        lit("64617461"), le32(dataBytes))
+    }
+
+    private def be16(c: Column): Column = lpad(hex(c), 4, "0")
+    private def be32(c: Column): Column = lpad(hex(c), 8, "0")
+    private def be64(c: Column): Column = lpad(hex(c), 16, "0")
+    private val zeros = (n: Int) => lit("0" * (2 * n))
+    val mp4Hex: Column = {
+      val ts = lit(100L) + pmod(col("doc_id"), lit(900L))
+      val dur = pmod(col("doc_id") * 7, lit(100000L)) + ts
+      val trackId = pmod(col("doc_id"), lit(5L)) + 1
+      val v1 = pmod(col("doc_id"), lit(2)) === 1
+      val brandHex = when(pmod(col("doc_id"), lit(3)) === 0, "69736F6D")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "6D703432")
+        .otherwise("61766331")
+      val langHex = when(pmod(col("doc_id"), lit(4)) === 0, "55C4") // und
+        .when(pmod(col("doc_id"), lit(4)) === 1, "15C7")            // eng
+        .when(pmod(col("doc_id"), lit(4)) === 2, "1A41")            // fra
+        .otherwise("10B5")                                          // deu
+      val matrix = lit("000100000000000000000000" +
+        "000000000001000000000000" + "000000000000000040000000")
+      val ftyp = concat(lit("0000001066747970"), brandHex,
+        lit("00000200"))
+      val free = lit("0000000866726565")
+      val mvhdTail = concat(lit("000100000100"), zeros(10), matrix,
+        zeros(24), lit("00000063"))
+      val mvhd = when(v1,
+        concat(lit("000000786D766864"), lit("01000000"), zeros(16),
+          be32(ts), be64(dur), mvhdTail))
+        .otherwise(
+          concat(lit("0000006C6D766864"), lit("00000000"), zeros(8),
+            be32(ts), be32(dur), mvhdTail))
+      val tkhd = concat(lit("0000005C746B6864"), lit("00000007"),
+        zeros(8), be32(trackId), zeros(4), be32(dur), zeros(16), matrix,
+        be16(w), lit("0000"), be16(h), lit("0000"))
+      val mdhd = concat(lit("000000206D646864"), lit("00000000"),
+        zeros(8), be32(ts * 2), be32(dur * 2), langHex, lit("0000"))
+      val hdlr = concat(lit("0000002168646C72"), lit("00000000"),
+        zeros(4), lit("76696465"), zeros(12), lit("00"))
+      val trak = concat(lit("000000AD7472616B"), tkhd,
+        concat(lit("000000496D646961"), mdhd, hdlr))
+      val moov = when(v1, concat(lit("0000012D6D6F6F76"), mvhd, trak))
+        .otherwise(concat(lit("000001216D6F6F76"), mvhd, trak))
+      concat(ftyp, free, moov)
+    }
+  }
+
+  def imageDims(spark: SparkSession, dir: String): DataFrame = {
+    val kind = pmod(col("doc_id"), lit(3))
+    val pngHex = Synth.pngHex
+    val jpgHex = Synth.jpgHex
+    val gifHex = Synth.gifHex
     val media = Tables.documents(spark, dir).select(
       col("doc_id"),
       unhex(when(kind === 0, pngHex).when(kind === 1, jpgHex)
@@ -285,30 +490,8 @@ object Multimodal {
     */
   def audioMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def le16(c: Column): Column = concat(
-      lpad(hex(pmod(c, lit(256))), 2, "0"),
-      lpad(hex(pmod(shiftright(c, 8), lit(256))), 2, "0"))
-    def le32(c: Column): Column = concat(
-      lpad(hex(pmod(c, lit(256))), 2, "0"),
-      lpad(hex(pmod(shiftright(c, 8), lit(256))), 2, "0"),
-      lpad(hex(pmod(shiftright(c, 16), lit(256))), 2, "0"),
-      lpad(hex(pmod(shiftright(c, 24), lit(256))), 2, "0"))
-    val channels = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
-    val rate = when(pmod(col("doc_id"), lit(3)) === 0, 8000)
-      .when(pmod(col("doc_id"), lit(3)) === 1, 16000)
-      .otherwise(44100).cast("int")
-    val bits = lit(16)
-    val nSamples = (pmod(col("doc_id"), lit(1000)) + 1).cast("int")
-    val dataBytes = nSamples * channels * lit(2)
-    val byteRate = rate * channels * lit(2)
-    val blockAlign = channels * lit(2)
-    val wavHex = concat(
-      lit("52494646"), le32(dataBytes + 36), lit("57415645"),
-      lit("666D7420"), le32(lit(16)), le16(lit(1)), le16(channels),
-      le32(rate), le32(byteRate), le16(blockAlign), le16(bits),
-      lit("64617461"), le32(dataBytes))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), unhex(wavHex).as("media"))
+      .select(col("doc_id"), unhex(Synth.wavHex).as("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -334,13 +517,130 @@ object Multimodal {
       |     WHEN 1 THEN 16000 ELSE 44100 END) AS BIGINT) AS duration_ms
       |FROM documents""".stripMargin
 
+  /** q110 — video-metadata round-trip, the [[imageDims]]/[[audioMeta]]
+    * pattern for MP4: a VALID ISO-BMFF file (ftyp + a `free` box the
+    * walk must skip + moov{mvhd, trak{tkhd, mdia{mdhd, hdlr}}}) is
+    * synthesized per document with timescale/duration/dimensions/
+    * language derived from doc_id — mvhd alternates its version-0 and
+    * version-1 FullBox layout by parity so both decode paths are
+    * exercised — then [[Mp4Box]] REALLY walks the box tree and the
+    * oracle recomputes every fact arithmetically. Map-only; payload
+    * bytes never shuffle.
+    */
+  def videoMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(Synth.mp4Hex).as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = Mp4Box.parse(bytes).getOrElse(
+            Mp4Box.VideoMeta("", -1, 0L, 0L, -1L, 0L, 0, 0, "", ""))
+          (id, m.brand, m.mvhdVersion, m.timescale, m.durationMs,
+            m.trackId, m.mediaTimescale, m.width, m.height, m.handler,
+            m.lang)
+        }
+      }
+      .toDF("doc_id", "brand", "mvhd_version", "timescale",
+        "duration_ms", "track_id", "media_timescale", "width", "height",
+        "handler", "lang")
+  }
+
+  val videoMetaSql: String =
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'isom'
+      |    WHEN 1 THEN 'mp42' ELSE 'avc1' END AS brand,
+      |  CAST(doc_id % 2 AS INT) AS mvhd_version,
+      |  CAST(100 + doc_id % 900 AS BIGINT) AS timescale,
+      |  CAST(((doc_id * 7) % 100000 + 100 + doc_id % 900) * 1000 //
+      |    (100 + doc_id % 900) AS BIGINT) AS duration_ms,
+      |  CAST(doc_id % 5 + 1 AS BIGINT) AS track_id,
+      |  CAST(2 * (100 + doc_id % 900) AS BIGINT) AS media_timescale,
+      |  CAST(doc_id % 640 + 1 AS INT) AS width,
+      |  CAST((doc_id * 3) % 480 + 1 AS INT) AS height,
+      |  'vide' AS handler,
+      |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'und' WHEN 1 THEN 'eng'
+      |    WHEN 2 THEN 'fra' ELSE 'deu' END AS lang
+      |FROM documents""".stripMargin
+
+  /** Format dispatch for a MIXED binary column: try the container
+    * parsers in signature order (image headers → RIFF/WAVE → ISO-BMFF)
+    * and emit a unified (format, width, height, duration_ms) row.
+    * This is the ingest-time classify-and-extract pass a multimodal
+    * crawl needs BEFORE routing payloads to per-modality pipelines —
+    * one scan, no per-format pre-split, unknowns classified not
+    * crashed.
+    */
+  def sniff(p: Array[Byte]): (String, Int, Int, Long) =
+    ImageHeader.parse(p) match {
+      case Some((mime, w, h)) => (mime.stripPrefix("image/"), w, h, 0L)
+      case None => RiffHeader.parse(p) match {
+        case Some(w) => ("wav", 0, 0, w.durationMs)
+        case None => Mp4Box.parse(p) match {
+          case Some(m) => ("mp4", m.width, m.height, m.durationMs)
+          case None => ("unknown", 0, 0, 0L)
+        }
+      }
+    }
+
+  /** q113 — mixed-container dispatch round-trip: each document carries
+    * ONE of the six payload shapes (PNG/JPEG/GIF image, WAVE audio,
+    * MP4 video, or non-media text bytes) chosen by doc_id, and
+    * [[sniff]] must both classify the format and extract the right
+    * facts in a single pass. The oracle recomputes classification and
+    * facts arithmetically.
+    */
+  def mediaSniff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kind = pmod(col("doc_id"), lit(6))
+    val payload = when(kind === 0, unhex(Synth.pngHex))
+      .when(kind === 1, unhex(Synth.jpgHex))
+      .when(kind === 2, unhex(Synth.gifHex))
+      .when(kind === 3, unhex(Synth.wavHex))
+      .when(kind === 4, unhex(Synth.mp4Hex))
+      // space-prefixed so free text can never collide with a container
+      // signature at offset 0 ("BM...", "GIF..." are valid text starts)
+      .otherwise(encode(concat(lit(" "), col("text")), "utf-8"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), payload.as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (fmt, w, h, ms) = sniff(bytes)
+        (id, fmt, w, h, ms)
+      })
+      .toDF("doc_id", "format", "width", "height", "duration_ms")
+  }
+
+  val mediaSniffSql: String =
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+      |    WHEN 3 THEN 'wav' WHEN 4 THEN 'mp4' ELSE 'unknown' END
+      |    AS format,
+      |  CAST(CASE WHEN doc_id % 6 IN (0, 1, 2, 4)
+      |    THEN doc_id % 640 + 1 ELSE 0 END AS INT) AS width,
+      |  CAST(CASE WHEN doc_id % 6 IN (0, 1, 2, 4)
+      |    THEN (doc_id * 3) % 480 + 1 ELSE 0 END AS INT) AS height,
+      |  CAST(CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 3 THEN (doc_id % 1000 + 1) * 1000 //
+      |      (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000
+      |       WHEN 1 THEN 16000 ELSE 44100 END)
+      |    WHEN 4 THEN ((doc_id * 7) % 100000 + 100 + doc_id % 900)
+      |      * 1000 // (100 + doc_id % 900)
+      |    ELSE 0 END AS BIGINT) AS duration_ms
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_media_stats" -> (mediaStats _),
     "q78_image_dims" -> (imageDims _),
-    "q103_audio_meta" -> (audioMeta _))
+    "q103_audio_meta" -> (audioMeta _),
+    "q110_video_meta" -> (videoMeta _),
+    "q113_media_sniff" -> (mediaSniff _))
 
   val oracles: Map[String, String] = Map(
     "q62_media_stats" -> mediaStatsSql,
     "q78_image_dims" -> imageDimsSql,
-    "q103_audio_meta" -> audioMetaSql)
+    "q103_audio_meta" -> audioMetaSql,
+    "q110_video_meta" -> videoMetaSql,
+    "q113_media_sniff" -> mediaSniffSql)
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sequence packing for training-data preparation: the GPT-style
+  * concat-and-chunk layout. Documents are concatenated in a
+  * deterministic corpus order (doc_id), each followed by one EOS
+  * token, and the resulting token stream is cut into fixed-size
+  * context windows; a document whose tokens straddle a cut appears in
+  * more than one window. The packing MANIFEST — each document's global
+  * token offset and the window span it lands in — is what a training
+  * loader needs to shard the corpus without materializing the
+  * concatenated stream.
+  *
+  * Scale shape: the only global state is an exclusive prefix sum of
+  * per-document token counts. That is computed with the repo's
+  * two-pass pattern (range-repartition on doc_id, per-partition local
+  * cumsum, broadcast per-partition totals — `MongoOps.idPages`), NOT a
+  * single-partition `Window over (ORDER BY)`: at 10⁹ documents every
+  * executor sums its own range and only a partition-count-sized offset
+  * table moves. Window math is integral (`div`), no doubles — offsets
+  * near 10¹⁴ tokens (100 TB of text) stay exact.
+  */
+object PackingOps {
+
+  /** Fixed context-window length in tokens (EOS included). */
+  val WindowTokens = 512L
+
+  /** q111 — per-document packing manifest: token count (with EOS),
+    * global start offset, first/last window index, windows spanned.
+    */
+  def packWindows(spark: SparkSession, dir: String): DataFrame =
+    packWindowsOf(spark, Tables.documents(spark, dir), WindowTokens)
+
+  def packWindowsOf(spark: SparkSession, docs: DataFrame,
+      windowTokens: Long): DataFrame = {
+    import spark.implicits._
+    require(windowTokens >= 1, "window must hold at least one token")
+    val toks = docs.select(col("doc_id"),
+      (size(TextOps.tokens(col("text"))) + 1).cast("long").as("n_tokens"))
+
+    val nBuckets = spark.sessionState.conf.numShufflePartitions
+    // Pass 1: local exclusive cumsum per sorted range partition. The
+    // checkpoint cuts lineage so the offset table and the final frame
+    // can only see the same materialized range boundaries.
+    val local = toks.repartitionByRange(nBuckets, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var acc = 0L
+        it.map { case (id, n) =>
+          val out = (pid, id, n, acc); acc += n; out
+        }
+      }.toDF("pid", "doc_id", "n_tokens", "local_off")
+      .localCheckpoint(true)
+
+    // Pass 2: partition token totals -> exclusive partition offsets
+    // (a partition-count-sized table, broadcast as a literal map).
+    val totals = local.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("t")).as[(Int, Long)].collect()
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, t) =>
+      val entry = pid -> acc; acc += t; entry
+    }.toMap
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(typedLit(offsets), col("pid"))
+
+    local
+      .withColumn("start_off", col("local_off") + offCol)
+      .withColumn("first_win", expr(s"start_off div ${windowTokens}L"))
+      .withColumn("last_win",
+        expr(s"(start_off + n_tokens - 1) div ${windowTokens}L"))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        col("first_win"), col("last_win"),
+        (col("last_win") - col("first_win") + 1).as("n_windows"))
+  }
+
+  val packWindowsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(${TextOps.tokensSql("text")}) + 1 AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS start_off
+       |  FROM t)
+       |SELECT doc_id, n_tokens,
+       |  CAST(start_off AS BIGINT) AS start_off,
+       |  CAST(start_off // ${WindowTokens} AS BIGINT) AS first_win,
+       |  CAST((start_off + n_tokens - 1) // ${WindowTokens} AS BIGINT)
+       |    AS last_win,
+       |  CAST((start_off + n_tokens - 1) // ${WindowTokens}
+       |    - start_off // ${WindowTokens} + 1 AS BIGINT) AS n_windows
+       |FROM o""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_pack_windows" -> (packWindows _))
+
+  val oracles: Map[String, String] = Map(
+    "q111_pack_windows" -> packWindowsSql)
+}

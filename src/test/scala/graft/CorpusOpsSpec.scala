@@ -121,4 +121,46 @@ class CorpusOpsSpec extends SparkSuite {
     // occurrence contributes bitlen(1) - bitlen(cr+1) + const < const
     assert(r(4L)._2 < r(1L)._2)
   }
+
+  test("q112 ccnet buckets: grouped two-pass rank equals a window " +
+      "rank; tercile boundaries; no Window in the rank path") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+    val out = graft.operators.CorpusOps.ccnetBucketsOf(spark, docs)
+    // reference computation: the per-lang window rank the two-pass
+    // machinery must reproduce exactly
+    val scored = graft.operators.CorpusOps.bigramSurprisalOf(docs)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("bits_per_transition_milli"), col("doc_id"))
+    val naive = scored
+      .withColumn("lang_rank", row_number().over(w).cast("long"))
+      .withColumn("lang_n",
+        count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .select(col("doc_id"), col("lang"),
+        col("bits_per_transition_milli"), col("lang_rank"),
+        col("lang_n"),
+        when(col("lang_rank") * 3 <= col("lang_n"), "head")
+          .when(col("lang_rank") * 3 <= col("lang_n") * 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+    assert(out.collect().map(_.toSeq).toSet ==
+      naive.collect().map(_.toSeq).toSet)
+    // tercile sizes: per lang, head <= middle+tail and buckets cover n
+    val sizes = out.groupBy("lang", "ppl_bucket").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    out.groupBy("lang").count().collect().foreach { r =>
+      val (lang, n) = (r.getString(0), r.getLong(1))
+      val h = sizes.getOrElse((lang, "head"), 0L)
+      val m = sizes.getOrElse((lang, "middle"), 0L)
+      val t = sizes.getOrElse((lang, "tail"), 0L)
+      assert(h + m + t == n)
+      assert(h == n / 3, s"$lang head $h of $n")
+    }
+    // the production path must not fall back to a window rank (the
+    // per-doc lead() window inside the surprisal score is fine — it
+    // partitions by doc_id; ranking by row_number is what must stay
+    // two-pass)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"), plan)
+  }
 }

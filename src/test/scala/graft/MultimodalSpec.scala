@@ -132,6 +132,132 @@ class MultimodalSpec extends SparkSuite {
       adpcm.durationMs == 0L)
   }
 
+  // spec-side ISO-BMFF builder — independent of the production parser
+  private object Bmff {
+    def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    def zeros(n: Int): Array[Byte] = new Array[Byte](n)
+    def box(typ: String, body: Array[Byte]*): Array[Byte] = {
+      val b = body.flatten.toArray
+      be32(b.length + 8L) ++ typ.getBytes("US-ASCII") ++ b
+    }
+    /** size==1 largesize escape. */
+    def box64(typ: String, body: Array[Byte]*): Array[Byte] = {
+      val b = body.flatten.toArray
+      be32(1L) ++ typ.getBytes("US-ASCII") ++ be64(b.length + 16L) ++ b
+    }
+    val matrix: Array[Byte] =
+      be32(0x10000L) ++ zeros(12) ++ be32(0x10000L) ++ zeros(12) ++
+        be32(0x40000000L)
+    def ftyp(brand: String): Array[Byte] =
+      box("ftyp", brand.getBytes("US-ASCII"), be32(0x200L))
+    def mvhd0(ts: Long, dur: Long): Array[Byte] =
+      box("mvhd", zeros(4), zeros(8), be32(ts), be32(dur), be32(0x10000L),
+        be16(0x100), zeros(10), matrix, zeros(24), be32(99L))
+    def mvhd1(ts: Long, dur: Long): Array[Byte] =
+      box("mvhd", Array[Byte](1, 0, 0, 0), zeros(16), be32(ts), be64(dur),
+        be32(0x10000L), be16(0x100), zeros(10), matrix, zeros(24),
+        be32(99L))
+    def tkhd0(tid: Long, dur: Long, w: Int, h: Int): Array[Byte] =
+      box("tkhd", Array[Byte](0, 0, 0, 7), zeros(8), be32(tid), zeros(4),
+        be32(dur), zeros(16), matrix, be32(w.toLong << 16),
+        be32(h.toLong << 16))
+    def mdhd0(mts: Long, mdur: Long, lang: Int): Array[Byte] =
+      box("mdhd", zeros(4), zeros(8), be32(mts), be32(mdur), be16(lang),
+        zeros(2))
+    def mdhd1(mts: Long, mdur: Long, lang: Int): Array[Byte] =
+      box("mdhd", Array[Byte](1, 0, 0, 0), zeros(16), be32(mts),
+        be64(mdur), be16(lang), zeros(2))
+    def hdlr(kind: String): Array[Byte] =
+      box("hdlr", zeros(4), zeros(4), kind.getBytes("US-ASCII"),
+        zeros(12), Array[Byte](0))
+  }
+
+  test("mp4 box walk: v0/v1 layouts, largesize, unknown boxes, " +
+      "track selection, malformed rejection") {
+    import Bmff._
+    import Multimodal.Mp4Box
+    // canonical v0: 600-tick timescale, 1800 ticks → 3000 ms
+    val v0 = ftyp("isom") ++ box("free") ++ box("moov",
+      mvhd0(600, 1800),
+      box("trak", tkhd0(2, 1800, 320, 240),
+        box("mdia", mdhd0(1200, 3600, 0x15C7), hdlr("vide"))))
+    assert(Mp4Box.parse(v0).contains(Mp4Box.VideoMeta(
+      "isom", 0, 600, 3000, 2, 1200, 320, 240, "vide", "eng")))
+    // v1 mvhd + v1 mdhd, moov shipped with the size==1 largesize
+    // escape, an unknown udta box inside moov the walk must skip
+    val v1 = ftyp("mp42") ++ box64("moov",
+      mvhd1(90000, 180000),
+      box("udta", Array[Byte](1, 2, 3)),
+      box("trak", tkhd0(7, 180000, 640, 480),
+        box("mdia", mdhd1(48000, 96000, 0x1A41), hdlr("vide"))))
+    assert(Mp4Box.parse(v1).contains(Mp4Box.VideoMeta(
+      "mp42", 1, 90000, 2000, 7, 48000, 640, 480, "vide", "fra")))
+    // audio trak first: selection must land on the vide trak
+    val twoTrak = ftyp("avc1") ++ box("moov",
+      mvhd0(1000, 5000),
+      box("trak", tkhd0(1, 5000, 0, 0),
+        box("mdia", mdhd0(44100, 220500, 0x55C4), hdlr("soun"))),
+      box("trak", tkhd0(3, 5000, 1920, 1080),
+        box("mdia", mdhd0(30000, 150000, 0x10B5), hdlr("vide"))))
+    assert(Mp4Box.parse(twoTrak).contains(Mp4Box.VideoMeta(
+      "avc1", 0, 1000, 5000, 3, 30000, 1920, 1080, "vide", "deu")))
+    // audio-only file → no video meta
+    val audioOnly = ftyp("isom") ++ box("moov", mvhd0(1000, 1000),
+      box("trak", tkhd0(1, 1000, 0, 0),
+        box("mdia", mdhd0(8000, 8000, 0x55C4), hdlr("soun"))))
+    assert(Mp4Box.parse(audioOnly).isEmpty)
+    // malformed: missing ftyp, truncation, size escaping its enclosure
+    assert(Mp4Box.parse(v0.drop(16)).isEmpty)
+    assert(Mp4Box.parse(v0.take(40)).isEmpty)
+    val escaping = ftyp("isom") ++ box("moov", mvhd0(600, 1800)) ++
+      be32(0xFFFFFFF0L) ++ "trak".getBytes("US-ASCII")
+    assert(Mp4Box.parse(escaping).isEmpty)
+    assert(Mp4Box.parse(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("q110 synthesized mp4 parses back to its encoded facts") {
+    val out = Multimodal.videoMeta(spark, sf)
+      .select("doc_id", "brand", "mvhd_version", "duration_ms", "width",
+        "height", "lang")
+      .as[(Long, String, Int, Long, Int, Int, String)].collect()
+    assert(out.length == 500)
+    out.foreach { case (id, brand, v, ms, w, h, lang) =>
+      val ts = 100 + id % 900
+      assert(brand == Seq("isom", "mp42", "avc1")((id % 3).toInt))
+      assert(v == (id % 2).toInt, s"doc $id")
+      assert(ms == ((id * 7) % 100000 + ts) * 1000 / ts, s"doc $id")
+      assert(w == (id % 640).toInt + 1 && h == ((id * 3) % 480).toInt + 1)
+      assert(lang == Seq("und", "eng", "fra", "deu")((id % 4).toInt))
+    }
+  }
+
+  test("q113 sniff dispatches a mixed binary column in one pass") {
+    val out = Multimodal.mediaSniff(spark, sf)
+      .as[(Long, String, Int, Int, Long)].collect()
+    assert(out.length == 500)
+    out.foreach { case (id, fmt, w, h, ms) =>
+      val want = Seq("png", "jpeg", "gif", "wav", "mp4", "unknown")(
+        (id % 6).toInt)
+      assert(fmt == want, s"doc $id")
+      if (Seq("png", "jpeg", "gif", "mp4").contains(fmt)) {
+        assert(w == (id % 640).toInt + 1 && h == ((id * 3) % 480).toInt + 1)
+      } else assert(w == 0 && h == 0)
+      if (fmt == "wav")
+        assert(ms == (id % 1000 + 1) * 1000 /
+          Seq(8000, 16000, 44100)((id % 3).toInt))
+      if (fmt == "unknown") assert(ms == 0L)
+    }
+    // dispatch order safety: sniff never throws on arbitrary bytes
+    assert(Multimodal.sniff(Array[Byte]()) == ("unknown", 0, 0, 0L))
+    assert(Multimodal.sniff("free text".getBytes("UTF-8")) ==
+      ("unknown", 0, 0, 0L))
+  }
+
   test("custom decoder plugs in at the stub boundary") {
     val fixed = new Multimodal.MediaDecoder {
       def decode(mime: String, payload: Array[Byte]) = (7, 8, 9)
