@@ -386,6 +386,101 @@ object HygieneOps {
        |FROM base b LEFT JOIN per_doc p USING (doc_id)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q114
+  /** Cross-corpus exact-substring decontamination: the q105 span
+    * machinery pointed at TRAIN-vs-EVAL instead of within-corpus — for
+    * each training document, the merged spans of its token stream
+    * whose 5-grams also occur anywhere in the held-out set (here:
+    * `source == 'src0'` stands in for the eval benchmark). This is the
+    * span-level "does my training data contain the test set"
+    * memorization gate (GPT-3 appendix C / Lee et al. 2022): dropping
+    * or masking the spans, not whole documents, preserves the
+    * surrounding clean text.
+    *
+    * Scale shape: eval grams reduce to a DISTINCT 64-bit hash set
+    * (benchmark-sized, far smaller than the corpus) and join the
+    * train gram stream on the hash — gram strings never materialize,
+    * and the only corpus-sized shuffle carries (hash, doc, pos)
+    * longs. Span merge stays per-doc (gaps-and-islands window over
+    * doc-partitioned positions).
+    */
+  def contamSpans(spark: SparkSession, dir: String): DataFrame =
+    contamSpansOf(Tables.documents(spark, dir))
+
+  def contamSpansOf(docs: DataFrame, evalSource: String = "src0")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val train = docs.filter(col("source") =!= evalSource)
+    val evalGrams = docs.filter(col("source") === evalSource)
+      .select(explode(graft.functions.GraftFunctions
+        .shingleHashesPos(col("text"))).as("h"))
+      .distinct()
+    val tGrams = train.select(col("doc_id"),
+      posexplode(graft.functions.GraftFunctions
+        .shingleHashesPos(col("text"))).as(Seq("s", "h")))
+    val hits = tGrams.join(evalGrams, "h")
+      .select(col("doc_id"), col("s"), (col("s") + 4).as("e"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val prevMaxE = max(col("e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val isl = hits
+      .withColumn("brk", when(prevMaxE.isNull ||
+        col("s") > prevMaxE + 1, 1).otherwise(0))
+      .withColumn("isl", sum(col("brk"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val spans = isl.groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("s")).as("ss"), max(col("e")).as("ee"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("ee") - col("ss") + 1).as("contam_tokens"))
+    train.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("contam_tokens"), lit(0L)).as("contam_tokens"),
+        expr("coalesce(contam_tokens, 0L) * 1000 div n_tokens")
+          .as("contam_permille"))
+  }
+
+  val contamSpansSql: String = {
+    val toks = TextOps.tokensSql("text")
+    s"""WITH base AS (SELECT doc_id, source, $toks AS w FROM documents),
+       |g AS (SELECT doc_id, source,
+       |    unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS i, w
+       |  FROM base),
+       |gr AS (SELECT doc_id, source, i - 1 AS s, i + 3 AS e,
+       |    array_to_string(w[i:i+4], ' ') AS gram
+       |  FROM g),
+       |grams AS (SELECT doc_id, source, s, e,
+       |    ${TextOps.charFoldSql("gram")} AS h
+       |  FROM gr),
+       |ev AS (SELECT DISTINCT h FROM grams WHERE source = 'src0'),
+       |hits AS (SELECT doc_id, s, e FROM grams JOIN ev USING (h)
+       |  WHERE source <> 'src0'),
+       |marked AS (SELECT doc_id, s, e,
+       |    MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS prev_e
+       |  FROM hits),
+       |isl AS (SELECT doc_id, s, e,
+       |    SUM(CASE WHEN prev_e IS NULL OR s > prev_e + 1
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY s) AS isl
+       |  FROM marked),
+       |spans AS (SELECT doc_id, isl, MIN(s) AS ss, MAX(e) AS ee
+       |  FROM isl GROUP BY 1, 2),
+       |per_doc AS (SELECT doc_id, count(*) AS n_spans,
+       |    SUM(ee - ss + 1) AS contam_tokens FROM spans GROUP BY 1)
+       |SELECT b.doc_id, len(b.w)::BIGINT AS n_tokens,
+       |  COALESCE(p.n_spans, 0)::BIGINT AS n_spans,
+       |  COALESCE(p.contam_tokens, 0)::BIGINT AS contam_tokens,
+       |  (COALESCE(p.contam_tokens, 0) * 1000 // len(b.w))::BIGINT
+       |    AS contam_permille
+       |FROM base b LEFT JOIN per_doc p USING (doc_id)
+       |WHERE b.source <> 'src0'""".stripMargin
+  }
+
   // -----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_containment" -> (containmentPairs _),
@@ -393,7 +488,8 @@ object HygieneOps {
     "q90_ann_recall" -> (annRecall _),
     "q91_quantize_int8" -> (quantizeInt8 _),
     "q92_dedup_purge" -> (dedupPurge _),
-    "q105_dup_spans" -> (dupSpans _))
+    "q105_dup_spans" -> (dupSpans _),
+    "q114_contam_spans" -> (contamSpans _))
 
   val oracles: Map[String, String] = Map(
     "q88_containment" -> containmentPairsSql,
@@ -401,5 +497,6 @@ object HygieneOps {
     "q90_ann_recall" -> annRecallSql,
     "q91_quantize_int8" -> quantizeInt8Sql,
     "q92_dedup_purge" -> dedupPurgeSql,
-    "q105_dup_spans" -> dupSpansSql)
+    "q105_dup_spans" -> dupSpansSql,
+    "q114_contam_spans" -> contamSpansSql)
 }

@@ -182,4 +182,27 @@ class HygieneSpec extends SparkSuite {
     assert(r(11L) == ((1L, 5L)))
     assert(r(12L) == ((1L, 5L)))
   }
+
+  test("contam spans: train-vs-eval overlap merges; eval excluded; " +
+      "clean train doc reports zero") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "src0"),
+      (2L, "intro words then the quick brown fox jumps over the lazy " +
+        "dog tail", "src1"),
+      (3L, "completely different content with no overlap at all here",
+        "src1")).toDF("doc_id", "text", "source")
+    val out = HygieneOps.contamSpansOf(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("n_spans"),
+          x.getAs[Long]("contam_tokens"),
+          x.getAs[Long]("contam_permille")))).toMap
+    // eval doc never appears in the report
+    assert(out.keySet == Set(2L, 3L))
+    // d2 tokens 3..11 ("the quick ... dog") shingle-match the eval
+    // doc: hits at s=3..7 merge to one span of 9 tokens
+    assert(out(2L) == ((13L, 1L, 9L, 9L * 1000 / 13)))
+    assert(out(3L) == ((9L, 0L, 0L, 0L)))
+  }
 }
