@@ -102,6 +102,108 @@ object PackingOps {
        |    - start_off // ${WindowTokens} + 1 AS BIGINT) AS n_windows
        |FROM o""".stripMargin
 
+  /** Document-boundary bin packing — the SFT-style complement of
+    * [[packWindows]]: documents are NEVER split across sequences;
+    * each lands whole in one fixed-capacity bin (padding fills the
+    * rest), and documents longer than the capacity are truncated to
+    * it and flagged. Used when examples must stay intact (instruction
+    * tuning, eval sets), where concat-and-chunk would corrupt
+    * example boundaries.
+    *
+    * Distributed first-fit-decreasing: the corpus range-partitions on
+    * DESCENDING token cost (so each partition holds a contiguous size
+    * class), every partition first-fit packs its own slice into local
+    * bins with a bounded open-bin list, and local bin ids shift by
+    * broadcast per-partition bin counts — global bin ids without any
+    * single-task pass. Quality: first-fit leaves at most one bin at
+    * ≤ half capacity per open-bin-list eviction plus one per
+    * partition, so total bins ≤ 2·⌈total/capacity⌉ + partitions — the
+    * classic bound, degraded only by the partition count (constant in
+    * corpus size).
+    */
+  def binPack(spark: SparkSession, dir: String): DataFrame =
+    binPackOf(spark, Tables.documents(spark, dir), WindowTokens)
+
+  /** Max simultaneously-open bins per partition: packing stays O(n·K)
+    * and deterministic; evicted (closed) bins are final.
+    */
+  val OpenBins = 256
+
+  def binPackOf(spark: SparkSession, docs: DataFrame,
+      capacity: Long): DataFrame = {
+    import spark.implicits._
+    require(capacity >= 1, "bin capacity must hold at least one token")
+    val toks = docs.select(col("doc_id"),
+      (size(TextOps.tokens(col("text"))) + 1).cast("long").as("n_tokens"))
+      .select(col("doc_id"),
+        least(col("n_tokens"), lit(capacity)).as("cost"),
+        (col("n_tokens") > capacity).as("truncated"))
+
+    val nBuckets = spark.sessionState.conf.numShufflePartitions
+    val local = toks
+      .repartitionByRange(nBuckets, col("cost").desc, col("doc_id"))
+      .sortWithinPartitions(col("cost").desc, col("doc_id"))
+      .as[(Long, Long, Boolean)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        // open bins: (local bin id, remaining); first-fit, oldest first
+        val open = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long)]
+        var nextBin = 0L
+        it.map { case (id, cost, trunc) =>
+          val slot = open.indexWhere(_._2 >= cost)
+          val bin =
+            if (slot >= 0) {
+              val (b, rem) = open(slot)
+              if (rem == cost) open.remove(slot)
+              else open(slot) = (b, rem - cost)
+              b
+            } else {
+              val b = nextBin
+              nextBin += 1
+              if (cost < capacity) {
+                if (open.length == OpenBins) open.remove(0)
+                open += ((b, capacity - cost))
+              }
+              b
+            }
+          (pid, id, cost, trunc, bin)
+        }
+      }.toDF("pid", "doc_id", "cost", "truncated", "local_bin")
+      .localCheckpoint(true)
+
+    // per-partition bin counts -> exclusive global bin offsets
+    val counts = local.groupBy(col("pid"))
+      .agg((max(col("local_bin")) + 1).as("n")).as[(Int, Long)]
+      .collect().sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) =>
+      val entry = pid -> acc; acc += n; entry
+    }.toMap
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(typedLit(offsets), col("pid"))
+
+    local.select(col("doc_id"), col("cost").as("n_tokens"),
+      col("truncated"), (col("local_bin") + offCol).as("bin"))
+  }
+
+  /** One-row packing-efficiency report over a [[binPackOf]] manifest:
+    * bins used, the ⌈total/capacity⌉ lower bound, and fill rate.
+    */
+  def binPackReport(manifest: DataFrame, capacity: Long): DataFrame =
+    manifest.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      (max(col("bin")) + 1).as("n_bins"),
+      sum(when(col("truncated"), 1L).otherwise(0L)).as("n_truncated"))
+      .select(col("n_docs"), col("total_tokens"), col("n_bins"),
+        col("n_truncated"),
+        expr(s"(total_tokens + ${capacity}L - 1) div ${capacity}L")
+          .as("lower_bound"),
+        expr(s"total_tokens * 1000 div (n_bins * ${capacity}L)")
+          .as("fill_permille"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_pack_windows" -> (packWindows _))
 

@@ -43,6 +43,54 @@ class PackingSpec extends SparkSuite {
     assert(out.last._3 + out.last._2 == expect)
   }
 
+  test("bin pack: capacity invariant, truncation, determinism, " +
+      "first-fit bound") {
+    val cap = 10L
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9"),           // cost 10: full bin
+      (2L, "a b c d e"),                            // cost 6
+      (3L, "x y z"),                                // cost 4
+      (4L, "only"),                                 // cost 2
+      (5L, (1 to 15).map(i => s"w$i").mkString(" ")) // 16 > cap: truncated
+    ).toDF("doc_id", "text")
+    val out = PackingOps.binPackOf(spark, docs, cap)
+      .as[(Long, Long, Boolean, Long)].collect().sortBy(_._1)
+    // every doc placed exactly once
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val byDoc = out.map(r => r._1 -> r).toMap
+    // oversize doc truncated to capacity; others keep their cost
+    assert(byDoc(5L)._2 == cap && byDoc(5L)._3)
+    assert(byDoc(2L)._2 == 6L && !byDoc(2L)._3)
+    // no bin over capacity
+    out.groupBy(_._4).foreach { case (bin, rows) =>
+      assert(rows.map(_._2).sum <= cap, s"bin $bin over capacity")
+    }
+    // deterministic across runs
+    val again = PackingOps.binPackOf(spark, docs, cap)
+      .as[(Long, Long, Boolean, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("bin pack at corpus scale: invariants + efficiency report") {
+    val cap = PackingOps.WindowTokens
+    val manifest = PackingOps.binPack(spark, sf).cache()
+    try {
+      val rows = manifest.as[(Long, Long, Boolean, Long)].collect()
+      assert(rows.length == 500)
+      rows.groupBy(_._4).foreach { case (bin, rs) =>
+        assert(rs.map(_._2).sum <= cap, s"bin $bin over capacity")
+      }
+      val report = PackingOps.binPackReport(manifest, cap).collect()(0)
+      val nBins = report.getAs[Long]("n_bins")
+      val lb = report.getAs[Long]("lower_bound")
+      val nParts = spark.sessionState.conf.numShufflePartitions
+      // the first-fit guarantee, degraded only by the partition count
+      assert(nBins <= 2 * lb + nParts, s"bins $nBins vs bound $lb")
+      assert(report.getAs[Long]("fill_permille") >= 500L)
+      assert(report.getAs[Long]("n_docs") == 500L)
+    } finally manifest.unpersist()
+  }
+
   test("pack plan: two-pass prefix sum, no Window, one range exchange") {
     val plan = PackingOps.packWindows(spark, sf)
       .queryExecution.executedPlan.toString
