@@ -30,7 +30,7 @@ import graft.Tables
 object CurationPipeline {
 
   final case class Summary(nDocs: Long, nKept: Long,
-      reasons: Map[String, Long])
+      reasons: Map[String, Long], nTrainWindows: Long = 0L)
 
   /** Per-doc verdict frame: (doc_id, lang, source, split, reason,
     * kept). `split` is assigned for every doc (dropped docs keep their
@@ -92,13 +92,31 @@ object CurationPipeline {
         sum(when(col("reason") === "near_dup", 1L).otherwise(0L))
           .as("n_near_dup"))
 
-  /** Materialize verdicts + report under outDir; return the summary. */
+  /** Materialize verdicts + report + the training-set packing manifest
+    * under outDir; return the summary. The packing stage (q111's
+    * concat-and-chunk layout) runs over exactly the documents a
+    * trainer will see — kept verdicts in the train split — so the
+    * manifest's window count IS the corpus's optimizer-step budget.
+    */
   def run(spark: SparkSession, dir: String, outDir: String): Summary = {
     val v = verdicts(spark, dir).localCheckpoint(false)
     v.write.mode("overwrite").parquet(s"$outDir/verdicts.parquet")
     report(v).write.mode("overwrite").parquet(s"$outDir/report.parquet")
+    val trainDocs = Tables.documents(spark, dir)
+      .join(v.filter(col("kept") && col("split") === "train")
+        .select("doc_id"), "doc_id")
+    val pack = PackingOps
+      .packWindowsOf(spark, trainDocs, PackingOps.WindowTokens)
+      .localCheckpoint(false)
+    pack.write.mode("overwrite").parquet(s"$outDir/pack.parquet")
+    val nWindows = pack
+      .agg(max(col("last_win"))).collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0) + 1
+      }
     val reasons = v.groupBy(col("reason")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    Summary(reasons.values.sum, reasons.getOrElse("kept", 0L), reasons)
+    Summary(reasons.values.sum, reasons.getOrElse("kept", 0L), reasons,
+      nWindows)
   }
 }

@@ -56,5 +56,15 @@ class CurationPipelineSpec extends SparkSuite {
     val r = spark.read.parquet(s"$out1/report.parquet")
     assert(r.agg(sum("n_docs")).collect()(0).getLong(0) == s1.nDocs)
     assert(r.agg(sum("n_kept")).collect()(0).getLong(0) == s1.nKept)
+    // the packing manifest covers exactly the kept train docs, and
+    // the summary's window budget matches its span
+    val p = spark.read.parquet(s"$out1/pack.parquet")
+    val keptTrain = spark.read.parquet(s"$out1/verdicts.parquet")
+      .filter(col("kept") && col("split") === "train")
+    assert(p.count() == keptTrain.count())
+    assert(p.join(keptTrain, "doc_id").count() == p.count())
+    assert(s1.nTrainWindows ==
+      p.agg(max("last_win")).collect()(0).getLong(0) + 1)
+    assert(s1.nTrainWindows > 0)
   }
 }

@@ -258,6 +258,16 @@ class MultimodalSpec extends SparkSuite {
       ("unknown", 0, 0, 0L))
   }
 
+  test("media metadata plans are map-only: no exchange, bytes never " +
+      "shuffle") {
+    for (q <- Seq(Multimodal.videoMeta(spark, sf),
+        Multimodal.mediaSniff(spark, sf),
+        Multimodal.imageDims(spark, sf))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    }
+  }
+
   test("custom decoder plugs in at the stub boundary") {
     val fixed = new Multimodal.MediaDecoder {
       def decode(mime: String, payload: Array[Byte]) = (7, 8, 9)
