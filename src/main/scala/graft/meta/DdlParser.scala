@@ -158,11 +158,45 @@ object DdlParser {
     re(s"^\\s*DROP\\s+INDEX\\s+$id\\s+ON\\s+$qual\\s*$$")
   private val qualOnlyRe = re(s"^\\s*$qual\\s*$$")
 
+  /** Strip SQL comments outside quoted spans — the reference's nom
+    * combinators skip `/*...*/` block comments (and line comments)
+    * between ANY two tokens, so `create /*c*/table/*c*/ aaa.bbb`
+    * parses like `create table aaa.bbb` (ddl_parser.rs test battery,
+    * `test_create_table_with_schema_mysql` "comments" vectors).
+    * Backtick/double-quote/single-quote spans are protected: a `#` or
+    * `--` INSIDE an identifier like `` `special_#@*_table` `` is
+    * identifier text, not a comment.
+    */
+  private[meta] def stripComments(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == quote) quote = 0
+        i += 1
+      } else if (c == '`' || c == '"' || c == '\'') {
+        quote = c; out.append(c); i += 1
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        val end = s.indexOf("*/", i + 2)
+        if (end < 0) { out.append(s.substring(i)); i = s.length }
+        else { out.append(' '); i = end + 2 }
+      } else if ((c == '#') ||
+          (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-')) {
+        val nl = s.indexOf('\n', i)
+        if (nl < 0) i = s.length else { out.append(' '); i = nl }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** Parse one statement; multi-object DROP/RENAME yield several
     * statements (reference `split_to_multi`).
     */
   def parse(sql: String): Seq[DdlStatement] = {
-    val s = sql.trim.stripSuffix(";")
+    val s = stripComments(sql).trim.stripSuffix(";").trim
     var m = createDbRe.matcher(s)
     if (m.matches())
       return Seq(CreateDatabase(unq(m, 2), m.group(1) != null))

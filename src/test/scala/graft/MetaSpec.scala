@@ -26,6 +26,60 @@ class MetaSpec extends SparkSuite {
       Seq(AlterTable(None, "t", "ADD COLUMN c INT")))
   }
 
+  test("ddl parse: reference comment/spacing/special-char battery") {
+    // the ddl_parser.rs test_create_table_with_schema_mysql vectors:
+    // every surface form must land on the same parsed statement
+    val want = Seq(CreateTable(Some("aaa"), "bbb", "(id int)",
+      ifNotExists = false))
+    for (sql <- Seq(
+        "create table aaa.bbb (id int)",
+        "create table `aaa`.`bbb` (id int)",
+        "  create   table  aaa . bbb   (id int)  ",
+        "  create   table  `aaa` . `bbb`   (id int)  ",
+        "create /*some comments,*/table/*some comments*/ `aaa`.`bbb` " +
+          "(id int)"))
+      assert(parse(sql) == want, sql)
+    assert(parse("create /*c,*/table/*c*/ if  not  exists  `aaa` .  " +
+      "`bbb` (id int)  ") ==
+      Seq(CreateTable(Some("aaa"), "bbb", "(id int)",
+        ifNotExists = true)))
+    // special characters stay identifier text inside quoting — `#`
+    // and `--` are comment starters only OUTSIDE quotes
+    assert(parse("create table `special_character_$1#@*_table` (id int)")
+      == Seq(CreateTable(None, "special_character_$1#@*_table",
+        "(id int)", ifNotExists = false)))
+    assert(parse("CREATE TABLE IF NOT EXISTS `test_db_*.*`.bbb(id int);")
+      == Seq(CreateTable(Some("test_db_*.*"), "bbb", "(id int)",
+        ifNotExists = true)))
+    assert(parse("CREATE TABLE IF NOT EXISTS " +
+      "`中文.others*&^%$#@!+_)(&^%#`.`中文!@$#$%^&*&(_+)`(id int);") ==
+      Seq(CreateTable(Some("中文.others*&^%$#@!+_)(&^%#"),
+        "中文!@$#$%^&*&(_+)", "(id int)", ifNotExists = true)))
+    // keyword-named identifiers parse as names (query.match)
+    assert(parse("create table query.match (id int)") ==
+      Seq(CreateTable(Some("query"), "match", "(id int)",
+        ifNotExists = false)))
+    // comments + spacing on the other statement families
+    assert(parse("drop /*c*/ table /*c*/ if exists aaa.bbb") ==
+      Seq(DropTable(Some("aaa"), "bbb", ifExists = true)))
+    assert(parse("truncate /*c*/ table  `aaa` . `bbb` ") ==
+      Seq(TruncateTable(Some("aaa"), "bbb")))
+    assert(parse("alter /*c*/ table aaa.bbb add column c int -- note") ==
+      Seq(AlterTable(Some("aaa"), "bbb", "add column c int")))
+    assert(parse("create database /*c*/ if not exists `test_db_*.*` ;")
+      == Seq(CreateDatabase("test_db_*.*", ifNotExists = true)))
+    assert(parse("CREATE SCHEMA IF NOT EXISTS \"test_db_*.*\" ;") ==
+      Seq(CreateSchema("test_db_*.*", ifNotExists = true)))
+    // line comments: MySQL '#' and standard '--' end at the newline
+    assert(parse("create table t (id int) # trailing\n") ==
+      Seq(CreateTable(None, "t", "(id int)", ifNotExists = false)))
+    // unterminated block comment stays verbatim (no silent data loss,
+    // no crash) — here it rides along inside the body capture
+    assert(parse("create table t (id int) /* open") ==
+      Seq(CreateTable(None, "t", "(id int) /* open",
+        ifNotExists = false)))
+  }
+
   test("ddl parse: multi-object drop/rename split (split_to_multi)") {
     assert(parse("DROP TABLE IF EXISTS a.t1, b.t2, t3") == Seq(
       DropTable(Some("a"), "t1", ifExists = true),
