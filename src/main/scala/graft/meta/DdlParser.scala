@@ -68,6 +68,25 @@ object DdlParser {
       alteration: String) extends DdlStatement {
     def render = s"ALTER TABLE ${qt(db, tb)} $alteration"
   }
+  /** `ALTER TABLE x RENAME [TO|AS] y` — the reference models this as a
+    * dedicated statement (ddl_statement.rs MysqlAlterTableRename /
+    * PgAlterTableRename) precisely so the router can rewrite BOTH
+    * namespaces; folding it into the free-text alteration would leave
+    * the rename target unrouted. Canonical render is the reference's
+    * `RENAME TO` form regardless of the surface spelling.
+    */
+  final case class AlterTableRename(db: Option[String], tb: String,
+      newDb: Option[String], newTb: String) extends DdlStatement {
+    def render = s"ALTER TABLE ${qt(db, tb)} RENAME TO ${qt(newDb, newTb)}"
+  }
+  /** PG `ALTER TABLE s.t SET SCHEMA s2` (ddl_statement.rs
+    * PgAlterTableSetSchema) — the new schema must route through the
+    * schema map like any other namespace.
+    */
+  final case class AlterTableSetSchema(db: Option[String], tb: String,
+      newSchema: String) extends DdlStatement {
+    def render = s"ALTER TABLE ${qt(db, tb)} SET SCHEMA ${q(newSchema)}"
+  }
   final case class RenameTable(fromDb: Option[String], fromTb: String,
       toDb: Option[String], toTb: String) extends DdlStatement {
     def render =
@@ -141,6 +160,12 @@ object DdlParser {
   private val alterSchemaRe =
     re(s"^\\s*ALTER\\s+SCHEMA\\s+$id\\s+(.+)$$")
   private val renameToRe = re(s"^RENAME\\s+TO\\s+$id\\s*$$")
+  // table-level rename: RENAME / RENAME TO / RENAME AS <qual> — but
+  // NOT `RENAME COLUMN a TO b` / `RENAME INDEX x TO y` sub-clauses
+  private val alterRenameRe = re(
+    s"^RENAME\\s+(?:TO\\s+|AS\\s+)?(?!COLUMN\\b|INDEX\\b|KEY\\b)" +
+      s"$qual\\s*$$")
+  private val alterSetSchemaRe = re(s"^SET\\s+SCHEMA\\s+$id\\s*$$")
   private val createTbRe =
     re(s"^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$qual\\s*(\\(.*)$$")
   private val dropTbRe =
@@ -267,7 +292,16 @@ object DdlParser {
     m = alterRe.matcher(s)
     if (m.matches()) {
       val (db, tb) = qualName(m, 1)
-      return Seq(AlterTable(db, tb, m.group(7).trim))
+      val alteration = m.group(7).trim
+      val rm = alterRenameRe.matcher(alteration)
+      if (rm.matches()) {
+        val (ndb, ntb) = qualName(rm, 1)
+        return Seq(AlterTableRename(db, tb, ndb, ntb))
+      }
+      val sm = alterSetSchemaRe.matcher(alteration)
+      if (sm.matches())
+        return Seq(AlterTableSetSchema(db, tb, unq(sm, 1)))
+      return Seq(AlterTable(db, tb, alteration))
     }
     Seq(RawDdl(s))
   }
@@ -286,7 +320,10 @@ object DdlParser {
     case _: CreateTable => "create_table"
     case _: DropTable => "drop_table"
     case _: TruncateTable => "truncate_table"
-    case _: AlterTable => "alter_table"
+    // the reference types both rename-via-alter and SET SCHEMA as
+    // AlterTable (ddl_parser.rs test_alter_rename_table_*)
+    case _: AlterTable | _: AlterTableRename |
+        _: AlterTableSetSchema => "alter_table"
     case _: RenameTable => "rename_table"
     case _: CreateIndex => "create_index"
     case _: DropIndex => "drop_index"
@@ -309,6 +346,8 @@ object DdlParser {
       case DropTable(db, tb, _) => (db.getOrElse(defaultDb), tb)
       case TruncateTable(db, tb) => (db.getOrElse(defaultDb), tb)
       case AlterTable(db, tb, _) => (db.getOrElse(defaultDb), tb)
+      case AlterTableRename(db, tb, _, _) => (db.getOrElse(defaultDb), tb)
+      case AlterTableSetSchema(db, tb, _) => (db.getOrElse(defaultDb), tb)
       case RenameTable(fdb, ftb, _, _) => (fdb.getOrElse(defaultDb), ftb)
       case CreateIndex(_, db, tb, _) => (db.getOrElse(defaultDb), tb)
       case DropIndex(_, db, tb) => (db.getOrElse(defaultDb), tb)
@@ -354,6 +393,14 @@ object DdlParser {
         val (d2, t2) = rt(db, tb); t.copy(db = d2, tb = t2)
       case a @ AlterTable(db, tb, _) =>
         val (d2, t2) = rt(db, tb); a.copy(db = d2, tb = t2)
+      case AlterTableRename(db, tb, ndb, ntb) =>
+        // both namespaces route, like RENAME TABLE
+        val (d2, t2) = rt(db, tb)
+        val (nd2, nt2) = rt(ndb, ntb)
+        AlterTableRename(d2, t2, nd2, nt2)
+      case AlterTableSetSchema(db, tb, newSchema) =>
+        val (d2, t2) = rt(db, tb)
+        AlterTableSetSchema(d2, t2, router.routeTable(newSchema, "*")._1)
       case RenameTable(fdb, ftb, tdb, ttb) =>
         val (f2, ft2) = rt(fdb, ftb)
         val (t2, tt2) = rt(tdb, ttb)

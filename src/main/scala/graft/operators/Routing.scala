@@ -47,9 +47,10 @@ object Routing {
       |FROM customer""".stripMargin
 
   /** q108 — the DDL statement lane as a distributed query: every
-    * supplier row deterministically generates one DDL statement (8
+    * supplier row deterministically generates one DDL statement (10
     * shapes spanning the schema / database / table families incl. the
-    * round-9 CREATE/DROP/ALTER SCHEMA + ALTER DATABASE variants), and
+    * round-9 CREATE/DROP/ALTER SCHEMA + ALTER DATABASE variants and
+    * the typed ALTER TABLE RENAME / SET SCHEMA forms), and
     * each parses, classifies (reference ddl_type.rs spellings),
     * targets, and re-renders on the executors. The generator is
     * invertible, so the DuckDB oracle states the expected
@@ -65,7 +66,7 @@ object Routing {
           .as("nm"))
       .as[(Long, String)]
     src.map { case (id, nm) =>
-      val sql = (id % 8) match {
+      val sql = (id % 10) match {
         case 0 => s"CREATE SCHEMA IF NOT EXISTS s_$nm"
         case 1 => s"DROP SCHEMA s_$nm CASCADE"
         case 2 => s"ALTER SCHEMA s_$nm RENAME TO t_$nm"
@@ -73,7 +74,10 @@ object Routing {
         case 4 => s"CREATE TABLE db_$nm.t_$id (id INT)"
         case 5 => s"DROP TABLE IF EXISTS db_$nm.t_$id"
         case 6 => s"TRUNCATE TABLE db_$nm.t_$id"
-        case _ => s"RENAME TABLE db_$nm.t_$id TO db_$nm.u_$id"
+        case 7 => s"RENAME TABLE db_$nm.t_$id TO db_$nm.u_$id"
+        // comment-riddled surface forms on purpose: the lane strips
+        case 8 => s"alter /*c*/ table db_$nm.t_$id rename as v_$id"
+        case _ => s"ALTER TABLE db_$nm.t_$id SET SCHEMA arch_$nm"
       }
       val stmt = DdlParser.parse(sql).head
       val (sc, tb) = DdlParser.target(stmt, "def")
@@ -87,18 +91,19 @@ object Routing {
       |    regexp_replace(lower(s_name), '[^a-z0-9]+', '_', 'g') AS nm
       |  FROM supplier)
       |SELECT stmt_id,
-      |  CASE stmt_id % 8
+      |  CASE stmt_id % 10
       |    WHEN 0 THEN 'create_schema' WHEN 1 THEN 'drop_schema'
       |    WHEN 2 THEN 'alter_schema' WHEN 3 THEN 'alter_database'
       |    WHEN 4 THEN 'create_table' WHEN 5 THEN 'drop_table'
-      |    WHEN 6 THEN 'truncate_table' ELSE 'rename_table'
+      |    WHEN 6 THEN 'truncate_table' WHEN 7 THEN 'rename_table'
+      |    ELSE 'alter_table'
       |  END AS ddl_type,
-      |  CASE WHEN stmt_id % 8 IN (0, 1, 2) THEN 's_' || nm
-      |    WHEN stmt_id % 8 = 3 THEN 'd_' || nm
+      |  CASE WHEN stmt_id % 10 IN (0, 1, 2) THEN 's_' || nm
+      |    WHEN stmt_id % 10 = 3 THEN 'd_' || nm
       |    ELSE 'db_' || nm END AS schema_name,
-      |  CASE WHEN stmt_id % 8 IN (0, 1, 2, 3) THEN ''
+      |  CASE WHEN stmt_id % 10 IN (0, 1, 2, 3) THEN ''
       |    ELSE 't_' || stmt_id END AS tb,
-      |  CASE stmt_id % 8
+      |  CASE stmt_id % 10
       |    WHEN 0 THEN 'CREATE SCHEMA IF NOT EXISTS `s_' || nm || '`'
       |    WHEN 1 THEN 'DROP SCHEMA `s_' || nm || '`'
       |    WHEN 2 THEN 'ALTER SCHEMA `s_' || nm
@@ -110,8 +115,12 @@ object Routing {
       |      || stmt_id || '`'
       |    WHEN 6 THEN 'TRUNCATE TABLE `db_' || nm || '`.`t_'
       |      || stmt_id || '`'
-      |    ELSE 'RENAME TABLE `db_' || nm || '`.`t_' || stmt_id
+      |    WHEN 7 THEN 'RENAME TABLE `db_' || nm || '`.`t_' || stmt_id
       |      || '` TO `db_' || nm || '`.`u_' || stmt_id || '`'
+      |    WHEN 8 THEN 'ALTER TABLE `db_' || nm || '`.`t_' || stmt_id
+      |      || '` RENAME TO `v_' || stmt_id || '`'
+      |    ELSE 'ALTER TABLE `db_' || nm || '`.`t_' || stmt_id
+      |      || '` SET SCHEMA `arch_' || nm || '`'
       |  END AS rendered
       |FROM src""".stripMargin
 

@@ -92,6 +92,10 @@ object DdlAwarePipeline {
                   meta.invalidate(db.getOrElse(defaultDb), tb)
                 case DdlParser.RenameTable(fdb, ftb, _, _) =>
                   meta.invalidate(fdb.getOrElse(defaultDb), ftb)
+                case DdlParser.AlterTableRename(db, tb, _, _) =>
+                  meta.invalidate(db.getOrElse(defaultDb), tb)
+                case DdlParser.AlterTableSetSchema(db, tb, _) =>
+                  meta.invalidate(db.getOrElse(defaultDb), tb)
                 case DdlParser.TruncateTable(db, tb) =>
                   meta.invalidate(db.getOrElse(defaultDb), tb)
                 case DdlParser.MongoCommand(_, sc, tb, _, _, _)

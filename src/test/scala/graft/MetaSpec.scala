@@ -80,6 +80,46 @@ class MetaSpec extends SparkSuite {
         ifNotExists = false)))
   }
 
+  test("ddl parse: alter-rename and set-schema are typed statements " +
+      "with routable targets") {
+    import graft.meta.DdlParser.{AlterTableRename, AlterTableSetSchema}
+    // ddl_parser.rs test_alter_rename_table_mysql: RENAME / AS / TO
+    // all canonicalize to RENAME TO
+    for (sql <- Seq(
+        "ALTER TABLE tb_2 RENAME  tb_3",
+        "alter table tb_2 rename as tb_3",
+        "alter table tb_2 rename to tb_3")) {
+      val Seq(r) = parse(sql)
+      assert(r == AlterTableRename(None, "tb_2", None, "tb_3"), sql)
+      assert(r.render == "ALTER TABLE `tb_2` RENAME TO `tb_3`")
+      assert(ddlType(r) == "alter_table")
+    }
+    val Seq(q) = parse("alter table `db_1`.tb_2 rename to `db_2`.tb_3")
+    assert(q == AlterTableRename(Some("db_1"), "tb_2",
+      Some("db_2"), "tb_3"))
+    assert(q.render == "ALTER TABLE `db_1`.`tb_2` RENAME TO " +
+      "`db_2`.`tb_3`")
+    // RENAME COLUMN / INDEX sub-clauses stay plain alterations
+    assert(parse("ALTER TABLE t RENAME COLUMN a TO b") ==
+      Seq(AlterTable(None, "t", "RENAME COLUMN a TO b")))
+    assert(parse("ALTER TABLE t RENAME INDEX i1 TO i2") ==
+      Seq(AlterTable(None, "t", "RENAME INDEX i1 TO i2")))
+    // PG SET SCHEMA: the new schema is a routable namespace
+    val Seq(ss) = parse("ALTER TABLE sales.orders SET SCHEMA archive")
+    assert(ss == AlterTableSetSchema(Some("sales"), "orders", "archive"))
+    assert(ss.render ==
+      "ALTER TABLE `sales`.`orders` SET SCHEMA `archive`")
+    // routing rewrites BOTH namespaces of a rename, and the SET
+    // SCHEMA target through the schema map
+    val router = graft.operators.Router(
+      schemaMap = Map("db_1" -> "r1", "db_2" -> "r2",
+        "sales" -> "s2", "archive" -> "a2"))
+    assert(DdlParser.route(q, router, "def") ==
+      AlterTableRename(Some("r1"), "tb_2", Some("r2"), "tb_3"))
+    assert(DdlParser.route(ss, router, "def") ==
+      AlterTableSetSchema(Some("s2"), "orders", "a2"))
+  }
+
   test("ddl parse: multi-object drop/rename split (split_to_multi)") {
     assert(parse("DROP TABLE IF EXISTS a.t1, b.t2, t3") == Seq(
       DropTable(Some("a"), "t1", ifExists = true),
