@@ -51,10 +51,18 @@ object DdlParser {
       case None => s"ALTER SCHEMA ${q(schema)} $unparsed"
     }
   }
+  /** `modifier` carries table persistence qualifiers as written —
+    * TEMPORARY / temp / GLOBAL TEMPORARY / UNLOGGED — the reference
+    * keeps the source spelling in to_sql
+    * (test_create_table_with_temporary_pg).
+    */
   final case class CreateTable(db: Option[String], tb: String,
-      body: String, ifNotExists: Boolean) extends DdlStatement {
-    def render =
-      s"CREATE TABLE ${ine(ifNotExists)}${qt(db, tb)} $body"
+      body: String, ifNotExists: Boolean, modifier: String = "")
+      extends DdlStatement {
+    def render = {
+      val m = if (modifier.isEmpty) "" else s"$modifier "
+      s"CREATE ${m}TABLE ${ine(ifNotExists)}${qt(db, tb)} $body"
+    }
   }
   final case class DropTable(db: Option[String], tb: String,
       ifExists: Boolean) extends DdlStatement {
@@ -93,12 +101,22 @@ object DdlParser {
       s"RENAME TABLE ${qt(fromDb, fromTb)} TO ${qt(toDb, toTb)}"
   }
   final case class CreateIndex(index: String, db: Option[String],
-      tb: String, cols: String) extends DdlStatement {
-    def render = s"CREATE INDEX ${q(index)} ON ${qt(db, tb)} ($cols)"
+      tb: String, cols: String, unique: Boolean = false,
+      using: String = "") extends DdlStatement {
+    def render = {
+      val u = if (unique) "UNIQUE " else ""
+      // the reference canonicalizes the index method to upper case
+      // (test_create_index_mysql: `using  btree` → `USING BTREE`)
+      val m = if (using.isEmpty) "" else s"USING ${using.toUpperCase} "
+      s"CREATE ${u}INDEX ${q(index)} ${m}ON ${qt(db, tb)} ($cols)"
+    }
   }
-  final case class DropIndex(index: String, db: Option[String], tb: String)
-      extends DdlStatement {
-    def render = s"DROP INDEX ${q(index)} ON ${qt(db, tb)}"
+  final case class DropIndex(index: String, db: Option[String],
+      tb: String, trailing: String = "") extends DdlStatement {
+    def render = {
+      val t = if (trailing.isEmpty) "" else s" $trailing"
+      s"DROP INDEX ${q(index)} ON ${qt(db, tb)}$t"
+    }
   }
   /** A MongoDB DDL carried by the change stream (showExpandedEvents) —
     * the reference's MongoCommandStatement (ddl_statement.rs:296) +
@@ -167,7 +185,8 @@ object DdlParser {
       s"$qual\\s*$$")
   private val alterSetSchemaRe = re(s"^SET\\s+SCHEMA\\s+$id\\s*$$")
   private val createTbRe =
-    re(s"^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$qual\\s*(\\(.*)$$")
+    re(s"^\\s*CREATE\\s+((?:(?:GLOBAL|LOCAL)\\s+)?(?:TEMPORARY|TEMP)\\s+" +
+      s"|UNLOGGED\\s+)?TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$qual\\s*(\\(.*)$$")
   private val dropTbRe =
     re(s"^\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?(.*)$$")
   private val truncateRe =
@@ -178,9 +197,10 @@ object DdlParser {
     re(s"^\\s*RENAME\\s+TABLE\\s+(.*)$$")
   private val renamePairRe = re(s"^\\s*$qual\\s+TO\\s+$qual\\s*$$")
   private val createIdxRe =
-    re(s"^\\s*CREATE\\s+(?:UNIQUE\\s+)?INDEX\\s+$id\\s+ON\\s+$qual\\s*\\((.*)\\)\\s*$$")
+    re(s"^\\s*CREATE\\s+(UNIQUE\\s+)?INDEX\\s+$id\\s*" +
+      s"(?:USING\\s+(\\w+)\\s+)?ON\\s+$qual\\s*\\((.*)\\)\\s*$$")
   private val dropIdxRe =
-    re(s"^\\s*DROP\\s+INDEX\\s+$id\\s+ON\\s+$qual\\s*$$")
+    re(s"^\\s*DROP\\s+INDEX\\s+$id\\s+ON\\s+$qual\\s*(.*)$$")
   private val qualOnlyRe = re(s"^\\s*$qual\\s*$$")
 
   /** Strip SQL comments outside quoted spans — the reference's nom
@@ -248,9 +268,10 @@ object DdlParser {
     }
     m = createTbRe.matcher(s)
     if (m.matches()) {
-      val (db, tb) = qualName(m, 2)
-      return Seq(CreateTable(db, tb, m.group(8).trim,
-        m.group(1) != null))
+      val (db, tb) = qualName(m, 3)
+      val modifier = Option(m.group(1)).map(_.trim).getOrElse("")
+      return Seq(CreateTable(db, tb, m.group(9).trim,
+        m.group(2) != null, modifier))
     }
     m = dropTbRe.matcher(s)
     if (m.matches()) {
@@ -281,13 +302,15 @@ object DdlParser {
     }
     m = createIdxRe.matcher(s)
     if (m.matches()) {
-      val (db, tb) = qualName(m, 4)
-      return Seq(CreateIndex(unq(m, 1), db, tb, m.group(10).trim))
+      val (db, tb) = qualName(m, 6)
+      return Seq(CreateIndex(unq(m, 2), db, tb, m.group(12).trim,
+        m.group(1) != null, Option(m.group(5)).getOrElse("")))
     }
     m = dropIdxRe.matcher(s)
     if (m.matches()) {
       val (db, tb) = qualName(m, 4)
-      return Seq(DropIndex(unq(m, 1), db, tb))
+      return Seq(DropIndex(unq(m, 1), db, tb,
+        Option(m.group(10)).map(_.trim).getOrElse("")))
     }
     m = alterRe.matcher(s)
     if (m.matches()) {
@@ -342,15 +365,15 @@ object DdlParser {
       case DropSchema(sc, _) => (sc, "")
       case AlterSchema(sc, _, _) => (sc, "")
       case MongoCommand(_, sc, tb, _, _, _) => (sc, tb)
-      case CreateTable(db, tb, _, _) => (db.getOrElse(defaultDb), tb)
+      case c: CreateTable => (c.db.getOrElse(defaultDb), c.tb)
       case DropTable(db, tb, _) => (db.getOrElse(defaultDb), tb)
       case TruncateTable(db, tb) => (db.getOrElse(defaultDb), tb)
       case AlterTable(db, tb, _) => (db.getOrElse(defaultDb), tb)
       case AlterTableRename(db, tb, _, _) => (db.getOrElse(defaultDb), tb)
       case AlterTableSetSchema(db, tb, _) => (db.getOrElse(defaultDb), tb)
       case RenameTable(fdb, ftb, _, _) => (fdb.getOrElse(defaultDb), ftb)
-      case CreateIndex(_, db, tb, _) => (db.getOrElse(defaultDb), tb)
-      case DropIndex(_, db, tb) => (db.getOrElse(defaultDb), tb)
+      case i: CreateIndex => (i.db.getOrElse(defaultDb), i.tb)
+      case i: DropIndex => (i.db.getOrElse(defaultDb), i.tb)
       case _: RawDdl => (defaultDb, "")
     }
 
@@ -385,8 +408,8 @@ object DdlParser {
           val (ns2, nt2) = router.routeTable(newSc, newTb)
           mc.copy(schema = s2, tb = t2, newSchema = ns2, newTb = nt2)
         } else mc.copy(schema = s2, tb = t2)
-      case c @ CreateTable(db, tb, _, _) =>
-        val (d2, t2) = rt(db, tb); c.copy(db = d2, tb = t2)
+      case c: CreateTable =>
+        val (d2, t2) = rt(c.db, c.tb); c.copy(db = d2, tb = t2)
       case d @ DropTable(db, tb, _) =>
         val (d2, t2) = rt(db, tb); d.copy(db = d2, tb = t2)
       case t @ TruncateTable(db, tb) =>
@@ -405,10 +428,10 @@ object DdlParser {
         val (f2, ft2) = rt(fdb, ftb)
         val (t2, tt2) = rt(tdb, ttb)
         RenameTable(f2, ft2, t2, tt2)
-      case i @ CreateIndex(_, db, tb, _) =>
-        val (d2, t2) = rt(db, tb); i.copy(db = d2, tb = t2)
-      case i @ DropIndex(_, db, tb) =>
-        val (d2, t2) = rt(db, tb); i.copy(db = d2, tb = t2)
+      case i: CreateIndex =>
+        val (d2, t2) = rt(i.db, i.tb); i.copy(db = d2, tb = t2)
+      case i: DropIndex =>
+        val (d2, t2) = rt(i.db, i.tb); i.copy(db = d2, tb = t2)
       case r: RawDdl => r
     }
   }

@@ -120,6 +120,50 @@ class MetaSpec extends SparkSuite {
       AlterTableSetSchema(Some("s2"), "orders", "a2"))
   }
 
+  test("ddl parse: index forms and table persistence modifiers") {
+    import graft.meta.DdlParser.{CreateIndex, CreateTable, DropIndex}
+    // ddl_parser.rs test_create_index_mysql: expression columns,
+    // UNIQUE + USING canonicalization, keyword-named index/table
+    val Seq(i1) = parse(
+      "create index idx2 on t1 ((col1 + col2), (col1 - col2), col1);")
+    assert(i1 == CreateIndex("idx2", None, "t1",
+      "(col1 + col2), (col1 - col2), col1"))
+    assert(i1.render ==
+      "CREATE INDEX `idx2` ON `t1` ((col1 + col2), (col1 - col2), col1)")
+    val Seq(i2) = parse("create unique index `idx2` using  btree  on " +
+      "`d1`.`t1`((col1 + col2), (col1 - col2), col1);")
+    assert(i2 == CreateIndex("idx2", Some("d1"), "t1",
+      "(col1 + col2), (col1 - col2), col1", unique = true,
+      using = "btree"))
+    assert(i2.render == "CREATE UNIQUE INDEX `idx2` USING BTREE ON " +
+      "`d1`.`t1` ((col1 + col2), (col1 - col2), col1)")
+    val Seq(i3) = parse("create index query on db1.match(a,b);")
+    assert(i3 == CreateIndex("query", Some("db1"), "match", "a,b"))
+    // test_drop_index_mysql: trailing options ride along
+    val Seq(d1) = parse("drop index index1 on t1 algorithm=default;")
+    assert(d1 == DropIndex("index1", None, "t1", "algorithm=default"))
+    assert(d1.render == "DROP INDEX `index1` ON `t1` algorithm=default")
+    assert(parse("drop index `index1` on `d1`.`t1` algorithm=default;")
+      == Seq(DropIndex("index1", Some("d1"), "t1", "algorithm=default")))
+    // test_create_table_with_temporary_pg: persistence modifiers keep
+    // their source spelling
+    for ((sql, mod, tb) <- Seq(
+        ("create UNLOGGED table tb_1(ts TIMESTAMP);", "UNLOGGED", "tb_1"),
+        ("create TEMPORARY table tb_2(ts TIMESTAMP);", "TEMPORARY",
+          "tb_2"),
+        ("create temp table tb_3(ts TIMESTAMP);", "temp", "tb_3"),
+        ("create GLOBAL TEMPORARY table tb_4(ts TIMESTAMP) ON COMMIT " +
+          "DELETE ROWS;", "GLOBAL TEMPORARY", "tb_4"),
+        ("create local temp table tb_5(ts TIMESTAMP);", "local temp",
+          "tb_5"))) {
+      val Seq(c) = parse(sql)
+      val ct = c.asInstanceOf[CreateTable]
+      assert(ct.tb == tb && ct.modifier == mod, sql)
+    }
+    assert(parse("create TEMPORARY table tb_2(ts TIMESTAMP);").head
+      .render == "CREATE TEMPORARY TABLE `tb_2` (ts TIMESTAMP)")
+  }
+
   test("ddl parse: multi-object drop/rename split (split_to_multi)") {
     assert(parse("DROP TABLE IF EXISTS a.t1, b.t2, t3") == Seq(
       DropTable(Some("a"), "t1", ifExists = true),
@@ -175,7 +219,7 @@ class MetaSpec extends SparkSuite {
 
   test("ddl parse: index + unknown → raw") {
     assert(parse("CREATE UNIQUE INDEX idx ON app.t (a, b)") ==
-      Seq(CreateIndex("idx", Some("app"), "t", "a, b")))
+      Seq(CreateIndex("idx", Some("app"), "t", "a, b", unique = true)))
     assert(parse("DROP INDEX idx ON t") ==
       Seq(DropIndex("idx", None, "t")))
     assert(parse("OPTIMIZE TABLE weird") ==
