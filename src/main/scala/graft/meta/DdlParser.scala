@@ -161,9 +161,13 @@ object DdlParser {
     if (second == null) (None, first) else (Some(first), second)
   }
 
+  // DOTALL: statements arrive multi-line (ddl_parser.rs
+  // test_create_table_multi_lines_pg) — a table body spanning lines
+  // must still reach the body capture
   private def re(p: String) =
     java.util.regex.Pattern.compile(p,
-      java.util.regex.Pattern.CASE_INSENSITIVE)
+      java.util.regex.Pattern.CASE_INSENSITIVE |
+        java.util.regex.Pattern.DOTALL)
 
   private val createDbRe =
     re(s"^\\s*CREATE\\s+DATABASE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$id\\s*$$")

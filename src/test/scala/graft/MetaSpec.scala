@@ -73,6 +73,13 @@ class MetaSpec extends SparkSuite {
     // line comments: MySQL '#' and standard '--' end at the newline
     assert(parse("create table t (id int) # trailing\n") ==
       Seq(CreateTable(None, "t", "(id int)", ifNotExists = false)))
+    // multi-line statements parse whole (ddl_parser.rs
+    // test_create_table_multi_lines_pg): line comment mid-statement,
+    // name and body on their own lines, body newlines preserved
+    assert(parse("CREATE TABLE -- some comments\n  IF NOT EXISTS \n" +
+      "  db_1.tb_1 \n  (id int,\n  value int);") ==
+      Seq(CreateTable(Some("db_1"), "tb_1", "(id int,\n  value int)",
+        ifNotExists = true)))
     // unterminated block comment stays verbatim (no silent data loss,
     // no crash) — here it rides along inside the body capture
     assert(parse("create table t (id int) /* open") ==
