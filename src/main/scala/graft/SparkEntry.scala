@@ -40,7 +40,8 @@ object SparkEntry {
       Relational3.queries ++ MongoOps.queries ++ BinlogReplay.queries ++
       graft.plans.PlanQueries.queries ++ CorpusOps.queries ++
       ScaleOps.queries ++ HygieneOps.queries ++
-      ChunkRebalancer.queries ++ BpeLearn.queries ++ PackingOps.queries
+      ChunkRebalancer.queries ++ BpeLearn.queries ++ PackingOps.queries ++
+      LoaderOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -53,5 +54,6 @@ object SparkEntry {
       Relational3.oracles ++ MongoOps.oracles ++ BinlogReplay.oracles ++
       graft.plans.PlanQueries.oracles ++ CorpusOps.oracles ++
       ScaleOps.oracles ++ HygieneOps.oracles ++
-      ChunkRebalancer.oracles ++ BpeLearn.oracles ++ PackingOps.oracles
+      ChunkRebalancer.oracles ++ BpeLearn.oracles ++ PackingOps.oracles ++
+      LoaderOps.oracles
 }

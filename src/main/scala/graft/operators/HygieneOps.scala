@@ -481,6 +481,80 @@ object HygieneOps {
        |WHERE b.source <> 'src0'""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q118
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    * — the MOSS local fingerprinting algorithm): over the positional
+    * 5-gram rolling hashes (the q105 leaf), every window of
+    * [[WinnowWindow]] consecutive gram hashes contributes its minimum
+    * hash — rightmost position on ties, the paper's robust-winnowing
+    * choice — and the distinct selected (position, hash) pairs are the
+    * document's fingerprints. Guarantee: any match of at least
+    * w + 5 − 1 = 8 consecutive tokens between two documents shares at
+    * least one fingerprint, so fingerprint equality is a LOCAL overlap
+    * witness (it says where, unlike MinHash's set-level signature)
+    * at a bounded ≈ 2/(w+1) fingerprint density.
+    *
+    * Scale shape: entirely map-side per document — window minima are
+    * computed inside array HOFs over the native shingle-hash array (no
+    * explode of the gram stream, no shuffle until the final distinct,
+    * which moves only (long, long, long) fingerprint triples). The
+    * oracle is the explode+group form of the same selection.
+    */
+  val WinnowWindow = 4
+
+  def winnow(spark: SparkSession, dir: String): DataFrame =
+    winnowOf(Tables.documents(spark, dir))
+
+  def winnowOf(docs: DataFrame): DataFrame = {
+    val w = WinnowWindow
+    val base = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.shingleHashesPos(col("text"))
+          .as("hs"))
+      .withColumn("ng", size(col("hs")))
+      .filter(col("ng") > 0)
+    base.select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), greatest(col("ng") - w, lit(0))),
+          wi => {
+            val mh = array_min(slice(col("hs"), wi + 1, lit(w)))
+            struct(
+              aggregate(
+                sequence(wi, least(wi + (w - 1), col("ng") - 1)),
+                lit(-1L),
+                (acc, i) => when(
+                  element_at(col("hs"), (i + 1).cast("int")) === mh,
+                  i.cast("long")).otherwise(acc)).as("pos"),
+              mh.as("h"))
+          })).as("fp"))
+      .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
+      .distinct()
+  }
+
+  val winnowSql: String = {
+    val toks = TextOps.tokensSql("text")
+    s"""WITH base AS (SELECT doc_id, $toks AS w FROM documents),
+       |g AS (SELECT doc_id,
+       |    unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS i, w
+       |  FROM base),
+       |gr AS (SELECT doc_id, i - 1 AS s, len(w) - 4 AS ng,
+       |    array_to_string(w[i:i+4], ' ') AS gram
+       |  FROM g),
+       |grams AS (SELECT doc_id, s, ng,
+       |    ${TextOps.charFoldSql("gram")} AS h
+       |  FROM gr),
+       |wnd AS (SELECT doc_id, s, h, s - d.d AS win
+       |  FROM grams, (SELECT unnest(range(0, 4)) AS d) d
+       |  WHERE s - d.d >= 0 AND s - d.d <= greatest(ng - 4, 0)),
+       |mins AS (SELECT doc_id, win, min(h) AS mh
+       |  FROM wnd GROUP BY 1, 2),
+       |sel AS (SELECT w.doc_id, w.win, max(w.s) AS pos, w.h
+       |  FROM wnd w JOIN mins m
+       |    ON w.doc_id = m.doc_id AND w.win = m.win AND w.h = m.mh
+       |  GROUP BY w.doc_id, w.win, w.h)
+       |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h
+       |FROM sel""".stripMargin
+  }
+
   // -----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_containment" -> (containmentPairs _),
@@ -489,7 +563,8 @@ object HygieneOps {
     "q91_quantize_int8" -> (quantizeInt8 _),
     "q92_dedup_purge" -> (dedupPurge _),
     "q105_dup_spans" -> (dupSpans _),
-    "q114_contam_spans" -> (contamSpans _))
+    "q114_contam_spans" -> (contamSpans _),
+    "q118_winnowing" -> (winnow _))
 
   val oracles: Map[String, String] = Map(
     "q88_containment" -> containmentPairsSql,
@@ -498,5 +573,6 @@ object HygieneOps {
     "q91_quantize_int8" -> quantizeInt8Sql,
     "q92_dedup_purge" -> dedupPurgeSql,
     "q105_dup_spans" -> dupSpansSql,
-    "q114_contam_spans" -> contamSpansSql)
+    "q114_contam_spans" -> contamSpansSql,
+    "q118_winnowing" -> winnowSql)
 }

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-loader preparation operators: the step AFTER curation where
+  * a finished corpus is laid out for a data loader — a deterministic
+  * global shuffle into shards, and the multilingual sampling-temperature
+  * plan that decides how often each language is drawn.
+  *
+  * Both are pure arithmetic over portable builtins (md5, sqrt), so each
+  * has an exact DuckDB oracle.
+  */
+object LoaderOps {
+
+  /** Number of output shards for the q115 manifest (a loader would use
+    * thousands; the mechanics are shard-count-independent).
+    */
+  val NumShards = 8
+
+  /** Seed suffix folded into the shuffle key — changing it is a full,
+    * uncorrelated reshuffle.
+    */
+  val ShuffleSeed = ":shuffle42"
+
+  /** First 4 hex nibbles of the md5 hex digest in column `k` as an
+    * integer 0..65535. `instr` over a hex alphabet instead of a
+    * hex→int conversion builtin because BOTH engines evaluate it
+    * identically (conv/from_hex differ in shape between the two).
+    */
+  private def hexNibbles4: Column = {
+    def nib(i: Int): Column =
+      expr(s"instr('0123456789abcdef', substring(k, $i, 1)) - 1")
+    ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+  }
+
+  // ---------------------------------------------------------------- q115
+  /** Deterministic global shuffle into shards — the training-data layout
+    * step: every document gets a pseudo-random but reproducible shard
+    * and a dense 1-based position inside its shard, ordered by the md5
+    * shuffle key. Re-running with the same seed yields the identical
+    * layout (resumable preprocessing); changing the seed is an
+    * independent permutation (new data order per epoch strategy).
+    *
+    * Scale shape: the md5 key and shard are map-side; the per-shard
+    * position uses the grouped two-pass rank (range-partition on
+    * (shard, key), per-partition local ranks, a partitions×shards
+    * count table broadcast back as offsets — `CorpusOps.ccnetBucketsOf`)
+    * instead of a shard-sized window task. At 10⁹ documents each task
+    * ranks only its own range; the physical layout step would then be
+    * `repartitionByRange(shard, key)` + write, which this manifest
+    * already ordered.
+    */
+  def shardShuffle(spark: SparkSession, dir: String): DataFrame =
+    shardShuffleOf(spark, Tables.documents(spark, dir), NumShards)
+
+  def shardShuffleOf(spark: SparkSession, docs: DataFrame,
+      nShards: Int): DataFrame = {
+    import spark.implicits._
+    require(nShards >= 1 && nShards <= 65536, "shard count from 4 nibbles")
+    val keyed = docs.select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(ShuffleSeed)))
+          .as("k"))
+      .select(col("doc_id"), col("k"),
+        (hexNibbles4 % nShards).cast("int").as("shard"))
+
+    val nBuckets = spark.sessionState.conf.numShufflePartitions
+    val local = keyed
+      .repartitionByRange(nBuckets, col("shard"), col("k"), col("doc_id"))
+      .sortWithinPartitions(col("shard"), col("k"), col("doc_id"))
+      .as[(Long, String, Int)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var curShard = -1
+        var i = 0L
+        it.map { case (id, k, shard) =>
+          if (shard != curShard) { curShard = shard; i = 0L }
+          i += 1
+          (pid, id, shard, i)
+        }
+      }.toDF("pid", "doc_id", "shard", "local_pos")
+      .localCheckpoint(true)
+
+    // partition×shard count table → per-shard exclusive offsets in pid
+    // order plus per-shard totals; broadcast back (≤ partitions×shards
+    // rows of driver state)
+    val counts = local.groupBy(col("pid"), col("shard"))
+      .agg(count(lit(1)).as("c")).as[(Int, Int, Long)].collect()
+    val offsets = counts.sortBy(r => (r._2, r._1)).groupBy(_._2).toSeq
+      .flatMap { case (shard, rows) =>
+        var acc = 0L
+        val n = rows.map(_._3).sum
+        rows.map { case (pid, _, c) =>
+          val row = (pid, shard, acc, n); acc += c; row
+        }.toSeq
+      }.toDF("pid", "shard", "off", "shard_n")
+
+    local.join(broadcast(offsets), Seq("pid", "shard"))
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        (col("local_pos") + col("off")).as("pos"), col("shard_n"))
+  }
+
+  def shardShuffleSql(nShards: Int = NumShards): String =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    md5(CAST(doc_id AS VARCHAR) || '$ShuffleSeed') AS k
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, k,
+       |    (((instr('0123456789abcdef', substring(k, 1, 1)) - 1) * 16
+       |      + instr('0123456789abcdef', substring(k, 2, 1)) - 1) * 16
+       |      + instr('0123456789abcdef', substring(k, 3, 1)) - 1) * 16
+       |      + instr('0123456789abcdef', substring(k, 4, 1)) - 1 AS v
+       |  FROM k)
+       |SELECT doc_id, CAST(v % $nShards AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY v % $nShards
+       |    ORDER BY k, doc_id) AS BIGINT) AS pos,
+       |  CAST(count(*) OVER (PARTITION BY v % $nShards) AS BIGINT)
+       |    AS shard_n
+       |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- q117
+  /** Multilingual sampling-temperature plan (the XLM-R / mT5 α-sampling
+    * recipe): per-language draw weights ∝ p_lang^(α−1) so low-resource
+    * languages are up-sampled relative to their corpus share. α = 0.5
+    * here — weight = √(total/count) — because sqrt and IEEE division
+    * are correctly rounded in both engines (an arbitrary-α pow is
+    * libm territory and would break the exact oracle; integer and
+    * half-integer α cover the published recipes' shapes). Output: the
+    * raw weight, the weight relative to the most-boosted language, a
+    * permille keep/repeat rate, and the expected document draw count.
+    *
+    * Scale shape: one language-sized aggregate (|langs| rows), two
+    * 1-row broadcast frames for the total and the max weight. Nothing
+    * else moves.
+    */
+  def langTemperature(spark: SparkSession, dir: String): DataFrame =
+    langTemperatureOf(Tables.documents(spark, dir))
+
+  def langTemperatureOf(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("total"))
+    val weighted = counts.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"),
+        sqrt(col("total").cast("double") / col("n_docs"))
+          .as("samp_weight"))
+    val maxw = weighted.agg(max(col("samp_weight")).as("maxw"))
+    weighted.crossJoin(broadcast(maxw))
+      .select(col("lang"), col("n_docs"), col("samp_weight"),
+        (col("samp_weight") / col("maxw")).as("rel_weight"),
+        floor(col("samp_weight") / col("maxw") * 1000)
+          .cast("long").as("keep_permille"))
+      .withColumn("expected_docs",
+        expr("n_docs * keep_permille div 1000L"))
+  }
+
+  val langTemperatureSql: String =
+    """WITH c AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+      |w AS (
+      |  SELECT lang, n_docs,
+      |    sqrt(CAST(total AS DOUBLE) / n_docs) AS samp_weight
+      |  FROM c, t),
+      |m AS (SELECT max(samp_weight) AS maxw FROM w)
+      |SELECT lang, n_docs, samp_weight,
+      |  samp_weight / maxw AS rel_weight,
+      |  CAST(floor(samp_weight / maxw * 1000) AS BIGINT)
+      |    AS keep_permille,
+      |  CAST(n_docs * CAST(floor(samp_weight / maxw * 1000) AS BIGINT)
+      |    // 1000 AS BIGINT) AS expected_docs
+      |FROM w, m""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_shard_shuffle" -> (shardShuffle _),
+    "q117_lang_temperature" -> (langTemperature _))
+
+  val oracles: Map[String, String] = Map(
+    "q115_shard_shuffle" -> shardShuffleSql(),
+    "q117_lang_temperature" -> langTemperatureSql)
+}

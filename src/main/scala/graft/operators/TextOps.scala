@@ -556,7 +556,67 @@ object TextOps {
        |  ${charFoldSql("red")} AS red_fp FROM r""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q116
+  /** Encoding-hygiene (mojibake) detection: flags text carrying the
+    * classic double-encoded UTF-8 artifacts — 'Ã' sequences (Latin-1
+    * bytes re-decoded as UTF-8), 'â€¦'-family punctuation ghosts, and
+    * the U+FFFD replacement character a lossy transcode leaves behind.
+    * The synthetic corpus is clean, so corruption is synthesized
+    * deterministically from doc_id inside the query (the q110/q113
+    * fixture-in-query pattern, identical on both engines) and then
+    * detected from the corrupted text alone — the detector never sees
+    * which branch built its input.
+    *
+    * Scale shape: map-only per-row string arithmetic (no regex, no
+    * shuffle): occurrence counts via length-after-replace.
+    */
+  def mojibake(spark: SparkSession, dir: String): DataFrame =
+    mojibakeOf(Tables.documents(spark, dir))
+
+  def mojibakeOf(docs: DataFrame): DataFrame = {
+    val corrupted = docs.select(col("doc_id"),
+      expr("""CASE doc_id % 4
+        WHEN 0 THEN replace(text, 'a', 'Ã¡')
+        WHEN 1 THEN concat(text, ' â€” itâ€™s')
+        WHEN 2 THEN replace(text, 'e', '�')
+        ELSE text END""").as("raw"))
+    val n = length(col("raw")).cast("long")
+    val c1 = n - length(expr("replace(raw, 'Ã', '')")).cast("long")
+    val c2 = expr("(length(raw) - length(replace(raw, 'â€', ''))) div 2")
+      .cast("long")
+    val c3 = n - length(expr("replace(raw, '�', '')")).cast("long")
+    corrupted.select(col("doc_id"), n.as("n_chars_raw"),
+        (c1 + c2 + c3).cast("long").as("n_mojibake"))
+      .withColumn("mojibake_permille",
+        expr("n_mojibake * 1000 div n_chars_raw"))
+      .withColumn("is_clean", col("n_mojibake") === 0)
+  }
+
+  val mojibakeSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN replace(text, 'a', 'Ã¡')
+      |      WHEN 1 THEN text || ' â€” itâ€™s'
+      |      WHEN 2 THEN replace(text, 'e', '�')
+      |      ELSE text END AS raw
+      |  FROM documents),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(length(raw) AS BIGINT) AS n_chars_raw,
+      |    CAST(length(raw) - length(replace(raw, 'Ã', ''))
+      |      + (length(raw) - length(replace(raw, 'â€', ''))) // 2
+      |      + length(raw) - length(replace(raw, '�', ''))
+      |      AS BIGINT) AS n_mojibake
+      |  FROM raw)
+      |SELECT doc_id, n_chars_raw, n_mojibake,
+      |  CAST(n_mojibake * 1000 // n_chars_raw AS BIGINT)
+      |    AS mojibake_permille,
+      |  n_mojibake = 0 AS is_clean
+      |FROM sig""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_mojibake" -> (mojibake _),
     "q77_pii_redact" -> (piiRedactQuery _),
     "q59_repetition" -> (repetitionStats _),
     "q37_quality_filter" -> (qualityFilter _),
@@ -569,6 +629,7 @@ object TextOps {
     "q33_dedup_exact" -> (dedupExact _))
 
   val oracles: Map[String, String] = Map(
+    "q116_mojibake" -> mojibakeSql,
     "q77_pii_redact" -> piiRedactSql,
     "q59_repetition" -> repetitionStatsSql,
     "q37_quality_filter" -> qualityFilterSql,

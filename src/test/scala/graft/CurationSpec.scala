@@ -247,4 +247,26 @@ class CurationSpec extends SparkSuite {
       .collect()(0).getDouble(0)
     assert(math.abs(pivotTotal - direct) < 1e-6)
   }
+
+  test("mojibake: synthesized double-encoding artifacts are counted, " +
+      "untouched text stays clean") {
+    import graft.operators.TextOps
+    val s2 = spark
+    import s2.implicits._
+    // doc_id % 4 selects the corruption branch inside the query:
+    // 0 → 'a'→'Ã¡', 1 → appended 'â€'-ghosts, 2 → 'e'→U+FFFD, 3 → clean
+    val docs = Seq(
+      (0L, "a banana"), (1L, "plain words"), (2L, "tree bee"),
+      (3L, "perfectly clean text")).toDF("doc_id", "text")
+    val r = TextOps.mojibakeOf(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getBoolean(4)))).toMap
+    // "a banana" → 'a' appears 4× → "Ã¡ bÃ¡nÃ¡nÃ¡" (12 chars, 4 'Ã')
+    assert(r(0L) == ((12L, 4L, 4L * 1000 / 12, false)))
+    // ' â€” itâ€™s' appends 11 chars with two 'â€' ghosts
+    assert(r(1L) == ((22L, 2L, 2L * 1000 / 22, false)))
+    // "tree bee" → 4 'e'→replacement chars, length unchanged
+    assert(r(2L) == ((8L, 4L, 4L * 1000 / 8, false)))
+    assert(r(3L) == ((20L, 0L, 0L, true)))
+  }
 }

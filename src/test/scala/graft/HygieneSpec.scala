@@ -205,4 +205,62 @@ class HygieneSpec extends SparkSuite {
     assert(out(2L) == ((13L, 1L, 9L, 9L * 1000 / 13)))
     assert(out(3L) == ((9L, 0L, 0L, 0L)))
   }
+
+  test("winnowing: every fingerprint is its window's minimum with the " +
+      "rightmost tied position (explode+group reference equality)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "one two three four five six seven"),
+      (3L, "x x x x x x x x x x")) // all grams identical → ties
+      .toDF("doc_id", "text")
+    val got = HygieneOps.winnowOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // independent reference: explode the positional gram hashes and
+    // select per-window minima the slow way
+    val grams = docs.select(col("doc_id"), posexplode(
+        graft.functions.GraftFunctions.shingleHashesPos(col("text")))
+        .as(Seq("s", "h")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    val w = HygieneOps.WinnowWindow
+    val ref = grams.flatMap { case (doc, rows) =>
+      val hs = rows.sortBy(_._2).map(_._3)
+      val ng = hs.length
+      (0 to math.max(ng - w, 0)).map { wi =>
+        val sl = hs.slice(wi, math.min(wi + w, ng))
+        val mh = sl.min
+        val pos = (wi until math.min(wi + w, ng))
+          .filter(i => hs(i) == mh).max
+        (doc, pos.toLong, mh)
+      }
+    }.toSet
+    assert(got == ref)
+    // tie doc: identical hashes → rightmost of each window selected
+    val tiePos = got.filter(_._1 == 3L).map(_._2)
+    // 10 tokens → 6 grams (s=0..5), windows 0..2 pick s=3,4,5
+    assert(tiePos == Set(3L, 4L, 5L))
+  }
+
+  test("winnowing guarantee: docs sharing >= w+n-1 consecutive tokens " +
+      "share a fingerprint hash; short docs degrade gracefully") {
+    val s = spark
+    import s.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 toks
+    val docs = Seq(
+      (1L, "p q r s t u " + shared + " v w x y z"),
+      (2L, shared + " completely different trailing words here"),
+      (3L, "tiny doc"), // < 5 tokens → no grams → no fingerprints
+      (4L, "five token doc right here")) // exactly 5 → 1 gram, 1 window
+      .toDF("doc_id", "text")
+    val fp = HygieneOps.winnowOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val h1 = fp.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = fp.filter(_._1 == 2L).map(_._2).toSet
+    assert(h1.intersect(h2).nonEmpty)
+    assert(!fp.exists(_._1 == 3L))
+    assert(fp.count(_._1 == 4L) == 1)
+  }
 }
