@@ -272,4 +272,27 @@ class ScaleShapeSpec extends SparkSuite {
       .findAllMatchIn(p).map(_.group(1)).toSeq
     assert(specs.forall(_.contains("doc_id")), p)
   }
+
+  test("q115 shard shuffle: window-free rank, offsets join back as a " +
+      "broadcast") {
+    val p = graft.operators.LoaderOps.shardShuffle(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the per-shard position comes from the grouped two-pass rank, so
+    // a Window node here would mean a shard-sized sort task sneaked in
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q118 winnowing: fingerprint selection is map-side — one " +
+      "exchange (the distinct), no window, no join") {
+    val p = graft.operators.HygieneOps.winnow(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // window minima ride inside array HOFs; only the final distinct
+    // shuffles, and it moves fingerprint triples, not gram streams
+    val exchanges = "Exchange".r.findAllMatchIn(p).size
+    assert(exchanges == 1, p)
+  }
 }
