@@ -175,11 +175,86 @@ object LoaderOps {
       |    // 1000 AS BIGINT) AS expected_docs
       |FROM w, m""".stripMargin
 
+  // ---------------------------------------------------------------- q119
+  /** RAG-style sliding-window chunk manifest: fixed-length token
+    * windows at a fixed stride (overlap = length − stride), the
+    * retrieval-indexing complement of q111's training windows (which
+    * concatenate ACROSS documents; retrieval chunks never cross a
+    * document boundary and overlap on purpose so no answer span is
+    * cut). Each chunk carries the rolling-hash fingerprint of its
+    * token span, so chunk-level dedup (the q33 groupBy) composes
+    * directly downstream.
+    *
+    * Chunk i of a doc with n tokens starts at i·stride; the chunk
+    * count is 1 + ⌈(n − len)/stride⌉ when n > len else 1, so the last
+    * window always reaches the document's end without ever emitting an
+    * empty tail chunk.
+    *
+    * Scale shape: map-only — the chunk index explodes per document and
+    * the fingerprint is the native codegen charFold over the sliced
+    * token span; no shuffle at all. 100 TB cost is the scan plus an
+    * output ≈ len/stride times the corpus.
+    */
+  val ChunkLen = 16
+  val ChunkStride = 8
+
+  def slidingChunks(spark: SparkSession, dir: String): DataFrame =
+    slidingChunksOf(Tables.documents(spark, dir), ChunkLen, ChunkStride)
+
+  def slidingChunksOf(docs: DataFrame, len: Int, stride: Int)
+      : DataFrame = {
+    require(len >= 1 && stride >= 1 && stride <= len,
+      "chunks must advance and overlap at most fully")
+    val toks = TextOps.tokens(col("text"))
+    docs.select(col("doc_id"), toks.as("w"),
+        size(toks).cast("long").as("n"))
+      .withColumn("n_chunks",
+        expr(s"CASE WHEN n > $len THEN (n - $len + ${stride - 1}) " +
+          s"div $stride + 1 ELSE 1L END"))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .withColumn("chunk_len",
+        least(lit(len.toLong), col("n") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("chunk_len"),
+        graft.functions.GraftFunctions.charFold(
+          concat_ws(" ", slice(col("w"),
+            (col("start_tok") + 1).cast("int"), lit(len))))
+          .as("chunk_fp"))
+  }
+
+  val slidingChunksSql: String = {
+    val toks = TextOps.tokensSql("text")
+    val (l, s) = (ChunkLen, ChunkStride)
+    s"""WITH base AS (SELECT doc_id, $toks AS w FROM documents),
+       |n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+       |    CASE WHEN len(w) > $l
+       |      THEN (len(w) - $l + ${s - 1}) // $s + 1 ELSE 1 END
+       |      AS n_chunks
+       |  FROM base),
+       |c AS (SELECT doc_id, w, n,
+       |    unnest(range(0, n_chunks)) AS chunk_idx
+       |  FROM n),
+       |sp AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |    chunk_idx * $s AS start_tok, n, w,
+       |    array_to_string(
+       |      w[chunk_idx * $s + 1 : chunk_idx * $s + $l], ' ') AS chunk
+       |  FROM c)
+       |SELECT doc_id, chunk_idx,
+       |  CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(least($l, n - start_tok) AS BIGINT) AS chunk_len,
+       |  ${TextOps.charFoldSql("chunk")} AS chunk_fp
+       |FROM sp""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_shard_shuffle" -> (shardShuffle _),
-    "q117_lang_temperature" -> (langTemperature _))
+    "q117_lang_temperature" -> (langTemperature _),
+    "q119_sliding_chunks" -> (slidingChunks _))
 
   val oracles: Map[String, String] = Map(
     "q115_shard_shuffle" -> shardShuffleSql(),
-    "q117_lang_temperature" -> langTemperatureSql)
+    "q117_lang_temperature" -> langTemperatureSql,
+    "q119_sliding_chunks" -> slidingChunksSql)
 }

@@ -92,6 +92,36 @@ class LoaderOpsSpec extends SparkSuite {
     assert(r.forall(x => x._6 <= x._2))
   }
 
+  test("sliding chunks: full coverage, fixed stride, exact tail, and " +
+      "identical spans share fingerprints") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"w$i").mkString(" ")), // 40 toks → 4 chunks
+      (2L, (1 to 16).map(i => s"w$i").mkString(" ")), // exactly one window
+      (3L, "short doc here"),                          // n < len → 1 chunk
+      (4L, (1 to 40).map(i => s"w$i").mkString(" "))) // clone of doc 1
+      .toDF("doc_id", "text")
+    val r = LoaderOps.slidingChunksOf(docs, 16, 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val byDoc = r.groupBy(_._1)
+    // 40 tokens, len 16, stride 8 → 1 + ceil(24/8) = 4 chunks
+    assert(byDoc(1L).length == 4)
+    assert(byDoc(2L).length == 1 && byDoc(2L).head._4 == 16L)
+    assert(byDoc(3L).length == 1 && byDoc(3L).head._4 == 3L)
+    // starts advance by the stride; the last chunk reaches the end
+    val c1 = byDoc(1L).sortBy(_._2)
+    assert(c1.map(_._3).toSeq == Seq(0L, 8L, 16L, 24L))
+    assert(c1.last._3 + c1.last._4 == 40L)
+    assert(c1.forall(_._4 == 16L))
+    // clone doc: identical spans → identical fingerprints
+    val fp1 = c1.map(c => (c._2, c._5)).toSet
+    val fp4 = byDoc(4L).map(c => (c._2, c._5)).toSet
+    assert(fp1 == fp4)
+    // distinct spans within a doc get distinct fingerprints here
+    assert(c1.map(_._5).distinct.length == 4)
+  }
+
   test("lang temperature: uniform corpus is left alone " +
       "(all weights equal, keep = 1000)") {
     val s = spark
