@@ -615,7 +615,116 @@ object TextOps {
       |  n_mojibake = 0 AS is_clean
       |FROM sig""".stripMargin
 
+  // ---------------------------------------------------------------- q120
+  /** The Gopher rule battery (Rae et al. 2021, appendix A1.1) as named
+    * per-document boolean gates — the published heuristic suite most
+    * curation pipelines start from, kept as individual flags (not one
+    * verdict) so a pipeline can tune or ablate rules independently:
+    * word-count bounds, mean-word-length band, symbol-to-word ratio,
+    * bullet-start / ellipsis-end line fractions, alphabetic-word
+    * fraction, and minimum stop-word evidence.
+    *
+    * Thresholds are the paper's; arithmetic stays in exact integers
+    * against scaled thresholds (ratio ≤ 0.1 becomes 10·count ≤ words)
+    * so both engines agree bit-for-bit. Map-only, zero shuffle.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(Tables.documents(spark, dir))
+
+  private val gopherStops = Seq("the", "be", "to", "of", "and",
+    "that", "have", "with")
+
+  def gopherRulesOf(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nWords = size(toks).cast("long")
+    // sum of word lengths via the aggregate HOF (exact integers)
+    val charSum = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nHash = length(col("text")) -
+      length(expr("replace(text, '#', '')"))
+    val nEll = expr(
+      "(length(text) - length(replace(text, '...', ''))) div 3")
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      substring(ltrim(l), 1, 1).isin("•", "-", "*"))).cast("long")
+    val nEllEnd = size(filter(lines, l => l.endsWith("...")))
+      .cast("long")
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast("long")
+    val nStop = size(filter(toks,
+      t => t.isin(gopherStops.map(s => s: Any): _*))).cast("long")
+    docs.select(col("doc_id"), nWords.as("n_words"),
+        charSum.as("char_sum"), (nHash + nEll).cast("long").as("n_sym"),
+        nLines.as("n_lines"), nBullet.as("n_bullet"),
+        nEllEnd.as("n_ell_end"), nAlpha.as("n_alpha"),
+        nStop.as("n_stop"))
+      .select(col("doc_id"),
+        (col("n_words") >= 50 && col("n_words") <= 100000)
+          .as("ok_word_count"),
+        // 3 ≤ mean ≤ 10 without doubles: 3n ≤ Σlen ≤ 10n
+        (col("char_sum") >= col("n_words") * 3 &&
+          col("char_sum") <= col("n_words") * 10)
+          .as("ok_mean_word_len"),
+        (col("n_sym") * 10 <= col("n_words")).as("ok_symbol_ratio"),
+        (col("n_bullet") * 10 <= col("n_lines") * 9)
+          .as("ok_bullet_lines"),
+        (col("n_ell_end") * 10 <= col("n_lines") * 3)
+          .as("ok_ellipsis_lines"),
+        (col("n_alpha") * 10 >= col("n_words") * 8)
+          .as("ok_alpha_words"),
+        (col("n_stop") >= 2).as("ok_stop_words"))
+      .withColumn("passes_gopher",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_bullet_lines") &&
+          col("ok_ellipsis_lines") && col("ok_alpha_words") &&
+          col("ok_stop_words"))
+  }
+
+  val gopherRulesSql: String = {
+    val toks = tokensSql("text")
+    val stops = gopherStops.map(s => s"'$s'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len($toks) AS BIGINT) AS n_words,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform($toks, t -> CAST(length(t) AS BIGINT))),
+       |      (a, x) -> a + x) AS BIGINT) AS char_sum,
+       |    CAST(length(text) - length(replace(text, '#', ''))
+       |      + (length(text) - length(replace(text, '...', ''))) // 3
+       |      AS BIGINT) AS n_sym,
+       |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(string_split(text, chr(10)),
+       |      l -> substring(ltrim(l), 1, 1) IN ('•', '-', '*')))
+       |      AS BIGINT) AS n_bullet,
+       |    CAST(len(list_filter(string_split(text, chr(10)),
+       |      l -> ends_with(l, '...'))) AS BIGINT) AS n_ell_end,
+       |    CAST(len(list_filter($toks,
+       |      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter($toks, t -> t IN ($stops)))
+       |      AS BIGINT) AS n_stop
+       |  FROM documents)
+       |SELECT doc_id,
+       |  n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+       |  char_sum >= n_words * 3 AND char_sum <= n_words * 10
+       |    AS ok_mean_word_len,
+       |  n_sym * 10 <= n_words AS ok_symbol_ratio,
+       |  n_bullet * 10 <= n_lines * 9 AS ok_bullet_lines,
+       |  n_ell_end * 10 <= n_lines * 3 AS ok_ellipsis_lines,
+       |  n_alpha * 10 >= n_words * 8 AS ok_alpha_words,
+       |  n_stop >= 2 AS ok_stop_words,
+       |  n_words >= 50 AND n_words <= 100000
+       |    AND char_sum >= n_words * 3 AND char_sum <= n_words * 10
+       |    AND n_sym * 10 <= n_words
+       |    AND n_bullet * 10 <= n_lines * 9
+       |    AND n_ell_end * 10 <= n_lines * 3
+       |    AND n_alpha * 10 >= n_words * 8
+       |    AND n_stop >= 2 AS passes_gopher
+       |FROM f""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_gopher_rules" -> (gopherRules _),
     "q116_mojibake" -> (mojibake _),
     "q77_pii_redact" -> (piiRedactQuery _),
     "q59_repetition" -> (repetitionStats _),
@@ -629,6 +738,7 @@ object TextOps {
     "q33_dedup_exact" -> (dedupExact _))
 
   val oracles: Map[String, String] = Map(
+    "q120_gopher_rules" -> gopherRulesSql,
     "q116_mojibake" -> mojibakeSql,
     "q77_pii_redact" -> piiRedactSql,
     "q59_repetition" -> repetitionStatsSql,

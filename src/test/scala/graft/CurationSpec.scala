@@ -269,4 +269,40 @@ class CurationSpec extends SparkSuite {
     assert(r(2L) == ((8L, 4L, 4L * 1000 / 8, false)))
     assert(r(3L) == ((20L, 0L, 0L, true)))
   }
+
+  test("gopher rules: each published gate trips on its own violation " +
+      "and a conforming doc passes all") {
+    import graft.operators.TextOps
+    val s2 = spark
+    import s2.implicits._
+    val good = (1 to 60).map(i =>
+      Seq("the", "words", "have", "shape")(i % 4)).mkString(" ")
+    val docs = Seq(
+      (1L, good),                                   // passes everything
+      (2L, (1 to 10).map(_ => "the").mkString(" ")), // too few words
+      (3L, (1 to 60).map(_ => "ab").mkString(" ")),  // mean word len < 3
+      (4L, good + " " + (1 to 30).map(_ => "#").mkString(" ")), // symbols
+      (5L, (1 to 60).map(i => s"- the item $i line have")
+        .mkString("\n")),                            // all bullet lines
+      (6L, (1 to 60).map(i => s"the trailing have thing $i ...")
+        .mkString("\n")),                            // all ellipsis ends
+      (7L, (1 to 60).map(i => (i * 7919).toString).mkString(" ")
+        + " the have"),                              // numeric words
+      (8L, (1 to 60).map(i => s"word$i").mkString(" "))) // no stopwords
+      .toDF("doc_id", "text")
+    val r = TextOps.gopherRulesOf(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("passes_gopher"))
+    assert(!r(2L).getAs[Boolean]("ok_word_count"))
+    assert(!r(3L).getAs[Boolean]("ok_mean_word_len"))
+    assert(!r(4L).getAs[Boolean]("ok_symbol_ratio"))
+    assert(!r(5L).getAs[Boolean]("ok_bullet_lines"))
+    assert(!r(6L).getAs[Boolean]("ok_ellipsis_lines"))
+    assert(!r(7L).getAs[Boolean]("ok_alpha_words"))
+    assert(!r(8L).getAs[Boolean]("ok_stop_words"))
+    // violations are independent: the bullet doc still has its words
+    assert(r(5L).getAs[Boolean]("ok_word_count"))
+    assert(Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L)
+      .forall(id => !r(id).getAs[Boolean]("passes_gopher")))
+  }
 }
