@@ -768,7 +768,77 @@ object CurationOps {
        |  FROM documents) WHERE rk <= 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q121
+  /** Corpus version diff — the incremental-release audit: classify
+    * every document across two corpus versions as added / removed /
+    * changed / unchanged by comparing 64-bit content fingerprints
+    * under a full-outer join on doc_id. This is what a dataset release
+    * pipeline publishes next to a new corpus version (and what an
+    * incremental re-train consumes to reprocess only the delta).
+    *
+    * The q121 fixture synthesizes version 2 from version 1 inside the
+    * query, identically on both engines (the q110/q116 pattern):
+    * doc_id % 17 == 0 removed, % 13 == 0 edited, % 19 == 0 cloned
+    * under a shifted id.
+    *
+    * Scale shape: text collapses map-side to a 64-bit fingerprint
+    * before the join; the full-outer join shuffles only (id, fp) pairs
+    * on the id — at equal partitioning of both versions this is the
+    * co-partitioned merge a 100 TB release audit needs, and AQE
+    * broadcasts the small side of an incremental (delta-sized) v2.
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir)
+    val v2base = v1.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    val v2added = v1.filter(col("doc_id") % 19 === 0)
+      .select((col("doc_id") + AddedIdShift).as("doc_id"), col("text"))
+    corpusDiffOf(v1, v2base.unionByName(v2added))
+  }
+
+  /** Fixture id offset for synthesized "added" docs — far above any
+    * real doc_id in the test dirs.
+    */
+  val AddedIdShift = 10000000L
+
+  def corpusDiffOf(v1: DataFrame, v2: DataFrame): DataFrame = {
+    def fp(df: DataFrame) = df.select(col("doc_id"),
+      TextOps.charFold(col("text")).as("fp"))
+    val a = fp(v1).withColumnRenamed("fp", "fp1")
+    val b = fp(v2).withColumnRenamed("fp", "fp2")
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  val corpusDiffSql: String =
+    s"""WITH v1 AS (
+       |  SELECT doc_id, ${TextOps.charFoldSql("text")} AS fp
+       |  FROM documents),
+       |v2s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END
+       |      AS text
+       |  FROM documents WHERE doc_id % 17 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + ${AddedIdShift}, text
+       |  FROM documents WHERE doc_id % 19 = 0),
+       |v2 AS (SELECT doc_id, ${TextOps.charFoldSql("text")} AS fp
+       |  FROM v2s)
+       |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+       |    WHEN v2.doc_id IS NULL THEN 'removed'
+       |    WHEN v1.fp <> v2.fp THEN 'changed'
+       |    ELSE 'unchanged' END AS status
+       |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_corpus_diff" -> (corpusDiff _),
     "q57_domain_cap" -> ((s: SparkSession, d: String) => domainCap(s, d)),
     "q24_incremental_dedup" -> (incrementalDedup _),
     "q29_kmv_sketch" -> (kmvSketch _),
@@ -804,5 +874,6 @@ object CurationOps {
     "q94_passage_dedup" -> passageDedupSql,
     "q96_mixture_plan" -> mixturePlanSql,
     "q99_leakage_split" -> leakageSplitSql,
-    "q102_corpus_report" -> corpusReportSql)
+    "q102_corpus_report" -> corpusReportSql,
+    "q121_corpus_diff" -> corpusDiffSql)
 }

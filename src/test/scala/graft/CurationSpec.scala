@@ -305,4 +305,24 @@ class CurationSpec extends SparkSuite {
     assert(Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L)
       .forall(id => !r(id).getAs[Boolean]("passes_gopher")))
   }
+
+  test("corpus diff classifies added/removed/changed/unchanged and " +
+      "ignores a no-op rewrite of the same text") {
+    val s2 = spark
+    import s2.implicits._
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"),
+      (4L, "delta")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "alpha"),          // unchanged
+      (2L, "beta edited"),               // changed
+      (4L, "DELTA"),                     // changed (fp is case-fold-free)
+      (9L, "epsilon"))                   // added; 3 removed
+      .toDF("doc_id", "text")
+    val r = CurationOps.corpusDiffOf(v1, v2).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "changed", 9L -> "added"))
+    // identical versions: everything unchanged
+    val same = CurationOps.corpusDiffOf(v1, v1).collect()
+    assert(same.forall(_.getString(1) == "unchanged"))
+  }
 }
