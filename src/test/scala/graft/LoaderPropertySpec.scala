@@ -55,6 +55,37 @@ class LoaderPropertySpec extends SparkSuite {
   private val word: Gen[String] =
     Gen.choose('a', 'j').map(_.toString)
 
+  test("corpus diff recovers exactly the edit script applied to a " +
+      "random version 1") {
+    import graft.operators.CurationOps
+    for (seed <- 1L to 4L) {
+      val n = sample(Gen.choose(5, 80), seed)
+      val v1 = (0L until n.toLong).map(i =>
+        (i, sample(Gen.listOfN(6, word), seed * 1009 + i).mkString(" ")))
+      val ids = v1.map(_._1)
+      val removed = sample(Gen.someOf(ids), seed * 3).toSet
+      val changed = sample(Gen.someOf(ids.filterNot(removed)), seed * 5)
+        .toSet
+      val added = (0L until sample(Gen.choose(0, 10), seed * 7).toLong)
+        .map(i => (1000L + i, s"new doc $i"))
+      val v2 = v1.filterNot(d => removed(d._1)).map { case (id, t) =>
+        if (changed(id)) (id, t + " edited") else (id, t)
+      } ++ added
+      val r = CurationOps
+        .corpusDiffOf(v1.toDF("doc_id", "text"), v2.toDF("doc_id", "text"))
+        .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+      assert(r.size == n + added.length)
+      ids.foreach { id =>
+        val want =
+          if (removed(id)) "removed"
+          else if (changed(id)) "changed"
+          else "unchanged"
+        assert(r(id) == want, s"doc $id")
+      }
+      added.foreach { case (id, _) => assert(r(id) == "added") }
+    }
+  }
+
   test("winnowing: every fingerprint is a window minimum, and a " +
       "shared >= 8-token run guarantees a shared fingerprint") {
     for (seed <- 1L to 4L) {
