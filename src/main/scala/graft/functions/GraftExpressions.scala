@@ -244,6 +244,58 @@ case class PositionalShingleHashes(child: Expression, n: Int)
       : Expression = copy(child = newChild)
 }
 
+/** winnowFingerprints(text) → array<struct<pos:bigint, h:bigint>>: the
+  * distinct robust-winnowing selection over the positional n-gram
+  * rolling hashes — every window of `w` consecutive gram hashes
+  * contributes its minimum with the RIGHTMOST tied position — in one
+  * monotonic-deque pass (O(grams), each index pushed and popped once).
+  * The native form of `HygieneOps.winnowOfComposed`'s HOF pipeline
+  * (cross-checked in GraftExpressionsSpec); a document shorter than
+  * one full window yields its single partial-window minimum, and a
+  * document with no grams yields an empty array.
+  */
+case class WinnowFingerprints(child: Expression, n: Int, w: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen
+      .CodegenFallback {
+  import scala.collection.mutable
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", LongType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = GraftExpressions.shingleHashArray(
+      input.asInstanceOf[UTF8String].toString, n)
+    val ng = hs.length
+    val out = new mutable.LinkedHashSet[(Long, Long)]()
+    if (ng > 0) {
+      val dq = new java.util.ArrayDeque[Int]()
+      var i = 0
+      while (i < ng) {
+        // >= pops equal tails, so among tied minima the newest
+        // (rightmost) index survives nearest the head
+        while (!dq.isEmpty && hs(dq.peekLast) >= hs(i)) dq.pollLast()
+        dq.addLast(i)
+        while (dq.peekFirst <= i - w) dq.pollFirst()
+        if (i >= w - 1 || i == ng - 1)
+          out += ((dq.peekFirst.toLong, hs(dq.peekFirst)))
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.map { case (p, h) =>
+        org.apache.spark.sql.catalyst.InternalRow(p, h)
+      })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** bpeEncode(text, merges) → array<string>: apply a learned BPE merge
   * table (graft.operators.BpeLearn) to a document — pre-tokenize with
   * the same lowercased `\w+|[^\w\s]` splitter the trainer uses, then
@@ -573,6 +625,8 @@ object GraftFunctions {
           exprs(2).eval().asInstanceOf[Int]), "scala_udf")
       reg.createOrReplaceTempFunction("graft_scaled_longs",
         exprs => ScaledLongs(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("graft_winnow",
+        exprs => WinnowFingerprints(exprs.head, 5, 4), "scala_udf")
       reg.createOrReplaceTempFunction("graft_bpe_encode",
         exprs => BpeEncode(exprs.head,
           BpeEncode.parseMerges(exprs(1).eval())), "scala_udf")
@@ -604,6 +658,7 @@ object GraftFunctions {
     fn("graft_top_k_by", score, id,
       org.apache.spark.sql.functions.lit(k))
   def scaledLongs(c: Column): Column = fn("graft_scaled_longs", c)
+  def winnowFingerprints(c: Column): Column = fn("graft_winnow", c)
   def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
     fn("graft_bpe_encode", c,
       org.apache.spark.sql.functions.typedLit(

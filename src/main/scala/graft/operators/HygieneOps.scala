@@ -494,18 +494,31 @@ object HygieneOps {
     * witness (it says where, unlike MinHash's set-level signature)
     * at a bounded ≈ 2/(w+1) fingerprint density.
     *
-    * Scale shape: entirely map-side per document — window minima are
-    * computed inside array HOFs over the native shingle-hash array (no
-    * explode of the gram stream, no shuffle until the final distinct,
-    * which moves only (long, long, long) fingerprint triples). The
-    * oracle is the explode+group form of the same selection.
+    * Scale shape: entirely map-side per document — the selection runs
+    * in the native [[graft.functions.WinnowFingerprints]] expression
+    * (one monotonic-deque pass over the gram hashes, O(grams), with
+    * within-document dedup built in), so the final plan has NO shuffle
+    * at all: no gram-stream explode, no window operator, no distinct
+    * exchange. The composed array-HOF form below is kept as the
+    * cross-checked reference implementation; the oracle is the
+    * explode+group form of the same selection.
     */
   val WinnowWindow = 4
 
   def winnow(spark: SparkSession, dir: String): DataFrame =
     winnowOf(Tables.documents(spark, dir))
 
-  def winnowOf(docs: DataFrame): DataFrame = {
+  def winnowOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.GraftFunctions
+          .winnowFingerprints(col("text"))).as("fp"))
+      .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
+
+  /** Reference implementation via composed built-ins (interpreted HOF
+    * fold per window) — cross-checked against the native expression in
+    * GraftExpressionsSpec.
+    */
+  def winnowOfComposed(docs: DataFrame): DataFrame = {
     val w = WinnowWindow
     val base = docs.select(col("doc_id"),
         graft.functions.GraftFunctions.shingleHashesPos(col("text"))

@@ -185,4 +185,24 @@ class GraftExpressionsSpec extends SparkSuite {
     assert(out == Seq((97L * 31 + 98) % TextOps.FoldP,
       (99L * 31 + 100) % TextOps.FoldP))
   }
+
+  test("native winnowing deque equals the composed HOF reference on " +
+      "real docs (including tie and short-doc shapes)") {
+    import graft.operators.HygieneOps
+    val s = spark
+    import s.implicits._
+    val real = Tables.documents(spark, sf).limit(300)
+      .select("doc_id", "text")
+    val edge = Seq((100001L, "x x x x x x x x x x"),
+      (100002L, "five token doc right here"),
+      (100003L, "tiny"),
+      (100004L, "")).toDF("doc_id", "text")
+    val docs = real.unionByName(edge)
+    val native = HygieneOps.winnowOf(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    val composed = HygieneOps.winnowOfComposed(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(native == composed)
+    assert(native.nonEmpty)
+  }
 }

@@ -284,15 +284,15 @@ class ScaleShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("q118 winnowing: fingerprint selection is map-side — one " +
-      "exchange (the distinct), no window, no join") {
+  test("q118 winnowing: fingerprint selection is map-side — zero " +
+      "exchanges, no window, no join (native deque expression)") {
     val p = graft.operators.HygieneOps.winnow(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!p.contains("Window"), p)
     assert(!p.contains("Join"), p)
-    // window minima ride inside array HOFs; only the final distinct
-    // shuffles, and it moves fingerprint triples, not gram streams
+    // the monotonic-deque expression selects and dedups per document,
+    // so nothing shuffles at all — scan → project → explode
     val exchanges = "Exchange".r.findAllMatchIn(p).size
-    assert(exchanges == 1, p)
+    assert(exchanges == 0, p)
   }
 }
