@@ -568,6 +568,54 @@ object HygieneOps {
        |FROM sel""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q122
+  /** Winnowing match pairs — the MOSS detection step on top of q118:
+    * document pairs sharing at least [[WinnowMinShared]] fingerprints,
+    * with the shared count and the leftmost matched token position on
+    * each side (the span hint a review UI jumps to). Because
+    * fingerprints are LOCAL (each is a specific window's minimum at a
+    * specific position), a match pair here means "these two documents
+    * share verbatim runs", not just similar vocabularies — the
+    * localized complement of q35's MinHash candidates.
+    *
+    * Scale shape: the self-join is keyed by the 64-bit fingerprint
+    * hash — the same bucketed-candidate discipline as q35/q45 (never
+    * corpus×corpus), over a frame already thinned to ≈ 2/(w+1) of
+    * token positions; the fingerprint frame is pinned with
+    * localCheckpoint so both join sides consume one materialization
+    * (the FuzzyDedup rule). Hub hashes are bounded by the winnowing
+    * density, and the ≥2-fingerprint gate kills single-gram noise.
+    */
+  val WinnowMinShared = 2
+
+  def winnowMatches(spark: SparkSession, dir: String): DataFrame =
+    winnowMatchesOf(Tables.documents(spark, dir))
+
+  def winnowMatchesOf(docs: DataFrame,
+      minShared: Int = WinnowMinShared): DataFrame = {
+    val fp = winnowOf(docs).localCheckpoint(true)
+    val a = fp.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
+      col("h"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+      col("h"))
+    a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("h")).as("n_shared"),
+        min(col("pos_a")).as("min_pos_a"),
+        min(col("pos_b")).as("min_pos_b"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  val winnowMatchesSql: String =
+    s"""WITH fp AS ($winnowSql)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(count(DISTINCT a.h) AS BIGINT) AS n_shared,
+       |  CAST(min(a.pos) AS BIGINT) AS min_pos_a,
+       |  CAST(min(b.pos) AS BIGINT) AS min_pos_b
+       |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(DISTINCT a.h) >= $WinnowMinShared""".stripMargin
+
   // -----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_containment" -> (containmentPairs _),
@@ -577,7 +625,8 @@ object HygieneOps {
     "q92_dedup_purge" -> (dedupPurge _),
     "q105_dup_spans" -> (dupSpans _),
     "q114_contam_spans" -> (contamSpans _),
-    "q118_winnowing" -> (winnow _))
+    "q118_winnowing" -> (winnow _),
+    "q122_winnow_matches" -> (winnowMatches _))
 
   val oracles: Map[String, String] = Map(
     "q88_containment" -> containmentPairsSql,
@@ -587,5 +636,6 @@ object HygieneOps {
     "q92_dedup_purge" -> dedupPurgeSql,
     "q105_dup_spans" -> dupSpansSql,
     "q114_contam_spans" -> contamSpansSql,
-    "q118_winnowing" -> winnowSql)
+    "q118_winnowing" -> winnowSql,
+    "q122_winnow_matches" -> winnowMatchesSql)
 }

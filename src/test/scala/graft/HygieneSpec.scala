@@ -263,4 +263,30 @@ class HygieneSpec extends SparkSuite {
     assert(!fp.exists(_._1 == 3L))
     assert(fp.count(_._1 == 4L) == 1)
   }
+
+  test("winnow matches localize the shared run and gate out " +
+      "single-fingerprint noise") {
+    val s = spark
+    import s.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi" // 16 shared tokens
+    val docs = Seq(
+      (1L, "p q r s t u v w " + run),            // run at tokens 8..23
+      (2L, run + " different tail words here now"), // run at tokens 0..15
+      (3L, "totally unrelated content with zero overlap present"))
+      .toDF("doc_id", "text")
+    val m = HygieneOps.winnowMatchesOf(docs).collect()
+    assert(m.length == 1)
+    val row = m.head
+    assert(row.getAs[Long]("doc_a") == 1L &&
+      row.getAs[Long]("doc_b") == 2L)
+    // 16 shared tokens → 12 shared gram hashes → several fingerprints
+    assert(row.getAs[Long]("n_shared") >= 2)
+    // leftmost matched positions sit inside each doc's run
+    assert(row.getAs[Long]("min_pos_a") >= 8L &&
+      row.getAs[Long]("min_pos_a") <= 19L)
+    assert(row.getAs[Long]("min_pos_b") <= 11L)
+    // raising the gate above the shared count empties the report
+    assert(HygieneOps.winnowMatchesOf(docs, minShared = 100).isEmpty)
+  }
 }
