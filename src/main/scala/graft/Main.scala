@@ -28,7 +28,8 @@ object Main {
     // prometheus exposition loop (dumped per task step + at exit)
     val monitors = Monitoring.PipelineMonitors("graft-task")
     val kind = task.extractType match {
-      case TaskConfig.SnapshotExtract | TaskConfig.CurationExtract =>
+      case TaskConfig.SnapshotExtract | TaskConfig.CurationExtract |
+          TaskConfig.LoaderExtract =>
         "snapshot"
       case TaskConfig.CdcExtract | TaskConfig.CurationStreamExtract =>
         "cdc"
@@ -150,6 +151,15 @@ object Main {
             .addBatchCounter(Monitoring.ExtractedRecords, s.nDocs, 1L)
           monitors.sinker
             .addBatchCounter(Monitoring.SinkedRecordTotal, s.nKept, 1L)
+          publish()
+        case TaskConfig.LoaderExtract =>
+          val s = TaskRunner.runLoader(spark, task)
+          println(s"[loader] docs=${s.nDocs} shards=${s.nShards} " +
+            s"windows=${s.nWindows} tokens=${s.totalTokens}")
+          monitors.extractor
+            .addBatchCounter(Monitoring.ExtractedRecords, s.nDocs, 1L)
+          monitors.sinker
+            .addBatchCounter(Monitoring.SinkedRecordTotal, s.nDocs, 1L)
           publish()
         case TaskConfig.CurationStreamExtract =>
           val r = graft.streaming.StreamingCuration.drain(spark,

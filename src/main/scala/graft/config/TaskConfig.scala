@@ -57,6 +57,11 @@ object TaskConfig {
   case object CdcExtract extends ExtractType
   case object CheckExtract extends ExtractType
   case object CurationExtract extends ExtractType
+  /** Training-loader layout over a (curated) corpus: shard-shuffle
+    * manifest + packing-window manifest written under the sink dir —
+    * the step after curation that makes a corpus loader-ready.
+    */
+  case object LoaderExtract extends ExtractType
   /** Continuous curation over an arriving document stream
     * ([[graft.streaming.StreamingCuration]]); `start` drains what has
     * arrived and leaves both stages' checkpoints for the next start.
@@ -94,7 +99,11 @@ object TaskConfig {
       walCapture: Option[String] = None,
       positionStore: Option[String] = None,
       sinkUser: String = "root",
-      sinkPassword: String = "")
+      sinkPassword: String = "",
+      // loader-layout task knobs ([extractor] shard_count /
+      // window_tokens)
+      loaderShards: Int = 8,
+      loaderWindow: Long = 512L)
 
   /** Build the typed task from parsed INI (the reference's
     * TaskConfig::new).
@@ -112,6 +121,7 @@ object TaskConfig {
       case "check" => CheckExtract
       case "curation" => CurationExtract
       case "curation_stream" => CurationStreamExtract
+      case "loader" => LoaderExtract
       case _ => SnapshotExtract
     }
 
@@ -253,6 +263,8 @@ object TaskConfig {
       walCapture = ex("wal_capture"),
       positionStore = ex("position_store"),
       sinkUser = sk.get("username", "root"),
-      sinkPassword = sk.get("password", ""))
+      sinkPassword = sk.get("password", ""),
+      loaderShards = ex.get("shard_count", "8").toInt,
+      loaderWindow = ex.get("window_tokens", "512").toLong)
   }
 }

@@ -194,6 +194,13 @@ object TaskManager {
             .mkString(" "))
         return finish("finished", None)
       }
+      // loader layout is corpus-scoped too
+      if (task.extractType == TaskConfig.LoaderExtract) {
+        val s = TaskRunner.runLoader(spark, task)
+        log(dir, s"loader docs=${s.nDocs} shards=${s.nShards} " +
+          s"windows=${s.nWindows} tokens=${s.totalTokens}")
+        return finish("finished", None)
+      }
       // streaming curation: drain what has arrived; checkpoints under
       // the sink dir make the next start resume after this one
       if (task.extractType == TaskConfig.CurationStreamExtract) {

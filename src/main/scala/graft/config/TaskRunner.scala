@@ -69,6 +69,37 @@ object TaskRunner {
     graft.operators.CurationPipeline.run(spark, task.sourceDir,
       task.sinkDir)
 
+  /** Loader-layout task result: corpus size, the layouts written. */
+  final case class LoaderSummary(nDocs: Long, nShards: Int,
+      nWindows: Long, totalTokens: Long)
+
+  /** Loader task (`extract_type=loader`): materialize the
+    * training-loader layout for a corpus — the q115 shard-shuffle
+    * manifest under `<sink>/shards` and the q111 packing-window
+    * manifest under `<sink>/pack_windows`. Run it over a curation
+    * task's kept output (or a raw corpus dir) to make it loader-ready
+    * from the same INI surface as everything else.
+    */
+  def runLoader(spark: SparkSession, task: TaskConfig.Task)
+      : LoaderSummary = {
+    val docs = Tables.documents(spark, task.sourceDir)
+    graft.operators.LoaderOps
+      .shardShuffleOf(spark, docs, task.loaderShards)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${task.sinkDir}/shards")
+    graft.operators.PackingOps
+      .packWindowsOf(spark, docs, task.loaderWindow)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${task.sinkDir}/pack_windows")
+    // summarize from the WRITTEN manifest (row-group metadata reads)
+    val m = spark.read.parquet(s"${task.sinkDir}/pack_windows")
+    val row = m.agg(count(lit(1)).as("n"),
+      (max(col("last_win")) + 1).as("w"),
+      sum(col("n_tokens")).as("t")).collect()(0)
+    LoaderSummary(row.getLong(0), task.loaderShards,
+      row.getLong(1), row.getLong(2))
+  }
+
   /** Check task: per admitted table, compare source against the routed
     * sink output (the post-snapshot verification flow) and persist the
     * check-log artifacts (miss.log/diff.log/summary.log under

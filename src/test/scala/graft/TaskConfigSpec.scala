@@ -181,4 +181,43 @@ class TaskConfigSpec extends SparkSuite {
         "where_conditions=json:", "where_conditions="))
     }: Unit
   }
+
+  test("loader task: ini drives the shard + packing layout and the " +
+      "manifests satisfy their operator contracts") {
+    import org.apache.spark.sql.functions._
+    val sink = Files.createTempDirectory("graft-loader").toString
+    val t = TaskConfig.fromIni(s"""
+      |[extractor]
+      |extract_type=loader
+      |url=$sf
+      |shard_count=4
+      |window_tokens=64
+      |
+      |[sinker]
+      |url=$sink
+      |""".stripMargin)
+    assert(t.extractType == TaskConfig.LoaderExtract)
+    assert(t.loaderShards == 4 && t.loaderWindow == 64L)
+    val s = TaskRunner.runLoader(spark, t)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(s.nDocs == nDocs && s.nShards == 4)
+
+    val shards = spark.read.parquet(s"$sink/shards")
+    assert(shards.count() == nDocs)
+    assert(shards.select("doc_id").distinct().count() == nDocs)
+    val bad = shards.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"),
+        max("pos").as("hi"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n"))
+    assert(bad.isEmpty)
+
+    val pack = spark.read.parquet(s"$sink/pack_windows")
+    // the written manifest equals the operator run directly
+    val direct = graft.operators.PackingOps
+      .packWindowsOf(spark, Tables.documents(spark, sf), 64L)
+    assert(pack.exceptAll(direct).isEmpty &&
+      direct.exceptAll(pack).isEmpty)
+    assert(s.totalTokens ==
+      direct.agg(sum("n_tokens")).collect()(0).getLong(0))
+  }
 }
