@@ -55,6 +55,39 @@ class LoaderPropertySpec extends SparkSuite {
   private val word: Gen[String] =
     Gen.choose('a', 'j').map(_.toString)
 
+  test("sliding chunks cover every token with stride-spaced starts " +
+      "and an exact tail for any (len, stride)") {
+    import graft.operators.LoaderOps
+    for (seed <- 1L to 4L) {
+      val len = sample(Gen.choose(2, 24), seed)
+      val stride = sample(Gen.choose(1, len), seed * 3)
+      val sizes = sample(Gen.listOfN(sample(Gen.choose(1, 30), seed * 5),
+        Gen.choose(1, 60)), seed * 7)
+      val docs = sizes.zipWithIndex.map { case (n, i) =>
+        (i.toLong, Seq.fill(n)("t").mkString(" "))
+      }.toDF("doc_id", "text")
+      val chunks = LoaderOps.slidingChunksOf(docs, len, stride)
+        .as[(Long, Long, Long, Long, Long)].collect().groupBy(_._1)
+      sizes.zipWithIndex.foreach { case (n, i) =>
+        val cs = chunks(i.toLong).sortBy(_._2)
+        // starts advance by exactly the stride from zero
+        assert(cs.map(_._3).toSeq ==
+          cs.indices.map(_.toLong * stride))
+        // every chunk fits, the last reaches exactly the end
+        cs.foreach(c => assert(c._4 >= 1 && c._4 <= len &&
+          c._3 + c._4 <= n))
+        assert(cs.last._3 + cs.last._4 == n.toLong)
+        // full coverage: consecutive chunks leave no gap
+        cs.sliding(2).foreach {
+          case Array(a, b) => assert(b._3 <= a._3 + a._4)
+          case _ =>
+        }
+        // never an empty tail chunk: the final start is < n
+        assert(cs.last._3 < n)
+      }
+    }
+  }
+
   test("corpus diff recovers exactly the edit script applied to a " +
       "random version 1") {
     import graft.operators.CurationOps
