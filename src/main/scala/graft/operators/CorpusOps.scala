@@ -484,7 +484,132 @@ object CorpusOps {
        |    ELSE 'tail' END AS ppl_bucket
        |FROM ranked""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+  /** Tokenizer-fertility report per language: tokens-per-1k-words and
+    * chars-per-token under the q38 BPE-ish regex tokenization. Fertility
+    * (how many subword tokens a word costs) is the standard lens for
+    * how well a tokenizer fits each language in a multilingual corpus —
+    * high-fertility languages pay more sequence length per word, which
+    * skews compute budgets and motivates the q117 α-sampling and vocab
+    * rebalancing. Ratios are scaled-integer (permille), so both engines
+    * agree bit-for-bit.
+    *
+    * Scale shape: per-row regex counts fold into a partial aggregate
+    * map-side; only |langs| rows ever shuffle. Map-only at any corpus
+    * size.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    tokenizerFertilityOf(Tables.documents(spark, dir))
+
+  def tokenizerFertilityOf(docs: DataFrame): DataFrame = {
+    val words = size(regexp_extract_all(col("text"), lit("\\w+"), lit(0)))
+      .cast("long")
+    val punct = size(regexp_extract_all(col("text"),
+      lit("[^\\w\\s]"), lit(0))).cast("long")
+    docs.select(col("lang"), words.as("w"), (words + punct).as("t"),
+        length(col("text")).cast("long").as("c"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("t")).as("n_tokens"), sum(col("c")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_tokens"), col("n_chars"),
+        expr("n_tokens * 1000 div n_words").as("fertility_permille"),
+        expr("n_chars * 1000 div n_tokens")
+          .as("chars_per_token_permille"))
+  }
+
+  val tokenizerFertilitySql: String =
+    """WITH f AS (
+      |  SELECT lang,
+      |    CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS w,
+      |    CAST(len(regexp_extract_all(text, '\w+')) +
+      |      len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS t,
+      |    CAST(length(text) AS BIGINT) AS c
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(w) AS BIGINT) AS n_words,
+      |    CAST(sum(t) AS BIGINT) AS n_tokens,
+      |    CAST(sum(c) AS BIGINT) AS n_chars
+      |  FROM f GROUP BY lang)
+      |SELECT lang, n_docs, n_words, n_tokens, n_chars,
+      |  n_tokens * 1000 // n_words AS fertility_permille,
+      |  n_chars * 1000 // n_tokens AS chars_per_token_permille
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- q126
+  /** Zipf/Heaps corpus diagnostics per language: vocabulary size, total
+    * token mass, hapax count (types seen once — the Heaps-law tail that
+    * dominates open vocabularies), and the frequency share of the top
+    * 100 types (the Zipf head). The canonical one-page health check for
+    * a text corpus: a natural corpus shows a thick hapax tail and a
+    * head share near the Zipf prediction, while generated/boilerplate
+    * text collapses both.
+    *
+    * Scale shape: one (lang, token-hash) census — partial map-side agg,
+    * token strings reduced to 64-bit charFold hashes before the shuffle;
+    * the top-100 head ranks within the census, whose size is
+    * language-bounded, not corpus-bounded (the SCALE.md BPE argument),
+    * so the per-lang rank never sees corpus-scale partitions.
+    */
+  def zipfDiagnostics(spark: SparkSession, dir: String): DataFrame =
+    zipfDiagnosticsOf(Tables.documents(spark, dir))
+
+  def zipfDiagnosticsOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("lang"),
+        explode(TextOps.tokens(TextOps.normText(col("text"))))
+          .as("tok"))
+      .select(col("lang"), TextOps.charFold(col("tok")).as("tfp"))
+    val census = toks.groupBy("lang", "tfp")
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val perLang = census.groupBy("lang").agg(
+      count(lit(1)).as("vocab_size"),
+      sum(col("n")).as("n_tokens"),
+      sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax_count"))
+    val head = census
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("tfp"))))
+      .filter(col("rk") <= 100)
+      .groupBy("lang").agg(sum(col("n")).as("head_mass"))
+    perLang.join(head, Seq("lang"))
+      .select(col("lang"), col("vocab_size"), col("n_tokens"),
+        col("hapax_count"),
+        expr("head_mass * 1000 div n_tokens").as("head_permille"),
+        expr("hapax_count * 1000 div vocab_size")
+          .as("hapax_permille"))
+  }
+
+  val zipfDiagnosticsSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, ${TextOps.charFoldSql("t.tok")} AS tfp
+       |  FROM (SELECT lang,
+       |          unnest(${tokensSql(TextOps.normTextSql("text"))}) AS tok
+       |        FROM documents) t),
+       |census AS (
+       |  SELECT lang, tfp, CAST(count(*) AS BIGINT) AS n
+       |  FROM toks GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT lang, n, row_number() OVER (
+       |    PARTITION BY lang ORDER BY n DESC, tfp) AS rk
+       |  FROM census),
+       |head AS (
+       |  SELECT lang, CAST(sum(n) AS BIGINT) AS head_mass
+       |  FROM ranked WHERE rk <= 100 GROUP BY lang),
+       |per AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS vocab_size,
+       |    CAST(sum(n) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS hapax_count
+       |  FROM census GROUP BY lang)
+       |SELECT per.lang, vocab_size, n_tokens, hapax_count,
+       |  head_mass * 1000 // n_tokens AS head_permille,
+       |  hapax_count * 1000 // vocab_size AS hapax_permille
+       |FROM per JOIN head ON per.lang = head.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_tokenizer_fertility" -> (tokenizerFertility _),
+    "q126_zipf_diagnostics" -> (zipfDiagnostics _),
     "q81_interdup_fraction" -> (interdupFraction _),
     "q82_token_rarity" -> (tokenRarity _),
     "q83_knn_classify" -> (knnClassify _),
@@ -494,6 +619,8 @@ object CorpusOps {
     "q112_ccnet_buckets" -> (ccnetBuckets _))
 
   val oracles: Map[String, String] = Map(
+    "q125_tokenizer_fertility" -> tokenizerFertilitySql,
+    "q126_zipf_diagnostics" -> zipfDiagnosticsSql,
     "q81_interdup_fraction" -> interdupFractionSql,
     "q82_token_rarity" -> tokenRaritySql,
     "q83_knn_classify" -> knnClassifySql,

@@ -837,7 +837,72 @@ object CurationOps {
        |    ELSE 'unchanged' END AS status
        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q124
+  /** Boilerplate-line census (the RefinedWeb/CCNet line-dedup step): a
+    * line that recurs across ≥ 5% of the corpus is boilerplate (nav
+    * chrome, footers, cookie banners), and per-document boilerplate mass
+    * is a quality signal — pages that are mostly chrome carry little
+    * training value. Runs over the q123 synthesized page (shared
+    * fixture: [[TextOps.pageOf]]), whose header/footer pool and defect
+    * lines recur corpus-wide while body lines stay essentially unique.
+    *
+    * The fraction-of-corpus threshold (not an absolute count) is what
+    * survives a 1000× scale-up: the census is keyed by the line's 64-bit
+    * charFold — line text never shuffles — and the boilerplate set is
+    * a few thousand hashes at any corpus size (a line must appear in
+    * ≥ 5% of documents), so the verdict join broadcasts.
+    */
+  def lineBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    lineBoilerplateOf(Tables.documents(spark, dir))
+
+  def lineBoilerplateOf(docs: DataFrame): DataFrame = {
+    // distinct (doc, line-hash) pairs; consumed three times (census,
+    // per-doc totals, verdict join) so pin the one explode
+    val lines = TextOps.pageOf(docs)
+      .select(col("doc_id"), explode(split(col("page"), "\n")).as("l"))
+      .select(col("doc_id"), trim(col("l")).as("l"))
+      .filter(col("l") =!= "")
+      .select(col("doc_id"), TextOps.charFold(col("l")).as("lfp"))
+      .distinct()
+      .localCheckpoint()
+    val total = docs.agg(count(lit(1)).as("total_docs"))
+    val boiler = lines.groupBy("lfp")
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_docs") * 100 >= col("total_docs") * 5)
+      .select("lfp")
+    val perDoc = lines.join(boiler, Seq("lfp"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_boiler"))
+      .select(col("doc_id"), col("n_lines"), col("n_boiler"),
+        expr("n_boiler * 1000 div n_lines").as("boiler_permille"))
+  }
+
+  val lineBoilerplateSql: String =
+    s"""WITH page AS (${TextOps.pageSql()}),
+       |raw AS (
+       |  SELECT doc_id, trim(unnest(string_split(page, chr(10)))) AS l
+       |  FROM page),
+       |ln AS (
+       |  SELECT DISTINCT doc_id, ${TextOps.charFoldSql("l")} AS lfp
+       |  FROM raw WHERE l <> ''),
+       |census AS (SELECT lfp, count(*) AS n_docs FROM ln GROUP BY 1),
+       |total AS (SELECT count(*) AS total_docs FROM documents),
+       |boiler AS (
+       |  SELECT lfp FROM census, total
+       |  WHERE n_docs * 100 >= total_docs * 5)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(CASE WHEN lfp IN (SELECT lfp FROM boiler)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  CAST(sum(CASE WHEN lfp IN (SELECT lfp FROM boiler)
+       |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+       |    AS boiler_permille
+       |FROM ln GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_line_boilerplate" -> (lineBoilerplate _),
     "q121_corpus_diff" -> (corpusDiff _),
     "q57_domain_cap" -> ((s: SparkSession, d: String) => domainCap(s, d)),
     "q24_incremental_dedup" -> (incrementalDedup _),
@@ -857,6 +922,7 @@ object CurationOps {
     "q102_corpus_report" -> (corpusReport _))
 
   val oracles: Map[String, String] = Map(
+    "q124_line_boilerplate" -> lineBoilerplateSql,
     "q57_domain_cap" -> domainCapSql,
     "q24_incremental_dedup" -> incrementalDedupSql,
     "q29_kmv_sketch" -> kmvSketchSql,

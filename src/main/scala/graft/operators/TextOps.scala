@@ -723,7 +723,149 @@ object TextOps {
        |FROM f""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q123
+  /** Deterministic multi-line "web page" synthesized from a document —
+    * the shared fixture for the line-level operators (q123 C4 rules,
+    * q124 boilerplate census). The corpus text is single-line, so page
+    * structure is built in-query (the q110/q113/q116 fixture-in-query
+    * pattern): a recurring header/footer drawn from a 4-line boilerplate
+    * pool, the body split into lines at ' a ' tokens (which also plants
+    * terminal periods), and page-level defects (a javascript notice, a
+    * lorem-ipsum marker, a stray code brace) keyed off doc_id residues.
+    * Identical arithmetic on both engines; the detectors never see which
+    * branch built their input.
+    */
+  private val pagePool = Seq(
+    "subscribe to our newsletter.",
+    "all rights reserved.",
+    "privacy policy. terms of service.",
+    "share this article.")
+
+  def pageOf(docs: DataFrame): DataFrame = {
+    val pool = pagePool.map(s => s"'$s'")
+    docs.select(col("doc_id"), expr(
+      s"""concat(
+         |  CASE doc_id % 4 WHEN 0 THEN ${pool(0)} WHEN 1 THEN ${pool(1)}
+         |    WHEN 2 THEN ${pool(2)} ELSE ${pool(3)} END, chr(10),
+         |  replace(text, ' a ', concat('.', chr(10))), chr(10),
+         |  CASE (doc_id + 2) % 4 WHEN 0 THEN ${pool(0)} WHEN 1 THEN ${pool(1)}
+         |    WHEN 2 THEN ${pool(2)} ELSE ${pool(3)} END,
+         |  CASE WHEN doc_id % 6 = 0
+         |    THEN concat(chr(10), 'please enable javascript to view this page')
+         |    ELSE '' END,
+         |  CASE WHEN doc_id % 7 = 0
+         |    THEN concat(chr(10), 'lorem ipsum dolor sit amet.')
+         |    ELSE '' END,
+         |  CASE WHEN doc_id % 11 = 0
+         |    THEN concat(chr(10), 'function() {')
+         |    ELSE '' END)""".stripMargin).as("page"))
+  }
+
+  def pageSql(from: String = "documents"): String = {
+    val pool = pagePool.map(s => s"'$s'")
+    s"""SELECT doc_id,
+       |  CASE doc_id % 4 WHEN 0 THEN ${pool(0)} WHEN 1 THEN ${pool(1)}
+       |    WHEN 2 THEN ${pool(2)} ELSE ${pool(3)} END || chr(10) ||
+       |  replace(text, ' a ', '.' || chr(10)) || chr(10) ||
+       |  CASE (doc_id + 2) % 4 WHEN 0 THEN ${pool(0)} WHEN 1 THEN ${pool(1)}
+       |    WHEN 2 THEN ${pool(2)} ELSE ${pool(3)} END ||
+       |  CASE WHEN doc_id % 6 = 0
+       |    THEN chr(10) || 'please enable javascript to view this page'
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 7 = 0
+       |    THEN chr(10) || 'lorem ipsum dolor sit amet.'
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 11 = 0
+       |    THEN chr(10) || 'function() {'
+       |    ELSE '' END AS page
+       |FROM $from""".stripMargin
+  }
+
+  /** The C4 cleaning battery (Raffel et al. 2020 §2.2) as per-line and
+    * per-page gates over the synthesized page: a line survives when it
+    * has ≥ 5 words, ends in terminal punctuation, and doesn't mention
+    * javascript; the page survives when it has ≥ 3 sentences and carries
+    * neither a lorem-ipsum placeholder nor a code brace. Per-rule drop
+    * counts stay independent (tune/ablate per rule, the q120 convention)
+    * and the kept text collapses to a charFold fingerprint so C4's
+    * follow-on three-sentence dedup is a q33 groupBy downstream.
+    *
+    * Scale shape: map-only — split, per-line filters, integer counts;
+    * one 64-bit fingerprint per page leaves the mapper, never the text.
+    */
+  def c4Rules(spark: SparkSession, dir: String): DataFrame =
+    c4RulesOf(Tables.documents(spark, dir))
+
+  def c4RulesOf(docs: DataFrame): DataFrame = {
+    val lines = transform(split(col("page"), "\n"), l => trim(l))
+    val words = (l: Column) => size(split(l, "\\s+")).cast("long")
+    val endsPunct = (l: Column) =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"")
+    val hasJs = (l: Column) => l.contains("javascript")
+    val keep = (l: Column) =>
+      words(l) >= 5 && endsPunct(l) && !hasJs(l)
+    val kept = filter(lines, keep)
+    val nSentences = (length(col("page")) -
+      length(translate(col("page"), ".!?", ""))).cast("long")
+    pageOf(docs).select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        size(filter(lines, l => words(l) < 5)).cast("long")
+          .as("n_short"),
+        size(filter(lines, l => !endsPunct(l))).cast("long")
+          .as("n_nopunct"),
+        size(filter(lines, hasJs)).cast("long").as("n_js"),
+        col("page").contains("lorem ipsum").as("has_lorem"),
+        col("page").contains("{").as("has_brace"),
+        nSentences.as("n_sentences"),
+        charFold(array_join(kept, "\n")).as("clean_fp"))
+      .withColumn("keep_page",
+        !col("has_lorem") && !col("has_brace") &&
+          col("n_sentences") >= 3)
+  }
+
+  // clean_fp is coalesced to 0: a doc whose every line is dropped folds
+  // the empty string, where Spark's ascii('') is 0 but DuckDB's ord('')
+  // is NULL — both engines must fingerprint the empty page as 0
+  val c4RulesSql: String = {
+    val words = (l: String) =>
+      s"CAST(len(string_split_regex($l, '\\s+')) AS BIGINT)"
+    val endsPunct = (l: String) =>
+      s"right($l, 1) IN ('.', '!', '?', '\"')"
+    s"""WITH page AS (${pageSql()}),
+       |f AS (
+       |  SELECT doc_id, page,
+       |    list_transform(string_split(page, chr(10)), l -> trim(l))
+       |      AS lines
+       |  FROM page),
+       |g AS (
+       |  SELECT doc_id, page,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    list_filter(lines, l -> ${words("l")} >= 5
+       |      AND ${endsPunct("l")}
+       |      AND NOT contains(l, 'javascript')) AS kept,
+       |    CAST(len(list_filter(lines, l -> ${words("l")} < 5))
+       |      AS BIGINT) AS n_short,
+       |    CAST(len(list_filter(lines, l -> NOT ${endsPunct("l")}))
+       |      AS BIGINT) AS n_nopunct,
+       |    CAST(len(list_filter(lines, l -> contains(l, 'javascript')))
+       |      AS BIGINT) AS n_js,
+       |    contains(page, 'lorem ipsum') AS has_lorem,
+       |    contains(page, '{') AS has_brace,
+       |    CAST(length(page) - length(translate(page, '.!?', ''))
+       |      AS BIGINT) AS n_sentences
+       |  FROM f)
+       |SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+       |  n_short, n_nopunct, n_js, has_lorem, has_brace, n_sentences,
+       |  coalesce(${charFoldSql("array_to_string(kept, chr(10))")}, 0)
+       |    AS clean_fp,
+       |  NOT has_lorem AND NOT has_brace AND n_sentences >= 3
+       |    AS keep_page
+       |FROM g""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_c4_rules" -> (c4Rules _),
     "q120_gopher_rules" -> (gopherRules _),
     "q116_mojibake" -> (mojibake _),
     "q77_pii_redact" -> (piiRedactQuery _),
@@ -738,6 +880,7 @@ object TextOps {
     "q33_dedup_exact" -> (dedupExact _))
 
   val oracles: Map[String, String] = Map(
+    "q123_c4_rules" -> c4RulesSql,
     "q120_gopher_rules" -> gopherRulesSql,
     "q116_mojibake" -> mojibakeSql,
     "q77_pii_redact" -> piiRedactSql,

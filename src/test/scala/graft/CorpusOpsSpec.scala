@@ -163,4 +163,49 @@ class CorpusOpsSpec extends SparkSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("row_number"), plan)
   }
+
+  test("tokenizer fertility: exact per-language token/word/char ratios") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("en", "hello world"),     // 2 words, 0 punct, 11 chars
+      ("en", "a, b c!"),         // 3 words, 2 punct, 7 chars
+      ("fr", "bonjour le monde") // 3 words, 0 punct, 16 chars
+    ).toDF("lang", "text")
+    val r = CorpusOps.tokenizerFertilityOf(docs).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val en = r("en")
+    assert(en.getAs[Long]("n_docs") == 2)
+    assert(en.getAs[Long]("n_words") == 5)
+    assert(en.getAs[Long]("n_tokens") == 7)
+    assert(en.getAs[Long]("n_chars") == 18)
+    assert(en.getAs[Long]("fertility_permille") == 1400)
+    assert(en.getAs[Long]("chars_per_token_permille") == 18000 / 7)
+    val fr = r("fr")
+    assert(fr.getAs[Long]("n_tokens") == 3)
+    assert(fr.getAs[Long]("fertility_permille") == 1000)
+  }
+
+  test("zipf diagnostics: vocab, hapax tail and head mass per language") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("en", "the cat"), ("en", "the dog"), ("en", "the the bird"),
+      ("fr", "un un deux")).toDF("lang", "text")
+    val r = CorpusOps.zipfDiagnosticsOf(docs).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val en = r("en")
+    // census: the×4, cat, dog, bird → vocab 4, tokens 7, hapax 3
+    assert(en.getAs[Long]("vocab_size") == 4)
+    assert(en.getAs[Long]("n_tokens") == 7)
+    assert(en.getAs[Long]("hapax_count") == 3)
+    // vocab < 100 → the whole census is the head
+    assert(en.getAs[Long]("head_permille") == 1000)
+    assert(en.getAs[Long]("hapax_permille") == 750)
+    val fr = r("fr")
+    assert(fr.getAs[Long]("vocab_size") == 2)
+    assert(fr.getAs[Long]("n_tokens") == 3)
+    assert(fr.getAs[Long]("hapax_count") == 1)
+    assert(fr.getAs[Long]("hapax_permille") == 500)
+  }
 }

@@ -325,4 +325,75 @@ class CurationSpec extends SparkSuite {
     val same = CurationOps.corpusDiffOf(v1, v1).collect()
     assert(same.forall(_.getString(1) == "unchanged"))
   }
+
+  test("c4 rules: per-line and per-page gates fire on hand-built pages") {
+    import graft.operators.TextOps
+    val s2 = spark
+    import s2.implicits._
+    // doc 42: 42%6=0 (js notice), 42%7=0 (lorem), header pool slots
+    // 42%4=2 / 44%4=0 → page is
+    //   privacy policy. terms of service.      (5 words, '.')  kept
+    //   one two three four five                (5 words, no '.')
+    //   subscribe to our newsletter.           (4 words, short)
+    //   please enable javascript to view this page   (js)
+    //   lorem ipsum dolor sit amet.            (5 words, '.')  kept
+    // doc 11: 11%11=0 plants 'function() {'; ' a ' splits the body at
+    // the article and plants a period, leaving every line under 5 words
+    // doc 1: clean page, body split once at ' a ' → two kept sentences
+    val docs = Seq(
+      (42L, "one two three four five"),
+      (11L, "big cat runs a small dog sleeps well."),
+      (1L, "one two three four five six a seven eight nine ten eleven."))
+      .toDF("doc_id", "text")
+    val r = TextOps.c4RulesOf(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val d42 = r(42L)
+    assert(d42.getAs[Long]("n_lines") == 5)
+    assert(d42.getAs[Long]("n_kept") == 2)
+    assert(d42.getAs[Long]("n_short") == 1)
+    assert(d42.getAs[Long]("n_nopunct") == 2)
+    assert(d42.getAs[Long]("n_js") == 1)
+    assert(d42.getAs[Boolean]("has_lorem"))
+    assert(!d42.getAs[Boolean]("has_brace"))
+    assert(d42.getAs[Long]("n_sentences") == 4)
+    assert(!d42.getAs[Boolean]("keep_page")) // lorem kills the page
+    // kept text = the two surviving lines, fingerprinted
+    assert(d42.getAs[Long]("clean_fp") == 815916740119967L)
+    val d11 = r(11L)
+    assert(d11.getAs[Long]("n_lines") == 5)
+    assert(d11.getAs[Long]("n_kept") == 0)
+    assert(d11.getAs[Long]("n_short") == 5)
+    assert(d11.getAs[Boolean]("has_brace"))
+    assert(!d11.getAs[Boolean]("keep_page"))
+    val d1 = r(1L)
+    assert(d1.getAs[Long]("n_kept") == 2)
+    assert(d1.getAs[Boolean]("keep_page"))
+  }
+
+  test("line boilerplate: recurring lines are flagged by corpus " +
+      "fraction, unique bodies are not") {
+    val s2 = spark
+    import s2.implicits._
+    // ids 1..80 minus multiples of 6/7/11 (no injected defect lines):
+    // every page is header + body + footer. Three docs share one body;
+    // the rest are unique. 52 docs → threshold = appearing in ≥ 2.6
+    // docs, so the 3-doc shared body is boilerplate, unique bodies not.
+    val ids = (1 to 80).filter(i => i % 6 != 0 && i % 7 != 0 &&
+      i % 11 != 0)
+    val shared = Set(1, 2, 3)
+    val docs = ids.map(i => (i.toLong,
+      if (shared(i)) "repeated body line here"
+      else s"unique body number $i words")).toDF("doc_id", "text")
+    assert(ids.size == 52)
+    val r = CurationOps.lineBoilerplateOf(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toList
+    r.foreach { case (id, nLines, nBoiler, permille) =>
+      assert(nLines == 3, s"doc $id")
+      if (shared(id.toInt))
+        assert(nBoiler == 3 && permille == 1000, s"doc $id")
+      else
+        assert(nBoiler == 2 && permille == 666, s"doc $id")
+    }
+  }
 }
