@@ -926,7 +926,183 @@ object VectorOps {
     } finally e.unpersist()
   }
 
+  // ---------------------------------------------------------------- q127
+  /** Embedding outlier score: squared distance of each vector to its
+    * label's centroid, with an is_outlier gate at the per-label P90 —
+    * the standard embedding-space hygiene pass (mislabeled or corrupted
+    * examples sit far from their class centroid). All exact integers:
+    * centroids are floor(sum/count) per dimension in the ×1e6 scale
+    * (the q91 pmod floor-division, identical to DuckDB's `//`), and the
+    * P90 cutoff is a ceil-rank order statistic over floor-binned
+    * distances (the q104 histogram-quantile pattern) — never a
+    * percentile over doubles.
+    *
+    * Scale shape: one posexplode census keyed by (label, dim) — 64·|labels|
+    * rows — broadcast back as assembled centroid arrays; distances are
+    * map-side; the cutoff scan runs over the (label, bin) census, which
+    * is bounded by the bin resolution, not the corpus.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame =
+    embeddingOutliersOf(Tables.embeddings(spark, dir))
+
+  final val OutlierBinWidth = 10000000000L // dist² (scale 1e12) per bin
+
+  def embeddingOutliersOf(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"),
+        intVec(col("embedding")).as("xs"))
+      .withColumn("xx", intDot(col("xs"), col("xs")))
+    val cents = e.select(col("label"),
+        posexplode(col("xs")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      // floor(s/n) exactly (DuckDB `//`); Spark div truncates, so
+      // subtract the pmod remainder first
+      .withColumn("c", ((col("s") - pmod(col("s"), col("n"))) /
+        col("n")).cast(LongType))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"),
+        col("c")))), s => s.getField("c")).as("cs"))
+      .withColumn("cc", intDot(col("cs"), col("cs")))
+    val dists = e.join(broadcast(cents), Seq("label"))
+      .withColumn("dist2", col("xx") -
+        lit(2L) * intDot(col("xs"), col("cs")) + col("cc"))
+      .select(col("vec_id"), col("label"), col("dist2"),
+        (col("dist2") / lit(OutlierBinWidth)).cast(LongType).as("bin"))
+      .localCheckpoint()
+    val census = dists.groupBy(col("label"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("bin"))
+    val cutoff = census
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("tot", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
+      .filter(col("cum") * 10 >= col("tot") * 9)
+      .groupBy(col("label")).agg(min(col("bin")).as("cutoff_bin"))
+    dists.join(broadcast(cutoff), Seq("label"))
+      .select(col("vec_id"), col("label"), col("dist2"), col("bin"),
+        (col("bin") > col("cutoff_bin")).as("is_outlier"))
+  }
+
+  val embeddingOutliersSql: String = {
+    val xs = intVecSql("embedding")
+    s"""WITH v AS (SELECT vec_id, label, $xs AS xs FROM embeddings),
+       |e AS (SELECT vec_id, label, xs, ${intDotSql("xs", "xs")} AS xx
+       |  FROM v),
+       |sums AS (
+       |  SELECT label, i AS dim, count(*) AS n,
+       |    CAST(sum(xs[i]) AS BIGINT) AS s
+       |  FROM e, range(1, 65) t(i) GROUP BY label, i),
+       |cent AS (
+       |  -- floor(s/n) for signed s: DuckDB integer `//` truncates
+       |  -- toward zero, so strip the pmod remainder first (q91 trick)
+       |  SELECT label,
+       |    list((s - ((s % n + n) % n)) // n ORDER BY dim) AS cs
+       |  FROM sums GROUP BY label),
+       |centn AS (SELECT label, cs, ${intDotSql("cs", "cs")} AS cc
+       |  FROM cent),
+       |d AS (
+       |  SELECT e.vec_id, e.label,
+       |    e.xx - 2 * ${intDotSql("e.xs", "c.cs")} + c.cc AS dist2
+       |  FROM e JOIN centn c ON e.label = c.label),
+       |b AS (SELECT vec_id, label, dist2,
+       |    dist2 // $OutlierBinWidth AS bin FROM d),
+       |census AS (SELECT label, bin, count(*) AS cnt FROM b
+       |  GROUP BY label, bin),
+       |cum AS (
+       |  SELECT label, bin,
+       |    sum(cnt) OVER (PARTITION BY label ORDER BY bin) AS cum,
+       |    sum(cnt) OVER (PARTITION BY label) AS tot
+       |  FROM census),
+       |cutoff AS (
+       |  SELECT label, min(bin) AS cutoff_bin FROM cum
+       |  WHERE cum * 10 >= tot * 9 GROUP BY label)
+       |SELECT b.vec_id, b.label, b.dist2, b.bin,
+       |  b.bin > c.cutoff_bin AS is_outlier
+       |FROM b JOIN cutoff c ON b.label = c.label""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q128
+  /** Cell-local hard-negative mining: for every vector, the most
+    * cosine-similar vector of a DIFFERENT label inside the same coarse
+    * cell — the contrastive-training staple (in-batch negatives are
+    * easy; the informative ones are nearest-with-wrong-label). Cells
+    * are the q97 broadcast seed assignment, so candidates stay
+    * Σ|cell|² like SemDeDup, never corpus×corpus; at scale the same
+    * IVF routing bounds every cell.
+    *
+    * The argmax is max(struct(sim, -vec_id)) — no per-vector window
+    * sort — and ties break to the smaller neighbor id on both engines.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesOf(Tables.embeddings(spark, dir))
+
+  def hardNegativesOf(emb: DataFrame): DataFrame = {
+    val e = emb
+      .select(col("vec_id"), col("label"),
+        intVec(col("embedding")).as("xs"))
+      .withColumn("xx", intDot(col("xs"), col("xs")))
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("xs").as("s_xs"),
+        col("xx").as("ss"))
+    val assigned = e.join(broadcast(seeds))
+      .withColumn("dist", col("xx") -
+        lit(2L) * intDot(col("xs"), col("s_xs")) + col("ss"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct((-col("dist")).as("neg_dist"),
+        (-col("cell")).as("neg_cell"))).as("m"),
+        first(col("label")).as("label"),
+        first(col("xs")).as("xs"), first(col("xx")).as("xx"))
+      .select(col("vec_id"), (-col("m.neg_cell")).as("cell"),
+        col("label"), col("xs"), col("xx"))
+      .localCheckpoint()
+    val hn = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.cell") === col("y.cell") &&
+          col("x.label") =!= col("y.label"))
+      .withColumn("sim", cosine(intDot(col("x.xs"), col("y.xs")),
+        col("x.xx"), col("y.xx")))
+      .groupBy(col("x.vec_id").as("vec_id"))
+      .agg(max(struct(col("sim"),
+        (-col("y.vec_id")).as("neg_id"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg_id")).as("hn_id"),
+        col("m.sim").as("hn_sim"))
+    assigned.select(col("vec_id"), col("cell"), col("label"))
+      .join(hn, Seq("vec_id"), "left")
+  }
+
+  val hardNegativesSql: String = {
+    val dot = intDotSql("e.xs", "s.s_xs")
+    val pdot = intDotSql("x.xs", "y.xs")
+    s"""WITH v AS (SELECT vec_id, label,
+       |    ${intVecSql("embedding")} AS xs FROM embeddings),
+       |e AS (SELECT vec_id, label, xs, ${intDotSql("xs", "xs")} AS xx
+       |  FROM v),
+       |s AS (SELECT vec_id AS cell, xs AS s_xs, xx AS ss FROM e
+       |  WHERE vec_id < 8),
+       |p AS (SELECT e.vec_id, e.label, s.cell, e.xs, e.xx,
+       |    e.xx - 2 * $dot + s.ss AS dist FROM e, s),
+       |r AS (SELECT vec_id, label, cell, xs, xx, ROW_NUMBER() OVER
+       |  (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM p),
+       |a AS (SELECT vec_id, label, cell, xs, xx FROM r WHERE rk = 1),
+       |cand AS (
+       |  SELECT x.vec_id, y.vec_id AS hn_id,
+       |    CAST($pdot AS DOUBLE) /
+       |      sqrt(CAST(x.xx AS DOUBLE) * CAST(y.xx AS DOUBLE)) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |      ORDER BY CAST($pdot AS DOUBLE) /
+       |        sqrt(CAST(x.xx AS DOUBLE) * CAST(y.xx AS DOUBLE)) DESC,
+       |        y.vec_id) AS rk
+       |  FROM a x JOIN a y
+       |    ON x.cell = y.cell AND x.label <> y.label)
+       |SELECT a.vec_id, a.cell, a.label, c.hn_id, c.sim AS hn_sim
+       |FROM a LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c
+       |  ON a.vec_id = c.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_embedding_outliers" -> (embeddingOutliers _),
+    "q128_hard_negatives" -> (hardNegatives _),
     "q87_kmeans_step" -> (kmeansStep _),
     "q97_semantic_dedup" -> (semanticDedup _),
     "q98_pq_adc_search" -> (pqAdcSearch _),
@@ -941,6 +1117,8 @@ object VectorOps {
     "q43_lsh_buckets" -> (lshBuckets _))
 
   val oracles: Map[String, String] = Map(
+    "q127_embedding_outliers" -> embeddingOutliersSql,
+    "q128_hard_negatives" -> hardNegativesSql,
     "q87_kmeans_step" -> kmeansStepSql,
     "q97_semantic_dedup" -> semanticDedupSql,
     "q98_pq_adc_search" -> pqAdcSearchSql,

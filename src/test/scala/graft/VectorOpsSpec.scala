@@ -169,4 +169,64 @@ class VectorOpsSpec extends SparkSuite {
     val r2 = VectorOps.kmeansIterate(vectors, k = 3, maxIter = 15)
     assert(r2.assignments.as[(Long, Long)].collect().toMap == labels)
   }
+
+  test("embedding outliers: far-from-centroid vector flagged at the " +
+      "per-label P90; floor centroids handle negative sums") {
+    val s = spark
+    import s.implicits._
+    // label 0: nine at the origin, one far along x → centroid at
+    // (0.1, 0); the nine sit one bin away, the far one 81 bins out
+    val near = (0L until 9L).map(i => (i, Array(0.0f, 0.0f), 0))
+    val far = Seq((9L, Array(1.0f, 0.0f), 0))
+    // label 1: sums not divisible by n and negative → floor(-7e5/3)
+    val neg = Seq((10L, Array(-0.1f, 0.0f), 1),
+      (11L, Array(-0.2f, 0.0f), 1), (12L, Array(-0.4f, 0.0f), 1))
+    val emb = (near ++ far ++ neg).toDF("vec_id", "embedding", "label")
+    val r = VectorOps.embeddingOutliersOf(emb).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(!r(0L).getAs[Boolean]("is_outlier"))
+    assert(r(9L).getAs[Boolean]("is_outlier"))
+    // label-0 centroid = (100000, 0): near dist² = 1e10, far = 8.1e11
+    assert(r(0L).getAs[Long]("dist2") == 10000000000L)
+    assert(r(9L).getAs[Long]("dist2") == 810000000000L)
+    // label-1 centroid x = floor(-700000/3) = -233334 (not -233333)
+    val d10 = r(10L).getAs[Long]("dist2")
+    val e10 = (-100000L + 233334L) * (-100000L + 233334L)
+    assert(d10 == e10, s"$d10 vs $e10")
+  }
+
+  test("hard negatives: nearest other-label neighbor within the cell, " +
+      "null when the cell is label-pure") {
+    val s = spark
+    import s.implicits._
+    // seeds (vec_id < 8) at three directions; members cluster around
+    // them. Cell 0 mixes labels A/B, cell 1 mixes, cell 2 is pure A.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),    // seed, cell 0, label 0
+      (1L, Array(0.0f, 1.0f), 1),    // seed, cell 1, label 1
+      (2L, Array(-1.0f, 0.0f), 0),   // seed, cell 2, label 0
+      (10L, Array(0.9f, 0.1f), 0),
+      (11L, Array(0.95f, 0.05f), 1),
+      (12L, Array(0.1f, 0.9f), 0),
+      (13L, Array(0.05f, 0.95f), 0),
+      (20L, Array(-0.9f, -0.1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val r = VectorOps.hardNegativesOf(emb).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(10L).getAs[Long]("hn_id") == 11L) // only B in cell 0
+    assert(r(0L).getAs[Long]("hn_id") == 11L)
+    // 11's best wrong-label match: seed 0 edges out 10 on cosine
+    assert(r(11L).getAs[Long]("hn_id") == 0L)
+    // 1's best in cell 1: 13 is closer to (0,1) than 12
+    assert(r(1L).getAs[Long]("hn_id") == 13L)
+    assert(r(12L).getAs[Long]("hn_id") == 1L)
+    // label-pure cell → no hard negative
+    assert(r(20L).isNullAt(r(20L).fieldIndex("hn_id")))
+    assert(r(2L).isNullAt(r(2L).fieldIndex("hn_id")))
+    // similarity is a valid cosine in [-1, 1] wherever present
+    r.values.filterNot(_.isNullAt(3)).foreach { x =>
+      val c = x.getAs[Double]("hn_sim")
+      assert(c >= -1.0 && c <= 1.0 + 1e-9)
+    }
+  }
 }
