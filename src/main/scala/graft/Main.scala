@@ -53,10 +53,17 @@ object Main {
         reg.setAll(Monitoring.TaskMetrics.calc(monitors.roles) ++ extra)
       }
     try {
-      // a curation_stream source is a directory of arriving document
-      // files, not the table catalog the precheck battery reads
+      // sources that are not the parquet table catalog the precheck
+      // battery reads: arriving-document dirs, check logs, catalog
+      // fixtures, RDB dumps, captured keyspaces, slot layouts, lake
+      // staging roots
+      val nonCatalog: Set[TaskConfig.ExtractType] = Set(
+        TaskConfig.CurationStreamExtract, TaskConfig.CheckLogExtract,
+        TaskConfig.StructExtract, TaskConfig.SnapshotFileExtract,
+        TaskConfig.ScanExtract, TaskConfig.ReshardExtract,
+        TaskConfig.FoxlakeS3Extract)
       val checks =
-        if (task.extractType == TaskConfig.CurationStreamExtract) Nil
+        if (nonCatalog(task.extractType)) Nil
         else TaskRunner.precheck(spark, task)
       checks.foreach(c =>
         println(s"[precheck] ${c.item} ${if (c.ok) "OK" else "FAIL"} ${c.detail}"))
@@ -111,6 +118,34 @@ object Main {
         return
       }
       task.extractType match {
+        case TaskConfig.SnapshotExtract
+            if task.pipelineType == "http_server" =>
+          // HttpServerPipeline swap: stage every admitted table into
+          // the spool and serve it over the subscription endpoints
+          // until the consumer acks everything (or the serve timeout)
+          val (sub, results) = TaskRunner.stageSnapshot(spark, task)
+          results.foreach { r =>
+            println(s"[snapshot] ${r.schema}.${r.tb} staged -> " +
+              s"${r.dstTable} rows=${r.rows}")
+            monitors.extractor
+              .addBatchCounter(Monitoring.ExtractedRecords, r.rows, 1L)
+          }
+          val srv = new graft.infra.SubscriptionServer(spark, sub,
+            task.httpHost, task.httpPort)
+          try {
+            println(s"[pipeline] serving subscription on " +
+              s"${task.httpHost}:${srv.boundPort}")
+            publish()
+            val lastOffset = sub.offsets().lastOption.getOrElse(-1L)
+            val deadline = System.nanoTime() +
+              task.serveTimeoutSecs * 1000000000L
+            while (sub.acked() < lastOffset &&
+                System.nanoTime() < deadline) Thread.sleep(100L)
+            println(if (sub.acked() >= lastOffset)
+              s"[pipeline] all ${results.size} batches acked"
+            else s"[pipeline] serve timeout, acked=${sub.acked()} " +
+              s"of $lastOffset — spool retained")
+          } finally srv.stop()
         case TaskConfig.SnapshotExtract =>
           val results = TaskRunner.runSnapshot(spark, task)
           var finished = 0L
@@ -174,6 +209,97 @@ object Main {
             r.qualityDropped + r.exactDropped + r.nearDupFlagged, 1L)
           monitors.sinker
             .addBatchCounter(Monitoring.SinkedRecordTotal, r.kept, 1L)
+          publish()
+        case TaskConfig.CheckLogExtract =>
+          val results = TaskRunner.runCheckLogReplay(spark, task)
+          results.foreach { case (tb, n) =>
+            println(s"[check_log] $tb revise_statements=$n")
+            monitors.checker
+              .addBatchCounter(Monitoring.RecordCount, n, 1L)
+          }
+          publish()
+        case TaskConfig.StructExtract =>
+          val results = TaskRunner.runStruct(spark, task)
+          results.foreach { case (tb, stmts) =>
+            println(s"[struct] $tb statements=${stmts.size}")
+            stmts.foreach(s => println(s"[struct][sql] $s"))
+          }
+          monitors.extractor.addBatchCounter(
+            Monitoring.ExtractedRecords, results.size.toLong, 1L)
+          publish()
+        case TaskConfig.SnapshotFileExtract =>
+          val r = TaskRunner.runSnapshotFile(spark, task)
+          println(s"[snapshot_file] ${r.dstTable} rows=${r.rows}")
+          monitors.extractor
+            .addBatchCounter(Monitoring.ExtractedRecords, r.rows, 1L)
+          monitors.sinker
+            .addBatchCounter(Monitoring.SinkedRecordTotal, r.rows, 1L)
+          publish()
+        case TaskConfig.ScanExtract =>
+          val report = TaskRunner.runScan(spark, task)
+          val n = report.count()
+          println(s"[scan] ${task.statisticType} report_rows=$n")
+          monitors.extractor
+            .addBatchCounter(Monitoring.ExtractedRecords, n, 1L)
+          publish()
+        case TaskConfig.ReshardExtract =>
+          val plan = TaskRunner.runReshard(spark, task)
+          val n = plan.count()
+          println(s"[reshard] planned_moves=$n")
+          plan.collect().foreach(m => println(s"[reshard][move] " +
+            s"slots ${m.getInt(0)}-${m.getInt(1)} " +
+            s"${m.getString(2)} -> ${m.getString(3)}"))
+          publish()
+        case TaskConfig.FoxlakeS3Extract =>
+          val results = TaskRunner.runFoxlakeS3(spark, task)
+          results.foreach { r =>
+            println(s"[foxlake_s3] ${r.schema}.${r.tb} -> " +
+              s"${r.dstTable} rows=${r.rows}")
+            monitors.extractor
+              .addBatchCounter(Monitoring.ExtractedRecords, r.rows, 1L)
+            monitors.sinker
+              .addBatchCounter(Monitoring.SinkedRecordTotal, r.rows, 1L)
+          }
+          publish()
+        case TaskConfig.SnapshotAndCdcExtract =>
+          // the one-INI serial migration (the reference's
+          // snapshot_and_cdc): same FullSyncTask drive as the two-file
+          // `--then` form, with this config serving both phases
+          require(task.walCapture.isDefined && task.slot.isDefined,
+            "snapshot_and_cdc needs [extractor] wal_capture= and " +
+              "slot_name=")
+          val capture = task.walCapture.get
+          val bytes = java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(capture))
+          val posPath =
+            task.positionStore.getOrElse(s"$capture.positions")
+          val store = new graft.sources.DbResumer.FileStore(posPath)
+          val rec = new graft.sources.DbResumer.Recorder(args(0),
+            store, graft.sources.DbResumer.MySqlDialect)
+          rec.init(isInit = false)
+          val resumer = new graft.sources.DbResumer.Dual(
+            new graft.sources.SnapshotResumer(s"$posPath.d"), rec,
+            () => new graft.sources.DbResumer.Recovery(args(0), store))
+          val uri = java.net.URI.create(task.sinkDir)
+          val r = graft.streaming.FullSyncTask.run(spark, task, task,
+            graft.streaming.CdcTask.PgAnswers(
+              graft.sources.PgSlotLifecycle.SlotStatus(exists = false),
+              pubExists = false, walStream = bytes),
+            (db, tb, batchId) =>
+              new graft.sinks.StreamLoadHttp.HttpPayloadSink(
+                graft.sinks.StreamLoadHttp.Config(uri.getHost,
+                  uri.getPort, db, tb, task.sinkUser,
+                  task.sinkPassword), batchId),
+            resumer, Some(monitors))
+          r.slotPlan.statements.foreach(s => println(s"[slot] $s"))
+          r.snapshot.foreach(t => println(
+            s"[snapshot] ${t.schema}.${t.tb} -> ${t.dstTable} " +
+              s"rows=${t.rows}"))
+          r.snapshotSkipped.foreach(t =>
+            println(s"[snapshot] $t already finished, skipped"))
+          println(s"[cdc] start_lsn=${r.cdc.startLsn} " +
+            s"shipped=${r.cdc.rowsShipped} " +
+            s"skipped=${r.cdc.eventsSkipped} end=${r.cdc.endLsn}")
           publish()
         case TaskConfig.CdcExtract =>
           (task.walCapture, task.slot) match {

@@ -67,6 +67,39 @@ object TaskConfig {
     * arrived and leaves both stages' checkpoints for the next start.
     */
   case object CurationStreamExtract extends ExtractType
+  /** Single-config serial migration (the reference's
+    * `extract_type=snapshot_and_cdc`, config_enums.rs:47-49): snapshot
+    * every admitted table, then drain CDC from the consistent point —
+    * one INI instead of the two-file `--then` form.
+    */
+  case object SnapshotAndCdcExtract extends ExtractType
+  /** Replay persisted check logs into revise statements
+    * (`extract_type=check_log`, the reference's MysqlCheck/PgCheck
+    * extractors reading check_log_dir).
+    */
+  case object CheckLogExtract extends ExtractType
+  /** Structure migration from a catalog fixture: synthesize the
+    * information_schema/pg_catalog queries, parse TableDefs, render
+    * DDL for the sink dialect (`extract_type=struct`).
+    */
+  case object StructExtract extends ExtractType
+  /** Parse a Redis RDB dump file into rows
+    * (`extract_type=snapshot_file`, ExtractorConfig::RedisSnapshotFile).
+    */
+  case object SnapshotFileExtract extends ExtractType
+  /** Keyspace statistics scan — hot keys (OBJECT FREQ) or big keys
+    * (MEMORY USAGE) over a captured keyspace
+    * (`extract_type=scan`, ExtractorConfig::RedisScan).
+    */
+  case object ScanExtract extends ExtractType
+  /** Cluster reshard move plan between two slot layouts
+    * (`extract_type=reshard`, ExtractorConfig::RedisReshard).
+    */
+  case object ReshardExtract extends ExtractType
+  /** Lake read-back through the staged meta-file protocol
+    * (`extract_type=foxlake_s3`, ExtractorConfig::FoxlakeS3).
+    */
+  case object FoxlakeS3Extract extends ExtractType
 
   /** `[metrics]` section — the reference's MetricsConfig
     * (dt-common/src/config/metrics_config.rs, loaded at
@@ -103,7 +136,42 @@ object TaskConfig {
       // loader-layout task knobs ([extractor] shard_count /
       // window_tokens)
       loaderShards: Int = 8,
-      loaderWindow: Long = 512L)
+      loaderWindow: Long = 512L,
+      // source/sink engine dialects ([extractor]/[sinker] db_type)
+      dbType: String = "file",
+      sinkDbType: String = "file",
+      // check_log replay ([extractor] check_log_dir)
+      checkLogDir: Option[String] = None,
+      // snapshot_file / reshard key source ([extractor] file_path)
+      filePath: Option[String] = None,
+      // scan task ([extractor] statistic_type / scan_count /
+      // keyspace_fixture — the captured-keyspace stand-in for the live
+      // socket, like wal_capture on the CDC lane)
+      statisticType: String = "hot_key",
+      scanCount: Int = 1000,
+      keyspaceFixture: Option[String] = None,
+      // reshard layouts ([extractor] slots_before / slots_after:
+      // comma-separated node@from-to runs)
+      slotsBefore: Seq[graft.sinks.RedisReshard.SlotRange] = Nil,
+      slotsAfter: Seq[graft.sinks.RedisReshard.SlotRange] = Nil,
+      // foxlake_s3 staging root ([extractor] s3_root_dir)
+      s3RootDir: Option[String] = None,
+      // struct task catalog fixture dir ([extractor] catalog_dir)
+      catalogDir: Option[String] = None,
+      // [pipeline] pipeline_type=basic|http_server (+ http_host/
+      // http_port/serve_timeout_secs for the subscription endpoint)
+      pipelineType: String = "basic",
+      httpHost: String = "127.0.0.1",
+      httpPort: Int = 0,
+      serveTimeoutSecs: Int = 60)
+
+  /** `node@from-to[,node@from-to...]` → slot ranges. */
+  def parseSlots(spec: String): Seq[graft.sinks.RedisReshard.SlotRange] =
+    spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { run =>
+      val Array(node, range) = run.split("@", 2)
+      val Array(from, to) = range.split("-", 2)
+      graft.sinks.RedisReshard.SlotRange(from.toInt, to.toInt, node)
+    }
 
   /** Build the typed task from parsed INI (the reference's
     * TaskConfig::new).
@@ -119,6 +187,13 @@ object TaskConfig {
     val extractType = ex.get("extract_type", "snapshot") match {
       case "cdc" => CdcExtract
       case "check" => CheckExtract
+      case "check_log" => CheckLogExtract
+      case "struct" => StructExtract
+      case "snapshot_and_cdc" => SnapshotAndCdcExtract
+      case "snapshot_file" => SnapshotFileExtract
+      case "scan" => ScanExtract
+      case "reshard" => ReshardExtract
+      case "foxlake_s3" => FoxlakeS3Extract
       case "curation" => CurationExtract
       case "curation_stream" => CurationStreamExtract
       case "loader" => LoaderExtract
@@ -265,6 +340,21 @@ object TaskConfig {
       sinkUser = sk.get("username", "root"),
       sinkPassword = sk.get("password", ""),
       loaderShards = ex.get("shard_count", "8").toInt,
-      loaderWindow = ex.get("window_tokens", "512").toLong)
+      loaderWindow = ex.get("window_tokens", "512").toLong,
+      dbType = ex.get("db_type", "file"),
+      sinkDbType = sk.get("db_type", "file"),
+      checkLogDir = ex("check_log_dir"),
+      filePath = ex("file_path"),
+      statisticType = ex.get("statistic_type", "hot_key"),
+      scanCount = ex.get("scan_count", "1000").toInt,
+      keyspaceFixture = ex("keyspace_fixture"),
+      slotsBefore = parseSlots(ex.get("slots_before", "")),
+      slotsAfter = parseSlots(ex.get("slots_after", "")),
+      s3RootDir = ex("s3_root_dir"),
+      catalogDir = ex("catalog_dir"),
+      pipelineType = pl.get("pipeline_type", "basic"),
+      httpHost = pl.get("http_host", "127.0.0.1"),
+      httpPort = pl.get("http_port", "0").toInt,
+      serveTimeoutSecs = pl.get("serve_timeout_secs", "60").toInt)
   }
 }

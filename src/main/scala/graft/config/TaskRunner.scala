@@ -58,6 +58,35 @@ object TaskRunner {
       snapshotTable(spark, task, schema, tb)
     }
 
+  /** `[pipeline] pipeline_type=http_server` producer side: instead of
+    * sinking, each admitted table's (filtered, routed) frame is staged
+    * as one spool batch under `<sink>/spool` — the reference's
+    * HttpServerPipeline swap, where the sinker is replaced by the
+    * served subscription. A `dst_table` column stamps each row with
+    * its routed destination so a consumer can demultiplex the spool.
+    */
+  def stageSnapshot(spark: SparkSession, task: TaskConfig.Task)
+      : (graft.infra.Subscription, Seq[TableResult]) = {
+    val sub = new graft.infra.Subscription(s"${task.sinkDir}/spool")
+    var offset = sub.offsets().lastOption.map(_ + 1).getOrElse(0L)
+    val results = units(task).map { case (schema, tb) =>
+      val loaded = Tables.load(spark, task.sourceDir, tb)
+      val conditioned = task.whereByTable.get((schema, tb))
+        .map(c => loaded.filter(expr(c))).getOrElse(loaded)
+      val df = task.ignoreColsByTable.get((schema, tb))
+        .map(cols => conditioned.drop(cols: _*)).getOrElse(conditioned)
+      val routed = task.router.renameColumns(schema, tb, df)
+      val (toSchema, toTb) = task.router.routeTable(schema, tb)
+      sub.stage(routed.withColumn("dst_table",
+        lit(s"$toSchema.$toTb")), offset)
+      val rows = spark.read
+        .parquet(s"${task.sinkDir}/spool/batch=$offset").count()
+      offset += 1
+      TableResult(schema, tb, rows, s"$toSchema.$toTb")
+    }
+    (sub, results)
+  }
+
   /** Curation task: the training-data extension run from the SAME
     * task-config surface as replication — `extract_type=curation` runs
     * [[graft.operators.CurationPipeline]] over the source corpus and
@@ -154,5 +183,208 @@ object TaskRunner {
       : Seq[Precheck.CheckResult] = {
     val tables = task.filter.expand(catalog(task.sourceDir)).map(_._2)
     Precheck.runAll(spark, task.sourceDir, tables, task.keysByTable)
+  }
+
+  // ------------------------------------------------------------------
+  // the reference's remaining ExtractType variants (config_enums.rs:
+  // 42-61), each wired to its already-tested component
+
+  /** `extract_type=check_log`: replay persisted check logs (a prior
+    * check task's miss/diff artifacts under [extractor] check_log_dir)
+    * into revise statements per table — the reference's
+    * MysqlCheck/PgCheck extractors + `replay_diff_as_update`. Returns
+    * (table, revise-statement count); statements land under
+    * `<sink>/revise/<schema>.<tb>` for the applier.
+    */
+  def runCheckLogReplay(spark: SparkSession, task: TaskConfig.Task)
+      : Seq[(String, Long)] = {
+    val logRoot = task.checkLogDir.getOrElse(
+      s"${task.sinkDir}/checklog")
+    units(task).flatMap { case (schema, tb) =>
+      val (toSchema, toTb) = task.router.routeTable(schema, tb)
+      val dir = s"$logRoot/$toSchema.$toTb"
+      if (!java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(dir))) None
+      else task.keysByTable.get(tb).map { keys =>
+        val logs = CheckLogs.read(spark, dir)
+        val revise = CheckLogs.reviseFromLogs(logs,
+          s"$toSchema.$toTb", keys)
+        val out = s"${task.sinkDir}/revise/$toSchema.$toTb"
+        revise.write.mode(SaveMode.Overwrite).parquet(out)
+        tb -> spark.read.parquet(out).count()
+      }
+    }
+  }
+
+  /** `extract_type=struct`: drive a structure migration from a catalog
+    * fixture — parquet files under [extractor] catalog_dir standing in
+    * for the live engine's information_schema/pg_catalog (a file named
+    * `<db>.<table>.parquet` registers qualified, `<table>.parquet`
+    * as a temp view), through the synthesized catalog SQL
+    * ([[graft.struct.StructFetcher]]) into DDL rendered for the sink
+    * dialect. Statements are written per table under `<sink>/structs/`.
+    */
+  def runStruct(spark: SparkSession, task: TaskConfig.Task)
+      : Seq[(String, Seq[String])] = {
+    import graft.struct.{StructFetcher, StructMigrator}
+    val dir = task.catalogDir.getOrElse(task.sourceDir)
+    new java.io.File(dir).listFiles().toSeq.map(_.getName)
+      .filter(_.endsWith(".parquet")).sorted
+      .foreach { name =>
+        val base = name.stripSuffix(".parquet")
+        val df = spark.read.parquet(s"$dir/$name")
+        if (base.contains(".")) {
+          val Array(db, tb) = base.split("\\.", 2)
+          spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+          spark.sql(s"DROP TABLE IF EXISTS $db.$tb")
+          df.write.saveAsTable(s"$db.$tb")
+        } else df.createOrReplaceTempView(base)
+      }
+    val exec = new StructFetcher.CatalogExec {
+      def query(sql: String): Seq[Map[String, String]] = {
+        // the one engine-ism Spark SQL can't parse (PG's cast)
+        val df = spark.sql(sql.replace("con.contype::text",
+          "con.contype"))
+        val cols = df.columns
+        df.collect().toSeq.map { row =>
+          cols.zipWithIndex.map { case (c, i) =>
+            c -> (if (row.isNullAt(i)) "" else row.get(i).toString)
+          }.toMap
+        }
+      }
+    }
+    val schemas = units(task).map(_._1).toSet ++
+      task.filter.doSchemas.toSet
+    val dialect = task.sinkDbType match {
+      case "mysql" => StructMigrator.MySqlDialect
+      case "pg" => StructMigrator.PostgresDialect
+      case "starrocks" | "doris" => StructMigrator.StarRocksDialect
+      case "clickhouse" => StructMigrator.ClickHouseDialect
+      case _ => StructMigrator.MySqlDialect
+    }
+    val out = units(task).flatMap { case (schema, tb) =>
+      val fetched: Option[StructMigrator.TableDef] =
+        task.dbType match {
+          case "pg" =>
+            new StructFetcher.PgFetcher(exec, schemas)
+              .fetchTable(schema, tb).map(_._1)
+          case _ =>
+            new StructFetcher.MySqlFetcher(exec, schemas)
+              .fetchTable(schema, tb)
+        }
+      fetched.map { t =>
+        // an unset do_structures means migrate everything (the
+        // reference's default), not nothing
+        val structFilter =
+          if (task.filter.doStructures.isEmpty)
+            task.filter.copy(doStructures = Set("*"))
+          else task.filter
+        val stmts = StructMigrator.migrate(t, dialect, structFilter)
+        s"$schema.$tb" -> stmts
+      }
+    }
+    val sqlDir = java.nio.file.Paths.get(s"${task.sinkDir}/structs")
+    java.nio.file.Files.createDirectories(sqlDir)
+    out.foreach { case (name, stmts) =>
+      java.nio.file.Files.writeString(sqlDir.resolve(s"$name.sql"),
+        stmts.mkString(";\n") + ";\n")
+    }
+    out
+  }
+
+  /** `extract_type=snapshot_file`: parse a Redis RDB dump file
+    * ([extractor] file_path) into rows and land them under the sink —
+    * ExtractorConfig::RedisSnapshotFile. The binary parse is
+    * inherently serial (one dump stream), exactly like the reference;
+    * everything after the parse is a normal distributed frame.
+    */
+  def runSnapshotFile(spark: SparkSession, task: TaskConfig.Task)
+      : TableResult = {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(task.filePath.get))
+    val entries = graft.sources.RedisRdb.parse(bytes)
+    import spark.implicits._
+    val df = entries.map(e => (e.db, e.key, e.valueType, e.field,
+        e.value, e.expireMs))
+      .toDF("db", "key", "value_type", "field", "value", "expire_ms")
+    val out = s"${task.sinkDir}/redis.snapshot"
+    df.write.mode(SaveMode.Overwrite).parquet(out)
+    TableResult("redis", "snapshot",
+      spark.read.parquet(out).count(), "redis.snapshot")
+  }
+
+  /** `extract_type=scan`: keyspace statistics over a captured keyspace
+    * ([extractor] keyspace_fixture; statistic_type hot_key|big_key,
+    * scan_count) — ExtractorConfig::RedisScan through the exact
+    * command loop, reported as the bounded top-k frame.
+    */
+  def runScan(spark: SparkSession, task: TaskConfig.Task,
+      topK: Int = 100): DataFrame = {
+    import graft.sources.RedisScanStats
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(task.keyspaceFixture.getOrElse(
+        task.sourceDir)))
+    val conn = RedisScanStats.fixtureConn(text)
+    val mode = task.statisticType match {
+      case "big_key" => RedisScanStats.BigKey
+      case _ => RedisScanStats.HotKey
+    }
+    val stats = RedisScanStats.drive(conn, mode, task.scanCount)
+    val report = mode match {
+      case RedisScanStats.BigKey =>
+        RedisScanStats.bigKeyReport(spark, stats, topK)
+      case _ => RedisScanStats.hotKeyReport(spark, stats, topK)
+    }
+    report.write.mode(SaveMode.Overwrite)
+      .parquet(s"${task.sinkDir}/scan.${task.statisticType}")
+    spark.read.parquet(s"${task.sinkDir}/scan.${task.statisticType}")
+  }
+
+  /** `extract_type=reshard`: the slot-move plan between [extractor]
+    * slots_before and slots_after — ExtractorConfig::RedisReshard.
+    * When file_path names an RDB dump, the plan is joined with the
+    * dump's keys into per-key moves.
+    */
+  def runReshard(spark: SparkSession, task: TaskConfig.Task)
+      : DataFrame = {
+    import graft.sinks.RedisReshard
+    val moves = RedisReshard.plan(task.slotsBefore, task.slotsAfter)
+    import spark.implicits._
+    val planDf = moves.map(m => (m.fromSlot, m.toSlot, m.fromNode,
+      m.toNode)).toDF("from_slot", "to_slot", "from_node", "to_node")
+    planDf.write.mode(SaveMode.Overwrite)
+      .parquet(s"${task.sinkDir}/reshard.plan")
+    task.filePath.foreach { fp =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(fp))
+      val keys = graft.sources.RedisRdb.parse(bytes)
+        .map(_.key).distinct.toDF("key")
+      RedisReshard.keyMoves(keys, "key", task.slotsBefore,
+          task.slotsAfter)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"${task.sinkDir}/reshard.keys")
+    }
+    spark.read.parquet(s"${task.sinkDir}/reshard.plan")
+  }
+
+  /** `extract_type=foxlake_s3`: read staged lake batches back through
+    * the meta-file protocol ([extractor] s3_root_dir as the staging
+    * root) and land them under the sink — ExtractorConfig::FoxlakeS3.
+    */
+  def runFoxlakeS3(spark: SparkSession, task: TaskConfig.Task)
+      : Seq[TableResult] = {
+    val root = task.s3RootDir.getOrElse(task.sourceDir)
+    units(task).flatMap { case (schema, tb) =>
+      val (df, _, _) = graft.sources.LakeSource.pollAndRead(spark,
+        root, schema, tb, None)
+      if (df.isEmpty) None
+      else {
+        val (toSchema, toTb) = task.router.routeTable(schema, tb)
+        val out = s"${task.sinkDir}/$toSchema.$toTb"
+        df.write.mode(SaveMode.Overwrite).parquet(out)
+        Some(TableResult(schema, tb,
+          spark.read.parquet(out).count(), s"$toSchema.$toTb"))
+      }
+    }
   }
 }

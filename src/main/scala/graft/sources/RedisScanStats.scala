@@ -144,4 +144,59 @@ object RedisScanStats {
       .select(col("db"), col("valueType"), col("rank"), col("key"),
         col("data_size"))
   }
+
+  /** Command transport over a CAPTURED keyspace — the scan-task
+    * equivalent of the CDC lane's `wal_capture`: a JSON-lines file
+    * describing the keyspace (`{"db":0,"key":"k","type":"string",
+    * "freq":5,"bytes":64}` per key, optional `{"policy":"..."}` line)
+    * answers the exact command loop [[drive]] issues, with real SCAN
+    * cursor pagination. Lets `extract_type=scan` run end-to-end from
+    * an INI with no live socket.
+    */
+  def fixtureConn(text: String): Seq[String] => Seq[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var policy = "allkeys-lfu"
+    val keys = scala.collection.mutable.LinkedHashMap
+      .empty[Long, Vector[(String, String, Long, Long)]]
+    text.linesIterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+      val n = mapper.readTree(line)
+      if (n.has("policy")) policy = n.get("policy").asText()
+      else {
+        val db = n.get("db").asLong()
+        keys(db) = keys.getOrElse(db, Vector.empty) :+
+          ((n.get("key").asText(),
+            if (n.has("type")) n.get("type").asText() else "string",
+            if (n.has("freq")) n.get("freq").asLong() else 0L,
+            if (n.has("bytes")) n.get("bytes").asLong() else 0L))
+      }
+    }
+    def find(key: String): Option[(String, String, Long, Long)] =
+      keys.valuesIterator.flatten.find(_._1 == key)
+    var db = -1L
+    cmd => cmd match {
+      case Seq("CONFIG", "GET", "maxmemory-policy") =>
+        Seq("maxmemory-policy", policy)
+      case Seq("INFO", "keyspace") =>
+        Seq(("# Keyspace" +: keys.toSeq.map { case (d, ks) =>
+          s"\ndb$d:keys=${ks.size},expires=0" }).mkString)
+      case Seq("SELECT", d) => db = d.toLong; Seq("OK")
+      case Seq("SCAN", cursor, "COUNT", count) =>
+        val ks = keys.getOrElse(db, Vector.empty)
+        val from = cursor.toInt
+        val page = ks.slice(from, from + count.toInt)
+        val next = if (from + page.size >= ks.size) 0
+                   else from + page.size
+        next.toString +: page.map(_._1)
+      case Seq("OBJECT", "FREQ", k) =>
+        find(k).map(e => Seq(e._3.toString))
+          .getOrElse(Seq("ERR no such key"))
+      case Seq("MEMORY", "USAGE", k) =>
+        find(k).map(e => Seq(e._4.toString)).getOrElse(Seq.empty)
+      case Seq("TYPE", k) =>
+        Seq(find(k).map(_._2).getOrElse("none"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"fixture keyspace: unexpected command $other")
+    }
+  }
 }

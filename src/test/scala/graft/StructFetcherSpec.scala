@@ -293,4 +293,65 @@ class StructFetcherSpec extends SparkSuite {
         .foreach(v => spark.catalog.dropTempView(v): Unit)
     }
   }
+
+  test("struct task: catalog fixture dir → fetcher SQL → rendered DDL " +
+      "for the sink dialect, from one INI") {
+    val s = spark
+    import s.implicits._
+    val catalogDir = java.nio.file.Files
+      .createTempDirectory("graft-catalog").toString
+    def put(name: String, df: DataFrame): Unit =
+      df.write.mode("overwrite")
+        .parquet(s"$catalogDir/information_schema.$name.parquet")
+    put("tables",
+      Seq(("app", "customer", "InnoDB", "customer master",
+          "utf8mb4_general_ci", "BASE TABLE"))
+        .toDF("TABLE_SCHEMA", "TABLE_NAME", "ENGINE",
+          "TABLE_COMMENT", "TABLE_COLLATION", "TABLE_TYPE"))
+    put("columns",
+      Seq(
+        ("app", "customer", "id", 1, null, "NO", "bigint", "PRI",
+          "auto_increment", "", null, null),
+        ("app", "customer", "full_name", 2, null, "YES",
+          "varchar(255)", "", "", "", "utf8mb4", "utf8mb4_general_ci"))
+        .toDF("TABLE_SCHEMA", "TABLE_NAME", "COLUMN_NAME",
+          "ORDINAL_POSITION", "COLUMN_DEFAULT", "IS_NULLABLE",
+          "COLUMN_TYPE", "COLUMN_KEY", "EXTRA", "COLUMN_COMMENT",
+          "CHARACTER_SET_NAME", "COLLATION_NAME"))
+    put("statistics",
+      Seq.empty[(String, String, Int, String, Int, String,
+          Option[Int], String, String)]
+        .toDF("TABLE_SCHEMA", "TABLE_NAME", "NON_UNIQUE",
+          "INDEX_NAME", "SEQ_IN_INDEX", "COLUMN_NAME", "SUB_PART",
+          "INDEX_TYPE", "COMMENT"))
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft-structsink").toString
+    val task = graft.config.TaskConfig.fromIni(
+      s"""[extractor]
+         |extract_type=struct
+         |db_type=mysql
+         |catalog_dir=$catalogDir
+         |[filter]
+         |do_dbs=app
+         |do_tbs=customer
+         |[sinker]
+         |db_type=mysql
+         |url=$sink
+         |""".stripMargin)
+    assert(task.extractType == graft.config.TaskConfig.StructExtract)
+    try {
+      val out = graft.config.TaskRunner.runStruct(spark, task)
+      assert(out.map(_._1) == Seq("app.customer"))
+      val ddl = out.head._2.mkString("\n")
+      assert(ddl.contains("CREATE TABLE IF NOT EXISTS `app`.`customer`"))
+      assert(ddl.contains("`full_name`"))
+      assert(ddl.contains("PRIMARY KEY (`id`)"))
+      // the statements were also persisted for the applier
+      val written = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$sink/structs/app.customer.sql"))
+      assert(written.startsWith("CREATE TABLE"))
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS information_schema CASCADE")
+    }
+  }
 }

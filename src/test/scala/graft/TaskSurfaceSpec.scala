@@ -1,0 +1,267 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.net.{HttpURLConnection, URI}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.config.{TaskConfig, TaskRunner}
+import graft.sinks.{LakeSink, RedisReshard}
+
+/** The reference's full ExtractType surface driven from INI configs
+  * (config_enums.rs:42-61): check_log replay, snapshot_file RDB parse,
+  * keyspace scan, reshard planning, foxlake_s3 read-back, and the
+  * http_server pipeline swap — each through the TaskConfig →
+  * TaskRunner path a user's task file takes. (The struct task drive
+  * lives in StructFetcherSpec, which owns the session-catalog fixture.)
+  */
+class TaskSurfaceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("ini: every reference extract_type token parses to its variant") {
+    def parse(t: String) = TaskConfig.fromIni(
+      s"[extractor]\nextract_type=$t\n[sinker]\n").extractType
+    assert(parse("snapshot") == TaskConfig.SnapshotExtract)
+    assert(parse("cdc") == TaskConfig.CdcExtract)
+    assert(parse("snapshot_and_cdc") == TaskConfig.SnapshotAndCdcExtract)
+    assert(parse("check_log") == TaskConfig.CheckLogExtract)
+    assert(parse("struct") == TaskConfig.StructExtract)
+    assert(parse("snapshot_file") == TaskConfig.SnapshotFileExtract)
+    assert(parse("scan") == TaskConfig.ScanExtract)
+    assert(parse("reshard") == TaskConfig.ReshardExtract)
+    assert(parse("foxlake_s3") == TaskConfig.FoxlakeS3Extract)
+    val t = TaskConfig.fromIni(
+      """[extractor]
+        |extract_type=reshard
+        |db_type=redis
+        |slots_before=a@0-8191,b@8192-16383
+        |slots_after=a@0-5460,b@5461-10922,c@10923-16383
+        |statistic_type=big_key
+        |scan_count=2
+        |[sinker]
+        |db_type=starrocks
+        |[pipeline]
+        |pipeline_type=http_server
+        |http_port=18080
+        |serve_timeout_secs=5
+        |""".stripMargin)
+    assert(t.dbType == "redis" && t.sinkDbType == "starrocks")
+    assert(t.slotsBefore == Seq(RedisReshard.SlotRange(0, 8191, "a"),
+      RedisReshard.SlotRange(8192, 16383, "b")))
+    assert(t.slotsAfter.size == 3)
+    assert(t.statisticType == "big_key" && t.scanCount == 2)
+    assert(t.pipelineType == "http_server" && t.httpPort == 18080)
+    assert(t.serveTimeoutSecs == 5)
+  }
+
+  test("check_log task replays a check's artifacts into revise " +
+      "statements") {
+    val sink = tmp("graft-checklog")
+    val ini =
+      s"""[extractor]
+         |url=$sf
+         |id_cols=region:r_regionkey
+         |[filter]
+         |do_tbs=region
+         |[sinker]
+         |url=$sink
+         |""".stripMargin
+    val task = TaskConfig.fromIni(ini)
+    TaskRunner.runSnapshot(spark, task)
+    // corrupt the sink copy: drop key 0 (→ MISS), rename key 1 (→ DIFF)
+    val rows = spark.read.parquet(s"$sink/app.region")
+    val broken = rows.filter(col("r_regionkey") =!= 0)
+      .withColumn("r_name", when(col("r_regionkey") === 1, lit("XX"))
+        .otherwise(col("r_name")))
+      .collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(broken.toSeq), rows.schema)
+      .write.mode("overwrite").parquet(s"$sink/app.region")
+    val checked = TaskRunner.runCheck(spark, task).toMap
+    assert(checked("region")("MISS") == 1L)
+    assert(checked("region")("DIFF") == 1L)
+
+    val replayTask = TaskConfig.fromIni(ini.replace(
+      s"url=$sf", s"url=$sf\nextract_type=check_log\n" +
+        s"check_log_dir=$sink/checklog"))
+    assert(replayTask.extractType == TaskConfig.CheckLogExtract)
+    val counts = TaskRunner.runCheckLogReplay(spark, replayTask).toMap
+    assert(counts("region") == 2L)
+    val revise = spark.read.parquet(s"$sink/revise/app.region")
+      .collect().map(r => r.getAs[String]("op") ->
+        r.getAs[String]("sql")).toMap
+    assert(revise("insert").startsWith("INSERT INTO app.region"))
+    assert(revise("update").contains("UPDATE app.region SET"))
+    assert(revise("update").contains("r_name=?"))
+    assert(revise("update").contains("WHERE r_regionkey="))
+  }
+
+  test("snapshot_file task parses an RDB dump into landed rows") {
+    // minimal RDB: header, db 0, three plain string keys, EOF
+    val out = new ByteArrayOutputStream()
+    out.write("REDIS0011".getBytes("ascii"))
+    def str(s: String): Unit = {
+      out.write(s.length & 0x3f); out.write(s.getBytes("utf-8"))
+    }
+    out.write(0xfe); out.write(0) // SELECT 0
+    Seq("alpha" -> "1", "beta" -> "2", "gamma" -> "3").foreach {
+      case (k, v) => out.write(0); str(k); str(v)
+    }
+    out.write(0xff)
+    val dump = Files.createTempFile("graft-rdb", ".rdb")
+    Files.write(dump, out.toByteArray)
+    val sink = tmp("graft-rdbsink")
+    val task = TaskConfig.fromIni(
+      s"""[extractor]
+         |extract_type=snapshot_file
+         |db_type=redis
+         |file_path=$dump
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    val r = TaskRunner.runSnapshotFile(spark, task)
+    assert(r.rows == 3L)
+    val landed = spark.read.parquet(s"$sink/redis.snapshot")
+      .collect().map(x => x.getAs[String]("key") ->
+        x.getAs[String]("value")).toMap
+    assert(landed == Map("alpha" -> "1", "beta" -> "2", "gamma" -> "3"))
+  }
+
+  test("scan task: hot-key and big-key reports over a captured " +
+      "keyspace, with SCAN pagination") {
+    val fixture = Files.createTempFile("graft-keyspace", ".jsonl")
+    Files.writeString(fixture,
+      """{"policy":"allkeys-lfu"}
+        |{"db":0,"key":"k1","type":"string","freq":5,"bytes":64}
+        |{"db":0,"key":"k2","type":"string","freq":9,"bytes":32}
+        |{"db":0,"key":"k3","type":"hash","freq":2,"bytes":100000}
+        |{"db":2,"key":"other","type":"string","freq":1,"bytes":16}
+        |""".stripMargin)
+    val sink = tmp("graft-scansink")
+    def task(mode: String) = TaskConfig.fromIni(
+      s"""[extractor]
+         |extract_type=scan
+         |db_type=redis
+         |statistic_type=$mode
+         |scan_count=2
+         |keyspace_fixture=$fixture
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    val hot = TaskRunner.runScan(spark, task("hot_key"), topK = 1)
+      .collect().map(r => r.getAs[Long]("db") ->
+        (r.getAs[String]("key"), r.getAs[Long]("freq"))).toMap
+    assert(hot == Map(0L -> (("k2", 9L)), 2L -> (("other", 1L))))
+    val big = TaskRunner.runScan(spark, task("big_key"), topK = 1)
+    val hashTop = big.filter(col("valueType") === "hash").collect()
+    assert(hashTop.length == 1 &&
+      hashTop.head.getAs[String]("key") == "k3" &&
+      hashTop.head.getAs[Long]("data_size") == 100000L)
+  }
+
+  test("reshard task plans slot moves and per-key moves from a dump") {
+    val out = new ByteArrayOutputStream()
+    out.write("REDIS0011".getBytes("ascii"))
+    out.write(0xfe); out.write(0)
+    Seq("user:1", "user:2").foreach { k =>
+      out.write(0); out.write(k.length & 0x3f)
+      out.write(k.getBytes("utf-8"))
+      out.write(1); out.write("v".getBytes("utf-8"))
+    }
+    out.write(0xff)
+    val dump = Files.createTempFile("graft-reshard", ".rdb")
+    Files.write(dump, out.toByteArray)
+    val sink = tmp("graft-reshardsink")
+    val task = TaskConfig.fromIni(
+      s"""[extractor]
+         |extract_type=reshard
+         |db_type=redis
+         |slots_before=a@0-16383
+         |slots_after=a@0-8191,b@8192-16383
+         |file_path=$dump
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    val plan = TaskRunner.runReshard(spark, task).collect()
+    assert(plan.length == 1)
+    assert(plan.head.getAs[Int]("from_slot") == 8192 &&
+      plan.head.getAs[Int]("to_slot") == 16383 &&
+      plan.head.getAs[String]("from_node") == "a" &&
+      plan.head.getAs[String]("to_node") == "b")
+    val keyMoves = spark.read.parquet(s"$sink/reshard.keys")
+    // every dump key is classified; the moves flag matches its slot
+    assert(keyMoves.count() == 2L)
+    keyMoves.collect().foreach { m =>
+      val slot = RedisReshard.slotOf(m.getAs[String]("key"))
+      val moved = m.getAs[Boolean]("moves")
+      assert(moved == (slot >= 8192), s"slot $slot moved=$moved")
+      assert(m.getAs[String]("to_node") ==
+        (if (slot >= 8192) "b" else "a"))
+    }
+  }
+
+  test("foxlake_s3 task reads staged lake batches back through the " +
+      "meta protocol") {
+    val root = tmp("graft-lakeroot")
+    val batch = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    LakeSink.stageWithMeta(batch, root, "app", "region",
+      sequencerId = 1L, pushSequence = 0L)
+    LakeSink.stageWithMeta(Seq((3L, "z")).toDF("k", "v"), root,
+      "app", "region", sequencerId = 1L, pushSequence = 1L)
+    val sink = tmp("graft-lakesink")
+    val task = TaskConfig.fromIni(
+      s"""[extractor]
+         |extract_type=foxlake_s3
+         |s3_root_dir=$root
+         |[filter]
+         |do_tbs=region
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    val results = TaskRunner.runFoxlakeS3(spark, task)
+    assert(results.map(r => (r.tb, r.rows)) == Seq(("region", 3L)))
+    val landed = spark.read.parquet(s"$sink/app.region")
+    assert(landed.select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // every row carries the meta-file position it arrived under
+    assert(landed.filter(col("position").isNull).isEmpty)
+  }
+
+  test("http_server pipeline: staged snapshot serves over the " +
+      "subscription endpoints") {
+    val sink = tmp("graft-httpsnap")
+    val task = TaskConfig.fromIni(
+      s"""[extractor]
+         |url=$sf
+         |[filter]
+         |do_tbs=region,nation
+         |[sinker]
+         |url=$sink
+         |[pipeline]
+         |pipeline_type=http_server
+         |""".stripMargin)
+    val (sub, results) = TaskRunner.stageSnapshot(spark, task)
+    assert(results.map(_.tb).toSet == Set("region", "nation"))
+    assert(sub.offsets() == Seq(0L, 1L))
+    val srv = new graft.infra.SubscriptionServer(spark, sub)
+    try {
+      val conn = URI.create(
+          s"http://127.0.0.1:${srv.boundPort}/fetch_new?batch_size=100")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      val body = try new String(conn.getInputStream.readAllBytes(),
+        "UTF-8") finally conn.disconnect()
+      val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(body)
+      assert(tree.get("batch_id").asLong() == 0L)
+      val data = tree.get("data")
+      assert(data.size() > 0)
+      // the demux stamp is on every served row
+      assert((0 until data.size()).forall(i =>
+        data.get(i).get("dst_table").asText() == "app.region"))
+    } finally srv.stop()
+  }
+}
