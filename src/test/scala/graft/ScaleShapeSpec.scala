@@ -295,4 +295,45 @@ class ScaleShapeSpec extends SparkSuite {
     val exchanges = "Exchange".r.findAllMatchIn(p).size
     assert(exchanges == 0, p)
   }
+
+  test("q123 c4 rules is map-only; q124 boilerplate verdict joins " +
+      "broadcast, line text never shuffles") {
+    val p123 = graft.operators.TextOps.c4Rules(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p123.contains("Exchange"), p123)
+    assert(!p123.contains("Join"), p123)
+    val p124 = graft.operators.CurationOps.lineBoilerplate(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the 1-row total and the bounded boilerplate set broadcast
+    assert(p124.contains("BroadcastHashJoin") ||
+      p124.contains("BroadcastNestedLoopJoin"), p124)
+    assert(!p124.contains("CartesianProduct"), p124)
+    assert(!p124.contains("SortMergeJoin"), p124)
+    // shuffles carry the 64-bit lfp / doc_id only — the page/line
+    // strings are projected away before every exchange
+    assert(!p124.contains("Exchange hashpartitioning(l#"), p124)
+  }
+
+  test("q127 outliers: centroid census broadcasts back; the only " +
+      "windows run over the bounded (label, bin) histogram") {
+    val df = graft.operators.VectorOps.embeddingOutliers(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // windows exist only in the cutoff scan over the histogram census
+    // (bounded by bin resolution); the corpus-side distance computation
+    // must not sort vectors
+    val windowPartitions = "Window.*label".r.findAllMatchIn(p).size
+    val anyWindow = "Window".r.findAllMatchIn(p).size
+    assert(anyWindow == 0 || windowPartitions > 0, p)
+  }
+
+  test("q128 hard negatives: seed assignment broadcasts, pair join is " +
+      "equi-keyed on cell — never corpus×corpus") {
+    val df = graft.operators.VectorOps.hardNegatives(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("cell"), p)
+  }
 }
