@@ -212,6 +212,39 @@ object TaskManager {
           s"neardup_flagged=${r.nearDupFlagged} kept=${r.kept}")
         return finish("finished", None)
       }
+      // the remaining reference extract types are single-shot runs
+      // through their TaskRunner drivers (not table-unit loops)
+      task.extractType match {
+        case TaskConfig.CheckLogExtract =>
+          TaskRunner.runCheckLogReplay(spark, task).foreach {
+            case (tb, n) => log(dir, s"check_log $tb revise=$n")
+          }
+          return finish("finished", None)
+        case TaskConfig.StructExtract =>
+          TaskRunner.runStruct(spark, task).foreach { case (tb, st) =>
+            log(dir, s"struct $tb statements=${st.size}")
+          }
+          return finish("finished", None)
+        case TaskConfig.SnapshotFileExtract =>
+          val r = TaskRunner.runSnapshotFile(spark, task)
+          log(dir, s"snapshot_file ${r.dstTable} rows=${r.rows}")
+          return finish("finished", None)
+        case TaskConfig.ScanExtract =>
+          val n = TaskRunner.runScan(spark, task).count()
+          log(dir, s"scan ${task.statisticType} report_rows=$n")
+          return finish("finished", None)
+        case TaskConfig.ReshardExtract =>
+          val n = TaskRunner.runReshard(spark, task).count()
+          log(dir, s"reshard planned_moves=$n")
+          return finish("finished", None)
+        case TaskConfig.FoxlakeS3Extract =>
+          TaskRunner.runFoxlakeS3(spark, task).foreach { r =>
+            log(dir, s"foxlake_s3 ${r.schema}.${r.tb} -> " +
+              s"${r.dstTable} rows=${r.rows}")
+          }
+          return finish("finished", None)
+        case _ => () // table-unit-scoped types fall through
+      }
       val units = TaskRunner.units(task)
       var i = 0
       var stopped = false
@@ -228,9 +261,9 @@ object TaskManager {
                   .map { case (k, v) => s"$k=$v" }.mkString(" "))
               case None => log(dir, s"check $schema.$tb skipped (no keys)")
             }
-          case TaskConfig.CdcExtract =>
-            log(dir, s"cdc unit $schema.$tb — wire CdcPipeline with a " +
-              "stream source directory (see CdcPipeline.readChanges)")
+          case other =>
+            log(dir, s"$other unit $schema.$tb — provide the stream " +
+              "inputs (wal_capture/slot) to drain from the lifecycle")
         }
         afterUnit(i)
         i += 1

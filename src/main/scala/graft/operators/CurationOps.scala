@@ -901,7 +901,88 @@ object CurationOps {
        |    AS boiler_permille
        |FROM ln GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q130
+  /** Competence-based curriculum schedule (Platanios et al. 2019 /
+    * Bengio et al. 2009): every document gets the first training epoch
+    * at which the curriculum admits it — stage 0 trains on the
+    * top-30% quality slice, stage 1 widens to the top 70%, stage 2
+    * trains on everything. Thresholds are QUALITY-RANK percentiles of
+    * the q95 integer logit, not fixed bucket cut-offs, so the schedule
+    * adapts to the corpus' quality distribution; the cutoffs are exact
+    * order statistics over the (logit value → count) census — the
+    * q104/q127 histogram pattern, never a corpus-wide sort.
+    *
+    * Scale shape: the census is value-bounded (the integer logit's
+    * range), its descending cumulative runs over that bounded frame,
+    * and the two cutoffs broadcast back as a 1-row frame; per-doc
+    * stage assignment is a map-side comparison.
+    */
+  def curriculumSchedule(spark: SparkSession, dir: String): DataFrame =
+    curriculumScheduleOf(Tables.documents(spark, dir))
+
+  def curriculumScheduleOf(docs: DataFrame): DataFrame = {
+    val scored = TextOps.withQualitySignals(docs)
+      .select(col("doc_id"), col("logit_milli")).localCheckpoint()
+    val census = scored.groupBy(col("logit_milli"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("logit_milli").desc)
+    val cum = census.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+    val cuts = cum.agg(
+      max(when(col("cum") * 10 >= col("n") * 3, col("logit_milli")))
+        .as("c0"),
+      max(when(col("cum") * 10 >= col("n") * 7, col("logit_milli")))
+        .as("c1"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("logit_milli"),
+        when(col("logit_milli") >= col("c0"), 0L)
+          .when(col("logit_milli") >= col("c1"), 1L)
+          .otherwise(2L).as("first_epoch"))
+  }
+
+  val curriculumScheduleSql: String = {
+    // the q95 logit, re-derived inline (same arithmetic as
+    // qualityLogitSql)
+    val toks = tokensSql("text")
+    s"""WITH f AS (SELECT doc_id,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+       |      AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter($toks, t -> t IN ('the', 'a', 'of',
+       |      'to', 'and', 'in', 'is'))) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |    800 + 3 * (CASE WHEN n_tokens > 0
+       |        THEN n_stop * 1000 // n_tokens ELSE 0 END)
+       |      - 2 * (CASE WHEN n_chars > 0
+       |        THEN n_punct * 1000 // n_chars ELSE 0 END)
+       |      - abs((CASE WHEN n_tokens > 0
+       |        THEN n_chars * 100 // n_tokens ELSE 0 END) - 550)
+       |      AS logit_milli
+       |  FROM f),
+       |census AS (SELECT logit_milli, count(*) AS cnt FROM s
+       |  GROUP BY 1),
+       |cum AS (SELECT logit_milli,
+       |    sum(cnt) OVER (ORDER BY logit_milli DESC) AS cum
+       |  FROM census),
+       |n AS (SELECT count(*) AS n FROM s),
+       |cuts AS (SELECT
+       |    max(CASE WHEN cum * 10 >= n * 3 THEN logit_milli END)
+       |      AS c0,
+       |    max(CASE WHEN cum * 10 >= n * 7 THEN logit_milli END)
+       |      AS c1
+       |  FROM cum, n)
+       |SELECT s.doc_id, CAST(s.logit_milli AS BIGINT) AS logit_milli,
+       |  CAST(CASE WHEN s.logit_milli >= c.c0 THEN 0
+       |    WHEN s.logit_milli >= c.c1 THEN 1 ELSE 2 END AS BIGINT)
+       |    AS first_epoch
+       |FROM s, cuts c""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_curriculum" -> (curriculumSchedule _),
     "q124_line_boilerplate" -> (lineBoilerplate _),
     "q121_corpus_diff" -> (corpusDiff _),
     "q57_domain_cap" -> ((s: SparkSession, d: String) => domainCap(s, d)),
@@ -922,6 +1003,7 @@ object CurationOps {
     "q102_corpus_report" -> (corpusReport _))
 
   val oracles: Map[String, String] = Map(
+    "q130_curriculum" -> curriculumScheduleSql,
     "q124_line_boilerplate" -> lineBoilerplateSql,
     "q57_domain_cap" -> domainCapSql,
     "q24_incremental_dedup" -> incrementalDedupSql,

@@ -158,9 +158,12 @@ object FuzzyDedup {
     * join docs agreeing on any full band, emit distinct candidate pairs
     * with the number of agreeing bands.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshOf(Tables.documents(spark, dir))
+
+  def minhashLshOf(docs: DataFrame): DataFrame = {
     val nBands = MinhashA.size / BandRows
-    val d = Tables.documents(spark, dir)
+    val d = docs
       .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
       .select(col("doc_id"), minhashSigFromHashes(col("hs")).as("sig"))
     val bandCols = (0 until nBands).map { j =>
@@ -180,7 +183,7 @@ object FuzzyDedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  val minhashLshSql: String = {
+  def minhashLshSqlFrom(from: String): String = {
     val nBands = MinhashA.size / BandRows
     val sig = minhashSigSql("text")
     val bandKeys = (0 until nBands).map { j =>
@@ -188,7 +191,7 @@ object FuzzyDedup {
         .map(r => s"CAST(sig[${j * BandRows + r + 1}] AS VARCHAR)")
       s"concat_ws(':', '$j', ${parts.mkString(", ")})"
     }
-    s"""WITH d AS (SELECT doc_id, $sig AS sig FROM documents),
+    s"""WITH d AS (SELECT doc_id, $sig AS sig FROM $from),
        |bands AS (SELECT doc_id,
        |  unnest([${bandKeys.mkString(", ")}]) AS band_key FROM d)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
@@ -196,6 +199,8 @@ object FuzzyDedup {
        |  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
        |GROUP BY 1, 2""".stripMargin
   }
+
+  val minhashLshSql: String = minhashLshSqlFrom("documents")
 
   // ---------------------------------------------------------------- q36
   /** 30-bit SimHash fingerprint: per token-occurrence hash, per-bit
@@ -315,13 +320,87 @@ object FuzzyDedup {
        |WHERE bit_count(xor(a.fp, b2.fp)) <= 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q129
+  /** Edit-distance confirmation of LSH candidates — the verify stage
+    * every near-dup pipeline needs between "the bands collided" and
+    * "purge the document": normalized Levenshtein similarity over the
+    * candidate pairs only, never corpus×corpus. Candidates come from
+    * the q35 banding over a re-ingestion fixture (every 10th document
+    * union'd back with a word substitution and an appended tail —
+    * doc_id + 10⁶, the q24 pattern), so the verdict column separates
+    * real near-dups (the edited clones confirm at ≳95% similarity)
+    * from band collisions between unrelated texts (which fail the 80%
+    * gate).
+    *
+    * Scale shape: the expensive O(len²) Levenshtein runs once per
+    * CANDIDATE (bounded by the banding), not per pair of documents;
+    * text joins back to the candidate list by doc_id — two hash joins
+    * keyed on a long. The similarity gate is exact integer arithmetic
+    * (lev·5 ≤ max_len ⟺ similarity ≥ 80%).
+    */
+  final val EditCloneOffset = 1000000L
+
+  private def editedCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base.unionByName(base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(EditCloneOffset)).as("doc_id"),
+        concat(expr("replace(text, ' the ', ' that ')"),
+          lit(" trailing marker")).as("text")))
+  }
+
+  def editVerify(spark: SparkSession, dir: String): DataFrame =
+    editVerifyOf(Tables.documents(spark, dir))
+
+  def editVerifyOf(corpus: DataFrame): DataFrame = {
+    val docs = editedCorpus(corpus)
+    val texts = docs.select(col("doc_id"),
+        TextOps.normText(col("text")).as("t"))
+      .withColumn("len", length(col("t")).cast("long"))
+      .localCheckpoint()
+    minhashLshOf(docs)
+      .join(texts.select(col("doc_id").as("doc_a"),
+        col("t").as("ta"), col("len").as("la")), Seq("doc_a"))
+      .join(texts.select(col("doc_id").as("doc_b"),
+        col("t").as("tb"), col("len").as("lb")), Seq("doc_b"))
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("max_len", greatest(col("la"), col("lb")))
+      .select(col("doc_a"), col("doc_b"), col("n_bands"), col("lev"),
+        col("max_len"),
+        expr("(max_len - lev) * 1000 div max_len").as("sim_permille"))
+      .withColumn("confirmed", col("lev") * 5 <= col("max_len"))
+  }
+
+  val editVerifySql: String = {
+    val from = "(SELECT doc_id, text FROM documents UNION ALL " +
+      s"SELECT doc_id + $EditCloneOffset, " +
+      "replace(text, ' the ', ' that ') || ' trailing marker' " +
+      "FROM documents WHERE doc_id % 10 = 0) udocs"
+    val norm = TextOps.normTextSql("text")
+    s"""WITH cand AS (${minhashLshSqlFrom(from)}),
+       |t AS (SELECT doc_id, $norm AS t,
+       |  CAST(length($norm) AS BIGINT) AS len FROM $from),
+       |j AS (
+       |  SELECT c.doc_a, c.doc_b, c.n_bands,
+       |    CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev,
+       |    greatest(a.len, b.len) AS max_len
+       |  FROM cand c
+       |  JOIN t a ON c.doc_a = a.doc_id
+       |  JOIN t b ON c.doc_b = b.doc_id)
+       |SELECT doc_a, doc_b, n_bands, lev, max_len,
+       |  (max_len - lev) * 1000 // max_len AS sim_permille,
+       |  lev * 5 <= max_len AS confirmed
+       |FROM j""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_edit_verify" -> (editVerify _),
     "q34_ngram_jaccard" -> (ngramJaccardPairs _),
     "q35_minhash_lsh" -> (minhashLsh _),
     "q36_simhash_pairs" -> (simhashPairs _),
     "q26_simhash_buckets" -> (simhashBuckets _))
 
   val oracles: Map[String, String] = Map(
+    "q129_edit_verify" -> editVerifySql,
     "q34_ngram_jaccard" -> ngramJaccardPairsSql,
     "q35_minhash_lsh" -> minhashLshSql,
     "q36_simhash_pairs" -> simhashPairsSql,

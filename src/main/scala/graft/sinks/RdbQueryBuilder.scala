@@ -99,4 +99,34 @@ object RdbQueryBuilder {
     case Some(b: Boolean) => if (b) "1" else "0"
     case Some(s) => "'" + s.toString.replace("'", "''") + "'"
   }
+
+  /** Per-connection session prelude — the reference's
+    * `build_mysql_conn_settings` / pg `after_connect` hook
+    * (/root/reference/dt-task/src/task_util.rs:142-205): FK checks off
+    * for out-of-order apply ([sinker] disable_foreign_key_checks) and
+    * the configured transaction isolation ([sinker]
+    * transaction_isolation, MySQL only — PG instead flips
+    * session_replication_role so triggers/FKs sit out replication,
+    * exactly the reference's asymmetry).
+    */
+  def connSettings(d: Dialect, disableForeignKeyChecks: Boolean,
+      transactionIsolation: String = "default"): Seq[String] = {
+    val iso = transactionIsolation match {
+      case "read_uncommitted" => Some("READ UNCOMMITTED")
+      case "read_committed" => Some("READ COMMITTED")
+      case "repeatable_read" => Some("REPEATABLE READ")
+      case "serializable" => Some("SERIALIZABLE")
+      case _ => None
+    }
+    d match {
+      case MySql =>
+        (if (disableForeignKeyChecks) Seq("SET FOREIGN_KEY_CHECKS=0")
+         else Nil) ++
+          iso.map(l => s"SET TRANSACTION ISOLATION LEVEL $l").toSeq
+      case Postgres =>
+        if (disableForeignKeyChecks)
+          Seq("SET session_replication_role = 'replica';")
+        else Nil
+    }
+  }
 }

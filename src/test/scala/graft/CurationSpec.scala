@@ -326,6 +326,29 @@ class CurationSpec extends SparkSuite {
     assert(same.forall(_.getString(1) == "unchanged"))
   }
 
+  test("curriculum schedule: stage slices are minimal covers of the " +
+      "30/70 percent quality ranks, monotone in the logit") {
+    val r = CurationOps.curriculumSchedule(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val n = r.length
+    assert(r.forall(t => t._3 >= 0 && t._3 <= 2))
+    // monotone: a higher logit never gets a later first epoch
+    val byEpoch = r.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    for (e <- 0L to 1L; later <- (e + 1) to 2L)
+      if (byEpoch.contains(e) && byEpoch.contains(later))
+        assert(byEpoch(e).min >= byEpoch(later).max)
+    // coverage: stage 0 covers >= 30%, stages 0+1 cover >= 70% —
+    // and minimally so (excluding the cutoff value drops below)
+    val s0 = r.filter(_._3 == 0L)
+    val s01 = r.filter(_._3 <= 1L)
+    assert(s0.length * 10 >= n * 3)
+    assert(s01.length * 10 >= n * 7)
+    val c0 = s0.map(_._2).min
+    val c1 = s01.map(_._2).min
+    assert(r.count(_._2 > c0) * 10 < n * 3)
+    assert(r.count(_._2 > c1) * 10 < n * 7)
+  }
+
   test("c4 rules: per-line and per-page gates fire on hand-built pages") {
     import graft.operators.TextOps
     val s2 = spark

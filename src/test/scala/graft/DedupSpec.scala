@@ -78,4 +78,34 @@ class DedupSpec extends SparkSuite {
       .select(TextOps.charFold(TextOps.normText(col("text")))).as[Long].head
     assert(a == b)
   }
+
+  test("edit verify: planted clone confirms with the exact edit " +
+      "distance; the gate is the integer 80% rule") {
+    // doc 10 (id % 10 == 0) gets an edited clone: each ' the ' becomes
+    // ' that ' (+2 edits per occurrence) and ' trailing marker' (+16)
+    // appends. The long base text keeps the clone above the 80% gate.
+    val base = ("alpha beta the gamma delta epsilon zeta eta theta " +
+      "iota kappa the lambda mu nu xi omicron pi rho sigma tau " +
+      "upsilon phi chi psi omega one two three four five six seven")
+    val docs = Seq(
+      (10L, base),
+      (3L, "unrelated words that share nothing with anything else"))
+      .toDF("doc_id", "text")
+    val r = FuzzyDedup.editVerifyOf(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x).toMap
+    val clone = r((10L, 10L + FuzzyDedup.EditCloneOffset))
+    val occ = " the ".r.findAllMatchIn(" " + base + " ").size
+    assert(occ == 2)
+    val expectedLev = 2L * occ + " trailing marker".length
+    assert(clone.getAs[Long]("lev") == expectedLev)
+    val maxLen = base.length + occ + " trailing marker".length
+    assert(clone.getAs[Long]("max_len") == maxLen.toLong)
+    assert(clone.getAs[Boolean]("confirmed") ==
+      (expectedLev * 5 <= maxLen))
+    assert(clone.getAs[Boolean]("confirmed"))
+    assert(clone.getAs[Long]("sim_permille") ==
+      (maxLen - expectedLev) * 1000L / maxLen)
+    // the unrelated doc never pairs with anything
+    assert(!r.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
 }

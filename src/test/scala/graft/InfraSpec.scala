@@ -62,6 +62,23 @@ class InfraSpec extends SparkSuite {
     assert(literal(Some(42L)) == "42")
   }
 
+  test("connection prelude: FK checks + isolation per dialect, " +
+      "pg uses session_replication_role") {
+    import RdbQueryBuilder._
+    assert(connSettings(MySql, disableForeignKeyChecks = true,
+      "repeatable_read") == Seq("SET FOREIGN_KEY_CHECKS=0",
+      "SET TRANSACTION ISOLATION LEVEL REPEATABLE READ"))
+    assert(connSettings(MySql, disableForeignKeyChecks = false,
+      "default") == Nil)
+    assert(connSettings(MySql, disableForeignKeyChecks = false,
+      "serializable") ==
+      Seq("SET TRANSACTION ISOLATION LEVEL SERIALIZABLE"))
+    assert(connSettings(Postgres, disableForeignKeyChecks = true) ==
+      Seq("SET session_replication_role = 'replica';"))
+    assert(connSettings(Postgres, disableForeignKeyChecks = false,
+      "serializable") == Nil) // pg path ignores isolation, as upstream
+  }
+
   // ------------------------------------------------------------ applier
   private class BufferSink(failOn: String => Boolean = _ => false)
       extends Applier.StatementSink {

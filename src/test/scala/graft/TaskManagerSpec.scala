@@ -226,4 +226,41 @@ class TaskManagerSpec extends SparkSuite {
     assert(verdicts.filter(!$"is_dup").select("doc_id").as[Long]
       .collect().toSet == Set(1L))
   }
+
+  test("single-shot task kinds run through the lifecycle: scan and " +
+      "reshard finish with their report logs") {
+    val state = tmp("graft-tm-kinds")
+    val sink = tmp("graft-tm-kinds-sink")
+    val fixture = java.nio.file.Files
+      .createTempFile("graft-tm-keyspace", ".jsonl")
+    java.nio.file.Files.writeString(fixture,
+      """{"db":0,"key":"a","type":"string","freq":3,"bytes":10}
+        |{"db":0,"key":"b","type":"string","freq":7,"bytes":20}
+        |""".stripMargin)
+    TaskManager.create(state, "scan1",
+      s"""[extractor]
+         |extract_type=scan
+         |statistic_type=hot_key
+         |keyspace_fixture=$fixture
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    val done = TaskManager.start(spark, state, "scan1")
+    assert(done.status == "finished")
+    assert(TaskManager.logs(state, "scan1")
+      .exists(_.contains("scan hot_key report_rows=2")))
+
+    TaskManager.create(state, "reshard1",
+      s"""[extractor]
+         |extract_type=reshard
+         |slots_before=a@0-16383
+         |slots_after=a@0-8191,b@8192-16383
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    val r = TaskManager.start(spark, state, "reshard1")
+    assert(r.status == "finished")
+    assert(TaskManager.logs(state, "reshard1")
+      .exists(_.contains("reshard planned_moves=1")))
+  }
 }
