@@ -47,6 +47,24 @@ object GraftExpressions {
     acc
   }
 
+  /** Unicode NFC (UAX #15 canonical composition) — the normalization
+    * pass run before fingerprinting mixed-provenance corpora, so that
+    * 'e'+U+0301 and U+00E9 dedup as the same document. Delegates to
+    * `java.text.Normalizer`, which implements the same conformant
+    * algorithm as DuckDB's utf8proc `nfc_normalize`, so the oracle is
+    * exact. The fast path (`Normalizer.isNormalized`, an ASCII/quick-
+    * check scan) returns the input untouched — on real corpora almost
+    * every document is already NFC, so the common case allocates
+    * nothing.
+    */
+  def nfcUtf8(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFC))
+  }
+
   /** Every word-n-gram rolling hash of `s` in token-position order —
     * the shared core of the distinct (ShingleHashes) and positional
     * (PositionalShingleHashes) expressions. Gram hash i equals
@@ -415,6 +433,25 @@ case class CharFold(child: Expression) extends UnaryExpression {
       : Expression = copy(child = newChild)
 }
 
+/** nfc(string) → string, codegen-capable: Unicode NFC normalization
+  * (see [[GraftExpressions.nfcUtf8]]).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExpressions.nfcUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftExpressions.nfcUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** longDot(array<bigint>, array<bigint>) → bigint, codegen-capable. */
 case class LongDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -599,6 +636,8 @@ object GraftFunctions {
       val reg = classic.sessionState.functionRegistry
       reg.createOrReplaceTempFunction("graft_char_fold",
         exprs => CharFold(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("graft_nfc",
+        exprs => NfcNormalize(exprs.head), "scala_udf")
       reg.createOrReplaceTempFunction("graft_long_dot",
         exprs => LongDot(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("graft_shingle_hashes",
@@ -639,6 +678,7 @@ object GraftFunctions {
   }
 
   def charFold(c: Column): Column = fn("graft_char_fold", c)
+  def nfc(c: Column): Column = fn("graft_nfc", c)
   def longDot(a: Column, b: Column): Column =
     fn("graft_long_dot", a, b)
   def shingleHashes(c: Column): Column = fn("graft_shingle_hashes", c)

@@ -240,6 +240,137 @@ object CurationOps {
        |GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q133
+  /** N-gram novelty census — the inverse of decontamination: how much
+    * of each document is text seen NOWHERE else in the corpus? Low
+    * novelty means the document is assembled from corpus-common
+    * phrasing (template spam, mirrored content that survived exact
+    * dedup); the per-doc unique-gram fraction is the standard
+    * memorization-risk / information-density signal used when
+    * down-weighting repetitive sources. Per document: distinct 5-gram
+    * count, how many of those appear in no other document, and the
+    * novelty fraction in permille.
+    *
+    * Scale shape: documents explode to distinct (doc, 64-bit gram
+    * hash) pairs — text never shuffles; the gram census and the
+    * count-back join move only longs. Unlike q28 there is no small
+    * benchmark side to broadcast (the census IS corpus-wide), so both
+    * aggregations partial map-side and shuffle hash-bounded rows.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOf(Tables.documents(spark, dir))
+
+  def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+        explode(FuzzyDedup.shingleHashes(col("text"))).as("h"))
+      .distinct().localCheckpoint()
+    val census = grams.groupBy("h").agg(count(lit(1)).as("n_docs"))
+    val per = grams.join(census, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") === 1, 1L).otherwise(0L)).as("n_unique"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        when(col("n_grams") > 0,
+          expr("n_unique * 1000 div n_grams")).otherwise(0L)
+          .as("novelty_permille"))
+  }
+
+  val ngramNoveltySql: String = {
+    val sh = FuzzyDedup.shingleHashesSql("text")
+    s"""WITH hashes AS (
+       |  SELECT DISTINCT doc_id, unnest($sh) AS h FROM documents),
+       |census AS (SELECT h, count(*) AS n_docs FROM hashes GROUP BY 1),
+       |per AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_unique
+       |  FROM hashes JOIN census USING (h) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+       |  coalesce(n_unique, 0) AS n_unique,
+       |  CASE WHEN coalesce(n_grams, 0) > 0
+       |    THEN n_unique * 1000 // n_grams ELSE 0 END AS novelty_permille
+       |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q134
+  /** Benchmark-contamination DECISION (the PaLM/GPT-3 protocol): q28
+    * counts contaminated n-grams for docs that have any; this operator
+    * scores EVERY candidate document — total distinct 5-grams,
+    * benchmark-overlapping 5-grams, the overlap fraction in permille,
+    * and the drop verdict at the ≥ 70% threshold (PaLM §8 drops a doc
+    * when 70% of its 8-grams appear in the eval set; same rule, the
+    * corpus' 5-gram shingles). Docs too short to shingle survive with
+    * zero overlap.
+    *
+    * Scale shape: identical to q28's — the benchmark's distinct hashes
+    * broadcast, the corpus streams once as (doc, long) pairs, and the
+    * per-doc totals partial-aggregate map-side. The verdict adds no
+    * extra pass: both counts come from one aggregation.
+    */
+  def contamVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // candidate corpus = every non-benchmark doc PLUS a planted
+    // near-copy of each benchmark doc (negative id; the re-ingestion
+    // fixture pattern) so the ≥ 70% drop branch provably fires
+    val planted = docs.filter(col("doc_id") % 97 === 0)
+      .select((-col("doc_id") - 1).as("doc_id"),
+        concat(col("text"), lit(" freshly appended tail for the audit"))
+          .as("text"))
+    val cands = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("text")).unionByName(planted)
+    val benchmark = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(FuzzyDedup.shingleHashes(col("text"))).as("h"))
+      .distinct()
+    val per = cands.select(col("doc_id"),
+        explode(FuzzyDedup.shingleHashes(col("text"))).as("h"))
+      .distinct()
+      .join(broadcast(benchmark.withColumn("hit", lit(1L))),
+        Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contam"))
+    cands.select("doc_id").join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_contam"))
+      .select(col("doc_id"), col("n_grams"), col("n_contam"),
+        when(col("n_grams") > 0,
+          expr("n_contam * 1000 div n_grams")).otherwise(0L)
+          .as("contam_permille"))
+      .withColumn("drop_doc",
+        col("n_grams") > 0 && col("contam_permille") >= 700)
+  }
+
+  val contamVerdictSql: String = {
+    val sh = FuzzyDedup.shingleHashesSql("text")
+    val shc = FuzzyDedup.shingleHashesSql("c.text")
+    s"""WITH cands AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+       |  UNION ALL
+       |  SELECT -doc_id - 1 AS doc_id,
+       |    text || ' freshly appended tail for the audit' AS text
+       |  FROM documents WHERE doc_id % 97 = 0),
+       |benchmark AS (
+       |  SELECT DISTINCT unnest($sh) AS h FROM documents
+       |  WHERE doc_id % 97 = 0),
+       |hashes AS (
+       |  SELECT DISTINCT c.doc_id, unnest($shc) AS h FROM cands c),
+       |per AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(CASE WHEN h IN (SELECT h FROM benchmark)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
+       |  FROM hashes GROUP BY 1)
+       |SELECT c.doc_id, coalesce(n_grams, 0) AS n_grams,
+       |  coalesce(n_contam, 0) AS n_contam,
+       |  CASE WHEN coalesce(n_grams, 0) > 0
+       |    THEN n_contam * 1000 // n_grams ELSE 0 END AS contam_permille,
+       |  coalesce(n_grams, 0) > 0 AND
+       |    (CASE WHEN coalesce(n_grams, 0) > 0
+       |      THEN n_contam * 1000 // n_grams ELSE 0 END) >= 700
+       |    AS drop_doc
+       |FROM cands c LEFT JOIN per USING (doc_id)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q79
   /** q79 — decontamination at the scale where the held-out set no longer
     * broadcasts as a hash table: build a Bloom filter over the benchmark
@@ -901,6 +1032,102 @@ object CurationOps {
        |    AS boiler_permille
        |FROM ln GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q132
+  /** Paragraph-level boilerplate SCRUB (RefinedWeb §3.2 / CCNet): q124
+    * only *counts* boilerplate lines; this one actually REMOVES the
+    * recurring paragraphs (nav chrome, cookie banners, footers) and
+    * re-composes the cleaned document — the text that actually goes to
+    * training. A paragraph recurring across ≥ 5% of the corpus is
+    * chrome; per document we keep the remaining paragraphs in original
+    * order and emit the cleaned text's fingerprint (the q33 dedup key
+    * downstream). Runs over the blank-line-separated synthesized page
+    * ([[TextOps.paraOf]], the shared fixture-in-query pattern).
+    *
+    * Scale shape: the document's paragraph array NEVER explodes with
+    * its text — the census explodes only 64-bit paragraph fingerprints,
+    * the boilerplate verdict comes back as a per-doc hash set via a
+    * hash-only join, and the removal + recomposition is a map-side
+    * higher-order filter over the array the row already holds. Text
+    * shuffles nowhere; the fraction-of-corpus threshold keeps the
+    * boilerplate set a few thousand hashes at any corpus size.
+    */
+  def paraScrub(spark: SparkSession, dir: String): DataFrame =
+    paraScrubOf(Tables.documents(spark, dir))
+
+  def paraScrubOf(docs: DataFrame): DataFrame = {
+    val base = TextOps.paraOf(docs)
+      .select(col("doc_id"),
+        filter(transform(split(col("page"), "\n\n"), p => trim(p)),
+          p => p =!= "").as("paras"))
+      .select(col("doc_id"), col("paras"),
+        transform(col("paras"), p => TextOps.charFold(p)).as("fps"))
+      .localCheckpoint()
+    val total = docs.agg(count(lit(1)).as("total_docs"))
+    val census = base
+      .select(col("doc_id"), explode(col("fps")).as("pfp")).distinct()
+    val boiler = census.groupBy("pfp")
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_docs") * 100 >= col("total_docs") * 5)
+      .select("pfp")
+    val docBoiler = census.join(boiler, Seq("pfp"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("pfp")).as("bset"))
+    base.join(docBoiler, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("paras"), col("fps"),
+        coalesce(col("bset"), array().cast("array<long>")).as("bset"))
+      .select(col("doc_id"), col("paras"),
+        filter(
+          zip_with(col("paras"), col("fps"), (p, f) =>
+            when(array_contains(col("bset"), f), lit(null: String))
+              .otherwise(p)),
+          p => p.isNotNull).as("kept"))
+      .select(col("doc_id"),
+        size(col("paras")).cast("long").as("n_paras"),
+        (size(col("paras")) - size(col("kept"))).cast("long")
+          .as("n_dropped"),
+        coalesce(TextOps.charFold(array_join(col("kept"), "\n\n")),
+          lit(0L)).as("clean_fp"))
+  }
+
+  val paraScrubSql: String = {
+    val sep = "chr(10) || chr(10)"
+    s"""WITH page AS (${TextOps.paraSql()}),
+       |l0 AS (
+       |  SELECT doc_id, list_filter(list_transform(
+       |      string_split(page, $sep), x -> trim(x)), x -> x <> '')
+       |    AS paras
+       |  FROM page),
+       |l1 AS (
+       |  SELECT doc_id, paras,
+       |    list_transform(paras, p -> ${TextOps.charFoldSql("p")}) AS fps
+       |  FROM l0),
+       |census AS (
+       |  SELECT DISTINCT doc_id, unnest(fps) AS pfp FROM l1),
+       |total AS (SELECT count(*) AS total_docs FROM documents),
+       |boiler AS (
+       |  SELECT pfp FROM
+       |    (SELECT pfp, count(*) AS n_docs FROM census GROUP BY 1), total
+       |  WHERE n_docs * 100 >= total_docs * 5),
+       |bs AS (
+       |  SELECT doc_id, list(pfp) AS bset FROM census
+       |  WHERE pfp IN (SELECT pfp FROM boiler) GROUP BY doc_id),
+       |j AS (
+       |  SELECT l1.doc_id, paras, fps,
+       |    coalesce(bset, CAST([] AS BIGINT[])) AS bset
+       |  FROM l1 LEFT JOIN bs ON l1.doc_id = bs.doc_id),
+       |k AS (
+       |  SELECT doc_id, paras,
+       |    list_filter(list_transform(range(1, len(paras) + 1),
+       |      i -> CASE WHEN list_contains(bset, fps[i]) THEN NULL
+       |        ELSE paras[i] END), x -> x IS NOT NULL) AS kept
+       |  FROM j)
+       |SELECT doc_id, CAST(len(paras) AS BIGINT) AS n_paras,
+       |  CAST(len(paras) - len(kept) AS BIGINT) AS n_dropped,
+       |  coalesce(${TextOps.charFoldSql(
+          s"array_to_string(kept, $sep)")}, 0) AS clean_fp
+       |FROM k""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q130
   /** Competence-based curriculum schedule (Platanios et al. 2019 /
     * Bengio et al. 2009): every document gets the first training epoch
@@ -984,6 +1211,9 @@ object CurationOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_curriculum" -> (curriculumSchedule _),
     "q124_line_boilerplate" -> (lineBoilerplate _),
+    "q132_para_scrub" -> (paraScrub _),
+    "q133_ngram_novelty" -> (ngramNovelty _),
+    "q134_contam_verdict" -> (contamVerdict _),
     "q121_corpus_diff" -> (corpusDiff _),
     "q57_domain_cap" -> ((s: SparkSession, d: String) => domainCap(s, d)),
     "q24_incremental_dedup" -> (incrementalDedup _),
@@ -1005,6 +1235,9 @@ object CurationOps {
   val oracles: Map[String, String] = Map(
     "q130_curriculum" -> curriculumScheduleSql,
     "q124_line_boilerplate" -> lineBoilerplateSql,
+    "q132_para_scrub" -> paraScrubSql,
+    "q133_ngram_novelty" -> ngramNoveltySql,
+    "q134_contam_verdict" -> contamVerdictSql,
     "q57_domain_cap" -> domainCapSql,
     "q24_incremental_dedup" -> incrementalDedupSql,
     "q29_kmv_sketch" -> kmvSketchSql,

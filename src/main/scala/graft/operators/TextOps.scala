@@ -781,6 +781,45 @@ object TextOps {
        |FROM $from""".stripMargin
   }
 
+  /** Paragraph-structured twin of [[pageOf]] for the paragraph-level
+    * operators (q132): a recurring header/footer paragraph drawn from a
+    * 4-paragraph chrome pool, the body split into paragraphs at ' a '
+    * tokens, blank-line (\n\n) separated — the layout RefinedWeb-style
+    * paragraph dedup operates on. Identical arithmetic on both engines.
+    */
+  private val paraPool = Seq(
+    "subscribe to our newsletter today",
+    "copyright all rights reserved",
+    "cookie consent is required to continue",
+    "follow us on social media")
+
+  def paraOf(docs: DataFrame): DataFrame = {
+    val pool = paraPool.map(s => s"'$s'")
+    docs.select(col("doc_id"), expr(
+      s"""concat(
+         |  CASE doc_id % 4 WHEN 0 THEN ${pool(0)} WHEN 1 THEN ${pool(1)}
+         |    WHEN 2 THEN ${pool(2)} ELSE ${pool(3)} END,
+         |  chr(10), chr(10),
+         |  replace(text, ' a ', concat(chr(10), chr(10))),
+         |  chr(10), chr(10),
+         |  CASE (doc_id + 1) % 4 WHEN 0 THEN ${pool(0)} WHEN 1 THEN ${pool(1)}
+         |    WHEN 2 THEN ${pool(2)} ELSE ${pool(3)} END)""".stripMargin)
+      .as("page"))
+  }
+
+  def paraSql(from: String = "documents"): String = {
+    val pool = paraPool.map(s => s"'$s'")
+    s"""SELECT doc_id,
+       |  CASE doc_id % 4 WHEN 0 THEN ${pool(0)} WHEN 1 THEN ${pool(1)}
+       |    WHEN 2 THEN ${pool(2)} ELSE ${pool(3)} END ||
+       |  chr(10) || chr(10) ||
+       |  replace(text, ' a ', chr(10) || chr(10)) ||
+       |  chr(10) || chr(10) ||
+       |  CASE (doc_id + 1) % 4 WHEN 0 THEN ${pool(0)} WHEN 1 THEN ${pool(1)}
+       |    WHEN 2 THEN ${pool(2)} ELSE ${pool(3)} END AS page
+       |FROM $from""".stripMargin
+  }
+
   /** The C4 cleaning battery (Raffel et al. 2020 §2.2) as per-line and
     * per-page gates over the synthesized page: a line survives when it
     * has ≥ 5 words, ends in terminal punctuation, and doesn't mention
@@ -864,7 +903,64 @@ object TextOps {
        |FROM g""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q131
+  /** Unicode NFC normalization audit — the canonicalization pass run
+    * before any fingerprint-based dedup on mixed-provenance corpora
+    * (crawls mix composed U+00E9 with decomposed e+U+0301 for the same
+    * visible text, so un-normalized fingerprints silently miss
+    * duplicates). Per document: code-point length before/after NFC, a
+    * changed flag, and the post-NFC fingerprint that downstream q33
+    * dedup should group on. Denormalized tails are synthesized in-query
+    * keyed off doc_id residues (the q110/q116 fixture-in-query pattern)
+    * so both verdict branches exist: décomposed café/déjà-vu and
+    * Å+ring/ö+diaeresis tails compose (length shrinks), the plain-ASCII
+    * tail is a fast-path no-op.
+    *
+    * Scale shape: map-only via the codegen [[graft.functions
+    * .NfcNormalize]] expression (java.text.Normalizer — the same
+    * conformant UAX #15 algorithm as the oracle's utf8proc, and its
+    * isNormalized quick-check returns already-NFC text untouched, the
+    * overwhelming real-corpus case); only the 64-bit post-NFC
+    * fingerprint would ever leave the mapper.
+    */
+  def nfcAudit(spark: SparkSession, dir: String): DataFrame =
+    nfcAuditOf(Tables.documents(spark, dir))
+
+  def nfcAuditOf(docs: DataFrame): DataFrame = {
+    val dec = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit(" cafe\u0301 de\u0301ja\u0300 vu"))
+        .when(col("doc_id") % 3 === 1,
+          lit(" A\u030Angstro\u0308m"))
+        .otherwise(lit(" plain ascii tail")))
+    docs.select(col("doc_id"), dec.as("dec"))
+      .select(col("doc_id"), col("dec"),
+        graft.functions.GraftFunctions.nfc(col("dec")).as("nfc"))
+      .select(col("doc_id"),
+        length(col("dec")).cast("long").as("raw_chars"),
+        length(col("nfc")).cast("long").as("nfc_chars"),
+        (col("nfc") =!= col("dec")).as("changed"),
+        charFold(col("nfc")).as("nfc_fp"))
+  }
+
+  val nfcAuditSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text ||
+       |    CASE doc_id % 3
+       |      WHEN 0 THEN ' cafe' || chr(769) || ' de' || chr(769) ||
+       |        'ja' || chr(768) || ' vu'
+       |      WHEN 1 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+       |      ELSE ' plain ascii tail' END AS dec
+       |  FROM documents),
+       |n AS (SELECT doc_id, dec, nfc_normalize(dec) AS nfc FROM d)
+       |SELECT doc_id, CAST(length(dec) AS BIGINT) AS raw_chars,
+       |  CAST(length(nfc) AS BIGINT) AS nfc_chars,
+       |  nfc <> dec AS changed,
+       |  ${charFoldSql("nfc")} AS nfc_fp
+       |FROM n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_nfc_audit" -> (nfcAudit _),
     "q123_c4_rules" -> (c4Rules _),
     "q120_gopher_rules" -> (gopherRules _),
     "q116_mojibake" -> (mojibake _),
@@ -880,6 +976,7 @@ object TextOps {
     "q33_dedup_exact" -> (dedupExact _))
 
   val oracles: Map[String, String] = Map(
+    "q131_nfc_audit" -> nfcAuditSql,
     "q123_c4_rules" -> c4RulesSql,
     "q120_gopher_rules" -> gopherRulesSql,
     "q116_mojibake" -> mojibakeSql,

@@ -393,6 +393,72 @@ class CurationSpec extends SparkSuite {
     assert(d1.getAs[Boolean]("keep_page"))
   }
 
+  test("paragraph scrub: chrome paragraphs are removed, unique bodies " +
+      "survive with a stable fingerprint") {
+    val s2 = spark
+    import s2.implicits._
+    // paraOf wraps each text in a pool header + footer paragraph; with
+    // 52 docs each pool paragraph recurs in ~13 docs (≥ 5%), so chrome
+    // is always scrubbed. Three docs share one body (3/52 ≥ 5% → also
+    // scrubbed, everything dropped); the rest keep exactly their body.
+    val ids = (1 to 80).filter(i => i % 6 != 0 && i % 7 != 0 &&
+      i % 11 != 0)
+    val shared = Set(1, 2, 3)
+    val docs = ids.map(i => (i.toLong,
+      if (shared(i)) "repeated body paragraph here"
+      else s"unique body number $i words")).toDF("doc_id", "text")
+    val r = CurationOps.paraScrubOf(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toList
+    val fps = scala.collection.mutable.ListBuffer[Long]()
+    r.foreach { case (id, nParas, nDropped, cleanFp) =>
+      assert(nParas == 3, s"doc $id")
+      if (shared(id.toInt))
+        assert(nDropped == 3 && cleanFp == 0L, s"doc $id")
+      else {
+        assert(nDropped == 2 && cleanFp != 0L, s"doc $id")
+        fps += cleanFp
+      }
+    }
+    // unique bodies → pairwise-distinct cleaned fingerprints
+    assert(fps.distinct.size == fps.size)
+  }
+
+  test("ngram novelty: cloned docs score 0, singletons 1000, " +
+      "short docs survive with no grams") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"), // exact clone of doc 1
+      (3L, "alpha beta gamma delta epsilon"),
+      (4L, "hi there")) // too short to shingle
+      .toDF("doc_id", "text")
+    val r = CurationOps.ngramNoveltyOf(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        x.getLong(3))).toMap
+    assert(r(1L) == ((2L, 0L, 0L)))    // both 5-grams shared with doc 2
+    assert(r(2L) == ((2L, 0L, 0L)))
+    assert(r(3L) == ((1L, 1L, 1000L))) // its one 5-gram is unique
+    assert(r(4L) == ((0L, 0L, 0L)))
+  }
+
+  test("contamination verdict: planted benchmark near-copies are " +
+      "dropped, organic docs are not") {
+    val r = CurationOps.contamVerdict(spark, sf)
+    val planted = r.filter(col("doc_id") < 0)
+    val organic = r.filter(col("doc_id") >= 0)
+    // every planted near-copy of a benchmark doc crosses the 70% gate
+    assert(planted.count() > 0)
+    assert(planted.filter(!col("drop_doc")).count() == 0)
+    // organic drops exist only where the corpus genuinely near-dups a
+    // benchmark doc (sf0.001 plants two such twins); the bulk survives
+    val organicTotal = organic.count()
+    val organicDropped = organic.filter(col("drop_doc")).count()
+    assert(organicDropped * 50 < organicTotal) // < 2%
+    assert(organicDropped < organicTotal) // both branches exist
+  }
+
   test("line boilerplate: recurring lines are flagged by corpus " +
       "fraction, unique bodies are not") {
     val s2 = spark

@@ -27,6 +27,35 @@ class GraftExpressionsSpec extends SparkSuite {
     rows.foreach { case (fast, ref) => assert(fast == ref) }
   }
 
+  test("native nfc composes canonical sequences and is an identity " +
+      "on already-normalized text") {
+    GraftFunctions.register(spark)
+    val decomposed = "cafe\u0301"            // e + combining acute
+    val composed = "caf\u00e9"
+    val angstromDec = "A\u030Angstro\u0308m" // ring + diaeresis
+    val angstromNfc = "\u00c5ngstr\u00f6m"
+    val sDots = "s\u0323\u0307"              // dot-below + dot-above
+    val df = Seq(decomposed, composed, angstromDec, "plain ascii", "",
+      sDots).toDF("s")
+    val rows = df.select(col("s"), GraftFunctions.nfc(col("s")))
+      .as[(String, String)].collect().toMap
+    assert(rows(decomposed) == composed)
+    assert(rows(angstromDec) == angstromNfc)
+    assert(rows(composed) == composed) // already-NFC fast path
+    assert(rows("plain ascii") == "plain ascii")
+    assert(rows("") == "")
+    // agreement vector straight from UAX #15: NFC(s+0323+0307) = U+1E69
+    assert(rows(sDots) == "\u1e69")
+    // null propagates
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(GraftFunctions.nfc(col("s"))).collect()
+    assert(n.head.isNullAt(0))
+    // and the SQL registration form agrees
+    val viaSql = spark.sql(
+      s"SELECT graft_nfc('$decomposed')").as[String].head
+    assert(viaSql == composed)
+  }
+
   test("native shingleHashes equals the composed pipeline on real docs") {
     GraftFunctions.register(spark)
     val d = Tables.documents(spark, sf)
