@@ -163,7 +163,22 @@ object TaskConfig {
       pipelineType: String = "basic",
       httpHost: String = "127.0.0.1",
       httpPort: Int = 0,
-      serveTimeoutSecs: Int = 60)
+      serveTimeoutSecs: Int = 60,
+      // [sinker] conflict_policy (task_config.rs:863-864, default
+      // interrupt) — struct-sink DDL failure handling
+      conflictPolicy: graft.struct.StructApplier.ConflictPolicy =
+        graft.struct.StructApplier.Interrupt,
+      // [meta_center] (meta_center_config.rs): external MySQL-engine
+      // meta store with its own DDL conflict policy
+      metaCenter: Option[MetaCenter] = None)
+
+  /** `MetaCenterConfig::MySqlDbEngine` — the external meta store a
+    * CDC task keeps authoritative schema in, with the policy applied
+    * when replaying captured DDL into it fails
+    * (meta_center_config.rs:10-17).
+    */
+  final case class MetaCenter(url: String,
+      ddlConflictPolicy: graft.struct.StructApplier.ConflictPolicy)
 
   /** `node@from-to[,node@from-to...]` → slot ranges. */
   def parseSlots(spec: String): Seq[graft.sinks.RedisReshard.SlotRange] =
@@ -355,6 +370,32 @@ object TaskConfig {
       pipelineType = pl.get("pipeline_type", "basic"),
       httpHost = pl.get("http_host", "127.0.0.1"),
       httpPort = pl.get("http_port", "0").toInt,
-      serveTimeoutSecs = pl.get("serve_timeout_secs", "60").toInt)
+      serveTimeoutSecs = pl.get("serve_timeout_secs", "60").toInt,
+      conflictPolicy = graft.struct.StructApplier.parsePolicy(
+        sk.get("conflict_policy", "interrupt")),
+      metaCenter = metaCenter(p, ex, sk))
   }
+
+  /** `[meta_center] type=dbengine` → MetaCenter (task_config.rs:
+    * 1444-1471): requires `url`, defaults `ddl_conflict_policy` to
+    * interrupt, and REJECTS a meta-center url equal to the extractor
+    * or sinker url — pointing the meta store at a replicated engine
+    * would let the replayed DDL race its own capture. `type=basic`
+    * (the default) means no external meta center.
+    */
+  private def metaCenter(p: Parsed, ex: Section,
+      sk: Section): Option[MetaCenter] =
+    p.sections.get("meta_center")
+      .filter(m => m.get("type", "basic") == "dbengine")
+      .map { m =>
+        val url = m.get("url", "")
+        require(url.nonEmpty, "[meta_center] url is required")
+        val exUrl = ex.get("url", "")
+        val skUrl = sk.get("url", "")
+        require(url != exUrl && url != skUrl,
+          "[meta_center].url should be different with [extractor].url" +
+            " and [sinker].url")
+        MetaCenter(url, graft.struct.StructApplier.parsePolicy(
+          m.get("ddl_conflict_policy", "interrupt")))
+      }
 }

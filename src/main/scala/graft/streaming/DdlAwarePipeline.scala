@@ -27,7 +27,10 @@ object DdlAwarePipeline {
   }
 
   final case class BatchReport(batchId: Long, ddlApplied: Seq[String],
-      dmlRows: Long, dclApplied: Seq[String] = Nil)
+      dmlRows: Long, dclApplied: Seq[String] = Nil,
+      // statements that failed under conflictPolicy=ignore, with the
+      // sink's error text (the reference's log_error line as data)
+      ddlErrors: Seq[(String, String)] = Nil)
 
   /** Process a mixed DML/DDL stream. `onBatch` receives only DML rows,
     * after the batch's DDL (if any) has been applied and the meta cache
@@ -42,7 +45,15 @@ object DdlAwarePipeline {
       // pipelines that never configured a filter keep replicating)
       filter: graft.operators.NameFilter =
         graft.operators.NameFilter(doDdls = Set("*"),
-          doDcls = Set("*")))
+          doDcls = Set("*")),
+      // [meta_center] ddl_conflict_policy (meta_center_config.rs):
+      // interrupt (default) fails the stream on a sink DDL error;
+      // ignore records it and keeps the batch flowing. On an ignored
+      // failure the cached schema is INVALIDATED, not evolved — the
+      // sink didn't change, so the next meta fetch must re-read its
+      // actual state rather than trust the statement.
+      conflictPolicy: graft.struct.StructApplier.ConflictPolicy =
+        graft.struct.StructApplier.Interrupt)
       : DataStreamWriter[Row] =
     // default micro-batch trigger: callers chain .trigger(...) as needed
     // (AvailableNow would snapshot offsets at start and miss later data)
@@ -59,13 +70,25 @@ object DdlAwarePipeline {
           .map(r => (r.getString(0), r.getString(1))).toSeq
         val appliedDdl = Seq.newBuilder[String]
         val appliedDcl = Seq.newBuilder[String]
+        val ddlErrors = Seq.newBuilder[(String, String)]
+        import graft.struct.StructApplier.{Ignore, Interrupt}
+        // true when the statement executed; false when it failed and
+        // the policy swallowed the error (meta must NOT evolve then)
+        def tryExecute(sql: String): Boolean =
+          try { ddlSink.execute(sql); true }
+          catch {
+            case e: Exception => conflictPolicy match {
+              case Interrupt => throw e
+              case Ignore => ddlErrors += sql -> e.getMessage; false
+            }
+          }
         barrierRows.foreach {
           case ("dcl", sql) =>
             val stmt = DclParser.parse(sql)
             if (filter.allowDcl(stmt.dclType)) {
               val routed = DclParser.route(stmt, router)
-              ddlSink.execute(routed.render)
-              appliedDcl += routed.render
+              if (tryExecute(routed.render))
+                appliedDcl += routed.render
             }
           case (_, sql) =>
             // Mongo change-stream DDL events arrive as the event's
@@ -80,8 +103,15 @@ object DdlAwarePipeline {
               filter.allowDdl(DdlParser.ddlType(stmt), s, t)
             }.foreach { stmt =>
               val routed = DdlParser.route(stmt, router, defaultDb)
-              ddlSink.execute(routed.render)
-              stmt match {
+              val landed = tryExecute(routed.render)
+              if (!landed) {
+                // ignored failure: the sink is unchanged, so re-read
+                // its actual schema next time instead of evolving the
+                // cache from a statement that never landed
+                val (s, t) = DdlParser.target(stmt, defaultDb)
+                if (t.nonEmpty) meta.invalidate(s, t)
+                else meta.invalidateAll()
+              } else stmt match {
                 case DdlParser.AlterTable(db, tb, alteration) =>
                   // typed actions evolve the cached StructType in
                   // place; evolve() itself invalidates when out of
@@ -103,13 +133,13 @@ object DdlAwarePipeline {
                   meta.invalidate(sc, tb)
                 case _ => meta.invalidateAll()
               }
-              appliedDdl += routed.render
+              if (landed) appliedDdl += routed.render
             }
         }
         val dml = batch.filter(!col("row_type").isin("ddl", "dcl"))
         onBatch(dml, batchId)
         report(BatchReport(batchId, appliedDdl.result(), dml.count(),
-          appliedDcl.result()))
+          appliedDcl.result(), ddlErrors.result()))
         ()
       }
 }

@@ -97,6 +97,92 @@ class DdlPipelineSpec extends SparkSuite {
     assert(fetches.get() == 2)
     assert(dmlCount.get() == 2)
   }
+
+  test("conflict_policy=ignore: a failing sink DDL is recorded, the " +
+      "cache invalidated (not evolved), and the batch keeps flowing") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = sparkSession.sqlContext
+
+    fetches.set(0)
+    appliedDdl.synchronized(appliedDdl.clear())
+    dmlCount.set(0)
+
+    val meta = new MetaManager(Fetcher)
+    meta.get("app", "customer") // warm cache
+    assert(fetches.get() == 1)
+
+    val reports = new ArrayBuffer[DdlAwarePipeline.BatchReport]()
+    val failingSink = new DdlAwarePipeline.DdlSink {
+      def execute(ddl: String): Unit = {
+        if (ddl.contains("ADD COLUMN boom"))
+          throw new RuntimeException("Duplicate column name 'boom'")
+        appliedDdl.synchronized(appliedDdl += ddl)
+      }
+    }
+    val input = MemoryStream[Change]
+    val q = DdlAwarePipeline.process(
+      input.toDF(), Routing.demoRouter, defaultDb = "app", meta,
+      ddlSink = failingSink,
+      onBatch = (dml, _) => dmlCount.addAndGet(dml.count()),
+      report = r => reports.synchronized(reports += r),
+      conflictPolicy = graft.struct.StructApplier.Ignore).start()
+    try {
+      input.addData(
+        Change("insert", null, 1L),
+        Change("ddl", "ALTER TABLE customer ADD COLUMN boom INT", 0L),
+        Change("ddl", "ALTER TABLE customer ADD COLUMN ok INT", 0L),
+        Change("update", null, 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the failure was swallowed: the NEXT statement still applied and
+    // DML flowed
+    assert(appliedDdl.synchronized(appliedDdl.toSeq) ==
+      Seq("ALTER TABLE `app_replica`.`clients` ADD COLUMN ok INT"))
+    assert(dmlCount.get() == 2)
+    // the report carries the reference's log_error line as data
+    val errs = reports.synchronized(reports.flatMap(_.ddlErrors).toSeq)
+    assert(errs.map(_._1) ==
+      Seq("ALTER TABLE `app_replica`.`clients` ADD COLUMN boom INT"))
+    assert(errs.head._2.contains("Duplicate column name"))
+    // failed DDL did NOT evolve the cache from a statement that never
+    // landed: the entry was invalidated, so the next access defers to
+    // the authoritative fetcher (whose stub returns the base struct)
+    // instead of trusting any statement applied in between
+    val got = meta.get("app", "customer")
+    assert(fetches.get() == 2)
+    assert(got.structType.fieldNames.toSeq == Seq("id"))
+  }
+
+  test("conflict_policy=interrupt (default): a failing sink DDL " +
+      "propagates and fails the stream") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = sparkSession.sqlContext
+
+    val meta = new MetaManager(Fetcher)
+    val failingSink = new DdlAwarePipeline.DdlSink {
+      def execute(ddl: String): Unit =
+        throw new RuntimeException("table already exists")
+    }
+    val input = MemoryStream[Change]
+    val q = DdlAwarePipeline.process(
+      input.toDF(), Routing.demoRouter, defaultDb = "app", meta,
+      ddlSink = failingSink,
+      onBatch = (_, _) => ()).start()
+    try {
+      input.addData(Change("ddl", "CREATE TABLE t2 (id INT)", 0L))
+      val e = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("table already exists") ||
+        Option(e.getCause).exists(
+          _.getMessage.contains("table already exists")))
+    } finally q.stop()
+  }
+
 }
 
 object DdlPipelineSpec {

@@ -220,4 +220,73 @@ class TaskConfigSpec extends SparkSuite {
     assert(s.totalTokens ==
       direct.agg(sum("n_tokens")).collect()(0).getLong(0))
   }
+
+  test("struct applier: interrupt stops at the first failure, ignore " +
+      "attempts every statement and records errors") {
+    import graft.struct.StructApplier
+    val ran = scala.collection.mutable.ListBuffer[String]()
+    def exec(sql: String): Unit = {
+      if (sql.contains("boom")) throw new RuntimeException("dup key")
+      ran += sql
+    }
+    val stmts = Seq("CREATE TABLE a (id INT)",
+      "CREATE INDEX boom ON a(id)", "CREATE TABLE b (id INT)")
+    // interrupt: first failure propagates, later statements never run
+    ran.clear()
+    val e = intercept[RuntimeException] {
+      StructApplier(stmts, StructApplier.Interrupt, exec)
+    }
+    assert(e.getMessage == "dup key")
+    assert(ran.toList == Seq("CREATE TABLE a (id INT)"))
+    // ignore: everything attempted, the failure surfaced as data
+    ran.clear()
+    val rep = StructApplier(stmts, StructApplier.Ignore, exec)
+    assert(ran.toList ==
+      Seq("CREATE TABLE a (id INT)", "CREATE TABLE b (id INT)"))
+    assert(rep.executed == ran.toList)
+    assert(rep.ignoredErrors ==
+      Seq("CREATE INDEX boom ON a(id)" -> "dup key"))
+    // unknown policy strings fall back to the reference default
+    assert(StructApplier.parsePolicy("IGNORE") == StructApplier.Ignore)
+    assert(StructApplier.parsePolicy("whatever") ==
+      StructApplier.Interrupt)
+  }
+
+  test("meta_center config: dbengine type parses url + policy, basic " +
+      "yields none, a shared url is rejected") {
+    import graft.struct.StructApplier
+    def ini(metaCenter: String) =
+      s"""[extractor]
+         |url=/src/dir
+         |
+         |[sinker]
+         |url=/sink/dir
+         |$metaCenter
+         |""".stripMargin
+    // dbengine with explicit ignore policy
+    val t1 = TaskConfig.fromIni(ini(
+      "\n[meta_center]\ntype=dbengine\nurl=/meta/dir\n" +
+        "ddl_conflict_policy=ignore"))
+    assert(t1.metaCenter ==
+      Some(TaskConfig.MetaCenter("/meta/dir", StructApplier.Ignore)))
+    // policy defaults to the reference default (interrupt)
+    val t2 = TaskConfig.fromIni(ini(
+      "\n[meta_center]\ntype=dbengine\nurl=/meta/dir"))
+    assert(t2.metaCenter.get.ddlConflictPolicy ==
+      StructApplier.Interrupt)
+    // type=basic (or no section) -> no external meta center
+    assert(TaskConfig.fromIni(ini(
+      "\n[meta_center]\ntype=basic\nurl=/meta/dir")).metaCenter.isEmpty)
+    assert(TaskConfig.fromIni(ini("")).metaCenter.isEmpty)
+    // meta-center url must differ from extractor and sinker urls
+    // (task_config.rs:1461-1466)
+    intercept[IllegalArgumentException] {
+      TaskConfig.fromIni(ini(
+        "\n[meta_center]\ntype=dbengine\nurl=/sink/dir"))
+    }
+    // [sinker] conflict_policy reaches the task (task_config.rs:863)
+    val t3 = TaskConfig.fromIni(
+      "[extractor]\nurl=/a\n\n[sinker]\nurl=/b\nconflict_policy=ignore\n")
+    assert(t3.conflictPolicy == StructApplier.Ignore)
+  }
 }
