@@ -67,6 +67,12 @@ object TaskConfig {
     * arrived and leaves both stages' checkpoints for the next start.
     */
   case object CurationStreamExtract extends ExtractType
+
+  /** WARC/WET crawl ingestion into curation-ready documents
+    * (`extract_type=warc`, north-star extension — the Common Crawl
+    * entry point of the training-data chain).
+    */
+  case object WarcExtract extends ExtractType
   /** Single-config serial migration (the reference's
     * `extract_type=snapshot_and_cdc`, config_enums.rs:47-49): snapshot
     * every admitted table, then drain CDC from the consistent point —
@@ -212,6 +218,7 @@ object TaskConfig {
       case "curation" => CurationExtract
       case "curation_stream" => CurationStreamExtract
       case "loader" => LoaderExtract
+      case "warc" => WarcExtract
       case _ => SnapshotExtract
     }
 

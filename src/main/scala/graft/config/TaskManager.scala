@@ -201,6 +201,14 @@ object TaskManager {
           s"windows=${s.nWindows} tokens=${s.totalTokens}")
         return finish("finished", None)
       }
+      // WARC ingestion is corpus-scoped: crawl files → documents
+      if (task.extractType == TaskConfig.WarcExtract) {
+        val s = TaskRunner.runWarc(spark, task)
+        log(dir, s"warc docs=${s.nDocs} " +
+          s.records.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+            .mkString(" "))
+        return finish("finished", None)
+      }
       // streaming curation: drain what has arrived; checkpoints under
       // the sink dir make the next start resume after this one
       if (task.extractType == TaskConfig.CurationStreamExtract) {

@@ -98,6 +98,34 @@ object TaskRunner {
     graft.operators.CurationPipeline.run(spark, task.sourceDir,
       task.sinkDir)
 
+  /** WARC ingestion result: records framed per type, documents
+    * extracted.
+    */
+  final case class WarcSummary(records: Map[String, Long], nDocs: Long)
+
+  /** WARC/WET ingestion task (`extract_type=warc`): frame every
+    * record of the crawl files under [extractor] url, land the full
+    * record table under `<sink>/warc_records` and the conversion
+    * records as a curation-ready `documents` parquet under the sink —
+    * the Common Crawl entry point feeding the curation/loader task
+    * chain on the same INI surface.
+    */
+  def runWarc(spark: SparkSession, task: TaskConfig.Task)
+      : WarcSummary = {
+    val recs = graft.sources.WarcSource.read(spark, task.sourceDir)
+    recs.write.mode(SaveMode.Overwrite)
+      .parquet(s"${task.sinkDir}/warc_records")
+    val stored = spark.read.parquet(s"${task.sinkDir}/warc_records")
+    graft.sources.WarcSource.wetDocuments(stored)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${task.sinkDir}/documents.parquet")
+    val byType = stored.groupBy("warc_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocs = spark.read
+      .parquet(s"${task.sinkDir}/documents.parquet").count()
+    WarcSummary(byType, nDocs)
+  }
+
   /** Loader-layout task result: corpus size, the layouts written. */
   final case class LoaderSummary(nDocs: Long, nShards: Int,
       nWindows: Long, totalTokens: Long)

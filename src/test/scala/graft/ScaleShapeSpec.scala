@@ -336,4 +336,36 @@ class ScaleShapeSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("cell"), p)
   }
+
+  test("q131 nfc audit is map-only and codegen; q132 paragraph scrub " +
+      "shuffles hashes, never paragraph text") {
+    val p131 = graft.operators.TextOps.nfcAudit(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p131.contains("Exchange"), p131)
+    assert(!p131.contains("Join"), p131)
+    // the native expression stays inside whole-stage codegen (the
+    // executedPlan rendering marks codegen stages with "*(n)")
+    assert(p131.contains("*(1)"), p131)
+    val p132 = graft.operators.CurationOps.paraScrub(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p132.contains("CartesianProduct"), p132)
+    assert(!p132.contains("SortMergeJoin"), p132)
+    // every exchange keys on doc_id or the 64-bit pfp — the paragraph
+    // array stays with its row and is never hash-partitioned
+    assert(!p132.contains("Exchange hashpartitioning(paras#"), p132)
+    assert(!p132.contains("Exchange hashpartitioning(page#"), p132)
+  }
+
+  test("q133 novelty and q134 contamination shuffle 64-bit grams " +
+      "only; the benchmark side of q134 broadcasts") {
+    val p133 = graft.operators.CurationOps.ngramNovelty(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p133.contains("CartesianProduct"), p133)
+    assert(!p133.contains("Exchange hashpartitioning(text#"), p133)
+    val p134 = graft.operators.CurationOps.contamVerdict(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p134.contains("BroadcastHashJoin"), p134)
+    assert(!p134.contains("CartesianProduct"), p134)
+    assert(!p134.contains("Exchange hashpartitioning(text#"), p134)
+  }
 }

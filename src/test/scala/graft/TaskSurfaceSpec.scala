@@ -34,6 +34,7 @@ class TaskSurfaceSpec extends SparkSuite {
     assert(parse("scan") == TaskConfig.ScanExtract)
     assert(parse("reshard") == TaskConfig.ReshardExtract)
     assert(parse("foxlake_s3") == TaskConfig.FoxlakeS3Extract)
+    assert(parse("warc") == TaskConfig.WarcExtract)
     val t = TaskConfig.fromIni(
       """[extractor]
         |extract_type=reshard

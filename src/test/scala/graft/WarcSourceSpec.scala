@@ -20,7 +20,8 @@ class WarcSourceSpec extends SparkSuite {
     h ++= s"WARC-Type: $tpe\r\n"
     uri.foreach(u => h ++= s"WARC-Target-URI: $u\r\n")
     h ++= "WARC-Date: 2024-01-15T10:00:00Z\r\n"
-    h ++= s"WARC-Record-ID: <urn:uuid:rec-$tpe-${content.length}>\r\n"
+    h ++= s"WARC-Record-ID: <urn:uuid:rec-$tpe-" +
+      s"${uri.getOrElse("")}-${content.length}>\r\n"
     extra.foreach { case (k, v) => h ++= s"$k: $v\r\n" }
     h ++= s"Content-Length: ${content.length}\r\n"
     h ++= "\r\n"
@@ -112,6 +113,36 @@ class WarcSourceSpec extends SparkSuite {
       ascii("this body will be cut")).dropRight(12)
     val recs = WarcSource.parseAll(cat(good, truncated))
     assert(recs.map(_.targetUri) == Seq("http://x/ok"))
+  }
+
+  test("extract_type=warc task: crawl dir -> record table + documents " +
+      "parquet under the sink") {
+    val crawl = java.nio.file.Files.createTempDirectory("warc_in")
+    val sink = java.nio.file.Files.createTempDirectory("warc_out")
+    java.nio.file.Files.write(crawl.resolve("seg-0.warc"), cat(
+      record("warcinfo", None, ascii("software: t")),
+      record("conversion", Some("http://a/1"), ascii("doc one text")),
+      record("response", Some("http://a/1"), ascii("<html>"))))
+    java.nio.file.Files.write(crawl.resolve("seg-1.warc"), cat(
+      record("conversion", Some("http://b/2"), ascii("doc two text"))))
+    val task = graft.config.TaskConfig.fromIni(
+      s"""[extractor]
+         |extract_type=warc
+         |url=$crawl
+         |
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    assert(task.extractType == graft.config.TaskConfig.WarcExtract)
+    val s = graft.config.TaskRunner.runWarc(spark, task)
+    assert(s.records == Map("warcinfo" -> 1L, "conversion" -> 2L,
+      "response" -> 1L))
+    assert(s.nDocs == 2)
+    // the landed documents table IS the curation-chain input shape
+    val docs = spark.read.parquet(s"$sink/documents.parquet")
+    assert(docs.columns.toSet ==
+      Set("doc_id", "url", "fetched_at", "text"))
+    assert(docs.select("doc_id").distinct().count() == 2)
   }
 
   test("wetDocuments: conversion records become curation-ready docs " +
