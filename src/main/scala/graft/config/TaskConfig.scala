@@ -148,6 +148,9 @@ object TaskConfig {
       sinkDbType: String = "file",
       // check_log replay ([extractor] check_log_dir)
       checkLogDir: Option[String] = None,
+      // curation_stream decontamination ([extractor] benchmark_dir):
+      // held-out docs whose n-gram Bloom gates the stream
+      benchmarkDir: Option[String] = None,
       // snapshot_file / reshard key source ([extractor] file_path)
       filePath: Option[String] = None,
       // scan task ([extractor] statistic_type / scan_count /
@@ -366,6 +369,7 @@ object TaskConfig {
       dbType = ex.get("db_type", "file"),
       sinkDbType = sk.get("db_type", "file"),
       checkLogDir = ex("check_log_dir"),
+      benchmarkDir = ex("benchmark_dir"),
       filePath = ex("file_path"),
       statisticType = ex.get("statistic_type", "hot_key"),
       scanCount = ex.get("scan_count", "1000").toInt,

@@ -212,10 +212,17 @@ object TaskManager {
       // streaming curation: drain what has arrived; checkpoints under
       // the sink dir make the next start resume after this one
       if (task.extractType == TaskConfig.CurationStreamExtract) {
+        // [extractor] benchmark_dir: gate the stream against the
+        // held-out set's n-gram Bloom (built once here, batch-side)
+        val bloom = task.benchmarkDir.map { bd =>
+          graft.operators.CurationOps.benchmarkBloomBytes(
+            spark.read.parquet(bd))
+        }
         val r = graft.streaming.StreamingCuration.drain(spark,
-          task.sourceDir, task.sinkDir)
+          task.sourceDir, task.sinkDir, benchmarkBloom = bloom)
         log(dir, s"curation_stream in=${r.docsIn} " +
           s"quality_dropped=${r.qualityDropped} " +
+          s"contam_dropped=${r.contamDropped} " +
           s"exact_dropped=${r.exactDropped} " +
           s"neardup_flagged=${r.nearDupFlagged} kept=${r.kept}")
         return finish("finished", None)

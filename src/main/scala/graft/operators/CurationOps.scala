@@ -385,6 +385,21 @@ object CurationOps {
   final val BloomBits = 1 << 18
   final val BloomHashes = 5
 
+  /** The benchmark's n-gram Bloom filter as raw bytes — the broadcast
+    * artifact the STREAMING decontamination gate probes
+    * ([[graft.streaming.StreamingCuration.gateQuery]]). Built once
+    * batch-side from the held-out set; a few dozen KB regardless of
+    * benchmark size.
+    */
+  def benchmarkBloomBytes(benchmark: DataFrame): Array[Byte] = {
+    import graft.functions.GraftFunctions.bloomAgg
+    benchmark
+      .select(explode(FuzzyDedup.shingleHashes(col("text"))).as("h"))
+      .distinct()
+      .agg(bloomAgg(col("h"), BloomBits, BloomHashes).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+  }
+
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.{bloomAgg, bloomContains}
     val hashes = Tables.documents(spark, dir)

@@ -959,7 +959,108 @@ object TextOps {
        |  ${charFoldSql("nfc")} AS nfc_fp
        |FROM n""".stripMargin
 
+  // ---------------------------------------------------------------- q135
+  /** The WITHIN-document half of Gopher's repetition table (Rae et al.
+    * 2021 A1.1): duplicate-line and duplicate-paragraph fractions, each
+    * both by count and by character mass — the four fields q59 (dup
+    * trigram fraction) and q100 (top-bigram mass) don't cover. A line/
+    * paragraph occurrence is a duplicate when the same text occurred
+    * earlier in the SAME document (cross-corpus recurrence is q124/
+    * q132's census, a different operator on purpose: these gates must
+    * be computable per document with no corpus pass).
+    *
+    * Page structure is synthesized in-query: paragraphs separated by
+    * blank lines, lines within them, a tripled line planted at
+    * doc_id % 5 = 0 and a repeated paragraph at doc_id % 7 = 0 so all
+    * four signals have both verdict branches.
+    *
+    * Scale shape: pure map — split, array_distinct, two HOF length
+    * sums; nothing but the stats row leaves the mapper. dup_chars =
+    * total chars − chars of first occurrences (Σ over distinct), which
+    * avoids any per-occurrence earlier-scan.
+    */
+  def gopherRep(spark: SparkSession, dir: String): DataFrame =
+    gopherRepOf(Tables.documents(spark, dir))
+
+  private def repPage: Column = expr(
+    """concat(
+      |  'intro line', chr(10), 'second intro line',
+      |  chr(10), chr(10),
+      |  replace(text, ' a ', chr(10)),
+      |  chr(10), chr(10),
+      |  'closing paragraph line',
+      |  CASE WHEN doc_id % 5 = 0 THEN concat(
+      |    chr(10), chr(10), 'repeat me', chr(10), 'repeat me',
+      |    chr(10), 'repeat me') ELSE '' END,
+      |  CASE WHEN doc_id % 7 = 0 THEN concat(
+      |    chr(10), chr(10), 'intro line', chr(10), 'second intro line')
+      |    ELSE '' END)""".stripMargin)
+
+  private val repPageSql: String =
+    """'intro line' || chr(10) || 'second intro line' ||
+      |  chr(10) || chr(10) ||
+      |  replace(text, ' a ', chr(10)) ||
+      |  chr(10) || chr(10) ||
+      |  'closing paragraph line' ||
+      |  CASE WHEN doc_id % 5 = 0 THEN
+      |    chr(10) || chr(10) || 'repeat me' || chr(10) ||
+      |    'repeat me' || chr(10) || 'repeat me' ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 0 THEN
+      |    chr(10) || chr(10) || 'intro line' || chr(10) ||
+      |    'second intro line' ELSE '' END""".stripMargin
+
+  def gopherRepOf(docs: DataFrame): DataFrame = {
+    def stats(arrCol: Column, prefix: String): Seq[Column] = {
+      val n = size(arrCol)
+      val dist = array_distinct(arrCol)
+      val chars = aggregate(arrCol, lit(0L),
+        (acc, x) => acc + length(x))
+      val distChars = aggregate(dist, lit(0L),
+        (acc, x) => acc + length(x))
+      Seq(n.cast("long").as(s"n_$prefix"),
+        ((n - size(dist)) * 1000 / greatest(n, lit(1)))
+          .cast("long").as(s"dup_${prefix}_permille"),
+        ((chars - distChars) * 1000 / greatest(chars, lit(1L)))
+          .cast("long").as(s"dup_${prefix}_char_permille"))
+    }
+    val paras = filter(transform(split(col("page"), "\n\n"),
+      p => trim(p)), p => p =!= "")
+    val lines = filter(transform(split(col("page"), "\n"),
+      l => trim(l)), l => l =!= "")
+    docs.select(col("doc_id"), repPage.as("page"))
+      .select(col("doc_id") +:
+        (stats(lines, "lines") ++ stats(paras, "paras")): _*)
+  }
+
+  val gopherRepSql: String = {
+    def stats(arr: String, prefix: String): String = {
+      val n = s"len($arr)"
+      val dist = s"list_distinct($arr)"
+      val chars = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform($arr, x -> CAST(length(x) AS BIGINT))), " +
+        s"(a, b) -> a + b)"
+      val distChars = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform($dist, x -> CAST(length(x) AS BIGINT))), " +
+        s"(a, b) -> a + b)"
+      s"""CAST($n AS BIGINT) AS n_$prefix,
+         |  CAST(($n - len($dist)) * 1000 // greatest($n, 1) AS BIGINT)
+         |    AS dup_${prefix}_permille,
+         |  CAST(($chars - $distChars) * 1000 // greatest($chars, 1)
+         |    AS BIGINT) AS dup_${prefix}_char_permille""".stripMargin
+    }
+    val paras = "list_filter(list_transform(string_split(page, " +
+      "chr(10) || chr(10)), x -> trim(x)), x -> x <> '')"
+    val lines = "list_filter(list_transform(string_split(page, " +
+      "chr(10)), x -> trim(x)), x -> x <> '')"
+    s"""WITH p AS (SELECT doc_id, $repPageSql AS page FROM documents),
+       |a AS (SELECT doc_id, $lines AS lns, $paras AS prs FROM p)
+       |SELECT doc_id, ${stats("lns", "lines")},
+       |  ${stats("prs", "paras")}
+       |FROM a""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_gopher_rep" -> (gopherRep _),
     "q131_nfc_audit" -> (nfcAudit _),
     "q123_c4_rules" -> (c4Rules _),
     "q120_gopher_rules" -> (gopherRules _),
@@ -976,6 +1077,7 @@ object TextOps {
     "q33_dedup_exact" -> (dedupExact _))
 
   val oracles: Map[String, String] = Map(
+    "q135_gopher_rep" -> gopherRepSql,
     "q131_nfc_audit" -> nfcAuditSql,
     "q123_c4_rules" -> c4RulesSql,
     "q120_gopher_rules" -> gopherRulesSql,

@@ -61,7 +61,18 @@ object StreamingCuration {
     * frame with (doc_id, text, ts).
     */
   def gateQuery(docs: DataFrame, paths: Paths,
-      horizon: String = "10 minutes"): StreamingQuery = {
+      horizon: String = "10 minutes",
+      // benchmark-decontamination prefilter: the held-out set's n-gram
+      // Bloom bytes ([[graft.operators.CurationOps.benchmarkBloomBytes]])
+      // inlined as a codegen literal — the streaming twin of q79's
+      // prefilter. Bloom-only on the stream (no exact confirm pass:
+      // that needs the full benchmark hash set, which is what the
+      // filter exists to avoid shipping); at the configured 2^18 bits
+      // / 5 hashes the false-positive over-drop is ~1e-5 per probed
+      // gram for benchmarks up to ~10k grams — the standard
+      // drop-side-of-caution trade for decontamination.
+      benchmarkBloom: Option[Array[Byte]] = None): StreamingQuery = {
+    import graft.functions.GraftFunctions.bloomContains
     val gated = TextOps.withQualitySignals(docs)
       .observe("curation_gate",
         count(lit(1)).as("docs_in"),
@@ -70,7 +81,19 @@ object StreamingCuration {
           .as("quality_dropped"))
       .filter(col("keep"))
       .select(col("doc_id"), col("text"), col("ts"))
-    StreamingExactDedup.dedup(gated, horizon)
+    val decon = benchmarkBloom match {
+      case None => gated.withColumn("contaminated", lit(false))
+      case Some(b) => gated.withColumn("contaminated",
+        exists(graft.operators.FuzzyDedup.shingleHashes(col("text")),
+          h => bloomContains(lit(b), h)))
+    }
+    val cleaned = decon
+      .observe("curation_decon",
+        coalesce(sum(when(col("contaminated"), 1L)), lit(0L))
+          .as("contam_dropped"))
+      .filter(!col("contaminated"))
+      .select(col("doc_id"), col("text"), col("ts"))
+    StreamingExactDedup.dedup(cleaned, horizon)
       .select(col("doc_id"), col("text"), col("ts"), col("fp"))
       .observe("curation_channel", count(lit(1)).as("docs_out"))
       .writeStream
@@ -129,7 +152,8 @@ object StreamingCuration {
     StructField("ts", TimestampType)))
 
   final case class DrainReport(docsIn: Long, qualityDropped: Long,
-      exactDropped: Long, nearDupFlagged: Long, kept: Long)
+      exactDropped: Long, nearDupFlagged: Long, kept: Long,
+      contamDropped: Long = 0L)
 
   /** Drain everything that has arrived in `sourceDir` through the full
     * topology rooted at `workDir` (channel, both checkpoints, and the
@@ -143,13 +167,14 @@ object StreamingCuration {
     * verdict callback — no dependence on the async listener bus.
     */
   def drain(spark: SparkSession, sourceDir: String, workDir: String,
-      horizon: String = "10 minutes"): DrainReport = {
+      horizon: String = "10 minutes",
+      benchmarkBloom: Option[Array[Byte]] = None): DrainReport = {
     val paths = Paths(s"$workDir/channel", s"$workDir/ckpt_gate",
       s"$workDir/ckpt_neardup")
     val docs = spark.readStream.schema(docSchema).parquet(sourceDir)
     var flagged = 0L
     var kept = 0L
-    val gate = gateQuery(docs, paths, horizon)
+    val gate = gateQuery(docs, paths, horizon, benchmarkBloom)
     try gate.processAllAvailable() finally gate.stop()
     val nd = nearDupQuery(spark, paths, None) { (verdicts, _) =>
       val f = verdicts.filter(col("is_dup")).count()
@@ -158,18 +183,22 @@ object StreamingCuration {
       verdicts.write.mode("append").parquet(s"$workDir/verdicts")
     }
     try nd.processAllAvailable() finally nd.stop()
-    var docsIn = 0L; var qDropped = 0L; var out = 0L
+    var docsIn = 0L; var qDropped = 0L; var out = 0L; var contam = 0L
     gate.recentProgress.foreach { p =>
       Option(p.observedMetrics.get("curation_gate")).foreach { r =>
         docsIn += r.getAs[Long]("docs_in")
         qDropped += r.getAs[Long]("quality_dropped")
+      }
+      Option(p.observedMetrics.get("curation_decon")).foreach { c =>
+        contam += c.getAs[Long]("contam_dropped")
       }
       Option(p.observedMetrics.get("curation_channel")).foreach { c =>
         out += c.getAs[Long]("docs_out")
       }
     }
     DrainReport(docsIn, qDropped,
-      exactDropped = docsIn - qDropped - out, flagged, kept)
+      exactDropped = docsIn - qDropped - contam - out, flagged, kept,
+      contamDropped = contam)
   }
 
   /** Bridge stage A's observed metrics into the monitors: docs_in →

@@ -393,6 +393,38 @@ class CurationSpec extends SparkSuite {
     assert(d1.getAs[Boolean]("keep_page"))
   }
 
+  test("gopher repetition signature: planted line/paragraph repeats " +
+      "hit all four fields with hand-counted fractions") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.operators.TextOps
+    // doc 1 (1%5!=0, 1%7!=0): no planted repeats, body 'alpha beta'
+    //   lines: intro(10) second-intro(17) alpha-beta(10) closing(22)
+    // doc 5: tripled 'repeat me' appended -> 2 dup lines of 9 chars
+    // doc 7: intro paragraph repeated -> dup para + 2 dup lines
+    val docs = Seq((1L, "alpha beta"), (5L, "alpha beta"),
+      (7L, "alpha beta")).toDF("doc_id", "text")
+    val r = TextOps.gopherRepOf(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val d1 = r(1L)
+    assert(d1.getAs[Long]("n_lines") == 4)
+    assert(d1.getAs[Long]("dup_lines_permille") == 0)
+    assert(d1.getAs[Long]("dup_lines_char_permille") == 0)
+    assert(d1.getAs[Long]("n_paras") == 3)
+    assert(d1.getAs[Long]("dup_paras_permille") == 0)
+    val d5 = r(5L)
+    assert(d5.getAs[Long]("n_lines") == 7) // 4 + 3 repeats
+    assert(d5.getAs[Long]("dup_lines_permille") == 2000 / 7)
+    // chars: 10+17+10+22 + 3*9 = 86; dup chars = 2*9 = 18
+    assert(d5.getAs[Long]("dup_lines_char_permille") == 18000 / 86)
+    assert(d5.getAs[Long]("dup_paras_permille") == 0)
+    val d7 = r(7L)
+    assert(d7.getAs[Long]("n_paras") == 4)
+    assert(d7.getAs[Long]("dup_paras_permille") == 250)
+    assert(d7.getAs[Long]("n_lines") == 6)
+    assert(d7.getAs[Long]("dup_lines_permille") == 2000 / 6)
+  }
+
   test("paragraph scrub: chrome paragraphs are removed, unique bodies " +
       "survive with a stable fingerprint") {
     val s2 = spark

@@ -135,6 +135,34 @@ class StreamingCurationSpec extends SparkSuite {
     }
   }
 
+  test("benchmark bloom gates the stream: contaminated docs drop " +
+      "before dedup state, clean docs flow, the drain reports it") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+
+    val base = Files.createTempDirectory("graft_curation_bb").toString
+    // held-out benchmark = textB; the stream carries textB verbatim
+    // (contaminated), plus clean textA/textC
+    val bloom = graft.operators.CurationOps.benchmarkBloomBytes(
+      Seq((100L, textB)).toDF("doc_id", "text"))
+    val srcDir = s"$base/src"
+    Seq((1L, textA, ts(0)), (2L, textB, ts(0)), (3L, textC, ts(1)))
+      .toDF("doc_id", "text", "ts")
+      .write.parquet(srcDir)
+    val r = StreamingCuration.drain(spark, srcDir, s"$base/work",
+      benchmarkBloom = Some(bloom))
+    assert(r.docsIn == 3)
+    assert(r.contamDropped == 1)
+    assert(r.qualityDropped == 0)
+    assert(r.kept == 2)
+    // the channel (dedup survivors) holds exactly the clean docs
+    val channel = spark.read
+      .schema(StreamingCuration.channelSchema)
+      .parquet(s"$base/work/channel")
+    assert(channel.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 3L))
+  }
+
   test("near-dup stage restarts from its own checkpoint without " +
       "re-running the gate stage") {
     val sparkSession = spark
