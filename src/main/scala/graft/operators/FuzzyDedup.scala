@@ -392,7 +392,59 @@ object FuzzyDedup {
        |FROM j""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q136
+  /** LSH S-curve calibration for the configured banding (MMDS §3.4):
+    * the probability a pair at Jaccard s becomes a candidate under b
+    * bands of r rows is 1 − (1 − s^r)^b — the audit run before
+    * changing dedup thresholds, answering "what similarity does this
+    * configuration actually catch?". Emitted for s = 25‰ … 975‰ with
+    * the configured (b=4, r=2), plus the past-50% flag whose first
+    * true row brackets the threshold t ≈ (1/b)^(1/r) ≈ 0.5.
+    *
+    * Exactness: the whole curve is integer arithmetic — q = 10^6 − s²
+    * (the miss probability in ppm), q⁴ ≤ 10^24 via DECIMAL(38,0) on
+    * Spark and HUGEINT on DuckDB, and hit_ppm = 10^6 − ⌊q⁴·10^6 /
+    * 10^24⌋. IEEE pow never appears, so both engines agree digit for
+    * digit (the same no-libm discipline as q107's bit-length log).
+    *
+    * Scale shape: 39 generated rows, no input table at all — the
+    * audit is free at any corpus size.
+    */
+  def lshCurve(spark: SparkSession, dir: String): DataFrame = {
+    val b = MinhashA.size / BandRows // 4
+    require(BandRows == 2 && b == 4,
+      "curve arithmetic is specialized to the configured b=4, r=2")
+    spark.range(1, 40)
+      .select((col("id") * 25).as("s_permille"))
+      .withColumn("q", lit(1000000L) - col("s_permille") *
+        col("s_permille"))
+      .withColumn("q4",
+        expr("CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))" +
+          " * CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))"))
+      .select(col("s_permille"),
+        expr("CAST(1000000 - floor((q4 * 1000000) / " +
+          "CAST(1000000000000000000000000 AS DECIMAL(38,0))) " +
+          "AS BIGINT)").as("hit_ppm"))
+      .withColumn("past_threshold", col("hit_ppm") >= 500000L)
+  }
+
+  val lshCurveSql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(range * 25 AS BIGINT) AS s_permille
+       |  FROM range(1, 40)),
+       |q AS (SELECT s_permille,
+       |  CAST(1000000 - s_permille * s_permille AS HUGEINT) AS q
+       |  FROM s),
+       |c AS (SELECT s_permille,
+       |  CAST(1000000 - (q * q * q * q * 1000000) //
+       |    CAST('1000000000000000000000000' AS HUGEINT) AS BIGINT)
+       |    AS hit_ppm
+       |  FROM q)
+       |SELECT s_permille, hit_ppm, hit_ppm >= 500000 AS past_threshold
+       |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_lsh_curve" -> (lshCurve _),
     "q129_edit_verify" -> (editVerify _),
     "q34_ngram_jaccard" -> (ngramJaccardPairs _),
     "q35_minhash_lsh" -> (minhashLsh _),
@@ -400,6 +452,7 @@ object FuzzyDedup {
     "q26_simhash_buckets" -> (simhashBuckets _))
 
   val oracles: Map[String, String] = Map(
+    "q136_lsh_curve" -> lshCurveSql,
     "q129_edit_verify" -> editVerifySql,
     "q34_ngram_jaccard" -> ngramJaccardPairsSql,
     "q35_minhash_lsh" -> minhashLshSql,

@@ -415,6 +415,23 @@ object Multimodal {
     private def be16(c: Column): Column = lpad(hex(c), 4, "0")
     private def be32(c: Column): Column = lpad(hex(c), 8, "0")
     private def be64(c: Column): Column = lpad(hex(c), 16, "0")
+
+    // q137: minimal EXIF/TIFF, byte order alternating by parity so the
+    // dual-endian IFD walk exercises both paths; 3 SHORT entries
+    val tiffOrient: Column = (pmod(col("doc_id"), lit(8)) + 1).cast("int")
+    val tiffHex: Column = {
+      def eLe(tag: Int, v: Column) = concat(le16(lit(tag)),
+        le16(lit(3)), le32(lit(1)), le16(v), lit("0000"))
+      def eBe(tag: Int, v: Column) = concat(be16(lit(tag)),
+        be16(lit(3)), be32(lit(1)), be16(v), lit("0000"))
+      val ii = concat(lit("49492A00"), lit("08000000"), le16(lit(3)),
+        eLe(0x0100, w), eLe(0x0101, h), eLe(0x0112, tiffOrient),
+        lit("00000000"))
+      val mm = concat(lit("4D4D002A"), lit("00000008"), be16(lit(3)),
+        eBe(0x0100, w), eBe(0x0101, h), eBe(0x0112, tiffOrient),
+        lit("00000000"))
+      when(pmod(col("doc_id"), lit(2)) === 0, ii).otherwise(mm)
+    }
     private val zeros = (n: Int) => lit("0" * (2 * n))
     val mp4Hex: Column = {
       val ts = lit(100L) + pmod(col("doc_id"), lit(900L))
@@ -453,6 +470,68 @@ object Multimodal {
       val moov = when(v1, concat(lit("0000012D6D6F6F76"), mvhd, trak))
         .otherwise(concat(lit("000001216D6F6F76"), mvhd, trak))
       concat(ftyp, free, moov)
+    }
+  }
+
+  /** TIFF/EXIF baseline header walk — the third on-disk byte order
+    * family after the RIFF (LE) and ISO-BMFF (BE) parsers: TIFF
+    * declares its endianness in the first two bytes (`II` or `MM`,
+    * TIFF 6.0 §2), so one parser must decode BOTH. Walks IFD0
+    * generically (tag/type/count/value cells, SHORT and LONG value
+    * types, offset-sized bounds checks) and extracts the triage tags a
+    * media pipeline routes on: ImageWidth (0x0100), ImageLength
+    * (0x0101), Orientation (0x0112).
+    */
+  object TiffHeader {
+    final case class Tiff(byteOrder: String, width: Int, height: Int,
+        orientation: Int)
+
+    def parse(p: Array[Byte]): Option[Tiff] = {
+      if (p.length < 8) return None
+      def u8(i: Int) = p(i) & 0xff
+      val little = (u8(0), u8(1)) match {
+        case (0x49, 0x49) => true
+        case (0x4d, 0x4d) => false
+        case _ => return None
+      }
+      def u16(i: Int): Int =
+        if (little) u8(i) | (u8(i + 1) << 8)
+        else (u8(i) << 8) | u8(i + 1)
+      def u32(i: Int): Long =
+        if (little)
+          u8(i) | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+            (u8(i + 3).toLong << 24)
+        else
+          (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+            (u8(i + 2).toLong << 8) | u8(i + 3)
+      if (u16(2) != 42) return None
+      val ifd = u32(4)
+      if (ifd < 8 || ifd + 2 > p.length) return None
+      val base = ifd.toInt
+      val n = u16(base)
+      var w = -1; var h = -1; var o = 1
+      var k = 0
+      while (k < n) {
+        val e = base + 2 + k * 12
+        if (e + 12 > p.length) return None
+        val tag = u16(e)
+        // value is left-justified in the 4-byte cell (TIFF 6.0 §2):
+        // SHORT reads 2 bytes, LONG all 4, both per the declared order
+        val v = u16(e + 2) match {
+          case 3 => u16(e + 8)
+          case 4 => u32(e + 8).toInt
+          case _ => -1
+        }
+        tag match {
+          case 0x0100 => w = v
+          case 0x0101 => h = v
+          case 0x0112 => o = v
+          case _ => ()
+        }
+        k += 1
+      }
+      if (w < 0 || h < 0) None
+      else Some(Tiff(if (little) "II" else "MM", w, h, o))
     }
   }
 
@@ -515,6 +594,37 @@ object Multimodal {
       |  CAST((doc_id % 1000 + 1) * 1000 //
       |    (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000
       |     WHEN 1 THEN 16000 ELSE 44100 END) AS BIGINT) AS duration_ms
+      |FROM documents""".stripMargin
+
+  /** q137 — EXIF/TIFF round-trip, the [[imageDims]] pattern with the
+    * endianness axis: the synthesized TIFF alternates `II` and `MM`
+    * byte order by doc parity, [[TiffHeader]] REALLY walks IFD0 under
+    * the declared order, and the oracle recomputes width/height/
+    * orientation (camera rotation — the tag a training pipeline must
+    * respect before any resize) arithmetically. Map-only; bytes never
+    * shuffle.
+    */
+  def exifMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(Synth.tiffHex).as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val t = TiffHeader.parse(bytes)
+            .getOrElse(TiffHeader.Tiff("", -1, -1, -1))
+          (id, t.byteOrder, t.width, t.height, t.orientation)
+        }
+      }
+      .toDF("doc_id", "byte_order", "width", "height", "orientation")
+  }
+
+  val exifMetaSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      |  CAST(doc_id % 640 + 1 AS INT) AS width,
+      |  CAST((doc_id * 3) % 480 + 1 AS INT) AS height,
+      |  CAST(doc_id % 8 + 1 AS INT) AS orientation
       |FROM documents""".stripMargin
 
   /** q110 — video-metadata round-trip, the [[imageDims]]/[[audioMeta]]
@@ -634,6 +744,7 @@ object Multimodal {
     "q62_media_stats" -> (mediaStats _),
     "q78_image_dims" -> (imageDims _),
     "q103_audio_meta" -> (audioMeta _),
+    "q137_exif_meta" -> (exifMeta _),
     "q110_video_meta" -> (videoMeta _),
     "q113_media_sniff" -> (mediaSniff _))
 
@@ -641,6 +752,7 @@ object Multimodal {
     "q62_media_stats" -> mediaStatsSql,
     "q78_image_dims" -> imageDimsSql,
     "q103_audio_meta" -> audioMetaSql,
+    "q137_exif_meta" -> exifMetaSql,
     "q110_video_meta" -> videoMetaSql,
     "q113_media_sniff" -> mediaSniffSql)
 }

@@ -108,4 +108,27 @@ class DedupSpec extends SparkSuite {
     // the unrelated doc never pairs with anything
     assert(!r.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
+
+  test("lsh s-curve: hand-computed points, monotone, threshold " +
+      "brackets (1/b)^(1/r)") {
+    val r = graft.operators.FuzzyDedup.lshCurve(spark, sf)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // s=0.5: q=750000, q^4*1e6/1e24 = 316406.25 -> miss 316406,
+    // hit 683594 (1-(1-0.25)^4 = 0.68359375 exactly)
+    assert(r(500L) == 683594L)
+    // s=0.25: 1-(1-0.0625)^4 = 0.22752- (floor arithmetic)
+    assert(r(250L) == 227524L)
+    // endpoints: tiny at s=0.025, saturated at s=0.975
+    assert(r(25L) < 3000L)
+    assert(r(975L) > 999000L)
+    // strictly monotone in s
+    val curve = r.toSeq.sortBy(_._1).map(_._2)
+    assert(curve.zip(curve.tail).forall { case (a, b) => a < b })
+    // the 50% crossing: s=0.375 gives 1-(0.859375)^4 = 0.4545 and
+    // s=0.4 gives 1-(0.84)^4 = 0.50213 — first crossing at 400‰,
+    // just below the MMDS inflection approximation (1/b)^(1/r) = 0.5
+    val first = r.toSeq.sortBy(_._1).find(_._2 >= 500000L).get._1
+    assert(first == 400L)
+    assert(r(375L) < 500000L && r(400L) == 502129L)
+  }
 }

@@ -276,4 +276,50 @@ class MultimodalSpec extends SparkSuite {
       Multimodal.mediaTable(spark, sf), fixed)
     assert(f.select("width", "height", "n_frames").distinct().count() == 1)
   }
+
+  test("tiff/exif: dual-endian ifd walk, LONG values, malformed " +
+      "headers rejected") {
+    import graft.operators.Multimodal.TiffHeader
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // little-endian: II 42, IFD@8, 3 SHORT entries (w=640 h=480 o=6)
+    val ii = bytes(
+      0x49, 0x49, 0x2A, 0x00, 0x08, 0x00, 0x00, 0x00,
+      0x03, 0x00,
+      0x00, 0x01, 0x03, 0x00, 0x01, 0x00, 0x00, 0x00,
+      0x80, 0x02, 0x00, 0x00, // 640
+      0x01, 0x01, 0x03, 0x00, 0x01, 0x00, 0x00, 0x00,
+      0xE0, 0x01, 0x00, 0x00, // 480
+      0x12, 0x01, 0x03, 0x00, 0x01, 0x00, 0x00, 0x00,
+      0x06, 0x00, 0x00, 0x00, // orientation 6
+      0x00, 0x00, 0x00, 0x00)
+    assert(TiffHeader.parse(ii) ==
+      Some(TiffHeader.Tiff("II", 640, 480, 6)))
+    // big-endian with a LONG (type 4) width — value fills the cell
+    val mm = bytes(
+      0x4D, 0x4D, 0x00, 0x2A, 0x00, 0x00, 0x00, 0x08,
+      0x00, 0x02,
+      0x01, 0x00, 0x00, 0x04, 0x00, 0x00, 0x00, 0x01,
+      0x00, 0x01, 0x00, 0x00, // 65536 as LONG
+      0x01, 0x01, 0x00, 0x03, 0x00, 0x00, 0x00, 0x01,
+      0x01, 0x00, 0x00, 0x00, // 256 as SHORT (BE: high byte first)
+      0x00, 0x00, 0x00, 0x00)
+    assert(TiffHeader.parse(mm) ==
+      Some(TiffHeader.Tiff("MM", 65536, 256, 1))) // orientation defaults
+    // malformed: wrong order mark, wrong magic, truncated entry table
+    assert(TiffHeader.parse(bytes(0x4D, 0x49, 0x00, 0x2A, 0, 0, 0, 8))
+      .isEmpty)
+    assert(TiffHeader.parse(bytes(0x49, 0x49, 0x2B, 0x00, 8, 0, 0, 0))
+      .isEmpty)
+    assert(TiffHeader.parse(ii.take(20)).isEmpty)
+  }
+
+  test("q137 synthesized tiff parses back to its encoded facts") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.Multimodal.exifMeta(spark, sf)
+    assert(r.filter(col("width") =!=
+      (pmod(col("doc_id"), lit(640)) + 1)).count() == 0)
+    assert(r.filter(col("orientation") =!=
+      (pmod(col("doc_id"), lit(8)) + 1)).count() == 0)
+    assert(r.select("byte_order").distinct().count() == 2)
+  }
 }
