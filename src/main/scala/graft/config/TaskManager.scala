@@ -186,6 +186,26 @@ object TaskManager {
           s"skipped=${report.eventsSkipped} end=${report.endLsn}")
         return finish("finished", None)
       }
+      // corpus-family prechecks (the dt-precheck gate applied to the
+      // curation extension): fail fast before any cluster work
+      val corpusKinds = Set[TaskConfig.ExtractType](
+        TaskConfig.CurationExtract, TaskConfig.CurationStreamExtract,
+        TaskConfig.LoaderExtract)
+      if (corpusKinds(task.extractType)) {
+        val gates = graft.infra.Precheck.checkCorpusContract(spark,
+          task.sourceDir,
+          needTs =
+            task.extractType == TaskConfig.CurationStreamExtract) ++
+          task.benchmarkDir.toSeq.flatMap(bd =>
+            graft.infra.Precheck.checkCorpusContract(spark, bd))
+        val bad = gates.filterNot(_.ok)
+        if (bad.nonEmpty) {
+          val detail = bad.map(g => s"${g.item}: ${g.detail}")
+            .mkString("; ")
+          log(dir, s"precheck failed: $detail")
+          return finish("error", Some(detail))
+        }
+      }
       // curation tasks are corpus-scoped, not table-unit-scoped
       if (task.extractType == TaskConfig.CurationExtract) {
         val s = TaskRunner.runCuration(spark, task)

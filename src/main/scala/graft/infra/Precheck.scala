@@ -1,7 +1,8 @@
 package graft.infra
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
+  StructField, StructType, TimestampType}
 
 /** Pre-flight checks — the reference's dt-precheck
   * (/root/reference/dt-precheck/src/meta/check_item.rs:4-11): source
@@ -216,6 +217,60 @@ object Precheck {
   }
 
   /** Run the standard battery for a snapshot task over parquet tables. */
+  /** Precheck battery for the curation-family task kinds (curation /
+    * curation_stream / loader / warc) — the struct_existed /
+    * table_structs analog for the corpus side: the reference gates
+    * every task behind engine prechecks
+    * (the dt-precheck checker tree), and a 100 TB curation run wants
+    * the same fail-fast before the cluster spins up. Checks: the
+    * corpus dir is readable, carries the `(doc_id, text)` contract
+    * (plus `ts` for the streaming kind), `doc_id` is an integral type
+    * (fingerprint keys hash it), and the optional benchmark dir
+    * (decontamination) is itself a readable corpus.
+    */
+  def checkCorpusContract(spark: SparkSession, dir: String,
+      needTs: Boolean = false): Seq[CheckResult] = {
+    // the corpus is either a bare parquet dataset or a testdata-style
+    // dir with documents.parquet inside — probe the specific one
+    val docsPath =
+      if (new java.io.File(s"$dir/documents.parquet").exists())
+        s"$dir/documents.parquet"
+      else dir
+    val readable = checkSourceReadable(spark, docsPath)
+    if (!readable.ok) return Seq(readable)
+    val schema = spark.read.parquet(docsPath).schema
+    def field(name: String): Option[StructField] =
+      schema.fields.find(_.name == name)
+    val hasDoc = field("doc_id") match {
+      case Some(f) if f.dataType == LongType ||
+        f.dataType == IntegerType =>
+        CheckResult("corpus_doc_id", ok = true, f.dataType.simpleString)
+      case Some(f) => CheckResult("corpus_doc_id", ok = false,
+        s"doc_id must be integral, got ${f.dataType.simpleString}")
+      case None => CheckResult("corpus_doc_id", ok = false,
+        "missing doc_id column")
+    }
+    val hasText = field("text") match {
+      case Some(f) if f.dataType == StringType =>
+        CheckResult("corpus_text", ok = true, "string")
+      case Some(f) => CheckResult("corpus_text", ok = false,
+        s"text must be string, got ${f.dataType.simpleString}")
+      case None =>
+        CheckResult("corpus_text", ok = false, "missing text column")
+    }
+    val ts =
+      if (!needTs) Nil
+      else Seq(field("ts") match {
+        case Some(f) if f.dataType == TimestampType =>
+          CheckResult("corpus_ts", ok = true, "timestamp")
+        case Some(f) => CheckResult("corpus_ts", ok = false,
+          s"ts must be timestamp, got ${f.dataType.simpleString}")
+        case None => CheckResult("corpus_ts", ok = false,
+          "streaming curation needs an event-time ts column")
+      })
+    Seq(readable, hasDoc, hasText) ++ ts
+  }
+
   def runAll(spark: SparkSession, dir: String, tables: Seq[String],
       keysByTable: Map[String, Seq[String]]): Seq[CheckResult] = {
     val base = tables.flatMap { t =>

@@ -207,7 +207,8 @@ class TaskManagerSpec extends SparkSuite {
     val first = TaskManager.start(spark, state, "cs1")
     assert(first.status == "finished", first.error)
     assert(TaskManager.logs(state, "cs1").exists(_.contains(
-      "curation_stream in=2 quality_dropped=1 exact_dropped=0 " +
+      "curation_stream in=2 quality_dropped=1 contam_dropped=0 " +
+      "exact_dropped=0 " +
         "neardup_flagged=0 kept=1")))
 
     // new files arrive while the task is down: an exact copy (dropped
@@ -217,7 +218,8 @@ class TaskManagerSpec extends SparkSuite {
     val second = TaskManager.start(spark, state, "cs1")
     assert(second.status == "finished", second.error)
     assert(TaskManager.logs(state, "cs1").exists(_.contains(
-      "curation_stream in=2 quality_dropped=0 exact_dropped=1 " +
+      "curation_stream in=2 quality_dropped=0 contam_dropped=0 " +
+      "exact_dropped=1 " +
         "neardup_flagged=1 kept=0")))
     // cumulative verdicts: doc 1 kept, doc 4 flagged against it
     val verdicts = spark.read.parquet(s"$sink/verdicts")
@@ -262,5 +264,59 @@ class TaskManagerSpec extends SparkSuite {
     assert(r.status == "finished")
     assert(TaskManager.logs(state, "reshard1")
       .exists(_.contains("reshard planned_moves=1")))
+  }
+
+  test("corpus contract gates: good corpus passes, wrong types and " +
+      "missing columns fail, streaming kind demands ts") {
+    import graft.infra.Precheck
+    val s2 = spark
+    import s2.implicits._
+    // the standard testdata layout (documents.parquet inside) passes
+    val good = Precheck.checkCorpusContract(spark, sf)
+    assert(good.forall(_.ok), good.mkString("; "))
+    // a bare parquet dataset passes too
+    val dir = java.nio.file.Files.createTempDirectory("pc").toString
+    Seq((1L, "text one"), (2L, "text two")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/bare")
+    assert(Precheck.checkCorpusContract(spark, s"$dir/bare")
+      .forall(_.ok))
+    // streaming needs ts: the same corpus fails with needTs
+    val noTs = Precheck.checkCorpusContract(spark, s"$dir/bare",
+      needTs = true)
+    assert(noTs.exists(g => g.item == "corpus_ts" && !g.ok))
+    // wrong doc_id type fails
+    Seq(("a", "text")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/badid")
+    val badId = Precheck.checkCorpusContract(spark, s"$dir/badid")
+    assert(badId.exists(g => g.item == "corpus_doc_id" && !g.ok))
+    // missing text fails
+    Seq((1L, 2L)).toDF("doc_id", "n")
+      .write.mode("overwrite").parquet(s"$dir/notext")
+    val noText = Precheck.checkCorpusContract(spark, s"$dir/notext")
+    assert(noText.exists(g => g.item == "corpus_text" && !g.ok))
+    // unreadable path fails at the first gate
+    val unread = Precheck.checkCorpusContract(spark, s"$dir/absent")
+    assert(unread.size == 1 && !unread.head.ok)
+  }
+
+  test("the corpus precheck gates the task: a loader task on a " +
+      "broken corpus errors before any work") {
+    val s2 = spark
+    import s2.implicits._
+    val base = java.nio.file.Files.createTempDirectory("pcm").toString
+    Seq((1L, 2L)).toDF("doc_id", "n")
+      .write.parquet(s"$base/broken/documents.parquet")
+    val state = s"$base/state"
+    TaskManager.create(state, "bad_loader",
+      s"""[extractor]
+         |extract_type=loader
+         |url=$base/broken
+         |
+         |[sinker]
+         |url=$base/out
+         |""".stripMargin)
+    val meta = TaskManager.start(spark, state, "bad_loader")
+    assert(meta.status == "error")
+    assert(meta.error.exists(_.contains("corpus_text")))
   }
 }
