@@ -29,7 +29,7 @@ object Main {
     val monitors = Monitoring.PipelineMonitors("graft-task")
     val kind = task.extractType match {
       case TaskConfig.SnapshotExtract | TaskConfig.CurationExtract |
-          TaskConfig.LoaderExtract =>
+          TaskConfig.LoaderExtract | TaskConfig.WarcExtract =>
         "snapshot"
       case TaskConfig.CdcExtract | TaskConfig.CurationStreamExtract =>
         "cdc"
@@ -197,18 +197,35 @@ object Main {
             .addBatchCounter(Monitoring.SinkedRecordTotal, s.nDocs, 1L)
           publish()
         case TaskConfig.CurationStreamExtract =>
+          val bloom = task.benchmarkDir.map { bd =>
+            graft.operators.CurationOps.benchmarkBloomBytes(
+              spark.read.parquet(bd))
+          }
           val r = graft.streaming.StreamingCuration.drain(spark,
-            task.sourceDir, task.sinkDir)
+            task.sourceDir, task.sinkDir, benchmarkBloom = bloom)
           println(s"[curation_stream] in=${r.docsIn} " +
             s"quality_dropped=${r.qualityDropped} " +
+            s"contam_dropped=${r.contamDropped} " +
             s"exact_dropped=${r.exactDropped} " +
             s"neardup_flagged=${r.nearDupFlagged} kept=${r.kept}")
           monitors.extractor
             .addBatchCounter(Monitoring.ExtractedRecords, r.docsIn, 1L)
           monitors.pipeline.addBatchCounter(Monitoring.FilteredRecords,
-            r.qualityDropped + r.exactDropped + r.nearDupFlagged, 1L)
+            r.qualityDropped + r.contamDropped + r.exactDropped +
+              r.nearDupFlagged, 1L)
           monitors.sinker
             .addBatchCounter(Monitoring.SinkedRecordTotal, r.kept, 1L)
+          publish()
+        case TaskConfig.WarcExtract =>
+          val s = TaskRunner.runWarc(spark, task)
+          println(s"[warc] docs=${s.nDocs} " +
+            s.records.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+              .mkString(" "))
+          monitors.extractor.addBatchCounter(
+            Monitoring.ExtractedRecords,
+            s.records.values.sum, 1L)
+          monitors.sinker
+            .addBatchCounter(Monitoring.SinkedRecordTotal, s.nDocs, 1L)
           publish()
         case TaskConfig.CheckLogExtract =>
           val results = TaskRunner.runCheckLogReplay(spark, task)

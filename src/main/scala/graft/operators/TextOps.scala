@@ -1059,7 +1059,82 @@ object TextOps {
        |FROM a""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q138
+  /** Unicode script census — the pre-langid signal for multilingual
+    * crawls: how much of each document is Latin / Cyrillic / CJK /
+    * Arabic script? Script mixing (Latin text stuffed with CJK, or
+    * vice versa) marks mojibake survivors, spam, and wrong-language
+    * routing before any model-based language ID runs. Counts use
+    * EXPLICIT codepoint ranges ([0400-04FF], [4E00-9FFF], [0600-06FF])
+    * rather than \\p{Script=...} classes, so the result can never
+    * drift with the engines' Unicode table versions. Script tails are
+    * synthesized in-query keyed off doc_id residues (the q131
+    * pattern) so every class has mass.
+    *
+    * Scale shape: map-only — four regex strips and integer lengths
+    * per row; only the census row leaves the mapper.
+    */
+  def scriptCensus(spark: SparkSession, dir: String): DataFrame =
+    scriptCensusOf(Tables.documents(spark, dir))
+
+  def scriptCensusOf(docs: DataFrame): DataFrame = {
+    val tail = when(col("doc_id") % 4 === 0,
+      lit(" \u043C\u0438\u0440 \u0442\u0435\u043A\u0441\u0442"))
+      .when(col("doc_id") % 4 === 1,
+        lit(" \u4E2D\u6587\u6587\u672C"))
+      .when(col("doc_id") % 4 === 2,
+        lit(" \u0646\u0635 \u0639\u0631\u0628\u064A"))
+      .otherwise(lit(" ascii only"))
+    def stripped(c: Column, cls: String): Column =
+      (length(c) - length(regexp_replace(c, cls, ""))).cast("long")
+    docs.select(col("doc_id"), concat(col("text"), tail).as("page"))
+      .select(col("doc_id"),
+        length(col("page")).cast("long").as("n_chars"),
+        stripped(col("page"), "[A-Za-z]").as("latin_n"),
+        stripped(col("page"), "[\u0400-\u04FF]").as("cyrillic_n"),
+        stripped(col("page"), "[\u4E00-\u9FFF]").as("cjk_n"),
+        stripped(col("page"), "[\u0600-\u06FF]").as("arabic_n"))
+      .withColumn("nonlatin_permille",
+        expr("(cyrillic_n + cjk_n + arabic_n) * 1000 div " +
+          "greatest(n_chars, 1)"))
+      .withColumn("mixed_script",
+        col("latin_n") > 0 &&
+          (col("cyrillic_n") + col("cjk_n") + col("arabic_n")) > 0)
+  }
+
+  val scriptCensusSql: String = {
+    def strip(cls: String): String =
+      s"CAST(length(page) - length(regexp_replace(page, '$cls', " +
+        s"'', 'g')) AS BIGINT)"
+    s"""WITH p AS (
+       |  SELECT doc_id, text ||
+       |    CASE doc_id % 4
+       |      WHEN 0 THEN ' ' || chr(1084) || chr(1080) || chr(1088) ||
+       |        ' ' || chr(1090) || chr(1077) || chr(1082) ||
+       |        chr(1089) || chr(1090)
+       |      WHEN 1 THEN ' ' || chr(20013) || chr(25991) ||
+       |        chr(25991) || chr(26412)
+       |      WHEN 2 THEN ' ' || chr(1606) || chr(1589) || ' ' ||
+       |        chr(1593) || chr(1585) || chr(1576) || chr(1610)
+       |      ELSE ' ascii only' END AS page
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, CAST(length(page) AS BIGINT) AS n_chars,
+       |    ${strip("[A-Za-z]")} AS latin_n,
+       |    ${strip("[\\x{0400}-\\x{04FF}]")} AS cyrillic_n,
+       |    ${strip("[\\x{4E00}-\\x{9FFF}]")} AS cjk_n,
+       |    ${strip("[\\x{0600}-\\x{06FF}]")} AS arabic_n
+       |  FROM p)
+       |SELECT doc_id, n_chars, latin_n, cyrillic_n, cjk_n, arabic_n,
+       |  (cyrillic_n + cjk_n + arabic_n) * 1000 //
+       |    greatest(n_chars, 1) AS nonlatin_permille,
+       |  latin_n > 0 AND (cyrillic_n + cjk_n + arabic_n) > 0
+       |    AS mixed_script
+       |FROM c""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_script_census" -> (scriptCensus _),
     "q135_gopher_rep" -> (gopherRep _),
     "q131_nfc_audit" -> (nfcAudit _),
     "q123_c4_rules" -> (c4Rules _),
@@ -1077,6 +1152,7 @@ object TextOps {
     "q33_dedup_exact" -> (dedupExact _))
 
   val oracles: Map[String, String] = Map(
+    "q138_script_census" -> scriptCensusSql,
     "q135_gopher_rep" -> gopherRepSql,
     "q131_nfc_audit" -> nfcAuditSql,
     "q123_c4_rules" -> c4RulesSql,

@@ -393,6 +393,30 @@ class CurationSpec extends SparkSuite {
     assert(d1.getAs[Boolean]("keep_page"))
   }
 
+  test("script census: planted script tails count by explicit " +
+      "codepoint range, ascii docs stay unmixed") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.operators.TextOps
+    val docs = Seq((0L, "abc"), (1L, "abc"), (2L, "abc"), (3L, "abc"))
+      .toDF("doc_id", "text")
+    val r = TextOps.scriptCensusOf(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 0: ' мир текст' = 8 cyrillic letters + 2 spaces
+    assert(r(0L).getAs[Long]("cyrillic_n") == 8)
+    assert(r(0L).getAs[Boolean]("mixed_script"))
+    // doc 1: 4 cjk ideographs
+    assert(r(1L).getAs[Long]("cjk_n") == 4)
+    // doc 2: 'نص عربي' = 6 arabic letters
+    assert(r(2L).getAs[Long]("arabic_n") == 6)
+    // doc 3: pure ascii — latin only, nothing mixed
+    assert(r(3L).getAs[Long]("latin_n") == 12) // abc + asciionly
+    assert(r(3L).getAs[Long]("nonlatin_permille") == 0)
+    assert(!r(3L).getAs[Boolean]("mixed_script"))
+    // every doc keeps its latin base text
+    assert((0L to 3L).forall(i => r(i).getAs[Long]("latin_n") >= 3))
+  }
+
   test("gopher repetition signature: planted line/paragraph repeats " +
       "hit all four fields with hand-counted fractions") {
     val s2 = spark
