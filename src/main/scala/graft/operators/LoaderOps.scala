@@ -248,12 +248,67 @@ object LoaderOps {
        |FROM sp""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q139
+  /** Equal-token-mass length buckets — the dynamic-batching
+    * preprocessing step: split the corpus into K=4 sequence-length
+    * buckets carrying ~equal TOTAL TOKENS (not equal doc counts), so
+    * each training bucket costs the same compute and padding waste
+    * concentrates where it is cheapest. Bucket boundaries are exact
+    * order statistics over the (length → doc count) census: a census
+    * row with inclusive cumulative token mass `cum` lands in bucket
+    * ⌈cum·4 / total⌉ — integer arithmetic, no interpolation, so the
+    * split is deterministic and identical on both engines (the q104
+    * histogram pattern applied to token mass).
+    *
+    * Scale shape: one hash aggregate to the length census (map-side
+    * combine; the census is length-bounded, not corpus-bounded), a
+    * cumulative window over that bounded frame, a 4-row result.
+    */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = Tables.documents(spark, dir)
+      .select(size(TextOps.tokens(col("text"))).cast("long").as("len"))
+      .groupBy(col("len")).agg(count(lit(1)).as("cnt"))
+      .withColumn("mass", col("len") * col("cnt"))
+    val total = census.agg(sum(col("mass")).as("total"))
+    val w = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census.withColumn("cum", sum(col("mass")).over(w))
+      .crossJoin(broadcast(total))
+      .withColumn("bucket",
+        expr("(cum * 4 + total - 1) div total").cast("long"))
+      .groupBy(col("bucket"))
+      .agg(min(col("len")).as("len_lo"), max(col("len")).as("len_hi"),
+        sum(col("cnt")).as("n_docs"), sum(col("mass")).as("n_tokens"))
+  }
+
+  val lengthBucketsSql: String = {
+    val toks = TextOps.tokensSql("text")
+    s"""WITH census AS (
+       |  SELECT CAST(len($toks) AS BIGINT) AS len,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents GROUP BY 1),
+       |m AS (SELECT len, cnt, len * cnt AS mass FROM census),
+       |c AS (SELECT len, cnt, mass,
+       |    sum(mass) OVER (ORDER BY len
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM m),
+       |t AS (SELECT sum(mass) AS total FROM m)
+       |SELECT CAST((cum * 4 + total - 1) // total AS BIGINT) AS bucket,
+       |  min(len) AS len_lo, max(len) AS len_hi,
+       |  CAST(sum(cnt) AS BIGINT) AS n_docs,
+       |  CAST(sum(mass) AS BIGINT) AS n_tokens
+       |FROM c, t GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_length_buckets" -> (lengthBuckets _),
     "q115_shard_shuffle" -> (shardShuffle _),
     "q117_lang_temperature" -> (langTemperature _),
     "q119_sliding_chunks" -> (slidingChunks _))
 
   val oracles: Map[String, String] = Map(
+    "q139_length_buckets" -> lengthBucketsSql,
     "q115_shard_shuffle" -> shardShuffleSql(),
     "q117_lang_temperature" -> langTemperatureSql,
     "q119_sliding_chunks" -> slidingChunksSql)

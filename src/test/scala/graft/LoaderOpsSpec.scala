@@ -133,4 +133,36 @@ class LoaderOpsSpec extends SparkSuite {
     assert(r.forall(_.getLong(4) == 1000L))
     assert(r.forall(_.getDouble(3) == 1.0))
   }
+
+  test("length buckets: contiguous cover, exact mass accounting, " +
+      "near-equal token mass per bucket") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.LoaderOps.lengthBuckets(spark, sf)
+      .orderBy("bucket").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    assert(r.map(_._1).toSeq == (1L to r.length).toSeq)
+    // contiguous: each bucket starts right after the previous ends
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 == a._3 + 1, s"gap between ${a} and ${b}")
+    case _ => ()
+    }
+    // exact accounting against the corpus
+    val docs = Tables.documents(spark, sf)
+      .select(size(split(trim(col("text")), "\\s+")).cast("long")
+        .as("n"))
+    val total = docs.agg(sum("n")).head.getLong(0)
+    val nDocs = docs.count()
+    assert(r.map(_._5).sum == total)
+    assert(r.map(_._4).sum == nDocs)
+    // each bucket's mass stays within one census-row granule of the
+    // ideal quarter (the boundary row can overshoot by its own mass)
+    val maxRowMass = docs.groupBy("n").count()
+      .select((col("n") * col("count")).as("m"))
+      .agg(max("m")).head.getLong(0)
+    r.foreach { b =>
+      assert(b._5 <= total / 4 + maxRowMass,
+        s"bucket ${b._1} mass ${b._5}")
+    }
+  }
 }
