@@ -1143,6 +1143,65 @@ object CurationOps {
        |FROM k""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q140
+  /** Cross-source duplicate-leakage matrix — the provenance
+    * diagnostic run after dedup: which SOURCE PAIRS share identical
+    * documents? A heavy (web, books) cell means the book corpus
+    * leaked into the crawl (double-counting during mixture planning);
+    * a heavy (vX, recrawl) cell quantifies recrawl overlap before
+    * paying for ingestion. Re-ingestion fixture: copies of every
+    * 10th doc arrive as source `recrawl`, every 15th as `mirror`, so
+    * the matrix has original↔recrawl, original↔mirror, and (for
+    * doc_id % 30) recrawl↔mirror cells.
+    *
+    * Scale shape: text collapses to 64-bit fingerprints map-side;
+    * the per-fingerprint source set is bounded by the SOURCE COUNT
+    * (not corpus size), so the pair explode is |sources|² at worst
+    * per group; shuffles carry (fp, source) only.
+    */
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.select(col("text"), col("source"))
+    val recrawl = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("text"), lit("recrawl").as("source"))
+    val mirror = docs.filter(col("doc_id") % 15 === 0)
+      .select(col("text"), lit("mirror").as("source"))
+    val fp = base.unionByName(recrawl).unionByName(mirror)
+      .select(TextOps.charFold(normText(col("text"))).as("fp"),
+        col("source"))
+      .distinct()
+    val grouped = fp.groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+    grouped
+      .select(col("fp"), explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("fp"), col("src_a"),
+        explode(col("srcs")).as("src_b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_groups"))
+  }
+
+  val crossSourceDupsSql: String = {
+    val f = TextOps.charFoldSql(normTextSql("text"))
+    s"""WITH all_docs AS (
+       |  SELECT text, source FROM documents
+       |  UNION ALL
+       |  SELECT text, 'recrawl' AS source FROM documents
+       |  WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT text, 'mirror' AS source FROM documents
+       |  WHERE doc_id % 15 = 0),
+       |fp AS (SELECT DISTINCT $f AS fp, source FROM all_docs),
+       |g AS (
+       |  SELECT fp, list_sort(list(source)) AS srcs FROM fp
+       |  GROUP BY 1 HAVING count(*) > 1),
+       |e1 AS (SELECT fp, unnest(srcs) AS src_a, srcs FROM g),
+       |e2 AS (SELECT fp, src_a, unnest(srcs) AS src_b FROM e1)
+       |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_groups
+       |FROM e2 WHERE src_a < src_b GROUP BY 1, 2""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q130
   /** Competence-based curriculum schedule (Platanios et al. 2019 /
     * Bengio et al. 2009): every document gets the first training epoch
@@ -1229,6 +1288,7 @@ object CurationOps {
     "q132_para_scrub" -> (paraScrub _),
     "q133_ngram_novelty" -> (ngramNovelty _),
     "q134_contam_verdict" -> (contamVerdict _),
+    "q140_cross_source_dups" -> (crossSourceDups _),
     "q121_corpus_diff" -> (corpusDiff _),
     "q57_domain_cap" -> ((s: SparkSession, d: String) => domainCap(s, d)),
     "q24_incremental_dedup" -> (incrementalDedup _),
@@ -1253,6 +1313,7 @@ object CurationOps {
     "q132_para_scrub" -> paraScrubSql,
     "q133_ngram_novelty" -> ngramNoveltySql,
     "q134_contam_verdict" -> contamVerdictSql,
+    "q140_cross_source_dups" -> crossSourceDupsSql,
     "q57_domain_cap" -> domainCapSql,
     "q24_incremental_dedup" -> incrementalDedupSql,
     "q29_kmv_sketch" -> kmvSketchSql,

@@ -393,6 +393,25 @@ class CurationSpec extends SparkSuite {
     assert(d1.getAs[Boolean]("keep_page"))
   }
 
+  test("cross-source dup matrix: planted recrawl/mirror copies land " +
+      "in exactly the cells the id arithmetic predicts") {
+    val r = CurationOps.crossSourceDups(spark, sf).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    // sf0.001: source = f(doc_id % 20), so recrawl copies (doc_id%10)
+    // pair only with src0/src10 — 25 each of the 50 copies
+    assert(r(("recrawl", "src0")) == 25L)
+    assert(r(("recrawl", "src10")) == 25L)
+    // mirror copies (doc_id%15) spread over src0/src5/src10/src15
+    assert(Seq("src0", "src5", "src10", "src15")
+      .map(s2 => r(("mirror", s2))).sum == 34L)
+    // docs divisible by 30 appear in BOTH planted sets
+    assert(r(("mirror", "recrawl")) == 17L)
+    // nothing else cross-pairs in this corpus
+    assert(r.keys.forall { case (a, b) =>
+      a == "recrawl" || a == "mirror" || b == "recrawl" || b == "mirror"
+    })
+  }
+
   test("script census: planted script tails count by explicit " +
       "codepoint range, ascii docs stay unmixed") {
     val s2 = spark
