@@ -443,7 +443,40 @@ object FuzzyDedup {
        |SELECT s_permille, hit_ppm, hit_ppm >= 500000 AS past_threshold
        |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+  /** Measured LSH precision — the empirical companion to q136's
+    * theoretical S-curve: group q129's edit-verified candidates by
+    * how many bands agreed and report candidate count, confirmed
+    * count, and precision in permille per level. This is the table
+    * that justifies (or indicts) the banding configuration on the
+    * ACTUAL corpus: 1-band collisions between unrelated texts drag
+    * precision down exactly where the S-curve predicts the candidate
+    * tail lives, while all-band agreements should confirm near 1000‰.
+    *
+    * Scale shape: a ≤ b-row aggregate over the already-bounded
+    * candidate verdict frame — free once q129 ran.
+    */
+  def lshPrecision(spark: SparkSession, dir: String): DataFrame =
+    editVerify(spark, dir)
+      .groupBy(col("n_bands"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("confirmed"), 1L).otherwise(0L)).as("n_confirmed"))
+      .withColumn("precision_permille",
+        expr("n_confirmed * 1000 div n_pairs"))
+
+  val lshPrecisionSql: String =
+    s"""WITH v AS (${editVerifySql}),
+       |g AS (
+       |  SELECT n_bands, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN confirmed THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_confirmed
+       |  FROM v GROUP BY 1)
+       |SELECT n_bands, n_pairs, n_confirmed,
+       |  n_confirmed * 1000 // n_pairs AS precision_permille
+       |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_lsh_precision" -> (lshPrecision _),
     "q136_lsh_curve" -> (lshCurve _),
     "q129_edit_verify" -> (editVerify _),
     "q34_ngram_jaccard" -> (ngramJaccardPairs _),
@@ -452,6 +485,7 @@ object FuzzyDedup {
     "q26_simhash_buckets" -> (simhashBuckets _))
 
   val oracles: Map[String, String] = Map(
+    "q141_lsh_precision" -> lshPrecisionSql,
     "q136_lsh_curve" -> lshCurveSql,
     "q129_edit_verify" -> editVerifySql,
     "q34_ngram_jaccard" -> ngramJaccardPairsSql,

@@ -131,4 +131,24 @@ class DedupSpec extends SparkSuite {
     assert(first == 400L)
     assert(r(375L) < 500000L && r(400L) == 502129L)
   }
+
+  test("lsh precision table: partitions the candidate set exactly, " +
+      "arithmetic self-consistent, band domain bounded") {
+    val fd = graft.operators.FuzzyDedup
+    val table = fd.lshPrecision(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3)))
+    // bands beyond the configured 4 can never appear
+    assert(table.forall(t => t._1 >= 1 && t._1 <= 4))
+    // the table partitions the verified candidate frame exactly
+    val verified = fd.editVerify(spark, sf)
+    assert(table.map(_._2).sum == verified.count())
+    assert(table.map(_._3).sum ==
+      verified.filter(org.apache.spark.sql.functions.col("confirmed"))
+        .count())
+    table.foreach { case (b, pairs, conf, perm) =>
+      assert(conf <= pairs, s"bands=$b")
+      assert(perm == conf * 1000 / pairs, s"bands=$b")
+    }
+  }
 }
