@@ -47,6 +47,34 @@ object GraftExpressions {
     acc
   }
 
+  /** Distinct shingle hashes in first-seen order, as Catalyst array
+    * data — the codegen entry point of [[ShingleHashes]] (a static
+    * call keeps the expression inside whole-stage codegen instead of
+    * the CodegenFallback interpreted-eval detour).
+    */
+  def shingleDistinctData(s: UTF8String,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val all = shingleHashArray(s.toString, n)
+    val seen = new java.util.HashSet[Long](Math.max(16, all.length * 2))
+    val out = new Array[Long](all.length)
+    var k = 0
+    var i = 0
+    while (i < all.length) {
+      if (seen.add(all(i))) { out(k) = all(i); k += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (k == all.length) out else java.util.Arrays.copyOf(out, k))
+  }
+
+  /** Positional gram hashes (no dedup) as Catalyst array data — the
+    * codegen entry point of [[PositionalShingleHashes]].
+    */
+  def shinglePositionalData(s: UTF8String,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      shingleHashArray(s.toString, n))
+
   /** Unicode NFC (UAX #15 canonical composition) — the normalization
     * pass run before fingerprinting mixed-provenance corpora, so that
     * 'e'+U+0301 and U+00E9 dedup as the same document. Delegates to
@@ -215,24 +243,20 @@ object GraftExpressions {
   * (Spark's split), join each n-token window with a single space, fold.
   */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen
-      .CodegenFallback {
-  import scala.collection.mutable
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType,
     containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val all = GraftExpressions.shingleHashArray(
-      input.asInstanceOf[UTF8String].toString, n)
-    val out = new mutable.LinkedHashSet[Long]()
-    var i = 0
-    while (i < all.length) { out += all(i); i += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      out.toArray)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExpressions.shingleDistinctData(
+      input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftExpressions.shingleDistinctData($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
@@ -245,18 +269,20 @@ case class ShingleHashes(child: Expression, n: Int)
   * without ever materializing gram strings.
   */
 case class PositionalShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen
-      .CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType,
     containsNull = false)
   override def prettyName: String = "graft_shingle_hashes_pos"
 
   override protected def nullSafeEval(input: Any): Any =
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      GraftExpressions.shingleHashArray(
-        input.asInstanceOf[UTF8String].toString, n))
+    GraftExpressions.shinglePositionalData(
+      input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftExpressions.shinglePositionalData($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
