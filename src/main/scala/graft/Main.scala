@@ -29,7 +29,8 @@ object Main {
     val monitors = Monitoring.PipelineMonitors("graft-task")
     val kind = task.extractType match {
       case TaskConfig.SnapshotExtract | TaskConfig.CurationExtract |
-          TaskConfig.LoaderExtract | TaskConfig.WarcExtract =>
+          TaskConfig.LoaderExtract | TaskConfig.WarcExtract |
+          TaskConfig.JsonlExtract =>
         "snapshot"
       case TaskConfig.CdcExtract | TaskConfig.CurationStreamExtract =>
         "cdc"
@@ -224,6 +225,17 @@ object Main {
           monitors.extractor.addBatchCounter(
             Monitoring.ExtractedRecords,
             s.records.values.sum, 1L)
+          monitors.sinker
+            .addBatchCounter(Monitoring.SinkedRecordTotal, s.nDocs, 1L)
+          publish()
+        case TaskConfig.JsonlExtract =>
+          val s = TaskRunner.runJsonl(spark, task)
+          println(s"[jsonl] docs=${s.nDocs} bad_lines=${s.nBadLines} " +
+            s"with_url=${s.withUrl}")
+          monitors.extractor.addBatchCounter(
+            Monitoring.ExtractedRecords, s.nDocs + s.nBadLines, 1L)
+          monitors.pipeline.addBatchCounter(
+            Monitoring.FilteredRecords, s.nBadLines, 1L)
           monitors.sinker
             .addBatchCounter(Monitoring.SinkedRecordTotal, s.nDocs, 1L)
           publish()

@@ -73,6 +73,12 @@ object TaskConfig {
     * entry point of the training-data chain).
     */
   case object WarcExtract extends ExtractType
+
+  /** JSONL corpus ingestion (`extract_type=jsonl`, north-star
+    * extension): the wire format most open datasets ship — one JSON
+    * object per line with a `text` field, optionally gzipped.
+    */
+  case object JsonlExtract extends ExtractType
   /** Single-config serial migration (the reference's
     * `extract_type=snapshot_and_cdc`, config_enums.rs:47-49): snapshot
     * every admitted table, then drain CDC from the consistent point —
@@ -222,6 +228,7 @@ object TaskConfig {
       case "curation_stream" => CurationStreamExtract
       case "loader" => LoaderExtract
       case "warc" => WarcExtract
+      case "jsonl" => JsonlExtract
       case _ => SnapshotExtract
     }
 

@@ -229,6 +229,12 @@ object TaskManager {
             .mkString(" "))
         return finish("finished", None)
       }
+      if (task.extractType == TaskConfig.JsonlExtract) {
+        val s = TaskRunner.runJsonl(spark, task)
+        log(dir, s"jsonl docs=${s.nDocs} bad_lines=${s.nBadLines} " +
+          s"with_url=${s.withUrl}")
+        return finish("finished", None)
+      }
       // streaming curation: drain what has arrived; checkpoints under
       // the sink dir make the next start resume after this one
       if (task.extractType == TaskConfig.CurationStreamExtract) {

@@ -126,6 +126,56 @@ object TaskRunner {
     WarcSummary(byType, nDocs)
   }
 
+  /** JSONL ingestion result. */
+  final case class JsonlSummary(nDocs: Long, nBadLines: Long,
+      withUrl: Long)
+
+  /** JSONL corpus ingestion (`extract_type=jsonl`): one JSON object
+    * per line with a required `text` field — the wire format most
+    * open datasets ship. Gzip (and any Hadoop-recognized codec) comes
+    * free from the line reader; malformed lines land in a quarantine
+    * column instead of failing the 100k-file ingest (PERMISSIVE +
+    * corrupt-record accounting, the Spark-native analog of a bad-rows
+    * lane). `doc_id` is a stable 64-bit fold of the record's own id
+    * when present, else of the text — so re-ingestion dedups against
+    * itself, same contract as [[graft.sources.WarcSource]].
+    */
+  def runJsonl(spark: SparkSession, task: TaskConfig.Task)
+      : JsonlSummary = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("url", StringType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("_corrupt", StringType)))
+    val raw = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(task.sourceDir)
+    val bad = raw.filter(col("_corrupt").isNotNull ||
+      col("text").isNull)
+    val idSource = coalesce(col("id"), col("text"))
+    val docs = raw.filter(col("_corrupt").isNull &&
+        col("text").isNotNull)
+      .select(
+        graft.functions.GraftFunctions.charFold(idSource).as("doc_id"),
+        col("url"), col("lang"), col("text"))
+    docs.write.mode(SaveMode.Overwrite)
+      .parquet(s"${task.sinkDir}/documents.parquet")
+    bad.select(coalesce(col("_corrupt"), lit("missing text"))
+        .as("bad_line"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${task.sinkDir}/quarantine")
+    val stored = spark.read
+      .parquet(s"${task.sinkDir}/documents.parquet")
+    JsonlSummary(stored.count(),
+      spark.read.parquet(s"${task.sinkDir}/quarantine").count(),
+      stored.filter(col("url").isNotNull).count())
+  }
+
   /** Loader-layout task result: corpus size, the layouts written. */
   final case class LoaderSummary(nDocs: Long, nShards: Int,
       nWindows: Long, totalTokens: Long)

@@ -35,6 +35,7 @@ class TaskSurfaceSpec extends SparkSuite {
     assert(parse("reshard") == TaskConfig.ReshardExtract)
     assert(parse("foxlake_s3") == TaskConfig.FoxlakeS3Extract)
     assert(parse("warc") == TaskConfig.WarcExtract)
+    assert(parse("jsonl") == TaskConfig.JsonlExtract)
     val t = TaskConfig.fromIni(
       """[extractor]
         |extract_type=reshard
@@ -264,5 +265,49 @@ class TaskSurfaceSpec extends SparkSuite {
       assert((0 until data.size()).forall(i =>
         data.get(i).get("dst_table").asText() == "app.region"))
     } finally srv.stop()
+  }
+
+  test("extract_type=jsonl: plain + gzipped lines ingest, malformed " +
+      "lines quarantine, ids are stable folds") {
+    val src = tmp("jsonl_src")
+    val sink = tmp("jsonl_sink")
+    val lines = Seq(
+      """{"id": "doc-a", "url": "http://a/1", "text": "alpha text", "lang": "en"}""",
+      """{"text": "no id doc gets a text fold"}""",
+      """{"id": "doc-c", "text": null}""",
+      """this is not json at all""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(src, "part-0.jsonl"),
+      String.join("\n", lines: _*)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // a second, gzipped part — the codec path must be transparent
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$src/part-1.jsonl.gz"))
+    gz.write("""{"id": "doc-z", "text": "gzipped doc text"}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    gz.close()
+    val task = graft.config.TaskConfig.fromIni(
+      s"""[extractor]
+         |extract_type=jsonl
+         |url=$src
+         |
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    val s1 = TaskRunner.runJsonl(spark, task)
+    assert(s1.nDocs == 3)      // doc-a, no-id, doc-z
+    assert(s1.nBadLines == 2)  // null text + unparseable line
+    assert(s1.withUrl == 1)
+    val docs = spark.read.parquet(s"$sink/documents.parquet")
+    assert(docs.columns.toSet == Set("doc_id", "url", "lang", "text"))
+    // stable id contract: re-running lands identical doc_ids
+    val ids1 = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    TaskRunner.runJsonl(spark, task)
+    val ids2 = spark.read.parquet(s"$sink/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2 && ids1.size == 3)
+    // the landed frame IS curation-chain input: the precheck passes
+    val gates = graft.infra.Precheck.checkCorpusContract(spark, sink)
+    assert(gates.forall(_.ok), gates.mkString("; "))
   }
 }
