@@ -766,17 +766,17 @@ object VectorOps {
         slice(col("xs"), s * subDim + 1, subDim).as("sxs"))
     }.reduce(_ unionByName _)
       .withColumn("snorm", intDot(col("sxs"), col("sxs")))
-    val w = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("dist"), col("cell"))
+    // argmin by (dist, cell) via min(struct) — the q89/q101 aggregate
+    // argmax pattern, no per-(vec, sub) window sort
     val codes = subs.join(broadcast(
         subs.filter(col("vec_id") < 4).select(col("sub"),
           col("vec_id").as("cell"), col("sxs").as("c_sxs"),
           col("snorm").as("c_norm"))), "sub")
       .withColumn("dist", col("snorm") + col("c_norm") -
         lit(2L) * intDot(col("sxs"), col("c_sxs")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("sub"), col("cell"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cell").as("cell"))
     val lut = subs.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("sub"),
         col("sxs").as("q_sxs"), col("snorm").as("q_norm"))
@@ -792,12 +792,18 @@ object VectorOps {
       .agg(sum(col("part_dist")).as("adc_dist"),
         count(lit(1)).as("n_subs"))
       .filter(col("n_subs") === subCount)
-    val rankW = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(rankW).cast(LongType))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank"), col("adc_dist"))
+    // bounded top-5 via the TopKBy aggregate (the q101 pattern): at
+    // scale every query's candidate partition is corpus-sized, so a
+    // per-query window sort is the one piece that wouldn't survive —
+    // the aggregate keeps 5 rows per group map-side instead
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKBy(
+        (-col("adc_dist")).cast("double"), col("vec_id"), 5).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast(LongType).as("rank"),
+        (-col("col.score")).cast(LongType).as("adc_dist"))
   }
 
   val pqAdcSearchSql: String = {

@@ -190,6 +190,12 @@ class ScaleShapeSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(p98.contains("BroadcastHashJoin"), p98)
     assert(!p98.contains("CartesianProduct"), p98)
+    // r9: q98 joined q101 in being window-free — code assignment via
+    // min(struct), the per-query top-5 via the bounded TopKBy
+    // aggregate (a per-query window partition is corpus-sized at
+    // scale; the aggregate keeps 5 rows per group map-side)
+    assert(!p98.contains("Window"), p98)
+    assert(p98.contains("partial_graft_top_k_by"), p98)
     // q94: the census join is an equi-join keyed on the passage, and
     // the per-doc chunking window is partitioned (never single-slot)
     val p94 = graft.operators.CurationOps.passageDedup(spark, sf)
