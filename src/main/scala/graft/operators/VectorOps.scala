@@ -344,13 +344,14 @@ object VectorOps {
     val cents = subs.filter(col("vec_id") < 4)
       .select(col("sub"), col("vec_id").as("cell"),
         col("sxs").as("c_sxs"), col("snorm").as("c_norm"))
-    val w = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("dist"), col("cell"))
+    // argmin by (dist, cell) via min(struct) — the aggregate argmax
+    // pattern, no per-(vec, sub) window sort (r9, matching q98/q101)
     subs.join(broadcast(cents), "sub")
       .withColumn("dist", col("snorm") + col("c_norm") -
         lit(2) * intDot(col("sxs"), col("c_sxs")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cell").as("cell"))
       .groupBy(col("vec_id"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("sub"), col("cell")))),
@@ -412,16 +413,22 @@ object VectorOps {
       .withColumn("rk", row_number().over(wProbe))
       .filter(col("rk") <= nProbe)
       .select(col("cell"), col("query_id"), col("q_xs"), col("q_norm"))
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
+    // bounded top-k via the TopKBy aggregate — the probed-cell
+    // candidate set per query is corpus/cells-sized at scale, so the
+    // per-query rank window becomes the one piece that wouldn't
+    // survive; the aggregate keeps k rows per group map-side (r9,
+    // matching q98/q101)
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", cosine(intDot(col("q_xs"), col("xs")),
         col("q_norm"), col("norm")))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank"), col("sim"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKBy(
+        col("sim"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), // int, matching the window form
+        col("col.score").as("sim"))
   }
 
   val ivfSearchSql: String = {
