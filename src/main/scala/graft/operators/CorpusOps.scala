@@ -129,10 +129,18 @@ object CorpusOps {
     val pairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("sim", cosine(intDot(col("q_xs"), col("xs")),
         col("q_norm"), col("norm")))
-    val byDist = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    val votes = pairs.withColumn("rank", row_number().over(byDist))
-      .filter(col("rank") <= 5)
+    // bounded top-5 via the TopKBy aggregate (the q76/q98/q101
+    // pattern): queries are a 1/23 SAMPLE of the corpus, so the old
+    // per-query rank window sorted ~n²/23 rows; the aggregate keeps
+    // 5 ids per query map-side and labels join back by long id
+    val top5 = pairs
+      .groupBy(col("query_id"), col("true_label"))
+      .agg(graft.functions.GraftFunctions.topKBy(
+        col("sim"), col("vec_id"), 5).as("top"))
+      .select(col("query_id"), col("true_label"),
+        explode(col("top")("id")).as("vec_id"))
+    val votes = top5
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
       .groupBy(col("query_id"), col("true_label"), col("label"))
       .agg(count(lit(1)).as("votes"))
     val byVotes = Window.partitionBy(col("query_id"))
