@@ -75,12 +75,17 @@ object VectorOps {
       .withColumn("dot", intDot(col("q_xs"), col("xs")))
       .withColumn("sim",
         cosine(col("dot"), col("q_norm"), col("norm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank"), col("sim"))
+    // the brute-force part is the dot products, by design — but the
+    // rank still uses the bounded TopKBy aggregate: each query's
+    // partition is the WHOLE corpus, and a window would sort all of
+    // it per query where the aggregate keeps 10 rows map-side (r9)
+    pairs
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKBy(
+        col("sim"), col("vec_id"), 10).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), col("col.score").as("sim"))
   }
 
   val knnSql: String = {
