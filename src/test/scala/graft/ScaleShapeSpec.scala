@@ -362,6 +362,25 @@ class ScaleShapeSpec extends SparkSuite {
     assert(!p132.contains("Exchange hashpartitioning(page#"), p132)
   }
 
+  test("q139 buckets window only the bounded census; q140 matrix " +
+      "never shuffles text; q141 is aggregate-only over candidates") {
+    val p139 = graft.operators.LoaderOps.lengthBuckets(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the one window runs over the (length → count) census, after the
+    // hash aggregate — the corpus itself is never sorted
+    assert(!p139.contains("CartesianProduct"), p139)
+    assert("Exchange hashpartitioning\\(len#".r
+      .findAllMatchIn(p139).nonEmpty || p139.contains("Exchange"), p139)
+    val p140 = graft.operators.CurationOps.crossSourceDups(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p140.contains("CartesianProduct"), p140)
+    assert(!p140.contains("Exchange hashpartitioning(text#"), p140)
+    val p141 = graft.operators.FuzzyDedup.lshPrecision(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p141.contains("CartesianProduct"), p141)
+    assert(!p141.contains("Window"), p141)
+  }
+
   test("q133 novelty and q134 contamination shuffle 64-bit grams " +
       "only; the benchmark side of q134 broadcasts") {
     val p133 = graft.operators.CurationOps.ngramNovelty(spark, sf)
