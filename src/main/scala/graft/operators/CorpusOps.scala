@@ -615,7 +615,90 @@ object CorpusOps {
        |  hapax_count * 1000 // vocab_size AS hapax_permille
        |FROM per JOIN head ON per.lang = head.lang""".stripMargin
 
+  // ---------------------------------------------------------------- q142
+  /** Collocation mining — the corpus's strongest two-word lexical
+    * units by LIFT: P(ab) / (P(a)·P(b)) = c(ab)·T² / (B·c(a)·c(b)),
+    * the log-free core of PMI. Multi-word-expression discovery feeds
+    * tokenizer vocab decisions (should "new york" be one piece?) and
+    * boilerplate-phrase audits. Reported as the top 20 pairs with
+    * c(ab) ≥ 5 by exact integer lift (milli), ties to the
+    * lexicographically smaller bigram.
+    *
+    * Exactness: the lift is computed entirely in DECIMAL(38,0) /
+    * HUGEINT — c(ab)·T²·1000 stays inside 38 digits for T up to
+    * ~10¹¹ tokens (beyond that, pre-divide B out) — so both engines
+    * agree digit for digit; no IEEE log anywhere (the q136 discipline).
+    *
+    * Scale shape: one token census and one bigram census (map-side
+    * combine; both Zipf-bounded, not corpus-bounded), two broadcast
+    * 1-row totals, and a TakeOrdered top-20 — per-partition top-k
+    * then a 20-row merge, never a full sort.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    collocationsOf(graft.Tables.documents(spark, dir))
+
+  def collocationsOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextOps.tokens(TextOps.normText(col("text"))))
+        .as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = toks
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("tok"), col("nxt"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val totalT = uni.agg(sum(col("c")).as("t"))
+    val bi = pairs.groupBy(col("tok"), col("nxt"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+    val totalB = pairs.agg(count(lit(1)).as("b"))
+    bi
+      .join(uni.select(col("tok"), col("c").as("c_a")), Seq("tok"))
+      .join(uni.select(col("tok").as("nxt"), col("c").as("c_b")),
+        Seq("nxt"))
+      .crossJoin(broadcast(totalT))
+      .crossJoin(broadcast(totalB))
+      .select(concat_ws(" ", col("tok"), col("nxt")).as("bigram"),
+        col("c12"), col("c_a"), col("c_b"),
+        expr("CAST(floor((CAST(c12 AS DECIMAL(38,0)) * t * t * 1000)" +
+          " / (CAST(b AS DECIMAL(38,0)) * c_a * c_b)) AS BIGINT)")
+          .as("lift_milli"))
+      .orderBy(col("lift_milli").desc, col("bigram").asc)
+      .limit(20)
+  }
+
+  val collocationsSql: String = {
+    val toks = TextOps.tokensSql(TextOps.normTextSql("text"))
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest($toks) AS tok,
+       |    generate_subscripts($toks, 1) AS pos
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT tok, lead(tok) OVER
+       |      (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |  FROM tk),
+       |p AS (SELECT tok, nxt FROM pairs WHERE nxt IS NOT NULL),
+       |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk
+       |  GROUP BY 1),
+       |tt AS (SELECT sum(c) AS t FROM uni),
+       |bi AS (SELECT tok, nxt, CAST(count(*) AS BIGINT) AS c12
+       |  FROM p GROUP BY 1, 2 HAVING count(*) >= 5),
+       |bb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM p)
+       |SELECT bi.tok || ' ' || bi.nxt AS bigram, c12,
+       |  a.c AS c_a, z.c AS c_b,
+       |  CAST((CAST(c12 AS HUGEINT) * t * t * 1000) //
+       |    (CAST(b AS HUGEINT) * a.c * z.c) AS BIGINT) AS lift_milli
+       |FROM bi
+       |JOIN uni a ON bi.tok = a.tok
+       |JOIN uni z ON bi.nxt = z.tok
+       |CROSS JOIN tt CROSS JOIN bb
+       |ORDER BY lift_milli DESC, bigram ASC
+       |LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_collocations" -> (collocations _),
     "q125_tokenizer_fertility" -> (tokenizerFertility _),
     "q126_zipf_diagnostics" -> (zipfDiagnostics _),
     "q81_interdup_fraction" -> (interdupFraction _),
@@ -627,6 +710,7 @@ object CorpusOps {
     "q112_ccnet_buckets" -> (ccnetBuckets _))
 
   val oracles: Map[String, String] = Map(
+    "q142_collocations" -> collocationsSql,
     "q125_tokenizer_fertility" -> tokenizerFertilitySql,
     "q126_zipf_diagnostics" -> zipfDiagnosticsSql,
     "q81_interdup_fraction" -> interdupFractionSql,

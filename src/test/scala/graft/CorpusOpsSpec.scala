@@ -208,4 +208,30 @@ class CorpusOpsSpec extends SparkSuite {
     assert(fr.getAs[Long]("hapax_count") == 1)
     assert(fr.getAs[Long]("hapax_permille") == 500)
   }
+
+  test("collocations: a planted rigid phrase tops the lift table, " +
+      "free-floating fillers do not") {
+    val s2 = spark
+    import s2.implicits._
+    // 'san marino' always co-occurs (rigid pair, c12 = c_a = c_b = 6);
+    // 'the' floats freely everywhere and never forms a strong pair
+    val docs = (1 to 6).map { i =>
+      (i.toLong, s"the city of san marino ranks number $i in the " +
+        "the list of the small states of the world")
+    }.toDF("doc_id", "text")
+    val r = graft.operators.CorpusOps.collocationsOf(docs).collect()
+      .map(x => x.getString(0) -> x.getLong(4)).toMap
+    assert(r.contains("san marino"))
+    // a rigid pair's lift is ~T/c (here ~ tokens/6) — far above any
+    // 'the'-pair; check it beats every pair involving 'the'
+    val sanLift = r("san marino")
+    r.filter(_._1.split(" ").contains("the")).values
+      .foreach(l => assert(l < sanLift))
+    // arithmetic self-check on the planted pair: c12=c_a=c_b=6
+    val row = graft.operators.CorpusOps.collocationsOf(docs)
+      .filter(org.apache.spark.sql.functions.col("bigram") ===
+        "san marino").head
+    assert(row.getLong(1) == 6 && row.getLong(2) == 6 &&
+      row.getLong(3) == 6)
+  }
 }
