@@ -1002,6 +1002,70 @@ object VectorOps {
         (col("bin") > col("cutoff_bin")).as("is_outlier"))
   }
 
+  // ---------------------------------------------------------------- q143
+  /** Label-pair centroid similarity — the embedding-space class-
+    * overlap audit: cosine between every pair of label centroids,
+    * with class sizes. High-similarity pairs flag label sets the
+    * embedding can't separate (merge candidates, systematic
+    * mislabeling, or a feature space too coarse for the taxonomy) —
+    * the class-level companion to q127's per-vector outlier gate and
+    * q128's hard negatives. Centroids use the exact q127/q91 integer
+    * construction (floor(sum/n) in the ×1e6 scale); the cosine is one
+    * IEEE division over exact integer dot/norms, deterministic on
+    * both engines.
+    *
+    * Scale shape: the centroid census is 64·|labels| rows; the pair
+    * matrix is |labels|² — both bounded by the label taxonomy, never
+    * the corpus. One posexplode pass is the only corpus-sized work.
+    */
+  def labelSimilarity(spark: SparkSession, dir: String): DataFrame =
+    labelSimilarityOf(Tables.embeddings(spark, dir))
+
+  def labelSimilarityOf(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"),
+      intVec(col("embedding")).as("xs"))
+    val cents = e.select(col("label"),
+        posexplode(col("xs")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .withColumn("c", ((col("s") - pmod(col("s"), col("n"))) /
+        col("n")).cast(LongType))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"),
+        col("c")))), s => s.getField("c")).as("cs"),
+        min(col("n")).as("n_vecs"))
+      .withColumn("cc", intDot(col("cs"), col("cs")))
+    cents.as("a").join(cents.as("b"),
+        col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"),
+        col("b.label").as("label_b"),
+        col("a.n_vecs").as("n_a"), col("b.n_vecs").as("n_b"),
+        cosine(intDot(col("a.cs"), col("b.cs")),
+          col("a.cc"), col("b.cc")).as("centroid_cos"))
+  }
+
+  val labelSimilaritySql: String = {
+    val xs = intVecSql("embedding")
+    s"""WITH v AS (SELECT vec_id, label, $xs AS xs FROM embeddings),
+       |sums AS (
+       |  SELECT label, i AS dim, count(*) AS n,
+       |    CAST(sum(xs[i]) AS BIGINT) AS s
+       |  FROM v, range(1, 65) t(i) GROUP BY label, i),
+       |cent AS (
+       |  SELECT label,
+       |    list((s - ((s % n + n) % n)) // n ORDER BY dim) AS cs,
+       |    CAST(min(n) AS BIGINT) AS n_vecs
+       |  FROM sums GROUP BY label),
+       |c AS (SELECT label, cs, n_vecs,
+       |  ${intDotSql("cs", "cs")} AS cc FROM cent)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |  a.n_vecs AS n_a, b.n_vecs AS n_b,
+       |  CAST(${intDotSql("a.cs", "b.cs")} AS DOUBLE) /
+       |    sqrt(CAST(a.cc AS DOUBLE) * CAST(b.cc AS DOUBLE))
+       |    AS centroid_cos
+       |FROM c a JOIN c b ON a.label < b.label""".stripMargin
+  }
+
   val embeddingOutliersSql: String = {
     val xs = intVecSql("embedding")
     s"""WITH v AS (SELECT vec_id, label, $xs AS xs FROM embeddings),
@@ -1120,6 +1184,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_embedding_outliers" -> (embeddingOutliers _),
+    "q143_label_similarity" -> (labelSimilarity _),
     "q128_hard_negatives" -> (hardNegatives _),
     "q87_kmeans_step" -> (kmeansStep _),
     "q97_semantic_dedup" -> (semanticDedup _),
@@ -1136,6 +1201,7 @@ object VectorOps {
 
   val oracles: Map[String, String] = Map(
     "q127_embedding_outliers" -> embeddingOutliersSql,
+    "q143_label_similarity" -> labelSimilaritySql,
     "q128_hard_negatives" -> hardNegativesSql,
     "q87_kmeans_step" -> kmeansStepSql,
     "q97_semantic_dedup" -> semanticDedupSql,

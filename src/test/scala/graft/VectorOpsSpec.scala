@@ -229,4 +229,29 @@ class VectorOpsSpec extends SparkSuite {
       assert(c >= -1.0 && c <= 1.0 + 1e-9)
     }
   }
+
+  test("label similarity: tight same-direction classes read ~1, " +
+      "orthogonal classes ~0, sizes exact") {
+    val s2 = spark
+    import s2.implicits._
+    // label 0: vectors along +x; label 1: also +x (near-dup class);
+    // label 2: along +y (orthogonal)
+    def vec(i: Int, v: Float): Seq[Float] =
+      Seq.tabulate(64)(d => if (d == i) v else 0.0f)
+    val emb = Seq(
+      (1L, vec(0, 1.0f), 0), (2L, vec(0, 2.0f), 0),
+      (3L, vec(0, 1.5f), 1), (4L, vec(0, 0.5f), 1),
+      (5L, vec(1, 1.0f), 2), (6L, vec(1, 3.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val byPair = graft.operators.VectorOps.labelSimilarityOf(emb)
+      .collect().map(x => (x.getAs[Int]("label_a"),
+        x.getAs[Int]("label_b")) -> (x.getAs[Long]("n_a"),
+        x.getAs[Long]("n_b"), x.getAs[Double]("centroid_cos"))).toMap
+    assert(byPair.keySet == Set((0, 1), (0, 2), (1, 2)))
+    val (na, nb, cos01) = byPair((0, 1))
+    assert(na == 2 && nb == 2)
+    assert(cos01 > 0.999) // same direction
+    assert(math.abs(byPair((0, 2))._3) < 1e-9) // orthogonal
+    assert(math.abs(byPair((1, 2))._3) < 1e-9)
+  }
 }
