@@ -98,10 +98,12 @@ object TaskRunner {
     graft.operators.CurationPipeline.run(spark, task.sourceDir,
       task.sinkDir)
 
-  /** WARC ingestion result: records framed per type, documents
-    * extracted.
+  /** WARC ingestion result: records framed per type (THIS run),
+    * documents in the landed table, and the incremental file
+    * accounting.
     */
-  final case class WarcSummary(records: Map[String, Long], nDocs: Long)
+  final case class WarcSummary(records: Map[String, Long], nDocs: Long,
+      filesProcessed: Long = 0L, filesSkipped: Long = 0L)
 
   /** WARC/WET ingestion task (`extract_type=warc`): frame every
     * record of the crawl files under [extractor] url, land the full
@@ -109,21 +111,58 @@ object TaskRunner {
     * records as a curation-ready `documents` parquet under the sink —
     * the Common Crawl entry point feeding the curation/loader task
     * chain on the same INI surface.
+    *
+    * INCREMENTAL by file: a manifest under `<sink>/ingested_files`
+    * records every segment already framed (the LakeSink meta-file
+    * discipline applied to crawls), so a re-run after a new crawl
+    * drop parses ONLY the new segments and appends their records —
+    * at 100k segments per drop, re-framing the whole history per run
+    * would dominate the pipeline. The documents parquet is rebuilt
+    * from the full record table each run (a derived view — cheap
+    * relative to framing, and keeps ids exactly-once since they are
+    * stable folds). Restart-safe ordering: records append BEFORE the
+    * manifest, so a crash between the two re-processes a file into
+    * duplicate records rather than silently losing one — and the
+    * stable doc_ids collapse those duplicates in the derived table.
     */
   def runWarc(spark: SparkSession, task: TaskConfig.Task)
       : WarcSummary = {
-    val recs = graft.sources.WarcSource.read(spark, task.sourceDir)
-    recs.write.mode(SaveMode.Overwrite)
-      .parquet(s"${task.sinkDir}/warc_records")
+    import org.apache.spark.sql.functions.{col, lit}
+    val manifestDir = s"${task.sinkDir}/ingested_files"
+    val done: Set[String] =
+      if (new java.io.File(manifestDir).exists())
+        spark.read.parquet(manifestDir)
+          .select("file").collect().map(_.getString(0)).toSet
+      else Set.empty
+    val allFiles = spark.read.format("binaryFile")
+      .load(task.sourceDir)
+      .select("path").collect().map(_.getString(0)).toSeq.sorted
+    val todo = allFiles.filterNot(done)
+    val byType: Map[String, Long] =
+      if (todo.isEmpty) Map.empty
+      else {
+        val recs = graft.sources.WarcSource
+          .read(spark, todo: _*)
+          .localCheckpoint()
+        recs.write.mode(SaveMode.Append)
+          .parquet(s"${task.sinkDir}/warc_records")
+        val counted = recs.groupBy("warc_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        // manifest AFTER the records landed (see Scaladoc)
+        import spark.implicits._
+        todo.toDF("file").write.mode(SaveMode.Append)
+          .parquet(manifestDir)
+        counted
+      }
     val stored = spark.read.parquet(s"${task.sinkDir}/warc_records")
     graft.sources.WarcSource.wetDocuments(stored)
+      .dropDuplicates("doc_id") // crash-replayed segments collapse
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${task.sinkDir}/documents.parquet")
-    val byType = stored.groupBy("warc_type").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val nDocs = spark.read
       .parquet(s"${task.sinkDir}/documents.parquet").count()
-    WarcSummary(byType, nDocs)
+    WarcSummary(byType, nDocs, filesProcessed = todo.size.toLong,
+      filesSkipped = (allFiles.size - todo.size).toLong)
   }
 
   /** JSONL ingestion result. */

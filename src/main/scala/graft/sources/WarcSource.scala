@@ -178,10 +178,12 @@ object WarcSource {
       u.charAt(u.length - 1) == '>') u.substring(1, u.length - 1)
     else u
 
-  /** Distributed read: one task per WARC/WET file. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  /** Distributed read: one task per WARC/WET file. Accepts one glob
+    * or an explicit file list (the incremental ingest's delta).
+    */
+  def read(spark: SparkSession, paths: String*): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
+    spark.read.format("binaryFile").load(paths: _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>

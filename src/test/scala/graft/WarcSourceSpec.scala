@@ -145,6 +145,41 @@ class WarcSourceSpec extends SparkSuite {
     assert(docs.select("doc_id").distinct().count() == 2)
   }
 
+  test("incremental warc ingest: a new crawl drop frames only the " +
+      "new segments; already-ingested files skip") {
+    val crawl = java.nio.file.Files.createTempDirectory("warc_inc")
+    val sink = java.nio.file.Files.createTempDirectory("warc_inc_out")
+    java.nio.file.Files.write(crawl.resolve("seg-0.warc"), cat(
+      record("conversion", Some("http://a/1"), ascii("first drop"))))
+    val task = graft.config.TaskConfig.fromIni(
+      s"""[extractor]
+         |extract_type=warc
+         |url=$crawl
+         |
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    val s1 = graft.config.TaskRunner.runWarc(spark, task)
+    assert(s1.filesProcessed == 1 && s1.filesSkipped == 0)
+    assert(s1.nDocs == 1)
+    // second run, nothing new: no records framed, docs unchanged
+    val s2 = graft.config.TaskRunner.runWarc(spark, task)
+    assert(s2.filesProcessed == 0 && s2.filesSkipped == 1)
+    assert(s2.records.isEmpty && s2.nDocs == 1)
+    // a new segment arrives: only IT is framed, the table accumulates
+    java.nio.file.Files.write(crawl.resolve("seg-1.warc"), cat(
+      record("conversion", Some("http://a/2"), ascii("second drop")),
+      record("response", Some("http://a/2"), ascii("<html>"))))
+    val s3 = graft.config.TaskRunner.runWarc(spark, task)
+    assert(s3.filesProcessed == 1 && s3.filesSkipped == 1)
+    assert(s3.records == Map("conversion" -> 1L, "response" -> 1L))
+    assert(s3.nDocs == 2)
+    val urls = graft.sources.WarcSource.wetDocuments(
+      spark.read.parquet(s"$sink/warc_records"))
+      .collect().map(_.getAs[String]("url")).toSet
+    assert(urls == Set("http://a/1", "http://a/2"))
+  }
+
   test("wetDocuments: conversion records become curation-ready docs " +
       "with stable ids") {
     val s2 = spark
