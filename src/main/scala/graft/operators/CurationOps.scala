@@ -784,6 +784,91 @@ object CurationOps {
        |GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q144
+  /** Token-budget epoch plan — the UPSAMPLING side of mixture
+    * planning: q96 finds the largest corpus servable at exact
+    * proportions WITHOUT repeats; this operator answers the other
+    * standard recipe question — given a total training-token budget
+    * and per-language target shares, how many EPOCHS of each slice
+    * will training see (the "Wikipedia ×4, CommonCrawl ×0.8" table
+    * every pre-training recipe publishes), with a repeat cap so small
+    * high-weight slices don't over-epoch into memorization.
+    *
+    * epochs_milli = min(cap, budget·share / slice_tokens), served
+    * tokens and the cap-bound flag per slice — all exact integers.
+    * The fixture budget is 2× the corpus's own token count (so the
+    * plan exercises both the capped and uncapped branches at every
+    * scale factor — shares are scale-stable); a real run substitutes
+    * the recipe's absolute budget.
+    *
+    * Scale shape: one token census per language (map-side sums), then
+    * O(#langs) arithmetic. The corpus is touched once.
+    */
+  final val EpochBudgetX = 2L // fixture budget = 2 × corpus tokens
+  final val EpochCapMilli = 2000L // at most 2 epochs of any slice
+
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val weight = MixTargetPermille.foldRight(lit(0)) {
+      case ((l, w), acc) => when(col("lang") === l, lit(w)).otherwise(acc)
+    }
+    val census = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val budget = census.agg(
+      (sum(col("n_tokens")) * EpochBudgetX).as("budget"))
+    census.crossJoin(broadcast(budget))
+      .withColumn("share_permille", weight.cast("long"))
+      .withColumn("target_tokens",
+        expr("budget * share_permille div 1000"))
+      .withColumn("epochs_milli",
+        when(col("share_permille") > 0,
+          least(lit(EpochCapMilli),
+            expr("target_tokens * 1000 div n_tokens")))
+          .otherwise(lit(0L)))
+      .withColumn("served_tokens",
+        expr("n_tokens * epochs_milli div 1000"))
+      .withColumn("cap_bound",
+        col("share_permille") > 0 &&
+          expr("target_tokens * 1000 div n_tokens") >
+          lit(EpochCapMilli))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("share_permille"), col("target_tokens"),
+        col("epochs_milli"), col("served_tokens"), col("cap_bound"))
+  }
+
+  // lazy: MixTargetPermille is declared with q96 below, after this
+  // block in object-initialization order
+  lazy val epochPlanSql: String = {
+    val toks = TextOps.tokensSql("text")
+    val weight = MixTargetPermille.foldRight("0") { case ((l, w), acc) =>
+      s"CASE WHEN lang = '$l' THEN $w ELSE $acc END"
+    }
+    s"""WITH c AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len($toks)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |b AS (SELECT CAST(sum(n_tokens) * $EpochBudgetX AS BIGINT)
+       |    AS budget FROM c),
+       |w AS (SELECT lang, n_docs, n_tokens,
+       |    CAST($weight AS BIGINT) AS share_permille FROM c),
+       |t AS (SELECT lang, n_docs, n_tokens, share_permille,
+       |    budget * share_permille // 1000 AS target_tokens
+       |  FROM w, b)
+       |SELECT lang, n_docs, n_tokens, share_permille, target_tokens,
+       |  CASE WHEN share_permille > 0
+       |    THEN least($EpochCapMilli, target_tokens * 1000 // n_tokens)
+       |    ELSE 0 END AS epochs_milli,
+       |  n_tokens * (CASE WHEN share_permille > 0
+       |    THEN least($EpochCapMilli, target_tokens * 1000 // n_tokens)
+       |    ELSE 0 END) // 1000 AS served_tokens,
+       |  share_permille > 0 AND
+       |    target_tokens * 1000 // n_tokens > $EpochCapMilli
+       |    AS cap_bound
+       |FROM t""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q96
   /** Target-weighted dataset mixture planner: given per-language target
     * weights (permille of the final mix), find the LARGEST corpus the
@@ -1289,6 +1374,7 @@ object CurationOps {
     "q133_ngram_novelty" -> (ngramNovelty _),
     "q134_contam_verdict" -> (contamVerdict _),
     "q140_cross_source_dups" -> (crossSourceDups _),
+    "q144_epoch_plan" -> (epochPlan _),
     "q121_corpus_diff" -> (corpusDiff _),
     "q57_domain_cap" -> ((s: SparkSession, d: String) => domainCap(s, d)),
     "q24_incremental_dedup" -> (incrementalDedup _),
@@ -1314,6 +1400,7 @@ object CurationOps {
     "q133_ngram_novelty" -> ngramNoveltySql,
     "q134_contam_verdict" -> contamVerdictSql,
     "q140_cross_source_dups" -> crossSourceDupsSql,
+    "q144_epoch_plan" -> epochPlanSql,
     "q57_domain_cap" -> domainCapSql,
     "q24_incremental_dedup" -> incrementalDedupSql,
     "q29_kmv_sketch" -> kmvSketchSql,

@@ -393,6 +393,33 @@ class CurationSpec extends SparkSuite {
     assert(d1.getAs[Boolean]("keep_page"))
   }
 
+  test("epoch plan: budget accounting exact, cap binds only where " +
+      "demanded epochs exceed it, zero-weight slices sit out") {
+    val r = CurationOps.epochPlan(spark, sf).collect()
+      .map(x => x.getAs[String]("lang") -> x).toMap
+    val total = r.values.map(_.getAs[Long]("n_tokens")).sum
+    r.values.foreach { row =>
+      val share = row.getAs[Long]("share_permille")
+      val target = row.getAs[Long]("target_tokens")
+      val epochs = row.getAs[Long]("epochs_milli")
+      val served = row.getAs[Long]("served_tokens")
+      val tokens = row.getAs[Long]("n_tokens")
+      assert(target == total * CurationOps.EpochBudgetX * share / 1000)
+      if (share == 0) assert(epochs == 0 && served == 0)
+      else {
+        val demanded = target * 1000 / tokens
+        assert(epochs == math.min(CurationOps.EpochCapMilli, demanded))
+        assert(row.getAs[Boolean]("cap_bound") ==
+          (demanded > CurationOps.EpochCapMilli))
+        assert(served == tokens * epochs / 1000)
+      }
+    }
+    // the fixture's 2x-corpus budget makes en (share 500 >> its token
+    // share) cap-bound and de (share 100 ~ its share) not
+    assert(r("en").getAs[Boolean]("cap_bound"))
+    assert(!r("de").getAs[Boolean]("cap_bound"))
+  }
+
   test("cross-source dup matrix: planted recrawl/mirror copies land " +
       "in exactly the cells the id arithmetic predicts") {
     val r = CurationOps.crossSourceDups(spark, sf).collect()
