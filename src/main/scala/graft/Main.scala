@@ -26,7 +26,10 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     // [metrics] section → monitors + /metrics server, the reference's
     // prometheus exposition loop (dumped per task step + at exit)
-    val monitors = Monitoring.PipelineMonitors("graft-task")
+    // counter window from [pipeline] counter_time_window_secs
+    // (defaulting to checkpoint_interval_secs, config.md:298)
+    val monitors = Monitoring.PipelineMonitors("graft-task",
+      windowSecs = task.counterTimeWindowSecs.toLong)
     val kind = task.extractType match {
       case TaskConfig.SnapshotExtract | TaskConfig.CurationExtract |
           TaskConfig.LoaderExtract | TaskConfig.WarcExtract |
@@ -359,7 +362,9 @@ object Main {
                     graft.sinks.StreamLoadHttp.Config(uri.getHost,
                       uri.getPort, db, tb, task.sinkUser,
                       task.sinkPassword), batchId),
-                resumer = resumer, monitors = Some(monitors))
+                resumer = resumer, monitors = Some(monitors),
+                limiter = task.maxRps.map(r =>
+                  new graft.infra.RateLimiter(r)))
               report.plan.statements
                 .foreach(s => println(s"[cdc][slot] $s"))
               println(s"[cdc] start_lsn=${report.startLsn} " +

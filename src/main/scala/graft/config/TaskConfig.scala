@@ -179,6 +179,13 @@ object TaskConfig {
       httpHost: String = "127.0.0.1",
       httpPort: Int = 0,
       serveTimeoutSecs: Int = 60,
+      // [pipeline] flow-control knobs (config.md:294-298): admission
+      // cap, rate governor, flush cadence, counter window (defaulting
+      // to the flush cadence, as documented)
+      bufferSize: Int = 16000,
+      maxRps: Option[Long] = None,
+      checkpointIntervalSecs: Int = 10,
+      counterTimeWindowSecs: Int = 10,
       // [sinker] conflict_policy (task_config.rs:863-864, default
       // interrupt) — struct-sink DDL failure handling
       conflictPolicy: graft.struct.StructApplier.ConflictPolicy =
@@ -389,6 +396,12 @@ object TaskConfig {
       httpHost = pl.get("http_host", "127.0.0.1"),
       httpPort = pl.get("http_port", "0").toInt,
       serveTimeoutSecs = pl.get("serve_timeout_secs", "60").toInt,
+      bufferSize = pl.get("buffer_size", "16000").toInt,
+      maxRps = pl.get("max_rps", "").toLongOption,
+      checkpointIntervalSecs =
+        pl.get("checkpoint_interval_secs", "10").toInt,
+      counterTimeWindowSecs = pl.get("counter_time_window_secs",
+        pl.get("checkpoint_interval_secs", "10")).toInt,
       conflictPolicy = graft.struct.StructApplier.parsePolicy(
         sk.get("conflict_policy", "interrupt")),
       metaCenter = metaCenter(p, ex, sk))

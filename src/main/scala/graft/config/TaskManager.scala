@@ -180,7 +180,9 @@ object TaskManager {
               graft.sinks.StreamLoadHttp.Config(uri.getHost,
                 uri.getPort, db, tb, task.sinkUser,
                 task.sinkPassword), batchId),
-          resumer)
+          resumer,
+          limiter = task.maxRps.map(r =>
+            new graft.infra.RateLimiter(r)))
         log(dir, s"cdc start_lsn=${report.startLsn} " +
           s"shipped=${report.rowsShipped} " +
           s"skipped=${report.eventsSkipped} end=${report.endLsn}")

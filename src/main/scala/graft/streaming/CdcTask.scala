@@ -176,7 +176,10 @@ object CdcTask {
       sinkFor: (String, String, Long) => StreamLoadSink.PayloadSink,
       resumer: DbResumer.Dual,
       heartbeat: Option[Heartbeat.Emitter] = None,
-      monitors: Option[Monitoring.PipelineMonitors] = None)
+      monitors: Option[Monitoring.PipelineMonitors] = None,
+      // [pipeline] max_rps — the reference governor awaited between
+      // batch applies; None/unlimited skips the gate entirely
+      limiter: Option[graft.infra.RateLimiter] = None)
       : RunReport = {
     val slotCfg = task.slot.getOrElse(throw new IllegalArgumentException(
       "cdc task needs [extractor] slot_name"))
@@ -231,6 +234,18 @@ object CdcTask {
     // 5. txn-aligned batches → compact → ship → record position
     val batches = toBatches(admittedTxns, task.batchSize)
     val reports = batches.zipWithIndex.map { case ((lsn, evs), i) =>
+      // rate governor: block until this batch's rows fit the budget
+      // (reference base_pipeline awaits the limiter before sinking);
+      // a batch larger than one second's quota drains the bucket in
+      // capacity-sized steps across refill intervals
+      limiter.filterNot(_.unlimited).foreach { l =>
+        var remaining = evs.size.toLong
+        while (remaining > 0) {
+          val step = math.min(remaining, l.capacity)
+          l.acquire(step): Unit
+          remaining -= step
+        }
+      }
       val t0 = System.nanoTime()
       val shipped =
         shipBatch(spark, task, i.toLong, evs, relCols, relKeys, sinkFor)

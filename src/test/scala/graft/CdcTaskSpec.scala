@@ -224,6 +224,49 @@ class CdcTaskSpec extends SparkSuite {
     } finally wh.stop()
   }
 
+  test("[pipeline] max_rps gates batch shipping through the token " +
+      "bucket: over-budget batches wait, unlimited tasks never do") {
+    val wh = new Warehouse
+    try {
+      val task = TaskConfig.fromIni(ini(wh.port) +
+        "\n[pipeline]\nmax_rps=2\n")
+      assert(task.maxRps.contains(2L))
+      val store = new MemStore
+      val port = wh.port
+      // deterministic clock: every sleep advances virtual time and is
+      // recorded — the capture has 5 rows at 2 rps, so the bucket
+      // (capacity 2) must block at least once
+      var now = 0L
+      val sleeps = scala.collection.mutable.Buffer.empty[Long]
+      val limiter = new graft.infra.RateLimiter(2L,
+        nanoTime = () => now,
+        sleepNanos = n => { sleeps += n; now += n })
+      val rec = new graft.sources.DbResumer.Recorder("rps", store,
+        graft.sources.DbResumer.MySqlDialect)
+      rec.init(isInit = false)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("cdc-task-rps").toString
+      val resumer = new graft.sources.DbResumer.Dual(
+        new graft.sources.SnapshotResumer(s"$tmp/pos"), rec,
+        () => new graft.sources.DbResumer.Recovery("rps", store))
+      val r = CdcTask.run(spark, task,
+        CdcTask.PgAnswers(
+          graft.sources.PgSlotLifecycle.SlotStatus(exists = false),
+          pubExists = false, walStream = wal()),
+        sinkFor = (db, tb, batchId) =>
+          new StreamLoadHttp.HttpPayloadSink(
+            StreamLoadHttp.Config("127.0.0.1", port, db, tb,
+              "root", ""), batchId),
+        resumer = resumer,
+        limiter = Some(limiter))
+      assert(r.rowsShipped == 5)
+      assert(sleeps.nonEmpty) // the governor actually blocked
+      // virtual waiting matches the budget: 5 rows at 2 rps from a
+      // full 2-token bucket needs >= 1.5 virtual seconds of sleep
+      assert(sleeps.sum >= 1500000000L)
+    } finally wh.stop()
+  }
+
   test("restart resumes from the recorded table position and re-ships " +
       "nothing") {
     val wh = new Warehouse
