@@ -1133,7 +1133,71 @@ object TextOps {
        |FROM c""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q145
+  /** Flesch reading ease — the classic readability signal (Flesch
+    * 1948; the quality heuristic predating every learned filter):
+    * 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word),
+    * computed entirely in exact milli-integers with floor division —
+    * no IEEE arithmetic crosses the engines. Syllables use the
+    * standard vowel-group heuristic (runs of [aeiouy] in lowercased
+    * text, at least one per word); sentences count terminal
+    * punctuation with a floor of one. The grade bucket (easy ≥ 60,
+    * hard < 30) is the routing decision: very-hard text is often
+    * OCR noise or legalese boilerplate, very-easy often SEO spam.
+    *
+    * Scale shape: map-only — two regex counts and integer arithmetic
+    * per row; only the stats row leaves the mapper.
+    */
+  def fleschEase(spark: SparkSession, dir: String): DataFrame =
+    fleschEaseOf(Tables.documents(spark, dir))
+
+  def fleschEaseOf(docs: DataFrame): DataFrame = {
+    val low = lower(col("text"))
+    val words = greatest(size(tokens(col("text"))), lit(1))
+      .cast("long")
+    val sentences = greatest(
+      (length(col("text")) -
+        length(translate(col("text"), ".!?", ""))).cast("long"),
+      lit(1L))
+    val groups = size(regexp_extract_all(low, lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    docs.select(col("doc_id"),
+        words.as("n_words"), sentences.as("n_sentences"),
+        greatest(groups, words).as("n_syllables"))
+      .withColumn("fre_milli",
+        lit(206835L) - expr("n_words * 1015 div n_sentences") -
+          expr("n_syllables * 84600 div n_words"))
+      .withColumn("bucket",
+        when(col("fre_milli") >= 60000L, "easy")
+          .when(col("fre_milli") >= 30000L, "medium")
+          .otherwise("hard"))
+  }
+
+  val fleschEaseSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    greatest(len(${tokensSql("text")}), 1) AS n_words,
+       |    greatest(length(text) -
+       |      length(translate(text, '.!?', '')), 1) AS n_sentences,
+       |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS groups
+       |  FROM documents),
+       |s AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |    CAST(n_sentences AS BIGINT) AS n_sentences,
+       |    CAST(greatest(groups, n_words) AS BIGINT) AS n_syllables
+       |  FROM c),
+       |f AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+       |    206835 - n_words * 1015 // n_sentences -
+       |      n_syllables * 84600 // n_words AS fre_milli
+       |  FROM s)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  CAST(fre_milli AS BIGINT) AS fre_milli,
+       |  CASE WHEN fre_milli >= 60000 THEN 'easy'
+       |    WHEN fre_milli >= 30000 THEN 'medium'
+       |    ELSE 'hard' END AS bucket
+       |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_flesch_ease" -> (fleschEase _),
     "q138_script_census" -> (scriptCensus _),
     "q135_gopher_rep" -> (gopherRep _),
     "q131_nfc_audit" -> (nfcAudit _),
@@ -1152,6 +1216,7 @@ object TextOps {
     "q33_dedup_exact" -> (dedupExact _))
 
   val oracles: Map[String, String] = Map(
+    "q145_flesch_ease" -> fleschEaseSql,
     "q138_script_census" -> scriptCensusSql,
     "q135_gopher_rep" -> gopherRepSql,
     "q131_nfc_audit" -> nfcAuditSql,

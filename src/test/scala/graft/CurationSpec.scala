@@ -393,6 +393,39 @@ class CurationSpec extends SparkSuite {
     assert(d1.getAs[Boolean]("keep_page"))
   }
 
+  test("flesch ease: hand-computed scores for easy and hard text, " +
+      "floors guard empty inputs") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "The cat sat on the mat."),
+      (2L, "extraordinarily sophisticated"),
+      (3L, "")).toDF("doc_id", "text")
+    val r = TextOps.fleschEaseOf(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 1: 6 words, 1 sentence, 6 vowel groups (e,a,a,o,e,a)
+    val d1 = r(1L)
+    assert(d1.getAs[Long]("n_words") == 6)
+    assert(d1.getAs[Long]("n_sentences") == 1)
+    assert(d1.getAs[Long]("n_syllables") == 6)
+    assert(d1.getAs[Long]("fre_milli") ==
+      206835L - 6 * 1015 / 1 - 6 * 84600 / 6)
+    assert(d1.getAs[String]("bucket") == "easy")
+    // doc 2: 2 words, no terminal punct (floor 1 sentence),
+    // 6 + 5 vowel groups
+    val d2 = r(2L)
+    assert(d2.getAs[Long]("n_syllables") == 11)
+    assert(d2.getAs[Long]("fre_milli") ==
+      206835L - 2 * 1015 - 11L * 84600 / 2)
+    assert(d2.getAs[String]("bucket") == "hard")
+    // doc 3: empty — floors keep everything defined
+    val d3 = r(3L)
+    assert(d3.getAs[Long]("n_words") == 1)
+    assert(d3.getAs[Long]("n_sentences") == 1)
+    assert(d3.getAs[Long]("n_syllables") == 1)
+  }
+
   test("epoch plan: budget accounting exact, cap binds only where " +
       "demanded epochs exceed it, zero-weight slices sit out") {
     val r = CurationOps.epochPlan(spark, sf).collect()
