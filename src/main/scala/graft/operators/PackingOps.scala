@@ -205,8 +205,89 @@ object PackingOps {
           .as("fill_permille"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q111_pack_windows" -> (packWindows _))
+    "q111_pack_windows" -> (packWindows _),
+    "q146_window_loss" -> (windowLoss _))
+
+  // ---------------------------------------------------------------- q146
+  /** Context-window loss accounting — what a fixed training window
+    * costs under each long-document policy, per window size (32 /
+    * 64 / 256 — the fixture corpus tops out near 100 tokens, so the
+    * small windows exercise the overflow branch): TRUNCATE throws away every token past the window
+    * (lost_permille of the corpus), SPLIT keeps everything but pads
+    * each document's last window (pad_permille of the slot budget).
+    * This is the table that decides between the two policies (and
+    * q111's packing exists to beat both — its padding rides ONLY at
+    * pack-window boundaries). One row per window size, exact integer
+    * token accounting.
+    *
+    * Scale shape: per-row token counts fold into a 3-row aggregate
+    * via a tiny windows-literal cross (map-side combine); nothing but
+    * partial sums shuffles.
+    */
+  def windowLoss(spark: SparkSession, dir: String): DataFrame =
+    windowLossOf(graft.Tables.documents(spark, dir))
+
+  def windowLossOf(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val n = greatest(size(TextOps.tokens(col("text"))), lit(0))
+      .cast("long")
+    val sizes = Seq(32L, 64L, 256L).toDF("w")
+    docs.select(n.as("n"))
+      .crossJoin(broadcast(sizes))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(when(col("n") > col("w"), 1L).otherwise(0L))
+          .as("n_overflow"),
+        sum(greatest(col("n") - col("w"), lit(0L)))
+          .as("lost_truncate"),
+        // split: ceil(n/w) windows of w slots each; empty docs take
+        // no window
+        sum(when(col("n") > 0,
+          expr("(n + w - 1) div w") * col("w") - col("n"))
+          .otherwise(0L)).as("pad_split"),
+        sum(when(col("n") > 0, expr("(n + w - 1) div w"))
+          .otherwise(0L)).as("n_windows_split"))
+      .select(col("w").as("window"), col("n_docs"),
+        col("total_tokens"), col("n_overflow"),
+        col("lost_truncate"),
+        expr("lost_truncate * 1000 div greatest(total_tokens, 1)")
+          .as("lost_permille"),
+        col("n_windows_split"), col("pad_split"),
+        expr("pad_split * 1000 div " +
+          "greatest(n_windows_split * window, 1)").as("pad_permille"))
+  }
+
+  val windowLossSql: String = {
+    val toks = TextOps.tokensSql("text")
+    s"""WITH d AS (
+       |  SELECT CAST(greatest(len($toks), 0) AS BIGINT) AS n
+       |  FROM documents),
+       |g AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n) AS BIGINT) AS total_tokens,
+       |    CAST(sum(CASE WHEN n > w THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_overflow,
+       |    CAST(sum(greatest(n - w, 0)) AS BIGINT) AS lost_truncate,
+       |    CAST(sum(CASE WHEN n > 0
+       |      THEN ((n + w - 1) // w) * w - n ELSE 0 END) AS BIGINT)
+       |      AS pad_split,
+       |    CAST(sum(CASE WHEN n > 0 THEN (n + w - 1) // w ELSE 0 END)
+       |      AS BIGINT) AS n_windows_split
+       |  FROM d, (SELECT unnest([32, 64, 256]) AS w) s
+       |  GROUP BY 1)
+       |SELECT CAST(w AS BIGINT) AS window, n_docs, total_tokens,
+       |  n_overflow, lost_truncate,
+       |  lost_truncate * 1000 // greatest(total_tokens, 1)
+       |    AS lost_permille,
+       |  n_windows_split, pad_split,
+       |  pad_split * 1000 // greatest(n_windows_split * w, 1)
+       |    AS pad_permille
+       |FROM g""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
-    "q111_pack_windows" -> packWindowsSql)
+    "q111_pack_windows" -> packWindowsSql,
+    "q146_window_loss" -> windowLossSql)
 }

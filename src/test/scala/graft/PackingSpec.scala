@@ -98,4 +98,31 @@ class PackingSpec extends SparkSuite {
     // the offset table joins back as a broadcast literal, never a shuffle
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("window loss: hand-counted truncation loss and split padding " +
+      "per window size") {
+    val s2 = spark
+    import s2.implicits._
+    // 100 tokens and 40 tokens
+    val docs = Seq(
+      (1L, Seq.fill(100)("tok").mkString(" ")),
+      (2L, Seq.fill(40)("tok").mkString(" "))).toDF("doc_id", "text")
+    val r = graft.operators.PackingOps.windowLossOf(docs).collect()
+      .map(x => x.getAs[Long]("window") -> x).toMap
+    // w=32: lost = (100-32)+(40-32) = 76 of 140; split windows =
+    // ceil(100/32)+ceil(40/32) = 4+2 = 6 -> pad = 6*32-140 = 52
+    val w32 = r(32L)
+    assert(w32.getAs[Long]("n_overflow") == 2)
+    assert(w32.getAs[Long]("lost_truncate") == 76)
+    assert(w32.getAs[Long]("lost_permille") == 76L * 1000 / 140)
+    assert(w32.getAs[Long]("n_windows_split") == 6)
+    assert(w32.getAs[Long]("pad_split") == 52)
+    assert(w32.getAs[Long]("pad_permille") == 52L * 1000 / (6 * 32))
+    // w=256: nothing overflows, one window per doc
+    val w256 = r(256L)
+    assert(w256.getAs[Long]("n_overflow") == 0)
+    assert(w256.getAs[Long]("lost_truncate") == 0)
+    assert(w256.getAs[Long]("n_windows_split") == 2)
+    assert(w256.getAs[Long]("pad_split") == 2 * 256 - 140)
+  }
 }
