@@ -784,6 +784,104 @@ object CurationOps {
        |GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q147
+  /** Per-source quality scorecard — the league table behind source
+    * pruning decisions: docs, tokens, mean quality logit, duplicate
+    * rate (exact fingerprint census), and quality-keep rate per
+    * source. A source with high dup rate and low mean quality is the
+    * first candidate to drop or down-weight; this is q102's
+    * dataset-card rollup re-keyed by provenance. Mean logit uses the
+    * pmod floor-division (logit sums can be negative; Spark `div`
+    * truncates where DuckDB `//` floors — the q91/q127 trick keeps
+    * them identical).
+    *
+    * Scale shape: per-row signals (map-only), one fingerprint census
+    * (64-bit keys), three doc_id-keyed hash joins, then a
+    * |sources|-row aggregate with map-side combine.
+    */
+  def sourceScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+    // re-ingestion fixture (the q24/q140 pattern): every 10th doc
+    // arrives again as source `recrawl`, so the dup column has real
+    // mass — recrawl at 1000‰ and the sources it copied from nonzero
+    val docs = base.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((-col("doc_id") - 1).as("doc_id"), col("text"),
+          lit("recrawl").as("source")))
+    val scored = TextOps.withQualitySignals(docs)
+      .select(col("doc_id"), col("source"), col("logit_milli"),
+        col("keep"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"))
+    val fps = docs.select(col("doc_id"),
+      TextOps.charFold(normText(col("text"))).as("fp"))
+    val census = fps.groupBy("fp").agg(count(lit(1)).as("nfp"))
+    val dup = fps.join(census, Seq("fp"))
+      .select(col("doc_id"), (col("nfp") > 1).as("is_dup"))
+    scored.join(dup, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        sum(col("logit_milli")).as("logit_sum"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        ((col("logit_sum") - pmod(col("logit_sum"), col("n_docs"))) /
+          col("n_docs")).cast("long").as("mean_logit_milli"),
+        col("dup_docs"),
+        expr("dup_docs * 1000 div n_docs").as("dup_permille"),
+        expr("kept_docs * 1000 div n_docs").as("keep_permille"))
+  }
+
+  val sourceScorecardSql: String = {
+    val toks = tokensSql("text")
+    val f = TextOps.charFoldSql(normTextSql("text"))
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL
+       |  SELECT -doc_id - 1 AS doc_id, text, 'recrawl' AS source
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |q AS (SELECT doc_id, source,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) AS BIGINT) AS n_chars_txt,
+       |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+       |      AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter($toks,
+       |      t -> t IN ('the','a','of','to','and','in','is')))
+       |      AS BIGINT) AS n_stop
+       |  FROM corpus),
+       |g AS (SELECT doc_id, source, n_tokens,
+       |    CASE WHEN n_tokens > 0 THEN n_stop * 1000 // n_tokens
+       |      ELSE 0 END AS stop_permille,
+       |    CASE WHEN n_chars_txt > 0 THEN n_punct * 1000 // n_chars_txt
+       |      ELSE 0 END AS punct_permille,
+       |    CASE WHEN n_tokens > 0 THEN n_chars_txt * 100 // n_tokens
+       |      ELSE 0 END AS span_centi
+       |  FROM q),
+       |h AS (SELECT doc_id, source, n_tokens,
+       |    800 + 3 * stop_permille - 2 * punct_permille
+       |      - abs(span_centi - 550) AS logit_milli,
+       |    least(9, greatest(0,
+       |      (800 + 3 * stop_permille - 2 * punct_permille
+       |        - abs(span_centi - 550)) // 200)) >= 3 AS keep
+       |  FROM g),
+       |fp AS (SELECT doc_id, $f AS fp FROM corpus),
+       |census AS (SELECT fp, count(*) AS nfp FROM fp GROUP BY 1),
+       |dup AS (SELECT doc_id, nfp > 1 AS is_dup
+       |  FROM fp JOIN census USING (fp))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(logit_milli) // count(*) AS BIGINT)
+       |    AS mean_logit_milli,
+       |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS dup_docs,
+       |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1000 //
+       |    count(*) AS BIGINT) AS dup_permille,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000 //
+       |    count(*) AS BIGINT) AS keep_permille
+       |FROM h JOIN dup USING (doc_id)
+       |GROUP BY 1""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q144
   /** Token-budget epoch plan — the UPSAMPLING side of mixture
     * planning: q96 finds the largest corpus servable at exact
@@ -1375,6 +1473,7 @@ object CurationOps {
     "q134_contam_verdict" -> (contamVerdict _),
     "q140_cross_source_dups" -> (crossSourceDups _),
     "q144_epoch_plan" -> (epochPlan _),
+    "q147_source_scorecard" -> (sourceScorecard _),
     "q121_corpus_diff" -> (corpusDiff _),
     "q57_domain_cap" -> ((s: SparkSession, d: String) => domainCap(s, d)),
     "q24_incremental_dedup" -> (incrementalDedup _),
@@ -1401,6 +1500,7 @@ object CurationOps {
     "q134_contam_verdict" -> contamVerdictSql,
     "q140_cross_source_dups" -> crossSourceDupsSql,
     "q144_epoch_plan" -> epochPlanSql,
+    "q147_source_scorecard" -> sourceScorecardSql,
     "q57_domain_cap" -> domainCapSql,
     "q24_incremental_dedup" -> incrementalDedupSql,
     "q29_kmv_sketch" -> kmvSketchSql,

@@ -393,6 +393,28 @@ class CurationSpec extends SparkSuite {
     assert(d1.getAs[Boolean]("keep_page"))
   }
 
+  test("source scorecard: recrawl fixture drives the dup column, " +
+      "accounting is exact per source") {
+    val r = CurationOps.sourceScorecard(spark, sf).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    // every recrawl doc is by construction a copy
+    val rec = r("recrawl")
+    assert(rec.getAs[Long]("n_docs") == 50)
+    assert(rec.getAs[Long]("dup_permille") == 1000)
+    // the copied-from sources (doc_id%10 -> %20 in {0,10}) carry the
+    // other half of each pair; untouched sources carry none
+    assert(r("src0").getAs[Long]("dup_permille") == 1000)
+    assert(r("src10").getAs[Long]("dup_permille") == 1000)
+    assert(r("src1").getAs[Long]("dup_docs") == 0)
+    // rates are permilles; every source row accounts its 25 docs
+    r.values.foreach { row =>
+      val kp = row.getAs[Long]("keep_permille")
+      assert(kp >= 0 && kp <= 1000)
+      assert(row.getAs[Long]("dup_docs") <= row.getAs[Long]("n_docs"))
+    }
+    assert(r.size == 21) // 20 sources + recrawl
+  }
+
   test("flesch ease: hand-computed scores for easy and hard text, " +
       "floors guard empty inputs") {
     val s2 = spark
