@@ -201,10 +201,8 @@ object Main {
             .addBatchCounter(Monitoring.SinkedRecordTotal, s.nDocs, 1L)
           publish()
         case TaskConfig.CurationStreamExtract =>
-          val bloom = task.benchmarkDir.map { bd =>
-            graft.operators.CurationOps.benchmarkBloomBytes(
-              spark.read.parquet(bd))
-          }
+          val bloom = task.benchmarkDir.map(bd =>
+            graft.operators.CurationOps.benchmarkBloomFromDir(spark, bd))
           val r = graft.streaming.StreamingCuration.drain(spark,
             task.sourceDir, task.sinkDir, benchmarkBloom = bloom)
           println(s"[curation_stream] in=${r.docsIn} " +

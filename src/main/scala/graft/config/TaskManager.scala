@@ -194,10 +194,11 @@ object TaskManager {
         TaskConfig.CurationExtract, TaskConfig.CurationStreamExtract,
         TaskConfig.LoaderExtract)
       if (corpusKinds(task.extractType)) {
+        val isStream =
+          task.extractType == TaskConfig.CurationStreamExtract
         val gates = graft.infra.Precheck.checkCorpusContract(spark,
-          task.sourceDir,
-          needTs =
-            task.extractType == TaskConfig.CurationStreamExtract) ++
+          task.sourceDir, needTs = isStream,
+          allowEmpty = isStream) ++
           task.benchmarkDir.toSeq.flatMap(bd =>
             graft.infra.Precheck.checkCorpusContract(spark, bd))
         val bad = gates.filterNot(_.ok)
@@ -242,10 +243,8 @@ object TaskManager {
       if (task.extractType == TaskConfig.CurationStreamExtract) {
         // [extractor] benchmark_dir: gate the stream against the
         // held-out set's n-gram Bloom (built once here, batch-side)
-        val bloom = task.benchmarkDir.map { bd =>
-          graft.operators.CurationOps.benchmarkBloomBytes(
-            spark.read.parquet(bd))
-        }
+        val bloom = task.benchmarkDir.map(bd =>
+          graft.operators.CurationOps.benchmarkBloomFromDir(spark, bd))
         val r = graft.streaming.StreamingCuration.drain(spark,
           task.sourceDir, task.sinkDir, benchmarkBloom = bloom)
         log(dir, s"curation_stream in=${r.docsIn} " +

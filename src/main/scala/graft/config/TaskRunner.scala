@@ -129,11 +129,14 @@ object TaskRunner {
       : WarcSummary = {
     import org.apache.spark.sql.functions.{col, lit}
     val manifestDir = s"${task.sinkDir}/ingested_files"
-    val done: Set[String] =
-      if (new java.io.File(manifestDir).exists())
-        spark.read.parquet(manifestDir)
-          .select("file").collect().map(_.getString(0)).toSet
-      else Set.empty
+    // probe through the Hadoop-FS layer, not java.io: a non-local
+    // sink (hdfs://, s3a://) must see its manifest or every run would
+    // silently re-frame and re-append the whole crawl
+    def readIfExists(path: String) =
+      scala.util.Try(spark.read.parquet(path)).toOption
+    val done: Set[String] = readIfExists(manifestDir)
+      .map(_.select("file").collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
     val allFiles = spark.read.format("binaryFile")
       .load(task.sourceDir)
       .select("path").collect().map(_.getString(0)).toSeq.sorted
@@ -154,13 +157,18 @@ object TaskRunner {
           .parquet(manifestDir)
         counted
       }
-    val stored = spark.read.parquet(s"${task.sinkDir}/warc_records")
-    graft.sources.WarcSource.wetDocuments(stored)
-      .dropDuplicates("doc_id") // crash-replayed segments collapse
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"${task.sinkDir}/documents.parquet")
-    val nDocs = spark.read
-      .parquet(s"${task.sinkDir}/documents.parquet").count()
+    // nothing ever landed (task created before the first crawl drop):
+    // report a zero summary instead of failing on the missing table
+    val nDocs = readIfExists(s"${task.sinkDir}/warc_records") match {
+      case None => 0L
+      case Some(stored) =>
+        graft.sources.WarcSource.wetDocuments(stored)
+          .dropDuplicates("doc_id") // crash-replayed segments collapse
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"${task.sinkDir}/documents.parquet")
+        spark.read
+          .parquet(s"${task.sinkDir}/documents.parquet").count()
+    }
     WarcSummary(byType, nDocs, filesProcessed = todo.size.toLong,
       filesSkipped = (allFiles.size - todo.size).toLong)
   }
@@ -202,6 +210,9 @@ object TaskRunner {
       .select(
         graft.functions.GraftFunctions.charFold(idSource).as("doc_id"),
         col("url"), col("lang"), col("text"))
+      // within-ingest dedup (same contract as the WARC path): repeated
+      // lines and shared ids collapse so doc_id stays unique downstream
+      .dropDuplicates("doc_id")
     docs.write.mode(SaveMode.Overwrite)
       .parquet(s"${task.sinkDir}/documents.parquet")
     bad.select(coalesce(col("_corrupt"), lit("missing text"))

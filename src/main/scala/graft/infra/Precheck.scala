@@ -229,7 +229,12 @@ object Precheck {
     * (decontamination) is itself a readable corpus.
     */
   def checkCorpusContract(spark: SparkSession, dir: String,
-      needTs: Boolean = false): Seq[CheckResult] = {
+      needTs: Boolean = false,
+      // the streaming kind legitimately starts against an EXISTING but
+      // still-empty spool (between drops): its readStream supplies the
+      // schema explicitly, so "no parquet yet" passes with a note
+      // instead of failing a previously-working idle drain
+      allowEmpty: Boolean = false): Seq[CheckResult] = {
     // the corpus is either a bare parquet dataset or a testdata-style
     // dir with documents.parquet inside — probe the specific one
     val docsPath =
@@ -237,7 +242,12 @@ object Precheck {
         s"$dir/documents.parquet"
       else dir
     val readable = checkSourceReadable(spark, docsPath)
-    if (!readable.ok) return Seq(readable)
+    if (!readable.ok) {
+      if (allowEmpty && new java.io.File(dir).isDirectory)
+        return Seq(CheckResult("source_readable", ok = true,
+          s"$dir: empty spool (schema deferred to the stream reader)"))
+      return Seq(readable)
+    }
     val schema = spark.read.parquet(docsPath).schema
     def field(name: String): Option[StructField] =
       schema.fields.find(_.name == name)

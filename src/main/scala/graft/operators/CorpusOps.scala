@@ -652,7 +652,12 @@ object CorpusOps {
     val bi = pairs.groupBy(col("tok"), col("nxt"))
       .agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= 5)
-    val totalB = pairs.agg(count(lit(1)).as("b"))
+    // B = Σ(n_d − 1) = T − n_docs exactly (every doc tokenizes to at
+    // least one element), so the corpus-sized explode+window subtree
+    // is never evaluated a second time just for a 1-row total
+    val totalB = docs.agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(totalT))
+      .select((col("t") - col("nd")).as("b"))
     bi
       .join(uni.select(col("tok"), col("c").as("c_a")), Seq("tok"))
       .join(uni.select(col("tok").as("nxt"), col("c").as("c_b")),

@@ -400,6 +400,21 @@ object CurationOps {
       .collect()(0).getAs[Array[Byte]](0)
   }
 
+  /** Load a benchmark corpus dir the same way the precheck probes it:
+    * a bare parquet dataset, or the canonical layout with
+    * `documents.parquet` inside (what the testdata dirs and the
+    * warc/jsonl ingests themselves land) — the gate and the read must
+    * agree on what counts as a corpus.
+    */
+  def benchmarkBloomFromDir(spark: SparkSession,
+      dir: String): Array[Byte] = {
+    val docsPath =
+      if (new java.io.File(s"$dir/documents.parquet").exists())
+        s"$dir/documents.parquet"
+      else dir
+    benchmarkBloomBytes(spark.read.parquet(docsPath))
+  }
+
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.{bloomAgg, bloomContains}
     val hashes = Tables.documents(spark, dir)

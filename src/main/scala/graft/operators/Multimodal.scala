@@ -525,7 +525,9 @@ object Multimodal {
         tag match {
           case 0x0100 => w = v
           case 0x0101 => h = v
-          case 0x0112 => o = v
+          // an Orientation cell of an unsupported value type keeps the
+          // spec default (1) instead of leaking the -1 sentinel
+          case 0x0112 if v >= 0 => o = v
           case _ => ()
         }
         k += 1

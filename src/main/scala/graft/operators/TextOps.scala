@@ -1017,11 +1017,18 @@ object TextOps {
         (acc, x) => acc + length(x))
       val distChars = aggregate(dist, lit(0L),
         (acc, x) => acc + length(x))
+      // exact integer floor division (a - pmod(a,b))/b — the division
+      // is always exact because the numerator is divisible, so no IEEE
+      // rounding can cross the engines (the q91/q127 discipline)
+      def floorDiv(a: Column, b: Column): Column =
+        ((a - pmod(a, b)) / b).cast("long")
+      val dupN = (n.cast("long") - size(dist).cast("long")) * 1000
+      val dupC = (chars - distChars) * 1000
       Seq(n.cast("long").as(s"n_$prefix"),
-        ((n - size(dist)) * 1000 / greatest(n, lit(1)))
-          .cast("long").as(s"dup_${prefix}_permille"),
-        ((chars - distChars) * 1000 / greatest(chars, lit(1L)))
-          .cast("long").as(s"dup_${prefix}_char_permille"))
+        floorDiv(dupN, greatest(n.cast("long"), lit(1L)))
+          .as(s"dup_${prefix}_permille"),
+        floorDiv(dupC, greatest(chars, lit(1L)))
+          .as(s"dup_${prefix}_char_permille"))
     }
     val paras = filter(transform(split(col("page"), "\n\n"),
       p => trim(p)), p => p =!= "")

@@ -202,8 +202,14 @@ object WarcSource {
     * into the q30+ operator battery.
     */
   def wetDocuments(records: DataFrame): DataFrame = {
+    // id precedence: record id, then uri+date, then the content bytes
+    // themselves — concat_ws of two absent fields is "" (never null),
+    // so nullif keeps a metadata-stripped record from colliding every
+    // such document onto charFold("")
     val idSource = coalesce(col("record_id"),
-      concat_ws("|", col("target_uri"), col("warc_date")))
+      nullif(concat_ws("|", col("target_uri"), col("warc_date")),
+        lit("")),
+      hex(md5(col("content"))))
     records.filter(col("warc_type") === "conversion")
       .select(
         graft.functions.GraftFunctions.charFold(idSource).as("doc_id"),

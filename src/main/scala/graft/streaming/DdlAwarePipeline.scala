@@ -32,6 +32,26 @@ object DdlAwarePipeline {
       // sink's error text (the reference's log_error line as data)
       ddlErrors: Seq[(String, String)] = Nil)
 
+  /** Task-driven form: the DDL conflict policy comes from the INI —
+    * `[meta_center] ddl_conflict_policy` when a meta center is
+    * configured (it governs replaying captured DDL into the external
+    * meta store), else `[sinker] conflict_policy` — so wiring the
+    * component into a task needs no manual policy plumbing.
+    */
+  def processForTask(task: graft.config.TaskConfig.Task,
+      changes: DataFrame, meta: MetaManager, ddlSink: DdlSink,
+      onBatch: (DataFrame, Long) => Unit,
+      report: BatchReport => Unit = _ => (),
+      defaultDb: String = ""): DataStreamWriter[Row] =
+    process(changes, task.router, defaultDb, meta, ddlSink, onBatch,
+      report, filter = task.filter.copy(
+        doDdls = if (task.filter.doDdls.isEmpty) Set("*")
+          else task.filter.doDdls,
+        doDcls = if (task.filter.doDcls.isEmpty) Set("*")
+          else task.filter.doDcls),
+      conflictPolicy = task.metaCenter
+        .map(_.ddlConflictPolicy).getOrElse(task.conflictPolicy))
+
   /** Process a mixed DML/DDL stream. `onBatch` receives only DML rows,
     * after the batch's DDL (if any) has been applied and the meta cache
     * invalidated.
