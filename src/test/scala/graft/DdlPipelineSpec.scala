@@ -155,6 +155,50 @@ class DdlPipelineSpec extends SparkSuite {
     assert(got.structType.fieldNames.toSeq == Seq("id"))
   }
 
+  test("processForTask resolves the policy from the INI: meta_center " +
+      "ddl_conflict_policy=ignore survives a failing sink DDL") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = sparkSession.sqlContext
+
+    val task = graft.config.TaskConfig.fromIni(
+      """[extractor]
+        |url=/src
+        |
+        |[sinker]
+        |url=/sink
+        |conflict_policy=interrupt
+        |
+        |[meta_center]
+        |type=dbengine
+        |url=/meta
+        |ddl_conflict_policy=ignore
+        |""".stripMargin)
+    // meta_center's policy must take precedence over the sinker's
+    val meta = new MetaManager(Fetcher)
+    val dml = new java.util.concurrent.atomic.AtomicLong(0)
+    val errs = new ArrayBuffer[(String, String)]()
+    val failingSink = new DdlAwarePipeline.DdlSink {
+      def execute(ddl: String): Unit =
+        throw new RuntimeException("already exists")
+    }
+    val input = MemoryStream[Change]
+    val q = DdlAwarePipeline.processForTask(task,
+      input.toDF(), meta, failingSink,
+      onBatch = (d, _) => dml.addAndGet(d.count()): Unit,
+      report = r => errs.synchronized(errs ++= r.ddlErrors): Unit,
+      defaultDb = "app").start()
+    try {
+      input.addData(
+        Change("insert", null, 1L),
+        Change("ddl", "CREATE TABLE t9 (id INT)", 0L))
+      q.processAllAvailable() // ignore: must NOT fail the stream
+    } finally q.stop()
+    assert(dml.get() == 1)
+    assert(errs.synchronized(errs.toList).exists(
+      _._2.contains("already exists")))
+  }
+
   test("conflict_policy=interrupt (default): a failing sink DDL " +
       "propagates and fails the stream") {
     val sparkSession = spark
