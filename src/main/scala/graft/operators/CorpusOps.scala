@@ -615,6 +615,88 @@ object CorpusOps {
        |  hapax_count * 1000 // vocab_size AS hapax_permille
        |FROM per JOIN head ON per.lang = head.lang""".stripMargin
 
+  // ---------------------------------------------------------------- q148
+  /** Held-out n-gram coverage — the corpus-sufficiency check run
+    * before committing to a data mix: split the corpus 90/10 with the
+    * deterministic q47 hash gate, and measure what fraction of the
+    * held-out slice's distinct token bigrams the training slice
+    * already contains, per language. Low coverage means the corpus is
+    * still in the steep part of its growth curve for that language
+    * (more data will keep paying); coverage near 1000‰ means the
+    * bigram space is saturating — the cheap proxy for the OOV/novelty
+    * rate a language model will see.
+    *
+    * Scale shape: one (lang, 64-bit bigram hash) census per side —
+    * Zipf-bounded, map-side combined; the coverage join is hash-only
+    * and the result is |langs| rows.
+    */
+  def heldoutCoverage(spark: SparkSession, dir: String): DataFrame =
+    heldoutCoverageOf(graft.Tables.documents(spark, dir))
+
+  def heldoutCoverageOf(corpus: DataFrame): DataFrame = {
+    val docs = corpus
+      .withColumn("is_train",
+        CurationOps.sampleHash(col("doc_id")) % 1000 < 900)
+    // per-doc bigrams, as in q107: lead over (doc, pos) ordering
+    val toks2 = docs.select(col("doc_id"), col("lang"),
+      col("is_train"),
+      posexplode(TextOps.tokens(TextOps.normText(col("text"))))
+        .as(Seq("pos", "tok")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = toks2
+      .withColumn("nxt", lead(col("tok"), 1).over(byDoc))
+      .filter(col("nxt").isNotNull)
+      .select(col("lang"), col("is_train"),
+        TextOps.charFold(concat_ws(" ", col("tok"), col("nxt")))
+          .as("g"))
+      .distinct()
+    val train = grams.filter(col("is_train"))
+      .select(col("lang"), col("g"))
+    val test = grams.filter(!col("is_train"))
+      .select(col("lang"), col("g"))
+    val covered = test.join(train, Seq("lang", "g"), "left_semi")
+      .groupBy("lang").agg(count(lit(1)).as("n_covered"))
+    test.groupBy("lang").agg(count(lit(1)).as("n_test_grams"))
+      .join(covered, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_covered"))
+      .select(col("lang"), col("n_test_grams"), col("n_covered"),
+        expr("n_covered * 1000 div greatest(n_test_grams, 1)")
+          .as("coverage_permille"))
+  }
+
+  val heldoutCoverageSql: String = {
+    val toks = TextOps.tokensSql(TextOps.normTextSql("text"))
+    val h = CurationOps.sampleHashSql("doc_id")
+    val fold = TextOps.charFoldSql("tok || ' ' || nxt")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, ($h) % 1000 < 900 AS is_train, text
+       |  FROM documents),
+       |tk AS (
+       |  SELECT doc_id, lang, is_train, unnest($toks) AS tok,
+       |    generate_subscripts($toks, 1) AS pos
+       |  FROM d),
+       |p AS (
+       |  SELECT lang, is_train, tok, lead(tok) OVER
+       |      (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |  FROM tk),
+       |g AS (
+       |  SELECT DISTINCT lang, is_train, $fold AS g
+       |  FROM p WHERE nxt IS NOT NULL),
+       |test AS (SELECT lang, g FROM g WHERE NOT is_train),
+       |train AS (SELECT lang, g FROM g WHERE is_train),
+       |cov AS (
+       |  SELECT t.lang, CAST(count(*) AS BIGINT) AS n_covered
+       |  FROM test t JOIN train USING (lang, g) GROUP BY 1),
+       |tot AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_test_grams
+       |  FROM test GROUP BY 1)
+       |SELECT tot.lang, n_test_grams,
+       |  coalesce(n_covered, 0) AS n_covered,
+       |  coalesce(n_covered, 0) * 1000 // greatest(n_test_grams, 1)
+       |    AS coverage_permille
+       |FROM tot LEFT JOIN cov ON tot.lang = cov.lang""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q142
   /** Collocation mining — the corpus's strongest two-word lexical
     * units by LIFT: P(ab) / (P(a)·P(b)) = c(ab)·T² / (B·c(a)·c(b)),
@@ -704,6 +786,7 @@ object CorpusOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_collocations" -> (collocations _),
+    "q148_heldout_coverage" -> (heldoutCoverage _),
     "q125_tokenizer_fertility" -> (tokenizerFertility _),
     "q126_zipf_diagnostics" -> (zipfDiagnostics _),
     "q81_interdup_fraction" -> (interdupFraction _),
@@ -716,6 +799,7 @@ object CorpusOps {
 
   val oracles: Map[String, String] = Map(
     "q142_collocations" -> collocationsSql,
+    "q148_heldout_coverage" -> heldoutCoverageSql,
     "q125_tokenizer_fertility" -> tokenizerFertilitySql,
     "q126_zipf_diagnostics" -> zipfDiagnosticsSql,
     "q81_interdup_fraction" -> interdupFractionSql,

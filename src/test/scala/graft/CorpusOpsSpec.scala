@@ -234,4 +234,33 @@ class CorpusOpsSpec extends SparkSuite {
     assert(row.getLong(1) == 6 && row.getLong(2) == 6 &&
       row.getLong(3) == 6)
   }
+
+  test("heldout coverage: learned split, shared bigram covered, " +
+      "unique test bigrams not") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    // learn which ids the 90/10 hash gate sends to test
+    val ids = (1L to 100L).toDF("doc_id")
+    val isTrain = ids.withColumn("t",
+      graft.operators.CurationOps.sampleHash(col("doc_id")) % 1000 <
+        900).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val nTest = isTrain.count(!_._2)
+    assert(nTest > 0 && nTest < 30) // ~10% of 100
+    // train docs share one bigram; each test doc adds one unique one
+    val docs = (1L to 100L).map { i =>
+      val text = if (isTrain(i)) "shared pair shared pair"
+        else s"shared pair unique$i"
+      (i, text, "en")
+    }.toDF("doc_id", "text", "lang")
+    val r = graft.operators.CorpusOps.heldoutCoverageOf(docs)
+      .collect().head
+    // test grams: 'shared pair' (covered) + 'pair unique$i' per test
+    // doc (uncovered)
+    assert(r.getAs[String]("lang") == "en")
+    assert(r.getAs[Long]("n_test_grams") == (1 + nTest).toLong)
+    assert(r.getAs[Long]("n_covered") == 1L)
+    assert(r.getAs[Long]("coverage_permille") ==
+      1000L / (1 + nTest))
+  }
 }
