@@ -264,9 +264,12 @@ object LoaderOps {
     * combine; the census is length-bounded, not corpus-bounded), a
     * cumulative window over that bounded frame, a 4-row result.
     */
-  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    lengthBucketsOf(Tables.documents(spark, dir))
+
+  def lengthBucketsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val census = Tables.documents(spark, dir)
+    val census = docs
       .select(size(TextOps.tokens(col("text"))).cast("long").as("len"))
       .groupBy(col("len")).agg(count(lit(1)).as("cnt"))
       .withColumn("mass", col("len") * col("cnt"))

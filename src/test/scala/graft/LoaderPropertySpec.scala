@@ -163,6 +163,62 @@ class LoaderPropertySpec extends SparkSuite {
     }
   }
 
+
+  test("length buckets and window loss agree with brute-force models " +
+      "over random corpora") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(sys.error("gen failed"))
+    val corpusGen = for {
+      n <- Gen.choose(5, 60)
+      lens <- Gen.listOfN(n, Gen.choose(1, 120))
+    } yield lens
+    (1L to 8L).foreach { seed =>
+      val lens = sample(corpusGen, seed)
+      val docs = lens.zipWithIndex.map { case (l, i) =>
+        (i.toLong, Seq.fill(l)("t").mkString(" "))
+      }.toDF("doc_id", "text")
+
+      // q139 model: sort lengths, cumulative token mass, bucket by
+      // ceil(cum*4/total) over the (len -> count) census rows
+      val census = lens.groupBy(identity).view
+        .mapValues(_.size).toSeq.sortBy(_._1)
+      val total = lens.map(_.toLong).sum
+      var cum = 0L
+      val model = census.map { case (len, cnt) =>
+        cum += len.toLong * cnt
+        val b = (cum * 4 + total - 1) / total
+        (len.toLong, cnt.toLong, b)
+      }
+      val expected = model.groupBy(_._3).map { case (b, rows) =>
+        b -> (rows.map(_._1).min, rows.map(_._1).max,
+          rows.map(_._2).sum, rows.map(r => r._1 * r._2).sum)
+      }
+      val got = graft.operators.LoaderOps.lengthBucketsOf(docs)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(got == expected, s"seed=$seed")
+
+      // q146 model: straight per-doc arithmetic summed per window
+      val winGot = graft.operators.PackingOps.windowLossOf(docs)
+        .collect().map(r => r.getAs[Long]("window") -> r).toMap
+      Seq(32L, 64L, 256L).foreach { w =>
+        val lost = lens.map(l => math.max(0L, l.toLong - w)).sum
+        val wins = lens.map(l => (l.toLong + w - 1) / w).sum
+        val pad = wins * w - lens.map(_.toLong).sum
+        val row = winGot(w)
+        assert(row.getAs[Long]("lost_truncate") == lost,
+          s"seed=$seed w=$w")
+        assert(row.getAs[Long]("n_windows_split") == wins,
+          s"seed=$seed w=$w")
+        assert(row.getAs[Long]("pad_split") == pad, s"seed=$seed w=$w")
+      }
+    }
+  }
 }
 
 /** charFold modulus mirror for driver-side reference hashing. */
