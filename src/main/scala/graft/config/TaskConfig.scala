@@ -258,6 +258,7 @@ object TaskConfig {
         case xs => xs.toSet
       },
       doDdls = fl.list("do_ddls").toSet,
+      doDcls = fl.list("do_dcls").toSet,
       doStructures = fl.list("do_structures").toSet,
       ignoreCmds = fl.list("ignore_cmds").toSet)
 
@@ -400,8 +401,13 @@ object TaskConfig {
       maxRps = pl.get("max_rps", "").toLongOption,
       checkpointIntervalSecs =
         pl.get("checkpoint_interval_secs", "10").toInt,
-      counterTimeWindowSecs = pl.get("counter_time_window_secs",
-        pl.get("checkpoint_interval_secs", "10")).toInt,
+      // absent OR an explicit 0 falls back to checkpoint_interval_secs
+      // (task_config.rs:1170-1171) — a zero-width monitor window would
+      // evict every counter entry immediately
+      counterTimeWindowSecs = Some(pl.get("counter_time_window_secs",
+        pl.get("checkpoint_interval_secs", "10")).toInt)
+        .filter(_ != 0)
+        .getOrElse(pl.get("checkpoint_interval_secs", "10").toInt),
       conflictPolicy = graft.struct.StructApplier.parsePolicy(
         sk.get("conflict_policy", "interrupt")),
       metaCenter = metaCenter(p, ex, sk))

@@ -131,9 +131,15 @@ object TaskRunner {
     val manifestDir = s"${task.sinkDir}/ingested_files"
     // probe through the Hadoop-FS layer, not java.io: a non-local
     // sink (hdfs://, s3a://) must see its manifest or every run would
-    // silently re-frame and re-append the whole crawl
-    def readIfExists(path: String) =
-      scala.util.Try(spark.read.parquet(path)).toOption
+    // silently re-frame and re-append the whole crawl. Absence is the
+    // ONLY condition that yields None — a transient/corrupt manifest
+    // read must propagate, not quietly re-frame the entire history
+    // into duplicate record rows.
+    def readIfExists(path: String) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+    }
     val done: Set[String] = readIfExists(manifestDir)
       .map(_.select("file").collect().map(_.getString(0)).toSet)
       .getOrElse(Set.empty)
@@ -163,7 +169,11 @@ object TaskRunner {
       case None => 0L
       case Some(stored) =>
         graft.sources.WarcSource.wetDocuments(stored)
-          .dropDuplicates("doc_id") // crash-replayed segments collapse
+          // crash-replayed segments collapse (same doc_id AND raw_id);
+          // a fold collision (same doc_id, different raw_id) keeps
+          // both rows — detectable downstream rather than silently
+          // discarding a legitimate document
+          .dropDuplicates("doc_id", "raw_id")
           .write.mode(SaveMode.Overwrite)
           .parquet(s"${task.sinkDir}/documents.parquet")
         spark.read
@@ -209,10 +219,13 @@ object TaskRunner {
         col("text").isNotNull)
       .select(
         graft.functions.GraftFunctions.charFold(idSource).as("doc_id"),
+        idSource.as("raw_id"),
         col("url"), col("lang"), col("text"))
       // within-ingest dedup (same contract as the WARC path): repeated
-      // lines and shared ids collapse so doc_id stays unique downstream
-      .dropDuplicates("doc_id")
+      // lines and shared ids collapse; dedup keys on (doc_id, raw_id)
+      // so a 64-bit fold collision keeps both documents (detectable)
+      // instead of silently dropping one
+      .dropDuplicates("doc_id", "raw_id")
     docs.write.mode(SaveMode.Overwrite)
       .parquet(s"${task.sinkDir}/documents.parquet")
     bad.select(coalesce(col("_corrupt"), lit("missing text"))

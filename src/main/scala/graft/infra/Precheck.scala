@@ -236,14 +236,25 @@ object Precheck {
       // instead of failing a previously-working idle drain
       allowEmpty: Boolean = false): Seq[CheckResult] = {
     // the corpus is either a bare parquet dataset or a testdata-style
-    // dir with documents.parquet inside — probe the specific one
-    val docsPath =
-      if (new java.io.File(s"$dir/documents.parquet").exists())
-        s"$dir/documents.parquet"
-      else dir
+    // dir with documents.parquet inside — probe the specific one.
+    // Probe through the Hadoop FileSystem API, not java.io.File: the
+    // corpus may live on hdfs:// or s3a://, where a local-file probe
+    // silently misses documents.parquet and an empty remote spool
+    // would fail the streaming precheck the allowEmpty branch exists
+    // to pass.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def hfs(p: String) = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      (path.getFileSystem(hconf), path)
+    }
+    val docsPath = {
+      val (fs, p) = hfs(s"$dir/documents.parquet")
+      if (fs.exists(p)) s"$dir/documents.parquet" else dir
+    }
     val readable = checkSourceReadable(spark, docsPath)
     if (!readable.ok) {
-      if (allowEmpty && new java.io.File(dir).isDirectory)
+      val (fs, p) = hfs(dir)
+      if (allowEmpty && fs.exists(p) && fs.getFileStatus(p).isDirectory)
         return Seq(CheckResult("source_readable", ok = true,
           s"$dir: empty spool (schema deferred to the stream reader)"))
       return Seq(readable)

@@ -408,10 +408,12 @@ object CurationOps {
     */
   def benchmarkBloomFromDir(spark: SparkSession,
       dir: String): Array[Byte] = {
+    // Hadoop FS probe (not java.io.File) so hdfs://s3a:// corpus dirs
+    // resolve the same way the precheck does
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val docsPath =
-      if (new java.io.File(s"$dir/documents.parquet").exists())
-        s"$dir/documents.parquet"
-      else dir
+      if (fs.exists(p)) s"$dir/documents.parquet" else dir
     benchmarkBloomBytes(spark.read.parquet(docsPath))
   }
 

@@ -210,9 +210,16 @@ object WarcSource {
       nullif(concat_ws("|", col("target_uri"), col("warc_date")),
         lit("")),
       hex(md5(col("content"))))
+    // raw_id rides alongside the 64-bit fold: a fold collision between
+    // two distinct records then surfaces as two rows sharing doc_id
+    // with different raw_id (detectable, auditable) instead of one
+    // legitimate document silently vanishing in a doc_id-only dedup —
+    // the ingest dedups on (doc_id, raw_id) so only true crash
+    // replays collapse
     records.filter(col("warc_type") === "conversion")
       .select(
         graft.functions.GraftFunctions.charFold(idSource).as("doc_id"),
+        idSource.as("raw_id"),
         col("target_uri").as("url"),
         col("warc_date").as("fetched_at"),
         decode(col("content"), "UTF-8").as("text"))

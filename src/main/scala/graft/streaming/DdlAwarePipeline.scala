@@ -43,12 +43,14 @@ object DdlAwarePipeline {
       onBatch: (DataFrame, Long) => Unit,
       report: BatchReport => Unit = _ => (),
       defaultDb: String = ""): DataStreamWriter[Row] =
+    // task.filter passes through UNCHANGED: the reference's DDL/DCL
+    // replication is opt-in (filter_config.rs do_ddls/do_dcls are
+    // optional; an empty set drops all DDL/DCL — the rdb_filter
+    // default NameFilter.allowDdl documents). Rewriting empty→"*"
+    // here would replay ALL DDL for unconfigured tasks and leave no
+    // way to express "drop all DDL" through this entry point.
     process(changes, task.router, defaultDb, meta, ddlSink, onBatch,
-      report, filter = task.filter.copy(
-        doDdls = if (task.filter.doDdls.isEmpty) Set("*")
-          else task.filter.doDdls,
-        doDcls = if (task.filter.doDcls.isEmpty) Set("*")
-          else task.filter.doDcls),
+      report, filter = task.filter,
       conflictPolicy = task.metaCenter
         .map(_.ddlConflictPolicy).getOrElse(task.conflictPolicy))
 

@@ -165,6 +165,9 @@ class DdlPipelineSpec extends SparkSuite {
       """[extractor]
         |url=/src
         |
+        |[filter]
+        |do_ddls=*
+        |
         |[sinker]
         |url=/sink
         |conflict_policy=interrupt
@@ -197,6 +200,42 @@ class DdlPipelineSpec extends SparkSuite {
     assert(dml.get() == 1)
     assert(errs.synchronized(errs.toList).exists(
       _._2.contains("already exists")))
+  }
+
+  test("processForTask keeps the reference opt-in default: a task " +
+      "with no [filter] do_ddls drops all DDL (filter_config.rs — " +
+      "do_ddls optional, empty set replicates nothing)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = sparkSession.sqlContext
+
+    val task = graft.config.TaskConfig.fromIni(
+      """[extractor]
+        |url=/src
+        |
+        |[sinker]
+        |url=/sink
+        |""".stripMargin)
+    val meta = new MetaManager(Fetcher)
+    val dml = new java.util.concurrent.atomic.AtomicLong(0)
+    val sank = new ArrayBuffer[String]()
+    val sink = new DdlAwarePipeline.DdlSink {
+      def execute(ddl: String): Unit = sank.synchronized(sank += ddl)
+    }
+    val input = MemoryStream[Change]
+    val q = DdlAwarePipeline.processForTask(task,
+      input.toDF(), meta, sink,
+      onBatch = (d, _) => dml.addAndGet(d.count()): Unit,
+      defaultDb = "app").start()
+    try {
+      input.addData(
+        Change("insert", null, 1L),
+        Change("ddl", "CREATE TABLE t10 (id INT)", 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // DML flowed; the unconfigured DDL lane replayed NOTHING
+    assert(dml.get() == 1)
+    assert(sank.synchronized(sank.toList).isEmpty)
   }
 
   test("conflict_policy=interrupt (default): a failing sink DDL " +

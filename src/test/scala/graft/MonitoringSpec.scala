@@ -222,4 +222,25 @@ class MonitoringSpec extends AnyFunSuite {
     assert(graft.config.TaskConfig.fromIni(
       "[extractor]\nextract_type=snapshot\n").metrics.isEmpty)
   }
+
+  test("counter_time_window_secs: absent AND explicit 0 both fall back " +
+      "to checkpoint_interval_secs (task_config.rs:1170-1171 — a " +
+      "zero-width window would evict every counter immediately)") {
+    def parse(pipeline: String) = graft.config.TaskConfig.fromIni(
+      s"""[extractor]
+         |url=/src
+         |[sinker]
+         |url=/dst
+         |[pipeline]
+         |$pipeline
+         |""".stripMargin)
+    val absent = parse("checkpoint_interval_secs=7")
+    assert(absent.counterTimeWindowSecs == 7)
+    val zero = parse("checkpoint_interval_secs=7\n" +
+      "counter_time_window_secs=0")
+    assert(zero.counterTimeWindowSecs == 7)
+    val explicit = parse("checkpoint_interval_secs=7\n" +
+      "counter_time_window_secs=42")
+    assert(explicit.counterTimeWindowSecs == 42)
+  }
 }

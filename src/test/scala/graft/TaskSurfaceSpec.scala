@@ -299,7 +299,8 @@ class TaskSurfaceSpec extends SparkSuite {
     assert(s1.nBadLines == 2)  // null text + unparseable line
     assert(s1.withUrl == 1)
     val docs = spark.read.parquet(s"$sink/documents.parquet")
-    assert(docs.columns.toSet == Set("doc_id", "url", "lang", "text"))
+    assert(docs.columns.toSet ==
+      Set("doc_id", "raw_id", "url", "lang", "text"))
     // stable id contract: re-running lands identical doc_ids
     val ids1 = docs.select("doc_id").collect().map(_.getLong(0)).toSet
     TaskRunner.runJsonl(spark, task)

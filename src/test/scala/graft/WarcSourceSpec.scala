@@ -141,7 +141,7 @@ class WarcSourceSpec extends SparkSuite {
     // the landed documents table IS the curation-chain input shape
     val docs = spark.read.parquet(s"$sink/documents.parquet")
     assert(docs.columns.toSet ==
-      Set("doc_id", "url", "fetched_at", "text"))
+      Set("doc_id", "raw_id", "url", "fetched_at", "text"))
     assert(docs.select("doc_id").distinct().count() == 2)
   }
 
