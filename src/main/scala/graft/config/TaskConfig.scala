@@ -365,7 +365,11 @@ object TaskConfig {
       sinkDir = sk.get("url", ""),
       filter = filter,
       router = router,
-      batchSize = ex.get("batch_size", "10000").toInt,
+      // the reference keys sink batching under [sinker] batch_size
+      // (sinker_config.rs); extractor batch_size is the snapshot
+      // fetch size and doubles as the fallback
+      batchSize = sk.get("batch_size",
+        ex.get("batch_size", "10000")).toInt,
       parallelism = pl.get("parallel_size", "4").toInt,
       // percent 1..99 — estimated snapshot sampling (ExplainEstimate)
       sampleRate = ex.get("sample_rate", "").toIntOption,

@@ -1,0 +1,2 @@
+CREATE DATABASE test_db_1;
+CREATE TABLE test_db_1.one_pk_no_uk ( f_0 tinyint, f_1 smallint, PRIMARY KEY (f_0) );

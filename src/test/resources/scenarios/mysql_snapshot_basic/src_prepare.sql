@@ -1,0 +1,3 @@
+CREATE DATABASE test_db_1;
+CREATE TABLE test_db_1.one_pk_no_uk ( f_0 tinyint, f_1 smallint, f_2 decimal(10,4), f_3 varchar(64), PRIMARY KEY (f_0) );
+CREATE TABLE test_db_1.no_pk_no_uk ( f_0 tinyint, f_1 varchar(64) );

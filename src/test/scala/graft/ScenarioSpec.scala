@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.scenario.{FixtureSql, ScenarioRunner}
+
+/** The dt-tests-style scenario corpus: every dir under
+  * src/test/resources/scenarios is a reference-shaped scenario
+  * (task_config.ini + src_prepare.sql + src_test.sql) executed by the
+  * ONE data-driven runner and checked by full end-state table
+  * comparison src vs dst — the reference's
+  * rdb_test_runner.rs:329-349 `compare_data_for_tbs` contract, here
+  * against both a naive per-event replay oracle and (when nothing is
+  * filtered) the interpreted source's own end state.
+  *
+  * The corpus covers the canonical pk/uk permutation tables from
+  * dt-tests/tests/mysql_to_mysql/cdc/basic_test/src_prepare.sql:1-60
+  * (no_pk_no_uk … one_pk_multi_uk), routing, ignore_cols, do_events
+  * and do_tbs filters, key-changing updates, NULL-unique-key serial
+  * lanes, both dialects, and batch-size boundaries.
+  */
+class ScenarioSpec extends SparkSuite {
+
+  // one test per scenario dir — a new fixture dir IS a new test
+  ScenarioRunner.scenarios().foreach { dir =>
+    val name = dir.getFileName.toString
+    test(s"scenario: $name") {
+      val r = ScenarioRunner.run(spark, dir)
+      assert(r.tablesCompared > 0, s"$name compared no tables")
+    }
+  }
+
+  test("the corpus covers the five reference key-shape tables") {
+    val basic = ScenarioRunner.corpusRoot.resolve("mysql_cdc_basic")
+    val prepare = FixtureSql.parseScript(new String(
+      Files.readAllBytes(basic.resolve("src_prepare.sql")), "UTF-8"))
+    val tables = prepare.collect {
+      case FixtureSql.CreateTable(d) => d.tb
+    }.toSet
+    val canonical = Set("no_pk_no_uk", "one_pk_no_uk", "no_pk_one_uk",
+      "no_pk_multi_uk", "one_pk_multi_uk")
+    assert(canonical.subsetOf(tables))
+  }
+
+  test("scenario end states are non-trivial: basic leaves rows at dst " +
+      "and do_events suppresses the filtered delete") {
+    val basic = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("mysql_cdc_basic"))
+    assert(basic.rowsAtDst > 10)
+
+    val filtered = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("mysql_cdc_do_events"))
+    val (_, got) = filtered.perTable("test_db_1.one_pk_no_uk")
+    // the delete of f_0=2 was filtered out, so the row SURVIVES at dst
+    assert(got.exists(_.get("f_0").contains("2")))
+    assert(got.size == 3)
+  }
+
+  test("routing scenario lands rows under the routed names only") {
+    val r = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("mysql_cdc_route"))
+    assert(r.perTable.contains("dst_db_1.dst_one_pk_no_uk"))
+    assert(r.perTable.contains("dst_db_2.plain_tb"))
+    assert(!r.perTable.contains("src_db_1.one_pk_no_uk"))
+    val (_, routed) = r.perTable("dst_db_1.dst_one_pk_no_uk")
+    // col_map renamed f_1 -> dst_f_1, and the update through the
+    // rename is visible
+    assert(routed.exists(m => m.get("dst_f_1").contains("11")))
+    assert(routed.forall(!_.contains("f_1")))
+  }
+}
