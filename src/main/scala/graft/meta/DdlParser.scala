@@ -11,20 +11,42 @@ import graft.operators.Router
   */
 object DdlParser {
 
+  /** Render/fold dialect — the reference's DdlParser::new(DbType)
+    * (ddl_parser.rs): MySQL quotes with backticks and preserves
+    * identifier case; PG quotes with double quotes and folds UNQUOTED
+    * identifiers to lower case (test_create_table_with_schema_with_
+    * upper_case_pg: Test_DB -> "test_db" but "Test_DB" stays).
+    */
+  sealed trait SqlDialect {
+    def q(id: String): String
+    def fold(id: String): String
+  }
+  case object Mysql extends SqlDialect {
+    def q(id: String) = s"`$id`"
+    def fold(id: String) = id
+  }
+  case object Pg extends SqlDialect {
+    def q(id: String) = "\"" + id + "\""
+    def fold(id: String) = id.toLowerCase
+  }
+
   sealed trait DdlStatement {
-    def render: String
+    def render(d: SqlDialect): String
+    final def render: String = render(Mysql)
   }
   final case class CreateDatabase(db: String, ifNotExists: Boolean)
       extends DdlStatement {
-    def render = s"CREATE DATABASE ${ine(ifNotExists)}${q(db)}"
+    def render(d: SqlDialect) =
+      s"CREATE DATABASE ${ine(ifNotExists)}${d.q(db)}"
   }
   final case class DropDatabase(db: String, ifExists: Boolean)
       extends DdlStatement {
-    def render = s"DROP DATABASE ${ie(ifExists)}${q(db)}"
+    def render(d: SqlDialect) =
+      s"DROP DATABASE ${ie(ifExists)}${d.q(db)}"
   }
   final case class AlterDatabase(db: String, alteration: String)
       extends DdlStatement {
-    def render = s"ALTER DATABASE ${q(db)} $alteration"
+    def render(d: SqlDialect) = s"ALTER DATABASE ${d.q(db)} $alteration"
   }
   /** PG-style schema namespace DDL — the reference types these apart
     * from database DDL by keyword (ddl_parser.rs:183-272), so `CREATE
@@ -32,13 +54,19 @@ object DdlParser {
     * DATABASE.
     */
   final case class CreateSchema(schema: String, ifNotExists: Boolean,
-      authorization: Boolean = false) extends DdlStatement {
-    def render = s"CREATE SCHEMA ${ine(ifNotExists)}" +
-      s"${if (authorization) "AUTHORIZATION " else ""}${q(schema)}"
+      authorization: Boolean = false, trailing: String = "")
+      extends DdlStatement {
+    // trailing carries a post-name `AUTHORIZATION owner` clause
+    // verbatim (ddl_parser.rs test_create_schema_pg: "create schema if
+    // not exists match authorization hehe" keeps the tail as written)
+    def render(d: SqlDialect) = s"CREATE SCHEMA ${ine(ifNotExists)}" +
+      s"${if (authorization) "AUTHORIZATION " else ""}${d.q(schema)}" +
+      (if (trailing.isEmpty) "" else s" $trailing")
   }
   final case class DropSchema(schema: String, ifExists: Boolean)
       extends DdlStatement {
-    def render = s"DROP SCHEMA ${ie(ifExists)}${q(schema)}"
+    def render(d: SqlDialect) =
+      s"DROP SCHEMA ${ie(ifExists)}${d.q(schema)}"
   }
   /** ALTER SCHEMA: RENAME TO is modeled (it re-namespaces every table
     * under the schema); other alterations ride along verbatim.
@@ -46,9 +74,10 @@ object DdlParser {
   final case class AlterSchema(schema: String,
       newSchema: Option[String], unparsed: String = "")
       extends DdlStatement {
-    def render = newSchema match {
-      case Some(n) => s"ALTER SCHEMA ${q(schema)} RENAME TO ${q(n)}"
-      case None => s"ALTER SCHEMA ${q(schema)} $unparsed"
+    def render(d: SqlDialect) = newSchema match {
+      case Some(n) =>
+        s"ALTER SCHEMA ${d.q(schema)} RENAME TO ${d.q(n)}"
+      case None => s"ALTER SCHEMA ${d.q(schema)} $unparsed"
     }
   }
   /** `modifier` carries table persistence qualifiers as written —
@@ -59,22 +88,29 @@ object DdlParser {
   final case class CreateTable(db: Option[String], tb: String,
       body: String, ifNotExists: Boolean, modifier: String = "")
       extends DdlStatement {
-    def render = {
+    def render(d: SqlDialect) = {
       val m = if (modifier.isEmpty) "" else s"$modifier "
-      s"CREATE ${m}TABLE ${ine(ifNotExists)}${qt(db, tb)} $body"
+      s"CREATE ${m}TABLE ${ine(ifNotExists)}${qt(d, db, tb)} $body"
     }
   }
   final case class DropTable(db: Option[String], tb: String,
       ifExists: Boolean) extends DdlStatement {
-    def render = s"DROP TABLE ${ie(ifExists)}${qt(db, tb)}"
+    def render(d: SqlDialect) =
+      s"DROP TABLE ${ie(ifExists)}${qt(d, db, tb)}"
   }
-  final case class TruncateTable(db: Option[String], tb: String)
-      extends DdlStatement {
-    def render = s"TRUNCATE TABLE ${qt(db, tb)}"
+  final case class TruncateTable(db: Option[String], tb: String,
+      only: Boolean = false) extends DdlStatement {
+    // PG TRUNCATE [TABLE] [ONLY] — canonical render restores the
+    // TABLE keyword and keeps ONLY (ddl_parser.rs test_truncate_table_pg)
+    def render(d: SqlDialect) =
+      s"TRUNCATE TABLE ${if (only) "ONLY " else ""}${qt(d, db, tb)}"
   }
   final case class AlterTable(db: Option[String], tb: String,
-      alteration: String) extends DdlStatement {
-    def render = s"ALTER TABLE ${qt(db, tb)} $alteration"
+      alteration: String, ifExists: Boolean = false,
+      only: Boolean = false) extends DdlStatement {
+    def render(d: SqlDialect) =
+      s"ALTER TABLE ${ie(ifExists)}${if (only) "ONLY " else ""}" +
+        s"${qt(d, db, tb)} $alteration"
   }
   /** `ALTER TABLE x RENAME [TO|AS] y` — the reference models this as a
     * dedicated statement (ddl_statement.rs MysqlAlterTableRename /
@@ -84,38 +120,67 @@ object DdlParser {
     * `RENAME TO` form regardless of the surface spelling.
     */
   final case class AlterTableRename(db: Option[String], tb: String,
-      newDb: Option[String], newTb: String) extends DdlStatement {
-    def render = s"ALTER TABLE ${qt(db, tb)} RENAME TO ${qt(newDb, newTb)}"
+      newDb: Option[String], newTb: String, ifExists: Boolean = false,
+      only: Boolean = false) extends DdlStatement {
+    def render(d: SqlDialect) =
+      s"ALTER TABLE ${ie(ifExists)}${if (only) "ONLY " else ""}" +
+        s"${qt(d, db, tb)} RENAME TO ${qt(d, newDb, newTb)}"
   }
   /** PG `ALTER TABLE s.t SET SCHEMA s2` (ddl_statement.rs
     * PgAlterTableSetSchema) — the new schema must route through the
     * schema map like any other namespace.
     */
   final case class AlterTableSetSchema(db: Option[String], tb: String,
-      newSchema: String) extends DdlStatement {
-    def render = s"ALTER TABLE ${qt(db, tb)} SET SCHEMA ${q(newSchema)}"
+      newSchema: String, ifExists: Boolean = false,
+      only: Boolean = false) extends DdlStatement {
+    def render(d: SqlDialect) =
+      s"ALTER TABLE ${ie(ifExists)}${if (only) "ONLY " else ""}" +
+        s"${qt(d, db, tb)} SET SCHEMA ${d.q(newSchema)}"
   }
   final case class RenameTable(fromDb: Option[String], fromTb: String,
       toDb: Option[String], toTb: String) extends DdlStatement {
-    def render =
-      s"RENAME TABLE ${qt(fromDb, fromTb)} TO ${qt(toDb, toTb)}"
+    def render(d: SqlDialect) =
+      s"RENAME TABLE ${qt(d, fromDb, fromTb)} TO ${qt(d, toDb, toTb)}"
   }
   final case class CreateIndex(index: String, db: Option[String],
       tb: String, cols: String, unique: Boolean = false,
-      using: String = "") extends DdlStatement {
-    def render = {
+      using: String = "", concurrently: Boolean = false,
+      ifNotExists: Boolean = false, only: Boolean = false)
+      extends DdlStatement {
+    // index == "" is PG's nameless form: `create index on tb(id)`
+    // (ddl_parser.rs test_create_index_pg)
+    def render(d: SqlDialect) = {
       val u = if (unique) "UNIQUE " else ""
+      val c = if (concurrently) "CONCURRENTLY " else ""
+      val n = if (index.isEmpty) "" else s"${d.q(index)} "
       // the reference canonicalizes the index method to upper case
       // (test_create_index_mysql: `using  btree` → `USING BTREE`)
       val m = if (using.isEmpty) "" else s"USING ${using.toUpperCase} "
-      s"CREATE ${u}INDEX ${q(index)} ${m}ON ${qt(db, tb)} ($cols)"
+      val o = if (only) "ONLY " else ""
+      s"CREATE ${u}INDEX $c${ine(ifNotExists)}$n${m}ON " +
+        s"$o${qt(d, db, tb)} ($cols)"
     }
   }
   final case class DropIndex(index: String, db: Option[String],
       tb: String, trailing: String = "") extends DdlStatement {
-    def render = {
+    def render(d: SqlDialect) = {
       val t = if (trailing.isEmpty) "" else s" $trailing"
-      s"DROP INDEX ${q(index)} ON ${qt(db, tb)}$t"
+      s"DROP INDEX ${d.q(index)} ON ${qt(d, db, tb)}$t"
+    }
+  }
+
+  /** PG `DROP INDEX [CONCURRENTLY] [IF EXISTS] i1[, i2…] [RESTRICT]`
+    * — no ON clause; the reference keeps the multi-index list as ONE
+    * statement (ddl_parser.rs test_drop_index_pg).
+    */
+  final case class DropIndexPg(indexes: Seq[String],
+      concurrently: Boolean = false, ifExists: Boolean = false,
+      trailing: String = "") extends DdlStatement {
+    def render(d: SqlDialect) = {
+      val c = if (concurrently) "CONCURRENTLY " else ""
+      val t = if (trailing.isEmpty) "" else s" $trailing"
+      s"DROP INDEX $c${ie(ifExists)}" +
+        indexes.map(d.q).mkString(", ") + t
     }
   }
   /** A MongoDB DDL carried by the change stream (showExpandedEvents) —
@@ -129,7 +194,7 @@ object DdlParser {
   final case class MongoCommand(mongoType: String, schema: String,
       tb: String, newSchema: String = "", newTb: String = "",
       command: String = "") extends DdlStatement {
-    def render = MongoDdl.rewriteNamespace(this)
+    def render(d: SqlDialect) = MongoDdl.rewriteNamespace(this)
     def isShardDdl: Boolean = MongoDdl.shardTypes.contains(mongoType)
   }
 
@@ -137,27 +202,33 @@ object DdlParser {
     * at the statement level = not at all; flagged for manual handling).
     */
   final case class RawDdl(sql: String) extends DdlStatement {
-    def render = sql
+    def render(d: SqlDialect) = sql
   }
 
-  private def q(id: String) = s"`$id`"
-  private def qt(db: Option[String], tb: String) =
-    db.fold(q(tb))(d => s"${q(d)}.${q(tb)}")
+  private def qt(d: SqlDialect, db: Option[String], tb: String) =
+    db.fold(d.q(tb))(x => s"${d.q(x)}.${d.q(tb)}")
   private def ine(b: Boolean) = if (b) "IF NOT EXISTS " else ""
   private def ie(b: Boolean) = if (b) "IF EXISTS " else ""
 
   private val id = """(?:`([^`]+)`|"([^"]+)"|([A-Za-z_][\w$]*))"""
   private val qual = s"$id(?:\\s*\\.\\s*$id)?"
 
-  private def unq(m: java.util.regex.Matcher, base: Int): String =
-    Seq(base, base + 1, base + 2).iterator
-      .map(m.group).find(_ != null).orNull
+  private def unq(m: java.util.regex.Matcher, base: Int,
+      d: SqlDialect = Mysql): String = {
+    // group layout per id: (backtick, dquote, bare) — only a BARE
+    // identifier case-folds (PG lowercases unquoted, quoted preserved;
+    // ddl_parser.rs test_create_table_with_schema_with_upper_case_pg)
+    if (m.group(base) != null) m.group(base)
+    else if (m.group(base + 1) != null) m.group(base + 1)
+    else if (m.group(base + 2) != null) d.fold(m.group(base + 2))
+    else null
+  }
 
   /** (db?, tb) from a qualified-name match starting at group `base`. */
-  private def qualName(m: java.util.regex.Matcher, base: Int)
-      : (Option[String], String) = {
-    val first = unq(m, base)
-    val second = unq(m, base + 3)
+  private def qualName(m: java.util.regex.Matcher, base: Int,
+      d: SqlDialect = Mysql): (Option[String], String) = {
+    val first = unq(m, base, d)
+    val second = unq(m, base + 3, d)
     if (second == null) (None, first) else (Some(first), second)
   }
 
@@ -176,7 +247,8 @@ object DdlParser {
   private val alterDbRe =
     re(s"^\\s*ALTER\\s+DATABASE\\s+$id\\s+(.+)$$")
   private val createSchemaRe =
-    re(s"^\\s*CREATE\\s+SCHEMA\\s+(IF\\s+NOT\\s+EXISTS\\s+)?(AUTHORIZATION\\s+)?$id\\s*$$")
+    re(s"^\\s*CREATE\\s+SCHEMA\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+      s"(AUTHORIZATION\\s+)?$id\\s*(.*)$$")
   private val dropSchemaRe =
     re(s"^\\s*DROP\\s+SCHEMA\\s+(IF\\s+EXISTS\\s+)?$id\\s*(?:CASCADE|RESTRICT)?\\s*$$")
   private val alterSchemaRe =
@@ -194,18 +266,28 @@ object DdlParser {
   private val dropTbRe =
     re(s"^\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?(.*)$$")
   private val truncateRe =
-    re(s"^\\s*TRUNCATE\\s+(?:TABLE\\s+)?$qual\\s*$$")
+    re(s"^\\s*TRUNCATE\\s+(?:TABLE\\s+)?(ONLY\\s+)?$qual\\s*$$")
   private val alterRe =
-    re(s"^\\s*ALTER\\s+TABLE\\s+$qual\\s+(.*)$$")
+    re(s"^\\s*ALTER\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?(ONLY\\s+)?" +
+      s"$qual\\s+(.*)$$")
   private val renameRe =
     re(s"^\\s*RENAME\\s+TABLE\\s+(.*)$$")
   private val renamePairRe = re(s"^\\s*$qual\\s+TO\\s+$qual\\s*$$")
   private val createIdxRe =
-    re(s"^\\s*CREATE\\s+(UNIQUE\\s+)?INDEX\\s+$id\\s*" +
-      s"(?:USING\\s+(\\w+)\\s+)?ON\\s+$qual\\s*\\((.*)\\)\\s*$$")
+    re(s"^\\s*CREATE\\s+(UNIQUE\\s+)?INDEX\\s+(CONCURRENTLY\\s+)?" +
+      s"(IF\\s+NOT\\s+EXISTS\\s+)?(?:(?!ON\\b)$id\\s*)?" +
+      s"(?:USING\\s+(\\w+)\\s+)?ON\\s+(ONLY\\s+)?" +
+      s"$qual\\s*\\((.*)\\)\\s*$$")
   private val dropIdxRe =
     re(s"^\\s*DROP\\s+INDEX\\s+$id\\s+ON\\s+$qual\\s*(.*)$$")
+  // PG form: no ON clause, optional CONCURRENTLY/IF EXISTS, a
+  // comma-separated index list kept as ONE statement, trailing
+  // RESTRICT/CASCADE verbatim (ddl_parser.rs test_drop_index_pg)
+  private val dropIdxPgRe =
+    re(s"^\\s*DROP\\s+INDEX\\s+(CONCURRENTLY\\s+)?" +
+      s"(IF\\s+EXISTS\\s+)?([^;]+?)\\s*(RESTRICT|CASCADE)?\\s*$$")
   private val qualOnlyRe = re(s"^\\s*$qual\\s*$$")
+  private val idOnlyRe = re(s"^\\s*$id\\s*$$")
 
   /** Strip SQL comments outside quoted spans — the reference's nom
     * combinators skip `/*...*/` block comments (and line comments)
@@ -244,35 +326,50 @@ object DdlParser {
   /** Parse one statement; multi-object DROP/RENAME yield several
     * statements (reference `split_to_multi`).
     */
-  def parse(sql: String): Seq[DdlStatement] = {
+  def parse(sql: String): Seq[DdlStatement] = parse(sql, Mysql)
+
+  /** Quick DDL-vs-DML judgment on the leading keyword — the
+    * reference's `ddl_simple_judgment` (ddl_parser.rs): DML
+    * (INSERT/REPLACE/UPDATE/DELETE/SELECT…) is not DDL and must not
+    * even enter the DDL parser.
+    */
+  def isDdlStatement(sql: String): Boolean = {
+    val head = stripComments(sql).trim.takeWhile(!_.isWhitespace)
+      .toUpperCase
+    Set("CREATE", "DROP", "ALTER", "TRUNCATE", "RENAME")
+      .contains(head)
+  }
+
+  def parse(sql: String, d: SqlDialect): Seq[DdlStatement] = {
+    if (!isDdlStatement(sql)) return Seq(RawDdl(sql.trim))
     val s = stripComments(sql).trim.stripSuffix(";").trim
     var m = createDbRe.matcher(s)
     if (m.matches())
-      return Seq(CreateDatabase(unq(m, 2), m.group(1) != null))
+      return Seq(CreateDatabase(unq(m, 2, d), m.group(1) != null))
     m = dropDbRe.matcher(s)
     if (m.matches())
-      return Seq(DropDatabase(unq(m, 2), m.group(1) != null))
+      return Seq(DropDatabase(unq(m, 2, d), m.group(1) != null))
     m = alterDbRe.matcher(s)
     if (m.matches())
-      return Seq(AlterDatabase(unq(m, 1), m.group(4).trim))
+      return Seq(AlterDatabase(unq(m, 1, d), m.group(4).trim))
     m = createSchemaRe.matcher(s)
     if (m.matches())
-      return Seq(CreateSchema(unq(m, 3), m.group(1) != null,
-        m.group(2) != null))
+      return Seq(CreateSchema(unq(m, 3, d), m.group(1) != null,
+        m.group(2) != null, m.group(6).trim))
     m = dropSchemaRe.matcher(s)
     if (m.matches())
-      return Seq(DropSchema(unq(m, 2), m.group(1) != null))
+      return Seq(DropSchema(unq(m, 2, d), m.group(1) != null))
     m = alterSchemaRe.matcher(s)
     if (m.matches()) {
       val rest = m.group(4).trim
       val rm = renameToRe.matcher(rest)
       return Seq(
-        if (rm.matches()) AlterSchema(unq(m, 1), Some(unq(rm, 1)))
-        else AlterSchema(unq(m, 1), None, rest))
+        if (rm.matches()) AlterSchema(unq(m, 1, d), Some(unq(rm, 1, d)))
+        else AlterSchema(unq(m, 1, d), None, rest))
     }
     m = createTbRe.matcher(s)
     if (m.matches()) {
-      val (db, tb) = qualName(m, 3)
+      val (db, tb) = qualName(m, 3, d)
       val modifier = Option(m.group(1)).map(_.trim).getOrElse("")
       return Seq(CreateTable(db, tb, m.group(9).trim,
         m.group(2) != null, modifier))
@@ -283,52 +380,72 @@ object DdlParser {
       return m.group(2).split(",").toSeq.map(_.trim).map { one =>
         val mm = qualOnlyRe.matcher(one)
         if (mm.matches()) {
-          val (db, tb) = qualName(mm, 1)
+          val (db, tb) = qualName(mm, 1, d)
           DropTable(db, tb, ifExists)
         } else RawDdl(s"DROP TABLE ${ie(ifExists)}$one")
       }
     }
     m = truncateRe.matcher(s)
     if (m.matches()) {
-      val (db, tb) = qualName(m, 1)
-      return Seq(TruncateTable(db, tb))
+      val (db, tb) = qualName(m, 2, d)
+      return Seq(TruncateTable(db, tb, only = m.group(1) != null))
     }
     m = renameRe.matcher(s)
     if (m.matches()) {
       return m.group(1).split(",").toSeq.map(_.trim).map { pair =>
         val mm = renamePairRe.matcher(pair)
         if (mm.matches()) {
-          val (fdb, ftb) = qualName(mm, 1)
-          val (tdb, ttb) = qualName(mm, 7)
+          val (fdb, ftb) = qualName(mm, 1, d)
+          val (tdb, ttb) = qualName(mm, 7, d)
           RenameTable(fdb, ftb, tdb, ttb)
         } else RawDdl(s"RENAME TABLE $pair")
       }
     }
     m = createIdxRe.matcher(s)
     if (m.matches()) {
-      val (db, tb) = qualName(m, 6)
-      return Seq(CreateIndex(unq(m, 2), db, tb, m.group(12).trim,
-        m.group(1) != null, Option(m.group(5)).getOrElse("")))
+      val (db, tb) = qualName(m, 9, d)
+      val name = Option(unq(m, 4, d)).getOrElse("")
+      return Seq(CreateIndex(name, db, tb, m.group(15).trim,
+        unique = m.group(1) != null,
+        using = Option(m.group(7)).getOrElse(""),
+        concurrently = m.group(2) != null,
+        ifNotExists = m.group(3) != null,
+        only = m.group(8) != null))
     }
     m = dropIdxRe.matcher(s)
     if (m.matches()) {
-      val (db, tb) = qualName(m, 4)
-      return Seq(DropIndex(unq(m, 1), db, tb,
+      val (db, tb) = qualName(m, 4, d)
+      return Seq(DropIndex(unq(m, 1, d), db, tb,
         Option(m.group(10)).map(_.trim).getOrElse("")))
+    }
+    m = dropIdxPgRe.matcher(s)
+    if (m.matches()) {
+      val names = m.group(3).split(",").toSeq.map(_.trim).map { one =>
+        val mm = idOnlyRe.matcher(one)
+        if (mm.matches()) unq(mm, 1, d) else one
+      }
+      return Seq(DropIndexPg(names,
+        concurrently = m.group(1) != null,
+        ifExists = m.group(2) != null,
+        trailing = Option(m.group(4)).map(_.toUpperCase)
+          .getOrElse("")))
     }
     m = alterRe.matcher(s)
     if (m.matches()) {
-      val (db, tb) = qualName(m, 1)
-      val alteration = m.group(7).trim
+      val ifExists = m.group(1) != null
+      val only = m.group(2) != null
+      val (db, tb) = qualName(m, 3, d)
+      val alteration = m.group(9).trim
       val rm = alterRenameRe.matcher(alteration)
       if (rm.matches()) {
-        val (ndb, ntb) = qualName(rm, 1)
-        return Seq(AlterTableRename(db, tb, ndb, ntb))
+        val (ndb, ntb) = qualName(rm, 1, d)
+        return Seq(AlterTableRename(db, tb, ndb, ntb, ifExists, only))
       }
       val sm = alterSetSchemaRe.matcher(alteration)
       if (sm.matches())
-        return Seq(AlterTableSetSchema(db, tb, unq(sm, 1)))
-      return Seq(AlterTable(db, tb, alteration))
+        return Seq(
+          AlterTableSetSchema(db, tb, unq(sm, 1, d), ifExists, only))
+      return Seq(AlterTable(db, tb, alteration, ifExists, only))
     }
     Seq(RawDdl(s))
   }
@@ -353,7 +470,7 @@ object DdlParser {
         _: AlterTableSetSchema => "alter_table"
     case _: RenameTable => "rename_table"
     case _: CreateIndex => "create_index"
-    case _: DropIndex => "drop_index"
+    case _: DropIndex | _: DropIndexPg => "drop_index"
     case _: RawDdl => "unknown"
   }
 
@@ -365,19 +482,23 @@ object DdlParser {
       case CreateDatabase(db, _) => (db, "")
       case DropDatabase(db, _) => (db, "")
       case AlterDatabase(db, _) => (db, "")
-      case CreateSchema(sc, _, _) => (sc, "")
+      case c: CreateSchema => (c.schema, "")
       case DropSchema(sc, _) => (sc, "")
       case AlterSchema(sc, _, _) => (sc, "")
       case MongoCommand(_, sc, tb, _, _, _) => (sc, tb)
       case c: CreateTable => (c.db.getOrElse(defaultDb), c.tb)
       case DropTable(db, tb, _) => (db.getOrElse(defaultDb), tb)
-      case TruncateTable(db, tb) => (db.getOrElse(defaultDb), tb)
-      case AlterTable(db, tb, _) => (db.getOrElse(defaultDb), tb)
-      case AlterTableRename(db, tb, _, _) => (db.getOrElse(defaultDb), tb)
-      case AlterTableSetSchema(db, tb, _) => (db.getOrElse(defaultDb), tb)
+      case t: TruncateTable => (t.db.getOrElse(defaultDb), t.tb)
+      case a: AlterTable => (a.db.getOrElse(defaultDb), a.tb)
+      case a: AlterTableRename => (a.db.getOrElse(defaultDb), a.tb)
+      case a: AlterTableSetSchema => (a.db.getOrElse(defaultDb), a.tb)
       case RenameTable(fdb, ftb, _, _) => (fdb.getOrElse(defaultDb), ftb)
       case i: CreateIndex => (i.db.getOrElse(defaultDb), i.tb)
       case i: DropIndex => (i.db.getOrElse(defaultDb), i.tb)
+      // PG drop index names no table; the filter gate sees only the
+      // default namespace (the reference's drop index carries no
+      // schema/tb either)
+      case _: DropIndexPg => (defaultDb, "")
       case _: RawDdl => (defaultDb, "")
     }
 
@@ -397,8 +518,8 @@ object DdlParser {
         DropDatabase(router.routeTable(db, "*")._1, i)
       case a @ AlterDatabase(db, _) =>
         a.copy(db = router.routeTable(db, "*")._1)
-      case c @ CreateSchema(sc, _, _) =>
-        c.copy(schema = router.routeTable(sc, "*")._1)
+      case c: CreateSchema =>
+        c.copy(schema = router.routeTable(c.schema, "*")._1)
       case d @ DropSchema(sc, _) =>
         d.copy(schema = router.routeTable(sc, "*")._1)
       case a @ AlterSchema(sc, newSc, _) =>
@@ -416,18 +537,19 @@ object DdlParser {
         val (d2, t2) = rt(c.db, c.tb); c.copy(db = d2, tb = t2)
       case d @ DropTable(db, tb, _) =>
         val (d2, t2) = rt(db, tb); d.copy(db = d2, tb = t2)
-      case t @ TruncateTable(db, tb) =>
-        val (d2, t2) = rt(db, tb); t.copy(db = d2, tb = t2)
-      case a @ AlterTable(db, tb, _) =>
-        val (d2, t2) = rt(db, tb); a.copy(db = d2, tb = t2)
-      case AlterTableRename(db, tb, ndb, ntb) =>
+      case t: TruncateTable =>
+        val (d2, t2) = rt(t.db, t.tb); t.copy(db = d2, tb = t2)
+      case a: AlterTable =>
+        val (d2, t2) = rt(a.db, a.tb); a.copy(db = d2, tb = t2)
+      case a: AlterTableRename =>
         // both namespaces route, like RENAME TABLE
-        val (d2, t2) = rt(db, tb)
-        val (nd2, nt2) = rt(ndb, ntb)
-        AlterTableRename(d2, t2, nd2, nt2)
-      case AlterTableSetSchema(db, tb, newSchema) =>
-        val (d2, t2) = rt(db, tb)
-        AlterTableSetSchema(d2, t2, router.routeTable(newSchema, "*")._1)
+        val (d2, t2) = rt(a.db, a.tb)
+        val (nd2, nt2) = rt(a.newDb, a.newTb)
+        a.copy(db = d2, tb = t2, newDb = nd2, newTb = nt2)
+      case a: AlterTableSetSchema =>
+        val (d2, t2) = rt(a.db, a.tb)
+        a.copy(db = d2, tb = t2,
+          newSchema = router.routeTable(a.newSchema, "*")._1)
       case RenameTable(fdb, ftb, tdb, ttb) =>
         val (f2, ft2) = rt(fdb, ftb)
         val (t2, tt2) = rt(tdb, ttb)
@@ -436,6 +558,7 @@ object DdlParser {
         val (d2, t2) = rt(i.db, i.tb); i.copy(db = d2, tb = t2)
       case i: DropIndex =>
         val (d2, t2) = rt(i.db, i.tb); i.copy(db = d2, tb = t2)
+      case i: DropIndexPg => i // no namespace to route
       case r: RawDdl => r
     }
   }

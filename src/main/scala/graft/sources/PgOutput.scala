@@ -141,7 +141,20 @@ object PgOutput {
     */
   def decodeMessageConsumed(bytes: Array[Byte],
       inStream: Boolean = false): (Message, Int) = {
-    val r = new Reader(bytes, 0)
+    val (m, end) = decodeMessageAt(bytes, 0, bytes.length, inStream)
+    (m, end)
+  }
+
+  /** In-place variant: decode ONE message starting at `off`, never
+    * copying the payload out of the capture buffer — the per-message
+    * copyOfRange the v2 refactor introduced showed up as the q65
+    * round-trip regression (one fresh array per decoded message).
+    * Returns (message, end offset); an unknown tag consumes to
+    * `limit` (its length is unknowable).
+    */
+  def decodeMessageAt(bytes: Array[Byte], off: Int, limit: Int,
+      inStream: Boolean): (Message, Int) = {
+    val r = new Reader(bytes, off)
     val tag = r.u8().toChar
     val streamXid: Long =
       if (inStream && StreamableTags.indexOf(tag) >= 0) r.beU(4)
@@ -207,7 +220,7 @@ object PgOutput {
       case other => UnknownMessage(other)
     }
     msg match {
-      case UnknownMessage(_) => (msg, bytes.length)
+      case UnknownMessage(_) => (msg, limit)
       case _ if streamXid >= 0 => (Streamed(streamXid, msg), r.pos)
       case _ => (msg, r.pos)
     }
@@ -293,12 +306,13 @@ object PgOutput {
         val walStart = r.beU(8)
         r.beU(8) // walEnd
         r.beU(8) // server clock
-        val payload = java.util.Arrays.copyOfRange(bytes, r.pos, limit)
-        // decode exactly ONE message and advance by what it consumed:
-        // a capture of concatenated bare XLogData frames must not let
-        // the first frame swallow the rest of the buffer (silent loss).
-        val (msg, consumed) = decodeMessageConsumed(payload, inStream)
-        ((walStart, msg), r.pos + consumed)
+        // decode exactly ONE message in place and advance by what it
+        // consumed: a capture of concatenated bare XLogData frames
+        // must not let the first frame swallow the rest of the buffer
+        // (silent loss) — and no per-message payload copy.
+        val (msg, endPos) = decodeMessageAt(bytes, r.pos, limit,
+          inStream)
+        ((walStart, msg), endPos)
       case 'k' =>
         val walEnd = r.beU(8)
         val clock = r.beU(8)
@@ -340,15 +354,30 @@ object PgOutput {
     var positionLsn = startLsn
     var commitOrdinal = 0
 
-    def img(rel: Relation, tuple: Array[String]): Map[String, String] =
-      rel.columns.map(_.name).zip(tuple).toMap
+    // per-relation column-name cache: a relation decodes once per
+    // stream but images build once per ROW — rebuilding the name seq
+    // per row was measurable in the q65 round-trip profile
+    val colNames = scala.collection.mutable.Map.empty[Long, Array[String]]
+    def namesOf(rel: Relation): Array[String] =
+      colNames.getOrElseUpdate(rel.relId,
+        rel.columns.map(_.name).toArray)
 
+    def img(rel: Relation, tuple: Array[String]): Map[String, String] = {
+      val names = namesOf(rel)
+      val b = Map.newBuilder[String, String]
+      var i = 0
+      while (i < names.length && i < tuple.length) {
+        b += names(i) -> tuple(i); i += 1
+      }
+      b.result()
+    }
+
+    val posKind = Position.PgCdc("").kind
     def emit(rel: Relation, rowType: String, before: Map[String, String],
         after: Map[String, String]): Unit =
       out += ((commitOrdinal,
         ChangeEvent(rel.namespace, rel.name, 0L, rowType, before,
-          after, Position.PgCdc(positionLsn).kind,
-          Position.PgCdc(positionLsn).render, originNode = "")))
+          after, posKind, positionLsn, originNode = "")))
 
     def applyData(m: Message): Unit = m match {
       case i: Insert =>
@@ -380,7 +409,8 @@ object PgOutput {
     var openStream: Option[Long] = None
 
     messages.foreach {
-      case (_, r: Relation) => rels(r.relId) = r
+      case (_, r: Relation) =>
+        rels(r.relId) = r; colNames.remove(r.relId): Unit
       case (_, b: Begin) =>
         positionLsn = txEndLsn // resume point: previous tx end
       case (_, c: Commit) =>
@@ -390,7 +420,8 @@ object PgOutput {
       case (_, s: StreamStart) => openStream = Some(s.xid)
       case (_, StreamStop) => openStream = None
       case (_, Streamed(subXid, m)) => m match {
-        case r: Relation => rels(r.relId) = r
+        case r: Relation =>
+          rels(r.relId) = r; colNames.remove(r.relId): Unit
         case data =>
           val top = openStream.getOrElse(subXid)
           pending.getOrElseUpdate(top,

@@ -134,22 +134,22 @@ object DdlAwarePipeline {
                 if (t.nonEmpty) meta.invalidate(s, t)
                 else meta.invalidateAll()
               } else stmt match {
-                case DdlParser.AlterTable(db, tb, alteration) =>
+                case a: DdlParser.AlterTable =>
                   // typed actions evolve the cached StructType in
                   // place; evolve() itself invalidates when out of
                   // model
-                  meta.evolve(db.getOrElse(defaultDb), tb,
-                    AlterParser.parse(alteration)): Unit
+                  meta.evolve(a.db.getOrElse(defaultDb), a.tb,
+                    AlterParser.parse(a.alteration)): Unit
                 case DdlParser.DropTable(db, tb, _) =>
                   meta.invalidate(db.getOrElse(defaultDb), tb)
                 case DdlParser.RenameTable(fdb, ftb, _, _) =>
                   meta.invalidate(fdb.getOrElse(defaultDb), ftb)
-                case DdlParser.AlterTableRename(db, tb, _, _) =>
-                  meta.invalidate(db.getOrElse(defaultDb), tb)
-                case DdlParser.AlterTableSetSchema(db, tb, _) =>
-                  meta.invalidate(db.getOrElse(defaultDb), tb)
-                case DdlParser.TruncateTable(db, tb) =>
-                  meta.invalidate(db.getOrElse(defaultDb), tb)
+                case a: DdlParser.AlterTableRename =>
+                  meta.invalidate(a.db.getOrElse(defaultDb), a.tb)
+                case a: DdlParser.AlterTableSetSchema =>
+                  meta.invalidate(a.db.getOrElse(defaultDb), a.tb)
+                case t: DdlParser.TruncateTable =>
+                  meta.invalidate(t.db.getOrElse(defaultDb), t.tb)
                 case DdlParser.MongoCommand(_, sc, tb, _, _, _)
                     if tb.nonEmpty =>
                   meta.invalidate(sc, tb)
