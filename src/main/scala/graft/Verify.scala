@@ -40,9 +40,21 @@ object Verify {
       !skip(name) && (only.isEmpty || only(name))
     SparkEntry.queries.filter(q => admitted(q._1)).foreach {
       case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val t0 = System.nanoTime()
+          // repartition(1), NOT coalesce(1): coalesce collapses the
+          // whole narrow upstream into the single writer task (the
+          // q129 sf10 dump ground one thread for >30 min); the
+          // repartition exchange keeps compute at full parallelism
+          // and only the file write is single-task
+          fn(spark, sfDir).repartition(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          // per-query Spark runtime, for scale-sweep evidence tables
+          // (the driver reads the parquet, not stdout — this line is
+          // for humans and SCALE.md)
+          println(f"[verify] $name dumped in " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
     }

@@ -136,6 +136,10 @@ object TaskConfig {
       // [filter] table): per-table column drops and source-side WHERE
       ignoreColsByTable: Map[(String, String), Seq[String]] = Map.empty,
       whereByTable: Map[(String, String), String] = Map.empty,
+      // [parallelizer] parallel_type (parallelizer_config.rs):
+      // rdb_merge (compaction lanes) | table (per-table ordered
+      // fan-out) | serial — selects the apply topology
+      parallelType: String = "rdb_merge",
       metrics: Option[MetricsConfig] = None,
       slot: Option[graft.sources.PgSlotLifecycle.SlotConfig] = None,
       // CDC task wiring: a captured replication stream to drain (the
@@ -377,6 +381,8 @@ object TaskConfig {
       orderColsByTable = colSpec(ex, "order_cols"),
       ignoreColsByTable = ignoreCols,
       whereByTable = whereConds,
+      parallelType = p.section("parallelizer")
+        .get("parallel_type", "rdb_merge"),
       metrics = metrics,
       slot = slot,
       walCapture = ex("wal_capture"),

@@ -29,9 +29,16 @@ import graft.model.ChangeEvent
   *   set tb = '<expr>'               # schema | tb | row_type too
   *   set after.col = <sql expr>      # before.col too; refs allowed
   *   rename after.old to new         # before.old too
+  *   remove after.col                # Lua's after["col"] = nil
   *   drop if <sql predicate>
+  *   when <sql predicate>: <stmt>    # guarded form of any of the above
   * }}}
   * `before.x` / `after.x` on any right-hand side read the image maps.
+  * The `when` guard is the Lua `if cond then ... end` idiom: the
+  * statement applies only on rows where the predicate holds, others
+  * pass through unchanged — every scripted example in the reference's
+  * Lua docs (docs/en/etl/lua.md) is a guarded mutation of exactly
+  * this shape (see LuaPortabilitySpec for the 1:1 translations).
   */
 object ScriptTransform {
 
@@ -42,7 +49,28 @@ object ScriptTransform {
   private val SetRe = """(?i)^set\s+(\w+(?:\.\w+)?)\s*=\s*(.+)$""".r
   private val RenameRe =
     """(?i)^rename\s+(before|after)\.(\w+)\s+to\s+(\w+)$""".r
+  private val RemoveRe = """(?i)^remove\s+(before|after)\.(\w+)$""".r
   private val DropRe = """(?i)^drop\s+if\s+(.+)$""".r
+
+  /** Split a `when <pred>: <stmt>` line at the first `:` OUTSIDE
+    * single-quoted literals — predicates routinely contain colons in
+    * time literals ('2024-12-01 00:00:00').
+    */
+  private def splitWhen(line: String): Option[(String, String)] = {
+    if (!line.toLowerCase.startsWith("when ")) return None
+    var i = 5; var inQ = false
+    while (i < line.length) {
+      line.charAt(i) match {
+        case '\'' => inQ = !inQ
+        case ':' if !inQ =>
+          return Some((line.substring(5, i).trim,
+            line.substring(i + 1).trim))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
   private val ImgRef = """\b(before|after)\.([A-Za-z_]\w*)\b""".r
 
   /** Rewrite image field refs to map lookups so plain SQL reads them.
@@ -96,27 +124,58 @@ object ScriptTransform {
   def sqlScript(script: String): DataFrame => DataFrame = {
     val stmts = script.linesIterator.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
-    val steps: Seq[DataFrame => DataFrame] = stmts.map {
-      case SetRe(target, rhs) =>
-        val value = expr(rewrite(rhs))
-        target.split('.') match {
-          case Array(img @ ("before" | "after"), field) =>
-            df: DataFrame => df.withColumn(img,
-              setField(col(img), field, value))
-          case Array(scalar @ ("schema" | "tb" | "row_type")) =>
-            df: DataFrame => df.withColumn(scalar, value.cast("string"))
-          case _ => throw new IllegalArgumentException(
-            s"bad set target: $target")
+
+    // `guard` = the `when <pred>:` condition; an unguarded statement
+    // applies everywhere. Guarded columns keep their old value on
+    // non-matching rows — one `when/otherwise` per statement, still
+    // a single codegen'd projection.
+    def compile(stmt: String, guard: Option[Column])
+        : DataFrame => DataFrame = {
+      def guarded(target: String, updated: Column): Column =
+        guard match {
+          case None => updated
+          case Some(g) =>
+            when(coalesce(g, lit(false)), updated).otherwise(col(target))
         }
-      case RenameRe(img, from, to) =>
-        df: DataFrame => df.withColumn(img,
-          transform_keys(col(img), (k, _) =>
-            when(k === from, to).otherwise(k)))
-      case DropRe(pred) =>
-        df: DataFrame => df.filter(!coalesce(expr(rewrite(pred)),
-          lit(false)))
-      case other => throw new IllegalArgumentException(
-        s"unparseable script line: $other")
+      stmt match {
+        case SetRe(target, rhs) =>
+          val value = expr(rewrite(rhs))
+          target.split('.') match {
+            case Array(img @ ("before" | "after"), field) =>
+              df: DataFrame => df.withColumn(img,
+                guarded(img, setField(col(img), field, value)))
+            case Array(scalar @ ("schema" | "tb" | "row_type")) =>
+              df: DataFrame => df.withColumn(scalar,
+                guarded(scalar, value.cast("string")))
+            case _ => throw new IllegalArgumentException(
+              s"bad set target: $target")
+          }
+        case RenameRe(img, from, to) =>
+          df: DataFrame => df.withColumn(img,
+            guarded(img, transform_keys(col(img), (k, _) =>
+              when(k === from, to).otherwise(k))))
+        case RemoveRe(img, field) =>
+          // Lua's `after["col"] = nil`: the key leaves the image
+          df: DataFrame => df.withColumn(img,
+            guarded(img, map_filter(col(img), (k, _) => k =!= field)))
+        case DropRe(pred) =>
+          val p = coalesce(expr(rewrite(pred)), lit(false))
+          val full = guard match {
+            case None => p
+            case Some(g) => coalesce(g, lit(false)) && p
+          }
+          df: DataFrame => df.filter(!full)
+        case other => throw new IllegalArgumentException(
+          s"unparseable script line: $other")
+      }
+    }
+
+    val steps: Seq[DataFrame => DataFrame] = stmts.map { line =>
+      splitWhen(line) match {
+        case Some((pred, inner)) =>
+          compile(inner, Some(expr(rewrite(pred))))
+        case None => compile(line, None)
+      }
     }
     df => steps.foldLeft(df)((d, f) => f(d))
   }

@@ -56,6 +56,32 @@ class ScenarioSpec extends SparkSuite {
     assert(got.size == 3)
   }
 
+  test("where_conditions narrows the snapshot; unlisted tables ship " +
+      "in full") {
+    val r = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("mysql_snapshot_where"))
+    val (_, events) = r.perTable("test_db_1.events_tb")
+    assert(events.size == 2)
+    assert(events.forall(_.get("kind").contains("keep")))
+    assert(r.perTable("test_db_1.plain_tb")._2.size == 2)
+  }
+
+  test("table-parallel scenario applies per-table in order and " +
+      "heterogeneous mysql->pg routes through the pg dialect") {
+    val tp = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("mysql_table_parallel"))
+    assert(tp.perTable("test_db_1.tb_a")._2.map(_("v")).toSet ==
+      Set("a1x", "a3"))
+    assert(tp.perTable("test_db_1.tb_b")._2.map(_("v")).toSet ==
+      Set("b1", "b3x"))
+
+    val hp = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("mysql_to_pg_cdc"))
+    // db_map landed mysql app_db under pg public
+    assert(hp.perTable.keySet ==
+      Set("public.orders_tb", "public.lines_tb"))
+  }
+
   test("routing scenario lands rows under the routed names only") {
     val r = ScenarioRunner.run(spark,
       ScenarioRunner.corpusRoot.resolve("mysql_cdc_route"))

@@ -1,0 +1,147 @@
+package graft.scenario
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import graft.SparkSuite
+
+/** Property coverage for the scenario pipeline: RANDOM (but
+  * constraint-valid) fixture scripts over randomly-shaped tables run
+  * through the full runner, whose internal three-way compare
+  * (pipeline-applied dst vs naive per-event replay vs interpreted
+  * source end state) must agree on every trial. The generator
+  * maintains pk/uk uniqueness exactly as a live MySQL would enforce
+  * it, so the synthesized binlog is always one a real source could
+  * have produced — key-changing updates, NULL unique keys (serial
+  * lane), multi-row updates/deletes, and batch-boundary effects all
+  * arise naturally from the randomness.
+  */
+class ScenarioPropertySpec extends SparkSuite {
+
+  private val Trials = 12
+
+  /** One random scenario: table shape + valid statement script. */
+  private def genScenario(rnd: Random): (String, String, String) = {
+    val nCols = 3 + rnd.nextInt(3)
+    val cols = (0 until nCols).map(i => s"c_$i")
+    // key shape: pk on c_0 | uk on (c_1, c_2) | keyless
+    val keyShape = rnd.nextInt(3)
+    val keyDdl = keyShape match {
+      case 0 => ", PRIMARY KEY (c_0)"
+      case 1 => ", UNIQUE KEY uk (c_1, c_2)"
+      case _ => ""
+    }
+    val prepare =
+      s"""CREATE DATABASE prop_db;
+         |CREATE TABLE prop_db.t (${cols.map(c => s"$c varchar(16)")
+          .mkString(", ")}$keyDdl);
+         |""".stripMargin
+
+    // live mirror of the source state, enforcing key uniqueness the
+    // way the engine would
+    var rows = Vector.empty[Map[String, String]]
+    def keyOf(r: Map[String, String]): Option[Seq[String]] =
+      keyShape match {
+        case 0 => Option(r("c_0")).map(Seq(_))
+        case 1 =>
+          val k = Seq(r.get("c_1").orNull, r.get("c_2").orNull)
+          if (k.contains(null)) None else Some(k) // NULLs never clash
+        case _ => None
+      }
+    def conflicts(r: Map[String, String],
+        ignoreIdx: Int = -1): Boolean =
+      keyOf(r).exists(k => rows.zipWithIndex.exists { case (o, i) =>
+        i != ignoreIdx && keyOf(o).contains(k)
+      })
+    def lit(v: String): String =
+      if (v == null) "NULL" else s"'$v'"
+    def randVal(): String =
+      if (rnd.nextInt(5) == 0) null else rnd.nextInt(8).toString
+
+    val stmts = Seq.newBuilder[String]
+    val nStmts = 8 + rnd.nextInt(10)
+    (0 until nStmts).foreach { _ =>
+      rnd.nextInt(3) match {
+        case 0 => // INSERT (retry until key-valid)
+          val fresh = Iterator.continually(
+            cols.map(c => c -> randVal()).toMap)
+            .take(20).find(r => !conflicts(r))
+          fresh.foreach { r =>
+            rows :+= r
+            stmts += s"INSERT INTO prop_db.t VALUES (" +
+              cols.map(c => lit(r(c))).mkString(",") + ");"
+          }
+        case 1 if rows.nonEmpty => // UPDATE by predicate on one col
+          val whereCol = cols(rnd.nextInt(cols.size))
+          val whereVal = randVal()
+          val setCol = cols(rnd.nextInt(cols.size)) // may be a key col
+          val setVal = randVal()
+          if (whereVal != null) {
+            val matches = rows.zipWithIndex
+              .filter(_._1(whereCol) == whereVal)
+            val wouldClash = matches.exists { case (r, i) =>
+              conflicts(r + (setCol -> setVal), ignoreIdx = i)
+            }
+            // two matched rows updated to the SAME key also clash
+            val innerClash = matches.size > 1 && {
+              val after = matches.map(_._1 + (setCol -> setVal))
+              val keys = after.flatMap(keyOf)
+              keys.distinct.size != keys.size
+            }
+            if (matches.nonEmpty && !wouldClash && !innerClash) {
+              rows = rows.map(r =>
+                if (r(whereCol) == whereVal) r + (setCol -> setVal)
+                else r)
+              stmts += s"UPDATE prop_db.t SET $setCol = " +
+                s"${lit(setVal)} WHERE $whereCol = ${lit(whereVal)};"
+            }
+          }
+        case _ if rows.nonEmpty => // DELETE by predicate
+          val whereCol = cols(rnd.nextInt(cols.size))
+          val whereVal = randVal()
+          if (whereVal != null &&
+            rows.exists(_(whereCol) == whereVal)) {
+            rows = rows.filterNot(_(whereCol) == whereVal)
+            stmts += s"DELETE FROM prop_db.t WHERE $whereCol = " +
+              s"${lit(whereVal)};"
+          }
+        case _ => ()
+      }
+    }
+
+    val ini =
+      s"""[extractor]
+         |db_type=mysql
+         |extract_type=cdc
+         |url=fixture://src
+         |
+         |[filter]
+         |do_tbs=prop_db.*
+         |
+         |[sinker]
+         |db_type=${if (rnd.nextBoolean()) "mysql" else "pg"}
+         |batch_size=${1 + rnd.nextInt(4)}
+         |url=fixture://dst
+         |""".stripMargin
+    (ini, prepare, stmts.result().mkString("\n"))
+  }
+
+  test(s"random valid DML scripts: pipeline == replay == source end " +
+      s"state over $Trials trials (keyed, uk-NULL-serial, keyless)") {
+    val rnd = new Random(0xC0FFEE)
+    (1 to Trials).foreach { trial =>
+      val (ini, prepare, test) = genScenario(rnd)
+      val dir = Files.createTempDirectory(s"graft-prop-$trial")
+      Files.writeString(dir.resolve("task_config.ini"), ini)
+      Files.writeString(dir.resolve("src_prepare.sql"), prepare)
+      Files.writeString(dir.resolve("src_test.sql"), test)
+      try ScenarioRunner.run(spark, dir) // asserts the 3-way compare
+      catch {
+        case e: Throwable =>
+          fail(s"trial $trial failed (script:\n$test\n): " +
+            e.getMessage)
+      }
+    }
+  }
+}

@@ -149,10 +149,20 @@ object ScenarioRunner {
         }
       else src.events.toSeq
 
-    // ---- the row-level gates the task surface applies
-    val admitted = rawEvents.filter(e =>
+    // ---- the row-level gates the task surface applies; snapshot
+    // tasks additionally apply the source-side where_conditions
+    // predicate (config.md [filter] where_conditions — pushed to the
+    // extract statement in production, interpreted here)
+    val wherePreds: Map[(String, String), Where] =
+      task.whereByTable.map { case (k, sql) =>
+        k -> parseWhere(Some(sql))
+      }
+    val admitted = rawEvents.filter { e =>
       task.filter.allowTable(e.db, e.tb) &&
-        task.filter.allowEvent(e.rowType))
+        task.filter.allowEvent(e.rowType) &&
+        (!isSnapshot || wherePreds.get((e.db, e.tb))
+          .forall(_.matches(e.after)))
+    }
 
     // ---- routing + per-table column projection (ignore_cols drops
     // the columns from the sync entirely — config.md [filter])
@@ -218,7 +228,42 @@ object ScenarioRunner {
       val qt = s"${dialect.quote(rdb)}.${dialect.quote(rtb)}"
       MemDb.register(runId, qt, d.cols, d.keyCols)
     }
-    byTable.foreach { case ((rdb, rtb), events) =>
+    if (task.parallelType == "table" || task.parallelType == "serial") {
+      // table parallelizer lane (table_parallelizer.rs): DML
+      // partitions by full table name, each table's rows apply IN
+      // ORDER as per-row statements — updates were already split to
+      // delete+insert above only when unmergeable, so split the rest
+      // here (the serial planner speaks insert/delete row images)
+      val split = normalized.flatMap { e =>
+        if (e.rowType == "update")
+          Seq(e.copy(rowType = "delete", sub = 0, after = Map.empty),
+            e.copy(rowType = "insert", sub = 1, before = Map.empty))
+        else Seq(e)
+      }
+      // applyPerTable streams one homogeneous column set; the corpus
+      // keeps table-mode fixtures same-shaped (union of cols asserted)
+      val allCols = routedDefs.values.map(_.cols).toSeq.distinct
+      require(allCols.size == 1,
+        "table-parallel scenarios need same-shaped tables, got: " +
+          allCols.mkString(" vs "))
+      val cols = allCols.head
+      val schema = StructType(
+        Seq(StructField("schema", StringType),
+          StructField("tb", StringType),
+          StructField("seq", LongType),
+          StructField("sub", IntegerType),
+          StructField("row_type", StringType)) ++
+          cols.map(StructField(_, StringType)))
+      val rows = split.map { e =>
+        val img = if (e.rowType == "delete") e.before else e.after
+        Row.fromSeq(Seq(e.dstDb, e.dstTb, e.seq, e.sub, e.rowType) ++
+          cols.map(img.getOrElse(_, null)))
+      }
+      Applier.applyPerTable(dialect,
+        spark.createDataFrame(rows.asJava, schema), cols,
+        Seq("seq", "sub"), () => MemDb.Sink(runId),
+        batchSize = task.batchSize)
+    } else byTable.foreach { case ((rdb, rtb), events) =>
       val d = routedDefs((rdb, rtb))
       val qt = s"${dialect.quote(rdb)}.${dialect.quote(rtb)}"
       val schema = StructType(
@@ -266,6 +311,9 @@ object ScenarioRunner {
           .find(k => task.router.routeTable(k._1, k._2) == (rdb, rtb))
           .get
         val srcState = src.rows((db, tb)).toSeq
+          // snapshot where_conditions narrows the src-side oracle too
+          .filter(r => !isSnapshot ||
+            wherePreds.get((db, tb)).forall(_.matches(r)))
           .map(project(db, tb, _))
         compareStates(s"$rdb.$rtb (vs src)", srcState, got)
       }
@@ -334,5 +382,10 @@ object ScenarioRunner {
 
   def scenarios(): Seq[Path] =
     Files.list(corpusRoot).iterator().asScala.toSeq
-      .filter(Files.isDirectory(_)).sortBy(_.getFileName.toString)
+      // a dir is a scenario iff it carries the INI — stray build
+      // artifacts (an sbt launched from the wrong cwd drops target/)
+      // must not enumerate as fixtures
+      .filter(d => Files.isDirectory(d) &&
+        Files.exists(d.resolve("task_config.ini")))
+      .sortBy(_.getFileName.toString)
 }

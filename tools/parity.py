@@ -11,6 +11,7 @@ Exit 0 iff every query matches exactly.
 """
 import json
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -41,6 +42,13 @@ def table_to_rows(tbl):
 def main():
     out_dir, sf_dir = Path(sys.argv[1]), sys.argv[2]
     con = duckdb.connect()
+    # Big-sf sweeps: without a limit DuckDB grows until the kernel
+    # OOM-kills the whole sweep (the q102 oracle at sf10 reached
+    # 129 GB RSS); with a limit + temp_directory it spills and
+    # finishes. Override via PARITY_DUCKDB_MEM.
+    mem = os.environ.get("PARITY_DUCKDB_MEM", "64GB")
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if Path(p).exists():
