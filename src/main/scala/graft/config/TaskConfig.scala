@@ -140,6 +140,11 @@ object TaskConfig {
       // rdb_merge (compaction lanes) | table (per-table ordered
       // fan-out) | serial — selects the apply topology
       parallelType: String = "rdb_merge",
+      // [processor] lua_code_file (docs/en/etl/lua.md): a verbatim
+      // user Lua script run per row under the five-global contract —
+      // the embedded interpreter executes it; the DSL stays the
+      // codegen scale path
+      luaCodeFile: Option[String] = None,
       metrics: Option[MetricsConfig] = None,
       slot: Option[graft.sources.PgSlotLifecycle.SlotConfig] = None,
       // CDC task wiring: a captured replication stream to drain (the
@@ -383,6 +388,8 @@ object TaskConfig {
       whereByTable = whereConds,
       parallelType = p.section("parallelizer")
         .get("parallel_type", "rdb_merge"),
+      luaCodeFile = p.section("processor")("lua_code_file")
+        .filter(_.nonEmpty),
       metrics = metrics,
       slot = slot,
       walCapture = ex("wal_capture"),

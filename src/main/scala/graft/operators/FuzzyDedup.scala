@@ -161,7 +161,10 @@ object FuzzyDedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLshOf(Tables.documents(spark, dir))
 
-  def minhashLshOf(docs: DataFrame): DataFrame = {
+  /** The (doc_id, band_key) frame both candidate generators band over:
+    * one row per document per band, the key a `band:sig…` string.
+    */
+  private def bandFrame(docs: DataFrame): DataFrame = {
     val nBands = MinhashA.size / BandRows
     val d = docs
       .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
@@ -172,10 +175,12 @@ object FuzzyDedup {
           element_at(col("sig"), j * BandRows + r + 1)
             .cast("string"))): _*)
     }
+    d.select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
+  }
+
+  def minhashLshOf(docs: DataFrame): DataFrame = {
     // pinned: the signature computation feeds both self-join sides
-    val bands = d.select(col("doc_id"),
-      explode(array(bandCols: _*)).as("band_key"))
-      .localCheckpoint(false)
+    val bands = bandFrame(docs).localCheckpoint(false)
     bands.as("a").join(bands.as("b"),
         col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -201,6 +206,68 @@ object FuzzyDedup {
   }
 
   val minhashLshSql: String = minhashLshSqlFrom("documents")
+
+  // ---------------------------------------------------------------- q149
+  /** Star-edge LSH candidate generation — the 100 TB form of the q35
+    * all-pairs banding, and the answer to what the sf10 sweep measured:
+    * all-pairs within a band bucket is Σ|bucket|·(|bucket|−1)/2, and
+    * duplicate clusters in a real corpus (shared boilerplate, template
+    * pages) GROW WITH THE CORPUS, so the pair count grows quadratically
+    * — measured on the synthetic corpus: 50 k docs → 322 k verified
+    * pairs but 500 k docs → 34.7 M (10× docs, 108× pairs; q129 wall
+    * time tracked it linearly at ~34 µs/pair).
+    *
+    * For duplicate-group RESOLUTION (components → canonical → purge)
+    * all-pairs is wasted work: connecting every bucket member to the
+    * bucket MINIMUM (a star) connects exactly the same components with
+    * |bucket|−1 edges — edge count bounded by rows(bands frame) =
+    * docs × n_bands, LINEAR in the corpus no matter how cluster sizes
+    * are distributed. The star shape matters as much as the count: a
+    * consecutive-pair CHAIN has the same edge budget but diameter
+    * |bucket|−1, and min-label propagation walks one hop per round —
+    * at sf10 a chained 10 k-member template cluster blew the 25-round
+    * bound. Star buckets have diameter 2, exactly like all-pairs
+    * buckets, so component convergence (bounded by the bucket-overlap
+    * graph, not cluster size) is unchanged from q35/q46.
+    * FuzzyDedupSpec asserts component-partition equality against the
+    * all-pairs form; the q150 oracle proves it again cross-engine at
+    * the gate sf (Spark stars vs DuckDB all-pairs).
+    *
+    * Scale shape: one shuffle on band_key (no text), per-bucket min
+    * via an unordered window (whole-bucket aggregate, no sort); output
+    * `n_buckets` counts how many bands produced the same star edge.
+    */
+  def lshStarEdges(spark: SparkSession, dir: String): DataFrame =
+    lshStarEdgesOf(Tables.documents(spark, dir))
+
+  def lshStarEdgesOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band_key"))
+    bandFrame(docs)
+      .withColumn("a", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("a"))
+      .groupBy(col("a"), col("doc_id").as("b"))
+      .agg(count(lit(1)).as("n_buckets"))
+  }
+
+  def lshStarEdgesSqlFrom(from: String): String = {
+    val nBands = MinhashA.size / BandRows
+    val sig = minhashSigSql("text")
+    val bandKeys = (0 until nBands).map { j =>
+      val parts = (0 until BandRows)
+        .map(r => s"CAST(sig[${j * BandRows + r + 1}] AS VARCHAR)")
+      s"concat_ws(':', '$j', ${parts.mkString(", ")})"
+    }
+    s"""WITH d AS (SELECT doc_id, $sig AS sig FROM $from),
+       |bands AS (SELECT doc_id,
+       |  unnest([${bandKeys.mkString(", ")}]) AS band_key FROM d),
+       |st AS (SELECT doc_id AS b, min(doc_id) OVER (
+       |    PARTITION BY band_key) AS a FROM bands)
+       |SELECT a, b, count(*) AS n_buckets FROM st
+       |WHERE a <> b GROUP BY 1, 2""".stripMargin
+  }
+
+  val lshStarEdgesSql: String = lshStarEdgesSqlFrom("documents")
 
   // ---------------------------------------------------------------- q36
   /** 30-bit SimHash fingerprint: per token-occurrence hash, per-bit
@@ -476,6 +543,7 @@ object FuzzyDedup {
        |FROM g""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_lsh_star_edges" -> (lshStarEdges _),
     "q141_lsh_precision" -> (lshPrecision _),
     "q136_lsh_curve" -> (lshCurve _),
     "q129_edit_verify" -> (editVerify _),
@@ -485,6 +553,7 @@ object FuzzyDedup {
     "q26_simhash_buckets" -> (simhashBuckets _))
 
   val oracles: Map[String, String] = Map(
+    "q149_lsh_star_edges" -> lshStarEdgesSql,
     "q141_lsh_precision" -> lshPrecisionSql,
     "q136_lsh_curve" -> lshCurveSql,
     "q129_edit_verify" -> editVerifySql,

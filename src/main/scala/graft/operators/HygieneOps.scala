@@ -288,6 +288,125 @@ object HygieneOps {
        |FROM documents d JOIN marked m USING (doc_id)
        |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q150
+  /** q92's purge report computed from the LINEAR star-edge candidate
+    * set (q149) instead of the all-pairs banding — the shape a 100 TB
+    * run must use (the sf10 sweep measured the all-pairs candidate set
+    * growing 108× for 10× documents; the star set is linear by
+    * construction and keeps bucket diameter at 2 so label propagation
+    * converges exactly as it does on all-pairs). The ORACLE is
+    * deliberately the all-pairs q92 SQL, verbatim: star edges connect
+    * exactly the components the full pair set does, so a value-equal
+    * gate here IS the cross-engine proof of that equivalence at the
+    * gate sf, on top of the DedupSpec frame-equality assertion.
+    */
+  def dedupPurgeScaled(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = FuzzyDedup.lshStarEdgesOf(docs)
+      .select(col("a"), col("b"))
+    val comps = CurationOps.connectedComponents(
+        docs.select(col("doc_id").as("v")), edges)
+      .select(col("v").as("doc_id"), col("label").as("component"))
+    val canon = dupCanonicalOf(docs, comps)
+      .select(col("doc_id"), col("is_canonical"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(canon, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_canonical"), 1L).otherwise(0L))
+          .as("n_docs_kept"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(col("is_canonical"), col("n_chars")).otherwise(0L))
+          .as("chars_kept"))
+  }
+
+  // ---------------------------------------------------------------- q151
+  /** The full production near-dup purge pipeline at its 100 TB shape:
+    * linear star edges (q149) → edit-distance confirmation on those
+    * edges only (the q129 gate: lev·5 ≤ max_len ⟺ ≥80% normalized
+    * similarity) → connected components over CONFIRMED edges →
+    * longest-member canonical election → per-language purge
+    * accounting. Everything row-scaled is linear in the corpus: the
+    * Levenshtein budget is one call per star edge (≤ docs × n_bands),
+    * not per banded pair — each member verifies against its bucket's
+    * representative, the standard verify-against-representative
+    * production choice.
+    *
+    * Semantics note (vs q150): a failed confirmation DETACHES a
+    * member from its star where the all-pairs set might still connect
+    * it through another member, so this is the stricter,
+    * verification-gated clustering — the oracle mirrors the same star
+    * construction, it does not claim all-pairs equivalence.
+    */
+  def verifiedPurgeScaled(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val texts = docs.select(col("doc_id"),
+        TextOps.normText(col("text")).as("t"))
+      .withColumn("len", length(col("t")).cast("long"))
+      .localCheckpoint(false)
+    val confirmed = FuzzyDedup.lshStarEdgesOf(docs)
+      .join(texts.select(col("doc_id").as("a"), col("t").as("ta"),
+        col("len").as("la")), Seq("a"))
+      .join(texts.select(col("doc_id").as("b"), col("t").as("tb"),
+        col("len").as("lb")), Seq("b"))
+      .filter(levenshtein(col("ta"), col("tb")).cast("long") * 5 <=
+        greatest(col("la"), col("lb")))
+      .select(col("a"), col("b"))
+    val comps = CurationOps.connectedComponents(
+        docs.select(col("doc_id").as("v")), confirmed)
+      .select(col("v").as("doc_id"), col("label").as("component"))
+    val canon = dupCanonicalOf(docs, comps)
+      .select(col("doc_id"), col("is_canonical"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(canon, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_canonical"), 1L).otherwise(0L))
+          .as("n_docs_kept"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(col("is_canonical"), col("n_chars")).otherwise(0L))
+          .as("chars_kept"))
+  }
+
+  val verifiedPurgeScaledSql: String = {
+    val norm = TextOps.normTextSql("text")
+    s"""WITH RECURSIVE
+       |edges AS (${FuzzyDedup.lshStarEdgesSql}),
+       |t AS (SELECT doc_id, $norm AS t,
+       |  CAST(length($norm) AS BIGINT) AS len FROM documents),
+       |conf AS (SELECT e.a, e.b FROM edges e
+       |  JOIN t ta ON e.a = ta.doc_id
+       |  JOIN t tb ON e.b = tb.doc_id
+       |  WHERE CAST(levenshtein(ta.t, tb.t) AS BIGINT) * 5 <=
+       |    greatest(ta.len, tb.len)),
+       |e2 AS (SELECT a, b FROM conf UNION SELECT b, a FROM conf),
+       |reach(v, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e2.b, reach.r FROM e2 JOIN reach ON reach.v = e2.a),
+       |comps AS (SELECT v AS doc_id, min(r) AS component
+       |  FROM reach GROUP BY v),
+       |labeled AS (SELECT c.doc_id, c.component, d.n_chars
+       |  FROM comps c JOIN documents d USING (doc_id)),
+       |canon AS (SELECT component, doc_id AS canonical_id FROM (
+       |    SELECT component, doc_id, ROW_NUMBER() OVER (
+       |      PARTITION BY component
+       |      ORDER BY n_chars DESC, doc_id) AS rn
+       |    FROM labeled) WHERE rn = 1),
+       |marked AS (SELECT l.doc_id, l.doc_id = canon.canonical_id
+       |    AS is_canonical
+       |  FROM labeled l JOIN canon USING (component))
+       |SELECT d.lang, count(*) AS n_docs,
+       |  SUM(CASE WHEN m.is_canonical THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_docs_kept,
+       |  SUM(d.n_chars)::BIGINT AS chars_total,
+       |  SUM(CASE WHEN m.is_canonical THEN d.n_chars ELSE 0 END)::BIGINT
+       |    AS chars_kept
+       |FROM documents d JOIN marked m USING (doc_id)
+       |GROUP BY 1""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q105
   /** Exact duplicated-substring spans — the exact-substring dedup form
     * (Lee et al., "Deduplicating Training Data Makes Language Models
@@ -623,6 +742,8 @@ object HygieneOps {
     "q90_ann_recall" -> (annRecall _),
     "q91_quantize_int8" -> (quantizeInt8 _),
     "q92_dedup_purge" -> (dedupPurge _),
+    "q150_star_purge" -> (dedupPurgeScaled _),
+    "q151_verified_purge" -> (verifiedPurgeScaled _),
     "q105_dup_spans" -> (dupSpans _),
     "q114_contam_spans" -> (contamSpans _),
     "q118_winnowing" -> (winnow _),
@@ -634,6 +755,10 @@ object HygieneOps {
     "q90_ann_recall" -> annRecallSql,
     "q91_quantize_int8" -> quantizeInt8Sql,
     "q92_dedup_purge" -> dedupPurgeSql,
+    // the all-pairs q92 oracle, on purpose: the value-equal gate is the
+    // cross-engine proof that chain edges build identical components
+    "q150_star_purge" -> dedupPurgeSql,
+    "q151_verified_purge" -> verifiedPurgeScaledSql,
     "q105_dup_spans" -> dupSpansSql,
     "q114_contam_spans" -> contamSpansSql,
     "q118_winnowing" -> winnowSql,

@@ -1,0 +1,7 @@
+DROP DATABASE IF EXISTS lua_test;
+CREATE DATABASE lua_test;
+
+CREATE TABLE lua_test.change_column_value_test ( id int, f_1 int DEFAULT NULL, PRIMARY KEY (id) );
+CREATE TABLE lua_test.change_string_column_value_test ( id int, f_1 varchar(255) DEFAULT NULL, PRIMARY KEY (id) );
+CREATE TABLE lua_test.drop_column_test ( id int, f_1 varchar(255) DEFAULT NULL, f_2 varchar(255) DEFAULT NULL, PRIMARY KEY (id) );
+CREATE TABLE lua_test.filter_row_test ( id int, f_1 varchar(255) DEFAULT NULL, PRIMARY KEY (id) );

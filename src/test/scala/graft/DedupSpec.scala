@@ -151,4 +151,40 @@ class DedupSpec extends SparkSuite {
       assert(perm == conf * 1000 / pairs, s"bands=$b")
     }
   }
+
+  test("star edges connect exactly the components the all-pairs " +
+      "banding does, with a linear edge budget and diameter 2") {
+    val fd = graft.operators.FuzzyDedup
+    val docs = Tables.documents(spark, sf)
+    val nodes = docs.select(col("doc_id").as("v"))
+    val stars = fd.lshStarEdgesOf(docs)
+    val allPairs = fd.minhashLshOf(docs)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // min-label components give canonical labels (min doc_id of the
+    // component), so partition equality IS frame equality
+    val viaStars = graft.operators.CurationOps
+      .connectedComponents(nodes, stars.select(col("a"), col("b")))
+      .as[(Long, Long)].collect().sorted
+    val viaPairs = graft.operators.CurationOps
+      .connectedComponents(nodes, allPairs)
+      .as[(Long, Long)].collect().sorted
+    assert(viaStars.sameElements(viaPairs))
+    // the structural bound that makes the star the 100 TB form:
+    // edges ≤ band rows (docs × n_bands), regardless of cluster sizes
+    val nBands = fd.MinhashA.size / fd.BandRows
+    assert(stars.count() <= docs.count() * nBands)
+
+    // planted clusters: a 4-member duplicate bucket emits 3 star
+    // edges all anchored at the bucket minimum — not 6 pairs, and not
+    // a diameter-3 chain (a chained sf10 cluster blew the label-
+    // propagation round bound; the star keeps bucket diameter at 2)
+    val clones = Seq.tabulate(4)(i =>
+      (10L + i, "the quick brown fox jumps over the lazy dog near " +
+        "the old barn tonight")).toDF("doc_id", "text")
+    val e = fd.lshStarEdgesOf(clones).as[(Long, Long, Long)].collect()
+    assert(e.map(x => (x._1, x._2)).toSet ==
+      Set((10L, 11L), (10L, 12L), (10L, 13L)))
+    val p = fd.minhashLshOf(clones).count()
+    assert(p == 6) // all-pairs would have shipped double the edges here
+  }
 }

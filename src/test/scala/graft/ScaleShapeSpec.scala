@@ -381,6 +381,19 @@ class ScaleShapeSpec extends SparkSuite {
     assert(!p141.contains("Window"), p141)
   }
 
+  test("q149 star edges: one band-key shuffle, no text in any " +
+      "exchange, no sort (bucket min is an unordered window)") {
+    val p = graft.operators.FuzzyDedup.lshStarEdges(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the only data that shuffles is (doc_id, band_key) — text stays
+    // in the mapper that hashed it
+    assert(!p.contains("Exchange hashpartitioning(text#"), p)
+    // bucket-min needs no ordering: a sort before the window would be
+    // paying |bucket| log |bucket| for an aggregate
+    assert(!p.contains("SortExec"), p)
+  }
+
   test("q133 novelty and q134 contamination shuffle 64-bit grams " +
       "only; the benchmark side of q134 broadcasts") {
     val p133 = graft.operators.CurationOps.ngramNovelty(spark, sf)

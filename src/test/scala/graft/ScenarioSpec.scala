@@ -82,6 +82,24 @@ class ScenarioSpec extends SparkSuite {
       Set("public.orders_tb", "public.lines_tb"))
   }
 
+  test("lua scenario: the verbatim reference script mutates, drops " +
+      "columns, and filters rows through the real pipeline") {
+    val r = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("mysql_cdc_lua"))
+    val change = r.perTable("lua_test.change_column_value_test")._2
+    assert(change.map(m => (m("id"), m("f_1"))).toSet ==
+      Set(("1", "1000"), ("2", "1000")))
+    val str = r.perTable("lua_test.change_string_column_value_test")._2
+    assert(str.map(m => (m("id"), m("f_1"))).toSet ==
+      Set(("1", "😀中文a"), ("2", "y")))
+    val drop = r.perTable("lua_test.drop_column_test")._2
+    assert(drop.forall(_("f_2") == null))
+    assert(drop.map(m => (m("id"), m("f_1"))).toSet ==
+      Set(("1", "keep"), ("2", "keep2")))
+    val filt = r.perTable("lua_test.filter_row_test")._2
+    assert(filt.map(_("id")) == Seq("2"))
+  }
+
   test("routing scenario lands rows under the routed names only") {
     val r = ScenarioRunner.run(spark,
       ScenarioRunner.corpusRoot.resolve("mysql_cdc_route"))

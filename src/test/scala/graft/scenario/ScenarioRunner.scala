@@ -157,11 +157,32 @@ object ScenarioRunner {
       task.whereByTable.map { case (k, sql) =>
         k -> parseWhere(Some(sql))
       }
-    val admitted = rawEvents.filter { e =>
+    val gated = rawEvents.filter { e =>
       task.filter.allowTable(e.db, e.tb) &&
         task.filter.allowEvent(e.rowType) &&
         (!isSnapshot || wherePreds.get((e.db, e.tb))
           .forall(_.matches(e.after)))
+    }
+
+    // ---- [processor] lua_code_file: the user's VERBATIM Lua runs per
+    // row between extract-side filtering and routing, exactly the
+    // reference pipeline position (lua_processor.rs) — blanked
+    // row_type drops the event
+    val admitted = task.luaCodeFile match {
+      case None => gated
+      case Some(f) =>
+        val chunk = graft.transform.LuaScript.parse(new String(
+          Files.readAllBytes(dir.resolve(f)), "UTF-8"))
+        gated.flatMap { e =>
+          graft.transform.LuaScript.processEvent(chunk,
+            graft.model.ChangeEvent(e.db, e.tb, 0L, e.rowType,
+              e.before.filter(_._2 != null),
+              e.after.filter(_._2 != null), "none", "", ""))
+            .map(ce => e.copy(db = ce.schema, tb = ce.tb,
+              rowType = ce.rowType,
+              before = e.before.filter(_._2 == null) ++ ce.before,
+              after = e.after.filter(_._2 == null) ++ ce.after))
+        }
     }
 
     // ---- routing + per-table column projection (ignore_cols drops
@@ -306,7 +327,10 @@ object ScenarioRunner {
       // subset of src)
       val fullFidelity = !isSnapshot &&
         task.filter.doEvents == Set("insert", "update", "delete")
-      if (fullFidelity || isSnapshot) {
+      // a Lua processor rewrites rows in flight, so the source state
+      // stops being an oracle for the destination — the per-event
+      // replay (which saw the processed stream) remains one
+      if ((fullFidelity || isSnapshot) && task.luaCodeFile.isEmpty) {
         val (db, tb) = src.defs.keys
           .find(k => task.router.routeTable(k._1, k._2) == (rdb, rtb))
           .get
@@ -330,9 +354,13 @@ object ScenarioRunner {
     val state = mutable.Map[(String, String),
       mutable.ArrayBuffer[Map[String, Value]]]()
     defs.keys.foreach(k => state(k) = mutable.ArrayBuffer.empty)
-    events.foreach { case (db, tb, rowType, img) =>
+    events.foreach { case (db, tb, rowType, rawImg) =>
       val d = defs((db, tb))
       val buf = state((db, tb))
+      // an RDB insert fills unnamed columns with NULL — a processed
+      // stream (Lua column drop) ships partial images, and the dst
+      // engine lands them as NULL, so the oracle must too
+      val img = d.cols.map(c => c -> rawImg.getOrElse(c, null)).toMap
       def keyOf(m: Map[String, Value]): Seq[Value] =
         d.keyCols.map(m.getOrElse(_, null))
       val k = keyOf(img)

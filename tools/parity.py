@@ -40,15 +40,24 @@ def table_to_rows(tbl):
 
 
 def main():
-    out_dir, sf_dir = Path(sys.argv[1]), sys.argv[2]
+    args = sys.argv[1:]
+    only = None
+    if args and args[0] == "--only":
+        only = set(args[1].split(","))
+        args = args[2:]
+    out_dir, sf_dir = Path(args[0]), args[1]
     con = duckdb.connect()
     # Big-sf sweeps: without a limit DuckDB grows until the kernel
     # OOM-kills the whole sweep (the q102 oracle at sf10 reached
-    # 129 GB RSS); with a limit + temp_directory it spills and
-    # finishes. Override via PARITY_DUCKDB_MEM.
+    # 129 GB RSS); with a limit + temp_directory it spills where it
+    # can. Per-row list folds can't spill — cap threads too for those
+    # (PARITY_DUCKDB_THREADS) so fewer vector batches are in flight.
     mem = os.environ.get("PARITY_DUCKDB_MEM", "64GB")
     con.execute(f"SET memory_limit='{mem}'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    threads = os.environ.get("PARITY_DUCKDB_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if Path(p).exists():
@@ -57,6 +66,8 @@ def main():
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     failures = 0
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         qdir = out_dir / name
         if not qdir.exists():
             print(f"FAIL {name}: no spark output")
