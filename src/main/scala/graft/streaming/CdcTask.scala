@@ -225,11 +225,27 @@ object CdcTask {
     // 4. row-level filter (schema/tb admission + event types); a txn
     //    filtered to nothing drops — the next batch's commit end covers
     //    its position
-    val admittedTxns = freshTxns.map { case (end, evs) =>
+    val filteredTxns = freshTxns.map { case (end, evs) =>
       (end, evs.filter(e =>
         task.filter.allowTable(e.schema, e.tb) &&
           task.filter.allowEvent(e.rowType)))
-    }.filter(_._2.nonEmpty)
+    }
+
+    // 4b. [processor] lua_code_file: the user's VERBATIM Lua runs per
+    //     row between filtering and batching — the reference pipeline
+    //     position (lua_processor.rs); a blanked row_type drops the
+    //     event, and a txn processed to nothing drops like a filtered
+    //     one (the next batch's commit end covers its position)
+    val admittedTxns = (task.luaCodeFile match {
+      case None => filteredTxns
+      case Some(f) =>
+        val t = graft.transform.LuaScript.rowTransform(new String(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(f)), "UTF-8"))
+        filteredTxns.map { case (end, evs) =>
+          (end, evs.flatMap(t(_)))
+        }
+    }).filter(_._2.nonEmpty)
 
     // 5. txn-aligned batches → compact → ship → record position
     val batches = toBatches(admittedTxns, task.batchSize)

@@ -364,4 +364,53 @@ class CdcTaskSpec extends SparkSuite {
     assert(new DbResumer.Recovery("other",
       new DbResumer.FileStore(path)).cdcResumePosition.isEmpty)
   }
+
+  test("[processor] lua_code_file: verbatim Lua rewrites and drops " +
+      "CDC rows between filter and compaction") {
+    val wh = new Warehouse
+    try {
+      val luaPath = java.nio.file.Files
+        .createTempDirectory("cdc-lua").resolve("etl.lua")
+      java.nio.file.Files.write(luaPath,
+        """if (schema == "public" and tb == "orders_cdc" and row_type == "insert")
+          |then
+          |    after["amount"] = "99.99"
+          |end
+          |if (after.id ~= nil and after.id == 3) then
+          |    row_type = ""
+          |end""".stripMargin.getBytes("UTF-8"))
+      val task = TaskConfig.fromIni(ini(wh.port)
+        .replace("[filter]",
+          s"[processor]\nlua_code_file=$luaPath\n\n[filter]"))
+      assert(task.luaCodeFile.contains(luaPath.toString))
+      val store = new MemStore
+      val tmp = java.nio.file.Files
+        .createTempDirectory("cdc-lua-task").toString
+      val port = wh.port
+      val report = CdcTask.run(spark, task,
+        CdcTask.PgAnswers(
+          graft.sources.PgSlotLifecycle.SlotStatus(exists = false),
+          pubExists = false, walStream = wal()),
+        sinkFor = (db, tb, batchId) =>
+          new StreamLoadHttp.HttpPayloadSink(
+            StreamLoadHttp.Config("127.0.0.1", port, db, tb,
+              "root", ""), batchId),
+        resumer = dual(store, tmp))
+      // the streamed txn's lone insert (id=3) was dropped by the
+      // script, so only 4 of 5 events ship, and the drop counts as
+      // filtered in the report
+      assert(report.rowsShipped == 4L)
+      assert(report.eventsFiltered == 1L)
+      val byId = wh.rows.groupBy(_("id"))
+      // insert(1)=99.99 then update(1)=11.50 → compaction keeps 11.50
+      assert(byId("1").map(_("amount")).distinct == Seq("11.50"))
+      // insert(2) rewritten to 99.99 before its delete; the delete
+      // still carries the sign
+      assert(byId("2").exists(
+        _(graft.sinks.StreamLoadSink.IsDeletedCol) == "1"))
+      assert(!byId.contains("3"))
+      // the position still covers the dropped txn's commit end
+      assert(report.endLsn == "0/16000800")
+    } finally wh.stop()
+  }
 }

@@ -100,6 +100,21 @@ class ScenarioSpec extends SparkSuite {
     assert(filt.map(_("id")) == Seq("2"))
   }
 
+  test("pg_to_pg lua scenario: guarded literal rewrites and " +
+      "lexicographic row filters through the pg dialect") {
+    val r = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("pg_to_pg_lua"))
+    val dflt = r.perTable("lua_test.default_table")._2
+      .map(m => m("id") -> (m("cvarchar"), m("cnumeric"), m("cbool")))
+      .toMap
+    // the Lua guard rewrites every image of id=1, including the
+    // update's — the update's cbool='false' loses to the script
+    assert(dflt("1") == (("Test", "1234.56", "true")))
+    assert(dflt("2") == (("two", "2.2", "false")))
+    assert(r.perTable("lua_test.filter_tail_test")._2
+      .map(_("id")) == Seq("2"))
+  }
+
   test("routing scenario lands rows under the routed names only") {
     val r = ScenarioRunner.run(spark,
       ScenarioRunner.corpusRoot.resolve("mysql_cdc_route"))

@@ -74,6 +74,51 @@ class TaskConfigSpec extends SparkSuite {
     assert(clients.count() == Tables.customer(spark, sf).count())
   }
 
+  test("snapshot task with [processor] lua_code_file: verbatim Lua " +
+      "filters rows, adds a column, drops one, keeps source types") {
+    val sink = Files.createTempDirectory("task").toString
+    val lua = Files.createTempDirectory("lua")
+      .resolve("etl.lua")
+    Files.write(lua,
+      """if (schema == "app" and tb == "orders")
+        |then
+        |    if (after.o_orderkey % 2 == 0) then row_type = "" end
+        |    after["flagged"] = "yes"
+        |    after["o_comment"] = nil
+        |end""".stripMargin.getBytes("UTF-8"))
+    val t = TaskConfig.fromIni(ini.replace("SINKDIR", sink)
+      .replace("[sinker]",
+        s"[processor]\nlua_code_file=$lua\n\n[sinker]"))
+    TaskRunner.runSnapshot(spark, t)
+    val out = spark.read.parquet(s"$sink/app_replica.orders")
+    val src = Tables.orders(spark, sf)
+    // every even key filtered, odd keys survive
+    val odd = src.filter(org.apache.spark.sql.functions
+      .pmod(org.apache.spark.sql.functions.col("o_orderkey"), org
+        .apache.spark.sql.functions.lit(2)) === 1).count()
+    assert(out.count() == odd)
+    // the added column landed; the dropped one reads NULL everywhere
+    assert(out.select("flagged").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("yes"))
+    assert(out.filter(org.apache.spark.sql.functions
+      .col("o_comment").isNotNull).count() == 0)
+    // untouched columns keep their source types and values
+    assert(out.schema("o_totalprice").dataType ==
+      src.schema("o_totalprice").dataType)
+    assert(out.schema("o_orderkey").dataType ==
+      src.schema("o_orderkey").dataType)
+    val k = out.orderBy("o_orderkey").select("o_totalprice")
+      .collect().head.get(0)
+    val k0 = src.filter(org.apache.spark.sql.functions
+        .col("o_orderkey") === out.orderBy("o_orderkey")
+          .select("o_orderkey").collect().head.getLong(0))
+      .select("o_totalprice").collect().head.get(0)
+    assert(k == k0)
+    // the customer table (unmentioned by the script) ships in full
+    assert(spark.read.parquet(s"$sink/app_replica.clients").count() ==
+      Tables.customer(spark, sf).count())
+  }
+
   test("check task over the snapshot output: everything OK") {
     val sink = Files.createTempDirectory("task").toString
     val t = task(sink)
