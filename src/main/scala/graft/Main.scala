@@ -12,9 +12,10 @@ import graft.infra.Monitoring
 object Main {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: graft.Main <task_config.ini> [--precheck] [--then <cdc.ini>]")
-    val configText = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(args(0)))
-    val task = TaskConfig.fromIni(configText)
+    val configPath = java.nio.file.Paths.get(args(0))
+    val configText = java.nio.file.Files.readString(configPath)
+    val task = TaskConfig.fromIni(configText,
+      Option(configPath.toAbsolutePath.getParent))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -80,8 +81,10 @@ object Main {
       // slot fence before the copy, CDC from the consistent point
       val thenIdx = args.indexOf("--then")
       if (thenIdx >= 0 && task.extractType == TaskConfig.SnapshotExtract) {
-        val cdcTask = TaskConfig.fromIni(java.nio.file.Files.readString(
-          java.nio.file.Paths.get(args(thenIdx + 1))))
+        val cdcPath = java.nio.file.Paths.get(args(thenIdx + 1))
+        val cdcTask = TaskConfig.fromIni(
+          java.nio.file.Files.readString(cdcPath),
+          Option(cdcPath.toAbsolutePath.getParent))
         require(cdcTask.walCapture.isDefined && cdcTask.slot.isDefined,
           "--then config needs [extractor] wal_capture= and slot_name=")
         val capture = cdcTask.walCapture.get

@@ -222,7 +222,14 @@ object TaskConfig {
   /** Build the typed task from parsed INI (the reference's
     * TaskConfig::new).
     */
-  def fromIni(text: String): Task = {
+  /** `baseDir`: the directory the INI was loaded from. Relative file
+    * references inside the config (lua_code_file) resolve against it,
+    * so a config and its script travel together — exactly how the
+    * scenario corpus lays fixtures out. Absent (a config from a
+    * string), relative paths stay as given (process CWD).
+    */
+  def fromIni(text: String,
+      baseDir: Option[java.nio.file.Path] = None): Task = {
     val p = parseIni(text)
     val ex = p.section("extractor")
     val sk = p.section("sinker")
@@ -389,7 +396,12 @@ object TaskConfig {
       parallelType = p.section("parallelizer")
         .get("parallel_type", "rdb_merge"),
       luaCodeFile = p.section("processor")("lua_code_file")
-        .filter(_.nonEmpty),
+        .filter(_.nonEmpty)
+        .map { f =>
+          val fp = java.nio.file.Paths.get(f)
+          if (fp.isAbsolute) f
+          else baseDir.map(_.resolve(fp).toString).getOrElse(f)
+        },
       metrics = metrics,
       slot = slot,
       walCapture = ex("wal_capture"),

@@ -99,7 +99,7 @@ object TaskManager {
     val dir = taskDir(stateDir, name)
     val ini = new String(Files.readAllBytes(dir.resolve("task.ini")),
       StandardCharsets.UTF_8)
-    (readMeta(dir), TaskConfig.fromIni(ini))
+    (readMeta(dir), TaskConfig.fromIni(ini, Some(dir)))
   }
 
   def logs(stateDir: String, name: String): Seq[String] = {
@@ -138,7 +138,7 @@ object TaskManager {
     Files.deleteIfExists(dir.resolve("stop.requested"))
     val ini = new String(Files.readAllBytes(dir.resolve("task.ini")),
       StandardCharsets.UTF_8)
-    val task = TaskConfig.fromIni(ini)
+    val task = TaskConfig.fromIni(ini, Some(dir))
     var meta = meta0.copy(status = "running",
       startedMs = Some(System.currentTimeMillis()), endedMs = None,
       error = None)

@@ -146,7 +146,19 @@ object TaskRunner {
     def readIfExists(path: String) = {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+      // a dir with no committed data files (a crash between mkdir and
+      // the first commit leaves only _temporary/) is ABSENCE, not a
+      // read error — without this check spark.read.parquet throws
+      // "unable to infer schema" on every restart and the ingest can
+      // never start again
+      def hasData(dir: org.apache.hadoop.fs.Path): Boolean =
+        fs.listStatus(dir).exists { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("_") || n.startsWith(".")) false
+          else !st.isDirectory || hasData(st.getPath)
+        }
+      if (fs.exists(p) && hasData(p)) Some(spark.read.parquet(path))
+      else None
     }
     val done: Set[String] = readIfExists(manifestDir)
       .map(_.select("file").collect().map(_.getString(0)).toSet)

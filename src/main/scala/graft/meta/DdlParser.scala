@@ -173,14 +173,19 @@ object DdlParser {
     * — no ON clause; the reference keeps the multi-index list as ONE
     * statement (ddl_parser.rs test_drop_index_pg).
     */
-  final case class DropIndexPg(indexes: Seq[String],
+  /** Each index is its identifier PARTS (`Seq("public", "idx1")` for
+    * `public.idx1`) so render can quote schema and name separately —
+    * quoting the dotted string whole would make the sink look for an
+    * index literally named "public.idx1".
+    */
+  final case class DropIndexPg(indexes: Seq[Seq[String]],
       concurrently: Boolean = false, ifExists: Boolean = false,
       trailing: String = "") extends DdlStatement {
     def render(d: SqlDialect) = {
       val c = if (concurrently) "CONCURRENTLY " else ""
       val t = if (trailing.isEmpty) "" else s" $trailing"
       s"DROP INDEX $c${ie(ifExists)}" +
-        indexes.map(d.q).mkString(", ") + t
+        indexes.map(_.map(d.q).mkString(".")).mkString(", ") + t
     }
   }
   /** A MongoDB DDL carried by the change stream (showExpandedEvents) —
@@ -283,9 +288,12 @@ object DdlParser {
   // PG form: no ON clause, optional CONCURRENTLY/IF EXISTS, a
   // comma-separated index list kept as ONE statement, trailing
   // RESTRICT/CASCADE verbatim (ddl_parser.rs test_drop_index_pg)
+  // whitespace REQUIRED before RESTRICT/CASCADE: with the keyword
+  // directly adjacent the lazy name group would surrender its own
+  // tail, truncating an index named e.g. idx_cascade to "idx_"
   private val dropIdxPgRe =
     re(s"^\\s*DROP\\s+INDEX\\s+(CONCURRENTLY\\s+)?" +
-      s"(IF\\s+EXISTS\\s+)?([^;]+?)\\s*(RESTRICT|CASCADE)?\\s*$$")
+      s"(IF\\s+EXISTS\\s+)?([^;]+?)(?:\\s+(RESTRICT|CASCADE))?\\s*$$")
   private val qualOnlyRe = re(s"^\\s*$qual\\s*$$")
   private val idOnlyRe = re(s"^\\s*$id\\s*$$")
 
@@ -421,8 +429,16 @@ object DdlParser {
     m = dropIdxPgRe.matcher(s)
     if (m.matches()) {
       val names = m.group(3).split(",").toSeq.map(_.trim).map { one =>
+        // schema-qualified (public.idx1) splits into parts so render
+        // quotes each separately; a bare id unquotes; anything odd
+        // stays verbatim as a single part
+        val qm = qualOnlyRe.matcher(one)
         val mm = idOnlyRe.matcher(one)
-        if (mm.matches()) unq(mm, 1, d) else one
+        if (qm.matches()) {
+          val (sch, nm) = qualName(qm, 1, d)
+          sch.map(Seq(_, nm)).getOrElse(Seq(nm))
+        } else if (mm.matches()) Seq(unq(mm, 1, d))
+        else Seq(one)
       }
       return Seq(DropIndexPg(names,
         concurrently = m.group(1) != null,
@@ -433,9 +449,33 @@ object DdlParser {
     m = alterRe.matcher(s)
     if (m.matches()) {
       val ifExists = m.group(1) != null
-      val only = m.group(2) != null
-      val (db, tb) = qualName(m, 3, d)
-      val alteration = m.group(9).trim
+      var only = m.group(2) != null
+      val (db, tb0) = qualName(m, 3, d)
+      var tb = tb0
+      var alteration = m.group(9).trim
+      // ONLY is not reserved in MySQL: for `ALTER TABLE only ADD
+      // COLUMN …` the greedy (ONLY\s+)? steals the table name and the
+      // next token lands as tb. Disambiguate by what a real
+      // alteration must start with — if it doesn't, ONLY WAS the
+      // table and tb+alteration shift back by one token.
+      val verbs = Set("ADD", "DROP", "ALTER", "MODIFY", "CHANGE",
+        "RENAME", "SET", "RESET", "OWNER", "ENABLE", "DISABLE",
+        "VALIDATE", "ATTACH", "DETACH", "CLUSTER", "REPLICA",
+        "INHERIT", "NO", "FORCE", "CONVERT", "DEFAULT", "CHARACTER",
+        "COMMENT", "ENGINE", "AUTO_INCREMENT", "COLLATE", "ORDER",
+        "DISCARD", "IMPORT", "TRUNCATE", "PARTITION", "ROW_FORMAT",
+        "LOCK", "ALGORITHM", "NOT", "OF", "READ")
+      if (only && db.isEmpty &&
+          !verbs(alteration.split("\\s+|=", 2).head.toUpperCase)) {
+        // raw source text for the stolen token (no identifier fold —
+        // it becomes alteration TEXT, rendered verbatim) and the
+        // dialect fold for the ONLY token that becomes the table name
+        alteration =
+          (s.substring(m.end(2), m.start(9)).trim + " " +
+            alteration).trim
+        tb = d.fold(m.group(2).trim)
+        only = false
+      }
       val rm = alterRenameRe.matcher(alteration)
       if (rm.matches()) {
         val (ndb, ntb) = qualName(rm, 1, d)

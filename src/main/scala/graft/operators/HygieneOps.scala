@@ -252,12 +252,15 @@ object HygieneOps {
     * Scale shape: the canonical mapping is (doc_id, bool) pairs; the
     * final aggregation groups by the low-cardinality lang key.
     */
-  def dedupPurge(spark: SparkSession, dir: String): DataFrame = {
-    val canon = dupCanonical(spark, dir)
-      .select(col("doc_id"), col("is_canonical"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-      .join(canon, "doc_id")
+  /** Shared per-language purge accounting: docs × canonical verdicts
+    * → before/after document and character counts. One definition for
+    * q92/q150/q151 so the report shape can never drift between the
+    * all-pairs, star, and verified chains.
+    */
+  private def purgeReport(docs: DataFrame, canon: DataFrame)
+      : DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(canon.select(col("doc_id"), col("is_canonical")), "doc_id")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("is_canonical"), 1L).otherwise(0L))
@@ -265,7 +268,22 @@ object HygieneOps {
         sum(col("n_chars")).as("chars_total"),
         sum(when(col("is_canonical"), col("n_chars")).otherwise(0L))
           .as("chars_kept"))
+
+  /** Components over an (a, b) edge frame → election → purge report —
+    * the shared tail of the star chains (q150/q151).
+    */
+  private def purgeFromEdges(docs: DataFrame, edges: DataFrame)
+      : DataFrame = {
+    val comps = CurationOps.connectedComponents(
+        docs.select(col("doc_id").as("v")),
+        edges.select(col("a"), col("b")))
+      .select(col("v").as("doc_id"), col("label").as("component"))
+    purgeReport(docs, dupCanonicalOf(docs, comps))
   }
+
+  def dedupPurge(spark: SparkSession, dir: String): DataFrame =
+    purgeReport(Tables.documents(spark, dir),
+      dupCanonical(spark, dir))
 
   val dedupPurgeSql: String =
     s"""WITH RECURSIVE ${CurationOps.dedupGroupsCtes},
@@ -302,22 +320,7 @@ object HygieneOps {
     */
   def dedupPurgeScaled(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val edges = FuzzyDedup.lshStarEdgesOf(docs)
-      .select(col("a"), col("b"))
-    val comps = CurationOps.connectedComponents(
-        docs.select(col("doc_id").as("v")), edges)
-      .select(col("v").as("doc_id"), col("label").as("component"))
-    val canon = dupCanonicalOf(docs, comps)
-      .select(col("doc_id"), col("is_canonical"))
-    docs.select(col("doc_id"), col("lang"), col("n_chars"))
-      .join(canon, "doc_id")
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("is_canonical"), 1L).otherwise(0L))
-          .as("n_docs_kept"),
-        sum(col("n_chars")).as("chars_total"),
-        sum(when(col("is_canonical"), col("n_chars")).otherwise(0L))
-          .as("chars_kept"))
+    purgeFromEdges(docs, FuzzyDedup.lshStarEdgesOf(docs))
   }
 
   // ---------------------------------------------------------------- q151
@@ -353,20 +356,7 @@ object HygieneOps {
       .filter(levenshtein(col("ta"), col("tb")).cast("long") * 5 <=
         greatest(col("la"), col("lb")))
       .select(col("a"), col("b"))
-    val comps = CurationOps.connectedComponents(
-        docs.select(col("doc_id").as("v")), confirmed)
-      .select(col("v").as("doc_id"), col("label").as("component"))
-    val canon = dupCanonicalOf(docs, comps)
-      .select(col("doc_id"), col("is_canonical"))
-    docs.select(col("doc_id"), col("lang"), col("n_chars"))
-      .join(canon, "doc_id")
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("is_canonical"), 1L).otherwise(0L))
-          .as("n_docs_kept"),
-        sum(col("n_chars")).as("chars_total"),
-        sum(when(col("is_canonical"), col("n_chars")).otherwise(0L))
-          .as("chars_kept"))
+    purgeFromEdges(docs, confirmed)
   }
 
   val verifiedPurgeScaledSql: String = {

@@ -69,7 +69,14 @@ object CdcPipeline {
       monitors: Option[graft.infra.Monitoring.PipelineMonitors] = None,
       inlineCheck: Option[(InlineCdcCheck.Checker,
         (String, Map[String, String], Seq[String]) =>
-          Option[Map[String, String]])] = None)
+          Option[Map[String, String]])] = None,
+      // [parallelizer] parallel_type (parallelizer_config.rs):
+      // rdb_merge (default) compacts per key; table/serial skip the
+      // merge and apply each table's rows IN ORDER as per-row
+      // statements — the reference's table_parallelizer /
+      // serial lanes, for sinks or workloads where key compaction
+      // is unwanted (e.g. triggers that must see every event)
+      parallelType: String = "rdb_merge")
       : DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream
       .outputMode("update")
@@ -81,8 +88,12 @@ object CdcPipeline {
         val counted = limiter.isDefined || monitors.isDefined
         if (counted) batch.persist()
         try {
-          val compacted = Compaction.compact(batch, keys, orderCols,
-            col("row_type"))
+          val perTable =
+            parallelType == "table" || parallelType == "serial"
+          val compacted =
+            if (perTable) batch
+            else Compaction.compact(batch, keys, orderCols,
+              col("row_type"))
           limiter.foreach { l =>
             var remaining = batch.count()
             while (remaining > 0) {
@@ -92,8 +103,48 @@ object CdcPipeline {
             }
           }
           val t0 = System.nanoTime()
-          Applier.applyCompacted(RdbQueryBuilder.MySql, table, compacted,
-            keys, cols, orderCols, sinkFactory)
+          if (perTable) {
+            // one ordered lane per table (table_parallelizer.rs): the
+            // original statement kinds replay in event order —
+            // insert→INSERT, update→UPDATE…WHERE keys,
+            // delete→DELETE…WHERE keys. Single-table stream ⇒ one
+            // sorted partition IS the table lane.
+            val d = RdbQueryBuilder.MySql
+            val qt = table.split("\\.", 2) match {
+              case Array(a, b) => s"${d.quote(a)}.${d.quote(b)}"
+              case a => d.quote(a(0))
+            }
+            val dataCols = cols.filterNot(_ == "row_type")
+            val setCols = dataCols.filterNot(keys.contains)
+            val ks = keys
+            val sf2 = sinkFactory
+            batch.orderBy(orderCols.map(col): _*).coalesce(1)
+              .select((dataCols :+ "row_type").distinct.map(col): _*)
+              .foreachPartition {
+                (it: Iterator[org.apache.spark.sql.Row]) =>
+                  val sink = sf2()
+                  it.foreach { r =>
+                    def v(cs: Seq[String]): Seq[Any] =
+                      cs.map(c => r.getAs[Any](c))
+                    r.getAs[String]("row_type") match {
+                      case "delete" => sink.execute(
+                        Applier.StatementBatch(RdbQueryBuilder
+                          .batchDelete(d, qt, ks, 1), Seq(v(ks))))
+                      case "update" => sink.execute(
+                        Applier.StatementBatch(RdbQueryBuilder
+                          .update(d, qt, setCols, ks),
+                          Seq(v(setCols) ++ v(ks))))
+                      case _ => sink.execute(
+                        Applier.StatementBatch(RdbQueryBuilder
+                          .batchInsert(d, qt, dataCols, 1),
+                          Seq(v(dataCols))))
+                    }
+                  }
+              }
+          } else {
+            Applier.applyCompacted(RdbQueryBuilder.MySql, table,
+              compacted, keys, cols, orderCols, sinkFactory)
+          }
           monitors.foreach { m =>
             import graft.infra.Monitoring._
             m.sinker.addCounter(RtPerQuery,
@@ -104,8 +155,11 @@ object CdcPipeline {
           // to the sampled keys EXECUTOR-SIDE first — at scale only
           // the sampled subset is ever collected — then queue for the
           // driver-side checker. Checker errors must never fail the
-          // write path (config.md), hence the catch-all.
-          inlineCheck.foreach { case (checker, fetch) =>
+          // write path (config.md), hence the catch-all. Merge lane
+          // only: the per-table lane has no compaction verdicts to
+          // derive expected end-state rows from.
+          inlineCheck.filter(_ => !perTable).foreach {
+              case (checker, fetch) =>
             try {
               // the serial lane (NULL-key rows) is uncheckable by key
               // lookup — the reference's checker only covers keyed rows

@@ -365,7 +365,37 @@ class DdlGrammarSpec extends AnyFunSuite {
       "drop index if exists tb_1_id_idx,tb_1_id_idx1 RESTRICT;" ->
         """DROP INDEX IF EXISTS "tb_1_id_idx", "tb_1_id_idx1" RESTRICT""",
       "drop index CONCURRENTLY if exists tb_1_id_idx3 RESTRICT;" ->
-        """DROP INDEX CONCURRENTLY IF EXISTS "tb_1_id_idx3" RESTRICT"""))
+        """DROP INDEX CONCURRENTLY IF EXISTS "tb_1_id_idx3" RESTRICT""",
+      // schema-qualified: each part quoted separately — quoting the
+      // dotted string whole would target an index named "public.idx1"
+      "drop index public.idx1" -> """DROP INDEX "public"."idx1"""",
+      "drop index if exists public.idx1, idx2 CASCADE" ->
+        """DROP INDEX IF EXISTS "public"."idx1", "idx2" CASCADE""",
+      // names ENDING in a trailing keyword must not be truncated by
+      // the optional RESTRICT/CASCADE tail
+      "drop index idx_cascade" -> """DROP INDEX "idx_cascade"""",
+      "drop index idx_restrict CASCADE" ->
+        """DROP INDEX "idx_restrict" CASCADE"""))
+  }
+
+  test("pg/mysql: ALTER TABLE disambiguates a table actually named " +
+      "'only' from the PG ONLY keyword") {
+    // ONLY is not reserved in MySQL — this is a real table name
+    val named = DdlParser.parse(
+      "ALTER TABLE only ADD COLUMN x int", Mysql).head
+      .asInstanceOf[DdlParser.AlterTable]
+    assert(named.tb == "only" && !named.only)
+    assert(named.alteration == "ADD COLUMN x int")
+    // the PG keyword form keeps its meaning
+    val kw = DdlParser.parse(
+      "ALTER TABLE ONLY users ADD COLUMN x int", Pg).head
+      .asInstanceOf[DdlParser.AlterTable]
+    assert(kw.tb == "users" && kw.only)
+    // verb-shaped second token still reconstructs correctly
+    val owner = DdlParser.parse(
+      "ALTER TABLE only OWNER TO app", Pg).head
+      .asInstanceOf[DdlParser.AlterTable]
+    assert(owner.tb == "only" && owner.alteration == "OWNER TO app")
   }
 
   // ------------------------------------------------------ common

@@ -57,6 +57,51 @@ class StreamingSpec extends SparkSuite {
         .flatMap(_.rows).map(_.head).toSet)
     assert(upsertRows.size >= 10)
   }
+
+  test("parallel_type=table skips compaction: per-row statements in " +
+      "order, every event visible at the sink") {
+    StreamingSpec.acc.synchronized(StreamingSpec.acc.clear())
+    // the events table only, staged into its own dir (the streaming
+    // file source wants a directory; the whole-sf form would stream
+    // every table's rows and break the kind-for-kind accounting)
+    val evDir = java.nio.file.Files
+      .createTempDirectory("stream-events").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$evDir/events.parquet"))
+    val changes = CdcPipeline.readChanges(spark, evDir)
+    val total = changes.isStreaming // force nothing; count from batch
+    val q = CdcPipeline.compactAndApply(changes, "app.users",
+      keys = Seq("user_id"),
+      cols = Seq("user_id", "event_id", "value", "row_type"),
+      orderCols = Seq("ts", "event_id"),
+      sinkFactory = () => StreamingSpec.CollectingSink,
+      parallelType = "table").start()
+    try q.processAllAvailable() finally q.stop()
+    val batches = StreamingSpec.acc.synchronized(StreamingSpec.acc.toSeq)
+    assert(batches.nonEmpty)
+    // the table lane replays the ORIGINAL statement kinds per row —
+    // no merged REPLACE batches, updates stay UPDATEs
+    assert(batches.forall(b => !b.sql.startsWith("REPLACE")))
+    assert(batches.exists(_.sql.contains("`app`.`users`")))
+    val byKind = batches.groupBy(_.sql.takeWhile(_ != ' '))
+    // expected kinds from the same source mapping readChanges applies
+    val ev = Tables.events(spark, sf)
+    def n(t: String) = (t match {
+      case "insert" => ev.filter(
+        org.apache.spark.sql.functions.col("event_type") === "signup")
+      case "delete" => ev.filter(
+        org.apache.spark.sql.functions.col("event_type") === "error")
+      case _ => ev.filter(
+        org.apache.spark.sql.functions.col("event_type") =!= "signup" &&
+          org.apache.spark.sql.functions.col("event_type") =!= "error")
+    }).count()
+    // no compaction: one statement per event, kind for kind
+    assert(byKind.getOrElse("INSERT", Nil).size.toLong == n("insert"))
+    assert(byKind.getOrElse("UPDATE", Nil).size.toLong == n("update"))
+    assert(byKind.getOrElse("DELETE", Nil).size.toLong == n("delete"))
+    assert(total)
+  }
 }
 
 object StreamingSpec {

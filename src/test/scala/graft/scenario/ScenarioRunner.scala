@@ -126,7 +126,10 @@ object ScenarioRunner {
   def run(spark: SparkSession, dir: Path): Result = {
     val ini = new String(
       Files.readAllBytes(dir.resolve("task_config.ini")), "UTF-8")
-    val task = TaskConfig.fromIni(ini)
+    // baseDir = the scenario dir, so the corpus exercises the SAME
+    // relative-path resolution production uses (TaskConfig resolves
+    // lua_code_file against the INI's directory)
+    val task = TaskConfig.fromIni(ini, Some(dir))
     val dialect = dialectOf(task.sinkDbType)
     val runId = s"${dir.getFileName}-${System.nanoTime()}"
 
@@ -172,7 +175,7 @@ object ScenarioRunner {
       case None => gated
       case Some(f) =>
         val chunk = graft.transform.LuaScript.parse(new String(
-          Files.readAllBytes(dir.resolve(f)), "UTF-8"))
+          Files.readAllBytes(Paths.get(f)), "UTF-8"))
         gated.flatMap { e =>
           graft.transform.LuaScript.processEvent(chunk,
             graft.model.ChangeEvent(e.db, e.tb, 0L, e.rowType,
