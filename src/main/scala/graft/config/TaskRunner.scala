@@ -81,8 +81,16 @@ object TaskRunner {
       val loaded = Tables.load(spark, task.sourceDir, tb)
       val conditioned = task.whereByTable.get((schema, tb))
         .map(c => loaded.filter(expr(c))).getOrElse(loaded)
-      val df = task.ignoreColsByTable.get((schema, tb))
+      val dropped = task.ignoreColsByTable.get((schema, tb))
         .map(cols => conditioned.drop(cols: _*)).getOrElse(conditioned)
+      // same [processor] position as snapshotTable: the staged spool
+      // serves PROCESSED rows, like the reference's pipeline swap
+      val df = task.luaCodeFile match {
+        case None => dropped
+        case Some(f) => graft.transform.LuaScript.snapshotTransform(
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(f)), "UTF-8"), schema, tb)(dropped)
+      }
       val routed = task.router.renameColumns(schema, tb, df)
       val (toSchema, toTb) = task.router.routeTable(schema, tb)
       sub.stage(routed.withColumn("dst_table",

@@ -18,11 +18,17 @@ import graft.model.{ChangeEvent, RowKind}
   * `if/elseif/else`, `while`, numeric `for`, generic
   * `for k, v in pairs(t)`, `break`, `do` blocks, table constructors,
   * and the builtins `print`, `pairs`, `ipairs`, `tostring`,
-  * `tonumber`, `type`, `string.upper/lower/sub/len/rep/reverse/format`,
-  * `math.floor/ceil/abs/min/max`. Function definitions are rejected
-  * with a clear error — no reference script defines functions, and
-  * keeping the surface closed keeps the sandbox honest (no `os`, `io`,
-  * `require`, metatables, or coroutines exist here at all).
+  * `tonumber`, `type`,
+  * `string.upper/lower/sub/len/rep/reverse/format/byte/char`, the
+  * full Lua PATTERN functions `string.find/match/gmatch/gsub`
+  * (real Lua patterns via [[LuaPattern]], not regex — including `%b`,
+  * `%f`, lazy `-`, captures and back-references; gsub supports string
+  * replacements with `%0`-`%9`), and `math.floor/ceil/abs/min/max`.
+  * Multiple return values (find/gsub) spread across assignment
+  * targets Lua-style. Function definitions are rejected with a clear
+  * error — no reference script defines functions, and keeping the
+  * surface closed keeps the sandbox honest (no `os`, `io`, `require`,
+  * metatables, or coroutines exist here at all).
   *
   * Execution model: the script parses ONCE on the driver (fail fast on
   * syntax errors); the AST is plain serializable case classes shipped
@@ -58,6 +64,19 @@ object LuaScript {
     */
   final class LTab(val m: mutable.LinkedHashMap[LV, LV] =
       mutable.LinkedHashMap.empty) extends LV
+  /** Multiple return values (string.find/gsub). Lua truncates to the
+    * first value everywhere except the tail of an assignment's
+    * expression list — [[Interp.eval]] truncates, SAssign/SLocal
+    * expand the last expression.
+    */
+  private final case class LMulti(vs: Seq[LV]) extends LV
+  /** string.gmatch's iterator, consumed by generic for-in. */
+  private final case class LGmatch(s: String, pat: String) extends LV
+
+  private def first(v: LV): LV = v match {
+    case LMulti(vs) => vs.headOption.getOrElse(LNil)
+    case x => x
+  }
 
   private def truthy(v: LV): Boolean = v match {
     case LNil => false
@@ -90,6 +109,8 @@ object LuaScript {
     case LStr(s) => s
     case n @ (_: LInt | _: LFlt) => numToStr(n)
     case _: LTab => "table"
+    case _: LGmatch => "function"
+    case m: LMulti => render(first(m))
   }
 
   private def toNum(v: LV): Option[LV] = v match {
@@ -570,10 +591,24 @@ object LuaScript {
       finally scopes = scopes.tail
     }
 
+    /** Expression-list evaluation with Lua's tail expansion: every
+      * expression truncates to one value except the LAST, whose
+      * multiple returns (string.find/gsub) spread across the
+      * remaining targets.
+      */
+    private def evalList(vals: Seq[Expr], want: Int): Seq[LV] = {
+      if (vals.isEmpty) return Seq.fill(want)(LNil)
+      val init = vals.init.map(e => first(evalRaw(e)))
+      val tail = evalRaw(vals.last) match {
+        case LMulti(vs) => vs
+        case v => Seq(v)
+      }
+      (init ++ tail).padTo(want, LNil).take(want)
+    }
+
     private def exec(s: Stat): Unit = s match {
       case SAssign(tgts, vals) =>
-        val vs = tgts.indices.map(i =>
-          if (i < vals.size) eval(vals(i)) else LNil)
+        val vs = evalList(vals, tgts.size)
         tgts.zip(vs).foreach {
           case (EName(n), v) => setVar(n, v)
           case (EIndex(o, k), v) =>
@@ -592,8 +627,7 @@ object LuaScript {
           case (other, _) => err(s"cannot assign to $other")
         }
       case SLocal(names, vals) =>
-        val vs = names.indices.map(i =>
-          if (i < vals.size) eval(vals(i)) else LNil)
+        val vs = evalList(vals, names.size)
         names.zip(vs).foreach { case (n, v) =>
           scopes.head.update(n, v)
         }
@@ -622,22 +656,33 @@ object LuaScript {
           }
         } catch { case BreakSignal => () }
       case SForIn(names, iterE, body) =>
-        val entries: Seq[(LV, LV)] = eval(iterE) match {
-          case t: LTab => t.m.toSeq
+        def runRows(rows: Iterator[Seq[LV]]): Unit =
+          try {
+            rows.foreach { vals =>
+              val frame = mutable.Map.empty[String, LV]
+              names.zipWithIndex.foreach { case (n, i) =>
+                frame.update(n, vals.lift(i).getOrElse(LNil))
+              }
+              scopes = frame :: scopes
+              try body.foreach(exec)
+              finally scopes = scopes.tail
+            }
+          } catch { case BreakSignal => () }
+        evalRaw(iterE) match {
+          case t: LTab =>
+            runRows(t.m.toSeq.iterator.map { case (k, v) => Seq(k, v) })
+          case LGmatch(s, pat) =>
+            // string.gmatch: one loop variable per capture (the whole
+            // match when the pattern has none)
+            runRows(LuaPattern.allMatches(s, pat).iterator.map(m =>
+              m.captures.map {
+                case Right(str) => LStr(str)
+                case Left(pos) => LInt(pos.toLong)
+              }))
           case other =>
             err(s"cannot iterate a ${typeName(other)} " +
-              "(write `for k, v in pairs(t)`)")
+              "(write `for k, v in pairs(t)` or string.gmatch)")
         }
-        try {
-          entries.foreach { case (k, v) =>
-            val frame = mutable.Map.empty[String, LV]
-            if (names.nonEmpty) frame.update(names.head, k)
-            if (names.size > 1) frame.update(names(1), v)
-            scopes = frame :: scopes
-            try body.foreach(exec)
-            finally scopes = scopes.tail
-          }
-        } catch { case BreakSignal => () }
       case SCall(c) => eval(c); ()
       case SDo(b) => execBlock(b)
       case SBreak() => throw BreakSignal
@@ -674,9 +719,17 @@ object LuaScript {
       case _: LInt | _: LFlt => "number"
       case _: LStr => "string"
       case _: LTab => "table"
+      case _: LGmatch => "function" // what Lua's type() reports
+      case LMulti(vs) =>
+        typeName(vs.headOption.getOrElse(LNil))
     }
 
-    def eval(e: Expr): LV = e match {
+    /** Expression value, truncated to ONE value (Lua's rule outside
+      * expression-list tails).
+      */
+    def eval(e: Expr): LV = first(evalRaw(e))
+
+    private def evalRaw(e: Expr): LV = e match {
       case ENil() => LNil
       case EBool(b) => LBool(b)
       case EStr(s) => LStr(s)
@@ -871,7 +924,63 @@ object LuaScript {
       case _ => dflt.getOrElse(err("number expected"))
     }
 
+    private def capsToLv(caps: Seq[Either[Int, String]]): Seq[LV] =
+      caps.map {
+        case Right(s) => LStr(s)
+        case Left(pos) => LInt(pos.toLong)
+      }
+
     private def stringLib(f: String, args: Seq[LV]): LV = f match {
+      case "find" =>
+        val (s, pat) = (argStr(args, 0), argStr(args, 1))
+        val init = argInt(args, 2, Some(1L)).toInt
+        val plain = args.lift(3).exists(truthy)
+        if (plain) {
+          val from = math.max(if (init > 0) init - 1
+            else s.length + init, 0)
+          val at = s.indexOf(pat, from)
+          if (at < 0) LNil
+          else LMulti(Seq(LInt(at + 1L), LInt(at + pat.length.toLong)))
+        } else LuaPattern.find(s, pat, init) match {
+          case Some((a, b, caps)) =>
+            LMulti(Seq(LInt(a.toLong), LInt(b.toLong)) ++
+              capsToLv(caps))
+          case None => LNil
+        }
+      case "match" =>
+        LuaPattern.matchFirst(argStr(args, 0), argStr(args, 1),
+            argInt(args, 2, Some(1L)).toInt) match {
+          case Some(caps) => capsToLv(caps) match {
+            case Seq(one) => one
+            case many => LMulti(many)
+          }
+          case None => LNil
+        }
+      case "gmatch" =>
+        LGmatch(argStr(args, 0), argStr(args, 1))
+      case "gsub" =>
+        val repl = args.lift(2) match {
+          case Some(LStr(s)) => s
+          case Some(n @ (_: LInt | _: LFlt)) => numToStr(n)
+          case _ => err("string.gsub: only string replacements are " +
+            "supported (no function/table replacements)")
+        }
+        val maxN = args.lift(3).flatMap(toNum) match {
+          case Some(LInt(v)) => v
+          case Some(LFlt(d)) => d.toLong
+          case _ => Long.MaxValue
+        }
+        val (out, n) = LuaPattern.gsub(argStr(args, 0),
+          argStr(args, 1), repl, maxN)
+        LMulti(Seq(LStr(out), LInt(n)))
+      case "byte" =>
+        val s = argStr(args, 0)
+        val i = argInt(args, 1, Some(1L)).toInt
+        val at = if (i > 0) i - 1 else s.length + i
+        if (at < 0 || at >= s.length) LNil
+        else LInt(s.charAt(at).toLong)
+      case "char" =>
+        LStr(args.map(a => argInt(Seq(a), 0).toChar).mkString)
       case "upper" => LStr(argStr(args, 0).toUpperCase)
       case "lower" => LStr(argStr(args, 0).toLowerCase)
       case "len" => LInt(argStr(args, 0).length.toLong)

@@ -271,6 +271,63 @@ class LuaScriptSpec extends AnyFunSuite {
       run("""require("socket")""", ev()))
   }
 
+  test("lua patterns: find/match/gsub/gmatch with real pattern " +
+      "semantics, not regex") {
+    val code =
+      """local a, b = string.find(after.s, "%d+")
+        |after.span = a .. ":" .. b
+        |after.num = string.match(after.s, "%d+")
+        |after.kv = string.match(after.s, "(%a+)=(%d+)")
+        |local cleaned, n = string.gsub(after.s, "%s+", "_")
+        |after.cleaned = cleaned
+        |after.n = n
+        |local words = ""
+        |for w in string.gmatch(after.s, "%a+") do
+        |    words = words .. w .. ","
+        |end
+        |after.words = words
+        |-- lazy '-' and %b: strip one tag pair
+        |after.tag = string.gsub(after.tags, "<(.-)>", "[%1]")
+        |after.bal = string.match(after.expr, "%b()")""".stripMargin
+    val out = run(code, ev(after = Map(
+      "s" -> "count=42 more text",
+      "tags" -> "<b>bold</b>",
+      "expr" -> "f(a(b)c) tail"))).get
+    assert(out.after("span") == "7:8")
+    assert(out.after("num") == "42")
+    // string.match with two captures truncates to the FIRST outside
+    // a multi-assignment tail — Lua semantics
+    assert(out.after("kv") == "count")
+    assert(out.after("cleaned") == "count=42_more_text")
+    assert(out.after("n") == "2")
+    assert(out.after("words") == "count,more,text,")
+    assert(out.after("tag") == "[b]bold[/b]")
+    assert(out.after("bal") == "(a(b)c)")
+  }
+
+  test("lua patterns: multi-capture spread, anchors, classes, " +
+      "plain find, back-reference") {
+    val code =
+      """local k, v = string.match(after.s, "(%a+)=(%d+)")
+        |after.k = k
+        |after.v = v
+        |after.anchored = tostring(string.match(after.s, "^count") ~= nil)
+        |after.notail = tostring(string.match(after.s, "xyz$") == nil)
+        |local ps, pe = string.find(after.s, "t=4", 1, true)
+        |after.plain = ps .. ":" .. pe
+        |after.upper2 = string.gsub(after.s, "%u", "!")
+        |after.dup = string.match(after.dups, "(%a+) %1")""".stripMargin
+    val out = run(code, ev(after = Map(
+      "s" -> "count=42 More",
+      "dups" -> "go stop stop end"))).get
+    assert(out.after("k") == "count" && out.after("v") == "42")
+    assert(out.after("anchored") == "true")
+    assert(out.after("notail") == "true")
+    assert(out.after("plain") == "5:7")
+    assert(out.after("upper2") == "count=42 !ore")
+    assert(out.after("dup") == "stop")
+  }
+
   test("multiple assignment and table constructors") {
     val code =
       """local a, b = "1", "2"

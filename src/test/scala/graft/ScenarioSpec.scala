@@ -115,6 +115,17 @@ class ScenarioSpec extends SparkSuite {
       .map(_("id")) == Seq("2"))
   }
 
+  test("snapshot lua scenario: the script rewrites and filters the " +
+      "copied table state") {
+    val r = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("mysql_snapshot_lua"))
+    assert(r.perTable("lua_test.change_column_value_test")._2
+      .map(m => (m("id"), m("f_1"))).toSet ==
+      Set(("1", "1000"), ("2", "1000")))
+    assert(r.perTable("lua_test.filter_row_test")._2
+      .map(_("id")) == Seq("2"))
+  }
+
   test("routing scenario lands rows under the routed names only") {
     val r = ScenarioRunner.run(spark,
       ScenarioRunner.corpusRoot.resolve("mysql_cdc_route"))
