@@ -23,7 +23,8 @@ import graft.model.{ChangeEvent, RowKind}
   * full Lua PATTERN functions `string.find/match/gmatch/gsub`
   * (real Lua patterns via [[LuaPattern]], not regex — including `%b`,
   * `%f`, lazy `-`, captures and back-references; gsub supports string
-  * replacements with `%0`-`%9`), and `math.floor/ceil/abs/min/max`.
+  * replacements with `%0`-`%9`), `table.insert/remove/concat`, and
+  * `math.floor/ceil/abs/min/max`.
   * Multiple return values (find/gsub) spread across assignment
   * targets Lua-style. Function definitions are rejected with a clear
   * error — no reference script defines functions, and keeping the
@@ -906,6 +907,7 @@ object LuaScript {
       case EName("type") =>
         LStr(typeName(args.headOption.getOrElse(LNil)))
       case EIndex(EName("string"), EStr(f)) => stringLib(f, args)
+      case EIndex(EName("table"), EStr(f)) => tableLib(f, args)
       case EIndex(EName("math"), EStr(f)) => mathLib(f, args)
       case EName(n) => err(s"attempt to call unknown function '$n'")
       case other => err(s"cannot call $other")
@@ -1037,6 +1039,75 @@ object LuaScript {
         }
         LStr(out.result())
       case other => err(s"string.$other is not supported")
+    }
+
+    /** The array-building trio user scripts accumulate with
+      * (table.insert + table.concat, table.remove). Array part =
+      * the 1..n integer-key prefix, like Lua's `#`.
+      */
+    private def tableLib(f: String, args: Seq[LV]): LV = {
+      def tab: LTab = args.headOption match {
+        case Some(t: LTab) => t
+        case _ => err(s"table.$f: table expected")
+      }
+      def arrLen(t: LTab): Long = {
+        var i = 1L
+        while (t.m.contains(LInt(i))) i += 1
+        i - 1
+      }
+      f match {
+        case "insert" =>
+          val t = tab
+          args.size match {
+            case 2 => t.m.update(LInt(arrLen(t) + 1), args(1))
+            case 3 =>
+              val pos = argInt(args, 1)
+              val n = arrLen(t)
+              if (pos < 1 || pos > n + 1)
+                err("table.insert: position out of bounds")
+              var i = n
+              while (i >= pos) {
+                t.m.update(LInt(i + 1), t.m(LInt(i))); i -= 1
+              }
+              t.m.update(LInt(pos), args(2))
+            case _ => err("wrong number of arguments to table.insert")
+          }
+          LNil
+        case "remove" =>
+          val t = tab
+          val n = arrLen(t)
+          val pos = argInt(args, 1, Some(n))
+          if (n == 0) LNil
+          else if (pos < 1 || pos > n)
+            err("table.remove: position out of bounds")
+          else {
+            val removed = t.m.getOrElse(LInt(pos), LNil)
+            var i = pos
+            while (i < n) {
+              t.m.update(LInt(i), t.m(LInt(i + 1))); i += 1
+            }
+            t.m.remove(LInt(n))
+            removed
+          }
+        case "concat" =>
+          val t = tab
+          val sep = args.lift(1) match {
+            case Some(LStr(s)) => s
+            case Some(n @ (_: LInt | _: LFlt)) => numToStr(n)
+            case _ => ""
+          }
+          val from = argInt(args, 2, Some(1L))
+          val to = argInt(args, 3, Some(arrLen(t)))
+          LStr((from to to).map { i =>
+            t.m.getOrElse(LInt(i), LNil) match {
+              case LStr(s) => s
+              case n @ (_: LInt | _: LFlt) => numToStr(n)
+              case other => err("invalid value (at index " + i +
+                s") in table for 'concat': ${typeName(other)}")
+            }
+          }.mkString(sep))
+        case other => err(s"table.$other is not supported")
+      }
     }
 
     private def mathLib(f: String, args: Seq[LV]): LV = f match {

@@ -328,6 +328,28 @@ class LuaScriptSpec extends AnyFunSuite {
     assert(out.after("dup") == "stop")
   }
 
+  test("table library: insert/concat/remove drive the accumulate-" +
+      "and-join idiom") {
+    val code =
+      """local parts = {}
+        |for w in string.gmatch(after.s, "%a+") do
+        |    table.insert(parts, string.upper(w))
+        |end
+        |after.joined = table.concat(parts, "-")
+        |table.insert(parts, 1, "HEAD")
+        |after.first = parts[1]
+        |after.n = #parts
+        |local last = table.remove(parts)
+        |after.last = last
+        |after.n2 = #parts""".stripMargin
+    val out = run(code, ev(after = Map("s" -> "red green blue"))).get
+    assert(out.after("joined") == "RED-GREEN-BLUE")
+    assert(out.after("first") == "HEAD")
+    assert(out.after("n") == "4")
+    assert(out.after("last") == "BLUE")
+    assert(out.after("n2") == "3")
+  }
+
   test("multiple assignment and table constructors") {
     val code =
       """local a, b = "1", "2"
