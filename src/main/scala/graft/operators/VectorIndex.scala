@@ -80,11 +80,46 @@ object VectorIndex {
       .toDF("sub", "pcell", "sxs")
       .withColumn("norm", intDot(col("sxs"), col("sxs")))
 
-    // codes: nearest codebook entry per (vector, sub-space) — the q89
-    // min(struct) argmax, never a window
-    val cb = codebooks.select(col("sub"), col("pcell"),
+    // codes: one [[encode]] pass against the FINAL quantizers. Not
+    // `coarse.assignments` — those are relative to the centroids at
+    // the start of the last k-means iteration, which differ from the
+    // final centroids when the loop hits maxIter unconverged; search
+    // probes by final-centroid similarity, so stored cells must be
+    // nearest-final-centroid or probe containment (and the
+    // append-equals-one-pass contract) silently degrades.
+    val quantizers = Index(cfg, centroids, codebooks, null)
+    Index(cfg, centroids, codebooks, encode(quantizers, emb))
+  }
+
+  /** Encode vectors against an EXISTING index's quantizers — no
+    * retraining. This is the maintenance path at scale: a rebuild
+    * re-reads the whole corpus through two k-means loops, while an
+    * append encodes only the new batch (one broadcast-join argmin per
+    * quantizer, map-side). A vector's codes are a pure function of
+    * (centroids, codebooks, vector), so encoding batch-by-batch equals
+    * encoding everything in one pass — VectorIndexSpec pins that
+    * equality, which is what makes [[append]] safe.
+    */
+  def encode(index: Index, emb: DataFrame): DataFrame = {
+    val cfg = index.cfg
+    val e = quantized(emb).localCheckpoint(false)
+
+    // coarse assignment: nearest centroid via min(struct), no window
+    val cent = index.centroids.select(col("cell"),
+      col("xs").as("c_xs"), col("norm").as("c_norm"))
+    val assigned = e
+      .withColumn("snorm", intDot(col("xs"), col("xs")))
+      .join(broadcast(cent))
+      .withColumn("dist", col("snorm") + col("c_norm") -
+        lit(2L) * intDot(col("xs"), col("c_xs")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"))
+
+    // PQ codes: nearest codebook entry per (vector, sub-space)
+    val cb = index.codebooks.select(col("sub"), col("pcell"),
       col("sxs").as("c_sxs"), col("norm").as("c_norm"))
-    val codes = subs
+    subSlices(e, cfg)
       .withColumn("snorm", intDot(col("sxs"), col("sxs")))
       .join(broadcast(cb), "sub")
       .withColumn("dist", col("snorm") + col("c_norm") -
@@ -92,10 +127,26 @@ object VectorIndex {
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("dist"), col("pcell"))).as("best"))
       .select(col("vec_id"), col("sub"), col("best.pcell").as("pcell"))
-      .join(coarse.assignments, "vec_id")
+      .join(assigned, "vec_id")
       .select(col("cell"), col("vec_id"), col("sub"), col("pcell"))
+  }
 
-    Index(cfg, centroids, codebooks, codes)
+  /** Incremental maintenance: append `newEmb`'s codes to a saved index
+    * at `path` without touching existing files. `mode("append")` +
+    * `partitionBy("cell")` adds files INSIDE the existing cell
+    * directories, so the inverted-list layout (and the probed-cell
+    * partition pruning in [[search]]) is preserved; readers see the
+    * union of old and new codes. The quantizers are frozen — recall
+    * drifts only if the data distribution does, which is the same
+    * contract every IVF system (FAISS `add` vs `train`) exposes; a
+    * periodic rebuild re-trains.
+    */
+  def append(spark: SparkSession, path: String,
+      newEmb: DataFrame): Unit = {
+    val index = load(spark, path)
+    encode(index, newEmb).repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/codes")
   }
 
   def save(index: Index, path: String): Unit = {
