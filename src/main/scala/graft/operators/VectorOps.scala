@@ -619,6 +619,72 @@ object VectorOps {
        |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q152
+  /** The incremental-maintenance contract of the persisted IVF-PQ
+    * index ([[VectorIndex.append]]) as an oracle-checked query:
+    * quantizers come from the BASE split only (deterministic literal
+    * seeds, the q101 scheme — the 16 smallest base ids as coarse
+    * centroids, the 4 smallest as per-sub-space codebooks), then the
+    * REAL [[VectorIndex.encode]] path runs batch-by-batch — base in
+    * one pass, the `vec_id % 5 == 0` "append" batch in a second,
+    * exactly what `append` does to a saved index. The DuckDB oracle
+    * encodes the whole corpus in ONE pass; hash equality IS the
+    * append contract (a vector's codes are a pure function of
+    * (quantizers, vector), so batching cannot change them).
+    */
+  def indexAppendEncode(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = VectorIndex.Config(nCells = 16, subCount = 4,
+      subDim = 16, pqK = 4)
+    val emb = Tables.embeddings(spark, dir)
+    val e = emb.select(col("vec_id"), intVec(col("embedding")).as("xs"))
+    // base-only quantizers: smallest 16 / 4 base ids (vec_id % 5 != 0)
+    val centroids = e
+      .filter(col("vec_id") < 20 && col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("cell"), col("xs"))
+      .withColumn("norm", intDot(col("xs"), col("xs")))
+    val codebooks = (0 until cfg.subCount).map { s =>
+      e.filter(col("vec_id") < 5 && col("vec_id") % 5 =!= 0)
+        .select(lit(s).as("sub"), col("vec_id").as("pcell"),
+          slice(col("xs"), s * cfg.subDim + 1, cfg.subDim).as("sxs"))
+    }.reduce(_ unionByName _)
+      .withColumn("norm", intDot(col("sxs"), col("sxs")))
+    val quantizers = VectorIndex.Index(cfg, centroids, codebooks, null)
+    VectorIndex.encode(quantizers, emb.filter(col("vec_id") % 5 =!= 0))
+      .unionByName(
+        VectorIndex.encode(quantizers, emb.filter(col("vec_id") % 5 === 0)))
+  }
+
+  val indexAppendEncodeSql: String = {
+    val adot = intDotSql("e.xs", "s.xs")
+    val cdot = intDotSql("p.sxs", "c.c_sxs")
+    s"""WITH v AS (SELECT vec_id, ${intVecSql("embedding")} AS xs
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, xs, ${intDotSql("xs", "xs")} AS norm FROM v),
+       |s AS (SELECT vec_id AS cell, xs, norm FROM e
+       |  WHERE vec_id < 20 AND vec_id % 5 <> 0),
+       |pa AS (SELECT e.vec_id, s.cell,
+       |    e.norm + s.norm - 2 * ($adot) AS dist
+       |  FROM e, s),
+       |ar AS (SELECT vec_id, cell, ROW_NUMBER() OVER
+       |    (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM pa),
+       |a AS (SELECT vec_id, cell FROM ar WHERE rk = 1),
+       |subs AS (SELECT vec_id, ss.sub,
+       |    list_slice(xs, ss.sub*16 + 1, ss.sub*16 + 16) AS sxs
+       |  FROM v, (SELECT unnest(range(4)) AS sub) ss),
+       |p AS (SELECT vec_id, sub, sxs,
+       |    ${intDotSql("sxs", "sxs")} AS snorm FROM subs),
+       |c AS (SELECT sub, vec_id AS pcell, sxs AS c_sxs, snorm AS c_norm
+       |  FROM p WHERE vec_id < 5 AND vec_id % 5 <> 0),
+       |cd AS (SELECT p.vec_id, p.sub, c.pcell,
+       |    p.snorm + c.c_norm - 2 * ($cdot) AS dist
+       |  FROM p JOIN c ON p.sub = c.sub),
+       |cr AS (SELECT vec_id, sub, pcell, ROW_NUMBER() OVER
+       |    (PARTITION BY vec_id, sub ORDER BY dist, pcell) AS rk FROM cd),
+       |codes AS (SELECT vec_id, sub, pcell FROM cr WHERE rk = 1)
+       |SELECT a.cell, codes.vec_id, codes.sub, codes.pcell
+       |FROM codes JOIN a ON a.vec_id = codes.vec_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q87
   /** One exact k-means (Lloyd) step — the clustering half of semantic
     * dedup / data-mix curation: assign every vector to its nearest of
@@ -1190,6 +1256,7 @@ object VectorOps {
     "q97_semantic_dedup" -> (semanticDedup _),
     "q98_pq_adc_search" -> (pqAdcSearch _),
     "q101_ivf_adc_search" -> (ivfAdcSearch _),
+    "q152_index_append_encode" -> (indexAppendEncode _),
     "q76_ivf_search" -> (ivfSearch _),
     "q58_pq_codes" -> (pqCodes _),
     "q44_ivf_assign" -> (ivfAssign _),
@@ -1207,6 +1274,7 @@ object VectorOps {
     "q97_semantic_dedup" -> semanticDedupSql,
     "q98_pq_adc_search" -> pqAdcSearchSql,
     "q101_ivf_adc_search" -> ivfAdcSearchSql,
+    "q152_index_append_encode" -> indexAppendEncodeSql,
     "q76_ivf_search" -> ivfSearchSql,
     "q58_pq_codes" -> pqCodesSql,
     "q44_ivf_assign" -> ivfAssignSql,

@@ -126,6 +126,31 @@ class ScenarioSpec extends SparkSuite {
       .map(_("id")) == Seq("2"))
   }
 
+  test("ddl scenario: mid-stream ALTER/TRUNCATE barriers evolve the " +
+      "destination schema and the rows around them") {
+    val r = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("mysql_cdc_ddl"))
+    val ev = r.perTable("ddl_db_1.evolving")._2
+    // final shape: id, extra, tag — val was dropped mid-stream, the
+    // two ADD COLUMNs landed, and every surviving row conforms
+    assert(ev.forall(_.keySet == Set("id", "extra", "tag")))
+    assert(ev.map(m => (m("id"), m("extra"), m("tag"))).toSet ==
+      Set(("1", "10", null), ("2", null, "x"),
+        ("4", "40", "t4"), ("5", "50", "t5")))
+    val tr = r.perTable("ddl_db_1.truncated")._2
+    assert(tr.map(_("id")) == Seq("3"))
+  }
+
+  test("ddl route scenario: the ALTER lands on the ROUTED table and " +
+      "post-ddl rows carry the widened shape") {
+    val r = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("pg_cdc_ddl_route"))
+    assert(r.perTable.keySet == Set("ddl_dst.widgets"))
+    val w = r.perTable("ddl_dst.widgets")._2
+    assert(w.map(m => (m("id"), m("name"), m("qty"))).toSet ==
+      Set(("1", "anvil", "2"), ("3", "clamp", "7")))
+  }
+
   test("routing scenario lands rows under the routed names only") {
     val r = ScenarioRunner.run(spark,
       ScenarioRunner.corpusRoot.resolve("mysql_cdc_route"))

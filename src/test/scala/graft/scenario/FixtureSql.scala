@@ -47,7 +47,42 @@ object FixtureSql {
       sets: Seq[(String, Value)], where: Where) extends Stmt
   final case class Delete(db: String, tb: String, where: Where)
       extends Stmt
+  /** A schema-changing statement the source would binlog as a DDL
+    * event (reference ddl_test scenario dirs): the raw SQL ships in
+    * the event, the interpreter evolves its defs/rows like the live
+    * engine would. Supported: ALTER TABLE ADD/DROP COLUMN, TRUNCATE.
+    */
+  final case class DdlChange(db: String, tb: String, sql: String)
+      extends Stmt
   case object Ignored extends Stmt
+
+  /** Shared def-evolution semantics for ALTER actions — used by the
+    * source interpreter AND the runner's destination side, so both
+    * ends of a scenario agree on what a statement means. Added
+    * columns append at the end (scenario fixtures use plain
+    * ADD COLUMN without FIRST/AFTER); dropped columns leave pk/uk
+    * lists too (a live engine rejects dropping a keyed column, but
+    * the keyless fallback is exactly the serial-lane behavior the
+    * corpus wants to reach).
+    */
+  def evolveDef(d: TableDef,
+      actions: Seq[graft.meta.AlterParser.AlterAction]): TableDef = {
+    import graft.meta.AlterParser._
+    actions.foldLeft(d) {
+      case (acc, a: AddColumn) => acc.copy(cols = acc.cols :+ a.name)
+      case (acc, DropColumn(n)) => acc.copy(
+        cols = acc.cols.filterNot(_ == n),
+        pk = acc.pk.filterNot(_ == n),
+        uks = acc.uks.map(_.filterNot(_ == n)).filter(_.nonEmpty))
+      case (_, other) =>
+        sys.error(s"unsupported scenario alter action: $other")
+    }
+  }
+
+  /** Conform a row to an evolved def: new columns null, dropped gone. */
+  def conformRow(row: Map[String, Value], d: TableDef)
+      : Map[String, Value] =
+    d.cols.map(c => c -> row.getOrElse(c, null: Value)).toMap
 
   /** Conjunction of simple predicates over a row. */
   final case class Where(preds: Seq[Pred]) {
@@ -312,7 +347,21 @@ object FixtureSql {
       }
       CreateTable(parseTableBody(db, tb, s.substring(start + 1, end)))
     case s if s.toUpperCase.startsWith("ALTER TABLE") ||
-      s.toUpperCase.startsWith("SET ") || s.isEmpty => Ignored
+        s.toUpperCase.startsWith("TRUNCATE") =>
+      // parse through the REAL DDL parser — the same statement text
+      // later ships in the change event and must round-trip it
+      graft.meta.DdlParser.parse(s) match {
+        case Seq(a: graft.meta.DdlParser.AlterTable) =>
+          DdlChange(a.db.getOrElse(sys.error(
+            s"fixture ALTER needs a db-qualified table: $s")), a.tb, s)
+        case Seq(t: graft.meta.DdlParser.TruncateTable) =>
+          DdlChange(t.db.getOrElse(sys.error(
+            s"fixture TRUNCATE needs a db-qualified table: $s")),
+            t.tb, s)
+        case other =>
+          sys.error(s"unsupported fixture DDL ($other): $s")
+      }
+    case s if s.toUpperCase.startsWith("SET ") || s.isEmpty => Ignored
     case other => sys.error(s"unsupported fixture statement: $other")
   }
 
@@ -326,13 +375,19 @@ object FixtureSql {
     */
   final case class Event(db: String, tb: String, seq: Long,
       rowType: String, before: Map[String, Value],
-      after: Map[String, Value])
+      after: Map[String, Value], ddlText: String = "")
 
   /** The interpreted "live source": table defs + current rows, and the
     * change events each DML produced (row images, statement order).
     */
   final class SourceState {
     val defs = mutable.LinkedHashMap[(String, String), TableDef]()
+    /** Each table's def AS CREATED — the shape the destination DDL
+      * was issued with, before any mid-stream ALTER evolved it. The
+      * runner starts its destination registry from these and replays
+      * the admitted DDL events forward.
+      */
+    val createdDefs = mutable.LinkedHashMap[(String, String), TableDef]()
     val rows =
       mutable.LinkedHashMap[(String, String),
         mutable.ArrayBuffer[Map[String, Value]]]()
@@ -344,7 +399,22 @@ object FixtureSql {
       case CreateDb(_) | DropDb(_) | Ignored => ()
       case CreateTable(d) =>
         defs((d.db, d.tb)) = d
+        createdDefs((d.db, d.tb)) = d
         rows((d.db, d.tb)) = mutable.ArrayBuffer.empty
+      case DdlChange(db, tb, sql) =>
+        graft.meta.DdlParser.parse(sql).foreach {
+          case a: graft.meta.DdlParser.AlterTable =>
+            val d1 = evolveDef(defs((db, tb)),
+              graft.meta.AlterParser.parse(a.alteration))
+            defs((db, tb)) = d1
+            val buf = rows((db, tb))
+            buf.indices.foreach(i => buf(i) = conformRow(buf(i), d1))
+          case _: graft.meta.DdlParser.TruncateTable =>
+            rows((db, tb)).clear()
+          case other => sys.error(s"unsupported source DDL: $other")
+        }
+        events += Event(db, tb, nextSeq(), "ddl", Map.empty, Map.empty,
+          sql)
       case Insert(db, tb, colsOpt, tuples) =>
         val d = defs((db, tb))
         val cols = colsOpt.getOrElse(d.cols)

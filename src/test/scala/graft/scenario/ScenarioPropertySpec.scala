@@ -127,6 +127,119 @@ class ScenarioPropertySpec extends SparkSuite {
     (ini, prepare, stmts.result().mkString("\n"))
   }
 
+  /** Random DML+DDL interleavings: the segmented barrier pipeline and
+    * the evolving naive replay are two INDEPENDENT implementations of
+    * the same semantics (ScenarioRunner.run's ddl branch vs
+    * naiveReplayEvolving), and the interpreted source is a third —
+    * all three must agree on the end state through random ADD/DROP
+    * COLUMN and TRUNCATE barriers.
+    */
+  private def genDdlScenario(rnd: Random): (String, String, String) = {
+    var cols = Vector("c_0", "c_1", "c_2")
+    var nextCol = 3
+    var rows = Vector.empty[Map[String, String]]
+    def lit(v: String): String = if (v == null) "NULL" else s"'$v'"
+    def randVal(): String =
+      if (rnd.nextInt(5) == 0) null else rnd.nextInt(8).toString
+    val stmts = Seq.newBuilder[String]
+    val nStmts = 10 + rnd.nextInt(12)
+    (0 until nStmts).foreach { _ =>
+      rnd.nextInt(8) match {
+        case 0 | 1 | 2 => // INSERT, pk-valid on c_0
+          val fresh = Iterator.continually(
+            cols.map(c => c -> randVal()).toMap)
+            .take(20).find(r => r("c_0") != null &&
+              !rows.exists(_("c_0") == r("c_0")))
+          fresh.foreach { r =>
+            rows :+= r
+            stmts += s"INSERT INTO prop_db.t VALUES (" +
+              cols.map(c => lit(r(c))).mkString(",") + ");"
+          }
+        case 3 | 4 if rows.nonEmpty => // UPDATE (may move the pk)
+          val whereCol = cols(rnd.nextInt(cols.size))
+          val whereVal = randVal()
+          val setCol = cols(rnd.nextInt(cols.size))
+          val setVal = randVal()
+          if (whereVal != null) {
+            val hit = (r: Map[String, String]) => r(whereCol) == whereVal
+            val matches = rows.filter(hit)
+            val pkSafe = setCol != "c_0" ||
+              (setVal != null && matches.size <= 1 &&
+                !rows.exists(r => !hit(r) && r("c_0") == setVal))
+            if (matches.nonEmpty && pkSafe) {
+              rows = rows.map(r => if (hit(r)) r + (setCol -> setVal)
+                else r)
+              stmts += s"UPDATE prop_db.t SET $setCol = " +
+                s"${lit(setVal)} WHERE $whereCol = ${lit(whereVal)};"
+            }
+          }
+        case 5 if rows.nonEmpty => // DELETE by predicate
+          val whereCol = cols(rnd.nextInt(cols.size))
+          val whereVal = randVal()
+          if (whereVal != null && rows.exists(_(whereCol) == whereVal)) {
+            rows = rows.filterNot(_(whereCol) == whereVal)
+            stmts += s"DELETE FROM prop_db.t WHERE $whereCol = " +
+              s"${lit(whereVal)};"
+          }
+        case 6 => // DDL barrier: widen, or narrow a non-key column
+          if (rnd.nextBoolean() || cols.size <= 2) {
+            val c = s"c_$nextCol"; nextCol += 1
+            cols :+= c
+            rows = rows.map(_ + (c -> (null: String)))
+            stmts += s"ALTER TABLE prop_db.t ADD COLUMN $c varchar(16);"
+          } else {
+            val c = cols.drop(1)(rnd.nextInt(cols.size - 1))
+            cols = cols.filterNot(_ == c)
+            rows = rows.map(_ - c)
+            stmts += s"ALTER TABLE prop_db.t DROP COLUMN $c;"
+          }
+        case 7 if rnd.nextInt(3) == 0 => // occasional TRUNCATE barrier
+          rows = Vector.empty
+          stmts += "TRUNCATE TABLE prop_db.t;"
+        case _ => ()
+      }
+    }
+    val ini =
+      s"""[extractor]
+         |db_type=mysql
+         |extract_type=cdc
+         |url=fixture://src
+         |
+         |[filter]
+         |do_tbs=prop_db.*
+         |do_ddls=*
+         |
+         |[sinker]
+         |db_type=${if (rnd.nextBoolean()) "mysql" else "pg"}
+         |batch_size=${1 + rnd.nextInt(4)}
+         |url=fixture://dst
+         |""".stripMargin
+    val prepare =
+      """CREATE DATABASE prop_db;
+        |CREATE TABLE prop_db.t (c_0 varchar(16), c_1 varchar(16),
+        |  c_2 varchar(16), PRIMARY KEY (c_0));
+        |""".stripMargin
+    (ini, prepare, stmts.result().mkString("\n"))
+  }
+
+  test(s"random DML+DDL scripts: segmented pipeline == evolving " +
+      s"replay == source end state over $Trials trials") {
+    val rnd = new Random(0xD1CEB0A7)
+    (1 to Trials).foreach { trial =>
+      val (ini, prepare, test) = genDdlScenario(rnd)
+      val dir = Files.createTempDirectory(s"graft-propddl-$trial")
+      Files.writeString(dir.resolve("task_config.ini"), ini)
+      Files.writeString(dir.resolve("src_prepare.sql"), prepare)
+      Files.writeString(dir.resolve("src_test.sql"), test)
+      try ScenarioRunner.run(spark, dir) // asserts the 3-way compare
+      catch {
+        case e: Throwable =>
+          fail(s"trial $trial failed (script:\n$test\n): " +
+            e.getMessage)
+      }
+    }
+  }
+
   test(s"random valid DML scripts: pipeline == replay == source end " +
       s"state over $Trials trials (keyed, uk-NULL-serial, keyless)") {
     val rnd = new Random(0xC0FFEE)

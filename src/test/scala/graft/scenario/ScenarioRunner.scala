@@ -96,6 +96,33 @@ object ScenarioRunner {
       }
     }
 
+    private def alterState(runId: String, quotedTable: String)(
+        f: TableState => TableState): Unit = {
+      val k = key(runId, quotedTable)
+      val st = stores.get(k)
+      require(st != null, s"unregistered dst table: $quotedTable")
+      stores.put(k, f(st)): Unit
+    }
+
+    /** Destination-side DDL semantics — what a live engine would do
+      * to the stored table on the routed statement.
+      */
+    def addColumn(runId: String, qt: String, name: String): Unit =
+      alterState(runId, qt) { st =>
+        TableState(st.cols :+ name, st.keys,
+          st.rows.map(r => r :+ (null: Value)))
+      }
+    def dropColumn(runId: String, qt: String, name: String): Unit =
+      alterState(runId, qt) { st =>
+        val i = st.cols.indexOf(name)
+        require(i >= 0, s"$qt has no column $name")
+        TableState(st.cols.patch(i, Nil, 1),
+          st.keys.filterNot(_ == name),
+          st.rows.map(r => r.patch(i, Nil, 1)))
+      }
+    def truncate(runId: String, qt: String): Unit =
+      alterState(runId, qt) { st => st.rows.clear(); st }
+
     def snapshot(runId: String): Map[String, Seq[Map[String, Value]]] =
       stores.asScala.toMap.collect {
         case (k, st) if k.startsWith(s"$runId|") =>
@@ -161,10 +188,15 @@ object ScenarioRunner {
         k -> parseWhere(Some(sql))
       }
     val gated = rawEvents.filter { e =>
-      task.filter.allowTable(e.db, e.tb) &&
-        task.filter.allowEvent(e.rowType) &&
-        (!isSnapshot || wherePreds.get((e.db, e.tb))
-          .forall(_.matches(e.after)))
+      if (e.rowType == "ddl")
+        // table-level gate here; the per-statement do_ddls type gate
+        // applies at the barrier (where the statement is parsed)
+        task.filter.allowTable(e.db, e.tb)
+      else
+        task.filter.allowTable(e.db, e.tb) &&
+          task.filter.allowEvent(e.rowType) &&
+          (!isSnapshot || wherePreds.get((e.db, e.tb))
+            .forall(_.matches(e.after)))
     }
 
     // ---- [processor] lua_code_file: the user's VERBATIM Lua runs per
@@ -177,7 +209,10 @@ object ScenarioRunner {
         val chunk = graft.transform.LuaScript.parse(new String(
           Files.readAllBytes(Paths.get(f)), "UTF-8"))
         gated.flatMap { e =>
-          graft.transform.LuaScript.processEvent(chunk,
+          // the Lua row-processor sees ROW events only; DDL rides the
+          // barrier lane past it (reference pipeline position)
+          if (e.rowType == "ddl") Seq(e)
+          else graft.transform.LuaScript.processEvent(chunk,
             graft.model.ChangeEvent(e.db, e.tb, 0L, e.rowType,
               e.before.filter(_._2 != null),
               e.after.filter(_._2 != null), "none", "", ""))
@@ -201,9 +236,10 @@ object ScenarioRunner {
         task.router.routeColumn(db, tb, c) -> v
       }
     }
-    // routed table defs for everything the filter admits
-    val routedDefs: Map[(String, String), TableDef] =
-      src.defs.values.toSeq
+    // routed table defs for a given (possibly mid-evolution) def set
+    def routeDefsOf(ds: Iterable[TableDef])
+        : Map[(String, String), TableDef] =
+      ds.toSeq
         .filter(d => task.filter.allowTable(d.db, d.tb))
         .map { d =>
           val (rdb, rtb) = task.router.routeTable(d.db, d.tb)
@@ -216,12 +252,17 @@ object ScenarioRunner {
           (rdb, rtb) -> TableDef(rdb, rtb, cols, mapCols(d.pk),
             d.uks.map(mapCols).filter(_.nonEmpty))
         }.toMap
+    // final-shape defs (src.defs already carry any DDL evolution)
+    val routedDefs: Map[(String, String), TableDef] =
+      routeDefsOf(src.defs.values)
 
-    val routedEvents = admitted.map { e =>
+    def routeEvent(e: Event): Routed = {
       val (rdb, rtb) = task.router.routeTable(e.db, e.tb)
       Routed(rdb, rtb, e.seq, 0, e.rowType,
         project(e.db, e.tb, e.before), project(e.db, e.tb, e.after))
     }
+    val routedEvents =
+      admitted.filter(_.rowType != "ddl").map(routeEvent)
 
     // ---- update normalization (the extractor/merger's key-change
     // safety, reference rdb_merger id-change handling + update split):
@@ -230,29 +271,106 @@ object ScenarioRunner {
     // delete(before)+insert(after)
     def keyOf(d: TableDef, img: Map[String, Value]): Seq[Value] =
       d.keyCols.map(img.getOrElse(_, null))
-    val normalized = routedEvents.flatMap { e =>
-      val d = routedDefs((e.dstDb, e.dstTb))
-      if (e.rowType == "update") {
-        val kb = keyOf(d, e.before)
-        val ka = keyOf(d, e.after)
-        val unmergeable = d.keyCols.isEmpty ||
-          kb.contains(null) || ka.contains(null) || kb != ka
-        if (unmergeable)
-          Seq(e.copy(rowType = "delete", sub = 0, after = Map.empty),
-            e.copy(rowType = "insert", sub = 1, before = Map.empty))
-        else Seq(e)
-      } else Seq(e)
-    }
+    def normalize(events: Seq[Routed],
+        defs: Map[(String, String), TableDef]): Seq[Routed] =
+      events.flatMap { e =>
+        val d = defs((e.dstDb, e.dstTb))
+        if (e.rowType == "update") {
+          val kb = keyOf(d, e.before)
+          val ka = keyOf(d, e.after)
+          val unmergeable = d.keyCols.isEmpty ||
+            kb.contains(null) || ka.contains(null) || kb != ka
+          if (unmergeable)
+            Seq(e.copy(rowType = "delete", sub = 0, after = Map.empty),
+              e.copy(rowType = "insert", sub = 1, before = Map.empty))
+          else Seq(e)
+        } else Seq(e)
+      }
+    val normalized = normalize(routedEvents, routedDefs)
 
     // ---- per routed table: DataFrame -> real compaction -> real
     // apply planning -> statements against the in-memory dst engine
+    def applyTableBatch(defs: Map[(String, String), TableDef])(
+        rdb: String, rtb: String, events: Seq[Routed]): Unit = {
+      val d = defs((rdb, rtb))
+      val qt = s"${dialect.quote(rdb)}.${dialect.quote(rtb)}"
+      val schema = StructType(
+        Seq(StructField("seq", LongType),
+          StructField("sub", IntegerType),
+          StructField("row_type", StringType)) ++
+          d.cols.map(StructField(_, StringType)))
+      val rows = events.map { e =>
+        val img = if (e.rowType == "delete") e.before else e.after
+        Row.fromSeq(Seq(e.seq, e.sub, e.rowType) ++
+          d.cols.map(img.getOrElse(_, null)))
+      }
+      val df = spark.createDataFrame(rows.asJava, schema)
+      val compacted: DataFrame =
+        if (d.keyCols.isEmpty)
+          // keyless table: the whole stream is the serial lane
+          df.withColumn(Compaction.ActionCol, lit(Compaction.Serial))
+        else
+          Compaction.compact(df, d.keyCols, Seq("seq", "sub"),
+            col("row_type"))
+      Applier.applyCompacted(dialect, qt, compacted, d.keyCols,
+        d.cols, Seq("seq", "sub"), () => MemDb.Sink(runId),
+        batchSize = task.batchSize)
+    }
+
+    val ddlPresent = admitted.exists(_.rowType == "ddl")
     val byTable = normalized.groupBy(e => (e.dstDb, e.dstTb))
-    // register EVERY admitted table (dst DDL exists even if no DML)
-    routedDefs.foreach { case ((rdb, rtb), d) =>
+    // register EVERY admitted table at its CREATE-time shape (dst DDL
+    // exists even if no DML); mid-stream DDL evolves the registry —
+    // for DDL-free scenarios created == final, same registration
+    routeDefsOf(src.createdDefs.values).foreach { case ((rdb, rtb), d) =>
       val qt = s"${dialect.quote(rdb)}.${dialect.quote(rtb)}"
       MemDb.register(runId, qt, d.cols, d.keyCols)
     }
-    if (task.parallelType == "table" || task.parallelType == "serial") {
+    if (ddlPresent) {
+      import graft.meta.{AlterParser, DdlParser}
+      require(!isSnapshot, "ddl events only arise in cdc scenarios")
+      require(task.parallelType != "table" &&
+        task.parallelType != "serial",
+        "ddl scenarios run the rdb_merge lane")
+      // DDL barriers segment the stream (reference base_pipeline.rs
+      // barrier semantics): each segment compacts+applies under the
+      // defs in effect, THEN the routed DDL lands on the dst engine
+      // and the defs evolve
+      val liveDefs = mutable.LinkedHashMap[(String, String), TableDef]()
+      src.createdDefs.foreach { case (k, d) =>
+        if (task.filter.allowTable(d.db, d.tb)) liveDefs(k) = d }
+      val buffer = mutable.ArrayBuffer[Event]()
+      def flush(): Unit = if (buffer.nonEmpty) {
+        val defsNow = routeDefsOf(liveDefs.values)
+        normalize(buffer.toSeq.map(routeEvent), defsNow)
+          .groupBy(e => (e.dstDb, e.dstTb))
+          .foreach { case ((rdb, rtb), evs) =>
+            applyTableBatch(defsNow)(rdb, rtb, evs) }
+        buffer.clear()
+      }
+      admitted.foreach { e =>
+        if (e.rowType != "ddl") { buffer += e; () }
+        else DdlParser.parse(e.ddlText).foreach { stmt =>
+          if (task.filter.allowDdl(DdlParser.ddlType(stmt),
+              e.db, e.tb)) {
+            flush() // the barrier: everything before applies first
+            stmt match {
+              case a: DdlParser.AlterTable =>
+                liveDefs((e.db, e.tb)) = evolveDef(
+                  liveDefs((e.db, e.tb)),
+                  AlterParser.parse(a.alteration))
+              case _: DdlParser.TruncateTable => ()
+              case other =>
+                sys.error(s"unsupported scenario DDL: $other")
+            }
+            applyDdlToDst(runId, dialect,
+              DdlParser.route(stmt, task.router, e.db))
+          }
+        }
+      }
+      flush()
+    } else if (task.parallelType == "table" ||
+      task.parallelType == "serial") {
       // table parallelizer lane (table_parallelizer.rs): DML
       // partitions by full table name, each table's rows apply IN
       // ORDER as per-row statements — updates were already split to
@@ -288,35 +406,83 @@ object ScenarioRunner {
         Seq("seq", "sub"), () => MemDb.Sink(runId),
         batchSize = task.batchSize)
     } else byTable.foreach { case ((rdb, rtb), events) =>
-      val d = routedDefs((rdb, rtb))
-      val qt = s"${dialect.quote(rdb)}.${dialect.quote(rtb)}"
-      val schema = StructType(
-        Seq(StructField("seq", LongType),
-          StructField("sub", IntegerType),
-          StructField("row_type", StringType)) ++
-          d.cols.map(StructField(_, StringType)))
-      val rows = events.map { e =>
-        val img = if (e.rowType == "delete") e.before else e.after
-        Row.fromSeq(Seq(e.seq, e.sub, e.rowType) ++
-          d.cols.map(img.getOrElse(_, null)))
-      }
-      val df = spark.createDataFrame(rows.asJava, schema)
-      val compacted: DataFrame =
-        if (d.keyCols.isEmpty)
-          // keyless table: the whole stream is the serial lane
-          df.withColumn(Compaction.ActionCol, lit(Compaction.Serial))
-        else
-          Compaction.compact(df, d.keyCols, Seq("seq", "sub"),
-            col("row_type"))
-      Applier.applyCompacted(dialect, qt, compacted, d.keyCols,
-        d.cols, Seq("seq", "sub"), () => MemDb.Sink(runId),
-        batchSize = task.batchSize)
+      applyTableBatch(routedDefs)(rdb, rtb, events)
     }
 
     // ---- full end-state compare (rdb_test_runner.rs:329-349)
-    val naive = naiveReplay(routedDefs, normalized.map(e =>
-      (e.dstDb, e.dstTb, e.rowType,
-        if (e.rowType == "delete") e.before else e.after)))
+    // DDL-aware naive oracle: sequential replay with evolving routed
+    // defs — DML upserts under the def in effect, DDL evolves it and
+    // conforms/clears the replayed state
+    def naiveReplayEvolving()
+        : Map[(String, String), Seq[Map[String, Value]]] = {
+      import graft.meta.{AlterParser, DdlParser}
+      val defs = mutable.LinkedHashMap[(String, String), TableDef]()
+      src.createdDefs.foreach { case (k, d) =>
+        if (task.filter.allowTable(d.db, d.tb)) defs(k) = d }
+      val state = mutable.Map[(String, String),
+        mutable.ArrayBuffer[Map[String, Value]]]()
+      routeDefsOf(defs.values).keys
+        .foreach(k => state(k) = mutable.ArrayBuffer.empty)
+      admitted.foreach { e =>
+        if (e.rowType == "ddl")
+          DdlParser.parse(e.ddlText).foreach { stmt =>
+            if (task.filter.allowDdl(DdlParser.ddlType(stmt),
+                e.db, e.tb)) stmt match {
+              case a: DdlParser.AlterTable =>
+                defs((e.db, e.tb)) = evolveDef(defs((e.db, e.tb)),
+                  AlterParser.parse(a.alteration))
+                val ((rdb, rtb), rd) =
+                  routeDefsOf(Seq(defs((e.db, e.tb)))).head
+                val buf = state((rdb, rtb))
+                buf.indices.foreach(i =>
+                  buf(i) = conformRow(buf(i), rd))
+              case _: DdlParser.TruncateTable =>
+                state(task.router.routeTable(e.db, e.tb)).clear()
+              case other =>
+                sys.error(s"unsupported scenario DDL: $other")
+            }
+          }
+        else {
+          val r = routeEvent(e)
+          val ((_, _), d) = routeDefsOf(Seq(defs((e.db, e.tb)))).head
+          val buf = state((r.dstDb, r.dstTb))
+          def kOf(m: Map[String, Value]): Seq[Value] =
+            d.keyCols.map(m.getOrElse(_, null: Value))
+          // same key-change normalization the pipeline applies
+          val steps: Seq[(String, Map[String, Value])] =
+            if (r.rowType == "update") {
+              val kb = kOf(r.before); val ka = kOf(r.after)
+              val unmergeable = d.keyCols.isEmpty ||
+                kb.contains(null) || ka.contains(null) || kb != ka
+              if (unmergeable)
+                Seq("delete" -> r.before, "insert" -> r.after)
+              else Seq("update" -> r.after)
+            } else if (r.rowType == "delete") Seq("delete" -> r.before)
+            else Seq(r.rowType -> r.after)
+          steps.foreach { case (rt, rawImg) =>
+            val img = d.cols.map(c =>
+              c -> rawImg.getOrElse(c, null: Value)).toMap
+            val k = kOf(img)
+            val keyed = d.keyCols.nonEmpty && !k.contains(null)
+            rt match {
+              case "delete" =>
+                if (keyed) buf.filterInPlace(row => kOf(row) != k)
+                else buf.filterInPlace(_ != img)
+              case _ =>
+                if (keyed) buf.filterInPlace(row => kOf(row) != k)
+                buf += img
+            }
+          }
+          ()
+        }
+      }
+      state.view.mapValues(_.toSeq).toMap
+    }
+    val naive =
+      if (ddlPresent) naiveReplayEvolving()
+      else naiveReplay(routedDefs, normalized.map(e =>
+        (e.dstDb, e.dstTb, e.rowType,
+          if (e.rowType == "delete") e.before else e.after)))
     val dst = MemDb.snapshot(runId)
     MemDb.clear(runId)
 
@@ -329,7 +495,9 @@ object ScenarioRunner {
       // event gates admit everything (otherwise dst is a lawful
       // subset of src)
       val fullFidelity = !isSnapshot &&
-        task.filter.doEvents == Set("insert", "update", "delete")
+        task.filter.doEvents == Set("insert", "update", "delete") &&
+        // a filtered-out DDL lawfully desyncs dst schema from src
+        (!ddlPresent || task.filter.doDdls.contains("*"))
       // a Lua processor rewrites rows in flight, so the source state
       // stops being an oracle for the destination — the per-event
       // replay (which saw the processed stream) remains one
@@ -347,6 +515,31 @@ object ScenarioRunner {
       s"$rdb.$rtb" -> (want, got)
     }
     Result(perTable.size, dst.values.map(_.size.toLong).sum, perTable)
+  }
+
+  /** Apply a routed DDL statement to the in-memory destination —
+    * the live engine's side of the barrier lane.
+    */
+  private def applyDdlToDst(runId: String,
+      dialect: RdbQueryBuilder.Dialect,
+      stmt: graft.meta.DdlParser.DdlStatement): Unit = {
+    import graft.meta.{AlterParser, DdlParser}
+    stmt match {
+      case a: DdlParser.AlterTable =>
+        val qt = s"${dialect.quote(a.db.get)}.${dialect.quote(a.tb)}"
+        AlterParser.parse(a.alteration).foreach {
+          case ac: AlterParser.AddColumn =>
+            MemDb.addColumn(runId, qt, ac.name)
+          case AlterParser.DropColumn(n) =>
+            MemDb.dropColumn(runId, qt, n)
+          case other =>
+            sys.error(s"unsupported dst alter action: $other")
+        }
+      case t: DdlParser.TruncateTable =>
+        MemDb.truncate(runId,
+          s"${dialect.quote(t.db.get)}.${dialect.quote(t.tb)}")
+      case other => sys.error(s"unsupported dst DDL: $other")
+    }
   }
 
   /** Naive sequential oracle: per-event apply with no batching. */
