@@ -90,7 +90,7 @@ object ExplainEstimate {
   * Double, strings → String, true/false/null. Lossy enough for plan
   * navigation, zero dependencies.
   */
-private[sources] object TinyJson {
+private[graft] object TinyJson {
 
   def parse(s: String): Option[Any] =
     try {

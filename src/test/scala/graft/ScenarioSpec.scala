@@ -151,6 +151,22 @@ class ScenarioSpec extends SparkSuite {
       Set(("1", "anvil", "2"), ("3", "clamp", "7")))
   }
 
+  test("mongo scenario: merged _id lanes and serial demotion drive " +
+      "the real bulk-command strings to the doc store") {
+    val r = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("mongo_cdc_merge"))
+    // pure insert/delete stream: compacted lanes, last image wins
+    val pm = r.perTable("app.pure_merge")._2
+    assert(pm.map(m => (m("_id"), m("name"), m("qty"))).toSet ==
+      Set(("2", "bolt", "20"), ("3", "clamp-v2", "31"),
+        ("4", "drill", "40")))
+    // first update demotes the tail to the serial lane; $set updates
+    // land in order
+    val wu = r.perTable("app.with_updates")._2
+    assert(wu.map(m => (m("_id"), m("status"), m("note"))).toSet ==
+      Set(("1", "active", "first"), ("2", "done", "revised")))
+  }
+
   test("routing scenario lands rows under the routed names only") {
     val r = ScenarioRunner.run(spark,
       ScenarioRunner.corpusRoot.resolve("mysql_cdc_route"))

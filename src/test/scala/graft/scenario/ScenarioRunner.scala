@@ -135,6 +135,79 @@ object ScenarioRunner {
         .foreach(stores.remove(_): Unit)
   }
 
+  /** In-memory MongoDB stand-in: interprets the EXACT bulk-command
+    * JSON [[graft.sinks.MongoSink]] renders (deleteMany/insertMany/
+    * replaceOne/updateOne/deleteOne), so the mongo scenario lane
+    * drives the same statement strings a live sink would send.
+    * insertMany lands as replace-by-`_id` — the reference's CDC
+    * mongo sinker upserts on conflict, and a compacted insert lane
+    * lawfully re-ships an id that already exists at dst.
+    */
+  object MemMongo {
+    import graft.sources.TinyJson
+    val stores = new ConcurrentHashMap[String,
+      mutable.LinkedHashMap[String, Map[String, String]]]()
+
+    private def coll(runId: String, c: String)
+        : mutable.LinkedHashMap[String, Map[String, String]] =
+      stores.computeIfAbsent(s"$runId|$c",
+        _ => mutable.LinkedHashMap.empty)
+
+    def register(runId: String, c: String): Unit =
+      coll(runId, c): Unit
+
+    private def sdoc(v: Any): Map[String, String] =
+      v.asInstanceOf[Map[String, Any]].map { case (k, x) =>
+        k -> (if (x == null) null else x.asInstanceOf[String])
+      }
+
+    def execute(runId: String, cmd: String): Unit = {
+      val root = TinyJson.parse(cmd)
+        .getOrElse(sys.error(s"unparseable mongo command: $cmd"))
+        .asInstanceOf[Map[String, Any]]
+      require(root.size == 1, s"expected one op: $cmd")
+      val (op, body0) = root.head
+      val body = body0.asInstanceOf[Map[String, Any]]
+      val c = coll(runId, body("coll").asInstanceOf[String])
+      def filterId: String =
+        TinyJson.path(body, "filter", "_id").get.asInstanceOf[String]
+      op match {
+        case "deleteMany" =>
+          TinyJson.path(body, "filter", "_id", "$in").get
+            .asInstanceOf[Seq[Any]]
+            .foreach(id => c.remove(id.asInstanceOf[String]): Unit)
+        case "insertMany" =>
+          body("docs").asInstanceOf[Seq[Any]].foreach { d0 =>
+            val d = sdoc(d0)
+            c(d("_id")) = d
+          }
+        case "replaceOne" =>
+          c(filterId) = sdoc(body("replacement"))
+        case "updateOne" =>
+          val upd = body("update").asInstanceOf[Map[String, Any]]
+          val set = upd.get("$set").map(sdoc).getOrElse(Map.empty)
+          val unset = upd.get("$unset")
+            .map(_.asInstanceOf[Map[String, Any]].keys.toSeq)
+            .getOrElse(Nil)
+          val id = filterId
+          c(id) = (c.getOrElse(id, Map("_id" -> id)) ++ set) -- unset
+        case "deleteOne" => c.remove(filterId): Unit
+        case other => sys.error(s"unexpected mongo op $other: $cmd")
+      }
+    }
+
+    def snapshot(runId: String)
+        : Map[String, Seq[Map[String, String]]] =
+      stores.asScala.toMap.collect {
+        case (k, docs) if k.startsWith(s"$runId|") =>
+          k.stripPrefix(s"$runId|") -> docs.values.toSeq
+      }
+
+    def clear(runId: String): Unit =
+      stores.keySet.asScala.filter(_.startsWith(s"$runId|"))
+        .foreach(stores.remove(_): Unit)
+  }
+
   final case class Result(
       tablesCompared: Int,
       rowsAtDst: Long,
@@ -287,6 +360,100 @@ object ScenarioRunner {
         } else Seq(e)
       }
     val normalized = normalize(routedEvents, routedDefs)
+
+    // ---- mongo route: doc events through the REAL mongo merger
+    // (`_id` lanes + serial demotion) and bulk planner — the command
+    // strings a live sink would send, interpreted by MemMongo
+    // (reference mongo_to_mongo dt-tests shape)
+    if (task.sinkDbType == "mongo") {
+      require(admitted.forall(_.rowType != "ddl"),
+        "mongo scenarios carry no DDL")
+      def idOf(d: TableDef, img: Map[String, Value]): String = {
+        val ks = d.keyCols.map(img.getOrElse(_, null: Value))
+        if (ks.isEmpty || ks.contains(null)) null else ks.mkString("|")
+      }
+      def docOf(d: TableDef, img: Map[String, Value], id: String)
+          : Map[String, String] = {
+        val full = d.cols.map(c =>
+          c -> img.getOrElse(c, null: Value)).toMap
+        if (id == null) full else full + ("_id" -> id)
+      }
+      val collOf = (rdb: String, rtb: String) => s"$rdb.$rtb"
+      routedDefs.keys.foreach { case (rdb, rtb) =>
+        MemMongo.register(runId, collOf(rdb, rtb)) }
+
+      // the merger input: one row per routed event
+      val schema = StructType(Seq(
+        StructField("tb", StringType), StructField("seq", LongType),
+        StructField("row_type", StringType),
+        StructField("id", StringType),
+        StructField("doc", MapType(StringType, StringType))))
+      val evRows = routedEvents.map { e =>
+        val d = routedDefs((e.dstDb, e.dstTb))
+        val img = if (e.rowType == "delete") e.before else e.after
+        val id = idOf(d, img)
+        Row(collOf(e.dstDb, e.dstTb), e.seq, e.rowType, id,
+          docOf(d, img, id))
+      }
+      val changes = spark.createDataFrame(evRows.asJava, schema)
+      val lanes = graft.operators.MongoOps.mergeLanes(
+        changes.select(col("tb"), col("id"), col("row_type"),
+          col("seq")))
+      // lane rows rejoin their documents; serial rows apply AFTER the
+      // merged lanes of their table, in original order (planBulk's
+      // serial fence preserves this)
+      val planRows = lanes
+        .join(changes.select(col("tb"), col("seq"),
+          col("row_type").as("ev_rt"), col("doc")), Seq("tb", "seq"))
+        .withColumn("serial_rank",
+          when(col("lane") === "serial", lit(1)).otherwise(lit(0)))
+        .orderBy(col("tb"), col("serial_rank"), col("seq"))
+        .select(col("tb"), col("id"), col("lane"), col("doc"),
+          col("ev_rt").as("row_type"))
+        .collect()
+      graft.sinks.MongoSink
+        .planBulk(planRows.iterator, batchSize = task.batchSize)
+        .foreach(MemMongo.execute(runId, _))
+
+      // naive doc-level oracle: sequential upsert/delete by _id
+      val naiveM = mutable.Map[String,
+        mutable.LinkedHashMap[String, Map[String, String]]]()
+      routedDefs.keys.foreach { case (rdb, rtb) =>
+        naiveM(collOf(rdb, rtb)) = mutable.LinkedHashMap.empty }
+      routedEvents.foreach { e =>
+        val d = routedDefs((e.dstDb, e.dstTb))
+        val img = if (e.rowType == "delete") e.before else e.after
+        val id = idOf(d, img)
+        require(id != null,
+          s"mongo scenario events need non-null keys: $e")
+        val buf = naiveM(collOf(e.dstDb, e.dstTb))
+        if (e.rowType == "delete") buf.remove(id): Unit
+        else buf(id) = docOf(d, img, id)
+      }
+      val dstM = MemMongo.snapshot(runId)
+      MemMongo.clear(runId)
+      val perColl = routedDefs.map { case ((rdb, rtb), _) =>
+        val cname = collOf(rdb, rtb)
+        val got = dstM.getOrElse(cname, Nil)
+        val want = naiveM(cname).values.toSeq
+        compareStates(cname, want, got)
+        val fullFidelity =
+          task.filter.doEvents == Set("insert", "update", "delete")
+        if (fullFidelity && task.luaCodeFile.isEmpty) {
+          val (db, tb) = src.defs.keys
+            .find(k => task.router.routeTable(k._1, k._2) ==
+              (rdb, rtb)).get
+          val d = routedDefs((rdb, rtb))
+          val srcState = src.rows((db, tb)).toSeq
+            .map(project(db, tb, _))
+            .map(r => docOf(d, r, idOf(d, r)))
+          compareStates(s"$cname (vs src)", srcState, got)
+        }
+        cname -> (want, got)
+      }
+      return Result(perColl.size,
+        dstM.values.map(_.size.toLong).sum, perColl)
+    }
 
     // ---- per routed table: DataFrame -> real compaction -> real
     // apply planning -> statements against the in-memory dst engine
