@@ -21,6 +21,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // a loaded box (or a long GC pause on a busy executor) must not
+      // tear the session down: the local heartbeat shares one JVM, so
+      // an expiry is always a false positive here — seen once when a
+      // concurrent DuckDB sweep starved the driver for >120s
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

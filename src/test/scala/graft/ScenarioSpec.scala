@@ -167,6 +167,24 @@ class ScenarioSpec extends SparkSuite {
       Set(("1", "active", "first"), ("2", "done", "revised")))
   }
 
+  test("redis scenario: replace/DEL chunks round-trip the RESP wire; " +
+      "NULLed fields vanish and key-changes move the hash") {
+    val r = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("mysql_to_redis_cdc"))
+    val (_, got) = r.perTable("cache_db.sessions")
+    val byKey = got.map(m => m("__key") -> m).toMap
+    assert(byKey.keySet ==
+      Set("cache_db.sessions:1", "cache_db.sessions:4"))
+    // score was NULLed: the field is GONE, not empty (DEL+HSET
+    // replace, not merge)
+    assert(byKey("cache_db.sessions:1") ==
+      Map("__key" -> "cache_db.sessions:1", "id" -> "1",
+        "user" -> "ann"))
+    assert(byKey("cache_db.sessions:4") ==
+      Map("__key" -> "cache_db.sessions:4", "id" -> "4",
+        "user" -> "dan", "score" -> "20"))
+  }
+
   test("routing scenario lands rows under the routed names only") {
     val r = ScenarioRunner.run(spark,
       ScenarioRunner.corpusRoot.resolve("mysql_cdc_route"))

@@ -361,6 +361,99 @@ object ScenarioRunner {
       }
     val normalized = normalize(routedEvents, routedDefs)
 
+    // ---- redis route: rows become hash entries under
+    // "<db>.<tb>:<key>"; every image rides the REAL command rewriter
+    // (DEL + chunked HSET replace) and the RESP wire codec — encoded
+    // to bytes, parsed back byte-exactly, then executed (reference
+    // *_to_redis routes)
+    if (task.sinkDbType == "redis") {
+      require(admitted.forall(_.rowType != "ddl"),
+        "redis scenarios carry no DDL")
+      import graft.sinks.RedisCommands
+      import graft.sources.RedisResp
+      def keyAndFields(d: TableDef, img: Map[String, Value])
+          : (String, Seq[(String, String)]) = {
+        val ks = d.keyCols.map(img.getOrElse(_, null: Value))
+        require(d.keyCols.nonEmpty && !ks.contains(null),
+          s"redis scenario rows need non-null keys: $img")
+        // a redis hash has no NULL fields — absent field IS null
+        // (reference redis entry rewrite ships only present values)
+        (s"${d.db}.${d.tb}:${ks.mkString(":")}",
+          d.cols.map(c => c -> img.getOrElse(c, null: Value))
+            .filter(_._2 != null))
+      }
+      val wire = new java.io.ByteArrayOutputStream()
+      normalized.foreach { e =>
+        val d = routedDefs((e.dstDb, e.dstTb))
+        val cmds =
+          if (e.rowType == "delete")
+            Seq(Seq("DEL", keyAndFields(d, e.before)._1))
+          else {
+            val (k, fields) = keyAndFields(d, e.after)
+            RedisCommands.replace(RedisCommands.Entry(k,
+              RedisCommands.RHash(fields)),
+              chunkSize = math.max(1, task.batchSize))
+          }
+        cmds.foreach(c => wire.write(RedisResp.encodeStrings(c)))
+      }
+      // decode the whole stream back from the wire and execute
+      val store = mutable.LinkedHashMap[String,
+        mutable.LinkedHashMap[String, String]]()
+      RedisResp.parse(wire.toByteArray).foreach {
+        case Seq("DEL", k) => store.remove(k): Unit
+        case cmd if cmd.headOption.contains("HSET") =>
+          val k = cmd(1)
+          val h = store.getOrElseUpdate(k, mutable.LinkedHashMap.empty)
+          cmd.drop(2).grouped(2).foreach {
+            case Seq(f, v) => h(f) = v
+            case other => sys.error(s"odd HSET args: $other")
+          }
+        case other => sys.error(s"unexpected redis command: $other")
+      }
+      // naive oracle: per-event key upsert/delete, no chunking/wire
+      val naiveR = mutable.LinkedHashMap[String, Map[String, String]]()
+      normalized.foreach { e =>
+        val d = routedDefs((e.dstDb, e.dstTb))
+        if (e.rowType == "delete")
+          naiveR.remove(keyAndFields(d, e.before)._1): Unit
+        else {
+          val (k, fields) = keyAndFields(d, e.after)
+          naiveR(k) = fields.toMap
+        }
+      }
+      val perTable = routedDefs.map { case ((rdb, rtb), d) =>
+        val prefix = s"$rdb.$rtb:"
+        def canonical(m: Iterable[(String, Map[String, String])])
+            : Seq[Map[String, Value]] =
+          m.collect { case (k, h) if k.startsWith(prefix) =>
+            h + ("__key" -> k)
+          }.toSeq
+        val got = canonical(store.view.mapValues(_.toMap))
+        val want = canonical(naiveR)
+        compareStates(s"$rdb.$rtb", want, got)
+        val fullFidelity = (isSnapshot ||
+          task.filter.doEvents == Set("insert", "update", "delete")) &&
+          task.luaCodeFile.isEmpty
+        if (fullFidelity) {
+          val (db, tb) = src.defs.keys
+            .find(k => task.router.routeTable(k._1, k._2) ==
+              (rdb, rtb)).get
+          val srcState = src.rows((db, tb)).toSeq
+            .filter(r => !isSnapshot ||
+              wherePreds.get((db, tb)).forall(_.matches(r)))
+            .map(project(db, tb, _))
+            .map { r =>
+              val (k, fields) = keyAndFields(d, r)
+              fields.toMap + ("__key" -> k)
+            }
+          compareStates(s"$rdb.$rtb (vs src)", srcState, got)
+        }
+        s"$rdb.$rtb" -> (want, got)
+      }
+      return Result(perTable.size,
+        store.size.toLong, perTable)
+    }
+
     // ---- mongo route: doc events through the REAL mongo merger
     // (`_id` lanes + serial demotion) and bulk planner — the command
     // strings a live sink would send, interpreted by MemMongo
