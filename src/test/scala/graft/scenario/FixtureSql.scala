@@ -28,7 +28,16 @@ object FixtureSql {
   type Value = String // null | canonical string
 
   final case class TableDef(db: String, tb: String, cols: Seq[String],
-      pk: Seq[String], uks: Seq[Seq[String]]) {
+      pk: Seq[String], uks: Seq[Seq[String]],
+      types: Seq[String] = Nil) {
+    /** Declared type text per column (lowercased, e.g. `decimal(10,4)`)
+      * — the wire-fidelity lane needs it to pick binlog codecs. Empty
+      * only for defs built outside the SQL parser; `typesOr` pads so
+      * those still encode (everything round-trips as text).
+      */
+    def typesOr: Seq[String] =
+      if (types.size == cols.size) types
+      else cols.map(_ => "varchar(255)")
     /** Row-identity columns: pk, else the first unique key — the
       * reference merger's id_cols resolution (rdb_merger uses the
       * tb_meta's id cols: primary before unique).
@@ -69,11 +78,15 @@ object FixtureSql {
       actions: Seq[graft.meta.AlterParser.AlterAction]): TableDef = {
     import graft.meta.AlterParser._
     actions.foldLeft(d) {
-      case (acc, a: AddColumn) => acc.copy(cols = acc.cols :+ a.name)
-      case (acc, DropColumn(n)) => acc.copy(
-        cols = acc.cols.filterNot(_ == n),
-        pk = acc.pk.filterNot(_ == n),
-        uks = acc.uks.map(_.filterNot(_ == n)).filter(_.nonEmpty))
+      case (acc, a: AddColumn) => acc.copy(cols = acc.cols :+ a.name,
+        types = acc.typesOr :+ a.colType.trim.toLowerCase)
+      case (acc, DropColumn(n)) =>
+        val keep = acc.cols.zip(acc.typesOr).filterNot(_._1 == n)
+        acc.copy(
+          cols = keep.map(_._1),
+          pk = acc.pk.filterNot(_ == n),
+          uks = acc.uks.map(_.filterNot(_ == n)).filter(_.nonEmpty),
+          types = keep.map(_._2))
       case (_, other) =>
         sys.error(s"unsupported scenario alter action: $other")
     }
@@ -270,6 +283,7 @@ object FixtureSql {
   private def parseTableBody(db: String, tb: String, body: String)
       : TableDef = {
     val cols = Seq.newBuilder[String]
+    val types = Seq.newBuilder[String]
     var pk: Seq[String] = Nil
     val uks = Seq.newBuilder[Seq[String]]
     def colsOf(paren: String): Seq[String] = {
@@ -295,10 +309,18 @@ object FixtureSql {
           else item.takeWhile(!_.isWhitespace)
         cols += (if (item.startsWith("`")) name.replace("``", "`")
           else name)
+        // declared type = first token after the name (with its
+        // parenthesized args and an optional `unsigned`) — what the
+        // wire-fidelity lane maps to a binlog column codec
+        val rest = (if (item.startsWith("`"))
+          item.substring(item.indexOf('`', 1) + 1)
+        else item.drop(name.length)).trim
+        types += "(?i)^(\\w+(?:\\([^)]*\\))?(?:\\s+unsigned)?)".r
+          .findFirstIn(rest).getOrElse("varchar(255)").toLowerCase
         if (u.contains("PRIMARY KEY")) pk = Seq(unquoteId(name))
       }
     }
-    TableDef(db, tb, cols.result(), pk, uks.result())
+    TableDef(db, tb, cols.result(), pk, uks.result(), types.result())
   }
 
   def parseStatement(sql: String): Stmt = sql.trim match {

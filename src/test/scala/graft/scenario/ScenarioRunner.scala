@@ -241,7 +241,10 @@ object ScenarioRunner {
 
     // ---- event stream the extractor would hand the pipeline:
     // snapshot tasks ship the end state as inserts; cdc ships the
-    // per-statement row images
+    // per-statement row images — for mysql/pg sources the stream
+    // additionally rides the REAL wire (binlog v4 / pgoutput bytes
+    // through the production decoders, asserted event-identical) so
+    // every scenario covers the byte-level extract path
     val isSnapshot = task.extractType == TaskConfig.SnapshotExtract
     val rawEvents: Seq[Event] =
       if (isSnapshot)
@@ -250,7 +253,12 @@ object ScenarioRunner {
             Event(db, tb, i + 1L, "insert", Map.empty, r)
           }
         }
-      else src.events.toSeq
+      else task.dbType match {
+        case "mysql" => WireFidelity.mysqlRoundTrip(src)
+        case "pg" | "postgres" | "postgresql" =>
+          WireFidelity.pgRoundTrip(src)
+        case _ => src.events.toSeq
+      }
 
     // ---- the row-level gates the task surface applies; snapshot
     // tasks additionally apply the source-side where_conditions
@@ -318,12 +326,14 @@ object ScenarioRunner {
           val (rdb, rtb) = task.router.routeTable(d.db, d.tb)
           val ignored =
             task.ignoreColsByTable.getOrElse((d.db, d.tb), Nil).toSet
-          val cols = d.cols.filterNot(ignored)
-            .map(task.router.routeColumn(d.db, d.tb, _))
+          val kept = d.cols.zip(d.typesOr)
+            .filterNot { case (c, _) => ignored.contains(c) }
+          val cols = kept.map { case (c, _) =>
+            task.router.routeColumn(d.db, d.tb, c) }
           val mapCols = (cs: Seq[String]) => cs.filterNot(ignored)
             .map(task.router.routeColumn(d.db, d.tb, _))
           (rdb, rtb) -> TableDef(rdb, rtb, cols, mapCols(d.pk),
-            d.uks.map(mapCols).filter(_.nonEmpty))
+            d.uks.map(mapCols).filter(_.nonEmpty), kept.map(_._2))
         }.toMap
     // final-shape defs (src.defs already carry any DDL evolution)
     val routedDefs: Map[(String, String), TableDef] =
