@@ -185,6 +185,24 @@ class ScenarioSpec extends SparkSuite {
         "user" -> "dan", "score" -> "20"))
   }
 
+  test("kafka scenario: envelopes land on routed topics; the consumer " +
+      "rebuild honors key-change updates and null images") {
+    val r = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("mysql_to_kafka_cdc"))
+    // orders routed by exact topic_map entry; audit fell through to
+    // default_topic
+    assert(r.perTable.keySet ==
+      Set("orders_topic/feed_db.orders", "catchall_topic/feed_db.audit"))
+    val (_, orders) = r.perTable("orders_topic/feed_db.orders")
+    // id=1 deleted, id=2 moved to id=3 by the key-changing update,
+    // id=4 inserted with NULL fields
+    assert(orders.map(_("id")).toSet == Set("3", "4"))
+    assert(orders.find(_("id") == "3").get("state") == "new")
+    assert(orders.find(_("id") == "4").get("state") == null)
+    val (_, audit) = r.perTable("catchall_topic/feed_db.audit")
+    assert(audit == Seq(Map("id" -> "1", "note" -> "touched")))
+  }
+
   test("routing scenario lands rows under the routed names only") {
     val r = ScenarioRunner.run(spark,
       ScenarioRunner.corpusRoot.resolve("mysql_cdc_route"))

@@ -558,6 +558,103 @@ object ScenarioRunner {
         dstM.values.map(_.size.toLong).sum, perColl)
     }
 
+    // ---- kafka route: every routed event becomes a REAL Avro
+    // envelope (the reference wire schema) produced onto its routed
+    // topic (exact → schema-`*` → default, rdb_router.rs:96-98); the
+    // consumer side decodes the bytes and rebuilds table state, so the
+    // compare covers encode∘decode identity and topic placement
+    // (reference *_to_kafka routes)
+    if (task.sinkDbType == "kafka") {
+      require(admitted.forall(_.rowType != "ddl"),
+        "kafka scenarios carry no DDL")
+      import graft.sinks.AvroEnvelope
+      val wire = mutable.LinkedHashMap[String,
+        mutable.ArrayBuffer[Array[Byte]]]()
+      admitted.filter(_.rowType != "ddl").foreach { e =>
+        val r = routeEvent(e)
+        val topic = task.router.routeTopic(e.db, e.tb)
+        wire.getOrElseUpdate(topic, mutable.ArrayBuffer.empty) +=
+          AvroEnvelope.encode(r.dstDb, r.dstTb, r.rowType,
+            before = if (r.before.isEmpty) null else r.before,
+            after = if (r.after.isEmpty) null else r.after)
+      }
+      // consumer: decode each envelope in topic order, replay into
+      // keyed table state (key-change updates move the row)
+      val states = mutable.LinkedHashMap[(String, String, String),
+        mutable.LinkedHashMap[Seq[Value], Map[String, Value]]]()
+      wire.foreach { case (topic, msgs) =>
+        msgs.foreach { bytes =>
+          val env = AvroEnvelope.decode(bytes)
+          val d = routedDefs((env.schema, env.tb))
+          require(d.keyCols.nonEmpty,
+            "kafka scenarios need keyed tables")
+          val st = states.getOrElseUpdate((topic, env.schema, env.tb),
+            mutable.LinkedHashMap.empty)
+          def keyed(img: Map[String, Value]): Seq[Value] =
+            d.keyCols.map(img.getOrElse(_, null))
+          def full(img: Map[String, Value]): Map[String, Value] =
+            d.cols.map(c => c -> img.getOrElse(c, null: Value)).toMap
+          val before = Option(env.before).getOrElse(Map.empty)
+          val after = Option(env.after).getOrElse(Map.empty)
+          env.operation match {
+            case "insert" => st(keyed(after)) = full(after)
+            case "update" =>
+              val kb = keyed(before); val ka = keyed(after)
+              if (kb != ka) st.remove(kb): Unit
+              st(ka) = full(after)
+            case "delete" => st.remove(keyed(before)): Unit
+            case other => sys.error(s"unexpected operation $other")
+          }
+        }
+      }
+      // naive oracle replays the routed events WITHOUT the wire
+      val naiveK = mutable.LinkedHashMap[(String, String, String),
+        mutable.LinkedHashMap[Seq[Value], Map[String, Value]]]()
+      admitted.filter(_.rowType != "ddl").foreach { e =>
+        val r = routeEvent(e)
+        val topic = task.router.routeTopic(e.db, e.tb)
+        val d = routedDefs((r.dstDb, r.dstTb))
+        val st = naiveK.getOrElseUpdate((topic, r.dstDb, r.dstTb),
+          mutable.LinkedHashMap.empty)
+        def keyed(img: Map[String, Value]): Seq[Value] =
+          d.keyCols.map(img.getOrElse(_, null))
+        def full(img: Map[String, Value]): Map[String, Value] =
+          d.cols.map(c => c -> img.getOrElse(c, null: Value)).toMap
+        r.rowType match {
+          case "insert" => st(keyed(r.after)) = full(r.after)
+          case "update" =>
+            val kb = keyed(r.before); val ka = keyed(r.after)
+            if (kb != ka) st.remove(kb): Unit
+            st(ka) = full(r.after)
+          case "delete" => st.remove(keyed(r.before)): Unit
+        }
+      }
+      val perTopicTable = naiveK.map { case (k @ (topic, rdb, rtb),
+          wantSt) =>
+        val got = states.getOrElse(k, mutable.LinkedHashMap.empty)
+          .values.toSeq
+        val want = wantSt.values.toSeq
+        compareStates(s"$topic/$rdb.$rtb", want, got)
+        val fullFidelity =
+          task.filter.doEvents == Set("insert", "update", "delete") &&
+            task.luaCodeFile.isEmpty
+        if (fullFidelity) {
+          val (db, tb) = src.defs.keys
+            .find(kk => task.router.routeTable(kk._1, kk._2) ==
+              (rdb, rtb)).get
+          val d = routedDefs((rdb, rtb))
+          val srcState = src.rows((db, tb)).toSeq
+            .map(project(db, tb, _))
+            .map(r => d.cols.map(c =>
+              c -> r.getOrElse(c, null: Value)).toMap)
+          compareStates(s"$topic/$rdb.$rtb (vs src)", srcState, got)
+        }
+        s"$topic/$rdb.$rtb" -> (want, got)
+      }
+      return Result(perTopicTable.size,
+        states.values.map(_.size.toLong).sum, perTopicTable.toMap)
+    }
+
     // ---- per routed table: DataFrame -> real compaction -> real
     // apply planning -> statements against the in-memory dst engine
     def applyTableBatch(defs: Map[(String, String), TableDef])(
