@@ -185,6 +185,19 @@ class ScenarioSpec extends SparkSuite {
         "user" -> "dan", "score" -> "20"))
   }
 
+  test("check scenario: MISS/DIFF/ORPHAN classify, revise converges " +
+      "dst onto src, and the re-check is clean") {
+    val r = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("mysql_check_revise"))
+    val (want, got) = r.perTable("chk_db.accounts")
+    // runCheck already asserted classification, diff_cols, revise
+    // convergence, and the clean re-check; pin the end state here
+    assert(got.map(_("id")).toSet == Set("1", "2", "3", "4"))
+    assert(got.find(_("id") == "1").get("balance") == "150")
+    assert(got.find(_("id") == "2").get("owner") == null)
+    assert(want.toSet == got.toSet)
+  }
+
   test("kafka scenario: envelopes land on routed topics; the consumer " +
       "rebuild honors key-change updates and null images") {
     val r = ScenarioRunner.run(spark,

@@ -123,6 +123,16 @@ object ScenarioRunner {
     def truncate(runId: String, qt: String): Unit =
       alterState(runId, qt) { st => st.rows.clear(); st }
 
+    /** Seed a registered table with existing rows (the check lane's
+      * diverged destination state).
+      */
+    def preload(runId: String, quotedTable: String,
+        rows: Seq[Seq[Value]]): Unit = {
+      val st = stores.get(key(runId, quotedTable))
+      require(st != null, s"unregistered dst table: $quotedTable")
+      st.rows ++= rows: Unit
+    }
+
     def snapshot(runId: String): Map[String, Seq[Map[String, Value]]] =
       stores.asScala.toMap.collect {
         case (k, st) if k.startsWith(s"$runId|") =>
@@ -238,6 +248,11 @@ object ScenarioRunner {
       Files.readAllBytes(dir.resolve("src_prepare.sql")), "UTF-8")))
     src.applyAll(parseScript(new String(
       Files.readAllBytes(dir.resolve("src_test.sql")), "UTF-8")))
+
+    // check tasks are their own flow: classify src vs a diverged dst,
+    // revise, re-check
+    if (task.extractType == TaskConfig.CheckExtract)
+      return runCheck(spark, dir, task, src)
 
     // ---- event stream the extractor would hand the pipeline:
     // snapshot tasks ship the end state as inserts; cdc ships the
@@ -946,6 +961,140 @@ object ScenarioRunner {
     rows.map(r => r.toSeq.sortBy(_._1)
       .map { case (c, v) => s"$c=${if (v == null) "∅" else v}" }
       .mkString("|")).sorted
+
+  /** Check-task scenarios (reference dt-tests check/revise dirs):
+    * `src_prepare.sql` + `src_test.sql` build the source of truth;
+    * `dst_test.sql` (applied over the same prepare script) builds a
+    * deliberately diverged destination. The REAL [[Checker]] full-outer
+    * classification runs src vs dst, its statuses are asserted against
+    * a naive map-diff oracle, then the revise flow (MISS→insert,
+    * DIFF→update, ORPHAN→delete, base_checker.rs:67-152) applies
+    * through the real Compaction+Applier planning to the seeded MemDb —
+    * and a RE-CHECK must come back all-OK with the destination
+    * row-identical to src (the reference's check_test → revise_test →
+    * review_test cycle in one scenario).
+    */
+  private def runCheck(spark: SparkSession, dir: Path,
+      task: TaskConfig.Task, src: SourceState): Result = {
+    import graft.operators.{Checker, Compaction}
+    val dialect = dialectOf(task.sinkDbType)
+    val runId = s"${dir.getFileName}-check-${System.nanoTime()}"
+
+    val dst = new SourceState
+    dst.applyAll(parseScript(new String(
+      Files.readAllBytes(dir.resolve("src_prepare.sql")), "UTF-8")))
+    dst.applyAll(parseScript(new String(
+      Files.readAllBytes(dir.resolve("dst_test.sql")), "UTF-8")))
+
+    // a standalone factory so executor-side closures capture ONLY the
+    // run id, not the (non-serializable) interpreter states
+    val mkSink: () => Applier.StatementSink = {
+      val rid = runId
+      () => MemDb.Sink(rid)
+    }
+
+    val perTable = src.defs.toSeq.collect { case ((db, tb), d)
+        if task.filter.allowTable(db, tb) =>
+      require(d.keyCols.nonEmpty, "check scenarios need keyed tables")
+      def full(r: Map[String, Value]): Map[String, Value] =
+        d.cols.map(c => c -> r.getOrElse(c, null: Value)).toMap
+      val srcRows = src.rows((db, tb)).toSeq.map(full)
+      val dstRows = dst.rows((db, tb)).toSeq.map(full)
+      val schema = StructType(d.cols.map(StructField(_, StringType)))
+      def df(rows: Seq[Map[String, Value]]): DataFrame =
+        spark.createDataFrame(rows.map(r =>
+          Row.fromSeq(d.cols.map(r(_)))).asJava, schema)
+
+      def keyOf(r: Map[String, Value]): Seq[Value] =
+        d.keyCols.map(r(_))
+      val srcByKey = srcRows.map(r => keyOf(r) -> r).toMap
+      val dstByKey = dstRows.map(r => keyOf(r) -> r).toMap
+      require(srcByKey.size == srcRows.size &&
+        dstByKey.size == dstRows.size,
+        s"check scenario $db.$tb carries duplicate keys")
+
+      // naive classification oracle (tolerantEq on canonical strings
+      // is null-safe equality)
+      val wantStatus: Map[Seq[Value], String] =
+        (srcByKey.keySet ++ dstByKey.keySet).map { k =>
+          k -> ((srcByKey.get(k), dstByKey.get(k)) match {
+            case (Some(_), None) => "MISS"
+            case (None, Some(_)) => "ORPHAN"
+            case (Some(s), Some(dd)) if s != dd => "DIFF"
+            case _ => "OK"
+          })
+        }.toMap
+
+      val checked = Checker.diff(df(srcRows), df(dstRows), d.keyCols)
+        .collect()
+      val gotStatus = checked.map { row =>
+        d.keyCols.map(k =>
+          row.getAs[String](k): Value) -> row.getAs[String](
+          Checker.StatusCol)
+      }.toMap
+      require(gotStatus == wantStatus,
+        s"checker classification mismatch for $db.$tb:\n" +
+          s"  want $wantStatus\n  got  $gotStatus")
+      // DIFF rows name exactly the differing columns
+      checked.filter(_.getAs[String](Checker.StatusCol) == "DIFF")
+        .foreach { row =>
+          val k = d.keyCols.map(c => row.getAs[String](c): Value)
+          val want = d.cols.filterNot(d.keyCols.contains)
+            .filter(c => srcByKey(k)(c) != dstByKey(k)(c)).sorted
+          val got = row.getSeq[String](
+            row.fieldIndex(Checker.DiffColsCol)).sorted
+          require(got == want,
+            s"diff_cols mismatch for $db.$tb key $k: " +
+              s"want $want got $got")
+        }
+
+      // revise: non-OK rows become change events through the REAL
+      // compaction + applier planning against the seeded dst
+      val qt = s"${dialect.quote(db)}.${dialect.quote(tb)}"
+      MemDb.register(runId, qt, d.cols, d.keyCols)
+      MemDb.preload(runId, qt, dstRows.map(r => d.cols.map(r(_))))
+      val revise = wantStatus.toSeq.sortBy(_._1.mkString("|"))
+        .zipWithIndex.collect {
+          case ((k, "MISS"), i) => (i, "insert", Map.empty[String,
+            Value], srcByKey(k))
+          case ((k, "DIFF"), i) => (i, "update", dstByKey(k),
+            srcByKey(k))
+          case ((k, "ORPHAN"), i) => (i, "delete", dstByKey(k),
+            Map.empty[String, Value])
+        }
+      if (revise.nonEmpty) {
+        val evSchema = StructType(
+          Seq(StructField("seq", LongType),
+            StructField("sub", IntegerType),
+            StructField("row_type", StringType)) ++
+            d.cols.map(StructField(_, StringType)))
+        val rows = revise.map { case (i, rt, before, after) =>
+          val img = if (rt == "delete") before else after
+          Row.fromSeq(Seq(i.toLong, 0, rt) ++
+            d.cols.map(img.getOrElse(_, null: Value)))
+        }
+        val compacted = Compaction.compact(
+          spark.createDataFrame(rows.asJava, evSchema), d.keyCols,
+          Seq("seq", "sub"), col("row_type"))
+        Applier.applyCompacted(dialect, qt, compacted, d.keyCols,
+          d.cols, Seq("seq", "sub"), mkSink,
+          batchSize = task.batchSize)
+      }
+
+      val revised = MemDb.snapshot(runId).getOrElse(qt, Nil)
+      compareStates(s"$db.$tb (revised vs src)", srcRows, revised)
+      val recheck = Checker.diff(df(srcRows), df(revised.map(full)),
+        d.keyCols).collect()
+      require(recheck.forall(
+        _.getAs[String](Checker.StatusCol) == "OK"),
+        s"re-check after revise still dirty for $db.$tb")
+      s"$db.$tb" -> (srcRows, revised)
+    }
+    MemDb.clear(runId)
+    require(perTable.nonEmpty, "check scenario matched no tables")
+    Result(perTable.size,
+      perTable.map(_._2._2.size.toLong).sum, perTable.toMap)
+  }
 
   private[scenario] def compareStates(label: String,
       want: Seq[Map[String, Value]], got: Seq[Map[String, Value]])
