@@ -185,6 +185,18 @@ class ScenarioSpec extends SparkSuite {
         "user" -> "dan", "score" -> "20"))
   }
 
+  test("full-sync scenario: the CDC tail overwrites, deletes, and " +
+      "moves snapshot-copied rows") {
+    val r = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("mysql_full_sync"))
+    val (_, got) = r.perTable("fs_db.inventory")
+    assert(got.map(_("id")).toSet == Set("1", "4", "5"))
+    val one = got.find(_("id") == "1").get
+    assert(one("qty") == "11" && one("sku") == "golden")
+    assert(got.find(_("id") == "4").get("sku") == "plum")
+    assert(got.find(_("id") == "5").get("qty") == null)
+  }
+
   test("check scenario: MISS/DIFF/ORPHAN classify, revise converges " +
       "dst onto src, and the re-check is clean") {
     val r = ScenarioRunner.run(spark,

@@ -243,11 +243,13 @@ object ScenarioRunner {
     val dialect = dialectOf(task.sinkDbType)
     val runId = s"${dir.getFileName}-${System.nanoTime()}"
 
+    val prepStmts = parseScript(new String(
+      Files.readAllBytes(dir.resolve("src_prepare.sql")), "UTF-8"))
+    val testStmts = parseScript(new String(
+      Files.readAllBytes(dir.resolve("src_test.sql")), "UTF-8"))
     val src = new SourceState
-    src.applyAll(parseScript(new String(
-      Files.readAllBytes(dir.resolve("src_prepare.sql")), "UTF-8")))
-    src.applyAll(parseScript(new String(
-      Files.readAllBytes(dir.resolve("src_test.sql")), "UTF-8")))
+    src.applyAll(prepStmts)
+    src.applyAll(testStmts)
 
     // check tasks are their own flow: classify src vs a diverged dst,
     // revise, re-check
@@ -261,6 +263,14 @@ object ScenarioRunner {
     // through the production decoders, asserted event-identical) so
     // every scenario covers the byte-level extract path
     val isSnapshot = task.extractType == TaskConfig.SnapshotExtract
+    val isFullSync =
+      task.extractType == TaskConfig.SnapshotAndCdcExtract
+    def wired: Seq[Event] = task.dbType match {
+      case "mysql" => WireFidelity.mysqlRoundTrip(src)
+      case "pg" | "postgres" | "postgresql" =>
+        WireFidelity.pgRoundTrip(src)
+      case _ => src.events.toSeq
+    }
     val rawEvents: Seq[Event] =
       if (isSnapshot)
         src.defs.keys.toSeq.flatMap { case (db, tb) =>
@@ -268,12 +278,27 @@ object ScenarioRunner {
             Event(db, tb, i + 1L, "insert", Map.empty, r)
           }
         }
-      else task.dbType match {
-        case "mysql" => WireFidelity.mysqlRoundTrip(src)
-        case "pg" | "postgres" | "postgresql" =>
-          WireFidelity.pgRoundTrip(src)
-        case _ => src.events.toSeq
-      }
+      else if (isFullSync) {
+        // snapshot-then-CDC (reference full_sync task / the snapshot→
+        // cdc position handoff): the post-prepare state ships as the
+        // snapshot half, then the src_test tail streams as CDC events
+        // picking up AFTER the snapshot's position — the same handoff
+        // FullSyncTask makes from the chunked scan to the binlog
+        require(task.whereByTable.isEmpty,
+          "full-sync scenarios don't take where_conditions")
+        val base = new SourceState
+        base.applyAll(prepStmts)
+        val cut = base.events.size.toLong
+        val snapshotHalf = base.defs.keys.toSeq.flatMap {
+          case (db, tb) =>
+            base.rows((db, tb)).zipWithIndex.map { case (r, i) =>
+              Event(db, tb, i + 1L, "insert", Map.empty, r)
+            }
+        }
+        require(snapshotHalf.size <= cut,
+          "prepare emitted fewer events than rows")
+        snapshotHalf ++ wired.drop(base.events.size)
+      } else wired
 
     // ---- the row-level gates the task surface applies; snapshot
     // tasks additionally apply the source-side where_conditions
