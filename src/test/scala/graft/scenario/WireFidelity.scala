@@ -160,23 +160,30 @@ object WireFidelity {
           tableIds.size + 23L)
         gno += 1
         w.gtid("3e11fa47-71ca-11e1-9e33-c80aa9429562", gno)
-        w.begin(e.db)
-        // a TableMap precedes every rows event in a real binlog (and
-        // re-describes the table after DDL evolved it)
-        w.tableMap(id, e.db, e.tb, specs.map(_._1), specs.map(_._2),
-          nullable = d.cols.map(_ => true), colNames = d.cols,
-          signed = specs.map(_._3))
-        e.rowType match {
-          case "insert" =>
-            w.writeRows(id, Seq(rowArr(d, declared, e.after)))
-          case "update" =>
-            w.updateRows(id, Seq((rowArr(d, declared, e.before),
-              rowArr(d, declared, e.after))))
-          case "delete" =>
-            w.deleteRows(id, Seq(rowArr(d, declared, e.before)))
-          case other => sys.error(s"unexpected row type $other")
+        def body(wr: MysqlBinlogWriter): Unit = {
+          wr.begin(e.db)
+          // a TableMap precedes every rows event in a real binlog
+          // (and re-describes the table after DDL evolved it)
+          wr.tableMap(id, e.db, e.tb, specs.map(_._1),
+            specs.map(_._2), nullable = d.cols.map(_ => true),
+            colNames = d.cols, signed = specs.map(_._3))
+          e.rowType match {
+            case "insert" =>
+              wr.writeRows(id, Seq(rowArr(d, declared, e.after)))
+            case "update" =>
+              wr.updateRows(id, Seq((rowArr(d, declared, e.before),
+                rowArr(d, declared, e.after))))
+            case "delete" =>
+              wr.deleteRows(id, Seq(rowArr(d, declared, e.before)))
+            case other => sys.error(s"unexpected row type $other")
+          }
+          wr.xid(gno)
         }
-        w.xid(gno)
+        // every third transaction ships inside a MySQL 8.0
+        // Transaction_payload envelope (ZSTD-compressed), so the
+        // scenario stream also covers the compressed-txn decode path
+        if (gno % 3 == 0) w.transactionPayload(zstd = true)(body)
+        else body(w)
       }
     }
 
@@ -194,7 +201,7 @@ object WireFidelity {
         n -> canonical(t, v)
       }.toMap
     }
-    MysqlBinlog.readFile(w.bytes()).foreach { case (_, ev) => ev match {
+    def walk(ev: MysqlBinlog.Event): Unit = ev match {
       case tm: MysqlBinlog.TableMap => tms(tm.tableId) = tm
       case MysqlBinlog.Query(_, schema, sql) if sql != "BEGIN" =>
         val (db, tb) = ddlTarget(schema, sql)
@@ -212,8 +219,11 @@ object WireFidelity {
         val tm = tms(id)
         rows.foreach(r => decoded += Event(tm.schema, tm.table, 0L,
           "delete", imgOf(tm, r), Map.empty))
+      case MysqlBinlog.TransactionPayload(inner) =>
+        inner.foreach { case (_, ie) => walk(ie) }
       case _ => () // FDE/Gtid/Xid/BEGIN-Query: no row images
-    }}
+    }
+    MysqlBinlog.readFile(w.bytes()).foreach { case (_, ev) => walk(ev) }
 
     spliceAndCheck(want, decoded.toSeq, "binlog")
   }
@@ -238,7 +248,12 @@ object WireFidelity {
         val relId = relIds.getOrElseUpdate((e.db, e.tb),
           relIds.size + 16384L)
         xid += 1; lsn += 0x100
-        w.begin(lsn, commitMicros = 0L, xid)
+        // every fourth transaction rides protocol v2 streaming
+        // (Stream Start/Stop + Stream Commit), so the scenario also
+        // covers the streamed-transaction reassembly path
+        val streamed = xid % 4 == 0
+        if (streamed) w.streamStart(xid, firstSegment = true)
+        else w.begin(lsn, commitMicros = 0L, xid)
         // REPLICA IDENTITY FULL: relation re-described per txn (and
         // after DDL), old images ship the full before row ('O')
         w.relation(relId, e.db, e.tb, 'f',
@@ -255,7 +270,10 @@ object WireFidelity {
           case "delete" => w.delete(relId, 'O', arr(e.before))
           case other => sys.error(s"unexpected row type $other")
         }
-        w.commit(lsn, lsn + 0x10, 0L)
+        if (streamed) {
+          w.streamStop()
+          w.streamCommit(xid, lsn, lsn + 0x10, 0L)
+        } else w.commit(lsn, lsn + 0x10, 0L)
       }
     }
     val decoded = PgOutput.decodeFile(w.bytes()).map { ce =>
