@@ -185,6 +185,17 @@ class ScenarioSpec extends SparkSuite {
         "user" -> "dan", "score" -> "20"))
   }
 
+  test("starrocks scenario: sign+version rows over real loopback " +
+      "stream-load PUTs resolve to the source end state") {
+    val r = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("mysql_to_starrocks_cdc"))
+    val (_, got) = r.perTable("wh_db.metrics")
+    assert(got.map(_("id")).toSet == Set("1", "4", "5"))
+    assert(got.find(_("id") == "1").get("val") == "0.75")
+    assert(got.find(_("id") == "4").get("name") == "disk")
+    assert(got.find(_("id") == "5").get("val") == null)
+  }
+
   test("full-sync scenario: the CDC tail overwrites, deletes, and " +
       "moves snapshot-copied rows") {
     val r = ScenarioRunner.run(spark,

@@ -695,6 +695,122 @@ object ScenarioRunner {
         states.values.map(_.size.toLong).sum, perTopicTable.toMap)
     }
 
+    // ---- starrocks/doris route: the change batch annotates sign +
+    // version columns, renders JSON-lines payloads, and PUTs them over
+    // REAL loopback HTTP through the production stream-load client
+    // (labels, auth, strip_outer_array, response gate); the in-memory
+    // warehouse resolves primary-key + max-version + sign semantics and
+    // deduplicates by label (reference *_to_starrocks routes,
+    // starrocks_sinker.rs:233-318)
+    if (task.sinkDbType == "starrocks" || task.sinkDbType == "doris") {
+      require(admitted.forall(_.rowType != "ddl"),
+        "stream-load scenarios carry no DDL")
+      import com.sun.net.httpserver.{HttpExchange, HttpServer}
+      import graft.sinks.{StreamLoadHttp, StreamLoadSink}
+      val received = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(String, String, String)]())
+      val server = HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/", (ex: HttpExchange) => {
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        received.add((ex.getRequestURI.getPath,
+          ex.getRequestHeaders.getFirst("label"), body)): Unit
+        val resp = """{"Status":"Success","NumberLoadedRows":1}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      })
+      server.start()
+      try {
+        normalized.groupBy(e => (e.dstDb, e.dstTb)).toSeq
+          .sortBy(_._1).foreach { case ((rdb, rtb), evs) =>
+            val d = routedDefs((rdb, rtb))
+            require(d.keyCols.nonEmpty,
+              "stream-load scenarios need keyed tables")
+            val schema = StructType(
+              Seq(StructField("seq", LongType),
+                StructField("sub", IntegerType),
+                StructField("row_type", StringType)) ++
+                d.cols.map(StructField(_, StringType)))
+            val rows = evs.map { e =>
+              val img = if (e.rowType == "delete") e.before else e.after
+              Row.fromSeq(Seq(e.seq, e.sub, e.rowType) ++
+                d.cols.map(img.getOrElse(_, null)))
+            }
+            val df = spark.createDataFrame(rows.asJava, schema)
+            val signed = StreamLoadSink.withSignColumns(df,
+              col("row_type"), col("seq") * 2 + col("sub"))
+              .drop("seq", "sub", "row_type")
+            val cfg = StreamLoadHttp.Config("127.0.0.1",
+              server.getAddress.getPort, rdb, rtb)
+            StreamLoadSink.ship(signed,
+              () => new StreamLoadHttp.HttpPayloadSink(cfg, 1L),
+              batchRows = math.max(1, task.batchSize))
+          }
+      } finally server.stop(0)
+
+      // warehouse resolution: per (db,tb), label-deduped rows; key →
+      // max-version row; sign 1 = deleted
+      import graft.sources.TinyJson
+      val seenLabels = mutable.Set[String]()
+      val byTableRows = mutable.LinkedHashMap[(String, String),
+        mutable.ArrayBuffer[Map[String, Any]]]()
+      received.asScala.foreach { case (path, label, body) =>
+        val Array(_, _, db, tb, _) = path.split("/")
+        if (seenLabels.add(label)) {
+          TinyJson.parse(body).get.asInstanceOf[Seq[Any]].foreach { r =>
+            byTableRows.getOrElseUpdate((db, tb),
+              mutable.ArrayBuffer.empty) +=
+              r.asInstanceOf[Map[String, Any]]
+          }
+        }
+      }
+      def resolve(d: TableDef, rows: Seq[Map[String, Any]])
+          : Seq[Map[String, Value]] =
+        rows.groupBy(r => d.keyCols.map(r.getOrElse(_, null)))
+          .values.toSeq
+          .map(_.maxBy(r => TinyJson.num(r,
+            StreamLoadSink.VersionCol).get))
+          .filter(r => TinyJson.num(r,
+            StreamLoadSink.IsDeletedCol).get == 0.0)
+          .map(r => d.cols.map(c => c ->
+            r.getOrElse(c, null).asInstanceOf[Value]).toMap)
+      val perTable = routedDefs.map { case ((rdb, rtb), d) =>
+        val got = resolve(d,
+          byTableRows.getOrElse((rdb, rtb), Nil).toSeq)
+        // naive oracle: sequential upsert/delete by key
+        val naiveW = mutable.LinkedHashMap[Seq[Value],
+          Map[String, Value]]()
+        normalized.filter(e => (e.dstDb, e.dstTb) == (rdb, rtb))
+          .foreach { e =>
+            val img = if (e.rowType == "delete") e.before else e.after
+            val k = d.keyCols.map(img.getOrElse(_, null: Value))
+            if (e.rowType == "delete") naiveW.remove(k): Unit
+            else naiveW(k) = d.cols.map(c =>
+              c -> img.getOrElse(c, null: Value)).toMap
+          }
+        compareStates(s"$rdb.$rtb", naiveW.values.toSeq, got)
+        val fullFidelity =
+          task.filter.doEvents == Set("insert", "update", "delete") &&
+            task.luaCodeFile.isEmpty
+        if (fullFidelity) {
+          val (db, tb) = src.defs.keys
+            .find(k => task.router.routeTable(k._1, k._2) ==
+              (rdb, rtb)).get
+          val srcState = src.rows((db, tb)).toSeq
+            .map(project(db, tb, _))
+            .map(r => d.cols.map(c =>
+              c -> r.getOrElse(c, null: Value)).toMap)
+          compareStates(s"$rdb.$rtb (vs src)", srcState, got)
+        }
+        s"$rdb.$rtb" -> (naiveW.values.toSeq, got)
+      }
+      return Result(perTable.size,
+        perTable.values.map(_._2.size.toLong).sum, perTable)
+    }
+
     // ---- per routed table: DataFrame -> real compaction -> real
     // apply planning -> statements against the in-memory dst engine
     def applyTableBatch(defs: Map[(String, String), TableDef])(
