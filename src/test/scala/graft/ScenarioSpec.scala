@@ -185,6 +185,18 @@ class ScenarioSpec extends SparkSuite {
         "user" -> "dan", "score" -> "20"))
   }
 
+  test("subscription scenario: staged micro-batches serve over real " +
+      "HTTP, fetch_old re-serves, and the drained state matches src") {
+    val r = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("mysql_subscription"))
+    val (_, tickets) = r.perTable("sub_db.tickets")
+    assert(tickets.map(_("id")).toSet == Set("1", "4"))
+    assert(tickets.find(_("id") == "1").get("state") == "closed")
+    assert(tickets.find(_("id") == "4").get("state") == null)
+    val (_, alerts) = r.perTable("sub_db.alerts")
+    assert(alerts == Seq(Map("id" -> "1", "state" -> "resolved")))
+  }
+
   test("starrocks scenario: sign+version rows over real loopback " +
       "stream-load PUTs resolve to the source end state") {
     val r = ScenarioRunner.run(spark,

@@ -811,6 +811,161 @@ object ScenarioRunner {
         perTable.values.map(_._2.size.toLong).sum, perTable)
     }
 
+    // ---- http_server pipeline: routed events stage into the durable
+    // spool in buffer_size micro-batches and serve over the REAL
+    // subscription HTTP server (/info /fetch_new /fetch_old /ack,
+    // in-batch paging); a loopback client drains, replays one batch
+    // via fetch_old, acks at the end, and rebuilds table state from
+    // the served JSON rows (reference http_server_pipeline.rs)
+    if (task.pipelineType == "http_server") {
+      require(admitted.forall(_.rowType != "ddl"),
+        "subscription scenarios carry no DDL")
+      import graft.infra.{Subscription, SubscriptionServer}
+      import graft.sources.TinyJson
+      val allCols = routedDefs.values.map(_.cols).toSeq.distinct
+      require(allCols.size == 1,
+        "subscription scenarios need same-shaped tables")
+      val cols = allCols.head
+      val spool = Files.createTempDirectory("graft-scenario-sub")
+        .toString
+      val sub = new Subscription(spool)
+      val schema = StructType(
+        Seq(StructField("schema", StringType),
+          StructField("tb", StringType),
+          StructField("seq", LongType),
+          StructField("row_type", StringType)) ++
+          cols.map(StructField(_, StringType)))
+      normalized.sortBy(e => (e.seq, e.sub))
+        .grouped(math.max(1, task.bufferSize)).zipWithIndex
+        .foreach { case (chunk, i) =>
+          val rows = chunk.map { e =>
+            val img = if (e.rowType == "delete") e.before else e.after
+            Row.fromSeq(Seq(e.dstDb, e.dstTb, e.seq * 2 + e.sub,
+              e.rowType) ++ cols.map(img.getOrElse(_, null)))
+          }
+          sub.stage(spark.createDataFrame(rows.asJava, schema),
+            i + 1L): Unit
+        }
+
+      val server = new SubscriptionServer(spark, sub)
+      val states = mutable.LinkedHashMap[(String, String),
+        mutable.LinkedHashMap[Seq[Value], Map[String, Value]]]()
+      val lastBatchRows = mutable.ArrayBuffer[String]()
+      var lastBid = 0L
+      try {
+        val base = s"http://127.0.0.1:${server.boundPort}"
+        def get(path: String): String = {
+          val conn = java.net.URI.create(base + path).toURL
+            .openConnection()
+            .asInstanceOf[java.net.HttpURLConnection]
+          try {
+            val st = conn.getResponseCode
+            val body = new String(conn.getInputStream.readAllBytes(),
+              "UTF-8")
+            require(st == 200, s"GET $path -> $st: $body")
+            body
+          } finally conn.disconnect()
+        }
+        def postAck(id: Long): Unit = {
+          val conn = java.net.URI.create(s"$base/ack").toURL
+            .openConnection()
+            .asInstanceOf[java.net.HttpURLConnection]
+          try {
+            conn.setRequestMethod("POST")
+            conn.setDoOutput(true)
+            conn.getOutputStream.write(
+              s"""{"ack_batch_id":$id}""".getBytes("UTF-8"))
+            require(conn.getResponseCode == 200, s"ack $id failed")
+          } finally conn.disconnect()
+        }
+        // spool reads don't promise row order, so the consumer orders
+        // by the envelope's seq (the reason the seq ships at all)
+        val drained = mutable.ArrayBuffer[Map[String, Any]]()
+        var empties = 0
+        while (empties < 2) {
+          val resp = TinyJson.parse(
+            get(s"/fetch_new?batch_size=${math.max(1, task.batchSize)}"))
+            .get.asInstanceOf[Map[String, Any]]
+          val bid = TinyJson.num(resp, "batch_id").get.toLong
+          val data = resp("data").asInstanceOf[Seq[Any]]
+          if (data.nonEmpty) {
+            empties = 0
+            if (bid != lastBid) { lastBatchRows.clear(); lastBid = bid }
+            data.foreach { r =>
+              lastBatchRows += r.toString
+              drained += r.asInstanceOf[Map[String, Any]]
+            }
+          } else empties += 1
+        }
+        drained.sortBy(r => TinyJson.num(r, "seq").get).foreach { r =>
+          val rdb = r("schema").asInstanceOf[String]
+          val rtb = r("tb").asInstanceOf[String]
+          val d = routedDefs((rdb, rtb))
+          require(d.keyCols.nonEmpty,
+            "subscription scenarios need keyed tables")
+          val img = d.cols.map(c => c ->
+            r.getOrElse(c, null).asInstanceOf[Value]).toMap
+          val st = states.getOrElseUpdate((rdb, rtb),
+            mutable.LinkedHashMap.empty)
+          val k = d.keyCols.map(img(_))
+          r("row_type").asInstanceOf[String] match {
+            case "delete" => st.remove(k): Unit
+            case _ => st(k) = img
+          }
+        }
+        // replay the final batch via fetch_old BEFORE acking: the
+        // re-served rows must equal what fetch_new paged out
+        if (lastBid > 0) {
+          val old = TinyJson.parse(
+            get(s"/fetch_old?old_batch_id=$lastBid"))
+            .get.asInstanceOf[Map[String, Any]]
+          val oldRows = old("data").asInstanceOf[Seq[Any]]
+            .map(_.toString)
+          // spool reads don't promise row order across requests —
+          // compare as multisets
+          require(oldRows.sorted == lastBatchRows.toSeq.sorted,
+            s"fetch_old re-serve diverged for batch $lastBid")
+          postAck(lastBid)
+          val info = TinyJson.parse(get("/info")).get
+          require(TinyJson.num(info, "acked_batch_id").get.toLong ==
+            lastBid, "ack did not land")
+        }
+      } finally server.stop()
+
+      val perTable = routedDefs.map { case ((rdb, rtb), d) =>
+        val got = states.getOrElse((rdb, rtb),
+          mutable.LinkedHashMap.empty).values.toSeq
+        val naiveS = mutable.LinkedHashMap[Seq[Value],
+          Map[String, Value]]()
+        normalized.filter(e => (e.dstDb, e.dstTb) == (rdb, rtb))
+          .foreach { e =>
+            val img = if (e.rowType == "delete") e.before else e.after
+            val full = d.cols.map(c =>
+              c -> img.getOrElse(c, null: Value)).toMap
+            val k = d.keyCols.map(full(_))
+            if (e.rowType == "delete") naiveS.remove(k): Unit
+            else naiveS(k) = full
+          }
+        compareStates(s"$rdb.$rtb", naiveS.values.toSeq, got)
+        val fullFidelity =
+          task.filter.doEvents == Set("insert", "update", "delete") &&
+            task.luaCodeFile.isEmpty
+        if (fullFidelity) {
+          val (db, tb) = src.defs.keys
+            .find(k => task.router.routeTable(k._1, k._2) ==
+              (rdb, rtb)).get
+          val srcState = src.rows((db, tb)).toSeq
+            .map(project(db, tb, _))
+            .map(r => d.cols.map(c =>
+              c -> r.getOrElse(c, null: Value)).toMap)
+          compareStates(s"$rdb.$rtb (vs src)", srcState, got)
+        }
+        s"$rdb.$rtb" -> (naiveS.values.toSeq, got)
+      }
+      return Result(perTable.size,
+        states.values.map(_.size.toLong).sum, perTable)
+    }
+
     // ---- per routed table: DataFrame -> real compaction -> real
     // apply planning -> statements against the in-memory dst engine
     def applyTableBatch(defs: Map[(String, String), TableDef])(
