@@ -134,7 +134,8 @@ class ScenarioPropertySpec extends SparkSuite {
     * all three must agree on the end state through random ADD/DROP
     * COLUMN and TRUNCATE barriers.
     */
-  private def genDdlScenario(rnd: Random): (String, String, String) = {
+  private def genDdlScenario(rnd: Random,
+      wireSink: Option[String] = None): (String, String, String) = {
     var cols = Vector("c_0", "c_1", "c_2")
     var nextCol = 3
     var rows = Vector.empty[Map[String, String]]
@@ -181,6 +182,8 @@ class ScenarioPropertySpec extends SparkSuite {
             stmts += s"DELETE FROM prop_db.t WHERE $whereCol = " +
               s"${lit(whereVal)};"
           }
+        case 6 if wireSink.nonEmpty => () // wire lanes carry no DDL
+        case 7 if wireSink.nonEmpty => ()
         case 6 => // DDL barrier: widen, or narrow a non-key column
           if (rnd.nextBoolean() || cols.size <= 2) {
             val c = s"c_$nextCol"; nextCol += 1
@@ -199,21 +202,59 @@ class ScenarioPropertySpec extends SparkSuite {
         case _ => ()
       }
     }
-    val ini =
-      s"""[extractor]
-         |db_type=mysql
-         |extract_type=cdc
-         |url=fixture://src
-         |
-         |[filter]
-         |do_tbs=prop_db.*
-         |do_ddls=*
-         |
-         |[sinker]
-         |db_type=${if (rnd.nextBoolean()) "mysql" else "pg"}
-         |batch_size=${1 + rnd.nextInt(4)}
-         |url=fixture://dst
-         |""".stripMargin
+    val ini = wireSink match {
+      case None =>
+        s"""[extractor]
+           |db_type=mysql
+           |extract_type=cdc
+           |url=fixture://src
+           |
+           |[filter]
+           |do_tbs=prop_db.*
+           |do_ddls=*
+           |
+           |[sinker]
+           |db_type=${if (rnd.nextBoolean()) "mysql" else "pg"}
+           |batch_size=${1 + rnd.nextInt(4)}
+           |url=fixture://dst
+           |""".stripMargin
+      case Some("http_server") =>
+        s"""[extractor]
+           |db_type=mysql
+           |extract_type=cdc
+           |url=fixture://src
+           |
+           |[filter]
+           |do_tbs=prop_db.*
+           |do_events=insert,update,delete
+           |
+           |[sinker]
+           |batch_size=${1 + rnd.nextInt(4)}
+           |url=fixture://dst
+           |
+           |[pipeline]
+           |pipeline_type=http_server
+           |buffer_size=${1 + rnd.nextInt(4)}
+           |""".stripMargin
+      case Some(s) =>
+        s"""[extractor]
+           |db_type=mysql
+           |extract_type=cdc
+           |url=fixture://src
+           |
+           |[filter]
+           |do_tbs=prop_db.*
+           |do_events=insert,update,delete
+           |
+           |[router]
+           |default_topic=prop_topic
+           |
+           |[sinker]
+           |db_type=$s
+           |batch_size=${1 + rnd.nextInt(4)}
+           |url=fixture://dst
+           |""".stripMargin
+    }
     val prepare =
       """CREATE DATABASE prop_db;
         |CREATE TABLE prop_db.t (c_0 varchar(16), c_1 varchar(16),
@@ -235,6 +276,29 @@ class ScenarioPropertySpec extends SparkSuite {
       catch {
         case e: Throwable =>
           fail(s"trial $trial failed (script:\n$test\n): " +
+            e.getMessage)
+      }
+    }
+  }
+
+  test(s"random keyed DML scripts through the wire-sink lanes " +
+      s"(redis/kafka/starrocks/http_server) over $Trials trials") {
+    val rnd = new Random(0x5EAF00D)
+    val sinks = Vector("redis", "kafka", "starrocks", "http_server")
+    (1 to Trials).foreach { trial =>
+      val sink = sinks(trial % sinks.size)
+      val (ini, prepare, test) = genDdlScenario(rnd,
+        wireSink = Some(sink))
+      val dir = Files.createTempDirectory(s"graft-propwire-$trial")
+      Files.writeString(dir.resolve("task_config.ini"), ini)
+      Files.writeString(dir.resolve("src_prepare.sql"), prepare)
+      Files.writeString(dir.resolve("src_test.sql"), test)
+      // each lane internally compares wire-rebuilt state vs naive
+      // replay vs the interpreted source end state
+      try ScenarioRunner.run(spark, dir)
+      catch {
+        case e: Throwable =>
+          fail(s"trial $trial ($sink) failed (script:\n$test\n): " +
             e.getMessage)
       }
     }
