@@ -30,7 +30,8 @@ object Main {
     // counter window from [pipeline] counter_time_window_secs
     // (defaulting to checkpoint_interval_secs, config.md:298)
     val monitors = Monitoring.PipelineMonitors("graft-task",
-      windowSecs = task.counterTimeWindowSecs.toLong)
+      windowSecs = task.counterTimeWindowSecs.toLong,
+      maxSubCount = task.counterMaxSubCount)
     val kind = task.extractType match {
       case TaskConfig.SnapshotExtract | TaskConfig.CurationExtract |
           TaskConfig.LoaderExtract | TaskConfig.WarcExtract |
@@ -104,11 +105,12 @@ object Main {
           graft.streaming.CdcTask.PgAnswers(
             graft.sources.PgSlotLifecycle.SlotStatus(exists = false),
             pubExists = false, walStream = bytes),
-          (db, tb, batchId) =>
+          (db, tb, batchId, op) =>
             new graft.sinks.StreamLoadHttp.HttpPayloadSink(
               graft.sinks.StreamLoadHttp.Config(uri.getHost,
                 uri.getPort, db, tb, cdcTask.sinkUser,
-                cdcTask.sinkPassword), batchId),
+                cdcTask.sinkPassword,
+                hardDelete = cdcTask.sink.hardDelete), batchId, op),
           resumer, Some(monitors))
         r.slotPlan.statements.foreach(s => println(s"[slot] $s"))
         r.snapshot.foreach(t => println(
@@ -318,11 +320,12 @@ object Main {
             graft.streaming.CdcTask.PgAnswers(
               graft.sources.PgSlotLifecycle.SlotStatus(exists = false),
               pubExists = false, walStream = bytes),
-            (db, tb, batchId) =>
+            (db, tb, batchId, op) =>
               new graft.sinks.StreamLoadHttp.HttpPayloadSink(
                 graft.sinks.StreamLoadHttp.Config(uri.getHost,
                   uri.getPort, db, tb, task.sinkUser,
-                  task.sinkPassword), batchId),
+                  task.sinkPassword,
+                  hardDelete = task.sink.hardDelete), batchId, op),
             resumer, Some(monitors))
           r.slotPlan.statements.foreach(s => println(s"[slot] $s"))
           r.snapshot.foreach(t => println(
@@ -358,14 +361,20 @@ object Main {
                   graft.sources.PgSlotLifecycle.SlotStatus(
                     exists = false),
                   pubExists = false, walStream = bytes),
-                sinkFor = (db, tb, batchId) =>
+                sinkFor = (db, tb, batchId, op) =>
                   new graft.sinks.StreamLoadHttp.HttpPayloadSink(
                     graft.sinks.StreamLoadHttp.Config(uri.getHost,
                       uri.getPort, db, tb, task.sinkUser,
-                      task.sinkPassword), batchId),
+                      task.sinkPassword,
+                      hardDelete = task.sink.hardDelete),
+                    batchId, op),
                 resumer = resumer, monitors = Some(monitors),
                 limiter = task.maxRps.map(r =>
-                  new graft.infra.RateLimiter(r)))
+                  new graft.infra.RateLimiter(r)),
+                byteLimiter = task.sink.maxMbps
+                  .orElse(task.source.maxMbps)
+                  .map(m => new graft.infra.RateLimiter(
+                    m * 1024L * 1024L)))
               report.plan.statements
                 .foreach(s => println(s"[cdc][slot] $s"))
               println(s"[cdc] start_lsn=${report.startLsn} " +

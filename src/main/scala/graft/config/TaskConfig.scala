@@ -201,7 +201,16 @@ object TaskConfig {
         graft.struct.StructApplier.Interrupt,
       // [meta_center] (meta_center_config.rs): external MySQL-engine
       // meta store with its own DDL conflict policy
-      metaCenter: Option[MetaCenter] = None)
+      metaCenter: Option[MetaCenter] = None,
+      // grouped source/sink/checker tuning (reference defaults)
+      source: SourceTuning = SourceTuning(),
+      sink: SinkTuning = SinkTuning(),
+      checker: Option[CheckerOptions] = None,
+      // [pipeline] remaining knobs: byte-capped admission, flush
+      // cadence for the sink lane, counter sub-entry bound
+      bufferMemoryMb: Option[Int] = None,
+      batchSinkIntervalSecs: Option[Int] = None,
+      counterMaxSubCount: Int = 1000)
 
   /** `MetaCenterConfig::MySqlDbEngine` — the external meta store a
     * CDC task keeps authoritative schema in, with the policy applied
@@ -210,6 +219,85 @@ object TaskConfig {
     */
   final case class MetaCenter(url: String,
       ddlConflictPolicy: graft.struct.StructApplier.ConflictPolicy)
+
+  /** `[extractor]` source-side tuning (task_config.rs:440-530 and the
+    * per-engine ExtractorConfig variants). Defaults mirror the
+    * reference exactly. The connection knobs (max_connections,
+    * keepalives, is_direct_connection, app_name) type-check reference
+    * configs verbatim and park at the dial boundary; the position
+    * knobs (binlog file/pos, gtid set, start/end time) and heartbeats
+    * are wired into the replay/compose paths.
+    */
+  final case class SourceTuning(
+      heartbeatIntervalSecs: Int = 10,
+      heartbeatTb: Option[String] = None,
+      heartbeatKey: Option[String] = None,
+      keepaliveIdleSecs: Int = 60,
+      keepaliveIntervalSecs: Int = 10,
+      binlogHeartbeatIntervalSecs: Int = 10,
+      binlogTimeoutSecs: Int = 60,
+      binlogFilename: Option[String] = None,
+      binlogPosition: Option[Long] = None,
+      serverId: Option[Long] = None,
+      gtidEnabled: Boolean = false,
+      gtidSet: Option[String] = None,
+      startTimeUtc: Option[String] = None,
+      endTimeUtc: Option[String] = None,
+      /** mongo `source=change_stream|op_log` (task_config.rs:669). */
+      mongoSource: String = "change_stream",
+      appName: String = "ape_dts",
+      maxConnections: Int = 10,
+      isDirectConnection: Boolean = false,
+      maxMbps: Option[Long] = None)
+
+  /** `[sinker]` sink-side tuning (task_config.rs:838-1060 per-engine
+    * SinkerConfig variants), reference defaults.
+    */
+  final case class SinkTuning(
+      /** mysql/pg `replace` — false degrades REPLACE/upsert to plain
+        * INSERT (sinker_config.rs REPLACE, default true).
+        */
+      replace: Boolean = true,
+      disableForeignKeyChecks: Boolean = true,
+      transactionIsolation: Option[String] = None,
+      /** mongo sinks add the shard key to update filters by default. */
+      requireShardKeyFilter: Boolean = true,
+      ackTimeoutSecs: Int = 5,
+      requiredAcks: String = "one",
+      /** kafka/http envelopes carry the field-def list unless off. */
+      withFieldDefs: Boolean = true,
+      redisMethod: Option[String] = None,
+      isCluster: Boolean = false,
+      /** starrocks hard delete: deletes ship as `__op='delete'`
+        * stream-load batches instead of the soft-delete sign column.
+        */
+      hardDelete: Boolean = false,
+      streamLoadUrl: Option[String] = None,
+      /** byte cap per sink batch (foxlake/starrocks batch_memory_mb)
+        * — at scale a row-count cap alone lets wide rows blow the
+        * sink request size.
+        */
+      batchMemoryMb: Option[Int] = None,
+      appName: String = "ape_dts",
+      maxConnections: Int = 10,
+      maxMbps: Option[Long] = None)
+
+  /** `[checker]` inline-check options (checker_config.rs defaults;
+    * the section requires an explicit `enable` when present —
+    * task_config.rs:788-798).
+    */
+  final case class CheckerOptions(
+      enable: Boolean = false,
+      sampleRate: Option[Int] = None,
+      outputFullRow: Boolean = false,
+      outputReviseSql: Boolean = false,
+      reviseMatchFullRow: Boolean = false,
+      retryIntervalSecs: Int = 0,
+      maxRetries: Int = 0,
+      checkLogDir: String = "",
+      checkLogFileSize: String = "100mb",
+      checkLogMaxRows: Int = 1000,
+      cdcCheckLogIntervalSecs: Int = 30)
 
   /** `node@from-to[,node@from-to...]` → slot ranges. */
   def parseSlots(spec: String): Seq[graft.sinks.RedisReshard.SlotRange] =
@@ -439,7 +527,88 @@ object TaskConfig {
         .getOrElse(pl.get("checkpoint_interval_secs", "10").toInt),
       conflictPolicy = graft.struct.StructApplier.parsePolicy(
         sk.get("conflict_policy", "interrupt")),
-      metaCenter = metaCenter(p, ex, sk))
+      metaCenter = metaCenter(p, ex, sk),
+      source = SourceTuning(
+        heartbeatIntervalSecs =
+          ex.get("heartbeat_interval_secs", "10").toInt,
+        heartbeatTb = ex("heartbeat_tb").filter(_.nonEmpty),
+        heartbeatKey = ex("heartbeat_key").filter(_.nonEmpty),
+        keepaliveIdleSecs = ex.get("keepalive_idle_secs", "60").toInt,
+        keepaliveIntervalSecs =
+          ex.get("keepalive_interval_secs", "10").toInt,
+        binlogHeartbeatIntervalSecs =
+          ex.get("binlog_heartbeat_interval_secs", "10").toInt,
+        binlogTimeoutSecs = ex.get("binlog_timeout_secs", "60").toInt,
+        binlogFilename = ex("binlog_filename").filter(_.nonEmpty),
+        binlogPosition =
+          ex("binlog_position").filter(_.nonEmpty).map(_.toLong),
+        serverId = ex("server_id").filter(_.nonEmpty).map(_.toLong),
+        gtidEnabled = ex.get("gtid_enabled", "false").toBoolean,
+        gtidSet = ex("gtid_set").filter(_.nonEmpty),
+        startTimeUtc = ex("start_time_utc").filter(_.nonEmpty),
+        endTimeUtc = ex("end_time_utc").filter(_.nonEmpty),
+        mongoSource = ex.get("source", "change_stream"),
+        appName = ex.get("app_name", "ape_dts"),
+        maxConnections = ex.get("max_connections", "10").toInt,
+        isDirectConnection =
+          ex.get("is_direct_connection", "false").toBoolean,
+        maxMbps = ex.get("max_mbps", "").toLongOption),
+      sink = SinkTuning(
+        replace = sk.get("replace", "true").toBoolean,
+        disableForeignKeyChecks =
+          sk.get("disable_foreign_key_checks", "true").toBoolean,
+        transactionIsolation =
+          sk("transaction_isolation").filter(_.nonEmpty),
+        requireShardKeyFilter =
+          sk.get("mongo_require_shard_key_filter", "true").toBoolean,
+        ackTimeoutSecs = sk.get("ack_timeout_secs", "5").toInt,
+        requiredAcks = sk.get("required_acks", "one"),
+        withFieldDefs = sk.get("with_field_defs",
+          pl.get("with_field_defs", "true")).toBoolean,
+        redisMethod = sk("method").filter(_.nonEmpty),
+        isCluster = sk.get("is_cluster", "false").toBoolean,
+        hardDelete = sk.get("hard_delete", "false").toBoolean,
+        streamLoadUrl = sk("stream_load_url").filter(_.nonEmpty),
+        batchMemoryMb =
+          sk.get("batch_memory_mb", "").toIntOption,
+        appName = sk.get("app_name", "ape_dts"),
+        maxConnections = sk.get("max_connections", "10").toInt,
+        maxMbps = sk.get("max_mbps", "").toLongOption),
+      checker = {
+        val ck = p.section("checker")
+        if (ck.entries.isEmpty) None
+        else {
+          // the reference REQUIRES an explicit enable when the
+          // section is present (task_config.rs:788-798)
+          require(ck("enable").nonEmpty,
+            "config [checker].enable is required when [checker] " +
+              "section is present")
+          val rate = ck.get("sample_rate", "").toIntOption
+          rate.foreach(r => require(r >= 1 && r <= 100,
+            s"[checker].sample_rate must be between 1 and 100, got $r"))
+          Some(CheckerOptions(
+            enable = ck.get("enable", "false").toBoolean,
+            sampleRate = rate,
+            outputFullRow = ck.get("output_full_row", "false").toBoolean,
+            outputReviseSql =
+              ck.get("output_revise_sql", "false").toBoolean,
+            reviseMatchFullRow =
+              ck.get("revise_match_full_row", "false").toBoolean,
+            retryIntervalSecs =
+              ck.get("retry_interval_secs", "0").toInt,
+            maxRetries = ck.get("max_retries", "0").toInt,
+            checkLogDir = ck.get("check_log_dir", ""),
+            checkLogFileSize = ck.get("check_log_file_size", "100mb"),
+            checkLogMaxRows = ck.get("check_log_max_rows", "1000").toInt,
+            cdcCheckLogIntervalSecs =
+              ck.get("cdc_check_log_interval_secs", "30").toInt))
+        }
+      },
+      bufferMemoryMb = pl.get("buffer_memory_mb", "").toIntOption,
+      batchSinkIntervalSecs =
+        pl.get("batch_sink_interval_secs", "").toIntOption,
+      counterMaxSubCount =
+        pl.get("counter_max_sub_count", "1000").toInt)
   }
 
   /** `[meta_center] type=dbengine` → MetaCenter (task_config.rs:

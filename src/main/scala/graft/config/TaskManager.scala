@@ -175,14 +175,19 @@ object TaskManager {
           graft.streaming.CdcTask.PgAnswers(
             graft.sources.PgSlotLifecycle.SlotStatus(exists = false),
             pubExists = false, walStream = bytes),
-          (db, tb, batchId) =>
+          (db, tb, batchId, op) =>
             new graft.sinks.StreamLoadHttp.HttpPayloadSink(
               graft.sinks.StreamLoadHttp.Config(uri.getHost,
                 uri.getPort, db, tb, task.sinkUser,
-                task.sinkPassword), batchId),
+                task.sinkPassword,
+                hardDelete = task.sink.hardDelete), batchId, op),
           resumer,
           limiter = task.maxRps.map(r =>
-            new graft.infra.RateLimiter(r)))
+            new graft.infra.RateLimiter(r)),
+          byteLimiter = task.sink.maxMbps
+            .orElse(task.source.maxMbps)
+            .map(m => new graft.infra.RateLimiter(
+              m * 1024L * 1024L)))
         log(dir, s"cdc start_lsn=${report.startLsn} " +
           s"shipped=${report.rowsShipped} " +
           s"skipped=${report.eventsSkipped} end=${report.endLsn}")

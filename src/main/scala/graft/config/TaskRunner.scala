@@ -318,19 +318,48 @@ object TaskRunner {
   def checkTable(spark: SparkSession, task: TaskConfig.Task,
       schema: String, tb: String): Option[(String, Map[String, Long])] =
     task.keysByTable.get(tb).map { keys =>
-        val src = task.router.renameColumns(schema, tb,
+        val ck = task.checker.filter(_.enable)
+        val src0 = task.router.renameColumns(schema, tb,
           Tables.load(spark, task.sourceDir, tb))
         val (toSchema, toTb) = task.router.routeTable(schema, tb)
-        val dst = spark.read.parquet(s"${task.sinkDir}/$toSchema.$toTb")
+        val dst0 = spark.read.parquet(s"${task.sinkDir}/$toSchema.$toTb")
+        // [checker] sample_rate: both sides gate on the same key hash
+        // (checker_engine.rs:316-321 id_hash%100 < rate), so a sampled
+        // key is either fully present or fully absent on both sides
+        def sampled(df: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame =
+          ck.flatMap(_.sampleRate) match {
+            case Some(rate) if keys.size >= 2 =>
+              df.filter(Checker.sampleFilter(
+                Checker.arithKeyHash(col(keys.head), col(keys(1))),
+                rate))
+            case Some(rate) =>
+              df.filter(Checker.sampleFilter(
+                Checker.arithKeyHash(col(keys.head), lit(0)), rate))
+            case None => df
+          }
+        val src = sampled(src0)
+        val dst = sampled(dst0)
         val compareCols = src.columns.filter(dst.columns.contains)
           .filterNot(keys.contains).toSeq
-        val nonOk = Checker.diff(src, dst, keys)
+        val checked = Checker.diff(src, dst, keys)
+        val nonOk = checked
           .filter(col(Checker.StatusCol) =!= "OK").persist()
         try {
-          val logDir = s"${task.sinkDir}/checklog/$toSchema.$toTb"
+          val logDir = ck.map(_.checkLogDir).filter(_.nonEmpty)
+            .map(d => s"$d/$toSchema.$toTb")
+            .getOrElse(s"${task.sinkDir}/checklog/$toSchema.$toTb")
           CheckLogs.write(
-            CheckLogs.toLogs(nonOk, schema, tb, keys, compareCols),
-            logDir)
+            CheckLogs.toLogs(nonOk, schema, tb, keys, compareCols,
+              outputFullRow = ck.exists(_.outputFullRow)),
+            logDir,
+            maxRows = ck.map(_.checkLogMaxRows)
+              .getOrElse(Int.MaxValue),
+            maxBytes = ck.map(c => CheckLogs.parseSize(
+              c.checkLogFileSize)).getOrElse(Long.MaxValue))
+          if (ck.exists(_.outputReviseSql))
+            CheckLogs.writeReviseSql(nonOk,
+              s"$toSchema.$toTb", keys, logDir): Unit
           val defects = nonOk.groupBy(Checker.StatusCol).count()
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
           val miss = defects.getOrElse("MISS", 0L)

@@ -37,14 +37,36 @@ import graft.operators.Checker
   */
 object CheckLogs {
 
-  /** Parse schema for a CheckLog line (reader side). */
+  /** Parse schema for a CheckLog line (reader side). `src_row`/
+    * `dst_row` appear only when the check ran with
+    * `[checker] output_full_row=true` (checker_engine.rs:115,620) —
+    * from_json yields null for absent fields, so readers of plain
+    * logs are unaffected.
+    */
   val logSchema: StructType = StructType(Seq(
     StructField("schema", StringType),
     StructField("tb", StringType),
     StructField("id_col_values", MapType(StringType, StringType)),
     StructField("diff_col_values", MapType(StringType,
       StructType(Seq(StructField("src", StringType),
-        StructField("dst", StringType)))))))
+        StructField("dst", StringType))))),
+    StructField("src_row", MapType(StringType, StringType)),
+    StructField("dst_row", MapType(StringType, StringType))))
+
+  /** `check_log_file_size` values ("100mb", "512kb", "1gb", bytes). */
+  def parseSize(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val digits = t.takeWhile(_.isDigit)
+    require(digits.nonEmpty, s"bad size: $s")
+    val n = digits.toLong
+    t.drop(digits.length).trim match {
+      case "" | "b" => n
+      case "kb" | "k" => n * 1024L
+      case "mb" | "m" => n * 1024L * 1024L
+      case "gb" | "g" => n * 1024L * 1024L * 1024L
+      case other => sys.error(s"bad size unit: $other")
+    }
+  }
 
   /** Render [[Checker.diff]] output rows as CheckLog JSON lines.
     * `diff_col_values` holds only the differing columns (key-sorted, as
@@ -53,7 +75,8 @@ object CheckLogs {
     * serde's `skip_serializing_if`.
     */
   def logLine(schemaName: String, tb: String, keys: Seq[String],
-      compareCols: Seq[String]): Column = {
+      compareCols: Seq[String], outputFullRow: Boolean = false)
+      : Column = {
     val idMap = map(keys.sorted.flatMap(k =>
       Seq(lit(k), col(k).cast(StringType))): _*)
     val diffEntries = map_from_entries(array_compact(array(
@@ -63,11 +86,24 @@ object CheckLogs {
             struct(col(s"src_$c").cast(StringType).as("src"),
               col(s"dst_$c").cast(StringType).as("dst")).as("value")))
       }: _*)))
+    // [checker] output_full_row: the full src image rides every log
+    // line, the full dst image rides DIFF lines — both absent (and
+    // dropped by to_json) in the default mode
+    val nullMap = lit(null).cast(MapType(StringType, StringType))
+    def fullMap(side: String): Column =
+      map((keys.sorted.flatMap(k =>
+        Seq(lit(k), col(k).cast(StringType))) ++
+        compareCols.sorted.flatMap(c =>
+          Seq(lit(c), col(s"${side}_$c").cast(StringType)))): _*)
     to_json(struct(
       lit(schemaName).as("schema"), lit(tb).as("tb"),
       idMap.as("id_col_values"),
       when(col(Checker.StatusCol) === "DIFF", diffEntries)
-        .as("diff_col_values")))
+        .as("diff_col_values"),
+      (if (outputFullRow) fullMap("src") else nullMap).as("src_row"),
+      (if (outputFullRow)
+        when(col(Checker.StatusCol) === "DIFF", fullMap("dst"))
+      else nullMap).as("dst_row")))
   }
 
   /** MISS/DIFF rows of a check result as (status, line). ORPHAN rows are
@@ -75,10 +111,12 @@ object CheckLogs {
     * and diff streams.
     */
   def toLogs(checked: DataFrame, schemaName: String, tb: String,
-      keys: Seq[String], compareCols: Seq[String]): DataFrame =
+      keys: Seq[String], compareCols: Seq[String],
+      outputFullRow: Boolean = false): DataFrame =
     checked.filter(col(Checker.StatusCol).isin("MISS", "DIFF"))
       .select(col(Checker.StatusCol).as("status"),
-        logLine(schemaName, tb, keys, compareCols).as("line"))
+        logLine(schemaName, tb, keys, compareCols, outputFullRow)
+          .as("line"))
 
   private def writeLines(df: DataFrame, target: Path): Path = {
     val tmp = target.getParent.resolve(s".${target.getFileName}.tmp")
@@ -99,17 +137,83 @@ object CheckLogs {
     target
   }
 
-  /** Write miss.log + diff.log artifacts under `dir` (the check task's
-    * log sink). Single-file artifacts match the reference's layout; the
-    * coalesce is bounded by the mismatch count.
+  /** Rotate an artifact file that exceeds the row/byte caps into
+    * `name.log, name.1.log, name.2.log …` ([checker]
+    * check_log_max_rows / check_log_file_size — the reference's
+    * rotating check-log writer). Driver-side over the already-written
+    * single file: artifacts are bounded by the defect count (the same
+    * argument as the coalesce(1) above).
     */
-  def write(logs: DataFrame, dir: String): (Path, Path) = {
+  private def rotate(target: Path, maxRows: Int, maxBytes: Long)
+      : Unit = {
+    if (!Files.exists(target)) return
+    if (Files.size(target) <= maxBytes) {
+      val quick = scala.util.Using.resource(
+        Files.lines(target))(_.limit(maxRows + 1L).count())
+      if (quick <= maxRows) return
+    }
+    val lines = Files.readAllLines(target).asScala.toSeq
+    val base = target.getFileName.toString.stripSuffix(".log")
+    val chunks = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    val cur = scala.collection.mutable.ArrayBuffer[String]()
+    var bytes = 0L
+    lines.foreach { l =>
+      if (cur.size >= maxRows ||
+        (cur.nonEmpty && bytes + l.length + 1 > maxBytes)) {
+        chunks += cur.toSeq; cur.clear(); bytes = 0L
+      }
+      cur += l; bytes += l.length + 1
+    }
+    if (cur.nonEmpty) chunks += cur.toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val name = if (i == 0) s"$base.log" else s"$base.$i.log"
+      Files.write(target.getParent.resolve(name),
+        c.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    }
+  }
+
+  /** Write miss.log + diff.log artifacts under `dir` (the check task's
+    * log sink), rotated when the [checker] caps are exceeded.
+    * Single-file artifacts match the reference's layout; the coalesce
+    * is bounded by the mismatch count.
+    */
+  def write(logs: DataFrame, dir: String,
+      maxRows: Int = Int.MaxValue,
+      maxBytes: Long = Long.MaxValue): (Path, Path) = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
-    (writeLines(logs.filter(col("status") === "MISS").select("line"),
-        root.resolve("miss.log")),
-      writeLines(logs.filter(col("status") === "DIFF").select("line"),
-        root.resolve("diff.log")))
+    val miss = writeLines(
+      logs.filter(col("status") === "MISS").select("line"),
+      root.resolve("miss.log"))
+    val diff = writeLines(
+      logs.filter(col("status") === "DIFF").select("line"),
+      root.resolve("diff.log"))
+    if (maxRows != Int.MaxValue || maxBytes != Long.MaxValue) {
+      rotate(miss, maxRows, maxBytes)
+      rotate(diff, maxRows, maxBytes)
+    }
+    (miss, diff)
+  }
+
+  /** `[checker] output_revise_sql=true`: persist the synthesized
+    * revise statements alongside the logs (checker_engine.rs:31-73
+    * writes a revise-sql stream when enabled). Placeholder mode — the
+    * same shapes a prepared-statement applier executes. `revise.sql`
+    * deliberately fails the `{miss,diff}*.log` replay glob: it is an
+    * operator-facing artifact, not a replayable log.
+    */
+  def writeReviseSql(checked: DataFrame, table: String,
+      keys: Seq[String], dir: String): Path = {
+    val root = Paths.get(dir)
+    Files.createDirectories(root)
+    val lines = checked
+      .filter(col(Checker.StatusCol).isin("MISS", "DIFF", "ORPHAN"))
+      .select(Checker.reviseSqlPlaceholder(table, keys,
+        col(Checker.DiffColsCol), col(Checker.StatusCol)).as("line"))
+    val target = root.resolve("revise.sql")
+    writeLines(lines, target)
+    target
   }
 
   /** Read a check-log directory back (the revise task's source): every

@@ -59,9 +59,27 @@ object Applier {
     * (merge_parallelizer.rs:54-242) only matters for same-key pairs,
     * which cannot occur post-compaction.
     */
+  /** Wrap a sink factory so every new sink (one per connection /
+    * partition) first executes the session-init statements —
+    * `RdbQueryBuilder.connSettings` (FK checks off, isolation), the
+    * reference's after-connect hook on its sqlx pools.
+    */
+  def withSessionInit(factory: () => StatementSink,
+      init: Seq[String]): () => StatementSink =
+    if (init.isEmpty) factory
+    else () => {
+      val s = factory()
+      init.foreach(sql => s.execute(StatementBatch(sql, Nil)))
+      s
+    }
+
   def planMergeable(dialect: RdbQueryBuilder.Dialect, table: String,
       rows: Iterator[Row], keys: Seq[String], cols: Seq[String],
-      batchSize: Int = 1000): Iterator[StatementBatch] = {
+      batchSize: Int = 1000,
+      // [sinker] replace=false (sinker_config.rs REPLACE): upsert
+      // lanes degrade to plain INSERT — append-only flows where a
+      // duplicate key should be an error, not a silent overwrite
+      insertOnly: Boolean = false): Iterator[StatementBatch] = {
     val dels = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
     val ups = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
     def flushDels(): StatementBatch = {
@@ -72,9 +90,11 @@ object Applier {
       dels.clear(); b
     }
     def flushUps(): StatementBatch = {
-      val b = StatementBatch(
-        dialect.upsert(table, cols, keys, ups.size), ups.toSeq,
-        Some(n => dialect.upsert(table, cols, keys, n)))
+      def sql(n: Int): String =
+        if (insertOnly) RdbQueryBuilder.batchInsert(dialect, table,
+          cols, n)
+        else dialect.upsert(table, cols, keys, n)
+      val b = StatementBatch(sql(ups.size), ups.toSeq, Some(sql))
       ups.clear(); b
     }
     new Iterator[StatementBatch] {
@@ -126,7 +146,7 @@ object Applier {
   def applyCompacted(dialect: RdbQueryBuilder.Dialect, table: String,
       compacted: DataFrame, keys: Seq[String], cols: Seq[String],
       orderCols: Seq[String], sinkFactory: () => StatementSink,
-      batchSize: Int = 1000): Unit = {
+      batchSize: Int = 1000, insertOnly: Boolean = false): Unit = {
     val selectCols = (cols ++ Seq(Compaction.ActionCol, "row_type"))
       .distinct.map(col)
     compacted.filter(col(Compaction.ActionCol) =!= Compaction.Serial)
@@ -134,7 +154,8 @@ object Applier {
       .foreachPartition { it: Iterator[Row] =>
         val sink = sinkFactory()
         applyAll(sink,
-          planMergeable(dialect, table, it, keys, cols, batchSize))
+          planMergeable(dialect, table, it, keys, cols, batchSize,
+            insertOnly))
         ()
       }
     compacted.filter(col(Compaction.ActionCol) === Compaction.Serial)

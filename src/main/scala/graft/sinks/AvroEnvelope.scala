@@ -156,12 +156,18 @@ object AvroEnvelope {
   def encodeAny(schemaName: String, tb: String, operation: String,
       before: Map[String, Any], after: Map[String, Any],
       originTypes: Map[String, String] = Map.empty,
-      extra: Map[String, Any] = null): Array[Byte] = {
+      extra: Map[String, Any] = null,
+      // [sinker]/[pipeline] with_field_defs=false drops the per-field
+      // type list from every envelope (avro_converter.rs:122-130) —
+      // smaller messages when the consumer already knows the schema
+      withFieldDefs: Boolean = true): Array[Byte] = {
     val rec = new GenericData.Record(avroSchema)
     rec.put("schema", schemaName)
     rec.put("tb", tb)
     rec.put("operation", operation)
-    val defs = fieldDefsFor(before, after, originTypes)
+    val defs =
+      if (withFieldDefs) fieldDefsFor(before, after, originTypes)
+      else Nil
     rec.put("fields",
       if (defs.isEmpty) null
       else defs.map { f =>

@@ -42,15 +42,33 @@ object StreamLoadSink {
     def put(lines: Seq[String]): Unit
   }
 
-  /** Ship a batch: render JSON, group into ≤batchRows chunks per
-    * partition, push each chunk.
+  /** Ship a batch: render JSON, group into chunks per partition
+    * bounded by BOTH row count and payload bytes, push each chunk.
+    *
+    * The byte bound is the reference's `batch_memory_mb`
+    * (sinker_config.rs): a row-count cap alone lets a batch of wide
+    * rows (long text columns, big JSON) blow the stream-load request
+    * body — at 100 TB the row-width distribution is exactly the thing
+    * you don't control. A single over-wide row still ships alone (the
+    * cap flushes BEFORE adding, never splits a row).
     */
   def ship(df: DataFrame, sinkFactory: () => PayloadSink,
-      batchRows: Int = 10000): Unit =
+      batchRows: Int = 10000,
+      batchBytes: Long = Long.MaxValue): Unit =
     jsonPayload(df).foreachPartition {
       it: Iterator[org.apache.spark.sql.Row] =>
         val sink = sinkFactory()
-        it.map(_.getString(0)).grouped(batchRows)
-          .foreach(chunk => sink.put(chunk))
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        var bytes = 0L
+        def flush(): Unit = if (buf.nonEmpty) {
+          sink.put(buf.toSeq); buf.clear(); bytes = 0L
+        }
+        it.map(_.getString(0)).foreach { line =>
+          if (buf.size >= batchRows ||
+            (buf.nonEmpty && bytes + line.length > batchBytes)) flush()
+          buf += line
+          bytes += line.length
+        }
+        flush()
     }
 }

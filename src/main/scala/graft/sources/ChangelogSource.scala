@@ -51,10 +51,26 @@ class ChangelogSource extends TableProvider {
       Option(properties.get("key_cols")).map(_.split(",").toSeq
         .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
       Option(properties.get("start_timestamp"))
-        .flatMap(_.toLongOption).getOrElse(0L))
+        .flatMap(_.toLongOption).getOrElse(0L),
+      ChangelogSource.BinlogStart(
+        Option(properties.get("binlog_filename")).getOrElse(""),
+        Option(properties.get("binlog_position"))
+          .flatMap(_.toLongOption).getOrElse(0L),
+        Option(properties.get("gtid_set")).getOrElse("")))
 }
 
 object ChangelogSource {
+
+  /** `[extractor]` start-position options for binlog segments
+    * (binlog_filename + binlog_position, or gtid_set) — applied as a
+    * decode-time gate by [[MysqlBinlog.startFilter]]. Empty = start
+    * from the segment range the offsets select (the default; a
+    * checkpointed stream never needs these).
+    */
+  final case class BinlogStart(startFile: String = "",
+      startPos: Long = 0L, gtidSet: String = "") {
+    def isEmpty: Boolean = startFile.isEmpty && gtidSet.isEmpty
+  }
   val schema: StructType = StructType(Seq(
     StructField("seq", LongType, nullable = false),
     StructField("schema", StringType, nullable = false),
@@ -167,7 +183,9 @@ object ChangelogOffset {
 }
 
 class ChangelogTable(path: String, format: String = "tab",
-    keyCols: Seq[String] = Nil, startTimestamp: Long = 0L)
+    keyCols: Seq[String] = Nil, startTimestamp: Long = 0L,
+    binlogStart: ChangelogSource.BinlogStart =
+      ChangelogSource.BinlogStart())
     extends Table with SupportsRead {
   require(path != null, "graft changelog source requires .option(\"path\")")
   require(Set("tab", "binlog", "pgoutput").contains(format),
@@ -183,7 +201,8 @@ class ChangelogTable(path: String, format: String = "tab",
       override def readSchema(): StructType = ChangelogSource.schema
       override def toMicroBatchStream(checkpointLocation: String)
           : MicroBatchStream =
-        new ChangelogStream(path, format, keyCols, startTimestamp)
+        new ChangelogStream(path, format, keyCols, startTimestamp,
+          binlogStart)
     }
   }
 }
@@ -198,7 +217,9 @@ class ChangelogTable(path: String, format: String = "tab",
   * nothing (count-based offsets would remap onto the shifted listing).
   */
 class ChangelogStream(path: String, format: String = "tab",
-    keyCols: Seq[String] = Nil, startTimestamp: Long = 0L)
+    keyCols: Seq[String] = Nil, startTimestamp: Long = 0L,
+    binlogStart: ChangelogSource.BinlogStart =
+      ChangelogSource.BinlogStart())
     extends MicroBatchStream {
   /** Monotonicity guard: if every segment were purged, a fresh listing
     * would be empty and a naive latestOffset would regress below the
@@ -235,7 +256,7 @@ class ChangelogStream(path: String, format: String = "tab",
     ChangelogSource.segments(path)
       .filter(n => n > s && n <= e)
       .map(n => ChangelogPartition(Paths.get(path, n).toString, format,
-        keyCols): InputPartition).toArray
+        keyCols, binlogStart): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -246,7 +267,9 @@ class ChangelogStream(path: String, format: String = "tab",
 }
 
 final case class ChangelogPartition(file: String, format: String = "tab",
-    keyCols: Seq[String] = Nil) extends InputPartition
+    keyCols: Seq[String] = Nil,
+    binlogStart: ChangelogSource.BinlogStart =
+      ChangelogSource.BinlogStart()) extends InputPartition
 
 /** One reader per segment file. `tab` segments hold the engine-internal
   * TAB records; `binlog` segments are MySQL binlog files and `pgoutput`
@@ -270,8 +293,17 @@ object ChangelogReaderFactory extends PartitionReaderFactory {
     val lines: Iterator[String] = p.format match {
       case "binlog" =>
         val bytes = Files.readAllBytes(Paths.get(p.file))
-        val events = MysqlBinlog.decodeFile(bytes,
-          Paths.get(p.file).getFileName.toString)
+        val name = Paths.get(p.file).getFileName.toString
+        val raw = MysqlBinlog.readFile(bytes)
+        // [extractor] binlog_filename/binlog_position/gtid_set: gate
+        // the decode at the configured start (startFilter semantics)
+        val gated =
+          if (p.binlogStart.isEmpty) raw
+          else MysqlBinlog.startFilter(raw, name,
+            p.binlogStart.startFile, p.binlogStart.startPos,
+            Option(p.binlogStart.gtidSet).filter(_.nonEmpty)
+              .map(graft.meta.GtidSet.parse))
+        val events = MysqlBinlog.toChangeEvents(gated, name)
         MysqlBinlog.toSegmentLines(events, p.keyCols,
           baseSeq(p.file)).iterator
       case "pgoutput" =>

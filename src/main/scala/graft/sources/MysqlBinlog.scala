@@ -905,6 +905,50 @@ object MysqlBinlog {
     out.result()
   }
 
+  /** Start-position gate over a decoded event stream — the reference
+    * extractor's resume semantics (mysql_cdc_extractor.rs: start at
+    * `binlog_filename`+`binlog_position`, or skip transactions whose
+    * GTID the configured `gtid_set` already contains when
+    * `gtid_enabled`). File comparison follows the binlog naming
+    * convention (`binlog.NNNNNN`): an earlier file is entirely before
+    * the start; within the start file, events are gated by the
+    * header's next-position (an event whose nextPosition ≤ startPos
+    * was already applied). Rotate/FDE/TableMap events always pass —
+    * they are stream context, not data. GTID mode drops a whole
+    * transaction (Gtid event through its Xid) when the set contains
+    * it, exactly the server's auto-skip on reconnect.
+    */
+  def startFilter(events: Seq[(EventHeader, Event)],
+      binlogFile: String, startFile: String = "", startPos: Long = 0L,
+      doneGtids: Option[graft.meta.GtidSet] = None)
+      : Seq[(EventHeader, Event)] = {
+    def fileNum(f: String): Long =
+      f.reverse.takeWhile(_.isDigit).reverse match {
+        case "" => 0L
+        case n => n.toLong
+      }
+    var file = binlogFile
+    var skipTxn = false
+    val out = Seq.newBuilder[(EventHeader, Event)]
+    events.foreach { case (h, e) =>
+      e match {
+        case r: Rotate => file = r.nextFile; out += ((h, e))
+        case _: FormatDescription | _: TableMap => out += ((h, e))
+        case g: Gtid =>
+          skipTxn =
+            doneGtids.exists(_.contains(s"${g.uuid}:${g.gno}"))
+          if (!skipTxn) out += ((h, e))
+        case _ =>
+          val beforeStart = startFile.nonEmpty &&
+            (fileNum(file) < fileNum(startFile) ||
+              (file == startFile && h.nextPosition <= startPos))
+          if (!skipTxn && !beforeStart) out += ((h, e))
+          if (e.isInstanceOf[Xid]) skipTxn = false
+      }
+    }
+    out.result()
+  }
+
   /** Decode binlog file bytes straight to ChangeEvents. */
   def decodeFile(bytes: Array[Byte], binlogFile: String,
       colNamesFor: (String, String) => Seq[String] = (_, _) => Nil)

@@ -119,11 +119,19 @@ object CdcTask {
     * push sign+version-annotated JSON lines through the payload sink.
     * Returns rows shipped per table.
     */
+  /** Sink factory: (schema, tb, batchId, op) — `op` is "" for
+    * upsert/soft-delete batches and "delete" for hard-delete batches
+    * (the stream-load `columns: __op='delete'` header,
+    * starrocks_sinker.rs:233-277).
+    */
+  type SinkFactory =
+    (String, String, Long, String) => StreamLoadSink.PayloadSink
+
   def shipBatch(spark: SparkSession, task: TaskConfig.Task,
       batchId: Long, events: Seq[ChangeEvent],
       relCols: Map[(String, String), Seq[String]],
       relKeys: Map[(String, String), Seq[String]],
-      sinkFor: (String, String, Long) => StreamLoadSink.PayloadSink)
+      sinkFor: SinkFactory)
       : Map[(String, String), Long] = {
     events.zipWithIndex.groupBy { case (e, _) => (e.schema, e.tb) }
       .map { case ((s, tb), evs) =>
@@ -161,11 +169,33 @@ object CdcTask {
           spark.sparkContext.parallelize(rows, slices), schema)
         val compacted = Compaction.compact(df, routedKeys,
           Seq("_seq"), col("row_type"))
-        val signed = StreamLoadSink.withSignColumns(compacted,
-            col("row_type"), col("_seq"))
-          .drop("row_type", "_seq", Compaction.ActionCol)
-        StreamLoadSink.ship(signed,
-          () => sinkFor(toSchema, toTb, batchId), task.batchSize)
+        val batchBytes = task.sink.batchMemoryMb
+          .map(_.toLong * 1024 * 1024).getOrElse(Long.MaxValue)
+        if (task.sink.hardDelete) {
+          // hard delete: deletes ship as their own PUTs under
+          // `__op='delete'`, upserts raw — no sign/version columns
+          // (the table has no soft-delete sign). Compaction leaves at
+          // most one action per key, so the two PUT groups never
+          // race on a key.
+          val raw = compacted.drop(Compaction.ActionCol)
+          StreamLoadSink.ship(
+            raw.filter(col("row_type") =!= "delete")
+              .drop("row_type", "_seq"),
+            () => sinkFor(toSchema, toTb, batchId, ""),
+            task.batchSize, batchBytes)
+          StreamLoadSink.ship(
+            raw.filter(col("row_type") === "delete")
+              .drop("row_type", "_seq"),
+            () => sinkFor(toSchema, toTb, batchId, "delete"),
+            task.batchSize, batchBytes)
+        } else {
+          val signed = StreamLoadSink.withSignColumns(compacted,
+              col("row_type"), col("_seq"))
+            .drop("row_type", "_seq", Compaction.ActionCol)
+          StreamLoadSink.ship(signed,
+            () => sinkFor(toSchema, toTb, batchId, ""),
+            task.batchSize, batchBytes)
+        }
         (toSchema, toTb) -> evs.size.toLong
       }
   }
@@ -173,13 +203,17 @@ object CdcTask {
   /** Run the task end-to-end over one captured stream. */
   def run(spark: SparkSession, task: TaskConfig.Task,
       answers: PgAnswers,
-      sinkFor: (String, String, Long) => StreamLoadSink.PayloadSink,
+      sinkFor: SinkFactory,
       resumer: DbResumer.Dual,
       heartbeat: Option[Heartbeat.Emitter] = None,
       monitors: Option[Monitoring.PipelineMonitors] = None,
       // [pipeline] max_rps — the reference governor awaited between
       // batch applies; None/unlimited skips the gate entirely
-      limiter: Option[graft.infra.RateLimiter] = None)
+      limiter: Option[graft.infra.RateLimiter] = None,
+      // [extractor]/[sinker] max_mbps — the companion BYTE governor
+      // (limiter_config.rs RateLimiterConfig carries both); gated on
+      // each batch's estimated payload bytes
+      byteLimiter: Option[graft.infra.RateLimiter] = None)
       : RunReport = {
     val slotCfg = task.slot.getOrElse(throw new IllegalArgumentException(
       "cdc task needs [extractor] slot_name"))
@@ -254,13 +288,25 @@ object CdcTask {
       // (reference base_pipeline awaits the limiter before sinking);
       // a batch larger than one second's quota drains the bucket in
       // capacity-sized steps across refill intervals
-      limiter.filterNot(_.unlimited).foreach { l =>
-        var remaining = evs.size.toLong
+      def drain(l: graft.infra.RateLimiter, units: Long): Unit = {
+        var remaining = units
         while (remaining > 0) {
           val step = math.min(remaining, l.capacity)
           l.acquire(step): Unit
           remaining -= step
         }
+      }
+      limiter.filterNot(_.unlimited)
+        .foreach(drain(_, evs.size.toLong))
+      // byte budget: estimated from the row images (the payload the
+      // sink will serialize); same capacity-stepped drain
+      byteLimiter.filterNot(_.unlimited).foreach { l =>
+        val bytes = evs.iterator.map { e =>
+          (e.before.iterator ++ e.after.iterator).map { case (k, v) =>
+            k.length + (if (v == null) 4 else v.length)
+          }.sum.toLong
+        }.sum
+        drain(l, math.max(1L, bytes))
       }
       val t0 = System.nanoTime()
       val shipped =

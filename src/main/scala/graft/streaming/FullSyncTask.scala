@@ -44,7 +44,7 @@ object FullSyncTask {
       snapshotTask: TaskConfig.Task,
       cdcTask: TaskConfig.Task,
       answers: CdcTask.PgAnswers,
-      sinkFor: (String, String, Long) => StreamLoadSink.PayloadSink,
+      sinkFor: CdcTask.SinkFactory,
       resumer: DbResumer.Dual,
       monitors: Option[Monitoring.PipelineMonitors] = None): Report = {
     val slotCfg = cdcTask.slot.getOrElse(throw new IllegalArgumentException(

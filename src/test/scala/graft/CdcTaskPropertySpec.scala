@@ -109,7 +109,7 @@ class CdcTaskPropertySpec extends SparkSuite {
       CdcTask.PgAnswers(
         graft.sources.PgSlotLifecycle.SlotStatus(exists = false),
         pubExists = false, walStream = wal),
-      (_, _, _) => new CdcTaskPropertySpec.CountSink, dual)
+      (_, _, _, _) => new CdcTaskPropertySpec.CountSink, dual)
     (report, CdcTaskPropertySpec.count.get())
   }
 

@@ -30,6 +30,10 @@ class CdcTaskSpec extends SparkSuite {
   private final class Warehouse {
     val bodies = mutable.ArrayBuffer.empty[String]
     val labels = mutable.ArrayBuffer.empty[String]
+    /** The `columns` header per PUT ("" when absent) — hard-delete
+      * batches carry `__op='delete'` there.
+      */
+    val ops = mutable.ArrayBuffer.empty[String]
     private val server =
       HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", new HttpHandler {
@@ -40,6 +44,8 @@ class CdcTaskSpec extends SparkSuite {
           bodies += body
           Option(ex.getRequestHeaders.getFirst("Label"))
             .foreach(labels += _)
+          ops += Option(ex.getRequestHeaders.getFirst("columns"))
+            .getOrElse("")
         }
         val reply =
           """{"Status":"Success","NumberLoadedRows":1}"""
@@ -169,10 +175,10 @@ class CdcTaskSpec extends SparkSuite {
         CdcTask.PgAnswers(
           graft.sources.PgSlotLifecycle.SlotStatus(exists = false),
           pubExists = false, walStream = wal()),
-        sinkFor = (db, tb, batchId) =>
+        sinkFor = (db, tb, batchId, op) =>
           new StreamLoadHttp.HttpPayloadSink(
             StreamLoadHttp.Config("127.0.0.1", port, db, tb,
-              "root", ""), batchId),
+              "root", ""), batchId, op),
         resumer = resumer, heartbeat = Some(hb),
         monitors = Some(monitors))
 
@@ -224,6 +230,67 @@ class CdcTaskSpec extends SparkSuite {
     } finally wh.stop()
   }
 
+  test("[sinker] hard_delete ships deletes as __op='delete' PUTs and " +
+      "drops the sign/version columns everywhere") {
+    val wh = new Warehouse
+    try {
+      val task = TaskConfig.fromIni(
+        ini(wh.port) + "hard_delete=true\n")
+      assert(task.sink.hardDelete)
+      val store = new MemStore
+      val tmp = java.nio.file.Files
+        .createTempDirectory("cdc-task-hd").toString
+      val port = wh.port
+      val r = CdcTask.run(spark, task,
+        CdcTask.PgAnswers(
+          graft.sources.PgSlotLifecycle.SlotStatus(exists = false),
+          pubExists = false, walStream = wal()),
+        sinkFor = (db, tb, batchId, op) =>
+          new StreamLoadHttp.HttpPayloadSink(
+            StreamLoadHttp.Config("127.0.0.1", port, db, tb,
+              "root", "", hardDelete = true), batchId, op),
+        resumer = dual(store, tmp))
+      assert(r.rowsShipped == 5L)
+      // the delete of id=2 arrived under the hard-delete op header
+      val deleteBodies = wh.synchronized {
+        wh.ops.toSeq.zip(wh.bodies.toSeq)
+          .filter(_._1.contains("__op='delete'")).map(_._2)
+      }
+      assert(deleteBodies.nonEmpty)
+      assert(deleteBodies.exists(_.contains("\"id\":\"2\"")))
+      // no sign/version columns anywhere in hard-delete mode
+      assert(wh.synchronized(wh.bodies.toSeq).forall(b =>
+        !b.contains(graft.sinks.StreamLoadSink.IsDeletedCol) &&
+          !b.contains(graft.sinks.StreamLoadSink.VersionCol)))
+      // upsert PUTs carry no op header
+      assert(wh.synchronized(wh.ops.toSeq).exists(_.isEmpty))
+    } finally wh.stop()
+  }
+
+  test("[sinker] batch_memory_mb bounds a chunk by payload bytes, " +
+      "not just rows") {
+    import graft.sinks.StreamLoadSink
+    val wide = "x" * 300
+    val df = spark.range(10).selectExpr("cast(id as string) as id",
+      s"'$wide' as body").coalesce(1)
+    val puts = mutable.ArrayBuffer.empty[Int]
+    val sink = new StreamLoadSink.PayloadSink with Serializable {
+      override def put(lines: Seq[String]): Unit =
+        CdcTaskSpec.bytePuts.add(lines.map(_.length).sum)
+    }
+    CdcTaskSpec.bytePuts.clear()
+    // rows cap would allow all 10 in one chunk; the ~700-byte cap
+    // forces flushes every 2 rows (each line is ~320 bytes)
+    StreamLoadSink.ship(df, () => sink, batchRows = 1000,
+      batchBytes = 700L)
+    val sizes = CdcTaskSpec.bytePuts.toArray.toSeq
+      .map(_.asInstanceOf[Int])
+    assert(sizes.size >= 5, s"expected byte-bounded chunks, got $sizes")
+    assert(sizes.forall(_ <= 700),
+      s"a chunk exceeded the byte cap: $sizes")
+    val _ = puts
+  }
+
   test("[pipeline] max_rps gates batch shipping through the token " +
       "bucket: over-budget batches wait, unlimited tasks never do") {
     val wh = new Warehouse
@@ -253,10 +320,10 @@ class CdcTaskSpec extends SparkSuite {
         CdcTask.PgAnswers(
           graft.sources.PgSlotLifecycle.SlotStatus(exists = false),
           pubExists = false, walStream = wal()),
-        sinkFor = (db, tb, batchId) =>
+        sinkFor = (db, tb, batchId, op) =>
           new StreamLoadHttp.HttpPayloadSink(
             StreamLoadHttp.Config("127.0.0.1", port, db, tb,
-              "root", ""), batchId),
+              "root", ""), batchId, op),
         resumer = resumer,
         limiter = Some(limiter))
       assert(r.rowsShipped == 5)
@@ -276,10 +343,11 @@ class CdcTaskSpec extends SparkSuite {
       val tmp = java.nio.file.Files
         .createTempDirectory("cdc-task2").toString
       val port = wh.port
-      def sinkFor(db: String, tb: String, batchId: Long) =
+      def sinkFor(db: String, tb: String, batchId: Long,
+          op: String) =
         new StreamLoadHttp.HttpPayloadSink(
           StreamLoadHttp.Config("127.0.0.1", port, db, tb,
-            "root", ""), batchId)
+            "root", ""), batchId, op)
       val bytes = wal()
 
       val r1 = CdcTask.run(spark, task,
@@ -329,9 +397,9 @@ class CdcTaskSpec extends SparkSuite {
         CdcTask.PgAnswers(
           graft.sources.PgSlotLifecycle.SlotStatus(exists = false),
           pubExists = false, walStream = wal()),
-        (db, tb, batchId) => new StreamLoadHttp.HttpPayloadSink(
+        (db, tb, batchId, op) => new StreamLoadHttp.HttpPayloadSink(
           StreamLoadHttp.Config("127.0.0.1", port, db, tb,
-            "root", ""), batchId),
+            "root", ""), batchId, op),
         dual(store, tmp))
       assert(r.rowsShipped == 5L)
       val rows = wh.rows
@@ -391,10 +459,10 @@ class CdcTaskSpec extends SparkSuite {
         CdcTask.PgAnswers(
           graft.sources.PgSlotLifecycle.SlotStatus(exists = false),
           pubExists = false, walStream = wal()),
-        sinkFor = (db, tb, batchId) =>
+        sinkFor = (db, tb, batchId, op) =>
           new StreamLoadHttp.HttpPayloadSink(
             StreamLoadHttp.Config("127.0.0.1", port, db, tb,
-              "root", ""), batchId),
+              "root", ""), batchId, op),
         resumer = dual(store, tmp))
       // the streamed txn's lone insert (id=3) was dropped by the
       // script, so only 4 of 5 events ship, and the drop counts as
@@ -413,4 +481,11 @@ class CdcTaskSpec extends SparkSuite {
       assert(report.endLsn == "0/16000800")
     } finally wh.stop()
   }
+}
+
+/** Executor-visible accumulator for the byte-cap test (the sink's
+  * put() runs inside foreachPartition on local executor threads).
+  */
+object CdcTaskSpec {
+  val bytePuts = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
 }

@@ -100,7 +100,7 @@ class FullSyncTaskSpec extends SparkSuite {
       consistentPoint = "0/16000080")
 
     val r = FullSyncTask.run(spark, snap, cdc, answers,
-      (_, _, _) => new FullSyncTaskSpec.CollectSink, dual(store, posDir))
+      (_, _, _, _) => new FullSyncTaskSpec.CollectSink, dual(store, posDir))
 
     // stage order contract: the slot creation fence precedes the copy
     assert(r.slotPlan.createsSlot)
@@ -125,7 +125,7 @@ class FullSyncTaskSpec extends SparkSuite {
         graft.sources.PgSlotLifecycle.SlotStatus(exists = true,
           confirmedFlushLsn = "0/16000080"),
         pubExists = true, walStream = spool()),
-      (_, _, _) => new FullSyncTaskSpec.CollectSink, dual(store, posDir))
+      (_, _, _, _) => new FullSyncTaskSpec.CollectSink, dual(store, posDir))
     // finished table skipped, recovered position wins, nothing re-ships
     assert(r2.snapshot.isEmpty)
     assert(r2.snapshotSkipped == Seq("app.orders"))

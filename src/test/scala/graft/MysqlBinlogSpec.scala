@@ -438,4 +438,48 @@ class MysqlBinlogSpec extends AnyFunSuite {
     assert(got(0) == long)
     assert(got(1) == "y" * 260)
   }
+
+  test("startFilter gates by binlog file/position and skips " +
+      "gtid-contained transactions whole") {
+    val w = new MysqlBinlogWriter()
+    w.fde()
+    w.tableMap(9L, "d", "t", Seq(ColType.Long), Seq(0), Seq(true),
+      colNames = Seq("id"))
+    def txn(gno: Long, id: String): Unit = {
+      w.gtid("3e11fa47-71ca-11e1-9e33-c80aa9429562", gno)
+      w.begin("d")
+      w.writeRows(9L, Seq(Array(id)))
+      w.xid(gno)
+    }
+    txn(1L, "1"); txn(2L, "2"); txn(3L, "3")
+    val raw = MysqlBinlog.readFile(w.bytes())
+    def ids(evs: Seq[(MysqlBinlog.EventHeader, MysqlBinlog.Event)])
+        : Seq[String] =
+      MysqlBinlog.toChangeEvents(evs, "binlog.000007")
+        .map(_.after("id"))
+
+    // no gate: everything
+    assert(ids(MysqlBinlog.startFilter(raw, "binlog.000007")) ==
+      Seq("1", "2", "3"))
+
+    // file/pos gate: start after txn1's commit — its rows are gone
+    val xid1Pos = raw.collect {
+      case (h, _: MysqlBinlog.Xid) => h.nextPosition
+    }.head
+    assert(ids(MysqlBinlog.startFilter(raw, "binlog.000007",
+      startFile = "binlog.000007", startPos = xid1Pos)) ==
+      Seq("2", "3"))
+    // an EARLIER start file gates nothing; a LATER one gates all
+    assert(ids(MysqlBinlog.startFilter(raw, "binlog.000007",
+      startFile = "binlog.000001", startPos = 999999L)) ==
+      Seq("1", "2", "3"))
+    assert(ids(MysqlBinlog.startFilter(raw, "binlog.000007",
+      startFile = "binlog.000009", startPos = 0L)) == Nil)
+
+    // gtid gate: the set already contains txns 1-2 -> only txn3 ships
+    val done = graft.meta.GtidSet.parse(
+      "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-2")
+    assert(ids(MysqlBinlog.startFilter(raw, "binlog.000007",
+      doneGtids = Some(done))) == Seq("3"))
+  }
 }

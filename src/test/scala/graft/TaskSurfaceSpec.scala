@@ -3,6 +3,7 @@ package graft
 import java.io.ByteArrayOutputStream
 import java.net.{HttpURLConnection, URI}
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 
@@ -21,6 +22,116 @@ class TaskSurfaceSpec extends SparkSuite {
 
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
+
+  test("ini: the full reference tuning-key surface parses with " +
+      "reference defaults and typed values") {
+    // defaults (task_config.rs per-key get_with_default values)
+    val d = TaskConfig.fromIni(
+      """[extractor]
+        |extract_type=snapshot
+        |url=/tmp/x
+        |
+        |[sinker]
+        |url=/tmp/y
+        |""".stripMargin)
+    assert(d.source == TaskConfig.SourceTuning())
+    assert(d.sink == TaskConfig.SinkTuning())
+    assert(d.checker.isEmpty)
+    assert(d.counterMaxSubCount == 1000)
+    assert(d.bufferMemoryMb.isEmpty && d.batchSinkIntervalSecs.isEmpty)
+
+    val t = TaskConfig.fromIni(
+      """[extractor]
+        |extract_type=cdc
+        |url=/tmp/x
+        |heartbeat_interval_secs=7
+        |heartbeat_tb=meta.hb
+        |keepalive_idle_secs=120
+        |binlog_filename=binlog.000042
+        |binlog_position=1234
+        |server_id=9
+        |gtid_enabled=true
+        |gtid_set=3e11fa47-71ca-11e1-9e33-c80aa9429562:1-5
+        |source=op_log
+        |app_name=my_app
+        |max_mbps=12
+        |
+        |[sinker]
+        |url=/tmp/y
+        |replace=false
+        |disable_foreign_key_checks=false
+        |transaction_isolation=repeatable_read
+        |mongo_require_shard_key_filter=false
+        |ack_timeout_secs=9
+        |required_acks=all
+        |with_field_defs=false
+        |method=rewrite
+        |is_cluster=true
+        |hard_delete=true
+        |stream_load_url=http://fe:8030
+        |batch_memory_mb=64
+        |
+        |[pipeline]
+        |buffer_memory_mb=256
+        |batch_sink_interval_secs=3
+        |counter_max_sub_count=50
+        |
+        |[checker]
+        |enable=true
+        |sample_rate=25
+        |output_full_row=true
+        |output_revise_sql=true
+        |check_log_max_rows=2
+        |check_log_file_size=1kb
+        |""".stripMargin)
+    assert(t.source.heartbeatIntervalSecs == 7 &&
+      t.source.heartbeatTb.contains("meta.hb") &&
+      t.source.keepaliveIdleSecs == 120 &&
+      t.source.binlogFilename.contains("binlog.000042") &&
+      t.source.binlogPosition.contains(1234L) &&
+      t.source.serverId.contains(9L) && t.source.gtidEnabled &&
+      t.source.gtidSet.exists(_.endsWith(":1-5")) &&
+      t.source.mongoSource == "op_log" &&
+      t.source.appName == "my_app" &&
+      t.source.maxMbps.contains(12L))
+    assert(!t.sink.replace && !t.sink.disableForeignKeyChecks &&
+      t.sink.transactionIsolation.contains("repeatable_read") &&
+      !t.sink.requireShardKeyFilter && t.sink.ackTimeoutSecs == 9 &&
+      t.sink.requiredAcks == "all" && !t.sink.withFieldDefs &&
+      t.sink.redisMethod.contains("rewrite") && t.sink.isCluster &&
+      t.sink.hardDelete &&
+      t.sink.streamLoadUrl.contains("http://fe:8030") &&
+      t.sink.batchMemoryMb.contains(64))
+    assert(t.bufferMemoryMb.contains(256) &&
+      t.batchSinkIntervalSecs.contains(3) &&
+      t.counterMaxSubCount == 50)
+    val ck = t.checker.get
+    assert(ck.enable && ck.sampleRate.contains(25) &&
+      ck.outputFullRow && ck.outputReviseSql &&
+      ck.checkLogMaxRows == 2 && ck.checkLogFileSize == "1kb")
+    assert(graft.infra.CheckLogs.parseSize("1kb") == 1024L &&
+      graft.infra.CheckLogs.parseSize("100mb") == 100L * 1024 * 1024)
+
+    // a [checker] section without enable is a config error
+    // (task_config.rs:788-798), as is an out-of-range sample_rate
+    intercept[IllegalArgumentException](TaskConfig.fromIni(
+      """[extractor]
+        |extract_type=snapshot
+        |url=/tmp/x
+        |
+        |[checker]
+        |sample_rate=10
+        |""".stripMargin))
+    intercept[IllegalArgumentException](TaskConfig.fromIni(
+      """[extractor]
+        |extract_type=snapshot
+        |url=/tmp/x
+        |
+        |[checker]
+        |enable=true
+        |sample_rate=200
+        |""".stripMargin))
+  }
 
   test("ini: every reference extract_type token parses to its variant") {
     def parse(t: String) = TaskConfig.fromIni(
@@ -100,6 +211,67 @@ class TaskSurfaceSpec extends SparkSuite {
     assert(revise("update").contains("UPDATE app.region SET"))
     assert(revise("update").contains("r_name=?"))
     assert(revise("update").contains("WHERE r_regionkey="))
+  }
+
+  test("[checker] options: full-row lines, revise.sql artifact, " +
+      "row-capped log rotation, sample_rate=100 passthrough") {
+    val sink = tmp("graft-checkopts")
+    val ini =
+      s"""[extractor]
+         |url=$sf
+         |id_cols=region:r_regionkey
+         |[filter]
+         |do_tbs=region
+         |[sinker]
+         |url=$sink
+         |[checker]
+         |enable=true
+         |sample_rate=100
+         |output_full_row=true
+         |output_revise_sql=true
+         |check_log_max_rows=1
+         |check_log_file_size=1gb
+         |""".stripMargin
+    val task = TaskConfig.fromIni(ini)
+    TaskRunner.runSnapshot(spark, task)
+    // drop keys 0,2 (→ 2 MISS, forcing rotation at max_rows=1) and
+    // corrupt key 1 (→ DIFF)
+    val rows = spark.read.parquet(s"$sink/app.region")
+    val broken = rows.filter(!col("r_regionkey").isin(0, 2))
+      .withColumn("r_name", when(col("r_regionkey") === 1, lit("XX"))
+        .otherwise(col("r_name")))
+      .collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(broken.toSeq), rows.schema)
+      .write.mode("overwrite").parquet(s"$sink/app.region")
+    val checked = TaskRunner.runCheck(spark, task).toMap
+    assert(checked("region")("MISS") == 2L)
+    assert(checked("region")("DIFF") == 1L)
+
+    val logDir = Paths.get(s"$sink/checklog/app.region")
+    // rotation: 2 MISS lines under max_rows=1 → miss.log + miss.1.log
+    assert(Files.exists(logDir.resolve("miss.log")))
+    assert(Files.exists(logDir.resolve("miss.1.log")))
+    val missLines =
+      (Files.readAllLines(logDir.resolve("miss.log")).size() +
+        Files.readAllLines(logDir.resolve("miss.1.log")).size())
+    assert(missLines == 2)
+    // output_full_row: every line carries the full src image; the
+    // DIFF line carries the dst image too
+    val diffLine =
+      Files.readAllLines(logDir.resolve("diff.log")).get(0)
+    assert(diffLine.contains("\"src_row\""))
+    assert(diffLine.contains("\"dst_row\""))
+    assert(diffLine.contains("\"XX\""))
+    // the rotated logs still replay through the reader glob
+    val parsed = graft.infra.CheckLogs.read(spark,
+      logDir.toString).collect()
+    assert(parsed.length == 3)
+    // output_revise_sql: the statement artifact exists with all shapes
+    val revise =
+      Files.readAllLines(logDir.resolve("revise.sql"))
+    assert(revise.asScala.exists(_.startsWith("INSERT INTO")))
+    assert(revise.asScala.exists(_.startsWith("UPDATE")))
   }
 
   test("snapshot_file task parses an RDB dump into landed rows") {

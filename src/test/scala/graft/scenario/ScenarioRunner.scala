@@ -67,7 +67,17 @@ object ScenarioRunner {
         require(st != null, s"unregistered dst table: $tok")
         st
       }
+      /** Session-init statements a live connection would run
+        * (SET FOREIGN_KEY_CHECKS / isolation / replica role) — no
+        * table state to touch in the in-memory engine.
+        */
+      val sessionInit =
+        scala.collection.mutable.ArrayBuffer.empty[String]
       override def execute(b: Applier.StatementBatch): Unit = {
+        if (b.sql.startsWith("SET ")) {
+          sessionInit.synchronized { sessionInit += b.sql }
+          return
+        }
         val st = tableOf(b.sql)
         st.synchronized {
           val keyIdx = st.keys.map(st.cols.indexOf)
@@ -613,8 +623,15 @@ object ScenarioRunner {
       admitted.filter(_.rowType != "ddl").foreach { e =>
         val r = routeEvent(e)
         val topic = task.router.routeTopic(e.db, e.tb)
+        // with_field_defs (default true): the per-field type list
+        // rides the envelope unless the config turns it off
+        val defs =
+          if (task.sink.withFieldDefs)
+            AvroEnvelope.fieldDefsFor(r.before, r.after)
+          else null
         wire.getOrElseUpdate(topic, mutable.ArrayBuffer.empty) +=
           AvroEnvelope.encode(r.dstDb, r.dstTb, r.rowType,
+            fields = defs,
             before = if (r.before.isEmpty) null else r.before,
             after = if (r.after.isEmpty) null else r.after)
       }
@@ -990,9 +1007,17 @@ object ScenarioRunner {
         else
           Compaction.compact(df, d.keyCols, Seq("seq", "sub"),
             col("row_type"))
+      // the live connection's session-init (FK checks, isolation)
+      // rides the same sink path the statements do
+      val mkSink = Applier.withSessionInit(
+        { val rid = runId; () => MemDb.Sink(rid) },
+        RdbQueryBuilder.connSettings(dialect,
+          task.sink.disableForeignKeyChecks,
+          task.sink.transactionIsolation.getOrElse("default")))
       Applier.applyCompacted(dialect, qt, compacted, d.keyCols,
-        d.cols, Seq("seq", "sub"), () => MemDb.Sink(runId),
-        batchSize = task.batchSize)
+        d.cols, Seq("seq", "sub"), mkSink,
+        batchSize = task.batchSize,
+        insertOnly = !task.sink.replace)
     }
 
     val ddlPresent = admitted.exists(_.rowType == "ddl")
