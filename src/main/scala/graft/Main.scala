@@ -128,6 +128,25 @@ object Main {
       }
       task.extractType match {
         case TaskConfig.SnapshotExtract
+            if task.checker.exists(_.enable) =>
+          // the reference's check-task shape: extract_type=snapshot +
+          // an enabled [checker] section — the snapshot extractor
+          // feeds the checker sinker (dt-tests check/basic_test
+          // task_config.ini), so this runs the check flow, not a copy
+          val results = TaskRunner.runCheck(spark, task)
+          results.foreach { case (tb, counts) =>
+            println(s"[check] $tb ${counts.map { case (k, v) =>
+              s"$k=$v" }.mkString(" ")}")
+            monitors.checker
+              .addBatchCounter(Monitoring.RecordCount,
+                counts.values.sum, 1L)
+              .addBatchCounter(Monitoring.CheckerMissCount,
+                counts.getOrElse("MISS", 0L), 1L)
+              .addBatchCounter(Monitoring.CheckerDiffCount,
+                counts.getOrElse("DIFF", 0L), 1L): Unit
+          }
+          publish()
+        case TaskConfig.SnapshotExtract
             if task.pipelineType == "http_server" =>
           // HttpServerPipeline swap: stage every admitted table into
           // the spool and serve it over the subscription endpoints

@@ -119,7 +119,7 @@ object TaskConfig {
     * given as `k1=v1,k2=v2`.
     */
   final case class MetricsConfig(httpHost: String, httpPort: Int,
-      labels: Map[String, String])
+      labels: Map[String, String], workers: Int = 2)
 
   final case class Task(
       extractType: ExtractType,
@@ -206,6 +206,15 @@ object TaskConfig {
       source: SourceTuning = SourceTuning(),
       sink: SinkTuning = SinkTuning(),
       checker: Option[CheckerOptions] = None,
+      dataMarker: Option[DataMarkerCfg] = None,
+      runtime: RuntimeOptions = RuntimeOptions(),
+      resumer: ResumerCfg = DummyResumer,
+      // [sinker] sink_type (config_enums.rs SinkType; write is the
+      // data lane, struct/sql/statistic/push/dummy specialize it)
+      sinkType: String = "write",
+      // [extractor] partition_cols (config.md:20): the per-table
+      // column snapshot chunking splits on
+      partitionColsByTable: Map[(String, String), String] = Map.empty,
       // [pipeline] remaining knobs: byte-capped admission, flush
       // cadence for the sink lane, counter sub-entry bound
       bufferMemoryMb: Option[Int] = None,
@@ -248,7 +257,32 @@ object TaskConfig {
       appName: String = "ape_dts",
       maxConnections: Int = 10,
       isDirectConnection: Boolean = false,
-      maxMbps: Option[Long] = None)
+      maxMbps: Option[Long] = None,
+      /** struct extractors fetch catalog meta `db_batch_size` schemas
+        * per query (task_config.rs DEFAULT_DB_BATCH_SIZE).
+        */
+      dbBatchSize: Int = 100,
+      /** mysql DDL-meta capture table (`[extractor] ddl_meta_tb`). */
+      ddlMetaTb: Option[String] = None,
+      /** redis CDC resume: the db id the stream was in. */
+      nowDbId: Option[Long] = None,
+      /** kafka extractor ack cadence. */
+      ackIntervalSecs: Option[Int] = None,
+      /** kafka source coordinates ([extractor] group/topic/partition/
+        * offset, task_config.rs:771-775).
+        */
+      kafkaGroup: String = "",
+      kafkaTopic: String = "",
+      kafkaPartition: Option[Int] = None,
+      kafkaOffset: Option[Long] = None,
+      /** redis psync resume (repl_id/repl_offset) + the local port
+        * the replica listener binds (repl_port, default 10008).
+        */
+      replId: Option[String] = None,
+      replOffset: Option[Long] = None,
+      replPort: Int = 10008,
+      /** mongo cdc start (epoch secs). */
+      startTimestamp: Option[Long] = None)
 
   /** `[sinker]` sink-side tuning (task_config.rs:838-1060 per-engine
     * SinkerConfig variants), reference defaults.
@@ -280,14 +314,58 @@ object TaskConfig {
       batchMemoryMb: Option[Int] = None,
       appName: String = "ape_dts",
       maxConnections: Int = 10,
-      maxMbps: Option[Long] = None)
+      maxMbps: Option[Long] = None,
+      /** redis statistic sinker gates (redis_statistic_sinker.rs:
+        * 42,55): entries below the thresholds are dropped from the
+        * report; statistic_log_dir overrides the artifact location.
+        */
+      dataSizeThreshold: Long = 0L,
+      freqThreshold: Long = 0L,
+      statisticLogDir: Option[String] = None)
+
+  /** `[data_marker]` two-way-sync topology (data_marker_config.rs) —
+    * names this node's position in the topology and which origin
+    * nodes' events to apply; feeds [[graft.operators.DataMarker]].
+    */
+  final case class DataMarkerCfg(
+      topoName: String = "",
+      topoNodes: Seq[String] = Nil,
+      srcNode: String = "",
+      dstNode: String = "",
+      doNodes: Seq[String] = Nil,
+      ignoreNodes: Seq[String] = Nil,
+      marker: String = "") {
+    def toMarker: graft.operators.DataMarker.Marker =
+      graft.operators.DataMarker.Marker(topoName, srcNode, dstNode)
+  }
+
+  /** `[runtime]` (runtime_config.rs) — logging layout + the checker's
+    * stdout-only switch, reference defaults.
+    */
+  final case class RuntimeOptions(
+      logLevel: String = "info",
+      logDir: String = "./logs",
+      log4rsFile: String = "./log4rs.yaml",
+      checkResultStdoutOnly: Boolean = false)
 
   /** `[checker]` inline-check options (checker_config.rs defaults;
     * the section requires an explicit `enable` when present —
     * task_config.rs:788-798).
     */
+  /** S3 artifact destination (s3_config.rs) — parsed and typed so
+    * reference configs load; uploads themselves are deployment-side.
+    */
+  final case class S3Cfg(bucket: String, accessKey: String = "",
+      secretKey: String = "", region: String = "", endpoint: String = "",
+      rootDir: String = "", rootUrl: String = "", keyPrefix: String = "")
+
   final case class CheckerOptions(
       enable: Boolean = false,
+      dbType: String = "",
+      url: String = "",
+      batchSize: Int = 200,
+      queueSize: Int = 200,
+      maxConnections: Int = 8,
       sampleRate: Option[Int] = None,
       outputFullRow: Boolean = false,
       outputReviseSql: Boolean = false,
@@ -297,7 +375,24 @@ object TaskConfig {
       checkLogDir: String = "",
       checkLogFileSize: String = "100mb",
       checkLogMaxRows: Int = 1000,
-      cdcCheckLogIntervalSecs: Int = 30)
+      cdcCheckLogIntervalSecs: Int = 30,
+      checkLogS3: Boolean = false,
+      s3: Option[S3Cfg] = None)
+
+  /** `[resumer]` (resumer_config.rs): where recorded positions live.
+    * `from_log` = file store under log_dir; `from_target`/`from_db` =
+    * the database-table recorder ([[graft.sources.DbResumer]]) at
+    * table_full_name; `dummy` = the task's own default. Legacy keys
+    * (resume_from_log/resume_log_dir/resume_config_file) are a config
+    * error, exactly as in the reference (task_config.rs:1343-1352).
+    */
+  sealed trait ResumerCfg
+  case object DummyResumer extends ResumerCfg
+  final case class ResumeFromLog(logDir: String,
+      configFile: String = "") extends ResumerCfg
+  final case class ResumeFromDb(url: String, dbType: String,
+      tableFullName: String, maxConnections: Int = 8,
+      fromTarget: Boolean = false) extends ResumerCfg
 
   /** `node@from-to[,node@from-to...]` → slot ranges. */
   def parseSlots(spec: String): Seq[graft.sinks.RedisReshard.SlotRange] =
@@ -448,7 +543,8 @@ object TaskConfig {
       MetricsConfig(
         httpHost = m.get("http_host", "127.0.0.1"),
         httpPort = m.get("http_port", "9090").toInt,
-        labels = labels)
+        labels = labels,
+        workers = m.get("workers", "2").toInt)
     }
 
     // PG CDC slot lifecycle config (pg_cdc_client.rs fields), present
@@ -474,7 +570,13 @@ object TaskConfig {
       // fetch size and doubles as the fallback
       batchSize = sk.get("batch_size",
         ex.get("batch_size", "10000")).toInt,
-      parallelism = pl.get("parallel_size", "4").toInt,
+      // [extractor] parallel_size wins; the legacy [runtime]
+      // tb_parallel_size is honored as the reference does
+      // (load_snapshot_parallel_size); [pipeline] parallel_size is
+      // this repo's historical spelling and stays the fallback
+      parallelism = ex("parallel_size")
+        .orElse(p.section("runtime")("tb_parallel_size"))
+        .getOrElse(pl.get("parallel_size", "4")).toInt,
       // percent 1..99 — estimated snapshot sampling (ExplainEstimate)
       sampleRate = ex.get("sample_rate", "").toIntOption,
       keysByTable = colSpec(ex, "id_cols"),
@@ -552,7 +654,19 @@ object TaskConfig {
         maxConnections = ex.get("max_connections", "10").toInt,
         isDirectConnection =
           ex.get("is_direct_connection", "false").toBoolean,
-        maxMbps = ex.get("max_mbps", "").toLongOption),
+        maxMbps = ex.get("max_mbps", "").toLongOption,
+        dbBatchSize = ex.get("db_batch_size", "100").toInt,
+        ddlMetaTb = ex("ddl_meta_tb").filter(_.nonEmpty),
+        nowDbId = ex.get("now_db_id", "").toLongOption,
+        ackIntervalSecs = ex.get("ack_interval_secs", "").toIntOption,
+        kafkaGroup = ex.get("group", ""),
+        kafkaTopic = ex.get("topic", ""),
+        kafkaPartition = ex.get("partition", "").toIntOption,
+        kafkaOffset = ex.get("offset", "").toLongOption,
+        replId = ex("repl_id").filter(_.nonEmpty),
+        replOffset = ex.get("repl_offset", "").toLongOption,
+        replPort = ex.get("repl_port", "10008").toInt,
+        startTimestamp = ex.get("start_timestamp", "").toLongOption),
       sink = SinkTuning(
         replace = sk.get("replace", "true").toBoolean,
         disableForeignKeyChecks =
@@ -573,7 +687,32 @@ object TaskConfig {
           sk.get("batch_memory_mb", "").toIntOption,
         appName = sk.get("app_name", "ape_dts"),
         maxConnections = sk.get("max_connections", "10").toInt,
-        maxMbps = sk.get("max_mbps", "").toLongOption),
+        maxMbps = sk.get("max_mbps", "").toLongOption,
+        dataSizeThreshold =
+          sk.get("data_size_threshold", "0").toLong,
+        freqThreshold = sk.get("freq_threshold", "0").toLong,
+        statisticLogDir = sk("statistic_log_dir").filter(_.nonEmpty)),
+      dataMarker = {
+        val dm = p.section("data_marker")
+        if (dm.entries.isEmpty) None
+        else Some(DataMarkerCfg(
+          topoName = dm.get("topo_name", ""),
+          topoNodes = dm.list("topo_nodes"),
+          srcNode = dm.get("src_node", ""),
+          dstNode = dm.get("dst_node", ""),
+          doNodes = dm.list("do_nodes"),
+          ignoreNodes = dm.list("ignore_nodes"),
+          marker = dm.get("marker", "")))
+      },
+      runtime = {
+        val rz = p.section("runtime")
+        RuntimeOptions(
+          logLevel = rz.get("log_level", "info"),
+          logDir = rz.get("log_dir", "./logs"),
+          log4rsFile = rz.get("log4rs_file", "./log4rs.yaml"),
+          checkResultStdoutOnly =
+            rz.get("check_result_stdout_only", "false").toBoolean)
+      },
       checker = {
         val ck = p.section("checker")
         if (ck.entries.isEmpty) None
@@ -588,6 +727,11 @@ object TaskConfig {
             s"[checker].sample_rate must be between 1 and 100, got $r"))
           Some(CheckerOptions(
             enable = ck.get("enable", "false").toBoolean,
+            dbType = ck.get("db_type", ""),
+            url = ck.get("url", ""),
+            batchSize = ck.get("batch_size", "200").toInt,
+            queueSize = ck.get("queue_size", "200").toInt,
+            maxConnections = ck.get("max_connections", "8").toInt,
             sampleRate = rate,
             outputFullRow = ck.get("output_full_row", "false").toBoolean,
             outputReviseSql =
@@ -601,9 +745,48 @@ object TaskConfig {
             checkLogFileSize = ck.get("check_log_file_size", "100mb"),
             checkLogMaxRows = ck.get("check_log_max_rows", "1000").toInt,
             cdcCheckLogIntervalSecs =
-              ck.get("cdc_check_log_interval_secs", "30").toInt))
+              ck.get("cdc_check_log_interval_secs", "30").toInt,
+            checkLogS3 = ck.get("check_log_s3", "false").toBoolean,
+            s3 = ck("s3_bucket").filter(_.nonEmpty).map(b =>
+              S3Cfg(b,
+                accessKey = ck.get("s3_access_key_id", ""),
+                secretKey = ck.get("s3_secret_access_key", ""),
+                region = ck.get("s3_region", ""),
+                endpoint = ck.get("s3_endpoint", ""),
+                rootDir = ck.get("s3_root_dir", ""),
+                rootUrl = ck.get("s3_root_url", ""),
+                keyPrefix = ck.get("s3_key_prefix", "")))))
         }
       },
+      resumer = {
+        val rz = p.section("resumer")
+        val legacy = Seq("resume_from_log", "resume_log_dir",
+          "resume_config_file").filter(rz(_).nonEmpty)
+        require(legacy.isEmpty,
+          s"legacy [resumer] configs ${legacy.mkString(", ")} are no " +
+            "longer supported; migrate to resume_type=from_log, " +
+            "log_dir, and config_file")
+        rz.get("resume_type", "dummy") match {
+          case "dummy" => DummyResumer
+          case "from_log" => ResumeFromLog(
+            rz.get("log_dir", "./logs"), rz.get("config_file", ""))
+          case "from_target" => ResumeFromDb(
+            sk.get("url", ""), sk.get("db_type", "file"),
+            rz.get("table_full_name", ""),
+            rz.get("max_connections", "8").toInt, fromTarget = true)
+          case "from_db" => ResumeFromDb(
+            rz.get("url", ""), rz.get("db_type", ""),
+            rz.get("table_full_name", ""),
+            rz.get("max_connections", "8").toInt)
+          case other => sys.error(s"unknown resume_type: $other")
+        }
+      },
+      sinkType = sk.get("sink_type", "write"),
+      partitionColsByTable =
+        jsonEntries(ex, "partition_cols").map { n =>
+          (n.get("db").asText(), n.get("tb").asText()) ->
+            n.get("partition_col").asText()
+        }.toMap,
       bufferMemoryMb = pl.get("buffer_memory_mb", "").toIntOption,
       batchSinkIntervalSecs =
         pl.get("batch_sink_interval_secs", "").toIntOption,

@@ -161,11 +161,26 @@ object TaskManager {
         val capture = task.walCapture.get
         val bytes = Files.readAllBytes(
           java.nio.file.Paths.get(capture))
-        val posPath = task.positionStore
-          .getOrElse(dir.resolve("positions.log").toString)
+        // [resumer] resume_type=from_log overrides the position-store
+        // location; from_db/from_target name the recorder's metadata
+        // table (table_full_name) — the reference's ResumerConfig
+        val posPath = task.positionStore.getOrElse(task.resumer match {
+          case TaskConfig.ResumeFromLog(logDir, _) if logDir.nonEmpty =>
+            java.nio.file.Paths.get(logDir)
+              .resolve(s"$name.positions.log").toString
+          case _ => dir.resolve("positions.log").toString
+        })
         val store = new graft.sources.DbResumer.FileStore(posPath)
+        val (rSchema, rTable) = task.resumer match {
+          case r: TaskConfig.ResumeFromDb
+              if r.tableFullName.contains(".") =>
+            val Array(s, t) = r.tableFullName.split("\\.", 2)
+            (s, t)
+          case _ => (graft.sources.DbResumer.DefaultSchema,
+            graft.sources.DbResumer.DefaultTable)
+        }
         val rec = new graft.sources.DbResumer.Recorder(name, store,
-          graft.sources.DbResumer.MySqlDialect)
+          graft.sources.DbResumer.MySqlDialect, rSchema, rTable)
         rec.init(isInit = false)
         val resumer = new graft.sources.DbResumer.Dual(
           new graft.sources.SnapshotResumer(s"$posPath.d"), rec,

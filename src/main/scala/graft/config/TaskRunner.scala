@@ -51,7 +51,15 @@ object TaskRunner {
     val routed = task.router.renameColumns(schema, tb, df)
     val (toSchema, toTb) = task.router.routeTable(schema, tb)
     val out = s"${task.sinkDir}/$toSchema.$toTb"
-    routed.write.mode(SaveMode.Overwrite).parquet(out)
+    // [extractor] partition_cols: the snapshot splits on the
+    // configured column (config.md:20) — ranges of it become the
+    // write partitions, the chunked-extract shape at the output
+    val partitioned = task.partitionColsByTable.get((schema, tb))
+      .map(c => routed.repartitionByRange(
+        math.max(1, task.parallelism),
+        col(task.router.routeColumn(schema, tb, c))))
+      .getOrElse(routed)
+    partitioned.write.mode(SaveMode.Overwrite).parquet(out)
     // count the WRITTEN output, not the source again — a parquet
     // count() is satisfied from row-group metadata, while re-counting
     // `routed` would re-run the full source scan per table
@@ -527,15 +535,23 @@ object TaskRunner {
       case "big_key" => RedisScanStats.BigKey
       case _ => RedisScanStats.HotKey
     }
-    val stats = RedisScanStats.drive(conn, mode, task.scanCount)
+    val stats0 = RedisScanStats.drive(conn, mode, task.scanCount)
+    // [sinker] data_size_threshold / freq_threshold: entries below
+    // the gate never reach the report (redis_statistic_sinker.rs:42,55)
+    val stats = mode match {
+      case RedisScanStats.BigKey =>
+        stats0.filter(_.dataSize >= task.sink.dataSizeThreshold)
+      case _ => stats0.filter(_.freq >= task.sink.freqThreshold)
+    }
     val report = mode match {
       case RedisScanStats.BigKey =>
         RedisScanStats.bigKeyReport(spark, stats, topK)
       case _ => RedisScanStats.hotKeyReport(spark, stats, topK)
     }
+    val outDir = task.sink.statisticLogDir.getOrElse(task.sinkDir)
     report.write.mode(SaveMode.Overwrite)
-      .parquet(s"${task.sinkDir}/scan.${task.statisticType}")
-    spark.read.parquet(s"${task.sinkDir}/scan.${task.statisticType}")
+      .parquet(s"$outDir/scan.${task.statisticType}")
+    spark.read.parquet(s"$outDir/scan.${task.statisticType}")
   }
 
   /** `extract_type=reshard`: the slot-move plan between [extractor]

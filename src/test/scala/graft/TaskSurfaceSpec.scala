@@ -112,6 +112,117 @@ class TaskSurfaceSpec extends SparkSuite {
     assert(graft.infra.CheckLogs.parseSize("1kb") == 1024L &&
       graft.infra.CheckLogs.parseSize("100mb") == 100L * 1024 * 1024)
 
+    // [data_marker] / [runtime] / the remaining extractor knobs
+    val t2 = TaskConfig.fromIni(
+      """[extractor]
+        |extract_type=cdc
+        |url=/tmp/x
+        |db_batch_size=25
+        |ddl_meta_tb=meta.ddl_log
+        |now_db_id=3
+        |ack_interval_secs=2
+        |
+        |[sinker]
+        |url=/tmp/y
+        |data_size_threshold=1024
+        |freq_threshold=5
+        |statistic_log_dir=/tmp/stats
+        |
+        |[data_marker]
+        |topo_name=topo1
+        |topo_nodes=node1,node2
+        |src_node=node1
+        |dst_node=node2
+        |do_nodes=node1
+        |ignore_nodes=node2
+        |marker=ape_trans_mysql.topo1
+        |
+        |[runtime]
+        |log_level=debug
+        |check_result_stdout_only=true
+        |""".stripMargin)
+    assert(t2.source.dbBatchSize == 25 &&
+      t2.source.ddlMetaTb.contains("meta.ddl_log") &&
+      t2.source.nowDbId.contains(3L) &&
+      t2.source.ackIntervalSecs.contains(2))
+    assert(t2.sink.dataSizeThreshold == 1024L &&
+      t2.sink.freqThreshold == 5L &&
+      t2.sink.statisticLogDir.contains("/tmp/stats"))
+    val dm = t2.dataMarker.get
+    assert(dm.topoName == "topo1" &&
+      dm.topoNodes == Seq("node1", "node2") &&
+      dm.srcNode == "node1" && dm.dstNode == "node2" &&
+      dm.doNodes == Seq("node1") && dm.ignoreNodes == Seq("node2") &&
+      dm.marker == "ape_trans_mysql.topo1")
+    assert(dm.toMarker ==
+      graft.operators.DataMarker.Marker("topo1", "node1", "node2"))
+    assert(t2.runtime.logLevel == "debug" &&
+      t2.runtime.checkResultStdoutOnly)
+    assert(d.runtime == TaskConfig.RuntimeOptions())
+    assert(d.dataMarker.isEmpty)
+    assert(d.resumer == TaskConfig.DummyResumer)
+    assert(d.sinkType == "write" && d.partitionColsByTable.isEmpty)
+
+    // [resumer] / sink_type / partition_cols / kafka + psync resume
+    val t3 = TaskConfig.fromIni(
+      """[extractor]
+        |extract_type=snapshot
+        |url=/tmp/x
+        |partition_cols=json:[{"db":"d1","tb":"t1","partition_col":"id"}]
+        |group=g1
+        |topic=events
+        |partition=3
+        |offset=42
+        |repl_id=abc123
+        |repl_offset=777
+        |repl_port=10009
+        |start_timestamp=1700000000
+        |
+        |[sinker]
+        |url=mysql://dst
+        |db_type=mysql
+        |sink_type=sql
+        |
+        |[resumer]
+        |resume_type=from_target
+        |table_full_name=meta.positions
+        |
+        |[checker]
+        |enable=true
+        |db_type=mysql
+        |url=mysql://chk
+        |batch_size=7
+        |queue_size=11
+        |check_log_s3=true
+        |s3_bucket=bkt
+        |s3_region=us-east-1
+        |""".stripMargin)
+    assert(t3.partitionColsByTable == Map(("d1", "t1") -> "id"))
+    assert(t3.source.kafkaGroup == "g1" &&
+      t3.source.kafkaTopic == "events" &&
+      t3.source.kafkaPartition.contains(3) &&
+      t3.source.kafkaOffset.contains(42L))
+    assert(t3.source.replId.contains("abc123") &&
+      t3.source.replOffset.contains(777L) &&
+      t3.source.replPort == 10009 &&
+      t3.source.startTimestamp.contains(1700000000L))
+    assert(t3.sinkType == "sql")
+    assert(t3.resumer == TaskConfig.ResumeFromDb("mysql://dst",
+      "mysql", "meta.positions", 8, fromTarget = true))
+    val ck3 = t3.checker.get
+    assert(ck3.dbType == "mysql" && ck3.url == "mysql://chk" &&
+      ck3.batchSize == 7 && ck3.queueSize == 11 && ck3.checkLogS3 &&
+      ck3.s3.contains(TaskConfig.S3Cfg("bkt", region = "us-east-1")))
+    // legacy [resumer] keys are a config error (task_config.rs:1343)
+    intercept[IllegalArgumentException](TaskConfig.fromIni(
+      """[extractor]
+        |extract_type=snapshot
+        |url=/tmp/x
+        |
+        |[resumer]
+        |resume_from_log=true
+        |""".stripMargin))
+
     // a [checker] section without enable is a config error
     // (task_config.rs:788-798), as is an out-of-range sample_rate
     intercept[IllegalArgumentException](TaskConfig.fromIni(
