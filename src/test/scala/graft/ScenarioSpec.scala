@@ -185,6 +185,24 @@ class ScenarioSpec extends SparkSuite {
         "user" -> "dan", "score" -> "20"))
   }
 
+  test("all-types scenario: every typed codec round-trips the binlog " +
+      "wire into the applied end state") {
+    val r = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("mysql_cdc_all_types"))
+    val (_, got) = r.perTable("types_db.all_types")
+    assert(got.map(_("id")).toSet == Set("1", "3"))
+    val one = got.find(_("id") == "1").get
+    assert(one("f_big") == "9223372036854775807")
+    assert(one("f_dec") == "0.5") // updated, scale-canonical
+    assert(one("f_dt") == "2024-06-07 08:09:10.5")
+    assert(one("f_time") == "11:22:33.4")
+    assert(one("f_blob") == "hex:cafe")
+    assert(one("f_float") == "0.5" && one("f_double") == "-2.25")
+    val three = got.find(_("id") == "3").get
+    assert(three("f_small") == null) // 42 then NULLed again
+    assert(three("f_date") == "2000-02-29")
+  }
+
   test("subscription scenario: staged micro-batches serve over real " +
       "HTTP, fetch_old re-serves, and the drained state matches src") {
     val r = ScenarioRunner.run(spark,
