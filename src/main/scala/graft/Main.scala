@@ -356,6 +356,12 @@ object Main {
             s"shipped=${r.cdc.rowsShipped} " +
             s"skipped=${r.cdc.eventsSkipped} end=${r.cdc.endLsn}")
           publish()
+        case TaskConfig.CdcExtract if task.sinkType == "sql" =>
+          // sink_type=sql: literal (optionally reversed) statement log
+          val n = TaskRunner.runSqlSink(spark, task)
+          println(s"[sql] ${task.sinkDir}/sql.log statements=$n" +
+            (if (task.sink.sqlReverse) " (reversed)" else ""))
+          publish()
         case TaskConfig.CdcExtract =>
           (task.walCapture, task.slot) match {
             case (Some(capture), Some(_)) =>

@@ -321,7 +321,11 @@ object TaskConfig {
         */
       dataSizeThreshold: Long = 0L,
       freqThreshold: Long = 0L,
-      statisticLogDir: Option[String] = None)
+      statisticLogDir: Option[String] = None,
+      /** sink_type=sql: log REVERSED statements (insert↔delete,
+        * update swaps images) — the undo stream (sql_sinker.rs:27-33).
+        */
+      sqlReverse: Boolean = false)
 
   /** `[data_marker]` two-way-sync topology (data_marker_config.rs) —
     * names this node's position in the topology and which origin
@@ -691,7 +695,8 @@ object TaskConfig {
         dataSizeThreshold =
           sk.get("data_size_threshold", "0").toLong,
         freqThreshold = sk.get("freq_threshold", "0").toLong,
-        statisticLogDir = sk("statistic_log_dir").filter(_.nonEmpty)),
+        statisticLogDir = sk("statistic_log_dir").filter(_.nonEmpty),
+        sqlReverse = sk.get("reverse", "false").toBoolean),
       dataMarker = {
         val dm = p.section("data_marker")
         if (dm.entries.isEmpty) None

@@ -384,6 +384,50 @@ object TaskRunner {
         } finally { nonOk.unpersist(); () }
       }
 
+  /** `sink_type=sql` (sql_sinker.rs): render every admitted CDC event
+    * as a literal, runnable SQL statement into `<sink>/sql.log`;
+    * `[sinker] reverse=true` logs the UNDO stream instead (insert↔
+    * delete, update swaps images). The capture decodes through the
+    * production wire decoders (pgoutput or binlog by [extractor]
+    * db_type). Returns the statement count.
+    */
+  def runSqlSink(spark: SparkSession, task: TaskConfig.Task): Long = {
+    val capture = task.walCapture.getOrElse(task.sourceDir)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(capture))
+    val events = task.dbType match {
+      case "mysql" => graft.sources.MysqlBinlog.decodeFile(bytes,
+        java.nio.file.Paths.get(capture).getFileName.toString)
+      case _ => graft.sources.PgOutput.decodeFile(bytes)
+    }
+    val dialect = task.sinkDbType match {
+      case "pg" | "postgres" | "postgresql" =>
+        graft.sinks.RdbQueryBuilder.Postgres
+      case _ => graft.sinks.RdbQueryBuilder.MySql
+    }
+    val lines = events.iterator
+      .filter(e => task.filter.allowTable(e.schema, e.tb) &&
+        task.filter.allowEvent(e.rowType))
+      .map(e => if (task.sink.sqlReverse) e.reverse else e)
+      .map { e =>
+        val (toSchema, toTb) = task.router.routeTable(e.schema, e.tb)
+        def routed(img: Map[String, String]): Map[String, String] =
+          img.map { case (c, v) =>
+            task.router.routeColumn(e.schema, e.tb, c) -> v }
+        val keys = task.keysByTable.getOrElse(e.tb,
+          e.keyImage.keys.toSeq.sorted.take(1))
+          .map(task.router.routeColumn(e.schema, e.tb, _))
+        graft.sinks.RdbQueryBuilder.eventSql(dialect, toSchema, toTb,
+          keys, e.rowType, routed(e.before), routed(e.after))
+      }.toSeq
+    val out = java.nio.file.Paths.get(task.sinkDir)
+    java.nio.file.Files.createDirectories(out)
+    java.nio.file.Files.write(out.resolve("sql.log"),
+      lines.mkString("", ";\n", if (lines.isEmpty) "" else ";\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    lines.size.toLong
+  }
+
   /** Pre-flight the task (reference dt-precheck before start_task). */
   def precheck(spark: SparkSession, task: TaskConfig.Task)
       : Seq[Precheck.CheckResult] = {

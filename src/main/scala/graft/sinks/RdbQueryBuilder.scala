@@ -109,6 +109,45 @@ object RdbQueryBuilder {
     * session_replication_role so triggers/FKs sit out replication,
     * exactly the reference's asymmetry).
     */
+  /** Literal single-row statement for the sql sinker — the exact SQL a
+    * manual replay would run (sql_sinker.rs get_query_sql + log_sql):
+    * insert → full-row INSERT, update → SET of the changed columns
+    * WHERE the before-image keys, delete → DELETE WHERE keys. Values
+    * render as literals ([[literal]]), so the artifact is runnable
+    * as-is.
+    */
+  def eventSql(d: Dialect, schema: String, tb: String,
+      keys: Seq[String], rowType: String,
+      before: Map[String, String], after: Map[String, String])
+      : String = {
+    val table = s"${d.quote(schema)}.${d.quote(tb)}"
+    def keyPred(img: Map[String, String]): String =
+      keys.map { k =>
+        val v = img.get(k).flatMap(Option(_))
+        if (v.isEmpty) s"${d.quote(k)} IS NULL"
+        else s"${d.quote(k)}=${literal(v)}"
+      }.mkString(" AND ")
+    rowType match {
+      case "insert" =>
+        val cols = after.keys.toSeq.sorted
+        s"INSERT INTO $table (${cols.map(d.quote).mkString(",")}) " +
+          s"VALUES (${cols.map(c => literal(Option(after(c))
+            .flatMap(Option(_)))).mkString(",")})"
+      case "update" =>
+        val sets = after.keys.toSeq.sorted
+          .filter(c => after.get(c) != before.get(c))
+        val setCols = if (sets.nonEmpty) sets
+          else after.keys.toSeq.sorted.filterNot(keys.contains)
+        s"UPDATE $table SET ${setCols.map(c =>
+          s"${d.quote(c)}=${literal(Option(after(c))
+            .flatMap(Option(_)))}").mkString(", ")} " +
+          s"WHERE ${keyPred(if (before.nonEmpty) before else after)}"
+      case "delete" =>
+        s"DELETE FROM $table WHERE ${keyPred(before)}"
+      case other => sys.error(s"sql sinker: unexpected row type $other")
+    }
+  }
+
   def connSettings(d: Dialect, disableForeignKeyChecks: Boolean,
       transactionIsolation: String = "default"): Seq[String] = {
     val iso = transactionIsolation match {

@@ -385,6 +385,67 @@ class TaskSurfaceSpec extends SparkSuite {
     assert(revise.asScala.exists(_.startsWith("UPDATE")))
   }
 
+  test("sink_type=sql renders the capture as literal statements; " +
+      "reverse=true logs the undo stream") {
+    // a small pgoutput capture: insert, update, delete on one table
+    val w = new graft.sources.PgOutputWriter()
+    w.relation(11L, "shop", "orders", 'f', Seq(
+      graft.sources.PgOutput.RelColumn("id", keyPart = true, 20, -1),
+      graft.sources.PgOutput.RelColumn("note", keyPart = false,
+        25, -1)))
+    w.begin(0x100L, 0L, 50L)
+    w.insert(11L, Array("1", "it's new"))
+    w.commit(0x100L, 0x110L, 0L)
+    w.begin(0x200L, 0L, 51L)
+    w.update(11L, Some('O'), Some(Array("1", "it's new")),
+      Array("1", "paid"))
+    w.commit(0x200L, 0x210L, 0L)
+    w.begin(0x300L, 0L, 52L)
+    w.delete(11L, 'O', Array("1", "paid"))
+    w.commit(0x300L, 0x310L, 0L)
+    val capture = Files.createTempFile("graft-sqlsink", ".wal")
+    Files.write(capture, w.bytes())
+    val sink = tmp("graft-sqlsink-out")
+    def ini(reverse: Boolean): String =
+      s"""[extractor]
+         |db_type=pg
+         |extract_type=cdc
+         |url=$capture
+         |id_cols=orders:id
+         |[filter]
+         |do_tbs=shop.*
+         |[router]
+         |db_map=shop:dw
+         |[sinker]
+         |db_type=mysql
+         |sink_type=sql
+         |reverse=$reverse
+         |url=$sink
+         |""".stripMargin
+    val n = TaskRunner.runSqlSink(spark, TaskConfig.fromIni(
+      ini(reverse = false)))
+    assert(n == 3L)
+    val lines = Files.readAllLines(
+      Paths.get(s"$sink/sql.log")).asScala.toSeq
+    assert(lines(0) ==
+      "INSERT INTO `dw`.`orders` (`id`,`note`) " +
+        "VALUES ('1','it''s new');")
+    assert(lines(1) ==
+      "UPDATE `dw`.`orders` SET `note`='paid' WHERE `id`='1';")
+    assert(lines(2) == "DELETE FROM `dw`.`orders` WHERE `id`='1';")
+
+    // the undo stream: inverse ops in stream order
+    TaskRunner.runSqlSink(spark, TaskConfig.fromIni(
+      ini(reverse = true))): Unit
+    val undo = Files.readAllLines(
+      Paths.get(s"$sink/sql.log")).asScala.toSeq
+    assert(undo(0) == "DELETE FROM `dw`.`orders` WHERE `id`='1';")
+    assert(undo(1) ==
+      "UPDATE `dw`.`orders` SET `note`='it''s new' WHERE `id`='1';")
+    assert(undo(2) ==
+      "INSERT INTO `dw`.`orders` (`id`,`note`) VALUES ('1','paid');")
+  }
+
   test("snapshot_file task parses an RDB dump into landed rows") {
     // minimal RDB: header, db 0, three plain string keys, EOF
     val out = new ByteArrayOutputStream()
