@@ -535,13 +535,55 @@ object ScenarioRunner {
       routedDefs.keys.foreach { case (rdb, rtb) =>
         MemMongo.register(runId, collOf(rdb, rtb)) }
 
+      // wire pass: every update's after-image is REBUILT by
+      // synthesizing the `$v:2` oplog diff of the image pair and
+      // running it through the PRODUCTION decode (oplogUpdateDoc →
+      // flatten → apply over the before image) — the
+      // mongo_cdc_extractor path; the rebuild must equal the direct
+      // image before the pipeline consumes it
+      def oplogRebuild(d: TableDef, before: Map[String, Value],
+          after: Map[String, Value]): Map[String, Value] = {
+        def v(img: Map[String, Value], c: String): Value =
+          img.getOrElse(c, null)
+        val ins = d.cols.filter(c =>
+          v(before, c) == null && v(after, c) != null)
+        val upd = d.cols.filter(c => v(before, c) != null &&
+          v(after, c) != null && before(c) != after(c))
+        val del = d.cols.filter(c =>
+          v(before, c) != null && v(after, c) == null)
+        val diff = Map.newBuilder[String, Any]
+        if (ins.nonEmpty)
+          diff += "i" -> ins.map(c => c -> (after(c): Any)).toMap
+        if (upd.nonEmpty)
+          diff += "u" -> upd.map(c => c -> (after(c): Any)).toMap
+        if (del.nonEmpty)
+          diff += "d" -> del.map(c => c -> (true: Any)).toMap
+        val (set, unset) = graft.operators.MongoOps.oplogUpdateDoc(
+          Map("diff" -> diff.result()))
+        val applied = (before.filter(_._2 != null) ++
+          set.map { case (k, x) => k -> x.asInstanceOf[Value] }) --
+          unset
+        val rebuilt = d.cols.map(c =>
+          c -> applied.getOrElse(c, null: Value)).toMap
+        val want = d.cols.map(c => c -> v(after, c)).toMap
+        require(rebuilt == want,
+          s"$$v:2 oplog rebuild diverged:\n  rebuilt: $rebuilt\n" +
+            s"  direct:  $want")
+        rebuilt
+      }
+      val wiredEvents = routedEvents.map { e =>
+        if (e.rowType != "update") e
+        else e.copy(after = oplogRebuild(
+          routedDefs((e.dstDb, e.dstTb)), e.before, e.after))
+      }
+
       // the merger input: one row per routed event
       val schema = StructType(Seq(
         StructField("tb", StringType), StructField("seq", LongType),
         StructField("row_type", StringType),
         StructField("id", StringType),
         StructField("doc", MapType(StringType, StringType))))
-      val evRows = routedEvents.map { e =>
+      val evRows = wiredEvents.map { e =>
         val d = routedDefs((e.dstDb, e.dstTb))
         val img = if (e.rowType == "delete") e.before else e.after
         val id = idOf(d, img)
