@@ -13,3 +13,11 @@ INSERT INTO app.with_updates VALUES (3,'new','third');
 UPDATE app.with_updates SET note = 'revised' WHERE id = 2;
 DELETE FROM app.with_updates WHERE id = 3;
 UPDATE app.with_updates SET status = 'done' WHERE id = 2;
+
+-- field-level $v:2 shapes: NULL->value rebuilds via diff.i,
+-- value->NULL via diff.d, value->value via diff.u — all three in one
+-- statement stream (the oplog rebuild asserts each)
+INSERT INTO app.with_updates VALUES (5,'new',NULL);
+UPDATE app.with_updates SET note = 'added' WHERE id = 5;
+UPDATE app.with_updates SET status = NULL, note = 'kept' WHERE id = 5;
+UPDATE app.with_updates SET status = 'back', note = NULL WHERE id = 5;

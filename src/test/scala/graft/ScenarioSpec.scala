@@ -163,8 +163,11 @@ class ScenarioSpec extends SparkSuite {
     // first update demotes the tail to the serial lane; $set updates
     // land in order
     val wu = r.perTable("app.with_updates")._2
+    // id=5 walked NULL->value (diff.i), value->NULL (diff.d), and
+    // value->value (diff.u) through the $v:2 rebuild
     assert(wu.map(m => (m("_id"), m("status"), m("note"))).toSet ==
-      Set(("1", "active", "first"), ("2", "done", "revised")))
+      Set(("1", "active", "first"), ("2", "done", "revised"),
+        ("5", "back", null)))
   }
 
   test("redis scenario: replace/DEL chunks round-trip the RESP wire; " +
