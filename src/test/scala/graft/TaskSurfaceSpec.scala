@@ -385,6 +385,42 @@ class TaskSurfaceSpec extends SparkSuite {
     assert(revise.asScala.exists(_.startsWith("UPDATE")))
   }
 
+  test("partition_cols splits the snapshot output on the configured " +
+      "column") {
+    val sink = tmp("graft-partcols")
+    val task = TaskConfig.fromIni(
+      s"""[extractor]
+         |url=$sf
+         |parallel_size=4
+         |partition_cols=json:[{"db":"app","tb":"customer","partition_col":"c_custkey"}]
+         |[filter]
+         |do_tbs=customer
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    val results = TaskRunner.runSnapshot(spark, task)
+    assert(results.map(_.rows).sum > 0)
+    val out = Paths.get(s"$sink/app.customer")
+    val parts = Files.list(out).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("part-")).toSeq
+    // repartitionByRange(4, c_custkey): multiple range files, and
+    // each file's key range is disjoint (the chunked-extract shape)
+    assert(parts.size > 1 && parts.size <= 4, s"parts=$parts")
+    val ranges = parts.map { p =>
+      val df = spark.read.parquet(s"$out/$p")
+      (df.agg(min(col("c_custkey"))).head.getLong(0),
+        df.agg(max(col("c_custkey"))).head.getLong(0))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) =>
+        assert(hi < lo, s"overlapping ranges: $ranges")
+      case _ => ()
+    }
+    // total content identical to the unpartitioned copy
+    assert(spark.read.parquet(out.toString).count() ==
+      results.map(_.rows).sum)
+  }
+
   test("sink_type=sql renders the capture as literal statements; " +
       "reverse=true logs the undo stream") {
     // a small pgoutput capture: insert, update, delete on one table
