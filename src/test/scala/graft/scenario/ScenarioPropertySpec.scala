@@ -281,6 +281,140 @@ class ScenarioPropertySpec extends SparkSuite {
     }
   }
 
+  /** Random TYPED tables for the binlog wire-codec fuzz: a pk plus
+    * 3-5 columns drawn from the full supported type pool, values
+    * valid-and-canonical for each type (fraction seconds without
+    * trailing zeros, binary-exact floats, canonical decimals), NULLs
+    * mixed in. The wire lane asserts decoded ≡ synthesized per event,
+    * so every trial fuzzes mysqlColSpec + the typed codecs end to end.
+    */
+  private def genTypedScenario(rnd: Random): (String, String, String) = {
+    val pool = Vector("tinyint", "smallint", "mediumint", "int",
+      "bigint", "decimal(10,4)", "float", "double", "date", "time(3)",
+      "datetime(6)", "year", "varchar(32)", "char(8)", "blob")
+    val exactFloats =
+      Vector("0.5", "-2.75", "1024.125", "3", "-0.0625", "7.25")
+    val nCols = 3 + rnd.nextInt(3)
+    val colTypes = (0 until nCols)
+      .map(i => s"c_$i" -> pool(rnd.nextInt(pool.size)))
+    def fracDigits(max: Int): String = {
+      val n = 1 + rnd.nextInt(max)
+      val body = (0 until n - 1).map(_ => rnd.nextInt(10)).mkString
+      body + (1 + rnd.nextInt(9)) // last digit nonzero (trim-stable)
+    }
+    def randValue(t: String): String = t match {
+      case "tinyint" => (rnd.nextInt(256) - 128).toString
+      case "smallint" => (rnd.nextInt(65536) - 32768).toString
+      case "mediumint" => (rnd.nextInt(1 << 24) - (1 << 23)).toString
+      case "int" => rnd.nextInt().toString
+      case "bigint" => rnd.nextLong().toString
+      case "decimal(10,4)" =>
+        val v = new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(
+            rnd.nextLong() % 1000000000L), 4)
+        v.stripTrailingZeros.toPlainString
+      case "float" | "double" =>
+        exactFloats(rnd.nextInt(exactFloats.size))
+      case "date" =>
+        f"${2000 + rnd.nextInt(30)}%04d-${1 + rnd.nextInt(12)}%02d-" +
+          f"${1 + rnd.nextInt(28)}%02d"
+      case "time(3)" =>
+        val base = f"${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:" +
+          f"${rnd.nextInt(60)}%02d"
+        if (rnd.nextBoolean()) base else s"$base.${fracDigits(3)}"
+      case "datetime(6)" =>
+        val base = f"${2000 + rnd.nextInt(30)}%04d-" +
+          f"${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d " +
+          f"${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:" +
+          f"${rnd.nextInt(60)}%02d"
+        if (rnd.nextBoolean()) base else s"$base.${fracDigits(6)}"
+      case "year" => (1901 + rnd.nextInt(150)).toString
+      case "varchar(32)" =>
+        val alphabet = "abcXYZ012 éü中λ"
+        (0 until rnd.nextInt(12)).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString
+      case "char(8)" =>
+        (0 until 1 + rnd.nextInt(7)).map(_ =>
+          ('a' + rnd.nextInt(26)).toChar).mkString
+      case "blob" =>
+        (0 until 2 * (1 + rnd.nextInt(6))).map(_ =>
+          "0123456789abcdef"(rnd.nextInt(16))).mkString
+      case other => sys.error(other)
+    }
+    def lit(t: String, v: String): String =
+      if (v == null) "NULL"
+      else t match {
+        case "blob" => s"x'$v'"
+        case "date" | "time(3)" | "datetime(6)" | "varchar(32)" |
+          "char(8)" => s"'${v.replace("'", "''")}'"
+        case _ => v
+      }
+    val prepare =
+      s"""CREATE DATABASE typed_db;
+         |CREATE TABLE typed_db.t (id int${colTypes.map { case (c, t) =>
+          s", $c $t DEFAULT NULL" }.mkString}, PRIMARY KEY (id));
+         |""".stripMargin
+    var ids = Vector.empty[Int]
+    var nextId = 1
+    val stmts = Seq.newBuilder[String]
+    (0 until 12 + rnd.nextInt(8)).foreach { _ =>
+      rnd.nextInt(4) match {
+        case 0 | 1 => // INSERT with a fresh pk
+          val vals = colTypes.map { case (_, t) =>
+            if (rnd.nextInt(5) == 0) null else randValue(t) }
+          stmts += s"INSERT INTO typed_db.t VALUES ($nextId" +
+            colTypes.zip(vals).map { case ((_, t), v) =>
+              s", ${lit(t, v)}" }.mkString + ");"
+          ids :+= nextId; nextId += 1
+        case 2 if ids.nonEmpty => // UPDATE one typed col by pk
+          val id = ids(rnd.nextInt(ids.size))
+          val (c, t) = colTypes(rnd.nextInt(colTypes.size))
+          val v = if (rnd.nextInt(5) == 0) null else randValue(t)
+          stmts += s"UPDATE typed_db.t SET $c = ${lit(t, v)} " +
+            s"WHERE id = $id;"
+        case _ if ids.nonEmpty => // DELETE by pk
+          val i = rnd.nextInt(ids.size)
+          stmts += s"DELETE FROM typed_db.t WHERE id = ${ids(i)};"
+          ids = ids.patch(i, Nil, 1)
+        case _ => ()
+      }
+    }
+    val ini =
+      s"""[extractor]
+         |db_type=mysql
+         |extract_type=cdc
+         |url=fixture://src
+         |
+         |[filter]
+         |do_tbs=typed_db.*
+         |do_events=insert,update,delete
+         |
+         |[sinker]
+         |db_type=mysql
+         |batch_size=${1 + rnd.nextInt(4)}
+         |url=fixture://dst
+         |""".stripMargin
+    (ini, prepare, stmts.result().mkString("\n"))
+  }
+
+  test(s"random TYPED tables fuzz the binlog wire codecs through the " +
+      s"full pipeline over $Trials trials") {
+    val rnd = new Random(0xB1601C0D)
+    (1 to Trials).foreach { trial =>
+      val (ini, prepare, test) = genTypedScenario(rnd)
+      val dir = Files.createTempDirectory(s"graft-proptyped-$trial")
+      Files.writeString(dir.resolve("task_config.ini"), ini)
+      Files.writeString(dir.resolve("src_prepare.sql"), prepare)
+      Files.writeString(dir.resolve("src_test.sql"), test)
+      try ScenarioRunner.run(spark, dir)
+      catch {
+        case e: Throwable =>
+          fail(s"trial $trial failed (prepare:\n$prepare\nscript:\n" +
+            s"$test\n): ${e.getMessage}")
+      }
+    }
+  }
+
   test(s"random keyed DML scripts through the wire-sink lanes " +
       s"(redis/kafka/starrocks/http_server) over $Trials trials") {
     val rnd = new Random(0x5EAF00D)
