@@ -76,11 +76,20 @@ object CdcPipeline {
       // statements — the reference's table_parallelizer /
       // serial lanes, for sinks or workloads where key compaction
       // is unwanted (e.g. triggers that must see every event)
-      parallelType: String = "rdb_merge")
+      parallelType: String = "rdb_merge",
+      // [pipeline] batch_sink_interval_secs (base_pipeline.rs:127):
+      // sinks that want BIG batches (foxlake) flush on a cadence
+      // instead of per-arrival — as a Spark trigger, the micro-batch
+      // interval; None keeps the drain-everything-now default
+      batchSinkIntervalSecs: Option[Int] = None)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream
       .outputMode("update")
-      .trigger(Trigger.AvailableNow())
+      .trigger(batchSinkIntervalSecs match {
+        case Some(s) if s > 0 =>
+          Trigger.ProcessingTime(s.toLong * 1000L)
+        case _ => Trigger.AvailableNow()
+      })
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // When throttling or monitoring, persist the micro-batch before
         // counting — otherwise count() re-executes the un-cached source
