@@ -188,6 +188,18 @@ class ScenarioSpec extends SparkSuite {
         "user" -> "dan", "score" -> "20"))
   }
 
+  test("sql-sink scenario: the literal statement log replays to the " +
+      "source end state and the reversed log undoes to the baseline") {
+    val r = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("mysql_to_sql_cdc"))
+    // runSqlSink-shaped lane: forward replay asserted vs src inside
+    // the runner (and undo vs post-prepare); pin the routed end state
+    val (_, got) = r.perTable("replay_db.orders")
+    assert(got.map(_("id")).toSet == Set("1", "4"))
+    assert(got.find(_("id") == "1").get("state") == "paid")
+    assert(got.find(_("id") == "4").get("state") == null)
+  }
+
   test("all-types scenario: every typed codec round-trips the binlog " +
       "wire into the applied end state") {
     val r = ScenarioRunner.run(spark,

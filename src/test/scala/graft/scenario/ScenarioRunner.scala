@@ -1025,6 +1025,102 @@ object ScenarioRunner {
         states.values.map(_.size.toLong).sum, perTable)
     }
 
+    // ---- sql route (reference to_sql_test / sql_sinker.rs): every
+    // admitted event renders as a literal runnable statement through
+    // the REAL eventSql; the INDEPENDENT fixture interpreter executes
+    // the log and must land on the source end state — and the
+    // REVERSED log applied afterwards must undo everything back to
+    // the post-prepare state (the undo-stream contract)
+    if (task.sinkType == "sql") {
+      require(admitted.forall(_.rowType != "ddl"),
+        "sql-sink scenarios carry no DDL")
+      import graft.sinks.RdbQueryBuilder
+      def render(dstDb: String, dstTb: String, rowType: String,
+          before: Map[String, Value], after: Map[String, Value])
+          : String = {
+        val d = routedDefs((dstDb, dstTb))
+        RdbQueryBuilder.eventSql(dialect, dstDb, dstTb, d.keyCols,
+          rowType, before, after)
+      }
+      // the sql sinker logs from a CDC position: the src_test TAIL
+      // only — prepare state is the baseline the log applies over
+      val base = new SourceState
+      base.applyAll(prepStmts)
+      val cut = base.events.size.toLong
+      val tail = routedEvents.filter(_.seq > cut)
+      val forward = tail.map(e =>
+        render(e.dstDb, e.dstTb, e.rowType, e.before, e.after))
+      // the undo stream: reversed order, each event inverted
+      // (row_data.rs reverse: insert↔delete, update swaps images)
+      val undo = tail.reverse.map { e =>
+        e.rowType match {
+          case "insert" =>
+            render(e.dstDb, e.dstTb, "delete", e.after, Map.empty)
+          case "delete" =>
+            render(e.dstDb, e.dstTb, "insert", Map.empty, e.before)
+          case "update" =>
+            render(e.dstDb, e.dstTb, "update", e.after, e.before)
+        }
+      }
+      // seed the independent interpreter with the routed baseline,
+      // then execute the forward log verbatim
+      val replay = new SourceState
+      routedDefs.values.foreach(d => replay.apply(CreateTable(d)))
+      base.rows.foreach { case ((db, tb), rows) =>
+        if (task.filter.allowTable(db, tb)) {
+          val (rdb, rtb) = task.router.routeTable(db, tb)
+          val d = routedDefs((rdb, rtb))
+          rows.foreach { r =>
+            val img = project(db, tb, r)
+            replay.apply(Insert(rdb, rtb, Some(d.cols),
+              Seq(d.cols.map(c => img.getOrElse(c, null: Value)))))
+          }
+        }
+      }
+      forward.foreach(s => replay.apply(parseStatement(s)))
+      def stateOf(st: SourceState, rdb: String, rtb: String)
+          : Seq[Map[String, Value]] = {
+        val d = routedDefs((rdb, rtb))
+        st.rows((rdb, rtb)).toSeq.map(r =>
+          d.cols.map(c => c -> r.getOrElse(c, null: Value)).toMap)
+      }
+      val perTable = routedDefs.map { case ((rdb, rtb), d) =>
+        val got = stateOf(replay, rdb, rtb)
+        val fullFidelity =
+          task.filter.doEvents == Set("insert", "update", "delete") &&
+            task.luaCodeFile.isEmpty
+        if (fullFidelity) {
+          val (db, tb) = src.defs.keys
+            .find(k => task.router.routeTable(k._1, k._2) ==
+              (rdb, rtb)).get
+          val srcState = src.rows((db, tb)).toSeq
+            .map(project(db, tb, _))
+            .map(r => d.cols.map(c =>
+              c -> r.getOrElse(c, null: Value)).toMap)
+          compareStates(s"$rdb.$rtb (sql replay vs src)", srcState,
+            got)
+        }
+        s"$rdb.$rtb" -> (got, got)
+      }
+      // undo: applying the reversed log returns to post-prepare
+      undo.foreach(s => replay.apply(parseStatement(s)))
+      routedDefs.keys.foreach { case (rdb, rtb) =>
+        val (db, tb) = src.defs.keys
+          .find(k => task.router.routeTable(k._1, k._2) ==
+            (rdb, rtb)).get
+        val d = routedDefs((rdb, rtb))
+        val want = base.rows((db, tb)).toSeq
+          .filter(r => task.filter.allowTable(db, tb))
+          .map(project(db, tb, _))
+          .map(r => d.cols.map(c =>
+            c -> r.getOrElse(c, null: Value)).toMap)
+        compareStates(s"$rdb.$rtb (undo vs post-prepare)", want,
+          stateOf(replay, rdb, rtb))
+      }
+      return Result(perTable.size,
+        perTable.values.map(_._2.size.toLong).sum, perTable)
+    }
+
     // ---- per routed table: DataFrame -> real compaction -> real
     // apply planning -> statements against the in-memory dst engine
     def applyTableBatch(defs: Map[(String, String), TableDef])(
