@@ -188,6 +188,16 @@ class ScenarioSpec extends SparkSuite {
         "user" -> "dan", "score" -> "20"))
   }
 
+  test("gtid scenario: transactions the configured gtid_set contains " +
+      "skip at the wire; the stream resumes from gno 3") {
+    val r = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("mysql_cdc_gtid_resume"))
+    val (_, got) = r.perTable("gt_db.jobs")
+    // gno 1-2 (ids 1,2) skipped whole; id 3 inserted+updated, id 4
+    // inserted+deleted
+    assert(got == Seq(Map("id" -> "3", "state" -> "running")))
+  }
+
   test("sql-sink scenario: the literal statement log replays to the " +
       "source end state and the reversed log undoes to the baseline") {
     val r = ScenarioRunner.run(spark,

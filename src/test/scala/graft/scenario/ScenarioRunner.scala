@@ -276,7 +276,11 @@ object ScenarioRunner {
     val isFullSync =
       task.extractType == TaskConfig.SnapshotAndCdcExtract
     def wired: Seq[Event] = task.dbType match {
-      case "mysql" => WireFidelity.mysqlRoundTrip(src)
+      case "mysql" =>
+        // [extractor] gtid_set: transactions the set contains skip at
+        // the wire (the server's reconnect auto-skip)
+        WireFidelity.mysqlRoundTrip(src,
+          task.source.gtidSet.filter(_ => task.source.gtidEnabled))
       case "pg" | "postgres" | "postgresql" =>
         WireFidelity.pgRoundTrip(src)
       case _ => src.events.toSeq
@@ -493,6 +497,7 @@ object ScenarioRunner {
         compareStates(s"$rdb.$rtb", want, got)
         val fullFidelity = (isSnapshot ||
           task.filter.doEvents == Set("insert", "update", "delete")) &&
+          task.source.gtidSet.isEmpty &&
           task.luaCodeFile.isEmpty
         if (fullFidelity) {
           val (db, tb) = src.defs.keys
@@ -633,7 +638,8 @@ object ScenarioRunner {
         val want = naiveM(cname).values.toSeq
         compareStates(cname, want, got)
         val fullFidelity =
-          task.filter.doEvents == Set("insert", "update", "delete")
+          task.filter.doEvents == Set("insert", "update", "delete") &&
+            task.source.gtidSet.isEmpty
         if (fullFidelity && task.luaCodeFile.isEmpty) {
           val (db, tb) = src.defs.keys
             .find(k => task.router.routeTable(k._1, k._2) ==
@@ -736,6 +742,7 @@ object ScenarioRunner {
         compareStates(s"$topic/$rdb.$rtb", want, got)
         val fullFidelity =
           task.filter.doEvents == Set("insert", "update", "delete") &&
+            task.source.gtidSet.isEmpty &&
             task.luaCodeFile.isEmpty
         if (fullFidelity) {
           val (db, tb) = src.defs.keys
@@ -853,6 +860,7 @@ object ScenarioRunner {
         compareStates(s"$rdb.$rtb", naiveW.values.toSeq, got)
         val fullFidelity =
           task.filter.doEvents == Set("insert", "update", "delete") &&
+            task.source.gtidSet.isEmpty &&
             task.luaCodeFile.isEmpty
         if (fullFidelity) {
           val (db, tb) = src.defs.keys
@@ -1008,6 +1016,7 @@ object ScenarioRunner {
         compareStates(s"$rdb.$rtb", naiveS.values.toSeq, got)
         val fullFidelity =
           task.filter.doEvents == Set("insert", "update", "delete") &&
+            task.source.gtidSet.isEmpty &&
             task.luaCodeFile.isEmpty
         if (fullFidelity) {
           val (db, tb) = src.defs.keys
@@ -1088,6 +1097,7 @@ object ScenarioRunner {
         val got = stateOf(replay, rdb, rtb)
         val fullFidelity =
           task.filter.doEvents == Set("insert", "update", "delete") &&
+            task.source.gtidSet.isEmpty &&
             task.luaCodeFile.isEmpty
         if (fullFidelity) {
           val (db, tb) = src.defs.keys
@@ -1335,8 +1345,9 @@ object ScenarioRunner {
       // the source's own end state is a second oracle whenever the
       // event gates admit everything (otherwise dst is a lawful
       // subset of src)
-      val fullFidelity = !isSnapshot &&
+      val fullFidelity = task.source.gtidSet.isEmpty && !isSnapshot &&
         task.filter.doEvents == Set("insert", "update", "delete") &&
+            task.source.gtidSet.isEmpty &&
         // a filtered-out DDL lawfully desyncs dst schema from src
         (!ddlPresent || task.filter.doDdls.contains("*"))
       // a Lua processor rewrites rows in flight, so the source state

@@ -30,6 +30,9 @@ import FixtureSql._
   */
 object WireFidelity {
 
+  /** The server uuid the encoder stamps on GTID events. */
+  final val EncoderUuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+
   private val Paren = "\\(([^)]*)\\)".r
 
   private def baseOf(declared: String): String =
@@ -136,16 +139,39 @@ object WireFidelity {
   /** Encode the synthesized CDC stream as a binlog v4 file, decode it
     * with the production decoder, assert event-identity, and return
     * the decoded stream carrying the original sequence numbers.
+    *
+    * `gtidSet`: when the task configures `[extractor] gtid_set`, the
+    * decode applies [[MysqlBinlog.startFilter]]'s GTID gate — whole
+    * transactions the set contains are skipped at the wire, exactly
+    * the server's auto-skip on reconnect. The encoder assigns gno =
+    * the 1-based ROW-event ordinal, so the expected survivor list is
+    * derivable from the synthesized stream and asserted.
     */
-  def mysqlRoundTrip(src: SourceState): Seq[Event] = {
-    val want = src.events.toSeq
+  def mysqlRoundTrip(src: SourceState,
+      gtidSet: Option[String] = None): Seq[Event] = {
+    val all = src.events.toSeq
+    val done = gtidSet.map(graft.meta.GtidSet.parse)
+    val want =
+      if (done.isEmpty) all
+      else {
+        // drop row events whose gno (1-based row ordinal) the set
+        // contains; DDL rides Query events without a gtid and stays
+        var gno = 0L
+        all.filter { e =>
+          if (e.rowType == "ddl") true
+          else {
+            gno += 1
+            !done.get.contains(s"$EncoderUuid:$gno")
+          }
+        }
+      }
     val w = new MysqlBinlogWriter()
     w.fde()
     val defs = mutable.LinkedHashMap[(String, String), TableDef]()
     src.createdDefs.foreach { case (k, d) => defs(k) = d }
     val tableIds = mutable.LinkedHashMap[(String, String), Long]()
     var gno = 0L
-    want.foreach { e =>
+    all.foreach { e =>
       if (e.rowType == "ddl") {
         // a statement-based event: the server binlogs DDL as a Query
         // event in its own transaction (mysql_cdc_extractor's
@@ -159,7 +185,7 @@ object WireFidelity {
         val id = tableIds.getOrElseUpdate((e.db, e.tb),
           tableIds.size + 23L)
         gno += 1
-        w.gtid("3e11fa47-71ca-11e1-9e33-c80aa9429562", gno)
+        w.gtid(EncoderUuid, gno)
         def body(wr: MysqlBinlogWriter): Unit = {
           wr.begin(e.db)
           // a TableMap precedes every rows event in a real binlog
@@ -223,7 +249,13 @@ object WireFidelity {
         inner.foreach { case (_, ie) => walk(ie) }
       case _ => () // FDE/Gtid/Xid/BEGIN-Query: no row images
     }
-    MysqlBinlog.readFile(w.bytes()).foreach { case (_, ev) => walk(ev) }
+    val decodedStream = done match {
+      case None => MysqlBinlog.readFile(w.bytes())
+      case Some(set) => MysqlBinlog.startFilter(
+        MysqlBinlog.readFile(w.bytes()), "binlog.000001",
+        doneGtids = Some(set))
+    }
+    decodedStream.foreach { case (_, ev) => walk(ev) }
 
     spliceAndCheck(want, decoded.toSeq, "binlog")
   }
