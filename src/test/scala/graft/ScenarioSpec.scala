@@ -188,6 +188,18 @@ class ScenarioSpec extends SparkSuite {
         "user" -> "dan", "score" -> "20"))
   }
 
+  test("regex filter scenario: r#...# admits by pattern and " +
+      "ignore_tbs subtracts from the match") {
+    val r = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("mysql_cdc_regex_filter"))
+    assert(r.perTable.keySet ==
+      Set("rf_db.orders_2023", "rf_db.orders_2024"))
+    assert(r.perTable("rf_db.orders_2023")._2
+      .map(_("id")).toSet == Set("2"))
+    assert(r.perTable("rf_db.orders_2024")._2
+      .map(m => (m("id"), m("v"))) == Seq(("1", "b2")))
+  }
+
   test("gtid scenario: transactions the configured gtid_set contains " +
       "skip at the wire; the stream resumes from gno 3") {
     val r = ScenarioRunner.run(spark,
