@@ -210,6 +210,11 @@ object WireFidelity {
         // scenario stream also covers the compressed-txn decode path
         if (gno % 3 == 0) w.transactionPayload(zstd = true)(body)
         else body(w)
+        // a server rotates binlog files mid-stream; every fifth txn a
+        // Rotate event switches the decoder's file context (position
+        // bookkeeping rides it — toChangeEvents tracks the filename)
+        if (gno % 5 == 0)
+          w.rotate(4L, f"binlog.${gno / 5 + 1}%06d")
       }
     }
 
