@@ -252,6 +252,17 @@ class ScenarioSpec extends SparkSuite {
     assert(alerts == Seq(Map("id" -> "1", "state" -> "resolved")))
   }
 
+  test("pg->starrocks scenario: the flagship route — pgoutput wire " +
+      "in, routed stream-load PUTs out") {
+    val r = ScenarioRunner.run(spark,
+      ScenarioRunner.corpusRoot.resolve("pg_to_starrocks_cdc"))
+    val (_, got) = r.perTable("dw.events")
+    assert(got.map(_("id")).toSet == Set("1", "4"))
+    val one = got.find(_("id") == "1").get
+    assert(one("kind") == "tap" && one("score") == "1.25")
+    assert(got.find(_("id") == "4").get("kind") == "click")
+  }
+
   test("starrocks scenario: sign+version rows over real loopback " +
       "stream-load PUTs resolve to the source end state") {
     val r = ScenarioRunner.run(spark,
