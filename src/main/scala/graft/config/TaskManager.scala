@@ -159,8 +159,8 @@ object TaskManager {
       if (task.extractType == TaskConfig.CdcExtract &&
           task.walCapture.isDefined && task.slot.isDefined) {
         val capture = task.walCapture.get
-        val bytes = Files.readAllBytes(
-          java.nio.file.Paths.get(capture))
+        // capture is a TASK path (may be s3a/hdfs) — Hadoop FS read
+        val bytes = graft.infra.Fs.readAllBytes(capture)
         // [resumer] resume_type=from_log overrides the position-store
         // location; from_db/from_target name the recorder's metadata
         // table (table_full_name) — the reference's ResumerConfig

@@ -45,8 +45,7 @@ object TaskRunner {
     val df = task.luaCodeFile match {
       case None => dropped
       case Some(f) => graft.transform.LuaScript.snapshotTransform(
-        new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(f)), "UTF-8"), schema, tb)(dropped)
+        graft.infra.Fs.readString(f), schema, tb)(dropped)
     }
     val routed = task.router.renameColumns(schema, tb, df)
     val (toSchema, toTb) = task.router.routeTable(schema, tb)
@@ -96,8 +95,7 @@ object TaskRunner {
       val df = task.luaCodeFile match {
         case None => dropped
         case Some(f) => graft.transform.LuaScript.snapshotTransform(
-          new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(f)), "UTF-8"), schema, tb)(dropped)
+          graft.infra.Fs.readString(f), schema, tb)(dropped)
       }
       val routed = task.router.renameColumns(schema, tb, df)
       val (toSchema, toTb) = task.router.routeTable(schema, tb)
@@ -393,11 +391,10 @@ object TaskRunner {
     */
   def runSqlSink(spark: SparkSession, task: TaskConfig.Task): Long = {
     val capture = task.walCapture.getOrElse(task.sourceDir)
-    val bytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(capture))
+    val bytes = graft.infra.Fs.readAllBytes(capture)
     val events = task.dbType match {
       case "mysql" => graft.sources.MysqlBinlog.decodeFile(bytes,
-        java.nio.file.Paths.get(capture).getFileName.toString)
+        graft.infra.Fs.fileName(capture))
       case _ => graft.sources.PgOutput.decodeFile(bytes)
     }
     val dialect = task.sinkDbType match {
@@ -414,17 +411,20 @@ object TaskRunner {
         def routed(img: Map[String, String]): Map[String, String] =
           img.map { case (c, v) =>
             task.router.routeColumn(e.schema, e.tb, c) -> v }
+        // No configured id_cols for the table → key on the FULL
+        // before-image (every column), never a single arbitrary
+        // column: sql.log is documented as runnable as-is, and a
+        // DELETE/UPDATE keyed on one non-unique column could touch
+        // the wrong rows.
         val keys = task.keysByTable.getOrElse(e.tb,
-          e.keyImage.keys.toSeq.sorted.take(1))
+          e.keyImage.keys.toSeq.sorted)
           .map(task.router.routeColumn(e.schema, e.tb, _))
         graft.sinks.RdbQueryBuilder.eventSql(dialect, toSchema, toTb,
           keys, e.rowType, routed(e.before), routed(e.after))
       }.toSeq
-    val out = java.nio.file.Paths.get(task.sinkDir)
-    java.nio.file.Files.createDirectories(out)
-    java.nio.file.Files.write(out.resolve("sql.log"),
-      lines.mkString("", ";\n", if (lines.isEmpty) "" else ";\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.infra.Fs.mkdirs(task.sinkDir)
+    graft.infra.Fs.writeString(s"${task.sinkDir}/sql.log",
+      lines.mkString("", ";\n", if (lines.isEmpty) "" else ";\n"))
     lines.size.toLong
   }
 
@@ -453,8 +453,7 @@ object TaskRunner {
     units(task).flatMap { case (schema, tb) =>
       val (toSchema, toTb) = task.router.routeTable(schema, tb)
       val dir = s"$logRoot/$toSchema.$toTb"
-      if (!java.nio.file.Files.isDirectory(
-          java.nio.file.Paths.get(dir))) None
+      if (!graft.infra.Fs.isDirectory(dir)) None
       else task.keysByTable.get(tb).map { keys =>
         val logs = CheckLogs.read(spark, dir)
         val revise = CheckLogs.reviseFromLogs(logs,
@@ -478,7 +477,7 @@ object TaskRunner {
       : Seq[(String, Seq[String])] = {
     import graft.struct.{StructFetcher, StructMigrator}
     val dir = task.catalogDir.getOrElse(task.sourceDir)
-    new java.io.File(dir).listFiles().toSeq.map(_.getName)
+    graft.infra.Fs.listNames(dir)
       .filter(_.endsWith(".parquet")).sorted
       .foreach { name =>
         val base = name.stripSuffix(".parquet")
@@ -533,10 +532,10 @@ object TaskRunner {
         s"$schema.$tb" -> stmts
       }
     }
-    val sqlDir = java.nio.file.Paths.get(s"${task.sinkDir}/structs")
-    java.nio.file.Files.createDirectories(sqlDir)
+    val sqlDir = s"${task.sinkDir}/structs"
+    graft.infra.Fs.mkdirs(sqlDir)
     out.foreach { case (name, stmts) =>
-      java.nio.file.Files.writeString(sqlDir.resolve(s"$name.sql"),
+      graft.infra.Fs.writeString(s"$sqlDir/$name.sql",
         stmts.mkString(";\n") + ";\n")
     }
     out
@@ -550,8 +549,7 @@ object TaskRunner {
     */
   def runSnapshotFile(spark: SparkSession, task: TaskConfig.Task)
       : TableResult = {
-    val bytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(task.filePath.get))
+    val bytes = graft.infra.Fs.readAllBytes(task.filePath.get)
     val entries = graft.sources.RedisRdb.parse(bytes)
     import spark.implicits._
     val df = entries.map(e => (e.db, e.key, e.valueType, e.field,
@@ -571,9 +569,8 @@ object TaskRunner {
   def runScan(spark: SparkSession, task: TaskConfig.Task,
       topK: Int = 100): DataFrame = {
     import graft.sources.RedisScanStats
-    val text = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(task.keyspaceFixture.getOrElse(
-        task.sourceDir)))
+    val text = graft.infra.Fs.readString(
+      task.keyspaceFixture.getOrElse(task.sourceDir))
     val conn = RedisScanStats.fixtureConn(text)
     val mode = task.statisticType match {
       case "big_key" => RedisScanStats.BigKey
@@ -613,8 +610,7 @@ object TaskRunner {
     planDf.write.mode(SaveMode.Overwrite)
       .parquet(s"${task.sinkDir}/reshard.plan")
     task.filePath.foreach { fp =>
-      val bytes = java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(fp))
+      val bytes = graft.infra.Fs.readAllBytes(fp)
       val keys = graft.sources.RedisRdb.parse(bytes)
         .map(_.key).distinct.toDF("key")
       RedisReshard.keyMoves(keys, "key", task.slotsBefore,

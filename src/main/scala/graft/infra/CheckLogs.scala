@@ -1,6 +1,5 @@
 package graft.infra
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
@@ -118,22 +117,25 @@ object CheckLogs {
         logLine(schemaName, tb, keys, compareCols, outputFullRow)
           .as("line"))
 
-  private def writeLines(df: DataFrame, target: Path): Path = {
-    val tmp = target.getParent.resolve(s".${target.getFileName}.tmp")
-    df.coalesce(1).write.mode("overwrite").text(tmp.toString)
-    val part = Files.list(tmp).iterator().asScala
-      .find(_.getFileName.toString.startsWith("part-"))
+  private def writeLines(df: DataFrame, target: String): String = {
+    // Hadoop FS throughout: check_log_dir is a TASK path (s3a/hdfs on
+    // a real deployment), and the driver-side part-file move below
+    // must work on the same scheme Spark just wrote to.
+    val hfs = Fs.fs(target)
+    val targetP = new org.apache.hadoop.fs.Path(target)
+    val tmp = s"${targetP.getParent}/.${targetP.getName}.tmp"
+    df.coalesce(1).write.mode("overwrite").text(tmp)
+    val part = hfs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.startsWith("part-"))
     part match {
       case Some(p) =>
-        Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
+        hfs.delete(targetP, false)
+        if (!hfs.rename(p, targetP)) throw new java.io.IOException(
+          s"check log: rename $p -> $target failed")
       case None => // empty partition set: an empty artifact
-        Files.deleteIfExists(target)
-        Files.createFile(target)
+        Fs.write(target, Array.emptyByteArray)
     }
-    scala.util.Using.resource(Files.walk(tmp)) { s =>
-      s.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
+    hfs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     target
   }
 
@@ -144,16 +146,15 @@ object CheckLogs {
     * single file: artifacts are bounded by the defect count (the same
     * argument as the coalesce(1) above).
     */
-  private def rotate(target: Path, maxRows: Int, maxBytes: Long)
+  private def rotate(target: String, maxRows: Int, maxBytes: Long)
       : Unit = {
-    if (!Files.exists(target)) return
-    if (Files.size(target) <= maxBytes) {
-      val quick = scala.util.Using.resource(
-        Files.lines(target))(_.limit(maxRows + 1L).count())
+    if (!Fs.exists(target)) return
+    if (Fs.size(target) <= maxBytes) {
+      val quick = Fs.readLines(target).count(_.nonEmpty)
       if (quick <= maxRows) return
     }
-    val lines = Files.readAllLines(target).asScala.toSeq
-    val base = target.getFileName.toString.stripSuffix(".log")
+    val lines = Fs.readLines(target).filter(_.nonEmpty)
+    val base = Fs.fileName(target).stripSuffix(".log")
     val chunks = scala.collection.mutable.ArrayBuffer[Seq[String]]()
     val cur = scala.collection.mutable.ArrayBuffer[String]()
     var bytes = 0L
@@ -167,9 +168,9 @@ object CheckLogs {
     if (cur.nonEmpty) chunks += cur.toSeq
     chunks.zipWithIndex.foreach { case (c, i) =>
       val name = if (i == 0) s"$base.log" else s"$base.$i.log"
-      Files.write(target.getParent.resolve(name),
-        c.mkString("", "\n", "\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      Fs.writeString(
+        s"${new org.apache.hadoop.fs.Path(target).getParent}/$name",
+        c.mkString("", "\n", "\n"))
     }
   }
 
@@ -180,15 +181,14 @@ object CheckLogs {
     */
   def write(logs: DataFrame, dir: String,
       maxRows: Int = Int.MaxValue,
-      maxBytes: Long = Long.MaxValue): (Path, Path) = {
-    val root = Paths.get(dir)
-    Files.createDirectories(root)
+      maxBytes: Long = Long.MaxValue): (String, String) = {
+    Fs.mkdirs(dir)
     val miss = writeLines(
       logs.filter(col("status") === "MISS").select("line"),
-      root.resolve("miss.log"))
+      s"$dir/miss.log")
     val diff = writeLines(
       logs.filter(col("status") === "DIFF").select("line"),
-      root.resolve("diff.log"))
+      s"$dir/diff.log")
     if (maxRows != Int.MaxValue || maxBytes != Long.MaxValue) {
       rotate(miss, maxRows, maxBytes)
       rotate(diff, maxRows, maxBytes)
@@ -204,14 +204,13 @@ object CheckLogs {
     * operator-facing artifact, not a replayable log.
     */
   def writeReviseSql(checked: DataFrame, table: String,
-      keys: Seq[String], dir: String): Path = {
-    val root = Paths.get(dir)
-    Files.createDirectories(root)
+      keys: Seq[String], dir: String): String = {
+    Fs.mkdirs(dir)
     val lines = checked
       .filter(col(Checker.StatusCol).isin("MISS", "DIFF", "ORPHAN"))
       .select(Checker.reviseSqlPlaceholder(table, keys,
         col(Checker.DiffColsCol), col(Checker.StatusCol)).as("line"))
-    val target = root.resolve("revise.sql")
+    val target = s"$dir/revise.sql"
     writeLines(lines, target)
     target
   }
@@ -277,7 +276,7 @@ object CheckLogs {
     * shape `CheckSummaryLog`) — tiny by construction (one row per
     * table), so the driver-side collect is bounded.
     */
-  def writeSummary(summaries: DataFrame, dir: String): Path = {
+  def writeSummary(summaries: DataFrame, dir: String): String = {
     val rows = summaries.select(to_json(struct(summaries.columns
       .map(col): _*)).as("j")).collect().map(_.getString(0))
     val total = summaries.agg(
@@ -290,11 +289,9 @@ object CheckLogs {
         s""""checked_count":${total.getAs[Long]("checked_count")},""" +
         s""""miss_count":${total.getAs[Long]("miss_count")},""" +
         s""""diff_count":${total.getAs[Long]("diff_count")}}"""
-    val root = Paths.get(dir)
-    Files.createDirectories(root)
-    val target = root.resolve("summary.log")
-    Files.write(target, (head +: rows.toSeq).mkString("\n").getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
+    Fs.mkdirs(dir)
+    val target = s"$dir/summary.log"
+    Fs.writeString(target, (head +: rows.toSeq).mkString("\n"))
     target
   }
 }

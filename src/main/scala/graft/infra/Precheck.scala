@@ -24,13 +24,21 @@ object Precheck {
           s"$path: ${e.getMessage.linesIterator.next()}")
     }
 
-  /** Struct existence: every required table present. */
+  /** Struct existence: every required table present. Probes through
+    * the Hadoop FileSystem API so the check works on any configured
+    * scheme (s3a/hdfs/file) — a `java.io.File` probe answers "no" for
+    * every object-store path and would mask the real read error.
+    */
   def checkTablesExist(spark: SparkSession, dir: String,
       tables: Seq[String]): Seq[CheckResult] =
     tables.map { t =>
-      val p = s"$dir/$t.parquet"
-      val exists = new java.io.File(p).exists() ||
-        (try { spark.read.parquet(p).schema; true }
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val exists =
+        (try {
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(p)
+        } catch { case _: Exception => false }) ||
+        (try { spark.read.parquet(p.toString).schema; true }
         catch { case _: Exception => false })
       CheckResult("table_exists", exists, t)
     }

@@ -47,43 +47,50 @@ object BinlogReplay {
       .repartition(spark.sparkContext.defaultParallelism)
 
     val decoded = orders.mapPartitions { it =>
-      val rows = it.map { r =>
+      // Stream the partition through the encoder 200 rows at a time —
+      // NEVER materialize the partition (or the full binlog bytes)
+      // per task: each 200-row chunk becomes one bounded binlog
+      // segment (FDE + one txn, the rotate layout a size-capped
+      // max_binlog_size produces) that is encoded, decoded, and
+      // released before the next chunk is pulled. Per-task memory is
+      // O(chunk), independent of partition size.
+      var txn = 0L
+      var seq = 0L
+      it.map { r =>
         Array(r.getLong(0).toString, r.getLong(1).toString,
           r.getString(2), r.getDouble(3).toString, r.getString(4),
           r.getString(5))
-      }.toSeq
-      if (rows.isEmpty) Iterator.empty
-      else {
+      }.grouped(200).flatMap { chunk =>
+        txn += 1
         val w = new MysqlBinlogWriter(serverId = 1L)
         w.fde()
-        var txn = 0L
-        rows.grouped(200).foreach { chunk =>
-          txn += 1
-          def writeTxn(enc: MysqlBinlogWriter): Unit = {
-            enc.begin("tpch")
-            enc.tableMap(11L, "tpch", "orders", Types, Meta,
-              nullable = Seq.fill(6)(true), colNames = Cols)
-            enc.writeRows(11L, chunk)
-            val updated = chunk.filter(_(2) == "F").map { r =>
-              (r, r.updated(5, "X-UPDATED"))
-            }
-            if (updated.nonEmpty) enc.updateRows(11L, updated)
-            val doomed = chunk.map { r =>
-              if (r(2) == "F") r.updated(5, "X-UPDATED") else r
-            }.filter(_(0).toLong % 7 == 0)
-            if (doomed.nonEmpty) enc.deleteRows(11L, doomed)
-            enc.xid(txn)
+        def writeTxn(enc: MysqlBinlogWriter): Unit = {
+          enc.begin("tpch")
+          enc.tableMap(11L, "tpch", "orders", Types, Meta,
+            nullable = Seq.fill(6)(true), colNames = Cols)
+          enc.writeRows(11L, chunk)
+          val updated = chunk.filter(_(2) == "F").map { r =>
+            (r, r.updated(5, "X-UPDATED"))
           }
-          if (txn % 3 == 0) w.transactionPayload(zstd = true)(writeTxn)
-          else writeTxn(w)
+          if (updated.nonEmpty) enc.updateRows(11L, updated)
+          val doomed = chunk.map { r =>
+            if (r(2) == "F") r.updated(5, "X-UPDATED") else r
+          }.filter(_(0).toLong % 7 == 0)
+          if (doomed.nonEmpty) enc.deleteRows(11L, doomed)
+          enc.xid(txn)
         }
-        val events = MysqlBinlog.decodeFile(w.bytes(), "binlog.000001")
-        events.iterator.zipWithIndex.map { case (e, i) =>
+        if (txn % 3 == 0) w.transactionPayload(zstd = true)(writeTxn)
+        else writeTxn(w)
+        val events = MysqlBinlog.decodeFile(w.bytes(),
+          f"binlog.$txn%06d")
+        events.map { e =>
           val img = if (e.rowType == RowKind.Delete) e.before else e.after
-          Decoded(i.toLong, e.rowType,
+          val d = Decoded(seq, e.rowType,
             img("o_orderkey").toLong, img("o_custkey").toLong,
             img("o_orderstatus"), img("o_totalprice").toDouble,
             img("odate"), img("o_orderpriority"))
+          seq += 1
+          d
         }
       }
     }
@@ -120,47 +127,52 @@ object BinlogReplay {
       .repartition(spark.sparkContext.defaultParallelism)
 
     val decoded = customer.mapPartitions { it =>
-      val rows = it.map { r =>
+      // Same streaming discipline as the mysql path: one bounded
+      // capture segment per 200-row chunk (each self-describing — pg
+      // re-sends Relation per connection, so per-segment replay must
+      // carry it), encoded+decoded+released before the next chunk is
+      // pulled; per-task memory O(chunk), not O(partition).
+      val cols = Seq(
+        graft.sources.PgOutput.RelColumn("c_custkey", keyPart = true,
+          typeOid = 20, typeMod = -1),
+        graft.sources.PgOutput.RelColumn("c_name", false, 25, -1),
+        graft.sources.PgOutput.RelColumn("c_nationkey", false, 23, -1),
+        graft.sources.PgOutput.RelColumn("c_acctbal", false, 701, -1),
+        graft.sources.PgOutput.RelColumn("c_mktsegment", false, 25, -1))
+      var lsn = 0x1000L
+      var xid = 0L
+      var seq = 0L
+      it.map { r =>
         Array(r.getLong(0).toString, r.getString(1),
           r.getInt(2).toString, r.getDouble(3).toString, r.getString(4))
-      }.toSeq
-      if (rows.isEmpty) Iterator.empty
-      else {
+      }.grouped(200).flatMap { chunk =>
+        xid += 1
         val w = new graft.sources.PgOutputWriter()
-        val cols = Seq(
-          graft.sources.PgOutput.RelColumn("c_custkey", keyPart = true,
-            typeOid = 20, typeMod = -1),
-          graft.sources.PgOutput.RelColumn("c_name", false, 25, -1),
-          graft.sources.PgOutput.RelColumn("c_nationkey", false, 23, -1),
-          graft.sources.PgOutput.RelColumn("c_acctbal", false, 701, -1),
-          graft.sources.PgOutput.RelColumn("c_mktsegment", false, 25, -1))
-        var lsn = 0x1000L
-        var xid = 0L
-        rows.grouped(200).zipWithIndex.foreach { case (chunk, ci) =>
-          xid += 1
-          w.begin(lsn + 0x100, 0L, xid)
-          if (ci == 0) w.relation(16385L, "tpch", "customer", 'd', cols)
-          chunk.foreach(r => w.insert(16385L, r))
-          chunk.filter(_(4) == "BUILDING").foreach { r =>
-            w.update(16385L, None, None, r.updated(1, "UPD:" + r(1)))
-          }
-          w.keepalive(replyRequested = false)
-          chunk.filter(_(0).toLong % 5 == 0).foreach { r =>
-            w.delete(16385L, 'K',
-              Array(r(0), null, null, null, null))
-          }
-          w.commit(lsn + 0x100, lsn + 0x200, 0L)
-          lsn += 0x1000
+        w.begin(lsn + 0x100, 0L, xid)
+        w.relation(16385L, "tpch", "customer", 'd', cols)
+        chunk.foreach(r => w.insert(16385L, r))
+        chunk.filter(_(4) == "BUILDING").foreach { r =>
+          w.update(16385L, None, None, r.updated(1, "UPD:" + r(1)))
         }
+        w.keepalive(replyRequested = false)
+        chunk.filter(_(0).toLong % 5 == 0).foreach { r =>
+          w.delete(16385L, 'K',
+            Array(r(0), null, null, null, null))
+        }
+        w.commit(lsn + 0x100, lsn + 0x200, 0L)
+        lsn += 0x1000
         val events = graft.sources.PgOutput.decodeFile(w.bytes(), "0/0")
-        events.iterator.zipWithIndex.map { case (e, i) =>
-          if (e.rowType == graft.model.RowKind.Delete)
-            PgDecoded(i.toLong, e.rowType, e.before("c_custkey").toLong,
-              null, 0, 0.0, null)
-          else
-            PgDecoded(i.toLong, e.rowType, e.after("c_custkey").toLong,
-              e.after("c_name"), e.after("c_nationkey").toInt,
-              e.after("c_acctbal").toDouble, e.after("c_mktsegment"))
+        events.map { e =>
+          val d =
+            if (e.rowType == graft.model.RowKind.Delete)
+              PgDecoded(seq, e.rowType, e.before("c_custkey").toLong,
+                null, 0, 0.0, null)
+            else
+              PgDecoded(seq, e.rowType, e.after("c_custkey").toLong,
+                e.after("c_name"), e.after("c_nationkey").toInt,
+                e.after("c_acctbal").toDouble, e.after("c_mktsegment"))
+          seq += 1
+          d
         }
       }
     }

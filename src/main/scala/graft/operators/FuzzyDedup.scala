@@ -233,18 +233,31 @@ object FuzzyDedup {
     * all-pairs form; the q150 oracle proves it again cross-engine at
     * the gate sf (Spark stars vs DuckDB all-pairs).
     *
-    * Scale shape: one shuffle on band_key (no text), per-bucket min
-    * via an unordered window (whole-bucket aggregate, no sort); output
+    * Scale shape: shuffles carry only (doc_id, band_key) — never
+    * text. The bucket minimum is a `groupBy(band_key).agg(min)`
+    * joined back, NOT a `min().over(Window.partitionBy(band_key))`:
+    * WindowExec buffers each bucket group in ONE task, and a real
+    * 100 TB crawl has degenerate buckets (millions of empty/
+    * boilerplate docs sharing a band signature) that would serialize
+    * into a single unbounded task — and AQE skew-splits joins but
+    * can never split a window. The hash aggregate's map-side partial
+    * min keeps any bucket size cheap, and the join back is
+    * shuffle-hash (build side = one row per distinct band_key) so
+    * AQE's OptimizeSkewedJoin can split a mega-bucket's probe rows
+    * across tasks. DedupSpec plants a 100 k-doc identical-signature
+    * bucket; ScaleShapeSpec pins the window-free plan. Output
     * `n_buckets` counts how many bands produced the same star edge.
     */
   def lshStarEdges(spark: SparkSession, dir: String): DataFrame =
     lshStarEdgesOf(Tables.documents(spark, dir))
 
   def lshStarEdgesOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("band_key"))
-    bandFrame(docs)
-      .withColumn("a", min(col("doc_id")).over(w))
+    // pinned once: the minhash signature feeds both the minima
+    // aggregate and the probe side (same discipline as minhashLshOf)
+    val bands = bandFrame(docs).localCheckpoint(false)
+    val minima = bands.groupBy(col("band_key"))
+      .agg(min(col("doc_id")).as("a"))
+    bands.join(minima.hint("shuffle_hash"), Seq("band_key"))
       .filter(col("doc_id") =!= col("a"))
       .groupBy(col("a"), col("doc_id").as("b"))
       .agg(count(lit(1)).as("n_buckets"))

@@ -116,7 +116,16 @@ object LakeSink {
     val part = hfs.listStatus(new org.apache.hadoop.fs.Path(s"$dataPath.tmp"))
       .map(_.getPath).find(_.getName.endsWith(".orc"))
       .getOrElse(throw new IllegalStateException("no orc part written"))
-    hfs.rename(part, new org.apache.hadoop.fs.Path(dataPath))
+    // Data-plane staging: this rename happens BEFORE the commit point
+    // (the meta-file create below) — readers only see batches listed
+    // under meta/, so a non-atomic object-store rename (s3a = copy +
+    // delete) can never expose a half-staged file. It CAN fail
+    // half-way, though, and Hadoop rename reports that as `false`,
+    // not an exception — check it, or a lost data file commits an
+    // empty batch.
+    if (!hfs.rename(part, new org.apache.hadoop.fs.Path(dataPath)))
+      throw new java.io.IOException(
+        s"lake stage: rename $part -> $dataPath failed")
     hfs.delete(new org.apache.hadoop.fs.Path(s"$dataPath.tmp"), true)
     val meta = StageMeta(schema, tb, insertOnly, metaFileName,
       dataFileName, dataSize = hfs.getFileStatus(

@@ -136,8 +136,13 @@ object RdbQueryBuilder {
       case "update" =>
         val sets = after.keys.toSeq.sorted
           .filter(c => after.get(c) != before.get(c))
-        val setCols = if (sets.nonEmpty) sets
-          else after.keys.toSeq.sorted.filterNot(keys.contains)
+        val nonKey = after.keys.toSeq.sorted.filterNot(keys.contains)
+        // All-key table with no changed columns would render an
+        // empty SET list (invalid SQL) — re-assign the keys instead.
+        val setCols =
+          if (sets.nonEmpty) sets
+          else if (nonKey.nonEmpty) nonKey
+          else after.keys.toSeq.sorted
         s"UPDATE $table SET ${setCols.map(c =>
           s"${d.quote(c)}=${literal(Option(after(c))
             .flatMap(Option(_)))}").mkString(", ")} " +

@@ -64,10 +64,15 @@ object StreamLoadSink {
           sink.put(buf.toSeq); buf.clear(); bytes = 0L
         }
         it.map(_.getString(0)).foreach { line =>
+          // Cap on the ENCODED size: the request body ships UTF-8, so
+          // counting UTF-16 chars undercounts CJK/emoji text by up to
+          // ~3-4x and defeats the memory cap.
+          val lineBytes = line
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
           if (buf.size >= batchRows ||
-            (buf.nonEmpty && bytes + line.length > batchBytes)) flush()
+            (buf.nonEmpty && bytes + lineBytes > batchBytes)) flush()
           buf += line
-          bytes += line.length
+          bytes += lineBytes
         }
         flush()
     }

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 import java.util
 
 import scala.jdk.CollectionConverters._
@@ -85,16 +83,8 @@ object ChangelogSource {
     * closed eagerly — this runs at least twice per trigger in a
     * long-running stream, so leaking it would exhaust file descriptors.
     */
-  def segments(dir: String): Seq[String] = {
-    val p = Paths.get(dir)
-    if (!Files.isDirectory(p)) return Seq.empty
-    scala.util.Using.resource(Files.list(p)) { s =>
-      s.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.endsWith(".log"))
-        .toSeq.sorted
-    }
-  }
+  def segments(dir: String): Seq[String] =
+    graft.infra.Fs.listNames(dir).filter(_.endsWith(".log")).sorted
 
   /** First-event timestamp (epoch seconds) of a binlog segment, read
     * from the 8 header bytes after the 4-byte magic WITHOUT decoding
@@ -102,11 +92,9 @@ object ChangelogSource {
     * (binlog v4 layout), and the first event is the segment's FDE.
     * 0 when the file is too short or not a binlog.
     */
-  def binlogStartTimestamp(file: java.nio.file.Path): Long = {
-    if (!Files.isRegularFile(file) || Files.size(file) < 8) return 0L
-    val head = scala.util.Using.resource(Files.newInputStream(file)) {
-      _.readNBytes(8)
-    }
+  def binlogStartTimestamp(file: String): Long = {
+    if (!graft.infra.Fs.exists(file)) return 0L
+    val head = graft.infra.Fs.readHead(file, 8)
     if (head.length < 8 || head(0) != 0xfe.toByte || head(1) != 'b' ||
         head(2) != 'i' || head(3) != 'n') 0L
     else (head(4) & 0xffL) | ((head(5) & 0xffL) << 8) |
@@ -129,7 +117,7 @@ object ChangelogSource {
     val names = segments(dir)
     if (names.isEmpty) return ""
     def ts(i: Int): Long =
-      binlogStartTimestamp(Paths.get(dir, names(i)))
+      binlogStartTimestamp(s"$dir/${names(i)}")
     // binary search: first index whose start ts > startTs
     var lo = 0; var hi = names.size
     while (lo < hi) {
@@ -255,7 +243,7 @@ class ChangelogStream(path: String, format: String = "tab",
     // resolve by name against the live listing: segments in (s, e]
     ChangelogSource.segments(path)
       .filter(n => n > s && n <= e)
-      .map(n => ChangelogPartition(Paths.get(path, n).toString, format,
+      .map(n => ChangelogPartition(s"$path/$n", format,
         keyCols, binlogStart): InputPartition).toArray
   }
 
@@ -292,8 +280,8 @@ object ChangelogReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[ChangelogPartition]
     val lines: Iterator[String] = p.format match {
       case "binlog" =>
-        val bytes = Files.readAllBytes(Paths.get(p.file))
-        val name = Paths.get(p.file).getFileName.toString
+        val bytes = graft.infra.Fs.readAllBytes(p.file)
+        val name = graft.infra.Fs.fileName(p.file)
         val raw = MysqlBinlog.readFile(bytes)
         // [extractor] binlog_filename/binlog_position/gtid_set: gate
         // the decode at the configured start (startFilter semantics)
@@ -307,13 +295,12 @@ object ChangelogReaderFactory extends PartitionReaderFactory {
         MysqlBinlog.toSegmentLines(events, p.keyCols,
           baseSeq(p.file)).iterator
       case "pgoutput" =>
-        val bytes = Files.readAllBytes(Paths.get(p.file))
+        val bytes = graft.infra.Fs.readAllBytes(p.file)
         val events = PgOutput.decodeFile(bytes)
         MysqlBinlog.toSegmentLines(events, p.keyCols,
           baseSeq(p.file)).iterator
       case _ =>
-        Files.readAllLines(Paths.get(p.file), StandardCharsets.UTF_8)
-          .asScala.filter(_.nonEmpty).iterator
+        graft.infra.Fs.readLines(p.file).filter(_.nonEmpty).iterator
     }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _

@@ -92,23 +92,36 @@ object PgOutput {
 
   // ---------------------------------------------------------------- reader
 
-  private final class Reader(bytes: Array[Byte], var pos: Int) {
-    def hasMore: Boolean = pos < bytes.length
-    def u8(): Int = { val b = bytes(pos) & 0xff; pos += 1; b }
+  /** In-place cursor over `bytes`, hard-bounded by `limit`: every
+    * read that would cross `limit` throws instead of silently reading
+    * the NEXT frame's bytes — with in-place decoding over the whole
+    * capture buffer, a truncated/corrupt message must fail at its
+    * frame boundary, not mis-decode into the neighbouring XLogData.
+    */
+  private final class Reader(bytes: Array[Byte], var pos: Int,
+      val limit: Int) {
+    def this(bytes: Array[Byte], pos: Int) =
+      this(bytes, pos, bytes.length)
+    private def need(n: Int): Unit =
+      if (pos + n > limit) throw new IllegalArgumentException(
+        s"pgoutput truncated: need $n bytes at $pos, frame limit $limit")
+    def hasMore: Boolean = pos < limit
+    def u8(): Int = { need(1); val b = bytes(pos) & 0xff; pos += 1; b }
     def beU(n: Int): Long = {
+      need(n)
       var v = 0L; var i = 0
       while (i < n) { v = (v << 8) | (bytes(pos + i) & 0xffL); i += 1 }
       pos += n; v
     }
     def take(n: Int): Array[Byte] = {
-      require(pos + n <= bytes.length,
-        s"pgoutput truncated: need $n bytes at $pos of ${bytes.length}")
+      need(n)
       val out = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
       pos += n; out
     }
     def cstr(): String = {
       val start = pos
-      while (bytes(pos) != 0) pos += 1
+      while (pos < limit && bytes(pos) != 0) pos += 1
+      need(1) // the terminator itself must be inside the frame
       val s = new String(bytes, start, pos - start, StandardCharsets.UTF_8)
       pos += 1; s
     }
@@ -154,7 +167,7 @@ object PgOutput {
     */
   def decodeMessageAt(bytes: Array[Byte], off: Int, limit: Int,
       inStream: Boolean): (Message, Int) = {
-    val r = new Reader(bytes, off)
+    val r = new Reader(bytes, off, limit)
     val tag = r.u8().toChar
     val streamXid: Long =
       if (inStream && StreamableTags.indexOf(tag) >= 0) r.beU(4)
@@ -300,7 +313,7 @@ object PgOutput {
     */
   private def decodeXLogOne(bytes: Array[Byte], start: Int,
       limit: Int, inStream: Boolean = false): ((Long, Message), Int) = {
-    val r = new Reader(bytes, start)
+    val r = new Reader(bytes, start, limit)
     r.u8().toChar match {
       case 'w' =>
         val walStart = r.beU(8)

@@ -96,6 +96,12 @@ object CdcPipeline {
         // scan a second time just to learn the row count.
         val counted = limiter.isDefined || monitors.isDefined
         if (counted) batch.persist()
+        // ONE count job per trigger, shared by the limiter drain and
+        // the monitor counter — each used to call batch.count()
+        // itself, re-reading the (cached) micro-batch twice. At one
+        // extra job per trigger over months of streaming that is real
+        // cluster time.
+        lazy val batchRows: Long = batch.count()
         try {
           val perTable =
             parallelType == "table" || parallelType == "serial"
@@ -104,7 +110,7 @@ object CdcPipeline {
             else Compaction.compact(batch, keys, orderCols,
               col("row_type"))
           limiter.foreach { l =>
-            var remaining = batch.count()
+            var remaining = batchRows
             while (remaining > 0) {
               val take = math.min(remaining, l.capacity)
               l.acquire(take)
@@ -158,7 +164,7 @@ object CdcPipeline {
             import graft.infra.Monitoring._
             m.sinker.addCounter(RtPerQuery,
               (System.nanoTime() - t0) / 1000000L)
-            m.sinker.addBatchCounter(RecordCount, batch.count(), 1L)
+            m.sinker.addBatchCounter(RecordCount, batchRows, 1L)
           }
           // inline CDC check (write-after-check reconciliation): gate
           // to the sampled keys EXECUTOR-SIDE first — at scale only

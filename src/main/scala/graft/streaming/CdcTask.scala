@@ -273,9 +273,8 @@ object CdcTask {
     val admittedTxns = (task.luaCodeFile match {
       case None => filteredTxns
       case Some(f) =>
-        val t = graft.transform.LuaScript.rowTransform(new String(
-          java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(f)), "UTF-8"))
+        val t = graft.transform.LuaScript.rowTransform(
+          graft.infra.Fs.readString(f))
         filteredTxns.map { case (end, evs) =>
           (end, evs.flatMap(t(_)))
         }

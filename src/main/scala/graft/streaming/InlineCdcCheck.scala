@@ -263,8 +263,8 @@ object InlineCdcCheck {
       * LATEST records (config.md snapshot rules).
       */
     def snapshot(): Unit = {
-      val dir = java.nio.file.Paths.get(cfg.checkLogDir)
-      java.nio.file.Files.createDirectories(dir)
+      // check_log_dir is a task path — Hadoop FS so s3a/hdfs work
+      graft.infra.Fs.mkdirs(cfg.checkLogDir)
       def dump(status: String, file: String): Unit = {
         val rows = defects.values.filter(_.status == status).toSeq
           .sortBy(_.batchId)
@@ -272,9 +272,8 @@ object InlineCdcCheck {
         val lines = latest.map(d =>
           s"""{"table":"${d.table}","key":"${d.key}",""" +
             s""""batch_id":${d.batchId}}""")
-        java.nio.file.Files.write(dir.resolve(file),
-          lines.mkString("\n").getBytes(
-            java.nio.charset.StandardCharsets.UTF_8)): Unit
+        graft.infra.Fs.writeString(s"${cfg.checkLogDir}/$file",
+          lines.mkString("\n"))
       }
       dump("MISS", "miss.log")
       dump("DIFF", "diff.log")

@@ -256,7 +256,7 @@ class ChangelogSourceSpec extends SparkSuite {
 
     // header read without decode
     assert(ChangelogSource.binlogStartTimestamp(
-      Paths.get(dir, "000002.log")) == 200L)
+      s"$dir/000002.log") == 200L)
     // start inside segment 2's span → stream FROM segment 2: the
     // initial offset names segment 1 (exactly one segment skipped)
     assert(ChangelogSource.preSeekOffset(dir, "binlog", 250L) ==

@@ -40,8 +40,8 @@ class CheckLogSpec extends SparkSuite {
     val logs = CheckLogs.toLogs(checked, "app", "t", Seq("k"),
       Seq("s", "price"))
     val (missLog, diffLog) = CheckLogs.write(logs, dir)
-    assert(java.nio.file.Files.readAllLines(missLog).size() == 1)
-    assert(java.nio.file.Files.readAllLines(diffLog).size() == 1)
+    assert(graft.infra.Fs.readLines(missLog).count(_.nonEmpty) == 1)
+    assert(graft.infra.Fs.readLines(diffLog).count(_.nonEmpty) == 1)
 
     val replayed = CheckLogs.reviseFromLogs(
       CheckLogs.read(spark, dir), "t", Seq("k"))
@@ -58,12 +58,12 @@ class CheckLogSpec extends SparkSuite {
       .createTempDirectory("graft-checksum").toString
     val s = CheckLogs.tableSummary(checked, "app", "t")
     val path = CheckLogs.writeSummary(s, dir)
-    val lines = java.nio.file.Files.readAllLines(path)
-    assert(lines.size() == 2)
-    assert(lines.get(0) ==
+    val lines = graft.infra.Fs.readLines(path)
+    assert(lines.size == 2)
+    assert(lines(0) ==
       """{"is_consistent":false,"checked_count":4,"miss_count":1,""" +
         """"diff_count":1}""")
-    assert(lines.get(1).contains(""""orphan_count":1"""))
-    assert(lines.get(1).contains(""""is_consistent":false"""))
+    assert(lines(1).contains(""""orphan_count":1"""))
+    assert(lines(1).contains(""""is_consistent":false"""))
   }
 }

@@ -187,4 +187,31 @@ class DedupSpec extends SparkSuite {
     val p = fd.minhashLshOf(clones).count()
     assert(p == 6) // all-pairs would have shipped double the edges here
   }
+
+  test("degenerate mega-bucket: 100k docs sharing one band signature " +
+      "produce linear star edges through a window-free plan") {
+    // The band signature a real crawl degenerates on: boilerplate /
+    // empty-template text repeated across the whole corpus. Every doc
+    // hashes to the SAME band key in every band, so all 100k band rows
+    // of each band land in one bucket. The old
+    // min().over(Window.partitionBy(band_key)) serialized that bucket
+    // into one task; the groupBy+join form keeps map-side partial
+    // minima and lets AQE skew-split the join probe.
+    val fd = FuzzyDedup
+    val boiler = "copyright all rights reserved terms of service " +
+      "privacy policy contact us about this site map home page"
+    val mega = spark.range(100000L)
+      .select(col("id").as("doc_id"), lit(boiler).as("text"))
+    val edges = fd.lshStarEdgesOf(mega)
+    val plan = edges.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    // star shape: every member connects to the bucket minimum (doc 0),
+    // once per band — LINEAR in members, where all-pairs would be
+    // 100k·(100k−1)/2 ≈ 5e9 pairs
+    val nBands = fd.MinhashA.size / fd.BandRows
+    val rows = edges.as[(Long, Long, Long)].collect()
+    assert(rows.length == 99999)
+    assert(rows.forall(_._1 == 0L))
+    assert(rows.forall(_._3 == nBands))
+  }
 }

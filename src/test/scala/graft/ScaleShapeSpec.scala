@@ -381,17 +381,23 @@ class ScaleShapeSpec extends SparkSuite {
     assert(!p141.contains("Window"), p141)
   }
 
-  test("q149 star edges: one band-key shuffle, no text in any " +
-      "exchange, no sort (bucket min is an unordered window)") {
+  test("q149 star edges: band-key shuffles carry no text, bucket " +
+      "min is a hash aggregate + skew-splittable join — NO window, " +
+      "no sort, no single-task stage") {
     val p = graft.operators.FuzzyDedup.lshStarEdges(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     // the only data that shuffles is (doc_id, band_key) — text stays
     // in the mapper that hashed it
     assert(!p.contains("Exchange hashpartitioning(text#"), p)
-    // bucket-min needs no ordering: a sort before the window would be
-    // paying |bucket| log |bucket| for an aggregate
+    // the 100 TB hazard: min().over(partitionBy(band_key)) buffers a
+    // degenerate mega-bucket in ONE task and AQE cannot split windows
+    // — the bucket min must be a groupBy (map-side partial min) joined
+    // back (AQE skew-splits joins)
+    assert(!p.contains("Window"), p)
+    // and the join back must not pay |bucket| log |bucket| in sorts
     assert(!p.contains("SortExec"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q133 novelty and q134 contamination shuffle 64-bit grams " +
