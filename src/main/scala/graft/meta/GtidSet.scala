@@ -54,6 +54,11 @@ final class GtidSet {
     }.mkString(",")
 
   def isEmpty: Boolean = intervals.isEmpty
+
+  /** Immutable view (uuid → ascending disjoint closed intervals) —
+    * the wire encoder (COM_BINLOG_DUMP_GTID) walks this.
+    */
+  def intervalView: Map[String, List[(Long, Long)]] = intervals.toMap
 }
 
 object GtidSet {

@@ -1,0 +1,78 @@
+package graft.transport
+
+/** Where a replication pump lands what it reads: capture segment files
+  * in the exact layout [[graft.sources.ChangelogSource]] streams from
+  * (`<name>.log`, lexicographic name = arrival order). The pump is the
+  * producer half of the existing CDC transport — everything downstream
+  * (micro-batch planning, decode, compaction, sinks) already runs on
+  * these files.
+  */
+trait SegmentStore {
+  /** Append `bytes` to segment `name` (creating it if absent). */
+  def append(name: String, bytes: Array[Byte]): Unit
+
+  /** Segment names present, sorted (resume scans the tail). */
+  def names: Seq[String]
+
+  def bytesOf(name: String): Array[Byte]
+}
+
+/** In-memory store for specs. */
+final class MemorySegmentStore extends SegmentStore {
+  private val segs =
+    scala.collection.mutable.LinkedHashMap[String,
+      java.io.ByteArrayOutputStream]()
+
+  override def append(name: String, bytes: Array[Byte]): Unit =
+    segs.getOrElseUpdate(name, new java.io.ByteArrayOutputStream())
+      .write(bytes)
+
+  override def names: Seq[String] = segs.keys.toSeq.sorted
+
+  override def bytesOf(name: String): Array[Byte] =
+    segs(name).toByteArray
+}
+
+/** Hadoop-FS store: in-flight segments spool to a LOCAL temp file
+  * (bounded by the server's rotate threshold, and appendable — s3a has
+  * no append) and publish to the capture dir in one object put at
+  * rotate/close. ChangelogSource only lists `*.log`, so a segment is
+  * never planned into a micro-batch before its publish — the same
+  * commit-by-visibility argument as LakeSink's meta protocol. The
+  * local spool is process-local by design (whitelisted in
+  * FsDisciplineSpec); only the PUBLISHED path is a cluster URI.
+  */
+final class FsSegmentStore(dir: String) extends SegmentStore {
+  import graft.infra.Fs
+  Fs.mkdirs(dir)
+  private val spoolDir =
+    java.nio.file.Files.createTempDirectory("graft-segspool")
+  private val open =
+    scala.collection.mutable.LinkedHashMap[String,
+      java.io.OutputStream]()
+
+  override def append(name: String, bytes: Array[Byte]): Unit =
+    open.getOrElseUpdate(name,
+      java.nio.file.Files.newOutputStream(spoolDir.resolve(name)))
+      .write(bytes)
+
+  /** Publish a finished segment (rotate boundary / shutdown). */
+  def publish(name: String): Unit = open.remove(name).foreach { out =>
+    out.close()
+    val spooled = spoolDir.resolve(name)
+    Fs.write(s"$dir/$name",
+      java.nio.file.Files.readAllBytes(spooled))
+    java.nio.file.Files.deleteIfExists(spooled): Unit
+  }
+
+  def publishAll(): Unit = open.keys.toSeq.foreach(publish)
+
+  override def names: Seq[String] =
+    (Fs.listNames(dir) ++ open.keys).distinct.sorted
+
+  override def bytesOf(name: String): Array[Byte] =
+    if (open.contains(name)) {
+      open(name).flush()
+      java.nio.file.Files.readAllBytes(spoolDir.resolve(name))
+    } else Fs.readAllBytes(s"$dir/$name")
+}

@@ -47,7 +47,11 @@ class FsDisciplineSpec extends AnyFunSuite {
       ("HTTP subscription spool: served from THIS process's disk by " +
         "the embedded server — local by design"),
     "infra/Fs.scala" ->
-      "the façade itself (doc comment mentions the forbidden APIs)")
+      "the façade itself (doc comment mentions the forbidden APIs)",
+    "transport/SegmentStore.scala" ->
+      ("in-flight segment spool is a process-local temp file by " +
+        "design (s3a has no append); the PUBLISHED path goes " +
+        "through Fs"))
 
   private def mainSources: Seq[java.io.File] = {
     def walk(f: java.io.File): Seq[java.io.File] =
