@@ -27,7 +27,7 @@ object TaskCli {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: graft.TaskCli <stateDir> <create|start|list|show|logs|" +
-        "stop|delete> [name] [config.ini]")
+        "stop|delete|watch> [name] [config.ini]")
     val stateDir = args(0)
     args(1) match {
       case "create" =>
@@ -56,6 +56,33 @@ object TaskCli {
         TaskManager.logs(stateDir, args(2)).foreach(println)
       case "stop" => TaskManager.requestStop(stateDir, args(2))
       case "delete" => TaskManager.delete(stateDir, args(2))
+      // the dt-cli daemon loop: watch all tasks, demote stale runners,
+      // restart failed ones with capped backoff, until interrupted.
+      // GRAFT_WATCH_PASSES bounds the loop for scripted runs.
+      case "watch" =>
+        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+        val spark = SparkSession.builder()
+          .master(s"local[$cpus]")
+          .appName("graft-task-watch")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        val passes = sys.env.get("GRAFT_WATCH_PASSES")
+          .map(_.toInt).getOrElse(Int.MaxValue)
+        val intervalMs = sys.env.get("GRAFT_WATCH_INTERVAL_MS")
+          .map(_.toLong).getOrElse(10000L)
+        try {
+          var i = 0
+          while (i < passes) {
+            val restarted = TaskManager.superviseAll(spark, stateDir)
+            if (restarted.nonEmpty)
+              println(s"watch: restarted ${restarted.mkString(",")}")
+            i += 1
+            if (i < passes) Thread.sleep(intervalMs)
+          }
+        } finally spark.stop()
       case other => sys.error(s"unknown command $other")
     }
   }

@@ -30,7 +30,7 @@ object TaskManager {
 
   final case class TaskMeta(name: String, status: String,
       createdMs: Long, startedMs: Option[Long], endedMs: Option[Long],
-      error: Option[String])
+      error: Option[String], restarts: Int = 0)
 
   private def taskDir(stateDir: String, name: String): Path = {
     require(name.matches("[A-Za-z0-9_.-]+"), s"invalid task name $name")
@@ -47,6 +47,7 @@ object TaskManager {
       s"created_ms=${m.createdMs}",
       s"started_ms=${m.startedMs.getOrElse(-1L)}",
       s"ended_ms=${m.endedMs.getOrElse(-1L)}",
+      s"restarts=${m.restarts}",
       s"error=${m.error.getOrElse("").replaceAll("[\r\n]+", " ")}")
     Files.write(dir.resolve("meta.ini"),
       lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
@@ -61,7 +62,8 @@ object TaskManager {
     TaskMeta(s.get("name", dir.getFileName.toString),
       s.get("status", "created"),
       s.get("created_ms", "0").toLong, opt("started_ms"), opt("ended_ms"),
-      s("error").filter(_.nonEmpty))
+      s("error").filter(_.nonEmpty),
+      s.get("restarts", "0").toInt)
   }
 
   private def log(dir: Path, line: String): Unit =
@@ -336,5 +338,123 @@ object TaskManager {
     } catch {
       case e: Exception => finish("failed", Some(e.toString))
     }
+  }
+
+  // --------------------------------------------------------- supervision
+  // the reference CLI's daemon posture (dt-cli/src/main.rs): persistent
+  // task dirs with liveness-checked restart (reject_if_task_running /
+  // restart_persistent_task), crash recovery, and log management. Tasks
+  // here run in-process (Spark apps), so the supervised unit is a task
+  // RUN rather than an OS child — the state machine (liveness probe,
+  // capped restart budget, backoff, resume from positions) is the same.
+
+  final case class SupervisorConfig(maxRestarts: Int = 5,
+      baseBackoffMs: Long = 500L, maxBackoffMs: Long = 60000L,
+      staleAliveMs: Long = 60000L, logMaxBytes: Long = 1L << 20,
+      logKeep: Int = 3)
+
+  def backoffMs(cfg: SupervisorConfig, attempt: Int): Long =
+    math.min(cfg.maxBackoffMs,
+      cfg.baseBackoffMs * (1L << math.min(math.max(attempt - 1, 0), 16)))
+
+  /** Liveness beacon: the runner touches this per unit; the watcher
+    * treats `running` + a stale beacon as a crashed runner (the
+    * in-process analogue of dt-cli's dead-pid check).
+    */
+  private def touchAlive(dir: Path): Unit =
+    Files.write(dir.resolve("runner.alive"),
+      System.currentTimeMillis().toString.getBytes(StandardCharsets.UTF_8))
+
+  private def aliveAgeMs(dir: Path): Option[Long] = {
+    val f = dir.resolve("runner.alive")
+    if (!Files.exists(f)) None
+    else scala.util.Try(System.currentTimeMillis() -
+      new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+        .trim.toLong).toOption
+  }
+
+  /** Run a task under supervision: start it, and while it ends
+    * `failed` and the restart budget allows, back off and start again.
+    * Each restart resumes from the task's own durable state —
+    * positions.log for CDC (events before the recorded position skip),
+    * idempotent overwrites for snapshot units. Restart count persists
+    * in meta.ini so a watcher across process restarts honors the same
+    * budget.
+    */
+  def superviseStart(spark: SparkSession, stateDir: String,
+      name: String, cfg: SupervisorConfig = SupervisorConfig(),
+      sleep: Long => Unit = Thread.sleep,
+      afterUnit: Int => Unit = _ => ()): TaskMeta = {
+    val dir = taskDir(stateDir, name)
+    var meta = start(spark, stateDir, name, { i =>
+      touchAlive(dir); afterUnit(i)
+    })
+    var attempt = readMeta(dir).restarts
+    while (meta.status == "failed" && attempt < cfg.maxRestarts) {
+      attempt += 1
+      val delay = backoffMs(cfg, attempt)
+      log(dir, s"supervised restart #$attempt in ${delay}ms " +
+        s"(budget ${cfg.maxRestarts}) after: " +
+        meta.error.getOrElse("?"))
+      writeMeta(dir, meta.copy(restarts = attempt))
+      sleep(delay)
+      meta = start(spark, stateDir, name, { i =>
+        touchAlive(dir); afterUnit(i)
+      }).copy(restarts = attempt)
+      writeMeta(dir, meta)
+    }
+    if (meta.status == "failed" && attempt >= cfg.maxRestarts)
+      log(dir, s"restart budget exhausted ($attempt), leaving failed")
+    rotateLogs(dir.toString, cfg.logMaxBytes, cfg.logKeep)
+    meta
+  }
+
+  /** One watch pass over every task dir — the daemon loop body. A
+    * `running` task whose liveness beacon is stale is a crashed runner
+    * (this JVM or a previous one died mid-task): demote to `failed` so
+    * the restart path picks it up; then restart every `failed` task
+    * with remaining budget. Returns the names restarted this pass.
+    */
+  def superviseAll(spark: SparkSession, stateDir: String,
+      cfg: SupervisorConfig = SupervisorConfig(),
+      sleep: Long => Unit = Thread.sleep): Seq[String] = {
+    list(stateDir).flatMap { m =>
+      val dir = taskDir(stateDir, m.name)
+      val effective =
+        if (m.status == "running" &&
+            aliveAgeMs(dir).forall(_ > cfg.staleAliveMs)) {
+          log(dir, "liveness beacon stale — demoting crashed runner")
+          val demoted = m.copy(status = "failed",
+            error = Some("runner crashed (stale liveness beacon)"))
+          writeMeta(dir, demoted)
+          demoted
+        } else m
+      if (effective.status == "failed" &&
+          effective.restarts < cfg.maxRestarts) {
+        superviseStart(spark, stateDir, m.name, cfg, sleep)
+        Some(m.name)
+      } else None
+    }
+  }
+
+  /** Rotate `task.log` into `task.log.1 … task.log.<keep>` when it
+    * exceeds `maxBytes` (dt-cli's log management for task dirs).
+    */
+  def rotateLogs(taskDirPath: String, maxBytes: Long,
+      keep: Int): Unit = {
+    val dir = Paths.get(taskDirPath)
+    val live = dir.resolve("task.log")
+    if (!Files.exists(live) || Files.size(live) <= maxBytes) return
+    // shift task.log.k -> task.log.k+1, oldest beyond `keep` drops
+    (keep to 1 by -1).foreach { k =>
+      val from = dir.resolve(s"task.log.$k")
+      if (Files.exists(from)) {
+        if (k == keep) Files.delete(from)
+        else Files.move(from, dir.resolve(s"task.log.${k + 1}"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+    }
+    Files.move(live, dir.resolve("task.log.1"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
 }

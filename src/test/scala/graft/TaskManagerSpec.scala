@@ -319,4 +319,165 @@ class TaskManagerSpec extends SparkSuite {
     assert(meta.status == "error")
     assert(meta.error.exists(_.contains("corpus_text")))
   }
+
+  // ------------------------------------------------------- supervision
+  // dt-cli daemon parity: watch, auto-restart with capped backoff,
+  // resume from durable state, log rotation
+
+  test("supervised restart: a crash mid-unit restarts with backoff " +
+      "and the rerun completes the snapshot") {
+    val state = tmp("graft-sup-state")
+    val sink = tmp("graft-sup-sink")
+    TaskManager.create(state, "sup1", ini(sink))
+    var crashed = false
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val meta = TaskManager.superviseStart(spark, state, "sup1",
+      TaskManager.SupervisorConfig(maxRestarts = 3, baseBackoffMs = 50),
+      sleep = sleeps += _,
+      afterUnit = i => if (i == 0 && !crashed) {
+        crashed = true
+        sys.error("runner killed mid-unit")
+      })
+    assert(meta.status == "finished")
+    assert(meta.restarts == 1)
+    assert(sleeps == Seq(50L))
+    val logs = TaskManager.logs(state, "sup1")
+    assert(logs.exists(_.contains("supervised restart #1")))
+    // the rerun completed every unit at the routed destination
+    Seq("orders", "customer", "nation").foreach { t =>
+      assert(spark.read.parquet(s"$sink/app_replica.$t").count() > 0)
+    }
+  }
+
+  test("restart budget caps: a permanently failing task ends failed " +
+      "with the exhausted budget logged") {
+    val state = tmp("graft-sup-budget")
+    TaskManager.create(state, "doomed", ini("/no/sink")
+      .replace(s"url=$sf", "url=/no/source"))
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val meta = TaskManager.superviseStart(spark, state, "doomed",
+      TaskManager.SupervisorConfig(maxRestarts = 2, baseBackoffMs = 10),
+      sleep = sleeps += _)
+    assert(meta.status == "failed")
+    assert(meta.restarts == 2)
+    assert(sleeps == Seq(10L, 20L)) // doubling ladder
+    assert(TaskManager.logs(state, "doomed")
+      .exists(_.contains("restart budget exhausted")))
+  }
+
+  test("watch pass demotes a stale running task (crashed JVM) and " +
+      "restarts it to completion") {
+    val state = tmp("graft-sup-watch")
+    val sink = tmp("graft-sup-watch-sink")
+    TaskManager.create(state, "stale1", ini(sink))
+    // simulate a runner that died without finishing: meta says
+    // running, the liveness beacon is old (a prior JVM's crash leaves
+    // exactly this on disk)
+    val dir = java.nio.file.Paths.get(state, "stale1")
+    java.nio.file.Files.write(dir.resolve("meta.ini"),
+      ("[meta]\nname=stale1\nstatus=running\ncreated_ms=1\n" +
+        "started_ms=1\nended_ms=-1\nrestarts=0\nerror=\n")
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("runner.alive"),
+      "1".getBytes("UTF-8")) // epoch 1ms: ancient
+    val restarted = TaskManager.superviseAll(spark, state,
+      TaskManager.SupervisorConfig(maxRestarts = 2, baseBackoffMs = 1,
+        staleAliveMs = 1000), sleep = _ => ())
+    assert(restarted == Seq("stale1"))
+    val after = TaskManager.list(state).head
+    assert(after.status == "finished")
+    val logs = TaskManager.logs(state, "stale1")
+    assert(logs.exists(_.contains("liveness beacon stale")))
+    assert(spark.read.parquet(s"$sink/app_replica.orders").count() > 0)
+    // a healthy finished task is left alone on the next pass
+    assert(TaskManager.superviseAll(spark, state).isEmpty)
+  }
+
+  test("supervised cdc restart resumes from recorded positions: a " +
+      "sink outage fails run #1, the rerun ships, a third start " +
+      "skips everything") {
+    val state = tmp("graft-sup-cdc")
+    val w = new graft.sources.PgOutputWriter()
+    w.relation(3L, "public", "t_cdc", 'd', Seq(
+      graft.sources.PgOutput.RelColumn("id", keyPart = true, 20, -1),
+      graft.sources.PgOutput.RelColumn("v", keyPart = false, 25, -1)))
+    w.begin(0x30000100L, 1L, 77L)
+    w.insert(3L, Array("1", "a"))
+    w.insert(3L, Array("2", "b"))
+    w.commit(0x30000100L, 0x30000200L, 1L)
+    val capture = java.nio.file.Files.createTempFile("sup-cdc", ".wal")
+    java.nio.file.Files.write(capture, w.bytes())
+
+    val healthy = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val puts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val wh = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    wh.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) =>
+      try {
+        ex.getRequestBody.readAllBytes(): Unit
+        val (code, reply) =
+          if (healthy.get()) { puts.incrementAndGet(): Unit
+            (200, """{"Status":"Success"}""") }
+          else (500, """{"Status":"Fail"}""")
+        val b = reply.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(code, b.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(b) finally os.close()
+      } finally ex.close())
+    wh.start()
+    try {
+      TaskManager.create(state, "supcdc",
+        s"""[extractor]
+           |extract_type=cdc
+           |slot_name=sup_slot
+           |batch_size=10
+           |id_cols=t_cdc:id
+           |wal_capture=$capture
+           |
+           |[filter]
+           |do_dbs=public
+           |
+           |[sinker]
+           |url=http://127.0.0.1:${wh.getAddress.getPort}
+           |""".stripMargin)
+      // the sink heals during the backoff before the restart — the
+      // crash window a real outage produces
+      val meta = TaskManager.superviseStart(spark, state, "supcdc",
+        TaskManager.SupervisorConfig(maxRestarts = 3, baseBackoffMs = 1),
+        sleep = _ => healthy.set(true))
+      assert(meta.status == "finished")
+      assert(meta.restarts >= 1)
+      assert(puts.get() > 0)
+      // positions recorded by the supervised rerun: a fresh start
+      // ships nothing
+      val before = puts.get()
+      val again = TaskManager.start(spark, state, "supcdc")
+      assert(again.status == "finished")
+      assert(TaskManager.logs(state, "supcdc").exists(
+        _.contains("shipped=0 skipped=2")))
+      assert(puts.get() == before)
+    } finally wh.stop(0)
+  }
+
+  test("log rotation shifts task.log into a capped history") {
+    val dir = tmp("graft-sup-logs")
+    val d = java.nio.file.Paths.get(dir)
+    def write(name: String, text: String): Unit =
+      java.nio.file.Files.write(d.resolve(name), text.getBytes("UTF-8"))
+    write("task.log", "x" * 2048)
+    write("task.log.1", "old1")
+    write("task.log.2", "old2")
+    write("task.log.3", "old3") // at keep cap: must drop
+    TaskManager.rotateLogs(dir, maxBytes = 1024, keep = 3)
+    def read(name: String): String = new String(
+      java.nio.file.Files.readAllBytes(d.resolve(name)), "UTF-8")
+    assert(!java.nio.file.Files.exists(d.resolve("task.log")))
+    assert(read("task.log.1").startsWith("xxx"))
+    assert(read("task.log.2") == "old1")
+    assert(read("task.log.3") == "old2") // old3 rotated out
+    // under the cap: untouched
+    write("task.log", "small")
+    TaskManager.rotateLogs(dir, maxBytes = 1024, keep = 3)
+    assert(read("task.log") == "small")
+  }
 }
