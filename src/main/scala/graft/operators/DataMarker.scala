@@ -34,6 +34,29 @@ object DataMarker {
       selfNode: String): DataFrame =
     df.filter(originCol.isNull || originCol =!= selfNode)
 
+  /** The full reference admission rule (data_marker.rs:118-121
+    * `refresh`): an event is DROPPED when its origin is in
+    * `ignoreNodes`, or `doNodes` is configured and does not contain
+    * it. Origin-less events are locally produced and always pass.
+    */
+  def admits(originCol: Column, doNodes: Seq[String],
+      ignoreNodes: Seq[String]): Column = {
+    val notIgnored =
+      if (ignoreNodes.isEmpty) lit(true)
+      else !originCol.isin(ignoreNodes: _*)
+    val inDo =
+      if (doNodes.isEmpty) lit(true)
+      else originCol.isin(doNodes: _*)
+    originCol.isNull || (notIgnored && inDo)
+  }
+
+  /** [data_marker] do_nodes / ignore_nodes over a change stream with a
+    * tracked origin column — the two-way (and N-way) topology gate.
+    */
+  def nodeFilter(df: DataFrame, originCol: Column,
+      doNodes: Seq[String], ignoreNodes: Seq[String]): DataFrame =
+    df.filter(admits(originCol, doNodes, ignoreNodes))
+
   /** q15 — cycle filtering on the change stream with a synthesized origin
     * topology (user_id mod 3 → node): a node_a extractor must drop
     * node_a-origin events and keep the rest.

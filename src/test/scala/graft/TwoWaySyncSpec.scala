@@ -61,6 +61,24 @@ class TwoWaySyncSpec extends SparkSuite {
         "'node_a')")
   }
 
+  test("nodeFilter applies the full do/ignore admission rule") {
+    val df = Seq(
+      (1L, "node_a"), (2L, "node_b"), (3L, "node_c"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("k", "origin_node")
+    def kept(doN: Seq[String], ignoreN: Seq[String]): Seq[Long] =
+      DataMarker.nodeFilter(df, col("origin_node"), doN, ignoreN)
+        .select("k").as[Long].collect().toSeq.sorted
+    // origin-less rows always pass (locally produced)
+    assert(kept(Nil, Nil) == Seq(1L, 2L, 3L, 4L))
+    // ignore beats everything
+    assert(kept(Nil, Seq("node_b")) == Seq(1L, 3L, 4L))
+    // configured do_nodes is a whitelist
+    assert(kept(Seq("node_a"), Nil) == Seq(1L, 4L))
+    // both: in do AND not ignored
+    assert(kept(Seq("node_a", "node_b"), Seq("node_b")) == Seq(1L, 4L))
+  }
+
   test("reverse routing undoes the forward map for the return path") {
     val fwd = Router(tbMap = Map(("app", "users") ->
       (("replica", "users_v2"))))

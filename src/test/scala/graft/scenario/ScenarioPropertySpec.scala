@@ -455,4 +455,104 @@ class ScenarioPropertySpec extends SparkSuite {
       }
     }
   }
+
+  /** Two-way property trials: random DISJOINT-key write streams at
+    * node A and node B run through the data-marker loop (A→B→A→B).
+    * The runner asserts, per trial: production nodeFilter agreement,
+    * pipeline-vs-replay state fidelity per direction, full echo
+    * suppression, loop quiescence, and convergence of both nodes to
+    * baseline + A-local + B-local. Disjoint key ranges model the
+    * reference's two-way posture (conflict resolution is out of
+    * scope there too — last-writer-wins on a shared key is not part
+    * of the contract).
+    */
+  private def genTwoWayScripts(rnd: Random): (String, String, String) = {
+    val prepare =
+      """CREATE DATABASE tw_prop;
+        |CREATE TABLE tw_prop.t ( id int, v varchar(16) DEFAULT NULL, w varchar(16) DEFAULT NULL, PRIMARY KEY (id) );
+        |INSERT INTO tw_prop.t VALUES (500,'baseline','x');
+        |""".stripMargin
+    def genSide(lo: Int, hi: Int): String = {
+      var live = Set.empty[Int]
+      val stmts = Seq.newBuilder[String]
+      def randVal(): String =
+        if (rnd.nextInt(5) == 0) "NULL" else s"'${rnd.nextInt(8)}'"
+      val n = 6 + rnd.nextInt(8)
+      (0 until n).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 =>
+            val id = lo + rnd.nextInt(hi - lo)
+            if (!live(id)) {
+              live += id
+              stmts += s"INSERT INTO tw_prop.t VALUES ($id, ${randVal()}, ${randVal()});"
+            }
+          case 1 if live.nonEmpty =>
+            val id = live.toSeq(rnd.nextInt(live.size))
+            stmts += s"UPDATE tw_prop.t SET v = ${randVal()} WHERE id = $id;"
+          case _ if live.nonEmpty =>
+            val id = live.toSeq(rnd.nextInt(live.size))
+            live -= id
+            stmts += s"DELETE FROM tw_prop.t WHERE id = $id;"
+          case _ => ()
+        }
+      }
+      // both sides must write SOMETHING or the runner's shipped>0
+      // gates trip vacuously
+      if (live.isEmpty && stmts.result().isEmpty)
+        stmts += s"INSERT INTO tw_prop.t VALUES ($lo, 'seed', NULL);"
+      stmts.result().mkString("\n")
+    }
+    var a = genSide(0, 50)
+    if (!a.contains("INSERT")) a = "INSERT INTO tw_prop.t VALUES (1,'a',NULL);\n" + a
+    var b = genSide(50, 100)
+    if (!b.contains("INSERT")) b = "INSERT INTO tw_prop.t VALUES (51,'b',NULL);\n" + b
+    (prepare, a, b)
+  }
+
+  test("random two-way write streams: echo suppression, quiescence, " +
+      "and convergence hold on every trial") {
+    val rnd = new Random(20260815L)
+    def marker(src: String, dst: String): String =
+      s"""[data_marker]
+         |topo_name=topo1
+         |topo_nodes=node_a,node_b
+         |src_node=$src
+         |dst_node=$dst
+         |do_nodes=$src
+         |ignore_nodes=$dst
+         |marker=ape_trans_mysql.topo1
+         |""".stripMargin
+    (1 to 8).foreach { trial =>
+      val (prepare, aScript, bScript) = genTwoWayScripts(rnd)
+      val dir = Files.createTempDirectory(s"twoway-prop-$trial")
+      def put(name: String, text: String): Unit =
+        Files.write(dir.resolve(name), text.getBytes("UTF-8")): Unit
+      val base =
+        s"""[extractor]
+           |db_type=mysql
+           |extract_type=cdc
+           |url=fixture://src
+           |
+           |[filter]
+           |do_tbs=tw_prop.*
+           |
+           |[sinker]
+           |db_type=mysql
+           |batch_size=${1 + rnd.nextInt(4)}
+           |url=fixture://dst
+           |
+           |""".stripMargin
+      put("task_config.ini", base + marker("node_a", "node_b"))
+      put("task_config_back.ini", base + marker("node_b", "node_a"))
+      put("src_prepare.sql", prepare)
+      put("src_test.sql", aScript)
+      put("dst_test.sql", bScript)
+      try ScenarioRunner.run(spark, dir) // asserts everything inside
+      catch {
+        case e: Throwable =>
+          fail(s"two-way trial $trial failed\nA:\n$aScript\nB:\n$bScript\n" +
+            e.getMessage)
+      }
+    }
+  }
 }

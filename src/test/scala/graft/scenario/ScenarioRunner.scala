@@ -261,6 +261,11 @@ object ScenarioRunner {
     src.applyAll(prepStmts)
     src.applyAll(testStmts)
 
+    // two-way scenarios (task_config_back.ini present) are their own
+    // flow: A→B→A with data markers
+    if (Files.exists(dir.resolve("task_config_back.ini")))
+      return runTwoWay(spark, dir)
+
     // check tasks are their own flow: classify src vs a diverged dst,
     // revise, re-check
     if (task.extractType == TaskConfig.CheckExtract)
@@ -878,6 +883,125 @@ object ScenarioRunner {
         perTable.values.map(_._2.size.toLong).sum, perTable)
     }
 
+    // ---- clickhouse route: sign + version columns over the CH HTTP
+    // interface (POST ?query=INSERT INTO db.tb FORMAT JSONEachRow with
+    // basic auth, reference clickhouse_sinker.rs:92-113); the
+    // in-memory warehouse resolves ReplacingMergeTree(version)
+    // collapse — per key the max-version row wins, sign=1 rows drop
+    if (task.sinkDbType == "clickhouse") {
+      require(admitted.forall(_.rowType != "ddl"),
+        "clickhouse scenarios carry no DDL")
+      import com.sun.net.httpserver.{HttpExchange, HttpServer}
+      import graft.sinks.{ClickhouseHttp, StreamLoadSink}
+      val received = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(String, String, String)]())
+      val server = HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/", (ex: HttpExchange) => {
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        received.add((ex.getRequestURI.getRawQuery,
+          ex.getRequestHeaders.getFirst("Authorization"), body)): Unit
+        ex.sendResponseHeaders(200, 0L)
+        ex.getResponseBody.close()
+        ex.close()
+      })
+      server.start()
+      try {
+        normalized.groupBy(e => (e.dstDb, e.dstTb)).toSeq
+          .sortBy(_._1).foreach { case ((rdb, rtb), evs) =>
+            val d = routedDefs((rdb, rtb))
+            require(d.keyCols.nonEmpty,
+              "clickhouse scenarios need keyed tables")
+            val schema = StructType(
+              Seq(StructField("seq", LongType),
+                StructField("sub", IntegerType),
+                StructField("row_type", StringType)) ++
+                d.cols.map(StructField(_, StringType)))
+            val rows = evs.map { e =>
+              val img = if (e.rowType == "delete") e.before else e.after
+              Row.fromSeq(Seq(e.seq, e.sub, e.rowType) ++
+                d.cols.map(img.getOrElse(_, null)))
+            }
+            val df = spark.createDataFrame(rows.asJava, schema)
+            val signed = StreamLoadSink.withSignColumns(df,
+              col("row_type"), col("seq") * 2 + col("sub"))
+              .drop("seq", "sub", "row_type")
+            val cfg = ClickhouseHttp.Config("127.0.0.1",
+              server.getAddress.getPort, rdb, rtb,
+              user = "admin", password = "pw")
+            StreamLoadSink.ship(signed,
+              () => new ClickhouseHttp.HttpPayloadSink(cfg),
+              batchRows = math.max(1, task.batchSize))
+          }
+      } finally server.stop(0)
+
+      // warehouse resolution: INSERT target parsed from the query
+      // param, key -> max-version row, sign 1 = deleted
+      import graft.sources.TinyJson
+      val InsertRe =
+        """INSERT INTO `(.+?)`\.`(.+?)` FORMAT JSONEachRow""".r
+      val byTableRows = mutable.LinkedHashMap[(String, String),
+        mutable.ArrayBuffer[Map[String, Any]]]()
+      received.asScala.foreach { case (rawQuery, auth, body) =>
+        require(auth != null && auth.startsWith("Basic "),
+          "clickhouse POST missing basic auth")
+        val query = java.net.URLDecoder.decode(
+          rawQuery.stripPrefix("query="),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val m = InsertRe.findFirstMatchIn(query)
+          .getOrElse(sys.error(s"unexpected CH query: $query"))
+        val (db, tb) = (m.group(1), m.group(2))
+        body.split("\n").filter(_.nonEmpty).foreach { line =>
+          byTableRows.getOrElseUpdate((db, tb),
+            mutable.ArrayBuffer.empty) +=
+            TinyJson.parse(line).get.asInstanceOf[Map[String, Any]]
+        }
+      }
+      def resolveCh(d: TableDef, rows: Seq[Map[String, Any]])
+          : Seq[Map[String, Value]] =
+        rows.groupBy(r => d.keyCols.map(r.getOrElse(_, null)))
+          .values.toSeq
+          .map(_.maxBy(r => TinyJson.num(r,
+            StreamLoadSink.VersionCol).get))
+          .filter(r => TinyJson.num(r,
+            StreamLoadSink.IsDeletedCol).get == 0.0)
+          .map(r => d.cols.map(c => c ->
+            r.getOrElse(c, null).asInstanceOf[Value]).toMap)
+      val perTable = routedDefs.map { case ((rdb, rtb), d) =>
+        val got = resolveCh(d,
+          byTableRows.getOrElse((rdb, rtb), Nil).toSeq)
+        val naiveW = mutable.LinkedHashMap[Seq[Value],
+          Map[String, Value]]()
+        normalized.filter(e => (e.dstDb, e.dstTb) == (rdb, rtb))
+          .foreach { e =>
+            val img = if (e.rowType == "delete") e.before else e.after
+            val k = d.keyCols.map(img.getOrElse(_, null: Value))
+            if (e.rowType == "delete") naiveW.remove(k): Unit
+            else naiveW(k) = d.cols.map(c =>
+              c -> img.getOrElse(c, null: Value)).toMap
+          }
+        compareStates(s"$rdb.$rtb", naiveW.values.toSeq, got)
+        val fullFidelity =
+          task.filter.doEvents == Set("insert", "update", "delete") &&
+            task.source.gtidSet.isEmpty &&
+            task.luaCodeFile.isEmpty
+        if (fullFidelity) {
+          val (db, tb) = src.defs.keys
+            .find(k => task.router.routeTable(k._1, k._2) ==
+              (rdb, rtb)).get
+          val srcState = src.rows((db, tb)).toSeq
+            .map(project(db, tb, _))
+            .map(r => d.cols.map(c =>
+              c -> r.getOrElse(c, null: Value)).toMap)
+          compareStates(s"$rdb.$rtb (vs src)", srcState, got)
+        }
+        s"$rdb.$rtb" -> (naiveW.values.toSeq, got)
+      }
+      return Result(perTable.size,
+        perTable.values.map(_._2.size.toLong).sum, perTable)
+    }
+
     // ---- http_server pipeline: routed events stage into the durable
     // spool in buffer_size micro-batches and serve over the REAL
     // subscription HTTP server (/info /fetch_new /fetch_old /ack,
@@ -1444,8 +1568,375 @@ object ScenarioRunner {
     * row-identical to src (the reference's check_test → revise_test →
     * review_test cycle in one scenario).
     */
+  /** Two-way sync (A→B→A with data markers) — the reference cycle
+    * dt-tests (mysql_to_mysql/cycle) over the data-marker machinery
+    * (data_marker.rs): every transaction a node APPLIES is prefixed
+    * with a marker row naming the data's origin node; each direction's
+    * extractor tracks the in-flight origin (reset to the local node per
+    * txn, refreshed by marker rows) and drops txns whose origin fails
+    * the [data_marker] do_nodes/ignore_nodes rule — so A's writes
+    * replicate to B, B's local writes replicate to A, and NOTHING
+    * echoes back around the loop.
+    *
+    * Fixture shape: `task_config.ini` = the A→B task (with
+    * [data_marker] src_node=node_a), `task_config_back.ini` = B→A,
+    * `src_prepare.sql` seeds BOTH nodes (the synced baseline),
+    * `src_test.sql` = A-local writes, `dst_test.sql` = B-local writes.
+    *
+    * Checks: (1) each direction's interpreted marker admission equals
+    * the PRODUCTION DataMarker.nodeFilter verdicts; (2) each
+    * direction's applied end state equals a real
+    * Compaction+Applier run over the admitted events (MemDb); (3) the
+    * second direction filters every A-origin event (no echo) and a
+    * third pass ships nothing (quiescence); (4) both nodes converge to
+    * baseline + A-local + B-local.
+    */
+  private def runTwoWay(spark: SparkSession, dir: Path): Result = {
+    val taskAB = TaskConfig.fromIni(new String(
+      Files.readAllBytes(dir.resolve("task_config.ini")), "UTF-8"),
+      Some(dir))
+    val taskBA = TaskConfig.fromIni(new String(
+      Files.readAllBytes(dir.resolve("task_config_back.ini")), "UTF-8"),
+      Some(dir))
+    val mAB = taskAB.dataMarker.getOrElse(
+      sys.error("two-way scenarios need [data_marker] in task_config.ini"))
+    val mBA = taskBA.dataMarker.getOrElse(
+      sys.error("two-way scenarios need [data_marker] in the back task"))
+    val Array(markerDb, markerTb) = mAB.marker.split("\\.", 2)
+    require(mBA.marker == mAB.marker, "both directions share the marker")
+
+    val prepStmts = parseScript(new String(
+      Files.readAllBytes(dir.resolve("src_prepare.sql")), "UTF-8"))
+    val aStmts = parseScript(new String(
+      Files.readAllBytes(dir.resolve("src_test.sql")), "UTF-8"))
+    val bStmts = parseScript(new String(
+      Files.readAllBytes(dir.resolve("dst_test.sql")), "UTF-8"))
+
+    // shared schema + per-node baseline
+    val schemaState = new SourceState
+    schemaState.applyAll(prepStmts)
+    val defs = schemaState.defs.toMap
+    defs.values.foreach(d => require(d.keyCols.nonEmpty,
+      "two-way scenarios need keyed tables"))
+
+    final case class Txn(events: Seq[Event])
+    final class Node(val name: String) {
+      // keyed end state per table, seeded with the baseline
+      val state = mutable.LinkedHashMap[(String, String),
+        mutable.LinkedHashMap[Seq[Value], Map[String, Value]]]()
+      defs.foreach { case (k, d) =>
+        val buf = mutable.LinkedHashMap[Seq[Value], Map[String, Value]]()
+        schemaState.rows(k).foreach { r =>
+          val full = d.cols.map(c => c -> r.getOrElse(c, null: Value)).toMap
+          buf(d.keyCols.map(full(_))) = full
+        }
+        state(k) = buf
+      }
+      val log = mutable.ArrayBuffer[Txn]()
+      def applyEvent(e: Event): Unit = {
+        val d = defs((e.db, e.tb))
+        val img = if (e.rowType == "delete") e.before else e.after
+        val full = d.cols.map(c => c -> img.getOrElse(c, null: Value)).toMap
+        val k = d.keyCols.map(full(_))
+        require(!k.contains(null), s"two-way events need non-null keys: $e")
+        // a key-changing update vacates the before-image key (the
+        // delete+insert split the production normalize applies)
+        if (e.rowType == "update") {
+          val kb = d.keyCols.map(e.before.getOrElse(_, null: Value))
+          if (!kb.contains(null) && kb != k)
+            state((e.db, e.tb)).remove(kb): Unit
+        }
+        if (e.rowType == "delete") state((e.db, e.tb)).remove(k): Unit
+        else state((e.db, e.tb))(k) = full
+      }
+    }
+
+    // local writes: interpret post-baseline statements; every local
+    // DML event is its own autocommit txn (no marker — local origin)
+    def localTxns(stmts: Seq[Stmt]): Seq[Txn] = {
+      val st = new SourceState
+      st.applyAll(prepStmts)
+      val cut = st.events.size
+      st.applyAll(stmts)
+      st.events.drop(cut).toSeq.map(e => Txn(Seq(e)))
+    }
+    val nodeA = new Node(mAB.srcNode)
+    val nodeB = new Node(mAB.dstNode)
+    localTxns(aStmts).foreach { t =>
+      nodeA.log += t; t.events.foreach(nodeA.applyEvent)
+    }
+    localTxns(bStmts).foreach { t =>
+      nodeB.log += t; t.events.foreach(nodeB.applyEvent)
+    }
+
+    var markerSeq = 1000000L
+    def markerEvent(origin: String): Event = {
+      markerSeq += 1
+      Event(markerDb, markerTb, markerSeq, "insert", Map.empty,
+        Map("topo" -> mAB.topoName, "data_origin_node" -> origin))
+    }
+
+    /** One direction: walk `from.log` FROM the direction's cursor
+      * (a real CDC extractor resumes at its position — it never
+      * re-reads shipped txns) with the marker state machine, admit per
+      * do/ignore nodes, apply at `to` (marker txn written first, like
+      * the live sinker's in-transaction marker), and cross-check both
+      * the admission (vs the production DataMarker.nodeFilter) and the
+      * applied state (vs a REAL Compaction+Applier run over the
+      * admitted events). Returns (shipped, filtered) event counts and
+      * advances the cursor.
+      */
+    val cursors = mutable.Map[String, Int]().withDefaultValue(0)
+    def syncDirection(label: String, task: TaskConfig.Task,
+        from: Node, to: Node): (Int, Int) = {
+      val m = task.dataMarker.get
+      val newTxns = from.log.drop(cursors(label)).toSeq
+      cursors(label) = from.log.size
+      val admitted = mutable.ArrayBuffer[(String, Txn)]()
+      var filtered = 0
+      val verdicts = mutable.ArrayBuffer[(Long, String, Boolean)]()
+      newTxns.foreach { txn =>
+        var origin = from.name // reset per txn (data_marker.rs reset)
+        val dataEvents = txn.events.flatMap { e =>
+          if (e.db == markerDb && e.tb == markerTb) {
+            origin = e.after("data_origin_node") // refresh
+            None
+          } else Some(e)
+        }
+        val admit = !m.ignoreNodes.contains(origin) &&
+          (m.doNodes.isEmpty || m.doNodes.contains(origin))
+        dataEvents.foreach(e => verdicts += ((e.seq, origin, admit)))
+        if (dataEvents.nonEmpty) {
+          if (admit) admitted += ((origin, Txn(dataEvents)))
+          else filtered += dataEvents.size
+        }
+      }
+      // (1) the interpreted admission must equal the PRODUCTION
+      // nodeFilter over the same origin-tagged stream
+      if (verdicts.nonEmpty) {
+        val s2 = spark
+        import s2.implicits._
+        val df = verdicts.toSeq.map(v => (v._1, v._2))
+          .toDF("seq", "origin_node")
+        val kept = graft.operators.DataMarker.nodeFilter(df,
+          col("origin_node"), m.doNodes, m.ignoreNodes)
+          .select("seq").as[Long].collect().toSet
+        val want = verdicts.filter(_._3).map(_._1).toSet
+        require(kept == want,
+          s"$label: DataMarker.nodeFilter disagrees with the marker " +
+            s"replay: want $want got $kept")
+      }
+      // pre-direction destination state per table (the fidelity seed)
+      val pre = defs.map { case (k, d) =>
+        k -> to.state(k).values.toSeq.map(r => d.cols.map(r(_)))
+      }
+      // apply at `to`: marker txn first, then the data
+      admitted.foreach { case (origin, txn) =>
+        to.log += Txn(markerEvent(origin) +: txn.events)
+        txn.events.foreach(to.applyEvent)
+      }
+      // (2) pipeline fidelity: the admitted events through REAL
+      // compaction + applier planning, seeded with the pre state,
+      // must land exactly on the keyed-replay end state
+      val dataEvents = admitted.flatMap(_._2.events)
+      if (dataEvents.nonEmpty) {
+        val runId = s"${dir.getFileName}-$label-${System.nanoTime()}"
+        dataEvents.groupBy(e => (e.db, e.tb)).foreach {
+          case ((db, tb), evs) =>
+            val d = defs((db, tb))
+            val dl = dialectOf(task.sinkDbType)
+            val qt = s"${dl.quote(db)}.${dl.quote(tb)}"
+            MemDb.register(runId, qt, d.cols, d.keyCols)
+            MemDb.preload(runId, qt, pre((db, tb)))
+            val schema = StructType(
+              Seq(StructField("seq", LongType),
+                StructField("sub", IntegerType),
+                StructField("row_type", StringType)) ++
+                d.cols.map(StructField(_, StringType)))
+            // key-change safety: an update whose key changed (or is
+            // NULL on either side) splits to delete+insert before
+            // compaction — run()'s normalize, reference rdb_merger
+            val rows = evs.flatMap { e =>
+              def row(rt: String, img: Map[String, Value], sub: Int) =
+                Row.fromSeq(Seq(e.seq, sub, rt) ++
+                  d.cols.map(img.getOrElse(_, null)))
+              if (e.rowType == "update") {
+                val kb = d.keyCols.map(e.before.getOrElse(_, null: Value))
+                val ka = d.keyCols.map(e.after.getOrElse(_, null: Value))
+                if (kb.contains(null) || ka.contains(null) || kb != ka)
+                  Seq(row("delete", e.before, 0), row("insert", e.after, 1))
+                else Seq(row("update", e.after, 0))
+              } else if (e.rowType == "delete") Seq(row("delete", e.before, 0))
+              else Seq(row(e.rowType, e.after, 0))
+            }
+            val compacted = Compaction.compact(
+              spark.createDataFrame(rows.asJava, schema), d.keyCols,
+              Seq("seq", "sub"), col("row_type"))
+            val rid = runId
+            Applier.applyCompacted(dl, qt,
+              compacted, d.keyCols, d.cols, Seq("seq", "sub"),
+              () => MemDb.Sink(rid), batchSize = task.batchSize)
+            val got = MemDb.snapshot(runId)(qt)
+            val want = to.state((db, tb)).values.toSeq
+            compareStates(s"$label $db.$tb (pipeline vs replay)",
+              want, got)
+        }
+        MemDb.clear(runId)
+      }
+      (dataEvents.size, filtered)
+    }
+
+    // Direction 1: A → B (A-local events, origin node_a, all admitted)
+    val (shipped1, filtered1) = syncDirection("ab", taskAB, nodeA, nodeB)
+    require(shipped1 > 0, "A→B shipped nothing")
+    require(filtered1 == 0, "A→B filtered local events")
+    val markersAtB = nodeB.log.flatMap(_.events)
+      .count(e => e.db == markerDb && e.tb == markerTb &&
+        e.after("data_origin_node") == mAB.srcNode)
+    require(markersAtB > 0, "no marker rows landed at B")
+
+    // Direction 2: B → A — B-local ships, every A-origin event filters
+    val (shipped2, filtered2) = syncDirection("ba", taskBA, nodeB, nodeA)
+    require(shipped2 > 0, "B→A shipped nothing (B-local writes missing)")
+    require(filtered2 == shipped1,
+      s"echo not fully filtered: $filtered2 of $shipped1 dropped")
+
+    // Direction 3: A → B again — quiescence: the only new txns at A
+    // are the B-replicated marker txns, all node_b origin, all dropped
+    val (shipped3, filtered3) = syncDirection("ab", taskAB, nodeA, nodeB)
+    require(shipped3 == 0,
+      s"loop not quiescent: third pass shipped $shipped3")
+    require(filtered3 == shipped2,
+      s"third pass should filter the B-origin txns: $filtered3")
+
+    // (4) convergence: both nodes = baseline + A-local + B-local
+    val oracle = {
+      val n = new Node("oracle")
+      (localTxns(aStmts) ++ localTxns(bStmts))
+        .foreach(_.events.foreach(n.applyEvent))
+      n.state
+    }
+    val perTable = defs.map { case ((db, tb), d) =>
+      val a = nodeA.state((db, tb)).values.toSeq
+      val b = nodeB.state((db, tb)).values.toSeq
+      val want = oracle((db, tb)).values.toSeq
+      compareStates(s"$db.$tb (A vs oracle)", want, a)
+      compareStates(s"$db.$tb (B vs oracle)", want, b)
+      s"$db.$tb" -> (a, b)
+    }
+    Result(perTable.size,
+      perTable.values.map(_._2.size.toLong).sum, perTable)
+  }
+
+  /** mongo→mongo check + revise: documents (all non-null fields keyed
+    * by `_id`) classify through the DOC-LEVEL map diff the mongo
+    * checker uses (Checker.docDiffFields — q18's operator), and the
+    * revise statements are the REAL MongoSink single-op shapes
+    * (replaceOne upsert for MISS/DIFF, deleteOne for ORPHAN) executed
+    * by MemMongo; a re-check after revise must come back clean. The
+    * reference shape: mongo_check dt-tests through MongoChecker +
+    * mongo revise via the serial sink commands.
+    */
+  private def runMongoCheck(spark: SparkSession, dir: Path,
+      task: TaskConfig.Task, src: SourceState): Result = {
+    import graft.operators.Checker
+    val runId = s"${dir.getFileName}-mcheck-${System.nanoTime()}"
+    val dst = new SourceState
+    dst.applyAll(parseScript(new String(
+      Files.readAllBytes(dir.resolve("src_prepare.sql")), "UTF-8")))
+    dst.applyAll(parseScript(new String(
+      Files.readAllBytes(dir.resolve("dst_test.sql")), "UTF-8")))
+
+    val perColl = src.defs.toSeq.collect { case ((db, tb), d)
+        if task.filter.allowTable(db, tb) =>
+      require(d.keyCols.nonEmpty, "mongo check needs keyed tables")
+      def idOf(r: Map[String, Value]): String =
+        d.keyCols.map(r.getOrElse(_, null: Value)).mkString("|")
+      // a mongo document carries only PRESENT fields — null columns
+      // are ABSENT, exactly the doc-diff semantics under test
+      def docOf(r: Map[String, Value]): Map[String, String] =
+        r.collect { case (c, v) if v != null => c -> v } +
+          ("_id" -> idOf(r))
+      val srcDocs = src.rows((db, tb)).toSeq.map(docOf)
+      val dstDocs = dst.rows((db, tb)).toSeq.map(docOf)
+      val srcById = srcDocs.map(m => m("_id") -> m).toMap
+      val dstById = dstDocs.map(m => m("_id") -> m).toMap
+      require(srcById.size == srcDocs.size &&
+        dstById.size == dstDocs.size,
+        s"mongo check $db.$tb carries duplicate ids")
+
+      // naive doc-level classification oracle
+      val wantStatus: Map[String, String] =
+        (srcById.keySet ++ dstById.keySet).map { id =>
+          id -> ((srcById.get(id), dstById.get(id)) match {
+            case (Some(_), None) => "MISS"
+            case (None, Some(_)) => "ORPHAN"
+            case (Some(a), Some(b)) if a != b => "DIFF"
+            case _ => "OK"
+          })
+        }.toMap
+
+      // the PRODUCTION doc diff: map columns through docDiffFields
+      val s2 = spark
+      import s2.implicits._
+      val sdf = srcDocs.map(m => (m("_id"), m)).toDF("_id", "sdoc")
+      val ddf = dstDocs.map(m => (m("_id"), m)).toDF("_id", "ddoc")
+      val joined = sdf.join(ddf, Seq("_id"), "full_outer")
+        .select(col("_id"),
+          when(col("ddoc").isNull, lit("MISS"))
+            .when(col("sdoc").isNull, lit("ORPHAN"))
+            .when(size(Checker.docDiffFields(col("sdoc"),
+              col("ddoc"))) > 0, lit("DIFF"))
+            .otherwise(lit("OK")).as("status"),
+          Checker.docDiffFields(
+            coalesce(col("sdoc"), map()),
+            coalesce(col("ddoc"), map())).as("diff_fields"))
+        .collect()
+      val gotStatus = joined.map(r =>
+        r.getAs[String]("_id") -> r.getAs[String]("status")).toMap
+      require(gotStatus == wantStatus,
+        s"mongo doc classification mismatch for $db.$tb:\n" +
+          s"  want $wantStatus\n  got  $gotStatus")
+      // DIFF docs name exactly the differing fields
+      joined.filter(_.getAs[String]("status") == "DIFF").foreach { r =>
+        val id = r.getAs[String]("_id")
+        val want = (srcById(id).keySet ++ dstById(id).keySet)
+          .filter(k => srcById(id).get(k) != dstById(id).get(k))
+          .toSeq.sorted
+        val got = r.getSeq[String](r.fieldIndex("diff_fields")).sorted
+        require(got == want,
+          s"diff_fields mismatch for $db.$tb $id: want $want got $got")
+      }
+
+      // revise: REAL MongoSink single-op shapes against the seeded dst
+      val cname = s"$db.$tb"
+      MemMongo.register(runId, cname)
+      dstDocs.foreach(dd => MemMongo.execute(runId,
+        graft.sinks.MongoSink.insertOne(cname, dd("_id"), dd)))
+      wantStatus.toSeq.sortBy(_._1).foreach {
+        case (id, st) if st == "MISS" || st == "DIFF" =>
+          MemMongo.execute(runId, graft.sinks.MongoSink.insertOne(
+            cname, id, srcById(id)))
+        case (id, st) if st == "ORPHAN" =>
+          MemMongo.execute(runId,
+            graft.sinks.MongoSink.deleteOne(cname, id))
+        case _ => ()
+      }
+      val revised = MemMongo.snapshot(runId).getOrElse(cname, Nil)
+      require(revised.map(d => d("_id") -> d).toMap == srcById,
+        s"mongo revise did not converge for $cname")
+      cname -> (srcDocs.map(_.map { case (k, v) => k -> (v: Value) }),
+        revised.map(_.map { case (k, v) => k -> (v: Value) }))
+    }
+    MemMongo.clear(runId)
+    require(perColl.nonEmpty, "mongo check matched no collections")
+    Result(perColl.size, perColl.map(_._2._2.size.toLong).sum,
+      perColl.toMap)
+  }
+
   private def runCheck(spark: SparkSession, dir: Path,
       task: TaskConfig.Task, src: SourceState): Result = {
+    if (task.dbType == "mongo") return runMongoCheck(spark, dir, task, src)
     import graft.operators.{Checker, Compaction}
     val dialect = dialectOf(task.sinkDbType)
     val runId = s"${dir.getFileName}-check-${System.nanoTime()}"
