@@ -712,7 +712,7 @@ object Multimodal {
       .when(kind === 4, unhex(Synth.mp4Hex))
       // space-prefixed so free text can never collide with a container
       // signature at offset 0 ("BM...", "GIF..." are valid text starts)
-      .otherwise(encode(concat(lit(" "), col("text")), "utf-8"))
+      .otherwise(encode(concat(lit("\u0000"), col("text")), "utf-8"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), payload.as("media"))
       .as[(Long, Array[Byte])]
