@@ -93,18 +93,41 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
       case _ => ()
     }
     val hs = parseHandshake(greeting)
-    require(hs.authPlugin == "mysql_native_password",
-      s"unsupported auth plugin ${hs.authPlugin} " +
-        "(only mysql_native_password is implemented)")
     writePacket(wire, 1, handshakeResponse(cfg.user, cfg.password,
-      hs.scramble))
-    val (_, reply) = readPacket(wire)
-    classify(reply) match {
-      case Ok(_) => ()
-      case Err(code, msg) =>
-        throw new java.io.IOException(s"mysql auth failed $code: $msg")
-      case other =>
-        throw new java.io.IOException(s"unexpected auth reply $other")
+      hs.scramble, hs.authPlugin))
+    // the auth conversation: OK | ERR | AuthSwitchRequest (0xfe — the
+    // server prefers another plugin) | AuthMoreData (0x01 —
+    // caching_sha2's fast/full verdict)
+    var seq = 3
+    var done = false
+    while (!done) {
+      val (_, reply) = readPacket(wire)
+      (reply(0) & 0xff) match {
+        case 0x00 => done = true
+        case 0xff => classify(reply) match {
+          case Err(code, msg) => throw new java.io.IOException(
+            s"mysql auth failed $code: $msg")
+          case _ => throw new java.io.IOException("unreachable")
+        }
+        case 0xfe => // AuthSwitchRequest: redo auth with the plugin
+          val sw = parseAuthSwitch(reply)
+          writePacket(wire, seq,
+            authResponse(sw.plugin, cfg.password, sw.scramble))
+          seq += 2
+        case 0x01 => // AuthMoreData (caching_sha2_password)
+          (reply.lift(1).map(_ & 0xff).getOrElse(-1)) match {
+            case 0x03 => () // fast_auth_success: OK packet follows
+            case 0x04 => throw new java.io.IOException(
+              "caching_sha2_password full authentication requested " +
+                "— the server has no cached entry and the cleartext/" +
+                "RSA exchange needs TLS; prime the cache or enable " +
+                "TLS on the deployment")
+            case other => throw new java.io.IOException(
+              s"unexpected AuthMoreData payload $other")
+          }
+        case other =>
+          throw new java.io.IOException(s"unexpected auth reply $other")
+      }
     }
   }
 

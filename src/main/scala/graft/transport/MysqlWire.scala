@@ -107,9 +107,39 @@ object MysqlWire {
     h1.indices.toArray.map(i => (h1(i) ^ h3(i)).toByte)
   }
 
-  /** HandshakeResponse41 (no database, utf8mb4, native auth). */
+  /** `caching_sha2_password` fast-path scramble (MySQL 8's default
+    * plugin — `mysql_native_password` is off by default in 8.4):
+    * XOR(SHA256(pw), SHA256(SHA256(SHA256(pw)) ++ nonce)). The fast
+    * path completes when the server has the password cached
+    * (AuthMoreData 0x03); the full path (0x04) requires TLS or RSA
+    * key exchange and is refused loudly by the pump.
+    */
+  def cachingSha2Password(password: String, scramble: Array[Byte])
+      : Array[Byte] = {
+    if (password.isEmpty) return Array.emptyByteArray
+    def sha256(b: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-256").digest(b)
+    val h1 = sha256(password.getBytes("UTF-8"))
+    val h3 = sha256(sha256(sha256(password.getBytes("UTF-8"))) ++
+      scramble)
+    h1.indices.toArray.map(i => (h1(i) ^ h3(i)).toByte)
+  }
+
+  /** Auth bytes for a plugin name (auth-switch uses the same table). */
+  def authResponse(plugin: String, password: String,
+      scramble: Array[Byte]): Array[Byte] = plugin match {
+    case "mysql_native_password" => nativePassword(password, scramble)
+    case "caching_sha2_password" =>
+      cachingSha2Password(password, scramble)
+    case other => throw new java.io.IOException(
+      s"unsupported auth plugin $other (mysql_native_password and " +
+        "caching_sha2_password are implemented)")
+  }
+
+  /** HandshakeResponse41 (no database, utf8mb4). */
   def handshakeResponse(user: String, password: String,
-      scramble: Array[Byte]): Array[Byte] = {
+      scramble: Array[Byte],
+      plugin: String = "mysql_native_password"): Array[Byte] = {
     val caps = CapLongPassword | CapProtocol41 | CapSecureConnection |
       CapPluginAuth
     val out = new java.io.ByteArrayOutputStream()
@@ -120,11 +150,26 @@ object MysqlWire {
     out.write(45) // utf8mb4_general_ci
     out.write(new Array[Byte](23)) // reserved
     out.write(user.getBytes("UTF-8")); out.write(0)
-    val auth = nativePassword(password, scramble)
+    val auth = authResponse(plugin, password, scramble)
     out.write(auth.length) // length-encoded (always < 251 here)
     out.write(auth)
-    out.write("mysql_native_password".getBytes("UTF-8")); out.write(0)
+    out.write(plugin.getBytes("UTF-8")); out.write(0)
     out.toByteArray
+  }
+
+  /** AuthSwitchRequest (0xfe + plugin cstring + new scramble). */
+  final case class AuthSwitch(plugin: String, scramble: Array[Byte])
+
+  def parseAuthSwitch(payload: Array[Byte]): AuthSwitch = {
+    require((payload(0) & 0xff) == 0xfe, "not an auth switch")
+    var p = 1
+    while (payload(p) != 0) p += 1
+    val plugin = new String(payload, 1, p - 1, "UTF-8")
+    p += 1
+    // trailing NUL on the scramble when present
+    val end = if (payload.last == 0) payload.length - 1
+      else payload.length
+    AuthSwitch(plugin, payload.slice(p, end))
   }
 
   // ---------------------------------------------------------- replies

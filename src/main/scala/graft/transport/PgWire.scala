@@ -77,6 +77,92 @@ object PgWire {
     message('p', s"md5$outer".getBytes("UTF-8") :+ 0.toByte)
   }
 
+  /** SCRAM-SHA-256 (RFC 5802/7677) — PostgreSQL's default auth since
+    * v14 (`password_encryption=scram-sha-256`), so a live dial MUST
+    * speak it. Pure computation over the exchanged messages; the pump
+    * drives the 3-leg exchange (SASL → SASLContinue → SASLFinal).
+    * Password normalization is pass-through (SASLprep's non-ASCII
+    * edge cases are out of scope; ASCII passwords — the overwhelming
+    * case — are unaffected).
+    */
+  object Scram {
+    private val B64E = java.util.Base64.getEncoder
+    private val B64D = java.util.Base64.getDecoder
+
+    private def hmac(key: Array[Byte], msg: Array[Byte]): Array[Byte] = {
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+      mac.doFinal(msg)
+    }
+    private def sha256(b: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-256").digest(b)
+    private def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      a.indices.toArray.map(i => (a(i) ^ b(i)).toByte)
+
+    /** Hi(password, salt, i) = PBKDF2-HMAC-SHA256, dkLen = 32. */
+    def saltedPassword(password: String, salt: Array[Byte],
+        iterations: Int): Array[Byte] = {
+      val spec = new javax.crypto.spec.PBEKeySpec(
+        password.toCharArray, salt, iterations, 256)
+      javax.crypto.SecretKeyFactory
+        .getInstance("PBKDF2WithHmacSHA256")
+        .generateSecret(spec).getEncoded
+    }
+
+    final case class Exchange(user: String, password: String,
+        clientNonce: String) {
+      /** `n,,n=<user>,r=<nonce>` — PG convention sends n= empty (the
+        * startup message already named the user), but the generic
+        * form with the user works against PG too; RFC vectors use it.
+        */
+      val clientFirstBare = s"n=$user,r=$clientNonce"
+      val clientFirst = s"n,,$clientFirstBare"
+
+      /** Parse server-first, compute client-final + the expected
+        * server signature. Returns (clientFinal, serverSignatureB64).
+        */
+      def clientFinal(serverFirst: String): (String, String) = {
+        val fields = serverFirst.split(",").map { f =>
+          f.splitAt(f.indexOf('=')) match {
+            case (k, v) => k -> v.drop(1)
+          }
+        }.toMap
+        val nonce = fields("r")
+        require(nonce.startsWith(clientNonce),
+          "scram: server nonce does not extend the client nonce")
+        val salt = B64D.decode(fields("s"))
+        val iterations = fields("i").toInt
+        val salted = saltedPassword(password, salt, iterations)
+        val clientKey = hmac(salted, "Client Key".getBytes("UTF-8"))
+        val storedKey = sha256(clientKey)
+        val withoutProof = s"c=biws,r=$nonce" // biws = b64("n,,")
+        val authMessage =
+          s"$clientFirstBare,$serverFirst,$withoutProof"
+            .getBytes("UTF-8")
+        val clientSig = hmac(storedKey, authMessage)
+        val proof = B64E.encodeToString(xor(clientKey, clientSig))
+        val serverKey = hmac(salted, "Server Key".getBytes("UTF-8"))
+        val serverSig =
+          B64E.encodeToString(hmac(serverKey, authMessage))
+        (s"$withoutProof,p=$proof", serverSig)
+      }
+    }
+
+    /** SASLInitialResponse: mechanism cstring + int32 len + body. */
+    def initialResponse(mechanism: String, body: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(mechanism.getBytes("UTF-8")); out.write(0)
+      val b = body.getBytes("UTF-8")
+      out.write((b.length >> 24) & 0xff); out.write((b.length >> 16) & 0xff)
+      out.write((b.length >> 8) & 0xff); out.write(b.length & 0xff)
+      out.write(b)
+      message('p', out.toByteArray)
+    }
+
+    def response(body: String): Array[Byte] =
+      message('p', body.getBytes("UTF-8"))
+  }
+
   /** Simple query ('Q'). */
   def query(sql: String): Array[Byte] =
     message('Q', sql.getBytes("UTF-8") :+ 0.toByte)

@@ -254,6 +254,76 @@ class MysqlTransportSpec extends AnyFunSuite {
     assert(decoded.map(_.after("id")) == Seq("1"))
   }
 
+  test("caching_sha2_password: the MySQL-8-default plugin's fast " +
+      "path, vector-pinned, fast-success accepted, full-auth refused") {
+    // independent vector: XOR(SHA256(pw), SHA256(SHA3x(pw) ++ nonce))
+    val got = cachingSha2Password("secret_pw", scramble)
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(got ==
+      "c3688372e9a10346c46a86fda1d188f7a4f5adb84bcc18d7c930c0b03a0abedf")
+    assert(cachingSha2Password("", scramble).isEmpty)
+
+    // greeting advertises caching_sha2 → fast success (0x01 0x03) →
+    // OK → dump proceeds
+    def sha2Greeting: Array[Byte] = {
+      val h = handshakePayload(scramble)
+      val i = new String(h, java.nio.charset.StandardCharsets
+        .ISO_8859_1).indexOf("mysql_native_password")
+      h.take(i) ++ "caching_sha2_password".getBytes("UTF-8") :+ 0.toByte
+    }
+    val wire = new FakeWire
+    wire.serve(packet(0, sha2Greeting))
+    wire.serve(packet(2, Array[Byte](0x01, 0x03))) // fast_auth_success
+    wire.serve(packet(3, okPacket)) // auth OK
+    wire.serve(packet(1, okPacket)) // SET checksum
+    wire.serve(packet(1, Array[Byte](0xfe.toByte, 0, 0, 2, 0))) // EOF
+    val pump = new MysqlReplicationPump(
+      MysqlReplicationPump.Config("u", "secret_pw"),
+      new MemorySegmentStore, () => wire)
+    pump.runSession()
+    val sentStr = new String(wire.sentBytes,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(sentStr.contains("caching_sha2_password"))
+    assert(sentStr.contains(new String(
+      cachingSha2Password("secret_pw", scramble),
+      java.nio.charset.StandardCharsets.ISO_8859_1)))
+
+    // full authentication (0x01 0x04) refuses loudly: the RSA/TLS
+    // exchange is a deployment concern, never a silent downgrade
+    val wire2 = new FakeWire
+    wire2.serve(packet(0, sha2Greeting))
+    wire2.serve(packet(2, Array[Byte](0x01, 0x04)))
+    val pump2 = new MysqlReplicationPump(
+      MysqlReplicationPump.Config("u", "pw"),
+      new MemorySegmentStore, () => wire2)
+    val e = intercept[java.io.IOException](pump2.runSession())
+    assert(e.getMessage.contains("full authentication"))
+  }
+
+  test("auth switch: the server's preferred-plugin redirect re-runs " +
+      "auth with the new scramble") {
+    val newScramble = Array.tabulate[Byte](20)(i => (100 + i).toByte)
+    val switch = Array[Byte](0xfe.toByte) ++
+      "mysql_native_password".getBytes("UTF-8") ++ Array[Byte](0) ++
+      newScramble ++ Array[Byte](0)
+    val wire = new FakeWire
+    wire.serve(packet(0, handshakePayload(scramble)))
+    wire.serve(packet(2, switch))
+    wire.serve(packet(4, okPacket)) // auth OK after the switch
+    wire.serve(packet(1, okPacket)) // SET checksum
+    wire.serve(packet(1, Array[Byte](0xfe.toByte, 0, 0, 2, 0))) // EOF
+    val pump = new MysqlReplicationPump(
+      MysqlReplicationPump.Config("u", "secret_pw"),
+      new MemorySegmentStore, () => wire)
+    pump.runSession()
+    // the SECOND auth response is salted with the switch's scramble
+    val sentStr = new String(wire.sentBytes,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(sentStr.contains(new String(
+      nativePassword("secret_pw", newScramble),
+      java.nio.charset.StandardCharsets.ISO_8859_1)))
+  }
+
   test("backoff ladder doubles and caps") {
     val pump = new MysqlReplicationPump(
       MysqlReplicationPump.Config("u", "p", baseBackoffMs = 100,
