@@ -1,0 +1,96 @@
+package graft.config
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.transport.{FsSegmentStore, LiveDial, MysqlReplicationPump,
+  Wire}
+
+/** The live mysql:// CDC task lane — what runs when `[extractor] url`
+  * names a real server instead of a fixture: dial, pump the binlog
+  * stream into capture segments under the task dir, stream them
+  * through the EXISTING ChangelogSource → compaction machinery, and
+  * land per-table compacted end states under the sink. The same
+  * produce→consume topology the reference runs in one process
+  * (extractor → pipeline → sinker), here split at the segment seam so
+  * the pump is a single lightweight thread and everything after it is
+  * distributed Spark.
+  *
+  * `dialOverride` is the test seam: a FakeWire-scripted server drives
+  * the WHOLE lane — pump, publish, micro-batch stream, compaction,
+  * sink — in-process (LiveCdcSpec); production leaves it None and
+  * dials a [[graft.transport.SocketWire]].
+  */
+object LiveCdc {
+
+  final case class Report(segments: Int, events: Long,
+      tables: Seq[(String, Long)], position: (String, Long, String))
+
+  def isLiveUrl(url: String): Boolean =
+    url.startsWith("mysql://")
+
+  /** Drain-once semantics (the task-manager unit): one pump session
+    * (until the server ends the dump or the wire drops), publish all
+    * segments, stream-compact-land, report. A resident deployment
+    * loops this under the supervisor with `pump.run`.
+    */
+  def runMysql(spark: SparkSession, task: TaskConfig.Task,
+      taskDir: String, dialOverride: Option[() => Wire] = None)
+      : Report = {
+    val captureDir = s"$taskDir/capture"
+    val store = new FsSegmentStore(captureDir)
+    val pump = new MysqlReplicationPump(
+      LiveDial.mysqlConfig(task.sourceDir, task.source), store,
+      dialOverride.getOrElse(LiveDial.dialer(task.sourceDir,
+        readTimeoutMs = task.source.binlogTimeoutSecs * 1000)))
+    val events = pump.runSession()
+    store.publishAll()
+
+    // the capture dir through the existing micro-batch transport:
+    // decode on executors, per-table key compaction, parquet landing
+    val checkpoint = s"$taskDir/checkpoint"
+    val outDir = task.sinkDir
+    val keysByTable = task.keysByTable
+    val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val q = spark.readStream
+      .format("graft.sources.ChangelogSource")
+      .option("path", captureDir)
+      .option("format", "binlog")
+      .option("key_cols",
+        keysByTable.values.flatten.toSeq.distinct.mkString(","))
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val tables = batch.select("schema", "tb").distinct()
+          .collect().map(r => (r.getString(0), r.getString(1)))
+        tables.foreach { case (db, tb) =>
+          if (task.filter.allowTable(db, tb)) {
+            val (toDb, toTb) = task.router.routeTable(db, tb)
+            val slice = batch
+              .filter(col("schema") === db && col("tb") === tb)
+              .filter(col("row_type")
+                .isin(task.filter.doEvents.toSeq: _*))
+            val compacted = graft.operators.Compaction.compact(
+              slice, Seq("key"), Seq("seq"), col("row_type"))
+              .filter(col(graft.operators.Compaction.ActionCol) =!=
+                graft.operators.Compaction.Delete)
+              .select("key", "payload")
+            compacted.write.mode(SaveMode.Append)
+              .parquet(s"$outDir/$toDb.$toTb")
+          }
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val landed = graft.infra.Fs.listNames(outDir)
+      .filter(_.contains("."))
+      .sorted.map { t =>
+        t -> spark.read.parquet(s"$outDir/$t").count()
+      }
+    Report(store.names.size, events, landed, pump.position)
+  }
+}

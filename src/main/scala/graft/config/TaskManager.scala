@@ -133,7 +133,8 @@ object TaskManager {
     * snapshot unit writes are idempotent overwrites.
     */
   def start(spark: SparkSession, stateDir: String, name: String,
-      afterUnit: Int => Unit = _ => ()): TaskMeta = {
+      afterUnit: Int => Unit = _ => (),
+      liveDial: Option[() => graft.transport.Wire] = None): TaskMeta = {
     val dir = taskDir(stateDir, name)
     val meta0 = readMeta(dir)
     require(meta0.status != "running", s"task $name is already running")
@@ -155,6 +156,18 @@ object TaskManager {
     }
     def stopRequested = Files.exists(dir.resolve("stop.requested"))
     try {
+      // live mysql:// CDC: dial-pump-stream-land through LiveCdc (the
+      // url names a real server, not a fixture dir); drain-once per
+      // start, positions carried by the pump + streaming checkpoint
+      if (task.extractType == TaskConfig.CdcExtract &&
+          LiveCdc.isLiveUrl(task.sourceDir)) {
+        val r = LiveCdc.runMysql(spark, task, dir.toString, liveDial)
+        log(dir, s"live_cdc segments=${r.segments} " +
+          s"events=${r.events} position=${r.position._1}:" +
+          s"${r.position._2} " +
+          r.tables.map { case (t, n) => s"$t=$n" }.mkString(" "))
+        return finish("finished", None)
+      }
       // CDC tasks are stream-scoped, not table-unit-scoped: one
       // CdcTask drain per start, positions in the task dir's
       // file-backed store (restart-safe) — same composition as Main
