@@ -27,13 +27,21 @@ object LiveCdc {
       tables: Seq[(String, Long)], position: (String, Long, String))
 
   def isLiveUrl(url: String): Boolean =
-    url.startsWith("mysql://")
+    url.startsWith("mysql://") || url.startsWith("postgres://") ||
+      url.startsWith("postgresql://")
 
   /** Drain-once semantics (the task-manager unit): one pump session
     * (until the server ends the dump or the wire drops), publish all
     * segments, stream-compact-land, report. A resident deployment
     * loops this under the supervisor with `pump.run`.
     */
+  def run(spark: SparkSession, task: TaskConfig.Task,
+      taskDir: String, dialOverride: Option[() => Wire] = None)
+      : Report =
+    if (task.sourceDir.startsWith("mysql://"))
+      runMysql(spark, task, taskDir, dialOverride)
+    else runPg(spark, task, taskDir, dialOverride)
+
   def runMysql(spark: SparkSession, task: TaskConfig.Task,
       taskDir: String, dialOverride: Option[() => Wire] = None)
       : Report = {
@@ -45,6 +53,35 @@ object LiveCdc {
         readTimeoutMs = task.source.binlogTimeoutSecs * 1000)))
     val events = pump.runSession()
     store.publishAll()
+    consume(spark, task, taskDir, captureDir, "binlog",
+      store.names.size, events, pump.position)
+  }
+
+  /** The PG twin: slot lifecycle + COPY-both through the PG pump,
+    * capture in the bare-frame pgoutput segment format, same
+    * downstream machinery with `format=pgoutput`.
+    */
+  def runPg(spark: SparkSession, task: TaskConfig.Task,
+      taskDir: String, dialOverride: Option[() => Wire] = None)
+      : Report = {
+    val captureDir = s"$taskDir/capture"
+    val store = new FsSegmentStore(captureDir)
+    val slot = task.slot.getOrElse(
+      graft.sources.PgSlotLifecycle.SlotConfig("graft_slot"))
+    val pump = new graft.transport.PgReplicationPump(
+      LiveDial.pgConfig(task.sourceDir, slot), store,
+      dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
+    val frames = pump.runSession()
+    store.publishAll()
+    consume(spark, task, taskDir, captureDir, "pgoutput",
+      store.names.size, frames,
+      ("", 0L, pump.position))
+  }
+
+  private def consume(spark: SparkSession, task: TaskConfig.Task,
+      taskDir: String, captureDir: String, format: String,
+      nSegments: Int, events: Long,
+      position: (String, Long, String)): Report = {
 
     // the capture dir through the existing micro-batch transport:
     // decode on executors, per-table key compaction, parquet landing
@@ -55,7 +92,7 @@ object LiveCdc {
     val q = spark.readStream
       .format("graft.sources.ChangelogSource")
       .option("path", captureDir)
-      .option("format", "binlog")
+      .option("format", format)
       .option("key_cols",
         keysByTable.values.flatten.toSeq.distinct.mkString(","))
       .load()
@@ -91,6 +128,6 @@ object LiveCdc {
       .sorted.map { t =>
         t -> spark.read.parquet(s"$outDir/$t").count()
       }
-    Report(store.names.size, events, landed, pump.position)
+    Report(nSegments, events, landed, position)
   }
 }

@@ -161,7 +161,7 @@ object TaskManager {
       // start, positions carried by the pump + streaming checkpoint
       if (task.extractType == TaskConfig.CdcExtract &&
           LiveCdc.isLiveUrl(task.sourceDir)) {
-        val r = LiveCdc.runMysql(spark, task, dir.toString, liveDial)
+        val r = LiveCdc.run(spark, task, dir.toString, liveDial)
         log(dir, s"live_cdc segments=${r.segments} " +
           s"events=${r.events} position=${r.position._1}:" +
           s"${r.position._2} " +

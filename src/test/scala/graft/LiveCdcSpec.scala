@@ -124,4 +124,93 @@ class LiveCdcSpec extends SparkSuite {
     assert(graft.sources.ChangelogSource
       .segments(s"$state/live1/capture").nonEmpty)
   }
+
+  test("a postgres:// cdc task runs the slot lifecycle, captures " +
+      "pgoutput frames, and lands compacted end states") {
+    import graft.transport.PgWire._
+    def msg(tag: Char, body: Array[Byte]): Array[Byte] =
+      graft.transport.PgWire.message(tag, body)
+    def queryReply(cols: Seq[String],
+        rows: Seq[Seq[String]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      if (cols.nonEmpty) {
+        val t = new java.io.ByteArrayOutputStream()
+        t.write((cols.size >> 8) & 0xff); t.write(cols.size & 0xff)
+        cols.foreach { c =>
+          t.write(c.getBytes("UTF-8")); t.write(0)
+          t.write(new Array[Byte](18))
+        }
+        out.write(msg('T', t.toByteArray))
+      }
+      rows.foreach { r =>
+        val d = new java.io.ByteArrayOutputStream()
+        d.write((r.size >> 8) & 0xff); d.write(r.size & 0xff)
+        r.foreach { v =>
+          val b = v.getBytes("UTF-8")
+          d.write((b.length >> 24) & 0xff); d.write((b.length >> 16) & 0xff)
+          d.write((b.length >> 8) & 0xff); d.write(b.length & 0xff)
+          d.write(b)
+        }
+        out.write(msg('D', d.toByteArray))
+      }
+      out.write(msg('C', "SELECT".getBytes("UTF-8") :+ 0.toByte))
+      out.write(msg('Z', Array[Byte]('I'.toByte)))
+      out.toByteArray
+    }
+
+    val w = new graft.sources.PgOutputWriter()
+    w.begin(0x16000100L, 0L, 1L)
+    w.relation(16385L, "app", "t", 'd', Seq(
+      graft.sources.PgOutput.RelColumn("id", keyPart = true, 20, -1),
+      graft.sources.PgOutput.RelColumn("v", false, 25, -1)))
+    w.insert(16385L, Array("1", "a"))
+    w.insert(16385L, Array("2", "b"))
+    w.update(16385L, None, None, Array("1", "a2"))
+    w.delete(16385L, 'K', Array("2", null))
+    w.commit(0x16000100L, 0x16000200L, 0L)
+
+    val wire = new FakeWire
+    wire.serve(msg('R', Array[Byte](0, 0, 0, 0))) // AuthenticationOk
+    wire.serve(msg('Z', Array[Byte]('I'.toByte)))
+    wire.serve(queryReply(Seq("pubname"), Seq(Seq("p"))))
+    wire.serve(queryReply(Seq("slot_name", "confirmed_flush_lsn"),
+      Seq(Seq("live_slot", "0/16000000"))))
+    wire.serve(queryReply(Nil, Nil)) // SET float digits
+    wire.serve(queryReply(Nil, Nil)) // SET time zone
+    wire.serve(msg('W', Array[Byte](0, 0, 0))) // CopyBoth
+    wire.serve(w.bytes())
+    wire.serve(msg('c', Array.emptyByteArray)) // CopyDone
+
+    val state = java.nio.file.Files
+      .createTempDirectory("live-pg-state").toString
+    val sink = java.nio.file.Files
+      .createTempDirectory("live-pg-sink").toString
+    TaskManager.create(state, "livepg",
+      s"""[extractor]
+         |db_type=pg
+         |extract_type=cdc
+         |url=postgres://app:pw@127.0.0.1:5432/orders
+         |slot_name=live_slot
+         |id_cols=t:id
+         |
+         |[filter]
+         |do_tbs=app.*
+         |
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    val meta = TaskManager.start(spark, state, "livepg",
+      liveDial = Some(() => wire))
+    assert(meta.status == "finished")
+    val sentStr = new String(wire.sentBytes,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(sentStr.contains(
+      "START_REPLICATION SLOT live_slot LOGICAL 0/16000000"))
+    val landed = spark.read.parquet(s"$sink/app.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(landed.keySet == Set("1"))
+    assert(landed("1").contains("a2"))
+    assert(graft.sources.ChangelogSource
+      .segments(s"$state/livepg/capture").nonEmpty)
+  }
 }
