@@ -1,0 +1,215 @@
+package graft.transport
+
+/** The Redis PSYNC dial-and-pump — the reference's
+  * RedisPsyncExtractor::start_psync/receive_rdb/receive_aof socket
+  * phase (dt-connector/src/extractor/redis/redis_psync_extractor.rs:
+  * 104-175): AUTH/PING, `REPLCONF listening-port`, `PSYNC ? -1` (full)
+  * or `PSYNC <repl_id> <offset>` (partial resync), then copy the
+  * master's reply stream VERBATIM into capture segments — the exact
+  * byte format [[graft.sources.RedisSource.RedisPsync.decode]] already
+  * parses (FULLRESYNC/CONTINUE reply line + disk-backed or diskless
+  * RDB bulk + RESP command tail), so everything downstream (RDB
+  * parse, command-to-event rewrite, filtering, routing) runs on what
+  * this writes.
+  *
+  * Replication acking: a replica must send `REPLCONF ACK <offset>`
+  * periodically or the master drops it; the pump tracks the
+  * command-stream offset (master offset + bytes past the RDB — the
+  * same accounting decode() applies) and acks every `ackEveryBytes`.
+  */
+final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
+    store: SegmentStore, dial: () => Wire) {
+  import RedisReplicationPump._
+
+  private[transport] var replId: String = cfg.replId
+  private[transport] var replOffset: Long = cfg.replOffset
+  var reconnects = 0
+  var bytesCaptured = 0L
+  private var segmentIndex = 0
+  private var segmentBytes = 0L
+
+  /** One session: handshake, psync, copy the stream until the wire
+    * drops or `until` says stop. Returns bytes captured this session.
+    */
+  def runSession(until: () => Boolean = () => false): Long = {
+    val wire = dial()
+    // one capture segment per session: a segment must START with its
+    // session's PSYNC reply line to be independently decodable
+    rotate()
+    try {
+      handshake(wire)
+      val fullSync = replId.isEmpty && replOffset == 0
+      val (id, off) =
+        if (fullSync) ("?", "-1") else (replId, replOffset.toString)
+      wire.write(cmd("PSYNC", id, off))
+      pump(wire, fullSync, until)
+    } finally wire.close()
+  }
+
+  /** Supervised loop: partial resync on reconnect via the tracked
+    * (repl_id, offset) — the +CONTINUE path a healthy master answers.
+    */
+  def run(until: () => Boolean,
+      sleep: Long => Unit = Thread.sleep): Unit = {
+    var consecutiveFailures = 0
+    while (!until() && consecutiveFailures <= cfg.maxReconnects) {
+      val before = bytesCaptured
+      try {
+        runSession(until)
+        consecutiveFailures = 0
+      } catch {
+        case _: java.io.IOException | _: java.io.EOFException =>
+          if (bytesCaptured > before) consecutiveFailures = 0
+          consecutiveFailures += 1
+          reconnects += 1
+          if (!until() && consecutiveFailures <= cfg.maxReconnects)
+            sleep(backoffMs(consecutiveFailures))
+      }
+    }
+    if (consecutiveFailures > cfg.maxReconnects)
+      throw new java.io.IOException(
+        s"redis pump: gave up after ${cfg.maxReconnects} reconnects " +
+          s"at $replId:$replOffset")
+  }
+
+  def backoffMs(attempt: Int): Long =
+    math.min(cfg.maxBackoffMs,
+      cfg.baseBackoffMs * (1L << math.min(attempt - 1, 16)))
+
+  // ---------------------------------------------------------- phases
+
+  private def handshake(wire: Wire): Unit = {
+    if (cfg.password.nonEmpty) {
+      wire.write(
+        if (cfg.user.nonEmpty) cmd("AUTH", cfg.user, cfg.password)
+        else cmd("AUTH", cfg.password))
+      expectOk(wire, "AUTH")
+    }
+    wire.write(cmd("PING"))
+    val pong = readLine(wire)
+    require(pong == "+PONG", s"unexpected PING reply: $pong")
+    wire.write(cmd("REPLCONF", "listening-port", cfg.replPort.toString))
+    expectOk(wire, "REPLCONF listening-port")
+  }
+
+  /** Copy the reply stream into the current capture segment: the
+    * reply line verbatim, the RDB bulk with framing (disk-backed
+    * `$<len>` or diskless `$EOF:<delim>`), then the command tail in
+    * readSome chunks with periodic REPLCONF ACKs.
+    */
+  private def pump(wire: Wire, fullSync: Boolean,
+      until: () => Boolean): Long = {
+    var captured = 0L
+    def capture(bytes: Array[Byte]): Unit = {
+      store.append(currentSegment(), bytes)
+      captured += bytes.length
+      bytesCaptured += bytes.length
+      segmentBytes += bytes.length
+    }
+
+    val reply = readLine(wire)
+    capture((reply + "\r\n").getBytes("UTF-8"))
+    if (reply.startsWith("+FULLRESYNC ")) {
+      val parts = reply.drop(1).split(" ")
+      replId = parts(1)
+      replOffset = parts(2).toLong
+      // the RDB bulk: $<len> disk-backed or $EOF:<delim> diskless
+      val header = readLine(wire)
+      capture((header + "\r\n").getBytes("UTF-8"))
+      if (header.startsWith("$EOF:")) {
+        val delim = header.drop(5).getBytes("UTF-8")
+        val window = new scala.collection.mutable.ArrayDeque[Byte]()
+        var done = false
+        while (!done) {
+          val b = wire.read(1)
+          capture(b)
+          window.append(b(0))
+          if (window.size > delim.length) window.removeHead(): Unit
+          if (window.size == delim.length &&
+            window.toArray.sameElements(delim)) done = true
+        }
+      } else {
+        require(header.startsWith("$"), s"bad RDB header: $header")
+        var remaining = header.drop(1).toLong
+        while (remaining > 0) {
+          val chunk = wire.read(math.min(remaining, 1 << 16).toInt)
+          capture(chunk)
+          remaining -= chunk.length
+        }
+      }
+    } else require(reply.startsWith("+CONTINUE"),
+      s"unexpected PSYNC reply: $reply")
+
+    // the live command tail: verbatim copy, offset-per-byte acks
+    var sinceAck = 0L
+    while (!until()) {
+      val chunk = wire.readSome(1 << 16)
+      capture(chunk)
+      replOffset += chunk.length
+      sinceAck += chunk.length
+      if (sinceAck >= cfg.ackEveryBytes) {
+        wire.write(cmd("REPLCONF", "ACK", replOffset.toString))
+        sinceAck = 0
+      }
+      if (segmentBytes >= cfg.maxSegmentBytes) rotate()
+    }
+    captured
+  }
+
+  private def expectOk(wire: Wire, what: String): Unit = {
+    val reply = readLine(wire)
+    require(reply == "+OK", s"$what reply is not +OK: $reply")
+  }
+
+  private def readLine(wire: Wire): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      val b = wire.read(1)(0) & 0xff
+      if (b == '\r') {
+        val n = wire.read(1)(0) & 0xff
+        require(n == '\n', "bare CR in RESP line")
+        done = true
+      } else out.write(b)
+    }
+    new String(out.toByteArray, "UTF-8")
+  }
+
+  private def currentSegment(): String =
+    f"psync.$segmentIndex%06d.log"
+
+  private def rotate(): Unit = {
+    if (segmentIndex > 0) store match {
+      case fsStore: FsSegmentStore => fsStore.publish(currentSegment())
+      case _ => ()
+    }
+    segmentIndex += 1
+    segmentBytes = 0L
+  }
+
+  /** The resume token a restart persists (Position::RedisPsync). */
+  def position: (String, Long) = (replId, replOffset)
+}
+
+object RedisReplicationPump {
+  /** `REPLCONF`/`PSYNC` knobs (redis_psync_extractor.rs:95-101 logs
+    * repl_id/repl_offset/repl_port at start).
+    */
+  final case class Config(user: String = "", password: String = "",
+      replId: String = "", replOffset: Long = 0L,
+      replPort: Int = 10007, ackEveryBytes: Long = 1L << 20,
+      maxSegmentBytes: Long = 64L * 1024 * 1024,
+      maxReconnects: Int = 10, baseBackoffMs: Long = 500L,
+      maxBackoffMs: Long = 60000L)
+
+  /** RESP array-of-bulk-strings command encoding. */
+  def cmd(args: String*): Array[Byte] = {
+    val out = new StringBuilder
+    out.append('*').append(args.size).append("\r\n")
+    args.foreach { a =>
+      out.append('$').append(a.getBytes("UTF-8").length).append("\r\n")
+      out.append(a).append("\r\n")
+    }
+    out.toString.getBytes("UTF-8")
+  }
+}

@@ -16,6 +16,12 @@ trait Wire {
     */
   def read(n: Int): Array[Byte]
 
+  /** At least 1 and at most `max` bytes — the unframed-stream read a
+    * RESP replication tail needs (no length prefix to wait for).
+    * Blocks for the first byte; throws EOF on close.
+    */
+  def readSome(max: Int): Array[Byte]
+
   def write(bytes: Array[Byte]): Unit
 
   def close(): Unit
@@ -43,6 +49,13 @@ final class SocketWire(host: String, port: Int,
     val buf = new Array[Byte](n)
     in.readFully(buf)
     buf
+  }
+
+  override def readSome(max: Int): Array[Byte] = {
+    val buf = new Array[Byte](max)
+    val n = in.read(buf, 0, max)
+    if (n < 0) throw new java.io.EOFException("peer closed")
+    java.util.Arrays.copyOf(buf, n)
   }
 
   override def write(bytes: Array[Byte]): Unit = {
@@ -83,6 +96,18 @@ final class FakeWire extends Wire {
     val out = java.util.Arrays.copyOfRange(all, cursor, cursor + n)
     cursor += n
     out
+  }
+
+  override def readSome(max: Int): Array[Byte] = {
+    val all = served.toByteArray
+    if (failAt >= 0 && cursor >= failAt)
+      throw new java.io.IOException("planted connection failure")
+    if (cursor >= all.length)
+      throw new java.io.EOFException("fake wire drained")
+    val take = math.min(max, all.length - cursor)
+    val capped = if (failAt >= 0) math.min(take, failAt - cursor)
+      else take
+    read(math.max(1, capped))
   }
 
   override def write(bytes: Array[Byte]): Unit = sent.write(bytes)
