@@ -1,0 +1,199 @@
+package graft.transport
+
+/** The MongoDB change-stream dial-and-pump — the reference's
+  * MongoCdcExtractor `source=change_stream` path
+  * (dt-connector/src/extractor/mongo/mongo_cdc_extractor.rs: watch()
+  * over the deployment, resume token persisted per batch): hello,
+  * SCRAM-SHA-256 auth over saslStart/saslContinue (the same RFC
+  * machinery [[PgWire.Scram]] pins to the RFC 7677 vectors — MongoDB
+  * uses it verbatim for SCRAM-SHA-256), then
+  * `aggregate 1 [{$changeStream:{allChangesForCluster:true}}]` and a
+  * getMore loop, appending every change document to capture segments
+  * as JSON lines (the shape `spark.read.json` and the existing
+  * MongoOps change-event machinery consume).
+  *
+  * Resume: the pump tracks `_id` of the last shipped change (the
+  * resume token); reconnects re-watch with `resumeAfter`, the exact
+  * semantic the reference persists in Position::MongoCdc.
+  */
+final class MongoChangeStreamPump(cfg: MongoChangeStreamPump.Config,
+    store: SegmentStore, dial: () => Wire) {
+  import MongoWire._
+  import MongoChangeStreamPump._
+
+  private[transport] var resumeToken: Option[Map[String, Any]] =
+    cfg.resumeAfterData.map(d => Map[String, Any]("_data" -> d))
+  var reconnects = 0
+  var docsCaptured = 0L
+  private var requestId = 0
+  private var segmentIndex = 0
+  private var segmentBytes = 0L
+
+  def runSession(until: () => Boolean = () => false): Long = {
+    val wire = dial()
+    rotate() // one segment per session
+    try {
+      hello(wire)
+      if (cfg.password.nonEmpty) auth(wire)
+      var (cursorId, batch) = openStream(wire)
+      var captured = 0L
+      captured += ship(batch)
+      while (!until() && cursorId != 0L) {
+        requestId += 1
+        wire.write(message(requestId, Seq(
+          "getMore" -> cursorId,
+          "collection" -> "$cmd.aggregate",
+          "$db" -> "admin")))
+        val reply = readMessage(wire)
+        checkOk(reply, "getMore")
+        val cursor = reply("cursor").asInstanceOf[Map[String, Any]]
+        cursorId = cursor("id").asInstanceOf[Long]
+        captured += ship(cursor.getOrElse("nextBatch", Seq.empty)
+          .asInstanceOf[Seq[Any]])
+      }
+      captured
+    } finally wire.close()
+  }
+
+  def run(until: () => Boolean,
+      sleep: Long => Unit = Thread.sleep): Unit = {
+    var consecutiveFailures = 0
+    while (!until() && consecutiveFailures <= cfg.maxReconnects) {
+      val before = docsCaptured
+      try {
+        runSession(until)
+        consecutiveFailures = 0
+        if (until()) return
+      } catch {
+        case _: java.io.IOException | _: java.io.EOFException =>
+          if (docsCaptured > before) consecutiveFailures = 0
+          consecutiveFailures += 1
+          reconnects += 1
+          if (!until() && consecutiveFailures <= cfg.maxReconnects)
+            sleep(backoffMs(consecutiveFailures))
+      }
+    }
+    if (consecutiveFailures > cfg.maxReconnects)
+      throw new java.io.IOException(
+        s"mongo pump: gave up after ${cfg.maxReconnects} reconnects")
+  }
+
+  def backoffMs(attempt: Int): Long =
+    math.min(cfg.maxBackoffMs,
+      cfg.baseBackoffMs * (1L << math.min(attempt - 1, 16)))
+
+  // ---------------------------------------------------------- phases
+
+  private def hello(wire: Wire): Unit = {
+    requestId += 1
+    wire.write(message(requestId, Seq(
+      "hello" -> 1, "$db" -> "admin")))
+    checkOk(readMessage(wire), "hello")
+  }
+
+  /** SCRAM-SHA-256 over saslStart/saslContinue (payload = the raw
+    * SCRAM message bytes; conversationId threads the legs).
+    */
+  private def auth(wire: Wire): Unit = {
+    val ex = PgWire.Scram.Exchange(cfg.user, cfg.password, cfg.nonce())
+    requestId += 1
+    wire.write(message(requestId, Seq(
+      "saslStart" -> 1,
+      "mechanism" -> "SCRAM-SHA-256",
+      "payload" -> ex.clientFirst.getBytes("UTF-8"),
+      "$db" -> cfg.authDb)))
+    val first = readMessage(wire)
+    checkOk(first, "saslStart")
+    val convId = first("conversationId")
+    val serverFirst = new String(
+      first("payload").asInstanceOf[Array[Byte]], "UTF-8")
+    val (clientFinal, wantSig) = ex.clientFinal(serverFirst)
+    requestId += 1
+    wire.write(message(requestId, Seq(
+      "saslContinue" -> 1,
+      "conversationId" -> convId,
+      "payload" -> clientFinal.getBytes("UTF-8"),
+      "$db" -> cfg.authDb)))
+    val second = readMessage(wire)
+    checkOk(second, "saslContinue")
+    val serverFinal = new String(
+      second("payload").asInstanceOf[Array[Byte]], "UTF-8")
+    if (serverFinal != s"v=$wantSig")
+      throw new java.io.IOException(
+        "scram: server signature mismatch — refusing to stream from " +
+          "an unauthenticated peer")
+    // some servers need an empty-payload third leg to set done=true
+    if (!second.get("done").contains(true)) {
+      requestId += 1
+      wire.write(message(requestId, Seq(
+        "saslContinue" -> 1,
+        "conversationId" -> convId,
+        "payload" -> Array.emptyByteArray,
+        "$db" -> cfg.authDb)))
+      checkOk(readMessage(wire), "saslContinue(final)")
+    }
+  }
+
+  private def openStream(wire: Wire): (Long, Seq[Any]) = {
+    val changeStream: Seq[(String, Any)] =
+      Seq("allChangesForCluster" -> true) ++
+        resumeToken.map(t => "resumeAfter" ->
+          Bson.Doc(t.toSeq.map { case (k, v) => k -> v }))
+    requestId += 1
+    wire.write(message(requestId, Seq(
+      "aggregate" -> 1,
+      "pipeline" -> Bson.Arr(Seq(
+        Bson.Doc(Seq("$changeStream" -> Bson.Doc(changeStream))))),
+      "cursor" -> Bson.Doc(Nil),
+      "$db" -> "admin")))
+    val reply = readMessage(wire)
+    checkOk(reply, "aggregate($changeStream)")
+    val cursor = reply("cursor").asInstanceOf[Map[String, Any]]
+    (cursor("id").asInstanceOf[Long],
+      cursor.getOrElse("firstBatch", Seq.empty).asInstanceOf[Seq[Any]])
+  }
+
+  /** Append change documents as JSON lines; track the resume token. */
+  private def ship(batch: Seq[Any]): Long = {
+    batch.foreach { doc0 =>
+      val doc = doc0.asInstanceOf[Map[String, Any]]
+      val line = Bson.toJson(doc) + "\n"
+      store.append(currentSegment(), line.getBytes("UTF-8"))
+      segmentBytes += line.length
+      docsCaptured += 1
+      doc.get("_id").foreach(t =>
+        resumeToken = Some(t.asInstanceOf[Map[String, Any]]))
+      if (segmentBytes >= cfg.maxSegmentBytes) rotate()
+    }
+    batch.size.toLong
+  }
+
+  private def currentSegment(): String =
+    f"changestream.$segmentIndex%06d.log"
+
+  private def rotate(): Unit = {
+    if (segmentIndex > 0) store match {
+      case fsStore: FsSegmentStore => fsStore.publish(currentSegment())
+      case _ => ()
+    }
+    segmentIndex += 1
+    segmentBytes = 0L
+  }
+
+  /** The resume token a restart persists (Position::MongoCdc). */
+  def position: Option[String] =
+    resumeToken.flatMap(_.get("_data")).map(_.toString)
+}
+
+object MongoChangeStreamPump {
+  final case class Config(user: String = "", password: String = "",
+      authDb: String = "admin", resumeAfterData: Option[String] = None,
+      maxSegmentBytes: Long = 64L * 1024 * 1024,
+      maxReconnects: Int = 10, baseBackoffMs: Long = 500L,
+      maxBackoffMs: Long = 60000L,
+      nonce: () => String = () => {
+        val b = new Array[Byte](18)
+        new java.security.SecureRandom().nextBytes(b)
+        java.util.Base64.getEncoder.encodeToString(b)
+      })
+}
