@@ -78,47 +78,109 @@ object LiveCdc {
       ("", 0L, pump.position))
   }
 
-  private def consume(spark: SparkSession, task: TaskConfig.Task,
-      taskDir: String, captureDir: String, format: String,
-      nSegments: Int, events: Long,
-      position: (String, Long, String)): Report = {
+  /** The micro-batch writer both modes share: per-table filter,
+    * route, key-compact, land as appended parquet.
+    */
+  private def landBatch(task: TaskConfig.Task, outDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val tables = batch.select("schema", "tb").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    tables.foreach { case (db, tb) =>
+      if (task.filter.allowTable(db, tb)) {
+        val (toDb, toTb) = task.router.routeTable(db, tb)
+        val slice = batch
+          .filter(col("schema") === db && col("tb") === tb)
+          .filter(col("row_type")
+            .isin(task.filter.doEvents.toSeq: _*))
+        val compacted = graft.operators.Compaction.compact(
+          slice, Seq("key"), Seq("seq"), col("row_type"))
+          .filter(col(graft.operators.Compaction.ActionCol) =!=
+            graft.operators.Compaction.Delete)
+          .select("key", "payload")
+        compacted.write.mode(SaveMode.Append)
+          .parquet(s"$outDir/$toDb.$toTb")
+      }
+    }
+    ()
+  }
 
-    // the capture dir through the existing micro-batch transport:
-    // decode on executors, per-table key compaction, parquet landing
-    val checkpoint = s"$taskDir/checkpoint"
-    val outDir = task.sinkDir
-    val keysByTable = task.keysByTable
-    val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
-    val q = spark.readStream
+  private def changeStream(spark: SparkSession, task: TaskConfig.Task,
+      captureDir: String, format: String) =
+    spark.readStream
       .format("graft.sources.ChangelogSource")
       .option("path", captureDir)
       .option("format", format)
       .option("key_cols",
-        keysByTable.values.flatten.toSeq.distinct.mkString(","))
+        task.keysByTable.values.flatten.toSeq.distinct.mkString(","))
       .load()
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val tables = batch.select("schema", "tb").distinct()
-          .collect().map(r => (r.getString(0), r.getString(1)))
-        tables.foreach { case (db, tb) =>
-          if (task.filter.allowTable(db, tb)) {
-            val (toDb, toTb) = task.router.routeTable(db, tb)
-            val slice = batch
-              .filter(col("schema") === db && col("tb") === tb)
-              .filter(col("row_type")
-                .isin(task.filter.doEvents.toSeq: _*))
-            val compacted = graft.operators.Compaction.compact(
-              slice, Seq("key"), Seq("seq"), col("row_type"))
-              .filter(col(graft.operators.Compaction.ActionCol) =!=
-                graft.operators.Compaction.Delete)
-              .select("key", "payload")
-            compacted.write.mode(SaveMode.Append)
-              .parquet(s"$outDir/$toDb.$toTb")
-          }
-        }
-        ()
+
+  /** RESIDENT mode — the deployment topology: the pump runs
+    * supervised (capped-backoff reconnect) on its own thread while a
+    * ProcessingTime stream continuously consumes whatever segments
+    * publish; `stop` ends both cooperatively (the task manager's
+    * stop flag). Returns when both halves have wound down.
+    */
+  def runMysqlResident(spark: SparkSession, task: TaskConfig.Task,
+      taskDir: String, stop: () => Boolean,
+      dialOverride: Option[() => Wire] = None,
+      triggerMs: Long = 500L): Report = {
+    val captureDir = s"$taskDir/capture"
+    val store = new FsSegmentStore(captureDir)
+    val pump = new MysqlReplicationPump(
+      LiveDial.mysqlConfig(task.sourceDir, task.source), store,
+      dialOverride.getOrElse(LiveDial.dialer(task.sourceDir,
+        readTimeoutMs = task.source.binlogTimeoutSecs * 1000)))
+    val pumpError = new java.util.concurrent.atomic.AtomicReference[
+      Throwable](null)
+    val pumpThread = new Thread(() => {
+      try {
+        pump.run(until = stop)
+        store.publishAll()
+      } catch {
+        case t: Throwable =>
+          store.publishAll()
+          pumpError.set(t)
       }
+    }, "graft-mysql-pump")
+    pumpThread.setDaemon(true)
+    pumpThread.start()
+
+    val q = changeStream(spark, task, captureDir, "binlog")
+      .writeStream
+      .option("checkpointLocation", s"$taskDir/checkpoint")
+      .foreachBatch(landBatch(task, task.sinkDir) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(triggerMs))
+      .start()
+    try {
+      while (!stop() && pumpError.get() == null)
+        Thread.sleep(triggerMs)
+      pumpThread.join(30000)
+      // drain what the pump published before stopping the stream
+      q.processAllAvailable()
+    } finally q.stop()
+    Option(pumpError.get()).foreach(t => throw t)
+
+    val landed = graft.infra.Fs.listNames(task.sinkDir)
+      .filter(_.contains("."))
+      .sorted.map { t =>
+        t -> spark.read.parquet(s"${task.sinkDir}/$t").count()
+      }
+    Report(store.names.size, pump.eventsAppended, landed,
+      pump.position)
+  }
+
+  private def consume(spark: SparkSession, task: TaskConfig.Task,
+      taskDir: String, captureDir: String, format: String,
+      nSegments: Int, events: Long,
+      position: (String, Long, String)): Report = {
+    // the capture dir through the existing micro-batch transport:
+    // decode on executors, per-table key compaction, parquet landing
+    val outDir = task.sinkDir
+    val q = changeStream(spark, task, captureDir, format)
+      .writeStream
+      .option("checkpointLocation", s"$taskDir/checkpoint")
+      .foreachBatch(landBatch(task, outDir) _)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -213,4 +213,98 @@ class LiveCdcSpec extends SparkSuite {
     assert(graft.sources.ChangelogSource
       .segments(s"$state/livepg/capture").nonEmpty)
   }
+
+  test("resident mode: the pump reconnects mid-stream while the " +
+      "continuous query consumes; the stop flag winds both down") {
+    import graft.config.{LiveCdc, TaskConfig}
+    def session(rows: Seq[Array[String]], startTxn: Long)
+        : Seq[Array[Byte]] = {
+      val w = new MysqlBinlogWriter(serverId = 1L)
+      w.fde()
+      w.begin("app")
+      w.tableMap(11L, "app", "t", Seq(8, 15), Seq(0, 40),
+        nullable = Seq(false, true), colNames = Seq("id", "v"))
+      w.writeRows(11L, rows)
+      w.xid(startTxn)
+      eventsOf(w.bytes())
+    }
+    def serve(wire: FakeWire, events: Seq[Array[Byte]],
+        eof: Boolean): Unit = {
+      wire.serve(packet(0, handshakePayload))
+      wire.serve(packet(2, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+      wire.serve(packet(1, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+      events.zipWithIndex.foreach { case (e, i) =>
+        wire.serve(packet(i + 1, Array[Byte](0x00) ++ e))
+      }
+      if (eof) wire.serve(packet(events.size + 1,
+        Array[Byte](0xfe.toByte, 0, 0, 2, 0)))
+    }
+    // session 1 drops mid-stream (no EOF); session 2 serves more rows
+    // and then ALSO drops — the pump keeps reconnecting until stopped
+    val wire1 = new FakeWire
+    serve(wire1, session(Seq(Array("1", "a"), Array("2", "b")), 1L),
+      eof = false)
+    val wire2 = new FakeWire
+    serve(wire2, session(Seq(Array("3", "c")), 2L), eof = false)
+    val extraWires = scala.collection.mutable.Queue[FakeWire]()
+    val wires = scala.collection.mutable.Queue[FakeWire](wire1, wire2)
+    def nextWire(): graft.transport.Wire = synchronized {
+      if (wires.nonEmpty) wires.dequeue()
+      else { // post-script dials: empty servers (EOF at once)
+        val w = new FakeWire
+        extraWires += w
+        w
+      }
+    }
+
+    val state = java.nio.file.Files
+      .createTempDirectory("live-res-state").toString
+    val sink = java.nio.file.Files
+      .createTempDirectory("live-res-sink").toString
+    val taskDir = java.nio.file.Files
+      .createTempDirectory("live-res-task").toString
+    val task = TaskConfig.fromIni(
+      s"""[extractor]
+         |db_type=mysql
+         |extract_type=cdc
+         |url=mysql://repl:pw@127.0.0.1:3306
+         |binlog_filename=binlog.000001
+         |id_cols=t:id
+         |
+         |[filter]
+         |do_tbs=app.*
+         |
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    val _ = state
+
+    val stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // stop once both sessions' rows are visible at the sink
+    val stopper = new Thread(() => {
+      val deadline = System.currentTimeMillis() + 60000
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        val landed = try {
+          spark.read.parquet(s"$sink/app.t").count()
+        } catch { case _: Exception => 0L }
+        if (landed >= 3) { stopFlag.set(true); done = true }
+      }
+      stopFlag.set(true)
+    }, "resident-stopper")
+    stopper.start()
+
+    val report = LiveCdc.runMysqlResident(spark, task, taskDir,
+      stop = () => stopFlag.get(),
+      dialOverride = Some(() => nextWire()), triggerMs = 100L)
+    stopper.join()
+
+    // both sessions' rows landed despite the mid-stream drop
+    val landed = spark.read.parquet(s"$sink/app.t")
+      .collect().map(_.getString(0)).toSet
+    assert(landed == Set("1", "2", "3"))
+    assert(report.events >= 6) // 2 sessions x (fde+begin+map+rows+xid)
+    assert(report.segments >= 1)
+  }
 }
