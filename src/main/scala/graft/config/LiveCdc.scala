@@ -79,26 +79,51 @@ object LiveCdc {
   }
 
   /** The micro-batch writer both modes share: per-table filter,
-    * route, key-compact, land as appended parquet.
+    * route, key-compact, and MERGE into the landed state — the
+    * previously landed rows join the batch as seq=-∞ inserts so a
+    * later batch's delete removes the key and an update replaces it
+    * (plain appends would resurrect deleted keys and duplicate
+    * updated ones across micro-batches). The merged frame lands via
+    * write-new-then-swap so a crash mid-write never leaves a
+    * half-overwritten table.
     */
   private def landBatch(task: TaskConfig.Task, outDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
     val tables = batch.select("schema", "tb").distinct()
       .collect().map(r => (r.getString(0), r.getString(1)))
     tables.foreach { case (db, tb) =>
       if (task.filter.allowTable(db, tb)) {
         val (toDb, toTb) = task.router.routeTable(db, tb)
+        val out = s"$outDir/$toDb.$toTb"
         val slice = batch
           .filter(col("schema") === db && col("tb") === tb)
           .filter(col("row_type")
             .isin(task.filter.doEvents.toSeq: _*))
+          .select(col("seq"), col("row_type"), col("key"),
+            col("payload"))
+        val existing =
+          if (graft.infra.Fs.exists(out))
+            spark.read.parquet(out)
+              .select(lit(Long.MinValue).as("seq"),
+                lit("insert").as("row_type"), col("key"),
+                col("payload"))
+          else spark.emptyDataFrame
+        val all = if (existing.isEmpty) slice
+          else existing.unionByName(slice)
         val compacted = graft.operators.Compaction.compact(
-          slice, Seq("key"), Seq("seq"), col("row_type"))
+          all, Seq("key"), Seq("seq"), col("row_type"))
           .filter(col(graft.operators.Compaction.ActionCol) =!=
             graft.operators.Compaction.Delete)
           .select("key", "payload")
-        compacted.write.mode(SaveMode.Append)
-          .parquet(s"$outDir/$toDb.$toTb")
+        val staged = s"$out.next-$batchId"
+        compacted.write.mode(SaveMode.Overwrite).parquet(staged)
+        val hfs = graft.infra.Fs.fs(out)
+        hfs.delete(new org.apache.hadoop.fs.Path(out), true)
+        if (!hfs.rename(new org.apache.hadoop.fs.Path(staged),
+            new org.apache.hadoop.fs.Path(out)))
+          throw new java.io.IOException(
+            s"live cdc: rename $staged -> $out failed")
       }
     }
     ()
@@ -155,7 +180,14 @@ object LiveCdc {
     try {
       while (!stop() && pumpError.get() == null)
         Thread.sleep(triggerMs)
-      pumpThread.join(30000)
+      // the pump observes stop() between packets — a blocked read
+      // clears at the socket timeout, so wait past it before draining
+      // (leaving early would strand the final publishAll unread)
+      val deadline = System.currentTimeMillis() +
+        task.source.binlogTimeoutSecs * 2000L + 5000L
+      while (pumpThread.isAlive &&
+        System.currentTimeMillis() < deadline)
+        pumpThread.join(500)
       // drain what the pump published before stopping the stream
       q.processAllAvailable()
     } finally q.stop()

@@ -146,6 +146,10 @@ object TaskManager {
       startedMs = Some(System.currentTimeMillis()), endedMs = None,
       error = None)
     writeMeta(dir, meta)
+    // beacon at start: a freshly-started task must never look like a
+    // crashed runner to a concurrent watch pass (the per-unit touches
+    // keep it fresh from here)
+    touchAlive(dir)
     log(dir, "started")
     def finish(status: String, error: Option[String]): TaskMeta = {
       meta = meta.copy(status = status,
@@ -361,9 +365,14 @@ object TaskManager {
   // RUN rather than an OS child — the state machine (liveness probe,
   // capped restart budget, backoff, resume from positions) is the same.
 
+  /** `staleAliveMs` must be comfortably larger than the longest
+    * single unit (the beacon only refreshes between units) — the
+    * 10-minute default trades slow takeover for never demoting a
+    * live runner mid-unit.
+    */
   final case class SupervisorConfig(maxRestarts: Int = 5,
       baseBackoffMs: Long = 500L, maxBackoffMs: Long = 60000L,
-      staleAliveMs: Long = 60000L, logMaxBytes: Long = 1L << 20,
+      staleAliveMs: Long = 600000L, logMaxBytes: Long = 1L << 20,
       logKeep: Int = 3)
 
   def backoffMs(cfg: SupervisorConfig, attempt: Int): Long =
@@ -433,9 +442,14 @@ object TaskManager {
       sleep: Long => Unit = Thread.sleep): Seq[String] = {
     list(stateDir).flatMap { m =>
       val dir = taskDir(stateDir, m.name)
+      // staleness judged by the beacon when present; a beacon-less
+      // running task (started by a pre-beacon build) falls back to
+      // startedMs age — never "absent means dead"
+      def runningAgeMs: Long = aliveAgeMs(dir).getOrElse(
+        m.startedMs.map(System.currentTimeMillis() - _)
+          .getOrElse(Long.MaxValue))
       val effective =
-        if (m.status == "running" &&
-            aliveAgeMs(dir).forall(_ > cfg.staleAliveMs)) {
+        if (m.status == "running" && runningAgeMs > cfg.staleAliveMs) {
           log(dir, "liveness beacon stale — demoting crashed runner")
           val demoted = m.copy(status = "failed",
             error = Some("runner crashed (stale liveness beacon)"))

@@ -710,7 +710,7 @@ object Multimodal {
       .when(kind === 2, unhex(Synth.gifHex))
       .when(kind === 3, unhex(Synth.wavHex))
       .when(kind === 4, unhex(Synth.mp4Hex))
-      // space-prefixed so free text can never collide with a container
+      // NUL-prefixed so free text can never collide with a container
       // signature at offset 0 ("BM...", "GIF..." are valid text starts)
       .otherwise(encode(concat(lit("\u0000"), col("text")), "utf-8"))
     Tables.documents(spark, dir)

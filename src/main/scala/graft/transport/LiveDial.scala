@@ -68,7 +68,8 @@ object LiveDial {
       binlogFilename = src.binlogFilename.getOrElse(""),
       binlogPosition = src.binlogPosition.getOrElse(4L),
       gtidEnabled = src.gtidEnabled,
-      gtidSet = src.gtidSet.getOrElse(""))
+      gtidSet = src.gtidSet.getOrElse(""),
+      heartbeatPeriodSecs = src.binlogHeartbeatIntervalSecs.toLong)
   }
 
   /** [extractor] → PG pump config; the slot section is already typed

@@ -26,7 +26,9 @@ final class MongoChangeStreamPump(cfg: MongoChangeStreamPump.Config,
   var reconnects = 0
   var docsCaptured = 0L
   private var requestId = 0
-  private var segmentIndex = 0
+  // continue numbering after anything already published: the capture
+  // reader's cursor is name-based, so a restart must never reuse one
+  private var segmentIndex = SegmentNames.lastIndex(store, "changestream")
   private var segmentBytes = 0L
 
   def runSession(until: () => Boolean = () => false): Long = {
@@ -172,10 +174,7 @@ final class MongoChangeStreamPump(cfg: MongoChangeStreamPump.Config,
     f"changestream.$segmentIndex%06d.log"
 
   private def rotate(): Unit = {
-    if (segmentIndex > 0) store match {
-      case fsStore: FsSegmentStore => fsStore.publish(currentSegment())
-      case _ => ()
-    }
+    if (segmentIndex > 0) store.publish(currentSegment())
     segmentIndex += 1
     segmentBytes = 0L
   }

@@ -131,19 +131,28 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
     }
   }
 
-  /** The dump stream is requested with checksums off for this session
-    * so event bytes land exactly as the decoder expects (the crc32
-    * trailer handling is a decode concern, not a transport one).
+  /** Session setup before the dump: checksums off so event bytes land
+    * exactly as the decoder expects, and @master_heartbeat_period set
+    * so an IDLE server keeps the wire warm — without it a quiet
+    * database looks like a dead connection at read-timeout, and the
+    * reconnect budget burns down on a healthy source
+    * (mysql_cdc_extractor.rs sets with_master_heartbeat for the same
+    * reason).
     */
   private def configureChecksum(wire: Wire): Unit = {
-    writePacket(wire, 0,
-      comQuery("SET @master_binlog_checksum='NONE'"))
-    val (_, reply) = readPacket(wire)
-    classify(reply) match {
-      case Err(code, msg) =>
-        throw new java.io.IOException(s"checksum setup failed $code: $msg")
-      case _ => ()
+    def run(sql: String): Unit = {
+      writePacket(wire, 0, comQuery(sql))
+      val (_, reply) = readPacket(wire)
+      classify(reply) match {
+        case Err(code, msg) => throw new java.io.IOException(
+          s"session setup failed $code: $msg")
+        case _ => ()
+      }
     }
+    run("SET @master_binlog_checksum='NONE'")
+    // nanoseconds, must be under the read timeout to be useful
+    run("SET @master_heartbeat_period=" +
+      s"${cfg.heartbeatPeriodSecs * 1000000000L}")
   }
 
   private def requestDump(wire: Wire): Unit = {
@@ -152,6 +161,9 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
         comBinlogDumpGtid(cfg.serverId, gtids)
       else if (currentFile.nonEmpty)
         comBinlogDump(cfg.serverId, currentFile, currentPos)
+      // no position configured: an empty filename streams from the
+      // EARLIEST retained binlog (the server's oldest log) — callers
+      // wanting "latest only" must name a start file or gtid set
       else comBinlogDump(cfg.serverId, "", 4L)
     writePacket(wire, 0, cmd)
   }
@@ -266,6 +278,7 @@ object MysqlReplicationPump {
   final case class Config(user: String, password: String,
       serverId: Long = 200, binlogFilename: String = "",
       binlogPosition: Long = 4L, gtidEnabled: Boolean = false,
-      gtidSet: String = "", maxReconnects: Int = 10,
+      gtidSet: String = "", heartbeatPeriodSecs: Long = 10L,
+      maxReconnects: Int = 10,
       baseBackoffMs: Long = 500L, maxBackoffMs: Long = 60000L)
 }

@@ -22,13 +22,27 @@ import graft.sources.PgSlotLifecycle
 final class PgReplicationPump(cfg: PgReplicationPump.Config,
     store: SegmentStore, dial: () => Wire,
     clockMicros: () => Long = () =>
-      System.currentTimeMillis() * 1000L) {
+      // the status-update clock field is microseconds since
+      // 2000-01-01 (the PG epoch), NOT Unix epoch — a raw
+      // currentTimeMillis would read ~30 years in the future in
+      // pg_stat_replication.reply_time
+      (System.currentTimeMillis() - PgReplicationPump.PgEpochMs)
+        * 1000L) {
   import PgWire._
   import PgReplicationPump._
 
   var flushedLsn: Long =
     if (cfg.slot.startLsn.nonEmpty) parseLsn(cfg.slot.startLsn) else 0L
-  private[transport] var segmentIndex = 0
+  /** The LSN covered by PUBLISHED (durable) segments — the only value
+    * an ack may carry as flushed: acking the in-flight spool would let
+    * the server discard WAL a crash could still lose.
+    */
+  private[transport] var publishedLsn: Long = flushedLsn
+  // resume segment numbering AFTER anything already published — a
+  // restarted pump must never reuse a name (the stream checkpoint is
+  // name-based and an overwrite would be invisible to the planner)
+  var segmentIndex =
+    SegmentNames.lastIndex(store, "pgoutput") + 1
   private[transport] var segmentBytes = 0L
   var reconnects = 0
   var framesAppended = 0L
@@ -44,7 +58,9 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
       connect(wire)
       val startLsn = prepareSlot(wire)
       startReplication(wire, startLsn)
-      pump(wire, until)
+      val n = pump(wire, until)
+      rotate() // publish the tail before a clean session end
+      n
     } finally wire.close()
   }
 
@@ -190,12 +206,22 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
 
   /** CopyData frames: XLogData ('w', stored; its end LSN advances the
     * flush watermark) and keepalive ('k', reply honored, never
-    * stored). Acks go out every `ackEveryFrames` data frames and on
-    * every reply-requested keepalive.
+    * stored durably as data).
+    *
+    * Rotation and acknowledgment happen ONLY at transaction
+    * boundaries (after a Commit frame, outside any txn): a segment
+    * must be independently decodable, so it may not split a
+    * transaction, and the acked (flushed) LSN may only cover
+    * PUBLISHED segments — acking the in-flight spool would let the
+    * server discard WAL a crash could still lose. Relation frames are
+    * cached and re-emitted at the head of every new segment (pg sends
+    * Relation once per session; a rotated segment must still be
+    * self-describing).
     */
   private def pump(wire: Wire, until: () => Boolean): Long = {
     var appended = 0L
     var sinceAck = 0
+    var inTxn = false
     while (!until()) {
       val (tag, body) = readMessage(wire)
       tag match {
@@ -209,18 +235,32 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
                 v
               }
               val endLsn = be(9) // walEnd
-              store.append(currentSegment(), body)
-              segmentBytes += body.length
-              if (segmentBytes >= cfg.maxSegmentBytes) rotate()
+              // message tag is the first payload byte after the
+              // 25-byte XLogData header ('w' + 3×8)
+              val msgTag = if (body.length > 25) (body(25) & 0xff).toChar
+                else ' '
+              msgTag match {
+                case 'B' => inTxn = true
+                case 'C' => inTxn = false
+                case 'R' => cacheRelation(body)
+                case _ => ()
+              }
+              appendFrame(body)
               if (endLsn > flushedLsn) flushedLsn = endLsn
               appended += 1; framesAppended += 1; sinceAck += 1
-              if (sinceAck >= cfg.ackEveryFrames) {
+              if (!inTxn && (sinceAck >= cfg.ackEveryFrames ||
+                  segmentBytes >= cfg.maxSegmentBytes)) {
+                rotate()
                 ack(wire, replyRequested = false); sinceAck = 0
               }
             case 'k' =>
-              store.append(currentSegment(), body) // decoder skips it
+              appendFrame(body) // decoder skips it
               val replyRequested = body.length >= 18 && body(17) == 1
-              if (replyRequested) ack(wire, replyRequested = false)
+              if (replyRequested) {
+                // a keepalive may arrive mid-txn: ack what is durable
+                // (publishedLsn), never the in-flight spool
+                ack(wire, replyRequested = false)
+              }
             case other => throw new java.io.IOException(
               s"unexpected replication frame '$other'")
           }
@@ -235,22 +275,56 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
     appended
   }
 
-  private[transport] def ack(wire: Wire, replyRequested: Boolean): Unit =
-    wire.write(standbyStatusUpdate(flushedLsn, flushedLsn, flushedLsn,
-      clockMicros(), replyRequested))
+  /** Relation frames by relId — re-emitted into every new segment. */
+  private val relationFrames =
+    scala.collection.mutable.LinkedHashMap[Long, Array[Byte]]()
 
-  private def currentSegment(): String = {
-    if (segmentIndex == 0) segmentIndex = 1
-    f"pgoutput.$segmentIndex%06d.log"
+  private def cacheRelation(frame: Array[Byte]): Unit = {
+    var relId = 0L
+    (0 until 4).foreach(i =>
+      relId = (relId << 8) | (frame(26 + i) & 0xffL))
+    relationFrames(relId) = frame
   }
 
-  private[transport] def rotate(): Unit = {
-    store match {
-      case fsStore: FsSegmentStore => fsStore.publish(currentSegment())
-      case _ => ()
+  private var segmentStarted = false
+
+  private def appendFrame(body: Array[Byte]): Unit = {
+    if (!segmentStarted) {
+      // self-describing segments: replay the cached Relations first
+      // (skip if THIS frame is one of them — it describes itself)
+      relationFrames.values.foreach { rf =>
+        if (!(rf eq body)) {
+          store.append(currentSegment(), rf)
+          segmentBytes += rf.length
+        }
+      }
+      segmentStarted = true
     }
-    segmentIndex += 1
-    segmentBytes = 0L
+    store.append(currentSegment(), body)
+    segmentBytes += body.length
+  }
+
+  private[transport] def ack(wire: Wire, replyRequested: Boolean): Unit =
+    // written = received; flushed/applied = DURABLE (published) only
+    wire.write(standbyStatusUpdate(flushedLsn, publishedLsn,
+      publishedLsn, clockMicros(), replyRequested))
+
+  /** Make the current segment durable and advance the ackable LSN. */
+  private def publish(): Unit = {
+    store.publish(currentSegment())
+    publishedLsn = flushedLsn
+  }
+
+  private def currentSegment(): String =
+    f"pgoutput.$segmentIndex%06d.log"
+
+  private[transport] def rotate(): Unit = {
+    if (segmentBytes > 0) {
+      publish()
+      segmentIndex += 1
+      segmentBytes = 0L
+      segmentStarted = false
+    }
   }
 
   /** The resume token a restart persists: the server-confirmed flush
@@ -261,6 +335,9 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
 }
 
 object PgReplicationPump {
+  /** 2000-01-01T00:00:00Z in Unix millis (the PG timestamp epoch). */
+  final val PgEpochMs = 946684800000L
+
   final case class Config(user: String, password: String,
       database: String, slot: PgSlotLifecycle.SlotConfig,
       ackEveryFrames: Int = 64,

@@ -25,7 +25,9 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
   private[transport] var replOffset: Long = cfg.replOffset
   var reconnects = 0
   var bytesCaptured = 0L
-  private var segmentIndex = 0
+  // continue numbering after anything already published: the capture
+  // reader's cursor is name-based, so a restart must never reuse one
+  private var segmentIndex = SegmentNames.lastIndex(store, "psync")
   private var segmentBytes = 0L
 
   /** One session: handshake, psync, copy the stream until the wire
@@ -39,8 +41,11 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
     try {
       handshake(wire)
       val fullSync = replId.isEmpty && replOffset == 0
+      // partial resync asks for the FIRST BYTE NEEDED: reploff + 1
+      // (replication.c slaveTryPartialResynchronization) — sending the
+      // processed offset would replay one byte and mis-frame the tail
       val (id, off) =
-        if (fullSync) ("?", "-1") else (replId, replOffset.toString)
+        if (fullSync) ("?", "-1") else (replId, (replOffset + 1).toString)
       wire.write(cmd("PSYNC", id, off))
       pump(wire, fullSync, until)
     } finally wire.close()
@@ -151,7 +156,13 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
         wire.write(cmd("REPLCONF", "ACK", replOffset.toString))
         sinceAck = 0
       }
-      if (segmentBytes >= cfg.maxSegmentBytes) rotate()
+      if (segmentBytes >= cfg.maxSegmentBytes) {
+        // a rotated mid-tail segment must still decode on its own:
+        // start it with the +CONTINUE line a partial-resync session
+        // would produce at exactly this offset
+        rotate()
+        capture(s"+CONTINUE $replId\r\n".getBytes("UTF-8"))
+      }
     }
     captured
   }
@@ -179,10 +190,7 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
     f"psync.$segmentIndex%06d.log"
 
   private def rotate(): Unit = {
-    if (segmentIndex > 0) store match {
-      case fsStore: FsSegmentStore => fsStore.publish(currentSegment())
-      case _ => ()
-    }
+    if (segmentIndex > 0) store.publish(currentSegment())
     segmentIndex += 1
     segmentBytes = 0L
   }

@@ -15,6 +15,29 @@ trait SegmentStore {
   def names: Seq[String]
 
   def bytesOf(name: String): Array[Byte]
+
+  /** Publish a finished segment (rotate boundary / shutdown) —
+    * durability point for stores that stage in-flight writes; a no-op
+    * for stores whose appends are immediately visible.
+    */
+  def publish(name: String): Unit = ()
+
+  def publishAll(): Unit = ()
+}
+
+/** Segment-name numbering across restarts: the streaming checkpoint
+  * is NAME-based and ChangelogSource only reads names strictly after
+  * its offset, so a restarted pump must never reuse a published name
+  * — it continues after the highest existing index.
+  */
+object SegmentNames {
+  private val Numbered = """\.(\d+)\.log$""".r
+
+  /** Highest existing NNNNNN for `<prefix>.NNNNNN.log`, 0 if none. */
+  def lastIndex(store: SegmentStore, prefix: String): Int =
+    store.names.filter(_.startsWith(prefix + "."))
+      .flatMap(n => Numbered.findFirstMatchIn(n).map(_.group(1).toInt))
+      .maxOption.getOrElse(0)
 }
 
 /** In-memory store for specs. */
@@ -57,15 +80,16 @@ final class FsSegmentStore(dir: String) extends SegmentStore {
       .write(bytes)
 
   /** Publish a finished segment (rotate boundary / shutdown). */
-  def publish(name: String): Unit = open.remove(name).foreach { out =>
-    out.close()
-    val spooled = spoolDir.resolve(name)
-    Fs.write(s"$dir/$name",
-      java.nio.file.Files.readAllBytes(spooled))
-    java.nio.file.Files.deleteIfExists(spooled): Unit
-  }
+  override def publish(name: String): Unit =
+    open.remove(name).foreach { out =>
+      out.close()
+      val spooled = spoolDir.resolve(name)
+      Fs.write(s"$dir/$name",
+        java.nio.file.Files.readAllBytes(spooled))
+      java.nio.file.Files.deleteIfExists(spooled): Unit
+    }
 
-  def publishAll(): Unit = open.keys.toSeq.foreach(publish)
+  override def publishAll(): Unit = open.keys.toSeq.foreach(publish)
 
   override def names: Seq[String] =
     (Fs.listNames(dir) ++ open.keys).distinct.sorted

@@ -68,6 +68,7 @@ class MysqlTransportSpec extends AnyFunSuite {
     wire.serve(packet(0, handshakePayload(scramble)))
     wire.serve(packet(2, okPacket)) // auth result
     wire.serve(packet(1, okPacket)) // SET checksum result
+    wire.serve(packet(1, okPacket)) // SET heartbeat period result
     events.zipWithIndex.foreach { case (e, i) =>
       wire.serve(packet(i + 1, Array[Byte](0x00) ++ e))
     }
@@ -226,6 +227,7 @@ class MysqlTransportSpec extends AnyFunSuite {
     wire1.serve(packet(0, handshakePayload(scramble)))
     wire1.serve(packet(2, okPacket))
     wire1.serve(packet(1, okPacket))
+    wire1.serve(packet(1, okPacket))
     events.take(2).zipWithIndex.foreach { case (e, i) =>
       wire1.serve(packet(i + 1, Array[Byte](0x00) ++ e)) }
     wire1.failAfter(wire1.remaining) // fail on the read after drain
@@ -276,6 +278,7 @@ class MysqlTransportSpec extends AnyFunSuite {
     wire.serve(packet(2, Array[Byte](0x01, 0x03))) // fast_auth_success
     wire.serve(packet(3, okPacket)) // auth OK
     wire.serve(packet(1, okPacket)) // SET checksum
+    wire.serve(packet(1, okPacket)) // SET heartbeat period
     wire.serve(packet(1, Array[Byte](0xfe.toByte, 0, 0, 2, 0))) // EOF
     val pump = new MysqlReplicationPump(
       MysqlReplicationPump.Config("u", "secret_pw"),
@@ -311,6 +314,7 @@ class MysqlTransportSpec extends AnyFunSuite {
     wire.serve(packet(2, switch))
     wire.serve(packet(4, okPacket)) // auth OK after the switch
     wire.serve(packet(1, okPacket)) // SET checksum
+    wire.serve(packet(1, okPacket)) // SET heartbeat period
     wire.serve(packet(1, Array[Byte](0xfe.toByte, 0, 0, 2, 0))) // EOF
     val pump = new MysqlReplicationPump(
       MysqlReplicationPump.Config("u", "secret_pw"),

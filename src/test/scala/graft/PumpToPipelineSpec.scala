@@ -82,6 +82,7 @@ class PumpToPipelineSpec extends SparkSuite {
     wire.serve(packet(0, handshakePayload))
     wire.serve(packet(2, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
     wire.serve(packet(1, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+    wire.serve(packet(1, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
     events.zipWithIndex.foreach { case (e, i) =>
       wire.serve(packet(i + 1, Array[Byte](0x00) ++ e))
     }

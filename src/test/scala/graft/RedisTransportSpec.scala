@@ -138,11 +138,12 @@ class RedisTransportSpec extends AnyFunSuite {
     val target = 100L + set1.length + set2.length
     pump.run(until = () => pump.position._2 >= target, sleep = _ => ())
     assert(pump.reconnects == 1)
-    // the SECOND dial asked for a partial resync at the tracked state
+    // the SECOND dial asked for a partial resync at the FIRST BYTE
+    // NEEDED (tracked offset + 1, the replica convention)
     val sent2 = new String(wire2.sentBytes,
       java.nio.charset.StandardCharsets.ISO_8859_1)
     assert(sent2.contains(ReplId))
-    assert(sent2.contains((100L + set1.length).toString))
+    assert(sent2.contains((100L + set1.length + 1).toString))
     assert(!sent2.contains("?"))
     // both tails landed in the capture (same segment, appended)
     val got = RedisPsync.decode(store.bytesOf("psync.000001.log"))
