@@ -17,21 +17,26 @@ package graft.transport
   * semantic the reference persists in Position::MongoCdc.
   */
 final class MongoChangeStreamPump(cfg: MongoChangeStreamPump.Config,
-    store: SegmentStore, dial: () => Wire) {
+    store: SegmentStore, dial: () => Wire) extends PumpSupervision {
   import MongoWire._
   import MongoChangeStreamPump._
 
   private[transport] var resumeToken: Option[Map[String, Any]] =
     cfg.resumeAfterData.map(d => Map[String, Any]("_data" -> d))
-  var reconnects = 0
   var docsCaptured = 0L
+  override protected def progress: Long = docsCaptured
+  override protected def positionLabel: String =
+    position.getOrElse("<start>")
+  override protected def maxReconnects: Int = cfg.maxReconnects
+  override protected def baseBackoffMs: Long = cfg.baseBackoffMs
+  override protected def maxBackoffMs: Long = cfg.maxBackoffMs
   private var requestId = 0
   // continue numbering after anything already published: the capture
   // reader's cursor is name-based, so a restart must never reuse one
   private var segmentIndex = SegmentNames.lastIndex(store, "changestream")
   private var segmentBytes = 0L
 
-  def runSession(until: () => Boolean = () => false): Long = {
+  override def runSession(until: () => Boolean = () => false): Long = {
     val wire = dial()
     rotate() // one segment per session
     try {
@@ -57,32 +62,8 @@ final class MongoChangeStreamPump(cfg: MongoChangeStreamPump.Config,
     } finally wire.close()
   }
 
-  def run(until: () => Boolean,
-      sleep: Long => Unit = Thread.sleep): Unit = {
-    var consecutiveFailures = 0
-    while (!until() && consecutiveFailures <= cfg.maxReconnects) {
-      val before = docsCaptured
-      try {
-        runSession(until)
-        consecutiveFailures = 0
-        if (until()) return
-      } catch {
-        case _: java.io.IOException | _: java.io.EOFException =>
-          if (docsCaptured > before) consecutiveFailures = 0
-          consecutiveFailures += 1
-          reconnects += 1
-          if (!until() && consecutiveFailures <= cfg.maxReconnects)
-            sleep(backoffMs(consecutiveFailures))
-      }
-    }
-    if (consecutiveFailures > cfg.maxReconnects)
-      throw new java.io.IOException(
-        s"mongo pump: gave up after ${cfg.maxReconnects} reconnects")
-  }
-
-  def backoffMs(attempt: Int): Long =
-    math.min(cfg.maxBackoffMs,
-      cfg.baseBackoffMs * (1L << math.min(attempt - 1, 16)))
+  // supervision from PumpSupervision; reconnects re-watch with
+  // resumeAfter at the tracked token
 
   // ---------------------------------------------------------- phases
 

@@ -24,7 +24,7 @@ import graft.meta.GtidSet
   * else latest.
   */
 final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
-    store: SegmentStore, dial: () => Wire) {
+    store: SegmentStore, dial: () => Wire) extends PumpSupervision {
   import MysqlWire._
   import MysqlReplicationPump._
 
@@ -33,13 +33,18 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
   private[transport] var currentPos: Long = math.max(cfg.binlogPosition, 4L)
   private[transport] val gtids: GtidSet =
     if (cfg.gtidSet.nonEmpty) GtidSet.parse(cfg.gtidSet) else new GtidSet
-  var reconnects = 0
+  override protected def progress: Long = eventsAppended
+  override protected def positionLabel: String =
+    s"$currentFile:$currentPos"
+  override protected def maxReconnects: Int = cfg.maxReconnects
+  override protected def baseBackoffMs: Long = cfg.baseBackoffMs
+  override protected def maxBackoffMs: Long = cfg.maxBackoffMs
 
   /** One full session: dial, handshake/auth, request the dump, pump
     * until the wire fails or `until` says stop. Returns the number of
     * events appended this session.
     */
-  def runSession(until: () => Boolean = () => false): Long = {
+  override def runSession(until: () => Boolean = () => false): Long = {
     val wire = dial()
     try {
       handshake(wire)
@@ -48,38 +53,6 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
       pump(wire, until)
     } finally wire.close()
   }
-
-  /** Supervised loop: run sessions, reconnecting with exponential
-    * backoff (capped), resuming from the tracked position. Stops when
-    * `until` returns true or `maxReconnects` consecutive failures.
-    */
-  def run(until: () => Boolean,
-      sleep: Long => Unit = Thread.sleep): Unit = {
-    var consecutiveFailures = 0
-    while (!until() && consecutiveFailures <= cfg.maxReconnects) {
-      val before = eventsAppended
-      try {
-        runSession(until)
-        consecutiveFailures = 0
-      } catch {
-        case _: java.io.IOException | _: java.io.EOFException =>
-          // progress this session resets the backoff ladder
-          if (eventsAppended > before) consecutiveFailures = 0
-          consecutiveFailures += 1
-          reconnects += 1
-          if (!until() && consecutiveFailures <= cfg.maxReconnects)
-            sleep(backoffMs(consecutiveFailures))
-      }
-    }
-    if (consecutiveFailures > cfg.maxReconnects)
-      throw new java.io.IOException(
-        s"mysql pump: gave up after ${cfg.maxReconnects} reconnects " +
-          s"at $currentFile:$currentPos")
-  }
-
-  def backoffMs(attempt: Int): Long =
-    math.min(cfg.maxBackoffMs,
-      cfg.baseBackoffMs * (1L << math.min(attempt - 1, 16)))
 
   var eventsAppended = 0L
 

@@ -27,7 +27,7 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
       // currentTimeMillis would read ~30 years in the future in
       // pg_stat_replication.reply_time
       (System.currentTimeMillis() - PgReplicationPump.PgEpochMs)
-        * 1000L) {
+        * 1000L) extends PumpSupervision {
   import PgWire._
   import PgReplicationPump._
 
@@ -44,15 +44,19 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
   var segmentIndex =
     SegmentNames.lastIndex(store, "pgoutput") + 1
   private[transport] var segmentBytes = 0L
-  var reconnects = 0
   var framesAppended = 0L
   val warnings =
     scala.collection.mutable.ArrayBuffer.empty[String]
+  override protected def progress: Long = framesAppended
+  override protected def positionLabel: String = renderLsn(flushedLsn)
+  override protected def maxReconnects: Int = cfg.maxReconnects
+  override protected def baseBackoffMs: Long = cfg.baseBackoffMs
+  override protected def maxBackoffMs: Long = cfg.maxBackoffMs
 
   /** One full session: dial, auth, slot lifecycle, START_REPLICATION,
     * pump until the wire fails or `until` says stop.
     */
-  def runSession(until: () => Boolean = () => false): Long = {
+  override def runSession(until: () => Boolean = () => false): Long = {
     val wire = dial()
     try {
       connect(wire)
@@ -64,36 +68,9 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
     } finally wire.close()
   }
 
-  /** Supervised loop with capped exponential backoff; each reconnect
-    * re-reads slot state so the resume LSN is the server's
-    * confirmed_flush_lsn, never a stale local guess.
-    */
-  def run(until: () => Boolean,
-      sleep: Long => Unit = Thread.sleep): Unit = {
-    var consecutiveFailures = 0
-    while (!until() && consecutiveFailures <= cfg.maxReconnects) {
-      val before = framesAppended
-      try {
-        runSession(until)
-        consecutiveFailures = 0
-      } catch {
-        case _: java.io.IOException | _: java.io.EOFException =>
-          if (framesAppended > before) consecutiveFailures = 0
-          consecutiveFailures += 1
-          reconnects += 1
-          if (!until() && consecutiveFailures <= cfg.maxReconnects)
-            sleep(backoffMs(consecutiveFailures))
-      }
-    }
-    if (consecutiveFailures > cfg.maxReconnects)
-      throw new java.io.IOException(
-        s"pg pump: gave up after ${cfg.maxReconnects} reconnects at " +
-          renderLsn(flushedLsn))
-  }
-
-  def backoffMs(attempt: Int): Long =
-    math.min(cfg.maxBackoffMs,
-      cfg.baseBackoffMs * (1L << math.min(attempt - 1, 16)))
+  // supervision from PumpSupervision; each reconnect re-reads slot
+  // state so the resume LSN is the server's confirmed_flush_lsn,
+  // never a stale local guess
 
   // ---------------------------------------------------------- phases
 

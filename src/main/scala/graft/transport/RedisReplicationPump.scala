@@ -18,13 +18,17 @@ package graft.transport
   * same accounting decode() applies) and acks every `ackEveryBytes`.
   */
 final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
-    store: SegmentStore, dial: () => Wire) {
+    store: SegmentStore, dial: () => Wire) extends PumpSupervision {
   import RedisReplicationPump._
 
   private[transport] var replId: String = cfg.replId
   private[transport] var replOffset: Long = cfg.replOffset
-  var reconnects = 0
   var bytesCaptured = 0L
+  override protected def progress: Long = bytesCaptured
+  override protected def positionLabel: String = s"$replId:$replOffset"
+  override protected def maxReconnects: Int = cfg.maxReconnects
+  override protected def baseBackoffMs: Long = cfg.baseBackoffMs
+  override protected def maxBackoffMs: Long = cfg.maxBackoffMs
   // continue numbering after anything already published: the capture
   // reader's cursor is name-based, so a restart must never reuse one
   private var segmentIndex = SegmentNames.lastIndex(store, "psync")
@@ -33,7 +37,7 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
   /** One session: handshake, psync, copy the stream until the wire
     * drops or `until` says stop. Returns bytes captured this session.
     */
-  def runSession(until: () => Boolean = () => false): Long = {
+  override def runSession(until: () => Boolean = () => false): Long = {
     val wire = dial()
     // one capture segment per session: a segment must START with its
     // session's PSYNC reply line to be independently decodable
@@ -51,35 +55,8 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
     } finally wire.close()
   }
 
-  /** Supervised loop: partial resync on reconnect via the tracked
-    * (repl_id, offset) — the +CONTINUE path a healthy master answers.
-    */
-  def run(until: () => Boolean,
-      sleep: Long => Unit = Thread.sleep): Unit = {
-    var consecutiveFailures = 0
-    while (!until() && consecutiveFailures <= cfg.maxReconnects) {
-      val before = bytesCaptured
-      try {
-        runSession(until)
-        consecutiveFailures = 0
-      } catch {
-        case _: java.io.IOException | _: java.io.EOFException =>
-          if (bytesCaptured > before) consecutiveFailures = 0
-          consecutiveFailures += 1
-          reconnects += 1
-          if (!until() && consecutiveFailures <= cfg.maxReconnects)
-            sleep(backoffMs(consecutiveFailures))
-      }
-    }
-    if (consecutiveFailures > cfg.maxReconnects)
-      throw new java.io.IOException(
-        s"redis pump: gave up after ${cfg.maxReconnects} reconnects " +
-          s"at $replId:$replOffset")
-  }
-
-  def backoffMs(attempt: Int): Long =
-    math.min(cfg.maxBackoffMs,
-      cfg.baseBackoffMs * (1L << math.min(attempt - 1, 16)))
+  // supervision from PumpSupervision: partial resync on reconnect via
+  // the tracked (repl_id, offset) — the +CONTINUE path
 
   // ---------------------------------------------------------- phases
 
