@@ -194,4 +194,45 @@ class MongoTransportSpec extends AnyFunSuite {
     val e2 = intercept[java.io.IOException](pump2.runSession())
     assert(e2.getMessage.contains("server signature mismatch"))
   }
+
+  test("bson property: random nested documents round-trip") {
+    val rnd = new scala.util.Random(20260815L)
+    def randValue(depth: Int): Any = rnd.nextInt(
+        if (depth < 2) 10 else 8) match {
+      case 0 => rnd.nextInt()
+      case 1 => rnd.nextLong()
+      case 2 => rnd.nextInt(1000) / 8.0 // dyadic: exact double
+      case 3 => rnd.nextBoolean()
+      case 4 => null
+      case 5 =>
+        // strings incl. unicode + control chars (never NUL in keys,
+        // but values allow anything)
+        val chars = "ab\u00e9\u4e2d\n\t xyz"
+        (0 until rnd.nextInt(12)).map(_ =>
+          chars(rnd.nextInt(chars.length))).mkString
+      case 6 => Array.fill[Byte](rnd.nextInt(16))(rnd.nextInt().toByte)
+      case 7 => Timestamp(rnd.nextInt(1 << 20), rnd.nextInt(100))
+      case 8 => Doc(randDoc(depth + 1))
+      case _ => Arr((0 until rnd.nextInt(4))
+        .map(_ => randValue(depth + 1)))
+    }
+    def randDoc(depth: Int): Seq[(String, Any)] =
+      (0 until 1 + rnd.nextInt(6)).map(i =>
+        s"k${i}_${rnd.nextInt(100)}" -> randValue(depth))
+    def norm(v: Any): Any = v match {
+      case b: Array[Byte] => b.toSeq
+      case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]].view.mapValues(norm).toMap
+      case s: Seq[_] => s.map(norm)
+      case Doc(pairs) => pairs.map { case (k, x) => k -> norm(x) }.toMap
+      case Arr(items) => items.map(norm)
+      case other => other
+    }
+    (1 to 200).foreach { trial =>
+      val doc = randDoc(0).toMap.toSeq // dedup keys like a real doc
+      val back = Bson.decode(Bson.encode(doc))
+      assert(norm(back) == norm(Doc(doc)),
+        s"trial $trial diverged: $doc")
+    }
+  }
 }
