@@ -28,7 +28,8 @@ object LiveCdc {
 
   def isLiveUrl(url: String): Boolean =
     url.startsWith("mysql://") || url.startsWith("postgres://") ||
-      url.startsWith("postgresql://")
+      url.startsWith("postgresql://") || url.startsWith("redis://") ||
+      url.startsWith("mongodb://")
 
   /** Drain-once semantics (the task-manager unit): one pump session
     * (until the server ends the dump or the wire drops), publish all
@@ -40,6 +41,10 @@ object LiveCdc {
       : Report =
     if (task.sourceDir.startsWith("mysql://"))
       runMysql(spark, task, taskDir, dialOverride)
+    else if (task.sourceDir.startsWith("redis://"))
+      runRedis(spark, task, taskDir, dialOverride)
+    else if (task.sourceDir.startsWith("mongodb://"))
+      runMongo(spark, task, taskDir, dialOverride)
     else runPg(spark, task, taskDir, dialOverride)
 
   def runMysql(spark: SparkSession, task: TaskConfig.Task,
@@ -76,6 +81,81 @@ object LiveCdc {
     consume(spark, task, taskDir, captureDir, "pgoutput",
       store.names.size, frames,
       ("", 0L, pump.position))
+  }
+
+  /** The Redis lane: one PSYNC session into a capture segment, then
+    * the EXISTING decode (RDB snapshot + command tail) lands two
+    * tables under the sink — `redis.snapshot` (the RDB entries) and
+    * `redis.commands` (the decoded tail with replication offsets) —
+    * the same landing shapes the snapshot_file/check tasks use.
+    */
+  def runRedis(spark: SparkSession, task: TaskConfig.Task,
+      taskDir: String, dialOverride: Option[() => Wire] = None)
+      : Report = {
+    val captureDir = s"$taskDir/capture"
+    val store = new FsSegmentStore(captureDir)
+    val ep = LiveDial.parseUrl(task.sourceDir)
+    val pump = new graft.transport.RedisReplicationPump(
+      graft.transport.RedisReplicationPump.Config(
+        user = ep.user, password = ep.password),
+      store, dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
+    // a live tail never ends on its own: one session, EOF/drop ends it
+    try pump.runSession() catch {
+      case _: java.io.EOFException => () // drained capture fixture
+    }
+    store.publishAll()
+    import spark.implicits._
+    var snapshotRows = 0L
+    var commandRows = 0L
+    store.names.foreach { seg =>
+      val cap = graft.sources.RedisPsync.decode(store.bytesOf(seg))
+      val snap = cap.snapshot.map(e =>
+        (e.db, e.key, e.valueType, e.field, e.value, e.expireMs))
+        .toDF("db", "key", "value_type", "field", "value", "expire_ms")
+      snap.write.mode(SaveMode.Append)
+        .parquet(s"${task.sinkDir}/redis.snapshot")
+      snapshotRows += cap.snapshot.size
+      val cmds = cap.commands.map { case (args, off) =>
+        (args.head.toUpperCase, args.mkString(" "), off)
+      }.toDF("cmd", "argv", "repl_offset")
+      cmds.write.mode(SaveMode.Append)
+        .parquet(s"${task.sinkDir}/redis.commands")
+      commandRows += cap.commands.size
+    }
+    Report(store.names.size, pump.bytesCaptured,
+      Seq("redis.snapshot" -> snapshotRows,
+        "redis.commands" -> commandRows),
+      (pump.position._1, pump.position._2, ""))
+  }
+
+  /** The Mongo lane: one change-stream session into JSON-line
+    * segments, landed as a `mongo.changes` table via spark.read.json
+    * — the doc shape the MongoOps change-event machinery consumes.
+    */
+  def runMongo(spark: SparkSession, task: TaskConfig.Task,
+      taskDir: String, dialOverride: Option[() => Wire] = None)
+      : Report = {
+    val captureDir = s"$taskDir/capture"
+    val store = new FsSegmentStore(captureDir)
+    val ep = LiveDial.parseUrl(task.sourceDir)
+    val pump = new graft.transport.MongoChangeStreamPump(
+      graft.transport.MongoChangeStreamPump.Config(
+        user = ep.user, password = ep.password),
+      store, dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
+    val docs = pump.runSession()
+    store.publishAll()
+    val out = s"${task.sinkDir}/mongo.changes"
+    if (store.names.nonEmpty) {
+      val paths = store.names.map(n => s"$captureDir/$n")
+      spark.read.json(paths: _*).write.mode(SaveMode.Append)
+        .parquet(out)
+    }
+    val landed =
+      if (graft.infra.Fs.exists(out))
+        Seq("mongo.changes" -> spark.read.parquet(out).count())
+      else Seq.empty
+    Report(store.names.size, docs, landed,
+      (pump.position.getOrElse(""), 0L, ""))
   }
 
   /** The micro-batch writer both modes share: per-table filter,

@@ -41,6 +41,8 @@ object LiveDial {
     val defaultPort = u.getScheme match {
       case "mysql" => 3306
       case "postgres" | "postgresql" | "pg" => 5432
+      case "redis" => 6379
+      case "mongodb" => 27017
       case _ => -1
     }
     Endpoint(u.getScheme, user, pass, u.getHost,

@@ -309,4 +309,101 @@ class LiveCdcSpec extends SparkSuite {
     assert(report.events >= 6) // 2 sessions x (fde+begin+map+rows+xid)
     assert(report.segments >= 1)
   }
+
+  test("a redis:// cdc task captures the PSYNC session and lands the " +
+      "RDB snapshot + command tail as tables") {
+    def ascii(x: String): Array[Byte] = x.getBytes("ascii")
+    def resp(args: String*): Array[Byte] =
+      graft.transport.RedisReplicationPump.cmd(args: _*)
+    val rdb = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("REDIS0011".getBytes("ascii"))
+      out.write(0xfe); out.write(0)
+      out.write(0)
+      def str(x: String): Unit = {
+        out.write(x.length & 0x3f); out.write(x.getBytes("utf-8"))
+      }
+      str("k1"); str("v1")
+      out.write(0xff)
+      out.toByteArray
+    }
+    val wire = new FakeWire
+    wire.serve(ascii("+OK\r\n")) // AUTH
+    wire.serve(ascii("+PONG\r\n"))
+    wire.serve(ascii("+OK\r\n")) // REPLCONF
+    wire.serve(ascii(s"+FULLRESYNC ${"c" * 40} 500\r\n"))
+    wire.serve(ascii(s"$$${rdb.length}\r\n"))
+    wire.serve(rdb)
+    wire.serve(resp("SET", "k2", "v2"))
+    wire.serve(resp("DEL", "k1"))
+
+    val state = java.nio.file.Files
+      .createTempDirectory("live-redis-state").toString
+    val sink = java.nio.file.Files
+      .createTempDirectory("live-redis-sink").toString
+    TaskManager.create(state, "liveredis",
+      s"""[extractor]
+         |db_type=redis
+         |extract_type=cdc
+         |url=redis://:s3cret@127.0.0.1:6379
+         |
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    val meta = TaskManager.start(spark, state, "liveredis",
+      liveDial = Some(() => wire))
+    assert(meta.status == "finished")
+    val snap = spark.read.parquet(s"$sink/redis.snapshot")
+      .collect().map(r => (r.getAs[String]("key"),
+        r.getAs[String]("value"))).toSet
+    assert(snap == Set(("k1", "v1")))
+    val cmds = spark.read.parquet(s"$sink/redis.commands")
+      .collect().map(_.getAs[String]("cmd")).toSet
+    assert(cmds == Set("SET", "DEL"))
+  }
+
+  test("a mongodb:// cdc task captures the change stream and lands " +
+      "mongo.changes") {
+    import graft.transport.{Bson, MongoWire}
+    def reply(doc: Seq[(String, Any)]): Array[Byte] =
+      MongoWire.message(0, doc)
+    def change(tok: String, id: String): Bson.Doc =
+      Bson.Doc(Seq(
+        "_id" -> Bson.Doc(Seq("_data" -> tok)),
+        "operationType" -> "insert",
+        "ns" -> Bson.Doc(Seq("db" -> "app", "coll" -> "t")),
+        "documentKey" -> Bson.Doc(Seq("_id" -> id)),
+        "fullDocument" -> Bson.Doc(Seq("_id" -> id, "v" -> "x"))))
+    val wire = new FakeWire
+    wire.serve(reply(Seq("ok" -> 1.0))) // hello (no auth: empty pw)
+    wire.serve(reply(Seq(
+      "cursor" -> Bson.Doc(Seq(
+        "id" -> 0L, // exhausted after the first batch
+        "ns" -> "admin.$cmd.aggregate",
+        "firstBatch" -> Bson.Arr(Seq(change("t1", "1"),
+          change("t2", "2"))))),
+      "ok" -> 1.0)))
+
+    val state = java.nio.file.Files
+      .createTempDirectory("live-mongo-state").toString
+    val sink = java.nio.file.Files
+      .createTempDirectory("live-mongo-sink").toString
+    TaskManager.create(state, "livemongo",
+      s"""[extractor]
+         |db_type=mongo
+         |extract_type=cdc
+         |url=mongodb://127.0.0.1:27017
+         |
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    val meta = TaskManager.start(spark, state, "livemongo",
+      liveDial = Some(() => wire))
+    assert(meta.status == "finished")
+    val changes = spark.read.parquet(s"$sink/mongo.changes")
+    assert(changes.count() == 2)
+    val ids = changes.select("documentKey._id")
+      .collect().map(_.getString(0)).toSet
+    assert(ids == Set("1", "2"))
+  }
 }
