@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.transport.{FsSegmentStore, LiveDial, MysqlReplicationPump,
-  Wire}
+  PumpPositions, Wire}
 
 /** The live mysql:// CDC task lane — what runs when `[extractor] url`
   * names a real server instead of a fixture: dial, pump the binlog
@@ -35,31 +35,78 @@ object LiveCdc {
     * (until the server ends the dump or the wire drops), publish all
     * segments, stream-compact-land, report. A resident deployment
     * loops this under the supervisor with `pump.run`.
+    *
+    * `onProgress` is the liveness-beacon hook: TaskManager passes its
+    * `touchAlive` so a long-running live drain never looks like a
+    * crashed runner to a concurrent `watch` pass (which would demote
+    * it and start a SECOND pump on the same capture dir/checkpoint).
     */
   def run(spark: SparkSession, task: TaskConfig.Task,
-      taskDir: String, dialOverride: Option[() => Wire] = None)
-      : Report =
+      taskDir: String, dialOverride: Option[() => Wire] = None,
+      onProgress: () => Unit = () => ()): Report =
     if (task.sourceDir.startsWith("mysql://"))
-      runMysql(spark, task, taskDir, dialOverride)
+      runMysql(spark, task, taskDir, dialOverride, onProgress)
     else if (task.sourceDir.startsWith("redis://"))
-      runRedis(spark, task, taskDir, dialOverride)
+      runRedis(spark, task, taskDir, dialOverride, onProgress)
     else if (task.sourceDir.startsWith("mongodb://"))
-      runMongo(spark, task, taskDir, dialOverride)
-    else runPg(spark, task, taskDir, dialOverride)
+      runMongo(spark, task, taskDir, dialOverride, onProgress)
+    else runPg(spark, task, taskDir, dialOverride, onProgress)
+
+  /** Wire-drop tolerance for a drain-once session: a live tail never
+    * ends on its own, so a read timeout / peer close mid-stream is the
+    * NORMAL end of a drain — land what was captured and let the next
+    * start resume from the persisted position. A failure before ANY
+    * progress (bad credentials, refused dial) still throws: silently
+    * "finishing" an unauthenticated task would hide a config error
+    * from the supervisor forever.
+    */
+  private def drainSession(pump: graft.transport.PumpSupervision,
+      progress: () => Long): Long =
+    try pump.runSession() catch {
+      case _: java.io.IOException if progress() > 0 => progress()
+    }
 
   def runMysql(spark: SparkSession, task: TaskConfig.Task,
-      taskDir: String, dialOverride: Option[() => Wire] = None)
-      : Report = {
+      taskDir: String, dialOverride: Option[() => Wire] = None,
+      onProgress: () => Unit = () => ()): Report = {
     val captureDir = s"$taskDir/capture"
     val store = new FsSegmentStore(captureDir)
     val pump = new MysqlReplicationPump(
-      LiveDial.mysqlConfig(task.sourceDir, task.source), store,
+      mysqlResumeConfig(task, taskDir), store,
       dialOverride.getOrElse(LiveDial.dialer(task.sourceDir,
         readTimeoutMs = task.source.binlogTimeoutSecs * 1000)))
-    val events = pump.runSession()
+    val events = drainSession(pump, () => pump.eventsAppended)
     store.publishAll()
+    pump.markAllPublished()
+    persistMysql(taskDir, pump.publishedPosition)
+    onProgress()
     consume(spark, task, taskDir, captureDir, "binlog",
-      store.names.size, events, pump.position)
+      store.names.size, events, pump.position, onProgress)
+  }
+
+  /** The pump config for this start: the persisted position (what the
+    * PREVIOUS run actually published) wins over the task.ini start —
+    * a supervised restart must resume, not re-dump from the beginning.
+    */
+  private def mysqlResumeConfig(task: TaskConfig.Task,
+      taskDir: String): MysqlReplicationPump.Config = {
+    val base = LiveDial.mysqlConfig(task.sourceDir, task.source)
+    val p = PumpPositions.read(taskDir)
+    base.copy(
+      binlogFilename = p.getOrElse("file", base.binlogFilename),
+      binlogPosition = p.get("pos").map(_.toLong)
+        .getOrElse(base.binlogPosition),
+      gtidSet = p.getOrElse("gtids", base.gtidSet))
+  }
+
+  /** Persist a DURABLE position only — callers pass `pump.position`
+    * after a publishAll, or `pump.publishedPosition` mid-stream.
+    */
+  private def persistMysql(taskDir: String,
+      position: (String, Long, String)): Unit = {
+    val (file, pos, gtids) = position
+    PumpPositions.write(taskDir, Map(
+      "file" -> file, "pos" -> pos.toString, "gtids" -> gtids))
   }
 
   /** The PG twin: slot lifecycle + COPY-both through the PG pump,
@@ -67,20 +114,23 @@ object LiveCdc {
     * downstream machinery with `format=pgoutput`.
     */
   def runPg(spark: SparkSession, task: TaskConfig.Task,
-      taskDir: String, dialOverride: Option[() => Wire] = None)
-      : Report = {
+      taskDir: String, dialOverride: Option[() => Wire] = None,
+      onProgress: () => Unit = () => ()): Report = {
     val captureDir = s"$taskDir/capture"
     val store = new FsSegmentStore(captureDir)
     val slot = task.slot.getOrElse(
       graft.sources.PgSlotLifecycle.SlotConfig("graft_slot"))
+    // no PumpPositions here: PG's durable resume position is the
+    // slot's confirmed_flush_lsn, which the pump re-reads per connect
     val pump = new graft.transport.PgReplicationPump(
       LiveDial.pgConfig(task.sourceDir, slot), store,
       dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
-    val frames = pump.runSession()
+    val frames = drainSession(pump, () => pump.framesAppended)
     store.publishAll()
+    onProgress()
     consume(spark, task, taskDir, captureDir, "pgoutput",
       store.names.size, frames,
-      ("", 0L, pump.position))
+      ("", 0L, pump.position), onProgress)
   }
 
   /** The Redis lane: one PSYNC session into a capture segment, then
@@ -90,37 +140,52 @@ object LiveCdc {
     * the same landing shapes the snapshot_file/check tasks use.
     */
   def runRedis(spark: SparkSession, task: TaskConfig.Task,
-      taskDir: String, dialOverride: Option[() => Wire] = None)
-      : Report = {
+      taskDir: String, dialOverride: Option[() => Wire] = None,
+      onProgress: () => Unit = () => ()): Report = {
     val captureDir = s"$taskDir/capture"
     val store = new FsSegmentStore(captureDir)
     val ep = LiveDial.parseUrl(task.sourceDir)
+    val persisted = PumpPositions.read(taskDir)
     val pump = new graft.transport.RedisReplicationPump(
       graft.transport.RedisReplicationPump.Config(
-        user = ep.user, password = ep.password),
+        user = ep.user, password = ep.password,
+        // partial resync (+CONTINUE) across restarts instead of a
+        // full RDB resync per start
+        replId = persisted.getOrElse("repl_id", ""),
+        replOffset = persisted.get("repl_offset").map(_.toLong)
+          .getOrElse(0L)),
       store, dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
     // a live tail never ends on its own: one session, EOF/drop ends it
     try pump.runSession() catch {
       case _: java.io.EOFException => () // drained capture fixture
+      case _: java.io.IOException if pump.bytesCaptured > 0 => ()
     }
     store.publishAll()
-    import spark.implicits._
+    PumpPositions.write(taskDir, Map(
+      "repl_id" -> pump.position._1,
+      "repl_offset" -> pump.position._2.toString))
+    onProgress()
+    // land each segment once: decode runs on EXECUTORS (the capture
+    // can exceed driver memory), into a deterministic seg=<name>
+    // partition dir so a crash-replayed landing OVERWRITES instead of
+    // duplicating; consumed.log makes restarts skip prior segments
     var snapshotRows = 0L
     var commandRows = 0L
-    store.names.foreach { seg =>
-      val cap = graft.sources.RedisPsync.decode(store.bytesOf(seg))
-      val snap = cap.snapshot.map(e =>
-        (e.db, e.key, e.valueType, e.field, e.value, e.expireMs))
-        .toDF("db", "key", "value_type", "field", "value", "expire_ms")
-      snap.write.mode(SaveMode.Append)
-        .parquet(s"${task.sinkDir}/redis.snapshot")
-      snapshotRows += cap.snapshot.size
-      val cmds = cap.commands.map { case (args, off) =>
-        (args.head.toUpperCase, args.mkString(" "), off)
-      }.toDF("cmd", "argv", "repl_offset")
-      cmds.write.mode(SaveMode.Append)
-        .parquet(s"${task.sinkDir}/redis.commands")
-      commandRows += cap.commands.size
+    val done = consumedNames(taskDir)
+    store.names.filterNot(done).foreach { seg =>
+      val (snap, cmds) = graft.operators.RedisLanding.decodeSegment(
+        spark, s"$captureDir/$seg")
+      snap.write.mode(SaveMode.Overwrite)
+        .parquet(s"${task.sinkDir}/redis.snapshot/seg=$seg")
+      cmds.write.mode(SaveMode.Overwrite)
+        .parquet(s"${task.sinkDir}/redis.commands/seg=$seg")
+      // counts from the freshly-written footers (metadata-only reads)
+      snapshotRows += spark.read
+        .parquet(s"${task.sinkDir}/redis.snapshot/seg=$seg").count()
+      commandRows += spark.read
+        .parquet(s"${task.sinkDir}/redis.commands/seg=$seg").count()
+      markConsumed(taskDir, seg)
+      onProgress()
     }
     Report(store.names.size, pump.bytesCaptured,
       Seq("redis.snapshot" -> snapshotRows,
@@ -128,27 +193,53 @@ object LiveCdc {
       (pump.position._1, pump.position._2, ""))
   }
 
+  /** Segments already landed by a previous start of this task. */
+  private def consumedNames(taskDir: String): Set[String] = {
+    val p = s"$taskDir/consumed.log"
+    if (graft.infra.Fs.exists(p))
+      graft.infra.Fs.readLines(p).filter(_.nonEmpty).toSet
+    else Set.empty
+  }
+
+  private def markConsumed(taskDir: String, name: String): Unit = {
+    val p = s"$taskDir/consumed.log"
+    graft.infra.Fs.writeString(p,
+      (consumedNames(taskDir) + name).toSeq.sorted
+        .mkString("", "\n", "\n"))
+  }
+
   /** The Mongo lane: one change-stream session into JSON-line
     * segments, landed as a `mongo.changes` table via spark.read.json
     * — the doc shape the MongoOps change-event machinery consumes.
     */
   def runMongo(spark: SparkSession, task: TaskConfig.Task,
-      taskDir: String, dialOverride: Option[() => Wire] = None)
-      : Report = {
+      taskDir: String, dialOverride: Option[() => Wire] = None,
+      onProgress: () => Unit = () => ()): Report = {
     val captureDir = s"$taskDir/capture"
     val store = new FsSegmentStore(captureDir)
     val ep = LiveDial.parseUrl(task.sourceDir)
+    val persisted = PumpPositions.read(taskDir)
     val pump = new graft.transport.MongoChangeStreamPump(
       graft.transport.MongoChangeStreamPump.Config(
-        user = ep.user, password = ep.password),
+        user = ep.user, password = ep.password,
+        // restarts re-watch with resumeAfter at the persisted token
+        resumeAfterData = persisted.get("resume_token")),
       store, dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
-    val docs = pump.runSession()
+    val docs = drainSession(pump, () => pump.docsCaptured)
     store.publishAll()
+    pump.position.foreach(tok => PumpPositions.write(taskDir,
+      Map("resume_token" -> tok)))
+    onProgress()
     val out = s"${task.sinkDir}/mongo.changes"
-    if (store.names.nonEmpty) {
-      val paths = store.names.map(n => s"$captureDir/$n")
-      spark.read.json(paths: _*).write.mode(SaveMode.Append)
-        .parquet(out)
+    // land each segment exactly once (deterministic seg=<name> dir +
+    // overwrite = crash-replay idempotent; consumed.log skips prior
+    // starts' segments instead of re-landing the whole capture)
+    val done = consumedNames(taskDir)
+    store.names.filterNot(done).foreach { seg =>
+      spark.read.json(s"$captureDir/$seg")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/seg=$seg")
+      markConsumed(taskDir, seg)
+      onProgress()
     }
     val landed =
       if (graft.infra.Fs.exists(out))
@@ -228,11 +319,12 @@ object LiveCdc {
   def runMysqlResident(spark: SparkSession, task: TaskConfig.Task,
       taskDir: String, stop: () => Boolean,
       dialOverride: Option[() => Wire] = None,
-      triggerMs: Long = 500L): Report = {
+      triggerMs: Long = 500L,
+      onProgress: () => Unit = () => ()): Report = {
     val captureDir = s"$taskDir/capture"
     val store = new FsSegmentStore(captureDir)
     val pump = new MysqlReplicationPump(
-      LiveDial.mysqlConfig(task.sourceDir, task.source), store,
+      mysqlResumeConfig(task, taskDir), store,
       dialOverride.getOrElse(LiveDial.dialer(task.sourceDir,
         readTimeoutMs = task.source.binlogTimeoutSecs * 1000)))
     val pumpError = new java.util.concurrent.atomic.AtomicReference[
@@ -241,9 +333,11 @@ object LiveCdc {
       try {
         pump.run(until = stop)
         store.publishAll()
+        pump.markAllPublished()
       } catch {
         case t: Throwable =>
           store.publishAll()
+          pump.markAllPublished()
           pumpError.set(t)
       }
     }, "graft-mysql-pump")
@@ -253,13 +347,22 @@ object LiveCdc {
     val q = changeStream(spark, task, captureDir, "binlog")
       .writeStream
       .option("checkpointLocation", s"$taskDir/checkpoint")
-      .foreachBatch(landBatch(task, task.sinkDir) _)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landBatch(task, task.sinkDir)(batch, batchId)
+        onProgress()
+      }
       .trigger(org.apache.spark.sql.streaming.Trigger
         .ProcessingTime(triggerMs))
       .start()
     try {
-      while (!stop() && pumpError.get() == null)
+      while (!stop() && pumpError.get() == null) {
         Thread.sleep(triggerMs)
+        // resident beacon + durable resume position, refreshed on the
+        // trigger cadence: a `watch` pass must never demote a healthy
+        // resident runner, and a crash resumes from what was captured
+        onProgress()
+        persistMysql(taskDir, pump.publishedPosition)
+      }
       // the pump observes stop() between packets — a blocked read
       // clears at the socket timeout, so wait past it before draining
       // (leaving early would strand the final publishAll unread)
@@ -270,6 +373,9 @@ object LiveCdc {
         pumpThread.join(500)
       // drain what the pump published before stopping the stream
       q.processAllAvailable()
+      // wind-down: everything is published (the pump thread's
+      // publishAll ran), so the full position is durable
+      persistMysql(taskDir, pump.publishedPosition)
     } finally q.stop()
     Option(pumpError.get()).foreach(t => throw t)
 
@@ -285,14 +391,18 @@ object LiveCdc {
   private def consume(spark: SparkSession, task: TaskConfig.Task,
       taskDir: String, captureDir: String, format: String,
       nSegments: Int, events: Long,
-      position: (String, Long, String)): Report = {
+      position: (String, Long, String),
+      onProgress: () => Unit = () => ()): Report = {
     // the capture dir through the existing micro-batch transport:
     // decode on executors, per-table key compaction, parquet landing
     val outDir = task.sinkDir
     val q = changeStream(spark, task, captureDir, format)
       .writeStream
       .option("checkpointLocation", s"$taskDir/checkpoint")
-      .foreachBatch(landBatch(task, outDir) _)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landBatch(task, outDir)(batch, batchId)
+        onProgress()
+      }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

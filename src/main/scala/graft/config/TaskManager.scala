@@ -165,7 +165,11 @@ object TaskManager {
       // start, positions carried by the pump + streaming checkpoint
       if (task.extractType == TaskConfig.CdcExtract &&
           LiveCdc.isLiveUrl(task.sourceDir)) {
-        val r = LiveCdc.run(spark, task, dir.toString, liveDial)
+        // beacon per pump/landing step: a live drain can outlast
+        // staleAliveMs, and a demoted-but-healthy runner would race a
+        // second pump onto the same capture dir + checkpoint
+        val r = LiveCdc.run(spark, task, dir.toString, liveDial,
+          onProgress = () => touchAlive(dir))
         log(dir, s"live_cdc segments=${r.segments} " +
           s"events=${r.events} position=${r.position._1}:" +
           s"${r.position._2} " +

@@ -43,9 +43,16 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
   /** One full session: dial, handshake/auth, request the dump, pump
     * until the wire fails or `until` says stop. Returns the number of
     * events appended this session.
+    *
+    * Every session opens a FRESH segment (rotate at dial): the
+    * streaming checkpoint downstream is name-based, so appending a
+    * reconnected session's events to a name that may already be
+    * published (and consumed) would overwrite it invisibly — the
+    * never-reuse-a-published-name invariant SegmentNames documents.
     */
   override def runSession(until: () => Boolean = () => false): Long = {
     val wire = dial()
+    rotate()
     try {
       handshake(wire)
       configureChecksum(wire)
@@ -191,32 +198,28 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
       case 0x04 => // Rotate: position(8) + next file name
         val nextFile = new String(event, 27,
           event.length - 27 - crcTrail, "UTF-8")
-        if (currentFile.nonEmpty && currentFile != nextFile)
-          store match {
-            case fsStore: FsSegmentStore =>
-              fsStore.publish(segmentName(currentFile))
-            case _ => ()
-          }
+        // server file boundary = our segment boundary (publish point);
+        // the segment NAME stays pump-owned and monotone — see below
+        if (currentFile.nonEmpty && currentFile != nextFile &&
+            segmentStarted)
+          rotate()
         currentFile = nextFile
         currentPos = le(19, 8)
       case 0x1b => () // server heartbeat: keep the wire warm, not data
       case _ =>
         if (currentFile.isEmpty) currentFile = "binlog.000001"
-        val seg = segmentName(currentFile)
         // every segment leads with the binlog magic so each file is
-        // independently decodable (mid-file resumes included) —
-        // `started` avoids a store listing per event
-        if (!started.contains(seg)) {
-          store.append(seg, Magic)
-          started += seg
+        // independently decodable (mid-file resumes included)
+        if (!segmentStarted) {
+          store.append(currentSegment(), Magic)
+          segmentStarted = true
         }
-        store.append(seg, event)
+        store.append(currentSegment(), event)
         if (logPos > 0) currentPos = logPos
         if (eventType == 0x21) trackGtid(event) // GTID_LOG_EVENT
     }
   }
 
-  private val started = scala.collection.mutable.Set.empty[String]
   private var checksumAlg = 0
 
   /** GTID_LOG_EVENT body (after the 19-byte header): flags(1) +
@@ -233,7 +236,45 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
     if (gno > 0) gtids.add(s"$uuid:$gno"): Unit
   }
 
-  def segmentName(binlogFile: String): String = s"$binlogFile.log"
+  /** Segment names are pump-owned and MONOTONE (`binlog.NNNNNN.log`),
+    * resuming AFTER anything already published in the store — the same
+    * discipline the PG/Redis/Mongo pumps use. Deriving names from the
+    * server's binlog file name (the round-11 shape) silently LOST data
+    * across restarts: a restarted pump re-capturing the same server
+    * file republished an already-consumed name, FsSegmentStore
+    * overwrote the object, and the name-based checkpoint skipped it
+    * forever. Server-file attribution lives in `position`, not names.
+    * Cross-segment event ordering holds because
+    * ChangelogReaderFactory.baseSeq keys on the trailing number, which
+    * now increases with arrival order by construction.
+    */
+  private var segmentIndex = SegmentNames.lastIndex(store, "binlog")
+  private var segmentStarted = false
+
+  private def currentSegment(): String = f"binlog.$segmentIndex%06d.log"
+
+  private def rotate(): Unit = {
+    if (segmentIndex > 0 && segmentStarted) {
+      store.publish(currentSegment())
+      publishedPosition = position
+    }
+    segmentIndex += 1
+    segmentStarted = false
+  }
+
+  /** The position covered by PUBLISHED (durable) segments — the only
+    * value a caller may persist while the pump is mid-segment:
+    * persisting the live `position` would skip the in-flight spool on
+    * a crash (same argument as PgReplicationPump.publishedLsn).
+    */
+  @volatile var publishedPosition: (String, Long, String) =
+    (cfg.binlogFilename, math.max(cfg.binlogPosition, 4L),
+      if (cfg.gtidSet.nonEmpty) cfg.gtidSet else "")
+
+  /** Call after an external `store.publishAll()` — everything the
+    * pump appended is now durable, so the full position is ackable.
+    */
+  def markAllPublished(): Unit = publishedPosition = position
 
   /** The position a restart resumes from — persisted by the caller
     * through the existing DbResumer/position-store machinery.

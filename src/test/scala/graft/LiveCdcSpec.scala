@@ -360,6 +360,99 @@ class LiveCdcSpec extends SparkSuite {
     val cmds = spark.read.parquet(s"$sink/redis.commands")
       .collect().map(_.getAs[String]("cmd")).toSet
     assert(cmds == Set("SET", "DEL"))
+
+    // RESTART: the new pump must ask for a PARTIAL resync at the
+    // persisted (repl_id, offset) — not a full RDB re-dump — and the
+    // previously landed segments must NOT re-land (no duplicates)
+    val pos = graft.transport.PumpPositions.read(s"$state/liveredis")
+    assert(pos("repl_id") == "c" * 40)
+    val off = pos("repl_offset").toLong
+    val wire2 = new FakeWire
+    wire2.serve(ascii("+OK\r\n")) // AUTH
+    wire2.serve(ascii("+PONG\r\n"))
+    wire2.serve(ascii("+OK\r\n")) // REPLCONF
+    wire2.serve(ascii(s"+CONTINUE ${"c" * 40}\r\n"))
+    wire2.serve(resp("SET", "k3", "v3"))
+    val m2 = TaskManager.start(spark, state, "liveredis",
+      liveDial = Some(() => wire2))
+    assert(m2.status == "finished")
+    val sent2 = new String(wire2.sentBytes,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    // partial resync asks for the first byte NEEDED: offset + 1
+    assert(sent2.contains("PSYNC") && sent2.contains("c" * 40) &&
+      sent2.contains((off + 1).toString))
+    val snap2 = spark.read.parquet(s"$sink/redis.snapshot")
+      .collect().map(_.getAs[String]("key")).toSeq
+    assert(snap2 == Seq("k1")) // still exactly once
+    val cmds2 = spark.read.parquet(s"$sink/redis.commands")
+      .collect().map(_.getAs[String]("argv")).toSeq.sorted
+    assert(cmds2 == Seq("DEL k1", "SET k2 v2", "SET k3 v3"))
+  }
+
+  test("a restarted mysql:// cdc task resumes from the persisted " +
+      "position and lands only the tail — no re-dump, no duplicates") {
+    def session(rows: Seq[Array[String]], txn: Long): Seq[Array[Byte]] = {
+      val w = new MysqlBinlogWriter(serverId = 1L)
+      w.fde()
+      w.begin("app")
+      w.tableMap(11L, "app", "t", Seq(8, 15), Seq(0, 40),
+        nullable = Seq(false, true), colNames = Seq("id", "v"))
+      w.writeRows(11L, rows)
+      w.xid(txn)
+      eventsOf(w.bytes())
+    }
+    def wireFor(events: Seq[Array[Byte]]): FakeWire = {
+      val wire = new FakeWire
+      wire.serve(packet(0, handshakePayload))
+      wire.serve(packet(2, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+      wire.serve(packet(1, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+      wire.serve(packet(1, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+      events.zipWithIndex.foreach { case (e, i) =>
+        wire.serve(packet(i + 1, Array[Byte](0x00) ++ e))
+      }
+      wire.serve(packet(events.size + 1,
+        Array[Byte](0xfe.toByte, 0, 0, 2, 0)))
+      wire
+    }
+    val state = java.nio.file.Files
+      .createTempDirectory("live-restart-state").toString
+    val sink = java.nio.file.Files
+      .createTempDirectory("live-restart-sink").toString
+    TaskManager.create(state, "liverestart",
+      s"""[extractor]
+         |db_type=mysql
+         |extract_type=cdc
+         |url=mysql://repl:pw@127.0.0.1:3306
+         |binlog_filename=binlog.000001
+         |id_cols=t:id
+         |
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    val m1 = TaskManager.start(spark, state, "liverestart",
+      liveDial = Some(() => wireFor(
+        session(Seq(Array("1", "a"), Array("2", "b")), 1L))))
+    assert(m1.status == "finished")
+    // the durable position advanced past the consumed events
+    val pos1 = graft.transport.PumpPositions.read(s"$state/liverestart")
+    assert(pos1("file") == "binlog.000001")
+    assert(pos1("pos").toLong > 4L)
+
+    // restart: the server appends MORE events to the same binlog file;
+    // the new pump must resume at the persisted position and the
+    // landing must not duplicate the already-landed keys
+    val m2 = TaskManager.start(spark, state, "liverestart",
+      liveDial = Some(() => wireFor(
+        session(Seq(Array("3", "c")), 2L))))
+    assert(m2.status == "finished")
+    val landed = spark.read.parquet(s"$sink/app.t")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(landed == Seq("1", "2", "3")) // each exactly once
+    // capture segments are monotone across the restart, never reused
+    val segs = graft.sources.ChangelogSource
+      .segments(s"$state/liverestart/capture")
+    assert(segs == segs.sorted && segs.distinct == segs)
+    assert(segs.size >= 2)
   }
 
   test("a mongodb:// cdc task captures the change stream and lands " +

@@ -128,10 +128,12 @@ class MysqlTransportSpec extends AnyFunSuite {
     // COM_BINLOG_DUMP opcode present at a packet head
     assert(sent.containsSlice(Array[Byte](0x12, 4, 0, 0, 0)))
 
-    // the segment is a self-contained decodable binlog file
-    assert(store.names == Seq("binlog.000007.log"))
+    // the segment is a self-contained decodable binlog file; names
+    // are pump-owned and monotone (NOT the server's file name — that
+    // lives in `position`), so a restart can never reuse one
+    assert(store.names == Seq("binlog.000001.log"))
     val decoded = MysqlBinlog.decodeFile(
-      store.bytesOf("binlog.000007.log"), "binlog.000007")
+      store.bytesOf("binlog.000001.log"), "binlog.000007")
     assert(decoded.map(e => (e.rowType, e.after.get("id").orNull)) ==
       Seq(("insert", "1"), ("insert", "2")))
     // resume state advanced and the GTID was tracked
@@ -167,11 +169,11 @@ class MysqlTransportSpec extends AnyFunSuite {
         binlogFilename = "binlog.000007"), store, () => wire)
     pump.runSession()
     assert(store.names ==
-      Seq("binlog.000007.log", "binlog.000008.log"))
+      Seq("binlog.000001.log", "binlog.000002.log"))
     val d1 = MysqlBinlog.decodeFile(
-      store.bytesOf("binlog.000007.log"), "binlog.000007")
+      store.bytesOf("binlog.000001.log"), "binlog.000007")
     val d2 = MysqlBinlog.decodeFile(
-      store.bytesOf("binlog.000008.log"), "binlog.000008")
+      store.bytesOf("binlog.000002.log"), "binlog.000008")
     assert(d1.map(_.after("id")) == Seq("1"))
     assert(d2.map(_.after("id")) == Seq("2"))
     assert(pump.position._1 == "binlog.000008")
@@ -232,7 +234,11 @@ class MysqlTransportSpec extends AnyFunSuite {
       wire1.serve(packet(i + 1, Array[Byte](0x00) ++ e)) }
     wire1.failAfter(wire1.remaining) // fail on the read after drain
     val wire2 = new FakeWire
-    serveSession(wire2, events.drop(2))
+    // a real server opens every dump with a fresh FDE (checksum alg
+    // context) before resuming at the requested position
+    val fdeOnly = { val f = new MysqlBinlogWriter(serverId = 1L)
+      f.fde(); eventsOf(f.bytes()) }
+    serveSession(wire2, fdeOnly ++ events.drop(2))
 
     val wires = scala.collection.mutable.Queue[FakeWire](wire1, wire2)
     val store = new MemorySegmentStore
@@ -250,10 +256,68 @@ class MysqlTransportSpec extends AnyFunSuite {
     assert(sent2.containsSlice(Array[Byte](0x12)) &&
       new String(sent2, java.nio.charset.StandardCharsets.ISO_8859_1)
         .contains("binlog.000007"))
-    // all events landed exactly once
-    val decoded = MysqlBinlog.decodeFile(
-      store.bytesOf("binlog.000007.log"), "binlog.000007")
+    // each session opened a FRESH segment (never appending to a name
+    // the checkpoint may have consumed); all events landed exactly once
+    assert(store.names == Seq("binlog.000001.log", "binlog.000002.log"))
+    val decoded = store.names.flatMap(n =>
+      MysqlBinlog.decodeFile(store.bytesOf(n), "binlog.000007"))
     assert(decoded.map(_.after("id")) == Seq("1"))
+  }
+
+  test("a RESTARTED pump mid-binlog-file never republishes a consumed " +
+      "segment name — the tail events land in a new segment") {
+    // session 1: the first half of server file binlog.000007
+    val w1 = new MysqlBinlogWriter(serverId = 1L)
+    w1.fde()
+    w1.begin("tpch")
+    w1.tableMap(11L, "tpch", "t", Types, Meta,
+      nullable = Seq(false, true), colNames = Seq("id", "v"))
+    w1.writeRows(11L, Seq(Array("1", "a"), Array("2", "b")))
+    w1.xid(1L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("pump-restart").toString
+    val store1 = new FsSegmentStore(dir)
+    val wire1 = new FakeWire
+    serveSession(wire1, eventsOf(w1.bytes()))
+    val pump1 = new MysqlReplicationPump(
+      MysqlReplicationPump.Config("u", "p",
+        binlogFilename = "binlog.000007"), store1, () => wire1)
+    pump1.runSession()
+    store1.publishAll()
+    assert(store1.names == Seq("binlog.000001.log"))
+    val firstBytes = store1.bytesOf("binlog.000001.log")
+
+    // the task restarts: a NEW pump (fresh store handle on the same
+    // capture dir) dials a server that appends MORE events to the SAME
+    // binlog file — the round-11 naming overwrote binlog.000007.log
+    // here and the name-based checkpoint skipped the tail forever
+    val w2 = new MysqlBinlogWriter(serverId = 1L)
+    w2.fde()
+    w2.begin("tpch")
+    w2.tableMap(11L, "tpch", "t", Types, Meta,
+      nullable = Seq(false, true), colNames = Seq("id", "v"))
+    w2.writeRows(11L, Seq(Array("3", "c")))
+    w2.xid(2L)
+    val store2 = new FsSegmentStore(dir)
+    val wire2 = new FakeWire
+    serveSession(wire2, eventsOf(w2.bytes()))
+    val pump2 = new MysqlReplicationPump(
+      MysqlReplicationPump.Config("u", "p",
+        binlogFilename = "binlog.000007",
+        binlogPosition = pump1.position._2), store2, () => wire2)
+    pump2.runSession()
+    store2.publishAll()
+
+    assert(store2.names ==
+      Seq("binlog.000001.log", "binlog.000002.log"))
+    // the consumed segment is byte-identical (no silent overwrite)…
+    assert(store2.bytesOf("binlog.000001.log").toSeq ==
+      firstBytes.toSeq)
+    // …and the tail events are all in the NEW name, which sorts after
+    // the old one (the name-based checkpoint will plan it)
+    val tail = MysqlBinlog.decodeFile(
+      store2.bytesOf("binlog.000002.log"), "binlog.000007")
+    assert(tail.map(_.after("id")) == Seq("3"))
   }
 
   test("caching_sha2_password: the MySQL-8-default plugin's fast " +
