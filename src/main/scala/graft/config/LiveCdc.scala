@@ -29,7 +29,7 @@ object LiveCdc {
   def isLiveUrl(url: String): Boolean =
     url.startsWith("mysql://") || url.startsWith("postgres://") ||
       url.startsWith("postgresql://") || url.startsWith("redis://") ||
-      url.startsWith("mongodb://")
+      url.startsWith("rediss://") || url.startsWith("mongodb://")
 
   /** Drain-once semantics (the task-manager unit): one pump session
     * (until the server ends the dump or the wire drops), publish all
@@ -46,7 +46,8 @@ object LiveCdc {
       onProgress: () => Unit = () => ()): Report =
     if (task.sourceDir.startsWith("mysql://"))
       runMysql(spark, task, taskDir, dialOverride, onProgress)
-    else if (task.sourceDir.startsWith("redis://"))
+    else if (task.sourceDir.startsWith("redis://") ||
+        task.sourceDir.startsWith("rediss://"))
       runRedis(spark, task, taskDir, dialOverride, onProgress)
     else if (task.sourceDir.startsWith("mongodb://"))
       runMongo(spark, task, taskDir, dialOverride, onProgress)
@@ -249,18 +250,47 @@ object LiveCdc {
       (pump.position.getOrElse(""), 0L, ""))
   }
 
+  /** How many micro-batches of deltas accumulate before a table's
+    * base is re-merged. Steady-state trigger cost is O(batch); merge
+    * cost O(state) amortizes over the cadence (raise it for bigger
+    * deployments — correctness never depends on it, only read fan-in).
+    */
+  private[config] val CompactEvery = 8
+
   /** The micro-batch writer both modes share: per-table filter,
-    * route, key-compact, and MERGE into the landed state — the
-    * previously landed rows join the batch as seq=-∞ inserts so a
-    * later batch's delete removes the key and an update replaces it
-    * (plain appends would resurrect deleted keys and duplicate
-    * updated ones across micro-batches). The merged frame lands via
-    * write-new-then-swap so a crash mid-write never leaves a
-    * half-overwritten table.
+    * route, key-compact WITHIN the batch, and append one bounded
+    * delta to the table's LSM layout ([[graft.sinks.LandedTable]]).
+    * Deletes ride as tombstone rows until a cadence merge folds them
+    * away; merges commit by dir rename, so a crash at any point
+    * leaves the previous committed state readable. Per-trigger work
+    * is O(batch) — the previous lander re-read and rewrote the FULL
+    * landed state every 500 ms, which made a long-running stream's
+    * cumulative write volume quadratic in table size.
     */
   private def landBatch(task: TaskConfig.Task, outDir: String)(
-      batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
+      batch0: DataFrame, batchId: Long): Unit = {
+    val spark = batch0.sparkSession
+    // [data_marker] admission (do_nodes/ignore_nodes over the decoded
+    // origin, data_marker.rs:118-121) — drops peer-origin echoes so a
+    // two-way topology never cycles; then the marker WRITE side: one
+    // in-batch marker row naming this direction's origin, the live
+    // analogue of the reference sinker's in-transaction marker insert
+    // (mysql_sinker.rs:365-389), so the REVERSE direction can
+    // attribute what this lander applied
+    val batch = task.dataMarker match {
+      case Some(dm) => batch0.filter(graft.operators.DataMarker
+        .admits(col("origin"), dm.doNodes, dm.ignoreNodes))
+      case None => batch0
+    }
+    task.dataMarker.filter(_.marker.contains(".")).foreach { dm =>
+      val Array(mdb, mtb) = dm.marker.split("\\.", 2)
+      import spark.implicits._
+      Seq((dm.topoName, dm.srcNode, dm.dstNode, dm.srcNode, batchId))
+        .toDF("topo", "src_node", "dst_node", "data_origin_node",
+          "batch_id")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(f"$outDir/$mdb.$mtb/b=$batchId%08d")
+    }
     val tables = batch.select("schema", "tb").distinct()
       .collect().map(r => (r.getString(0), r.getString(1)))
     tables.foreach { case (db, tb) =>
@@ -273,28 +303,16 @@ object LiveCdc {
             .isin(task.filter.doEvents.toSeq: _*))
           .select(col("seq"), col("row_type"), col("key"),
             col("payload"))
-        val existing =
-          if (graft.infra.Fs.exists(out))
-            spark.read.parquet(out)
-              .select(lit(Long.MinValue).as("seq"),
-                lit("insert").as("row_type"), col("key"),
-                col("payload"))
-          else spark.emptyDataFrame
-        val all = if (existing.isEmpty) slice
-          else existing.unionByName(slice)
-        val compacted = graft.operators.Compaction.compact(
-          all, Seq("key"), Seq("seq"), col("row_type"))
-          .filter(col(graft.operators.Compaction.ActionCol) =!=
-            graft.operators.Compaction.Delete)
-          .select("key", "payload")
-        val staged = s"$out.next-$batchId"
-        compacted.write.mode(SaveMode.Overwrite).parquet(staged)
-        val hfs = graft.infra.Fs.fs(out)
-        hfs.delete(new org.apache.hadoop.fs.Path(out), true)
-        if (!hfs.rename(new org.apache.hadoop.fs.Path(staged),
-            new org.apache.hadoop.fs.Path(out)))
-          throw new java.io.IOException(
-            s"live cdc: rename $staged -> $out failed")
+        val delta = graft.operators.Compaction.compact(
+          slice, Seq("key"), Seq("seq"), col("row_type"))
+          .select(lit(batchId).as("bseq"), col("seq"),
+            when(col(graft.operators.Compaction.ActionCol) ===
+              graft.operators.Compaction.Delete, lit("delete"))
+              .otherwise(lit("insert")).as("row_type"),
+            col("key"), col("payload"))
+        graft.sinks.LandedTable.writeDelta(delta, out, batchId)
+        if (batchId % CompactEvery == (CompactEvery - 1))
+          graft.sinks.LandedTable.compactTo(spark, out, batchId)
       }
     }
     ()
@@ -308,6 +326,12 @@ object LiveCdc {
       .option("format", format)
       .option("key_cols",
         task.keysByTable.values.flatten.toSeq.distinct.mkString(","))
+      // [data_marker]: decode-side origin tracking (marker rows set
+      // the in-flight txn origin; origin resets to src_node per txn)
+      .option("marker_table",
+        task.dataMarker.map(_.marker).getOrElse(""))
+      .option("local_node",
+        task.dataMarker.map(_.srcNode).getOrElse(""))
       .load()
 
   /** RESIDENT mode — the deployment topology: the pump runs
@@ -379,11 +403,12 @@ object LiveCdc {
     } finally q.stop()
     Option(pumpError.get()).foreach(t => throw t)
 
-    val landed = graft.infra.Fs.listNames(task.sinkDir)
-      .filter(_.contains("."))
-      .sorted.map { t =>
-        t -> spark.read.parquet(s"${task.sinkDir}/$t").count()
-      }
+    // wind-down epilogue: fold deltas, refresh the flat snapshot
+    val tables = graft.sinks.LandedTable
+      .finalizeAll(spark, task.sinkDir)
+    val landed = tables.map { t =>
+      t -> spark.read.parquet(s"${task.sinkDir}/$t").count()
+    }
     Report(store.names.size, pump.eventsAppended, landed,
       pump.position)
   }
@@ -407,11 +432,12 @@ object LiveCdc {
       .start()
     q.awaitTermination()
 
-    val landed = graft.infra.Fs.listNames(outDir)
-      .filter(_.contains("."))
-      .sorted.map { t =>
-        t -> spark.read.parquet(s"$outDir/$t").count()
-      }
+    // drain epilogue: fold outstanding deltas and refresh the flat
+    // published snapshot — the plain-parquet face external readers see
+    val tables = graft.sinks.LandedTable.finalizeAll(spark, outDir)
+    val landed = tables.map { t =>
+      t -> spark.read.parquet(s"$outDir/$t").count()
+    }
     Report(nSegments, events, landed, position)
   }
 }

@@ -100,5 +100,11 @@ object Fs {
     fs(path).delete(new Path(path), true); ()
   }
 
+  /** Atomic same-FS rename (false on failure — e.g. target exists).
+    * The commit primitive for stage-then-rename protocols.
+    */
+  def rename(src: String, dst: String): Boolean =
+    fs(src).rename(new Path(src), new Path(dst))
+
   def fileName(path: String): String = new Path(path).getName
 }

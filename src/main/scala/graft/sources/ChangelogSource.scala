@@ -54,7 +54,10 @@ class ChangelogSource extends TableProvider {
         Option(properties.get("binlog_filename")).getOrElse(""),
         Option(properties.get("binlog_position"))
           .flatMap(_.toLongOption).getOrElse(0L),
-        Option(properties.get("gtid_set")).getOrElse("")))
+        Option(properties.get("gtid_set")).getOrElse("")),
+      ChangelogSource.MarkerCfg(
+        Option(properties.get("marker_table")).getOrElse(""),
+        Option(properties.get("local_node")).getOrElse("")))
 }
 
 object ChangelogSource {
@@ -69,13 +72,22 @@ object ChangelogSource {
       startPos: Long = 0L, gtidSet: String = "") {
     def isEmpty: Boolean = startFile.isEmpty && gtidSet.isEmpty
   }
+
+  /** `[data_marker]` decode options: the marker table whose in-txn
+    * inserts set the stream's origin, and the local node name origin
+    * resets to at txn boundaries (data_marker.rs refresh semantics).
+    */
+  final case class MarkerCfg(markerTable: String = "",
+      localNode: String = "")
+
   val schema: StructType = StructType(Seq(
     StructField("seq", LongType, nullable = false),
     StructField("schema", StringType, nullable = false),
     StructField("tb", StringType, nullable = false),
     StructField("row_type", StringType, nullable = false),
     StructField("key", StringType, nullable = false),
-    StructField("payload", StringType, nullable = true)))
+    StructField("payload", StringType, nullable = true),
+    StructField("origin", StringType, nullable = true)))
 
   /** Segment files in commit order (lexicographic name = arrival order,
     * like binlog.000001…). Only `.log` files count; in-flight writers
@@ -173,7 +185,8 @@ object ChangelogOffset {
 class ChangelogTable(path: String, format: String = "tab",
     keyCols: Seq[String] = Nil, startTimestamp: Long = 0L,
     binlogStart: ChangelogSource.BinlogStart =
-      ChangelogSource.BinlogStart())
+      ChangelogSource.BinlogStart(),
+    marker: ChangelogSource.MarkerCfg = ChangelogSource.MarkerCfg())
     extends Table with SupportsRead {
   require(path != null, "graft changelog source requires .option(\"path\")")
   require(Set("tab", "binlog", "pgoutput").contains(format),
@@ -190,7 +203,7 @@ class ChangelogTable(path: String, format: String = "tab",
       override def toMicroBatchStream(checkpointLocation: String)
           : MicroBatchStream =
         new ChangelogStream(path, format, keyCols, startTimestamp,
-          binlogStart)
+          binlogStart, marker)
     }
   }
 }
@@ -207,7 +220,8 @@ class ChangelogTable(path: String, format: String = "tab",
 class ChangelogStream(path: String, format: String = "tab",
     keyCols: Seq[String] = Nil, startTimestamp: Long = 0L,
     binlogStart: ChangelogSource.BinlogStart =
-      ChangelogSource.BinlogStart())
+      ChangelogSource.BinlogStart(),
+    marker: ChangelogSource.MarkerCfg = ChangelogSource.MarkerCfg())
     extends MicroBatchStream {
   /** Monotonicity guard: if every segment were purged, a fresh listing
     * would be empty and a naive latestOffset would regress below the
@@ -244,7 +258,7 @@ class ChangelogStream(path: String, format: String = "tab",
     ChangelogSource.segments(path)
       .filter(n => n > s && n <= e)
       .map(n => ChangelogPartition(s"$path/$n", format,
-        keyCols, binlogStart): InputPartition).toArray
+        keyCols, binlogStart, marker): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -257,7 +271,9 @@ class ChangelogStream(path: String, format: String = "tab",
 final case class ChangelogPartition(file: String, format: String = "tab",
     keyCols: Seq[String] = Nil,
     binlogStart: ChangelogSource.BinlogStart =
-      ChangelogSource.BinlogStart()) extends InputPartition
+      ChangelogSource.BinlogStart(),
+    marker: ChangelogSource.MarkerCfg =
+      ChangelogSource.MarkerCfg()) extends InputPartition
 
 /** One reader per segment file. `tab` segments hold the engine-internal
   * TAB records; `binlog` segments are MySQL binlog files and `pgoutput`
@@ -291,12 +307,16 @@ object ChangelogReaderFactory extends PartitionReaderFactory {
             p.binlogStart.startFile, p.binlogStart.startPos,
             Option(p.binlogStart.gtidSet).filter(_.nonEmpty)
               .map(graft.meta.GtidSet.parse))
-        val events = MysqlBinlog.toChangeEvents(gated, name)
+        val events = MysqlBinlog.toChangeEvents(gated, name,
+          markerTable = p.marker.markerTable,
+          localNode = p.marker.localNode)
         MysqlBinlog.toSegmentLines(events, p.keyCols,
           baseSeq(p.file)).iterator
       case "pgoutput" =>
         val bytes = graft.infra.Fs.readAllBytes(p.file)
-        val events = PgOutput.decodeFile(bytes)
+        val events = PgOutput.decodeFile(bytes,
+          markerTable = p.marker.markerTable,
+          localNode = p.marker.localNode)
         MysqlBinlog.toSegmentLines(events, p.keyCols,
           baseSeq(p.file)).iterator
       case _ =>
@@ -309,12 +329,17 @@ object ChangelogReaderFactory extends PartitionReaderFactory {
         if (!lines.hasNext) false
         else {
           val f = lines.next().split("\t", -1)
-          require(f.length == 6, s"bad changelog record in ${p.file}")
+          // 7 fields since round 12 (trailing data-marker origin);
+          // 6-field fixtures read with a null origin
+          require(f.length == 6 || f.length == 7,
+            s"bad changelog record in ${p.file}")
           current = new GenericInternalRow(Array[Any](
             f(0).toLong,
             UTF8String.fromString(f(1)), UTF8String.fromString(f(2)),
             UTF8String.fromString(f(3)), UTF8String.fromString(f(4)),
-            if (f(5).isEmpty) null else UTF8String.fromString(f(5))))
+            if (f(5).isEmpty) null else UTF8String.fromString(f(5)),
+            if (f.length < 7 || f(6).isEmpty) null
+            else UTF8String.fromString(f(6))))
           true
         }
 

@@ -846,15 +846,29 @@ object MysqlBinlog {
     * `colNamesFor` (the meta-manager hook — reference
     * mysql_cdc_extractor.rs:366 `get_tb_meta`).
     */
+  /** `markerTable`/`localNode`: the data-marker origin state machine
+    * (reference data_marker.rs refresh + base_extractor.rs:100-127) —
+    * when a `db.tb` marker table is named, origin RESETS to the local
+    * node at every transaction boundary, a marker-table insert sets
+    * the in-flight origin from its `data_origin_node` column for the
+    * REST of that transaction, and marker rows themselves never emit
+    * as data. Events then carry `originNode` for the
+    * do_nodes/ignore_nodes admission downstream.
+    */
   def toChangeEvents(events: Seq[(EventHeader, Event)],
       binlogFile: String,
-      colNamesFor: (String, String) => Seq[String] = (_, _) => Nil)
+      colNamesFor: (String, String) => Seq[String] = (_, _) => Nil,
+      markerTable: String = "", localNode: String = "")
       : Seq[ChangeEvent] = {
     val tables = scala.collection.mutable.Map.empty[Long, TableMap]
     val out = Seq.newBuilder[ChangeEvent]
     var file = binlogFile
     val gtids = new graft.meta.GtidSet()
     def gtid: String = gtids.render
+    val markerOn = markerTable.nonEmpty
+    var origin = if (markerOn) localNode else ""
+    def isMarker(tm: TableMap): Boolean =
+      markerOn && s"${tm.schema}.${tm.table}" == markerTable
 
     def names(tm: TableMap): Seq[String] =
       if (tm.colNames.nonEmpty) tm.colNames
@@ -875,29 +889,41 @@ object MysqlBinlog {
       def emit(tm: TableMap, rowType: String,
           before: Map[String, String], after: Map[String, String]): Unit =
         out += ChangeEvent(tm.schema, tm.table, 0L, rowType, before,
-          after, pos.kind, pos.render, originNode = "")
+          after, pos.kind, pos.render, originNode = origin)
       event match {
         case r: Rotate => file = r.nextFile
         case g: Gtid => gtids.add(s"${g.uuid}:${g.gno}"): Unit
         case tm: TableMap => tables(tm.tableId) = tm
         case w: WriteRows =>
           val tm = tables(w.tableId)
-          w.rows.foreach(row =>
+          if (isMarker(tm))
+            // the in-txn marker: origin for the rest of this txn
+            w.rows.foreach { row =>
+              origin = img(tm, row).getOrElse("data_origin_node", origin)
+            }
+          else w.rows.foreach(row =>
             emit(tm, RowKind.Insert, Map.empty, img(tm, row)))
         case d: DeleteRows =>
           val tm = tables(d.tableId)
-          d.rows.foreach(row =>
-            emit(tm, RowKind.Delete, img(tm, row), Map.empty))
+          if (!isMarker(tm)) // marker housekeeping never emits as data
+            d.rows.foreach(row =>
+              emit(tm, RowKind.Delete, img(tm, row), Map.empty))
         case u: UpdateRows =>
           val tm = tables(u.tableId)
-          u.rows.foreach { case (b, a) =>
-            emit(tm, RowKind.Update, img(tm, b), img(tm, a))
-          }
+          if (!isMarker(tm))
+            u.rows.foreach { case (b, a) =>
+              emit(tm, RowKind.Update, img(tm, b), img(tm, a))
+            }
         case p: TransactionPayload =>
           p.events.foreach { case (h, e) =>
             walk(h.copy(nextPosition = header.nextPosition), e)
           }
-        case _ => () // Query/Xid/FDE/Unknown carry no row images
+        case q: Query if markerOn &&
+            q.sql.toUpperCase.startsWith("BEGIN") =>
+          origin = localNode // txn boundary: reset to local
+        case _: Xid =>
+          if (markerOn) origin = localNode
+        case _ => () // Query/FDE/Unknown carry no row images
       }
     }
 
@@ -956,10 +982,13 @@ object MysqlBinlog {
     toChangeEvents(readFile(bytes), binlogFile, colNamesFor)
 
   /** Render ChangeEvents as [[ChangelogSource]] segment lines
-    * (`seq \t schema \t tb \t row_type \t key \t payload`) so a decoded
-    * binlog file becomes a streaming segment directly. Tabs, newlines,
-    * and backslashes inside values escape as `\t`/`\n`/`\\` so decoded
-    * payloads can never corrupt the record framing.
+    * (`seq \t schema \t tb \t row_type \t key \t payload \t origin`)
+    * so a decoded binlog file becomes a streaming segment directly.
+    * Tabs, newlines, and backslashes inside values escape as
+    * `\t`/`\n`/`\\` so decoded payloads can never corrupt the record
+    * framing. The trailing origin field is the data-marker origin
+    * (empty = locally produced / marker machinery off); the reader
+    * also accepts the pre-round-12 6-field form.
     */
   def toSegmentLines(events: Seq[ChangeEvent], keyCols: Seq[String],
       startSeq: Long): Seq[String] = {
@@ -972,7 +1001,8 @@ object MysqlBinlog {
         .toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k=${if (v == null) "" else esc(v)}" }
         .mkString(",")
-      s"${startSeq + i}\t${e.schema}\t${e.tb}\t${e.rowType}\t$key\t$payload"
+      s"${startSeq + i}\t${e.schema}\t${e.tb}\t${e.rowType}\t$key\t" +
+        s"$payload\t${esc(e.originNode)}"
     }
   }
 }

@@ -349,8 +349,10 @@ object PgOutput {
     * before map. Truncate surfaces as a per-relation `truncate` event.
     */
   def toChangeEvents(messages: Seq[(Long, Message)],
-      startLsn: String = ""): Seq[ChangeEvent] =
-    toChangeEventsIndexed(messages, startLsn).map(_._2)
+      startLsn: String = "", markerTable: String = "",
+      localNode: String = ""): Seq[ChangeEvent] =
+    toChangeEventsIndexed(messages, startLsn, markerTable, localNode)
+      .map(_._2)
 
   /** [[toChangeEvents]] plus each event's COMMIT ORDINAL — the index of
     * the Commit/Stream Commit that owns it, counting every committed
@@ -360,12 +362,20 @@ object PgOutput {
     * (both carry the resume LSN); the ordinal always can.
     */
   def toChangeEventsIndexed(messages: Seq[(Long, Message)],
-      startLsn: String = ""): Seq[(Int, ChangeEvent)] = {
+      startLsn: String = "", markerTable: String = "",
+      localNode: String = ""): Seq[(Int, ChangeEvent)] = {
     val rels = scala.collection.mutable.Map.empty[Long, Relation]
     val out = Seq.newBuilder[(Int, ChangeEvent)]
     var txEndLsn = startLsn
     var positionLsn = startLsn
     var commitOrdinal = 0
+    // data-marker origin state machine (same semantics as the MySQL
+    // decode): reset to the local node per txn, marker-relation
+    // inserts set the in-flight origin, marker rows never emit
+    val markerOn = markerTable.nonEmpty
+    var origin = if (markerOn) localNode else ""
+    def isMarker(rel: Relation): Boolean =
+      markerOn && s"${rel.namespace}.${rel.name}" == markerTable
 
     // per-relation column-name cache: a relation decodes once per
     // stream but images build once per ROW — rebuilding the name seq
@@ -390,23 +400,30 @@ object PgOutput {
         after: Map[String, String]): Unit =
       out += ((commitOrdinal,
         ChangeEvent(rel.namespace, rel.name, 0L, rowType, before,
-          after, posKind, positionLsn, originNode = "")))
+          after, posKind, positionLsn, originNode = origin)))
 
     def applyData(m: Message): Unit = m match {
       case i: Insert =>
         val rel = rels(i.relId)
-        emit(rel, RowKind.Insert, Map.empty, img(rel, i.newTuple))
+        if (isMarker(rel))
+          origin = img(rel, i.newTuple)
+            .getOrElse("data_origin_node", origin)
+        else emit(rel, RowKind.Insert, Map.empty, img(rel, i.newTuple))
       case u: Update =>
         val rel = rels(u.relId)
-        val before = u.oldTuple.map(img(rel, _)).getOrElse(Map.empty)
-        emit(rel, RowKind.Update, before, img(rel, u.newTuple))
+        if (!isMarker(rel)) {
+          val before = u.oldTuple.map(img(rel, _)).getOrElse(Map.empty)
+          emit(rel, RowKind.Update, before, img(rel, u.newTuple))
+        }
       case d: Delete =>
         val rel = rels(d.relId)
-        emit(rel, RowKind.Delete, img(rel, d.oldTuple), Map.empty)
+        if (!isMarker(rel))
+          emit(rel, RowKind.Delete, img(rel, d.oldTuple), Map.empty)
       case t: Truncate =>
         t.relIds.foreach { id =>
           val rel = rels(id)
-          emit(rel, "truncate", Map.empty, Map.empty)
+          if (!isMarker(rel))
+            emit(rel, "truncate", Map.empty, Map.empty)
         }
       case _ => () // Origin/Type/LogicalMessage/Keepalive: no row images
     }
@@ -426,10 +443,12 @@ object PgOutput {
         rels(r.relId) = r; colNames.remove(r.relId): Unit
       case (_, b: Begin) =>
         positionLsn = txEndLsn // resume point: previous tx end
+        if (markerOn) origin = localNode // txn boundary reset
       case (_, c: Commit) =>
         txEndLsn = renderLsn(c.endLsn)
         positionLsn = txEndLsn
         commitOrdinal += 1
+        if (markerOn) origin = localNode
       case (_, s: StreamStart) => openStream = Some(s.xid)
       case (_, StreamStop) => openStream = None
       case (_, Streamed(subXid, m)) => m match {
@@ -449,20 +468,24 @@ object PgOutput {
         // same position contract as Begin/Commit: the replayed txn
         // keys at the previous commit end, its commit advances it
         positionLsn = txEndLsn
+        if (markerOn) origin = localNode // replayed txn: fresh origin
         pending.remove(sc.xid)
           .foreach(_.foreach { case (_, m) => applyData(m) })
         txEndLsn = renderLsn(sc.endLsn)
         positionLsn = txEndLsn
         commitOrdinal += 1
+        if (markerOn) origin = localNode
       case (_, m) => applyData(m)
     }
     out.result()
   }
 
   /** Decode a captured stream file straight to ChangeEvents. */
-  def decodeFile(bytes: Array[Byte], startLsn: String = "")
+  def decodeFile(bytes: Array[Byte], startLsn: String = "",
+      markerTable: String = "", localNode: String = "")
       : Seq[ChangeEvent] =
-    toChangeEvents(decodeCopyStream(bytes), startLsn)
+    toChangeEvents(decodeCopyStream(bytes), startLsn, markerTable,
+      localNode)
 }
 
 /** pgoutput message **encoder** — fixture builder for the decoder's spec

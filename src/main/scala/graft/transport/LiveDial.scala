@@ -19,11 +19,30 @@ import graft.config.TaskConfig
 object LiveDial {
 
   final case class Endpoint(scheme: String, user: String,
-      password: String, host: String, port: Int, database: String)
+      password: String, host: String, port: Int, database: String,
+      params: Map[String, String] = Map.empty) {
+
+    /** Canonical ssl-mode from the URL (`?ssl-mode=` MySQL spelling,
+      * `?sslmode=`/`?ssl=`/`?tls=` PG/Redis/Mongo spellings;
+      * reference surface: docs/en/config.md:31). `rediss://` and
+      * `mongodb+srv://`-style TLS schemes imply `required`.
+      */
+    def sslMode: String = {
+      val explicit = params.get("ssl-mode").orElse(params.get("sslmode"))
+        .map(Tls.normalizeMode)
+      val flag = params.get("ssl").orElse(params.get("tls"))
+        .map(v => if (Set("true", "1", "on")(v.toLowerCase)) "required"
+          else "disabled")
+      explicit.orElse(flag).getOrElse(
+        if (scheme == "rediss") "required" else "disabled")
+    }
+  }
 
   /** Parse a connection URL. Credentials are percent-decoded
     * (passwords routinely carry `@`/`:`/`%` — encoded forms must
-    * round-trip); host may be IPv6-bracketed.
+    * round-trip); host may be IPv6-bracketed; query params surface as
+    * the reference's extra-url-param map (task_config.rs passes
+    * `?ssl-mode=…` through verbatim to its client crates).
     */
   def parseUrl(url: String): Endpoint = {
     val u = java.net.URI.create(url)
@@ -41,13 +60,21 @@ object LiveDial {
     val defaultPort = u.getScheme match {
       case "mysql" => 3306
       case "postgres" | "postgresql" | "pg" => 5432
-      case "redis" => 6379
+      case "redis" | "rediss" => 6379
       case "mongodb" => 27017
       case _ => -1
     }
+    val params = Option(u.getRawQuery).filter(_.nonEmpty)
+      .map(_.split("&").toSeq.filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k) => decode(k) -> ""
+          case Array(k, v) => decode(k) -> decode(v)
+        }
+      }.toMap).getOrElse(Map.empty[String, String])
     Endpoint(u.getScheme, user, pass, u.getHost,
       if (u.getPort > 0) u.getPort else defaultPort,
-      Option(u.getPath).map(_.stripPrefix("/")).getOrElse(""))
+      Option(u.getPath).map(_.stripPrefix("/")).getOrElse(""),
+      params)
   }
 
   private def decode(s: String): String =
@@ -71,7 +98,8 @@ object LiveDial {
       binlogPosition = src.binlogPosition.getOrElse(4L),
       gtidEnabled = src.gtidEnabled,
       gtidSet = src.gtidSet.getOrElse(""),
-      heartbeatPeriodSecs = src.binlogHeartbeatIntervalSecs.toLong)
+      heartbeatPeriodSecs = src.binlogHeartbeatIntervalSecs.toLong,
+      sslMode = ep.sslMode)
   }
 
   /** [extractor] → PG pump config; the slot section is already typed
@@ -84,18 +112,28 @@ object LiveDial {
       s"not a postgres url: $url")
     require(ep.database.nonEmpty,
       s"pg replication needs a database in the url: $url")
-    PgReplicationPump.Config(ep.user, ep.password, ep.database, slot)
+    PgReplicationPump.Config(ep.user, ep.password, ep.database, slot,
+      sslMode = ep.sslMode)
   }
 
   /** A dial closure for the URL's endpoint — the only line that opens
     * a real socket. Timeouts follow the reference's read/keepalive
-    * knobs ([extractor] binlog_timeout_secs).
+    * knobs ([extractor] binlog_timeout_secs). MySQL/PG negotiate TLS
+    * mid-protocol (STARTTLS preambles inside the pumps), so their
+    * dial stays plaintext here; Redis (`rediss://` / `?tls=true`) and
+    * Mongo (`?tls=true`) speak TLS from byte 0, so THEIR upgrade
+    * happens at dial time.
     */
   def dialer(url: String, connectTimeoutMs: Int = 10000,
       readTimeoutMs: Int = 60000): () => Wire = {
     val ep = parseUrl(url)
-    () => new SocketWire(ep.host, ep.port, connectTimeoutMs,
-      readTimeoutMs)
+    val fromByteZero = Set("redis", "rediss", "mongodb")(ep.scheme) &&
+      Tls.wanted(ep.sslMode)
+    () => {
+      val w = new SocketWire(ep.host, ep.port, connectTimeoutMs,
+        readTimeoutMs)
+      if (fromByteZero) w.upgradeTls(ep.sslMode) else w
+    }
   }
 
   /** The assembled MySQL pump for a CDC task: segments land in

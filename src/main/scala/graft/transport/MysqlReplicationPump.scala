@@ -51,10 +51,10 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
     * never-reuse-a-published-name invariant SegmentNames documents.
     */
   override def runSession(until: () => Boolean = () => false): Long = {
-    val wire = dial()
+    var wire = dial()
     rotate()
     try {
-      handshake(wire)
+      wire = handshake(wire) // may upgrade to TLS mid-protocol
       configureChecksum(wire)
       requestDump(wire)
       pump(wire, until)
@@ -65,23 +65,51 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
 
   // ---------------------------------------------------------- phases
 
-  private def handshake(wire: Wire): Unit = {
-    val (_, greeting) = readPacket(wire)
+  /** Greeting → optional STARTTLS upgrade → HandshakeResponse → the
+    * auth conversation. Returns the wire to keep using (the TLS face
+    * when upgraded). Sequence ids are derived from each server reply
+    * (reply seq + 1) — the TLS preamble consumes one id, so hardcoded
+    * numbering would desynchronize a real server.
+    */
+  private def handshake(wire0: Wire): Wire = {
+    val (greetSeq, greeting) = readPacket(wire0)
     classify(greeting) match {
       case Err(code, msg) =>
         throw new java.io.IOException(s"mysql greeting error $code: $msg")
       case _ => ()
     }
     val hs = parseHandshake(greeting)
-    writePacket(wire, 1, handshakeResponse(cfg.user, cfg.password,
-      hs.scramble, hs.authPlugin))
+
+    // ssl-mode state machine (reference URL surface `?ssl-mode=…`,
+    // docs/en/config.md:31): disabled → plaintext; preferred → TLS if
+    // the server offers CLIENT_SSL else plaintext; required/verify-* →
+    // TLS or fail loudly
+    val mode = Tls.normalizeMode(cfg.sslMode)
+    val serverSsl = (hs.capabilities & CapSsl) != 0
+    var tlsActive = false
+    var wire = wire0
+    var seq = greetSeq + 1
+    if (Tls.wanted(mode)) {
+      if (serverSsl) {
+        writePacket(wire, seq, sslRequest())
+        wire = cfg.tlsUpgrade(wire, mode)
+        tlsActive = true
+        seq += 1
+      } else if (mode != "preferred")
+        throw new java.io.IOException(
+          s"ssl-mode=$mode but the server does not offer CLIENT_SSL")
+    }
+
+    writePacket(wire, seq, handshakeResponse(cfg.user, cfg.password,
+      hs.scramble, hs.authPlugin,
+      extraCaps = if (tlsActive) CapSsl else 0L))
     // the auth conversation: OK | ERR | AuthSwitchRequest (0xfe — the
     // server prefers another plugin) | AuthMoreData (0x01 —
     // caching_sha2's fast/full verdict)
-    var seq = 3
+    var scramble = hs.scramble
     var done = false
     while (!done) {
-      val (_, reply) = readPacket(wire)
+      val (replySeq, reply) = readPacket(wire)
       (reply(0) & 0xff) match {
         case 0x00 => done = true
         case 0xff => classify(reply) match {
@@ -91,17 +119,31 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
         }
         case 0xfe => // AuthSwitchRequest: redo auth with the plugin
           val sw = parseAuthSwitch(reply)
-          writePacket(wire, seq,
+          scramble = sw.scramble
+          writePacket(wire, replySeq + 1,
             authResponse(sw.plugin, cfg.password, sw.scramble))
-          seq += 2
         case 0x01 => // AuthMoreData (caching_sha2_password)
           (reply.lift(1).map(_ & 0xff).getOrElse(-1)) match {
             case 0x03 => () // fast_auth_success: OK packet follows
-            case 0x04 => throw new java.io.IOException(
-              "caching_sha2_password full authentication requested " +
-                "— the server has no cached entry and the cleartext/" +
-                "RSA exchange needs TLS; prime the cache or enable " +
-                "TLS on the deployment")
+            case 0x04 if tlsActive =>
+              // full auth over TLS: the NUL-terminated password in
+              // the clear (the channel is encrypted)
+              writePacket(wire, replySeq + 1,
+                cfg.password.getBytes("UTF-8") :+ 0.toByte)
+            case 0x04 =>
+              // full auth without TLS: request the server's RSA
+              // public key (0x02), then send the scramble-obfuscated
+              // password OAEP-encrypted under it
+              writePacket(wire, replySeq + 1, Array[Byte](0x02))
+              val (pkSeq, pkReply) = readPacket(wire)
+              if ((pkReply(0) & 0xff) != 0x01)
+                throw new java.io.IOException(
+                  "expected AuthMoreData with the RSA public key, " +
+                    s"got ${pkReply(0) & 0xff}")
+              val pem = new String(pkReply, 1, pkReply.length - 1,
+                "UTF-8")
+              writePacket(wire, pkSeq + 1,
+                rsaEncryptedPassword(cfg.password, scramble, pem))
             case other => throw new java.io.IOException(
               s"unexpected AuthMoreData payload $other")
           }
@@ -109,6 +151,7 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
           throw new java.io.IOException(s"unexpected auth reply $other")
       }
     }
+    wire
   }
 
   /** Session setup before the dump: checksums off so event bytes land
@@ -294,5 +337,11 @@ object MysqlReplicationPump {
       binlogPosition: Long = 4L, gtidEnabled: Boolean = false,
       gtidSet: String = "", heartbeatPeriodSecs: Long = 10L,
       maxReconnects: Int = 10,
-      baseBackoffMs: Long = 500L, maxBackoffMs: Long = 60000L)
+      baseBackoffMs: Long = 500L, maxBackoffMs: Long = 60000L,
+      /** `?ssl-mode=` from the connection URL (default: plaintext). */
+      sslMode: String = "disabled",
+      /** STARTTLS seam: production upgrades the socket via JSSE;
+        * specs inject a marker to drive the state machine on FakeWire.
+        */
+      tlsUpgrade: (Wire, String) => Wire = Tls.upgrade)
 }

@@ -87,6 +87,7 @@ object MysqlWire {
   // client capability flags (public constants)
   val CapLongPassword = 0x00000001L
   val CapProtocol41 = 0x00000200L
+  val CapSsl = 0x00000800L
   val CapSecureConnection = 0x00008000L
   val CapPluginAuth = 0x00080000L
 
@@ -136,12 +137,16 @@ object MysqlWire {
         "caching_sha2_password are implemented)")
   }
 
-  /** HandshakeResponse41 (no database, utf8mb4). */
+  /** HandshakeResponse41 (no database, utf8mb4). `extraCaps` adds
+    * CLIENT_SSL when the session negotiated TLS — the capability bits
+    * in the response must match the SSLRequest preamble.
+    */
   def handshakeResponse(user: String, password: String,
       scramble: Array[Byte],
-      plugin: String = "mysql_native_password"): Array[Byte] = {
+      plugin: String = "mysql_native_password",
+      extraCaps: Long = 0L): Array[Byte] = {
     val caps = CapLongPassword | CapProtocol41 | CapSecureConnection |
-      CapPluginAuth
+      CapPluginAuth | extraCaps
     val out = new java.io.ByteArrayOutputStream()
     def le(v: Long, n: Int): Unit =
       (0 until n).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
@@ -155,6 +160,49 @@ object MysqlWire {
     out.write(auth)
     out.write(plugin.getBytes("UTF-8")); out.write(0)
     out.toByteArray
+  }
+
+  /** SSLRequest — the 32-byte STARTTLS preamble (the first half of a
+    * HandshakeResponse41, capability bits including CLIENT_SSL, sent
+    * in the clear; the TLS handshake follows on the same connection
+    * and the full HandshakeResponse then goes over TLS).
+    */
+  def sslRequest(): Array[Byte] = {
+    val caps = CapLongPassword | CapProtocol41 | CapSecureConnection |
+      CapPluginAuth | CapSsl
+    val out = new java.io.ByteArrayOutputStream()
+    def le(v: Long, n: Int): Unit =
+      (0 until n).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    le(caps, 4)
+    le(0xffffff, 4) // max packet
+    out.write(45) // utf8mb4_general_ci
+    out.write(new Array[Byte](23)) // reserved
+    out.toByteArray
+  }
+
+  /** `caching_sha2_password` full-auth over a PLAINTEXT channel: the
+    * password (NUL-terminated) XOR the 20-byte scramble (cycled),
+    * RSA-OAEP(SHA-1)-encrypted with the server's public key — the
+    * sha256_password_public_key exchange (the server sends its PEM in
+    * an AuthMoreData packet after the client requests it with 0x02).
+    * Over TLS the full-auth answer is simply the NUL-terminated
+    * password; this path exists so a TLS-less deployment still
+    * authenticates against MySQL 8's default plugin.
+    */
+  def rsaEncryptedPassword(password: String, scramble: Array[Byte],
+      publicKeyPem: String): Array[Byte] = {
+    val pw = password.getBytes("UTF-8") :+ 0.toByte
+    val obfuscated = pw.indices.toArray.map(i =>
+      (pw(i) ^ scramble(i % scramble.length)).toByte)
+    val der = java.util.Base64.getMimeDecoder.decode(
+      publicKeyPem.linesIterator
+        .filterNot(_.startsWith("-----")).mkString("\n"))
+    val key = java.security.KeyFactory.getInstance("RSA")
+      .generatePublic(new java.security.spec.X509EncodedKeySpec(der))
+    val cipher = javax.crypto.Cipher
+      .getInstance("RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE, key)
+    cipher.doFinal(obfuscated)
   }
 
   /** AuthSwitchRequest (0xfe + plugin cstring + new scramble). */

@@ -57,8 +57,9 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
     * pump until the wire fails or `until` says stop.
     */
   override def runSession(until: () => Boolean = () => false): Long = {
-    val wire = dial()
+    var wire = dial()
     try {
+      wire = negotiateTls(wire)
       connect(wire)
       val startLsn = prepareSlot(wire)
       startReplication(wire, startLsn)
@@ -66,6 +67,27 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
       rotate() // publish the tail before a clean session end
       n
     } finally wire.close()
+  }
+
+  /** `?sslmode=` state machine (PG SSLRequest, a STARTTLS-style
+    * preamble BEFORE the startup message): disable → plaintext;
+    * prefer → TLS if the server answers 'S' else plaintext;
+    * require/verify-* → TLS or fail. A `hostssl`-only pg_hba rejects
+    * plaintext startup, so without this the dial simply cannot reach
+    * managed/TLS-required servers.
+    */
+  private def negotiateTls(wire: Wire): Wire = {
+    val mode = Tls.normalizeMode(cfg.sslMode)
+    if (!Tls.wanted(mode)) return wire
+    wire.write(PgWire.sslRequest())
+    (wire.read(1)(0) & 0xff).toChar match {
+      case 'S' => cfg.tlsUpgrade(wire, mode)
+      case 'N' if mode == "preferred" => wire
+      case 'N' => throw new java.io.IOException(
+        s"sslmode=$mode but the server refused SSLRequest")
+      case other => throw new java.io.IOException(
+        s"unexpected SSLRequest answer '$other'")
+    }
   }
 
   // supervision from PumpSupervision; each reconnect re-reads slot
@@ -321,6 +343,12 @@ object PgReplicationPump {
       maxSegmentBytes: Long = 64L * 1024 * 1024,
       maxReconnects: Int = 10, baseBackoffMs: Long = 500L,
       maxBackoffMs: Long = 60000L,
+      /** `?sslmode=` from the connection URL (default: plaintext). */
+      sslMode: String = "disabled",
+      /** STARTTLS seam: production upgrades via JSSE; specs inject a
+        * marker to drive the state machine on FakeWire.
+        */
+      tlsUpgrade: (Wire, String) => Wire = Tls.upgrade,
       /** SCRAM client nonce source — injectable so the RFC 7677
         * vectors drive the exchange byte-exactly in specs.
         */

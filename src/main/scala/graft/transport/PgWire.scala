@@ -62,6 +62,13 @@ object PgWire {
     out.toByteArray
   }
 
+  /** SSLRequest — the 8-byte STARTTLS preamble (length 8 + the
+    * 80877103 magic). The server answers ONE raw byte: 'S' (proceed
+    * with the TLS handshake on this connection) or 'N' (no TLS).
+    */
+  def sslRequest(): Array[Byte] =
+    Array[Byte](0, 0, 0, 8, 0x04, 0xd2.toByte, 0x16, 0x2f)
+
   /** PasswordMessage ('p') for cleartext (auth code 3). */
   def passwordMessage(password: String): Array[Byte] =
     message('p', password.getBytes("UTF-8") :+ 0.toByte)

@@ -1,0 +1,133 @@
+package graft.transport
+
+import graft.sources.RedisClusterPsync
+
+/** The Redis CLUSTER dial: discover the master topology over a seed
+  * node (`CLUSTER NODES`), then run one [[RedisReplicationPump]] per
+  * master into node-prefixed capture segments — the reference's
+  * RedisClusterPsyncExtractor shape
+  * (redis_cluster_psync_extractor.rs:49-91: get_cluster_master_nodes,
+  * one psync task per master). Slot attribution and cross-shard
+  * composition stay in the EXISTING
+  * [[graft.sources.RedisClusterPsync]] decode layer; this class only
+  * adds the live topology discovery and the per-master pump fan-out.
+  *
+  * Segments land as `<nodeId-prefix>.psync.NNNNNN.log`, so one capture
+  * dir holds every shard's stream with unambiguous per-node resume
+  * (each pump keeps the monotone numbering discipline inside its own
+  * prefix namespace).
+  */
+final class RedisClusterPump(cfg: RedisClusterPump.Config,
+    store: SegmentStore, dialSeed: () => Wire,
+    dialNode: String => Wire) {
+  import RedisReplicationPump.cmd
+
+  /** Connected masters and their owned slot ranges, via the seed. */
+  def discoverMasters(): Seq[RedisClusterPsync.Node] = {
+    val wire = dialSeed()
+    try {
+      if (cfg.password.nonEmpty) {
+        wire.write(
+          if (cfg.user.nonEmpty) cmd("AUTH", cfg.user, cfg.password)
+          else cmd("AUTH", cfg.password))
+        expectOk(wire)
+      }
+      wire.write(cmd("CLUSTER", "NODES"))
+      RedisClusterPsync.parseClusterNodes(readBulk(wire))
+    } finally wire.close()
+  }
+
+  /** One drain pass: for every master, one PSYNC session into its
+    * prefixed segment namespace (wire drop after progress = normal
+    * drain end, same as the single-node lane). Returns each node with
+    * its post-drain resume position. Masters drain sequentially —
+    * a resident deployment runs one supervised pump thread per master
+    * instead; the capture/compose layout is identical.
+    */
+  def drainAll(until: () => Boolean = () => false)
+      : Seq[(RedisClusterPsync.Node, (String, Long))] = {
+    val masters = discoverMasters()
+    require(masters.nonEmpty, "cluster discovery returned no masters")
+    masters.map { node =>
+      val prefix = node.id.take(8)
+      val resume = cfg.resume.getOrElse(node.id, ("", 0L))
+      val pump = new RedisReplicationPump(
+        RedisReplicationPump.Config(
+          user = cfg.user, password = cfg.password,
+          replId = resume._1, replOffset = resume._2,
+          replPort = cfg.replPort,
+          keepaliveIntervalSecs = cfg.keepaliveIntervalSecs),
+        new PrefixedSegmentStore(store, prefix),
+        () => dialNode(node.address))
+      try pump.runSession() catch {
+        case _: java.io.EOFException => ()
+        case _: java.io.IOException if pump.bytesCaptured > 0 => ()
+      }
+      store.publishAll()
+      node -> pump.position
+    }
+  }
+
+  private def expectOk(wire: Wire): Unit = {
+    val line = readLine(wire)
+    require(line == "+OK", s"AUTH reply is not +OK: $line")
+  }
+
+  private def readLine(wire: Wire): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      val b = wire.read(1)(0) & 0xff
+      if (b == '\r') {
+        val n = wire.read(1)(0) & 0xff
+        require(n == '\n', "bare CR in RESP line")
+        done = true
+      } else out.write(b)
+    }
+    new String(out.toByteArray, "UTF-8")
+  }
+
+  /** RESP bulk string: `$<len>\r\n<payload>\r\n`. */
+  private def readBulk(wire: Wire): String = {
+    val header = readLine(wire)
+    require(header.startsWith("$"), s"expected bulk reply: $header")
+    val len = header.drop(1).toInt
+    val payload = wire.read(len)
+    wire.read(2) // trailing CRLF
+    new String(payload, "UTF-8")
+  }
+}
+
+object RedisClusterPump {
+  /** `resume`: per-node (repl_id, repl_offset) from the previous run
+    * — Position::Redis per shard, matched by node id
+    * (redis_cluster_psync_extractor.rs resume matcher).
+    */
+  final case class Config(user: String = "", password: String = "",
+      replPort: Int = 10007, keepaliveIntervalSecs: Long = 1L,
+      resume: Map[String, (String, Long)] = Map.empty)
+}
+
+/** A namespaced view over a [[SegmentStore]]: every name gains
+  * `<prefix>.`, listings are filtered and stripped back — each
+  * cluster-shard pump keeps its own monotone numbering without seeing
+  * (or clobbering) the other shards' segments.
+  */
+final class PrefixedSegmentStore(inner: SegmentStore, prefix: String)
+    extends SegmentStore {
+  private def full(name: String) = s"$prefix.$name"
+
+  override def append(name: String, bytes: Array[Byte]): Unit =
+    inner.append(full(name), bytes)
+
+  override def names: Seq[String] =
+    inner.names.filter(_.startsWith(prefix + "."))
+      .map(_.drop(prefix.length + 1)).sorted
+
+  override def bytesOf(name: String): Array[Byte] =
+    inner.bytesOf(full(name))
+
+  override def publish(name: String): Unit = inner.publish(full(name))
+
+  override def publishAll(): Unit = inner.publishAll()
+}

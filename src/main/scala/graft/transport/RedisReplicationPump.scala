@@ -78,6 +78,13 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
     * reply line verbatim, the RDB bulk with framing (disk-backed
     * `$<len>` or diskless `$EOF:<delim>`), then the command tail in
     * readSome chunks with periodic REPLCONF ACKs.
+    *
+    * Acks are BOTH byte-driven (ackEveryBytes of tail) and TIME-driven
+    * (keepaliveIntervalSecs, reference redis_psync_extractor.rs:316):
+    * a replica that only acks per-byte goes silent on a quiet master
+    * — and during a long RDB transfer — so the master's repl-timeout
+    * disconnects it every ~60 s. Time-based acks fire between reads,
+    * including while the RDB bulk streams.
     */
   private def pump(wire: Wire, fullSync: Boolean,
       until: () => Boolean): Long = {
@@ -88,6 +95,13 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
       bytesCaptured += bytes.length
       segmentBytes += bytes.length
     }
+    var lastAckMs = cfg.clockMs()
+    def maybeAck(): Unit =
+      if (cfg.clockMs() - lastAckMs >=
+          cfg.keepaliveIntervalSecs * 1000L) {
+        wire.write(cmd("REPLCONF", "ACK", replOffset.toString))
+        lastAckMs = cfg.clockMs()
+      }
 
     val reply = readLine(wire)
     capture((reply + "\r\n").getBytes("UTF-8"))
@@ -102,6 +116,7 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
         val delim = header.drop(5).getBytes("UTF-8")
         val window = new scala.collection.mutable.ArrayDeque[Byte]()
         var done = false
+        var sinceClock = 0
         while (!done) {
           val b = wire.read(1)
           capture(b)
@@ -109,6 +124,8 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
           if (window.size > delim.length) window.removeHead(): Unit
           if (window.size == delim.length &&
             window.toArray.sameElements(delim)) done = true
+          sinceClock += 1
+          if (sinceClock >= 8192) { maybeAck(); sinceClock = 0 }
         }
       } else {
         require(header.startsWith("$"), s"bad RDB header: $header")
@@ -117,6 +134,7 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
           val chunk = wire.read(math.min(remaining, 1 << 16).toInt)
           capture(chunk)
           remaining -= chunk.length
+          maybeAck()
         }
       }
     } else require(reply.startsWith("+CONTINUE"),
@@ -125,6 +143,7 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
     // the live command tail: verbatim copy, offset-per-byte acks
     var sinceAck = 0L
     while (!until()) {
+      maybeAck()
       val chunk = wire.readSome(1 << 16)
       capture(chunk)
       replOffset += chunk.length
@@ -185,7 +204,14 @@ object RedisReplicationPump {
       replPort: Int = 10007, ackEveryBytes: Long = 1L << 20,
       maxSegmentBytes: Long = 64L * 1024 * 1024,
       maxReconnects: Int = 10, baseBackoffMs: Long = 500L,
-      maxBackoffMs: Long = 60000L)
+      maxBackoffMs: Long = 60000L,
+      /** Wall-clock ack cadence (reference keepalive_interval_secs,
+        * redis_psync_extractor.rs:316) — keeps a quiet master from
+        * repl-timeout-dropping the replica.
+        */
+      keepaliveIntervalSecs: Long = 1L,
+      /** Clock seam so specs drive the time-based acks. */
+      clockMs: () => Long = () => System.currentTimeMillis())
 
   /** RESP array-of-bulk-strings command encoding. */
   def cmd(args: String*): Array[Byte] = {

@@ -288,8 +288,10 @@ class LiveCdcSpec extends SparkSuite {
       var done = false
       while (!done && System.currentTimeMillis() < deadline) {
         Thread.sleep(250)
+        // mid-stream state lives in the LSM layout (deltas + base);
+        // the flat parquet face refreshes at finalize
         val landed = try {
-          spark.read.parquet(s"$sink/app.t").count()
+          graft.sinks.LandedTable.read(spark, s"$sink/app.t").count()
         } catch { case _: Exception => 0L }
         if (landed >= 3) { stopFlag.set(true); done = true }
       }
@@ -453,6 +455,209 @@ class LiveCdcSpec extends SparkSuite {
       .segments(s"$state/liverestart/capture")
     assert(segs == segs.sorted && segs.distinct == segs)
     assert(segs.size >= 2)
+  }
+
+  test("pg two-way: the pgoutput decode runs the same marker state " +
+      "machine — A-origin txns drop, marker rows never land") {
+    def msg(tag: Char, body: Array[Byte]): Array[Byte] =
+      graft.transport.PgWire.message(tag, body)
+    def queryReply(cols: Seq[String],
+        rows: Seq[Seq[String]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      if (cols.nonEmpty) {
+        val t = new java.io.ByteArrayOutputStream()
+        t.write((cols.size >> 8) & 0xff); t.write(cols.size & 0xff)
+        cols.foreach { c =>
+          t.write(c.getBytes("UTF-8")); t.write(0)
+          t.write(new Array[Byte](18))
+        }
+        out.write(msg('T', t.toByteArray))
+      }
+      rows.foreach { r =>
+        val d = new java.io.ByteArrayOutputStream()
+        d.write((r.size >> 8) & 0xff); d.write(r.size & 0xff)
+        r.foreach { v =>
+          val b = v.getBytes("UTF-8")
+          d.write((b.length >> 24) & 0xff); d.write((b.length >> 16) & 0xff)
+          d.write((b.length >> 8) & 0xff); d.write(b.length & 0xff)
+          d.write(b)
+        }
+        out.write(msg('D', d.toByteArray))
+      }
+      out.write(msg('C', "SELECT".getBytes("UTF-8") :+ 0.toByte))
+      out.write(msg('Z', Array[Byte]('I'.toByte)))
+      out.toByteArray
+    }
+    val w = new graft.sources.PgOutputWriter()
+    val colsT = Seq(
+      graft.sources.PgOutput.RelColumn("id", keyPart = true, 20, -1),
+      graft.sources.PgOutput.RelColumn("v", false, 25, -1))
+    val colsM = Seq(
+      graft.sources.PgOutput.RelColumn("topo", keyPart = true, 25, -1),
+      graft.sources.PgOutput.RelColumn("data_origin_node", false, 25, -1))
+    // B-local txn: row 3
+    w.begin(0x16000100L, 0L, 1L)
+    w.relation(16385L, "tw", "t", 'd', colsT)
+    w.relation(16386L, "ape_trans", "topo1", 'd', colsM)
+    w.insert(16385L, Array("3", "b-local"))
+    w.commit(0x16000100L, 0x16000200L, 0L)
+    // A-origin txn (what a real applier wrote at B): marker first
+    w.begin(0x16000300L, 0L, 2L)
+    w.insert(16386L, Array("topo1", "node_a"))
+    w.insert(16385L, Array("1", "a"))
+    w.insert(16385L, Array("2", "b"))
+    w.commit(0x16000300L, 0x16000400L, 0L)
+
+    val wire = new FakeWire
+    wire.serve(msg('R', Array[Byte](0, 0, 0, 0)))
+    wire.serve(msg('Z', Array[Byte]('I'.toByte)))
+    wire.serve(queryReply(Seq("pubname"), Seq(Seq("p"))))
+    wire.serve(queryReply(Seq("slot_name", "confirmed_flush_lsn"),
+      Seq(Seq("live_slot", "0/16000000"))))
+    wire.serve(queryReply(Nil, Nil))
+    wire.serve(queryReply(Nil, Nil))
+    wire.serve(msg('W', Array[Byte](0, 0, 0)))
+    wire.serve(w.bytes())
+    wire.serve(msg('c', Array.emptyByteArray))
+
+    val state = java.nio.file.Files
+      .createTempDirectory("live-pg2w-state").toString
+    val sink = java.nio.file.Files
+      .createTempDirectory("live-pg2w-sink").toString
+    TaskManager.create(state, "pg2w",
+      s"""[extractor]
+         |db_type=pg
+         |extract_type=cdc
+         |url=postgres://app:pw@node-b:5432/orders
+         |slot_name=live_slot
+         |id_cols=t:id
+         |
+         |[sinker]
+         |url=$sink
+         |
+         |[data_marker]
+         |topo_name=topo1
+         |src_node=node_b
+         |dst_node=node_a
+         |do_nodes=node_b
+         |ignore_nodes=node_a
+         |marker=ape_trans.topo1
+         |""".stripMargin)
+    val meta = TaskManager.start(spark, state, "pg2w",
+      liveDial = Some(() => wire))
+    assert(meta.status == "finished")
+    val landed = spark.read.parquet(s"$sink/tw.t").collect()
+      .map(_.getString(0)).toSet
+    assert(landed == Set("3")) // the A-origin echo never crossed back
+  }
+
+  test("two-way live topology: the A→B lander writes data markers " +
+      "and the B→A direction drops A-origin echoes — no cycle") {
+    val colT = (Seq(8, 15), Seq(0, 40), Seq(false, true),
+      Seq("id", "v"))
+    val colM = (Seq(15, 15), Seq(40, 40), Seq(false, false),
+      Seq("topo", "data_origin_node"))
+    def wireFor(events: Seq[Array[Byte]]): FakeWire = {
+      val wire = new FakeWire
+      wire.serve(packet(0, handshakePayload))
+      wire.serve(packet(2, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+      wire.serve(packet(1, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+      wire.serve(packet(1, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+      events.zipWithIndex.foreach { case (e, i) =>
+        wire.serve(packet(i + 1, Array[Byte](0x00) ++ e))
+      }
+      wire.serve(packet(events.size + 1,
+        Array[Byte](0xfe.toByte, 0, 0, 2, 0)))
+      wire
+    }
+    def marker(ini: String, src: String, dst: String): String =
+      s"""$ini
+         |[data_marker]
+         |topo_name=topo1
+         |topo_nodes=node_a,node_b
+         |src_node=$src
+         |dst_node=$dst
+         |do_nodes=$src
+         |ignore_nodes=$dst
+         |marker=ape_trans.topo1
+         |""".stripMargin
+
+    // A's binlog: one LOCAL txn (rows 1, 2) — no marker
+    val wA = new MysqlBinlogWriter(serverId = 1L)
+    wA.fde()
+    wA.begin("tw")
+    wA.tableMap(11L, "tw", "t", colT._1, colT._2,
+      nullable = colT._3, colNames = colT._4)
+    wA.writeRows(11L, Seq(Array("1", "a"), Array("2", "b")))
+    wA.xid(1L)
+
+    val state = java.nio.file.Files
+      .createTempDirectory("live-2way-state").toString
+    val sinkB = java.nio.file.Files
+      .createTempDirectory("live-2way-b").toString
+    TaskManager.create(state, "ab", marker(
+      s"""[extractor]
+         |db_type=mysql
+         |extract_type=cdc
+         |url=mysql://repl:pw@node-a:3306
+         |binlog_filename=binlog.000001
+         |id_cols=t:id
+         |
+         |[sinker]
+         |url=$sinkB""".stripMargin, "node_a", "node_b"))
+    val mAB = TaskManager.start(spark, state, "ab",
+      liveDial = Some(() => wireFor(eventsOf(wA.bytes()))))
+    assert(mAB.status == "finished")
+    // A's local rows landed at B…
+    assert(spark.read.parquet(s"$sinkB/tw.t").collect()
+      .map(_.getString(0)).toSet == Set("1", "2"))
+    // …and the lander WROTE the in-batch marker naming the origin —
+    // what a reverse extractor reads to attribute these rows
+    val markers = spark.read.parquet(s"$sinkB/ape_trans.topo1")
+    assert(markers.select("data_origin_node").collect()
+      .map(_.getString(0)).toSet == Set("node_a"))
+
+    // B's binlog after a REAL apply: the B-local txn (row 3) plus the
+    // applied A txn — marker insert first, then A's rows (what
+    // mysql_sinker.rs:365-389 writes in-transaction)
+    val wB = new MysqlBinlogWriter(serverId = 2L)
+    wB.fde()
+    wB.begin("tw")
+    wB.tableMap(11L, "tw", "t", colT._1, colT._2,
+      nullable = colT._3, colNames = colT._4)
+    wB.writeRows(11L, Seq(Array("3", "b-local")))
+    wB.xid(1L)
+    wB.begin("tw")
+    wB.tableMap(12L, "ape_trans", "topo1", colM._1, colM._2,
+      nullable = colM._3, colNames = colM._4)
+    wB.writeRows(12L, Seq(Array("topo1", "node_a")))
+    wB.tableMap(11L, "tw", "t", colT._1, colT._2,
+      nullable = colT._3, colNames = colT._4)
+    wB.writeRows(11L, Seq(Array("1", "a"), Array("2", "b")))
+    wB.xid(2L)
+
+    val sinkA = java.nio.file.Files
+      .createTempDirectory("live-2way-a").toString
+    TaskManager.create(state, "ba", marker(
+      s"""[extractor]
+         |db_type=mysql
+         |extract_type=cdc
+         |url=mysql://repl:pw@node-b:3306
+         |binlog_filename=binlog.000001
+         |id_cols=t:id
+         |
+         |[sinker]
+         |url=$sinkA""".stripMargin, "node_b", "node_a"))
+    val mBA = TaskManager.start(spark, state, "ba",
+      liveDial = Some(() => wireFor(eventsOf(wB.bytes()))))
+    assert(mBA.status == "finished")
+    // ONLY the B-local row crossed back: the A-origin txn was dropped
+    // by the marker admission (no echo, no cycle), and marker rows
+    // themselves never land as data
+    val landedA = spark.read.parquet(s"$sinkA/tw.t").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(landedA.map(_._1).toSet == Set("3"))
+    assert(landedA.head._2.contains("b-local"))
   }
 
   test("a mongodb:// cdc task captures the change stream and lands " +

@@ -93,4 +93,47 @@ class LiveDialSpec extends AnyFunSuite {
     assert(graft.sources.ChangelogSource.segments(dir) ==
       Seq("binlog.000001.log"))
   }
+
+  test("url query params surface ssl-mode in both MySQL and PG " +
+      "spellings; rediss:// and ?tls=true imply required") {
+    import graft.transport.LiveDial.parseUrl
+    assert(parseUrl("mysql://u:p@h:3306").sslMode == "disabled")
+    assert(parseUrl("mysql://u:p@h:3306?ssl-mode=disabled")
+      .sslMode == "disabled")
+    assert(parseUrl("mysql://u:p@h:3306?ssl-mode=REQUIRED")
+      .sslMode == "required")
+    assert(parseUrl("mysql://u:p@h?ssl-mode=VERIFY_IDENTITY")
+      .sslMode == "verify-identity")
+    assert(parseUrl("postgres://u:p@h:5432/db?sslmode=prefer")
+      .sslMode == "preferred")
+    assert(parseUrl("postgres://u:p@h/db?sslmode=verify-full")
+      .sslMode == "verify-identity")
+    assert(parseUrl("rediss://:pw@h").sslMode == "required")
+    assert(parseUrl("rediss://:pw@h").port == 6379)
+    assert(parseUrl("mongodb://u:p@h?tls=true").sslMode == "required")
+    assert(parseUrl("redis://:pw@h?ssl=1").sslMode == "required")
+    // params percent-decode and unknown params pass through
+    assert(parseUrl("mysql://u:p@h?a=x%20y&flag").params ==
+      Map("a" -> "x y", "flag" -> ""))
+    // the pump configs carry the mode
+    val src = graft.config.TaskConfig.SourceTuning()
+    assert(graft.transport.LiveDial.mysqlConfig(
+      "mysql://u:p@h?ssl-mode=required", src).sslMode == "required")
+    assert(graft.transport.LiveDial.pgConfig(
+      "postgres://u:p@h/db?sslmode=require",
+      graft.sources.PgSlotLifecycle.SlotConfig("s"))
+      .sslMode == "required")
+  }
+
+  test("ssl-mode normalization accepts both families and rejects " +
+      "unknowns; upgrade refuses a non-socket wire loudly") {
+    import graft.transport.Tls
+    assert(Tls.normalizeMode("DISABLED") == "disabled")
+    assert(Tls.normalizeMode("allow") == "preferred")
+    assert(Tls.normalizeMode("VERIFY_CA") == "verify-ca")
+    intercept[IllegalArgumentException](Tls.normalizeMode("bogus"))
+    val e = intercept[java.io.IOException](
+      Tls.upgrade(new graft.transport.FakeWire, "required"))
+    assert(e.getMessage.contains("socket"))
+  }
 }

@@ -22,15 +22,19 @@ class MysqlTransportSpec extends AnyFunSuite {
       ((payload.length >> 8) & 0xff).toByte,
       ((payload.length >> 16) & 0xff).toByte, seq.toByte) ++ payload
 
-  /** Minimal protocol-v10 greeting with a known 20-byte scramble. */
-  private def handshakePayload(scramble: Array[Byte]): Array[Byte] = {
+  /** Minimal protocol-v10 greeting with a known 20-byte scramble.
+    * `capsLow` defaults to everything (including CLIENT_SSL 0x0800);
+    * pass 0xf7ff for a server WITHOUT TLS support.
+    */
+  private def handshakePayload(scramble: Array[Byte],
+      capsLow: Int = 0xffff): Array[Byte] = {
     require(scramble.length == 20)
     val out = new java.io.ByteArrayOutputStream()
     out.write(10)
     out.write("8.0.36-fake".getBytes("UTF-8")); out.write(0)
     out.write(Array[Byte](7, 0, 0, 0)) // thread id
     out.write(scramble.take(8)); out.write(0) // part 1 + filler
-    out.write(Array[Byte](0xff.toByte, 0xff.toByte)) // caps low
+    out.write(capsLow & 0xff); out.write((capsLow >> 8) & 0xff)
     out.write(45) // charset
     out.write(Array[Byte](2, 0)) // status
     out.write(Array[Byte](0x08, 0x00)) // caps high: PLUGIN_AUTH
@@ -321,7 +325,7 @@ class MysqlTransportSpec extends AnyFunSuite {
   }
 
   test("caching_sha2_password: the MySQL-8-default plugin's fast " +
-      "path, vector-pinned, fast-success accepted, full-auth refused") {
+      "path, vector-pinned, fast-success accepted") {
     // independent vector: XOR(SHA256(pw), SHA256(SHA3x(pw) ++ nonce))
     val got = cachingSha2Password("secret_pw", scramble)
       .map(b => f"${b & 0xff}%02x").mkString
@@ -354,17 +358,8 @@ class MysqlTransportSpec extends AnyFunSuite {
     assert(sentStr.contains(new String(
       cachingSha2Password("secret_pw", scramble),
       java.nio.charset.StandardCharsets.ISO_8859_1)))
-
-    // full authentication (0x01 0x04) refuses loudly: the RSA/TLS
-    // exchange is a deployment concern, never a silent downgrade
-    val wire2 = new FakeWire
-    wire2.serve(packet(0, sha2Greeting))
-    wire2.serve(packet(2, Array[Byte](0x01, 0x04)))
-    val pump2 = new MysqlReplicationPump(
-      MysqlReplicationPump.Config("u", "pw"),
-      new MemorySegmentStore, () => wire2)
-    val e = intercept[java.io.IOException](pump2.runSession())
-    assert(e.getMessage.contains("full authentication"))
+    // full authentication (0x01 0x04) is covered by the TLS-cleartext
+    // and RSA-exchange tests below — no silent downgrade either way
   }
 
   test("auth switch: the server's preferred-plugin redirect re-runs " +
@@ -390,6 +385,158 @@ class MysqlTransportSpec extends AnyFunSuite {
     assert(sentStr.contains(new String(
       nativePassword("secret_pw", newScramble),
       java.nio.charset.StandardCharsets.ISO_8859_1)))
+  }
+
+  // ------------------------------------------------------------- TLS
+
+  /** Split the CLIENT's written byte stream into packet payloads. */
+  private def clientPackets(sent: Array[Byte]): Seq[Array[Byte]] = {
+    var p = 0
+    val out = Seq.newBuilder[Array[Byte]]
+    while (p + 4 <= sent.length) {
+      val len = (sent(p) & 0xff) | ((sent(p + 1) & 0xff) << 8) |
+        ((sent(p + 2) & 0xff) << 16)
+      out += sent.slice(p + 4, p + 4 + len)
+      p += 4 + len
+    }
+    out.result()
+  }
+
+  test("ssl-mode=required against a server without CLIENT_SSL fails " +
+      "loudly instead of downgrading to plaintext") {
+    val wire = new FakeWire
+    wire.serve(packet(0, handshakePayload(scramble, capsLow = 0xf7ff)))
+    val pump = new MysqlReplicationPump(
+      MysqlReplicationPump.Config("u", "p", sslMode = "required"),
+      new MemorySegmentStore, () => wire)
+    val e = intercept[java.io.IOException](pump.runSession())
+    assert(e.getMessage.contains("CLIENT_SSL"))
+    // nothing was written after the greeting — no plaintext auth leak
+    assert(wire.sentBytes.isEmpty)
+  }
+
+  test("ssl-mode=preferred sends the SSLRequest preamble, upgrades, " +
+      "and completes the handshake over the upgraded wire") {
+    val w = new MysqlBinlogWriter(serverId = 1L)
+    w.fde()
+    val wire = new FakeWire
+    serveSession(wire, eventsOf(w.bytes()))
+    var upgrades = 0
+    val pump = new MysqlReplicationPump(
+      MysqlReplicationPump.Config("repl", "secret_pw",
+        sslMode = "preferred",
+        tlsUpgrade = (w0, mode) => {
+          upgrades += 1
+          assert(mode == "preferred")
+          w0 // pass-through: the spec drives bytes, not JSSE
+        }),
+      new MemorySegmentStore, () => wire)
+    pump.runSession()
+    assert(upgrades == 1)
+    val pkts = clientPackets(wire.sentBytes)
+    // packet 0 is the 32-byte SSLRequest with CLIENT_SSL in the caps
+    assert(pkts.head.length == 32)
+    val caps = (pkts.head(0) & 0xffL) | ((pkts.head(1) & 0xffL) << 8) |
+      ((pkts.head(2) & 0xffL) << 16) | ((pkts.head(3) & 0xffL) << 24)
+    assert((caps & MysqlWire.CapSsl) != 0)
+    // the full HandshakeResponse follows (post-upgrade) with the same
+    // CLIENT_SSL bit and the auth bytes
+    val hsr = pkts(1)
+    val caps2 = (hsr(0) & 0xffL) | ((hsr(1) & 0xffL) << 8) |
+      ((hsr(2) & 0xffL) << 16) | ((hsr(3) & 0xffL) << 24)
+    assert((caps2 & MysqlWire.CapSsl) != 0)
+    assert(new String(hsr, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .contains("repl"))
+  }
+
+  test("ssl-mode=preferred against a non-TLS server continues in " +
+      "plaintext without the preamble") {
+    val w = new MysqlBinlogWriter(serverId = 1L)
+    w.fde()
+    val wire = new FakeWire
+    wire.serve(packet(0, handshakePayload(scramble, capsLow = 0xf7ff)))
+    wire.serve(packet(2, okPacket))
+    wire.serve(packet(1, okPacket))
+    wire.serve(packet(1, okPacket))
+    eventsOf(w.bytes()).zipWithIndex.foreach { case (e, i) =>
+      wire.serve(packet(i + 1, Array[Byte](0x00) ++ e)) }
+    wire.serve(packet(1, Array[Byte](0xfe.toByte, 0, 0, 2, 0)))
+    val pump = new MysqlReplicationPump(
+      MysqlReplicationPump.Config("u", "p", sslMode = "preferred",
+        tlsUpgrade = (_, _) => fail("must not upgrade")),
+      new MemorySegmentStore, () => wire)
+    pump.runSession()
+    val pkts = clientPackets(wire.sentBytes)
+    assert(pkts.head.length > 32) // straight to HandshakeResponse
+  }
+
+  test("caching_sha2 full auth over TLS answers with the cleartext " +
+      "password on the encrypted channel") {
+    def sha2Greeting: Array[Byte] = {
+      val h = handshakePayload(scramble)
+      val i = new String(h, java.nio.charset.StandardCharsets
+        .ISO_8859_1).indexOf("mysql_native_password")
+      h.take(i) ++ "caching_sha2_password".getBytes("UTF-8") :+ 0.toByte
+    }
+    val wire = new FakeWire
+    wire.serve(packet(0, sha2Greeting))
+    wire.serve(packet(3, Array[Byte](0x01, 0x04))) // perform_full_auth
+    wire.serve(packet(5, okPacket)) // auth OK
+    wire.serve(packet(1, okPacket)) // SET checksum
+    wire.serve(packet(1, okPacket)) // SET heartbeat
+    wire.serve(packet(1, Array[Byte](0xfe.toByte, 0, 0, 2, 0)))
+    val pump = new MysqlReplicationPump(
+      MysqlReplicationPump.Config("u", "s3cret!",
+        sslMode = "required", tlsUpgrade = (w0, _) => w0),
+      new MemorySegmentStore, () => wire)
+    pump.runSession()
+    val pkts = clientPackets(wire.sentBytes)
+    // SSLRequest, HandshakeResponse, then the NUL-terminated password
+    assert(pkts(2).toSeq ==
+      ("s3cret!".getBytes("UTF-8") :+ 0.toByte).toSeq)
+  }
+
+  test("caching_sha2 full auth WITHOUT TLS runs the RSA public-key " +
+      "exchange: the server can decrypt exactly password XOR scramble") {
+    def sha2Greeting: Array[Byte] = {
+      val h = handshakePayload(scramble)
+      val i = new String(h, java.nio.charset.StandardCharsets
+        .ISO_8859_1).indexOf("mysql_native_password")
+      h.take(i) ++ "caching_sha2_password".getBytes("UTF-8") :+ 0.toByte
+    }
+    val kpg = java.security.KeyPairGenerator.getInstance("RSA")
+    kpg.initialize(2048)
+    val kp = kpg.generateKeyPair()
+    val pem = "-----BEGIN PUBLIC KEY-----\n" +
+      java.util.Base64.getMimeEncoder(64, "\n".getBytes)
+        .encodeToString(kp.getPublic.getEncoded) +
+      "\n-----END PUBLIC KEY-----\n"
+    val wire = new FakeWire
+    wire.serve(packet(0, sha2Greeting))
+    wire.serve(packet(3, Array[Byte](0x01, 0x04))) // perform_full_auth
+    wire.serve(packet(5, // AuthMoreData: the PEM public key
+      Array[Byte](0x01) ++ pem.getBytes("UTF-8")))
+    wire.serve(packet(7, okPacket)) // auth OK
+    wire.serve(packet(1, okPacket)) // SET checksum
+    wire.serve(packet(1, okPacket)) // SET heartbeat
+    wire.serve(packet(1, Array[Byte](0xfe.toByte, 0, 0, 2, 0)))
+    val pump = new MysqlReplicationPump(
+      MysqlReplicationPump.Config("u", "secret_pw"), // ssl disabled
+      new MemorySegmentStore, () => wire)
+    pump.runSession()
+    val pkts = clientPackets(wire.sentBytes)
+    // HandshakeResponse, key request (0x02), then the RSA blob
+    assert(pkts(1).toSeq == Seq(0x02.toByte))
+    val blob = pkts(2)
+    assert(blob.length == 256) // 2048-bit RSA
+    val cipher = javax.crypto.Cipher
+      .getInstance("RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    cipher.init(javax.crypto.Cipher.DECRYPT_MODE, kp.getPrivate)
+    val obfuscated = cipher.doFinal(blob)
+    val pw = "secret_pw".getBytes("UTF-8") :+ 0.toByte
+    val recovered = obfuscated.indices.map(i =>
+      (obfuscated(i) ^ scramble(i % scramble.length)).toByte)
+    assert(recovered == pw.toSeq)
   }
 
   test("backoff ladder doubles and caps") {

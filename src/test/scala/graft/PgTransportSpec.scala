@@ -414,4 +414,72 @@ class PgTransportSpec extends AnyFunSuite {
       () => new FakeWire)
     assert(pump.segmentIndex == 3)
   }
+
+  // ------------------------------------------------------------- TLS
+
+  test("sslmode=require: the 8-byte SSLRequest preamble precedes " +
+      "startup; a server answering 'N' fails loudly") {
+    val wire = new FakeWire
+    wire.serve("N".getBytes("ascii"))
+    val pump = new PgReplicationPump(
+      config().copy(sslMode = "require"), new MemorySegmentStore,
+      () => wire)
+    val e = intercept[java.io.IOException](pump.runSession())
+    assert(e.getMessage.contains("refused"))
+    // the preamble is the ONLY thing written — no plaintext startup
+    assert(wire.sentBytes.toSeq ==
+      Seq[Byte](0, 0, 0, 8, 0x04, 0xd2.toByte, 0x16, 0x2f))
+  }
+
+  test("sslmode=require: 'S' upgrades the wire, then the startup and " +
+      "slot lifecycle run over the upgraded channel") {
+    val wire = new FakeWire
+    wire.serve("S".getBytes("ascii"))
+    wire.serve(authOk)
+    wire.serve(readyForQuery)
+    wire.serve(queryReply(Seq("pubname"), Seq(Seq("p"))))
+    wire.serve(queryReply(Seq("slot_name", "confirmed_flush_lsn"),
+      Seq(Seq("graft_slot", "0/16000000"))))
+    wire.serve(queryReply(Nil, Nil))
+    wire.serve(queryReply(Nil, Nil))
+    wire.serve(copyBoth)
+    wire.serve(message('c', Array.emptyByteArray)) // CopyDone
+    var upgrades = 0
+    val pump = new PgReplicationPump(
+      config().copy(sslMode = "require",
+        tlsUpgrade = (w0, mode) => {
+          upgrades += 1
+          assert(mode == "required")
+          w0
+        }),
+      new MemorySegmentStore, () => wire)
+    pump.runSession()
+    assert(upgrades == 1)
+    val sentStr = new String(wire.sentBytes,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(sentStr.contains("START_REPLICATION"))
+  }
+
+  test("sslmode=prefer downgrades to plaintext on 'N' and still " +
+      "streams") {
+    val wire = new FakeWire
+    wire.serve("N".getBytes("ascii"))
+    wire.serve(authOk)
+    wire.serve(readyForQuery)
+    wire.serve(queryReply(Seq("pubname"), Seq(Seq("p"))))
+    wire.serve(queryReply(Seq("slot_name", "confirmed_flush_lsn"),
+      Seq(Seq("graft_slot", "0/16000000"))))
+    wire.serve(queryReply(Nil, Nil))
+    wire.serve(queryReply(Nil, Nil))
+    wire.serve(copyBoth)
+    wire.serve(message('c', Array.emptyByteArray))
+    val pump = new PgReplicationPump(
+      config().copy(sslMode = "prefer",
+        tlsUpgrade = (_, _) => fail("must not upgrade")),
+      new MemorySegmentStore, () => wire)
+    pump.runSession()
+    val sentStr = new String(wire.sentBytes,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(sentStr.contains("START_REPLICATION"))
+  }
 }

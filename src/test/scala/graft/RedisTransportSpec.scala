@@ -4,7 +4,7 @@ import java.io.ByteArrayOutputStream
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{RedisPsync, RedisRdb}
+import graft.sources.{RedisClusterPsync, RedisPsync, RedisRdb}
 import graft.transport._
 
 /** The Redis PSYNC dial-and-pump over [[FakeWire]] — the socket phase
@@ -151,6 +151,122 @@ class RedisTransportSpec extends AnyFunSuite {
     val got2 = RedisPsync.decode(store.bytesOf("psync.000002.log"))
     assert(got2.partial)
     assert(got2.commands.map(_._1) == Seq(Seq("SET", "b", "2")))
+  }
+
+  test("time-based keepalive ACKs fire on the wall clock — during " +
+      "the RDB bulk and on a quiet tail — not only per tail byte") {
+    // a scripted clock that advances 600 ms per observation: with a
+    // 1 s keepalive interval, every other clock check crosses the line
+    var now = 0L
+    val clock = () => { now += 600L; now }
+    val rdb = rdbImage ++ Array.fill[Byte](200000)(0x00) // padded bulk
+    val set = cmd("SET", "k2", "v2")
+    val wire = new FakeWire
+    serveHandshake(wire)
+    wire.serve(ascii(s"+FULLRESYNC $ReplId 1000\r\n"))
+    wire.serve(ascii(s"$$${rdb.length}\r\n"))
+    wire.serve(rdb)
+    wire.serve(set)
+    val pump = new RedisReplicationPump(
+      RedisReplicationPump.Config( // ackEveryBytes never reached
+        ackEveryBytes = Long.MaxValue, keepaliveIntervalSecs = 1L,
+        clockMs = clock),
+      new MemorySegmentStore, () => wire)
+    intercept[java.io.EOFException](pump.runSession())
+    val sentStr = new String(wire.sentBytes,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val ackCount = sentStr.sliding(3).count(_ == "ACK")
+    assert(ackCount >= 2, s"want time-based acks, got $ackCount")
+    // the RDB-phase acks carry the FULLRESYNC offset (1000): nothing
+    // of the tail is consumed yet
+    assert(sentStr.contains("1000"))
+  }
+
+  test("cluster dial: CLUSTER NODES discovery fans one PSYNC pump " +
+      "per master into node-prefixed segments with slot attribution") {
+    val idA = "a" * 40
+    val idB = "b" * 40
+    // replicas and failed nodes must be filtered out of the topology
+    val topology =
+      s"""$idA 10.0.0.1:6379@16379 master - 0 0 1 connected 0-8191
+         |$idB 10.0.0.2:6379@16379 master - 0 0 2 connected 8192-16383
+         |${"c" * 40} 10.0.0.3:6379@16379 slave $idA 0 0 1 connected
+         |""".stripMargin
+    val seed = new FakeWire
+    seed.serve(ascii(s"$$${topology.getBytes("UTF-8").length}\r\n"))
+    seed.serve(ascii(topology))
+    seed.serve(ascii("\r\n"))
+
+    // CRC16 slots: "bar" → 5061 (node A's range), "foo" → 12182 (B's)
+    def nodeWire(replId: String, key: String): FakeWire = {
+      val w = new FakeWire
+      serveHandshake(w)
+      w.serve(ascii(s"+FULLRESYNC $replId 100\r\n"))
+      val rdb = rdbImage
+      w.serve(ascii(s"$$${rdb.length}\r\n"))
+      w.serve(rdb)
+      w.serve(cmd("SET", key, "v"))
+      w
+    }
+    val wires = Map(
+      "10.0.0.1:6379" -> nodeWire(idA, "bar"),
+      "10.0.0.2:6379" -> nodeWire(idB, "foo"))
+
+    val store = new MemorySegmentStore
+    val pump = new RedisClusterPump(RedisClusterPump.Config(),
+      store, () => seed, addr => wires(addr))
+    val positions = pump.drainAll()
+
+    // one prefixed namespace per master, monotone inside each
+    assert(store.names == Seq(
+      "aaaaaaaa.psync.000001.log", "bbbbbbbb.psync.000001.log"))
+    // per-node resume positions advanced past the drained tails
+    val byNode = positions.map { case (n, p) => n.id -> p }.toMap
+    assert(byNode(idA)._1 == idA)
+    assert(byNode(idA)._2 == 100L + cmd("SET", "bar", "v").length)
+    assert(byNode(idB)._2 == 100L + cmd("SET", "foo", "v").length)
+
+    // the existing compose layer slot-tags each shard's events and
+    // confirms every key landed on its owning master
+    val nodes = RedisClusterPsync.parseClusterNodes(topology)
+    val shards = Seq(
+      (nodes.find(_.id == idA).get,
+        store.bytesOf("aaaaaaaa.psync.000001.log")),
+      (nodes.find(_.id == idB).get,
+        store.bytesOf("bbbbbbbb.psync.000001.log")))
+    val events = RedisClusterPsync.compose(shards)
+    val sets = events.filter(_.cmd == "SET")
+    assert(sets.map(e => (e.key, e.nodeId)).toSet ==
+      Set(("bar", idA), ("foo", idB)))
+    assert(sets.forall(_.owned))
+    assert(sets.find(_.key == "bar").get.slot == 5061)
+    assert(sets.find(_.key == "foo").get.slot == 12182)
+
+    // a second discovery+drain resumes each shard with +CONTINUE at
+    // its own offset (no cross-shard confusion)
+    val seed2 = new FakeWire
+    seed2.serve(ascii(s"$$${topology.getBytes("UTF-8").length}\r\n"))
+    seed2.serve(ascii(topology))
+    seed2.serve(ascii("\r\n"))
+    def contWire(replId: String, key: String): FakeWire = {
+      val w = new FakeWire
+      serveHandshake(w)
+      w.serve(ascii(s"+CONTINUE $replId\r\n"))
+      w.serve(cmd("SET", key, "v2"))
+      w
+    }
+    val wires2 = Map(
+      "10.0.0.1:6379" -> contWire(idA, "bar"),
+      "10.0.0.2:6379" -> contWire(idB, "foo"))
+    val pump2 = new RedisClusterPump(
+      RedisClusterPump.Config(resume = byNode),
+      store, () => seed2, addr => wires2(addr))
+    pump2.drainAll()
+    val sentA = new String(wires2("10.0.0.1:6379").sentBytes,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(sentA.contains(idA) &&
+      sentA.contains((byNode(idA)._2 + 1).toString))
+    assert(store.names.count(_.startsWith("aaaaaaaa.")) == 2)
   }
 
   test("handshake failures surface: bad AUTH, non-PONG ping") {
