@@ -37,7 +37,10 @@ object TailSweep {
       val df = fn(spark, dir)
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"sweep":"$name","sec":$sec%.1f,"dir":"$dir"}""")
+      val load1 = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      println(f"""{"sweep":"$name","sec":$sec%.1f,""" +
+        f""""load1":$load1%.1f,"dir":"$dir"}""")
     }
     spark.stop()
   }

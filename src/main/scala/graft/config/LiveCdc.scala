@@ -170,10 +170,26 @@ object LiveCdc {
     // can exceed driver memory), into a deterministic seg=<name>
     // partition dir so a crash-replayed landing OVERWRITES instead of
     // duplicating; consumed.log makes restarts skip prior segments
+    val (snapshotRows, commandRows) =
+      landRedisSegments(spark, task, taskDir, captureDir,
+        store.names, onProgress)
+    Report(store.names.size, pump.bytesCaptured,
+      Seq("redis.snapshot" -> snapshotRows,
+        "redis.commands" -> commandRows),
+      (pump.position._1, pump.position._2, ""))
+  }
+
+  /** Land not-yet-consumed Redis capture segments; returns the rows
+    * landed this pass. Idempotent per segment (deterministic seg= dir
+    * + overwrite); callers pass PUBLISHED names only.
+    */
+  private def landRedisSegments(spark: SparkSession,
+      task: TaskConfig.Task, taskDir: String, captureDir: String,
+      names: Seq[String], onProgress: () => Unit): (Long, Long) = {
     var snapshotRows = 0L
     var commandRows = 0L
     val done = consumedNames(taskDir)
-    store.names.filterNot(done).foreach { seg =>
+    names.filterNot(done).foreach { seg =>
       val (snap, cmds) = graft.operators.RedisLanding.decodeSegment(
         spark, s"$captureDir/$seg")
       snap.write.mode(SaveMode.Overwrite)
@@ -188,10 +204,25 @@ object LiveCdc {
       markConsumed(taskDir, seg)
       onProgress()
     }
-    Report(store.names.size, pump.bytesCaptured,
-      Seq("redis.snapshot" -> snapshotRows,
-        "redis.commands" -> commandRows),
-      (pump.position._1, pump.position._2, ""))
+    (snapshotRows, commandRows)
+  }
+
+  /** Land not-yet-consumed Mongo change-stream segments — each
+    * exactly once (deterministic seg=<name> dir + overwrite =
+    * crash-replay idempotent; consumed.log skips prior starts'
+    * segments instead of re-landing the whole capture).
+    */
+  private def landMongoSegments(spark: SparkSession,
+      task: TaskConfig.Task, taskDir: String, captureDir: String,
+      names: Seq[String], onProgress: () => Unit): Unit = {
+    val out = s"${task.sinkDir}/mongo.changes"
+    val done = consumedNames(taskDir)
+    names.filterNot(done).foreach { seg =>
+      spark.read.json(s"$captureDir/$seg")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/seg=$seg")
+      markConsumed(taskDir, seg)
+      onProgress()
+    }
   }
 
   /** Segments already landed by a previous start of this task. */
@@ -232,16 +263,8 @@ object LiveCdc {
       Map("resume_token" -> tok)))
     onProgress()
     val out = s"${task.sinkDir}/mongo.changes"
-    // land each segment exactly once (deterministic seg=<name> dir +
-    // overwrite = crash-replay idempotent; consumed.log skips prior
-    // starts' segments instead of re-landing the whole capture)
-    val done = consumedNames(taskDir)
-    store.names.filterNot(done).foreach { seg =>
-      spark.read.json(s"$captureDir/$seg")
-        .write.mode(SaveMode.Overwrite).parquet(s"$out/seg=$seg")
-      markConsumed(taskDir, seg)
-      onProgress()
-    }
+    landMongoSegments(spark, task, taskDir, captureDir, store.names,
+      onProgress)
     val landed =
       if (graft.infra.Fs.exists(out))
         Seq("mongo.changes" -> spark.read.parquet(out).count())
@@ -334,12 +357,117 @@ object LiveCdc {
         task.dataMarker.map(_.srcNode).getOrElse(""))
       .load()
 
-  /** RESIDENT mode — the deployment topology: the pump runs
-    * supervised (capped-backoff reconnect) on its own thread while a
-    * ProcessingTime stream continuously consumes whatever segments
-    * publish; `stop` ends both cooperatively (the task manager's
-    * stop flag). Returns when both halves have wound down.
+  /** A replication pump running supervised on its own daemon thread
+    * (capped-backoff reconnect via PumpSupervision.run), publishing
+    * its tail and surfacing its error on exit — the producer half
+    * every RESIDENT lane shares.
     */
+  private final class ResidentPump(pump: graft.transport.PumpSupervision,
+      store: FsSegmentStore, stop: () => Boolean,
+      afterPublish: () => Unit, name: String) {
+    val error = new java.util.concurrent.atomic.AtomicReference[
+      Throwable](null)
+    private val thread = new Thread(() => {
+      try {
+        pump.run(until = stop)
+        store.publishAll()
+        afterPublish()
+      } catch {
+        case t: Throwable =>
+          store.publishAll()
+          afterPublish()
+          error.set(t)
+      }
+    }, name)
+    thread.setDaemon(true)
+    thread.start()
+
+    /** Wait for wind-down: the pump observes stop() between packets —
+      * a blocked read clears at the socket timeout, so wait past it
+      * (leaving early would strand the final publishAll unread).
+      */
+    def join(graceMs: Long): Unit = {
+      val deadline = System.currentTimeMillis() + graceMs
+      while (thread.isAlive && System.currentTimeMillis() < deadline)
+        thread.join(500)
+    }
+
+    def rethrow(): Unit = Option(error.get()).foreach(t => throw t)
+  }
+
+  /** RESIDENT mode — the deployment topology (`[extractor]
+    * resident=true`): the pump runs supervised on its own thread while
+    * the landing half continuously consumes whatever segments publish;
+    * `stop` ends both cooperatively (the task manager's stop flag).
+    * Returns when both halves have wound down and the landed tables
+    * are finalized.
+    */
+  def runResident(spark: SparkSession, task: TaskConfig.Task,
+      taskDir: String, stop: () => Boolean,
+      dialOverride: Option[() => Wire] = None,
+      triggerMs: Long = 500L,
+      onProgress: () => Unit = () => ()): Report =
+    if (task.sourceDir.startsWith("mysql://"))
+      runMysqlResident(spark, task, taskDir, stop, dialOverride,
+        triggerMs, onProgress)
+    else if (task.sourceDir.startsWith("redis://") ||
+        task.sourceDir.startsWith("rediss://"))
+      runRedisResident(spark, task, taskDir, stop, dialOverride,
+        triggerMs, onProgress)
+    else if (task.sourceDir.startsWith("mongodb://"))
+      runMongoResident(spark, task, taskDir, stop, dialOverride,
+        triggerMs, onProgress)
+    else runPgResident(spark, task, taskDir, stop, dialOverride,
+      triggerMs, onProgress)
+
+  /** The mysql/pg resident shape: ResidentPump + a ProcessingTime
+    * stream over the capture dir; `persistTick` runs on the trigger
+    * cadence with a DURABLE position only.
+    */
+  private def residentStream(spark: SparkSession,
+      task: TaskConfig.Task, taskDir: String, captureDir: String,
+      format: String, stop: () => Boolean, triggerMs: Long,
+      onProgress: () => Unit, rp: ResidentPump,
+      persistTick: () => Unit): Unit = {
+    val q = changeStream(spark, task, captureDir, format)
+      .writeStream
+      .option("checkpointLocation", s"$taskDir/checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landBatch(task, task.sinkDir)(batch, batchId)
+        onProgress()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(triggerMs))
+      .start()
+    try {
+      while (!stop() && rp.error.get() == null) {
+        Thread.sleep(triggerMs)
+        // resident beacon + durable resume position, refreshed on the
+        // trigger cadence: a `watch` pass must never demote a healthy
+        // resident runner, and a crash resumes from what was captured
+        onProgress()
+        persistTick()
+      }
+      rp.join(task.source.binlogTimeoutSecs * 2000L + 5000L)
+      // drain what the pump published before stopping the stream
+      q.processAllAvailable()
+      // wind-down: everything is published, full position durable
+      persistTick()
+    } finally q.stop()
+    rp.rethrow()
+  }
+
+  private def finalizedReport(spark: SparkSession,
+      task: TaskConfig.Task, segments: Int, events: Long,
+      position: (String, Long, String)): Report = {
+    val tables = graft.sinks.LandedTable
+      .finalizeAll(spark, task.sinkDir)
+    val landed = tables.map { t =>
+      t -> spark.read.parquet(s"${task.sinkDir}/$t").count()
+    }
+    Report(segments, events, landed, position)
+  }
+
   def runMysqlResident(spark: SparkSession, task: TaskConfig.Task,
       taskDir: String, stop: () => Boolean,
       dialOverride: Option[() => Wire] = None,
@@ -351,66 +479,122 @@ object LiveCdc {
       mysqlResumeConfig(task, taskDir), store,
       dialOverride.getOrElse(LiveDial.dialer(task.sourceDir,
         readTimeoutMs = task.source.binlogTimeoutSecs * 1000)))
-    val pumpError = new java.util.concurrent.atomic.AtomicReference[
-      Throwable](null)
-    val pumpThread = new Thread(() => {
-      try {
-        pump.run(until = stop)
-        store.publishAll()
-        pump.markAllPublished()
-      } catch {
-        case t: Throwable =>
-          store.publishAll()
-          pump.markAllPublished()
-          pumpError.set(t)
-      }
-    }, "graft-mysql-pump")
-    pumpThread.setDaemon(true)
-    pumpThread.start()
+    val rp = new ResidentPump(pump, store, stop,
+      () => pump.markAllPublished(), "graft-mysql-pump")
+    residentStream(spark, task, taskDir, captureDir, "binlog", stop,
+      triggerMs, onProgress, rp,
+      () => persistMysql(taskDir, pump.publishedPosition))
+    finalizedReport(spark, task, store.names.size,
+      pump.eventsAppended, pump.position)
+  }
 
-    val q = changeStream(spark, task, captureDir, "binlog")
-      .writeStream
-      .option("checkpointLocation", s"$taskDir/checkpoint")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        landBatch(task, task.sinkDir)(batch, batchId)
-        onProgress()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger
-        .ProcessingTime(triggerMs))
-      .start()
-    try {
-      while (!stop() && pumpError.get() == null) {
-        Thread.sleep(triggerMs)
-        // resident beacon + durable resume position, refreshed on the
-        // trigger cadence: a `watch` pass must never demote a healthy
-        // resident runner, and a crash resumes from what was captured
-        onProgress()
-        persistMysql(taskDir, pump.publishedPosition)
-      }
-      // the pump observes stop() between packets — a blocked read
-      // clears at the socket timeout, so wait past it before draining
-      // (leaving early would strand the final publishAll unread)
-      val deadline = System.currentTimeMillis() +
-        task.source.binlogTimeoutSecs * 2000L + 5000L
-      while (pumpThread.isAlive &&
-        System.currentTimeMillis() < deadline)
-        pumpThread.join(500)
-      // drain what the pump published before stopping the stream
-      q.processAllAvailable()
-      // wind-down: everything is published (the pump thread's
-      // publishAll ran), so the full position is durable
-      persistMysql(taskDir, pump.publishedPosition)
-    } finally q.stop()
-    Option(pumpError.get()).foreach(t => throw t)
+  def runPgResident(spark: SparkSession, task: TaskConfig.Task,
+      taskDir: String, stop: () => Boolean,
+      dialOverride: Option[() => Wire] = None,
+      triggerMs: Long = 500L,
+      onProgress: () => Unit = () => ()): Report = {
+    val captureDir = s"$taskDir/capture"
+    val store = new FsSegmentStore(captureDir)
+    val slot = task.slot.getOrElse(
+      graft.sources.PgSlotLifecycle.SlotConfig("graft_slot"))
+    val pump = new graft.transport.PgReplicationPump(
+      LiveDial.pgConfig(task.sourceDir, slot), store,
+      dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
+    // no persistTick: PG's durable position is the server-side slot,
+    // advanced only past published segments by the ack protocol
+    val rp = new ResidentPump(pump, store, stop, () => (),
+      "graft-pg-pump")
+    residentStream(spark, task, taskDir, captureDir, "pgoutput",
+      stop, triggerMs, onProgress, rp, () => ())
+    finalizedReport(spark, task, store.names.size,
+      pump.framesAppended, ("", 0L, pump.position))
+  }
 
-    // wind-down epilogue: fold deltas, refresh the flat snapshot
-    val tables = graft.sinks.LandedTable
-      .finalizeAll(spark, task.sinkDir)
-    val landed = tables.map { t =>
-      t -> spark.read.parquet(s"${task.sinkDir}/$t").count()
+  /** The redis/mongo resident shape: ResidentPump + a landing loop
+    * that consumes PUBLISHED segments on the trigger cadence (an open
+    * spool is still being appended — landing it would drop its tail).
+    */
+  def runRedisResident(spark: SparkSession, task: TaskConfig.Task,
+      taskDir: String, stop: () => Boolean,
+      dialOverride: Option[() => Wire] = None,
+      triggerMs: Long = 500L,
+      onProgress: () => Unit = () => ()): Report = {
+    val captureDir = s"$taskDir/capture"
+    val store = new FsSegmentStore(captureDir)
+    val ep = LiveDial.parseUrl(task.sourceDir)
+    val persisted = PumpPositions.read(taskDir)
+    val pump = new graft.transport.RedisReplicationPump(
+      graft.transport.RedisReplicationPump.Config(
+        user = ep.user, password = ep.password,
+        replId = persisted.getOrElse("repl_id", ""),
+        replOffset = persisted.get("repl_offset").map(_.toLong)
+          .getOrElse(0L)),
+      store, dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
+    val rp = new ResidentPump(pump, store, stop,
+      () => pump.markAllPublished(), "graft-redis-pump")
+    def persistTick(): Unit = PumpPositions.write(taskDir, Map(
+      "repl_id" -> pump.publishedPosition._1,
+      "repl_offset" -> pump.publishedPosition._2.toString))
+    var snapshotRows = 0L
+    var commandRows = 0L
+    def landPass(names: Seq[String]): Unit = {
+      val (s, c) = landRedisSegments(spark, task, taskDir, captureDir,
+        names, onProgress)
+      snapshotRows += s; commandRows += c
     }
-    Report(store.names.size, pump.eventsAppended, landed,
-      pump.position)
+    while (!stop() && rp.error.get() == null) {
+      Thread.sleep(triggerMs)
+      onProgress()
+      landPass(store.publishedNames)
+      persistTick()
+    }
+    rp.join(65000L)
+    landPass(store.publishedNames) // the wound-down tail is published
+    persistTick()
+    rp.rethrow()
+    Report(store.names.size, pump.bytesCaptured,
+      Seq("redis.snapshot" -> snapshotRows,
+        "redis.commands" -> commandRows),
+      (pump.position._1, pump.position._2, ""))
+  }
+
+  def runMongoResident(spark: SparkSession, task: TaskConfig.Task,
+      taskDir: String, stop: () => Boolean,
+      dialOverride: Option[() => Wire] = None,
+      triggerMs: Long = 500L,
+      onProgress: () => Unit = () => ()): Report = {
+    val captureDir = s"$taskDir/capture"
+    val store = new FsSegmentStore(captureDir)
+    val ep = LiveDial.parseUrl(task.sourceDir)
+    val persisted = PumpPositions.read(taskDir)
+    val pump = new graft.transport.MongoChangeStreamPump(
+      graft.transport.MongoChangeStreamPump.Config(
+        user = ep.user, password = ep.password,
+        resumeAfterData = persisted.get("resume_token")),
+      store, dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
+    val rp = new ResidentPump(pump, store, stop,
+      () => pump.markAllPublished(), "graft-mongo-pump")
+    def persistTick(): Unit = pump.publishedToken.foreach(tok =>
+      PumpPositions.write(taskDir, Map("resume_token" -> tok)))
+    while (!stop() && rp.error.get() == null) {
+      Thread.sleep(triggerMs)
+      onProgress()
+      landMongoSegments(spark, task, taskDir, captureDir,
+        store.publishedNames, onProgress)
+      persistTick()
+    }
+    rp.join(65000L)
+    landMongoSegments(spark, task, taskDir, captureDir,
+      store.publishedNames, onProgress)
+    persistTick()
+    rp.rethrow()
+    val out = s"${task.sinkDir}/mongo.changes"
+    val landed =
+      if (graft.infra.Fs.exists(out))
+        Seq("mongo.changes" -> spark.read.parquet(out).count())
+      else Seq.empty
+    Report(store.names.size, pump.docsCaptured, landed,
+      (pump.position.getOrElse(""), 0L, ""))
   }
 
   private def consume(spark: SparkSession, task: TaskConfig.Task,

@@ -282,7 +282,12 @@ object TaskConfig {
       replOffset: Option[Long] = None,
       replPort: Int = 10008,
       /** mongo cdc start (epoch secs). */
-      startTimestamp: Option[Long] = None)
+      startTimestamp: Option[Long] = None,
+      /** live CDC posture: `resident=true` keeps the pump + landing
+        * running until a stop request (the deployment mode); false =
+        * drain-once per start (the supervised-unit mode).
+        */
+      resident: Boolean = false)
 
   /** `[sinker]` sink-side tuning (task_config.rs:838-1060 per-engine
     * SinkerConfig variants), reference defaults.
@@ -670,7 +675,8 @@ object TaskConfig {
         replId = ex("repl_id").filter(_.nonEmpty),
         replOffset = ex.get("repl_offset", "").toLongOption,
         replPort = ex.get("repl_port", "10008").toInt,
-        startTimestamp = ex.get("start_timestamp", "").toLongOption),
+        startTimestamp = ex.get("start_timestamp", "").toLongOption,
+        resident = ex.get("resident", "false").toBoolean),
       sink = SinkTuning(
         replace = sk.get("replace", "true").toBoolean,
         disableForeignKeyChecks =

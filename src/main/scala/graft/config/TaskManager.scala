@@ -167,9 +167,16 @@ object TaskManager {
           LiveCdc.isLiveUrl(task.sourceDir)) {
         // beacon per pump/landing step: a live drain can outlast
         // staleAliveMs, and a demoted-but-healthy runner would race a
-        // second pump onto the same capture dir + checkpoint
-        val r = LiveCdc.run(spark, task, dir.toString, liveDial,
-          onProgress = () => touchAlive(dir))
+        // second pump onto the same capture dir + checkpoint.
+        // `resident=true` keeps pump + landing running until a stop
+        // request (the deployment posture); default drains once.
+        val r =
+          if (task.source.resident)
+            LiveCdc.runResident(spark, task, dir.toString,
+              stop = () => stopRequested, dialOverride = liveDial,
+              onProgress = () => touchAlive(dir))
+          else LiveCdc.run(spark, task, dir.toString, liveDial,
+            onProgress = () => touchAlive(dir))
         log(dir, s"live_cdc segments=${r.segments} " +
           s"events=${r.events} position=${r.position._1}:" +
           s"${r.position._2} " +

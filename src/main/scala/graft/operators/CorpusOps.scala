@@ -241,18 +241,33 @@ object CorpusOps {
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     bigramSurprisalOf(Tables.documents(spark, dir))
 
+  /** Scale shape (reworked after the round-12 sf10→sf30 sweep showed
+    * 5.5× wall-clock for 3× data): transitions build MAP-ONLY from the
+    * token array (`zip_with` over adjacent slices — the old
+    * `lead().over(doc window)` sorted every token in the corpus just
+    * to pair neighbors), and the materialized transition stream —
+    * tokenization (regex normalize + split + charFold) dominates the
+    * profile, so it must compute exactly once for its three consumers
+    * — persists DISK_ONLY instead of the old MEMORY_AND_DISK
+    * localCheckpoint, whose executor-memory pinning was the spill
+    * driver at sf30. The bigram census's (h1, h2) exchange is shared
+    * with the join probe (ReusedExchange).
+    */
   def bigramSurprisalOf(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      posexplode(TextOps.tokens(TextOps.normText(col("text"))))
-        .as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val pairs = toks
-      .withColumn("nxt", lead(col("tok"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id"), TextOps.charFold(col("tok")).as("h1"),
-        TextOps.charFold(col("nxt")).as("h2"))
-      .localCheckpoint(false)
-    val vocab = toks.select(TextOps.charFold(col("tok")).as("h"))
+    val tokArr = TextOps.tokens(TextOps.normText(col("text")))
+    val pairs = docs.select(col("doc_id"), tokArr.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("doc_id"), TextOps.charFold(col("p.a")).as("h1"),
+        TextOps.charFold(col("p.b")).as("h2"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // vocab counts every token (single-token docs included), matching
+    // the oracle's count(DISTINCT h) over ALL tokens
+    val vocab = docs.select(explode(tokArr).as("tok"))
+      .select(TextOps.charFold(col("tok")).as("h"))
       .distinct().agg(count(lit(1)).as("v"))
     val uni = pairs.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
     val bi = pairs.groupBy(col("h1"), col("h2"))

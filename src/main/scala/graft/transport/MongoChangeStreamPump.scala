@@ -155,7 +155,10 @@ final class MongoChangeStreamPump(cfg: MongoChangeStreamPump.Config,
     f"changestream.$segmentIndex%06d.log"
 
   private def rotate(): Unit = {
-    if (segmentIndex > 0) store.publish(currentSegment())
+    if (segmentIndex > 0) {
+      store.publish(currentSegment())
+      publishedToken = position
+    }
     segmentIndex += 1
     segmentBytes = 0L
   }
@@ -163,6 +166,15 @@ final class MongoChangeStreamPump(cfg: MongoChangeStreamPump.Config,
   /** The resume token a restart persists (Position::MongoCdc). */
   def position: Option[String] =
     resumeToken.flatMap(_.get("_data")).map(_.toString)
+
+  /** The token covered by PUBLISHED segments — the only value a
+    * caller may persist mid-stream (a token ahead of durable capture
+    * would skip the in-flight spool on a crash).
+    */
+  @volatile var publishedToken: Option[String] = cfg.resumeAfterData
+
+  /** Call after an external `store.publishAll()`. */
+  def markAllPublished(): Unit = publishedToken = position
 }
 
 object MongoChangeStreamPump {

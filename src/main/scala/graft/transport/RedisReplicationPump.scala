@@ -186,13 +186,26 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
     f"psync.$segmentIndex%06d.log"
 
   private def rotate(): Unit = {
-    if (segmentIndex > 0) store.publish(currentSegment())
+    if (segmentIndex > 0) {
+      store.publish(currentSegment())
+      publishedPosition = (replId, replOffset)
+    }
     segmentIndex += 1
     segmentBytes = 0L
   }
 
   /** The resume token a restart persists (Position::RedisPsync). */
   def position: (String, Long) = (replId, replOffset)
+
+  /** The position covered by PUBLISHED segments — the only value a
+    * caller may persist while the pump is mid-segment (persisting the
+    * live offset would skip the in-flight spool on a crash).
+    */
+  @volatile var publishedPosition: (String, Long) =
+    (cfg.replId, cfg.replOffset)
+
+  /** Call after an external `store.publishAll()`. */
+  def markAllPublished(): Unit = publishedPosition = (replId, replOffset)
 }
 
 object RedisReplicationPump {

@@ -94,6 +94,12 @@ final class FsSegmentStore(dir: String) extends SegmentStore {
   override def names: Seq[String] =
     (Fs.listNames(dir) ++ open.keys).distinct.sorted
 
+  /** PUBLISHED (durable) segments only — what a resident landing pass
+    * may consume: an open spool is still being appended, so landing it
+    * (and marking it consumed) would silently drop its tail.
+    */
+  def publishedNames: Seq[String] = Fs.listNames(dir).sorted
+
   override def bytesOf(name: String): Array[Byte] =
     if (open.contains(name)) {
       open(name).flush()

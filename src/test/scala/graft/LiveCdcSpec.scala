@@ -457,6 +457,92 @@ class LiveCdcSpec extends SparkSuite {
     assert(segs.size >= 2)
   }
 
+  test("redis resident mode: the supervised pump partial-resyncs " +
+      "across drops while the landing loop consumes published " +
+      "segments; stop winds down and lands the tail exactly once") {
+    def ascii(x: String): Array[Byte] = x.getBytes("ascii")
+    def resp(args: String*): Array[Byte] =
+      graft.transport.RedisReplicationPump.cmd(args: _*)
+    val rdb = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("REDIS0011".getBytes("ascii"))
+      out.write(0xfe); out.write(0)
+      out.write(0)
+      def str(x: String): Unit = {
+        out.write(x.length & 0x3f); out.write(x.getBytes("utf-8"))
+      }
+      str("k1"); str("v1")
+      out.write(0xff)
+      out.toByteArray
+    }
+    val wire1 = new FakeWire
+    wire1.serve(ascii("+PONG\r\n"))
+    wire1.serve(ascii("+OK\r\n"))
+    wire1.serve(ascii(s"+FULLRESYNC ${"d" * 40} 100\r\n"))
+    wire1.serve(ascii(s"$$${rdb.length}\r\n"))
+    wire1.serve(rdb)
+    wire1.serve(resp("SET", "a", "1"))
+    val wire2 = new FakeWire
+    wire2.serve(ascii("+PONG\r\n"))
+    wire2.serve(ascii("+OK\r\n"))
+    wire2.serve(ascii(s"+CONTINUE ${"d" * 40}\r\n"))
+    wire2.serve(resp("SET", "b", "2"))
+    val scripted = scala.collection.mutable.Queue(wire1, wire2)
+    def nextWire(): graft.transport.Wire = synchronized {
+      if (scripted.nonEmpty) scripted.dequeue() else new FakeWire
+    }
+
+    val sink = java.nio.file.Files
+      .createTempDirectory("live-redis-res-sink").toString
+    val taskDir = java.nio.file.Files
+      .createTempDirectory("live-redis-res-task").toString
+    val task = graft.config.TaskConfig.fromIni(
+      s"""[extractor]
+         |db_type=redis
+         |extract_type=cdc
+         |url=redis://127.0.0.1:6379
+         |resident=true
+         |
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    assert(task.source.resident) // the config knob parses
+    import graft.config.LiveCdc
+
+    val stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stopper = new Thread(() => {
+      val deadline = System.currentTimeMillis() + 60000
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        val cmds = try {
+          spark.read.parquet(s"$sink/redis.commands")
+            .collect().map(_.getAs[String]("argv")).toSet
+        } catch { case _: Exception => Set.empty[String] }
+        if (cmds.contains("SET a 1") && cmds.contains("SET b 2")) {
+          stopFlag.set(true); done = true
+        }
+      }
+      stopFlag.set(true)
+    }, "redis-resident-stopper")
+    stopper.start()
+    val report = LiveCdc.runRedisResident(spark, task, taskDir,
+      stop = () => stopFlag.get(),
+      dialOverride = Some(() => nextWire()), triggerMs = 100L)
+    stopper.join()
+
+    // both sessions' tails landed exactly once despite the drop
+    val argv = spark.read.parquet(s"$sink/redis.commands")
+      .collect().map(_.getAs[String]("argv")).toSeq.sorted
+    assert(argv == Seq("SET a 1", "SET b 2"))
+    assert(spark.read.parquet(s"$sink/redis.snapshot")
+      .collect().map(_.getAs[String]("key")).toSeq == Seq("k1"))
+    assert(report.segments >= 2)
+    // the durable resume position survived for the next start
+    val pos = graft.transport.PumpPositions.read(taskDir)
+    assert(pos("repl_id") == "d" * 40)
+  }
+
   test("pg two-way: the pgoutput decode runs the same marker state " +
       "machine — A-origin txns drop, marker rows never land") {
     def msg(tag: Char, body: Array[Byte]): Array[Byte] =

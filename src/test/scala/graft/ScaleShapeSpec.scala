@@ -412,4 +412,19 @@ class ScaleShapeSpec extends SparkSuite {
     assert(!p134.contains("CartesianProduct"), p134)
     assert(!p134.contains("Exchange hashpartitioning(text#"), p134)
   }
+
+  test("q107 bigram surprisal: transitions build map-only (no Window " +
+      "— the round-12 sf30 fix), and the pinned transition stream " +
+      "keeps tokenization out of the final plan") {
+    val p = graft.operators.CorpusOps.bigramSurprisal(spark, sf)
+      .queryExecution.executedPlan.toString
+    // a Window node would mean the full-corpus token sort is back
+    // (the shape the sf10→sf30 sweep measured curving at 5.5×/3×)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the transition stream is persisted (DISK_ONLY), so the census
+    // joins read the in-memory-relation scan, not a re-tokenize
+    assert(p.contains("InMemoryTableScan") ||
+      p.contains("TableCacheQueryStage"), p)
+  }
 }
