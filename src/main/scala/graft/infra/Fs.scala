@@ -75,6 +75,12 @@ object Fs {
     } finally in.close()
   }
 
+  /** Open for streaming reads — the face for parsers that must not
+    * materialize the object (no size ceiling, O(buffer) memory).
+    */
+  def open(path: String): java.io.InputStream =
+    new java.io.BufferedInputStream(fs(path).open(new Path(path)))
+
   def readString(path: String): String =
     new String(readAllBytes(path), java.nio.charset.StandardCharsets.UTF_8)
 

@@ -19,20 +19,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object RedisLanding {
 
+  /** Open a segment stream whose close is tied to task completion —
+    * the iterator feeds the writer lazily, so an explicit close point
+    * inside the lambda would fire before the rows drain.
+    */
+  private def openForTask(path: String): java.io.InputStream = {
+    val in = graft.infra.Fs.open(path)
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => in.close()))
+    in
+  }
+
   /** (snapshot rows, command rows) for one capture segment. */
   def decodeSegment(spark: SparkSession, path: String)
       : (DataFrame, DataFrame) = {
     import spark.implicits._
-    // one partition per segment; the lambda captures only the path
+    // one partition per segment; the lambda captures only the path.
+    // Decode is STREAMING (RedisPsync.streamSnapshot/streamCommands):
+    // entries pipe straight into the parquet writer, so per-task
+    // memory is O(largest single value), with no dump-size ceiling.
     val seed = spark.sparkContext.parallelize(Seq(path), 1)
     val snap = seed.flatMap { p =>
-      graft.sources.RedisPsync.decode(graft.infra.Fs.readAllBytes(p))
-        .snapshot.map(e =>
+      graft.sources.RedisPsync.streamSnapshot(openForTask(p))
+        .map(e =>
           (e.db, e.key, e.valueType, e.field, e.value, e.expireMs))
     }.toDF("db", "key", "value_type", "field", "value", "expire_ms")
     val cmds = seed.flatMap { p =>
-      graft.sources.RedisPsync.decode(graft.infra.Fs.readAllBytes(p))
-        .commands.map { case (args, off) =>
+      graft.sources.RedisPsync.streamCommands(openForTask(p))
+        .map { case (args, off) =>
           (args.head.toUpperCase, args.mkString(" "), off)
         }
     }.toDF("cmd", "argv", "repl_offset")

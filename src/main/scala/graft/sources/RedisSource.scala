@@ -43,16 +43,49 @@ object RedisRdb {
   final case class Entry(db: Long, key: String, valueType: String,
       field: String, value: String, expireMs: Option[Long])
 
-  private final class Reader(bytes: Array[Byte]) {
-    private var pos = 0
-    def u8(): Int = { val b = bytes(pos) & 0xff; pos += 1; b }
+  /** Cursor over RDB bytes. STREAM-backed (round 12) so a dump bigger
+    * than any in-memory buffer parses in O(current value) memory — the
+    * nested envelope readers (listpack/ziplist/zipmap/intset) still
+    * construct over their decoded byte arrays, which are bounded per
+    * value. One byte of pushback serves peek/hasMore.
+    */
+  private final class Reader(in: java.io.InputStream) {
+    def this(bytes: Array[Byte]) =
+      this(new java.io.ByteArrayInputStream(bytes))
+    private var peeked: Int = -2 // -2 = none buffered, -1 = EOF
+
+    def u8(): Int = {
+      val b =
+        if (peeked != -2) { val t = peeked; peeked = -2; t }
+        else in.read()
+      if (b < 0) throw new java.io.EOFException("rdb truncated")
+      b
+    }
+
     def take(n: Int): Array[Byte] = {
-      val out = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
-      pos += n
+      val out = new Array[Byte](n)
+      var off = 0
+      if (n > 0 && peeked >= 0) {
+        out(0) = peeked.toByte; peeked = -2; off = 1
+      }
+      while (off < n) {
+        val k = in.read(out, off, n - off)
+        if (k < 0) throw new java.io.EOFException("rdb truncated")
+        off += k
+      }
       out
     }
-    def hasMore: Boolean = pos < bytes.length
-    def peek: Int = bytes(pos) & 0xff
+
+    def hasMore: Boolean = {
+      if (peeked == -2) peeked = in.read()
+      peeked != -1
+    }
+
+    def peek: Int = {
+      if (peeked == -2) peeked = in.read()
+      if (peeked < 0) throw new java.io.EOFException("rdb truncated")
+      peeked
+    }
 
     /** Length encoding (reader/length.rs): 2-bit tag — 6-bit, 14-bit,
       * 0x80→u32 BE, 0x81→u64 BE, tag 3 = special string encoding.
@@ -333,16 +366,30 @@ object RedisRdb {
     * version writes one) is not validated — transport integrity belongs
     * to the object store.
     */
-  def parse(bytes: Array[Byte]): Seq[Entry] = {
-    val r = new Reader(bytes)
-    val magic = new String(r.take(5), StandardCharsets.US_ASCII)
+  def parse(bytes: Array[Byte]): Seq[Entry] =
+    parseStream(new java.io.ByteArrayInputStream(bytes)).toSeq
+
+  /** Lazily parse an RDB stream: entries surface one top-level object
+    * at a time (a Spark task pipes this straight into the parquet
+    * writer), so peak memory is O(largest single value), not O(dump) —
+    * the shape a multi-GB production RDB needs.
+    */
+  def parseStream(in: java.io.InputStream): Iterator[Entry] =
+    new scala.collection.AbstractIterator[Entry] {
+    private val r = new Reader(in)
+    private val magic = new String(r.take(5), StandardCharsets.US_ASCII)
     require(magic == "REDIS", "invalid rdb format")
     r.take(4) // version digits
-    val out = Seq.newBuilder[Entry]
-    var db = 0L
-    var expireMs: Option[Long] = None
-    var done = false
-    while (!done && r.hasMore) {
+    private val out = scala.collection.mutable.Queue.empty[Entry]
+    private var db = 0L
+    private var expireMs: Option[Long] = None
+    private var done = false
+
+    override def hasNext: Boolean = { fill(); out.nonEmpty }
+    override def next(): Entry = { fill(); out.dequeue() }
+
+    private def fill(): Unit =
+    while (out.isEmpty && !done && r.hasMore) {
       val op = r.u8()
       op match {
         case OpEof => done = true
@@ -498,7 +545,6 @@ object RedisRdb {
           expireMs = None // expiry binds to the single next entry
       }
     }
-    out.result()
   }
 
   /** Stream value (RDB_TYPE_STREAM_LISTPACKS v15/19/21 — reference
@@ -622,9 +668,21 @@ object RedisRdb {
   /** Distributed read: one task per RDB file (= per cluster shard). */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select("content").as[Array[Byte]]
-      .flatMap(parse _)
+    // list file PATHS on the driver, stream-parse on executors — a
+    // multi-GB dump never materializes (binaryFile's `content` column
+    // would buffer the whole file per row)
+    val files =
+      if (graft.infra.Fs.isDirectory(path))
+        graft.infra.Fs.listNames(path).map(n => s"$path/$n")
+      else Seq(path)
+    spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .flatMap { p =>
+        val in = graft.infra.Fs.open(p)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => in.close()))
+        parseStream(in)
+      }
       .toDF()
   }
 }
@@ -792,6 +850,159 @@ object RedisPsync {
       partial: Boolean,
       snapshot: Seq[RedisRdb.Entry],
       commands: Seq[(Seq[String], Long)])
+
+  // ------------------------------------------------- streaming decode
+  // The array-based decode below stays for bounded captures (specs,
+  // cluster compose); the streaming faces parse a capture SEGMENT
+  // through an InputStream so a multi-GB RDB never materializes — the
+  // executor task pipes entries straight into the parquet writer.
+
+  /** Reads until `limit` bytes are consumed, then reports EOF —
+    * the `$<len>` disk-backed RDB framing.
+    */
+  private final class BoundedStream(in: java.io.InputStream,
+      limit: Long) extends java.io.InputStream {
+    private var remaining = limit
+    override def read(): Int =
+      if (remaining <= 0) -1
+      else { val b = in.read(); if (b >= 0) remaining -= 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      if (remaining <= 0) -1
+      else {
+        val k = in.read(b, off, math.min(len.toLong, remaining).toInt)
+        if (k > 0) remaining -= k
+        k
+      }
+  }
+
+  /** Reads until the 40-byte delimiter appears, consuming it — the
+    * `$EOF:<delim>` diskless framing. A candidate-prefix matcher: any
+    * byte run that stops being a prefix of the delimiter drains to the
+    * emit queue front-first and the remainder re-matches, so payload
+    * bytes that merely LOOK like the delimiter's start pass through
+    * intact (the same correctness bar as the pump's rolling-window
+    * capture, which the round-11 specs pinned byte-exactly).
+    */
+  private final class DelimitedStream(in: java.io.InputStream,
+      delim: Array[Byte]) extends java.io.InputStream {
+    private val ready = new java.util.ArrayDeque[Integer]
+    private val cand = new java.util.ArrayDeque[Integer]
+    private var done = false
+
+    private def isDelimPrefix: Boolean = {
+      if (cand.size > delim.length) return false
+      var i = 0
+      val it = cand.iterator()
+      while (it.hasNext) {
+        if (it.next().intValue != (delim(i) & 0xff)) return false
+        i += 1
+      }
+      true
+    }
+
+    private def feed(b: Int): Unit = {
+      cand.addLast(b)
+      while (!cand.isEmpty && !isDelimPrefix)
+        ready.addLast(cand.removeFirst())
+      if (cand.size == delim.length) done = true
+    }
+
+    override def read(): Int = {
+      while (ready.isEmpty && !done) {
+        val b = in.read()
+        if (b < 0) throw new java.io.EOFException(
+          "diskless RDB delimiter not found")
+        feed(b)
+      }
+      if (!ready.isEmpty) ready.removeFirst().intValue else -1
+    }
+  }
+
+  private def readLineFrom(in: java.io.InputStream): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    var prev = -1
+    var b = in.read()
+    while (b >= 0 && !(prev == '\r' && b == '\n')) {
+      out.write(b); prev = b; b = in.read()
+    }
+    require(b >= 0, "truncated PSYNC line")
+    val raw = out.toByteArray
+    new String(raw, 0, raw.length - 1, StandardCharsets.US_ASCII)
+  }
+
+  /** Skip handshake replies to the PSYNC response; returns
+    * (replId, initialOffset, partial, rdbHeader) with the stream
+    * positioned at the first RDB byte (full) or first tail byte
+    * (partial).
+    */
+  private def streamPreamble(in: java.io.InputStream)
+      : (String, Long, Boolean, String) = {
+    var reply = readLineFrom(in)
+    while (reply.startsWith("+") &&
+        !reply.startsWith("+FULLRESYNC") &&
+        !reply.startsWith("+CONTINUE")) reply = readLineFrom(in)
+    if (reply.startsWith("+CONTINUE")) {
+      val replId = reply.split(' ') match {
+        case Array(_, id) => id
+        case _ => ""
+      }
+      (replId, 0L, true, "")
+    } else {
+      require(reply.startsWith("+FULLRESYNC "),
+        s"unexpected PSYNC reply: $reply")
+      val Array(_, replId, offStr) = reply.split(' ')
+      (replId, offStr.toLong, false, readLineFrom(in))
+    }
+  }
+
+  private def rdbStreamOf(in: java.io.InputStream, header: String)
+      : java.io.InputStream = {
+    require(header.nonEmpty && header.charAt(0) == '$',
+      s"expected RDB bulk, got: $header")
+    if (header.startsWith("$EOF:")) {
+      val delim = header.substring(5)
+        .getBytes(StandardCharsets.US_ASCII)
+      require(delim.length == 40, "EOF delimiter must be 40 bytes")
+      new DelimitedStream(in, delim)
+    } else new BoundedStream(in, header.substring(1).toLong)
+  }
+
+  /** The RDB snapshot of a capture segment as a LAZY entry iterator —
+    * O(largest value) memory regardless of dump size (the executor
+    * task pipes it straight into the parquet writer). Empty for
+    * partial-resync segments. Caller owns closing `in` after
+    * exhaustion.
+    */
+  def streamSnapshot(in: java.io.InputStream)
+      : Iterator[RedisRdb.Entry] = {
+    val (_, _, partial, header) = streamPreamble(in)
+    if (partial) Iterator.empty
+    else RedisRdb.parseStream(rdbStreamOf(in, header))
+  }
+
+  /** The command tail of a capture segment with replication offsets
+    * (master offset + tail bytes for full resyncs, segment-relative
+    * for partial), skipping the RDB without materializing it. The
+    * tail itself is bounded by the pump's segment rotation.
+    */
+  def streamCommands(in: java.io.InputStream)
+      : Iterator[(Seq[String], Long)] = {
+    val (_, offset, partial, header) = streamPreamble(in)
+    val base =
+      if (partial) 0L
+      else {
+        val rdb = rdbStreamOf(in, header)
+        val sink = new Array[Byte](1 << 16)
+        while (rdb.read(sink, 0, sink.length) >= 0) ()
+        offset
+      }
+    val tail = in.readAllBytes()
+    RedisResp.parseBytesFrom(tail, 0).iterator.map {
+      case (args, end) =>
+        (args.map(new String(_, StandardCharsets.UTF_8)),
+          base + end)
+    }
+  }
 
   def decode(bytes: Array[Byte]): PsyncCapture = {
     var i = 0

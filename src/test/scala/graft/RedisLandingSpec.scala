@@ -14,6 +14,63 @@ import graft.operators.RedisLanding
   */
 class RedisLandingSpec extends SparkSuite {
 
+  test("streaming decode equals the array decode — disk-backed AND " +
+      "diskless framing, with false delimiter prefixes in the payload") {
+    import graft.sources.RedisPsync
+    def rdbWith(values: Seq[(String, String)]): Array[Byte] = {
+      val r = new java.io.ByteArrayOutputStream()
+      r.write("REDIS0011".getBytes("ascii"))
+      r.write(0xfe); r.write(0)
+      values.foreach { case (k, v) =>
+        r.write(0)
+        def str(x: String): Unit = {
+          r.write(x.length & 0x3f); r.write(x.getBytes("utf-8"))
+        }
+        str(k); str(v)
+      }
+      r.write(0xff)
+      r.toByteArray
+    }
+    val delim = "0123456789" * 4
+    // values deliberately embed PREFIXES of the delimiter: a naive
+    // scanner would cut the RDB short inside "0123456789012..." —
+    // only the full 40-byte run terminates it
+    val rdb = rdbWith(Seq(
+      ("k1", "plain"),
+      ("k2", "0123456789012345678901234567890123456"), // 37 of 40
+      ("k3", "ends-with-prefix-01234567")))
+    def capture(diskless: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"+FULLRESYNC ${"e" * 40} 700\r\n".getBytes("ascii"))
+      if (diskless) {
+        out.write(s"$$EOF:$delim\r\n".getBytes("ascii"))
+        out.write(rdb)
+        out.write(delim.getBytes("ascii"))
+      } else {
+        out.write(s"$$${rdb.length}\r\n".getBytes("ascii"))
+        out.write(rdb)
+      }
+      out.write(graft.transport.RedisReplicationPump
+        .cmd("SET", "k4", "01234"))
+      out.toByteArray
+    }
+    Seq(true, false).foreach { diskless =>
+      val bytes = capture(diskless)
+      val reference = RedisPsync.decode(bytes)
+      val snap = RedisPsync.streamSnapshot(
+        new java.io.ByteArrayInputStream(bytes)).toSeq
+      val cmds = RedisPsync.streamCommands(
+        new java.io.ByteArrayInputStream(bytes)).toSeq
+      assert(snap == reference.snapshot, s"diskless=$diskless")
+      assert(cmds.map(_._1) == reference.commands.map(_._1))
+      assert(cmds.map(_._2) == reference.commands.map(_._2))
+      assert(snap.map(e => e.key -> e.value).toMap ==
+        Map("k1" -> "plain",
+          "k2" -> "0123456789012345678901234567890123456",
+          "k3" -> "ends-with-prefix-01234567"))
+    }
+  }
+
   test("a multi-megabyte capture decodes in an executor task: rows " +
       "land via the writer, task results back to the driver stay tiny") {
     import graft.transport.RedisReplicationPump.cmd
