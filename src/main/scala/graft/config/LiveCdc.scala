@@ -67,13 +67,42 @@ object LiveCdc {
       case _: java.io.IOException if progress() > 0 => progress()
     }
 
+  /** Liveness beacon from INSIDE a pump session: the session is the
+    * unbounded phase of a drain (a healthy server streams until ITS
+    * idea of done), so beaconing only between phases would let a
+    * `watch` pass demote the runner mid-pump and dial a second pump
+    * onto the same capture dir. Rate-limited so the beacon write never
+    * shows up in the capture hot path.
+    */
+  private final class BeaconStore(
+      inner: graft.transport.SegmentStore, onProgress: () => Unit,
+      everyMs: Long = 5000L) extends graft.transport.SegmentStore {
+    private var lastMs = 0L
+    private def tick(): Unit = {
+      val now = System.currentTimeMillis()
+      if (now - lastMs >= everyMs) { lastMs = now; onProgress() }
+    }
+    override def append(name: String, bytes: Array[Byte]): Unit = {
+      inner.append(name, bytes); tick()
+    }
+    override def publish(name: String): Unit = {
+      inner.publish(name); tick()
+    }
+    override def publishAll(): Unit = inner.publishAll()
+    override def discard(name: String): Unit = inner.discard(name)
+    override def names: Seq[String] = inner.names
+    override def bytesOf(name: String): Array[Byte] =
+      inner.bytesOf(name)
+  }
+
   def runMysql(spark: SparkSession, task: TaskConfig.Task,
       taskDir: String, dialOverride: Option[() => Wire] = None,
       onProgress: () => Unit = () => ()): Report = {
     val captureDir = s"$taskDir/capture"
     val store = new FsSegmentStore(captureDir)
     val pump = new MysqlReplicationPump(
-      mysqlResumeConfig(task, taskDir), store,
+      mysqlResumeConfig(task, taskDir),
+      new BeaconStore(store, onProgress),
       dialOverride.getOrElse(LiveDial.dialer(task.sourceDir,
         readTimeoutMs = task.source.binlogTimeoutSecs * 1000)))
     val events = drainSession(pump, () => pump.eventsAppended)
@@ -124,7 +153,8 @@ object LiveCdc {
     // no PumpPositions here: PG's durable resume position is the
     // slot's confirmed_flush_lsn, which the pump re-reads per connect
     val pump = new graft.transport.PgReplicationPump(
-      LiveDial.pgConfig(task.sourceDir, slot), store,
+      LiveDial.pgConfig(task.sourceDir, slot),
+      new BeaconStore(store, onProgress),
       dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
     val frames = drainSession(pump, () => pump.framesAppended)
     store.publishAll()
@@ -155,12 +185,12 @@ object LiveCdc {
         replId = persisted.getOrElse("repl_id", ""),
         replOffset = persisted.get("repl_offset").map(_.toLong)
           .getOrElse(0L)),
-      store, dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
-    // a live tail never ends on its own: one session, EOF/drop ends it
-    try pump.runSession() catch {
-      case _: java.io.EOFException => () // drained capture fixture
-      case _: java.io.IOException if pump.bytesCaptured > 0 => ()
-    }
+      new BeaconStore(store, onProgress),
+      dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
+    // a live tail never ends on its own: one session, EOF/drop ends
+    // it — but only AFTER progress (a server that closes during the
+    // handshake is a config error the supervisor must see)
+    drainSession(pump, () => pump.bytesCaptured)
     store.publishAll()
     PumpPositions.write(taskDir, Map(
       "repl_id" -> pump.position._1,
@@ -211,6 +241,14 @@ object LiveCdc {
     * exactly once (deterministic seg=<name> dir + overwrite =
     * crash-replay idempotent; consumed.log skips prior starts'
     * segments instead of re-landing the whole capture).
+    *
+    * The landed schema is FIXED: envelope fields extracted explicitly
+    * (token/op/db/coll) plus documentKey and fullDocument as JSON
+    * strings and the raw line. Per-segment `spark.read.json` schema
+    * INFERENCE would give heterogeneous parquet schemas across
+    * segments (a deletes-only segment has no fullDocument), and the
+    * unioned read then silently drops whichever columns the sampled
+    * footer lacks — or throws on cross-segment type conflicts.
     */
   private def landMongoSegments(spark: SparkSession,
       task: TaskConfig.Task, taskDir: String, captureDir: String,
@@ -218,7 +256,15 @@ object LiveCdc {
     val out = s"${task.sinkDir}/mongo.changes"
     val done = consumedNames(taskDir)
     names.filterNot(done).foreach { seg =>
-      spark.read.json(s"$captureDir/$seg")
+      spark.read.text(s"$captureDir/$seg")
+        .select(
+          get_json_object(col("value"), "$._id._data").as("token"),
+          get_json_object(col("value"), "$.operationType").as("op"),
+          get_json_object(col("value"), "$.ns.db").as("db"),
+          get_json_object(col("value"), "$.ns.coll").as("coll"),
+          get_json_object(col("value"), "$.documentKey").as("key"),
+          get_json_object(col("value"), "$.fullDocument").as("doc"),
+          col("value").as("raw"))
         .write.mode(SaveMode.Overwrite).parquet(s"$out/seg=$seg")
       markConsumed(taskDir, seg)
       onProgress()
@@ -256,7 +302,8 @@ object LiveCdc {
         user = ep.user, password = ep.password,
         // restarts re-watch with resumeAfter at the persisted token
         resumeAfterData = persisted.get("resume_token")),
-      store, dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
+      new BeaconStore(store, onProgress),
+      dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
     val docs = drainSession(pump, () => pump.docsCaptured)
     store.publishAll()
     pump.position.foreach(tok => PumpPositions.write(taskDir,
@@ -308,11 +355,14 @@ object LiveCdc {
     task.dataMarker.filter(_.marker.contains(".")).foreach { dm =>
       val Array(mdb, mtb) = dm.marker.split("\\.", 2)
       import spark.implicits._
+      // one OVERWRITTEN marker dir, not one dir per batch: only the
+      // latest marker is semantically live, and a resident stream at a
+      // 500 ms trigger would otherwise leak ~100k tiny dirs per day
       Seq((dm.topoName, dm.srcNode, dm.dstNode, dm.srcNode, batchId))
         .toDF("topo", "src_node", "dst_node", "data_origin_node",
           "batch_id")
         .coalesce(1).write.mode(SaveMode.Overwrite)
-        .parquet(f"$outDir/$mdb.$mtb/b=$batchId%08d")
+        .parquet(s"$outDir/$mdb.$mtb")
     }
     val tables = batch.select("schema", "tb").distinct()
       .collect().map(r => (r.getString(0), r.getString(1)))
@@ -476,7 +526,8 @@ object LiveCdc {
     val captureDir = s"$taskDir/capture"
     val store = new FsSegmentStore(captureDir)
     val pump = new MysqlReplicationPump(
-      mysqlResumeConfig(task, taskDir), store,
+      mysqlResumeConfig(task, taskDir),
+      new BeaconStore(store, onProgress),
       dialOverride.getOrElse(LiveDial.dialer(task.sourceDir,
         readTimeoutMs = task.source.binlogTimeoutSecs * 1000)))
     val rp = new ResidentPump(pump, store, stop,
@@ -498,7 +549,8 @@ object LiveCdc {
     val slot = task.slot.getOrElse(
       graft.sources.PgSlotLifecycle.SlotConfig("graft_slot"))
     val pump = new graft.transport.PgReplicationPump(
-      LiveDial.pgConfig(task.sourceDir, slot), store,
+      LiveDial.pgConfig(task.sourceDir, slot),
+      new BeaconStore(store, onProgress),
       dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
     // no persistTick: PG's durable position is the server-side slot,
     // advanced only past published segments by the ack protocol
@@ -529,7 +581,8 @@ object LiveCdc {
         replId = persisted.getOrElse("repl_id", ""),
         replOffset = persisted.get("repl_offset").map(_.toLong)
           .getOrElse(0L)),
-      store, dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
+      new BeaconStore(store, onProgress),
+      dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
     val rp = new ResidentPump(pump, store, stop,
       () => pump.markAllPublished(), "graft-redis-pump")
     def persistTick(): Unit = PumpPositions.write(taskDir, Map(
@@ -571,7 +624,8 @@ object LiveCdc {
       graft.transport.MongoChangeStreamPump.Config(
         user = ep.user, password = ep.password,
         resumeAfterData = persisted.get("resume_token")),
-      store, dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
+      new BeaconStore(store, onProgress),
+      dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
     val rp = new ResidentPump(pump, store, stop,
       () => pump.markAllPublished(), "graft-mongo-pump")
     def persistTick(): Unit = pump.publishedToken.foreach(tok =>

@@ -118,12 +118,24 @@ object LandedTable {
       uptoBatch: Long): Unit = {
     import graft.operators.Compaction
     val prev = committedBase(table)
+    // sweep garbage from crashed merges before staging: uncommitted
+    // stages, superseded bases (a crash between the rename commit and
+    // cleanup leaves the OLD base orphaned — each one a full table
+    // copy), and deltas the committed base already folded in
+    Fs.listNames(table).filter(_.startsWith("_stage-"))
+      .foreach(n => Fs.delete(s"$table/$n"))
+    prev.foreach { case (n, _) =>
+      Fs.listNames(table).foreach {
+        case name @ BaseRe(id) if id.toLong < n =>
+          Fs.delete(s"$table/$name")
+        case _ => ()
+      }
+      deltaIds(table).filter(_ <= n)
+        .foreach(id => Fs.delete(deltaDir(table, id)))
+    }
     val ids = deltaIds(table)
       .filter(id => id <= uptoBatch && prev.forall(_._1 < id))
     if (ids.isEmpty) return
-    // sweep uncommitted stages from crashed merges before staging
-    Fs.listNames(table).filter(_.startsWith("_stage-"))
-      .foreach(n => Fs.delete(s"$table/$n"))
     val paths = prev.map(_._2).toSeq ++ ids.map(id => deltaDir(table, id))
     val merged = Compaction.compact(
       spark.read.schema(Schema).parquet(paths: _*), Seq("key"),

@@ -876,46 +876,96 @@ object RedisPsync {
   }
 
   /** Reads until the 40-byte delimiter appears, consuming it — the
-    * `$EOF:<delim>` diskless framing. A candidate-prefix matcher: any
-    * byte run that stops being a prefix of the delimiter drains to the
-    * emit queue front-first and the remainder re-matches, so payload
-    * bytes that merely LOOK like the delimiter's start pass through
-    * intact (the same correctness bar as the pump's rolling-window
-    * capture, which the round-11 specs pinned byte-exactly).
+    * `$EOF:<delim>` diskless framing. A KMP prefix matcher over
+    * primitive buffers with a bulk `read(b, off, len)` override: the
+    * invariant is consumed-input = emitted-bytes + delim[0..j), so
+    * payload bytes that merely LOOK like the delimiter's start pass
+    * through intact, at O(1) amortized work per byte (this stream
+    * carries the whole multi-GB diskless dump — boxed or per-byte
+    * virtual-call paths would dominate the decode).
     */
   private final class DelimitedStream(in: java.io.InputStream,
       delim: Array[Byte]) extends java.io.InputStream {
-    private val ready = new java.util.ArrayDeque[Integer]
-    private val cand = new java.util.ArrayDeque[Integer]
-    private var done = false
-
-    private def isDelimPrefix: Boolean = {
-      if (cand.size > delim.length) return false
-      var i = 0
-      val it = cand.iterator()
-      while (it.hasNext) {
-        if (it.next().intValue != (delim(i) & 0xff)) return false
+    // KMP failure: fail(i) = longest proper prefix of delim[0..i]
+    // that is also its suffix
+    private val fail = {
+      val f = new Array[Int](delim.length)
+      var k = 0
+      var i = 1
+      while (i < delim.length) {
+        while (k > 0 && delim(i) != delim(k)) k = f(k - 1)
+        if (delim(i) == delim(k)) k += 1
+        f(i) = k
         i += 1
       }
-      true
+      f
     }
+    private var j = 0 // matched delimiter-prefix length
+    private var done = false
+    // bytes fallen out of the match prefix, awaiting emission —
+    // bounded by one feed's worst case (j0 bytes + the literal)
+    private val pending = new Array[Byte](delim.length + 1)
+    private var pendStart = 0
+    private var pendEnd = 0
+    private val inBuf = new Array[Byte](1 << 16)
+    private var inStart = 0
+    private var inEnd = 0
 
     private def feed(b: Int): Unit = {
-      cand.addLast(b)
-      while (!cand.isEmpty && !isDelimPrefix)
-        ready.addLast(cand.removeFirst())
-      if (cand.size == delim.length) done = true
+      val j0 = j
+      while (j > 0 && (delim(j) & 0xff) != b) j = fail(j - 1)
+      if ((delim(j) & 0xff) == b) {
+        j += 1
+        // the dropped head of (old prefix + b): its first j0+1-j bytes
+        val emit = j0 + 1 - j
+        var i = 0
+        while (i < emit) {
+          pending(pendEnd) = delim(i); pendEnd += 1; i += 1
+        }
+        if (j == delim.length) done = true
+      } else {
+        var i = 0
+        while (i < j0) {
+          pending(pendEnd) = delim(i); pendEnd += 1; i += 1
+        }
+        pending(pendEnd) = b.toByte; pendEnd += 1
+      }
     }
 
     override def read(): Int = {
-      while (ready.isEmpty && !done) {
-        val b = in.read()
-        if (b < 0) throw new java.io.EOFException(
-          "diskless RDB delimiter not found")
-        feed(b)
-      }
-      if (!ready.isEmpty) ready.removeFirst().intValue else -1
+      val one = new Array[Byte](1)
+      if (read(one, 0, 1) < 0) -1 else one(0) & 0xff
     }
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      while (true) {
+        var n = 0
+        while (pendStart < pendEnd && n < len) {
+          b(off + n) = pending(pendStart); pendStart += 1; n += 1
+        }
+        if (pendStart == pendEnd) { pendStart = 0; pendEnd = 0 }
+        if (n > 0) return n
+        if (done) return -1
+        if (inStart == inEnd) {
+          val k = in.read(inBuf, 0, inBuf.length)
+          if (k < 0) throw new java.io.EOFException(
+            "diskless RDB delimiter not found")
+          inStart = 0; inEnd = k
+        }
+        while (pendEnd == 0 && !done && inStart < inEnd) {
+          feed(inBuf(inStart) & 0xff); inStart += 1
+        }
+      }
+      -1 // unreachable
+    }
+
+    /** Bytes read PAST the delimiter (the bulk fill can overshoot
+      * into whatever follows the RDB — the command tail); the caller
+      * continuing on the underlying stream must prepend these.
+      */
+    def leftover: Array[Byte] =
+      java.util.Arrays.copyOfRange(inBuf, inStart, inEnd)
   }
 
   private def readLineFrom(in: java.io.InputStream): String = {
@@ -988,15 +1038,20 @@ object RedisPsync {
   def streamCommands(in: java.io.InputStream)
       : Iterator[(Seq[String], Long)] = {
     val (_, offset, partial, header) = streamPreamble(in)
+    var lead = Array.emptyByteArray
     val base =
       if (partial) 0L
       else {
         val rdb = rdbStreamOf(in, header)
         val sink = new Array[Byte](1 << 16)
         while (rdb.read(sink, 0, sink.length) >= 0) ()
+        rdb match { // a delimited skip may overshoot into the tail
+          case d: DelimitedStream => lead = d.leftover
+          case _ => ()
+        }
         offset
       }
-    val tail = in.readAllBytes()
+    val tail = lead ++ in.readAllBytes()
     RedisResp.parseBytesFrom(tail, 0).iterator.map {
       case (args, end) =>
         (args.map(new String(_, StandardCharsets.UTF_8)),

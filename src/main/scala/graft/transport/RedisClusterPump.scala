@@ -129,5 +129,7 @@ final class PrefixedSegmentStore(inner: SegmentStore, prefix: String)
 
   override def publish(name: String): Unit = inner.publish(full(name))
 
+  override def discard(name: String): Unit = inner.discard(full(name))
+
   override def publishAll(): Unit = inner.publishAll()
 }

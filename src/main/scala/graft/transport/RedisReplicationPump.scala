@@ -107,47 +107,63 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
     capture((reply + "\r\n").getBytes("UTF-8"))
     if (reply.startsWith("+FULLRESYNC ")) {
       val parts = reply.drop(1).split(" ")
+      // a wire drop mid-RDB must NOT adopt the new resync position
+      // (the snapshot never landed): the current segment is discarded
+      // (a truncated RDB can never decode) and the reconnect
+      // re-requests a full sync from the PREVIOUS resume state
+      try {
+        // the RDB bulk: $<len> disk-backed or $EOF:<delim> diskless
+        val header = readLine(wire)
+        capture((header + "\r\n").getBytes("UTF-8"))
+        if (header.startsWith("$EOF:")) {
+          val delim = header.drop(5).getBytes("UTF-8")
+          val window = new scala.collection.mutable.ArrayDeque[Byte]()
+          var done = false
+          var sinceClock = 0
+          while (!done) {
+            val b = wire.read(1)
+            capture(b)
+            window.append(b(0))
+            if (window.size > delim.length) window.removeHead(): Unit
+            if (window.size == delim.length &&
+              window.toArray.sameElements(delim)) done = true
+            sinceClock += 1
+            if (sinceClock >= 8192) { maybeAck(); sinceClock = 0 }
+          }
+        } else {
+          require(header.startsWith("$"), s"bad RDB header: $header")
+          var remaining = header.drop(1).toLong
+          while (remaining > 0) {
+            val chunk = wire.read(math.min(remaining, 1 << 16).toInt)
+            capture(chunk)
+            remaining -= chunk.length
+            maybeAck()
+          }
+        }
+      } catch {
+        case e: java.io.IOException =>
+          store.discard(currentSegment())
+          segmentBytes = 0L
+          throw e
+      }
       replId = parts(1)
       replOffset = parts(2).toLong
-      // the RDB bulk: $<len> disk-backed or $EOF:<delim> diskless
-      val header = readLine(wire)
-      capture((header + "\r\n").getBytes("UTF-8"))
-      if (header.startsWith("$EOF:")) {
-        val delim = header.drop(5).getBytes("UTF-8")
-        val window = new scala.collection.mutable.ArrayDeque[Byte]()
-        var done = false
-        var sinceClock = 0
-        while (!done) {
-          val b = wire.read(1)
-          capture(b)
-          window.append(b(0))
-          if (window.size > delim.length) window.removeHead(): Unit
-          if (window.size == delim.length &&
-            window.toArray.sameElements(delim)) done = true
-          sinceClock += 1
-          if (sinceClock >= 8192) { maybeAck(); sinceClock = 0 }
-        }
-      } else {
-        require(header.startsWith("$"), s"bad RDB header: $header")
-        var remaining = header.drop(1).toLong
-        while (remaining > 0) {
-          val chunk = wire.read(math.min(remaining, 1 << 16).toInt)
-          capture(chunk)
-          remaining -= chunk.length
-          maybeAck()
-        }
-      }
     } else require(reply.startsWith("+CONTINUE"),
       s"unexpected PSYNC reply: $reply")
 
-    // the live command tail: verbatim copy, offset-per-byte acks
+    // the live command tail: FRAME-ALIGNED capture — one whole RESP
+    // command at a time, so a wire drop mid-command never publishes a
+    // byte-truncated (undecodable) capture and the ack/resume offset
+    // only ever covers complete commands. The old verbatim-chunk copy
+    // left a drain-ended segment truncated mid-value, which wedged
+    // the landing forever (decode throws, markConsumed never runs).
     var sinceAck = 0L
     while (!until()) {
       maybeAck()
-      val chunk = wire.readSome(1 << 16)
-      capture(chunk)
-      replOffset += chunk.length
-      sinceAck += chunk.length
+      val command = readTailCommand(wire)
+      capture(command)
+      replOffset += command.length
+      sinceAck += command.length
       if (sinceAck >= cfg.ackEveryBytes) {
         wire.write(cmd("REPLCONF", "ACK", replOffset.toString))
         sinceAck = 0
@@ -161,6 +177,62 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
       }
     }
     captured
+  }
+
+  /** Read ONE replication-stream command verbatim
+    * (`*N\r\n($len\r\narg\r\n)×N`). Nothing is captured until the
+    * whole command arrived — a drop mid-command propagates with the
+    * segment still ending at the previous command boundary. Bare `\n`
+    * keepalives between commands advance the master offset but are
+    * not data.
+    */
+  private def readTailCommand(wire: Wire): Array[Byte] = {
+    var first = wire.read(1)
+    while (first(0) == '\n') {
+      replOffset += 1 // protocol keepalive: offset-counted, not data
+      first = wire.read(1)
+    }
+    require(first(0) == '*',
+      s"unexpected replication-stream byte ${first(0) & 0xff}")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(first(0))
+    def lineInto(): String = {
+      val s = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done) {
+        val b = wire.read(1)(0)
+        out.write(b)
+        if (b == '\r') {
+          val n = wire.read(1)(0)
+          out.write(n)
+          require(n == '\n', "bare CR in RESP line")
+          done = true
+        } else s.write(b)
+      }
+      new String(s.toByteArray, "UTF-8")
+    }
+    val argc = lineInto().toInt
+    (0 until argc).foreach { _ =>
+      val h = new java.io.ByteArrayOutputStream()
+      var b = wire.read(1)(0)
+      out.write(b)
+      require(b == '$', s"expected bulk string, got ${b & 0xff}")
+      var done = false
+      while (!done) {
+        b = wire.read(1)(0)
+        out.write(b)
+        if (b == '\r') {
+          val n = wire.read(1)(0)
+          out.write(n)
+          require(n == '\n', "bare CR in RESP line")
+          done = true
+        } else h.write(b)
+      }
+      val len = new String(h.toByteArray, "UTF-8").toInt
+      out.write(wire.read(len))
+      out.write(wire.read(2)) // trailing CRLF
+    }
+    out.toByteArray
   }
 
   private def expectOk(wire: Wire, what: String): Unit = {

@@ -23,6 +23,13 @@ trait SegmentStore {
   def publish(name: String): Unit = ()
 
   def publishAll(): Unit = ()
+
+  /** Drop an UNPUBLISHED in-flight segment (a capture known to be
+    * unusable — e.g. a wire drop mid-RDB leaves a bulk that can never
+    * decode and whose resync position was never adopted). Published
+    * segments are immutable and never discarded.
+    */
+  def discard(name: String): Unit = ()
 }
 
 /** Segment-name numbering across restarts: the streaming checkpoint
@@ -54,6 +61,8 @@ final class MemorySegmentStore extends SegmentStore {
 
   override def bytesOf(name: String): Array[Byte] =
     segs(name).toByteArray
+
+  override def discard(name: String): Unit = { segs.remove(name): Unit }
 }
 
 /** Hadoop-FS store: in-flight segments spool to a LOCAL temp file
@@ -79,30 +88,48 @@ final class FsSegmentStore(dir: String) extends SegmentStore {
       java.nio.file.Files.newOutputStream(spoolDir.resolve(name)))
       .write(bytes)
 
-  /** Publish a finished segment (rotate boundary / shutdown). */
+  /** Publish a finished segment (rotate boundary / shutdown).
+    * Stage-then-rename: a resident landing pass lists the capture dir
+    * concurrently, and a plain create-write-close is visible at create
+    * with PARTIAL content on local FS/HDFS — a reader consuming (and
+    * checkpointing) a half-written segment would silently lose its
+    * tail. The `.tmp` suffix keeps the staged object out of every
+    * `.log` listing; the rename is the atomic visibility point.
+    */
   override def publish(name: String): Unit =
     open.remove(name).foreach { out =>
       out.close()
       val spooled = spoolDir.resolve(name)
-      Fs.write(s"$dir/$name",
+      Fs.write(s"$dir/$name.tmp",
         java.nio.file.Files.readAllBytes(spooled))
+      if (!Fs.rename(s"$dir/$name.tmp", s"$dir/$name"))
+        throw new java.io.IOException(
+          s"segment publish rename failed: $dir/$name")
       java.nio.file.Files.deleteIfExists(spooled): Unit
     }
 
   override def publishAll(): Unit = open.keys.toSeq.foreach(publish)
 
   override def names: Seq[String] =
-    (Fs.listNames(dir) ++ open.keys).distinct.sorted
+    (Fs.listNames(dir).filterNot(_.endsWith(".tmp")) ++ open.keys)
+      .distinct.sorted
 
   /** PUBLISHED (durable) segments only — what a resident landing pass
     * may consume: an open spool is still being appended, so landing it
     * (and marking it consumed) would silently drop its tail.
     */
-  def publishedNames: Seq[String] = Fs.listNames(dir).sorted
+  def publishedNames: Seq[String] =
+    Fs.listNames(dir).filterNot(_.endsWith(".tmp")).sorted
 
   override def bytesOf(name: String): Array[Byte] =
     if (open.contains(name)) {
       open(name).flush()
       java.nio.file.Files.readAllBytes(spoolDir.resolve(name))
     } else Fs.readAllBytes(s"$dir/$name")
+
+  override def discard(name: String): Unit =
+    open.remove(name).foreach { out =>
+      out.close()
+      java.nio.file.Files.deleteIfExists(spoolDir.resolve(name)): Unit
+    }
 }

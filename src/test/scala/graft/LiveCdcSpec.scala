@@ -786,8 +786,17 @@ class LiveCdcSpec extends SparkSuite {
     assert(meta.status == "finished")
     val changes = spark.read.parquet(s"$sink/mongo.changes")
     assert(changes.count() == 2)
-    val ids = changes.select("documentKey._id")
+    // fixed landed schema: envelope columns + JSON-string payloads
+    // (schema INFERENCE per segment would drift across segments)
+    val ids = changes.selectExpr("get_json_object(key, '$._id')")
       .collect().map(_.getString(0)).toSet
     assert(ids == Set("1", "2"))
+    assert(changes.select("op").collect()
+      .map(_.getString(0)).toSet == Set("insert"))
+    assert(changes.select("db", "coll").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("app", "t")))
+    assert(changes.select("token").collect()
+      .map(_.getString(0)).toSet == Set("t1", "t2"))
   }
 }

@@ -177,9 +177,68 @@ class RedisTransportSpec extends AnyFunSuite {
       java.nio.charset.StandardCharsets.ISO_8859_1)
     val ackCount = sentStr.sliding(3).count(_ == "ACK")
     assert(ackCount >= 2, s"want time-based acks, got $ackCount")
-    // the RDB-phase acks carry the FULLRESYNC offset (1000): nothing
-    // of the tail is consumed yet
-    assert(sentStr.contains("1000"))
+    // the FULLRESYNC offset is adopted only after the RDB completes
+    // (a drop mid-transfer must not CONTINUE past an unlanded
+    // snapshot), so RDB-phase acks carry the previous resume offset
+    assert(pump.position._2 == 1000L + cmd("SET", "k2", "v2").length)
+  }
+
+  test("a wire drop mid-RDB discards the truncated segment and does " +
+      "NOT adopt the resync position — the reconnect re-requests a " +
+      "full sync and the retry is cleanly decodable") {
+    val rdb = rdbImage
+    val wire1 = new FakeWire
+    serveHandshake(wire1)
+    wire1.serve(ascii(s"+FULLRESYNC $ReplId 1000\r\n"))
+    wire1.serve(ascii(s"$$${rdb.length}\r\n"))
+    wire1.serve(rdb.take(3)) // the transfer dies 3 bytes in
+    val wire2 = new FakeWire
+    serveHandshake(wire2)
+    wire2.serve(ascii(s"+FULLRESYNC $ReplId 1500\r\n"))
+    wire2.serve(ascii(s"$$${rdb.length}\r\n"))
+    wire2.serve(rdb)
+    wire2.serve(cmd("SET", "x", "1"))
+    val wires = scala.collection.mutable.Queue(wire1, wire2)
+    val store = new MemorySegmentStore
+    val pump = new RedisReplicationPump(
+      RedisReplicationPump.Config(maxReconnects = 3, baseBackoffMs = 1),
+      store, () => wires.dequeue())
+    val target = 1500L + cmd("SET", "x", "1").length
+    pump.run(until = () => pump.position._2 >= target, sleep = _ => ())
+    // the truncated capture never became a segment…
+    assert(store.names == Seq("psync.000002.log"))
+    // …the SECOND dial asked for a FULL sync again (position was not
+    // adopted mid-transfer)…
+    val sent2 = new String(wire2.sentBytes,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(sent2.contains("PSYNC") && sent2.contains("?"))
+    // …and the retry decodes cleanly end to end
+    val got = RedisPsync.decode(store.bytesOf("psync.000002.log"))
+    assert(got.initialOffset == 1500L)
+    assert(got.snapshot.map(_.key) == Seq("k1"))
+    assert(got.commands.map(_._1) == Seq(Seq("SET", "x", "1")))
+  }
+
+  test("a wire drop mid-COMMAND never captures the partial frame: " +
+      "the segment stays command-aligned and decodable") {
+    val rdb = rdbImage
+    val set1 = cmd("SET", "a", "1")
+    val set2 = cmd("SET", "b", "2")
+    val wire = new FakeWire
+    serveHandshake(wire)
+    wire.serve(ascii(s"+FULLRESYNC $ReplId 100\r\n"))
+    wire.serve(ascii(s"$$${rdb.length}\r\n"))
+    wire.serve(rdb)
+    wire.serve(set1)
+    wire.serve(set2.take(set2.length - 4)) // dies mid-bulk-string
+    val store = new MemorySegmentStore
+    val pump = new RedisReplicationPump(
+      RedisReplicationPump.Config(), store, () => wire)
+    intercept[java.io.EOFException](pump.runSession())
+    // only the COMPLETE command was captured and offset-counted
+    assert(pump.position == (ReplId, 100L + set1.length))
+    val got = RedisPsync.decode(store.bytesOf("psync.000001.log"))
+    assert(got.commands.map(_._1) == Seq(Seq("SET", "a", "1")))
   }
 
   test("cluster dial: CLUSTER NODES discovery fans one PSYNC pump " +
