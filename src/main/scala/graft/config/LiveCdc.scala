@@ -256,15 +256,18 @@ object LiveCdc {
     val out = s"${task.sinkDir}/mongo.changes"
     val done = consumedNames(taskDir)
     names.filterNot(done).foreach { seg =>
+      // json_tuple parses each line ONCE for the top-level fields;
+      // only the two tiny envelope structs re-parse for their leaves
       spark.read.text(s"$captureDir/$seg")
+        .select(col("value"), json_tuple(col("value"),
+          "_id", "operationType", "ns", "documentKey", "fullDocument")
+          .as(Seq("id0", "op", "ns0", "key", "doc")))
         .select(
-          get_json_object(col("value"), "$._id._data").as("token"),
-          get_json_object(col("value"), "$.operationType").as("op"),
-          get_json_object(col("value"), "$.ns.db").as("db"),
-          get_json_object(col("value"), "$.ns.coll").as("coll"),
-          get_json_object(col("value"), "$.documentKey").as("key"),
-          get_json_object(col("value"), "$.fullDocument").as("doc"),
-          col("value").as("raw"))
+          get_json_object(col("id0"), "$._data").as("token"),
+          col("op"),
+          get_json_object(col("ns0"), "$.db").as("db"),
+          get_json_object(col("ns0"), "$.coll").as("coll"),
+          col("key"), col("doc"), col("value").as("raw"))
         .write.mode(SaveMode.Overwrite).parquet(s"$out/seg=$seg")
       markConsumed(taskDir, seg)
       onProgress()
@@ -354,15 +357,19 @@ object LiveCdc {
     }
     task.dataMarker.filter(_.marker.contains(".")).foreach { dm =>
       val Array(mdb, mtb) = dm.marker.split("\\.", 2)
-      import spark.implicits._
-      // one OVERWRITTEN marker dir, not one dir per batch: only the
-      // latest marker is semantically live, and a resident stream at a
-      // 500 ms trigger would otherwise leak ~100k tiny dirs per day
-      Seq((dm.topoName, dm.srcNode, dm.dstNode, dm.srcNode, batchId))
-        .toDF("topo", "src_node", "dst_node", "data_origin_node",
-          "batch_id")
-        .coalesce(1).write.mode(SaveMode.Overwrite)
-        .parquet(s"$outDir/$mdb.$mtb")
+      val markerDir = s"$outDir/$mdb.$mtb"
+      // the marker row is CONSTANT per direction (topo/src/dst/origin)
+      // — write it once and leave it: per-batch writes either leak a
+      // dir per 500 ms trigger or, overwritten in place, open a
+      // delete-then-commit window where a concurrent reader sees no
+      // marker at all
+      if (!graft.infra.Fs.exists(markerDir)) {
+        import spark.implicits._
+        Seq((dm.topoName, dm.srcNode, dm.dstNode, dm.srcNode))
+          .toDF("topo", "src_node", "dst_node", "data_origin_node")
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(markerDir)
+      }
     }
     val tables = batch.select("schema", "tb").distinct()
       .collect().map(r => (r.getString(0), r.getString(1)))

@@ -394,9 +394,22 @@ object TaskManager {
     * treats `running` + a stale beacon as a crashed runner (the
     * in-process analogue of dt-cli's dead-pid check).
     */
-  private def touchAlive(dir: Path): Unit =
-    Files.write(dir.resolve("runner.alive"),
-      System.currentTimeMillis().toString.getBytes(StandardCharsets.UTF_8))
+  private def touchAlive(dir: Path): Unit = {
+    // tmp + atomic move: the beacon is now touched from BOTH the pump
+    // thread (BeaconStore) and the landing loop, and a watcher reading
+    // a torn truncate-rewrite would mis-demote a healthy runner — the
+    // exact double-pump race the beacon exists to prevent
+    val tmp = dir.resolve(
+      s"runner.alive.${Thread.currentThread().getId}.tmp")
+    Files.write(tmp, System.currentTimeMillis().toString
+      .getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, dir.resolve("runner.alive"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.io.IOException =>
+      Files.deleteIfExists(tmp): Unit // a concurrent toucher won
+    }
+  }
 
   private def aliveAgeMs(dir: Path): Option[Long] = {
     val f = dir.resolve("runner.alive")

@@ -747,6 +747,11 @@ object RedisResp {
       l
     }
     while (i < bytes.length) {
+      // bare \n keepalives may sit between commands in a replication
+      // stream (offset-counted by the master, carrying no data) —
+      // skipping them here keeps captured offsets aligned with acks
+      while (i < bytes.length && bytes(i) == '\n') i += 1
+      if (i >= bytes.length) return out.result()
       val head = line()
       require(head.nonEmpty && head.charAt(0) == '*',
         s"expected RESP array, got: $head")
@@ -952,6 +957,22 @@ object RedisPsync {
           if (k < 0) throw new java.io.EOFException(
             "diskless RDB delimiter not found")
           inStart = 0; inEnd = k
+        }
+        // bulk fast path: with no partial match in flight, every byte
+        // before the next occurrence of delim(0) is payload — copy the
+        // whole run straight to the caller (per-byte feeding here made
+        // a multi-GB skip cost a virtual call per byte)
+        if (j == 0) {
+          var i = inStart
+          val d0 = delim(0)
+          val stop = math.min(inEnd, inStart + len)
+          while (i < stop && inBuf(i) != d0) i += 1
+          if (i > inStart) {
+            val run = i - inStart
+            System.arraycopy(inBuf, inStart, b, off, run)
+            inStart = i
+            return run
+          }
         }
         while (pendEnd == 0 && !done && inStart < inEnd) {
           feed(inBuf(inStart) & 0xff); inStart += 1

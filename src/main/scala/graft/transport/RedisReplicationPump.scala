@@ -141,8 +141,18 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
           }
         }
       } catch {
-        case e: java.io.IOException =>
+        // IOException = wire drop; IllegalArgumentException = a
+        // malformed header already capture()d — either way the
+        // segment can never decode, so it must not publish, and the
+        // discarded bytes must not count as progress (a drain that
+        // landed NOTHING must not report success, and supervision
+        // must be able to exhaust its reconnect budget against a
+        // master that always dies mid-RDB)
+        case e @ (_: java.io.IOException
+            | _: IllegalArgumentException) =>
           store.discard(currentSegment())
+          captured -= segmentBytes
+          bytesCaptured -= segmentBytes
           segmentBytes = 0L
           throw e
       }
@@ -187,14 +197,17 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
     * not data.
     */
   private def readTailCommand(wire: Wire): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    // bare \n keepalives between commands are offset-counted by the
+    // master AND captured (the decoder skips them), so landed
+    // per-command offsets stay aligned with the pump's acks
     var first = wire.read(1)
     while (first(0) == '\n') {
-      replOffset += 1 // protocol keepalive: offset-counted, not data
+      out.write(first(0))
       first = wire.read(1)
     }
     require(first(0) == '*',
       s"unexpected replication-stream byte ${first(0) & 0xff}")
-    val out = new java.io.ByteArrayOutputStream()
     out.write(first(0))
     def lineInto(): String = {
       val s = new java.io.ByteArrayOutputStream()
