@@ -241,6 +241,11 @@ object CorpusOps {
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     bigramSurprisalOf(Tables.documents(spark, dir))
 
+  /** The previous invocation's persisted transition frame — evicted
+    * when the next invocation persists its own (see below).
+    */
+  private var bigramCache: Option[DataFrame] = None
+
   /** Scale shape (reworked after the round-12 sf10→sf30 sweep showed
     * 5.5× wall-clock for 3× data): transitions build MAP-ONLY from the
     * token array (`zip_with` over adjacent slices — the old
@@ -264,6 +269,16 @@ object CorpusOps {
       .select(col("doc_id"), TextOps.charFold(col("p.a")).as("h1"),
         TextOps.charFold(col("p.b")).as("h2"))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // the cache lives as long as the RETURNED frame stays lazy (its
+    // plan consumes `pairs` three ways), so it cannot unpersist here —
+    // instead bound accumulation at one cached frame per session:
+    // repeated invocations (bench triples, resident monitors) evict
+    // the previous call's disk blocks (a still-held old result simply
+    // recomputes — correctness never depends on the cache)
+    this.synchronized {
+      bigramCache.foreach(_.unpersist(blocking = false))
+      bigramCache = Some(pairs)
+    }
     // vocab counts every token (single-token docs included), matching
     // the oracle's count(DISTINCT h) over ALL tokens
     val vocab = docs.select(explode(tokArr).as("tok"))

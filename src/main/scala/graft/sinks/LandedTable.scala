@@ -170,7 +170,13 @@ object LandedTable {
       .foreach(n => Fs.delete(s"$table/$n"))
     Fs.listNames(stage).filter(!_.startsWith("."))
       .filter(_ != "_SUCCESS")
-      .foreach(n => Fs.rename(s"$stage/$n", s"$table/$n"): Unit)
+      .foreach { n =>
+        // the old flat files are already gone — a silently-failed
+        // rename would publish a snapshot with missing part files
+        if (!Fs.rename(s"$stage/$n", s"$table/$n"))
+          throw new java.io.IOException(
+            s"flat publish rename failed: $stage/$n -> $table/$n")
+      }
     Fs.delete(stage)
   }
 

@@ -1022,7 +1022,14 @@ object RedisPsync {
       require(reply.startsWith("+FULLRESYNC "),
         s"unexpected PSYNC reply: $reply")
       val Array(_, replId, offStr) = reply.split(' ')
-      (replId, offStr.toLong, false, readLineFrom(in))
+      // tolerate bare '\n' keepalives between the FULLRESYNC line and
+      // the '$' RDB header (a master with a slow BGSAVE emits them —
+      // the pump discards them at capture, but a third-party capture
+      // may carry them verbatim)
+      var header = readLineFrom(in)
+      while (header.isEmpty || header.forall(_ == '\n'))
+        header = readLineFrom(in)
+      (replId, offStr.toLong, false, header.dropWhile(_ == '\n'))
     }
   }
 

@@ -59,8 +59,11 @@ final class RedisClusterPump(cfg: RedisClusterPump.Config,
           keepaliveIntervalSecs = cfg.keepaliveIntervalSecs),
         new PrefixedSegmentStore(store, prefix),
         () => dialNode(node.address))
+      // drop-after-progress is the normal end of a live drain; a
+      // connection that dies with ZERO progress (EOF included) is a
+      // config/auth error the supervisor must see — same contract as
+      // the single-node lane (LiveCdc.drainSession)
       try pump.runSession() catch {
-        case _: java.io.EOFException => ()
         case _: java.io.IOException if pump.bytesCaptured > 0 => ()
       }
       store.publishAll()

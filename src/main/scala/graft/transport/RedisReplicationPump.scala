@@ -103,7 +103,7 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
         lastAckMs = cfg.clockMs()
       }
 
-    val reply = readLine(wire)
+    val reply = readLine(wire, skipKeepalives = true)
     capture((reply + "\r\n").getBytes("UTF-8"))
     if (reply.startsWith("+FULLRESYNC ")) {
       val parts = reply.drop(1).split(" ")
@@ -112,8 +112,14 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
       // (a truncated RDB can never decode) and the reconnect
       // re-requests a full sync from the PREVIOUS resume state
       try {
-        // the RDB bulk: $<len> disk-backed or $EOF:<delim> diskless
-        val header = readLine(wire)
+        // the RDB bulk: $<len> disk-backed or $EOF:<delim> diskless.
+        // A master with a non-instant BGSAVE sends bare '\n'
+        // keepalives before the '$' header (replication.c, the
+        // reference's '\n\n\n$<length>' skip loop at
+        // redis_psync_extractor.rs:186-196) — consumed and DISCARDED
+        // (they precede the command tail, so they count toward no
+        // offset, and the capture must stay independently decodable)
+        val header = readLine(wire, skipKeepalives = true)
         capture((header + "\r\n").getBytes("UTF-8"))
         if (header.startsWith("$EOF:")) {
           val delim = header.drop(5).getBytes("UTF-8")
@@ -253,16 +259,27 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
     require(reply == "+OK", s"$what reply is not +OK: $reply")
   }
 
-  private def readLine(wire: Wire): String = {
+  /** `skipKeepalives`: consume and discard bare '\n' bytes BEFORE the
+    * line starts — a busy master sends them while a BGSAVE is pending,
+    * and folding them into the header makes require() throw an
+    * IllegalArgumentException that supervision does not retry.
+    */
+  private def readLine(wire: Wire,
+      skipKeepalives: Boolean = false): String = {
     val out = new java.io.ByteArrayOutputStream()
     var done = false
+    var leading = skipKeepalives
     while (!done) {
       val b = wire.read(1)(0) & 0xff
-      if (b == '\r') {
-        val n = wire.read(1)(0) & 0xff
-        require(n == '\n', "bare CR in RESP line")
-        done = true
-      } else out.write(b)
+      if (leading && b == '\n') () // pre-line keepalive: not data
+      else {
+        leading = false
+        if (b == '\r') {
+          val n = wire.read(1)(0) & 0xff
+          require(n == '\n', "bare CR in RESP line")
+          done = true
+        } else out.write(b)
+      }
     }
     new String(out.toByteArray, "UTF-8")
   }

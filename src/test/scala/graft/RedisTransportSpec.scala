@@ -113,6 +113,32 @@ class RedisTransportSpec extends AnyFunSuite {
     assert(got.commands.map(_._1) == Seq(Seq("SET", "x", "1")))
   }
 
+  test("bare '\\n' keepalives before the RDB header (BGSAVE pending) " +
+      "are consumed, not captured — the segment still decodes") {
+    val rdb = rdbImage
+    val set = cmd("SET", "k2", "v2")
+    val wire = new FakeWire
+    serveHandshake(wire)
+    wire.serve(ascii("\n")) // pre-reply keepalive
+    wire.serve(ascii(s"+FULLRESYNC $ReplId 1000\r\n"))
+    wire.serve(ascii("\n\n\n")) // master still BGSAVE-ing
+    wire.serve(ascii(s"$$${rdb.length}\r\n"))
+    wire.serve(rdb)
+    wire.serve(set)
+    val store = new MemorySegmentStore
+    val pump = new RedisReplicationPump(
+      RedisReplicationPump.Config(), store, () => wire)
+    intercept[java.io.EOFException](pump.runSession())
+    // the keepalives were DISCARDED: the capture starts at the reply
+    // line and decodes end to end, offsets unaffected
+    val capture = store.bytesOf("psync.000001.log")
+    assert(capture(0) == '+')
+    val got = RedisPsync.decode(capture)
+    assert(got.snapshot.map(_.key) == Seq("k1"))
+    assert(got.commands.map(_._1) == Seq(Seq("SET", "k2", "v2")))
+    assert(pump.position == (ReplId, 1000L + set.length))
+  }
+
   test("reconnect requests partial resync at the tracked offset and " +
       "the CONTINUE tail appends") {
     val set1 = cmd("SET", "a", "1")
