@@ -203,6 +203,7 @@ object LiveCdc {
     val (snapshotRows, commandRows) =
       landRedisSegments(spark, task, taskDir, captureDir,
         store.names, onProgress)
+    sweepCapture(task, taskDir, captureDir, byCheckpoint = false)
     Report(store.names.size, pump.bytesCaptured,
       Seq("redis.snapshot" -> snapshotRows,
         "redis.commands" -> commandRows),
@@ -274,20 +275,59 @@ object LiveCdc {
     }
   }
 
-  /** Segments already landed by a previous start of this task. */
+  private def consumedDir(taskDir: String) = s"$taskDir/consumed"
+
+  /** Segments already landed by a previous start of this task: one
+    * empty marker file per segment (plus the pre-round-13
+    * consumed.log, read for migration). Marker-per-segment keeps the
+    * mark O(1) — the old whole-file rewrite made a long residency's
+    * cumulative bookkeeping writes O(n²).
+    */
   private def consumedNames(taskDir: String): Set[String] = {
-    val p = s"$taskDir/consumed.log"
-    if (graft.infra.Fs.exists(p))
-      graft.infra.Fs.readLines(p).filter(_.nonEmpty).toSet
-    else Set.empty
+    val legacy = s"$taskDir/consumed.log"
+    val fromLog =
+      if (graft.infra.Fs.exists(legacy))
+        graft.infra.Fs.readLines(legacy).filter(_.nonEmpty).toSet
+      else Set.empty[String]
+    val dir = consumedDir(taskDir)
+    val markers =
+      if (graft.infra.Fs.exists(dir))
+        graft.infra.Fs.listNames(dir).toSet
+      else Set.empty[String]
+    fromLog ++ markers
   }
 
-  private def markConsumed(taskDir: String, name: String): Unit = {
-    val p = s"$taskDir/consumed.log"
-    graft.infra.Fs.writeString(p,
-      (consumedNames(taskDir) + name).toSeq.sorted
-        .mkString("", "\n", "\n"))
-  }
+  private def markConsumed(taskDir: String, name: String): Unit =
+    graft.infra.Fs.write(s"${consumedDir(taskDir)}/$name",
+      Array.emptyByteArray)
+
+  /** `capture_retention` sweep — delete capture segments a restart
+    * can never need again: ≤ the streaming checkpoint's committed
+    * offset (mysql/pg lanes — ChangelogSource plans strictly-newer
+    * names, documented purge-tolerant) or marked consumed (redis/mongo
+    * lanes — landed idempotently under seg=<name>). Keeps the newest
+    * segment per prefix so restart numbering stays monotone
+    * ([[graft.transport.CaptureRetention]]). Runs on the trigger
+    * cadence: a listing plus O(victims) deletes.
+    */
+  private def sweepCapture(task: TaskConfig.Task, taskDir: String,
+      captureDir: String, byCheckpoint: Boolean): Unit =
+    if (task.source.captureRetention) {
+      val gone =
+        if (byCheckpoint)
+          graft.transport.CaptureRetention
+            .committedSegment(s"$taskDir/checkpoint")
+            .map(graft.transport.CaptureRetention
+              .sweepUpto(captureDir, _))
+            .getOrElse(Nil)
+        else graft.transport.CaptureRetention
+          .sweepConsumed(captureDir, consumedNames(taskDir))
+      // marker cleanup AFTER the segment delete: a crash between the
+      // two leaves a marker for a name no listing returns — harmless,
+      // and the next sweep retries the delete pair
+      gone.foreach(n =>
+        graft.infra.Fs.delete(s"${consumedDir(taskDir)}/$n"))
+    }
 
   /** The Mongo lane: one change-stream session into JSON-line
     * segments, landed as a `mongo.changes` table via spark.read.json
@@ -315,6 +355,7 @@ object LiveCdc {
     val out = s"${task.sinkDir}/mongo.changes"
     landMongoSegments(spark, task, taskDir, captureDir, store.names,
       onProgress)
+    sweepCapture(task, taskDir, captureDir, byCheckpoint = false)
     val landed =
       if (graft.infra.Fs.exists(out))
         Seq("mongo.changes" -> spark.read.parquet(out).count())
@@ -504,12 +545,14 @@ object LiveCdc {
         // resident runner, and a crash resumes from what was captured
         onProgress()
         persistTick()
+        sweepCapture(task, taskDir, captureDir, byCheckpoint = true)
       }
       rp.join(task.source.binlogTimeoutSecs * 2000L + 5000L)
       // drain what the pump published before stopping the stream
       q.processAllAvailable()
       // wind-down: everything is published, full position durable
       persistTick()
+      sweepCapture(task, taskDir, captureDir, byCheckpoint = true)
     } finally q.stop()
     rp.rethrow()
   }
@@ -607,10 +650,12 @@ object LiveCdc {
       onProgress()
       landPass(store.publishedNames)
       persistTick()
+      sweepCapture(task, taskDir, captureDir, byCheckpoint = false)
     }
     rp.join(65000L)
     landPass(store.publishedNames) // the wound-down tail is published
     persistTick()
+    sweepCapture(task, taskDir, captureDir, byCheckpoint = false)
     rp.rethrow()
     Report(store.names.size, pump.bytesCaptured,
       Seq("redis.snapshot" -> snapshotRows,
@@ -643,11 +688,13 @@ object LiveCdc {
       landMongoSegments(spark, task, taskDir, captureDir,
         store.publishedNames, onProgress)
       persistTick()
+      sweepCapture(task, taskDir, captureDir, byCheckpoint = false)
     }
     rp.join(65000L)
     landMongoSegments(spark, task, taskDir, captureDir,
       store.publishedNames, onProgress)
     persistTick()
+    sweepCapture(task, taskDir, captureDir, byCheckpoint = false)
     rp.rethrow()
     val out = s"${task.sinkDir}/mongo.changes"
     val landed =
@@ -676,6 +723,7 @@ object LiveCdc {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    sweepCapture(task, taskDir, captureDir, byCheckpoint = true)
 
     // drain epilogue: fold outstanding deltas and refresh the flat
     // published snapshot — the plain-parquet face external readers see

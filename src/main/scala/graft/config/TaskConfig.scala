@@ -287,7 +287,15 @@ object TaskConfig {
         * running until a stop request (the deployment mode); false =
         * drain-once per start (the supervised-unit mode).
         */
-      resident: Boolean = false)
+      resident: Boolean = false,
+      /** `capture_retention=true` sweeps consumed/committed capture
+        * segments so a resident deployment's capture dir stays
+        * bounded instead of holding the full replication history
+        * ([[graft.transport.CaptureRetention]]). Off by default:
+        * purging is safe (name-based offsets, idempotent landing) but
+        * an operator may want the capture as an audit trail.
+        */
+      captureRetention: Boolean = false)
 
   /** `[sinker]` sink-side tuning (task_config.rs:838-1060 per-engine
     * SinkerConfig variants), reference defaults.
@@ -676,7 +684,9 @@ object TaskConfig {
         replOffset = ex.get("repl_offset", "").toLongOption,
         replPort = ex.get("repl_port", "10008").toInt,
         startTimestamp = ex.get("start_timestamp", "").toLongOption,
-        resident = ex.get("resident", "false").toBoolean),
+        resident = ex.get("resident", "false").toBoolean,
+        captureRetention =
+          ex.get("capture_retention", "false").toBoolean),
       sink = SinkTuning(
         replace = sk.get("replace", "true").toBoolean,
         disableForeignKeyChecks =

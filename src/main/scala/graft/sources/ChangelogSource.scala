@@ -157,7 +157,12 @@ final case class ChangelogOffset(segment: String) extends Offset {
 
 object ChangelogOffset {
   val Initial: ChangelogOffset = ChangelogOffset("")
-  private val Re = """\{"segment":"([^"]*)"\}""".r
+  /** The offset-line JSON shape, public for the retention sweep's
+    * checkpoint parse ([[graft.transport.CaptureRetention]]).
+    */
+  val SegmentJson: scala.util.matching.Regex =
+    """\{"segment":"([^"]*)"\}""".r
+  private val Re = SegmentJson
   private val LegacyRe = """\{"segments":(\d+)\}""".r
 
   def fromJson(s: String): ChangelogOffset = s match {

@@ -312,6 +312,172 @@ class LiveCdcSpec extends SparkSuite {
     assert(report.segments >= 1)
   }
 
+  test("capture_retention: a resident run sweeps committed segments " +
+      "(the capture dir stays bounded) and a restart AFTER the purge " +
+      "resumes cleanly with no loss and no duplicates") {
+    import graft.config.{LiveCdc, TaskConfig}
+    def session(rows: Seq[Array[String]], txn: Long, eof: Boolean)
+        : FakeWire = {
+      val w = new MysqlBinlogWriter(serverId = 1L)
+      w.fde()
+      w.begin("app")
+      w.tableMap(11L, "app", "t", Seq(8, 15), Seq(0, 40),
+        nullable = Seq(false, true), colNames = Seq("id", "v"))
+      w.writeRows(11L, rows)
+      w.xid(txn)
+      val events = eventsOf(w.bytes())
+      val wire = new FakeWire
+      wire.serve(packet(0, handshakePayload))
+      wire.serve(packet(2, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+      wire.serve(packet(1, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+      wire.serve(packet(1, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+      events.zipWithIndex.foreach { case (e, i) =>
+        wire.serve(packet(i + 1, Array[Byte](0x00) ++ e))
+      }
+      if (eof) wire.serve(packet(events.size + 1,
+        Array[Byte](0xfe.toByte, 0, 0, 2, 0)))
+      wire
+    }
+    // three sessions, each dropping mid-stream → three capture
+    // segments over the residency
+    val wires = scala.collection.mutable.Queue[FakeWire](
+      session(Seq(Array("1", "a"), Array("2", "b")), 1L, eof = false),
+      session(Seq(Array("3", "c")), 2L, eof = false),
+      session(Seq(Array("4", "d")), 3L, eof = false))
+    def nextWire(): graft.transport.Wire = synchronized {
+      if (wires.nonEmpty) wires.dequeue() else new FakeWire
+    }
+    val sink = java.nio.file.Files
+      .createTempDirectory("ret-live-sink").toString
+    val taskDir = java.nio.file.Files
+      .createTempDirectory("ret-live-task").toString
+    val captureDir = s"$taskDir/capture"
+    val task = TaskConfig.fromIni(
+      s"""[extractor]
+         |db_type=mysql
+         |extract_type=cdc
+         |url=mysql://repl:pw@127.0.0.1:3306
+         |binlog_filename=binlog.000001
+         |id_cols=t:id
+         |capture_retention=true
+         |
+         |[filter]
+         |do_tbs=app.*
+         |
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    assert(task.source.captureRetention)
+
+    val stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stopper = new Thread(() => {
+      val deadline = System.currentTimeMillis() + 60000
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        val landed = try {
+          graft.sinks.LandedTable.read(spark, s"$sink/app.t").count()
+        } catch { case _: Exception => 0L }
+        if (landed >= 4) { stopFlag.set(true); done = true }
+      }
+      stopFlag.set(true)
+    }, "retention-stopper")
+    stopper.start()
+    LiveCdc.runMysqlResident(spark, task, taskDir,
+      stop = () => stopFlag.get(),
+      dialOverride = Some(() => nextWire()), triggerMs = 100L)
+    stopper.join()
+
+    // three segments were captured over the residency, but after the
+    // wind-down sweep only the monotonicity anchor remains
+    val kept = graft.sources.ChangelogSource.segments(captureDir)
+    assert(kept == Seq("binlog.000003.log"),
+      s"retention left $kept")
+    val landed1 = spark.read.parquet(s"$sink/app.t")
+      .collect().map(_.getString(0)).toSet
+    assert(landed1 == Set("1", "2", "3", "4"))
+
+    // restart AFTER the purge (drain-once): numbering continues past
+    // the anchor, the checkpoint resumes past the purged names, and
+    // the new session's rows land exactly once
+    val report2 = LiveCdc.runMysql(spark, task, taskDir,
+      dialOverride = Some(() =>
+        session(Seq(Array("5", "e")), 4L, eof = true)))
+    assert(report2.events > 0)
+    val rows = spark.read.parquet(s"$sink/app.t")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(rows.map(_._1).toSet == Set("1", "2", "3", "4", "5"))
+    assert(rows.length == 5, s"duplicate landing: ${rows.toSeq}")
+  }
+
+  test("redis landing marks consumed segments with O(1) marker files " +
+      "and honors a pre-round-13 consumed.log") {
+    def ascii(x: String): Array[Byte] = x.getBytes("ascii")
+    def resp(args: String*): Array[Byte] =
+      graft.transport.RedisReplicationPump.cmd(args: _*)
+    val rdb = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("REDIS0011".getBytes("ascii"))
+      out.write(0xfe); out.write(0)
+      out.write(0)
+      def str(x: String): Unit = {
+        out.write(x.length & 0x3f); out.write(x.getBytes("utf-8"))
+      }
+      str("k1"); str("v1")
+      out.write(0xff)
+      out.toByteArray
+    }
+    def fullWire(): FakeWire = {
+      val wire = new FakeWire
+      wire.serve(ascii("+PONG\r\n"))
+      wire.serve(ascii("+OK\r\n"))
+      wire.serve(ascii(s"+FULLRESYNC ${"c" * 40} 500\r\n"))
+      wire.serve(ascii(s"$$${rdb.length}\r\n"))
+      wire.serve(rdb)
+      wire.serve(resp("SET", "k2", "v2"))
+      wire
+    }
+    import graft.config.{LiveCdc, TaskConfig}
+    def taskFor(sink: String): graft.config.TaskConfig.Task =
+      TaskConfig.fromIni(
+        s"""[extractor]
+           |db_type=redis
+           |extract_type=cdc
+           |url=redis://127.0.0.1:6379
+           |
+           |[sinker]
+           |url=$sink
+           |""".stripMargin)
+
+    // run 1: the landed segment gets a marker FILE (append-only
+    // bookkeeping), not a rewritten log
+    val sink1 = java.nio.file.Files
+      .createTempDirectory("ret-redis-sink1").toString
+    val task1Dir = java.nio.file.Files
+      .createTempDirectory("ret-redis-task1").toString
+    LiveCdc.runRedis(spark, taskFor(sink1), task1Dir,
+      dialOverride = Some(() => fullWire()))
+    assert(graft.infra.Fs.listNames(s"$task1Dir/consumed") ==
+      Seq("psync.000001.log"))
+    assert(!graft.infra.Fs.exists(s"$task1Dir/consumed.log"))
+    assert(spark.read.parquet(s"$sink1/redis.commands").count() == 1)
+
+    // a task dir migrated from the old layout: consumed.log names the
+    // segment the next session will produce — the landing loop must
+    // honor it and skip the segment entirely
+    val sink2 = java.nio.file.Files
+      .createTempDirectory("ret-redis-sink2").toString
+    val task2Dir = java.nio.file.Files
+      .createTempDirectory("ret-redis-task2").toString
+    graft.infra.Fs.writeString(s"$task2Dir/consumed.log",
+      "psync.000001.log\n")
+    val report = LiveCdc.runRedis(spark, taskFor(sink2), task2Dir,
+      dialOverride = Some(() => fullWire()))
+    assert(report.tables.toMap ==
+      Map("redis.snapshot" -> 0L, "redis.commands" -> 0L))
+    assert(!graft.infra.Fs.exists(s"$sink2/redis.commands"))
+  }
+
   test("a redis:// cdc task captures the PSYNC session and lands the " +
       "RDB snapshot + command tail as tables") {
     def ascii(x: String): Array[Byte] = x.getBytes("ascii")
