@@ -112,5 +112,15 @@ object Fs {
   def rename(src: String, dst: String): Boolean =
     fs(src).rename(new Path(src), new Path(dst))
 
+  /** Streamed single-file copy (parents created) — the no-Spark-job
+    * path for republishing already-materialized parquet part files.
+    */
+  def copyFile(src: String, dst: String): Unit = {
+    val ok = org.apache.hadoop.fs.FileUtil.copy(
+      fs(src), new Path(src), fs(dst), new Path(dst),
+      false, true, conf)
+    if (!ok) throw new java.io.IOException(s"copy failed: $src -> $dst")
+  }
+
   def fileName(path: String): String = new Path(path).getName
 }

@@ -117,6 +117,81 @@ class LandedTableSpec extends SparkSuite {
       .map(_.getAs[String]("key")).toSet == Set("1"))
   }
 
+  test("a poll with no outstanding deltas is a plain base scan — no " +
+      "shuffle, no recompaction (round-12 verdict Wrong #1)") {
+    val t = java.nio.file.Files
+      .createTempDirectory("landed").toString + "/app.t"
+    LandedTable.writeDelta(
+      delta(0L, ("insert", "1", "a"), ("insert", "2", "b")), t, 0L)
+    LandedTable.compactTo(spark, t, 0L)
+    val df = LandedTable.read(spark, t)
+    assert(df.inputFiles.forall(_.contains("/_base-")),
+      s"poll read outside the base: ${df.inputFiles.toSeq}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"a no-delta poll shuffled:\n$plan")
+    assert(state(t) == Map("1" -> "a", "2" -> "b"))
+  }
+
+  test("a poll with newer deltas anti-joins the BROADCAST delta keys " +
+      "against the base — the base side is never shuffled") {
+    val t = java.nio.file.Files
+      .createTempDirectory("landed").toString + "/app.t"
+    LandedTable.writeDelta(
+      delta(0L, ("insert", "1", "a"), ("insert", "2", "b")), t, 0L)
+    LandedTable.compactTo(spark, t, 0L)
+    LandedTable.writeDelta(
+      delta(1L, ("insert", "1", "a2"), ("delete", "2", ""),
+        ("insert", "3", "c")), t, 1L)
+    val df = LandedTable.read(spark, t)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"),
+      s"expected a broadcast anti-join merge:\n$plan")
+    assert(state(t) == Map("1" -> "a2", "3" -> "c"))
+  }
+
+  test("a pre-round-13 base written with the full delta schema still " +
+      "reads and merges (projection migration)") {
+    val t = java.nio.file.Files
+      .createTempDirectory("landed").toString + "/app.t"
+    // plant an old-format base: 5-column rows, tombstones folded
+    delta(0L, ("insert", "1", "a"), ("insert", "2", "b")).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$t/_base-00000000")
+    assert(state(t) == Map("1" -> "a", "2" -> "b"))
+    LandedTable.writeDelta(delta(1L, ("delete", "1", "")), t, 1L)
+    assert(state(t) == Map("2" -> "b"))
+    LandedTable.compactTo(spark, t, 1L)
+    assert(state(t) == Map("2" -> "b"))
+  }
+
+  test("after a cadence merge publishFlat is a byte copy of the base " +
+      "— flat face readable, (key, payload) schema, stage swept") {
+    val t = java.nio.file.Files
+      .createTempDirectory("landed").toString + "/app.t"
+    LandedTable.writeDelta(
+      delta(0L, ("insert", "1", "a"), ("insert", "2", "b")), t, 0L)
+    LandedTable.writeDelta(delta(1L, ("delete", "2", "")), t, 1L)
+    LandedTable.compactTo(spark, t, 1L)
+    LandedTable.publishFlat(spark, t)
+    val flat = spark.read.parquet(t)
+    assert(flat.columns.toSeq == Seq("key", "payload"))
+    assert(flat.collect().map(r => r.getString(0) -> r.getString(1))
+      .toMap == Map("1" -> "a"))
+    assert(!Fs.exists(s"$t/_pubstage"))
+    // the flat part files are byte-identical to the base's
+    val basePath = LandedTable.committedBase(t).get._2
+    val baseParts = Fs.listNames(basePath)
+      .filter(n => n.startsWith("part-")).sorted
+    val flatParts = Fs.listNames(t)
+      .filter(n => n.startsWith("part-")).sorted
+    assert(baseParts == flatParts)
+    assert(baseParts.forall(n =>
+      java.util.Arrays.equals(Fs.readAllBytes(s"$basePath/$n"),
+        Fs.readAllBytes(s"$t/$n"))))
+  }
+
   private def dirBytes(dir: String): Long =
     Fs.listNames(dir).map { n =>
       val p = s"$dir/$n"

@@ -410,6 +410,93 @@ class LiveCdcSpec extends SparkSuite {
     assert(rows.length == 5, s"duplicate landing: ${rows.toSeq}")
   }
 
+  test("single-pass landing: 20 tables in one trigger run a CONSTANT " +
+      "number of stream jobs (not one per table) and land correct " +
+      "per-table end states") {
+    import graft.config.{LiveCdc, TaskConfig}
+    val nTables = 20
+    val w = new MysqlBinlogWriter(serverId = 1L)
+    w.fde()
+    w.begin("app")
+    (0 until nTables).foreach { i =>
+      val tid = 20L + i
+      w.tableMap(tid, "app", f"t$i%02d", Seq(8, 15), Seq(0, 40),
+        nullable = Seq(false, true), colNames = Seq("id", "v"))
+      w.writeRows(tid, Seq(Array("1", s"a$i"), Array("2", s"b$i")))
+    }
+    w.xid(1L)
+    val events = eventsOf(w.bytes())
+    val wire = new FakeWire
+    wire.serve(packet(0, handshakePayload))
+    wire.serve(packet(2, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+    wire.serve(packet(1, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+    wire.serve(packet(1, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+    events.zipWithIndex.foreach { case (e, i) =>
+      wire.serve(packet(i + 1, Array[Byte](0x00) ++ e))
+    }
+    wire.serve(packet(events.size + 1,
+      Array[Byte](0xfe.toByte, 0, 0, 2, 0)))
+
+    val sink = java.nio.file.Files
+      .createTempDirectory("onepass-sink").toString
+    val taskDir = java.nio.file.Files
+      .createTempDirectory("onepass-task").toString
+    val idCols = (0 until nTables)
+      .map(i => f"t$i%02d:id").mkString(",")
+    val task = TaskConfig.fromIni(
+      s"""[extractor]
+         |db_type=mysql
+         |extract_type=cdc
+         |url=mysql://repl:pw@127.0.0.1:3306
+         |binlog_filename=binlog.000001
+         |id_cols=$idCols
+         |
+         |[filter]
+         |do_tbs=app.*
+         |
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+
+    // count jobs carrying the streaming queryId local property — the
+    // per-trigger landing work, excluding the drain epilogue's counts
+    val streamJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null && js.properties
+            .getProperty("sql.streaming.queryId") != null) {
+          streamJobs.incrementAndGet(); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      LiveCdc.runMysql(spark, task, taskDir,
+        dialOverride = Some(() => wire))
+      // listener delivery is async: wait for the count to go stable
+      var last = -1
+      while (streamJobs.get() != last) {
+        last = streamJobs.get(); Thread.sleep(300)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    assert(streamJobs.get() > 0)
+    assert(streamJobs.get() <= 10,
+      s"landing fanned out ${streamJobs.get()} stream jobs for " +
+        s"$nTables tables — the single-pass write regressed")
+    // every table landed its own rows, routed and compacted
+    (0 until nTables).foreach { i =>
+      val rows = spark.read.parquet(f"$sink/app.t$i%02d")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(rows.keySet == Set("1", "2"), f"table t$i%02d: $rows")
+      assert(rows("1").contains(s"a$i") && rows("2").contains(s"b$i"),
+        f"table t$i%02d landed $rows")
+    }
+    // the landing staging dir was swept
+    assert(graft.infra.Fs.listNames(sink)
+      .forall(!_.startsWith("_landing-")))
+  }
+
   test("redis landing marks consumed segments with O(1) marker files " +
       "and honors a pre-round-13 consumed.log") {
     def ascii(x: String): Array[Byte] = x.getBytes("ascii")
