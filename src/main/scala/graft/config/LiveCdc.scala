@@ -43,13 +43,17 @@ object LiveCdc {
     */
   def run(spark: SparkSession, task: TaskConfig.Task,
       taskDir: String, dialOverride: Option[() => Wire] = None,
-      onProgress: () => Unit = () => ()): Report =
+      onProgress: () => Unit = () => (),
+      dialNodeOverride: Option[String => Wire] = None): Report =
     if (task.sourceDir.startsWith("mysql://"))
       runMysql(spark, task, taskDir, dialOverride, onProgress)
     else if (task.sourceDir.startsWith("redis://") ||
-        task.sourceDir.startsWith("rediss://"))
-      runRedis(spark, task, taskDir, dialOverride, onProgress)
-    else if (task.sourceDir.startsWith("mongodb://"))
+        task.sourceDir.startsWith("rediss://")) {
+      if (task.source.isCluster)
+        runRedisCluster(spark, task, taskDir, dialOverride,
+          dialNodeOverride, onProgress)
+      else runRedis(spark, task, taskDir, dialOverride, onProgress)
+    } else if (task.sourceDir.startsWith("mongodb://"))
       runMongo(spark, task, taskDir, dialOverride, onProgress)
     else runPg(spark, task, taskDir, dialOverride, onProgress)
 
@@ -184,7 +188,8 @@ object LiveCdc {
         // full RDB resync per start
         replId = persisted.getOrElse("repl_id", ""),
         replOffset = persisted.get("repl_offset").map(_.toLong)
-          .getOrElse(0L)),
+          .getOrElse(0L),
+        maxSegmentSecs = task.source.maxSegmentSecs),
       new BeaconStore(store, onProgress),
       dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
     // a live tail never ends on its own: one session, EOF/drop ends
@@ -208,6 +213,130 @@ object LiveCdc {
       Seq("redis.snapshot" -> snapshotRows,
         "redis.commands" -> commandRows),
       (pump.position._1, pump.position._2, ""))
+  }
+
+  /** Per-node cluster resume state in the pump.position file:
+    * `repl_id.<nodeId>` / `repl_offset.<nodeId>` pairs — the
+    * reference's per-shard Position::Redis recovery match
+    * (redis_cluster_psync_extractor.rs matched_recovery_positions).
+    */
+  private def readNodePositions(
+      taskDir: String): Map[String, (String, Long)] = {
+    val p = PumpPositions.read(taskDir)
+    p.keys.collect { case k if k.startsWith("repl_id.") =>
+      k.drop("repl_id.".length)
+    }.map { id =>
+      id -> (p(s"repl_id.$id"),
+        p.getOrElse(s"repl_offset.$id", "0").toLong)
+    }.toMap
+  }
+
+  private def writeNodePositions(taskDir: String,
+      positions: Map[String, (String, Long)]): Unit =
+    PumpPositions.write(taskDir, positions.flatMap {
+      case (id, (replId, off)) => Seq(
+        s"repl_id.$id" -> replId, s"repl_offset.$id" -> off.toString)
+    })
+
+  /** The Redis CLUSTER drain-once lane (`[extractor] is_cluster=true`):
+    * discover masters over the seed url, one PSYNC session per master
+    * into node-prefixed segments, land every published segment, and
+    * persist per-node resume positions.
+    */
+  def runRedisCluster(spark: SparkSession, task: TaskConfig.Task,
+      taskDir: String, dialOverride: Option[() => Wire] = None,
+      dialNodeOverride: Option[String => Wire] = None,
+      onProgress: () => Unit = () => ()): Report = {
+    val captureDir = s"$taskDir/capture"
+    val store = new FsSegmentStore(captureDir)
+    val ep = LiveDial.parseUrl(task.sourceDir)
+    val pump = new graft.transport.RedisClusterPump(
+      graft.transport.RedisClusterPump.Config(
+        user = ep.user, password = ep.password,
+        resume = readNodePositions(taskDir),
+        maxSegmentSecs = task.source.maxSegmentSecs),
+      new BeaconStore(store, onProgress),
+      dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)),
+      dialNodeOverride.getOrElse(addr =>
+        LiveDial.nodeDialer(task.sourceDir, addr)()))
+    val results = pump.drainAll()
+    writeNodePositions(taskDir,
+      results.map { case (n, p) => n.id -> p }.toMap)
+    onProgress()
+    val (snapshotRows, commandRows) =
+      landRedisSegments(spark, task, taskDir, captureDir,
+        store.names, onProgress)
+    sweepCapture(task, taskDir, captureDir, byCheckpoint = false)
+    Report(store.names.size, snapshotRows + commandRows,
+      Seq("redis.snapshot" -> snapshotRows,
+        "redis.commands" -> commandRows),
+      ("cluster", results.size.toLong, ""))
+  }
+
+  /** The Redis CLUSTER resident lane: the per-master supervised pump
+    * fan-out ([[graft.transport.RedisClusterPump.runResident]]) on its
+    * own thread while the landing loop consumes whatever any shard
+    * publishes; per-node positions persist on the trigger cadence.
+    */
+  def runRedisClusterResident(spark: SparkSession,
+      task: TaskConfig.Task, taskDir: String, stop: () => Boolean,
+      dialOverride: Option[() => Wire] = None,
+      dialNodeOverride: Option[String => Wire] = None,
+      triggerMs: Long = 500L,
+      onProgress: () => Unit = () => ()): Report = {
+    val captureDir = s"$taskDir/capture"
+    // listing-only view of the shared capture dir: each pump thread
+    // gets its OWN store instance via newStore (no cross-thread
+    // store-internal state)
+    val listStore = new FsSegmentStore(captureDir)
+    val ep = LiveDial.parseUrl(task.sourceDir)
+    val positions =
+      scala.collection.concurrent.TrieMap[String, (String, Long)](
+        readNodePositions(taskDir).toSeq: _*)
+    val cluster = new graft.transport.RedisClusterPump(
+      graft.transport.RedisClusterPump.Config(
+        user = ep.user, password = ep.password,
+        maxSegmentSecs = task.source.maxSegmentSecs),
+      listStore,
+      dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)),
+      dialNodeOverride.getOrElse(addr =>
+        LiveDial.nodeDialer(task.sourceDir, addr)()))
+    val error = new java.util.concurrent.atomic.AtomicReference[
+      Throwable](null)
+    val supervisor = new Thread(() => {
+      try cluster.runResident(stop, positions,
+        newStore = () =>
+          new BeaconStore(new FsSegmentStore(captureDir), onProgress),
+        pollMs = triggerMs)
+      catch { case t: Throwable => error.set(t) }
+    }, "graft-redis-cluster-supervisor")
+    supervisor.setDaemon(true)
+    supervisor.start()
+    var snapshotRows = 0L
+    var commandRows = 0L
+    def landPass(): Unit = {
+      val (s, c) = landRedisSegments(spark, task, taskDir, captureDir,
+        listStore.publishedNames, onProgress)
+      snapshotRows += s; commandRows += c
+    }
+    def persistTick(): Unit =
+      writeNodePositions(taskDir, positions.toMap)
+    while (!stop() && error.get() == null && supervisor.isAlive) {
+      Thread.sleep(triggerMs)
+      onProgress()
+      landPass()
+      persistTick()
+      sweepCapture(task, taskDir, captureDir, byCheckpoint = false)
+    }
+    supervisor.join(70000L)
+    landPass() // the wound-down tails are published
+    persistTick()
+    sweepCapture(task, taskDir, captureDir, byCheckpoint = false)
+    Option(error.get()).foreach(t => throw t)
+    Report(listStore.names.size, snapshotRows + commandRows,
+      Seq("redis.snapshot" -> snapshotRows,
+        "redis.commands" -> commandRows),
+      ("cluster", positions.size.toLong, ""))
   }
 
   /** Land not-yet-consumed Redis capture segments; returns the rows
@@ -344,7 +473,8 @@ object LiveCdc {
       graft.transport.MongoChangeStreamPump.Config(
         user = ep.user, password = ep.password,
         // restarts re-watch with resumeAfter at the persisted token
-        resumeAfterData = persisted.get("resume_token")),
+        resumeAfterData = persisted.get("resume_token"),
+        maxSegmentSecs = task.source.maxSegmentSecs),
       new BeaconStore(store, onProgress),
       dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
     val docs = drainSession(pump, () => pump.docsCaptured)
@@ -535,15 +665,19 @@ object LiveCdc {
       taskDir: String, stop: () => Boolean,
       dialOverride: Option[() => Wire] = None,
       triggerMs: Long = 500L,
-      onProgress: () => Unit = () => ()): Report =
+      onProgress: () => Unit = () => (),
+      dialNodeOverride: Option[String => Wire] = None): Report =
     if (task.sourceDir.startsWith("mysql://"))
       runMysqlResident(spark, task, taskDir, stop, dialOverride,
         triggerMs, onProgress)
     else if (task.sourceDir.startsWith("redis://") ||
-        task.sourceDir.startsWith("rediss://"))
-      runRedisResident(spark, task, taskDir, stop, dialOverride,
+        task.sourceDir.startsWith("rediss://")) {
+      if (task.source.isCluster)
+        runRedisClusterResident(spark, task, taskDir, stop,
+          dialOverride, dialNodeOverride, triggerMs, onProgress)
+      else runRedisResident(spark, task, taskDir, stop, dialOverride,
         triggerMs, onProgress)
-    else if (task.sourceDir.startsWith("mongodb://"))
+    } else if (task.sourceDir.startsWith("mongodb://"))
       runMongoResident(spark, task, taskDir, stop, dialOverride,
         triggerMs, onProgress)
     else runPgResident(spark, task, taskDir, stop, dialOverride,
@@ -661,7 +795,8 @@ object LiveCdc {
         user = ep.user, password = ep.password,
         replId = persisted.getOrElse("repl_id", ""),
         replOffset = persisted.get("repl_offset").map(_.toLong)
-          .getOrElse(0L)),
+          .getOrElse(0L),
+        maxSegmentSecs = task.source.maxSegmentSecs),
       new BeaconStore(store, onProgress),
       dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
     val rp = new ResidentPump(pump, store, stop,
@@ -706,7 +841,8 @@ object LiveCdc {
     val pump = new graft.transport.MongoChangeStreamPump(
       graft.transport.MongoChangeStreamPump.Config(
         user = ep.user, password = ep.password,
-        resumeAfterData = persisted.get("resume_token")),
+        resumeAfterData = persisted.get("resume_token"),
+        maxSegmentSecs = task.source.maxSegmentSecs),
       new BeaconStore(store, onProgress),
       dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
     val rp = new ResidentPump(pump, store, stop,

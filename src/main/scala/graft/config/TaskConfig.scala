@@ -288,6 +288,17 @@ object TaskConfig {
         * drain-once per start (the supervised-unit mode).
         */
       resident: Boolean = false,
+      /** `max_segment_secs`: capture segments also rotate (publish)
+        * when this old, not only at 64 MB — bounds a quiet stream's
+        * landing latency in resident mode (0 = size-only).
+        */
+      maxSegmentSecs: Long = 0L,
+      /** redis `[extractor] is_cluster=true`: the url is a cluster
+        * seed — discover masters over it and run one PSYNC pump per
+        * master (extractor_config.rs:157 is_cluster,
+        * redis_cluster_psync_extractor.rs fan-out).
+        */
+      isCluster: Boolean = false,
       /** `capture_retention=true` sweeps consumed/committed capture
         * segments so a resident deployment's capture dir stays
         * bounded instead of holding the full replication history
@@ -685,6 +696,8 @@ object TaskConfig {
         replPort = ex.get("repl_port", "10008").toInt,
         startTimestamp = ex.get("start_timestamp", "").toLongOption,
         resident = ex.get("resident", "false").toBoolean,
+        maxSegmentSecs = ex.get("max_segment_secs", "0").toLong,
+        isCluster = ex.get("is_cluster", "false").toBoolean,
         captureRetention =
           ex.get("capture_retention", "false").toBoolean),
       sink = SinkTuning(

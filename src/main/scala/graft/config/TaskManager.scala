@@ -134,7 +134,9 @@ object TaskManager {
     */
   def start(spark: SparkSession, stateDir: String, name: String,
       afterUnit: Int => Unit = _ => (),
-      liveDial: Option[() => graft.transport.Wire] = None): TaskMeta = {
+      liveDial: Option[() => graft.transport.Wire] = None,
+      liveNodeDial: Option[String => graft.transport.Wire] = None)
+      : TaskMeta = {
     val dir = taskDir(stateDir, name)
     val meta0 = readMeta(dir)
     require(meta0.status != "running", s"task $name is already running")
@@ -174,9 +176,11 @@ object TaskManager {
           if (task.source.resident)
             LiveCdc.runResident(spark, task, dir.toString,
               stop = () => stopRequested, dialOverride = liveDial,
-              onProgress = () => touchAlive(dir))
+              onProgress = () => touchAlive(dir),
+              dialNodeOverride = liveNodeDial)
           else LiveCdc.run(spark, task, dir.toString, liveDial,
-            onProgress = () => touchAlive(dir))
+            onProgress = () => touchAlive(dir),
+            dialNodeOverride = liveNodeDial)
         log(dir, s"live_cdc segments=${r.segments} " +
           s"events=${r.events} position=${r.position._1}:" +
           s"${r.position._2} " +

@@ -136,6 +136,27 @@ object LiveDial {
     }
   }
 
+  /** Dialer for a cluster-discovered node `host:port`, keeping the
+    * seed URL's scheme/credential/TLS posture — the per-master dial of
+    * the redis cluster lane (discovery returns addresses, not URLs).
+    */
+  def nodeDialer(seedUrl: String, address: String,
+      connectTimeoutMs: Int = 10000,
+      readTimeoutMs: Int = 60000): () => Wire = {
+    val ep = parseUrl(seedUrl)
+    val (host, port) = address.split(":", 2) match {
+      case Array(h, p) => (h, p.toInt)
+      case _ => (address, ep.port)
+    }
+    val fromByteZero = Set("redis", "rediss", "mongodb")(ep.scheme) &&
+      Tls.wanted(ep.sslMode)
+    () => {
+      val w = new SocketWire(host, port, connectTimeoutMs,
+        readTimeoutMs)
+      if (fromByteZero) w.upgradeTls(ep.sslMode) else w
+    }
+  }
+
   /** The assembled MySQL pump for a CDC task: segments land in
     * `captureDir` (the dir the task's ChangelogSource streams from).
     */

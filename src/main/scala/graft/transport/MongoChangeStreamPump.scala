@@ -35,6 +35,7 @@ final class MongoChangeStreamPump(cfg: MongoChangeStreamPump.Config,
   // reader's cursor is name-based, so a restart must never reuse one
   private var segmentIndex = SegmentNames.lastIndex(store, "changestream")
   private var segmentBytes = 0L
+  private var segmentStartMs = cfg.clockMs()
 
   override def runSession(until: () => Boolean = () => false): Long = {
     val wire = dial()
@@ -57,6 +58,10 @@ final class MongoChangeStreamPump(cfg: MongoChangeStreamPump.Config,
         cursorId = cursor("id").asInstanceOf[Long]
         captured += ship(cursor.getOrElse("nextBatch", Seq.empty)
           .asInstanceOf[Seq[Any]])
+        // the time check also runs on EMPTY getMore replies, so a
+        // quiet stream's captured tail publishes within the knob's
+        // window instead of waiting out 64 MB (or wind-down)
+        maybeRotate()
       }
       captured
     } finally wire.close()
@@ -146,9 +151,20 @@ final class MongoChangeStreamPump(cfg: MongoChangeStreamPump.Config,
       docsCaptured += 1
       doc.get("_id").foreach(t =>
         resumeToken = Some(t.asInstanceOf[Map[String, Any]]))
-      if (segmentBytes >= cfg.maxSegmentBytes) rotate()
+      maybeRotate()
     }
     batch.size.toLong
+  }
+
+  /** Size- or time-based rotation (`max_segment_secs`, 0 = size
+    * only): a non-empty segment older than the knob publishes so a
+    * quiet stream's events land on a bounded cadence in resident
+    * mode. Empty segments never publish (and never burn an index).
+    */
+  private def maybeRotate(): Unit = {
+    val timeUp = cfg.maxSegmentSecs > 0 && segmentBytes > 0 &&
+      cfg.clockMs() - segmentStartMs >= cfg.maxSegmentSecs * 1000L
+    if (segmentBytes >= cfg.maxSegmentBytes || timeUp) rotate()
   }
 
   private def currentSegment(): String =
@@ -161,6 +177,7 @@ final class MongoChangeStreamPump(cfg: MongoChangeStreamPump.Config,
     }
     segmentIndex += 1
     segmentBytes = 0L
+    segmentStartMs = cfg.clockMs()
   }
 
   /** The resume token a restart persists (Position::MongoCdc). */
@@ -181,6 +198,13 @@ object MongoChangeStreamPump {
   final case class Config(user: String = "", password: String = "",
       authDb: String = "admin", resumeAfterData: Option[String] = None,
       maxSegmentBytes: Long = 64L * 1024 * 1024,
+      /** `[extractor] max_segment_secs`: also rotate when the open
+        * segment is this old (0 = size-only) — bounds the landing
+        * latency of a quiet stream in resident mode.
+        */
+      maxSegmentSecs: Long = 0L,
+      /** Clock seam so specs drive the time-based rotation. */
+      clockMs: () => Long = () => System.currentTimeMillis(),
       maxReconnects: Int = 10, baseBackoffMs: Long = 500L,
       maxBackoffMs: Long = 60000L,
       nonce: () => String = () => {

@@ -71,6 +71,106 @@ final class RedisClusterPump(cfg: RedisClusterPump.Config,
     }
   }
 
+  /** RESIDENT topology — the reference's fan-out
+    * (redis_cluster_psync_extractor.rs:49-91, one task per master)
+    * kept running: one SUPERVISED pump thread per discovered master
+    * (each with its own capped-backoff reconnect ladder), with
+    * topology RE-DISCOVERY on every poll in which some node has no
+    * live pump — a failover or reshard re-fans onto the new master
+    * set without disturbing healthy shards; a dead seed just retries
+    * next poll.
+    *
+    * `positions` is the per-node resume state, in/out: seeded from
+    * the previous run, refreshed with each pump's PUBLISHED position
+    * only (safe to persist mid-stream — a crash never skips an
+    * in-flight spool). `newStore` must return a FRESH store per call:
+    * each pump thread owns its store instance (the shared capture dir
+    * is the only common state), so no store-internal mutability is
+    * ever crossed by threads.
+    *
+    * Error surface: per-shard errors re-fan (that IS the supervision
+    * contract), but a residency that ends with an error and ZERO
+    * bytes captured across every pump rethrows — an auth/config error
+    * must reach the task supervisor, same as the single-node lane.
+    */
+  def runResident(stop: () => Boolean,
+      positions: scala.collection.concurrent.Map[String, (String, Long)],
+      newStore: () => SegmentStore = () => store,
+      pollMs: Long = 500L, topologyRefreshMs: Long = 30000L): Unit = {
+    val pumps = scala.collection.mutable.Map[
+      String, (Thread, RedisReplicationPump)]()
+    val lastError =
+      new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val drainedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    def refan(): Unit = {
+      val masters = try discoverMasters() catch {
+        // seed unreachable: healthy pumps keep running; retry next poll
+        case e: java.io.IOException => lastError.set(e); Seq.empty
+      }
+      masters.foreach { node =>
+        if (!pumps.get(node.id).exists(_._1.isAlive)) {
+          val prefix = node.id.take(8)
+          val resume = positions.getOrElse(node.id,
+            cfg.resume.getOrElse(node.id, ("", 0L)))
+          val pumpStore = new PrefixedSegmentStore(newStore(), prefix)
+          val pump = new RedisReplicationPump(
+            RedisReplicationPump.Config(
+              user = cfg.user, password = cfg.password,
+              replId = resume._1, replOffset = resume._2,
+              replPort = cfg.replPort,
+              keepaliveIntervalSecs = cfg.keepaliveIntervalSecs,
+              maxSegmentSecs = cfg.maxSegmentSecs,
+              maxReconnects = cfg.maxReconnects,
+              baseBackoffMs = cfg.baseBackoffMs,
+              maxBackoffMs = cfg.maxBackoffMs),
+            pumpStore, () => dialNode(node.address))
+          val t = new Thread(() => {
+            try pump.run(until = stop)
+            catch { case t: Throwable => lastError.set(t) }
+            finally {
+              pumpStore.publishAll()
+              pump.markAllPublished()
+              positions(node.id) = pump.publishedPosition
+              drainedBytes.addAndGet(pump.bytesCaptured): Unit
+            }
+          }, s"graft-redis-cluster-$prefix")
+          t.setDaemon(true)
+          t.start()
+          pumps(node.id) = (t, pump)
+        }
+      }
+    }
+    var lastDiscoveryMs = 0L
+    while (!stop()) {
+      // dial the seed only when something died (immediate re-fan) or
+      // the topology-refresh interval elapsed (reshard/new-master
+      // pickup) — not one CLUSTER NODES round-trip per poll
+      val now = System.currentTimeMillis()
+      if (pumps.isEmpty || pumps.values.exists(!_._1.isAlive) ||
+          now - lastDiscoveryMs >= topologyRefreshMs) {
+        lastDiscoveryMs = now
+        refan()
+      }
+      pumps.foreach { case (id, (_, p)) =>
+        positions(id) = p.publishedPosition
+      }
+      var waited = 0L
+      while (!stop() && waited < pollMs) {
+        Thread.sleep(50); waited += 50
+      }
+    }
+    // wind-down: each pump observes stop() between packets (a blocked
+    // read clears at its socket timeout), publishes its tail, and
+    // records its published position on the way out
+    pumps.values.foreach(_._1.join(65000L))
+    pumps.foreach { case (id, (_, p)) =>
+      positions(id) = p.publishedPosition
+    }
+    val live = pumps.values.map(_._2.bytesCaptured).sum
+    if (lastError.get() != null && drainedBytes.get() + live == 0L)
+      throw lastError.get()
+  }
+
   private def expectOk(wire: Wire): Unit = {
     val line = readLine(wire)
     require(line == "+OK", s"AUTH reply is not +OK: $line")
@@ -108,7 +208,11 @@ object RedisClusterPump {
     */
   final case class Config(user: String = "", password: String = "",
       replPort: Int = 10007, keepaliveIntervalSecs: Long = 1L,
-      resume: Map[String, (String, Long)] = Map.empty)
+      resume: Map[String, (String, Long)] = Map.empty,
+      maxSegmentSecs: Long = 0L,
+      /** Per-node pump supervision knobs (resident mode). */
+      maxReconnects: Int = 10, baseBackoffMs: Long = 500L,
+      maxBackoffMs: Long = 60000L)
 }
 
 /** A namespaced view over a [[SegmentStore]]: every name gains

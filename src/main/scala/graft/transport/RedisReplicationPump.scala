@@ -33,6 +33,7 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
   // reader's cursor is name-based, so a restart must never reuse one
   private var segmentIndex = SegmentNames.lastIndex(store, "psync")
   private var segmentBytes = 0L
+  private var segmentStartMs = cfg.clockMs()
 
   /** One session: handshake, psync, copy the stream until the wire
     * drops or `until` says stop. Returns bytes captured this session.
@@ -184,7 +185,16 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
         wire.write(cmd("REPLCONF", "ACK", replOffset.toString))
         sinceAck = 0
       }
-      if (segmentBytes >= cfg.maxSegmentBytes) {
+      // size- OR time-based rotation: without the time arm, a
+      // low-volume stream's events sit unpublished (hence unlanded in
+      // resident mode) until 64 MB accrues. The check runs at command
+      // arrival — a live master is never silent for long (it PINGs
+      // the replication stream every repl-ping-replica-period, 10 s
+      // default), so the publish lag is bounded by the knob plus one
+      // ping period.
+      val timeUp = cfg.maxSegmentSecs > 0 && segmentBytes > 0 &&
+        cfg.clockMs() - segmentStartMs >= cfg.maxSegmentSecs * 1000L
+      if (segmentBytes >= cfg.maxSegmentBytes || timeUp) {
         // a rotated mid-tail segment must still decode on its own:
         // start it with the +CONTINUE line a partial-resync session
         // would produce at exactly this offset
@@ -294,6 +304,7 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
     }
     segmentIndex += 1
     segmentBytes = 0L
+    segmentStartMs = cfg.clockMs()
   }
 
   /** The resume token a restart persists (Position::RedisPsync). */
@@ -318,6 +329,11 @@ object RedisReplicationPump {
       replId: String = "", replOffset: Long = 0L,
       replPort: Int = 10007, ackEveryBytes: Long = 1L << 20,
       maxSegmentBytes: Long = 64L * 1024 * 1024,
+      /** `[extractor] max_segment_secs`: also rotate when the open
+        * segment is this old (0 = size-only) — bounds the landing
+        * latency of a low-volume stream in resident mode.
+        */
+      maxSegmentSecs: Long = 0L,
       maxReconnects: Int = 10, baseBackoffMs: Long = 500L,
       maxBackoffMs: Long = 60000L,
       /** Wall-clock ack cadence (reference keepalive_interval_secs,

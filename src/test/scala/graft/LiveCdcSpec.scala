@@ -497,6 +497,115 @@ class LiveCdcSpec extends SparkSuite {
       .forall(!_.startsWith("_landing-")))
   }
 
+  test("a redis cluster task ([extractor] is_cluster=true) runs the " +
+      "RESIDENT per-master fan-out and lands both shards' snapshots " +
+      "and tails with per-node persisted positions") {
+    import graft.config.{LiveCdc, TaskConfig}
+    def ascii(x: String): Array[Byte] = x.getBytes("ascii")
+    def resp(args: String*): Array[Byte] =
+      graft.transport.RedisReplicationPump.cmd(args: _*)
+    val idA = "a" * 40
+    val idB = "b" * 40
+    val topology =
+      s"""$idA 10.0.0.1:6379@16379 master - 0 0 1 connected 0-8191
+         |$idB 10.0.0.2:6379@16379 master - 0 0 2 connected 8192-16383
+         |""".stripMargin
+    def seedWire(): graft.transport.Wire = {
+      val w = new FakeWire
+      w.serve(ascii(s"$$${topology.getBytes("UTF-8").length}\r\n"))
+      w.serve(ascii(topology))
+      w.serve(ascii("\r\n"))
+      w
+    }
+    def rdbOf(key: String, value: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("REDIS0011".getBytes("ascii"))
+      out.write(0xfe); out.write(0)
+      out.write(0)
+      def str(x: String): Unit = {
+        out.write(x.length & 0x3f); out.write(x.getBytes("utf-8"))
+      }
+      str(key); str(value)
+      out.write(0xff)
+      out.toByteArray
+    }
+    def nodeWire(replId: String, rdbKey: String,
+        tailKey: String): FakeWire = {
+      val w = new FakeWire
+      w.serve(ascii("+PONG\r\n"))
+      w.serve(ascii("+OK\r\n"))
+      w.serve(ascii(s"+FULLRESYNC $replId 100\r\n"))
+      val rdb = rdbOf(rdbKey, s"$rdbKey-v")
+      w.serve(ascii(s"$$${rdb.length}\r\n"))
+      w.serve(rdb)
+      w.serve(resp("SET", tailKey, "t"))
+      w
+    }
+    val wires = Map(
+      "10.0.0.1:6379" -> scala.collection.mutable.Queue(
+        nodeWire(idA, "bar", "bar2")),
+      "10.0.0.2:6379" -> scala.collection.mutable.Queue(
+        nodeWire(idB, "foo", "foo2")))
+    def dialNode(addr: String): graft.transport.Wire =
+      wires.synchronized {
+        val q = wires(addr)
+        if (q.nonEmpty) q.dequeue() else new FakeWire
+      }
+
+    val sink = java.nio.file.Files
+      .createTempDirectory("cluster-lane-sink").toString
+    val taskDir = java.nio.file.Files
+      .createTempDirectory("cluster-lane-task").toString
+    val task = TaskConfig.fromIni(
+      s"""[extractor]
+         |db_type=redis
+         |extract_type=cdc
+         |url=redis://127.0.0.1:6379
+         |is_cluster=true
+         |resident=true
+         |
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    assert(task.source.isCluster)
+
+    val stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stopper = new Thread(() => {
+      val deadline = System.currentTimeMillis() + 60000
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        val landed = try {
+          spark.read.parquet(s"$sink/redis.commands").count()
+        } catch { case _: Exception => 0L }
+        if (landed >= 2) { stopFlag.set(true); done = true }
+      }
+      stopFlag.set(true)
+    }, "cluster-lane-stopper")
+    stopper.start()
+    val report = LiveCdc.runResident(spark, task, taskDir,
+      stop = () => stopFlag.get(),
+      dialOverride = Some(() => seedWire()), triggerMs = 100L,
+      dialNodeOverride = Some(dialNode))
+    stopper.join()
+
+    // both shards' RDB entries and tails landed in the shared tables
+    val snap = spark.read.parquet(s"$sink/redis.snapshot")
+      .collect().map(r => (r.getAs[String]("key"),
+        r.getAs[String]("value"))).toSet
+    assert(snap == Set(("bar", "bar-v"), ("foo", "foo-v")))
+    val cmds = spark.read.parquet(s"$sink/redis.commands")
+      .collect().map(_.getAs[String]("argv").split(" ")(1)).toSet
+    assert(cmds == Set("bar2", "foo2"))
+    assert(report.tables.toMap.values.sum == 4L)
+    // per-node resume positions persisted under repl_id.<nodeId>
+    val persisted = graft.transport.PumpPositions.read(taskDir)
+    assert(persisted.get(s"repl_id.$idA").contains(idA))
+    assert(persisted.get(s"repl_id.$idB").contains(idB))
+    assert(persisted(s"repl_offset.$idA").toLong >=
+      100L + resp("SET", "bar2", "t").length)
+  }
+
   test("redis landing marks consumed segments with O(1) marker files " +
       "and honors a pre-round-13 consumed.log") {
     def ascii(x: String): Array[Byte] = x.getBytes("ascii")

@@ -134,6 +134,42 @@ class MongoTransportSpec extends AnyFunSuite {
     assert(lines(2).contains("\"_data\":\"tok3\""))
   }
 
+  test("max_segment_secs: a quiet stream's captured events publish " +
+      "within the knob's window (empty getMore replies drive the " +
+      "time-based rotation), and empty segments never publish") {
+    var now = 0L
+    val clock = () => { now += 600L; now }
+    val wire = new FakeWire
+    wire.serve(reply(Seq(okDouble))) // hello (no auth)
+    wire.serve(cursorReply(77L, "firstBatch", Seq(
+      changeDoc("tok1", "insert", "1", "a"))))
+    // the stream goes QUIET: empty heartbeat batches, cursor open
+    (1 to 4).foreach(_ =>
+      wire.serve(cursorReply(77L, "nextBatch", Nil)))
+    wire.serve(cursorReply(0L, "nextBatch", Nil)) // session end
+
+    val inner = new MemorySegmentStore
+    val published = scala.collection.mutable.ArrayBuffer[String]()
+    val store = new SegmentStore {
+      override def append(n: String, b: Array[Byte]): Unit =
+        inner.append(n, b)
+      override def names: Seq[String] = inner.names
+      override def bytesOf(n: String): Array[Byte] = inner.bytesOf(n)
+      override def publish(n: String): Unit = { published += n }
+      override def discard(n: String): Unit = inner.discard(n)
+    }
+    val pump = new MongoChangeStreamPump(
+      MongoChangeStreamPump.Config(
+        maxSegmentSecs = 1L, clockMs = clock), store, () => wire)
+    pump.runSession()
+    // the lone captured doc's segment rotated out on TIME (not 64 MB,
+    // not wind-down) — exactly once; the empty successor never
+    // published and never burned bytes
+    assert(published.toSeq == Seq("changestream.000001.log"))
+    assert(pump.publishedToken.contains("tok1"))
+    assert(inner.names == Seq("changestream.000001.log"))
+  }
+
   test("reconnect re-watches with resumeAfter at the tracked token") {
     val wire1 = new FakeWire
     wire1.serve(reply(Seq(okDouble))) // hello

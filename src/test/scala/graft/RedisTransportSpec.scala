@@ -267,6 +267,46 @@ class RedisTransportSpec extends AnyFunSuite {
     assert(got.commands.map(_._1) == Seq(Seq("SET", "a", "1")))
   }
 
+  test("max_segment_secs: a low-volume tail rotates (publishes) on " +
+      "the clock, the successor segment is independently decodable " +
+      "via its +CONTINUE header") {
+    var now = 0L
+    val clock = () => { now += 600L; now }
+    val rdb = rdbImage
+    val set1 = cmd("SET", "a", "1")
+    val set2 = cmd("SET", "b", "2")
+    val wire = new FakeWire
+    serveHandshake(wire)
+    wire.serve(ascii(s"+FULLRESYNC $ReplId 100\r\n"))
+    wire.serve(ascii(s"$$${rdb.length}\r\n"))
+    wire.serve(rdb)
+    wire.serve(set1)
+    wire.serve(set2)
+    val store = new MemorySegmentStore
+    val pump = new RedisReplicationPump(
+      RedisReplicationPump.Config(
+        ackEveryBytes = Long.MaxValue,
+        keepaliveIntervalSecs = 3600L, // isolate the rotation clock
+        maxSegmentSecs = 1L, clockMs = clock),
+      store, () => wire)
+    intercept[java.io.EOFException](pump.runSession())
+    // the 600 ms/step clock crosses the 1 s window between commands:
+    // segment 1 published mid-session with the RDB + first command;
+    // the rotated successor starts at a +CONTINUE line and decodes on
+    // its own with the second command
+    val names = store.names
+    assert(names.contains("psync.000001.log") &&
+      names.contains("psync.000002.log"), s"segments: $names")
+    val got1 = RedisPsync.decode(store.bytesOf("psync.000001.log"))
+    assert(got1.snapshot.map(_.key) == Seq("k1"))
+    assert(got1.commands.map(_._1) == Seq(Seq("SET", "a", "1")))
+    val got2 = RedisPsync.decode(store.bytesOf("psync.000002.log"))
+    assert(got2.partial)
+    assert(got2.commands.map(_._1).contains(Seq("SET", "b", "2")))
+    // the published position advanced to cover the rotated segment
+    assert(pump.publishedPosition._2 >= 100L + set1.length)
+  }
+
   test("cluster dial: CLUSTER NODES discovery fans one PSYNC pump " +
       "per master into node-prefixed segments with slot attribution") {
     val idA = "a" * 40
@@ -352,6 +392,128 @@ class RedisTransportSpec extends AnyFunSuite {
     assert(sentA.contains(idA) &&
       sentA.contains((byNode(idA)._2 + 1).toString))
     assert(store.names.count(_.startsWith("aaaaaaaa.")) == 2)
+  }
+
+  test("cluster RESIDENT: one supervised pump per master runs " +
+      "concurrently, a mid-run master drop is re-dialed with partial " +
+      "resync, and the landing composes identically to a drain") {
+    val idA = "a" * 40
+    val idB = "b" * 40
+    val topology =
+      s"""$idA 10.0.0.1:6379@16379 master - 0 0 1 connected 0-8191
+         |$idB 10.0.0.2:6379@16379 master - 0 0 2 connected 8192-16383
+         |""".stripMargin
+    def seedWire(): FakeWire = {
+      val w = new FakeWire
+      w.serve(ascii(s"$$${topology.getBytes("UTF-8").length}\r\n"))
+      w.serve(ascii(topology))
+      w.serve(ascii("\r\n"))
+      w
+    }
+    val rdb = rdbImage
+    def fullWire(replId: String, key: String): FakeWire = {
+      val w = new FakeWire
+      serveHandshake(w)
+      w.serve(ascii(s"+FULLRESYNC $replId 100\r\n"))
+      w.serve(ascii(s"$$${rdb.length}\r\n"))
+      w.serve(rdb)
+      w.serve(cmd("SET", key, "v"))
+      w
+    }
+    // master A drops after its first tail command; the RE-DIAL is
+    // answered with a partial resync continuing the stream
+    def contWire(replId: String, key: String): FakeWire = {
+      val w = new FakeWire
+      serveHandshake(w)
+      w.serve(ascii(s"+CONTINUE $replId\r\n"))
+      w.serve(cmd("SET", key, "v2"))
+      w
+    }
+    // keys chosen on the owning shards: "bar" → slot 5061 (A's
+    // 0-8191), "foo" → 12182 (B's 8192-16383)
+    val nodeWires = Map(
+      "10.0.0.1:6379" -> scala.collection.mutable.Queue(
+        fullWire(idA, "bar"), contWire(idA, "bar")),
+      "10.0.0.2:6379" -> scala.collection.mutable.Queue(
+        fullWire(idB, "foo")))
+    def dialNode(addr: String): Wire = nodeWires.synchronized {
+      val q = nodeWires(addr)
+      if (q.nonEmpty) q.dequeue() else new FakeWire
+    }
+
+    val captureDir = java.nio.file.Files
+      .createTempDirectory("cluster-res").toString
+    val positions =
+      scala.collection.concurrent.TrieMap[String, (String, Long)]()
+    val offA = 100L + cmd("SET", "bar", "v").length +
+      cmd("SET", "bar", "v2").length
+    val offB = 100L + cmd("SET", "foo", "v").length
+    val stop = () => positions.get(idA).exists(_._2 >= offA) &&
+      positions.get(idB).exists(_._2 >= offB)
+    val pump = new RedisClusterPump(
+      RedisClusterPump.Config(maxReconnects = 50, baseBackoffMs = 1,
+        maxBackoffMs = 5),
+      new FsSegmentStore(captureDir), () => seedWire(), dialNode)
+    pump.runResident(stop, positions,
+      newStore = () => new FsSegmentStore(captureDir), pollMs = 50L)
+
+    // per-node published positions advanced past BOTH of A's sessions
+    assert(positions(idA)._1 == idA && positions(idA)._2 >= offA)
+    assert(positions(idB)._2 >= offB)
+    // the re-dial asked for a PARTIAL resync (the CONTINUE wire was
+    // consumed) — supervision resumed, not re-dumped
+    assert(nodeWires("10.0.0.1:6379").isEmpty)
+
+    // the capture composes with slot attribution identical to a
+    // sequential drain of the same streams
+    val nodes = graft.sources.RedisClusterPsync
+      .parseClusterNodes(topology)
+    val names = graft.infra.Fs.listNames(captureDir)
+      .filter(_.endsWith(".log")).sorted
+    assert(names.count(_.startsWith("aaaaaaaa.")) >= 2)
+    assert(names.count(_.startsWith("bbbbbbbb.")) >= 1)
+    val shards = names.map { n =>
+      val node = if (n.startsWith("aaaaaaaa.")) nodes.find(_.id == idA)
+        else nodes.find(_.id == idB)
+      (node.get, graft.infra.Fs.readAllBytes(s"$captureDir/$n"))
+    }
+    val sets = graft.sources.RedisClusterPsync.compose(shards)
+      .filter(_.cmd == "SET")
+    assert(sets.map(e => (e.key, e.nodeId)) ==
+      Seq(("bar", idA), ("bar", idA), ("foo", idB)) ||
+      sets.map(e => (e.key, e.nodeId)).sortBy(_._2) ==
+      Seq(("bar", idA), ("bar", idA), ("foo", idB)))
+    assert(sets.forall(_.owned))
+  }
+
+  test("cluster RESIDENT with an unreachable auth surfaces the error " +
+      "when NO shard made progress") {
+    val idA = "a" * 40
+    val topology =
+      s"$idA 10.0.0.1:6379@16379 master - 0 0 1 connected 0-16383\n"
+    def seedWire(): FakeWire = {
+      val w = new FakeWire
+      w.serve(ascii(s"$$${topology.getBytes("UTF-8").length}\r\n"))
+      w.serve(ascii(topology))
+      w.serve(ascii("\r\n"))
+      w
+    }
+    val captureDir = java.nio.file.Files
+      .createTempDirectory("cluster-err").toString
+    val deadline = System.currentTimeMillis() + 2000
+    val e = intercept[Throwable] {
+      new RedisClusterPump(
+        RedisClusterPump.Config(maxReconnects = 1, baseBackoffMs = 1,
+          maxBackoffMs = 2),
+        new FsSegmentStore(captureDir), () => seedWire(),
+        _ => new FakeWire) // every node dial dies with zero progress
+        .runResident(() => System.currentTimeMillis() > deadline,
+          scala.collection.concurrent.TrieMap.empty,
+          newStore = () => new FsSegmentStore(captureDir),
+          pollMs = 20L)
+    }
+    assert(e.isInstanceOf[java.io.IOException] ||
+      e.isInstanceOf[java.io.EOFException])
   }
 
   test("handshake failures surface: bad AUTH, non-PONG ping") {

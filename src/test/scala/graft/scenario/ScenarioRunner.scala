@@ -261,6 +261,12 @@ object ScenarioRunner {
     src.applyAll(prepStmts)
     src.applyAll(testStmts)
 
+    // LIVE-url scenarios ([extractor] url=mysql://…) run the WHOLE
+    // task-manager lane — dial, pump, capture, stream, compact, land —
+    // over a scripted wire synthesized from the same SQL fixtures
+    if (graft.config.LiveCdc.isLiveUrl(task.sourceDir))
+      return runLiveMysql(spark, dir, ini, task, src)
+
     // two-way scenarios (task_config_back.ini present) are their own
     // flow: A→B→A with data markers
     if (Files.exists(dir.resolve("task_config_back.ini")))
@@ -2055,6 +2061,157 @@ object ScenarioRunner {
     require(perTable.nonEmpty, "check scenario matched no tables")
     Result(perTable.size,
       perTable.map(_._2._2.size.toLong).sum, perTable.toMap)
+  }
+
+  /** A live-mysql scenario: the INI's url names a server, so the run
+    * goes through TaskManager → LiveCdc — dial + handshake (including
+    * the `?ssl-mode=` state machine against a server whose greeting
+    * does NOT advertise CLIENT_SSL), binlog dump pump, capture
+    * segments, ChangelogSource micro-batches, single-pass landing,
+    * LSM compaction, flat publish. `resident=true` scenarios run the
+    * deployment posture with a BOUNDED drain: a watcher requests stop
+    * once the landed state reaches the expected row count (the
+    * task-manager stop file, the same lever an operator pulls).
+    *
+    * Oracle: the interpreted source's end state, rendered to the
+    * landed (key, payload) contract — key = the task's id_cols values
+    * `|`-joined, payload = sorted `col=value` pairs — compared per
+    * routed table against the published flat parquet.
+    */
+  private def runLiveMysql(spark: SparkSession, dir: Path, ini: String,
+      task: TaskConfig.Task, src: SourceState): Result = {
+    require(task.sourceDir.startsWith("mysql://"),
+      s"live scenarios cover the mysql:// lane: ${task.sourceDir}")
+    val binlog = WireFidelity.mysqlBinlogBytes(src)
+
+    // ---- the scripted server: greeting (caps WITHOUT CLIENT_SSL, so
+    // ssl-mode=preferred lawfully continues in plaintext and
+    // ssl-mode=disabled never asks), auth OK, three command OKs, then
+    // the dump events; resident sessions end in a wire drop (a live
+    // tail never EOFs), drain-once ends at the EOF packet
+    def packet(seq: Int, payload: Array[Byte]): Array[Byte] =
+      Array[Byte]((payload.length & 0xff).toByte,
+        ((payload.length >> 8) & 0xff).toByte,
+        ((payload.length >> 16) & 0xff).toByte, seq.toByte) ++ payload
+    val scramble = Array.tabulate[Byte](20)(_.toByte)
+    def handshakePayload: Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(10)
+      out.write("8.0.36-scenario".getBytes("UTF-8")); out.write(0)
+      out.write(Array[Byte](7, 0, 0, 0))
+      out.write(scramble.take(8)); out.write(0)
+      out.write(Array[Byte](0xff.toByte, 0xf7.toByte)) // no CLIENT_SSL
+      out.write(45)
+      out.write(Array[Byte](2, 0))
+      out.write(Array[Byte](0x08, 0x00))
+      out.write(21)
+      out.write(new Array[Byte](10))
+      out.write(scramble.drop(8)); out.write(0)
+      out.write("mysql_native_password".getBytes("UTF-8"))
+      out.write(0)
+      out.toByteArray
+    }
+    def eventsOf(bytes: Array[Byte]): Seq[Array[Byte]] = {
+      var p = 4
+      val out = Seq.newBuilder[Array[Byte]]
+      while (p < bytes.length) {
+        val len = (bytes(p + 9) & 0xff) |
+          ((bytes(p + 10) & 0xff) << 8) |
+          ((bytes(p + 11) & 0xff) << 16) |
+          ((bytes(p + 12) & 0xff) << 24)
+        out += bytes.slice(p, p + len)
+        p += len
+      }
+      out.result()
+    }
+    val resident = task.source.resident
+    def dumpWire(): graft.transport.FakeWire = {
+      val wire = new graft.transport.FakeWire
+      wire.serve(packet(0, handshakePayload))
+      wire.serve(packet(2, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+      wire.serve(packet(1, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+      wire.serve(packet(1, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+      eventsOf(binlog).zipWithIndex.foreach { case (e, i) =>
+        wire.serve(packet(i + 1, Array[Byte](0x00) ++ e))
+      }
+      if (!resident)
+        wire.serve(packet(9999 & 0xff, // sentinel seq, server EOF
+          Array[Byte](0xfe.toByte, 0, 0, 2, 0)))
+      wire
+    }
+    val first = scala.collection.mutable.Queue[graft.transport.Wire](
+      dumpWire())
+    def nextWire(): graft.transport.Wire = first.synchronized {
+      if (first.nonEmpty) first.dequeue()
+      else new graft.transport.FakeWire // reconnects: empty server
+    }
+
+    // ---- expected landed state from the interpreted source
+    val keyCols = task.keysByTable.values.flatten.toSeq.distinct
+    def esc(s: String): String = s.replace("\\", "\\\\")
+      .replace("\t", "\\t").replace("\n", "\\n")
+    val expected: Map[String, Seq[Map[String, Value]]] =
+      src.defs.keys.toSeq
+        .filter { case (db, tb) => task.filter.allowTable(db, tb) }
+        .map { case (db, tb) =>
+          val (rdb, rtb) = task.router.routeTable(db, tb)
+          val d = src.defs((db, tb))
+          // the decoded row image carries EVERY column (nulls render
+          // as `col=`), alphabetically — mirror toSegmentLines
+          val rows = src.rows((db, tb)).toSeq.map { r =>
+            Map[String, Value](
+              "key" -> esc(keyCols.map(c =>
+                Option(r.getOrElse(c, null)).getOrElse(""))
+                .mkString("|")),
+              "payload" -> d.cols.sorted.map(c =>
+                s"$c=${Option(r.getOrElse(c, null)).map(esc)
+                  .getOrElse("")}").mkString(","))
+          }
+          s"$rdb.$rtb" -> rows
+        }.toMap
+
+    // ---- run through the task manager (the INI surface end to end)
+    val stateDir = Files.createTempDirectory("live-scn-state").toString
+    val sinkDir = Files.createTempDirectory("live-scn-sink").toString
+    val name = dir.getFileName.toString
+    graft.config.TaskManager.create(stateDir, name,
+      ini.replace("url=fixture://dst", s"url=$sinkDir"))
+    val stopper: Option[Thread] = if (!resident) None else Some {
+      val t = new Thread(() => {
+        val wantRows = expected.values.map(_.size.toLong).sum
+        val deadline = System.currentTimeMillis() + 60000
+        var done = false
+        while (!done && System.currentTimeMillis() < deadline) {
+          Thread.sleep(250)
+          val landed = expected.keys.toSeq.map { t0 =>
+            try graft.sinks.LandedTable.read(spark, s"$sinkDir/$t0")
+              .count()
+            catch { case _: Exception => 0L }
+          }.sum
+          if (landed >= wantRows) done = true
+        }
+        Files.writeString(
+          Paths.get(stateDir, name, "stop.requested"), "stop"): Unit
+      }, s"live-scn-stopper-$name")
+      t.start(); t
+    }
+    val meta = graft.config.TaskManager.start(spark, stateDir, name,
+      liveDial = Some(() => nextWire()))
+    stopper.foreach(_.join())
+    require(meta.status == "finished",
+      s"live scenario $name did not finish: ${meta.error}")
+
+    // ---- compare the published flat face per routed table
+    val perTable = expected.map { case (t0, want) =>
+      val got = spark.read.parquet(s"$sinkDir/$t0").collect().toSeq
+        .map(r => Map[String, Value](
+          "key" -> r.getAs[String]("key"),
+          "payload" -> r.getAs[String]("payload")))
+      compareStates(t0, want, got)
+      t0 -> (want, got)
+    }
+    Result(perTable.size,
+      perTable.values.map(_._2.size.toLong).sum, perTable)
   }
 
   private[scenario] def compareStates(label: String,

@@ -147,24 +147,16 @@ object WireFidelity {
     * the 1-based ROW-event ordinal, so the expected survivor list is
     * derivable from the synthesized stream and asserted.
     */
-  def mysqlRoundTrip(src: SourceState,
-      gtidSet: Option[String] = None): Seq[Event] = {
+  /** The binlog v4 byte stream a server would emit for the
+    * synthesized source — the shared encode half of the round-trip
+    * and the LIVE-scenario wire body (ScenarioRunner serves these
+    * bytes over a scripted dump session).
+    */
+  def mysqlBinlogBytes(src: SourceState): Array[Byte] =
+    encodeMysql(src).bytes()
+
+  private def encodeMysql(src: SourceState): MysqlBinlogWriter = {
     val all = src.events.toSeq
-    val done = gtidSet.map(graft.meta.GtidSet.parse)
-    val want =
-      if (done.isEmpty) all
-      else {
-        // drop row events whose gno (1-based row ordinal) the set
-        // contains; DDL rides Query events without a gtid and stays
-        var gno = 0L
-        all.filter { e =>
-          if (e.rowType == "ddl") true
-          else {
-            gno += 1
-            !done.get.contains(s"$EncoderUuid:$gno")
-          }
-        }
-      }
     val w = new MysqlBinlogWriter()
     w.fde()
     val defs = mutable.LinkedHashMap[(String, String), TableDef]()
@@ -212,12 +204,39 @@ object WireFidelity {
         else body(w)
         // a server rotates binlog files mid-stream; every fifth txn a
         // Rotate event switches the decoder's file context (position
-        // bookkeeping rides it — toChangeEvents tracks the filename)
-        if (gno % 5 == 0)
+        // bookkeeping rides it — toChangeEvents tracks the filename).
+        // A real server opens the NEXT file with its own FDE — and
+        // the live pump cuts capture segments at rotate boundaries,
+        // so the FDE is what makes a post-rotate segment
+        // independently decodable
+        if (gno % 5 == 0) {
           w.rotate(4L, f"binlog.${gno / 5 + 1}%06d")
+          w.fde()
+        }
       }
     }
+    w
+  }
 
+  def mysqlRoundTrip(src: SourceState,
+      gtidSet: Option[String] = None): Seq[Event] = {
+    val all = src.events.toSeq
+    val done = gtidSet.map(graft.meta.GtidSet.parse)
+    val want =
+      if (done.isEmpty) all
+      else {
+        // drop row events whose gno (1-based row ordinal) the set
+        // contains; DDL rides Query events without a gtid and stays
+        var gno = 0L
+        all.filter { e =>
+          if (e.rowType == "ddl") true
+          else {
+            gno += 1
+            !done.get.contains(s"$EncoderUuid:$gno")
+          }
+        }
+      }
+    val w = encodeMysql(src)
     // ---- decode walk: the extractor loop (TableMap cache → row
     // images; Query → DDL), values folded back to fixture canonicals
     val decoded = mutable.ArrayBuffer[Event]()
