@@ -157,7 +157,8 @@ object LiveCdc {
     // no PumpPositions here: PG's durable resume position is the
     // slot's confirmed_flush_lsn, which the pump re-reads per connect
     val pump = new graft.transport.PgReplicationPump(
-      LiveDial.pgConfig(task.sourceDir, slot),
+      LiveDial.pgConfig(task.sourceDir, slot)
+        .copy(maxSegmentSecs = task.source.maxSegmentSecs),
       new BeaconStore(store, onProgress),
       dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
     val frames = drainSession(pump, () => pump.framesAppended)
@@ -764,7 +765,8 @@ object LiveCdc {
     val slot = task.slot.getOrElse(
       graft.sources.PgSlotLifecycle.SlotConfig("graft_slot"))
     val pump = new graft.transport.PgReplicationPump(
-      LiveDial.pgConfig(task.sourceDir, slot),
+      LiveDial.pgConfig(task.sourceDir, slot)
+        .copy(maxSegmentSecs = task.source.maxSegmentSecs),
       new BeaconStore(store, onProgress),
       dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
     // no persistTick: PG's durable position is the server-side slot,

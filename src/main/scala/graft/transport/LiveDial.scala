@@ -99,6 +99,7 @@ object LiveDial {
       gtidEnabled = src.gtidEnabled,
       gtidSet = src.gtidSet.getOrElse(""),
       heartbeatPeriodSecs = src.binlogHeartbeatIntervalSecs.toLong,
+      maxSegmentSecs = src.maxSegmentSecs,
       sslMode = ep.sslMode)
   }
 

@@ -251,17 +251,47 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
       case 0x1b => () // server heartbeat: keep the wire warm, not data
       case _ =>
         if (currentFile.isEmpty) currentFile = "binlog.000001"
-        // every segment leads with the binlog magic so each file is
-        // independently decodable (mid-file resumes included)
+        // every segment leads with the binlog magic — and, for a
+        // segment cut mid-file, a REPLAY of the stream's FDE (the
+        // decoder's checksum/layout discovery rides it; the PG pump
+        // re-emits cached Relation frames for the same reason) — so
+        // each file is independently decodable, mid-file resumes
+        // included
         if (!segmentStarted) {
           store.append(currentSegment(), Magic)
           segmentStarted = true
+          segmentBytes = Magic.length.toLong
+          segmentStartMs = cfg.clockMs()
+          if (fdeEvent != null && eventType != 0x0f) {
+            store.append(currentSegment(), fdeEvent)
+            segmentBytes += fdeEvent.length
+          }
         }
+        if (eventType == 0x0f) fdeEvent = event
         store.append(currentSegment(), event)
+        segmentBytes += event.length
         if (logPos > 0) currentPos = logPos
         if (eventType == 0x21) trackGtid(event) // GTID_LOG_EVENT
+        // mid-file rotation at TRANSACTION boundaries (after Xid):
+        // server binlog files run to gigabytes, so rotating only at
+        // server file boundaries leaves a resident lane's events
+        // unpublished (hence unlanded) for the life of the file. A
+        // txn boundary is the safe cut — the server re-sends
+        // TableMaps per transaction and the FDE replays above, so
+        // the successor segment is self-describing.
+        if (eventType == 0x10) {
+          val timeUp = cfg.maxSegmentSecs > 0 &&
+            cfg.clockMs() - segmentStartMs >=
+              cfg.maxSegmentSecs * 1000L
+          if (segmentBytes >= cfg.maxSegmentBytes || timeUp) rotate()
+        }
     }
   }
+
+  /** The stream's FormatDescription event, replayed at the head of
+    * every mid-file-cut segment (checksum/layout discovery).
+    */
+  private var fdeEvent: Array[Byte] = null
 
   private var checksumAlg = 0
 
@@ -293,6 +323,8 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
     */
   private var segmentIndex = SegmentNames.lastIndex(store, "binlog")
   private var segmentStarted = false
+  private var segmentBytes = 0L
+  private var segmentStartMs = 0L
 
   private def currentSegment(): String = f"binlog.$segmentIndex%06d.log"
 
@@ -336,6 +368,14 @@ object MysqlReplicationPump {
       serverId: Long = 200, binlogFilename: String = "",
       binlogPosition: Long = 4L, gtidEnabled: Boolean = false,
       gtidSet: String = "", heartbeatPeriodSecs: Long = 10L,
+      /** Mid-file segment rotation (transaction-boundary cuts): by
+        * size, and by age when `max_segment_secs` > 0 — bounds a
+        * resident lane's landing latency against multi-GB server
+        * binlog files.
+        */
+      maxSegmentBytes: Long = 512L * 1024 * 1024,
+      maxSegmentSecs: Long = 0L,
+      clockMs: () => Long = () => System.currentTimeMillis(),
       maxReconnects: Int = 10,
       baseBackoffMs: Long = 500L, maxBackoffMs: Long = 60000L,
       /** `?ssl-mode=` from the connection URL (default: plaintext). */

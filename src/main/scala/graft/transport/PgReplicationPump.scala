@@ -248,12 +248,20 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
               if (endLsn > flushedLsn) flushedLsn = endLsn
               appended += 1; framesAppended += 1; sinceAck += 1
               if (!inTxn && (sinceAck >= cfg.ackEveryFrames ||
-                  segmentBytes >= cfg.maxSegmentBytes)) {
+                  segmentBytes >= cfg.maxSegmentBytes || segmentAged)) {
                 rotate()
                 ack(wire, replyRequested = false); sinceAck = 0
               }
             case 'k' =>
               appendFrame(body) // decoder skips it
+              // max_segment_secs on the QUIET path: server keepalives
+              // tick every wal_sender_timeout/2 even with no data, so
+              // an aged segment publishes on a bounded cadence instead
+              // of waiting for the next data frame
+              if (!inTxn && segmentAged) {
+                rotate()
+                ack(wire, replyRequested = false); sinceAck = 0
+              }
               val replyRequested = body.length >= 18 && body(17) == 1
               if (replyRequested) {
                 // a keepalive may arrive mid-txn: ack what is durable
@@ -286,9 +294,18 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
   }
 
   private var segmentStarted = false
+  private var segmentStartMs = 0L
+
+  /** `max_segment_secs`: the open segment is non-empty and older than
+    * the knob (0 = size/frame-count rotation only).
+    */
+  private def segmentAged: Boolean =
+    cfg.maxSegmentSecs > 0 && segmentBytes > 0 &&
+      cfg.clockMs() - segmentStartMs >= cfg.maxSegmentSecs * 1000L
 
   private def appendFrame(body: Array[Byte]): Unit = {
     if (!segmentStarted) {
+      segmentStartMs = cfg.clockMs()
       // self-describing segments: replay the cached Relations first
       // (skip if THIS frame is one of them — it describes itself)
       relationFrames.values.foreach { rf =>
@@ -341,6 +358,12 @@ object PgReplicationPump {
       database: String, slot: PgSlotLifecycle.SlotConfig,
       ackEveryFrames: Int = 64,
       maxSegmentBytes: Long = 64L * 1024 * 1024,
+      /** `[extractor] max_segment_secs` (0 = off) — bounds a quiet
+        * stream's landing latency in resident mode.
+        */
+      maxSegmentSecs: Long = 0L,
+      /** Clock seam so specs drive the time-based rotation. */
+      clockMs: () => Long = () => System.currentTimeMillis(),
       maxReconnects: Int = 10, baseBackoffMs: Long = 500L,
       maxBackoffMs: Long = 60000L,
       /** `?sslmode=` from the connection URL (default: plaintext). */

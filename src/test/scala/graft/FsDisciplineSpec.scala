@@ -29,6 +29,8 @@ class FsDisciplineSpec extends AnyFunSuite {
       "driver gate main: local outDir contract with the test driver",
     "Bench.scala" ->
       "driver bench main: local result JSON",
+    "LanderDrill.scala" ->
+      "driver bench main: local temp table dirs it drills against",
     "TaskCli.scala" ->
       "CLI entry: local task dirs on the operator's machine",
     "config/TaskConfig.scala" ->

@@ -147,6 +147,57 @@ class MysqlTransportSpec extends AnyFunSuite {
       "12345678-1234-1234-1234-123456789abc:7")
   }
 
+  test("mid-file rotation cuts at TRANSACTION boundaries on size/" +
+      "time: a resident lane's events publish without waiting for a " +
+      "server file boundary, and each cut segment decodes alone") {
+    var now = 0L
+    val clock = () => { now += 1100L; now }
+    val w = new MysqlBinlogWriter(serverId = 1L)
+    w.fde()
+    (1 to 2).foreach { i =>
+      w.begin("app")
+      w.tableMap(11L, "app", "t", Types, Meta,
+        nullable = Seq(false, true), colNames = Seq("id", "v"))
+      w.writeRows(11L, Seq(Array(i.toString, s"v$i")))
+      w.xid(i.toLong)
+    }
+    val wire = new FakeWire
+    serveSession(wire, eventsOf(w.bytes()))
+    val store = new MemorySegmentStore
+    val pump = new MysqlReplicationPump(
+      MysqlReplicationPump.Config("repl", "secret_pw",
+        binlogFilename = "binlog.000001",
+        maxSegmentSecs = 1L, clockMs = clock),
+      store, () => wire)
+    pump.runSession()
+    // the 1.1 s/step clock crosses the window inside each txn: every
+    // Xid cut a segment — both cuts published MID-SESSION (no server
+    // Rotate event anywhere in the stream)
+    assert(store.names ==
+      Seq("binlog.000001.log", "binlog.000002.log"))
+    store.names.zipWithIndex.foreach { case (seg, i) =>
+      val decoded = MysqlBinlog.decodeFile(store.bytesOf(seg),
+        "binlog.000001")
+      assert(decoded.map(_.after.get("id").orNull) ==
+        Seq((i + 1).toString), s"$seg decoded $decoded")
+    }
+    assert(pump.publishedPosition._2 > 4L)
+
+    // size arm: a tiny cap cuts at every txn too (never mid-txn)
+    val wire2 = new FakeWire
+    serveSession(wire2, eventsOf(w.bytes()))
+    val store2 = new MemorySegmentStore
+    new MysqlReplicationPump(
+      MysqlReplicationPump.Config("repl", "secret_pw",
+        binlogFilename = "binlog.000001", maxSegmentBytes = 10L),
+      store2, () => wire2).runSession()
+    assert(store2.names.size == 2)
+    store2.names.foreach { seg =>
+      assert(MysqlBinlog.decodeFile(store2.bytesOf(seg),
+        "binlog.000001").size == 1)
+    }
+  }
+
   test("rotate switches segment files; both decode independently") {
     val w1 = new MysqlBinlogWriter(serverId = 1L)
     w1.fde()

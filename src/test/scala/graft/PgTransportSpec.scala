@@ -397,6 +397,48 @@ class PgTransportSpec extends AnyFunSuite {
     }
   }
 
+  test("max_segment_secs: a quiet stream's captured txn publishes on " +
+      "a keepalive tick instead of waiting for the next data frame") {
+    var now = 0L
+    val clock = () => { now += 700L; now }
+    val wire = new FakeWire
+    wire.serve(authOk)
+    wire.serve(readyForQuery)
+    wire.serve(queryReply(Seq("pubname"), Seq(Seq("p"))))
+    wire.serve(queryReply(Seq("slot_name", "confirmed_flush_lsn"),
+      Seq(Seq("graft_slot", "0/16000000"))))
+    wire.serve(queryReply(Nil, Nil))
+    wire.serve(queryReply(Nil, Nil))
+    wire.serve(copyBoth)
+    val cols = Seq(
+      PgOutput.RelColumn("id", keyPart = true, typeOid = 20,
+        typeMod = -1),
+      PgOutput.RelColumn("v", false, 25, -1))
+    val w = new PgOutputWriter()
+    w.begin(0x16000100L, 0L, 1L)
+    w.relation(16385L, "app", "t", 'd', cols)
+    w.insert(16385L, Array("1", "a"))
+    w.commit(0x16000100L, 0x16000200L, 0L)
+    // …then the stream goes QUIET: only server keepalives arrive
+    (1 to 3).foreach(_ => w.keepalive(replyRequested = false))
+    wire.serve(w.bytes())
+    wire.serve(message('c', Array.emptyByteArray))
+
+    val store = new MemorySegmentStore
+    // frame/size thresholds unreachable — only the time arm can fire
+    val pump = new PgReplicationPump(
+      PgReplicationPump.Config("u", "p", "db", slotCfg,
+        ackEveryFrames = 1000, maxSegmentSecs = 1L, clockMs = clock),
+      store, () => wire)
+    pump.runSession()
+    // the txn's segment published on a keepalive tick: MORE than one
+    // segment exists only if the quiet tail also aged out — the key
+    // claim is that segment 1 holds the committed txn and decodes
+    assert(store.names.nonEmpty)
+    val events = PgOutput.decodeFile(store.bytesOf(store.names.head))
+    assert(events.map(_.after("id")) == Seq("1"))
+  }
+
   test("a NEW pump instance over an existing capture dir continues " +
       "segment numbering — restarts never reuse a published name") {
     val dir = java.nio.file.Files

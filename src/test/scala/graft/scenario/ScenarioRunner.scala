@@ -2078,23 +2078,154 @@ object ScenarioRunner {
     * `|`-joined, payload = sorted `col=value` pairs — compared per
     * routed table against the published flat parquet.
     */
-  private def runLiveMysql(spark: SparkSession, dir: Path, ini: String,
-      task: TaskConfig.Task, src: SourceState): Result = {
-    require(task.sourceDir.startsWith("mysql://"),
-      s"live scenarios cover the mysql:// lane: ${task.sourceDir}")
-    val binlog = WireFidelity.mysqlBinlogBytes(src)
+  /** Live two-way (task_config_back.ini beside a live-url config):
+    * A→B runs first over A's synthesized binlog and must WRITE the
+    * data marker at B; then B→A runs over a binlog modeling what a
+    * real B emits — B-local transactions plus the APPLIED A
+    * transaction with the marker insert first (the reference sinker's
+    * in-transaction marker, mysql_sinker.rs:365-389) — and the echo
+    * must be dropped by origin admission: no cycle.
+    */
+  private def runLiveMysqlTwoWay(spark: SparkSession, dir: Path,
+      iniAB: String, taskAB: TaskConfig.Task): Result = {
+    val iniBA = new String(Files.readAllBytes(
+      dir.resolve("task_config_back.ini")), "UTF-8")
+    val taskBA = TaskConfig.fromIni(iniBA, Some(dir))
+    val mAB = taskAB.dataMarker.getOrElse(sys.error(
+      "live two-way scenarios need [data_marker] in task_config.ini"))
+    require(taskBA.dataMarker.exists(_.marker == mAB.marker),
+      "both directions share the marker table")
+    val Array(markerDb, markerTb) = mAB.marker.split("\\.", 2)
 
-    // ---- the scripted server: greeting (caps WITHOUT CLIENT_SSL, so
-    // ssl-mode=preferred lawfully continues in plaintext and
-    // ssl-mode=disabled never asks), auth OK, three command OKs, then
-    // the dump events; resident sessions end in a wire drop (a live
-    // tail never EOFs), drain-once ends at the EOF packet
+    val prepStmts = parseScript(new String(
+      Files.readAllBytes(dir.resolve("src_prepare.sql")), "UTF-8"))
+    val aStmts = parseScript(new String(
+      Files.readAllBytes(dir.resolve("src_test.sql")), "UTF-8"))
+    val bStmts = parseScript(new String(
+      Files.readAllBytes(dir.resolve("dst_test.sql")), "UTF-8"))
+
+    // A's binlog: baseline + A-local txns (every event A-origin)
+    val srcA = new SourceState
+    srcA.applyAll(prepStmts)
+    srcA.applyAll(aStmts)
+    val binlogA = WireFidelity.mysqlBinlogBytes(srcA)
+
+    // B's binlog: B-local txns, then the APPLIED A stream as ONE txn
+    // whose first row is the marker insert naming node A
+    val srcB = new SourceState
+    srcB.applyAll(prepStmts)
+    val baseline = srcB.events.size
+    srcB.applyAll(bStmts)
+    val bLocal = srcB.events.toSeq.drop(baseline)
+    val defs = srcB.defs.toMap
+    val wB = new graft.sources.MysqlBinlogWriter(serverId = 2L)
+    wB.fde()
+    def emitRow(d: TableDef, tableId: Long, e: Event): Unit = {
+      val specs = d.typesOr.map(WireFidelity.mysqlColSpec)
+      wB.tableMap(tableId, d.db, d.tb, specs.map(_._1),
+        specs.map(_._2), nullable = d.cols.map(_ => true),
+        colNames = d.cols, signed = specs.map(_._3))
+      def arr(img: Map[String, Value]): Array[String] =
+        d.cols.map(c => img.getOrElse(c, null)).toArray
+      e.rowType match {
+        case "insert" => wB.writeRows(tableId, Seq(arr(e.after)))
+        case "update" =>
+          wB.updateRows(tableId, Seq((arr(e.before), arr(e.after))))
+        case "delete" => wB.deleteRows(tableId, Seq(arr(e.before)))
+        case other => sys.error(s"unexpected two-way row type $other")
+      }
+    }
+    val tableIds = defs.keys.zipWithIndex
+      .map { case (k, i) => k -> (40L + i) }.toMap
+    wB.begin(markerDb)
+    bLocal.foreach(e => emitRow(defs((e.db, e.tb)),
+      tableIds((e.db, e.tb)), e))
+    wB.xid(1L)
+    // the applied-A txn: marker row FIRST, then A's replayed rows
+    wB.begin(markerDb)
+    val markerCols = Seq(
+      ("topo", "varchar(64)"), ("data_origin_node", "varchar(64)"))
+    val markerSpecs = markerCols.map(c =>
+      WireFidelity.mysqlColSpec(c._2))
+    wB.tableMap(99L, markerDb, markerTb, markerSpecs.map(_._1),
+      markerSpecs.map(_._2), nullable = Seq(false, false),
+      colNames = markerCols.map(_._1),
+      signed = markerSpecs.map(_._3))
+    wB.writeRows(99L, Seq(Array(mAB.topoName, mAB.srcNode)))
+    srcA.events.toSeq.drop(baseline)
+      .foreach(e => emitRow(defs((e.db, e.tb)),
+        tableIds((e.db, e.tb)), e))
+    wB.xid(2L)
+
+    def dumpWireOf(binlog: Array[Byte]): graft.transport.FakeWire =
+      liveDumpWire(binlog, eof = true)
+
+    val stateDir = Files.createTempDirectory("live-2w-state").toString
+    val sinkB = Files.createTempDirectory("live-2w-sinkb").toString
+    val sinkA = Files.createTempDirectory("live-2w-sinka").toString
+    val name = dir.getFileName.toString
+    graft.config.TaskManager.create(stateDir, s"$name-ab",
+      iniAB.replace("url=fixture://dst", s"url=$sinkB"))
+    val metaAB = graft.config.TaskManager.start(spark, stateDir,
+      s"$name-ab",
+      liveDial = Some(() => dumpWireOf(binlogA)))
+    require(metaAB.status == "finished",
+      s"$name A->B failed: ${metaAB.error}")
+    // the lander wrote the origin marker at B (what the reverse
+    // extractor attributes applied rows by)
+    val markers = spark.read.parquet(s"$sinkB/${mAB.marker}")
+      .select("data_origin_node").collect().map(_.getString(0)).toSet
+    require(markers == Set(mAB.srcNode),
+      s"$name marker at B: $markers")
+
+    graft.config.TaskManager.create(stateDir, s"$name-ba",
+      iniBA.replace("url=fixture://dst", s"url=$sinkA"))
+    val metaBA = graft.config.TaskManager.start(spark, stateDir,
+      s"$name-ba",
+      liveDial = Some(() => dumpWireOf(wB.bytes())))
+    require(metaBA.status == "finished",
+      s"$name B->A failed: ${metaBA.error}")
+
+    // end-state compare: B holds A's stream; A holds ONLY B-local
+    // rows (the A-origin echo never crossed back — no cycle)
+    val keyColsAB = taskAB.keysByTable.values.flatten.toSeq.distinct
+    def landedKeys(dirPath: String): Set[String] =
+      if (!graft.infra.Fs.exists(dirPath)) Set.empty
+      else spark.read.parquet(dirPath).collect()
+        .map(_.getAs[String]("key")).toSet
+    val perTable = defs.keys.toSeq.map { case (db, tb) =>
+      val atB = landedKeys(s"$sinkB/$db.$tb")
+      val atA = landedKeys(s"$sinkA/$db.$tb")
+      def keysOf(rows: Iterable[Map[String, Value]]): Set[String] =
+        rows.map(r => keyColsAB.map(c =>
+          Option(r.getOrElse(c, null)).getOrElse(""))
+          .mkString("|")).toSet
+      val wantB = keysOf(srcA.rows((db, tb)))
+      val bOnly = keysOf(bLocal.filter(e => (e.db, e.tb) == (db, tb))
+        .map(_.after))
+      compareStates(s"$db.$tb@B",
+        wantB.toSeq.map(k => Map[String, Value]("key" -> k)),
+        atB.toSeq.map(k => Map[String, Value]("key" -> k)))
+      compareStates(s"$db.$tb@A (echo-free)",
+        bOnly.toSeq.map(k => Map[String, Value]("key" -> k)),
+        atA.toSeq.map(k => Map[String, Value]("key" -> k)))
+      s"$db.$tb" -> (wantB.toSeq.map(k =>
+        Map[String, Value]("key" -> k)),
+        atB.toSeq.map(k => Map[String, Value]("key" -> k)))
+    }
+    Result(perTable.size * 2,
+      perTable.map(_._2._2.size.toLong).sum, perTable.toMap)
+  }
+
+  /** The scripted mysql dump session every live scenario serves. */
+  private def liveDumpWire(binlog: Array[Byte],
+      eof: Boolean): graft.transport.FakeWire = {
     def packet(seq: Int, payload: Array[Byte]): Array[Byte] =
       Array[Byte]((payload.length & 0xff).toByte,
         ((payload.length >> 8) & 0xff).toByte,
         ((payload.length >> 16) & 0xff).toByte, seq.toByte) ++ payload
     val scramble = Array.tabulate[Byte](20)(_.toByte)
-    def handshakePayload: Array[Byte] = {
+    val greeting: Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       out.write(10)
       out.write("8.0.36-scenario".getBytes("UTF-8")); out.write(0)
@@ -2111,36 +2242,47 @@ object ScenarioRunner {
       out.write(0)
       out.toByteArray
     }
-    def eventsOf(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val events = {
       var p = 4
       val out = Seq.newBuilder[Array[Byte]]
-      while (p < bytes.length) {
-        val len = (bytes(p + 9) & 0xff) |
-          ((bytes(p + 10) & 0xff) << 8) |
-          ((bytes(p + 11) & 0xff) << 16) |
-          ((bytes(p + 12) & 0xff) << 24)
-        out += bytes.slice(p, p + len)
+      while (p < binlog.length) {
+        val len = (binlog(p + 9) & 0xff) |
+          ((binlog(p + 10) & 0xff) << 8) |
+          ((binlog(p + 11) & 0xff) << 16) |
+          ((binlog(p + 12) & 0xff) << 24)
+        out += binlog.slice(p, p + len)
         p += len
       }
       out.result()
     }
-    val resident = task.source.resident
-    def dumpWire(): graft.transport.FakeWire = {
-      val wire = new graft.transport.FakeWire
-      wire.serve(packet(0, handshakePayload))
-      wire.serve(packet(2, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
-      wire.serve(packet(1, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
-      wire.serve(packet(1, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
-      eventsOf(binlog).zipWithIndex.foreach { case (e, i) =>
-        wire.serve(packet(i + 1, Array[Byte](0x00) ++ e))
-      }
-      if (!resident)
-        wire.serve(packet(9999 & 0xff, // sentinel seq, server EOF
-          Array[Byte](0xfe.toByte, 0, 0, 2, 0)))
-      wire
+    val wire = new graft.transport.FakeWire
+    wire.serve(packet(0, greeting))
+    wire.serve(packet(2, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+    wire.serve(packet(1, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+    wire.serve(packet(1, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+    events.zipWithIndex.foreach { case (e, i) =>
+      wire.serve(packet(i + 1, Array[Byte](0x00) ++ e))
     }
+    if (eof) wire.serve(packet((events.size + 1) & 0xff,
+      Array[Byte](0xfe.toByte, 0, 0, 2, 0)))
+    wire
+  }
+
+  private def runLiveMysql(spark: SparkSession, dir: Path, ini: String,
+      task: TaskConfig.Task, src: SourceState): Result = {
+    require(task.sourceDir.startsWith("mysql://"),
+      s"live scenarios cover the mysql:// lane: ${task.sourceDir}")
+    if (Files.exists(dir.resolve("task_config_back.ini")))
+      return runLiveMysqlTwoWay(spark, dir, ini, task)
+    val binlog = WireFidelity.mysqlBinlogBytes(src)
+    // the scripted server (liveDumpWire): greeting with caps WITHOUT
+    // CLIENT_SSL, so ssl-mode=preferred lawfully continues in
+    // plaintext and ssl-mode=disabled never asks. A resident session
+    // ends in a wire drop (a live tail never EOFs); drain-once ends
+    // at the EOF packet.
+    val resident = task.source.resident
     val first = scala.collection.mutable.Queue[graft.transport.Wire](
-      dumpWire())
+      liveDumpWire(binlog, eof = !resident))
     def nextWire(): graft.transport.Wire = first.synchronized {
       if (first.nonEmpty) first.dequeue()
       else new graft.transport.FakeWire // reconnects: empty server
