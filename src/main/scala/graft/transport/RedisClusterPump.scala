@@ -99,6 +99,12 @@ final class RedisClusterPump(cfg: RedisClusterPump.Config,
       pollMs: Long = 500L, topologyRefreshMs: Long = 30000L): Unit = {
     val pumps = scala.collection.mutable.Map[
       String, (Thread, RedisReplicationPump)]()
+    // one store per NODE for the whole residency (not per pump
+    // start): a fresh FsSegmentStore per re-fan would leak one spool
+    // temp dir per reconnect of a flapping shard. Safe to reuse —
+    // a node's pump is re-fanned only after its previous thread
+    // fully terminated (isAlive gate below).
+    val stores = scala.collection.mutable.Map[String, SegmentStore]()
     val lastError =
       new java.util.concurrent.atomic.AtomicReference[Throwable](null)
     val drainedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -112,7 +118,8 @@ final class RedisClusterPump(cfg: RedisClusterPump.Config,
           val prefix = node.id.take(8)
           val resume = positions.getOrElse(node.id,
             cfg.resume.getOrElse(node.id, ("", 0L)))
-          val pumpStore = new PrefixedSegmentStore(newStore(), prefix)
+          val pumpStore = stores.getOrElseUpdate(node.id,
+            new PrefixedSegmentStore(newStore(), prefix))
           val pump = new RedisReplicationPump(
             RedisReplicationPump.Config(
               user = cfg.user, password = cfg.password,
