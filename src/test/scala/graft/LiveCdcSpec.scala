@@ -606,6 +606,82 @@ class LiveCdcSpec extends SparkSuite {
       100L + resp("SET", "bar2", "t").length)
   }
 
+  test("a redis cluster DRAIN-ONCE task (is_cluster=true, no " +
+      "resident) drains each master sequentially and persists " +
+      "per-node positions for the next start") {
+    import graft.config.{LiveCdc, TaskConfig}
+    def ascii(x: String): Array[Byte] = x.getBytes("ascii")
+    def resp(args: String*): Array[Byte] =
+      graft.transport.RedisReplicationPump.cmd(args: _*)
+    val idA = "a" * 40
+    val idB = "b" * 40
+    val topology =
+      s"""$idA 10.0.0.1:6379@16379 master - 0 0 1 connected 0-8191
+         |$idB 10.0.0.2:6379@16379 master - 0 0 2 connected 8192-16383
+         |""".stripMargin
+    def seedWire(): graft.transport.Wire = {
+      val w = new FakeWire
+      w.serve(ascii(s"$$${topology.getBytes("UTF-8").length}\r\n"))
+      w.serve(ascii(topology))
+      w.serve(ascii("\r\n"))
+      w
+    }
+    def rdbOf(key: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("REDIS0011".getBytes("ascii"))
+      out.write(0xfe); out.write(0)
+      out.write(0)
+      def str(x: String): Unit = {
+        out.write(x.length & 0x3f); out.write(x.getBytes("utf-8"))
+      }
+      str(key); str(s"$key-v")
+      out.write(0xff)
+      out.toByteArray
+    }
+    def nodeWire(replId: String, rdbKey: String,
+        tailKey: String): FakeWire = {
+      val w = new FakeWire
+      w.serve(ascii("+PONG\r\n"))
+      w.serve(ascii("+OK\r\n"))
+      w.serve(ascii(s"+FULLRESYNC $replId 100\r\n"))
+      val rdb = rdbOf(rdbKey)
+      w.serve(ascii(s"$$${rdb.length}\r\n"))
+      w.serve(rdb)
+      w.serve(resp("SET", tailKey, "t"))
+      w
+    }
+    val wires = Map(
+      "10.0.0.1:6379" -> nodeWire(idA, "bar", "bar2"),
+      "10.0.0.2:6379" -> nodeWire(idB, "foo", "foo2"))
+    val sink = java.nio.file.Files
+      .createTempDirectory("cluster-drain-sink").toString
+    val taskDir = java.nio.file.Files
+      .createTempDirectory("cluster-drain-task").toString
+    val task = TaskConfig.fromIni(
+      s"""[extractor]
+         |db_type=redis
+         |extract_type=cdc
+         |url=redis://127.0.0.1:6379
+         |is_cluster=true
+         |
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    val report = LiveCdc.run(spark, task, taskDir,
+      dialOverride = Some(() => seedWire()),
+      dialNodeOverride = Some(addr => wires(addr)))
+    assert(report.position._1 == "cluster")
+    assert(report.tables.toMap ==
+      Map("redis.snapshot" -> 2L, "redis.commands" -> 2L))
+    val snap = spark.read.parquet(s"$sink/redis.snapshot")
+      .collect().map(_.getAs[String]("key")).toSet
+    assert(snap == Set("bar", "foo"))
+    // per-node resume state written for the next start
+    val persisted = graft.transport.PumpPositions.read(taskDir)
+    assert(persisted.get(s"repl_id.$idA").contains(idA))
+    assert(persisted.get(s"repl_id.$idB").contains(idB))
+  }
+
   test("redis landing marks consumed segments with O(1) marker files " +
       "and honors a pre-round-13 consumed.log") {
     def ascii(x: String): Array[Byte] = x.getBytes("ascii")
