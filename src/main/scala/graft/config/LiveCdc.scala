@@ -576,6 +576,10 @@ object LiveCdc {
         .partitionBy("schema", "tb").parquet(staging)
       import org.apache.spark.sql.catalyst.catalog
         .ExternalCatalogUtils.escapePathName
+      // routed destination -> number of source tables folded so far:
+      // two sources mapped to one destination must MERGE their batch
+      // partitions (a second adopt would replace the first's rows)
+      val adopted = scala.collection.mutable.Map[String, Int]()
       allowed.foreach { case (db, tb) =>
         val src = s"$staging/schema=${escapePathName(db)}" +
           s"/tb=${escapePathName(tb)}"
@@ -584,18 +588,30 @@ object LiveCdc {
         if (graft.infra.Fs.exists(src)) {
           val (toDb, toTb) = task.router.routeTable(db, tb)
           val out = s"$outDir/$toDb.$toTb"
-          graft.sinks.LandedTable.adoptDelta(src, out, batchId)
-          if (batchId % CompactEvery == (CompactEvery - 1)) {
-            graft.sinks.LandedTable.compactTo(spark, out, batchId)
-            // refresh the plain-parquet face on the same cadence (a
-            // byte copy of the just-committed base — no Spark job),
-            // so external flat readers of a RESIDENT lane see state
-            // at most CompactEvery triggers old instead of only the
-            // finalize snapshot
-            graft.sinks.LandedTable.publishFlat(spark, out)
+          adopted.get(out) match {
+            case None =>
+              graft.sinks.LandedTable.adoptDelta(src, out, batchId)
+              adopted(out) = 1
+            case Some(k) =>
+              graft.sinks.LandedTable.foldDelta(src, out, batchId, k)
+              adopted(out) = k + 1
           }
         }
       }
+      // cadence merges AFTER every adopt/fold: merging mid-loop would
+      // fold the delta into the base before a colliding source's rows
+      // joined it (they would land under a batch id the base already
+      // covers — invisible forever)
+      if (batchId % CompactEvery == (CompactEvery - 1))
+        adopted.keys.toSeq.sorted.foreach { out =>
+          graft.sinks.LandedTable.compactTo(spark, out, batchId)
+          // refresh the plain-parquet face on the same cadence (a
+          // byte copy of the just-committed base — no Spark job), so
+          // external flat readers of a RESIDENT lane see state at
+          // most CompactEvery triggers old instead of only the
+          // finalize snapshot
+          graft.sinks.LandedTable.publishFlat(spark, out)
+        }
       graft.infra.Fs.delete(staging)
     }
     ()

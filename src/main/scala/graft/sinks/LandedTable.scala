@@ -100,6 +100,27 @@ object LandedTable {
         s"delta adopt rename failed: $src -> $dst")
   }
 
+  /** Fold a FURTHER materialized dir into the batch's already-adopted
+    * delta — the route-collision case (several source tables mapped to
+    * one destination in one trigger). Part names gain a per-source
+    * prefix: the staging write names files identically across
+    * partition dirs, and a replace-rename here would silently drop the
+    * first source's rows for the batch. Replay idempotency holds
+    * because the batch's FIRST adopt replaced the dir wholesale.
+    */
+  def foldDelta(src: String, table: String, batchId: Long,
+      sourceIdx: Int): Unit = {
+    val dst = deltaDir(table, batchId)
+    Fs.listNames(src)
+      .filter(n => !n.startsWith(".") && n != "_SUCCESS")
+      .foreach { n =>
+        if (!Fs.rename(s"$src/$n", s"$dst/r$sourceIdx-$n"))
+          throw new java.io.IOException(
+            s"delta fold rename failed: $src/$n -> $dst/r$sourceIdx-$n")
+      }
+    Fs.delete(src)
+  }
+
   /** (maxCommittedBatchId, path) of the newest committed base. */
   def committedBase(table: String): Option[(Long, String)] =
     Fs.listNames(table).collect {
@@ -131,18 +152,22 @@ object LandedTable {
     * keys override by anti-join (broadcast — the delta set is bounded
     * by the CompactEvery cadence in resident mode; bulk loads land
     * through the no-base branch), survivors pass through scan-shaped.
+    * The overridden key set comes from the RAW delta scan — the same
+    * non-null key set the compacted frame carries — so the
+    * window/compaction subtree evaluates once per merge, not twice.
     */
   private def merge(spark: SparkSession, basePath: Option[String],
-      top: DataFrame): DataFrame = {
+      table: String, ids: Seq[Long]): DataFrame = {
     import graft.operators.Compaction
-    val upserts = top
+    val upserts = compactedDeltas(spark, table, ids)
       .filter(col(Compaction.ActionCol) =!= Compaction.Delete)
       .select("key", "payload")
     basePath match {
       case None => upserts
       case Some(p) =>
-        val overridden = top.select("key")
-          .where(col("key").isNotNull).distinct()
+        val overridden = spark.read.schema(Schema)
+          .parquet(ids.map(id => deltaDir(table, id)): _*)
+          .select("key").where(col("key").isNotNull).distinct()
         baseState(spark, p)
           .join(broadcast(overridden), Seq("key"), "left_anti")
           .unionByName(upserts)
@@ -167,8 +192,7 @@ object LandedTable {
       case (Some((_, path)), Seq()) =>
         baseState(spark, path)
       case _ =>
-        merge(spark, base.map(_._2),
-          compactedDeltas(spark, table, newer))
+        merge(spark, base.map(_._2), table, newer)
     }
   }
 
@@ -198,8 +222,7 @@ object LandedTable {
     val ids = deltaIds(table)
       .filter(id => id <= uptoBatch && prev.forall(_._1 < id))
     if (ids.isEmpty) return
-    val merged = merge(spark, prev.map(_._2),
-      compactedDeltas(spark, table, ids))
+    val merged = merge(spark, prev.map(_._2), table, ids)
     val stage = f"$table/_stage-$uptoBatch%08d"
     merged.write.mode(SaveMode.Overwrite).parquet(stage)
     val committed = baseDir(table, uptoBatch)

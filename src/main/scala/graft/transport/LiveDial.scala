@@ -145,9 +145,15 @@ object LiveDial {
       connectTimeoutMs: Int = 10000,
       readTimeoutMs: Int = 60000): () => Wire = {
     val ep = parseUrl(seedUrl)
-    val (host, port) = address.split(":", 2) match {
-      case Array(h, p) => (h, p.toInt)
-      case _ => (address, ep.port)
+    // the port separator is the LAST colon: CLUSTER NODES advertises
+    // bare IPv6 addresses like `2001:db8::1:6379`
+    val (host, port) = address.lastIndexOf(':') match {
+      case -1 => (address, ep.port)
+      case i =>
+        val p = address.drop(i + 1)
+        if (p.forall(_.isDigit) && p.nonEmpty)
+          (address.take(i).stripPrefix("[").stripSuffix("]"), p.toInt)
+        else (address, ep.port)
     }
     val fromByteZero = Set("redis", "rediss", "mongodb")(ep.scheme) &&
       Tls.wanted(ep.sslMode)

@@ -145,9 +145,9 @@ final class MongoChangeStreamPump(cfg: MongoChangeStreamPump.Config,
   private def ship(batch: Seq[Any]): Long = {
     batch.foreach { doc0 =>
       val doc = doc0.asInstanceOf[Map[String, Any]]
-      val line = Bson.toJson(doc) + "\n"
-      store.append(currentSegment(), line.getBytes("UTF-8"))
-      segmentBytes += line.length
+      val bytes = (Bson.toJson(doc) + "\n").getBytes("UTF-8")
+      store.append(currentSegment(), bytes)
+      segmentBytes += bytes.length // UTF-8 bytes, not UTF-16 chars
       docsCaptured += 1
       doc.get("_id").foreach(t =>
         resumeToken = Some(t.asInstanceOf[Map[String, Any]]))

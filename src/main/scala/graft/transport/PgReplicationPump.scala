@@ -245,6 +245,7 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
                 case _ => ()
               }
               appendFrame(body)
+              segmentHasData = true
               if (endLsn > flushedLsn) flushedLsn = endLsn
               appended += 1; framesAppended += 1; sinceAck += 1
               if (!inTxn && (sinceAck >= cfg.ackEveryFrames ||
@@ -295,12 +296,16 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
 
   private var segmentStarted = false
   private var segmentStartMs = 0L
+  private var segmentHasData = false
 
-  /** `max_segment_secs`: the open segment is non-empty and older than
-    * the knob (0 = size/frame-count rotation only).
+  /** `max_segment_secs`: the open segment holds DATA frames and is
+    * older than the knob (0 = size/frame-count rotation only).
+    * Keepalive frames and replayed Relation headers don't count —
+    * aging on them would publish a data-free junk segment per
+    * keepalive tick on an idle stream, forever.
     */
   private def segmentAged: Boolean =
-    cfg.maxSegmentSecs > 0 && segmentBytes > 0 &&
+    cfg.maxSegmentSecs > 0 && segmentHasData &&
       cfg.clockMs() - segmentStartMs >= cfg.maxSegmentSecs * 1000L
 
   private def appendFrame(body: Array[Byte]): Unit = {
@@ -334,12 +339,18 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
   private def currentSegment(): String =
     f"pgoutput.$segmentIndex%06d.log"
 
+  /** Rotation publishes only segments holding DATA frames ('w'
+    * stream content — rows, relations, txn control): a tail of
+    * keepalive bytes alone is not worth a published (and planned,
+    * and checkpointed) segment.
+    */
   private[transport] def rotate(): Unit = {
-    if (segmentBytes > 0) {
+    if (segmentHasData) {
       publish()
       segmentIndex += 1
       segmentBytes = 0L
       segmentStarted = false
+      segmentHasData = false
     }
   }
 

@@ -113,6 +113,17 @@ final class RedisClusterPump(cfg: RedisClusterPump.Config,
         // seed unreachable: healthy pumps keep running; retry next poll
         case e: java.io.IOException => lastError.set(e); Seq.empty
       }
+      // drop DEAD entries for masters the topology no longer lists
+      // (failover demoted them): a permanently-dead entry would trip
+      // the any-pump-dead check on every poll and turn the 30 s
+      // topology refresh into a seed dial per poll. Live threads for
+      // departed nodes are left to wind down on their own.
+      if (masters.nonEmpty) {
+        val listed = masters.map(_.id).toSet
+        pumps.filterInPlace { case (id, (t, _)) =>
+          listed(id) || t.isAlive
+        }: Unit
+      }
       masters.foreach { node =>
         if (!pumps.get(node.id).exists(_._1.isAlive)) {
           val prefix = node.id.take(8)

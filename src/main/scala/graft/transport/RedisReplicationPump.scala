@@ -175,10 +175,19 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
     // left a drain-ended segment truncated mid-value, which wedged
     // the landing forever (decode throws, markConsumed never runs).
     var sinceAck = 0L
+    // the time arm ages only segments holding NON-PING commands: an
+    // idle master PINGs the stream every repl-ping-replica-period
+    // (10 s), and those must be captured (they advance the master
+    // offset) but aging on them would publish a data-free junk
+    // segment per knob interval forever
+    var segmentHasData = false
+    val pingCmd = cmd("PING")
     while (!until()) {
       maybeAck()
       val command = readTailCommand(wire)
       capture(command)
+      if (!java.util.Arrays.equals(command, pingCmd))
+        segmentHasData = true
       replOffset += command.length
       sinceAck += command.length
       if (sinceAck >= cfg.ackEveryBytes) {
@@ -188,13 +197,12 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
       // size- OR time-based rotation: without the time arm, a
       // low-volume stream's events sit unpublished (hence unlanded in
       // resident mode) until 64 MB accrues. The check runs at command
-      // arrival — a live master is never silent for long (it PINGs
-      // the replication stream every repl-ping-replica-period, 10 s
-      // default), so the publish lag is bounded by the knob plus one
+      // arrival, so the publish lag is bounded by the knob plus one
       // ping period.
-      val timeUp = cfg.maxSegmentSecs > 0 && segmentBytes > 0 &&
+      val timeUp = cfg.maxSegmentSecs > 0 && segmentHasData &&
         cfg.clockMs() - segmentStartMs >= cfg.maxSegmentSecs * 1000L
       if (segmentBytes >= cfg.maxSegmentBytes || timeUp) {
+        segmentHasData = false
         // a rotated mid-tail segment must still decode on its own:
         // start it with the +CONTINUE line a partial-resync session
         // would produce at exactly this offset

@@ -682,6 +682,61 @@ class LiveCdcSpec extends SparkSuite {
     assert(persisted.get(s"repl_id.$idB").contains(idB))
   }
 
+  test("two source tables routed to ONE destination merge their " +
+      "batch deltas — the second source no longer replaces the " +
+      "first's rows") {
+    import graft.config.{LiveCdc, TaskConfig}
+    val w = new MysqlBinlogWriter(serverId = 1L)
+    w.fde()
+    w.begin("app")
+    w.tableMap(11L, "app", "t1", Seq(8, 15), Seq(0, 40),
+      nullable = Seq(false, true), colNames = Seq("id", "v"))
+    w.writeRows(11L, Seq(Array("1", "a"), Array("2", "b")))
+    w.tableMap(12L, "app", "t2", Seq(8, 15), Seq(0, 40),
+      nullable = Seq(false, true), colNames = Seq("id", "v"))
+    w.writeRows(12L, Seq(Array("3", "c"), Array("4", "d")))
+    w.xid(1L)
+    val events = eventsOf(w.bytes())
+    val wire = new FakeWire
+    wire.serve(packet(0, handshakePayload))
+    wire.serve(packet(2, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+    wire.serve(packet(1, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+    wire.serve(packet(1, Array[Byte](0x00, 0, 0, 2, 0, 0, 0)))
+    events.zipWithIndex.foreach { case (e, i) =>
+      wire.serve(packet(i + 1, Array[Byte](0x00) ++ e))
+    }
+    wire.serve(packet(events.size + 1,
+      Array[Byte](0xfe.toByte, 0, 0, 2, 0)))
+
+    val sink = java.nio.file.Files
+      .createTempDirectory("route-merge-sink").toString
+    val taskDir = java.nio.file.Files
+      .createTempDirectory("route-merge-task").toString
+    val task = TaskConfig.fromIni(
+      s"""[extractor]
+         |db_type=mysql
+         |extract_type=cdc
+         |url=mysql://repl:pw@127.0.0.1:3306
+         |binlog_filename=binlog.000001
+         |id_cols=t1:id,t2:id
+         |
+         |[filter]
+         |do_tbs=app.*
+         |
+         |[router]
+         |tb_map=app.t1:app.t,app.t2:app.t
+         |
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    LiveCdc.runMysql(spark, task, taskDir,
+      dialOverride = Some(() => wire))
+    val merged = spark.read.parquet(s"$sink/app.t")
+      .collect().map(_.getString(0)).toSet
+    assert(merged == Set("1", "2", "3", "4"),
+      s"route-merged table landed $merged")
+  }
+
   test("redis landing marks consumed segments with O(1) marker files " +
       "and honors a pre-round-13 consumed.log") {
     def ascii(x: String): Array[Byte] = x.getBytes("ascii")

@@ -424,18 +424,27 @@ class PgTransportSpec extends AnyFunSuite {
     wire.serve(w.bytes())
     wire.serve(message('c', Array.emptyByteArray))
 
-    val store = new MemorySegmentStore
+    val inner = new MemorySegmentStore
+    val published = scala.collection.mutable.ArrayBuffer[String]()
+    val store = new SegmentStore {
+      override def append(n: String, b: Array[Byte]): Unit =
+        inner.append(n, b)
+      override def names: Seq[String] = inner.names
+      override def bytesOf(n: String): Array[Byte] = inner.bytesOf(n)
+      override def publish(n: String): Unit = { published += n }
+      override def discard(n: String): Unit = inner.discard(n)
+    }
     // frame/size thresholds unreachable — only the time arm can fire
     val pump = new PgReplicationPump(
       PgReplicationPump.Config("u", "p", "db", slotCfg,
         ackEveryFrames = 1000, maxSegmentSecs = 1L, clockMs = clock),
       store, () => wire)
     pump.runSession()
-    // the txn's segment published on a keepalive tick: MORE than one
-    // segment exists only if the quiet tail also aged out — the key
-    // claim is that segment 1 holds the committed txn and decodes
-    assert(store.names.nonEmpty)
-    val events = PgOutput.decodeFile(store.bytesOf(store.names.head))
+    // the txn's segment PUBLISHED on a keepalive tick, and the
+    // keepalive-only tail never published a junk segment — not per
+    // tick, not at session end
+    assert(published.toSeq == Seq("pgoutput.000001.log"))
+    val events = PgOutput.decodeFile(inner.bytesOf(published.head))
     assert(events.map(_.after("id")) == Seq("1"))
   }
 

@@ -307,6 +307,39 @@ class RedisTransportSpec extends AnyFunSuite {
     assert(pump.publishedPosition._2 >= 100L + set1.length)
   }
 
+  test("max_segment_secs never ages a PING-only segment into junk: " +
+      "an idle master's keepalives are captured but never publish a " +
+      "data-free segment") {
+    var now = 0L
+    val clock = () => { now += 1100L; now }
+    val rdb = rdbImage
+    val wire = new FakeWire
+    serveHandshake(wire)
+    wire.serve(ascii(s"+FULLRESYNC $ReplId 100\r\n"))
+    wire.serve(ascii(s"$$${rdb.length}\r\n"))
+    wire.serve(rdb)
+    wire.serve(cmd("SET", "a", "1"))
+    // the stream goes idle: replication-stream PINGs only, each one
+    // past the 1 s window
+    (1 to 5).foreach(_ => wire.serve(cmd("PING")))
+    val store = new MemorySegmentStore
+    val pump = new RedisReplicationPump(
+      RedisReplicationPump.Config(
+        ackEveryBytes = Long.MaxValue,
+        keepaliveIntervalSecs = 3600L,
+        maxSegmentSecs = 1L, clockMs = clock),
+      store, () => wire)
+    intercept[java.io.EOFException](pump.runSession())
+    // ONE rotation (the SET aged out); the PING tail stayed in the
+    // open spool instead of publishing a junk segment per interval
+    assert(store.names.size <= 2, s"junk segments: ${store.names}")
+    val got1 = RedisPsync.decode(store.bytesOf("psync.000001.log"))
+    assert(got1.commands.map(_._1).contains(Seq("SET", "a", "1")))
+    // the PINGs were still captured and offset-counted
+    assert(pump.position._2 ==
+      100L + cmd("SET", "a", "1").length + 5 * cmd("PING").length)
+  }
+
   test("cluster dial: CLUSTER NODES discovery fans one PSYNC pump " +
       "per master into node-prefixed segments with slot attribution") {
     val idA = "a" * 40

@@ -1,9 +1,10 @@
 #!/usr/bin/env bash
-# Redis day-one smoke: full PSYNC (RDB + tail) landed as tables.
+# Redis day-one smoke: full PSYNC (RDB + tail) through the resident
+# lane; the RDB covers the pre-dial keys.
 set -euo pipefail
 . "$(dirname "$0")/common.sh"
 
-SINK="${GRAFT_SMOKE_STATE:-/tmp/graft-live-smoke}/redis-sink"
+SINK="$STATE_DIR/redis-sink"
 rm -rf "$SINK"; mkdir -p "$SINK"
 
 rcli() { docker compose -f tools/live/docker-compose.yml exec -T \
@@ -18,9 +19,14 @@ db_type=redis
 extract_type=cdc
 url=redis://127.0.0.1:6379
 repl_port=10008
+resident=true
+max_segment_secs=2
+capture_retention=true
 
 [sinker]
 url=$SINK
 CFG
-run_task redis_smoke "$INI"
+start_task redis_smoke "$INI"
+wait_rows "$SINK/redis.snapshot" 1000 180
+stop_task redis_smoke
 expect_rows "$SINK/redis.snapshot" 1000
