@@ -278,7 +278,15 @@ object CorpusOps {
     // over a DIFFERENT corpus evicts the stale one (the resident-
     // monitor shape that used to accumulate disk blocks unboundedly).
     this.synchronized {
+      // the cached frame may belong to a STOPPED session (suite
+      // teardown, session restart): sameResult against a dead plan
+      // is fragile and unpersist would act on a dead CacheManager —
+      // drop the reference without touching it and adopt the new one
+      val prevLive = bigramCache.filter(p =>
+        p.sparkSession eq pairs.sparkSession)
       bigramCache match {
+        case _ if prevLive.isEmpty =>
+          bigramCache = Some(pairs)
         case Some(prev) if prev.queryExecution.analyzed
             .sameResult(pairs.queryExecution.analyzed) => ()
         case prev =>

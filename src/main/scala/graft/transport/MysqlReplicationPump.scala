@@ -272,19 +272,47 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
         segmentBytes += event.length
         if (logPos > 0) currentPos = logPos
         if (eventType == 0x21) trackGtid(event) // GTID_LOG_EVENT
-        // mid-file rotation at TRANSACTION boundaries (after Xid):
-        // server binlog files run to gigabytes, so rotating only at
-        // server file boundaries leaves a resident lane's events
-        // unpublished (hence unlanded) for the life of the file. A
-        // txn boundary is the safe cut — the server re-sends
-        // TableMaps per transaction and the FDE replays above, so
-        // the successor segment is self-describing.
-        if (eventType == 0x10) {
+        // mid-file rotation at TRANSACTION boundaries (after Xid, or
+        // after the Query COMMIT that ends a non-transactional /
+        // MyISAM statement group — those workloads never emit an Xid,
+        // so an Xid-only check would leave their segments unbounded
+        // for the life of the server file): server binlog files run
+        // to gigabytes, so rotating only at server file boundaries
+        // leaves a resident lane's events unpublished (hence
+        // unlanded) for the life of the file. A txn boundary is the
+        // safe cut — the server re-sends TableMaps per transaction
+        // and the FDE replays above, so the successor segment is
+        // self-describing. The statement parse runs only when a
+        // rotation is already due (hot path stays arithmetic-free).
+        val rotationDue = {
           val timeUp = cfg.maxSegmentSecs > 0 &&
             cfg.clockMs() - segmentStartMs >=
               cfg.maxSegmentSecs * 1000L
-          if (segmentBytes >= cfg.maxSegmentBytes || timeUp) rotate()
+          segmentBytes >= cfg.maxSegmentBytes || timeUp
         }
+        if (rotationDue &&
+            (eventType == 0x10 ||
+              (eventType == 0x02 && isCommitQuery(event, crcTrail))))
+          rotate()
+    }
+  }
+
+  /** Is this Query event's statement `COMMIT`? Layout after the
+    * 19-byte header: thread_id(4) exec_time(4) schema_len(1)
+    * error_code(2) status_len(2) status_vars schema NUL statement
+    * [crc]. Mirrors MysqlBinlog's Query parse; any malformed event
+    * just answers "no" (rotation then waits for the next boundary).
+    */
+  private def isCommitQuery(event: Array[Byte],
+      crcTrail: Int): Boolean = {
+    if (event.length < 33 + crcTrail) return false
+    val schemaLen = event(27) & 0xff
+    val statusLen = (event(30) & 0xff) | ((event(31) & 0xff) << 8)
+    val stmtStart = 32 + statusLen + schemaLen + 1
+    val stmtLen = event.length - crcTrail - stmtStart
+    stmtLen == 6 && {
+      val s = new String(event, stmtStart, stmtLen, "UTF-8")
+      s.equalsIgnoreCase("COMMIT")
     }
   }
 

@@ -12,10 +12,11 @@ import graft.sources.RedisClusterPsync
   * [[graft.sources.RedisClusterPsync]] decode layer; this class only
   * adds the live topology discovery and the per-master pump fan-out.
   *
-  * Segments land as `<nodeId-prefix>.psync.NNNNNN.log`, so one capture
-  * dir holds every shard's stream with unambiguous per-node resume
-  * (each pump keeps the monotone numbering discipline inside its own
-  * prefix namespace).
+  * Segments land as `<nodeId>.psync.NNNNNN.log` (the FULL 40-hex run
+  * id — a truncated prefix could collide across shards and silently
+  * interleave numbering), so one capture dir holds every shard's
+  * stream with unambiguous per-node resume (each pump keeps the
+  * monotone numbering discipline inside its own prefix namespace).
   */
 final class RedisClusterPump(cfg: RedisClusterPump.Config,
     store: SegmentStore, dialSeed: () => Wire,
@@ -49,7 +50,10 @@ final class RedisClusterPump(cfg: RedisClusterPump.Config,
     val masters = discoverMasters()
     require(masters.nonEmpty, "cluster discovery returned no masters")
     masters.map { node =>
-      val prefix = node.id.take(8)
+      // full node id as the namespace: a truncated prefix collision
+      // (two run IDs sharing a head) would interleave numbering and
+      // overwrite publishes across shards — silently
+      val prefix = node.id
       val resume = cfg.resume.getOrElse(node.id, ("", 0L))
       val pump = new RedisReplicationPump(
         RedisReplicationPump.Config(
@@ -108,10 +112,17 @@ final class RedisClusterPump(cfg: RedisClusterPump.Config,
     val lastError =
       new java.util.concurrent.atomic.AtomicReference[Throwable](null)
     val drainedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    // re-fans of pumps that died having captured NOTHING (their whole
+    // per-pump reconnect ladder exhausted), plus failed discoveries
+    // with no pump running — the bad-credentials/bad-seed signature
+    val zeroRefans = new java.util.concurrent.atomic.AtomicInteger(0)
     def refan(): Unit = {
       val masters = try discoverMasters() catch {
         // seed unreachable: healthy pumps keep running; retry next poll
-        case e: java.io.IOException => lastError.set(e); Seq.empty
+        case e: java.io.IOException =>
+          lastError.set(e)
+          if (pumps.isEmpty) zeroRefans.incrementAndGet(): Unit
+          Seq.empty
       }
       // drop DEAD entries for masters the topology no longer lists
       // (failover demoted them): a permanently-dead entry would trip
@@ -126,7 +137,11 @@ final class RedisClusterPump(cfg: RedisClusterPump.Config,
       }
       masters.foreach { node =>
         if (!pumps.get(node.id).exists(_._1.isAlive)) {
-          val prefix = node.id.take(8)
+          pumps.get(node.id).foreach { case (t, p) =>
+            if (!t.isAlive && p.bytesCaptured == 0L)
+              zeroRefans.incrementAndGet(): Unit
+          }
+          val prefix = node.id
           val resume = positions.getOrElse(node.id,
             cfg.resume.getOrElse(node.id, ("", 0L)))
           val pumpStore = stores.getOrElseUpdate(node.id,
@@ -151,7 +166,7 @@ final class RedisClusterPump(cfg: RedisClusterPump.Config,
               positions(node.id) = pump.publishedPosition
               drainedBytes.addAndGet(pump.bytesCaptured): Unit
             }
-          }, s"graft-redis-cluster-$prefix")
+          }, s"graft-redis-cluster-${prefix.take(8)}")
           t.setDaemon(true)
           t.start()
           pumps(node.id) = (t, pump)
@@ -169,6 +184,19 @@ final class RedisClusterPump(cfg: RedisClusterPump.Config,
         lastDiscoveryMs = now
         refan()
       }
+      // a misconfigured residency (bad credentials, wrong seed) must
+      // reach the supervisor from INSIDE the loop, not only at
+      // wind-down: every dead pump thread already exhausted its OWN
+      // maxReconnects ladder, so re-fanning zero-progress deaths past
+      // a second full ladder per shard is proof nothing can connect —
+      // throw lastError (ResidentPump.rethrow's moral equivalent;
+      // transient seed blips clear the counter on first progress)
+      if (drainedBytes.get() +
+            pumps.values.map(_._2.bytesCaptured).sum > 0L)
+        zeroRefans.set(0)
+      else if (lastError.get() != null &&
+          zeroRefans.get() > 2 * math.max(cfg.maxReconnects, pumps.size))
+        throw lastError.get()
       pumps.foreach { case (id, (_, p)) =>
         positions(id) = p.publishedPosition
       }

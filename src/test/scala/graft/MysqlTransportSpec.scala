@@ -198,6 +198,41 @@ class MysqlTransportSpec extends AnyFunSuite {
     }
   }
 
+  test("mid-file rotation also cuts after a Query COMMIT: a " +
+      "non-transactional (MyISAM-style) workload with NO Xid events " +
+      "still publishes on the time cadence") {
+    var now = 0L
+    val clock = () => { now += 1100L; now }
+    val w = new MysqlBinlogWriter(serverId = 1L)
+    w.fde()
+    (1 to 2).foreach { i =>
+      w.begin("app")
+      w.tableMap(11L, "app", "t", Types, Meta,
+        nullable = Seq(false, true), colNames = Seq("id", "v"))
+      w.writeRows(11L, Seq(Array(i.toString, s"v$i")))
+      // MyISAM statement groups end in Query(COMMIT), never Xid
+      w.query("app", "COMMIT")
+    }
+    val wire = new FakeWire
+    serveSession(wire, eventsOf(w.bytes()))
+    val store = new MemorySegmentStore
+    val pump = new MysqlReplicationPump(
+      MysqlReplicationPump.Config("repl", "secret_pw",
+        binlogFilename = "binlog.000001",
+        maxSegmentSecs = 1L, clockMs = clock),
+      store, () => wire)
+    pump.runSession()
+    // each COMMIT boundary cut a segment; each decodes alone
+    assert(store.names ==
+      Seq("binlog.000001.log", "binlog.000002.log"))
+    store.names.zipWithIndex.foreach { case (seg, i) =>
+      val decoded = MysqlBinlog.decodeFile(store.bytesOf(seg),
+        "binlog.000001")
+      assert(decoded.map(_.after.get("id").orNull) ==
+        Seq((i + 1).toString), s"$seg decoded $decoded")
+    }
+  }
+
   test("rotate switches segment files; both decode independently") {
     val w1 = new MysqlBinlogWriter(serverId = 1L)
     w1.fde()

@@ -377,7 +377,7 @@ class RedisTransportSpec extends AnyFunSuite {
 
     // one prefixed namespace per master, monotone inside each
     assert(store.names == Seq(
-      "aaaaaaaa.psync.000001.log", "bbbbbbbb.psync.000001.log"))
+      s"$idA.psync.000001.log", s"$idB.psync.000001.log"))
     // per-node resume positions advanced past the drained tails
     val byNode = positions.map { case (n, p) => n.id -> p }.toMap
     assert(byNode(idA)._1 == idA)
@@ -389,9 +389,9 @@ class RedisTransportSpec extends AnyFunSuite {
     val nodes = RedisClusterPsync.parseClusterNodes(topology)
     val shards = Seq(
       (nodes.find(_.id == idA).get,
-        store.bytesOf("aaaaaaaa.psync.000001.log")),
+        store.bytesOf(s"$idA.psync.000001.log")),
       (nodes.find(_.id == idB).get,
-        store.bytesOf("bbbbbbbb.psync.000001.log")))
+        store.bytesOf(s"$idB.psync.000001.log")))
     val events = RedisClusterPsync.compose(shards)
     val sets = events.filter(_.cmd == "SET")
     assert(sets.map(e => (e.key, e.nodeId)).toSet ==
@@ -424,7 +424,7 @@ class RedisTransportSpec extends AnyFunSuite {
       java.nio.charset.StandardCharsets.ISO_8859_1)
     assert(sentA.contains(idA) &&
       sentA.contains((byNode(idA)._2 + 1).toString))
-    assert(store.names.count(_.startsWith("aaaaaaaa.")) == 2)
+    assert(store.names.count(_.startsWith(s"$idA.")) == 2)
   }
 
   test("cluster RESIDENT: one supervised pump per master runs " +
@@ -503,10 +503,10 @@ class RedisTransportSpec extends AnyFunSuite {
       .parseClusterNodes(topology)
     val names = graft.infra.Fs.listNames(captureDir)
       .filter(_.endsWith(".log")).sorted
-    assert(names.count(_.startsWith("aaaaaaaa.")) >= 2)
-    assert(names.count(_.startsWith("bbbbbbbb.")) >= 1)
+    assert(names.count(_.startsWith(s"$idA.")) >= 2)
+    assert(names.count(_.startsWith(s"$idB.")) >= 1)
     val shards = names.map { n =>
-      val node = if (n.startsWith("aaaaaaaa.")) nodes.find(_.id == idA)
+      val node = if (n.startsWith(s"$idA.")) nodes.find(_.id == idA)
         else nodes.find(_.id == idB)
       (node.get, graft.infra.Fs.readAllBytes(s"$captureDir/$n"))
     }
@@ -533,7 +533,13 @@ class RedisTransportSpec extends AnyFunSuite {
     }
     val captureDir = java.nio.file.Files
       .createTempDirectory("cluster-err").toString
-    val deadline = System.currentTimeMillis() + 2000
+    // NO stop request: the error must surface from INSIDE the poll
+    // loop once each shard's reconnect ladder has been re-fanned past
+    // the bound — the r13 shape only rethrew at wind-down, so a
+    // misconfigured task ran forever while looking healthy. The far
+    // deadline is a safety net, not the trigger.
+    val deadline = System.currentTimeMillis() + 60000
+    val t0 = System.currentTimeMillis()
     val e = intercept[Throwable] {
       new RedisClusterPump(
         RedisClusterPump.Config(maxReconnects = 1, baseBackoffMs = 1,
@@ -547,6 +553,8 @@ class RedisTransportSpec extends AnyFunSuite {
     }
     assert(e.isInstanceOf[java.io.IOException] ||
       e.isInstanceOf[java.io.EOFException])
+    assert(System.currentTimeMillis() - t0 < 30000,
+      "error did not surface from inside the poll loop")
   }
 
   test("handshake failures surface: bad AUTH, non-PONG ping") {
