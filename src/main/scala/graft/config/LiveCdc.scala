@@ -202,17 +202,20 @@ object LiveCdc {
       "repl_id" -> pump.position._1,
       "repl_offset" -> pump.position._2.toString))
     onProgress()
-    // land each segment once: decode runs on EXECUTORS (the capture
-    // can exceed driver memory), into a deterministic seg=<name>
-    // partition dir so a crash-replayed landing OVERWRITES instead of
-    // duplicating; consumed.log makes restarts skip prior segments
-    val (snapshotRows, commandRows) =
-      landRedisSegments(spark, task, taskDir, captureDir,
-        store.names, onProgress)
-    sweepCapture(task, taskDir, captureDir, byCheckpoint = false)
-    Report(store.names.size, pump.bytesCaptured,
-      Seq("redis.snapshot" -> snapshotRows,
-        "redis.commands" -> commandRows),
+    // single-pass landing: ONE decode+write job over every new
+    // segment (decode runs on EXECUTORS — the capture can exceed
+    // driver memory), raw faces adopted as deterministic seg=<name>
+    // dirs (crash replay overwrites, never duplicates), state ops as
+    // one LandedTable delta; the consumed ledger skips prior starts'
+    // segments
+    val lander = new LiveLanders.RedisLander(spark, task, taskDir,
+      captureDir, onProgress)
+    lander.finish(store.names)
+    sweepConsumedCapture(task, captureDir, lander.ledger)
+    Report(lander.landedSegments.toInt, pump.bytesCaptured,
+      Seq("redis.snapshot" -> lander.snapshotRows,
+        "redis.commands" -> lander.commandRows,
+        "redis.state" -> lander.stateCount()),
       (pump.position._1, pump.position._2, ""))
   }
 
@@ -264,13 +267,15 @@ object LiveCdc {
     writeNodePositions(taskDir,
       results.map { case (n, p) => n.id -> p }.toMap)
     onProgress()
-    val (snapshotRows, commandRows) =
-      landRedisSegments(spark, task, taskDir, captureDir,
-        store.names, onProgress)
-    sweepCapture(task, taskDir, captureDir, byCheckpoint = false)
-    Report(store.names.size, snapshotRows + commandRows,
-      Seq("redis.snapshot" -> snapshotRows,
-        "redis.commands" -> commandRows),
+    val lander = new LiveLanders.RedisLander(spark, task, taskDir,
+      captureDir, onProgress)
+    lander.finish(store.names)
+    sweepConsumedCapture(task, captureDir, lander.ledger)
+    Report(lander.landedSegments.toInt,
+      lander.snapshotRows + lander.commandRows,
+      Seq("redis.snapshot" -> lander.snapshotRows,
+        "redis.commands" -> lander.commandRows,
+        "redis.state" -> lander.stateCount()),
       ("cluster", results.size.toLong, ""))
   }
 
@@ -313,150 +318,60 @@ object LiveCdc {
     }, "graft-redis-cluster-supervisor")
     supervisor.setDaemon(true)
     supervisor.start()
-    var snapshotRows = 0L
-    var commandRows = 0L
-    def landPass(): Unit = {
-      val (s, c) = landRedisSegments(spark, task, taskDir, captureDir,
-        listStore.publishedNames, onProgress)
-      snapshotRows += s; commandRows += c
-    }
+    val lander = new LiveLanders.RedisLander(spark, task, taskDir,
+      captureDir, onProgress)
     def persistTick(): Unit =
       writeNodePositions(taskDir, positions.toMap)
     while (!stop() && error.get() == null && supervisor.isAlive) {
       Thread.sleep(triggerMs)
       onProgress()
-      landPass()
+      lander.pass(listStore.publishedNames)
       persistTick()
-      sweepCapture(task, taskDir, captureDir, byCheckpoint = false)
+      sweepConsumedCapture(task, captureDir, lander.ledger)
     }
     supervisor.join(70000L)
-    landPass() // the wound-down tails are published
+    lander.finish(listStore.publishedNames) // wound-down tails
     persistTick()
-    sweepCapture(task, taskDir, captureDir, byCheckpoint = false)
+    sweepConsumedCapture(task, captureDir, lander.ledger)
     Option(error.get()).foreach(t => throw t)
-    Report(listStore.names.size, snapshotRows + commandRows,
-      Seq("redis.snapshot" -> snapshotRows,
-        "redis.commands" -> commandRows),
+    Report(lander.landedSegments.toInt,
+      lander.snapshotRows + lander.commandRows,
+      Seq("redis.snapshot" -> lander.snapshotRows,
+        "redis.commands" -> lander.commandRows,
+        "redis.state" -> lander.stateCount()),
       ("cluster", positions.size.toLong, ""))
   }
 
-  /** Land not-yet-consumed Redis capture segments; returns the rows
-    * landed this pass. Idempotent per segment (deterministic seg= dir
-    * + overwrite); callers pass PUBLISHED names only.
-    */
-  private def landRedisSegments(spark: SparkSession,
-      task: TaskConfig.Task, taskDir: String, captureDir: String,
-      names: Seq[String], onProgress: () => Unit): (Long, Long) = {
-    var snapshotRows = 0L
-    var commandRows = 0L
-    val done = consumedNames(taskDir)
-    names.filterNot(done).foreach { seg =>
-      val (snap, cmds) = graft.operators.RedisLanding.decodeSegment(
-        spark, s"$captureDir/$seg")
-      snap.write.mode(SaveMode.Overwrite)
-        .parquet(s"${task.sinkDir}/redis.snapshot/seg=$seg")
-      cmds.write.mode(SaveMode.Overwrite)
-        .parquet(s"${task.sinkDir}/redis.commands/seg=$seg")
-      // counts from the freshly-written footers (metadata-only reads)
-      snapshotRows += spark.read
-        .parquet(s"${task.sinkDir}/redis.snapshot/seg=$seg").count()
-      commandRows += spark.read
-        .parquet(s"${task.sinkDir}/redis.commands/seg=$seg").count()
-      markConsumed(taskDir, seg)
-      onProgress()
-    }
-    (snapshotRows, commandRows)
-  }
-
-  /** Land not-yet-consumed Mongo change-stream segments — each
-    * exactly once (deterministic seg=<name> dir + overwrite =
-    * crash-replay idempotent; consumed.log skips prior starts'
-    * segments instead of re-landing the whole capture).
-    *
-    * The landed schema is FIXED: envelope fields extracted explicitly
-    * (token/op/db/coll) plus documentKey and fullDocument as JSON
-    * strings and the raw line. Per-segment `spark.read.json` schema
-    * INFERENCE would give heterogeneous parquet schemas across
-    * segments (a deletes-only segment has no fullDocument), and the
-    * unioned read then silently drops whichever columns the sampled
-    * footer lacks — or throws on cross-segment type conflicts.
-    */
-  private def landMongoSegments(spark: SparkSession,
-      task: TaskConfig.Task, taskDir: String, captureDir: String,
-      names: Seq[String], onProgress: () => Unit): Unit = {
-    val out = s"${task.sinkDir}/mongo.changes"
-    val done = consumedNames(taskDir)
-    names.filterNot(done).foreach { seg =>
-      // json_tuple parses each line ONCE for the top-level fields;
-      // only the two tiny envelope structs re-parse for their leaves
-      spark.read.text(s"$captureDir/$seg")
-        .select(col("value"), json_tuple(col("value"),
-          "_id", "operationType", "ns", "documentKey", "fullDocument")
-          .as(Seq("id0", "op", "ns0", "key", "doc")))
-        .select(
-          get_json_object(col("id0"), "$._data").as("token"),
-          col("op"),
-          get_json_object(col("ns0"), "$.db").as("db"),
-          get_json_object(col("ns0"), "$.coll").as("coll"),
-          col("key"), col("doc"), col("value").as("raw"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$out/seg=$seg")
-      markConsumed(taskDir, seg)
-      onProgress()
-    }
-  }
-
-  private def consumedDir(taskDir: String) = s"$taskDir/consumed"
-
-  /** Segments already landed by a previous start of this task: one
-    * empty marker file per segment (plus the pre-round-13
-    * consumed.log, read for migration). Marker-per-segment keeps the
-    * mark O(1) — the old whole-file rewrite made a long residency's
-    * cumulative bookkeeping writes O(n²).
-    */
-  private def consumedNames(taskDir: String): Set[String] = {
-    val legacy = s"$taskDir/consumed.log"
-    val fromLog =
-      if (graft.infra.Fs.exists(legacy))
-        graft.infra.Fs.readLines(legacy).filter(_.nonEmpty).toSet
-      else Set.empty[String]
-    val dir = consumedDir(taskDir)
-    val markers =
-      if (graft.infra.Fs.exists(dir))
-        graft.infra.Fs.listNames(dir).toSet
-      else Set.empty[String]
-    fromLog ++ markers
-  }
-
-  private def markConsumed(taskDir: String, name: String): Unit =
-    graft.infra.Fs.write(s"${consumedDir(taskDir)}/$name",
-      Array.emptyByteArray)
-
-  /** `capture_retention` sweep — delete capture segments a restart
-    * can never need again: ≤ the streaming checkpoint's committed
-    * offset (mysql/pg lanes — ChangelogSource plans strictly-newer
-    * names, documented purge-tolerant) or marked consumed (redis/mongo
-    * lanes — landed idempotently under seg=<name>). Keeps the newest
-    * segment per prefix so restart numbering stays monotone
-    * ([[graft.transport.CaptureRetention]]). Runs on the trigger
-    * cadence: a listing plus O(victims) deletes.
+  /** `capture_retention` sweep for the mysql/pg lanes — delete
+    * capture segments ≤ the streaming checkpoint's committed offset
+    * (ChangelogSource plans strictly-newer names, documented
+    * purge-tolerant). Keeps the newest segment per prefix so restart
+    * numbering stays monotone ([[graft.transport.CaptureRetention]]).
     */
   private def sweepCapture(task: TaskConfig.Task, taskDir: String,
       captureDir: String, byCheckpoint: Boolean): Unit =
-    if (task.source.captureRetention) {
-      val gone =
-        if (byCheckpoint)
+    if (task.source.captureRetention && byCheckpoint)
+      graft.transport.CaptureRetention
+        .committedSegment(s"$taskDir/checkpoint")
+        .foreach { upto =>
           graft.transport.CaptureRetention
-            .committedSegment(s"$taskDir/checkpoint")
-            .map(graft.transport.CaptureRetention
-              .sweepUpto(captureDir, _))
-            .getOrElse(Nil)
-        else graft.transport.CaptureRetention
-          .sweepConsumed(captureDir, consumedNames(taskDir))
-      // marker cleanup AFTER the segment delete: a crash between the
-      // two leaves a marker for a name no listing returns — harmless,
-      // and the next sweep retries the delete pair
-      gone.foreach(n =>
-        graft.infra.Fs.delete(s"${consumedDir(taskDir)}/$n"))
+            .sweepUpto(captureDir, upto): Unit
+        }
+
+  /** `capture_retention` sweep for the redis/mongo lanes — delete
+    * segments the ledger marked consumed (landed idempotently), then
+    * their on-disk markers (a crash between the two leaves a marker
+    * no listing returns — harmless; the next sweep retries). The
+    * consumed set comes from the IN-MEMORY ledger: no per-trigger
+    * re-listing of the marker dir.
+    */
+  private def sweepConsumedCapture(task: TaskConfig.Task,
+      captureDir: String,
+      ledger: graft.infra.ConsumedLedger): Unit =
+    if (task.source.captureRetention) {
+      val gone = graft.transport.CaptureRetention
+        .sweepConsumed(captureDir, ledger.all)
+      gone.foreach(ledger.sweepMarker)
     }
 
   /** The Mongo lane: one change-stream session into JSON-line
@@ -483,15 +398,12 @@ object LiveCdc {
     pump.position.foreach(tok => PumpPositions.write(taskDir,
       Map("resume_token" -> tok)))
     onProgress()
-    val out = s"${task.sinkDir}/mongo.changes"
-    landMongoSegments(spark, task, taskDir, captureDir, store.names,
-      onProgress)
-    sweepCapture(task, taskDir, captureDir, byCheckpoint = false)
-    val landed =
-      if (graft.infra.Fs.exists(out))
-        Seq("mongo.changes" -> spark.read.parquet(out).count())
-      else Seq.empty
-    Report(store.names.size, docs, landed,
+    val lander = new LiveLanders.MongoLander(spark, task, taskDir,
+      captureDir, onProgress)
+    lander.finish(store.names)
+    sweepConsumedCapture(task, captureDir, lander.ledger)
+    Report(lander.landedSegments.toInt, docs,
+      lander.landedCounts(),
       (pump.position.getOrElse(""), 0L, ""))
   }
 
@@ -822,28 +734,24 @@ object LiveCdc {
     def persistTick(): Unit = PumpPositions.write(taskDir, Map(
       "repl_id" -> pump.publishedPosition._1,
       "repl_offset" -> pump.publishedPosition._2.toString))
-    var snapshotRows = 0L
-    var commandRows = 0L
-    def landPass(names: Seq[String]): Unit = {
-      val (s, c) = landRedisSegments(spark, task, taskDir, captureDir,
-        names, onProgress)
-      snapshotRows += s; commandRows += c
-    }
+    val lander = new LiveLanders.RedisLander(spark, task, taskDir,
+      captureDir, onProgress)
     while (!stop() && rp.error.get() == null) {
       Thread.sleep(triggerMs)
       onProgress()
-      landPass(store.publishedNames)
+      lander.pass(store.publishedNames)
       persistTick()
-      sweepCapture(task, taskDir, captureDir, byCheckpoint = false)
+      sweepConsumedCapture(task, captureDir, lander.ledger)
     }
     rp.join(65000L)
-    landPass(store.publishedNames) // the wound-down tail is published
+    lander.finish(store.publishedNames) // the wound-down tail
     persistTick()
-    sweepCapture(task, taskDir, captureDir, byCheckpoint = false)
+    sweepConsumedCapture(task, captureDir, lander.ledger)
     rp.rethrow()
-    Report(store.names.size, pump.bytesCaptured,
-      Seq("redis.snapshot" -> snapshotRows,
-        "redis.commands" -> commandRows),
+    Report(lander.landedSegments.toInt, pump.bytesCaptured,
+      Seq("redis.snapshot" -> lander.snapshotRows,
+        "redis.commands" -> lander.commandRows,
+        "redis.state" -> lander.stateCount()),
       (pump.position._1, pump.position._2, ""))
   }
 
@@ -867,26 +775,22 @@ object LiveCdc {
       () => pump.markAllPublished(), "graft-mongo-pump")
     def persistTick(): Unit = pump.publishedToken.foreach(tok =>
       PumpPositions.write(taskDir, Map("resume_token" -> tok)))
+    val lander = new LiveLanders.MongoLander(spark, task, taskDir,
+      captureDir, onProgress)
     while (!stop() && rp.error.get() == null) {
       Thread.sleep(triggerMs)
       onProgress()
-      landMongoSegments(spark, task, taskDir, captureDir,
-        store.publishedNames, onProgress)
+      lander.pass(store.publishedNames)
       persistTick()
-      sweepCapture(task, taskDir, captureDir, byCheckpoint = false)
+      sweepConsumedCapture(task, captureDir, lander.ledger)
     }
     rp.join(65000L)
-    landMongoSegments(spark, task, taskDir, captureDir,
-      store.publishedNames, onProgress)
+    lander.finish(store.publishedNames)
     persistTick()
-    sweepCapture(task, taskDir, captureDir, byCheckpoint = false)
+    sweepConsumedCapture(task, captureDir, lander.ledger)
     rp.rethrow()
-    val out = s"${task.sinkDir}/mongo.changes"
-    val landed =
-      if (graft.infra.Fs.exists(out))
-        Seq("mongo.changes" -> spark.read.parquet(out).count())
-      else Seq.empty
-    Report(store.names.size, pump.docsCaptured, landed,
+    Report(lander.landedSegments.toInt, pump.docsCaptured,
+      lander.landedCounts(),
       (pump.position.getOrElse(""), 0L, ""))
   }
 

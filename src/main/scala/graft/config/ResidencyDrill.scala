@@ -1,0 +1,145 @@
+package graft.config
+
+import org.apache.spark.sql.SparkSession
+
+import graft.infra.Fs
+
+/** Endurance drill for the redis live lane's LANDING half — the AGE
+  * axis LanderDrill doesn't price: LanderDrill fixes a landed state
+  * and measures one trigger; this runs THOUSANDS of landing passes
+  * (one rotated capture segment each, retention on) and records how
+  * per-pass latency, capture-dir size, marker count, and landed-dir
+  * counts move as the residency gets old. Flat curves are the proof
+  * the round-14 shapes need:
+  *
+  *  - pass latency must not grow with pass number (single-pass
+  *    landing reads only NEW segments; the consumed ledger is an
+  *    in-memory set; the compact cadence amortizes the state fold);
+  *  - capture + marker counts must stay bounded (retention sweep);
+  *  - landed dir counts must stay bounded (state = LSM base + ≤
+  *    cadence deltas; log faces tier-fold geometrically).
+  *
+  * The pump half is bytes-in-files and is NOT the object under test:
+  * segments are synthesized directly into the capture dir in the
+  * exact PSYNC capture format the pump writes, so the drill prices
+  * pure landing work at any age in minutes instead of days.
+  *
+  *   sbt "runMain graft.config.ResidencyDrill"          # 600 passes
+  *   sbt "runMain graft.config.ResidencyDrill 2000 100" # N, report-every
+  */
+object ResidencyDrill {
+
+  private def resp(args: String*): Array[Byte] =
+    graft.transport.RedisReplicationPump.cmd(args: _*)
+
+  def main(args: Array[String]): Unit = {
+    val passes = if (args.length >= 1) args(0).toInt else 600
+    val every = if (args.length >= 2) args(1).toInt else 50
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-residency-drill")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // warmup
+
+    val sink = java.nio.file.Files
+      .createTempDirectory("residency-sink").toString
+    val taskDir = java.nio.file.Files
+      .createTempDirectory("residency-task").toString
+    val captureDir = s"$taskDir/capture"
+    Fs.mkdirs(captureDir)
+    val task = TaskConfig.fromIni(
+      s"""[extractor]
+         |db_type=redis
+         |extract_type=cdc
+         |url=redis://127.0.0.1:6379
+         |resident=true
+         |capture_retention=true
+         |
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    val lander = new LiveLanders.RedisLander(spark, task, taskDir,
+      captureDir, () => ())
+
+    // one segment per pass: the first is a FULLRESYNC with a seed
+    // RDB; the rest are partial-resync tails of a few commands over a
+    // rolling 10k-key space (updates dominate, ~10% fresh inserts,
+    // ~5% deletes) — the steady-state shape of a live keyspace
+    val replId = "d" * 40
+    def segment(i: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      if (i == 0) {
+        out.write(s"+FULLRESYNC $replId 100\r\n".getBytes("ascii"))
+        val rdb = new java.io.ByteArrayOutputStream()
+        rdb.write("REDIS0011".getBytes("ascii"))
+        rdb.write(0xfe); rdb.write(0)
+        def str(x: String): Unit = {
+          rdb.write(x.length & 0x3f); rdb.write(x.getBytes("utf-8"))
+        }
+        (0 until 1000).foreach { k =>
+          rdb.write(0) // value type: string
+          str(s"seed:$k"); str(s"v$k")
+        }
+        rdb.write(0xff)
+        val r = rdb.toByteArray
+        out.write(s"$$${r.length}\r\n".getBytes("ascii"))
+        out.write(r)
+      } else {
+        out.write(s"+CONTINUE $replId\r\n".getBytes("ascii"))
+        (0 until 5).foreach { j =>
+          val n = (i * 5 + j) % 10000
+          val op = (i * 5 + j) % 20
+          if (op == 19) out.write(resp("DEL", s"k:$n"))
+          else if (op >= 17)
+            out.write(resp("HSET", s"h:$n", "f", s"v$i"))
+          else out.write(resp("SET", s"k:$n", s"v$i-$j"))
+        }
+      }
+      out.toByteArray
+    }
+
+    var tail = Seq.empty[Double]
+    println("""{"drill":"residency","lane":"redis","cols":""" +
+      """["pass","median_ms","capture_files","markers",""" +
+      """"state_entries","cmd_dirs","snap_dirs"]}""")
+    (0 until passes).foreach { i =>
+      val name = f"psync.${i + 1}%06d.log"
+      Fs.write(s"$captureDir/$name", segment(i))
+      val t0 = System.nanoTime()
+      lander.pass(Seq(name))
+      // the sweep the resident loop runs on the same cadence
+      if (task.source.captureRetention) {
+        val gone = graft.transport.CaptureRetention
+          .sweepConsumed(captureDir, lander.ledger.all)
+        gone.foreach(lander.ledger.sweepMarker)
+      }
+      val ms = (System.nanoTime() - t0) / 1e6
+      tail = (tail :+ ms).takeRight(every)
+      if ((i + 1) % every == 0) {
+        val med = tail.sorted.apply(tail.size / 2)
+        val capture = Fs.listNames(captureDir)
+          .count(_.endsWith(".log"))
+        val markers = Fs.listNames(s"$taskDir/consumed").size
+        val stateEntries = Fs.listNames(s"$sink/redis.state").size
+        val cmdDirs = Fs.listNames(s"$sink/redis.commands")
+          .count(_.startsWith("seg="))
+        val snapDirs = Fs.listNames(s"$sink/redis.snapshot")
+          .count(_.startsWith("seg="))
+        println(s"""{"pass":${i + 1},"median_ms":$med,""" +
+          s""""capture_files":$capture,"markers":$markers,""" +
+          s""""state_entries":$stateEntries,"cmd_dirs":$cmdDirs,""" +
+          s""""snap_dirs":$snapDirs}""")
+      }
+    }
+    lander.finish(Seq.empty)
+    val state = spark.read.parquet(s"$sink/redis.state").count()
+    println(s"""{"drill":"residency","passes":$passes,""" +
+      s""""final_state_keys":$state}""")
+    spark.stop()
+  }
+}

@@ -698,8 +698,14 @@ object TaskConfig {
         resident = ex.get("resident", "false").toBoolean,
         maxSegmentSecs = ex.get("max_segment_secs", "0").toLong,
         isCluster = ex.get("is_cluster", "false").toBoolean,
-        captureRetention =
-          ex.get("capture_retention", "false").toBoolean),
+        // disk-safety default: a RESIDENT task captures the full
+        // replication history, so retention defaults ON for it (a
+        // weeks-long residency without the sweep fills the disk);
+        // drain-once keeps the capture as an audit trail by default.
+        // An explicit capture_retention=false still opts out — and
+        // trips the Precheck warning gate.
+        captureRetention = ex.get("capture_retention",
+          ex.get("resident", "false")).toBoolean),
       sink = SinkTuning(
         replace = sk.get("replace", "true").toBoolean,
         disableForeignKeyChecks =

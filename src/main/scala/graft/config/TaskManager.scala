@@ -172,6 +172,13 @@ object TaskManager {
         // second pump onto the same capture dir + checkpoint.
         // `resident=true` keeps pump + landing running until a stop
         // request (the deployment posture); default drains once.
+        // Disk-safety gate: retention now defaults ON for resident
+        // tasks, so this only trips on an EXPLICIT opt-out — loud in
+        // the task log, because the capture dir then grows with the
+        // full replication history until the disk fills.
+        val gate = graft.infra.Precheck.checkResidentRetention(
+          task.source.resident, task.source.captureRetention)
+        if (gate.detail.nonEmpty) log(dir, s"precheck ${gate.detail}")
         val r =
           if (task.source.resident)
             LiveCdc.runResident(spark, task, dir.toString,

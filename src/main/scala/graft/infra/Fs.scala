@@ -37,6 +37,15 @@ object Fs {
   def size(path: String): Long =
     fs(path).getFileStatus(new Path(path)).getLen
 
+  /** Recursive byte size of a directory tree (0 when missing) — file
+    * metadata only, one getContentSummary RPC, never a Spark job.
+    */
+  def dirSize(path: String): Long = {
+    val f = fs(path)
+    val p = new Path(path)
+    if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
+  }
+
   /** File names (not paths) directly under `dir`; empty when the dir
     * is missing. One RPC on object stores (listStatus).
     */

@@ -224,6 +224,22 @@ object Precheck {
     else results
   }
 
+  /** Disk-safety gate for the live lanes: a RESIDENT task without
+    * `capture_retention` accumulates the full replication history
+    * under its capture dir until the disk fills. Retention defaults
+    * ON for resident tasks (TaskConfig), so this only trips on an
+    * explicit opt-out — a legitimate audit-trail posture, surfaced
+    * loudly in the task log rather than failed.
+    */
+  def checkResidentRetention(resident: Boolean,
+      captureRetention: Boolean): CheckResult =
+    if (resident && !captureRetention)
+      CheckResult("capture_retention", ok = true,
+        "WARN resident=true with capture_retention=false: the " +
+          "capture dir grows with the full replication history — " +
+          "explicit opt-out is for audit trails with external purges")
+    else CheckResult("capture_retention", ok = true, "")
+
   /** Run the standard battery for a snapshot task over parquet tables. */
   /** Precheck battery for the curation-family task kinds (curation /
     * curation_stream / loader / warc) — the struct_existed /

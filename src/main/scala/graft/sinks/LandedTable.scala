@@ -61,6 +61,28 @@ object LandedTable {
     StructField("key", StringType),
     StructField("payload", StringType)))
 
+  /** How a table's outstanding deltas fold into its (key, payload)
+    * face. The DEFAULT is last-writer-wins row compaction (the
+    * mysql/pg change-event contract); sources whose deltas are
+    * OPERATIONS rather than row images (the Redis command tail —
+    * HSET/SADD/APPEND mutate state they don't carry) plug in their
+    * own fold while reusing the same LSM layout, commit protocol,
+    * and cadence machinery.
+    */
+  trait Merger {
+    /** Schema the table's delta dirs are read with. */
+    def deltaSchema: StructType
+
+    /** Fold `deltas` (raw rows of every outstanding delta dir, read
+      * with `deltaSchema`) over `base` (the committed (key, payload)
+      * face, absent before the first merge) into the new face.
+      * `deltaBytes` is the on-disk size of the delta range — the
+      * broadcast-vs-shuffle budget input.
+      */
+    def merge(spark: SparkSession, base: Option[DataFrame],
+        deltas: DataFrame, deltaBytes: Long): DataFrame
+  }
+
   /** The base/flat face schema. Pre-round-13 bases carried the full
     * delta schema; projecting them through this reads them fine.
     */
@@ -132,46 +154,88 @@ object LandedTable {
       case DeltaRe(id) => id.toLong
     }.sorted
 
-  private def baseState(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(FlatSchema).parquet(path)
-
-  /** Last-writer-wins over a delta id range: one row per key with the
-    * winning action, plus NULL-key serial rows passed through — the
-    * same contract Compaction.compact gives the appliers.
-    */
-  private def compactedDeltas(spark: SparkSession, table: String,
-      ids: Seq[Long]): DataFrame = {
-    import graft.operators.Compaction
-    Compaction.compact(
-      spark.read.schema(Schema)
-        .parquet(ids.map(id => deltaDir(table, id)): _*),
-      Seq("key"), Seq("bseq", "seq"), col("row_type"))
+  private def baseState(spark: SparkSession, path: String): DataFrame = {
+    // explicit part files, not the dir: the base dir's own name is
+    // underscore-prefixed (hidden from table-root reads BY DESIGN),
+    // and a schema-specified dir read trips Spark's hidden-path check
+    // into a noisy-but-cosmetic "All paths were ignored" warning per
+    // merge — one listing here keeps the operator log clean
+    val files = Fs.listNames(path)
+      .filter(n => !n.startsWith(".") && !n.startsWith("_"))
+      .map(n => s"$path/$n")
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], FlatSchema)
+    else spark.read.schema(FlatSchema).parquet(files: _*)
   }
 
-  /** Base ∪ compacted newer deltas WITHOUT shuffling the base: delta
-    * keys override by anti-join (broadcast — the delta set is bounded
-    * by the CompactEvery cadence in resident mode; bulk loads land
-    * through the no-base branch), survivors pass through scan-shaped.
-    * The overridden key set comes from the RAW delta scan — the same
-    * non-null key set the compacted frame carries — so the
-    * window/compaction subtree evaluates once per merge, not twice.
+  /** The default fold: last-writer-wins row compaction. Base ∪
+    * compacted newer deltas WITHOUT shuffling the base: delta keys
+    * override by anti-join (broadcast under the budget — the delta
+    * set is bounded by the CompactEvery cadence in resident mode;
+    * bulk loads land through the no-base branch), survivors pass
+    * through scan-shaped. The overridden key set comes from the RAW
+    * delta scan — the same non-null key set the compacted frame
+    * carries — so the window/compaction subtree evaluates once per
+    * merge, not twice.
     */
-  private def merge(spark: SparkSession, basePath: Option[String],
-      table: String, ids: Seq[Long]): DataFrame = {
-    import graft.operators.Compaction
-    val upserts = compactedDeltas(spark, table, ids)
-      .filter(col(Compaction.ActionCol) =!= Compaction.Delete)
-      .select("key", "payload")
-    basePath match {
-      case None => upserts
-      case Some(p) =>
-        val overridden = spark.read.schema(Schema)
-          .parquet(ids.map(id => deltaDir(table, id)): _*)
-          .select("key").where(col("key").isNotNull).distinct()
-        baseState(spark, p)
-          .join(broadcast(overridden), Seq("key"), "left_anti")
-          .unionByName(upserts)
+  object StandardMerger extends Merger {
+    override def deltaSchema: StructType = Schema
+
+    /** One row per key with the winning action, plus NULL-key serial
+      * rows passed through — the same contract Compaction.compact
+      * gives the appliers.
+      */
+    private def compacted(deltas: DataFrame): DataFrame = {
+      import graft.operators.Compaction
+      Compaction.compact(deltas,
+        Seq("key"), Seq("bseq", "seq"), col("row_type"))
     }
+
+    override def merge(spark: SparkSession, base: Option[DataFrame],
+        deltas: DataFrame, deltaBytes: Long): DataFrame = {
+      import graft.operators.Compaction
+      val upserts = compacted(deltas)
+        .filter(col(Compaction.ActionCol) =!= Compaction.Delete)
+        .select("key", "payload")
+      base match {
+        case None => upserts
+        case Some(b) =>
+          val overridden = deltas
+            .select("key").where(col("key").isNotNull).distinct()
+          // the broadcast bound holds on the CompactEvery cadence
+          // (resident mode), but a drain-once catch-up can put an
+          // arbitrarily large backlog into ONE delta range — size
+          // the outstanding delta bytes (file metadata, no job) and
+          // fall back to a shuffle anti-join past the broadcast
+          // budget rather than collecting millions of keys onto the
+          // driver
+          val budget = spark.conf
+            .getOption("graft.landed.broadcast_delta_bytes")
+            .map(_.toLong).getOrElse(BroadcastDeltaBytes)
+          val keySet =
+            if (deltaBytes <= budget) broadcast(overridden)
+            else overridden
+          b.join(keySet, Seq("key"), "left_anti")
+            .unionByName(upserts)
+      }
+    }
+  }
+
+  /** Raw-delta-bytes ceiling under which the overridden key set still
+    * broadcasts (keys are a fraction of delta bytes; past this the
+    * anti-join shuffles instead).
+    */
+  private[sinks] val BroadcastDeltaBytes: Long = 128L * 1024 * 1024
+
+  private def merge(spark: SparkSession, basePath: Option[String],
+      table: String, ids: Seq[Long], merger: Merger): DataFrame = {
+    val deltas = spark.read.schema(merger.deltaSchema)
+      .parquet(ids.map(id => deltaDir(table, id)): _*)
+    val deltaBytes =
+      ids.map(id => Fs.dirSize(deltaDir(table, id))).sum
+    merger.merge(spark, basePath.map(baseState(spark, _)), deltas,
+      deltaBytes)
   }
 
   /** The compacted live state (what the table MEANS right now):
@@ -182,7 +246,8 @@ object LandedTable {
     * key set. External batch readers read the published flat files
     * instead.
     */
-  def read(spark: SparkSession, table: String): DataFrame = {
+  def read(spark: SparkSession, table: String,
+      merger: Merger = StandardMerger): DataFrame = {
     val base = committedBase(table)
     val newer = deltaIds(table).filter(id => base.forall(_._1 < id))
     (base, newer) match {
@@ -192,7 +257,7 @@ object LandedTable {
       case (Some((_, path)), Seq()) =>
         baseState(spark, path)
       case _ =>
-        merge(spark, base.map(_._2), table, newer)
+        merge(spark, base.map(_._2), table, newer, merger)
     }
   }
 
@@ -202,7 +267,7 @@ object LandedTable {
     * that the max-N reader rule ignores and the next merge sweeps).
     */
   def compactTo(spark: SparkSession, table: String,
-      uptoBatch: Long): Unit = {
+      uptoBatch: Long, merger: Merger = StandardMerger): Unit = {
     val prev = committedBase(table)
     // sweep garbage from crashed merges before staging: uncommitted
     // stages, superseded bases (a crash between the rename commit and
@@ -222,7 +287,7 @@ object LandedTable {
     val ids = deltaIds(table)
       .filter(id => id <= uptoBatch && prev.forall(_._1 < id))
     if (ids.isEmpty) return
-    val merged = merge(spark, prev.map(_._2), table, ids)
+    val merged = merge(spark, prev.map(_._2), table, ids, merger)
     val stage = f"$table/_stage-$uptoBatch%08d"
     merged.write.mode(SaveMode.Overwrite).parquet(stage)
     val committed = baseDir(table, uptoBatch)
@@ -245,7 +310,8 @@ object LandedTable {
     * brief delete→rename swap, and only for concurrent external
     * readers of the flat files (resident monitors poll `read`).
     */
-  def publishFlat(spark: SparkSession, table: String): Unit = {
+  def publishFlat(spark: SparkSession, table: String,
+      merger: Merger = StandardMerger): Unit = {
     val base = committedBase(table)
     if (base.isEmpty && deltaIds(table).isEmpty) return
     val stage = s"$table/_pubstage"
@@ -256,7 +322,8 @@ object LandedTable {
           .filter(n => !n.startsWith(".") && n != "_SUCCESS")
           .foreach(n => Fs.copyFile(s"$path/$n", s"$stage/$n"))
       case _ =>
-        read(spark, table).write.mode(SaveMode.Overwrite).parquet(stage)
+        read(spark, table, merger).write.mode(SaveMode.Overwrite)
+          .parquet(stage)
     }
     Fs.listNames(table)
       .filter(n => !n.startsWith("_") && !n.startsWith("."))

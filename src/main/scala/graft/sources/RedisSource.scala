@@ -1058,6 +1058,13 @@ object RedisPsync {
     else RedisRdb.parseStream(rdbStreamOf(in, header))
   }
 
+  /** Does this capture segment begin with a FULL resync — an RDB
+    * image that REPLACES all prior state (the state-landing reset
+    * boundary)? Reads only the preamble; caller owns closing `in`.
+    */
+  def fullResync(in: java.io.InputStream): Boolean =
+    !streamPreamble(in)._3
+
   /** The command tail of a capture segment with replication offsets
     * (master offset + tail bytes for full resyncs, segment-relative
     * for partial), skipping the RDB without materializing it. The

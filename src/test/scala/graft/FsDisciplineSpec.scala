@@ -31,6 +31,8 @@ class FsDisciplineSpec extends AnyFunSuite {
       "driver bench main: local result JSON",
     "LanderDrill.scala" ->
       "driver bench main: local temp table dirs it drills against",
+    "config/ResidencyDrill.scala" ->
+      "driver bench main: local temp task/capture dirs it ages",
     "TaskCli.scala" ->
       "CLI entry: local task dirs on the operator's machine",
     "config/TaskConfig.scala" ->

@@ -151,6 +151,39 @@ class LandedTableSpec extends SparkSuite {
     assert(state(t) == Map("1" -> "a2", "3" -> "c"))
   }
 
+  test("past the broadcast budget the delta-key anti-join falls back " +
+      "to a shuffle instead of collecting the key set onto the driver") {
+    val t = java.nio.file.Files
+      .createTempDirectory("landed").toString + "/app.t"
+    LandedTable.writeDelta(
+      delta(0L, ("insert", "1", "a"), ("insert", "2", "b")), t, 0L)
+    LandedTable.compactTo(spark, t, 0L)
+    LandedTable.writeDelta(
+      delta(1L, ("insert", "1", "a2"), ("insert", "3", "c")), t, 1L)
+    // a 1-byte budget forces the drain-once-catch-up posture: the
+    // delta range is "too big to broadcast". Past the budget the
+    // merge drops the broadcast() HINT — planner choice reverts to
+    // Spark's own size estimate, so disable auto-broadcast here to
+    // observe the unforced plan (at real catch-up sizes the estimate
+    // itself exceeds autoBroadcastJoinThreshold)
+    spark.conf.set("graft.landed.broadcast_delta_bytes", "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = LandedTable.read(spark, t)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"expected the shuffle fallback past the budget:\n$plan")
+      assert(plan.contains("LeftAnti"), s"still an anti-join:\n$plan")
+      assert(state(t) == Map("1" -> "a2", "2" -> "b", "3" -> "c"))
+      // merging through the fallback commits the same state
+      LandedTable.compactTo(spark, t, 1L)
+      assert(state(t) == Map("1" -> "a2", "2" -> "b", "3" -> "c"))
+    } finally {
+      spark.conf.unset("graft.landed.broadcast_delta_bytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("a pre-round-13 base written with the full delta schema still " +
       "reads and merges (projection migration)") {
     val t = java.nio.file.Files

@@ -597,7 +597,9 @@ class LiveCdcSpec extends SparkSuite {
     val cmds = spark.read.parquet(s"$sink/redis.commands")
       .collect().map(_.getAs[String]("argv").split(" ")(1)).toSet
     assert(cmds == Set("bar2", "foo2"))
-    assert(report.tables.toMap.values.sum == 4L)
+    // 2 snapshot + 2 command rows + 4 state keys (both shards' RDB
+    // keys AND tails — node-scoped resets never cross shards)
+    assert(report.tables.toMap.values.sum == 8L)
     // per-node resume positions persisted under repl_id.<nodeId>
     val persisted = graft.transport.PumpPositions.read(taskDir)
     assert(persisted.get(s"repl_id.$idA").contains(idA))
@@ -671,8 +673,11 @@ class LiveCdcSpec extends SparkSuite {
       dialOverride = Some(() => seedWire()),
       dialNodeOverride = Some(addr => wires(addr)))
     assert(report.position._1 == "cluster")
+    // state face: each shard's RDB key + its SET tail key — one
+    // shard's full-resync reset must NOT wipe the other shard's keys
     assert(report.tables.toMap ==
-      Map("redis.snapshot" -> 2L, "redis.commands" -> 2L))
+      Map("redis.snapshot" -> 2L, "redis.commands" -> 2L,
+        "redis.state" -> 4L))
     val snap = spark.read.parquet(s"$sink/redis.snapshot")
       .collect().map(_.getAs[String]("key")).toSet
     assert(snap == Set("bar", "foo"))
@@ -801,7 +806,8 @@ class LiveCdcSpec extends SparkSuite {
     val report = LiveCdc.runRedis(spark, taskFor(sink2), task2Dir,
       dialOverride = Some(() => fullWire()))
     assert(report.tables.toMap ==
-      Map("redis.snapshot" -> 0L, "redis.commands" -> 0L))
+      Map("redis.snapshot" -> 0L, "redis.commands" -> 0L,
+        "redis.state" -> 0L))
     assert(!graft.infra.Fs.exists(s"$sink2/redis.commands"))
   }
 
@@ -1244,13 +1250,18 @@ class LiveCdcSpec extends SparkSuite {
     import graft.transport.{Bson, MongoWire}
     def reply(doc: Seq[(String, Any)]): Array[Byte] =
       MongoWire.message(0, doc)
-    def change(tok: String, id: String): Bson.Doc =
-      Bson.Doc(Seq(
+    def change(tok: String, id: String, op: String = "insert",
+        v: String = "x"): Bson.Doc = {
+      val base = Seq(
         "_id" -> Bson.Doc(Seq("_data" -> tok)),
-        "operationType" -> "insert",
+        "operationType" -> op,
         "ns" -> Bson.Doc(Seq("db" -> "app", "coll" -> "t")),
-        "documentKey" -> Bson.Doc(Seq("_id" -> id)),
-        "fullDocument" -> Bson.Doc(Seq("_id" -> id, "v" -> "x"))))
+        "documentKey" -> Bson.Doc(Seq("_id" -> id)))
+      Bson.Doc(
+        if (op == "delete") base
+        else base :+ ("fullDocument" ->
+          Bson.Doc(Seq("_id" -> id, "v" -> v))))
+    }
     val wire = new FakeWire
     wire.serve(reply(Seq("ok" -> 1.0))) // hello (no auth: empty pw)
     wire.serve(reply(Seq(
@@ -1258,7 +1269,9 @@ class LiveCdcSpec extends SparkSuite {
         "id" -> 0L, // exhausted after the first batch
         "ns" -> "admin.$cmd.aggregate",
         "firstBatch" -> Bson.Arr(Seq(change("t1", "1"),
-          change("t2", "2"))))),
+          change("t2", "2"),
+          change("t3", "1", op = "update", v = "y"),
+          change("t4", "2", op = "delete"))))),
       "ok" -> 1.0)))
 
     val state = java.nio.file.Files
@@ -1278,18 +1291,30 @@ class LiveCdcSpec extends SparkSuite {
       liveDial = Some(() => wire))
     assert(meta.status == "finished")
     val changes = spark.read.parquet(s"$sink/mongo.changes")
-    assert(changes.count() == 2)
+    assert(changes.count() == 4)
     // fixed landed schema: envelope columns + JSON-string payloads
     // (schema INFERENCE per segment would drift across segments)
     val ids = changes.selectExpr("get_json_object(key, '$._id')")
       .collect().map(_.getString(0)).toSet
     assert(ids == Set("1", "2"))
     assert(changes.select("op").collect()
-      .map(_.getString(0)).toSet == Set("insert"))
+      .map(_.getString(0)).toSet ==
+      Set("insert", "update", "delete"))
     assert(changes.select("db", "coll").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet ==
       Set(("app", "t")))
     assert(changes.select("token").collect()
-      .map(_.getString(0)).toSet == Set("t1", "t2"))
+      .map(_.getString(0)).toSet == Set("t1", "t2", "t3", "t4"))
+    // the CURRENT-STATE table (documentKey -> fullDocument, deletes
+    // folded away): id 1 at its updated image, id 2 gone — the
+    // mongo_sinker upsert/delete-by-_id contract as landed parquet
+    val stateRows = spark.read.parquet(s"$sink/app.t")
+      .collect().map(r => (r.getAs[String]("key"),
+        r.getAs[String]("payload"))).toMap
+    assert(stateRows.size == 1, s"state: $stateRows")
+    val (k1, doc1) = stateRows.head
+    assert(k1.contains("\"1\"") || k1.contains(": \"1\"") ||
+      k1.contains("\"_id\""))
+    assert(doc1.contains("\"y\""), s"doc: $doc1")
   }
 }

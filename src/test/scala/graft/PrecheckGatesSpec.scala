@@ -77,6 +77,35 @@ class PrecheckGatesSpec extends AnyFunSuite {
       "a", "a").ok)
   }
 
+  test("resident-without-retention warns loudly; the INI default " +
+      "flips retention ON for resident tasks") {
+    import graft.infra.Precheck
+    // gate: explicit opt-out surfaces the disk-growth warning
+    assert(Precheck.checkResidentRetention(resident = true,
+      captureRetention = false).detail.contains("WARN"))
+    assert(Precheck.checkResidentRetention(resident = true,
+      captureRetention = true).detail.isEmpty)
+    assert(Precheck.checkResidentRetention(resident = false,
+      captureRetention = false).detail.isEmpty)
+    // defaults: resident=true implies capture_retention=true unless
+    // explicitly opted out; drain-once stays audit-trail-by-default
+    def src(extra: String) = graft.config.TaskConfig.fromIni(
+      s"""[extractor]
+         |db_type=redis
+         |extract_type=cdc
+         |url=redis://127.0.0.1:6379
+         |$extra
+         |
+         |[sinker]
+         |url=/tmp/x
+         |""".stripMargin).source
+    assert(src("resident=true").captureRetention)
+    assert(!src("resident=true\ncapture_retention=false")
+      .captureRetention)
+    assert(!src("").captureRetention)
+    assert(src("capture_retention=true").captureRetention)
+  }
+
   test("table structs: out-of-scope FK is an error, no-key is a warning") {
     val tables = Seq(("db", "orders"), ("db", "lines"), ("db", "nolog"))
     val constraints = Seq(

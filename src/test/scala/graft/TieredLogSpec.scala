@@ -1,0 +1,90 @@
+package graft
+
+import graft.infra.Fs
+import graft.sinks.TieredLog
+
+/** Geometric folding of append-log faces: dir counts stay
+  * O(fanout · log n), rows survive folds byte-for-byte, unconsumed
+  * segments are never folded, and a crash at either side of the
+  * delete window recovers without loss or double counting.
+  */
+class TieredLogSpec extends SparkSuite {
+
+  private def mkFace(n: Int): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("tiered-log").toString
+    val s = spark
+    import s.implicits._
+    (1 to n).foreach { i =>
+      Seq((f"seg$i%03d", i.toLong)).toDF("src_seg", "v")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(f"$dir/seg=seg$i%03d")
+    }
+    dir
+  }
+
+  private def segDirs(dir: String): Seq[String] =
+    Fs.listNames(dir).filter(_.startsWith("seg=")).sorted
+
+  test("folding 30 segments at fanout 4 bounds the dir count and " +
+      "keeps every row") {
+    val dir = mkFace(30)
+    TieredLog.fold(spark, dir, fanout = 4)
+    val dirs = segDirs(dir)
+    // 30 raw → cascading tier folds: far fewer than 30 dirs, none of
+    // the data lost, provenance intact in src_seg
+    assert(dirs.size <= 12, s"dirs after fold: $dirs")
+    assert(dirs.exists(_.startsWith("seg=fold")))
+    val rows = spark.read.parquet(dir)
+      .select("src_seg", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == (1 to 30).map(i => (f"seg$i%03d", i.toLong)).toSet)
+    // idempotent: a second fold pass with nothing new changes nothing
+    val before = segDirs(dir)
+    TieredLog.fold(spark, dir, fanout = 4)
+    assert(segDirs(dir) == before)
+  }
+
+  test("unconsumed segments are never folded (crash-replay could " +
+      "re-land them)") {
+    val dir = mkFace(8)
+    val consumed = (1 to 6).map(i => f"seg$i%03d").toSet
+    TieredLog.fold(spark, dir, fanout = 4, foldable = consumed)
+    val dirs = segDirs(dir)
+    // seg007/seg008 must still be raw dirs
+    assert(dirs.contains("seg=seg007") && dirs.contains("seg=seg008"))
+    assert(spark.read.parquet(dir).count() == 8)
+  }
+
+  test("a stage left by a crash BEFORE the source deletes is " +
+      "discarded; one left AFTER finishes its commit") {
+    // pre-delete crash: stage exists, sources intact
+    val a = mkFace(4)
+    TieredLog.fold(spark, a, fanout = 4)
+    val folded = segDirs(a)
+    assert(folded == Seq("seg=fold1-000001"))
+    // simulate: copy the fold back out as a stage with a manifest
+    // naming sources that all still exist
+    val b = mkFace(4)
+    val stage = s"$b/_tierstage-seg=fold1-000001"
+    Fs.mkdirs(stage)
+    Fs.writeString(s"$stage/_manifest",
+      (1 to 4).map(i => f"seg=seg$i%03d").mkString("\n"))
+    TieredLog.fold(spark, b, fanout = 99) // only recovery runs
+    assert(!Fs.exists(stage), "pre-delete stage must be discarded")
+    assert(spark.read.parquet(b).count() == 4)
+
+    // post-delete crash: some sources already gone → finish commit
+    val c = mkFace(4)
+    TieredLog.fold(spark, c, fanout = 4) // produce a real folded dir
+    val committed = s"$c/seg=fold1-000001"
+    val stage2 = s"$c/_tierstage-seg=fold1-000002"
+    assert(Fs.rename(committed, stage2)) // pretend rename never ran
+    Fs.writeString(s"$stage2/_manifest",
+      (1 to 4).map(i => f"seg=seg$i%03d").mkString("\n"))
+    TieredLog.fold(spark, c, fanout = 99)
+    assert(!Fs.exists(stage2))
+    assert(segDirs(c) == Seq("seg=fold1-000002"))
+    assert(spark.read.parquet(c).count() == 4)
+  }
+}

@@ -264,8 +264,17 @@ object ScenarioRunner {
     // LIVE-url scenarios ([extractor] url=mysql://…) run the WHOLE
     // task-manager lane — dial, pump, capture, stream, compact, land —
     // over a scripted wire synthesized from the same SQL fixtures
-    if (graft.config.LiveCdc.isLiveUrl(task.sourceDir))
-      return runLiveMysql(spark, dir, ini, task, src)
+    // (mysql/pg/mongo) or the redis command script
+    if (graft.config.LiveCdc.isLiveUrl(task.sourceDir)) {
+      val u = task.sourceDir
+      return if (u.startsWith("mysql://"))
+        runLiveMysql(spark, dir, ini, task, src)
+      else if (u.startsWith("postgres")) // postgres:// / postgresql://
+        runLivePg(spark, dir, ini, task, src)
+      else if (u.startsWith("redis")) // redis:// / rediss://
+        runLiveRedis(spark, dir, ini, task)
+      else runLiveMongo(spark, dir, ini, task, src)
+    }
 
     // two-way scenarios (task_config_back.ini present) are their own
     // flow: A→B→A with data markers
@@ -2354,6 +2363,395 @@ object ScenarioRunner {
     }
     Result(perTable.size,
       perTable.values.map(_._2.size.toLong).sum, perTable)
+  }
+
+  /** Expected landed (key, payload) rows per routed table from the
+    * interpreted source — the contract every live lane shares.
+    */
+  private def expectedLanded(task: TaskConfig.Task,
+      src: SourceState): Map[String, Seq[Map[String, Value]]] = {
+    val keyCols = task.keysByTable.values.flatten.toSeq.distinct
+    def esc(s: String): String = s.replace("\\", "\\\\")
+      .replace("\t", "\\t").replace("\n", "\\n")
+    src.defs.keys.toSeq
+      .filter { case (db, tb) => task.filter.allowTable(db, tb) }
+      .map { case (db, tb) =>
+        val (rdb, rtb) = task.router.routeTable(db, tb)
+        val d = src.defs((db, tb))
+        val rows = src.rows((db, tb)).toSeq.map { r =>
+          Map[String, Value](
+            "key" -> esc(keyCols.map(c =>
+              Option(r.getOrElse(c, null)).getOrElse(""))
+              .mkString("|")),
+            "payload" -> d.cols.sorted.map(c =>
+              s"$c=${Option(r.getOrElse(c, null)).map(esc)
+                .getOrElse("")}").mkString(","))
+        }
+        s"$rdb.$rtb" -> rows
+      }.toMap
+  }
+
+  /** Start the scenario task through the manager with a stopper that
+    * requests stop once `landedEnough` holds (resident lanes) or
+    * immediately relies on the drain-once end (non-resident).
+    */
+  private def runManaged(spark: SparkSession, dir: Path, ini: String,
+      resident: Boolean, sinkDir: String,
+      landedEnough: () => Boolean,
+      dial: () => graft.transport.Wire,
+      nodeDial: Option[String => graft.transport.Wire] = None)
+      : (String, graft.config.TaskManager.TaskMeta) = {
+    val stateDir = Files.createTempDirectory("live-scn-state").toString
+    val name = dir.getFileName.toString
+    graft.config.TaskManager.create(stateDir, name,
+      ini.replace("url=fixture://dst", s"url=$sinkDir"))
+    val stopper: Option[Thread] = if (!resident) None else Some {
+      val t = new Thread(() => {
+        val deadline = System.currentTimeMillis() + 60000
+        var done = false
+        while (!done && System.currentTimeMillis() < deadline) {
+          Thread.sleep(250)
+          if (try landedEnough() catch { case _: Exception => false })
+            done = true
+        }
+        Files.writeString(
+          Paths.get(stateDir, name, "stop.requested"), "stop"): Unit
+      }, s"live-scn-stopper-$name")
+      t.start(); t
+    }
+    val meta = graft.config.TaskManager.start(spark, stateDir, name,
+      liveDial = Some(dial), liveNodeDial = nodeDial)
+    stopper.foreach(_.join())
+    require(meta.status == "finished",
+      s"live scenario $name did not finish: ${meta.error}")
+    (stateDir, meta)
+  }
+
+  /** The live PG lane over a scripted walsender session: auth, slot
+    * lifecycle queries, CopyBoth, then the pgoutput frame stream the
+    * SQL fixtures synthesize (WireFidelity) — resident sessions end
+    * in a wire drop, drain-once in CopyDone.
+    */
+  private def runLivePg(spark: SparkSession, dir: Path, ini: String,
+      task: TaskConfig.Task, src: SourceState): Result = {
+    import graft.transport.PgWire
+    def msg(tag: Char, body: Array[Byte]): Array[Byte] =
+      PgWire.message(tag, body)
+    def queryReply(cols: Seq[String],
+        rows: Seq[Seq[String]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      if (cols.nonEmpty) {
+        val t = new java.io.ByteArrayOutputStream()
+        t.write((cols.size >> 8) & 0xff); t.write(cols.size & 0xff)
+        cols.foreach { c =>
+          t.write(c.getBytes("UTF-8")); t.write(0)
+          t.write(new Array[Byte](18))
+        }
+        out.write(msg('T', t.toByteArray))
+      }
+      rows.foreach { r =>
+        val d = new java.io.ByteArrayOutputStream()
+        d.write((r.size >> 8) & 0xff); d.write(r.size & 0xff)
+        r.foreach { v =>
+          val b = v.getBytes("UTF-8")
+          d.write((b.length >> 24) & 0xff)
+          d.write((b.length >> 16) & 0xff)
+          d.write((b.length >> 8) & 0xff); d.write(b.length & 0xff)
+          d.write(b)
+        }
+        out.write(msg('D', d.toByteArray))
+      }
+      out.write(msg('C', "SELECT".getBytes("UTF-8") :+ 0.toByte))
+      out.write(msg('Z', Array[Byte]('I'.toByte)))
+      out.toByteArray
+    }
+    val resident = task.source.resident
+    val slotName = task.slot.map(_.slotName).getOrElse("graft_slot")
+    def sessionWire(): graft.transport.FakeWire = {
+      val w = new graft.transport.FakeWire
+      w.serve(msg('R', Array[Byte](0, 0, 0, 0)))
+      w.serve(msg('Z', Array[Byte]('I'.toByte)))
+      w.serve(queryReply(Seq("pubname"), Seq(Seq("p"))))
+      w.serve(queryReply(Seq("slot_name", "confirmed_flush_lsn"),
+        Seq(Seq(slotName, "0/16000000"))))
+      w.serve(queryReply(Nil, Nil)) // SET float digits
+      w.serve(queryReply(Nil, Nil)) // SET time zone
+      w.serve(msg('W', Array[Byte](0, 0, 0))) // CopyBoth
+      w.serve(WireFidelity.pgOutputBytes(src))
+      if (!resident) w.serve(msg('c', Array.emptyByteArray))
+      w
+    }
+    val first = scala.collection.mutable.Queue[graft.transport.Wire](
+      sessionWire())
+    def nextWire(): graft.transport.Wire = first.synchronized {
+      if (first.nonEmpty) first.dequeue()
+      else new graft.transport.FakeWire
+    }
+    val expected = expectedLanded(task, src)
+    val sinkDir = Files.createTempDirectory("live-scn-sink").toString
+    val wantRows = expected.values.map(_.size.toLong).sum
+    runManaged(spark, dir, ini, resident, sinkDir,
+      landedEnough = () => expected.keys.toSeq.map { t0 =>
+        graft.sinks.LandedTable.read(spark, s"$sinkDir/$t0").count()
+      }.sum >= wantRows,
+      dial = () => nextWire())
+    val perTable = expected.map { case (t0, want) =>
+      val got = spark.read.parquet(s"$sinkDir/$t0").collect().toSeq
+        .map(r => Map[String, Value](
+          "key" -> r.getAs[String]("key"),
+          "payload" -> r.getAs[String]("payload")))
+      compareStates(t0, want, got)
+      t0 -> (want, got)
+    }
+    Result(perTable.size,
+      perTable.values.map(_._2.size.toLong).sum, perTable)
+  }
+
+  /** The live Redis lane(s): the scenario dir carries
+    * `redis_commands.txt` (one command per line); the harness serves
+    * a PSYNC session — empty RDB + the command tail — and checks the
+    * command log face AND the current-state face against an
+    * INDEPENDENT mini-interpreter (SET/DEL/APPEND/INCRBY/HSET/HDEL/
+    * SADD/SREM — the scenario-scoped oracle, not the production
+    * fold). `is_cluster=true` serves a two-master topology and routes
+    * each command to its slot-owning master, exactly as a real
+    * cluster would.
+    */
+  private def runLiveRedis(spark: SparkSession, dir: Path,
+      ini: String, task: TaskConfig.Task): Result = {
+    def ascii(x: String): Array[Byte] = x.getBytes("ascii")
+    def resp(args: Seq[String]): Array[Byte] =
+      graft.transport.RedisReplicationPump.cmd(args: _*)
+    val script = new String(Files.readAllBytes(
+      dir.resolve("redis_commands.txt")), "UTF-8")
+      .linesIterator.map(_.trim).filter(_.nonEmpty)
+      .map(_.split("\\s+").toSeq).toSeq
+    val emptyRdb: Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("REDIS0011".getBytes("ascii"))
+      out.write(0xff)
+      out.toByteArray
+    }
+    def fullWire(replId: String,
+        cmds: Seq[Seq[String]]): graft.transport.FakeWire = {
+      val w = new graft.transport.FakeWire
+      w.serve(ascii("+PONG\r\n"))
+      w.serve(ascii("+OK\r\n"))
+      w.serve(ascii(s"+FULLRESYNC $replId 100\r\n"))
+      w.serve(ascii(s"$$${emptyRdb.length}\r\n"))
+      w.serve(emptyRdb)
+      cmds.foreach(c => w.serve(resp(c)))
+      w
+    }
+    val resident = task.source.resident
+    val sinkDir = Files.createTempDirectory("live-scn-sink").toString
+    val landedEnough = () =>
+      spark.read.parquet(s"$sinkDir/redis.commands").count() >=
+        script.size.toLong
+    if (task.source.isCluster) {
+      val idA = "a" * 40
+      val idB = "b" * 40
+      val topology =
+        s"""$idA 10.0.0.1:6379@16379 master - 0 0 1 connected 0-8191
+           |$idB 10.0.0.2:6379@16379 master - 0 0 2 connected 8192-16383
+           |""".stripMargin
+      def seedWire(): graft.transport.Wire = {
+        val w = new graft.transport.FakeWire
+        w.serve(ascii(s"$$${topology.getBytes("UTF-8").length}\r\n"))
+        w.serve(ascii(topology))
+        w.serve(ascii("\r\n"))
+        w
+      }
+      // route each command to its key's slot owner — what the real
+      // cluster's per-shard replication streams would carry
+      def ownerIsA(cmd: Seq[String]): Boolean =
+        cmd.size < 2 ||
+          graft.sinks.RedisReshard.slotOf(cmd(1)) <= 8191
+      val aCmds = script.filter(ownerIsA)
+      val bCmds = script.filterNot(ownerIsA)
+      val queues = Map(
+        "10.0.0.1:6379" -> scala.collection.mutable.Queue(
+          fullWire(idA, aCmds)),
+        "10.0.0.2:6379" -> scala.collection.mutable.Queue(
+          fullWire(idB, bCmds)))
+      def nodeDial(addr: String): graft.transport.Wire =
+        queues.synchronized {
+          val q = queues(addr)
+          if (q.nonEmpty) q.dequeue()
+          else new graft.transport.FakeWire
+        }
+      runManaged(spark, dir, ini, resident, sinkDir, landedEnough,
+        dial = () => seedWire(), nodeDial = Some(nodeDial))
+    } else {
+      val queue = scala.collection.mutable.Queue[
+        graft.transport.Wire](fullWire("c" * 40, script))
+      def nextWire(): graft.transport.Wire = queue.synchronized {
+        if (queue.nonEmpty) queue.dequeue()
+        else new graft.transport.FakeWire
+      }
+      runManaged(spark, dir, ini, resident, sinkDir, landedEnough,
+        dial = () => nextWire())
+    }
+    // the command log face carries every scripted command
+    val argv = spark.read.parquet(s"$sinkDir/redis.commands")
+      .collect().map(_.getAs[String]("argv")).toSeq.sorted
+    val wantArgv = script.map(_.mkString(" ")).sorted
+    require(argv == wantArgv,
+      s"command log mismatch: want $wantArgv got $argv")
+    // the current-state face equals the scenario oracle — an
+    // independent interpreter over the same script
+    val oracle = redisOracle(script)
+    val state = spark.read.parquet(s"$sinkDir/redis.state")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val gotKeys = state.keySet.map(_.split('\u0000')(1))
+    require(gotKeys == oracle.keySet,
+      s"state keys: want ${oracle.keySet} got $gotKeys")
+    oracle.foreach { case (k, values) =>
+      val payload = state(s"0\u0000$k")
+      values.foreach(v => require(payload.contains(v),
+        s"state[$k] missing $v in $payload"))
+    }
+    val rows = oracle.keySet.toSeq.sorted.map(k =>
+      Map[String, Value]("key" -> k))
+    Result(2, script.size.toLong,
+      Map("redis.state" -> (rows, rows)))
+  }
+
+  /** Scenario-scoped redis oracle: key → value fragments the landed
+    * state payload must contain. Independent of the production fold.
+    */
+  private def redisOracle(
+      script: Seq[Seq[String]]): Map[String, Seq[String]] = {
+    val str = mutable.LinkedHashMap[String, String]()
+    val fields = mutable.LinkedHashMap[String,
+      mutable.LinkedHashMap[String, String]]()
+    script.foreach { c =>
+      c.head.toUpperCase match {
+        case "SET" => str(c(1)) = c(2); fields.remove(c(1)): Unit
+        case "APPEND" =>
+          str(c(1)) = str.getOrElse(c(1), "") + c(2)
+        case "INCRBY" =>
+          str(c(1)) =
+            (str.getOrElse(c(1), "0").toLong + c(2).toLong).toString
+        case "DEL" =>
+          c.drop(1).foreach { k =>
+            str.remove(k); fields.remove(k): Unit
+          }
+        case "HSET" | "SADD" =>
+          val m = fields.getOrElseUpdate(c(1),
+            mutable.LinkedHashMap[String, String]())
+          if (c.head.equalsIgnoreCase("SADD"))
+            c.drop(2).foreach(v => m(v) = "")
+          else c.drop(2).grouped(2).foreach {
+            case Seq(f, v) => m(f) = v
+            case _ => ()
+          }
+        case "HDEL" | "SREM" =>
+          fields.get(c(1)).foreach { m =>
+            c.drop(2).foreach(m.remove)
+            if (m.isEmpty) fields.remove(c(1)): Unit
+          }
+        case other =>
+          sys.error(s"redis scenario oracle: unsupported $other")
+      }
+    }
+    (str.map { case (k, v) => k -> Seq(v) } ++
+      fields.map { case (k, m) =>
+        k -> (m.keys.toSeq ++ m.values.filter(_.nonEmpty).toSeq)
+      }).toMap
+  }
+
+  /** The live Mongo lane: change-stream documents synthesized from
+    * the SQL fixtures (insert/update ride fullDocument, delete rides
+    * documentKey only), served as one aggregate cursor batch; the
+    * landed per-(db, coll) state tables must hold exactly the
+    * interpreted end-state keys with their final images.
+    */
+  private def runLiveMongo(spark: SparkSession, dir: Path,
+      ini: String, task: TaskConfig.Task, src: SourceState): Result = {
+    import graft.transport.{Bson, MongoWire}
+    val keyColOf: Map[String, String] =
+      task.keysByTable.map { case (tb, ks) => tb -> ks.head }
+    def docOf(img: Map[String, Value]): Bson.Doc =
+      Bson.Doc(img.toSeq.sortBy(_._1).map { case (c, v) =>
+        c -> (if (v == null) null else v.toString)
+      })
+    val changes = src.events.toSeq.zipWithIndex.map { case (e, i) =>
+      val keyCol = keyColOf.getOrElse(e.tb, "id")
+      val img = if (e.rowType == "delete") e.before else e.after
+      val id = Option(img.getOrElse(keyCol, null))
+        .map(_.toString).getOrElse("")
+      val base = Seq(
+        "_id" -> Bson.Doc(Seq("_data" -> f"tok$i%06d")),
+        "operationType" -> (e.rowType match {
+          case "insert" => "insert"
+          case "update" => "update"
+          case "delete" => "delete"
+          case other => sys.error(s"mongo scenario: $other")
+        }),
+        "ns" -> Bson.Doc(Seq("db" -> e.db, "coll" -> e.tb)),
+        "documentKey" -> Bson.Doc(Seq("_id" -> id)))
+      Bson.Doc(
+        if (e.rowType == "delete") base
+        else base :+ ("fullDocument" -> docOf(e.after)))
+    }
+    def sessionWire(): graft.transport.FakeWire = {
+      val w = new graft.transport.FakeWire
+      w.serve(MongoWire.message(0, Seq("ok" -> 1.0))) // hello
+      w.serve(MongoWire.message(0, Seq(
+        "cursor" -> Bson.Doc(Seq(
+          "id" -> 0L,
+          "ns" -> "admin.$cmd.aggregate",
+          "firstBatch" -> Bson.Arr(changes))),
+        "ok" -> 1.0)))
+      w
+    }
+    val queue = scala.collection.mutable.Queue[
+      graft.transport.Wire](sessionWire())
+    def nextWire(): graft.transport.Wire = queue.synchronized {
+      if (queue.nonEmpty) queue.dequeue()
+      else new graft.transport.FakeWire
+    }
+    val resident = task.source.resident
+    val sinkDir = Files.createTempDirectory("live-scn-sink").toString
+    runManaged(spark, dir, ini, resident, sinkDir,
+      landedEnough = () =>
+        spark.read.parquet(s"$sinkDir/mongo.changes").count() >=
+          changes.size.toLong,
+      dial = () => nextWire())
+    // every change landed in the log face
+    require(spark.read.parquet(s"$sinkDir/mongo.changes").count() ==
+      changes.size.toLong, "mongo.changes incomplete")
+    // per-table state: end-state keys exactly; payloads carry the
+    // final column values
+    val perTable = src.defs.keys.toSeq.map { case (db, tb) =>
+      val keyCol = keyColOf.getOrElse(tb, "id")
+      val want = src.rows((db, tb)).toSeq.map { r =>
+        Map[String, Value](
+          "key" -> Option(r.getOrElse(keyCol, null))
+            .map(_.toString).getOrElse(""))
+      }
+      val got = spark.read.parquet(s"$sinkDir/$db.$tb")
+        .selectExpr("get_json_object(key, '$._id') AS k", "payload")
+        .collect().toSeq
+      val gotKeys = got.map(r =>
+        Map[String, Value]("key" -> r.getString(0)))
+      compareStates(s"$db.$tb@state", want, gotKeys)
+      // final images: each row's non-null values appear in payload
+      val byKey = got.map(r => r.getString(0) -> r.getString(1)).toMap
+      src.rows((db, tb)).foreach { r =>
+        val id = Option(r.getOrElse(keyCol, null))
+          .map(_.toString).getOrElse("")
+        r.foreach { case (_, v) =>
+          if (v != null)
+            require(byKey(id).contains(v.toString),
+              s"$db.$tb[$id] payload missing $v: ${byKey(id)}")
+        }
+      }
+      s"$db.$tb" -> (want, gotKeys)
+    }
+    Result(perTable.size,
+      perTable.map(_._2._2.size.toLong).sum, perTable.toMap)
   }
 
   private[scenario] def compareStates(label: String,

@@ -291,6 +291,28 @@ object WireFidelity {
     */
   def pgRoundTrip(src: SourceState): Seq[Event] = {
     val want = src.events.toSeq
+    val w = pgOutputWriterOf(src)
+    val decoded = PgOutput.decodeFile(w.bytes()).map { ce =>
+      Event(ce.schema, ce.tb, 0L, ce.rowType, ce.before, ce.after)
+    }
+    // splice DDL events back before comparing
+    val it = decoded.iterator
+    val merged = want.map { e =>
+      if (e.rowType == "ddl") e else it.next()
+    }
+    require(!it.hasNext, "pgoutput round-trip yielded extra events")
+    spliceAndCheck(want, merged, "pgoutput")
+  }
+
+  /** The raw pgoutput frame stream for a source history — shared by
+    * the round-trip check above and the live-pg scenario harness
+    * (which wraps it in a scripted walsender session).
+    */
+  def pgOutputBytes(src: SourceState): Array[Byte] =
+    pgOutputWriterOf(src).bytes()
+
+  private def pgOutputWriterOf(src: SourceState): PgOutputWriter = {
+    val want = src.events.toSeq
     val w = new PgOutputWriter()
     val defs = mutable.LinkedHashMap[(String, String), TableDef]()
     src.createdDefs.foreach { case (k, d) => defs(k) = d }
@@ -332,16 +354,7 @@ object WireFidelity {
         } else w.commit(lsn, lsn + 0x10, 0L)
       }
     }
-    val decoded = PgOutput.decodeFile(w.bytes()).map { ce =>
-      Event(ce.schema, ce.tb, 0L, ce.rowType, ce.before, ce.after)
-    }
-    // splice DDL events back before comparing
-    val it = decoded.iterator
-    val merged = want.map { e =>
-      if (e.rowType == "ddl") e else it.next()
-    }
-    require(!it.hasNext, "pgoutput round-trip yielded extra events")
-    spliceAndCheck(want, merged, "pgoutput")
+    w
   }
 
   /** Renumber the decoded stream with the synthesized seqs and require

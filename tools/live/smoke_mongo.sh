@@ -29,3 +29,5 @@ msh 'for (let i = 0; i < 100; i++) db.getSiblingDB("smoke").t.insertOne({_id: i,
 wait_rows "$SINK/mongo.changes" 100 120
 stop_task mongo_smoke
 expect_rows "$SINK/mongo.changes" 100
+# current-state face: one row per inserted _id
+expect_rows "$SINK/smoke.t" 100

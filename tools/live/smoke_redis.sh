@@ -28,5 +28,12 @@ url=$SINK
 CFG
 start_task redis_smoke "$INI"
 wait_rows "$SINK/redis.snapshot" 1000 180
+# live tail AFTER the dial: the current-state face must fold it
+rcli set tail:1 one > /dev/null
+rcli set tail:2 two > /dev/null
+rcli del k0 > /dev/null
+sleep 8
 stop_task redis_smoke
 expect_rows "$SINK/redis.snapshot" 1000
+# redis.state = RDB keys + tail SETs - DELs (1000 - 1 + 2)
+expect_rows "$SINK/redis.state" 1001
