@@ -190,6 +190,10 @@ object LiveCdc {
         replId = persisted.getOrElse("repl_id", ""),
         replOffset = persisted.get("repl_offset").map(_.toLong)
           .getOrElse(0L),
+        // the SELECT context at the resume offset: a +CONTINUE
+        // resumes mid-stream and the master never re-sends SELECT
+        startDb = persisted.get("select_db").map(_.toLong)
+          .getOrElse(0L),
         maxSegmentSecs = task.source.maxSegmentSecs),
       new BeaconStore(store, onProgress),
       dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
@@ -198,9 +202,11 @@ object LiveCdc {
     // handshake is a config error the supervisor must see)
     drainSession(pump, () => pump.bytesCaptured)
     store.publishAll()
+    pump.markAllPublished()
     PumpPositions.write(taskDir, Map(
       "repl_id" -> pump.position._1,
-      "repl_offset" -> pump.position._2.toString))
+      "repl_offset" -> pump.position._2.toString,
+      "select_db" -> pump.publishedDb.toString))
     onProgress()
     // single-pass landing: ONE decode+write job over every new
     // segment (decode runs on EXECUTORS — the capture can exceed
@@ -726,6 +732,8 @@ object LiveCdc {
         replId = persisted.getOrElse("repl_id", ""),
         replOffset = persisted.get("repl_offset").map(_.toLong)
           .getOrElse(0L),
+        startDb = persisted.get("select_db").map(_.toLong)
+          .getOrElse(0L),
         maxSegmentSecs = task.source.maxSegmentSecs),
       new BeaconStore(store, onProgress),
       dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
@@ -733,7 +741,8 @@ object LiveCdc {
       () => pump.markAllPublished(), "graft-redis-pump")
     def persistTick(): Unit = PumpPositions.write(taskDir, Map(
       "repl_id" -> pump.publishedPosition._1,
-      "repl_offset" -> pump.publishedPosition._2.toString))
+      "repl_offset" -> pump.publishedPosition._2.toString,
+      "select_db" -> pump.publishedDb.toString))
     val lander = new LiveLanders.RedisLander(spark, task, taskDir,
       captureDir, onProgress)
     while (!stop() && rp.error.get() == null) {

@@ -157,7 +157,6 @@ private[config] object LiveLanders {
       onProgress: () => Unit) {
     val ledger = new ConsumedLedger(taskDir)
     private val sink = task.sinkDir
-    private var nextDelta = 0L // seeded lazily per touched table below
     private val touched = scala.collection.mutable.Set[String]()
     var changeRows = 0L
     var landedSegments = 0L
@@ -201,35 +200,52 @@ private[config] object LiveLanders {
 
       // state deltas: documentKey → fullDocument upserts, delete
       // tombstones — the standard last-writer-wins LandedTable rows.
-      // seq = capture order within the pass (the change stream is
-      // already token-ordered; bseq orders across passes).
-      val passId = nextPassId()
+      // ONE DELTA PER SEGMENT, delta id = the segment's own monotone
+      // index: bseq then orders events across segments regardless of
+      // how Spark packed the multi-file read (file partitions order
+      // by SIZE, not name — a pass-scoped id with a cross-file
+      // monotonic seq would let a small older segment sort after a
+      // big newer one), and a crash-window replay OVERWRITES the same
+      // delta id instead of duplicating. seq orders within a segment
+      // (one file ≤ the 64 MB rotation bound — never split, so
+      // monotonically_increasing_id follows line order). Events with
+      // no ns (malformed lines) or updates whose post-image lookup
+      // raced a delete stay in the log face only.
       val state = parsed
         .filter(col("op").isin("insert", "update", "replace",
           "delete"))
         .filter(col("op") === "delete" || col("doc").isNotNull)
+        .filter(col("db").isNotNull && col("coll").isNotNull)
         .select(col("db"), col("coll"),
-          lit(passId).as("bseq"),
+          regexp_extract(col("seg"), "(\\d+)", 1).cast("long")
+            .as("bseq"),
           monotonically_increasing_id().as("seq"),
           when(col("op") === "delete", lit("delete"))
             .otherwise(lit("insert")).as("row_type"),
           col("key"), col("doc").as("payload"))
       val staging = s"$sink/_mongo-landing"
       state.write.mode(SaveMode.Overwrite)
-        .partitionBy("db", "coll").parquet(staging)
-      // adopt each (db, coll) partition as that table's pass delta —
-      // table list from the staging LISTING (metadata), not a collect
-      Fs.listNames(staging).filter(_.startsWith("db=")).foreach { d =>
-        val db = ExternalCatalogUtils.unescapePathName(d.drop(3))
-        Fs.listNames(s"$staging/$d").filter(_.startsWith("coll="))
-          .foreach { c =>
-            val coll = ExternalCatalogUtils
-              .unescapePathName(c.drop(5))
-            val table = s"$sink/$db.$coll"
-            LandedTable.adoptDelta(s"$staging/$d/$c", table, passId)
-            touched += table
-          }
-      }
+        .partitionBy("bseq", "db", "coll").parquet(staging)
+      // adopt each (segment, db, coll) partition as that table's
+      // delta — table list from the staging LISTING (metadata), not
+      // a collect
+      Fs.listNames(staging).filter(_.startsWith("bseq="))
+        .foreach { b =>
+          val segIdx = b.drop(5).toLong
+          Fs.listNames(s"$staging/$b").filter(_.startsWith("db="))
+            .foreach { d =>
+              val db = ExternalCatalogUtils.unescapePathName(d.drop(3))
+              Fs.listNames(s"$staging/$b/$d")
+                .filter(_.startsWith("coll=")).foreach { c =>
+                  val coll = ExternalCatalogUtils
+                    .unescapePathName(c.drop(5))
+                  val table = s"$sink/$db.$coll"
+                  LandedTable.adoptDelta(s"$staging/$b/$d/$c", table,
+                    segIdx)
+                  touched += table
+                }
+            }
+        }
       Fs.delete(staging)
       fresh.foreach(ledger.mark)
       landedSegments += fresh.size
@@ -240,22 +256,19 @@ private[config] object LiveLanders {
 
     private var passes = 0L
 
-    private def nextPassId(): Long = {
-      if (nextDelta == 0L) {
-        // seed past every existing state table's history once
-        val prior = Fs.listNames(sink)
-          .filter(t => t.contains(".") && t != "mongo.changes")
-          .filter(t => Fs.isDirectory(s"$sink/$t"))
-          .map(t => seedDelta(s"$sink/$t") - 1L)
-        nextDelta = prior.maxOption.getOrElse(0L) + 1L
-      }
-      val id = nextDelta
-      nextDelta += 1
-      id
-    }
+    /** State tables present on disk — a RESTARTED residency must
+      * also fold tables whose deltas landed before the crash but
+      * receive no further changes (an in-memory `touched` alone
+      * would leave them uncompacted and unreported forever).
+      */
+    private def stateTables(): Seq[String] =
+      (Fs.listNames(sink)
+        .filter(t => t.contains(".") && t != "mongo.changes")
+        .filter(t => Fs.isDirectory(s"$sink/$t"))
+        .map(t => s"$sink/$t") ++ touched).distinct.sorted
 
     def compactNow(): Unit = {
-      touched.toSeq.sorted.foreach { table =>
+      stateTables().foreach { table =>
         LandedTable.deltaIds(table).lastOption.foreach { last =>
           LandedTable.compactTo(spark, table, last)
           LandedTable.publishFlat(spark, table)
@@ -277,7 +290,7 @@ private[config] object LiveLanders {
         if (Fs.exists(changes))
           Seq("mongo.changes" -> spark.read.parquet(changes).count())
         else Seq.empty
-      log ++ touched.toSeq.sorted.map { t =>
+      log ++ stateTables().map { t =>
         Fs.fileName(t) -> spark.read.parquet(t).count()
       }
     }

@@ -278,14 +278,23 @@ object CorpusOps {
     // over a DIFFERENT corpus evicts the stale one (the resident-
     // monitor shape that used to accumulate disk blocks unboundedly).
     this.synchronized {
-      // the cached frame may belong to a STOPPED session (suite
-      // teardown, session restart): sameResult against a dead plan
-      // is fragile and unpersist would act on a dead CacheManager —
-      // drop the reference without touching it and adopt the new one
+      // the cached frame may belong to another SESSION: sameResult
+      // against a foreign/stopped session's plan is fragile, so the
+      // keep-the-entry path applies only same-session. Eviction still
+      // runs whenever the owning CONTEXT is alive — sessions from
+      // newSession() share one CacheManager, and skipping the
+      // unpersist there would leak the DISK_ONLY blocks this bound
+      // exists to free; only a dead context's frame is dropped
+      // untouched (nothing to free).
       val prevLive = bigramCache.filter(p =>
         p.sparkSession eq pairs.sparkSession)
       bigramCache match {
         case _ if prevLive.isEmpty =>
+          bigramCache.foreach { p =>
+            if (!p.sparkSession.sparkContext.isStopped)
+              try p.unpersist(blocking = false)
+              catch { case _: Exception => () }
+          }
           bigramCache = Some(pairs)
         case Some(prev) if prev.queryExecution.analyzed
             .sameResult(pairs.queryExecution.analyzed) => ()

@@ -168,6 +168,34 @@ object RedisStateOps {
         (db, Seq(Op(k(1), o, "list", "", n.toString, None)))
       case "LSET" if argv.size >= 4 =>
         (db, Seq(Op(k(1), "lset", "list", argv(2), argv(3), None)))
+      case "MSET" | "MSETNX" if argv.size >= 3 =>
+        val o = if (cmd == "MSETNX") "setnx" else "set"
+        (db, pairs(1).map { case (k2, v) =>
+          Op(stateKey(db, k2), o, "string", "", v, None) })
+      case "GETDEL" if argv.size >= 2 =>
+        (db, Seq(Op(k(1), "del", "", "", "", None)))
+      case "GETEX" if argv.size >= 2 =>
+        // propagated effect command: EX/PX/EXAT/PXAT set expiry,
+        // PERSIST clears it, bare GETEX is a pure read
+        argv.lift(2).map(_.toUpperCase) match {
+          case Some("PERSIST") =>
+            (db, Seq(Op(k(1), "persist", "", "", "", None)))
+          case Some(u @ ("EX" | "PX" | "EXAT" | "PXAT")) =>
+            val ms = argv.lift(3).flatMap(_.toLongOption)
+              .map(v => if (u.startsWith("P")) v else v * 1000L)
+            (db, ms.map(v => Op(k(1), "expire", "", "", v.toString,
+              Some(v))).toSeq)
+          case _ => (db, Nil)
+        }
+      case "BITOP" if argv.size >= 3 =>
+        // BITOP <op> <dest> <src...>: only dest is written
+        (db, Seq(Op(stateKey(db, argv(2)), "unsupp", "", "", "",
+          None)))
+      case "LMPOP" | "ZMPOP" if argv.size >= 3 =>
+        // <numkeys> <key...> — every named key may have been popped
+        val n = argv(1).toLongOption.map(_.toInt).getOrElse(0)
+        (db, argv.slice(2, 2 + n).map(r =>
+          Op(stateKey(db, r), "unsupp", "", "", "", None)))
       case "FLUSHDB" =>
         (db, Seq(Op("", "reset", "", "", "", None)))
       case "FLUSHALL" =>
@@ -456,6 +484,13 @@ object RedisStateOps {
     // range from the base key's own writer node kills it first
     st = st.filter(s => resets.point(s.n, db).isEmpty)
     if (packed != null) {
+      // ops for ONE key from TWO cluster shards inside one merge
+      // window = a slot migration caught mid-flight: segment-name
+      // order across nodes is lexicographic, not temporal, so no
+      // honest fold exists — drop the key (absent-but-honest; the
+      // next owner write re-lands it)
+      var seenNode: String = null
+      var multiNode = false
       var lastId: (String, Long) = null
       packed.foreach { p =>
         val (sseg, rank, op) = unpackOp(p)
@@ -463,6 +498,8 @@ object RedisStateOps {
         if (id != lastId) {
           lastId = id
           val node = nodeOf(sseg)
+          if (seenNode == null) seenNode = node
+          else if (seenNode != node) multiNode = true
           // an op that precedes its own node's latest reset is dead
           if (resets.keepOp(node, db, sseg, rank)) {
             st = apply1(st, op)
@@ -470,6 +507,7 @@ object RedisStateOps {
           }
         }
       }
+      if (multiNode) st = None
     }
     // lists render with positional fields for a readable flat face
     st.map { s =>

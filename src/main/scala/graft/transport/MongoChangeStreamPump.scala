@@ -124,7 +124,14 @@ final class MongoChangeStreamPump(cfg: MongoChangeStreamPump.Config,
 
   private def openStream(wire: Wire): (Long, Seq[Any]) = {
     val changeStream: Seq[(String, Any)] =
-      Seq("allChangesForCluster" -> true) ++
+      Seq("allChangesForCluster" -> true,
+        // updates must carry the post-image: without updateLookup a
+        // real server ships only updateDescription, and the landed
+        // per-collection state face would keep the PRE-update
+        // document forever (present-but-stale — the one thing the
+        // state contract forbids). change_stream.rs full_document is
+        // the reference's matching knob.
+        "fullDocument" -> "updateLookup") ++
         resumeToken.map(t => "resumeAfter" ->
           Bson.Doc(t.toSeq.map { case (k, v) => k -> v }))
     requestId += 1

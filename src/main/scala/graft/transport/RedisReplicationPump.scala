@@ -165,8 +165,20 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
       }
       replId = parts(1)
       replOffset = parts(2).toLong
-    } else require(reply.startsWith("+CONTINUE"),
-      s"unexpected PSYNC reply: $reply")
+      // a full RDB replaces all stream state, SELECT context included
+      selectedDb = 0L
+    } else {
+      require(reply.startsWith("+CONTINUE"),
+        s"unexpected PSYNC reply: $reply")
+      // the master continues MID-STREAM and never re-sends SELECT:
+      // replay the remembered db at the segment head so the resumed
+      // segment decodes with correct db attribution (the FDE-replay
+      // discipline, applied to redis' one piece of stream state).
+      // Synthesized bytes count toward segmentBytes only — never the
+      // master offset.
+      if (selectedDb != 0L)
+        capture(cmd("SELECT", selectedDb.toString))
+    }
 
     // the live command tail: FRAME-ALIGNED capture — one whole RESP
     // command at a time, so a wire drop mid-command never publishes a
@@ -186,6 +198,7 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
       maybeAck()
       val command = readTailCommand(wire)
       capture(command)
+      trackSelect(command)
       if (!java.util.Arrays.equals(command, pingCmd))
         segmentHasData = true
       replOffset += command.length
@@ -208,9 +221,32 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
         // would produce at exactly this offset
         rotate()
         capture(s"+CONTINUE $replId\r\n".getBytes("UTF-8"))
+        if (selectedDb != 0L)
+          capture(cmd("SELECT", selectedDb.toString))
       }
     }
     captured
+  }
+
+  /** Track the stream's SELECT state from the raw command bytes
+    * (`*2\r\n$6\r\nSELECT\r\n$n\r\n<db>\r\n`) — the one piece of
+    * replication-stream state a mid-stream segment cut would lose.
+    */
+  private def trackSelect(command: Array[Byte]): Unit = {
+    // cheap shape check before any parsing: "*2\r\n$6\r\nSELECT"
+    if (command.length < 14 || command(0) != '*') return
+    val s = new String(command, java.nio.charset.StandardCharsets
+      .US_ASCII)
+    if (!s.regionMatches(true, 4, "$6\r\nSELECT\r\n", 0, 12)) return
+    // the db argument: "$<len>\r\n<digits>\r\n"
+    val dollar = s.indexOf('$', 16)
+    if (dollar < 0) return
+    val nl = s.indexOf("\r\n", dollar)
+    if (nl < 0) return
+    val end = s.indexOf("\r\n", nl + 2)
+    if (end < 0) return
+    s.substring(nl + 2, end).toLongOption
+      .foreach(db => selectedDb = db)
   }
 
   /** Read ONE replication-stream command verbatim
@@ -305,10 +341,13 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
   private def currentSegment(): String =
     f"psync.$segmentIndex%06d.log"
 
+  private var selectedDb: Long = cfg.startDb
+
   private def rotate(): Unit = {
     if (segmentIndex > 0) {
       store.publish(currentSegment())
       publishedPosition = (replId, replOffset)
+      publishedDb = selectedDb
     }
     segmentIndex += 1
     segmentBytes = 0L
@@ -325,8 +364,16 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
   @volatile var publishedPosition: (String, Long) =
     (cfg.replId, cfg.replOffset)
 
+  /** The SELECTed db as of the published position — what a restart
+    * passes back as `startDb`.
+    */
+  @volatile var publishedDb: Long = cfg.startDb
+
   /** Call after an external `store.publishAll()`. */
-  def markAllPublished(): Unit = publishedPosition = (replId, replOffset)
+  def markAllPublished(): Unit = {
+    publishedPosition = (replId, replOffset)
+    publishedDb = selectedDb
+  }
 }
 
 object RedisReplicationPump {
@@ -349,6 +396,12 @@ object RedisReplicationPump {
         * repl-timeout-dropping the replica.
         */
       keepaliveIntervalSecs: Long = 1L,
+      /** The SELECTed db at the persisted resume offset: a partial
+        * resync resumes MID-STREAM and the master does not re-send
+        * SELECT, so without this every post-restart command would
+        * mis-attribute to db 0 (`select_db` in PumpPositions).
+        */
+      startDb: Long = 0L,
       /** Clock seam so specs drive the time-based acks. */
       clockMs: () => Long = () => System.currentTimeMillis())
 

@@ -123,6 +123,11 @@ class MongoTransportSpec extends AnyFunSuite {
     assert(sentStr.contains("n,,n=user,r=rOprNGfwEbeRWgbNEkqO"))
     assert(sentStr.contains("$changeStream"))
     assert(sentStr.contains("allChangesForCluster"))
+    // updates must ship the post-image: without updateLookup a real
+    // server sends only updateDescription and the landed state face
+    // would keep pre-update documents forever
+    assert(sentStr.contains("fullDocument"))
+    assert(sentStr.contains("updateLookup"))
     assert(sentStr.contains("getMore"))
 
     // the capture is JSON lines the doc machinery can consume

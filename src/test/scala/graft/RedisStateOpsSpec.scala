@@ -44,6 +44,34 @@ class RedisStateOpsSpec extends graft.SparkSuite {
     assert(ops("LREM", "l", "0", "x").head.op == "unsupp")
     // transport/transaction markers contribute nothing
     assert(ops("MULTI").isEmpty && ops("PING").isEmpty)
+    // multi-key writers map every written key (never leave one stale)
+    assert(ops("MSET", "a", "1", "b", "2").map(o => (o.key, o.op)) ==
+      Seq((key(0, "a"), "set"), (key(0, "b"), "set")))
+    assert(ops("MSETNX", "a", "1").head.op == "setnx")
+    assert(ops("GETDEL", "k").head.op == "del")
+    assert(ops("GETEX", "k").isEmpty) // bare GETEX is a pure read
+    assert(ops("GETEX", "k", "PERSIST").head.op == "persist")
+    assert(ops("GETEX", "k", "EX", "9").head.ex == Some(9000L))
+    // BITOP writes only dest; LMPOP may pop from every named key
+    assert(ops("BITOP", "AND", "dest", "s1", "s2")
+      .map(o => (o.key, o.op)) == Seq((key(0, "dest"), "unsupp")))
+    assert(ops("LMPOP", "2", "l1", "l2", "LEFT").map(_.key) ==
+      Seq(key(0, "l1"), key(0, "l2")))
+  }
+
+  test("ops for one key from TWO cluster shards in one window drop " +
+      "the key (slot migration caught mid-flight has no honest fold)") {
+    val k = key(0, "moved")
+    val ops = packed(
+      (s"${"a" * 40}.psync.000003.log", 1L,
+        Op(k, "set", "string", "", "from-a", None)),
+      (s"${"b" * 40}.psync.000001.log", 1L,
+        Op(k, "del", "", "", "", None)))
+    assert(fold(k, null, ops) == null)
+    // single-shard windows fold normally
+    assert(fold(k, null, packed(
+      (s"${"a" * 40}.psync.000003.log", 1L,
+        Op(k, "set", "string", "", "solo", None)))).contains("solo"))
   }
 
   private val noResets = new ResetPoints(Map.empty)

@@ -307,6 +307,58 @@ class RedisTransportSpec extends AnyFunSuite {
     assert(pump.publishedPosition._2 >= 100L + set1.length)
   }
 
+  test("SELECT context survives a mid-tail rotation AND a restart: " +
+      "the rotated/resumed segment replays SELECT so db attribution " +
+      "never silently resets to 0") {
+    var now = 0L
+    val clock = () => { now += 600L; now }
+    val rdb = rdbImage
+    val wire = new FakeWire
+    serveHandshake(wire)
+    wire.serve(ascii(s"+FULLRESYNC $ReplId 100\r\n"))
+    wire.serve(ascii(s"$$${rdb.length}\r\n"))
+    wire.serve(rdb)
+    wire.serve(cmd("SELECT", "5"))
+    wire.serve(cmd("SET", "a", "1"))
+    wire.serve(cmd("SET", "b", "2")) // lands AFTER the rotation
+    val store = new MemorySegmentStore
+    val pump = new RedisReplicationPump(
+      RedisReplicationPump.Config(
+        ackEveryBytes = Long.MaxValue,
+        keepaliveIntervalSecs = 3600L,
+        maxSegmentSecs = 1L, clockMs = clock),
+      store, () => wire)
+    intercept[java.io.EOFException](pump.runSession())
+    val names = store.names
+    assert(names.size >= 2, s"segments: $names")
+    // the successor segment opens with +CONTINUE then the replayed
+    // SELECT — its commands decode in db 5, not db 0
+    val got2 = RedisPsync.decode(store.bytesOf(names(1)))
+    assert(got2.partial)
+    assert(got2.commands.map(_._1).head == Seq("SELECT", "5"),
+      s"segment 2 commands: ${got2.commands.map(_._1)}")
+    assert(pump.publishedDb == 5L)
+
+    // restart: a NEW pump resuming with the persisted select_db
+    // replays it at the head of the +CONTINUE session segment
+    val wire2 = new FakeWire
+    serveHandshake(wire2)
+    wire2.serve(ascii(s"+CONTINUE $ReplId\r\n"))
+    wire2.serve(cmd("SET", "c", "3"))
+    val store2 = new MemorySegmentStore
+    val pump2 = new RedisReplicationPump(
+      RedisReplicationPump.Config(
+        replId = ReplId, replOffset = pump.publishedPosition._2,
+        startDb = pump.publishedDb,
+        ackEveryBytes = Long.MaxValue,
+        keepaliveIntervalSecs = 3600L),
+      store2, () => wire2)
+    intercept[java.io.EOFException](pump2.runSession())
+    val resumed = RedisPsync.decode(store2.bytesOf(store2.names.head))
+    assert(resumed.commands.map(_._1) ==
+      Seq(Seq("SELECT", "5"), Seq("SET", "c", "3")))
+  }
+
   test("max_segment_secs never ages a PING-only segment into junk: " +
       "an idle master's keepalives are captured but never publish a " +
       "data-free segment") {

@@ -2297,60 +2297,17 @@ object ScenarioRunner {
       else new graft.transport.FakeWire // reconnects: empty server
     }
 
-    // ---- expected landed state from the interpreted source
-    val keyCols = task.keysByTable.values.flatten.toSeq.distinct
-    def esc(s: String): String = s.replace("\\", "\\\\")
-      .replace("\t", "\\t").replace("\n", "\\n")
-    val expected: Map[String, Seq[Map[String, Value]]] =
-      src.defs.keys.toSeq
-        .filter { case (db, tb) => task.filter.allowTable(db, tb) }
-        .map { case (db, tb) =>
-          val (rdb, rtb) = task.router.routeTable(db, tb)
-          val d = src.defs((db, tb))
-          // the decoded row image carries EVERY column (nulls render
-          // as `col=`), alphabetically — mirror toSegmentLines
-          val rows = src.rows((db, tb)).toSeq.map { r =>
-            Map[String, Value](
-              "key" -> esc(keyCols.map(c =>
-                Option(r.getOrElse(c, null)).getOrElse(""))
-                .mkString("|")),
-              "payload" -> d.cols.sorted.map(c =>
-                s"$c=${Option(r.getOrElse(c, null)).map(esc)
-                  .getOrElse("")}").mkString(","))
-          }
-          s"$rdb.$rtb" -> rows
-        }.toMap
-
-    // ---- run through the task manager (the INI surface end to end)
-    val stateDir = Files.createTempDirectory("live-scn-state").toString
+    // expected landed state + managed run: the SAME helpers the
+    // pg/redis/mongo live lanes use (expectedLanded/runManaged) — one
+    // rendering of the landed contract, not per-transport copies
+    val expected = expectedLanded(task, src)
     val sinkDir = Files.createTempDirectory("live-scn-sink").toString
-    val name = dir.getFileName.toString
-    graft.config.TaskManager.create(stateDir, name,
-      ini.replace("url=fixture://dst", s"url=$sinkDir"))
-    val stopper: Option[Thread] = if (!resident) None else Some {
-      val t = new Thread(() => {
-        val wantRows = expected.values.map(_.size.toLong).sum
-        val deadline = System.currentTimeMillis() + 60000
-        var done = false
-        while (!done && System.currentTimeMillis() < deadline) {
-          Thread.sleep(250)
-          val landed = expected.keys.toSeq.map { t0 =>
-            try graft.sinks.LandedTable.read(spark, s"$sinkDir/$t0")
-              .count()
-            catch { case _: Exception => 0L }
-          }.sum
-          if (landed >= wantRows) done = true
-        }
-        Files.writeString(
-          Paths.get(stateDir, name, "stop.requested"), "stop"): Unit
-      }, s"live-scn-stopper-$name")
-      t.start(); t
-    }
-    val meta = graft.config.TaskManager.start(spark, stateDir, name,
-      liveDial = Some(() => nextWire()))
-    stopper.foreach(_.join())
-    require(meta.status == "finished",
-      s"live scenario $name did not finish: ${meta.error}")
+    val wantRows = expected.values.map(_.size.toLong).sum
+    runManaged(spark, dir, ini, resident, sinkDir,
+      landedEnough = () => expected.keys.toSeq.map { t0 =>
+        graft.sinks.LandedTable.read(spark, s"$sinkDir/$t0").count()
+      }.sum >= wantRows,
+      dial = () => nextWire())
 
     // ---- compare the published flat face per routed table
     val perTable = expected.map { case (t0, want) =>
