@@ -2556,15 +2556,15 @@ object ScenarioRunner {
     require(argv == wantArgv,
       s"command log mismatch: want $wantArgv got $argv")
     // the current-state face equals the scenario oracle — an
-    // independent interpreter over the same script
+    // independent interpreter over the same script (keys carry their
+    // db: SELECT routes subsequent commands)
     val oracle = redisOracle(script)
     val state = spark.read.parquet(s"$sinkDir/redis.state")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    val gotKeys = state.keySet.map(_.split('\u0000')(1))
-    require(gotKeys == oracle.keySet,
-      s"state keys: want ${oracle.keySet} got $gotKeys")
+    require(state.keySet == oracle.keySet,
+      s"state keys: want ${oracle.keySet} got ${state.keySet}")
     oracle.foreach { case (k, values) =>
-      val payload = state(s"0\u0000$k")
+      val payload = state(k)
       values.foreach(v => require(payload.contains(v),
         s"state[$k] missing $v in $payload"))
     }
@@ -2574,28 +2574,38 @@ object ScenarioRunner {
       Map("redis.state" -> (rows, rows)))
   }
 
-  /** Scenario-scoped redis oracle: key → value fragments the landed
-    * state payload must contain. Independent of the production fold.
+  /** Scenario-scoped redis oracle: full state key (`db\u0000key`) →
+    * value fragments the landed payload must contain. Independent of
+    * the production fold; SELECT routes subsequent commands to their
+    * db exactly as the replication stream does.
     */
   private def redisOracle(
       script: Seq[Seq[String]]): Map[String, Seq[String]] = {
+    var db = 0L
+    def sk(k: String) = s"$db\u0000$k"
     val str = mutable.LinkedHashMap[String, String]()
     val fields = mutable.LinkedHashMap[String,
       mutable.LinkedHashMap[String, String]]()
     script.foreach { c =>
       c.head.toUpperCase match {
-        case "SET" => str(c(1)) = c(2); fields.remove(c(1)): Unit
+        case "SELECT" => db = c(1).toLong
+        case "SET" => str(sk(c(1))) = c(2); fields.remove(sk(c(1))): Unit
+        case "MSET" =>
+          c.drop(1).grouped(2).foreach {
+            case Seq(k, v) => str(sk(k)) = v; fields.remove(sk(k)): Unit
+            case _ => ()
+          }
         case "APPEND" =>
-          str(c(1)) = str.getOrElse(c(1), "") + c(2)
+          str(sk(c(1))) = str.getOrElse(sk(c(1)), "") + c(2)
         case "INCRBY" =>
-          str(c(1)) =
-            (str.getOrElse(c(1), "0").toLong + c(2).toLong).toString
-        case "DEL" =>
+          str(sk(c(1))) = (str.getOrElse(sk(c(1)), "0").toLong +
+            c(2).toLong).toString
+        case "DEL" | "GETDEL" =>
           c.drop(1).foreach { k =>
-            str.remove(k); fields.remove(k): Unit
+            str.remove(sk(k)); fields.remove(sk(k)): Unit
           }
         case "HSET" | "SADD" =>
-          val m = fields.getOrElseUpdate(c(1),
+          val m = fields.getOrElseUpdate(sk(c(1)),
             mutable.LinkedHashMap[String, String]())
           if (c.head.equalsIgnoreCase("SADD"))
             c.drop(2).foreach(v => m(v) = "")
@@ -2604,9 +2614,9 @@ object ScenarioRunner {
             case _ => ()
           }
         case "HDEL" | "SREM" =>
-          fields.get(c(1)).foreach { m =>
+          fields.get(sk(c(1))).foreach { m =>
             c.drop(2).foreach(m.remove)
-            if (m.isEmpty) fields.remove(c(1)): Unit
+            if (m.isEmpty) fields.remove(sk(c(1))): Unit
           }
         case other =>
           sys.error(s"redis scenario oracle: unsupported $other")
