@@ -35,6 +35,8 @@ object ResidencyDrill {
   def main(args: Array[String]): Unit = {
     val passes = if (args.length >= 1) args(0).toInt else 600
     val every = if (args.length >= 2) args(1).toInt else 50
+    val perSeg = if (args.length >= 3) args(2).toInt else 5
+    val keySpace = if (args.length >= 4) args(3).toInt else 10000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -91,9 +93,9 @@ object ResidencyDrill {
         out.write(r)
       } else {
         out.write(s"+CONTINUE $replId\r\n".getBytes("ascii"))
-        (0 until 5).foreach { j =>
-          val n = (i * 5 + j) % 10000
-          val op = (i * 5 + j) % 20
+        (0 until perSeg).foreach { j =>
+          val n = (i * perSeg + j) % keySpace
+          val op = (i * perSeg + j) % 20
           if (op == 19) out.write(resp("DEL", s"k:$n"))
           else if (op >= 17)
             out.write(resp("HSET", s"h:$n", "f", s"v$i"))
