@@ -355,8 +355,8 @@ object LiveCdc {
     * numbering stays monotone ([[graft.transport.CaptureRetention]]).
     */
   private def sweepCapture(task: TaskConfig.Task, taskDir: String,
-      captureDir: String, byCheckpoint: Boolean): Unit =
-    if (task.source.captureRetention && byCheckpoint)
+      captureDir: String): Unit =
+    if (task.source.captureRetention)
       graft.transport.CaptureRetention
         .committedSegment(s"$taskDir/checkpoint")
         .foreach { upto =>
@@ -645,14 +645,14 @@ object LiveCdc {
         // resident runner, and a crash resumes from what was captured
         onProgress()
         persistTick()
-        sweepCapture(task, taskDir, captureDir, byCheckpoint = true)
+        sweepCapture(task, taskDir, captureDir)
       }
       rp.join(task.source.binlogTimeoutSecs * 2000L + 5000L)
       // drain what the pump published before stopping the stream
       q.processAllAvailable()
       // wind-down: everything is published, full position durable
       persistTick()
-      sweepCapture(task, taskDir, captureDir, byCheckpoint = true)
+      sweepCapture(task, taskDir, captureDir)
     } finally q.stop()
     rp.rethrow()
   }
@@ -821,7 +821,7 @@ object LiveCdc {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    sweepCapture(task, taskDir, captureDir, byCheckpoint = true)
+    sweepCapture(task, taskDir, captureDir)
 
     // drain epilogue: fold outstanding deltas and refresh the flat
     // published snapshot — the plain-parquet face external readers see

@@ -88,17 +88,16 @@ private[config] object LiveLanders {
             .otherwise(0L)), lit(0L)).as("cmd"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("face", "seg").parquet(staging)
+      // raw faces adopt their deterministic seg dirs; all segments'
+      // ops fold into ONE delta for the pass
+      var adopted = 0
       fresh.foreach { seg =>
         val e = escapePathName(seg)
         moveFace(s"$staging/face=snap/seg=$e",
           s"$sink/redis.snapshot/seg=$e")
         moveFace(s"$staging/face=cmd/seg=$e",
           s"$sink/redis.commands/seg=$e")
-      }
-      // all segments' ops fold into ONE delta for the pass
-      var adopted = 0
-      fresh.foreach { seg =>
-        val src = s"$staging/face=op/seg=${escapePathName(seg)}"
+        val src = s"$staging/face=op/seg=$e"
         if (Fs.exists(src)) {
           if (adopted == 0)
             LandedTable.adoptDelta(src, stateTable, nextDelta)
@@ -197,9 +196,11 @@ private[config] object LiveLanders {
         .parquet(s"$sink/mongo.changes")
       changeRows += obs.get("n").asInstanceOf[Long]
 
-
       // state deltas: documentKey → fullDocument upserts, delete
-      // tombstones — the standard last-writer-wins LandedTable rows.
+      // tombstones — the standard last-writer-wins LandedTable rows,
+      // derived from the JUST-WRITTEN log-face partitions (a columnar
+      // read of exactly the fresh seg dirs — cheaper than running the
+      // JSON parse a second time over the raw lines).
       // ONE DELTA PER SEGMENT, delta id = the segment's own monotone
       // index: bseq then orders events across segments regardless of
       // how Spark packed the multi-file read (file partitions order
@@ -211,13 +212,15 @@ private[config] object LiveLanders {
       // monotonically_increasing_id follows line order). Events with
       // no ns (malformed lines) or updates whose post-image lookup
       // raced a delete stay in the log face only.
-      val state = parsed
+      val landedFace = spark.read.parquet(fresh.map(seg =>
+        s"$sink/mongo.changes/seg=${escapePathName(seg)}"): _*)
+      val state = landedFace
         .filter(col("op").isin("insert", "update", "replace",
           "delete"))
         .filter(col("op") === "delete" || col("doc").isNotNull)
         .filter(col("db").isNotNull && col("coll").isNotNull)
         .select(col("db"), col("coll"),
-          regexp_extract(col("seg"), "(\\d+)", 1).cast("long")
+          regexp_extract(col("src_seg"), "(\\d+)", 1).cast("long")
             .as("bseq"),
           monotonically_increasing_id().as("seq"),
           when(col("op") === "delete", lit("delete"))

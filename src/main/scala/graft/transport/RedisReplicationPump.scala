@@ -233,8 +233,13 @@ final class RedisReplicationPump(cfg: RedisReplicationPump.Config,
     * replication-stream state a mid-stream segment cut would lose.
     */
   private def trackSelect(command: Array[Byte]): Unit = {
-    // cheap shape check before any parsing: "*2\r\n$6\r\nSELECT"
-    if (command.length < 14 || command(0) != '*') return
+    // byte-level probe before ANY allocation — this runs once per
+    // captured command on the hot path, and almost no command is a
+    // SELECT: "*2\r\n$6\r\nS..." (case-insensitive on the S)
+    if (command.length < 14 || command(0) != '*' ||
+        command(1) != '2' || command(4) != '$' ||
+        command(5) != '6' ||
+        (command(8) != 'S' && command(8) != 's')) return
     val s = new String(command, java.nio.charset.StandardCharsets
       .US_ASCII)
     if (!s.regionMatches(true, 4, "$6\r\nSELECT\r\n", 0, 12)) return
