@@ -28,17 +28,20 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField,
   * hash/set/zset (set members carry value ""); strings are the single
   * element `["",value]`. Readable by `get_json_object`/DuckDB.
   *
-  * Command coverage: full-key writers (SET/SETEX/PSETEX/SETNX/GETSET,
-  * DEL/UNLINK), string mutators (APPEND, INCR/DECR/INCRBY/DECRBY),
-  * element writers (HSET/HMSET/HDEL, SADD/SREM, ZADD/ZREM/ZINCRBY,
-  * LPUSH/RPUSH/LPOP/RPOP/LSET), expiry (EXPIRE/PEXPIRE/EXPIREAT/
-  * PEXPIREAT/PERSIST), db scope (SELECT/FLUSHDB/FLUSHALL). A command
-  * the fold cannot model (RENAME, LREM, SINTERSTORE, ...) DROPS the
-  * keys it names from the state face — the face never lies about a
-  * key it lost track of, and the `redis.commands` log face keeps the
-  * ground truth. Replay semantics: op identity is (sseg, rank), so a
-  * crash-window double landing dedupes exactly — non-idempotent ops
-  * (APPEND/INCR/pushes) still fold exactly once.
+  * Command coverage: full-key writers (SET incl. NX/KEEPTTL forms,
+  * SETEX/PSETEX/SETNX/GETSET/MSET/MSETNX, DEL/UNLINK/GETDEL), string
+  * mutators (APPEND, INCR/DECR/INCRBY/DECRBY), element writers
+  * (HSET/HMSET/HSETNX/HDEL, SADD/SREM, ZADD incl. the INCR form/
+  * ZREM/ZINCRBY, LPUSH/RPUSH/LPOP/RPOP/LSET), expiry (EXPIRE/PEXPIRE/
+  * EXPIREAT/PEXPIREAT/PERSIST/GETEX), db scope (SELECT/FLUSHDB/
+  * FLUSHALL). A command the fold cannot model (RENAME, LREM,
+  * SINTERSTORE, BITOP dest, ZADD's score-conditional GT/LT/NX/XX
+  * forms, ...) DROPS the keys it writes from the state face — the
+  * face never lies about a key it lost track of, and the
+  * `redis.commands` log face keeps the ground truth. Replay
+  * semantics: op identity is (sseg, rank), so a crash-window double
+  * landing dedupes exactly — non-idempotent ops (APPEND/INCR/pushes)
+  * still fold exactly once.
   */
 object RedisStateOps {
 
@@ -85,6 +88,7 @@ object RedisStateOps {
         else {
           var ex: Option[Long] = None
           var nx = false
+          var keepTtl = false
           var i = 3
           while (i < argv.size) {
             argv(i).toUpperCase match {
@@ -94,11 +98,15 @@ object RedisStateOps {
               case "PX" | "PXAT" =>
                 ex = argv.lift(i + 1).flatMap(_.toLongOption); i += 2
               case "NX" => nx = true; i += 1
-              case _ => i += 1 // XX/GET/KEEPTTL don't change the fold
+              case "KEEPTTL" => keepTtl = true; i += 1
+              case _ => i += 1 // XX/GET don't change the fold
             }
           }
-          (db, Seq(Op(k(1), if (nx) "setnx" else "set", "string", "",
-            argv(2), ex)))
+          val base = if (nx) "setnx" else "set"
+          // KEEPTTL preserves the key's existing expiry — a plain
+          // SET clears it (redis semantics)
+          (db, Seq(Op(k(1), if (keepTtl) base + "keep" else base,
+            "string", "", argv(2), ex)))
         }
       case "SETNX" if argv.size >= 3 =>
         (db, Seq(Op(k(1), "setnx", "string", "", argv(2), None)))
@@ -137,6 +145,8 @@ object RedisStateOps {
       case "HSET" | "HMSET" if argv.size >= 4 =>
         (db, pairs(2).map { case (f, v) =>
           Op(k(1), "put", "hash", f, v, None) })
+      case "HSETNX" if argv.size >= 4 =>
+        (db, Seq(Op(k(1), "putnx", "hash", argv(2), argv(3), None)))
       case "HDEL" if argv.size >= 3 =>
         (db, argv.drop(2).map(f => Op(k(1), "delf", "hash", f, "",
           None)))
@@ -147,12 +157,23 @@ object RedisStateOps {
         (db, argv.drop(2).map(m => Op(k(1), "delf", "set", m, "",
           None)))
       case "ZADD" if argv.size >= 4 =>
-        // skip the flag block (NX/XX/GT/LT/CH/INCR); fold plain pairs
-        val flags = Set("NX", "XX", "GT", "LT", "CH", "INCR")
-        val from = 2 + argv.drop(2)
-          .takeWhile(a => flags(a.toUpperCase)).size
+        // parse the flag block: CH is cosmetic, INCR turns the pair
+        // into a score increment, and the CONDITIONAL flags
+        // (NX/XX/GT/LT) guard on the old score — folding those as
+        // absolute puts could land a score the server refused, so
+        // they conservatively DROP the member (absent-but-honest)
+        val flags = argv.drop(2)
+          .takeWhile(a => Set("NX", "XX", "GT", "LT", "CH", "INCR")
+            .contains(a.toUpperCase)).map(_.toUpperCase).toSet
+        val from = 2 + flags.size
+        val conditional =
+          flags.exists(Set("NX", "XX", "GT", "LT").contains)
+        val op0 =
+          if (conditional) "unsupp"
+          else if (flags("INCR")) "zincr"
+          else "put"
         (db, argv.drop(from).grouped(2).collect {
-          case Seq(s, m) => Op(k(1), "put", "zset", m, s, None)
+          case Seq(s, m) => Op(k(1), op0, "zset", m, s, None)
         }.toSeq)
       case "ZREM" if argv.size >= 3 =>
         (db, argv.drop(2).map(m => Op(k(1), "delf", "zset", m, "",
@@ -379,7 +400,13 @@ object RedisStateOps {
   private def apply1(state: Option[St], op: Op): Option[St] = op.op match {
     case "set" =>
       Some(new St("string", op.ex, Vector(("", op.value))))
+    case "setkeep" => // SET ... KEEPTTL: value replaces, expiry stays
+      Some(new St("string", op.ex.orElse(state.flatMap(_.x)),
+        Vector(("", op.value))))
     case "setnx" =>
+      if (state.isDefined) state
+      else Some(new St("string", op.ex, Vector(("", op.value))))
+    case "setnxkeep" =>
       if (state.isDefined) state
       else Some(new St("string", op.ex, Vector(("", op.value))))
     case "append" =>
@@ -397,6 +424,12 @@ object RedisStateOps {
             Vector(("", (o + d).toString))))
         case _ => None // non-numeric INCR: drop, never lie
       }
+    case "putnx" =>
+      val st = state.filter(_.t == op.vtype)
+        .getOrElse(new St(op.vtype, None, Vector.empty))
+      if (!st.e.exists(_._1 == op.field))
+        st.e = st.e :+ ((op.field, op.value))
+      Some(st)
     case "put" =>
       val st = state.filter(_.t == op.vtype)
         .getOrElse(new St(op.vtype, None, Vector.empty))

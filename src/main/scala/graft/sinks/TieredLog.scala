@@ -32,7 +32,10 @@ import graft.infra.Fs
   * still exist is a pre-delete leftover (drop it, refold later); one
   * whose sources are partially/fully gone is post-delete (finish the
   * deletes, then commit the rename). Readers never double-count: the
-  * stage is invisible until the sources are gone.
+  * stage is invisible until the sources are gone. A CONCURRENT reader
+  * that planned its scan before a fold's deletes may fail transiently
+  * (FILE_NOT_EXIST) or briefly under-count — the same visibility
+  * window as publishFlat's swap; retry semantics, never duplication.
   */
 object TieredLog {
 

@@ -18,6 +18,7 @@ class RedisStateOpsSpec extends graft.SparkSuite {
     assert(ops("SET", "k", "v", "PX", "1500").head.ex ==
       Some(1500L))
     assert(ops("SET", "k", "v", "NX").head.op == "setnx")
+    assert(ops("SET", "k", "v", "KEEPTTL").head.op == "setkeep")
     assert(ops("SETEX", "k", "9", "v").head.ex == Some(9000L))
     assert(ops("DEL", "a", "b").map(_.op) == Seq("del", "del"))
     assert(ops("HSET", "h", "f1", "v1", "f2", "v2").map(_.field) ==
@@ -25,8 +26,15 @@ class RedisStateOpsSpec extends graft.SparkSuite {
     assert(ops("SADD", "s", "m1", "m2")
       .map(o => (o.op, o.vtype, o.field)) ==
       Seq(("put", "set", "m1"), ("put", "set", "m2")))
-    assert(ops("ZADD", "z", "GT", "CH", "1.5", "m").head ==
+    // plain ZADD puts; INCR folds as a score increment; conditional
+    // flags (GT/LT/NX/XX) guard on the old score the server saw —
+    // fold them as drops, never as possibly-refused absolute puts
+    assert(ops("ZADD", "z", "CH", "1.5", "m").head ==
       Op(key(0, "z"), "put", "zset", "m", "1.5", None))
+    assert(ops("ZADD", "z", "INCR", "2", "m").head.op == "zincr")
+    assert(ops("ZADD", "z", "GT", "CH", "1.5", "m").head.op ==
+      "unsupp")
+    assert(ops("HSETNX", "h", "f", "v").head.op == "putnx")
     assert(ops("LPUSH", "l", "a", "b").map(_.op) ==
       Seq("lpush", "lpush"))
     assert(ops("INCRBY", "c", "7").head.value == "7")
@@ -128,6 +136,13 @@ class RedisStateOpsSpec extends graft.SparkSuite {
     val popped = fold(k, l, packed(
       op(Op(k, "lpop", "list", "", "1", None), 9)))
     assert(popped.contains("[\"000000\",\"a\"]"))
+    // putnx (HSETNX): writes the field only when absent
+    val hx = fold(k, null, packed(
+      op(Op(k, "put", "hash", "f", "old", None), 1),
+      op(Op(k, "putnx", "hash", "f", "new", None), 2),
+      op(Op(k, "putnx", "hash", "g", "fresh", None), 3)))
+    assert(hx.contains("[\"f\",\"old\"]") &&
+      hx.contains("[\"g\",\"fresh\"]"))
     // setnx respects an existing key, creates a missing one
     assert(fold(k, c5, packed(
       op(Op(k, "setnx", "string", "", "9", None), 2)))
@@ -144,6 +159,13 @@ class RedisStateOpsSpec extends graft.SparkSuite {
     assert(ex.contains("\"x\":9000"))
     assert(!fold(k, ex, packed(
       op(Op(k, "persist", "", "", "", None), 3))).contains("\"x\""))
+    // SET clears an existing TTL; SET ... KEEPTTL preserves it
+    val plain = fold(k, ex, packed(
+      op(Op(k, "set", "string", "", "new", None), 4)))
+    assert(!plain.contains("\"x\"") && plain.contains("new"))
+    val kept = fold(k, ex, packed(
+      op(Op(k, "setkeep", "string", "", "new", None), 4)))
+    assert(kept.contains("\"x\":9000") && kept.contains("new"))
   }
 
   test("foldKey dedupes exact (sseg, rank) replays — non-idempotent " +
