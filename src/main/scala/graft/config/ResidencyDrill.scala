@@ -26,6 +26,7 @@ import graft.infra.Fs
   *
   *   sbt "runMain graft.config.ResidencyDrill"          # 600 passes
   *   sbt "runMain graft.config.ResidencyDrill 2000 100" # N, report-every
+  *   sbt "runMain graft.config.ResidencyDrill 600 50 5 10000 mongo"
   */
 object ResidencyDrill {
 
@@ -37,6 +38,7 @@ object ResidencyDrill {
     val every = if (args.length >= 2) args(1).toInt else 50
     val perSeg = if (args.length >= 3) args(2).toInt else 5
     val keySpace = if (args.length >= 4) args(3).toInt else 10000
+    val lane = if (args.length >= 5) args(4) else "redis"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -65,6 +67,12 @@ object ResidencyDrill {
          |[sinker]
          |url=$sink
          |""".stripMargin)
+    if (lane == "mongo") {
+      drillMongo(spark, taskDir, captureDir, passes, every, perSeg,
+        keySpace)
+      spark.stop()
+      return
+    }
     val lander = new LiveLanders.RedisLander(spark, task, taskDir,
       captureDir, () => ())
 
@@ -143,5 +151,87 @@ object ResidencyDrill {
     println(s"""{"drill":"residency","passes":$passes,""" +
       s""""final_state_keys":$state}""")
     spark.stop()
+  }
+
+  /** The mongo twin: change-stream JSON-line segments (inserts/
+    * updates/deletes over a rolling id space in one collection),
+    * priced on the same aging axes — pass latency, changes-face dir
+    * count (tier-folded), and state-table entries (one delta per
+    * segment, compacted on the cadence).
+    */
+  private def drillMongo(spark: SparkSession, taskDir: String,
+      captureDir: String, passes: Int, every: Int, perSeg: Int,
+      keySpace: Int): Unit = {
+    val sink = java.nio.file.Files
+      .createTempDirectory("residency-mongo-sink").toString
+    val task = TaskConfig.fromIni(
+      s"""[extractor]
+         |db_type=mongo
+         |extract_type=cdc
+         |url=mongodb://127.0.0.1:27017
+         |resident=true
+         |capture_retention=true
+         |
+         |[sinker]
+         |url=$sink
+         |""".stripMargin)
+    val lander = new LiveLanders.MongoLander(spark, task, taskDir,
+      captureDir, () => ())
+    def change(tok: Long, id: Long, op: String): String = {
+      val base = s"""{"_id":{"_data":"tok$tok%016d"},""" +
+        s""""operationType":"$op",""" +
+        s""""ns":{"db":"app","coll":"t"},""" +
+        s""""documentKey":{"_id":$id}"""
+      if (op == "delete") base + "}"
+      else base + s""","fullDocument":{"_id":$id,"v":"v$tok"}}"""
+    }
+    def segment(i: Int): Array[Byte] = {
+      val sb = new StringBuilder
+      (0 until perSeg).foreach { j =>
+        val tok = i.toLong * perSeg + j
+        val id = tok % keySpace
+        val op = (tok % 20) match {
+          case 19 => "delete"
+          case n if n >= 10 => "update"
+          case _ => "insert"
+        }
+        sb.append(change(tok, id, op)).append('\n'): Unit
+      }
+      sb.toString.getBytes("UTF-8")
+    }
+    var tail = Seq.empty[Double]
+    println("""{"drill":"residency","lane":"mongo","cols":""" +
+      """["pass","median_ms","capture_files","markers",""" +
+      """"state_entries","changes_dirs"]}""")
+    (0 until passes).foreach { i =>
+      val name = f"changestream.${i + 1}%06d.log"
+      Fs.write(s"$captureDir/$name", segment(i))
+      val t0 = System.nanoTime()
+      lander.pass(Seq(name))
+      if (task.source.captureRetention) {
+        val gone = graft.transport.CaptureRetention
+          .sweepConsumed(captureDir, lander.ledger.all)
+        gone.foreach(lander.ledger.sweepMarker)
+      }
+      val ms = (System.nanoTime() - t0) / 1e6
+      tail = (tail :+ ms).takeRight(every)
+      if ((i + 1) % every == 0) {
+        val med = tail.sorted.apply(tail.size / 2)
+        val capture = Fs.listNames(captureDir)
+          .count(_.endsWith(".log"))
+        val markers = Fs.listNames(s"$taskDir/consumed").size
+        val stateEntries = Fs.listNames(s"$sink/app.t").size
+        val changesDirs = Fs.listNames(s"$sink/mongo.changes")
+          .count(_.startsWith("seg="))
+        println(s"""{"pass":${i + 1},"median_ms":$med,""" +
+          s""""capture_files":$capture,"markers":$markers,""" +
+          s""""state_entries":$stateEntries,""" +
+          s""""changes_dirs":$changesDirs}""")
+      }
+    }
+    lander.finish(Seq.empty)
+    val state = spark.read.parquet(s"$sink/app.t").count()
+    println(s"""{"drill":"residency","lane":"mongo",""" +
+      s""""passes":$passes,"final_state_keys":$state}""")
   }
 }
