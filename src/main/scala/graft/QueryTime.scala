@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query timing at Bench settings (local[32], noop
+  * sink, 3 runs) — the fast iteration loop for a new query's cost
+  * before it joins the full bench: `runMain graft.QueryTime qNNN...
+  * [sfDir]`. Bench itself stays the round's record; this prints the
+  * same [min, median, max] triple per named query.
+  */
+object QueryTime {
+  def main(args: Array[String]): Unit = {
+    val names = args.filter(_.startsWith("q"))
+    val sfDir = args.find(!_.startsWith("q"))
+      .getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(2000000).selectExpr("sum(id)").collect()
+    names.foreach { prefix =>
+      SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach {
+        case (name, fn) =>
+          val times = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop")
+              .mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          println(f"[qtime] $name: min=${times(0)}%.2f " +
+            f"median=${times(1)}%.2f max=${times(2)}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -41,7 +41,7 @@ object SparkEntry {
       graft.plans.PlanQueries.queries ++ CorpusOps.queries ++
       ScaleOps.queries ++ HygieneOps.queries ++
       ChunkRebalancer.queries ++ BpeLearn.queries ++ PackingOps.queries ++
-      LoaderOps.queries
+      LoaderOps.queries ++ StateFaceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -55,5 +55,5 @@ object SparkEntry {
       graft.plans.PlanQueries.oracles ++ CorpusOps.oracles ++
       ScaleOps.oracles ++ HygieneOps.oracles ++
       ChunkRebalancer.oracles ++ BpeLearn.oracles ++ PackingOps.oracles ++
-      LoaderOps.oracles
+      LoaderOps.oracles ++ StateFaceQueries.oracles
 }

@@ -105,6 +105,10 @@ object RedisLanding {
           rank += 1
           val (opName, opDb) = o.op match {
             case "resetall" => ("reset", -1L)
+            // SWAPDB: a reset scoped to the db the op names in
+            // `value`, not the session's current db
+            case "resetdb" =>
+              ("reset", o.value.toLongOption.getOrElse(db))
             case other => (other, db)
           }
           LandRow("op", seg, seg, rank, opDb, o.key, opName,

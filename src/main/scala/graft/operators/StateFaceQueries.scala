@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sinks.LandedTable
+
+/** DuckDB-oracle rows for the round-14 landed-state surface
+  * (round-14 verdict Missing #3): the redis per-key op fold
+  * ([[RedisStateOps.Merger]]) and the mongo change-stream state
+  * derivation ([[MongoStateOps]]) were spec-only — the one class of
+  * live-lane code outside the hash-match gate. Both are deterministic
+  * DataFrame functions of an op/change table, so each folds a fixture
+  * derived from the TPC-H tables and is hash-matched against DuckDB
+  * computing the same end state independently (set/incr/hash/zset-GT/
+  * list folds as SQL aggregations over `orders`; the document face as
+  * a projection of `customer`).
+  */
+object StateFaceQueries {
+
+  // ---------------------------------------------------------------- q153
+
+  /** Deterministic redis op stream derived from `orders`, folded
+    * through the production merger:
+    *  - `ord:<okey>`: one SET per order (status; expiry hint for 'O'
+    *    orders) — orders divisible by 97 then take an UNSUPPORTED
+    *    command, so their tombstones must vanish from the flat face;
+    *  - `cnt:<ckey>`: one INCR per order, the op set landed TWICE
+    *    with identical (sseg, rank) — the replay dedupe must fold
+    *    each exactly once (count = orders per customer);
+    *  - `st:<ckey>`: HSET field=orderkey value=status;
+    *  - `top`: ZADD GT member=custkey score=floor(totalprice) — the
+    *    conditional fold must land the per-customer max;
+    *  - `lst:<ckey>`: RPUSH orderkey per order, then LREM of every
+    *    19-divisible orderkey — the exact list fold (r14 Missing #2).
+    * The fold itself is the scale path under test: one shuffle on the
+    * key, per-key sequential apply, no driver loop.
+    */
+  def redisStateFold(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey").cast("long").as("okey"),
+      col("o_custkey").cast("long").as("ckey"),
+      col("o_orderstatus").cast("string").as("st"),
+      floor(col("o_totalprice")).cast("long").as("price"))
+    def row(rank: Column, key: Column, op0: String, vt: String,
+        field: Column, value: Column, ex: Column): Seq[Column] =
+      Seq(lit("psync.000001.log").as("sseg"),
+        rank.cast("long").as("rank"), key.as("key"),
+        lit(0L).as("db"), lit(op0).as("op"),
+        lit(vt).as("value_type"), field.cast("string").as("field"),
+        value.cast("string").as("value"),
+        ex.cast("long").as("expire_ms"))
+    val noEx = lit(null)
+    val ordSet = o.select(row(col("okey") * 4,
+      concat(lit("ord:"), col("okey")), "set", "string", lit(""),
+      col("st"), when(col("st") === "O", lit(9000L))): _*)
+    val cnt = o.select(row(col("okey") * 4 + 1,
+      concat(lit("cnt:"), col("ckey")), "incr", "string", lit(""),
+      lit("1"), noEx): _*)
+    val hash = o.select(row(col("okey") * 4 + 2,
+      concat(lit("st:"), col("ckey")), "put", "hash", col("okey"),
+      col("st"), noEx): _*)
+    val top = o.select(row(col("okey") * 4 + 3, lit("top"),
+      "zaddgt", "zset", col("ckey"), col("price"), noEx): _*)
+    val lst = o.select(row(col("okey") * 4 + 3,
+      concat(lit("lst:"), col("ckey")), "rpush", "list", lit(""),
+      col("okey"), noEx): _*)
+    // LREM ranks sit above every push rank (1<<41 > 4×max orderkey)
+    val lrem = o.filter(col("okey") % 19 === 0)
+      .select(row(lit(1L << 41) + col("okey"),
+        concat(lit("lst:"), col("ckey")), "lrem", "list", lit("0"),
+        col("okey"), noEx): _*)
+    val poison = o.filter(col("okey") % 97 === 0)
+      .select(row(col("okey") * 4 + 1,
+        concat(lit("ord:"), col("okey")), "unsupp", "", lit(""),
+        lit(""), noEx): _*)
+    val deltas = ordSet
+      .unionByName(cnt).unionByName(cnt) // exact replay: dedupe once
+      .unionByName(hash).unionByName(top).unionByName(lst)
+      .unionByName(lrem).unionByName(poison)
+    val merged = RedisStateOps.Merger.merge(spark, None, deltas, 0L)
+    RedisStateOps.Merger.flatView.get(merged)
+      .select(col("key"), col("payload"))
+  }
+
+  private val redisStateFoldSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS okey, o_custkey AS ckey,
+      |         o_orderstatus AS st,
+      |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price
+      |  FROM orders)
+      |SELECT 'ord:' || okey AS key,
+      |       '{"t":"string"' ||
+      |         CASE WHEN st = 'O' THEN ',"x":9000' ELSE '' END ||
+      |         ',"e":[["","' || st || '"]]}' AS payload
+      |FROM o WHERE okey % 97 <> 0
+      |UNION ALL
+      |SELECT 'cnt:' || ckey AS key,
+      |       '{"t":"string","e":[["","' || COUNT(*) || '"]]}'
+      |         AS payload
+      |FROM o GROUP BY ckey
+      |UNION ALL
+      |SELECT 'st:' || ckey AS key,
+      |       '{"t":"hash","e":[' ||
+      |         string_agg('["' || okey || '","' || st || '"]', ','
+      |           ORDER BY CAST(okey AS VARCHAR)) || ']}' AS payload
+      |FROM o GROUP BY ckey
+      |UNION ALL
+      |SELECT 'top' AS key,
+      |       '{"t":"zset","e":[' ||
+      |         string_agg('["' || ckey || '","' || mx || '"]', ','
+      |           ORDER BY CAST(ckey AS VARCHAR)) || ']}' AS payload
+      |FROM (SELECT ckey, MAX(price) AS mx FROM o GROUP BY ckey)
+      |UNION ALL
+      |SELECT 'lst:' || ckey AS key,
+      |       '{"t":"list","e":[' ||
+      |         string_agg('["' || lpad(CAST(rn AS VARCHAR), 6, '0')
+      |             || '","' || okey || '"]', ',' ORDER BY rn) ||
+      |         ']}' AS payload
+      |FROM (SELECT ckey, okey,
+      |        row_number() OVER (PARTITION BY ckey ORDER BY okey)
+      |          - 1 AS rn
+      |      FROM o WHERE okey % 19 <> 0)
+      |GROUP BY ckey""".stripMargin
+
+  // ---------------------------------------------------------------- q154
+
+  /** Deterministic mongo change-stream fixture derived from
+    * `customer`, pushed through the PRODUCTION parse + state
+    * derivation + two LandedTable merges (segment 1 = inserts →
+    * committed base; segment 2 = updates/deletes/post-image-less
+    * updates folded OVER that base — the anti-join path):
+    *  - every customer inserts in segment 1;
+    *  - BUILDING customers (not 11- or 13-divisible) update with a
+    *    post-image in segment 2;
+    *  - 11-divisible keys delete (tombstones must fold away);
+    *  - 13-divisible keys get an update WITHOUT fullDocument (the
+    *    post-image lookup raced a delete) — those stay log-face-only
+    *    and the landed doc keeps its insert image.
+    */
+  def mongoStateFace(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("k"),
+      col("c_name").cast("string").as("nm"),
+      col("c_mktsegment").cast("string").as("seg0"))
+    def doc(segCol: Column): Column = concat(
+      lit("{\"_id\": "), col("k"),
+      lit(", \"name\": \""), col("nm"),
+      lit("\", \"seg\": \""), segCol, lit("\"}"))
+    def line(op: String, withDoc: Option[Column],
+        tok: Column): Column = concat(
+      lit("{\"_id\": {\"_data\": \""), tok, lit("\"}"),
+      lit(", \"operationType\": \"" + op + "\""),
+      lit(", \"ns\": {\"db\": \"app\", \"coll\": \"customers\"}"),
+      lit(", \"documentKey\": {\"_id\": "), col("k"), lit("}"),
+      withDoc.map(d => concat(lit(", \"fullDocument\": "), d))
+        .getOrElse(lit("")),
+      lit("}"))
+    val seg1 = lit("changes.000001.log")
+    val seg2 = lit("changes.000002.log")
+    val inserts = c.select(
+      line("insert", Some(doc(col("seg0"))),
+        concat(lit("a"), col("k"))).as("value"), seg1.as("seg"))
+    val updates = c
+      .filter(col("seg0") === "BUILDING" &&
+        col("k") % 11 =!= 0 && col("k") % 13 =!= 0)
+      .select(line("update", Some(doc(lit("UPDATED"))),
+        concat(lit("b"), col("k"))).as("value"), seg2.as("seg"))
+    val deletes = c.filter(col("k") % 11 === 0)
+      .select(line("delete", None, concat(lit("c"), col("k")))
+        .as("value"), seg2.as("seg"))
+    val racedUpdates = c
+      .filter(col("k") % 13 === 0 && col("k") % 11 =!= 0)
+      .select(line("update", None, concat(lit("d"), col("k")))
+        .as("value"), seg2.as("seg"))
+    val lines = inserts.unionByName(updates).unionByName(deletes)
+      .unionByName(racedUpdates)
+    val state = MongoStateOps
+      .deriveState(MongoStateOps.parseChanges(lines))
+      .filter(col("db") === "app" && col("coll") === "customers")
+      .select("bseq", "seq", "row_type", "key", "payload")
+    val base = LandedTable.StandardMerger.merge(spark, None,
+      state.filter(col("bseq") === 1), 0L)
+    LandedTable.StandardMerger.merge(spark, Some(base),
+      state.filter(col("bseq") === 2), 0L)
+      .select(col("key"), col("payload"))
+  }
+
+  private val mongoStateFaceSql: String =
+    """SELECT '{"_id":' || c_custkey || '}' AS key,
+      |       '{"_id":' || c_custkey || ',"name":"' || c_name ||
+      |         '","seg":"' ||
+      |         CASE WHEN c_mktsegment = 'BUILDING'
+      |                   AND c_custkey % 13 <> 0
+      |              THEN 'UPDATED' ELSE c_mktsegment END ||
+      |         '"}' AS payload
+      |FROM customer
+      |WHERE c_custkey % 11 <> 0""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_redis_state_fold" -> (redisStateFold _),
+    "q154_mongo_state_face" -> (mongoStateFace _))
+
+  val oracles: Map[String, String] = Map(
+    "q153_redis_state_fold" -> redisStateFoldSql,
+    "q154_mongo_state_face" -> mongoStateFaceSql)
+}

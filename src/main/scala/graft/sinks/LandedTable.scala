@@ -81,6 +81,15 @@ object LandedTable {
       */
     def merge(spark: SparkSession, base: Option[DataFrame],
         deltas: DataFrame, deltaBytes: Long): DataFrame
+
+    /** Projection applied to what EXTERNAL READERS see — the
+      * published flat face and `read`. None (the default) = identity,
+      * which lets publishFlat byte-copy base part files with no Spark
+      * job. A merger whose BASE keeps bookkeeping rows readers must
+      * not see (the redis state fold's tombstones) overrides this;
+      * the base itself always keeps the full merge output.
+      */
+    def flatView: Option[DataFrame => DataFrame] = None
   }
 
   /** The base/flat face schema. Pre-round-13 bases carried the full
@@ -250,7 +259,7 @@ object LandedTable {
       merger: Merger = StandardMerger): DataFrame = {
     val base = committedBase(table)
     val newer = deltaIds(table).filter(id => base.forall(_._1 < id))
-    (base, newer) match {
+    val raw = (base, newer) match {
       case (None, Seq()) =>
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], FlatSchema)
@@ -259,6 +268,7 @@ object LandedTable {
       case _ =>
         merge(spark, base.map(_._2), table, newer, merger)
     }
+    merger.flatView.fold(raw)(f => f(raw))
   }
 
   /** Merge base + deltas ≤ `uptoBatch` into a new committed base.
@@ -318,10 +328,20 @@ object LandedTable {
     if (Fs.exists(stage)) Fs.delete(stage) // crashed previous publish
     base match {
       case Some((id, path)) if deltaIds(table).forall(_ <= id) =>
-        Fs.listNames(path)
-          .filter(n => !n.startsWith(".") && n != "_SUCCESS")
-          .foreach(n => Fs.copyFile(s"$path/$n", s"$stage/$n"))
+        merger.flatView match {
+          case None =>
+            Fs.listNames(path)
+              .filter(n => !n.startsWith(".") && n != "_SUCCESS")
+              .foreach(n => Fs.copyFile(s"$path/$n", s"$stage/$n"))
+          case Some(f) =>
+            // the face FILTERS its base — a byte copy would publish
+            // rows flatView hides; one filter-only scan-write job
+            // (no shuffle) instead
+            f(baseState(spark, path)).write
+              .mode(SaveMode.Overwrite).parquet(stage)
+        }
       case _ =>
+        // read() already applies flatView
         read(spark, table, merger).write.mode(SaveMode.Overwrite)
           .parquet(stage)
     }

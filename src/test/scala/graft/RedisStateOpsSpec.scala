@@ -27,31 +27,85 @@ class RedisStateOpsSpec extends graft.SparkSuite {
       .map(o => (o.op, o.vtype, o.field)) ==
       Seq(("put", "set", "m1"), ("put", "set", "m2")))
     // plain ZADD puts; INCR folds as a score increment; conditional
-    // flags (GT/LT/NX/XX) guard on the old score the server saw —
-    // fold them as drops, never as possibly-refused absolute puts
+    // flags (GT/LT/NX/XX) fold as exact conditional ops — the old
+    // score is in hand inside the per-key fold (r14 Missing #2)
     assert(ops("ZADD", "z", "CH", "1.5", "m").head ==
       Op(key(0, "z"), "put", "zset", "m", "1.5", None))
     assert(ops("ZADD", "z", "INCR", "2", "m").head.op == "zincr")
     assert(ops("ZADD", "z", "GT", "CH", "1.5", "m").head.op ==
-      "unsupp")
+      "zaddgt")
+    assert(ops("ZADD", "z", "NX", "1", "m").head.op == "zaddnx")
+    assert(ops("ZADD", "z", "XX", "GT", "INCR", "2", "m").head.op ==
+      "zaddxxgtincr")
+    // server-rejected flag combos contribute nothing
+    assert(ops("ZADD", "z", "NX", "XX", "1", "m").isEmpty)
+    assert(ops("ZADD", "z", "GT", "LT", "1", "m").isEmpty)
+    assert(ops("ZADD", "z", "INCR", "1", "m", "2", "n").isEmpty)
     assert(ops("HSETNX", "h", "f", "v").head.op == "putnx")
     assert(ops("LPUSH", "l", "a", "b").map(_.op) ==
       Seq("lpush", "lpush"))
     assert(ops("INCRBY", "c", "7").head.value == "7")
     assert(ops("DECR", "c").head.value == "-1")
+    assert(ops("INCRBYFLOAT", "c", "0.5").head.op == "incrf")
+    assert(ops("HINCRBY", "h", "f", "3").head ==
+      Op(key(0, "h"), "hincr", "hash", "f", "3", None))
+    assert(ops("HINCRBYFLOAT", "h", "f", ".5").head.op == "hincrf")
+    assert(ops("SETRANGE", "k", "5", "zz").head ==
+      Op(key(0, "k"), "setrange", "string", "5", "zz", None))
     assert(ops("FLUSHALL").head.op == "resetall")
     assert(ops("FLUSHDB").head.op == "reset")
+    // SWAPDB folds as honest per-db resets (the fold cannot move
+    // keys between dbs); the target db rides in `value`
+    assert(ops("SWAPDB", "2", "5").map(o => (o.op, o.value)) ==
+      Seq(("resetdb", "2"), ("resetdb", "5")))
     // SELECT switches the db for everything after it
     val (db, none) = commandOps(Seq("SELECT", "3"), 0L)
     assert(db == 3L && none.isEmpty)
     assert(commandOps(Seq("SET", "k", "v"), 3L)._2.head.key ==
       key(3, "k"))
-    // an unsupported command drops the keys it names
+    // RENAME removes src unconditionally (exact del); dst takes a
+    // value from another key's fold — tombstone. RENAMENX is
+    // conditional on BOTH sides.
     assert(ops("RENAME", "a", "b").map(o => (o.key, o.op)) ==
-      Seq((key(0, "a"), "unsupp"), (key(0, "b"), "unsupp")))
-    assert(ops("LREM", "l", "0", "x").head.op == "unsupp")
+      Seq((key(0, "a"), "del"), (key(0, "b"), "unsupp")))
+    assert(ops("RENAMENX", "a", "b").map(_.op) ==
+      Seq("unsupp", "unsupp"))
+    // COPY never touches src; dst drops in the DB the option names
+    assert(ops("COPY", "a", "b").map(o => (o.key, o.op)) ==
+      Seq((key(0, "b"), "unsupp")))
+    assert(ops("COPY", "a", "b", "DB", "7", "REPLACE").head.key ==
+      key(7, "b"))
+    assert(ops("MOVE", "a", "4").map(_.key) ==
+      Seq(key(0, "a"), key(4, "a")))
+    // SMOVE: src's member removal is EXACT (delf of an absent member
+    // is a no-op on both sides); dst is conditional — tombstone
+    assert(ops("SMOVE", "s1", "s2", "m").map(o => (o.key, o.op)) ==
+      Seq((key(0, "s1"), "delf"), (key(0, "s2"), "unsupp")))
+    // list-move family: exact source pop, dst tombstone; same-key
+    // moves are pure rotations
+    assert(ops("RPOPLPUSH", "a", "b").map(o => (o.key, o.op)) ==
+      Seq((key(0, "a"), "rpop"), (key(0, "b"), "unsupp")))
+    assert(ops("LMOVE", "a", "a", "LEFT", "RIGHT").head ==
+      Op(key(0, "a"), "lrot", "list", "LR", "", None))
+    assert(ops("LMOVE", "a", "a", "LEFT", "LEFT").isEmpty)
+    assert(ops("LREM", "l", "0", "x").head.op == "lrem")
+    assert(ops("LTRIM", "l", "1", "-1").head.op == "ltrim")
+    assert(ops("LINSERT", "l", "BEFORE", "p", "v").head ==
+      Op(key(0, "l"), "linsb", "list", "p", "v", None))
     // transport/transaction markers contribute nothing
     assert(ops("MULTI").isEmpty && ops("PING").isEmpty)
+    // admin/read commands whose first operand is NOT a key must not
+    // evict real keys (r14 ADVICE: WAIT 1 0 dropped a key named "1")
+    assert(ops("WAIT", "1", "0").isEmpty)
+    assert(ops("SUBSCRIBE", "chan").isEmpty)
+    assert(ops("CLIENT", "SETNAME", "x").isEmpty)
+    assert(ops("GET", "k").isEmpty && ops("LRANGE", "l", "0",
+      "-1").isEmpty)
+    // GEO reads write only when STORE names a dest
+    assert(ops("GEOSEARCH", "g", "FROMMEMBER", "m", "BYRADIUS", "1",
+      "km", "ASC").isEmpty)
+    assert(ops("GEORADIUS", "g", "0", "0", "1", "km", "STORE", "d")
+      .map(o => (o.key, o.op)) == Seq((key(0, "d"), "unsupp")))
     // multi-key writers map every written key (never leave one stale)
     assert(ops("MSET", "a", "1", "b", "2").map(o => (o.key, o.op)) ==
       Seq((key(0, "a"), "set"), (key(0, "b"), "set")))
@@ -67,15 +121,17 @@ class RedisStateOpsSpec extends graft.SparkSuite {
       Seq(key(0, "l1"), key(0, "l2")))
   }
 
-  test("ops for one key from TWO cluster shards in one window drop " +
-      "the key (slot migration caught mid-flight has no honest fold)") {
+  test("ops for one key from TWO cluster shards in one window " +
+      "tombstone the key (slot migration caught mid-flight has no " +
+      "honest fold — and the tombstone persists in the base)") {
     val k = key(0, "moved")
     val ops = packed(
       (s"${"a" * 40}.psync.000003.log", 1L,
         Op(k, "set", "string", "", "from-a", None)),
       (s"${"b" * 40}.psync.000001.log", 1L,
         Op(k, "del", "", "", "", None)))
-    assert(fold(k, null, ops) == null)
+    val t = fold(k, null, ops)
+    assert(t != null && t.startsWith(RedisStateOps.TombPrefix), t)
     // single-shard windows fold normally
     assert(fold(k, null, packed(
       (s"${"a" * 40}.psync.000003.log", 1L,
@@ -116,7 +172,8 @@ class RedisStateOpsSpec extends graft.SparkSuite {
     assert(h.contains("\"f2\"") && !h.contains("\"f1\""))
     assert(fold(k, h, packed(
       op(Op(k, "delf", "hash", "f2", "", None), 9))) == null)
-    // incr over base, non-numeric incr drops the key (never lies)
+    // incr over base; a non-numeric INCR is REJECTED by the server,
+    // so the value folds unchanged (the pre-r15 drop was wrong-shaped)
     val c5 = fold(k, null, packed(
       op(Op(k, "set", "string", "", "5", None), 1)))
     assert(fold(k, c5, packed(
@@ -125,7 +182,8 @@ class RedisStateOpsSpec extends graft.SparkSuite {
     val junk = fold(k, null, packed(
       op(Op(k, "set", "string", "", "abc", None), 1)))
     assert(fold(k, junk, packed(
-      op(Op(k, "incr", "string", "", "1", None), 2))) == null)
+      op(Op(k, "incr", "string", "", "1", None), 2)))
+      .contains("\"abc\""))
     // list order: rpush a b, lpush z -> [z, a, b]; lpop drops z
     val l = fold(k, null, packed(
       op(Op(k, "rpush", "list", "", "a", None), 1),
@@ -150,9 +208,10 @@ class RedisStateOpsSpec extends graft.SparkSuite {
     assert(fold(k, null, packed(
       op(Op(k, "setnx", "string", "", "9", None), 2)))
       .contains("\"9\""))
-    // unsupported op on a key drops it even over a live base
+    // unsupported op on a key tombstones it even over a live base
     assert(fold(k, c5, packed(
-      op(Op(k, "unsupp", "", "", "", None), 2))) == null)
+      op(Op(k, "unsupp", "", "", "", None), 2)))
+      .startsWith(RedisStateOps.TombPrefix))
     // expire sets x; persist clears it
     val ex = fold(k, c5, packed(
       op(Op(k, "expire", "", "", "9000", Some(9000L)), 2)))
@@ -207,6 +266,222 @@ class RedisStateOpsSpec extends graft.SparkSuite {
       (s"$nodeA.psync.000002.log", 1L,
         Op(kA, "set", "string", "", "post", None))), resets)
       .contains("post"))
+  }
+
+  test("a tombstone is PERSISTENT: element-level ops never resurrect " +
+      "partial state, within one window and across merge windows " +
+      "(round-14 verdict Wrong #1)") {
+    val k = key(0, "q")
+    def op(o: Op, rank: Long) = ("psync.000001.log", rank, o)
+    // unsupp then SADD in ONE window: still a tombstone, never {m}
+    val t1 = fold(k, null, packed(
+      op(Op(k, "unsupp", "", "", "", None), 1),
+      op(Op(k, "put", "set", "m", "", None), 2)))
+    assert(t1.startsWith(RedisStateOps.TombPrefix), t1)
+    // ACROSS windows: window 1 tombstones, window 2's pushes/incrs/
+    // expiry land on the base tombstone and preserve it
+    val t2 = fold(k, t1, packed(
+      op(Op(k, "rpush", "list", "", "y", None), 9),
+      op(Op(k, "incr", "string", "", "1", None), 10),
+      op(Op(k, "expire", "", "", "5000", Some(5000L)), 11)))
+    assert(t2.startsWith(RedisStateOps.TombPrefix), t2)
+    // conditional writers stay conservative on unknown state
+    assert(fold(k, t1, packed(
+      op(Op(k, "setnx", "string", "", "v", None), 9)))
+      .startsWith(RedisStateOps.TombPrefix))
+    // only FULL-KEY writers clear it: SET rebuilds known state,
+    // DEL lands known-absent
+    assert(fold(k, t1, packed(
+      op(Op(k, "set", "string", "", "fresh", None), 9)))
+      .contains("fresh"))
+    assert(fold(k, t1, packed(
+      op(Op(k, "del", "", "", "", None), 9))) == null)
+    // ... and a node-scoped reset (the owner's full RDB replace)
+    val nodeA = "a" * 40
+    val tA = fold(k, null, packed(
+      (s"$nodeA.psync.000001.log", 1L,
+        Op(k, "unsupp", "", "", "", None))))
+    assert(tA.startsWith(RedisStateOps.TombPrefix) &&
+      tA.contains(nodeA))
+    val resets = new ResetPoints(Map(
+      (nodeA, -1L) -> (s"$nodeA.psync.000002.log", 0L)))
+    assert(fold(k, tA, null, resets) == null)
+    assert(fold(k, tA, packed(
+      (s"$nodeA.psync.000002.log", 1L,
+        Op(k, "put", "set", "m", "", None))), resets)
+      .contains("\"m\""))
+  }
+
+  test("typed ops against a key of another type fold as no-ops " +
+      "(the server rejects them with WRONGTYPE)") {
+    val k = key(0, "w")
+    def op(o: Op, rank: Long) = ("psync.000001.log", rank, o)
+    val str = fold(k, null, packed(
+      op(Op(k, "set", "string", "", "sv", None), 1)))
+    // HSET/SADD/LPUSH/ZINCRBY on a string: unchanged, NOT rebuilt
+    // as a fresh value of the op's type (the pre-r15 behavior)
+    for (o <- Seq(Op(k, "put", "hash", "f", "v", None),
+        Op(k, "put", "set", "m", "", None),
+        Op(k, "lpush", "list", "", "x", None),
+        Op(k, "zincr", "zset", "m", "1", None),
+        Op(k, "lpop", "list", "", "1", None)))
+      assert(fold(k, str, packed(op(o, 2))) == str,
+        s"op ${o.op} mutated a string key")
+    // APPEND/INCR on a hash: unchanged
+    val h = fold(k, null, packed(
+      op(Op(k, "put", "hash", "f", "v", None), 1)))
+    assert(fold(k, h, packed(
+      op(Op(k, "append", "string", "", "x", None), 2))) == h)
+    assert(fold(k, h, packed(
+      op(Op(k, "incr", "string", "", "1", None), 2))) == h)
+  }
+
+  test("modeled command fold: conditional ZADD, LREM, SETRANGE, " +
+      "LTRIM, LINSERT, HINCRBY, INCRBYFLOAT, rotations " +
+      "(round-14 verdict Missing #2)") {
+    val k = key(0, "m")
+    def op(o: Op, rank: Long) = ("psync.000001.log", rank, o)
+    def zscore(payload: String, m: String): Option[String] = {
+      val re = ("\\[\"" + m + "\",\"([^\"]*)\"\\]").r
+      re.findFirstMatchIn(payload).map(_.group(1))
+    }
+    // ZADD GT keeps the max; LT the min; NX never updates; XX never
+    // adds; XX INCR increments only existing members
+    val z5 = fold(k, null, packed(
+      op(Op(k, "put", "zset", "m", "5", None), 1)))
+    assert(zscore(fold(k, z5, packed(
+      op(Op(k, "zaddgt", "zset", "m", "3", None), 2))), "m") ==
+      Some("5"))
+    assert(zscore(fold(k, z5, packed(
+      op(Op(k, "zaddgt", "zset", "m", "7", None), 2))), "m") ==
+      Some("7"))
+    assert(zscore(fold(k, z5, packed(
+      op(Op(k, "zaddlt", "zset", "m", "3", None), 2))), "m") ==
+      Some("3"))
+    assert(zscore(fold(k, z5, packed(
+      op(Op(k, "zaddnx", "zset", "m", "9", None), 2))), "m") ==
+      Some("5"))
+    assert(zscore(fold(k, z5, packed(
+      op(Op(k, "zaddnx", "zset", "n", "9", None), 2))), "n") ==
+      Some("9"))
+    val afterXx = fold(k, z5, packed(
+      op(Op(k, "zaddxx", "zset", "n", "9", None), 2)))
+    assert(zscore(afterXx, "n").isEmpty)
+    // ZADD XX on a MISSING key creates nothing
+    assert(fold(k, null, packed(
+      op(Op(k, "zaddxx", "zset", "m", "9", None), 1))) == null)
+    assert(zscore(fold(k, z5, packed(
+      op(Op(k, "zaddxxincr", "zset", "m", "2.5", None), 2))),
+      "m") == Some("7.5"))
+    // LREM: count 0 = all, 1 = first, -1 = last occurrence
+    val l = fold(k, null, packed(
+      op(Op(k, "rpush", "list", "", "a", None), 1),
+      op(Op(k, "rpush", "list", "", "b", None), 2),
+      op(Op(k, "rpush", "list", "", "a", None), 3)))
+    def vals(p: String): Seq[String] =
+      "\\[\"\\d{6}\",\"([^\"]*)\"\\]".r.findAllMatchIn(p)
+        .map(_.group(1)).toSeq
+    assert(vals(fold(k, l, packed(
+      op(Op(k, "lrem", "list", "0", "a", None), 9)))) == Seq("b"))
+    assert(vals(fold(k, l, packed(
+      op(Op(k, "lrem", "list", "1", "a", None), 9)))) ==
+      Seq("b", "a"))
+    assert(vals(fold(k, l, packed(
+      op(Op(k, "lrem", "list", "-1", "a", None), 9)))) ==
+      Seq("a", "b"))
+    // LREM emptying the list kills the key (as DEL would)
+    assert(fold(k, l, packed(
+      op(Op(k, "lrem", "list", "0", "a", None), 9),
+      op(Op(k, "lrem", "list", "0", "b", None), 10))) == null)
+    // LTRIM with negative indices; an empty range kills the key
+    assert(vals(fold(k, l, packed(
+      op(Op(k, "ltrim", "list", "1", "-1", None), 9)))) ==
+      Seq("b", "a"))
+    assert(fold(k, l, packed(
+      op(Op(k, "ltrim", "list", "1", "0", None), 9))) == null)
+    // LINSERT before/after a pivot; absent pivot writes nothing
+    assert(vals(fold(k, l, packed(
+      op(Op(k, "linsb", "list", "b", "z", None), 9)))) ==
+      Seq("a", "z", "b", "a"))
+    assert(vals(fold(k, l, packed(
+      op(Op(k, "linsa", "list", "b", "z", None), 9)))) ==
+      Seq("a", "b", "z", "a"))
+    assert(vals(fold(k, l, packed(
+      op(Op(k, "linsb", "list", "nope", "z", None), 9)))) ==
+      Seq("a", "b", "a"))
+    // same-key LMOVE rotations
+    assert(vals(fold(k, l, packed(
+      op(Op(k, "lrot", "list", "LR", "", None), 9)))) ==
+      Seq("b", "a", "a"))
+    assert(vals(fold(k, l, packed(
+      op(Op(k, "lrot", "list", "RL", "", None), 9)))) ==
+      Seq("a", "a", "b"))
+    // SETRANGE splices, zero-pads past the end, creates when absent
+    val hello = fold(k, null, packed(
+      op(Op(k, "set", "string", "", "Hello World", None), 1)))
+    assert(fold(k, hello, packed(
+      op(Op(k, "setrange", "string", "6", "Redis", None), 2)))
+      .contains("\"Hello Redis\""))
+    assert(fold(k, null, packed(
+      op(Op(k, "setrange", "string", "3", "ab", None), 1)))
+      .contains("\\u0000\\u0000\\u0000ab"))
+    // HINCRBY creates, adds, and rejects non-numeric fields
+    val hc = fold(k, null, packed(
+      op(Op(k, "hincr", "hash", "n", "7", None), 1),
+      op(Op(k, "hincr", "hash", "n", "-2", None), 2)))
+    assert(hc.contains("[\"n\",\"5\"]"), hc)
+    val hbad = fold(k, null, packed(
+      op(Op(k, "put", "hash", "n", "abc", None), 1)))
+    assert(fold(k, hbad, packed(
+      op(Op(k, "hincr", "hash", "n", "1", None), 2))) == hbad)
+    // INCRBYFLOAT renders integral results without the .0
+    assert(fold(k, null, packed(
+      op(Op(k, "set", "string", "", "1.5", None), 1),
+      op(Op(k, "incrf", "string", "", "0.5", None), 2)))
+      .contains("[\"\",\"2\"]"))
+    assert(fold(k, null, packed(
+      op(Op(k, "set", "string", "", "10.5", None), 1),
+      op(Op(k, "incrf", "string", "", "0.25", None), 2)))
+      .contains("\"10.75\""))
+  }
+
+  test("the merger keeps tombstones in its output (the base) while " +
+      "flatView hides them from the published face") {
+    val s = spark
+    import s.implicits._
+    def deltaDf(rows: Seq[(String, Long, String, Long, String,
+        String, String, String, Option[Long])]) =
+      rows.toDF("sseg", "rank", "key", "db", "op", "value_type",
+        "field", "value", "expire_ms")
+    // window 1: one live key, one key hit by an unsupported command
+    val w1 = RedisStateOps.Merger.merge(spark, None, deltaDf(Seq(
+      ("psync.000001.log", 1L, key(0, "live"), 0L, "set", "string",
+        "", "v", None),
+      ("psync.000001.log", 2L, key(0, "lost"), 0L, "unsupp", "", "",
+        "", None))), 0L)
+    val w1m = w1.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(w1m.keySet == Set(key(0, "live"), key(0, "lost")))
+    assert(w1m(key(0, "lost"))
+      .startsWith(RedisStateOps.TombPrefix))
+    val flat1 = RedisStateOps.Merger.flatView.get(w1)
+      .collect().map(_.getString(0)).toSet
+    assert(flat1 == Set(key(0, "live")), s"flat face: $flat1")
+    // window 2 over the window-1 base: an element op on the
+    // tombstoned key keeps it hidden; a full SET resurrects it
+    val w2 = RedisStateOps.Merger.merge(spark, Some(w1), deltaDf(Seq(
+      ("psync.000002.log", 1L, key(0, "lost"), 0L, "put", "set",
+        "m", "", None))), 0L)
+    val w2m = w2.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(w2m(key(0, "lost"))
+      .startsWith(RedisStateOps.TombPrefix), w2m.toString)
+    val w3 = RedisStateOps.Merger.merge(spark, Some(w2), deltaDf(Seq(
+      ("psync.000003.log", 1L, key(0, "lost"), 0L, "set", "string",
+        "", "back", None))), 0L)
+    val flat3 = RedisStateOps.Merger.flatView.get(w3).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(flat3(key(0, "lost")).contains("back"))
   }
 
   test("the merger folds a delta frame over a base frame with resets " +
