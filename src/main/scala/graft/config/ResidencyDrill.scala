@@ -113,10 +113,28 @@ object ResidencyDrill {
       out.toByteArray
     }
 
+    // fold-dir shape: the tier a dir reached and how many part files
+    // its fold wrote — one part per fold task, so max_fold_parts IS
+    // the widest fold job's task count (r14 verdict Wrong #2: the
+    // old coalesce(1) made every value here 1, meaning a tier-3 fold
+    // was one task rewriting fanout^3 segments)
+    val FoldDir = """^seg=fold(\d+)-\d+$""".r
+    def foldShape(table: String): (Int, Int) = {
+      val dirs = Fs.listNames(table).collect {
+        case d @ FoldDir(k) => (k.toInt, d)
+      }
+      if (dirs.isEmpty) (0, 0)
+      else (dirs.map(_._1).max,
+        dirs.map { case (_, d) =>
+          Fs.listNames(s"$table/$d").count(_.startsWith("part-"))
+        }.max)
+    }
+
     var tail = Seq.empty[Double]
     println("""{"drill":"residency","lane":"redis","cols":""" +
       """["pass","median_ms","capture_files","markers",""" +
-      """"state_entries","cmd_dirs","snap_dirs"]}""")
+      """"state_entries","cmd_dirs","snap_dirs",""" +
+      """"max_fold_tier","max_fold_parts"]}""")
     (0 until passes).foreach { i =>
       val name = f"psync.${i + 1}%06d.log"
       Fs.write(s"$captureDir/$name", segment(i))
@@ -140,10 +158,12 @@ object ResidencyDrill {
           .count(_.startsWith("seg="))
         val snapDirs = Fs.listNames(s"$sink/redis.snapshot")
           .count(_.startsWith("seg="))
+        val (tier, parts) = foldShape(s"$sink/redis.commands")
         println(s"""{"pass":${i + 1},"median_ms":$med,""" +
           s""""capture_files":$capture,"markers":$markers,""" +
           s""""state_entries":$stateEntries,"cmd_dirs":$cmdDirs,""" +
-          s""""snap_dirs":$snapDirs}""")
+          s""""snap_dirs":$snapDirs,"max_fold_tier":$tier,""" +
+          s""""max_fold_parts":$parts}""")
       }
     }
     lander.finish(Seq.empty)

@@ -41,6 +41,9 @@ class RedisStateOpsSpec extends graft.SparkSuite {
     assert(ops("ZADD", "z", "NX", "XX", "1", "m").isEmpty)
     assert(ops("ZADD", "z", "GT", "LT", "1", "m").isEmpty)
     assert(ops("ZADD", "z", "INCR", "1", "m", "2", "n").isEmpty)
+    // a REPEATED flag token (server-legal) must not shift the pairs
+    assert(ops("ZADD", "z", "GT", "GT", "1.5", "m").head ==
+      Op(key(0, "z"), "zaddgt", "zset", "m", "1.5", None))
     assert(ops("HSETNX", "h", "f", "v").head.op == "putnx")
     assert(ops("LPUSH", "l", "a", "b").map(_.op) ==
       Seq("lpush", "lpush"))
