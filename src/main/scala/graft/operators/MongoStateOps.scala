@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The Mongo CURRENT-STATE derivation: change-stream lines →
@@ -16,16 +16,43 @@ import org.apache.spark.sql.functions._
   */
 object MongoStateOps {
 
+  /** Segment files above this break [[lineSeq]]'s encoding (the
+    * block-start shift would overflow) — the landing pass guards it
+    * loudly. The pump rotates at 64 MB, so this is 16× headroom.
+    */
+  val MaxSegmentBytes: Long = 1L << 30
+
+  /** Within-segment event order as a FILE-OFFSET-derived sequence:
+    * `(split byte offset << 33) | (row index within the partition)`.
+    * Strictly increasing in line order for any Spark split/packing
+    * of the segment file — unlike a bare monotonically_increasing_id,
+    * whose cross-partition order follows FilePartition PACKING
+    * (length-descending, an implementation detail), not file order.
+    * Spark's real split threshold is min(maxPartitionBytes,
+    * max(openCostInBytes, totalBytes/parallelism)), so even a 60 MB
+    * segment splits on a local[32] session — the offset encoding
+    * makes the order exact instead of asserting it away. Must be
+    * computed while reading the TEXT segment (input_file_* refer to
+    * the file being scanned) and persisted; rows per split < 2^33
+    * always holds (a row is ≥ 1 byte), offsets < 2^30 are guarded
+    * by [[MaxSegmentBytes]].
+    */
+  def lineSeq: Column =
+    shiftleft(input_file_block_start(), 33)
+      .plus(monotonically_increasing_id()
+        .bitwiseAND(lit((1L << 33) - 1)))
+
   /** Parse raw change-stream lines into the FIXED landed schema
     * (per-segment inference would drift across segments). Input
-    * columns: `value` (one change-stream JSON document per line) and
-    * `seg` (the capture segment name). json_tuple parses each line
-    * ONCE for the top-level fields; only the two tiny envelope
-    * structs re-parse for their leaves.
+    * columns: `value` (one change-stream JSON document per line),
+    * `seg` (the capture segment name), and `seq` (within-segment
+    * order — [[lineSeq]] when reading real segment files). json_tuple
+    * parses each line ONCE for the top-level fields; only the two
+    * tiny envelope structs re-parse for their leaves.
     */
   def parseChanges(lines: DataFrame): DataFrame =
     lines
-      .select(col("value"), col("seg"),
+      .select(col("value"), col("seg"), col("seq"),
         json_tuple(col("value"),
           "_id", "operationType", "ns", "documentKey",
           "fullDocument")
@@ -36,19 +63,18 @@ object MongoStateOps {
         get_json_object(col("ns0"), "$.db").as("db"),
         get_json_object(col("ns0"), "$.coll").as("coll"),
         col("key"), col("doc"), col("value").as("raw"),
-        col("seg"), col("seg").as("src_seg"))
+        col("seg"), col("seg").as("src_seg"), col("seq"))
 
   /** Landed change rows → state delta rows (db, coll, bseq, seq,
     * row_type, key, payload): documentKey → fullDocument upserts,
     * delete tombstones — the standard last-writer-wins LandedTable
     * rows. `bseq` is the segment's own monotone index, so events
     * order across segments regardless of how Spark packed a
-    * multi-file read; `seq` (monotonically_increasing_id) orders
-    * WITHIN a segment and is only meaningful when one segment file is
-    * one file partition — the caller asserts that coupling (segment
-    * bytes ≤ `spark.sql.files.maxPartitionBytes`). Events with no ns
-    * (malformed lines) or updates whose post-image lookup raced a
-    * delete stay in the log face only.
+    * multi-file read; `seq` is the file-offset sequence the PARSE
+    * stamped into the log face ([[lineSeq]]) — exact within-segment
+    * order under any split. Events with no ns (malformed lines) or
+    * updates whose post-image lookup raced a delete stay in the log
+    * face only.
     */
   def deriveState(landedFace: DataFrame): DataFrame =
     landedFace
@@ -59,7 +85,7 @@ object MongoStateOps {
       .select(col("db"), col("coll"),
         regexp_extract(col("src_seg"), "(\\d+)", 1).cast("long")
           .as("bseq"),
-        monotonically_increasing_id().as("seq"),
+        col("seq"),
         when(col("op") === "delete", lit("delete"))
           .otherwise(lit("insert")).as("row_type"),
         col("key"), col("doc").as("payload"))

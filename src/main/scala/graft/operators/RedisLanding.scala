@@ -88,7 +88,9 @@ object RedisLanding {
     val cmdIt = new Iterator[LandRow] {
       private val inner = RedisPsync.streamCommands(openForTask(p))
       private var db = 0L
-      private var rank = 1L << 40 // command ops sort after RDB puts
+      // command ops sort after RDB puts; the fold's tombstone-
+      // clearing rule keys on this same boundary
+      private var rank = S.CommandRankBase
       private var pending: Iterator[LandRow] = Iterator.empty
       override def hasNext: Boolean =
         pending.hasNext || inner.hasNext

@@ -313,14 +313,38 @@ object RedisStateOps {
         val n = argv(1).toLongOption.map(_.toInt).getOrElse(0)
         (db, argv.slice(2, 2 + n).map(r =>
           Op(stateKey(db, r), "unsupp", "", "", "", None)))
-      case "GEORADIUS" | "GEORADIUSBYMEMBER" | "GEOSEARCH" =>
-        // read-only unless a STORE/STOREDIST option names a dest
+      case "GEORADIUS" | "GEORADIUSBYMEMBER" | "GEOSEARCH" |
+          "SORT" =>
+        // read-only unless a STORE/STOREDIST option names a dest —
+        // and then the DEST is the written key, never argv(1) (a
+        // default-case drop would tombstone the read-only source
+        // and leave the real dest stale: present-but-wrong)
         val dests = argv.zipWithIndex.collect {
           case (a, i) if Set("STORE", "STOREDIST")
               .contains(a.toUpperCase) && i + 1 < argv.size =>
             argv(i + 1)
         }
         (db, dests.distinct.map(r =>
+          Op(stateKey(db, r), "unsupp", "", "", "", None)))
+      case "XGROUP" if argv.size >= 3 =>
+        // subcommand-first: the key is argv(2) (XGROUP CREATE key
+        // ...); a default-case drop would tombstone a key literally
+        // named "CREATE". Group state is unmodeled and MKSTREAM can
+        // create the key — conservative tombstone on the real key.
+        (db, Seq(Op(stateKey(db, argv(2)), "unsupp", "", "", "",
+          None)))
+      case "MIGRATE" if argv.size >= 4 =>
+        // MIGRATE host port key ... [KEYS k1 k2 ...]: argv(1) is a
+        // HOSTNAME — dropping it would evict a real key named after
+        // the host. The migrated keys are argv(3) (empty string in
+        // the KEYS form) plus everything after a KEYS token. (On a
+        // real master the replicated effect is usually just DEL, but
+        // fold the verbatim command honestly if it ever appears.)
+        val keysIdx = argv.indexWhere(_.equalsIgnoreCase("KEYS"))
+        val named =
+          (if (keysIdx > 0) argv.drop(keysIdx + 1) else Seq.empty) ++
+            Seq(argv(3)).filter(_.nonEmpty)
+        (db, named.distinct.map(r =>
           Op(stateKey(db, r), "unsupp", "", "", "", None)))
       case "SWAPDB" if argv.size >= 3 =>
         // the fold cannot move keys between dbs — honest node-scoped
@@ -343,6 +367,7 @@ object RedisStateOps {
           "EXPIRETIME" | "PEXPIRETIME" | "EXISTS" | "KEYS" |
           "RANDOMKEY" | "DBSIZE" | "TIME" | "LASTSAVE" | "SAVE" |
           "BGSAVE" | "BGREWRITEAOF" | "WATCH" | "UNWATCH" | "TOUCH" |
+          "ACL" | "REPLICAOF" | "SLAVEOF" | "SHUTDOWN" | "MONITOR" |
           "GET" | "MGET" | "STRLEN" | "GETRANGE" | "HGET" | "HMGET" |
           "HGETALL" | "HLEN" | "HKEYS" | "HVALS" | "HSTRLEN" |
           "HRANDFIELD" | "SMEMBERS" | "SCARD" | "SISMEMBER" |
@@ -456,6 +481,24 @@ object RedisStateOps {
     */
   private[operators] val TombType = "?"
   private def tomb() = new St(TombType, None)
+
+  /** Reserved writer-node tag for a MULTI-SHARD tombstone (mid-window
+    * slot migration): segment order across shards is lexicographic,
+    * not temporal, so no single shard can honestly be named the
+    * key's owner — and attributing it to either shard would let that
+    * shard's next full resync (which may legitimately lack the key)
+    * clear the tombstone and reopen the element-op resurrection
+    * path. "*" matches no reset; such a tombstone clears only via a
+    * full-key write or a post-reset RDB image of the key itself.
+    */
+  private[operators] val MultiNode = "*"
+
+  /** Ranks below this are RDB ordinals, above are command-tail ops
+    * (the RedisLanding convention — command ranks start at 1<<40).
+    * A post-reset RDB entry is part of its node's FULL image, so it
+    * may clear a tombstone; command-tail element ops never do.
+    */
+  private[operators] val CommandRankBase = 1L << 40
 
   /** True iff a rendered payload is a tombstone (render emits the
     * type tag first, so a prefix test suffices — and none of the
@@ -620,11 +663,34 @@ object RedisStateOps {
   }
 
   /** Render a double the way Redis prints scores: integral values
-    * without the trailing `.0`.
+    * without the trailing `.0`, infinities as `inf`/`-inf`.
     */
   private def num(d: Double): String =
-    if (d == d.floor && !d.isInfinite) d.toLong.toString
+    if (d.isInfinity) { if (d > 0) "inf" else "-inf" }
+    else if (d == d.floor) d.toLong.toString
     else d.toString
+
+  /** Parse a zset score the way the server does (strtod): the
+    * inf/+inf/-inf/infinity forms are LEGAL scores — treating them
+    * as garbage would fold a successful `ZADD z GT inf m` as a no-op
+    * and leave a stale score on the face. Also reads back scores the
+    * fold itself rendered (`inf`/`-inf`).
+    */
+  private def parseScore(s: String): Option[Double] =
+    s.toDoubleOption.orElse(s.trim.toLowerCase match {
+      case "inf" | "+inf" | "infinity" | "+infinity" =>
+        Some(Double.PositiveInfinity)
+      case "-inf" | "-infinity" => Some(Double.NegativeInfinity)
+      case _ => None
+    })
+
+  /** Overflow-checked long add: the server ERRORS on INCRBY/HINCRBY
+    * overflow and leaves the value unchanged — a wrapping add would
+    * land a value the server never held.
+    */
+  private def addExact(a: Long, b: Long): Option[Long] =
+    try Some(Math.addExact(a, b))
+    catch { case _: ArithmeticException => None }
 
   /** SETRANGE splices past this length fold as tombstones instead of
     * materializing a zero-padded string of unbounded size inside a
@@ -706,12 +772,16 @@ object RedisStateOps {
           val next =
             if (op.op == "incr")
               (old.toLongOption, op.value.toLongOption) match {
-                case (Some(o), Some(d)) => Some((o + d).toString)
+                // overflow: server errors, value unchanged
+                case (Some(o), Some(d)) =>
+                  addExact(o, d).map(_.toString)
                 case _ => None
               }
             else
               (old.toDoubleOption, op.value.toDoubleOption) match {
-                case (Some(o), Some(d)) => Some(num(o + d))
+                // INCRBYFLOAT rejects NaN/Infinity RESULTS too
+                case (Some(o), Some(d)) if java.lang.Double
+                    .isFinite(o + d) => Some(num(o + d))
                 case _ => None
               }
           next match {
@@ -727,8 +797,11 @@ object RedisStateOps {
       case "setrange" => state match {
         case Some(st) if st.t != "string" => state // WRONGTYPE
         case _ => op.field.toIntOption match {
-          case Some(off)
-              if off >= 0 && off + op.value.length <= MaxSpliceLen =>
+          // Long arithmetic: an Int `off + len` can WRAP negative
+          // and slip past the cap into the zero-padding loop the
+          // cap exists to prevent
+          case Some(off) if off >= 0 &&
+              off.toLong + op.value.length <= MaxSpliceLen =>
             if (op.value.isEmpty) state // length probe: no write
             else {
               val old = state.flatMap(s => Option(s.singleOrNull))
@@ -790,10 +863,18 @@ object RedisStateOps {
         case None => None // popping a missing key is a no-op
         case Some(st) if st.t != "list" => state // WRONGTYPE
         case Some(st) =>
-          val n = op.value.toLongOption.getOrElse(1L).toInt
-          if (op.op == "lpop") st.list().dropInPlace(n)
-          else st.list().dropRightInPlace(n)
-          if (st.list().isEmpty) None else state
+          val n0 = op.value.toLongOption.getOrElse(1L)
+          // negative count: server errors, list unchanged; clamp to
+          // the list size BEFORE narrowing (a raw .toInt of 3e9
+          // wraps negative and silently pops nothing while the
+          // server emptied the key)
+          if (n0 < 0) state
+          else {
+            val n = math.min(n0, st.list().size.toLong).toInt
+            if (op.op == "lpop") st.list().dropInPlace(n)
+            else st.list().dropRightInPlace(n)
+            if (st.list().isEmpty) None else state
+          }
       }
       case "lset" => state match {
         case None => None // server: "no such key" — still absent
@@ -827,10 +908,15 @@ object RedisStateOps {
             case (Some(s0), Some(e0)) =>
               val li = st.list()
               val n = li.size.toLong
-              val lo =
-                math.max(if (s0 < 0) n + s0 else s0, 0L).toInt
-              val hi =
-                math.min(if (e0 < 0) n + e0 else e0, n - 1).toInt
+              // clamp into [0, n] BEFORE narrowing: a raw .toInt of
+              // an out-of-Int index wraps and can keep a list the
+              // server emptied (LTRIM l 3000000000 -1 deletes the
+              // key on a real server)
+              val lo = math.min(
+                math.max(if (s0 < 0) n + s0 else s0, 0L), n).toInt
+              val hi = math.min(
+                math.max(if (e0 < 0) n + e0 else e0, -1L),
+                n - 1).toInt
               if (lo > hi) None
               else {
                 li.dropRightInPlace((n - 1 - hi).toInt)
@@ -869,9 +955,11 @@ object RedisStateOps {
         case _ =>
           val st = state.getOrElse(new St("zset", None))
           val old = Option(st.map().get(op.field))
-            .flatMap(_.toDoubleOption).getOrElse(0.0)
-          op.value.toDoubleOption match {
+            .flatMap(parseScore).getOrElse(0.0)
+          parseScore(op.value) match {
             case None => state // non-numeric increment: server errors
+            // -inf + +inf = NaN: server errors, score unchanged
+            case Some(d) if (old + d).isNaN => state
             case Some(d) =>
               st.map().put(op.field, num(old + d))
               Some(st)
@@ -889,11 +977,12 @@ object RedisStateOps {
             val incr = o.contains("incr")
             val st = state.getOrElse(new St("zset", None))
             val old = Option(st.map().get(op.field))
-              .flatMap(_.toDoubleOption)
-            op.value.toDoubleOption match {
+              .flatMap(parseScore)
+            parseScore(op.value) match {
               case None => state // non-numeric score: server errors
               case Some(d) =>
                 val score = if (incr) old.getOrElse(0.0) + d else d
+                if (score.isNaN) return state // server errors
                 val write = old match {
                   case None => !xx
                   case Some(prev) => !nx &&
@@ -916,13 +1005,17 @@ object RedisStateOps {
             if (op.op == "hincr")
               (old.getOrElse("0").toLongOption,
                 op.value.toLongOption) match {
-                case (Some(a), Some(b)) => Some((a + b).toString)
+                // overflow: server errors, field unchanged
+                case (Some(a), Some(b)) =>
+                  addExact(a, b).map(_.toString)
                 case _ => None
               }
             else
               (old.getOrElse("0").toDoubleOption,
                 op.value.toDoubleOption) match {
-                case (Some(a), Some(b)) => Some(num(a + b))
+                // HINCRBYFLOAT rejects NaN/Infinity results too
+                case (Some(a), Some(b)) if java.lang.Double
+                    .isFinite(a + b) => Some(num(a + b))
                 case _ => None
               }
           next match {
@@ -965,7 +1058,6 @@ object RedisStateOps {
       // element ops cannot rebuild partial state; the next full-key
       // write or owner resync re-lands it)
       var seenNode: String = null
-      var lastNode: String = ""
       var multiNode = false
       var lastId: (String, Long) = null
       packed.foreach { p =>
@@ -974,19 +1066,35 @@ object RedisStateOps {
         if (id != lastId) {
           lastId = id
           val node = nodeOf(sseg)
-          lastNode = node
           if (seenNode == null) seenNode = node
           else if (seenNode != node) multiNode = true
           // an op that precedes its own node's latest reset is dead
           if (resets.keepOp(node, db, sseg, rank)) {
+            // a surviving RDB entry after its node's reset is part
+            // of that node's FULL image: it clears a tombstone (the
+            // resync makes the key fully known again) — command-tail
+            // element ops never do
+            if (rank < CommandRankBase &&
+                resets.point(node, db).isDefined &&
+                st.exists(_.t == TombType))
+              st = None
+            val wasTomb = st.exists(_.t == TombType)
+            val prevN = if (wasTomb) st.get.n else null
             st = apply1(st, op)
-            st.foreach(_.n = node)
+            // node attribution: a PRESERVED tombstone keeps the node
+            // it was created under (re-attributing it to whatever
+            // shard touched it last would hand its clearing to the
+            // wrong resync); everything else moves to this writer
+            st.foreach { s =>
+              if (s.t == TombType && wasTomb) s.n = prevN
+              else s.n = node
+            }
           }
         }
       }
       if (multiNode) {
         val t = tomb()
-        t.n = lastNode // the newest shard's resync clears it
+        t.n = MultiNode // reset-immune — see the MultiNode scaladoc
         st = Some(t)
       }
     }

@@ -176,6 +176,10 @@ object StateFaceQueries {
         .as("value"), seg2.as("seg"))
     val lines = inserts.unionByName(updates).unionByName(deletes)
       .unionByName(racedUpdates)
+      // within-segment seq is irrelevant here (one event per key per
+      // segment); real landings stamp MongoStateOps.lineSeq while
+      // reading the segment file
+      .withColumn("seq", monotonically_increasing_id())
     val state = MongoStateOps
       .deriveState(MongoStateOps.parseChanges(lines))
       .filter(col("db") === "app" && col("coll") === "customers")

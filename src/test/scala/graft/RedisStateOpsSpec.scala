@@ -104,11 +104,23 @@ class RedisStateOpsSpec extends graft.SparkSuite {
     assert(ops("CLIENT", "SETNAME", "x").isEmpty)
     assert(ops("GET", "k").isEmpty && ops("LRANGE", "l", "0",
       "-1").isEmpty)
-    // GEO reads write only when STORE names a dest
+    // GEO/SORT reads write only when STORE names a dest — and then
+    // the DEST is the written key, never the read-only source
     assert(ops("GEOSEARCH", "g", "FROMMEMBER", "m", "BYRADIUS", "1",
       "km", "ASC").isEmpty)
     assert(ops("GEORADIUS", "g", "0", "0", "1", "km", "STORE", "d")
       .map(o => (o.key, o.op)) == Seq((key(0, "d"), "unsupp")))
+    assert(ops("SORT", "src", "ALPHA").isEmpty)
+    assert(ops("SORT", "src", "ALPHA", "STORE", "dst")
+      .map(o => (o.key, o.op)) == Seq((key(0, "dst"), "unsupp")))
+    // subcommand-first writers name their real key, not the subcmd
+    assert(ops("XGROUP", "CREATE", "mystream", "g", "$").map(_.key) ==
+      Seq(key(0, "mystream")))
+    // MIGRATE's first operand is a HOSTNAME; only named keys drop
+    assert(ops("MIGRATE", "h1", "6379", "k1", "0", "5000")
+      .map(_.key) == Seq(key(0, "k1")))
+    assert(ops("MIGRATE", "h1", "6379", "", "0", "5000", "KEYS",
+      "a", "b").map(_.key) == Seq(key(0, "a"), key(0, "b")))
     // multi-key writers map every written key (never leave one stale)
     assert(ops("MSET", "a", "1", "b", "2").map(o => (o.key, o.op)) ==
       Seq((key(0, "a"), "set"), (key(0, "b"), "set")))
@@ -446,6 +458,103 @@ class RedisStateOpsSpec extends graft.SparkSuite {
       op(Op(k, "set", "string", "", "10.5", None), 1),
       op(Op(k, "incrf", "string", "", "0.25", None), 2)))
       .contains("\"10.75\""))
+  }
+
+  test("numeric edges fold server-exactly: inf scores are legal, " +
+      "overflow/NaN results leave state unchanged, out-of-Int list " +
+      "indices empty the key instead of wrapping") {
+    val k = key(0, "n")
+    def op(o: Op, rank: Long) = ("psync.000001.log", rank, o)
+    def zscore(payload: String, m: String): Option[String] = {
+      val re = ("\\[\"" + m + "\",\"([^\"]*)\"\\]").r
+      re.findFirstMatchIn(payload).map(_.group(1))
+    }
+    // inf is a LEGAL zset score (strtod): ZADD GT inf must win and
+    // render as "inf", and fold back in on the next read
+    val z5 = fold(k, null, packed(
+      op(Op(k, "put", "zset", "m", "5", None), 1)))
+    val zi = fold(k, z5, packed(
+      op(Op(k, "zaddgt", "zset", "m", "inf", None), 2)))
+    assert(zscore(zi, "m") == Some("inf"), zi)
+    assert(zscore(fold(k, zi, packed(
+      op(Op(k, "zaddgt", "zset", "m", "9", None), 9))), "m") ==
+      Some("inf")) // 9 > inf is false — stored inf parses back
+    // -inf + +inf = NaN: server errors, score unchanged
+    val zneg = fold(k, null, packed(
+      op(Op(k, "zincr", "zset", "m", "-inf", None), 1)))
+    assert(zscore(zneg, "m") == Some("-inf"))
+    assert(zscore(fold(k, zneg, packed(
+      op(Op(k, "zincr", "zset", "m", "+inf", None), 2))), "m") ==
+      Some("-inf"))
+    // INCRBY overflow: server errors, value unchanged
+    val big = fold(k, null, packed(
+      op(Op(k, "set", "string", "", Long.MaxValue.toString, None),
+        1)))
+    assert(fold(k, big, packed(
+      op(Op(k, "incr", "string", "", "1", None), 2))) == big)
+    // INCRBYFLOAT rejects an Infinity RESULT
+    val huge = fold(k, null, packed(
+      op(Op(k, "set", "string", "", "1.7e308", None), 1)))
+    assert(fold(k, huge, packed(
+      op(Op(k, "incrf", "string", "", "1.7e308", None), 2))) == huge)
+    // LTRIM with a past-Int start EMPTIES the key (server semantics)
+    // instead of wrapping negative and keeping the whole list
+    val l = fold(k, null, packed(
+      op(Op(k, "rpush", "list", "", "a", None), 1),
+      op(Op(k, "rpush", "list", "", "b", None), 2)))
+    assert(fold(k, l, packed(
+      op(Op(k, "ltrim", "list", "3000000000", "-1", None), 9)))
+      == null)
+    assert(fold(k, l, packed(
+      op(Op(k, "lpop", "list", "", "3000000000", None), 9))) == null)
+    // SETRANGE offset near Int.MaxValue: the Long-guarded cap drops
+    // the key honestly instead of a ~4 GB zero-pad
+    assert(fold(k, null, packed(
+      op(Op(k, "setrange", "string", "2147483640", "abcdefghij",
+        None), 1))).startsWith(RedisStateOps.TombPrefix))
+  }
+
+  test("a multi-shard tombstone is owned by NO shard: the old " +
+      "owner's resync cannot clear it, the new owner's post-reset " +
+      "RDB image of the key can") {
+    val k = key(0, "migrated")
+    val nodeA = "a" * 40 // new owner (sorts first)
+    val nodeB = "b" * 40 // old owner
+    // mid-migration window: ops from both shards → tombstone with
+    // the reserved "*" node
+    val t = fold(k, null, packed(
+      (s"$nodeA.psync.000003.log", 1L,
+        Op(k, "set", "string", "", "from-a", None)),
+      (s"$nodeB.psync.000001.log", 1L,
+        Op(k, "del", "", "", "", None))))
+    assert(t.startsWith(RedisStateOps.TombPrefix) &&
+      t.contains("\"n\":\"*\""), t)
+    // the OLD owner full-resyncs WITHOUT the key: the tombstone must
+    // survive (clearing it would let the new owner's element ops
+    // rebuild partial state — the r14 Wrong #1 path via migration)
+    val resetB = new ResetPoints(Map(
+      (nodeB, -1L) -> (s"$nodeB.psync.000002.log", 0L)))
+    assert(fold(k, t, null, resetB) != null)
+    assert(fold(k, t, packed(
+      (s"$nodeB.psync.000002.log", RedisStateOps.CommandRankBase + 1,
+        Op(k, "rpush", "list", "", "y", None))), resetB)
+      .startsWith(RedisStateOps.TombPrefix))
+    // the NEW owner's full resync CONTAINING the key rebuilds it:
+    // a post-reset RDB put is the node's full image of the key
+    val resetA = new ResetPoints(Map(
+      (nodeA, -1L) -> (s"$nodeA.psync.000004.log", 0L)))
+    // use an ELEMENT-level put (what RDB container entries land as):
+    // a SET would clear the tombstone anyway and mask the rule
+    val back = fold(k, t, packed(
+      (s"$nodeA.psync.000004.log", 1L,
+        Op(k, "put", "hash", "f", "owned", None))), resetA)
+    assert(back.contains("owned") && back.contains("\"hash\""), back)
+    // ... but a command-tail element op after the same reset still
+    // cannot (only the RDB section is a full image)
+    assert(fold(k, t, packed(
+      (s"$nodeA.psync.000004.log", RedisStateOps.CommandRankBase + 1,
+        Op(k, "rpush", "list", "", "y", None))), resetA)
+      .startsWith(RedisStateOps.TombPrefix))
   }
 
   test("the merger keeps tombstones in its output (the base) while " +

@@ -240,23 +240,28 @@ class LiveLandersSpec extends graft.SparkSuite {
     assert(spark.read.parquet(s"$sink/mongo.changes").count() == 4)
   }
 
-  test("a mongo capture segment bigger than maxPartitionBytes fails " +
-      "LOUDLY instead of landing silently misordered state " +
-      "(round-14 verdict Missing #4)") {
+  test("a mongo capture segment SPLIT across many file partitions " +
+      "still lands within-segment ops in LINE order (round-14 " +
+      "verdict Missing #4: seq is a file-offset sequence, not " +
+      "partition-packing order)") {
     val captureDir = java.nio.file.Files
-      .createTempDirectory("mongo-bigseg-capture").toString
+      .createTempDirectory("mongo-split-capture").toString
     val sink = java.nio.file.Files
-      .createTempDirectory("mongo-bigseg-sink").toString
+      .createTempDirectory("mongo-split-sink").toString
     val taskDir = java.nio.file.Files
-      .createTempDirectory("mongo-bigseg-task").toString
-    // a ~4 KB segment vs a 1 KB maxPartitionBytes: Spark would split
-    // the file, and monotonically_increasing_id would no longer
-    // follow line order within the segment
-    val line = ("""{"_id": {"_data": "t1"}, "operationType": """ +
-      """"insert", "ns": {"db": "app", "coll": "t"}, """ +
-      """"documentKey": {"_id": 1}, "fullDocument": {"_id": 1}}""")
+      .createTempDirectory("mongo-split-task").toString
+    // one key updated 40 times in one segment (~8 KB), read under a
+    // 1 KB maxPartitionBytes: Spark splits the file into ~8 chunks,
+    // and FilePartition packing orders chunks by SIZE — a
+    // partition-order seq would nondeterministically land a stale
+    // update as the winner
+    def upd(i: Int): String =
+      s"""{"_id": {"_data": "t$i"}, "operationType": """ +
+        s""""update", "ns": {"db": "app", "coll": "t"}, """ +
+        s""""documentKey": {"_id": 7}, """ +
+        s""""fullDocument": {"_id": 7, "v": "v$i"}}"""
     graft.infra.Fs.writeString(s"$captureDir/changes.000001.log",
-      Seq.fill(20)(line).mkString("\n"))
+      (1 to 40).map(upd).mkString("\n"))
     val task = TaskConfig.fromIni(
       s"""[extractor]
          |db_type=mongo
@@ -266,21 +271,20 @@ class LiveLandersSpec extends graft.SparkSuite {
          |[sinker]
          |url=$sink
          |""".stripMargin)
-    val lander = new LiveLanders.MongoLander(spark, task, taskDir,
-      captureDir, () => ())
     spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
     try {
-      val e = intercept[IllegalStateException] {
-        lander.pass(Seq("changes.000001.log"))
-      }
-      assert(e.getMessage.contains("maxPartitionBytes"), e.getMessage)
+      val lander = new LiveLanders.MongoLander(spark, task, taskDir,
+        captureDir, () => ())
+      lander.pass(Seq("changes.000001.log"))
+      lander.compactNow()
     } finally
       spark.conf.unset("spark.sql.files.maxPartitionBytes")
-    // under the default ceiling the same segment lands in order
-    val lander2 = new LiveLanders.MongoLander(spark, task, taskDir,
-      captureDir, () => ())
-    lander2.pass(Seq("changes.000001.log"))
-    assert(graft.infra.Fs.exists(s"$sink/mongo.changes"))
+    val state = spark.read.parquet(s"$sink/app.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state.size == 1)
+    // the LAST line must win regardless of how the file was split
+    // (json_tuple re-renders the doc compactly)
+    assert(state.head._2.contains("\"v\":\"v40\""), state.head._2)
   }
 
   test("landing is ONE Spark job per pass regardless of how many " +
