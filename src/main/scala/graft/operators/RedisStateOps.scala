@@ -140,9 +140,12 @@ object RedisStateOps {
         val d = if (cmd == "INCR") "1" else "-1"
         (db, Seq(Op(k(1), "incr", "string", "", d, None)))
       case "INCRBY" | "DECRBY" if argv.size >= 3 =>
-        val sign = if (cmd == "DECRBY") -1L else 1L
-        val d = argv(2).toLongOption.map(_ * sign)
-        (db, d.map(v => Op(k(1), "incr", "string", "", v.toString,
+        // negate through BigInt: -Long.MinValue is unrepresentable,
+        // and a wrapping `* -1` would fold DECRBY MIN as an INCR of
+        // MIN — the wrong sign
+        val d = argv(2).toLongOption.map(v =>
+          if (cmd == "DECRBY") (-BigInt(v)).toString else v.toString)
+        (db, d.map(v => Op(k(1), "incr", "string", "", v,
           None)).toSeq)
       case "INCRBYFLOAT" if argv.size >= 3 =>
         (db, Seq(Op(k(1), "incrf", "string", "", argv(2), None)))
@@ -684,13 +687,26 @@ object RedisStateOps {
       case _ => None
     })
 
-  /** Overflow-checked long add: the server ERRORS on INCRBY/HINCRBY
-    * overflow and leaves the value unchanged — a wrapping add would
-    * land a value the server never held.
+  /** Bounds-checked integer add over decimal strings: the server
+    * ERRORS on INCRBY/HINCRBY overflow and leaves the value unchanged
+    * — a wrapping add would land a value the server never held. BigInt
+    * because DECRBY's negated delta can be `-Long.MinValue` (one past
+    * the Long range) while the RESULT still fits.
     */
-  private def addExact(a: Long, b: Long): Option[Long] =
-    try Some(Math.addExact(a, b))
-    catch { case _: ArithmeticException => None }
+  private def addBounded(a: String, b: String): Option[String] = {
+    // the delta must be a server-legal Long argument — except the
+    // one internally-minted value: DECRBY Long.MinValue negates to
+    // exactly 2^63, one past the range, while its RESULT may fit
+    val delta: Option[BigInt] =
+      if (b == "9223372036854775808") Some(BigInt(b))
+      else b.toLongOption.map(BigInt(_))
+    (a.toLongOption, delta) match {
+      case (Some(x), Some(y)) =>
+        val sum = BigInt(x) + y
+        if (sum.isValidLong) Some(sum.toString) else None
+      case _ => None
+    }
+  }
 
   /** SETRANGE splices past this length fold as tombstones instead of
     * materializing a zero-padded string of unbounded size inside a
@@ -771,12 +787,7 @@ object RedisStateOps {
             .getOrElse("0")
           val next =
             if (op.op == "incr")
-              (old.toLongOption, op.value.toLongOption) match {
-                // overflow: server errors, value unchanged
-                case (Some(o), Some(d)) =>
-                  addExact(o, d).map(_.toString)
-                case _ => None
-              }
+              addBounded(old, op.value) // overflow/garbage: unchanged
             else
               (old.toDoubleOption, op.value.toDoubleOption) match {
                 // INCRBYFLOAT rejects NaN/Infinity RESULTS too
@@ -833,11 +844,23 @@ object RedisStateOps {
       case "put" => state match {
         case Some(st) if st.t != op.vtype => state // WRONGTYPE
         case _ =>
-          val st = state.getOrElse(new St(op.vtype, None))
-          if (op.vtype == "list") st.list().append(op.value)
-          else st.map().put(op.field, op.value)
-          op.ex.foreach(x => st.x = Some(x))
-          Some(st)
+          // zset scores canonicalize like the server renders them
+          // (ZADD z 3.50 m reads back "3.5"); a garbage score is
+          // rejected. Conditional ZADDs already normalize via num —
+          // an unnormalized plain put would make the same score
+          // render two ways on one face.
+          val value: Option[String] =
+            if (op.vtype == "zset") parseScore(op.value).map(num)
+            else Some(op.value)
+          value match {
+            case None => state // invalid score: server errors
+            case Some(v) =>
+              val st = state.getOrElse(new St(op.vtype, None))
+              if (op.vtype == "list") st.list().append(v)
+              else st.map().put(op.field, v)
+              op.ex.foreach(x => st.x = Some(x))
+              Some(st)
+          }
       }
       case "delf" => state match {
         case Some(st) if st.t != op.vtype => state // WRONGTYPE
@@ -1003,13 +1026,8 @@ object RedisStateOps {
           val old = Option(st.map().get(op.field))
           val next =
             if (op.op == "hincr")
-              (old.getOrElse("0").toLongOption,
-                op.value.toLongOption) match {
-                // overflow: server errors, field unchanged
-                case (Some(a), Some(b)) =>
-                  addExact(a, b).map(_.toString)
-                case _ => None
-              }
+              // overflow/garbage: server errors, field unchanged
+              addBounded(old.getOrElse("0"), op.value)
             else
               (old.getOrElse("0").toDoubleOption,
                 op.value.toDoubleOption) match {
