@@ -156,6 +156,11 @@ object Bson {
 
   // ---------------------------------------------------- JSON rendering
 
+  /** 2^53 — the largest magnitude whose integers a double represents
+    * exactly (and whose `toLong` is therefore faithful).
+    */
+  private val MaxExactDouble = 9007199254740992.0
+
   /** Canonical-ish JSON for the capture segments — the shape
     * `spark.read.json` and the existing Mongo event machinery consume.
     */
@@ -166,7 +171,18 @@ object Bson {
     case i: Int => i.toString
     case l: Long => l.toString
     case d: Double =>
-      if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+      // integral render only inside the double's EXACT-integer range:
+      // `toLong` of 1e20 silently clamps to Long.MaxValue — a wrong
+      // value landed downstream. NaN/Infinity are legal BSON doubles
+      // but bare tokens are invalid JSON (spark.read.json would drop
+      // the whole event into _corrupt_record) — land them as quoted
+      // strings, explicit and greppable.
+      if (java.lang.Double.isFinite(d)) {
+        if (d == d.floor && math.abs(d) <= MaxExactDouble)
+          d.toLong.toString
+        else d.toString
+      } else quote(
+        if (d.isNaN) "NaN" else if (d > 0) "Infinity" else "-Infinity")
     case m: Map[_, _] =>
       m.asInstanceOf[Map[String, Any]].toSeq
         .map { case (k, x) => s"${quote(k)}:${toJson(x)}" }

@@ -34,7 +34,8 @@ object LiveDial {
         .map(v => if (Set("true", "1", "on")(v.toLowerCase)) "required"
           else "disabled")
       explicit.orElse(flag).getOrElse(
-        if (scheme == "rediss") "required" else "disabled")
+        if (scheme == "rediss" || scheme == "mongodb+srv") "required"
+        else "disabled")
     }
   }
 
@@ -61,7 +62,11 @@ object LiveDial {
       case "mysql" => 3306
       case "postgres" | "postgresql" | "pg" => 5432
       case "redis" | "rediss" => 6379
-      case "mongodb" => 27017
+      // +srv: TLS-required per the scheme; SRV RECORD RESOLUTION is
+      // not implemented (no DNS egress in this environment) — the
+      // named host dials directly on the default port, which works
+      // for single-host srv-style URLs and fails loudly otherwise
+      case "mongodb" | "mongodb+srv" => 27017
       case _ => -1
     }
     val params = Option(u.getRawQuery).filter(_.nonEmpty)
@@ -128,12 +133,19 @@ object LiveDial {
   def dialer(url: String, connectTimeoutMs: Int = 10000,
       readTimeoutMs: Int = 60000): () => Wire = {
     val ep = parseUrl(url)
-    val fromByteZero = Set("redis", "rediss", "mongodb")(ep.scheme) &&
-      Tls.wanted(ep.sslMode)
+    val fromByteZero =
+      Set("redis", "rediss", "mongodb", "mongodb+srv")(ep.scheme) &&
+        Tls.wanted(ep.sslMode)
     () => {
       val w = new SocketWire(ep.host, ep.port, connectTimeoutMs,
         readTimeoutMs)
-      if (fromByteZero) w.upgradeTls(ep.sslMode) else w
+      if (fromByteZero)
+        // a failed handshake must not leak the connected socket —
+        // under supervision this dial retries on a ladder, and every
+        // attempt would otherwise strand an fd until finalization
+        try w.upgradeTls(ep.sslMode)
+        catch { case e: Throwable => w.close(); throw e }
+      else w
     }
   }
 
@@ -155,12 +167,16 @@ object LiveDial {
           (address.take(i).stripPrefix("[").stripSuffix("]"), p.toInt)
         else (address, ep.port)
     }
-    val fromByteZero = Set("redis", "rediss", "mongodb")(ep.scheme) &&
-      Tls.wanted(ep.sslMode)
+    val fromByteZero =
+      Set("redis", "rediss", "mongodb", "mongodb+srv")(ep.scheme) &&
+        Tls.wanted(ep.sslMode)
     () => {
       val w = new SocketWire(host, port, connectTimeoutMs,
         readTimeoutMs)
-      if (fromByteZero) w.upgradeTls(ep.sslMode) else w
+      if (fromByteZero)
+        try w.upgradeTls(ep.sslMode)
+        catch { case e: Throwable => w.close(); throw e }
+      else w
     }
   }
 

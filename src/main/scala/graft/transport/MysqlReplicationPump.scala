@@ -28,11 +28,27 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
   import MysqlWire._
   import MysqlReplicationPump._
 
-  /** Resume state, updated as events stream. */
+  /** Live stream position, updated as events stream (diagnostics). */
   private[transport] var currentFile: String = cfg.binlogFilename
   private[transport] var currentPos: Long = math.max(cfg.binlogPosition, 4L)
+  /** TRANSACTION-SAFE resume position: advances only at commit
+    * boundaries (Xid / COMMIT query) and file rotations. Resuming
+    * from the live per-event position after a mid-transaction drop
+    * would start the new segment past its TableMap — row events with
+    * no map in their segment, a permanent decode wedge
+    * (MysqlBinlog.parseRows throws on unmapped table ids).
+    */
+  private[transport] var safeFile: String = cfg.binlogFilename
+  private[transport] var safePos: Long = math.max(cfg.binlogPosition, 4L)
   private[transport] val gtids: GtidSet =
     if (cfg.gtidSet.nonEmpty) GtidSet.parse(cfg.gtidSet) else new GtidSet
+  /** The in-flight transaction's GTID — added to the resume set ONLY
+    * at its commit boundary. Adding at the GTID_LOG_EVENT (the
+    * pre-r15 behavior) made a mid-transaction reconnect EXCLUDE the
+    * rest of that transaction from the new dump: silent loss of its
+    * uncaptured tail (the reference tracks committed GTIDs only).
+    */
+  private var pendingGtid: String = null
   override protected def progress: Long = eventsAppended
   override protected def positionLabel: String =
     s"$currentFile:$currentPos"
@@ -182,8 +198,10 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
     val cmd =
       if (cfg.gtidEnabled && !gtids.isEmpty)
         comBinlogDumpGtid(cfg.serverId, gtids)
-      else if (currentFile.nonEmpty)
-        comBinlogDump(cfg.serverId, currentFile, currentPos)
+      else if (safeFile.nonEmpty)
+        // the TXN-SAFE position, never the live one: a mid-txn
+        // resume would strand row events without their TableMap
+        comBinlogDump(cfg.serverId, safeFile, safePos)
       // no position configured: an empty filename streams from the
       // EARLIEST retained binlog (the server's oldest log) — callers
       // wanting "latest only" must name a start file or gtid set
@@ -248,7 +266,22 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
           rotate()
         currentFile = nextFile
         currentPos = le(19, 8)
-      case 0x1b => () // server heartbeat: keep the wire warm, not data
+        // a file boundary is a transaction boundary
+        safeFile = nextFile
+        safePos = currentPos
+        atTxnBoundary = true
+      case 0x1b =>
+        // server heartbeat: transport-only, never stored — but an
+        // IDLE stream must still bound landing latency: an aged
+        // segment rotates here (only at a txn boundary — the other
+        // lanes all publish their quiet path the same way; without
+        // this, committed events sat unpublished until the next
+        // transaction arrived, unbounded)
+        if (segmentStarted && atTxnBoundary &&
+            cfg.maxSegmentSecs > 0 &&
+            cfg.clockMs() - segmentStartMs >=
+              cfg.maxSegmentSecs * 1000L)
+          rotate()
       case _ =>
         if (currentFile.isEmpty) currentFile = "binlog.000001"
         // every segment leads with the binlog magic — and, for a
@@ -272,30 +305,46 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
         segmentBytes += event.length
         if (logPos > 0) currentPos = logPos
         if (eventType == 0x21) trackGtid(event) // GTID_LOG_EVENT
-        // mid-file rotation at TRANSACTION boundaries (after Xid, or
-        // after the Query COMMIT that ends a non-transactional /
-        // MyISAM statement group — those workloads never emit an Xid,
-        // so an Xid-only check would leave their segments unbounded
-        // for the life of the server file): server binlog files run
-        // to gigabytes, so rotating only at server file boundaries
-        // leaves a resident lane's events unpublished (hence
-        // unlanded) for the life of the file. A txn boundary is the
-        // safe cut — the server re-sends TableMaps per transaction
-        // and the FDE replays above, so the successor segment is
-        // self-describing. The statement parse runs only when a
-        // rotation is already due (hot path stays arithmetic-free).
+        // TRANSACTION boundaries (after Xid, or after the Query
+        // COMMIT that ends a non-transactional / MyISAM statement
+        // group — those workloads never emit an Xid) drive three
+        // things: the pending GTID joins the resume set (only now is
+        // the transaction fully captured), the txn-safe resume
+        // position advances, and mid-file rotation may cut (server
+        // binlog files run to gigabytes; rotating only at file
+        // boundaries leaves a resident lane's events unpublished for
+        // the life of the file). A txn boundary is the safe cut —
+        // the server re-sends TableMaps per transaction and the FDE
+        // replays above, so the successor segment is
+        // self-describing. The Query statement parse runs only on
+        // Query events (statement-rate, not row-rate).
+        val isTxnEnd = eventType == 0x10 ||
+          (eventType == 0x02 && isCommitQuery(event, crcTrail))
+        if (isTxnEnd) {
+          if (pendingGtid != null) {
+            gtids.add(pendingGtid): Unit
+            pendingGtid = null
+          }
+          if (logPos > 0) {
+            safeFile = currentFile
+            safePos = logPos
+          }
+          atTxnBoundary = true
+        } else if (eventType != 0x0f) atTxnBoundary = false
         val rotationDue = {
           val timeUp = cfg.maxSegmentSecs > 0 &&
             cfg.clockMs() - segmentStartMs >=
               cfg.maxSegmentSecs * 1000L
           segmentBytes >= cfg.maxSegmentBytes || timeUp
         }
-        if (rotationDue &&
-            (eventType == 0x10 ||
-              (eventType == 0x02 && isCommitQuery(event, crcTrail))))
-          rotate()
+        if (rotationDue && isTxnEnd) rotate()
     }
   }
+
+  /** True between transactions (the only moments a heartbeat-driven
+    * rotation may cut).
+    */
+  private var atTxnBoundary = true
 
   /** Is this Query event's statement `COMMIT`? Layout after the
     * 19-byte header: thread_id(4) exec_time(4) schema_len(1)
@@ -334,7 +383,8 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
       s"${hex.substring(20)}"
     var gno = 0L
     (0 until 8).foreach(i => gno |= (event(36 + i) & 0xffL) << (8 * i))
-    if (gno > 0) gtids.add(s"$uuid:$gno"): Unit
+    // PENDING until the commit boundary — see the field's scaladoc
+    if (gno > 0) pendingGtid = s"$uuid:$gno"
   }
 
   /** Segment names are pump-owned and MONOTONE (`binlog.NNNNNN.log`),
@@ -380,10 +430,12 @@ final class MysqlReplicationPump(cfg: MysqlReplicationPump.Config,
   def markAllPublished(): Unit = publishedPosition = position
 
   /** The position a restart resumes from — persisted by the caller
-    * through the existing DbResumer/position-store machinery.
+    * through the existing DbResumer/position-store machinery. The
+    * TXN-SAFE values: a restart, like a reconnect, must never start
+    * a segment mid-transaction.
     */
   def position: (String, Long, String) =
-    (currentFile, currentPos, gtids.render)
+    (safeFile, safePos, gtids.render)
 }
 
 object MysqlReplicationPump {

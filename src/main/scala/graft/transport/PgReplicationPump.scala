@@ -57,6 +57,7 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
     * pump until the wire fails or `until` says stop.
     */
   override def runSession(until: () => Boolean = () => false): Long = {
+    discardInFlight()
     var wire = dial()
     try {
       wire = negotiateTls(wire)
@@ -67,6 +68,31 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
       rotate() // publish the tail before a clean session end
       n
     } finally wire.close()
+  }
+
+  /** A dead session's UNPUBLISHED spool would duplicate under the
+    * reconnect's re-stream: the server resumes from
+    * confirmed_flush_lsn (= publishedLsn), which precedes everything
+    * still in the spool, so those frames arrive again and would
+    * append after the stale copies (plus a possible Begin-without-
+    * Commit partial). Discard the spool, take a fresh name (never
+    * reuse — the checkpoint is name-based), and pull the receive
+    * watermark back to the durable point: without the reset, an
+    * early rotation in the new session would ack the DEAD session's
+    * high-water as flushed — WAL the new session hasn't re-captured
+    * yet, which a second crash would then lose.
+    */
+  private def discardInFlight(): Unit = {
+    if (segmentStarted) {
+      store.discard(currentSegment())
+      segmentIndex += 1
+      segmentBytes = 0L
+      segmentStarted = false
+      segmentHasData = false
+    }
+    openStreams.clear()
+    inChunk = false
+    flushedLsn = publishedLsn
   }
 
   /** `?sslmode=` state machine (PG SSLRequest, a STARTTLS-style
@@ -158,10 +184,20 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
     */
   private def prepareSlot(wire: Wire): String = {
     val pub = PgSlotLifecycle.publicationName(cfg.slot)
-    val pubExists =
-      runQuery(wire, PgSlotLifecycle.pubExistsQuery(pub)).rows.nonEmpty
+    // a FAILED status query is not "does not exist": planning CREATE
+    // against an unreadable catalog dies later on "already exists"
+    // and burns the reconnect ladder on a misleading error — surface
+    // the real failure (usually privileges) here
+    val pubRes = runQuery(wire, PgSlotLifecycle.pubExistsQuery(pub))
+    if (pubRes.error.nonEmpty)
+      throw new java.io.IOException(
+        s"publication status query: ${pubRes.error}")
+    val pubExists = pubRes.rows.nonEmpty
     val statusRes =
       runQuery(wire, PgSlotLifecycle.slotStatusQuery(cfg.slot.slotName))
+    if (statusRes.error.nonEmpty)
+      throw new java.io.IOException(
+        s"slot status query: ${statusRes.error}")
     val status = PgSlotLifecycle.SlotStatus(
       exists = statusRes.rows.nonEmpty,
       confirmedFlushLsn = statusRes.rowMaps.headOption
@@ -238,17 +274,46 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
               // 25-byte XLogData header ('w' + 3×8)
               val msgTag = if (body.length > 25) (body(25) & 0xff).toChar
                 else ' '
+              def xidAt26: Long = {
+                var x = 0L
+                (0 until 4).foreach(i =>
+                  x = (x << 8) | (body(26 + i) & 0xffL))
+                x
+              }
               msgTag match {
                 case 'B' => inTxn = true
                 case 'C' => inTxn = false
-                case 'R' => cacheRelation(body)
+                case 'R' =>
+                  // inside a stream CHUNK the relation carries a
+                  // 4-byte xid prefix (protocol v2) — cache the
+                  // NORMALIZED plain form: the replay lands at a new
+                  // segment's head, where the decoder is outside any
+                  // stream and a prefixed frame parses 4 bytes
+                  // shifted (truncation/garbage columns)
+                  cacheRelation(
+                    if (inChunk) stripStreamXid(body) else body)
+                // v2 STREAMED transactions: chunks of one xid may
+                // interleave with other traffic between Stream Start
+                // and Stream Commit/Abort — the decoder buffers them
+                // PER SEGMENT, so a cut while any streamed xid is
+                // open would strand its earlier chunks in a segment
+                // whose commit never arrives (lost rows). Track the
+                // open xids and gate rotation on the set draining,
+                // exactly like the plain-txn inTxn guard.
+                case 'S' if body.length >= 30 =>
+                  inChunk = true
+                  openStreams += xidAt26: Unit
+                case 'E' => inChunk = false // Stream Stop: chunk ends
+                case 'c' | 'A' if body.length >= 30 =>
+                  openStreams -= xidAt26: Unit
                 case _ => ()
               }
               appendFrame(body)
               segmentHasData = true
               if (endLsn > flushedLsn) flushedLsn = endLsn
               appended += 1; framesAppended += 1; sinceAck += 1
-              if (!inTxn && (sinceAck >= cfg.ackEveryFrames ||
+              if (!inTxn && openStreams.isEmpty &&
+                  (sinceAck >= cfg.ackEveryFrames ||
                   segmentBytes >= cfg.maxSegmentBytes || segmentAged)) {
                 rotate()
                 ack(wire, replyRequested = false); sinceAck = 0
@@ -259,7 +324,7 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
               // tick every wal_sender_timeout/2 even with no data, so
               // an aged segment publishes on a bounded cadence instead
               // of waiting for the next data frame
-              if (!inTxn && segmentAged) {
+              if (!inTxn && openStreams.isEmpty && segmentAged) {
                 rotate()
                 ack(wire, replyRequested = false); sinceAck = 0
               }
@@ -281,6 +346,27 @@ final class PgReplicationPump(cfg: PgReplicationPump.Config,
       }
     }
     appended
+  }
+
+  /** Open v2 streamed-transaction xids (Stream Start seen, no Stream
+    * Commit/Abort yet) — rotation must wait for the set to drain.
+    */
+  private val openStreams = scala.collection.mutable.Set[Long]()
+
+  /** Between Stream Start and Stream Stop (inside one chunk), where
+    * data messages carry a 4-byte xid prefix.
+    */
+  private var inChunk = false
+
+  /** Drop the 4-byte xid prefix of an in-chunk message frame:
+    * XLogData header (25) + tag (1) + xid (4) + plain payload.
+    */
+  private def stripStreamXid(body: Array[Byte]): Array[Byte] = {
+    if (body.length < 30) return body
+    val out = new Array[Byte](body.length - 4)
+    System.arraycopy(body, 0, out, 0, 26)
+    System.arraycopy(body, 30, out, 26, body.length - 30)
+    out
   }
 
   /** Relation frames by relId — re-emitted into every new segment. */

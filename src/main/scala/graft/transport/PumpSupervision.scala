@@ -35,8 +35,19 @@ trait PumpSupervision {
       val before = progress
       try {
         runSession(until)
-        consecutiveFailures = 0
         if (until()) return
+        if (progress > before) consecutiveFailures = 0
+        else {
+          // a CLEAN session end that captured nothing (the server
+          // keeps closing the stream — CopyDone on shutdown/failover,
+          // an instantly-dead cursor): without a backoff this was an
+          // unthrottled dial/auth loop hammering the server forever,
+          // with neither the ladder nor the give-up counter engaging
+          consecutiveFailures += 1
+          reconnects += 1
+          if (!until() && consecutiveFailures <= maxReconnects)
+            sleep(backoffMs(consecutiveFailures))
+        }
       } catch {
         case _: java.io.IOException | _: java.io.EOFException =>
           // progress this session resets the backoff ladder

@@ -67,8 +67,14 @@ final class SocketWire(host: String, port: Int,
   socket.setTcpNoDelay(true)
   socket.setKeepAlive(true)
   socket.setSoTimeout(readTimeoutMs)
-  socket.connect(
+  try socket.connect(
     new java.net.InetSocketAddress(host, port), connectTimeoutMs)
+  catch {
+    // a timed-out/refused connect must not leak the half-open fd —
+    // the supervision ladder retries dials on a cadence, and every
+    // failed attempt would otherwise strand one until finalization
+    case e: Throwable => socket.close(); throw e
+  }
   override protected val in = new java.io.DataInputStream(
     new java.io.BufferedInputStream(socket.getInputStream))
   override protected val out = new java.io.BufferedOutputStream(

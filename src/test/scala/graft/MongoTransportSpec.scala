@@ -276,4 +276,20 @@ class MongoTransportSpec extends AnyFunSuite {
         s"trial $trial diverged: $doc")
     }
   }
+
+  test("bson toJson: doubles past 2^53 never clamp to Long.MaxValue; " +
+      "NaN/Infinity land as quoted strings, not invalid-JSON tokens") {
+    // 1e20 is integral (d == d.floor) but outside the double's exact-
+    // integer range — the pre-r15 toLong render clamped it to
+    // 9223372036854775807, a silently WRONG value on the landed face
+    assert(Bson.toJson(1e20) == "1.0E20")
+    assert(Bson.toJson(9007199254740992.0) == "9007199254740992")
+    assert(Bson.toJson(3.0) == "3")
+    assert(Bson.toJson(3.5) == "3.5")
+    // bare NaN/Infinity tokens would throw the WHOLE event into
+    // spark.read.json's _corrupt_record
+    assert(Bson.toJson(Double.NaN) == "\"NaN\"")
+    assert(Bson.toJson(Double.PositiveInfinity) == "\"Infinity\"")
+    assert(Bson.toJson(Double.NegativeInfinity) == "\"-Infinity\"")
+  }
 }

@@ -65,10 +65,11 @@ class MysqlTransportSpec extends AnyFunSuite {
   private val Meta = Seq(0, 40)
 
   /** A served session: greeting, auth OK, checksum OK, then one event
-    * packet per writer event, then EOF.
+    * packet per writer event, then EOF (unless `eof = false` — the
+    * wire-drop scenarios fail the read instead).
     */
   private def serveSession(wire: FakeWire,
-      events: Seq[Array[Byte]]): Unit = {
+      events: Seq[Array[Byte]], eof: Boolean = true): Unit = {
     wire.serve(packet(0, handshakePayload(scramble)))
     wire.serve(packet(2, okPacket)) // auth result
     wire.serve(packet(1, okPacket)) // SET checksum result
@@ -76,7 +77,7 @@ class MysqlTransportSpec extends AnyFunSuite {
     events.zipWithIndex.foreach { case (e, i) =>
       wire.serve(packet(i + 1, Array[Byte](0x00) ++ e))
     }
-    wire.serve(packet(events.size + 1,
+    if (eof) wire.serve(packet(events.size + 1,
       Array[Byte](0xfe.toByte, 0, 0, 2, 0))) // EOF
   }
 
@@ -645,5 +646,125 @@ class MysqlTransportSpec extends AnyFunSuite {
     val e = intercept[java.io.IOException](
       pump.run(until = () => false, sleep = _ => ()))
     assert(e.getMessage.contains("gave up"))
+  }
+
+  test("a CLEAN session end with no progress backs off on the " +
+      "ladder instead of re-dialing in a tight loop") {
+    var sessions = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val sup = new PumpSupervision {
+      override def runSession(until: () => Boolean): Long = {
+        sessions += 1; 0L // clean end, nothing captured
+      }
+      override protected def progress: Long = 0L
+      override protected def positionLabel: String = "x"
+      override protected def maxReconnects: Int = 3
+      override protected def baseBackoffMs: Long = 100L
+      override protected def maxBackoffMs: Long = 1000L
+    }
+    val e = intercept[java.io.IOException](
+      sup.run(until = () => false, sleep = sleeps += _))
+    assert(e.getMessage.contains("gave up"))
+    // every quiet clean end slept a ladder rung (the pre-r15 loop
+    // re-dialed instantly forever, with neither backoff nor give-up)
+    assert(sessions == 4 && sleeps == Seq(100L, 200L, 400L))
+  }
+
+  test("a mid-transaction wire drop resumes at the last COMMIT " +
+      "boundary (GTID joins the resume set only at its commit; " +
+      "file/pos never points past a TableMap)") {
+    val w = new MysqlBinlogWriter(serverId = 1L)
+    w.fde()
+    w.gtid("12345678-1234-1234-1234-123456789abc", 7L)
+    w.begin("tpch")
+    w.tableMap(11L, "tpch", "t", Types, Meta,
+      nullable = Seq(false, true), colNames = Seq("id", "v"))
+    w.writeRows(11L, Seq(Array("1", "a")))
+    w.xid(1L)
+    // transaction 2 streams its gtid + map + rows but NEVER commits
+    w.gtid("12345678-1234-1234-1234-123456789abc", 8L)
+    w.begin("tpch")
+    w.tableMap(11L, "tpch", "t", Types, Meta,
+      nullable = Seq(false, true), colNames = Seq("id", "v"))
+    w.writeRows(11L, Seq(Array("2", "b")))
+    val events = eventsOf(w.bytes())
+    // the Xid event's log_pos = the byte after txn 1 — the only
+    // position a reconnect may name
+    val xidPos = events.find(e => (e(4) & 0xff) == 0x10).map { e =>
+      var v = 0L
+      (0 until 4).foreach(i => v |= (e(13 + i) & 0xffL) << (8 * i))
+      v
+    }.get
+    val lastPos = {
+      val e = events.last
+      var v = 0L
+      (0 until 4).foreach(i => v |= (e(13 + i) & 0xffL) << (8 * i))
+      v
+    }
+    assert(lastPos > xidPos)
+
+    val wire = new FakeWire
+    serveSession(wire, events, eof = false)
+    wire.failAfter(wire.remaining) // dies after the un-committed tail
+    val store = new MemorySegmentStore
+    val pump = new MysqlReplicationPump(
+      MysqlReplicationPump.Config("u", "p", gtidEnabled = true,
+        binlogFilename = "binlog.000007"),
+      store, () => wire)
+    intercept[java.io.IOException](pump.runSession())
+    // txn 1's gtid is committed and resumable; txn 2's is NOT (its
+    // uncaptured tail must re-stream — the pre-r15 tracking skipped
+    // the rest of the transaction: silent loss)
+    assert(pump.position._3 ==
+      "12345678-1234-1234-1234-123456789abc:7")
+    // the file/pos resume is the commit boundary, not the live
+    // position past txn 2's TableMap (which would strand its row
+    // events without a map — a permanent decode wedge)
+    assert(pump.position._2 == xidPos)
+  }
+
+  test("an aged segment publishes on a server HEARTBEAT: an idle " +
+      "stream still bounds landing latency (txn-boundary cuts only)") {
+    val w = new MysqlBinlogWriter(serverId = 1L)
+    w.fde()
+    w.begin("tpch")
+    w.tableMap(11L, "tpch", "t", Types, Meta,
+      nullable = Seq(false, true), colNames = Seq("id", "v"))
+    w.writeRows(11L, Seq(Array("1", "a")))
+    w.xid(1L)
+    val events = eventsOf(w.bytes())
+    // raw heartbeat event (type 0x1b): 19-byte header, no body needed
+    val heartbeat = {
+      val e = new Array[Byte](19)
+      e(4) = 0x1b
+      e
+    }
+    // clock: young while the events stream, aged at the heartbeat
+    val ticks = scala.collection.mutable.Queue[Long](
+      0L, 100L, 200L, 300L, 400L, 500L)
+    val clock = () => if (ticks.nonEmpty) ticks.dequeue() else 5000L
+
+    val wire = new FakeWire
+    serveSession(wire, events :+ heartbeat)
+    val inner = new MemorySegmentStore
+    val published = scala.collection.mutable.ArrayBuffer[String]()
+    val store = new SegmentStore {
+      override def append(n: String, b: Array[Byte]): Unit =
+        inner.append(n, b)
+      override def names: Seq[String] = inner.names
+      override def bytesOf(n: String): Array[Byte] = inner.bytesOf(n)
+      override def publish(n: String): Unit = { published += n; () }
+    }
+    val pump = new MysqlReplicationPump(
+      MysqlReplicationPump.Config("u", "p",
+        binlogFilename = "binlog.000007", maxSegmentSecs = 1,
+        clockMs = clock),
+      store, () => wire)
+    pump.runSession()
+    // the events were captured young (no rotation at the Xid), so
+    // only the aged HEARTBEAT can have published the segment
+    assert(published == Seq("binlog.000001.log"), published.toString)
+    assert(MysqlBinlog.decodeFile(inner.bytesOf("binlog.000001.log"),
+      "binlog.000007").nonEmpty)
   }
 }

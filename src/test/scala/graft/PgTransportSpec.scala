@@ -533,4 +533,132 @@ class PgTransportSpec extends AnyFunSuite {
       java.nio.charset.StandardCharsets.ISO_8859_1)
     assert(sentStr.contains("START_REPLICATION"))
   }
+
+  test("a reconnect DISCARDS the dead session's unpublished spool: " +
+      "the re-streamed frames land once, not appended after stale " +
+      "copies") {
+    val cols = Seq(
+      PgOutput.RelColumn("id", keyPart = true, typeOid = 20,
+        typeMod = -1),
+      PgOutput.RelColumn("v", false, 25, -1))
+    def serve(wire: FakeWire, frames: Array[Byte],
+        done: Boolean): Unit = {
+      wire.serve(authOk)
+      wire.serve(readyForQuery)
+      wire.serve(queryReply(Seq("pubname"), Seq(Seq("p"))))
+      wire.serve(queryReply(Seq("slot_name", "confirmed_flush_lsn"),
+        Seq(Seq("graft_slot", "0/16000000"))))
+      wire.serve(queryReply(Nil, Nil))
+      wire.serve(queryReply(Nil, Nil))
+      wire.serve(copyBoth)
+      wire.serve(frames)
+      if (done) wire.serve(message('c', Array.emptyByteArray))
+    }
+    // session 1 captures a PARTIAL txn (begin + insert, no commit)
+    // into the spool, then the wire dies
+    val w1 = new PgOutputWriter()
+    w1.begin(0x16000100L, 0L, 1L)
+    w1.relation(16385L, "app", "t", 'd', cols)
+    w1.insert(16385L, Array("1", "a"))
+    // session 2: the server re-sends EVERYTHING after
+    // confirmed_flush (= nothing published yet), now complete
+    val w2 = new PgOutputWriter()
+    w2.begin(0x16000100L, 0L, 1L)
+    w2.relation(16385L, "app", "t", 'd', cols)
+    w2.insert(16385L, Array("1", "a"))
+    w2.commit(0x16000100L, 0x16000200L, 0L)
+
+    val wire1 = new FakeWire
+    serve(wire1, w1.bytes(), done = false)
+    wire1.failAfter(wire1.remaining)
+    val wire2 = new FakeWire
+    serve(wire2, w2.bytes(), done = true)
+    val wires = scala.collection.mutable.Queue[FakeWire](wire1, wire2)
+
+    val inner = new MemorySegmentStore
+    val published = scala.collection.mutable.ArrayBuffer[String]()
+    val store = new SegmentStore {
+      override def append(n: String, b: Array[Byte]): Unit =
+        inner.append(n, b)
+      override def names: Seq[String] = inner.names
+      override def bytesOf(n: String): Array[Byte] = inner.bytesOf(n)
+      override def publish(n: String): Unit = { published += n; () }
+      override def discard(n: String): Unit = inner.discard(n)
+    }
+    val pump = new PgReplicationPump(config(), store,
+      () => wires.dequeue())
+    pump.run(until = () => published.nonEmpty, sleep = _ => ())
+    // the dead session's spool (000001) was discarded, never
+    // published; the complete re-stream landed under a FRESH name
+    assert(published == Seq("pgoutput.000002.log"), published)
+    assert(inner.names == Seq("pgoutput.000002.log"), inner.names)
+    // and it decodes to exactly ONE insert — the pre-r15 append-
+    // after-stale shape landed the begin/relation/insert twice
+    val events = PgOutput.decodeFile(
+      inner.bytesOf("pgoutput.000002.log"))
+    assert(events.map(e => (e.rowType, e.after("id"))) ==
+      Seq(("insert", "1")))
+  }
+
+  test("rotation waits for v2 STREAMED transactions to drain: " +
+      "chunks of an in-progress streamed txn never split across " +
+      "segments") {
+    val cols = Seq(
+      PgOutput.RelColumn("id", keyPart = true, typeOid = 20,
+        typeMod = -1),
+      PgOutput.RelColumn("v", false, 25, -1))
+    val w = new PgOutputWriter()
+    w.relation(16385L, "app", "t", 'd', cols)
+    // chunk 1 of xid 9, then a pause, then chunk 2, then the commit
+    w.streamStart(9L, firstSegment = true)
+    w.streamAs(9L)
+    w.insert(16385L, Array("1", "a"))
+    w.streamStop()
+    w.streamStart(9L, firstSegment = false)
+    w.streamAs(9L)
+    w.insert(16385L, Array("2", "b"))
+    w.streamStop()
+    w.streamCommit(9L, 0x16000100L, 0x16000200L, 0L)
+
+    val wire = new FakeWire
+    wire.serve(authOk)
+    wire.serve(readyForQuery)
+    wire.serve(queryReply(Seq("pubname"), Seq(Seq("p"))))
+    wire.serve(queryReply(Seq("slot_name", "confirmed_flush_lsn"),
+      Seq(Seq("graft_slot", "0/16000000"))))
+    wire.serve(queryReply(Nil, Nil))
+    wire.serve(queryReply(Nil, Nil))
+    wire.serve(copyBoth)
+    wire.serve(w.bytes())
+    wire.serve(message('c', Array.emptyByteArray))
+
+    val inner = new MemorySegmentStore
+    val published = scala.collection.mutable.ArrayBuffer[String]()
+    val store = new SegmentStore {
+      override def append(n: String, b: Array[Byte]): Unit =
+        inner.append(n, b)
+      override def names: Seq[String] = inner.names
+      override def bytesOf(n: String): Array[Byte] = inner.bytesOf(n)
+      override def publish(n: String): Unit = { published += n; () }
+      override def discard(n: String): Unit = inner.discard(n)
+    }
+    // ackEveryFrames = 1: WITHOUT the streamed-txn guard every frame
+    // between the chunks would rotate, stranding chunk 1 in a segment
+    // whose Stream Commit never arrives (lost rows)
+    val pump = new PgReplicationPump(
+      PgReplicationPump.Config("u", "p", "db", slotCfg,
+        ackEveryFrames = 1),
+      store, () => wire)
+    pump.runSession()
+    assert(published.size >= 1 && published.distinct == published)
+    // the streamed txn's frames all sit in ONE segment, and that
+    // segment replays to both rows at the commit
+    val withTxn = published.filter { n =>
+      val evs = PgOutput.decodeFile(inner.bytesOf(n))
+      evs.nonEmpty
+    }
+    assert(withTxn.size == 1, s"streamed txn split: $published")
+    val events = PgOutput.decodeFile(inner.bytesOf(withTxn.head))
+    assert(events.map(_.after("id")) == Seq("1", "2"))
+  }
 }

@@ -2438,12 +2438,13 @@ object ScenarioRunner {
       if (!resident) w.serve(msg('c', Array.emptyByteArray))
       w
     }
-    val first = scala.collection.mutable.Queue[graft.transport.Wire](
-      sessionWire())
-    def nextWire(): graft.transport.Wire = first.synchronized {
-      if (first.nonEmpty) first.dequeue()
-      else new graft.transport.FakeWire
-    }
+    // every reconnect session RE-SERVES the full stream: a real
+    // walsender re-sends everything after the slot's confirmed_flush
+    // (nothing is ever acked here — the fixture's confirmed LSN is
+    // fixed), and the pump relies on exactly that to discard a dead
+    // session's unpublished spool without loss. An empty reconnect
+    // wire would model a server that silently drops WAL.
+    def nextWire(): graft.transport.Wire = sessionWire()
     val expected = expectedLanded(task, src)
     val sinkDir = Files.createTempDirectory("live-scn-sink").toString
     val wantRows = expected.values.map(_.size.toLong).sum
