@@ -28,8 +28,10 @@ object LiveCdc {
 
   def isLiveUrl(url: String): Boolean =
     url.startsWith("mysql://") || url.startsWith("postgres://") ||
-      url.startsWith("postgresql://") || url.startsWith("redis://") ||
-      url.startsWith("rediss://") || url.startsWith("mongodb://")
+      url.startsWith("postgresql://") || url.startsWith("pg://") ||
+      url.startsWith("redis://") ||
+      url.startsWith("rediss://") || url.startsWith("mongodb://") ||
+      url.startsWith("mongodb+srv://")
 
   /** Drain-once semantics (the task-manager unit): one pump session
     * (until the server ends the dump or the wire drops), publish all
@@ -53,7 +55,8 @@ object LiveCdc {
         runRedisCluster(spark, task, taskDir, dialOverride,
           dialNodeOverride, onProgress)
       else runRedis(spark, task, taskDir, dialOverride, onProgress)
-    } else if (task.sourceDir.startsWith("mongodb://"))
+    } else if (task.sourceDir.startsWith("mongodb://") ||
+        task.sourceDir.startsWith("mongodb+srv://"))
       runMongo(spark, task, taskDir, dialOverride, onProgress)
     else runPg(spark, task, taskDir, dialOverride, onProgress)
 
@@ -122,13 +125,17 @@ object LiveCdc {
     * PREVIOUS run actually published) wins over the task.ini start —
     * a supervised restart must resume, not re-dump from the beginning.
     */
-  private def mysqlResumeConfig(task: TaskConfig.Task,
+  private[config] def mysqlResumeConfig(task: TaskConfig.Task,
       taskDir: String): MysqlReplicationPump.Config = {
     val base = LiveDial.mysqlConfig(task.sourceDir, task.source)
     val p = PumpPositions.read(taskDir)
     base.copy(
       binlogFilename = p.getOrElse("file", base.binlogFilename),
-      binlogPosition = p.get("pos").map(_.toLong)
+      // toLongOption: a TORN position write must read as absent (the
+      // documented self-healing contract) — a bare .toLong turned it
+      // into a supervised crash-loop that only hand-deleting the
+      // file could break
+      binlogPosition = p.get("pos").flatMap(_.toLongOption)
         .getOrElse(base.binlogPosition),
       gtidSet = p.getOrElse("gtids", base.gtidSet))
   }
@@ -160,7 +167,8 @@ object LiveCdc {
       LiveDial.pgConfig(task.sourceDir, slot)
         .copy(maxSegmentSecs = task.source.maxSegmentSecs),
       new BeaconStore(store, onProgress),
-      dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
+      dialOverride.getOrElse(LiveDial.dialer(task.sourceDir,
+        readTimeoutMs = task.source.binlogTimeoutSecs * 1000)))
     val frames = drainSession(pump, () => pump.framesAppended)
     store.publishAll()
     onProgress()
@@ -188,11 +196,11 @@ object LiveCdc {
         // partial resync (+CONTINUE) across restarts instead of a
         // full RDB resync per start
         replId = persisted.getOrElse("repl_id", ""),
-        replOffset = persisted.get("repl_offset").map(_.toLong)
+        replOffset = persisted.get("repl_offset").flatMap(_.toLongOption)
           .getOrElse(0L),
         // the SELECT context at the resume offset: a +CONTINUE
         // resumes mid-stream and the master never re-sends SELECT
-        startDb = persisted.get("select_db").map(_.toLong)
+        startDb = persisted.get("select_db").flatMap(_.toLongOption)
           .getOrElse(0L),
         maxSegmentSecs = task.source.maxSegmentSecs),
       new BeaconStore(store, onProgress),
@@ -237,7 +245,8 @@ object LiveCdc {
       k.drop("repl_id.".length)
     }.map { id =>
       id -> (p(s"repl_id.$id"),
-        p.getOrElse(s"repl_offset.$id", "0").toLong)
+        p.get(s"repl_offset.$id").flatMap(_.toLongOption)
+          .getOrElse(0L))
     }.toMap
   }
 
@@ -269,9 +278,17 @@ object LiveCdc {
       dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)),
       dialNodeOverride.getOrElse(addr =>
         LiveDial.nodeDialer(task.sourceDir, addr)()))
-    val results = pump.drainAll()
-    writeNodePositions(taskDir,
-      results.map { case (n, p) => n.id -> p }.toMap)
+    // persist PER NODE as each shard's drain publishes: one
+    // unreachable master late in the walk must not discard the
+    // already-drained shards' advanced offsets (a stale re-PSYNC
+    // would re-capture their command ranges into new segment names
+    // and double-apply non-idempotent ops in the state fold)
+    val nodePositions = scala.collection.mutable.Map[String,
+      (String, Long)](readNodePositions(taskDir).toSeq: _*)
+    val results = pump.drainAll(onNode = (n, p) => {
+      nodePositions(n.id) = p
+      writeNodePositions(taskDir, nodePositions.toMap)
+    })
     onProgress()
     val lander = new LiveLanders.RedisLander(spark, task, taskDir,
       captureDir, onProgress)
@@ -430,7 +447,14 @@ object LiveCdc {
     * landed state every 500 ms, which made a long-running stream's
     * cumulative write volume quadratic in table size.
     */
-  private def landBatch(task: TaskConfig.Task, outDir: String)(
+  /** `touched` accumulates routed tables adopted since the LAST
+    * cadence merge (shared across batches by the caller): merging
+    * only the tables in the cadence batch itself left a table quiet
+    * on every 8th batch with all its rows in underscore-hidden delta
+    * dirs — an EMPTY flat face for the whole residency.
+    */
+  private[config] def landBatch(task: TaskConfig.Task, outDir: String,
+      touched: scala.collection.mutable.Set[String])(
       batch0: DataFrame, batchId: Long): Unit = {
     val spark = batch0.sparkSession
     // [data_marker] admission (do_nodes/ignore_nodes over the decoded
@@ -516,12 +540,14 @@ object LiveCdc {
           }
         }
       }
+      touched ++= adopted.keys
       // cadence merges AFTER every adopt/fold: merging mid-loop would
       // fold the delta into the base before a colliding source's rows
       // joined it (they would land under a batch id the base already
-      // covers — invisible forever)
-      if (batchId % CompactEvery == (CompactEvery - 1))
-        adopted.keys.toSeq.sorted.foreach { out =>
+      // covers — invisible forever). Merge every table touched SINCE
+      // the last cadence, not just this batch's.
+      if (batchId % CompactEvery == (CompactEvery - 1)) {
+        touched.toSeq.sorted.foreach { out =>
           graft.sinks.LandedTable.compactTo(spark, out, batchId)
           // refresh the plain-parquet face on the same cadence (a
           // byte copy of the just-committed base — no Spark job), so
@@ -530,6 +556,8 @@ object LiveCdc {
           // finalize snapshot
           graft.sinks.LandedTable.publishFlat(spark, out)
         }
+        touched.clear()
+      }
       graft.infra.Fs.delete(staging)
     }
     ()
@@ -568,9 +596,15 @@ object LiveCdc {
         afterPublish()
       } catch {
         case t: Throwable =>
-          store.publishAll()
-          afterPublish()
+          // error FIRST: the resident loop keys on it, and the
+          // tail-publish below can itself throw (a full disk fails
+          // the pump AND the publish) — the old order lost the
+          // pump's death and the loop spun forever looking healthy
           error.set(t)
+          try {
+            store.publishAll()
+            afterPublish()
+          } catch { case p: Throwable => t.addSuppressed(p) }
       }
     }, name)
     thread.setDaemon(true)
@@ -612,7 +646,8 @@ object LiveCdc {
           dialOverride, dialNodeOverride, triggerMs, onProgress)
       else runRedisResident(spark, task, taskDir, stop, dialOverride,
         triggerMs, onProgress)
-    } else if (task.sourceDir.startsWith("mongodb://"))
+    } else if (task.sourceDir.startsWith("mongodb://") ||
+        task.sourceDir.startsWith("mongodb+srv://"))
       runMongoResident(spark, task, taskDir, stop, dialOverride,
         triggerMs, onProgress)
     else runPgResident(spark, task, taskDir, stop, dialOverride,
@@ -627,11 +662,20 @@ object LiveCdc {
       format: String, stop: () => Boolean, triggerMs: Long,
       onProgress: () => Unit, rp: ResidentPump,
       persistTick: () => Unit): Unit = {
+    // seed from disk: tables whose deltas landed before a restart
+    // must still merge on the next cadence, not wait for finalize
+    val touched = scala.collection.mutable.Set[String](
+      graft.infra.Fs.listNames(task.sinkDir)
+        .filter(t => t.contains(".") &&
+          graft.infra.Fs.isDirectory(s"${task.sinkDir}/$t") &&
+          graft.sinks.LandedTable
+            .deltaIds(s"${task.sinkDir}/$t").nonEmpty)
+        .map(t => s"${task.sinkDir}/$t").toSeq: _*)
     val q = changeStream(spark, task, captureDir, format)
       .writeStream
       .option("checkpointLocation", s"$taskDir/checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        landBatch(task, task.sinkDir)(batch, batchId)
+        landBatch(task, task.sinkDir, touched)(batch, batchId)
         onProgress()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger
@@ -702,7 +746,14 @@ object LiveCdc {
       LiveDial.pgConfig(task.sourceDir, slot)
         .copy(maxSegmentSecs = task.source.maxSegmentSecs),
       new BeaconStore(store, onProgress),
-      dialOverride.getOrElse(LiveDial.dialer(task.sourceDir)))
+      // the SAME timeout knob the wind-down grace is sized from
+      // (residentStream waits binlogTimeoutSecs×2 + 5s for the pump
+      // to clear a blocked read): leaving the dialer at its 60 s
+      // default while the grace followed the knob meant any
+      // binlog_timeout_secs < 30 truncated the PG wind-down — the
+      // final spool published after join() and was never consumed
+      dialOverride.getOrElse(LiveDial.dialer(task.sourceDir,
+        readTimeoutMs = task.source.binlogTimeoutSecs * 1000)))
     // no persistTick: PG's durable position is the server-side slot,
     // advanced only past published segments by the ack protocol
     val rp = new ResidentPump(pump, store, stop, () => (),
@@ -711,6 +762,31 @@ object LiveCdc {
       stop, triggerMs, onProgress, rp, () => ())
     finalizedReport(spark, task, store.names.size,
       pump.framesAppended, ("", 0L, pump.position))
+  }
+
+  /** The shared redis/mongo resident LANDING loop: consume PUBLISHED
+    * segments on the trigger cadence while the pump thread lives,
+    * then wind down — land the tail, persist the position, sweep
+    * consumed capture, rethrow the pump's death. Factored once: the
+    * per-lane copies were drifting fix by fix.
+    */
+  private def residentLandingLoop(stop: () => Boolean,
+      triggerMs: Long, onProgress: () => Unit, rp: ResidentPump,
+      graceMs: Long, publishedNames: () => Seq[String],
+      pass: Seq[String] => Unit, finish: Seq[String] => Unit,
+      persistTick: () => Unit, sweep: () => Unit): Unit = {
+    while (!stop() && rp.error.get() == null) {
+      Thread.sleep(triggerMs)
+      onProgress()
+      pass(publishedNames())
+      persistTick()
+      sweep()
+    }
+    rp.join(graceMs)
+    finish(publishedNames()) // the wound-down tail
+    persistTick()
+    sweep()
+    rp.rethrow()
   }
 
   /** The redis/mongo resident shape: ResidentPump + a landing loop
@@ -730,9 +806,9 @@ object LiveCdc {
       graft.transport.RedisReplicationPump.Config(
         user = ep.user, password = ep.password,
         replId = persisted.getOrElse("repl_id", ""),
-        replOffset = persisted.get("repl_offset").map(_.toLong)
+        replOffset = persisted.get("repl_offset").flatMap(_.toLongOption)
           .getOrElse(0L),
-        startDb = persisted.get("select_db").map(_.toLong)
+        startDb = persisted.get("select_db").flatMap(_.toLongOption)
           .getOrElse(0L),
         maxSegmentSecs = task.source.maxSegmentSecs),
       new BeaconStore(store, onProgress),
@@ -745,18 +821,12 @@ object LiveCdc {
       "select_db" -> pump.publishedDb.toString))
     val lander = new LiveLanders.RedisLander(spark, task, taskDir,
       captureDir, onProgress)
-    while (!stop() && rp.error.get() == null) {
-      Thread.sleep(triggerMs)
-      onProgress()
-      lander.pass(store.publishedNames)
-      persistTick()
-      sweepConsumedCapture(task, captureDir, lander.ledger)
-    }
-    rp.join(65000L)
-    lander.finish(store.publishedNames) // the wound-down tail
-    persistTick()
-    sweepConsumedCapture(task, captureDir, lander.ledger)
-    rp.rethrow()
+    residentLandingLoop(stop, triggerMs, onProgress, rp,
+      graceMs = 65000L, publishedNames = () => store.publishedNames,
+      pass = lander.pass, finish = lander.finish,
+      persistTick = () => persistTick(),
+      sweep = () =>
+        sweepConsumedCapture(task, captureDir, lander.ledger))
     Report(lander.landedSegments.toInt, pump.bytesCaptured,
       Seq("redis.snapshot" -> lander.snapshotRows,
         "redis.commands" -> lander.commandRows,
@@ -786,18 +856,12 @@ object LiveCdc {
       PumpPositions.write(taskDir, Map("resume_token" -> tok)))
     val lander = new LiveLanders.MongoLander(spark, task, taskDir,
       captureDir, onProgress)
-    while (!stop() && rp.error.get() == null) {
-      Thread.sleep(triggerMs)
-      onProgress()
-      lander.pass(store.publishedNames)
-      persistTick()
-      sweepConsumedCapture(task, captureDir, lander.ledger)
-    }
-    rp.join(65000L)
-    lander.finish(store.publishedNames)
-    persistTick()
-    sweepConsumedCapture(task, captureDir, lander.ledger)
-    rp.rethrow()
+    residentLandingLoop(stop, triggerMs, onProgress, rp,
+      graceMs = 65000L, publishedNames = () => store.publishedNames,
+      pass = lander.pass, finish = lander.finish,
+      persistTick = () => persistTick(),
+      sweep = () =>
+        sweepConsumedCapture(task, captureDir, lander.ledger))
     Report(lander.landedSegments.toInt, pump.docsCaptured,
       lander.landedCounts(),
       (pump.position.getOrElse(""), 0L, ""))
@@ -811,11 +875,12 @@ object LiveCdc {
     // the capture dir through the existing micro-batch transport:
     // decode on executors, per-table key compaction, parquet landing
     val outDir = task.sinkDir
+    val drainTouched = scala.collection.mutable.Set[String]()
     val q = changeStream(spark, task, captureDir, format)
       .writeStream
       .option("checkpointLocation", s"$taskDir/checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        landBatch(task, outDir)(batch, batchId)
+        landBatch(task, outDir, drainTouched)(batch, batchId)
         onProgress()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -824,11 +889,9 @@ object LiveCdc {
     sweepCapture(task, taskDir, captureDir)
 
     // drain epilogue: fold outstanding deltas and refresh the flat
-    // published snapshot — the plain-parquet face external readers see
-    val tables = graft.sinks.LandedTable.finalizeAll(spark, outDir)
-    val landed = tables.map { t =>
-      t -> spark.read.parquet(s"$outDir/$t").count()
-    }
-    Report(nSegments, events, landed, position)
+    // published snapshot — the plain-parquet face external readers
+    // see (the SAME epilogue the resident lanes run: one
+    // implementation, not a drifting copy)
+    finalizedReport(spark, task, nSegments, events, position)
   }
 }

@@ -45,7 +45,16 @@ final class RedisClusterPump(cfg: RedisClusterPump.Config,
     * a resident deployment runs one supervised pump thread per master
     * instead; the capture/compose layout is identical.
     */
-  def drainAll(until: () => Boolean = () => false)
+  /** `onNode` fires after EACH master's drain publishes, with that
+    * node's advanced position — callers persist incrementally so one
+    * unreachable master late in the walk cannot discard the already-
+    * drained shards' resume offsets (re-PSYNCing those from stale
+    * offsets would re-capture their command ranges into new segment
+    * names, and the non-idempotent state-fold ops would apply twice).
+    */
+  def drainAll(until: () => Boolean = () => false,
+      onNode: (RedisClusterPsync.Node, (String, Long)) => Unit =
+        (_, _) => ())
       : Seq[(RedisClusterPsync.Node, (String, Long))] = {
     val masters = discoverMasters()
     require(masters.nonEmpty, "cluster discovery returned no masters")
@@ -71,6 +80,7 @@ final class RedisClusterPump(cfg: RedisClusterPump.Config,
         case _: java.io.IOException if pump.bytesCaptured > 0 => ()
       }
       store.publishAll()
+      onNode(node, pump.position)
       node -> pump.position
     }
   }

@@ -479,6 +479,49 @@ class RedisTransportSpec extends AnyFunSuite {
     assert(store.names.count(_.startsWith(s"$idA.")) == 2)
   }
 
+  test("cluster drain persists positions PER NODE: one unreachable " +
+      "master late in the walk keeps the drained shards' offsets") {
+    val idA = "a" * 40
+    val idB = "b" * 40
+    val topology =
+      s"""$idA 10.0.0.1:6379@16379 master - 0 0 1 connected 0-8191
+         |$idB 10.0.0.2:6379@16379 master - 0 0 2 connected 8192-16383
+         |""".stripMargin
+    val seed = new FakeWire
+    seed.serve(ascii(s"$$${topology.getBytes("UTF-8").length}\r\n"))
+    seed.serve(ascii(topology))
+    seed.serve(ascii("\r\n"))
+    val wireA = {
+      val w = new FakeWire
+      serveHandshake(w)
+      w.serve(ascii(s"+FULLRESYNC $idA 100\r\n"))
+      val rdb = rdbImage
+      w.serve(ascii(s"$$${rdb.length}\r\n"))
+      w.serve(rdb)
+      w.serve(cmd("SET", "bar", "v"))
+      w
+    }
+    val store = new MemorySegmentStore
+    val pump = new RedisClusterPump(RedisClusterPump.Config(),
+      store, () => seed,
+      addr =>
+        if (addr == "10.0.0.1:6379") wireA
+        else throw new java.io.IOException(s"refused: $addr"))
+    val seen = scala.collection.mutable.ArrayBuffer[
+      (String, (String, Long))]()
+    intercept[java.io.IOException] {
+      pump.drainAll(onNode = (n, p) => { seen += (n.id -> p); () })
+    }
+    // node A's drain published and its advanced position reached the
+    // callback BEFORE node B's dial failure — the caller can persist
+    // it, so the next start +CONTINUEs A instead of re-capturing its
+    // command range (which would double-apply non-idempotent ops in
+    // the state fold)
+    assert(seen.map(_._1) == Seq(idA))
+    assert(seen.head._2._1 == idA && seen.head._2._2 > 100L)
+    assert(store.names == Seq(s"$idA.psync.000001.log"))
+  }
+
   test("cluster RESIDENT: one supervised pump per master runs " +
       "concurrently, a mid-run master drop is re-dialed with partial " +
       "resync, and the landing composes identically to a drain") {
