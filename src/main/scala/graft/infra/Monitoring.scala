@@ -69,6 +69,20 @@ object Monitoring {
   case object FilteredRecords
     extends CounterType("filtered_records", true, BySec)
 
+  /** graft extensions (no counter_type.rs analogue): completeness of
+    * a landed CURRENT-STATE face — keys the fold lost track of
+    * (tombstones hidden from the flat face) vs total keys in the
+    * committed base, refreshed on every cadence merge. The ratio
+    * tells an operator whether the honest drops (cross-key
+    * movements, unmodelable commands, mid-migration windows) matter
+    * for their workload BEFORE anyone trusts the face (round-15
+    * verdict Missing #4).
+    */
+  case object FaceTombstoneKeys
+    extends CounterType("face_tombstone_keys", false, Seq("latest"))
+  case object FaceTotalKeys
+    extends CounterType("face_total_keys", false, Seq("latest"))
+
   case object PlanRecordTotal
     extends CounterType("plan_records", false, Seq("latest"))
   case object QueuedRecordCurrent

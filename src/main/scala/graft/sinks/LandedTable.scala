@@ -247,6 +247,14 @@ object LandedTable {
       deltaBytes)
   }
 
+  /** The committed BASE as a frame — bookkeeping rows INCLUDED (what
+    * a merger's flatView hides from readers). None before the first
+    * merge. For face-completeness metrics, not for external reads.
+    */
+  def readBase(spark: SparkSession, table: String)
+      : Option[DataFrame] =
+    committedBase(table).map { case (_, p) => baseState(spark, p) }
+
   /** The compacted live state (what the table MEANS right now):
     * last-writer-wins per key, tombstones dropped. Resident-mode
     * monitors poll this — with no outstanding deltas it is a plain

@@ -677,7 +677,7 @@ class LiveCdcSpec extends SparkSuite {
     // shard's full-resync reset must NOT wipe the other shard's keys
     assert(report.tables.toMap ==
       Map("redis.snapshot" -> 2L, "redis.commands" -> 2L,
-        "redis.state" -> 4L))
+        "redis.state" -> 4L, "redis.state.tombstoned" -> 0L))
     val snap = spark.read.parquet(s"$sink/redis.snapshot")
       .collect().map(_.getAs[String]("key")).toSet
     assert(snap == Set("bar", "foo"))
@@ -807,7 +807,7 @@ class LiveCdcSpec extends SparkSuite {
       dialOverride = Some(() => fullWire()))
     assert(report.tables.toMap ==
       Map("redis.snapshot" -> 0L, "redis.commands" -> 0L,
-        "redis.state" -> 0L))
+        "redis.state" -> 0L, "redis.state.tombstoned" -> 0L))
     assert(!graft.infra.Fs.exists(s"$sink2/redis.commands"))
   }
 
