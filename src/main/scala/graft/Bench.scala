@@ -50,11 +50,64 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** Default load1 ceiling above which a bench run REFUSES to record
+    * numbers (round-15 verdict item 7: the r15 artifact run started
+    * at load1 2.775 and cost a round of comparability — a loaded run
+    * must not silently become the round's committed medians).
+    */
+  private[graft] val LoadGateDefault = 1.0
+
+  /** The gate decision — pure and spec-able: proceed iff the box is
+    * quiet enough, the caller forced it, or the platform can't report
+    * load (getSystemLoadAverage returns a negative value there).
+    */
+  private[graft] def loadGateOk(load: Double, threshold: Double,
+      force: Boolean): Boolean =
+    force || load < 0 || load <= threshold
+
+  /** Wait for the box to quiet down (the 1-min load average decays
+    * slowly after a test-suite run): poll until the gate opens or the
+    * grace window ends. Returns the last observed load.
+    */
+  private def awaitQuiet(threshold: Double, graceMs: Long,
+      pollMs: Long = 10000L): Double = {
+    val deadline = System.currentTimeMillis() + graceMs
+    var l = load1
+    while (!loadGateOk(l, threshold, force = false) &&
+        System.currentTimeMillis() < deadline) {
+      System.err.println(
+        f"[bench] load1 $l%.3f > gate $threshold%.2f — waiting " +
+          "for the box to quiet down")
+      Thread.sleep(pollMs)
+      l = load1
+    }
+    l
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val loadStart = load1
+    // Load gate (round-15 verdict item 7): WARN-and-wait while the
+    // box is loaded, then refuse with a nonzero exit unless --force
+    // (or SPARK_GRAFT_BENCH_FORCE=1) — a loaded run's medians are
+    // not comparable and must not land as the round's record.
+    val force = args.contains("--force") ||
+      sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+    val gate = sys.env.get("SPARK_GRAFT_LOAD_GATE")
+      .flatMap(_.toDoubleOption).getOrElse(LoadGateDefault)
+    val graceMs = sys.env.get("SPARK_GRAFT_LOAD_WAIT_SECS")
+      .flatMap(_.toLongOption).getOrElse(300L) * 1000L
+    val loadStart =
+      if (force) load1 else awaitQuiet(gate, graceMs)
+    if (!loadGateOk(loadStart, gate, force)) {
+      // machine-readable refusal line, then a nonzero exit so no
+      // caller mistakes this for a recorded run
+      println(s"""{"metric":"refused","reason":"load1_gate",""" +
+        f""""load1_start":$loadStart%.3f,"gate":$gate%.2f,""" +
+        s""""hint":"re-run on a quiet box or pass --force"}""")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
