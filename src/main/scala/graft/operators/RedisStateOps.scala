@@ -1788,7 +1788,7 @@ object RedisStateOps {
           fullOuter(base, opsByKey).select(col("key"),
             foldU(col("key"), col("payload"), col("ops"))
               .as("payload"))
-        else mergeWithMovement(spark, base, opsByKey, resets)
+        else mergeWithMovement(spark, base, deltas, opsByKey, resets)
       merged.where(col("payload").isNotNull)
     }
 
@@ -1796,38 +1796,52 @@ object RedisStateOps {
       * incoming movement, collecting each mvout's emission; phase B
       * folds the destination keys with the emissions injected into
       * their op lists (sorted into place right before their mvin).
-      * Emissions come only from keys that HAVE an mvout, so the bulk
-      * of phase A stays a single fold pass; movement keys fold twice
-      * (once for their payload, once for their emissions) — bounded
-      * by the window's movement count. Chains (a destination that is
-      * itself a later source) get no third phase: the second hop's
-      * mvin finds no emission and tombstones, honestly.
+      * Chains (a destination that is itself a later source) get no
+      * third phase: the second hop's mvin finds no emission and
+      * tombstones, honestly.
+      *
+      * Plan shape (the 100 TB lens): the deferred/source key sets
+      * come from ONE scan of the raw deltas (no groupBy), the packed
+      * op frame is persisted so its shuffle runs once across the
+      * A/B/emission branches (bounded by the delta range — never
+      * O(state)), the big base⋈ops join and its fold run ONCE, and
+      * the emission fold re-joins only the movement-SOURCE keys
+      * against the base (a semi join on a bounded key set) — so
+      * movement cost scales with the window's movements, not with
+      * state size.
       */
     private def mergeWithMovement(spark: SparkSession,
-        base: Option[DataFrame], opsByKey: DataFrame,
-        resets: ResetPoints): DataFrame = {
+        base: Option[DataFrame], deltas: DataFrame,
+        opsByKey0: DataFrame, resets: ResetPoints): DataFrame = {
       val foldU = udf((key: String, p: String, ops: Seq[String]) =>
         foldKey(key, p, ops, resets))
       val emitU = udf((key: String, p: String, ops: Seq[String]) =>
         foldKeyEmit(key, p, ops, resets)._2)
-      def hasOp(tok: String) = exists(coalesce(col("ops"),
-        array().cast("array<string>")),
-        o => o.contains(lit("\u0001" + tok + "\u0001")))
-      val deferredKeys = opsByKey.where(hasOp("mvin"))
-        .select("key")
+      val opsByKey = opsByKey0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deferredKeys = deltas.where(col("op") === "mvin")
+        .select("key").distinct()
+      val mvSrcKeys = deltas.where(col("op") === "mvout")
+        .select("key").distinct()
       def fullOuter(b: Option[DataFrame], ops: DataFrame)
           : DataFrame = b match {
         case None =>
           ops.withColumn("payload", lit(null).cast(StringType))
         case Some(b0) => b0.join(ops, Seq("key"), "full_outer")
       }
-      val aJoined = fullOuter(
+      val aOut = fullOuter(
         base.map(_.join(deferredKeys, Seq("key"), "left_anti")),
         opsByKey.join(deferredKeys, Seq("key"), "left_anti"))
-      val aOut = aJoined
         .select(col("key"), foldU(col("key"), col("payload"),
           col("ops")).as("payload"))
-      val emits = aJoined.where(hasOp("mvout"))
+      // emissions: re-fold ONLY the phase-A movement-source keys
+      // (sources that are themselves destinations are phase-B keys
+      // whose emissions are dropped by design — the chain rule)
+      val srcKeys = mvSrcKeys
+        .join(deferredKeys, Seq("key"), "left_anti")
+      val emits = fullOuter(
+        base.map(_.join(srcKeys, Seq("key"), "left_semi")),
+        opsByKey.join(srcKeys, Seq("key"), "left_semi"))
         .select(explode(emitU(col("key"), col("payload"),
           col("ops"))).as("e"))
         .select(col("e._1").as("key"), col("e._2").as("mop"))
