@@ -127,6 +127,9 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
           case "LMOVE"
               if argv.size >= 5 && argv(1) != argv(2) =>
             Seq(argv(2))
+          case "SINTERSTORE" | "SUNIONSTORE" | "SDIFFSTORE"
+              if argv.size >= 3 =>
+            Seq(argv(1)) // the store's DESTINATION is argv(1)
           case _ => Seq.empty
         }
       }.toSet
@@ -536,13 +539,32 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
           if (vals.contains(k)) argv(2).toLongOption.foreach(v =>
             ttl(k) = if (cmd == "EXPIRE") v * 1000L else v)
         case "PERSIST" => if (vals.contains(k)) ttl.remove(k): Unit
-        case "SINTERSTORE" =>
-          // dst := src ∩ src (i.e. src) — fold-dropped regardless
-          vals.get(argv(2)) match {
-            case Some(VSet(s)) => vals(k) = VSet(s)
-            case _ => vals.remove(k): Unit
+        case "SINTERSTORE" | "SUNIONSTORE" | "SDIFFSTORE" =>
+          // r16: the store destination is TRACKED through the
+          // multi-source movement pair — every source emits its
+          // member set; the destination is replaced (deleted when
+          // the result is empty). A deferred or untracked source
+          // drops the destination (no/unknown emission).
+          val srcs = argv.drop(2)
+          val sets = srcs.map(s2 => vals.get(s2) match {
+            case Some(VSet(m)) => Some(m)
+            case None => Some(Set.empty[String])
+            case _ => None // WRONGTYPE: server errors, not generated
+          })
+          if (sets.forall(_.isDefined)) {
+            val ss = sets.flatten
+            val res = cmd match {
+              case "SINTERSTORE" => ss.reduce(_ intersect _)
+              case "SUNIONSTORE" => ss.reduce(_ union _)
+              case _ => ss.tail.foldLeft(ss.head)(_ diff _)
+            }
+            if (res.isEmpty) { vals.remove(k); () }
+            else vals(k) = VSet(res)
+            ttl.remove(k) // the stored value is a fresh key
+            if (srcs.exists(s2 => untracked(s2) || deferred(s2)))
+              drop(k)
+            else untracked -= k
           }
-          drop(k)
         case other => fail(s"model has no case for $other")
       }
     }
@@ -693,8 +715,25 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
         if (src != dst && model.vals.contains(src))
           Seq("RENAME", src, dst)
         else Seq("SET", src, v)
-      case 33 => Seq("SINTERSTORE", key,
-        keys(rnd.nextInt(keys.size)))
+      case 33 =>
+        // set-algebra stores: only server-legal forms (every source
+        // really set-or-absent) replicate; dst may even be a source
+        // (the fold's chain rule tombstones it, mirrored by the
+        // model's deferred-source drop)
+        val dst = key
+        val s1 = keys(rnd.nextInt(keys.size))
+        val s2 = keys(rnd.nextInt(keys.size))
+        def setOk(k2: String) = model.vals.get(k2) match {
+          case Some(VSet(_)) | None => true
+          case _ => false
+        }
+        val cmd2 = rnd.nextInt(3) match {
+          case 0 => "SINTERSTORE"
+          case 1 => "SUNIONSTORE"
+          case _ => "SDIFFSTORE"
+        }
+        if (setOk(s1) && setOk(s2)) Seq(cmd2, dst, s1, s2)
+        else Seq("SADD", dst, member)
       // stream writers: small clustered ids so the monotonicity
       // reject path, XDEL of live ids, and trims all fire often
       case 34 => Seq("XADD", key, xid, field, v)

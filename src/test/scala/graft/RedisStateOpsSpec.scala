@@ -101,6 +101,16 @@ class RedisStateOpsSpec extends graft.SparkSuite {
       .map(o => (o.key, o.op, o.vtype, o.value)) ==
       Seq((key(0, "a"), "mvout", "lmv", "R"),
         (key(0, "b"), "mvin", "lmv", "L")))
+    // set-algebra stores: one mvout per SOURCE (value = idx/offset
+    // to the mvin), the destination's mvin carries the source count
+    assert(ops("SINTERSTORE", "d", "a", "b")
+      .map(o => (o.key, o.op, o.vtype, o.field, o.value)) ==
+      Seq(
+        (key(0, "a"), "mvout", "sseti", key(0, "d"), "0/2"),
+        (key(0, "b"), "mvout", "sseti", key(0, "d"), "1/1"),
+        (key(0, "d"), "mvin", "sseti", "2", "")))
+    assert(ops("SUNIONSTORE", "d", "a").head.vtype == "ssetu")
+    assert(ops("SDIFFSTORE", "d", "a", "b", "c").last.field == "3")
     assert(ops("LMOVE", "a", "a", "LEFT", "RIGHT").head ==
       Op(key(0, "a"), "lrot", "list", "LR", "", None))
     assert(ops("LMOVE", "a", "a", "LEFT", "LEFT").isEmpty)
@@ -826,7 +836,17 @@ class RedisStateOpsSpec extends graft.SparkSuite {
       opsOf(B + 100, "RENAME", "c1", "c2") ++
       opsOf(B + 110, "RENAME", "c2", "c3") ++
       // a movement destination mutated AFTER the move keeps folding
-      opsOf(B + 120, "SADD", "picked", "z"))
+      opsOf(B + 120, "SADD", "picked", "z") ++
+      // set-algebra stores: multi-source movement
+      opsOf(B + 130, "SADD", "sa", "1", "2", "3") ++
+      opsOf(B + 140, "SADD", "sb", "2", "3", "4") ++
+      opsOf(B + 150, "SINTERSTORE", "si", "sa", "sb") ++
+      opsOf(B + 160, "SDIFFSTORE", "sd", "sa", "sb") ++
+      opsOf(B + 170, "SUNIONSTORE", "su", "sa", "missing") ++
+      // an empty result DELETES the destination (pre-seed it to
+      // prove the overwrite-then-delete)
+      opsOf(B + 180, "SET", "se", "old") ++
+      opsOf(B + 190, "SINTERSTORE", "se", "sa", "missing"))
     val out = RedisStateOps.Merger.merge(spark, None, deltas, 0L)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     def of(k: String) = out.get(key(0, k))
@@ -842,6 +862,18 @@ class RedisStateOpsSpec extends graft.SparkSuite {
     assert(of("done").exists(_.contains("\"x\"")), of("done"))
     assert(of("csrc").exists(_.contains("cv")), of("csrc"))
     assert(of("cdst").exists(_.contains("cv")), of("cdst"))
+    // set-algebra stores: sources untouched, destinations computed
+    assert(of("sa").exists(p => Seq("1", "2", "3")
+      .forall(m => p.contains("\"" + m + "\""))), of("sa"))
+    assert(of("si").exists(p => p.contains("\"2\"") &&
+      p.contains("\"3\"") && !p.contains("\"1\"") &&
+      !p.contains("\"4\"")), of("si"))
+    assert(of("sd").exists(p => p.contains("\"1\"") &&
+      !p.contains("\"2\"")), of("sd"))
+    assert(of("su").exists(p => Seq("1", "2", "3")
+      .forall(m => p.contains("\"" + m + "\""))), of("su"))
+    // empty intersection deleted the pre-seeded destination
+    assert(of("se").isEmpty, of("se"))
     // the chain: c1 absent (renamed away), c2 absent (renamed away
     // in phase B), c3 an honest tombstone (no emission reached it)
     assert(of("c1").isEmpty && of("c2").isEmpty, out.keySet)
