@@ -46,15 +46,18 @@ object LiveCdc {
   def run(spark: SparkSession, task: TaskConfig.Task,
       taskDir: String, dialOverride: Option[() => Wire] = None,
       onProgress: () => Unit = () => (),
-      dialNodeOverride: Option[String => Wire] = None): Report =
+      dialNodeOverride: Option[String => Wire] = None,
+      monitor: Option[graft.infra.Monitoring.Monitor] = None)
+      : Report =
     if (task.sourceDir.startsWith("mysql://"))
       runMysql(spark, task, taskDir, dialOverride, onProgress)
     else if (task.sourceDir.startsWith("redis://") ||
         task.sourceDir.startsWith("rediss://")) {
       if (task.source.isCluster)
         runRedisCluster(spark, task, taskDir, dialOverride,
-          dialNodeOverride, onProgress)
-      else runRedis(spark, task, taskDir, dialOverride, onProgress)
+          dialNodeOverride, onProgress, monitor)
+      else runRedis(spark, task, taskDir, dialOverride, onProgress,
+        monitor)
     } else if (task.sourceDir.startsWith("mongodb://") ||
         task.sourceDir.startsWith("mongodb+srv://"))
       runMongo(spark, task, taskDir, dialOverride, onProgress)
@@ -185,7 +188,9 @@ object LiveCdc {
     */
   def runRedis(spark: SparkSession, task: TaskConfig.Task,
       taskDir: String, dialOverride: Option[() => Wire] = None,
-      onProgress: () => Unit = () => ()): Report = {
+      onProgress: () => Unit = () => (),
+      monitor: Option[graft.infra.Monitoring.Monitor] = None)
+      : Report = {
     val captureDir = s"$taskDir/capture"
     val store = new FsSegmentStore(captureDir)
     val ep = LiveDial.parseUrl(task.sourceDir)
@@ -223,7 +228,7 @@ object LiveCdc {
     // one LandedTable delta; the consumed ledger skips prior starts'
     // segments
     val lander = new LiveLanders.RedisLander(spark, task, taskDir,
-      captureDir, onProgress)
+      captureDir, onProgress, monitor)
     lander.finish(store.names)
     sweepConsumedCapture(task, captureDir, lander.ledger)
     Report(lander.landedSegments.toInt, pump.bytesCaptured,
@@ -266,7 +271,9 @@ object LiveCdc {
   def runRedisCluster(spark: SparkSession, task: TaskConfig.Task,
       taskDir: String, dialOverride: Option[() => Wire] = None,
       dialNodeOverride: Option[String => Wire] = None,
-      onProgress: () => Unit = () => ()): Report = {
+      onProgress: () => Unit = () => (),
+      monitor: Option[graft.infra.Monitoring.Monitor] = None)
+      : Report = {
     val captureDir = s"$taskDir/capture"
     val store = new FsSegmentStore(captureDir)
     val ep = LiveDial.parseUrl(task.sourceDir)
@@ -292,7 +299,7 @@ object LiveCdc {
     })
     onProgress()
     val lander = new LiveLanders.RedisLander(spark, task, taskDir,
-      captureDir, onProgress)
+      captureDir, onProgress, monitor)
     lander.finish(store.names)
     sweepConsumedCapture(task, captureDir, lander.ledger)
     Report(lander.landedSegments.toInt,
@@ -314,7 +321,9 @@ object LiveCdc {
       dialOverride: Option[() => Wire] = None,
       dialNodeOverride: Option[String => Wire] = None,
       triggerMs: Long = 500L,
-      onProgress: () => Unit = () => ()): Report = {
+      onProgress: () => Unit = () => (),
+      monitor: Option[graft.infra.Monitoring.Monitor] = None)
+      : Report = {
     val captureDir = s"$taskDir/capture"
     // listing-only view of the shared capture dir: each pump thread
     // gets its OWN store instance via newStore (no cross-thread
@@ -344,7 +353,7 @@ object LiveCdc {
     supervisor.setDaemon(true)
     supervisor.start()
     val lander = new LiveLanders.RedisLander(spark, task, taskDir,
-      captureDir, onProgress)
+      captureDir, onProgress, monitor)
     def persistTick(): Unit =
       writeNodePositions(taskDir, positions.toMap)
     while (!stop() && error.get() == null && supervisor.isAlive) {
@@ -638,7 +647,9 @@ object LiveCdc {
       dialOverride: Option[() => Wire] = None,
       triggerMs: Long = 500L,
       onProgress: () => Unit = () => (),
-      dialNodeOverride: Option[String => Wire] = None): Report =
+      dialNodeOverride: Option[String => Wire] = None,
+      monitor: Option[graft.infra.Monitoring.Monitor] = None)
+      : Report =
     if (task.sourceDir.startsWith("mysql://"))
       runMysqlResident(spark, task, taskDir, stop, dialOverride,
         triggerMs, onProgress)
@@ -646,9 +657,10 @@ object LiveCdc {
         task.sourceDir.startsWith("rediss://")) {
       if (task.source.isCluster)
         runRedisClusterResident(spark, task, taskDir, stop,
-          dialOverride, dialNodeOverride, triggerMs, onProgress)
+          dialOverride, dialNodeOverride, triggerMs, onProgress,
+          monitor)
       else runRedisResident(spark, task, taskDir, stop, dialOverride,
-        triggerMs, onProgress)
+        triggerMs, onProgress, monitor)
     } else if (task.sourceDir.startsWith("mongodb://") ||
         task.sourceDir.startsWith("mongodb+srv://"))
       runMongoResident(spark, task, taskDir, stop, dialOverride,
@@ -800,7 +812,9 @@ object LiveCdc {
       taskDir: String, stop: () => Boolean,
       dialOverride: Option[() => Wire] = None,
       triggerMs: Long = 500L,
-      onProgress: () => Unit = () => ()): Report = {
+      onProgress: () => Unit = () => (),
+      monitor: Option[graft.infra.Monitoring.Monitor] = None)
+      : Report = {
     val captureDir = s"$taskDir/capture"
     val store = new FsSegmentStore(captureDir)
     val ep = LiveDial.parseUrl(task.sourceDir)
@@ -823,7 +837,7 @@ object LiveCdc {
       "repl_offset" -> pump.publishedPosition._2.toString,
       "select_db" -> pump.publishedDb.toString))
     val lander = new LiveLanders.RedisLander(spark, task, taskDir,
-      captureDir, onProgress)
+      captureDir, onProgress, monitor)
     residentLandingLoop(stop, triggerMs, onProgress, rp,
       graceMs = 65000L, publishedNames = () => store.publishedNames,
       pass = lander.pass, finish = lander.finish,

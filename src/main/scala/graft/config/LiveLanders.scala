@@ -60,7 +60,8 @@ private[config] object LiveLanders {
 
   final class RedisLander(spark: SparkSession,
       task: TaskConfig.Task, taskDir: String, captureDir: String,
-      onProgress: () => Unit) {
+      onProgress: () => Unit,
+      monitor: Option[graft.infra.Monitoring.Monitor] = None) {
     val ledger = new ConsumedLedger(taskDir)
     private val sink = task.sinkDir
     private val stateTable = s"$sink/redis.state"
@@ -76,13 +77,12 @@ private[config] object LiveLanders {
       * verdict Missing #4): keys the fold lost track of (tombstones
       * hidden from the flat face) / total keys in the committed
       * base. Also published as the `face_tombstone_keys` /
-      * `face_total_keys` gauges on [[monitor]] — the number that
+      * `face_total_keys` gauges when the caller supplies a monitor
+      * (TaskManager flushes it into the task log) — the number that
       * decides whether the honest drops matter for a workload.
       */
     var tombstonedKeys = 0L
     var trackedKeys = 0L
-    val monitor = new graft.infra.Monitoring.Monitor("redis.state",
-      "landed current-state face")
 
     /** Land every not-yet-consumed published segment in one pass. */
     def pass(names: Seq[String]): Unit = {
@@ -138,23 +138,22 @@ private[config] object LiveLanders {
           graft.operators.RedisStateOps.Merger)
         LandedTable.publishFlat(spark, stateTable,
           graft.operators.RedisStateOps.Merger)
-        // face-completeness census on the JUST-COMMITTED base: one
-        // filter+count aggregate over the base part files (no
-        // shuffle, no extra merge work)
-        LandedTable.readBase(spark, stateTable).foreach { base =>
-          val m = base.agg(
-            coalesce(sum(when(col("payload").startsWith(
-              graft.operators.RedisStateOps.TombPrefix), 1L)
-              .otherwise(0L)), lit(0L)).as("tomb"),
-            count(lit(1)).as("total")).head()
-          tombstonedKeys = m.getLong(0)
-          trackedKeys = m.getLong(1)
-          monitor
-            .setCounter(graft.infra.Monitoring.FaceTombstoneKeys,
-              tombstonedKeys)
-            .setCounter(graft.infra.Monitoring.FaceTotalKeys,
-              trackedKeys)
-        }
+      }
+      // face-completeness census: tombstoned = committed base count
+      // (bookkeeping rows included) − published flat count
+      // (tombstones hidden). Two column-less row counts — no payload
+      // scan — and UNCONDITIONAL, so a restart whose backlog was
+      // already folded still reports the base's real drop count
+      // instead of a stale zero. (A crash between commit and publish
+      // can skew one cadence's number; the next publish self-heals.)
+      LandedTable.readBase(spark, stateTable).foreach { base =>
+        trackedKeys = base.count()
+        tombstonedKeys = math.max(0L, trackedKeys - stateCount())
+        monitor.foreach(_
+          .setCounter(graft.infra.Monitoring.FaceTombstoneKeys,
+            tombstonedKeys)
+          .setCounter(graft.infra.Monitoring.FaceTotalKeys,
+            trackedKeys))
       }
       TieredLog.fold(spark, s"$sink/redis.snapshot",
         foldable = ledger.contains)

@@ -179,19 +179,27 @@ object TaskManager {
         val gate = graft.infra.Precheck.checkResidentRetention(
           task.source.resident, task.source.captureRetention)
         if (gate.detail.nonEmpty) log(dir, s"precheck ${gate.detail}")
+        // one monitor per live run: the landers publish their
+        // face-completeness gauges here, flushed into the task log
+        // below (the same counters the drain report carries)
+        val liveMon = new graft.infra.Monitoring.Monitor(
+          "landed_face", "landed current-state face")
         val r =
           if (task.source.resident)
             LiveCdc.runResident(spark, task, dir.toString,
               stop = () => stopRequested, dialOverride = liveDial,
               onProgress = () => touchAlive(dir),
-              dialNodeOverride = liveNodeDial)
+              dialNodeOverride = liveNodeDial,
+              monitor = Some(liveMon))
           else LiveCdc.run(spark, task, dir.toString, liveDial,
             onProgress = () => touchAlive(dir),
-            dialNodeOverride = liveNodeDial)
+            dialNodeOverride = liveNodeDial,
+            monitor = Some(liveMon))
         log(dir, s"live_cdc segments=${r.segments} " +
           s"events=${r.events} position=${r.position._1}:" +
           s"${r.position._2} " +
           r.tables.map { case (t, n) => s"$t=$n" }.mkString(" "))
+        liveMon.flushLines().foreach(l => log(dir, s"monitor $l"))
         return finish("finished", None)
       }
       // CDC tasks are stream-scoped, not table-unit-scoped: one

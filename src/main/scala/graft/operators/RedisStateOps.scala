@@ -620,22 +620,24 @@ object RedisStateOps {
       */
     var l: scala.collection.mutable.ArrayDeque[String] = null
     /** Stream entries: PADDED id (fixed-width unsigned ms-seq, so
-      * natural order == id order) → field → value. A TreeMap so
-      * XTRIM MAXLEN/MINID is O(log n + removed) and XADD's
-      * monotonicity check is O(log n) — a flat map would make every
-      * trim a full scan, quadratic on a hot stream (the same hazard
-      * the r15 rework removed for lists/zsets).
+      * natural order == id order) → the entry's field/value PAIRS
+      * (a buffer, not a map — the server stores an XADD's field
+      * list verbatim, duplicates included). A TreeMap so XTRIM
+      * MAXLEN/MINID is O(log n + removed) and XADD's monotonicity
+      * check is O(log n) — a flat map would make every trim a full
+      * scan, quadratic on a hot stream (the same hazard the r15
+      * rework removed for lists/zsets).
       */
     var sm: java.util.TreeMap[String,
-      java.util.HashMap[String, String]] = null
+      scala.collection.mutable.ArrayBuffer[(String, String)]] = null
     /** Stream last-generated id (canonical "ms-seq"); null = none
       * known (pre-r16 base payloads, or never set).
       */
     var lid: String = null
     def streams(): java.util.TreeMap[String,
-        java.util.HashMap[String, String]] = {
+        scala.collection.mutable.ArrayBuffer[(String, String)]] = {
       if (sm == null) sm = new java.util.TreeMap[String,
-        java.util.HashMap[String, String]]()
+        scala.collection.mutable.ArrayBuffer[(String, String)]]()
       sm
     }
     def map(): java.util.HashMap[String, String] = {
@@ -682,6 +684,11 @@ object RedisStateOps {
     val i = s.indexOf('-')
     val (msS, seqS) =
       if (i < 0) (s, "0") else (s.substring(0, i), s.substring(i + 1))
+    // the server's parser accepts DIGITS only — parseUnsignedLong
+    // alone would admit a leading '+' the server rejects
+    if (msS.isEmpty || seqS.isEmpty ||
+        !msS.forall(c => c >= '0' && c <= '9') ||
+        !seqS.forall(c => c >= '0' && c <= '9')) return None
     try {
       val ms = java.lang.Long.parseUnsignedLong(msS)
       val seq = java.lang.Long.parseUnsignedLong(seqS)
@@ -792,9 +799,11 @@ object RedisStateOps {
           .empty[(String, String)]
         st.sm.forEach { (pid, fields) =>
           val id = unpadId(pid)
-          fields.forEach((f, v) => flat += ((id + "/" + f, v)))
+          fields.foreach { case (f, v) => flat += ((id + "/" + f, v)) }
         }
-        flat.sortInPlaceBy(_._1)
+        // duplicate fields in one entry are legal and PRESERVED —
+        // sort by (flat field, value) for a deterministic render
+        flat.sortInPlaceBy(identity)
         flat.foreach { case (f, v) => emit(f, v) }
       }
     } else if (st.m != null && !st.m.isEmpty) {
@@ -849,9 +858,10 @@ object RedisStateOps {
     val sl = flatField.indexOf('/')
     if (sl > 0) streamId(flatField.substring(0, sl)).foreach {
       case (_, pid) =>
-        st.streams().computeIfAbsent(pid,
-          _ => new java.util.HashMap[String, String]())
-          .put(flatField.substring(sl + 1), v): Unit
+        st.streams().computeIfAbsent(pid, _ =>
+          scala.collection.mutable.ArrayBuffer
+            .empty[(String, String)])
+          .append((flatField.substring(sl + 1), v)): Unit
     }
   }
 
@@ -1386,13 +1396,14 @@ object RedisStateOps {
             if (pid <= lastPid) state
             else {
               val doc = Json.mapper.readTree(op.value)
-              val fields = new java.util.HashMap[String, String]()
+              val fields = scala.collection.mutable.ArrayBuffer
+                .empty[(String, String)]
               val pArr = doc.get("p")
               if (pArr != null && pArr.isArray) {
                 val it = pArr.elements()
                 while (it.hasNext) {
                   val pr = it.next()
-                  fields.put(pr.get(0).asText(), pr.get(1).asText())
+                  fields += ((pr.get(0).asText(), pr.get(1).asText()))
                 }
               }
               if (fields.isEmpty) state // XADD needs >= 1 pair
@@ -1705,8 +1716,17 @@ object RedisStateOps {
             emit(op.field,
               packOpF(sseg, rank + off, "mvdata", "", "",
                 mvoutData(st, op), null))
+            val wasTomb = st.exists(_.t == TombType)
+            val prevN = if (wasTomb) st.get.n else null
             st = mvoutApply(st, op)
-            st.foreach(_.n = node)
+            // a PRESERVED tombstone keeps its creating node — the
+            // same attribution invariant as the apply1 branch (a
+            // re-attributed tombstone would hand its clearing to the
+            // wrong shard's resync)
+            st.foreach { s2 =>
+              if (s2.t == TombType && wasTomb) s2.n = prevN
+              else s2.n = node
+            }
           case "mvdata" =>
             if (pendSseg != sseg || pendRank != rank) {
               pendData.clear()
@@ -1719,8 +1739,13 @@ object RedisStateOps {
               if (pendSseg == sseg && pendRank == rank)
                 pendData.toList
               else Nil // chain hop ≥ 2 / cross-window: no snapshot
+            val wasTomb = st.exists(_.t == TombType)
+            val prevN = if (wasTomb) st.get.n else null
             st = mvinApply(st, op, datas)
-            st.foreach(_.n = node)
+            st.foreach { s2 =>
+              if (s2.t == TombType && wasTomb) s2.n = prevN
+              else s2.n = node
+            }
           case _ =>
             // a surviving RDB entry after its node's reset is part
             // of that node's FULL image: it clears a tombstone (the
@@ -1854,6 +1879,17 @@ object RedisStateOps {
     override def flatView: Option[DataFrame => DataFrame] =
       Some(df => df.where(!col("payload").startsWith(TombPrefix)))
 
+    /** Base (key, payload) ⋈ packed ops, full-outer — base-only
+      * keys fold with null ops (reset scoping still applies),
+      * ops-only keys with a null base payload.
+      */
+    private def fullOuter(b: Option[DataFrame],
+        ops: DataFrame): DataFrame = b match {
+      case None =>
+        ops.withColumn("payload", lit(null).cast(StringType))
+      case Some(b0) => b0.join(ops, Seq("key"), "full_outer")
+    }
+
     override def merge(spark: SparkSession, base: Option[DataFrame],
         deltas: DataFrame, deltaBytes: Long): DataFrame = {
       import spark.implicits._
@@ -1883,12 +1919,6 @@ object RedisStateOps {
         .agg(sort_array(collect_list(packU(col("sseg"), col("rank"),
           col("op"), col("value_type"), col("field"), col("value"),
           col("expire_ms")))).as("ops"))
-      def fullOuter(b: Option[DataFrame], ops: DataFrame)
-          : DataFrame = b match {
-        case None =>
-          ops.withColumn("payload", lit(null).cast(StringType))
-        case Some(b0) => b0.join(ops, Seq("key"), "full_outer")
-      }
       // cross-key movement (RENAME/COPY/SMOVE/LMOVE destinations)
       // needs a SECOND fold phase; the common no-movement window
       // stays the single-phase plan (the probe stops at the first
@@ -1927,18 +1957,19 @@ object RedisStateOps {
         foldKey(key, p, ops, resets))
       val emitU = udf((key: String, p: String, ops: Seq[String]) =>
         foldKeyEmit(key, p, ops, resets)._2)
-      val opsByKey = opsByKey0.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize the (delta-bounded) packed frame ONCE for the
+      // A/B/emission branches. localCheckpoint, not persist: the SQL
+      // cache holds persisted plans until an explicit unpersist —
+      // which no merge-API hook can issue after the caller's write —
+      // so per-cadence persists would leak for a residency's
+      // lifetime; a local checkpoint is ContextCleaner-reclaimed
+      // when the frame goes out of scope. (Trade: an executor loss
+      // mid-merge fails the merge job — retried wholesale.)
+      val opsByKey = opsByKey0.localCheckpoint(true)
       val deferredKeys = deltas.where(col("op") === "mvin")
         .select("key").distinct()
       val mvSrcKeys = deltas.where(col("op") === "mvout")
         .select("key").distinct()
-      def fullOuter(b: Option[DataFrame], ops: DataFrame)
-          : DataFrame = b match {
-        case None =>
-          ops.withColumn("payload", lit(null).cast(StringType))
-        case Some(b0) => b0.join(ops, Seq("key"), "full_outer")
-      }
       val aOut = fullOuter(
         base.map(_.join(deferredKeys, Seq("key"), "left_anti")),
         opsByKey.join(deferredKeys, Seq("key"), "left_anti"))

@@ -40,11 +40,14 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
   private case class VSet(s: Set[String]) extends V
   private case class VZ(m: Map[String, Double]) extends V
   private case class VL(v: Vector[String]) extends V
-  /** Stream: canonical id → fields, plus the last generated id.
-    * Immutable maps, id order derived by PARSING (BigInt halves) —
-    * deliberately nothing shared with the fold's padded TreeMap.
+  /** Stream: canonical id → the entry's field/value PAIRS
+    * (duplicate fields are legal and preserved), plus the last
+    * generated id. Immutable collections, id order derived by
+    * PARSING (BigInt halves) — deliberately nothing shared with the
+    * fold's padded TreeMap.
     */
-  private case class VStr(es: Map[String, Map[String, String]],
+  private case class VStr(
+      es: Map[String, Vector[(String, String)]],
       lid: Option[String]) extends V
 
   /** Independent stream-id order: unsigned ms/seq halves via BigInt
@@ -447,9 +450,9 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
           val id = argv(i)
           val fields = argv.drop(i + 1).grouped(2).collect {
             case Seq(f, v) => f -> v
-          }.toMap
-          def trimmed(es: Map[String, Map[String, String]])
-              : Map[String, Map[String, String]] = {
+          }.toVector
+          def trimmed(es: Map[String, Vector[(String, String)]])
+              : Map[String, Vector[(String, String)]] = {
             val afterLen = tl match {
               case Some(n) =>
                 es.toSeq.sortBy(e => sid(e._1))
@@ -465,7 +468,7 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
           val cur = vals.get(k) match {
             case Some(VStr(es, lid)) => Some((es, lid))
             case None => if (nomk) None else Some(
-              (Map.empty[String, Map[String, String]],
+              (Map.empty[String, Vector[(String, String)]],
                 Option.empty[String]))
             case _ => None // WRONGTYPE
           }
@@ -603,8 +606,8 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
           val l = lid.map(i2 => s""","l":"${esc(i2)}"""")
             .getOrElse("")
           val flat = es.toSeq.flatMap { case (id, fs) =>
-            fs.toSeq.map { case (f, v2) => (id + "/" + f) -> v2 }
-          }.sortBy(_._1) // flat LEXICOGRAPHIC — the render contract
+            fs.map { case (f, v2) => (id + "/" + f) -> v2 }
+          }.sorted // flat (field, value) order — the render contract
           s"""{"t":"stream"$l$x,"e":[${elems(flat)}]}"""
       }
     }
