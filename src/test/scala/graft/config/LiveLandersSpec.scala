@@ -79,6 +79,20 @@ class LiveLandersSpec extends graft.SparkSuite {
           case 9 => Seq(resp("SADD", "srcset", "x"),
             resp("SETBIT", "lostkey", "7", "1"),
             resp("SADD", "lostkey", "y"))
+          // r16 folds through the REAL pipeline: stream writers
+          // (XADD with an in-command trim, XDEL) ...
+          case 10 => Seq(resp("XADD", "evt", "1-1", "a", "1"),
+            resp("XADD", "evt", "MAXLEN", "1", "2-1", "b", "2"),
+            resp("XADD", "evt", "3-1", "c", "3"),
+            resp("XDEL", "evt", "2-1"))
+          // ... and cross-key movement (rename-on-complete + a
+          // set-algebra store), whose destinations the r15 tree
+          // tombstoned
+          case 11 => Seq(resp("SET", "tmpkey", "mv1"),
+            resp("RENAME", "tmpkey", "finkey"),
+            resp("SADD", "pa", "p", "q"),
+            resp("SADD", "pb", "q", "r"),
+            resp("SINTERSTORE", "pi", "pa", "pb"))
           case _ => Seq.empty
         }
         contWire(replId, resp("SET", f"s$i%02d", f"v$i%02d") +: extra)
@@ -149,7 +163,8 @@ class LiveLandersSpec extends graft.SparkSuite {
     // `lostkey` (SETBIT target, then SADD'd) must be ABSENT: the
     // tombstone is hidden from the face and the SADD cannot rebuild
     // partial state on top of it
-    val wantKeys = Set("base", "h", "cnt", "queue", "srcset") ++
+    val wantKeys = Set("base", "h", "cnt", "queue", "srcset",
+      "evt", "finkey", "pa", "pb", "pi") ++
       (1 to 11).map(i => f"s$i%02d")
     assert(keys == wantKeys, s"state keys: $keys")
     def of(k: String) = state(graft.operators.RedisStateOps
@@ -162,6 +177,18 @@ class LiveLandersSpec extends graft.SparkSuite {
     assert(of("queue").contains(
       "[[\"000000\",\"b\"],[\"000001\",\"c\"]]"), of("queue"))
     assert(of("srcset").contains("\"x\""))
+    // streams: MAXLEN 2 trimmed 1-1 when 3-1 arrived; XDEL removed
+    // 2-1; the key survives with its last-id even as entries shrink
+    assert(of("evt").contains("[\"3-1/c\",\"3\"]") &&
+      of("evt").contains("\"l\":\"3-1\"") &&
+      !of("evt").contains("1-1/") && !of("evt").contains("2-1/"),
+      of("evt"))
+    // movement: the renamed key lands at its destination; the
+    // set-algebra store computed the intersection
+    assert(of("finkey").contains("mv1"), of("finkey"))
+    assert(of("pi").contains("[\"q\",\"\"]") &&
+      !of("pi").contains("\"p\"") && !of("pi").contains("\"r\""),
+      of("pi"))
 
     // (b2) face completeness is OBSERVABLE (round-15 verdict Missing
     // #4): the drain report counts exactly the one poisoned key the
