@@ -504,6 +504,64 @@ object RedisStateOps {
           Op(stateKey(db, sk), "mvout", kind, k(1),
             s"$idx/${n - idx}", None)
         } :+ Op(k(1), "mvin", kind, n.toString, "", None))
+      case "ZUNIONSTORE" | "ZINTERSTORE" | "ZDIFFSTORE"
+          if argv.size >= 4 =>
+        // weighted zset stores — deterministic functions of their
+        // sources (zsets OR sets, which count as score 1), so they
+        // ride the same multi-source movement pair as the set
+        // stores; WEIGHTS scale each source's scores before the
+        // AGGREGATE (sum/min/max; ZDIFFSTORE takes neither and keeps
+        // the first source's scores). Malformed numkeys/options
+        // error the whole command server-side.
+        val kind = cmd match {
+          case "ZUNIONSTORE" => "zstu"
+          case "ZINTERSTORE" => "zsti"
+          case _ => "zstd"
+        }
+        argv(2).toIntOption
+          .filter(n => n >= 1 && 3 + n <= argv.size) match {
+          case None => (db, Nil)
+          case Some(n) =>
+            val srcs = argv.slice(3, 3 + n)
+            var i = 3 + n
+            var weights: Option[Seq[String]] = None
+            var agg = "sum"
+            var ok = kind != "zstd" || i == argv.size
+            while (ok && i < argv.size) {
+              argv(i).toUpperCase match {
+                case "WEIGHTS" if i + n < argv.size &&
+                    argv.slice(i + 1, i + 1 + n)
+                      .forall(w => parseScore(w).isDefined) =>
+                  weights = Some(argv.slice(i + 1, i + 1 + n))
+                  i += 1 + n
+                case "AGGREGATE" if i + 1 < argv.size &&
+                    Set("SUM", "MIN", "MAX")
+                      .contains(argv(i + 1).toUpperCase) =>
+                  agg = argv(i + 1).toLowerCase
+                  i += 2
+                case _ => ok = false
+              }
+            }
+            if (!ok) (db, Nil)
+            else {
+              val meta = new java.lang.StringBuilder("{\"a\":")
+              jesc(meta, agg)
+              weights.foreach { ws =>
+                meta.append(",\"w\":[")
+                ws.zipWithIndex.foreach { case (w, j) =>
+                  if (j > 0) meta.append(',')
+                  jesc(meta, w)
+                }
+                meta.append(']'): Unit
+              }
+              meta.append('}')
+              (db, srcs.zipWithIndex.map { case (sk, idx) =>
+                Op(stateKey(db, sk), "mvout", kind, k(1),
+                  s"$idx/${n - idx}", None)
+              } :+ Op(k(1), "mvin", kind, n.toString,
+                meta.toString, None))
+            }
+        }
       case "SWAPDB" if argv.size >= 3 =>
         // the fold cannot move keys between dbs — honest node-scoped
         // resets for BOTH swapped dbs (the landing layer maps
@@ -1476,6 +1534,12 @@ object RedisStateOps {
     }
   }
 
+  /** Multi-source movement kinds: one emission per source, indexed,
+    * all targeting one mvin (the set-algebra and zset stores).
+    */
+  private def isMultiSrc(kind: String): Boolean =
+    kind.startsWith("sset") || kind.startsWith("zst")
+
   /** What a movement SOURCE emits to its destination, extracted from
     * the source state at the mvout's rank. One-character discriminant
     * + payload:
@@ -1491,12 +1555,13 @@ object RedisStateOps {
     // multi-source kinds prefix every emission with the source's
     // index so the destination can order and count them
     val pre =
-      if (op.vtype.startsWith("sset"))
+      if (isMultiSrc(op.vtype))
         op.value.takeWhile(_ != '/') + ":"
       else ""
     pre + (state match {
       case None =>
         if (op.vtype.startsWith("sset")) "S[]" // absent = empty set
+        else if (op.vtype.startsWith("zst")) "Z[]"
         else "N"
       case Some(s) if s.t == TombType => "U"
       case Some(s) => op.vtype match {
@@ -1520,6 +1585,24 @@ object RedisStateOps {
             }
             sb.append(']').toString
           }
+        case k2 if k2.startsWith("zst") =>
+          // member/score pairs; a SET source counts every member at
+          // score 1 (server semantics for the zset stores)
+          if ((s.t != "zset" && s.t != "set") || s.m == null) "U"
+          else {
+            val sb = new java.lang.StringBuilder("Z[")
+            var first = true
+            s.m.forEach { (m, v) =>
+              if (!first) sb.append(',')
+              first = false
+              sb.append('[')
+              jesc(sb, m)
+              sb.append(',')
+              jesc(sb, if (s.t == "set") "1" else v)
+              sb.append(']'): Unit
+            }
+            sb.append(']').toString
+          }
         case _ => // lmv; aux = pop side
           if (s.t != "list" || s.l == null || s.l.isEmpty) "N"
           else "V" + (if (op.value == "L") s.l.head else s.l.last)
@@ -1536,7 +1619,7 @@ object RedisStateOps {
     op.vtype match {
       case "ren" => None
       case "cpy" | "cpyr" => state
-      case k2 if k2.startsWith("sset") => state // read-only sources
+      case k2 if isMultiSrc(k2) => state // read-only sources
       case "smv" => state match {
         case Some(s) if s.t == "set" && s.m != null =>
           s.m.remove(op.value)
@@ -1566,6 +1649,7 @@ object RedisStateOps {
       datas: Seq[String]): Option[St] = {
     if (op.vtype.startsWith("sset")) return ssetApply(state, op,
       datas)
+    if (op.vtype.startsWith("zst")) return zstApply(op, datas)
     val data = datas.headOption.orNull
     if (data == null || data == "U") return Some(tomb())
     if (data == "N") return state
@@ -1633,6 +1717,77 @@ object RedisStateOps {
     else {
       val st = new St("set", None)
       res.foreach(m => st.map().put(m, ""))
+      Some(st)
+    }
+  }
+
+  /** The weighted zset store's destination fold: order the paired
+    * emissions by source index, require every source known, scale
+    * each source's scores by its WEIGHT, combine per the AGGREGATE
+    * (sum follows the server's documented rule that +inf + -inf
+    * lands 0), and REPLACE the destination — deleted when empty.
+    * ZDIFFSTORE keeps the first source's unscaled scores minus the
+    * other sources' members.
+    */
+  private def zstApply(op: Op, datas: Seq[String]): Option[St] = {
+    val n = op.field.toIntOption.getOrElse(-1)
+    val parsed: Seq[(Int, String)] = datas.flatMap { d =>
+      val i = d.indexOf(':')
+      if (i <= 0) None
+      else d.take(i).toIntOption.map(_ -> d.substring(i + 1))
+    }
+    val byIdx = parsed.toMap
+    if (n <= 0 || byIdx.size != n ||
+        byIdx.values.exists(!_.startsWith("Z")))
+      return Some(tomb())
+    val meta = Json.mapper.readTree(op.value)
+    val agg = Option(meta.get("a")).map(_.asText()).getOrElse("sum")
+    val wArr = meta.get("w")
+    def weight(i: Int): Double =
+      if (wArr == null) 1.0
+      else parseScore(wArr.get(i).asText()).getOrElse(1.0)
+    val sets: Seq[Map[String, Double]] = (0 until n).map { i =>
+      val arr = Json.mapper.readTree(byIdx(i).substring(1))
+      val b = Map.newBuilder[String, Double]
+      val it = arr.elements()
+      while (it.hasNext) {
+        val pr = it.next()
+        parseScore(pr.get(1).asText()).foreach(sc =>
+          b += (pr.get(0).asText() -> sc))
+      }
+      b.result()
+    }
+    def combine(vals: Seq[Double]): Double = agg match {
+      case "min" => vals.min
+      case "max" => vals.max
+      case _ =>
+        // the server's SUM rule: an aggregate that lands NaN
+        // (+inf + -inf) stores 0
+        val sum = vals.sum
+        if (sum.isNaN) 0.0 else sum
+    }
+    val res: Map[String, Double] = op.vtype match {
+      case "zsti" =>
+        val members = sets.map(_.keySet).reduce(_ intersect _)
+        members.iterator.map { m =>
+          m -> combine(sets.zipWithIndex.map { case (s2, i) =>
+            s2(m) * weight(i)
+          })
+        }.toMap
+      case "zstu" =>
+        val members = sets.map(_.keySet).reduce(_ union _)
+        members.iterator.map { m =>
+          m -> combine(sets.zipWithIndex.collect {
+            case (s2, i) if s2.contains(m) => s2(m) * weight(i)
+          })
+        }.toMap
+      case _ => // zstd: first source minus the rest, scores as-is
+        sets.head -- sets.tail.flatMap(_.keySet)
+    }
+    if (res.isEmpty) None // the server deletes an empty destination
+    else {
+      val st = new St("zset", None)
+      res.foreach { case (m, sc) => st.map().put(m, num(sc)) }
       Some(st)
     }
   }
@@ -1709,7 +1864,7 @@ object RedisStateOps {
             // kinds; source i of n sits n-i ranks before a
             // multi-source mvin), then apply the source-side effect
             val off =
-              if (op.vtype.startsWith("sset"))
+              if (isMultiSrc(op.vtype))
                 op.value.dropWhile(_ != '/').drop(1).toLongOption
                   .getOrElse(1L)
               else 1L

@@ -203,9 +203,12 @@ object StateFaceQueries {
     *    okeys then SMOVE into `picked:<ckey>` — the member-moved
     *    flag rides the movement pair;
     *  - 13-divisible okeys SET `cs:<okey>` and COPY it to
-    *    `cc:<okey>` (dst absent ⇒ the plain form is effective).
-    * Ranks ascend in fixture order; each movement pair's ranks are
-    * consecutive (the landing-layer invariant the emission targets).
+    *    `cc:<okey>` (dst absent ⇒ the plain form is effective);
+    *  - per customer, ONE ZUNIONSTORE WEIGHTS 1 2 over a price zset
+    *    and a 3-divisible-okey SET — the multi-source movement trio
+    *    with weighted aggregation, DuckDB recomputing the arithmetic.
+    * Ranks ascend in fixture order; each movement group's ranks are
+    * consecutive (the landing-layer invariant the emissions target).
     */
   def redisMoveFold(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(
@@ -248,9 +251,40 @@ object StateFaceQueries {
       lit("")): _*)
     val cpyIn = m13.select(row(r0 + 8, ccKey, "mvin", "cpy", csKey,
       lit("")): _*)
+    // weighted zset store: zsa:<ckey> holds every order's price as
+    // a score, zsb:<ckey> the 3-divisible okeys as a SET (counted at
+    // score 1); ONE per-customer ZUNIONSTORE WEIGHTS 1 2 lands
+    // price + 2·membership through the multi-source movement pair
+    val o2 = Tables.orders(spark, dir).select(
+      col("o_orderkey").cast("long").as("okey"),
+      col("o_custkey").cast("long").as("ckey"),
+      floor(col("o_totalprice")).cast("long").as("price"))
+    val zsaKey = concat(lit("zsa:"), col("ckey"))
+    val zsbKey = concat(lit("zsb:"), col("ckey"))
+    val zuKey = concat(lit("zu:"), col("ckey"))
+    val r02 = base + col("okey") * 16
+    val zsa = o2.select(row(r02 + 9, zsaKey, "put", "zset",
+      col("okey"), col("price")): _*)
+    val zsb = o2.filter(col("okey") % 3 === 0)
+      .select(row(r02 + 10, zsbKey, "put", "set", col("okey"),
+        lit("")): _*)
+    // one movement trio per customer, ranks past every okey-level op
+    val cBase = lit(1L << 42) + col("ckey") * 4
+    val custs = o2.select("ckey").distinct()
+    val zuOut0 = custs.select(row(cBase, concat(lit("zsa:"),
+      col("ckey")), "mvout", "zstu", concat(lit("zu:"), col("ckey")),
+      lit("0/2")): _*)
+    val zuOut1 = custs.select(row(cBase + 1, concat(lit("zsb:"),
+      col("ckey")), "mvout", "zstu", concat(lit("zu:"), col("ckey")),
+      lit("1/1")): _*)
+    val zuIn = custs.select(row(cBase + 2, concat(lit("zu:"),
+      col("ckey")), "mvin", "zstu", lit("2"),
+      lit("""{"a":"sum","w":["1","2"]}""")): _*)
     val deltas = setTmp.unionByName(renOut).unionByName(renIn)
       .unionByName(sadd).unionByName(smvOut).unionByName(smvIn)
       .unionByName(setCs).unionByName(cpyOut).unionByName(cpyIn)
+      .unionByName(zsa).unionByName(zsb).unionByName(zuOut0)
+      .unionByName(zuOut1).unionByName(zuIn)
     val merged = RedisStateOps.Merger.merge(spark, None, deltas, 0L)
     RedisStateOps.Merger.flatView.get(merged)
       .select(col("key"), col("payload"))
@@ -259,7 +293,8 @@ object StateFaceQueries {
   private val redisMoveFoldSql: String =
     """WITH o AS (
       |  SELECT o_orderkey AS okey, o_custkey AS ckey,
-      |         o_orderstatus AS st
+      |         o_orderstatus AS st,
+      |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price
       |  FROM orders)
       |SELECT 'fin:' || okey AS key,
       |       '{"t":"string","e":[["","' || st || '"]]}' AS payload
@@ -283,7 +318,29 @@ object StateFaceQueries {
       |       '{"t":"set","e":[' ||
       |         string_agg('["' || okey || '",""]', ','
       |           ORDER BY CAST(okey AS VARCHAR)) || ']}' AS payload
-      |FROM o WHERE okey % 7 = 0 GROUP BY ckey""".stripMargin
+      |FROM o WHERE okey % 7 = 0 GROUP BY ckey
+      |UNION ALL
+      |SELECT 'zsa:' || ckey AS key,
+      |       '{"t":"zset","e":[' ||
+      |         string_agg('["' || okey || '","' || price || '"]',
+      |           ',' ORDER BY CAST(okey AS VARCHAR)) || ']}'
+      |         AS payload
+      |FROM o GROUP BY ckey
+      |UNION ALL
+      |SELECT 'zsb:' || ckey AS key,
+      |       '{"t":"set","e":[' ||
+      |         string_agg('["' || okey || '",""]', ','
+      |           ORDER BY CAST(okey AS VARCHAR)) || ']}' AS payload
+      |FROM o WHERE okey % 3 = 0 GROUP BY ckey
+      |UNION ALL
+      |SELECT 'zu:' || ckey AS key,
+      |       '{"t":"zset","e":[' ||
+      |         string_agg('["' || okey || '","' ||
+      |             (price + CASE WHEN okey % 3 = 0 THEN 2 ELSE 0
+      |              END) || '"]',
+      |           ',' ORDER BY CAST(okey AS VARCHAR)) || ']}'
+      |         AS payload
+      |FROM o GROUP BY ckey""".stripMargin
 
   // ---------------------------------------------------------------- q154
 

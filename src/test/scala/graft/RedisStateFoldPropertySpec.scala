@@ -133,6 +133,9 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
           case "SINTERSTORE" | "SUNIONSTORE" | "SDIFFSTORE"
               if argv.size >= 3 =>
             Seq(argv(1)) // the store's DESTINATION is argv(1)
+          case "ZUNIONSTORE" | "ZINTERSTORE" | "ZDIFFSTORE"
+              if argv.size >= 4 =>
+            Seq(argv(1))
           case _ => Seq.empty
         }
       }.toSet
@@ -272,6 +275,66 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
                 case _ => VSet(Set(argv(3)))
               }
             case _ => ()
+          }
+        case "ZUNIONSTORE" | "ZINTERSTORE" | "ZDIFFSTORE" =>
+          // r16: sources are zsets OR sets (score 1); WEIGHTS scale,
+          // AGGREGATE combines (sum lands 0 where +inf + -inf would
+          // be NaN — the server's documented rule); ZDIFFSTORE keeps
+          // the first source's scores. Independent float path: the
+          // model works in Doubles and renders through rnum.
+          val nk = argv(2).toInt
+          val srcs = argv.slice(3, 3 + nk)
+          var j = 3 + nk
+          var ws: Option[Seq[Double]] = None
+          var agg = "SUM"
+          while (j < argv.size) {
+            argv(j).toUpperCase match {
+              case "WEIGHTS" =>
+                ws = Some(argv.slice(j + 1, j + 1 + nk)
+                  .flatMap(rscore))
+                j += 1 + nk
+              case "AGGREGATE" =>
+                agg = argv(j + 1).toUpperCase; j += 2
+              case _ => j = argv.size
+            }
+          }
+          def zsrc(k2: String): Option[Map[String, Double]] =
+            vals.get(k2) match {
+              case Some(VZ(m)) => Some(m)
+              case Some(VSet(m)) => Some(m.map(_ -> 1.0).toMap)
+              case None => Some(Map.empty)
+              case _ => None // WRONGTYPE: server errors, not generated
+            }
+          val srcMaps = srcs.map(zsrc)
+          if (srcMaps.forall(_.isDefined)) {
+            val ms = srcMaps.flatten
+            def w(i: Int) = ws.map(_.apply(i)).getOrElse(1.0)
+            def comb(vs: Seq[Double]): Double = agg match {
+              case "MIN" => vs.min
+              case "MAX" => vs.max
+              case _ =>
+                val t = vs.sum
+                if (t.isNaN) 0.0 else t
+            }
+            val res: Map[String, Double] = cmd match {
+              case "ZINTERSTORE" =>
+                ms.map(_.keySet).reduce(_ intersect _).iterator
+                  .map(m => m -> comb(ms.zipWithIndex.map {
+                    case (s2, i) => s2(m) * w(i)
+                  })).toMap
+              case "ZUNIONSTORE" =>
+                ms.map(_.keySet).reduce(_ union _).iterator
+                  .map(m => m -> comb(ms.zipWithIndex.collect {
+                    case (s2, i) if s2.contains(m) => s2(m) * w(i)
+                  })).toMap
+              case _ => ms.head -- ms.tail.flatMap(_.keySet)
+            }
+            if (res.isEmpty) { vals.remove(k); () }
+            else vals(k) = VZ(res)
+            ttl.remove(k)
+            if (srcs.exists(s2 => untracked(s2) || deferred(s2)))
+              drop(k)
+            else untracked -= k
           }
         case "ZADD" =>
           val flags = argv.drop(2).takeWhile(a =>
@@ -636,7 +699,7 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
       case _ => f"${rnd.nextDouble() * 20 - 10}%.2f"
     }
     def xid = s"${rnd.nextInt(9) + 1}-${rnd.nextInt(3)}"
-    rnd.nextInt(41) match {
+    rnd.nextInt(42) match {
       case 0 => Seq("SET", key, v)
       case 1 => Seq("SET", key, v, "KEEPTTL")
       case 2 => Seq("SET", key, v, "NX")
@@ -749,6 +812,34 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
           Seq("XTRIM", key, "MAXLEN", rnd.nextInt(3).toString)
         else Seq("XTRIM", key, "MINID", xid)
       case 39 => Seq("XSETID", key, xid)
+      case 40 =>
+        // weighted zset stores: sources must be zset/set/absent
+        // (anything else errors server-side and never replicates)
+        val dst = key
+        val s1 = keys(rnd.nextInt(keys.size))
+        val s2 = keys(rnd.nextInt(keys.size))
+        def zOk(k2: String) = model.vals.get(k2) match {
+          case Some(VZ(_)) | Some(VSet(_)) | None => true
+          case _ => false
+        }
+        val cmd3 = rnd.nextInt(3) match {
+          case 0 => "ZUNIONSTORE"
+          case 1 => "ZINTERSTORE"
+          case _ => "ZDIFFSTORE"
+        }
+        val opts: Seq[String] =
+          if (cmd3 == "ZDIFFSTORE") Seq.empty
+          else (if (rnd.nextBoolean())
+            Seq("WEIGHTS", (rnd.nextInt(3) + 1).toString,
+              (rnd.nextInt(3) + 1).toString)
+          else Seq.empty) ++ (rnd.nextInt(3) match {
+            case 0 => Seq("AGGREGATE", "MIN")
+            case 1 => Seq("AGGREGATE", "MAX")
+            case _ => Seq.empty
+          })
+        if (zOk(s1) && zOk(s2))
+          Seq(cmd3, dst, "2", s1, s2) ++ opts
+        else Seq("ZADD", key, score, member)
       case _ =>
         // COPY: only effective forms replicate — REPLACE, or a
         // really-absent destination

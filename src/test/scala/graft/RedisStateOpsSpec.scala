@@ -111,6 +111,23 @@ class RedisStateOpsSpec extends graft.SparkSuite {
         (key(0, "d"), "mvin", "sseti", "2", "")))
     assert(ops("SUNIONSTORE", "d", "a").head.vtype == "ssetu")
     assert(ops("SDIFFSTORE", "d", "a", "b", "c").last.field == "3")
+    // weighted zset stores: numkeys form, WEIGHTS/AGGREGATE ride the
+    // mvin's meta; malformed numkeys/options error the command
+    assert(ops("ZUNIONSTORE", "d", "2", "a", "b")
+      .map(o => (o.key, o.op, o.vtype)) ==
+      Seq((key(0, "a"), "mvout", "zstu"),
+        (key(0, "b"), "mvout", "zstu"),
+        (key(0, "d"), "mvin", "zstu")))
+    assert(ops("ZINTERSTORE", "d", "2", "a", "b", "WEIGHTS", "2",
+      "3", "AGGREGATE", "MAX").last.value ==
+      """{"a":"max","w":["2","3"]}""")
+    assert(ops("ZDIFFSTORE", "d", "2", "a", "b").last.vtype ==
+      "zstd")
+    assert(ops("ZUNIONSTORE", "d", "9", "a", "b").isEmpty)
+    assert(ops("ZUNIONSTORE", "d", "2", "a", "b", "WEIGHTS", "1")
+      .isEmpty) // weight count must match numkeys
+    assert(ops("ZDIFFSTORE", "d", "2", "a", "b", "WEIGHTS", "1",
+      "2").isEmpty) // ZDIFFSTORE takes no options
     assert(ops("LMOVE", "a", "a", "LEFT", "RIGHT").head ==
       Op(key(0, "a"), "lrot", "list", "LR", "", None))
     assert(ops("LMOVE", "a", "a", "LEFT", "LEFT").isEmpty)
@@ -846,7 +863,15 @@ class RedisStateOpsSpec extends graft.SparkSuite {
       // an empty result DELETES the destination (pre-seed it to
       // prove the overwrite-then-delete)
       opsOf(B + 180, "SET", "se", "old") ++
-      opsOf(B + 190, "SINTERSTORE", "se", "sa", "missing"))
+      opsOf(B + 190, "SINTERSTORE", "se", "sa", "missing") ++
+      // weighted zset stores: a zset and a SET source (score 1),
+      // weights scale before the aggregate
+      opsOf(B + 200, "ZADD", "za", "10", "m", "20", "n") ++
+      opsOf(B + 210, "SADD", "zb", "n", "o") ++
+      opsOf(B + 220, "ZUNIONSTORE", "zu", "2", "za", "zb",
+        "WEIGHTS", "2", "3") ++
+      opsOf(B + 230, "ZINTERSTORE", "zi", "2", "za", "zb") ++
+      opsOf(B + 240, "ZDIFFSTORE", "zd", "2", "za", "zb"))
     val out = RedisStateOps.Merger.merge(spark, None, deltas, 0L)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     def of(k: String) = out.get(key(0, k))
@@ -874,6 +899,15 @@ class RedisStateOpsSpec extends graft.SparkSuite {
       .forall(m => p.contains("\"" + m + "\""))), of("su"))
     // empty intersection deleted the pre-seeded destination
     assert(of("se").isEmpty, of("se"))
+    // zset stores: union 2*za + 3*zb -> m=20, n=43, o=3; inter
+    // (default weights, SUM) -> n=21; diff -> za minus zb's members
+    assert(of("zu").exists(p => p.contains("[\"m\",\"20\"]") &&
+      p.contains("[\"n\",\"43\"]") &&
+      p.contains("[\"o\",\"3\"]")), of("zu"))
+    assert(of("zi").exists(p => p.contains("[\"n\",\"21\"]") &&
+      !p.contains("\"m\"")), of("zi"))
+    assert(of("zd").exists(p => p.contains("[\"m\",\"10\"]") &&
+      !p.contains("\"n\"")), of("zd"))
     // the chain: c1 absent (renamed away), c2 absent (renamed away
     // in phase B), c3 an honest tombstone (no emission reached it)
     assert(of("c1").isEmpty && of("c2").isEmpty, out.keySet)
