@@ -562,6 +562,68 @@ object RedisStateOps {
                 meta.toString, None))
             }
         }
+      case "ZRANGESTORE" if argv.size >= 5 =>
+        // ZRANGESTORE dst src min max [BYSCORE|BYLEX] [REV]
+        // [LIMIT offset count] — a deterministic range of the source
+        // zset, so it rides a single-source movement pair whose
+        // mvout carries the validated range spec; an empty result
+        // deletes the destination (server semantics). BYLEX over a
+        // mixed-score zset is server-unspecified; the fold picks the
+        // skiplist-order interpretation ((score, member) ascending).
+        var by = "idx"
+        var rev = false
+        var limit: Option[(Long, Long)] = None
+        var i = 5
+        var ok = true
+        while (ok && i < argv.size) {
+          argv(i).toUpperCase match {
+            case "BYSCORE" if by == "idx" => by = "score"; i += 1
+            case "BYLEX" if by == "idx" => by = "lex"; i += 1
+            case "REV" => rev = true; i += 1
+            case "LIMIT" if i + 2 < argv.size =>
+              (argv(i + 1).toLongOption,
+                argv(i + 2).toLongOption) match {
+                case (Some(o), Some(c)) if o >= 0 =>
+                  limit = Some((o, c)); i += 3
+                case _ => ok = false
+              }
+            case _ => ok = false
+          }
+        }
+        // LIMIT is rejected without BYSCORE/BYLEX; bounds must parse
+        // per mode (rank integers / score bounds / lex bounds)
+        def scoreBoundOk(b: String): Boolean =
+          parseScore(if (b.startsWith("(")) b.substring(1) else b)
+            .isDefined
+        def lexBoundOk(b: String): Boolean =
+          b == "-" || b == "+" ||
+            ((b.startsWith("[") || b.startsWith("(")) && b.length > 1)
+        ok = ok && (limit.isEmpty || by != "idx") && (by match {
+          case "idx" =>
+            argv(3).toLongOption.isDefined &&
+              argv(4).toLongOption.isDefined
+          case "score" =>
+            scoreBoundOk(argv(3)) && scoreBoundOk(argv(4))
+          case _ => lexBoundOk(argv(3)) && lexBoundOk(argv(4))
+        })
+        if (!ok) (db, Nil)
+        else {
+          val spec = new java.lang.StringBuilder("{\"m\":")
+          jesc(spec, argv(3))
+          spec.append(",\"x\":")
+          jesc(spec, argv(4))
+          spec.append(",\"b\":")
+          jesc(spec, by)
+          if (rev) spec.append(",\"r\":true")
+          limit.foreach { case (o, c) =>
+            spec.append(",\"o\":").append(o)
+              .append(",\"c\":").append(c): Unit
+          }
+          spec.append('}')
+          (db, Seq(
+            Op(k(2), "mvout", "zrs", k(1), spec.toString, None),
+            Op(k(1), "mvin", "zrs", k(2), "", None)))
+        }
       case "SWAPDB" if argv.size >= 3 =>
         // the fold cannot move keys between dbs — honest node-scoped
         // resets for BOTH swapped dbs (the landing layer maps
@@ -1562,6 +1624,7 @@ object RedisStateOps {
       case None =>
         if (op.vtype.startsWith("sset")) "S[]" // absent = empty set
         else if (op.vtype.startsWith("zst")) "Z[]"
+        else if (op.vtype == "zrs") "D" // empty range deletes dst
         else "N"
       case Some(s) if s.t == TombType => "U"
       case Some(s) => op.vtype match {
@@ -1603,11 +1666,106 @@ object RedisStateOps {
             }
             sb.append(']').toString
           }
+        case "zrs" =>
+          // the selected range, shipped as a full zset payload (the
+          // destination replaces itself with it)
+          if (s.t != "zset" || s.m == null) "U"
+          else zrangeSelect(s, op.value) match {
+            case None => "U" // malformed spec: should not survive
+            case Some(sel) if sel.isEmpty => "D"
+            case Some(sel) =>
+              val st = new St("zset", None)
+              sel.foreach { case (m, sc) => st.map().put(m, sc) }
+              "P" + render(st)
+          }
         case _ => // lmv; aux = pop side
           if (s.t != "list" || s.l == null || s.l.isEmpty) "N"
           else "V" + (if (op.value == "L") s.l.head else s.l.last)
       }
     })
+  }
+
+  /** The ZRANGESTORE selection kernel: the source zset's
+    * (score, member)-ascending order (REV reverses it), then the
+    * spec's rank slice / score bounds / lex bounds, then LIMIT
+    * offset count (count < 0 = the rest) for the BY* modes. Returns
+    * the selected (member, stored score string) pairs.
+    */
+  private def zrangeSelect(st: St,
+      specJson: String): Option[Seq[(String, String)]] = {
+    val spec = Json.mapper.readTree(specJson)
+    val by = Option(spec.get("b")).map(_.asText()).getOrElse("idx")
+    val rev = Option(spec.get("r")).exists(_.asBoolean())
+    val off = Option(spec.get("o")).map(_.asLong()).getOrElse(0L)
+    val cnt = Option(spec.get("c")).map(_.asLong()).getOrElse(-1L)
+    val mn = spec.get("m").asText()
+    val mx = spec.get("x").asText()
+    val asc = {
+      val b = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Double)]
+      st.m.forEach { (m, v) =>
+        parseScore(v).foreach(d => b += ((m, v, d)))
+      }
+      b.sortInPlaceBy { case (m, _, d) => (d, m) }
+      b.toVector
+    }
+    val seq = if (rev) asc.reverse else asc
+    def limited(xs: Seq[(String, String, Double)]) = {
+      val dropped = xs.drop(math.min(off, Int.MaxValue.toLong).toInt)
+      if (cnt < 0) dropped
+      else dropped.take(math.min(cnt, Int.MaxValue.toLong).toInt)
+    }
+    val picked: Option[Seq[(String, String, Double)]] = by match {
+      case "idx" =>
+        for (lo0 <- mn.toLongOption; hi0 <- mx.toLongOption) yield {
+          val n = seq.size.toLong
+          val lo = math.min(math.max(
+            if (lo0 < 0) n + lo0 else lo0, 0L), n).toInt
+          val hi = math.min(math.max(
+            if (hi0 < 0) n + hi0 else hi0, -1L), n - 1).toInt
+          if (lo > hi) Vector.empty else seq.slice(lo, hi + 1)
+        }
+      case "score" =>
+        def bound(b: String): Option[(Double, Boolean)] =
+          if (b.startsWith("("))
+            parseScore(b.substring(1)).map((_, false))
+          else parseScore(b).map((_, true))
+        // with REV the bounds arrive reversed (max first)
+        val (loS, hiS) = if (rev) (mx, mn) else (mn, mx)
+        for (lo <- bound(loS); hi <- bound(hiS)) yield
+          limited(seq.filter { case (_, _, d) =>
+            (if (lo._2) d >= lo._1 else d > lo._1) &&
+              (if (hi._2) d <= hi._1 else d < hi._1)
+          })
+      case _ => // lex
+        sealed trait LB
+        case object LMin extends LB
+        case object LMax extends LB
+        case class LAt(m: String, incl: Boolean) extends LB
+        def bound(b: String): Option[LB] = b match {
+          case "-" => Some(LMin)
+          case "+" => Some(LMax)
+          case _ if b.startsWith("[") =>
+            Some(LAt(b.substring(1), incl = true))
+          case _ if b.startsWith("(") =>
+            Some(LAt(b.substring(1), incl = false))
+          case _ => None
+        }
+        val (loS, hiS) = if (rev) (mx, mn) else (mn, mx)
+        for (lo <- bound(loS); hi <- bound(hiS)) yield
+          limited(seq.filter { case (m, _, _) =>
+            (lo match {
+              case LMin => true
+              case LMax => false
+              case LAt(b, incl) => if (incl) m >= b else m > b
+            }) && (hi match {
+              case LMax => true
+              case LMin => false
+              case LAt(b, incl) => if (incl) m <= b else m < b
+            })
+          })
+    }
+    picked.map(_.map { case (m, v, _) => (m, v) })
   }
 
   /** The movement's SOURCE-side effect (the fold's own state, so
@@ -1620,6 +1778,7 @@ object RedisStateOps {
       case "ren" => None
       case "cpy" | "cpyr" => state
       case k2 if isMultiSrc(k2) => state // read-only sources
+      case "zrs" => state // read-only source
       case "smv" => state match {
         case Some(s) if s.t == "set" && s.m != null =>
           s.m.remove(op.value)
@@ -1653,9 +1812,12 @@ object RedisStateOps {
     val data = datas.headOption.orNull
     if (data == null || data == "U") return Some(tomb())
     if (data == "N") return state
+    // an empty STORE result: the server deletes the destination — a
+    // full-knowledge write, so it clears a tombstone too
+    if (data == "D") return None
     val isTomb = state.exists(_.t == TombType)
     op.vtype match {
-      case "ren" | "cpyr" if data.startsWith("P") =>
+      case "ren" | "cpyr" | "zrs" if data.startsWith("P") =>
         Some(parse(data.substring(1)))
       case "cpy" if data.startsWith("P") => state match {
         case None => Some(parse(data.substring(1)))

@@ -136,6 +136,8 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
           case "ZUNIONSTORE" | "ZINTERSTORE" | "ZDIFFSTORE"
               if argv.size >= 4 =>
             Seq(argv(1))
+          case "ZRANGESTORE" if argv.size >= 5 =>
+            Seq(argv(1))
           case _ => Seq.empty
         }
       }.toSet
@@ -275,6 +277,95 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
                 case _ => VSet(Set(argv(3)))
               }
             case _ => ()
+          }
+        case "ZRANGESTORE" =>
+          // r16: a deterministic range of the source zset replaces
+          // the destination (deleted when empty). Independent
+          // ordering path: the model sorts (score, member) tuples of
+          // its Double map and slices/filters with plain collection
+          // code.
+          val src = argv(2)
+          var by = "idx"
+          var rev = false
+          var off2 = 0L
+          var cnt2 = -1L
+          var j = 5
+          while (j < argv.size) {
+            argv(j).toUpperCase match {
+              case "BYSCORE" => by = "score"; j += 1
+              case "BYLEX" => by = "lex"; j += 1
+              case "REV" => rev = true; j += 1
+              case "LIMIT" =>
+                off2 = argv(j + 1).toLong
+                cnt2 = argv(j + 2).toLong
+                j += 3
+              case _ => j = argv.size
+            }
+          }
+          vals.get(src) match {
+            case Some(VZ(zm)) =>
+              val asc = zm.toVector.sortBy { case (m, d) => (d, m) }
+              val seq = if (rev) asc.reverse else asc
+              def lim(xs: Vector[(String, Double)]) = {
+                val dr = xs.drop(off2.toInt)
+                if (cnt2 < 0) dr else dr.take(cnt2.toInt)
+              }
+              val sel: Vector[(String, Double)] = by match {
+                case "idx" =>
+                  val n = seq.size.toLong
+                  val lo0 = argv(3).toLong
+                  val hi0 = argv(4).toLong
+                  val lo = math.min(math.max(
+                    if (lo0 < 0) n + lo0 else lo0, 0L), n).toInt
+                  val hi = math.min(math.max(
+                    if (hi0 < 0) n + hi0 else hi0, -1L), n - 1).toInt
+                  if (lo > hi) Vector.empty
+                  else seq.slice(lo, hi + 1)
+                case "score" =>
+                  def b(x: String): (Double, Boolean) =
+                    if (x.startsWith("("))
+                      (rscore(x.substring(1)).get, false)
+                    else (rscore(x).get, true)
+                  val (lo, hi) =
+                    if (rev) (b(argv(4)), b(argv(3)))
+                    else (b(argv(3)), b(argv(4)))
+                  lim(seq.filter { case (_, d) =>
+                    (if (lo._2) d >= lo._1 else d > lo._1) &&
+                      (if (hi._2) d <= hi._1 else d < hi._1)
+                  })
+                case _ =>
+                  def inLo(m: String, x: String) = x match {
+                    case "-" => true
+                    case "+" => false
+                    case _ if x.startsWith("[") =>
+                      m >= x.substring(1)
+                    case _ => m > x.substring(1)
+                  }
+                  def inHi(m: String, x: String) = x match {
+                    case "+" => true
+                    case "-" => false
+                    case _ if x.startsWith("[") =>
+                      m <= x.substring(1)
+                    case _ => m < x.substring(1)
+                  }
+                  val (loS, hiS) =
+                    if (rev) (argv(4), argv(3))
+                    else (argv(3), argv(4))
+                  lim(seq.filter { case (m, _) =>
+                    inLo(m, loS) && inHi(m, hiS)
+                  })
+              }
+              if (sel.isEmpty) { vals.remove(k); () }
+              else vals(k) = VZ(sel.toMap)
+              ttl.remove(k)
+              if (untracked(src) || deferred(src)) drop(k)
+              else untracked -= k
+            case None =>
+              // empty range: the destination is DELETED, known
+              vals.remove(k); ttl.remove(k)
+              if (untracked(src) || deferred(src)) drop(k)
+              else untracked -= k
+            case _ => () // WRONGTYPE: server errors, not generated
           }
         case "ZUNIONSTORE" | "ZINTERSTORE" | "ZDIFFSTORE" =>
           // r16: sources are zsets OR sets (score 1); WEIGHTS scale,
@@ -699,7 +790,7 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
       case _ => f"${rnd.nextDouble() * 20 - 10}%.2f"
     }
     def xid = s"${rnd.nextInt(9) + 1}-${rnd.nextInt(3)}"
-    rnd.nextInt(42) match {
+    rnd.nextInt(43) match {
       case 0 => Seq("SET", key, v)
       case 1 => Seq("SET", key, v, "KEEPTTL")
       case 2 => Seq("SET", key, v, "NX")
@@ -840,6 +931,49 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
         if (zOk(s1) && zOk(s2))
           Seq(cmd3, dst, "2", s1, s2) ++ opts
         else Seq("ZADD", key, score, member)
+      case 41 =>
+        // ZRANGESTORE: the source must really be zset-or-absent
+        val dst = key
+        val src = keys(rnd.nextInt(keys.size))
+        val srcOk = model.vals.get(src) match {
+          case Some(VZ(_)) | None => true
+          case _ => false
+        }
+        if (!srcOk) Seq("ZADD", key, score, member)
+        else rnd.nextInt(3) match {
+          case 0 => Seq("ZRANGESTORE", dst, src,
+            (rnd.nextInt(4) - 2).toString,
+            (rnd.nextInt(5) - 2).toString) ++
+            (if (rnd.nextBoolean()) Seq("REV") else Seq.empty)
+          case 1 =>
+            val lo = if (rnd.nextBoolean()) "-inf"
+              else s"(${rnd.nextInt(11) - 5}"
+            val hi = if (rnd.nextBoolean()) "+inf"
+              else (rnd.nextInt(11) - 5).toString
+            val rev = rnd.nextBoolean()
+            Seq("ZRANGESTORE", dst, src) ++
+              (if (rev) Seq(hi, lo, "BYSCORE", "REV")
+              else Seq(lo, hi, "BYSCORE")) ++
+              (if (rnd.nextBoolean())
+                Seq("LIMIT", rnd.nextInt(2).toString,
+                  (rnd.nextInt(4) - 1).toString)
+              else Seq.empty)
+          case _ =>
+            val lo = rnd.nextInt(3) match {
+              case 0 => "-"
+              case 1 => "[m" + rnd.nextInt(6)
+              case _ => "(m" + rnd.nextInt(6)
+            }
+            val hi = rnd.nextInt(3) match {
+              case 0 => "+"
+              case 1 => "[m" + rnd.nextInt(6)
+              case _ => "(m" + rnd.nextInt(6)
+            }
+            val rev = rnd.nextBoolean()
+            Seq("ZRANGESTORE", dst, src) ++
+              (if (rev) Seq(hi, lo, "BYLEX", "REV")
+              else Seq(lo, hi, "BYLEX"))
+        }
       case _ =>
         // COPY: only effective forms replicate — REPLACE, or a
         // really-absent destination

@@ -128,6 +128,20 @@ class RedisStateOpsSpec extends graft.SparkSuite {
       .isEmpty) // weight count must match numkeys
     assert(ops("ZDIFFSTORE", "d", "2", "a", "b", "WEIGHTS", "1",
       "2").isEmpty) // ZDIFFSTORE takes no options
+    // ZRANGESTORE: a single-source movement whose mvout carries the
+    // validated range spec; LIMIT is rejected without BY*
+    assert(ops("ZRANGESTORE", "d", "z", "0", "-1")
+      .map(o => (o.key, o.op, o.vtype)) ==
+      Seq((key(0, "z"), "mvout", "zrs"), (key(0, "d"), "mvin",
+        "zrs")))
+    assert(ops("ZRANGESTORE", "d", "z", "(1", "+inf", "BYSCORE",
+      "REV", "LIMIT", "0", "2").head.value ==
+      """{"m":"(1","x":"+inf","b":"score","r":true,"o":0,"c":2}""")
+    assert(ops("ZRANGESTORE", "d", "z", "0", "-1", "LIMIT", "0",
+      "2").isEmpty) // LIMIT without BY*
+    assert(ops("ZRANGESTORE", "d", "z", "x", "-1").isEmpty)
+    assert(ops("ZRANGESTORE", "d", "z", "[a", "bad", "BYLEX")
+      .isEmpty)
     assert(ops("LMOVE", "a", "a", "LEFT", "RIGHT").head ==
       Op(key(0, "a"), "lrot", "list", "LR", "", None))
     assert(ops("LMOVE", "a", "a", "LEFT", "LEFT").isEmpty)
@@ -871,7 +885,15 @@ class RedisStateOpsSpec extends graft.SparkSuite {
       opsOf(B + 220, "ZUNIONSTORE", "zu", "2", "za", "zb",
         "WEIGHTS", "2", "3") ++
       opsOf(B + 230, "ZINTERSTORE", "zi", "2", "za", "zb") ++
-      opsOf(B + 240, "ZDIFFSTORE", "zd", "2", "za", "zb"))
+      opsOf(B + 240, "ZDIFFSTORE", "zd", "2", "za", "zb") ++
+      // ZRANGESTORE: top-1 by score (REV index range), a score
+      // range, and an empty range that deletes the pre-seeded dst
+      opsOf(B + 250, "ZRANGESTORE", "zr1", "za", "0", "0", "REV") ++
+      opsOf(B + 260, "ZRANGESTORE", "zr2", "za", "(10", "+inf",
+        "BYSCORE") ++
+      opsOf(B + 270, "SET", "zr3", "old") ++
+      opsOf(B + 280, "ZRANGESTORE", "zr3", "za", "(99", "+inf",
+        "BYSCORE"))
     val out = RedisStateOps.Merger.merge(spark, None, deltas, 0L)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     def of(k: String) = out.get(key(0, k))
@@ -908,6 +930,13 @@ class RedisStateOpsSpec extends graft.SparkSuite {
       !p.contains("\"m\"")), of("zi"))
     assert(of("zd").exists(p => p.contains("[\"m\",\"10\"]") &&
       !p.contains("\"n\"")), of("zd"))
+    // zr1 = za's highest-scored member only; zr2 = scores > 10;
+    // zr3: the empty range DELETED the pre-seeded destination
+    assert(of("zr1").exists(p => p.contains("[\"n\",\"20\"]") &&
+      !p.contains("\"m\"")), of("zr1"))
+    assert(of("zr2").exists(p => p.contains("[\"n\",\"20\"]") &&
+      !p.contains("\"m\"")), of("zr2"))
+    assert(of("zr3").isEmpty, of("zr3"))
     // the chain: c1 absent (renamed away), c2 absent (renamed away
     // in phase B), c3 an honest tombstone (no emission reached it)
     assert(of("c1").isEmpty && of("c2").isEmpty, out.keySet)
