@@ -39,6 +39,14 @@ object ResidencyDrill {
     val perSeg = if (args.length >= 3) args(2).toInt else 5
     val keySpace = if (args.length >= 4) args(3).toInt else 10000
     val lane = if (args.length >= 5) args(4) else "redis"
+    // workload shape: "clean" = the r14 steady-state mix (SET/HSET/
+    // DEL only — census reads zero by construction); "drops" adds
+    // the command families a real keyspace carries so the
+    // face-completeness census (round-16 verdict item 6) measures a
+    // real rate — exact folds (GEOADD, RESTORE, RENAME) that must
+    // NOT tombstone, and bit/sketch surgery (SETBIT, PFADD, BITOP)
+    // that must, over bounded key families
+    val mix = if (args.length >= 6) args(5) else "clean"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -103,8 +111,35 @@ object ResidencyDrill {
         out.write(s"+CONTINUE $replId\r\n".getBytes("ascii"))
         (0 until perSeg).foreach { j =>
           val n = (i * perSeg + j) % keySpace
-          val op = (i * perSeg + j) % 20
-          if (op == 19) out.write(resp("DEL", s"k:$n"))
+          val op = (i * perSeg + j) % (if (mix == "drops") 100 else 20)
+          if (mix == "drops") {
+            // all payload bytes ≤ 0x7F, so the RESP UTF-8 encode and
+            // the landing's latin-1 RESTORE-operand decode agree
+            def dumpStr(v: String): String =
+              "\u0000" + (v.length & 0x3f).toChar + v +
+                "\u000b" + "\u0000" * 9
+            if (op < 50) out.write(resp("SET", s"k:$n", s"v$i-$j"))
+            else if (op < 65) out.write(resp("HSET", s"h:$n", "f",
+              s"v$i"))
+            else if (op < 70) out.write(resp("DEL", s"k:$n"))
+            else if (op < 75) // exact movement fold: no tombstone
+              out.write(resp("RENAME", s"k:$n", s"r:${n % 1000}"))
+            else if (op < 80) // exact geohash fold: no tombstone
+              out.write(resp("GEOADD", s"geo:${n % 100}",
+                s"${n % 180}.25", s"${n % 85}.25", s"m$n"))
+            else if (op < 85) // exact dump decode: no tombstone
+              out.write(resp("RESTORE", s"rst:${n % 1000}", "0",
+                dumpStr(s"v$i"), "REPLACE"))
+            else if (op < 95) // bit surgery: honest tombstone
+              out.write(resp("SETBIT", s"bits:${n % 500}",
+                (n % 64).toString, "1"))
+            else if (op < 98) // sketch state: honest tombstone
+              out.write(resp("PFADD", s"hll:${n % 100}", s"m$n"))
+            else // dest-elsewhere surgery: honest tombstone
+              out.write(resp("BITOP", "AND", s"dstb:${n % 100}",
+                s"bits:${n % 500}"))
+          }
+          else if (op == 19) out.write(resp("DEL", s"k:$n"))
           else if (op >= 17)
             out.write(resp("HSET", s"h:$n", "f", s"v$i"))
           else out.write(resp("SET", s"k:$n", s"v$i-$j"))
@@ -134,7 +169,8 @@ object ResidencyDrill {
     println("""{"drill":"residency","lane":"redis","cols":""" +
       """["pass","median_ms","capture_files","markers",""" +
       """"state_entries","cmd_dirs","snap_dirs",""" +
-      """"max_fold_tier","max_fold_parts"]}""")
+      """"max_fold_tier","max_fold_parts",""" +
+      """"face_total_keys","face_tombstone_keys"]}""")
     (0 until passes).foreach { i =>
       val name = f"psync.${i + 1}%06d.log"
       Fs.write(s"$captureDir/$name", segment(i))
@@ -163,13 +199,17 @@ object ResidencyDrill {
           s""""capture_files":$capture,"markers":$markers,""" +
           s""""state_entries":$stateEntries,"cmd_dirs":$cmdDirs,""" +
           s""""snap_dirs":$snapDirs,"max_fold_tier":$tier,""" +
-          s""""max_fold_parts":$parts}""")
+          s""""max_fold_parts":$parts,""" +
+          s""""face_total_keys":${lander.trackedKeys},""" +
+          s""""face_tombstone_keys":${lander.tombstonedKeys}}""")
       }
     }
     lander.finish(Seq.empty)
     val state = spark.read.parquet(s"$sink/redis.state").count()
     println(s"""{"drill":"residency","passes":$passes,""" +
-      s""""final_state_keys":$state}""")
+      s""""mix":"$mix","final_state_keys":$state,""" +
+      s""""face_total_keys":${lander.trackedKeys},""" +
+      s""""face_tombstone_keys":${lander.tombstonedKeys}}""")
     spark.stop()
   }
 

@@ -342,6 +342,139 @@ object StateFaceQueries {
       |         AS payload
       |FROM o GROUP BY ckey""".stripMargin
 
+  // ---------------------------------------------------------------- q157
+
+  /** Deterministic RESTORE + GEOADD fixture derived from `customer`,
+    * driven through the PRODUCTION command path (round-16 verdict
+    * Missing #2/#3 → round-17): unlike q153-q156, which construct op
+    * rows directly, this fixture builds raw argv per row and runs
+    * [[RedisStateOps.commandOps]] ON THE EXECUTORS — the RESTORE
+    * payloads are RDB-encoded fixture-side and decoded by the real
+    * dump decoder inside the landing map. Per customer k:
+    *  - SET `rh:<k>` then RESTORE REPLACE a hash dump {name, seg} —
+    *    the full-knowledge replacement; 11-divisible keys are
+    *    poisoned (unsupp) in between, so REPLACE must also CLEAR a
+    *    tombstone;
+    *  - RESTORE (plain) `rk:<k>` with a string dump of the market
+    *    segment and ttl (k%7)·1000 — conditional-on-absence landing
+    *    with the x hint;
+    *  - 3-divisible keys RESTORE a legacy-ASCII zset dump
+    *    {name → floor(acctbal)} into `rz:<k>` — score
+    *    canonicalization through the decode;
+    *  - GEOADD `geo:<segment>` (k%180)+0.25 / (k%85)+0.25 name —
+    *    the oracle recomputes the 52-bit geohash in SQL (floor
+    *    offsets + Morton spread via the same mask cascade).
+    */
+  def redisRestoreGeo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("k"),
+      col("c_name").cast("string").as("nm"),
+      col("c_mktsegment").cast("string").as("seg"),
+      floor(col("c_acctbal")).cast("long").as("bal"))
+      .as[(Long, String, String, Long)]
+    val rows = c.flatMap { case (k, nm, seg, bal) =>
+      def enc6(n: Int) = (n & 0x3f).toChar.toString
+      def estr(s: String) = enc6(s.length) + s
+      // 2-byte RDB version LE (11) + 8-byte CRC (structural only —
+      // the decode trusts a master-verified frame)
+      val footer = "\u000b" + "\u0000" * 9
+      val strDump = "\u0000" + estr(seg) + footer
+      val hashDump = "\u0004" + enc6(2) + estr("name") + estr(nm) +
+        estr("seg") + estr(seg) + footer
+      val balStr = bal.toString
+      val zsetDump = "\u0003" + enc6(1) + estr(nm) +
+        balStr.length.toChar + balStr + footer
+      val lon = s"${k % 180}.25"
+      val lat = s"${k % 85}.25"
+      val cmds: Seq[Seq[String]] = Seq(
+        Seq("SET", s"rh:$k", "orig"),
+        Seq("RESTORE", s"rh:$k", "0", hashDump, "REPLACE"),
+        Seq("RESTORE", s"rk:$k", ((k % 7) * 1000).toString,
+          strDump)) ++
+        (if (k % 3 == 0)
+          Seq(Seq("RESTORE", s"rz:$k", "0", zsetDump))
+        else Nil) ++
+        Seq(Seq("GEOADD", s"geo:$seg", lon, lat, nm))
+      val base = RedisStateOps.CommandRankBase + k * 32
+      // the poison sits BETWEEN the SET and the RESTORE REPLACE, so
+      // the REPLACE must clear a live tombstone
+      val poison =
+        if (k % 11 == 0)
+          Seq(("psync.000001.log", base + 4,
+            RedisStateOps.stateKey(0L, s"rh:$k"), 0L, "unsupp", "",
+            "", "", Option.empty[Long]))
+        else Nil
+      poison ++ cmds.zipWithIndex.flatMap { case (argv, i) =>
+        RedisStateOps.commandOps(argv, 0L)._2.zipWithIndex.map {
+          case (o, j) =>
+            ("psync.000001.log", base + i * 5 + j, o.key, 0L,
+              o.op, o.vtype, o.field, o.value, o.ex)
+        }
+      }
+    }.toDF("sseg", "rank", "key", "db", "op", "value_type", "field",
+      "value", "expire_ms")
+    val merged = RedisStateOps.Merger.merge(spark, None, rows, 0L)
+    // commandOps keys are `db \u0000 rkey`; the oracle compares the
+    // bare key (db 0 throughout this fixture)
+    RedisStateOps.Merger.flatView.get(merged)
+      .select(substring_index(col("key"), "\u0000", -1).as("key"),
+        col("payload"))
+  }
+
+  private val redisRestoreGeoSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey AS k, c_name AS nm, c_mktsegment AS seg,
+      |         CAST(FLOOR(c_acctbal) AS BIGINT) AS bal
+      |  FROM customer),
+      |m0 AS (
+      |  SELECT k, nm, seg,
+      |         CAST(FLOOR(((CAST(k % 85 AS DOUBLE) + 0.25
+      |             + 85.05112878)
+      |           / (85.05112878 + 85.05112878)) * 67108864.0)
+      |           AS BIGINT) AS a,
+      |         CAST(FLOOR(((CAST(k % 180 AS DOUBLE) + 0.25 + 180.0)
+      |           / 360.0) * 67108864.0) AS BIGINT) AS b
+      |  FROM c),
+      |m1 AS (SELECT k, nm, seg,
+      |         ((a | (a << 16)) & 281470681808895) AS a,
+      |         ((b | (b << 16)) & 281470681808895) AS b FROM m0),
+      |m2 AS (SELECT k, nm, seg,
+      |         ((a | (a << 8)) & 71777214294589695) AS a,
+      |         ((b | (b << 8)) & 71777214294589695) AS b FROM m1),
+      |m3 AS (SELECT k, nm, seg,
+      |         ((a | (a << 4)) & 1085102592571150095) AS a,
+      |         ((b | (b << 4)) & 1085102592571150095) AS b FROM m2),
+      |m4 AS (SELECT k, nm, seg,
+      |         ((a | (a << 2)) & 3689348814741910323) AS a,
+      |         ((b | (b << 2)) & 3689348814741910323) AS b FROM m3),
+      |m5 AS (SELECT k, nm, seg,
+      |         ((a | (a << 1)) & 6148914691236517205) AS a,
+      |         ((b | (b << 1)) & 6148914691236517205) AS b FROM m4),
+      |geo AS (SELECT k, nm, seg, (a | (b << 1)) AS bits FROM m5)
+      |SELECT 'rh:' || k AS key,
+      |       '{"t":"hash","e":[["name","' || nm || '"],["seg","' ||
+      |         seg || '"]]}' AS payload
+      |FROM c
+      |UNION ALL
+      |SELECT 'rk:' || k AS key,
+      |       '{"t":"string"' ||
+      |         CASE WHEN k % 7 <> 0
+      |              THEN ',"x":' || ((k % 7) * 1000) ELSE '' END ||
+      |         ',"e":[["","' || seg || '"]]}' AS payload
+      |FROM c
+      |UNION ALL
+      |SELECT 'rz:' || k AS key,
+      |       '{"t":"zset","e":[["' || nm || '","' || bal ||
+      |         '"]]}' AS payload
+      |FROM c WHERE k % 3 = 0
+      |UNION ALL
+      |SELECT 'geo:' || seg AS key,
+      |       '{"t":"zset","e":[' ||
+      |         string_agg('["' || nm || '","' || bits || '"]', ','
+      |           ORDER BY nm) || ']}' AS payload
+      |FROM geo GROUP BY seg""".stripMargin
+
   // ---------------------------------------------------------------- q154
 
   /** Deterministic mongo change-stream fixture derived from
@@ -424,11 +557,13 @@ object StateFaceQueries {
     "q153_redis_state_fold" -> (redisStateFold _),
     "q154_mongo_state_face" -> (mongoStateFace _),
     "q155_redis_stream_fold" -> (redisStreamFold _),
-    "q156_redis_move_fold" -> (redisMoveFold _))
+    "q156_redis_move_fold" -> (redisMoveFold _),
+    "q157_redis_restore_geo" -> (redisRestoreGeo _))
 
   val oracles: Map[String, String] = Map(
     "q153_redis_state_fold" -> redisStateFoldSql,
     "q154_mongo_state_face" -> mongoStateFaceSql,
     "q155_redis_stream_fold" -> redisStreamFoldSql,
-    "q156_redis_move_fold" -> redisMoveFoldSql)
+    "q156_redis_move_fold" -> redisMoveFoldSql,
+    "q157_redis_restore_geo" -> redisRestoreGeoSql)
 }

