@@ -451,7 +451,15 @@ object StateFaceQueries {
       |m5 AS (SELECT k, nm, seg,
       |         ((a | (a << 1)) & 6148914691236517205) AS a,
       |         ((b | (b << 1)) & 6148914691236517205) AS b FROM m4),
-      |geo AS (SELECT k, nm, seg, (a | (b << 1)) AS bits FROM m5)
+      |geo0 AS (SELECT k, nm, seg, (a | (b << 1)) AS bits FROM m5),
+      |-- cloned scale factors repeat customer NAMES (gen_sf offsets
+      |-- keys, not names): colliding GEOADD members last-write-win in
+      |-- rank order, which ascends with k
+      |geo AS (SELECT nm, seg, bits FROM (
+      |  SELECT nm, seg, bits,
+      |         row_number() OVER (PARTITION BY seg, nm
+      |                            ORDER BY k DESC) AS rn
+      |  FROM geo0) WHERE rn = 1)
       |SELECT 'rh:' || k AS key,
       |       '{"t":"hash","e":[["name","' || nm || '"],["seg","' ||
       |         seg || '"]]}' AS payload

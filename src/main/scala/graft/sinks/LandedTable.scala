@@ -90,6 +90,23 @@ object LandedTable {
       * the base itself always keeps the full merge output.
       */
     def flatView: Option[DataFrame => DataFrame] = None
+
+    /** Post-write lifecycle hook (round-16 verdict item 1): release
+      * whatever the last merge() pinned — cached intermediate frames
+      * a multi-branch plan reuses (the movement fold's packed-op
+      * frame). compactTo/publishFlat call this AFTER their output is
+      * written, so a merger can `persist` (executor memory,
+      * deterministically reclaimed here) instead of
+      * `localCheckpoint` (a guaranteed local-disk write per cadence;
+      * wall-clock measured a wash locally, but persist survives
+      * executor loss by recompute where the checkpoint fails the
+      * merge job). Must be
+      * idempotent and safe against lazily-held frames: an unpersist
+      * only drops cache blocks — a consumer that still holds the
+      * plan recomputes (the fold is deterministic: sort_array over
+      * unique (sseg, rank) prefixes). Default no-op.
+      */
+    def release(): Unit = ()
   }
 
   /** The base/flat face schema. Pre-round-13 bases carried the full
@@ -307,7 +324,8 @@ object LandedTable {
     if (ids.isEmpty) return
     val merged = merge(spark, prev.map(_._2), table, ids, merger)
     val stage = f"$table/_stage-$uptoBatch%08d"
-    merged.write.mode(SaveMode.Overwrite).parquet(stage)
+    try merged.write.mode(SaveMode.Overwrite).parquet(stage)
+    finally merger.release() // the stage write consumed the plan
     val committed = baseDir(table, uptoBatch)
     if (!Fs.exists(committed) && !Fs.rename(stage, committed))
       throw new java.io.IOException(
@@ -349,9 +367,10 @@ object LandedTable {
               .mode(SaveMode.Overwrite).parquet(stage)
         }
       case _ =>
-        // read() already applies flatView
-        read(spark, table, merger).write.mode(SaveMode.Overwrite)
+        // read() already applies flatView; its merge may pin frames
+        try read(spark, table, merger).write.mode(SaveMode.Overwrite)
           .parquet(stage)
+        finally merger.release()
     }
     Fs.listNames(table)
       .filter(n => !n.startsWith("_") && !n.startsWith("."))

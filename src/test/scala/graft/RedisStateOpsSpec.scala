@@ -981,6 +981,44 @@ class RedisStateOpsSpec extends graft.SparkSuite {
     assert(flat3(key(0, "lost")).contains("back"))
   }
 
+  test("a movement merge pins its packed-op frame and the release() " +
+      "lifecycle hook (called by the LSM machinery post-write) " +
+      "unpersists it; the next merge self-drains a caller that " +
+      "never released") {
+    val s = spark
+    import s.implicits._
+    def deltaDf(rows: Seq[(String, Long, String, Long, String,
+        String, String, String, Option[Long])]) =
+      rows.toDF("sseg", "rank", "key", "db", "op", "value_type",
+        "field", "value", "expire_ms")
+    def movementDeltas(seg: String) = deltaDf(Seq(
+      (seg, 1L, key(0, "src"), 0L, "set", "string", "", "v", None),
+      (seg, 2L, key(0, "src"), 0L, "mvout", "ren", key(0, "dst"),
+        "", None),
+      (seg, 3L, key(0, "dst"), 0L, "mvin", "ren", key(0, "src"),
+        "", None)))
+    spark.catalog.clearCache()
+    val cm = spark.sharedState.cacheManager
+    val m1 = RedisStateOps.Merger
+      .merge(spark, None, movementDeltas("psync.000001.log"), 0L)
+    assert(!cm.isEmpty, "movement merge should pin a cached frame")
+    assert(m1.collect().map(_.getString(0)).toSet ==
+      Set(key(0, "dst")))
+    RedisStateOps.Merger.release()
+    assert(cm.isEmpty, "release() must unpersist the pinned frame")
+    // idempotent
+    RedisStateOps.Merger.release()
+    // a caller that never releases is drained by the NEXT merge
+    RedisStateOps.Merger
+      .merge(spark, None, movementDeltas("psync.000002.log"), 0L)
+    assert(!cm.isEmpty)
+    RedisStateOps.Merger
+      .merge(spark, None, movementDeltas("psync.000003.log"), 0L)
+      .collect()
+    RedisStateOps.Merger.release()
+    assert(cm.isEmpty)
+  }
+
   test("cross-key movement folds through the merger's second phase: " +
       "RENAME/COPY/SMOVE/LMOVE destinations materialize the moved " +
       "state; chains tombstone at the second hop (round-15 verdict " +
