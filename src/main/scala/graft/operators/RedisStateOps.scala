@@ -223,7 +223,12 @@ object RedisStateOps {
           if argv.size >= 3 =>
         // *AT forms land absolute epoch ms; relative forms land the
         // as-captured relative ms (documented: an expire HINT — the
-        // landed face never evicts by wall clock)
+        // landed face never evicts by wall clock). The 7.x NX/XX/
+        // GT/LT options are deliberately ignored: the server
+        // propagates every effective expire rewritten as a bare
+        // PEXPIREAT (expire.c propagation), so an options-bearing
+        // form never reaches a replication-stream fold — and the
+        // hint is too conflated to honor a comparison honestly.
         val raw = argv(2).toLongOption
         val ms = raw.map { v =>
           if (cmd.startsWith("P")) v else v * 1000L
@@ -465,7 +470,11 @@ object RedisStateOps {
         (db, Seq(Op(stateKey(db, argv(2)), "unsupp", "", "", "",
           None)))
       case "LMPOP" | "ZMPOP" if argv.size >= 3 =>
-        // <numkeys> <key...> — every named key may have been popped
+        // <numkeys> <key...> — every named key may have been popped.
+        // Near-unreachable defensively: the server replicates these
+        // rewritten as LPOP/RPOP/ZPOPMIN-style effects on the ONE
+        // key that actually popped (t_list.c/t_zset.c generic mpop
+        // propagation), the same rewrite rule as SPOP.
         val n = argv(1).toLongOption.map(_.toInt).getOrElse(0)
         (db, argv.slice(2, 2 + n).map(r =>
           Op(stateKey(db, r), "unsupp", "", "", "", None)))
@@ -1319,11 +1328,13 @@ object RedisStateOps {
         // HINT stays absent (honest)
         strSt(op.value, op.ex)
       case "del" => None // known-absent clears the tombstone
-      case "restore" if op.vtype == "r" =>
+      case "restore" if op.vtype == "r" &&
+          op.value.startsWith("P") =>
         // RESTORE REPLACE carries the full decoded object — a
         // full-knowledge write, so it clears the tombstone like SET
         // (the plain form is conditional on key absence, unknowable
-        // here: falls through to the honest keep)
+        // here — and a payload-less hand-built row carries no
+        // knowledge: both fall through to the honest keep)
         Some(parse(op.value.substring(1)))
       case _ => state // element-level ops cannot rebuild unknown state
     }
@@ -1341,10 +1352,15 @@ object RedisStateOps {
         // time). REPLACE (vtype "r") replaces unconditionally; the
         // plain form only lands on an absent key — the server
         // rejects it with BUSYKEY otherwise, leaving state untouched
-        // (same conditional-fold discipline as setnx/cpy).
-        val st = parse(op.value.substring(1))
-        if (op.vtype == "r" || state.isEmpty) Some(st)
-        else state
+        // (same conditional-fold discipline as setnx/cpy). A
+        // hand-built row without the payload prefix carries no
+        // knowledge: honest drop, like the mvin malformed-data rule.
+        if (!op.value.startsWith("P")) Some(tomb())
+        else {
+          val st = parse(op.value.substring(1))
+          if (op.vtype == "r" || state.isEmpty) Some(st)
+          else state
+        }
       case "append" => state match {
         case Some(st) if st.t != "string" => state // WRONGTYPE
         case Some(st) =>

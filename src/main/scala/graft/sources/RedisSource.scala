@@ -580,7 +580,10 @@ object RedisRdb {
       val body = java.util.Arrays.copyOfRange(payload, 1,
         payload.length - 10)
       val r = new Reader(body)
-      Some(readTypedValue(r, 0L, "", valueType, None))
+      val entries = readTypedValue(r, 0L, "", valueType, None)
+      // trailing bytes = a desynced frame (the object must consume
+      // the body exactly) — reject rather than trust a partial read
+      if (r.hasMore) None else Some(entries)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

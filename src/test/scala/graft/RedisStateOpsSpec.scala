@@ -824,6 +824,15 @@ class RedisStateOpsSpec extends graft.SparkSuite {
     assert(ops("RESTORE", "k", "0",
       dump(7, len6(8))).head.op == "unsupp")
     assert(ops("RESTORE", "k", "0", "ab").head.op == "unsupp")
+    // a desynced frame (trailing bytes after the object) must not
+    // trust the partial read
+    assert(ops("RESTORE", "k", "0",
+      dump(0, rstr("v") ++ rstr("junk"))).head.op == "unsupp")
+    // a hand-built restore row without the payload prefix carries
+    // no knowledge: honest drop, not a crash
+    assert(fold(k, null, packed(
+      op(Op(k, "restore", "r", "", "garbage", None), 1)))
+      .startsWith(RedisStateOps.TombPrefix))
 
     // fold semantics: plain RESTORE lands only on an absent key
     val landed = fold(k, null, packed(op(rs.head, 1)))
