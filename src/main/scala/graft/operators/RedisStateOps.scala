@@ -2369,7 +2369,14 @@ object RedisStateOps {
 
     override def release(): Unit = {
       var df = pinned.poll()
-      while (df != null) { df.unpersist(false); df = pinned.poll() }
+      while (df != null) {
+        // NonFatal guard: a frame pinned under a since-stopped
+        // SparkSession (fixture runs that stop/restart sessions in
+        // one JVM) must not abort the new session's first merge
+        try df.unpersist(false)
+        catch { case scala.util.control.NonFatal(_) => () }
+        df = pinned.poll()
+      }
     }
 
     /** The published flat face (and `LandedTable.read`) hides
@@ -2483,7 +2490,13 @@ object RedisStateOps {
       // consumption (per-block compute locks — no 3× recompute).
       // Unpersist is correctness-safe against stragglers: the fold
       // recomputes deterministically (sort_array over unique
-      // (sseg, rank) prefixes).
+      // (sseg, rank) prefixes). Consumption contract (unchanged from
+      // every lazy LandedTable.read frame, whose BASE paths the next
+      // compactTo also deletes post-commit): a lazily-held movement
+      // frame must be consumed before the same table's next cadence
+      // merge deletes the delta dirs it reads — in-tree consumers
+      // (compactTo/publishFlat writes, the single-threaded lander
+      // loop) all do.
       val opsByKey = opsByKey0.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pinned.add(opsByKey)

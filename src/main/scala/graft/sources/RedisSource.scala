@@ -422,141 +422,141 @@ object RedisRdb {
   private def readTypedValue(r: Reader, db: Long, key: String,
       valueType: Int, expireMs: Option[Long]): Seq[Entry] = {
     val out = Seq.newBuilder[Entry]
-            valueType match {
-              case 0 => // string
-                out += Entry(db, key, "string", "", r.string(), expireMs)
-              case 1 => // list (raw quicklist-free encoding)
-                val n = r.length()
-                (0L until n).foreach(i =>
-                  out += Entry(db, key, "list", i.toString, r.string(),
-                    expireMs))
-              case 2 => // set
-                val n = r.length()
-                (0L until n).foreach(_ =>
-                  out += Entry(db, key, "set", r.string(), "", expireMs))
-              case 4 => // hash
-                val n = r.length()
-                (0L until n).foreach { _ =>
-                  val f = r.string()
-                  out += Entry(db, key, "hash", f, r.string(), expireMs)
-                }
-              case 11 => // intset-encoded set (entry_parser RDB_TYPE 11)
-                r.intset().foreach(m =>
-                  out += Entry(db, key, "set", m, "", expireMs))
-              case 16 => // hash listpack (RDB_TYPE_HASH_LISTPACK)
-                r.listpack().grouped(2).foreach {
-                  case Seq(f, v) =>
-                    out += Entry(db, key, "hash", f, v, expireMs)
-                  case _ => ()
-                }
-              case 17 => // zset listpack (member, score pairs)
-                r.listpack().grouped(2).foreach {
-                  case Seq(m, s) =>
-                    out += Entry(db, key, "zset", m, s, expireMs)
-                  case _ => ()
-                }
-              case 18 => // quicklist v2: nodes are plain or packed
-                val nodes = r.length()
-                var idx = 0L
-                (0L until nodes).foreach { _ =>
-                  val container = r.length()
-                  val elems =
-                    if (container == 1) Seq(r.string()) // plain node
-                    else r.listpack() // packed node
-                  elems.foreach { e =>
-                    out += Entry(db, key, "list", idx.toString, e,
-                      expireMs)
-                    idx += 1
-                  }
-                }
-              case 20 => // set listpack (RDB_TYPE_SET_LISTPACK)
-                r.listpack().foreach(m =>
-                  out += Entry(db, key, "set", m, "", expireMs))
-              case 3 => // zset, legacy ASCII scores
-                val n = r.length()
-                (0L until n).foreach { _ =>
-                  val m = r.string()
-                  out += Entry(db, key, "zset", m, r.legacyDouble(),
-                    expireMs)
-                }
-              case 5 => // zset_2, binary doubles
-                val n = r.length()
-                (0L until n).foreach { _ =>
-                  val m = r.string()
-                  out += Entry(db, key, "zset", m, r.binaryDouble(),
-                    expireMs)
-                }
-              case 9 => // hash zipmap (≤2.4 era)
-                r.zipmap().foreach { case (f, v) =>
-                  out += Entry(db, key, "hash", f, v, expireMs)
-                }
-              case 10 => // list ziplist
-                r.ziplist().zipWithIndex.foreach { case (e, i) =>
-                  out += Entry(db, key, "list", i.toString, e, expireMs)
-                }
-              case 12 => // zset ziplist (member, score pairs)
-                r.ziplist().grouped(2).foreach {
-                  case Seq(m, s) =>
-                    out += Entry(db, key, "zset", m, s, expireMs)
-                  case _ => ()
-                }
-              case 13 => // hash ziplist
-                r.ziplist().grouped(2).foreach {
-                  case Seq(f, v) =>
-                    out += Entry(db, key, "hash", f, v, expireMs)
-                  case _ => ()
-                }
-              case 14 => // quicklist v1: every node is a ziplist string
-                val nodes = r.length()
-                var idx = 0L
-                (0L until nodes).foreach { _ =>
-                  r.ziplist().foreach { e =>
-                    out += Entry(db, key, "list", idx.toString, e,
-                      expireMs)
-                    idx += 1
-                  }
-                }
-              case 15 | 19 | 21 => // stream listpacks v1/v2/v3
-                out ++= readStream(r, db, key, valueType, expireMs)
-              case 22 | 24 => // hash with per-field TTL metadata (7.4):
-                // min-expiry u64, count, then (ttl, field, value) — ttls
-                // absolute in the pre-GA 22, delta-coded off min-1 in 24
-                // (reference hash_parser.rs:90-117 reads 22 this way and
-                // flags its own 24 path broken; 24 here follows the GA
-                // delta scheme)
-                val minExpire = r.u64le()
-                val n = r.length()
-                (0L until n).foreach { _ =>
-                  val raw = r.length()
-                  val fieldExpire =
-                    if (raw == 0L) None
-                    else if (valueType == 22) Some(raw)
-                    else Some(minExpire + raw - 1)
-                  val f = r.string()
-                  out += Entry(db, key, "hash", f, r.string(),
-                    fieldExpire.orElse(expireMs))
-                }
-              case 23 | 25 => // hash listpack with TTLs: (field, value,
-                // ttl) triplets; 25 (GA) prefixes the min-expiry u64
-                // (reference hash_parser.rs:119-138)
-                if (valueType == 25) r.u64le(): Unit
-                r.listpack().grouped(3).foreach {
-                  case Seq(f, v, ttl) =>
-                    val fieldExpire =
-                      if (ttl == "0") expireMs else Some(ttl.toLong)
-                    out += Entry(db, key, "hash", f, v, fieldExpire)
-                  case _ => ()
-                }
-              case 7 => // module v2: opcode-framed, skippable with
-                // position intact (reference module2_parser.rs:47-70)
-                out += readModule2(r, db, key, expireMs)
-              case 6 => throw new IllegalArgumentException(
-                s"rdb module v1 value for key $key: the pre-opcode " +
-                  "module format is not self-delimiting and cannot be " +
-                  "skipped safely")
-              case other => throw new IllegalArgumentException(
-                s"unsupported rdb value type $other for key $key")
-            }
+    valueType match {
+      case 0 => // string
+        out += Entry(db, key, "string", "", r.string(), expireMs)
+      case 1 => // list (raw quicklist-free encoding)
+        val n = r.length()
+        (0L until n).foreach(i =>
+          out += Entry(db, key, "list", i.toString, r.string(),
+            expireMs))
+      case 2 => // set
+        val n = r.length()
+        (0L until n).foreach(_ =>
+          out += Entry(db, key, "set", r.string(), "", expireMs))
+      case 4 => // hash
+        val n = r.length()
+        (0L until n).foreach { _ =>
+          val f = r.string()
+          out += Entry(db, key, "hash", f, r.string(), expireMs)
+        }
+      case 11 => // intset-encoded set (entry_parser RDB_TYPE 11)
+        r.intset().foreach(m =>
+          out += Entry(db, key, "set", m, "", expireMs))
+      case 16 => // hash listpack (RDB_TYPE_HASH_LISTPACK)
+        r.listpack().grouped(2).foreach {
+          case Seq(f, v) =>
+            out += Entry(db, key, "hash", f, v, expireMs)
+          case _ => ()
+        }
+      case 17 => // zset listpack (member, score pairs)
+        r.listpack().grouped(2).foreach {
+          case Seq(m, s) =>
+            out += Entry(db, key, "zset", m, s, expireMs)
+          case _ => ()
+        }
+      case 18 => // quicklist v2: nodes are plain or packed
+        val nodes = r.length()
+        var idx = 0L
+        (0L until nodes).foreach { _ =>
+          val container = r.length()
+          val elems =
+            if (container == 1) Seq(r.string()) // plain node
+            else r.listpack() // packed node
+          elems.foreach { e =>
+            out += Entry(db, key, "list", idx.toString, e,
+              expireMs)
+            idx += 1
+          }
+        }
+      case 20 => // set listpack (RDB_TYPE_SET_LISTPACK)
+        r.listpack().foreach(m =>
+          out += Entry(db, key, "set", m, "", expireMs))
+      case 3 => // zset, legacy ASCII scores
+        val n = r.length()
+        (0L until n).foreach { _ =>
+          val m = r.string()
+          out += Entry(db, key, "zset", m, r.legacyDouble(),
+            expireMs)
+        }
+      case 5 => // zset_2, binary doubles
+        val n = r.length()
+        (0L until n).foreach { _ =>
+          val m = r.string()
+          out += Entry(db, key, "zset", m, r.binaryDouble(),
+            expireMs)
+        }
+      case 9 => // hash zipmap (≤2.4 era)
+        r.zipmap().foreach { case (f, v) =>
+          out += Entry(db, key, "hash", f, v, expireMs)
+        }
+      case 10 => // list ziplist
+        r.ziplist().zipWithIndex.foreach { case (e, i) =>
+          out += Entry(db, key, "list", i.toString, e, expireMs)
+        }
+      case 12 => // zset ziplist (member, score pairs)
+        r.ziplist().grouped(2).foreach {
+          case Seq(m, s) =>
+            out += Entry(db, key, "zset", m, s, expireMs)
+          case _ => ()
+        }
+      case 13 => // hash ziplist
+        r.ziplist().grouped(2).foreach {
+          case Seq(f, v) =>
+            out += Entry(db, key, "hash", f, v, expireMs)
+          case _ => ()
+        }
+      case 14 => // quicklist v1: every node is a ziplist string
+        val nodes = r.length()
+        var idx = 0L
+        (0L until nodes).foreach { _ =>
+          r.ziplist().foreach { e =>
+            out += Entry(db, key, "list", idx.toString, e,
+              expireMs)
+            idx += 1
+          }
+        }
+      case 15 | 19 | 21 => // stream listpacks v1/v2/v3
+        out ++= readStream(r, db, key, valueType, expireMs)
+      case 22 | 24 => // hash with per-field TTL metadata (7.4):
+        // min-expiry u64, count, then (ttl, field, value) — ttls
+        // absolute in the pre-GA 22, delta-coded off min-1 in 24
+        // (reference hash_parser.rs:90-117 reads 22 this way and
+        // flags its own 24 path broken; 24 here follows the GA
+        // delta scheme)
+        val minExpire = r.u64le()
+        val n = r.length()
+        (0L until n).foreach { _ =>
+          val raw = r.length()
+          val fieldExpire =
+            if (raw == 0L) None
+            else if (valueType == 22) Some(raw)
+            else Some(minExpire + raw - 1)
+          val f = r.string()
+          out += Entry(db, key, "hash", f, r.string(),
+            fieldExpire.orElse(expireMs))
+        }
+      case 23 | 25 => // hash listpack with TTLs: (field, value,
+        // ttl) triplets; 25 (GA) prefixes the min-expiry u64
+        // (reference hash_parser.rs:119-138)
+        if (valueType == 25) r.u64le(): Unit
+        r.listpack().grouped(3).foreach {
+          case Seq(f, v, ttl) =>
+            val fieldExpire =
+              if (ttl == "0") expireMs else Some(ttl.toLong)
+            out += Entry(db, key, "hash", f, v, fieldExpire)
+          case _ => ()
+        }
+      case 7 => // module v2: opcode-framed, skippable with
+        // position intact (reference module2_parser.rs:47-70)
+        out += readModule2(r, db, key, expireMs)
+      case 6 => throw new IllegalArgumentException(
+        s"rdb module v1 value for key $key: the pre-opcode " +
+          "module format is not self-delimiting and cannot be " +
+          "skipped safely")
+      case other => throw new IllegalArgumentException(
+        s"unsupported rdb value type $other for key $key")
+    }
     out.result()
   }
 
