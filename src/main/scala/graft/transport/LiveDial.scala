@@ -62,10 +62,12 @@ object LiveDial {
       case "mysql" => 3306
       case "postgres" | "postgresql" | "pg" => 5432
       case "redis" | "rediss" => 6379
-      // +srv: TLS-required per the scheme; SRV RECORD RESOLUTION is
-      // not implemented (no DNS egress in this environment) — the
-      // named host dials directly on the default port, which works
-      // for single-host srv-style URLs and fails loudly otherwise
+      // +srv: TLS-required per the scheme; the DIALER resolves the
+      // SRV seed list per the mongodb initial-dns-seedlist spec
+      // ([[SrvResolver.mongoSeeds]]) and falls back to dialing the
+      // named host directly on this default port when resolution
+      // fails (the zero-egress posture; a bad host then fails
+      // loudly at connect)
       case "mongodb" | "mongodb+srv" => 27017
       case _ => -1
     }
@@ -131,13 +133,28 @@ object LiveDial {
     * happens at dial time.
     */
   def dialer(url: String, connectTimeoutMs: Int = 10000,
-      readTimeoutMs: Int = 60000): () => Wire = {
+      readTimeoutMs: Int = 60000,
+      resolver: SrvResolver.Resolver = SrvResolver.Jndi)
+      : () => Wire = {
     val ep = parseUrl(url)
     val fromByteZero =
       Set("redis", "rediss", "mongodb", "mongodb+srv")(ep.scheme) &&
         Tls.wanted(ep.sslMode)
     () => {
-      val w = new SocketWire(ep.host, ep.port, connectTimeoutMs,
+      // +srv seed resolution happens PER DIAL (inside the closure):
+      // the supervised reconnect ladder re-invokes this, so a
+      // re-parented cluster re-resolves instead of pinning the
+      // first answer for the pump's lifetime. Resolution failure
+      // (no DNS egress, spec violation) keeps the documented
+      // direct-dial fallback.
+      val (host, port) =
+        if (ep.scheme == "mongodb+srv")
+          try SrvResolver.mongoSeeds(ep.host, resolver)._1.head
+          catch {
+            case scala.util.control.NonFatal(_) => (ep.host, ep.port)
+          }
+        else (ep.host, ep.port)
+      val w = new SocketWire(host, port, connectTimeoutMs,
         readTimeoutMs)
       if (fromByteZero)
         // a failed handshake must not leak the connected socket —
