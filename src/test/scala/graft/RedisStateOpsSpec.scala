@@ -853,6 +853,72 @@ class RedisStateOpsSpec extends graft.SparkSuite {
     assert(fold(k, t, packed(op(rt.head, 3))) == replaced)
   }
 
+  test("RESTORE decodes LISTPACK-typed and group-bearing STREAM " +
+      "dumps through the same snapshot decoder (the redis-7 object " +
+      "encodings a real DUMP emits)") {
+    def ops(argv: String*): Seq[Op] = commandOps(argv, 0L)._2
+    // listpack envelope: 4-byte total (unused) + 2-byte count LE +
+    // entries (6-bit-str / 7-bit-uint encodings with back-lengths) +
+    // 0xFF terminator, wrapped as an RDB string
+    def lp(count: Int)(entries: Int*): Array[Byte] = {
+      val body = (Array(0, 0, 0, 0, count & 0xff, count >> 8) ++
+        entries :+ 0xff).map(_.toByte)
+      len6(body.length) ++ body
+    }
+    def s6(s: String): Seq[Int] =
+      (0x80 | s.length) +: (s.getBytes("UTF-8").map(_.toInt & 0xff)
+        .toSeq :+ (1 + s.length))
+    // hash listpack (type 16): (f1, a), (f2, b)
+    val rh = ops("RESTORE", "h", "0", dump(16,
+      lp(4)((s6("f2") ++ s6("b") ++ s6("f1") ++ s6("a")): _*)))
+    assert(rh.head.value ==
+      "P{\"t\":\"hash\",\"e\":[[\"f1\",\"a\"],[\"f2\",\"b\"]]}", rh)
+    // zset listpack (type 17): member m at 7-bit-uint score 7
+    val rz = ops("RESTORE", "z", "0", dump(17,
+      lp(2)((s6("m") ++ Seq(0x07, 0x01)): _*)))
+    assert(rz.head.value ==
+      "P{\"t\":\"zset\",\"e\":[[\"m\",\"7\"]]}", rz)
+    // quicklist v2 (type 18): one packed node of [a, b]
+    val rl = ops("RESTORE", "l", "0", dump(18,
+      len6(1) ++ len6(2) ++ lp(2)((s6("a") ++ s6("b")): _*)))
+    assert(rl.head.value ==
+      "P{\"t\":\"list\",\"e\":[[\"000000\",\"a\"],[\"000001\",\"b\"]]}",
+      rl)
+    // stream v2 (type 19) with one SAMEFIELDS message at 6-1 and a
+    // consumer group: entries + last-id fold, the group is honestly
+    // untracked (same bytes as the snapshot decoder's spec fixture)
+    val slp = {
+      val entries = Seq(
+        0x01, 0x01, // count = 1
+        0x00, 0x01, // deleted = 0
+        0x01, 0x01) ++ s6("fa") ++ Seq(
+        0x00, 0x01, // master entry end "0"
+        0x02, 0x01, // flags = SAMEFIELDS
+        0x01, 0x01, // ms diff 1
+        0x00, 0x01, // seq diff 0
+      ) ++ s6("va") ++ Seq(0x04, 0x01) // lp_count
+      lp(10)(entries: _*) // 10 listpack ENTRIES (not bytes)
+    }
+    val id = new Array[Byte](16); id(7) = 5; id(15) = 1 // 5-1 BE
+    val streamBody =
+      len6(1) ++ // one listpack
+        len6(16) ++ id ++ slp ++
+        len6(1) ++ // total live items
+        len6(7) ++ len6(1) ++ // last id 7-1
+        len6(6) ++ len6(1) ++ // first id (v2)
+        len6(7) ++ len6(1) ++ // max deleted (v2)
+        len6(1) ++ // entries added (v2)
+        len6(1) ++ rstr("g1") ++ // one group
+        len6(7) ++ len6(1) ++ // last-delivered 7-1
+        len6(1) ++ // entries_read (v2)
+        len6(0) ++ // group PEL empty
+        len6(0) // no consumers
+    val rs = ops("RESTORE", "st", "0", dump(19, streamBody))
+    assert(rs.head.value ==
+      "P{\"t\":\"stream\",\"l\":\"7-1\",\"e\":[[\"6-1/fa\",\"va\"]]}",
+      rs)
+  }
+
   test("RESTORE's binary payload survives the RESP transport: " +
       "decodeArgv carries the serialized-value operand latin-1, so " +
       "bytes that are invalid UTF-8 still decode (the zset double " +
