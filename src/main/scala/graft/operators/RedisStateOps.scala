@@ -37,7 +37,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField,
   * element writers (HSET/HMSET/HSETNX/HDEL/HINCRBY/HINCRBYFLOAT,
   * SADD/SREM/SMOVE-src, ZADD incl. the INCR and NX/XX/GT/LT
   * conditional forms — the old score is in hand, so conditionals fold
-  * exactly — ZREM/ZINCRBY, LPUSH/RPUSH/LPOP/RPOP/LSET/LREM/LTRIM/
+  * exactly — ZREM/ZINCRBY, ZPOPMIN/ZPOPMAX (deterministic
+  * verbatim-replicated pops; the blocking and MPOP forms propagate
+  * rewritten to these), HGETDEL's exact field deletes,
+  * LPUSH/RPUSH/LPOP/RPOP/LSET/LREM/LTRIM/
   * LINSERT, same-key LMOVE/RPOPLPUSH rotations and the exact source
   * pop of cross-key moves), stream writers (XADD incl. NOMKSTREAM
   * and the in-command MAXLEN/MINID trim — replicated XADDs always
@@ -245,6 +248,28 @@ object RedisStateOps {
       case "HDEL" if argv.size >= 3 =>
         (db, argv.drop(2).map(f => Op(k(1), "delf", "hash", f, "",
           None)))
+      case "HGETDEL" if argv.size >= 5 &&
+          argv(2).equalsIgnoreCase("FIELDS") =>
+        // 7.4 get-and-delete: HGETDEL key FIELDS n f... — the get is
+        // a read, the delete folds exactly like HDEL (the numfields
+        // count must match or the server rejects the command)
+        argv(3).toIntOption
+          .filter(n => n >= 1 && 4 + n == argv.size) match {
+          case Some(_) =>
+            (db, argv.drop(4).map(f =>
+              Op(k(1), "delf", "hash", f, "", None)))
+          case None => (db, Nil)
+        }
+      case "HEXPIRE" | "HPEXPIRE" | "HEXPIREAT" | "HPEXPIREAT" |
+          "HPERSIST" | "HGETEX" if argv.size >= 2 =>
+        // 7.4 hash-FIELD TTLs: metadata the face doesn't model (the
+        // x hint is key-level). Field VALUES are untouched — and
+        // like key expiry (which propagates DEL), a field's actual
+        // expiration reaches replicas as a propagated HDEL, so the
+        // face stays exact by folding those. An immediate-past
+        // HEXPIREAT is propagated as the deletion itself, same rule.
+        // HGETEX only touches TTLs (its GET half is a read).
+        (db, Nil)
       case "HINCRBY" | "HINCRBYFLOAT" if argv.size >= 4 =>
         val o = if (cmd == "HINCRBY") "hincr" else "hincrf"
         (db, Seq(Op(k(1), o, "hash", argv(2), argv(3), None)))
@@ -295,6 +320,20 @@ object RedisStateOps {
       case "ZREM" if argv.size >= 3 =>
         (db, argv.drop(2).map(m => Op(k(1), "delf", "zset", m, "",
           None)))
+      case "ZPOPMIN" | "ZPOPMAX" if argv.size >= 2 =>
+        // deterministic pops (skiplist order: (score, member)
+        // ascending; MAX pops from the tail), replicated VERBATIM —
+        // the per-key fold has the zset in hand, so they fold
+        // exactly (r17: was an honest tombstone). The blocking
+        // forms and Z MPOP propagate rewritten to exactly these.
+        // A garbage/negative count errors the whole command.
+        val n = argv.lift(2) match {
+          case None => Some(1L)
+          case Some(c) => c.toLongOption.filter(_ >= 0)
+        }
+        (db, n.map(c => Op(k(1),
+          if (cmd == "ZPOPMIN") "zpopmin" else "zpopmax", "zset", "",
+          c.toString, None)).toSeq)
       case "ZINCRBY" if argv.size >= 4 =>
         (db, Seq(Op(k(1), "zincr", "zset", argv(3), argv(2), None)))
       case "GEOADD" if argv.size >= 5 =>
@@ -748,7 +787,11 @@ object RedisStateOps {
           "XREVRANGE" | "XREAD" | "XREADGROUP" | "XACK" |
           "XPENDING" | "XCLAIM" | "XAUTOCLAIM" | "GEOPOS" |
           "GEODIST" | "GEOHASH" | "GEORADIUS_RO" |
-          "GEORADIUSBYMEMBER_RO" =>
+          "GEORADIUSBYMEMBER_RO" | "SORT_RO" | "BITFIELD_RO" |
+          "LCS" | "ZDIFF" | "ZUNION" | "ZINTER" | "ZINTERCARD" |
+          "ZRANGEBYLEX" | "ZREVRANGEBYLEX" | "ZREVRANGEBYSCORE" |
+          "ZLEXCOUNT" | "SUBSTR" | "HTTL" | "HPTTL" |
+          "HEXPIRETIME" | "HPEXPIRETIME" | "LOLWUT" =>
         // transaction/transport markers, connection/admin commands,
         // and pure reads: no keyspace-state effect (round-14 ADVICE:
         // WAIT 1 0 must not evict a real key named "1").
@@ -1638,6 +1681,32 @@ object RedisStateOps {
                 }
             }
         }
+      case "zpopmin" | "zpopmax" => state match {
+        case None => None // popping a missing key is a no-op
+        case Some(st) if st.t != "zset" => state // WRONGTYPE
+        case Some(st) =>
+          op.value.toLongOption match {
+            case None => state // garbage count: server errors
+            case Some(n0) if n0 <= 0 => state // zero pops nothing
+            case Some(n0) =>
+              // skiplist order: (score, member) ascending; MIN pops
+              // the head, MAX the tail
+              val ordered = {
+                val arr = new scala.collection.mutable
+                  .ArrayBuffer[(Double, String)](st.map().size)
+                st.map().forEach { (m, s) =>
+                  parseScore(s).foreach(d => arr += ((d, m)))
+                }
+                arr.sortInPlaceBy(identity)
+              }
+              val n = math.min(n0, ordered.size.toLong).toInt
+              val doomed =
+                if (op.op == "zpopmin") ordered.take(n)
+                else ordered.takeRight(n)
+              doomed.foreach { case (_, m) => st.map().remove(m) }
+              if (st.map().isEmpty) None else state
+          }
+      }
       case "hincr" | "hincrf" => state match {
         case Some(st) if st.t != "hash" => state // WRONGTYPE
         case _ =>

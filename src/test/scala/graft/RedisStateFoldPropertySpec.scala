@@ -471,6 +471,24 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
             if (left.isEmpty) emptied(k) else vals(k) = VZ(left)
           case _ => ()
         }
+        case "ZPOPMIN" | "ZPOPMAX" => vals.get(k) match {
+          // r17: deterministic pops in skiplist order — the model
+          // sorts its immutable Double map by (score, member)
+          case Some(VZ(m)) =>
+            argv.lift(2).map(_.toLongOption).getOrElse(Some(1L))
+              .filter(_ >= 0).foreach { n0 =>
+                if (n0 > 0) {
+                  val asc = m.toVector
+                    .sortBy { case (mm, d) => (d, mm) }
+                  val doomed =
+                    if (cmd == "ZPOPMIN") asc.take(n0.toInt)
+                    else asc.takeRight(n0.toInt)
+                  val left = m -- doomed.map(_._1)
+                  if (left.isEmpty) emptied(k) else vals(k) = VZ(left)
+                }
+              }
+          case _ => ()
+        }
         case "ZINCRBY" => vals.get(k) match {
           case Some(VZ(m)) => rscore(argv(2)).foreach { d =>
             val s = m.getOrElse(argv(3), 0.0) + d
@@ -942,7 +960,11 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
           case _ => Seq.empty
         }
         Seq("ZADD", key) ++ flags ++ Seq(score, member)
-      case 16 => Seq("ZREM", key, member)
+      case 16 =>
+        if (rnd.nextBoolean()) Seq("ZREM", key, member)
+        else Seq(if (rnd.nextBoolean()) "ZPOPMIN" else "ZPOPMAX",
+          key) ++ (if (rnd.nextBoolean())
+            Seq(rnd.nextInt(4).toString) else Seq.empty)
       case 17 => Seq("ZINCRBY", key, score, member)
       case 18 => Seq("LPUSH", key, v, v + "b")
       case 19 => Seq("RPUSH", key, v, v + "c")
