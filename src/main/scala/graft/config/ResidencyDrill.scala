@@ -43,9 +43,10 @@ object ResidencyDrill {
     // DEL only — census reads zero by construction); "drops" adds
     // the command families a real keyspace carries so the
     // face-completeness census (round-16 verdict item 6) measures a
-    // real rate — exact folds (GEOADD, RESTORE, RENAME) that must
-    // NOT tombstone, and bit/sketch surgery (SETBIT, PFADD, BITOP)
-    // that must, over bounded key families
+    // real rate — exact folds (GEOADD, RESTORE, RENAME, and since
+    // r17 the SETBIT/BITOP bit families) that must NOT tombstone,
+    // and sketch surgery (PFADD) that must, over bounded key
+    // families
     val mix = if (args.length >= 6) args(5) else "clean"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -130,12 +131,12 @@ object ResidencyDrill {
             else if (op < 85) // exact dump decode: no tombstone
               out.write(resp("RESTORE", s"rst:${n % 1000}", "0",
                 dumpStr(s"v$i"), "REPLACE"))
-            else if (op < 95) // bit surgery: honest tombstone
+            else if (op < 95) // exact bit fold since r17: no tomb
               out.write(resp("SETBIT", s"bits:${n % 500}",
                 (n % 64).toString, "1"))
             else if (op < 98) // sketch state: honest tombstone
               out.write(resp("PFADD", s"hll:${n % 100}", s"m$n"))
-            else // dest-elsewhere surgery: honest tombstone
+            else // multi-source byte fold since r17: no tombstone
               out.write(resp("BITOP", "AND", s"dstb:${n % 100}",
                 s"bits:${n % 500}"))
           }

@@ -55,9 +55,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField,
   * member set, the destination computes the algebra), RESTORE (the
   * payload is the RDB object encoding — decoded at landing time by
   * the snapshot decoder and folded as a full-knowledge write) and
-  * GEOADD (the score is pure geohash math). A command the
-  * fold cannot model (BITOP dest, SETBIT, PFADD, ...) leaves a
-  * PERSISTENT
+  * GEOADD (the score is pure geohash math), and the bit families
+  * (SETBIT/BITFIELD as char-space byte surgery, BITOP as a
+  * multi-source movement pair). A command the fold cannot model
+  * (PFADD/PFMERGE sketch bytes, ...) leaves a PERSISTENT
   * TOMBSTONE on the keys it writes: the key drops out of the
   * published flat face (the face never lies about a key it lost
   * track of — the `redis.commands` log face keeps the ground truth),
@@ -206,6 +207,39 @@ object RedisStateOps {
       case "SETRANGE" if argv.size >= 4 =>
         (db, Seq(Op(k(1), "setrange", "string", argv(2), argv(3),
           None)))
+      case "SETBIT" if argv.size >= 4 =>
+        // SETBIT key offset bit — deterministic single-bit surgery
+        // (t_bitops.c setbitCommand): the server rejects a
+        // non-integer offset outside [0, 2^32) or a bit operand
+        // other than 0/1, so malformed forms fold as no-ops. A bit
+        // whose byte sits past the splice cap tombstones instead of
+        // materializing a giant zero-run in a fold task (the
+        // SETRANGE rule).
+        (db, (argv(2).toLongOption, argv(3)) match {
+          case (Some(off), b) if off >= 0 && off < (1L << 32) &&
+              (b == "0" || b == "1") =>
+            if (off / 8 >= MaxSpliceLen)
+              Seq(Op(k(1), "unsupp", "", "", "", None))
+            else Seq(Op(k(1), "setbit", "string", off.toString, b,
+              None))
+          case _ => Nil
+        })
+      case "BITFIELD" if argv.size >= 2 =>
+        // BITFIELD key [GET ty off] [SET ty off v] [INCRBY ty off d]
+        // [OVERFLOW WRAP|SAT|FAIL]... — subfield arithmetic is pure
+        // bit math (t_bitops.c bitfieldGeneric), so each write
+        // subcommand folds as its own "bitf" op carrying the
+        // overflow policy in force when it runs; GET reads only.
+        // ANY malformed subcommand errors the whole command
+        // server-side → fold nothing. BITFIELD_RO is in the
+        // read-only list.
+        (db, parseBitfield(argv).getOrElse(Nil).map {
+          case BfOp(oper, ovf, ty, off, arg) =>
+            if ((off + bfWidth(ty) - 1) / 8 >= MaxSpliceLen)
+              Op(k(1), "unsupp", "", "", "", None)
+            else Op(k(1), "bitf", "string", s"$oper$ovf:$ty:$off",
+              arg, None)
+        })
       case "INCR" | "DECR" if argv.size >= 2 =>
         val d = if (cmd == "INCR") "1" else "-1"
         (db, Seq(Op(k(1), "incr", "string", "", d, None)))
@@ -504,10 +538,34 @@ object RedisStateOps {
                 (db, Seq(Op(k(1), "unsupp", "", "", "", None)))
             }
         }
-      case "BITOP" if argv.size >= 3 =>
-        // BITOP <op> <dest> <src...>: only dest is written
-        (db, Seq(Op(stateKey(db, argv(2)), "unsupp", "", "", "",
-          None)))
+      case "BITOP" if argv.size >= 4 =>
+        // BITOP <AND|OR|XOR|NOT> <dest> <src...> — a DETERMINISTIC
+        // byte-wise function of the source strings (t_bitops.c
+        // bitopCommand: missing keys read as empty, shorter sources
+        // zero-pad to the longest, an empty result DELETES the
+        // destination), so it rides the multi-source movement pair
+        // exactly like the set-algebra stores: each source emits its
+        // raw string at its rank, the destination computes the op in
+        // phase B. NOT takes exactly one source; other arities error
+        // server-side and fold nothing.
+        val bop = argv(1).toUpperCase
+        val srcs = argv.drop(3)
+        val arityOk = bop match {
+          case "AND" | "OR" | "XOR" => srcs.nonEmpty
+          case "NOT" => srcs.size == 1
+          case _ => false
+        }
+        if (!arityOk) (db, Nil)
+        else {
+          val kind = "bop" + bop.toLowerCase
+          val n = srcs.size
+          (db, srcs.zipWithIndex.map { case (sk, idx) =>
+            Op(stateKey(db, sk), "mvout", kind, k(2),
+              s"$idx/${n - idx}", None)
+          } :+ Op(k(2), "mvin", kind, n.toString, "", None))
+        }
+      case "BITOP" =>
+        (db, Nil) // < 4 args: the server rejects the arity
       case "LMPOP" | "ZMPOP" if argv.size >= 3 =>
         // <numkeys> <key...> — every named key may have been popped.
         // Near-unreachable defensively: the server replicates these
@@ -801,15 +859,18 @@ object RedisStateOps {
         (db, Nil)
       case _ =>
         // a command the fold cannot model — after r16/r17 drained
-        // the modelable tail (stores, RESTORE, GEOADD), what remains
-        // is binary string surgery (SETBIT, BITFIELD) and sketch
-        // state (PFADD/PFMERGE); SPOP is in principle unmodelable
-        // too but near-unreachable here (the server replicates it
-        // rewritten as SREM/DEL). Conservatively drop the key it
-        // writes — its first operand, which is the written key (or
-        // STORE dest) for every remaining write command;
-        // dest-elsewhere shapes (BITOP, GEORADIUS STORE) are handled
-        // explicitly above. The drop is a PERSISTENT tombstone (see
+        // the modelable tail (stores, RESTORE, GEOADD, the bit
+        // families), what remains is sketch state (PFADD/PFMERGE:
+        // the HLL sparse/dense byte image is deterministic but a
+        // byte-exact re-implementation is unverifiable without a
+        // live server — honest drop beats plausibly-wrong bytes);
+        // SPOP is in principle unmodelable too but near-unreachable
+        // here (the server replicates it rewritten as SREM/DEL).
+        // Conservatively drop the key it writes — its first operand,
+        // which is the written key (or STORE dest) for every
+        // remaining write command; dest-elsewhere shapes
+        // (GEORADIUS STORE) are handled explicitly above. The drop
+        // is a PERSISTENT tombstone (see
         // apply1) — absent-but-honest beats present-but-stale, and
         // element-level ops can never resurrect partial state on top
         // of it.
@@ -1317,6 +1378,78 @@ object RedisStateOps {
     */
   private val MaxSpliceLen = 1 << 26
 
+  /** One BITFIELD write subcommand: `oper` = S(ET)/I(NCRBY), `ovf`
+    * = the OVERFLOW policy in force (W/S/F), `ty` = the type token
+    * (`u8`/`i16`/...), `off` = the RESOLVED bit offset (a `#` typed
+    * index is multiplied out at parse time), `arg` = the value /
+    * increment operand (a server-legal signed 64-bit decimal).
+    */
+  private case class BfOp(oper: Char, ovf: Char, ty: String,
+      off: Long, arg: String)
+
+  private def bfWidth(ty: String): Int =
+    ty.drop(1).toIntOption.getOrElse(0)
+
+  /** Parse BITFIELD's subcommand list (t_bitops.c bitfieldGeneric):
+    * types are u1..u63 / i1..i64, offsets are non-negative bit
+    * positions (`#n` = n×width) with offset+width capped at 2^32
+    * bits (the 512 MB value bound), OVERFLOW applies to every write
+    * that FOLLOWS it (default WRAP). Returns None — and the caller
+    * folds NOTHING — when any subcommand is malformed, because the
+    * server rejects the whole command before executing any of it.
+    */
+  private def parseBitfield(argv: Seq[String]): Option[Seq[BfOp]] = {
+    def ptype(s: String): Option[String] = {
+      val lc = s.toLowerCase
+      val w = bfWidth(lc)
+      val ok = lc.headOption.exists {
+        case 'u' => w >= 1 && w <= 63
+        case 'i' => w >= 1 && w <= 64
+        case _ => false
+      }
+      if (ok) Some(lc) else None
+    }
+    def poff(s: String, width: Int): Option[Long] = {
+      val typed = s.startsWith("#")
+      (if (typed) s.drop(1) else s).toLongOption
+        .map(n => if (typed) n * width else n)
+        .filter(o => o >= 0 && o + width <= (1L << 32))
+    }
+    val out = Seq.newBuilder[BfOp]
+    var ovf = 'W'
+    var i = 2
+    var ok = true
+    while (ok && i < argv.size) {
+      argv(i).toUpperCase match {
+        case "GET" if i + 2 < argv.size =>
+          ok = ptype(argv(i + 1))
+            .flatMap(t => poff(argv(i + 2), bfWidth(t))).isDefined
+          i += 3
+        case "SET" | "INCRBY" if i + 3 < argv.size =>
+          val oper = if (argv(i).equalsIgnoreCase("SET")) 'S' else 'I'
+          (for {
+            t <- ptype(argv(i + 1))
+            o <- poff(argv(i + 2), bfWidth(t))
+            _ <- argv(i + 3).toLongOption
+          } yield BfOp(oper, ovf, t, o, argv(i + 3))) match {
+            case Some(b) => out += b
+            case None => ok = false
+          }
+          i += 4
+        case "OVERFLOW" if i + 1 < argv.size =>
+          argv(i + 1).toUpperCase match {
+            case "WRAP" => ovf = 'W'
+            case "SAT" => ovf = 'S'
+            case "FAIL" => ovf = 'F'
+            case _ => ok = false
+          }
+          i += 2
+        case _ => ok = false
+      }
+    }
+    if (ok) Some(out.result()) else None
+  }
+
   /** XTRIM/XADD MAXLEN kernel: evict oldest entries until at most
     * `n` remain — O(removed), not a scan.
     */
@@ -1464,6 +1597,106 @@ object RedisStateOps {
             Some(tomb()) // 512MB-scale splice: honest drop, not OOM
           case _ => state // negative/garbage offset: server errors
         }
+      }
+      case "setbit" => state match {
+        case Some(st) if st.t != "string" => state // WRONGTYPE
+        case _ =>
+          // the face stores string values in char space (one char =
+          // one byte for everything the bit families themselves
+          // produce); a char past 0xff at the target index means the
+          // byte image isn't representable here — honest drop
+          val off = op.field.toLong // parse-validated in commandOps
+          val idx = (off / 8).toInt
+          val mask = 0x80 >> (off % 8).toInt // bit 0 = MSB of byte 0
+          val old = state.flatMap(s => Option(s.singleOrNull))
+            .getOrElse("")
+          if (idx < old.length && old.charAt(idx) > 0xff)
+            Some(tomb())
+          else {
+            val sb = new java.lang.StringBuilder(
+              math.max(old.length, idx + 1))
+            sb.append(old)
+            while (sb.length <= idx) sb.append('\u0000')
+            val c = sb.charAt(idx).toInt
+            sb.setCharAt(idx,
+              (if (op.value == "1") c | mask else c & ~mask).toChar)
+            state match {
+              case Some(st) => st.setSingle(sb.toString); state
+              case None => strSt(sb.toString, None)
+            }
+          }
+      }
+      case "bitf" => state match {
+        case Some(st) if st.t != "string" => state // WRONGTYPE
+        case _ =>
+          // field = <S|I><W|S|F>:<ty>:<bitoff> (parseBitfield);
+          // kernel = t_bitops.c setSigned/UnsignedBitfield +
+          // checkSigned/UnsignedBitfieldOverflow
+          val parts = op.field.split(':')
+          val oper = parts(0).charAt(0)
+          val ovf = parts(0).charAt(1)
+          val signed = parts(1).charAt(0) == 'i'
+          val w = bfWidth(parts(1))
+          val off = parts(2).toLong
+          val arg = op.value.toLong
+          val old = state.flatMap(s => Option(s.singleOrNull))
+            .getOrElse("")
+          val first = (off / 8).toInt
+          val last = ((off + w - 1) / 8).toInt
+          if (old.iterator.slice(first, last + 1).exists(_ > 0xff))
+            Some(tomb())
+          else {
+            val sb = new java.lang.StringBuilder(
+              math.max(old.length, last + 1))
+            sb.append(old)
+            while (sb.length <= last) sb.append('\u0000')
+            // current w bits, MSB-first, as the UNSIGNED image
+            var cur = BigInt(0)
+            var b = off
+            while (b < off + w) {
+              cur = (cur << 1) |
+                ((sb.charAt((b / 8).toInt) >> (7 - (b % 8)).toInt)
+                  & 1)
+              b += 1
+            }
+            val lo = if (signed) -(BigInt(1) << (w - 1)) else BigInt(0)
+            val hi = (if (signed) (BigInt(1) << (w - 1))
+              else BigInt(1) << w) - 1
+            val curV = if (signed && cur > hi) cur - (BigInt(1) << w)
+              else cur
+            val want: BigInt =
+              if (oper == 'S') BigInt(arg) else curV + BigInt(arg)
+            val res: Option[BigInt] =
+              if (want >= lo && want <= hi) Some(want)
+              else ovf match {
+                case 'S' => Some(if (want < lo) lo else hi)
+                case 'W' =>
+                  // truncate to the low w bits (two's complement)
+                  val m = want & ((BigInt(1) << w) - 1)
+                  Some(if (signed && m > hi) m - (BigInt(1) << w)
+                  else m)
+                case _ => None // FAIL: nil reply, no write
+              }
+            res match {
+              case None => state
+              case Some(v) =>
+                val img = v & ((BigInt(1) << w) - 1)
+                var b2 = off
+                while (b2 < off + w) {
+                  val i2 = (b2 / 8).toInt
+                  val m2 = 0x80 >> (b2 % 8).toInt
+                  val bit = img.testBit((w - 1 - (b2 - off)).toInt)
+                  val c2 = sb.charAt(i2).toInt
+                  sb.setCharAt(i2,
+                    (if (bit) c2 | m2 else c2 & ~m2).toChar)
+                  b2 += 1
+                }
+                state match {
+                  case Some(st) => st.setSingle(sb.toString); state
+                  case None => strSt(sb.toString, None)
+                }
+            }
+          }
       }
       case "putnx" => state match {
         case Some(st) if st.t != op.vtype => state // WRONGTYPE
@@ -1837,7 +2070,8 @@ object RedisStateOps {
     * all targeting one mvin (the set-algebra and zset stores).
     */
   private def isMultiSrc(kind: String): Boolean =
-    kind.startsWith("sset") || kind.startsWith("zst")
+    kind.startsWith("sset") || kind.startsWith("zst") ||
+      kind.startsWith("bop")
 
   /** What a movement SOURCE emits to its destination, extracted from
     * the source state at the mvout's rank. One-character discriminant
@@ -1861,6 +2095,7 @@ object RedisStateOps {
       case None =>
         if (op.vtype.startsWith("sset")) "S[]" // absent = empty set
         else if (op.vtype.startsWith("zst")) "Z[]"
+        else if (op.vtype.startsWith("bop")) "R" // absent = empty str
         else if (op.vtype == "zrs") "D" // empty range deletes dst
         else "N"
       case Some(s) if s.t == TombType => "U"
@@ -1870,6 +2105,16 @@ object RedisStateOps {
           if (s.t == "set" && s.m != null &&
               s.m.containsKey(op.value)) "Y"
           else "N"
+        case k2 if k2.startsWith("bop") =>
+          // the raw string bytes; a wrong-typed source would have
+          // errored the whole command server-side, and a value
+          // holding chars past 0xff has no byte image in char space
+          // — unknown is the only honest answer for either
+          Option(s.singleOrNull) match {
+            case Some(v) if s.t == "string" &&
+                !v.exists(_ > 0xff) => "R" + v
+            case _ => "U"
+          }
         case k2 if k2.startsWith("sset") =>
           // the member set (a wrong-typed source would have errored
           // the whole command server-side, so unknown content is
@@ -2046,6 +2291,7 @@ object RedisStateOps {
     if (op.vtype.startsWith("sset")) return ssetApply(state, op,
       datas)
     if (op.vtype.startsWith("zst")) return zstApply(op, datas)
+    if (op.vtype.startsWith("bop")) return bopApply(op, datas)
     val data = datas.headOption.orNull
     if (data == null || data == "U") return Some(tomb())
     if (data == "N") return state
@@ -2118,6 +2364,58 @@ object RedisStateOps {
       res.foreach(m => st.map().put(m, ""))
       Some(st)
     }
+  }
+
+  /** The BITOP destination fold: order the paired emissions by
+    * source index, require every source's raw bytes known (a missing
+    * emission = a chained/multi-shard source; a `U` = an unknown,
+    * wrong-typed, or non-byte source — both tombstone the
+    * destination), compute the byte-wise op with shorter sources
+    * zero-padded to the longest (t_bitops.c bitopCommand), and
+    * REPLACE the destination — deleted when the result is empty,
+    * exactly the server's semantics. A known result clears a
+    * destination tombstone (full-knowledge write). A result past the
+    * splice cap tombstones instead of materializing it in a fold
+    * task (the SETRANGE rule).
+    */
+  private def bopApply(op: Op, datas: Seq[String]): Option[St] = {
+    val n = op.field.toIntOption.getOrElse(-1)
+    val parsed: Seq[(Int, String)] = datas.flatMap { d =>
+      val i = d.indexOf(':')
+      if (i <= 0) None
+      else d.take(i).toIntOption.map(_ -> d.substring(i + 1))
+    }
+    val byIdx = parsed.toMap
+    if (n <= 0 || byIdx.size != n ||
+        byIdx.values.exists(!_.startsWith("R")))
+      return Some(tomb())
+    val srcs: Seq[String] = (0 until n).map(byIdx(_).substring(1))
+    val len = srcs.iterator.map(_.length).max
+    if (len > MaxSpliceLen) return Some(tomb())
+    def byteAt(s: String, i: Int): Int =
+      if (i < s.length) s.charAt(i).toInt else 0
+    val res: String =
+      if (len == 0) ""
+      else {
+        val sb = new java.lang.StringBuilder(len)
+        var i = 0
+        while (i < len) {
+          val b = op.vtype match {
+            case "bopnot" => ~byteAt(srcs.head, i) & 0xff
+            case "bopand" =>
+              srcs.foldLeft(0xff)((a, s) => a & byteAt(s, i))
+            case "bopor" =>
+              srcs.foldLeft(0)((a, s) => a | byteAt(s, i))
+            case _ => // bopxor
+              srcs.foldLeft(0)((a, s) => a ^ byteAt(s, i))
+          }
+          sb.append(b.toChar)
+          i += 1
+        }
+        sb.toString
+      }
+    if (res.isEmpty) None // the server deletes an empty destination
+    else strSt(res, None)
   }
 
   /** The weighted zset store's destination fold: order the paired

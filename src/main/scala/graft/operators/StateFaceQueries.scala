@@ -561,17 +561,170 @@ object StateFaceQueries {
       |FROM customer
       |WHERE c_custkey % 11 <> 0""".stripMargin
 
+  // ---------------------------------------------------------------- q158
+
+  /** Deterministic bit-surgery fixture derived from `customer`,
+    * driven through the PRODUCTION command path (round-17: the bit
+    * families fold exactly). Per customer k:
+    *  - `bm:<k>`: SETBIT builds a two-byte bitmap — a fixed bit, a
+    *    k-scattered bit, a CLEAR that only lands for k%4==0, and a
+    *    second-byte bit (zero-pad extension);
+    *  - `bs1/bs2/bs3:<k>`: digit and letter source strings;
+    *  - `bx/ba/bo/bn:<k>`: BITOP XOR/AND/OR/NOT over the sources —
+    *    the oracle recomputes the byte math with chr/ascii/xor;
+    *  - `bf:<k>`: BITFIELD — u8 SET + SAT-clamped INCRBY + a FAIL
+    *    increment that must not land, i8 WRAP wrap-around, and two
+    *    `#`-typed u4 nibbles packing one byte;
+    *  - `be:<k>`: a pre-seeded destination DELETED by an all-absent
+    *    BITOP (empty result);
+    *  - 13-divisible keys: a PFADD-poisoned source tombstones its
+    *    BITOP destination — both stay OFF the face.
+    */
+  def redisBitFold(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("k")).as[Long]
+    val rows = c.flatMap { k =>
+      val d1 = f"${k % 10000}%04d"
+      val d3 = f"${(k * 7 + 13) % 10000}%04d"
+      val ltr = (0 until 4).map(i =>
+        (65 + ((k + 5 * i) % 26)).toChar).mkString
+      val bitpos = (k % 4) match {
+        case 0 => 3
+        case 1 => 4
+        case 2 => 5
+        case _ => 7
+      }
+      val cmds: Seq[Seq[String]] = Seq(
+        Seq("SETBIT", s"bm:$k", "2", "1"),
+        Seq("SETBIT", s"bm:$k", bitpos.toString, "1"),
+        Seq("SETBIT", s"bm:$k", "3", "0"),
+        Seq("SETBIT", s"bm:$k", "10", "1"),
+        Seq("SET", s"bs1:$k", d1),
+        Seq("SET", s"bs2:$k", ltr),
+        Seq("SET", s"bs3:$k", d3),
+        Seq("BITOP", "XOR", s"bx:$k", s"bs1:$k", s"bs2:$k"),
+        Seq("BITOP", "AND", s"ba:$k", s"bs1:$k", s"bs3:$k"),
+        Seq("BITOP", "OR", s"bo:$k", s"bs1:$k", s"bs3:$k"),
+        Seq("BITOP", "NOT", s"bn:$k", s"bs1:$k"),
+        Seq("BITFIELD", s"bf:$k", "SET", "u8", "0",
+          ((k % 150) + 100).toString),
+        Seq("BITFIELD", s"bf:$k", "OVERFLOW", "SAT", "INCRBY", "u8",
+          "0", "100", "OVERFLOW", "FAIL", "INCRBY", "u8", "0",
+          "200"),
+        Seq("BITFIELD", s"bf:$k", "SET", "i8", "8", "100", "INCRBY",
+          "i8", "8", ((k % 100) + 28).toString),
+        Seq("BITFIELD", s"bf:$k", "SET", "u4", "#4",
+          ((k % 13) + 3).toString, "SET", "u4", "#5",
+          ((k % 8) + 4).toString),
+        Seq("SET", s"be:$k", "x"),
+        Seq("BITOP", "AND", s"be:$k", s"no1:$k", s"no2:$k")) ++
+        (if (k % 13 == 0) Seq(
+          Seq("PFADD", s"pf:$k", "m"),
+          Seq("BITOP", "OR", s"bp:$k", s"bs1:$k", s"pf:$k"))
+        else Nil)
+      val base = RedisStateOps.CommandRankBase + k * 128
+      cmds.zipWithIndex.flatMap { case (argv, i) =>
+        RedisStateOps.commandOps(argv, 0L)._2.zipWithIndex.map {
+          case (o, j) =>
+            ("psync.000001.log", base + i * 6 + j, o.key, 0L,
+              o.op, o.vtype, o.field, o.value, o.ex)
+        }
+      }
+    }.toDF("sseg", "rank", "key", "db", "op", "value_type", "field",
+      "value", "expire_ms")
+    val merged = RedisStateOps.Merger.merge(spark, None, rows, 0L)
+    RedisStateOps.Merger.flatView.get(merged)
+      .select(substring_index(col("key"), "\u0000", -1).as("key"),
+        col("payload"))
+  }
+
+  private val redisBitFoldSql: String =
+    """WITH c AS (SELECT c_custkey AS k FROM customer),
+      |d AS (
+      |  SELECT k,
+      |         lpad(CAST(k % 10000 AS VARCHAR), 4, '0') AS d1,
+      |         lpad(CAST((k * 7 + 13) % 10000 AS VARCHAR), 4, '0')
+      |           AS d3,
+      |         chr(CAST(65 + (k % 26) AS INT)) ||
+      |         chr(CAST(65 + ((k + 5) % 26) AS INT)) ||
+      |         chr(CAST(65 + ((k + 10) % 26) AS INT)) ||
+      |         chr(CAST(65 + ((k + 15) % 26) AS INT)) AS ltr
+      |  FROM c),
+      |sp AS (SELECT '{"t":"string","e":[["","' AS pre,
+      |              '"]]}' AS post)
+      |SELECT 'bm:' || k AS key,
+      |       pre || CASE CAST(k % 4 AS INT)
+      |                WHEN 0 THEN ' ' WHEN 1 THEN '('
+      |                WHEN 2 THEN '$' ELSE '!' END || ' ' || post
+      |         AS payload
+      |FROM d, sp
+      |UNION ALL
+      |SELECT 'bs1:' || k, pre || d1 || post FROM d, sp
+      |UNION ALL
+      |SELECT 'bs2:' || k, pre || ltr || post FROM d, sp
+      |UNION ALL
+      |SELECT 'bs3:' || k, pre || d3 || post FROM d, sp
+      |UNION ALL
+      |SELECT 'bx:' || k,
+      |       pre ||
+      |       chr(xor(ascii(substr(d1, 1, 1)),
+      |               ascii(substr(ltr, 1, 1)))) ||
+      |       chr(xor(ascii(substr(d1, 2, 1)),
+      |               ascii(substr(ltr, 2, 1)))) ||
+      |       chr(xor(ascii(substr(d1, 3, 1)),
+      |               ascii(substr(ltr, 3, 1)))) ||
+      |       chr(xor(ascii(substr(d1, 4, 1)),
+      |               ascii(substr(ltr, 4, 1)))) || post
+      |FROM d, sp
+      |UNION ALL
+      |SELECT 'ba:' || k,
+      |       pre ||
+      |       chr(ascii(substr(d1, 1, 1)) & ascii(substr(d3, 1, 1)))
+      |    || chr(ascii(substr(d1, 2, 1)) & ascii(substr(d3, 2, 1)))
+      |    || chr(ascii(substr(d1, 3, 1)) & ascii(substr(d3, 3, 1)))
+      |    || chr(ascii(substr(d1, 4, 1)) & ascii(substr(d3, 4, 1)))
+      |    || post
+      |FROM d, sp
+      |UNION ALL
+      |SELECT 'bo:' || k,
+      |       pre ||
+      |       chr(ascii(substr(d1, 1, 1)) | ascii(substr(d3, 1, 1)))
+      |    || chr(ascii(substr(d1, 2, 1)) | ascii(substr(d3, 2, 1)))
+      |    || chr(ascii(substr(d1, 3, 1)) | ascii(substr(d3, 3, 1)))
+      |    || chr(ascii(substr(d1, 4, 1)) | ascii(substr(d3, 4, 1)))
+      |    || post
+      |FROM d, sp
+      |UNION ALL
+      |SELECT 'bn:' || k,
+      |       pre ||
+      |       chr(255 - ascii(substr(d1, 1, 1))) ||
+      |       chr(255 - ascii(substr(d1, 2, 1))) ||
+      |       chr(255 - ascii(substr(d1, 3, 1))) ||
+      |       chr(255 - ascii(substr(d1, 4, 1))) || post
+      |FROM d, sp
+      |UNION ALL
+      |SELECT 'bf:' || k,
+      |       pre ||
+      |       chr(CAST(LEAST((k % 150) + 200, 255) AS INT)) ||
+      |       chr(CAST(128 + (k % 100) AS INT)) ||
+      |       chr(CAST(((k % 13) + 3) * 16 + (k % 8) + 4 AS INT)) ||
+      |       post
+      |FROM d, sp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_redis_state_fold" -> (redisStateFold _),
     "q154_mongo_state_face" -> (mongoStateFace _),
     "q155_redis_stream_fold" -> (redisStreamFold _),
     "q156_redis_move_fold" -> (redisMoveFold _),
-    "q157_redis_restore_geo" -> (redisRestoreGeo _))
+    "q157_redis_restore_geo" -> (redisRestoreGeo _),
+    "q158_redis_bit_fold" -> (redisBitFold _))
 
   val oracles: Map[String, String] = Map(
     "q153_redis_state_fold" -> redisStateFoldSql,
     "q154_mongo_state_face" -> mongoStateFaceSql,
     "q155_redis_stream_fold" -> redisStreamFoldSql,
     "q156_redis_move_fold" -> redisMoveFoldSql,
-    "q157_redis_restore_geo" -> redisRestoreGeoSql)
+    "q157_redis_restore_geo" -> redisRestoreGeoSql,
+    "q158_redis_bit_fold" -> redisBitFoldSql)
 }

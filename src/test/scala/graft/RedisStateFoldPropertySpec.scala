@@ -138,6 +138,13 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
             Seq(argv(1))
           case "ZRANGESTORE" if argv.size >= 5 =>
             Seq(argv(1))
+          case "BITOP" if argv.size >= 4 &&
+              (argv(1).toUpperCase match {
+                case "AND" | "OR" | "XOR" => true
+                case "NOT" => argv.size == 4
+                case _ => false
+              }) =>
+            Seq(argv(2)) // BITOP's DESTINATION is argv(2)
           case _ => Seq.empty
         }
       }.toSet
@@ -214,6 +221,175 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
             case _ => ()
           }
         }
+        case "SETBIT" => argv(2).toLongOption.foreach { off =>
+          if (off >= 0 && off < 4294967296L &&
+              (argv(3) == "0" || argv(3) == "1")) {
+            val idx = (off / 8).toInt
+            val bit = 7 - (off % 8).toInt
+            val cur = vals.get(k) match {
+              case Some(VS(v)) => Some(v)
+              case None => Some("")
+              case _ => None // WRONGTYPE
+            }
+            cur.foreach { v =>
+              val arr = v.padTo(idx + 1, '\u0000').toCharArray
+              if (arr(idx) > 'ÿ') drop(k)
+              else {
+                val c = arr(idx).toInt
+                arr(idx) =
+                  (if (argv(3) == "1") c | (1 << bit)
+                  else c & ~(1 << bit)).toChar
+                vals(k) = VS(new String(arr))
+              }
+            }
+          }
+        }
+        case "BITOP" =>
+          val bo = argv(1).toUpperCase
+          val bsrcs = argv.drop(3)
+          val arityOk = bo match {
+            case "AND" | "OR" | "XOR" => bsrcs.nonEmpty
+            case "NOT" => bsrcs.size == 1
+            case _ => false
+          }
+          if (arityOk) {
+            val strs = bsrcs.map(s2 => vals.get(s2) match {
+              case Some(VS(v)) if v.forall(_ <= 'ÿ') => Some(v)
+              case None => Some("")
+              case Some(VS(_)) => Some(null) // exotic chars: unknown
+              case _ => None // WRONGTYPE: server errors
+            })
+            if (strs.forall(_.isDefined)) {
+              val dst = argv(2)
+              if (strs.exists(_.contains(null))) {
+                vals.remove(dst); ttl.remove(dst); drop(dst)
+              } else {
+                val ss = strs.flatten
+                val n = ss.iterator.map(_.length).max
+                def at(s2: String, i: Int): Int =
+                  if (i < s2.length) s2.charAt(i).toInt else 0
+                val res = (0 until n).map { i =>
+                  (bo match {
+                    case "NOT" => ~at(ss.head, i) & 0xff
+                    case "AND" => ss.map(at(_, i)).reduce(_ & _)
+                    case "OR" => ss.map(at(_, i)).reduce(_ | _)
+                    case _ => ss.map(at(_, i)).reduce(_ ^ _)
+                  }).toChar
+                }.mkString
+                if (res.isEmpty) vals.remove(dst)
+                else vals(dst) = VS(res)
+                ttl.remove(dst)
+                if (bsrcs.exists(s2 =>
+                    untracked(s2) || deferred(s2)))
+                  drop(dst)
+                else untracked -= dst
+              }
+            }
+          }
+        case "BITFIELD" =>
+          // independent parse: token walk collecting the write ops
+          // with the overflow policy in force; any malformed token
+          // rejects the whole command (server behavior)
+          val toks = argv.drop(2).toVector
+          val tyRe = "([ui])(\\d+)".r
+          def ty(t: String): Option[(Boolean, Int)] =
+            t.toLowerCase match {
+              case tyRe(sg, wd) => wd.toIntOption.collect {
+                case w2 if w2 >= 1 &&
+                    w2 <= (if (sg == "i") 64 else 63) =>
+                  (sg == "i", w2)
+              }
+              case _ => None
+            }
+          def boff(t: String, w2: Int): Option[Long] =
+            (if (t.startsWith("#"))
+              t.drop(1).toLongOption.map(_ * w2)
+            else t.toLongOption)
+              .filter(o => o >= 0 && o + w2 <= 4294967296L)
+          var pol = "WRAP"
+          var bad = false
+          var p = 0
+          val writes = mutable.Buffer[(Boolean, Boolean, Int, Long,
+            Long, String)]()
+          while (!bad && p < toks.size) {
+            toks(p).toUpperCase match {
+              case "OVERFLOW" if p + 1 < toks.size &&
+                  Set("WRAP", "SAT", "FAIL")
+                    .contains(toks(p + 1).toUpperCase) =>
+                pol = toks(p + 1).toUpperCase
+                p += 2
+              case "GET" if p + 2 < toks.size =>
+                bad = ty(toks(p + 1))
+                  .flatMap(t => boff(toks(p + 2), t._2)).isEmpty
+                p += 3
+              case w @ ("SET" | "INCRBY") if p + 3 < toks.size =>
+                (for {
+                  t <- ty(toks(p + 1))
+                  o <- boff(toks(p + 2), t._2)
+                  a <- toks(p + 3).toLongOption
+                } yield (w == "SET", t._1, t._2, o, a, pol)) match {
+                  case Some(wr) => writes += wr
+                  case None => bad = true
+                }
+                p += 4
+              case _ => bad = true
+            }
+          }
+          if (!bad) writes.foreach {
+            case (isSet, signed, w2, off, amt, pol2) =>
+              val cur0 = vals.get(k) match {
+                case Some(VS(v)) => Some(v)
+                case None => Some("")
+                case _ => None // WRONGTYPE
+              }
+              cur0.foreach { v =>
+                val lastB = ((off + w2 - 1) / 8).toInt
+                val arr = v.padTo(lastB + 1, '\u0000').toCharArray
+                if (arr.slice((off / 8).toInt, lastB + 1)
+                    .exists(_ > 'ÿ')) drop(k)
+                else {
+                  // read the field MSB-first as a bit vector
+                  val bits = (0 until w2).map { j =>
+                    val b = off + j
+                    ((arr((b / 8).toInt) >> (7 - (b % 8).toInt))
+                      & 1) == 1
+                  }
+                  val raw = bits.foldLeft(BigInt(0))((a, b2) =>
+                    (a << 1) + (if (b2) 1 else 0))
+                  val span = BigInt(1) << w2
+                  val top = (if (signed) span / 2 else span) - 1
+                  val bot = if (signed) -(span / 2) else BigInt(0)
+                  val now = if (signed && raw > top) raw - span
+                    else raw
+                  val goal =
+                    if (isSet) BigInt(amt) else now + BigInt(amt)
+                  val out: Option[BigInt] =
+                    if (goal >= bot && goal <= top) Some(goal)
+                    else pol2 match {
+                      case "SAT" =>
+                        Some(if (goal < bot) bot else top)
+                      case "WRAP" =>
+                        val t2 = goal.mod(span)
+                        Some(if (signed && t2 > top) t2 - span
+                        else t2)
+                      case _ => None // FAIL: write skipped
+                    }
+                  out.foreach { fv =>
+                    val img = fv.mod(span)
+                    (0 until w2).foreach { j =>
+                      val b = off + j
+                      val m2 = 1 << (7 - (b % 8).toInt)
+                      val i2 = (b / 8).toInt
+                      val c2 = arr(i2).toInt
+                      arr(i2) =
+                        (if (img.testBit(w2 - 1 - j)) c2 | m2
+                        else c2 & ~m2).toChar
+                    }
+                    vals(k) = VS(new String(arr))
+                  }
+                }
+              }
+          }
         case "HSET" => vals.get(k) match {
           case Some(VH(m)) =>
             vals(k) = VH(m ++ argv.drop(2).grouped(2).collect {
@@ -691,6 +867,14 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
             if (untracked(k) || deferred(k)) drop(argv(2))
             else untracked -= argv(2)
             vals.remove(k); ttl.remove(k); untracked -= k
+          case None if untracked(k) =>
+            // an untracked source (possibly with no surviving model
+            // value — a store emptied it before dropping it) still
+            // renames: UNKNOWN content moves, so the destination
+            // drops and the source is known-absent afterwards
+            ttl.remove(argv(2))
+            drop(argv(2))
+            untracked -= k
           case None => ()
         }
         case "COPY" =>
@@ -708,6 +892,12 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
               else if (replace) untracked -= argv(2)
               // plain copy onto an untracked dst: the fold cannot
               // know the dst was absent — stays untracked
+            case None if untracked(k) =>
+              // an untracked source with no surviving model value:
+              // unknown content may copy — the destination drops
+              // (the source keeps its tombstone; COPY reads only)
+              ttl.remove(argv(2))
+              drop(argv(2))
             case _ => ()
           }
         case "EXPIRE" | "PEXPIRE" =>
@@ -920,7 +1110,7 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
       case _ => f"${rnd.nextDouble() * 20 - 10}%.2f"
     }
     def xid = s"${rnd.nextInt(9) + 1}-${rnd.nextInt(3)}"
-    rnd.nextInt(45) match {
+    rnd.nextInt(48) match {
       case 0 => Seq("SET", key, v)
       case 1 => Seq("SET", key, v, "KEEPTTL")
       case 2 => Seq("SET", key, v, "NX")
@@ -1160,6 +1350,61 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
           case _ => ("180", "85.05112878")
         }
         Seq("GEOADD", key) ++ flags ++ Seq(lon, lat, member)
+      case 45 =>
+        // SETBIT (r17): small offsets so bytes collide with APPEND/
+        // SETRANGE content; clears as often as sets
+        Seq("SETBIT", key, rnd.nextInt(40).toString,
+          if (rnd.nextBoolean()) "1" else "0")
+      case 46 =>
+        // BITOP (r17): only server-legal forms replicate (every
+        // source really string-or-absent); dst may even be a source
+        // (the fold's chain rule tombstones it, mirrored by the
+        // model's deferred-source drop)
+        val dst = key
+        val s1 = keys(rnd.nextInt(keys.size))
+        val s2 = keys(rnd.nextInt(keys.size))
+        def strOk(k2: String) = model.vals.get(k2) match {
+          case Some(VS(_)) | None => true
+          case _ => false
+        }
+        rnd.nextInt(4) match {
+          case 0 if strOk(s1) =>
+            Seq("BITOP", "NOT", dst, s1)
+          case 1 if strOk(s1) && strOk(s2) =>
+            Seq("BITOP", "AND", dst, s1, s2)
+          case 2 if strOk(s1) && strOk(s2) =>
+            Seq("BITOP", "OR", dst, s1, s2)
+          case 3 if strOk(s1) && strOk(s2) =>
+            Seq("BITOP", "XOR", dst, s1, s2)
+          case _ => Seq("SET", dst, v)
+        }
+      case 47 =>
+        // BITFIELD (r17): one or two write subcommands, all three
+        // overflow policies, typed and plain offsets, narrow and
+        // wide fields
+        val t1 = rnd.nextInt(5) match {
+          case 0 => "u4"
+          case 1 => "u8"
+          case 2 => "i8"
+          case 3 => "i16"
+          case _ => "u6"
+        }
+        val o1 = if (rnd.nextBoolean()) "#" + rnd.nextInt(4)
+          else rnd.nextInt(24).toString
+        val a1 = (rnd.nextInt(601) - 300).toString
+        val sub1 = Seq(if (rnd.nextBoolean()) "SET" else "INCRBY",
+          t1, o1, a1)
+        val pre = rnd.nextInt(3) match {
+          case 0 => Seq("OVERFLOW", "SAT")
+          case 1 => Seq("OVERFLOW", "FAIL")
+          case _ => Seq.empty
+        }
+        val sub2 =
+          if (rnd.nextBoolean())
+            Seq("INCRBY", "i8", rnd.nextInt(16).toString,
+              (rnd.nextInt(201) - 100).toString)
+          else Seq.empty
+        Seq("BITFIELD", key) ++ pre ++ sub1 ++ sub2
       case _ =>
         // COPY: only effective forms replicate — REPLACE, or a
         // really-absent destination

@@ -184,9 +184,11 @@ class RedisStateOpsSpec extends graft.SparkSuite {
     assert(ops("GETEX", "k").isEmpty) // bare GETEX is a pure read
     assert(ops("GETEX", "k", "PERSIST").head.op == "persist")
     assert(ops("GETEX", "k", "EX", "9").head.ex == Some(9000L))
-    // BITOP writes only dest; LMPOP may pop from every named key
+    // BITOP rides the multi-source movement pair (sources emit,
+    // only dest is written); LMPOP may pop from every named key
     assert(ops("BITOP", "AND", "dest", "s1", "s2")
-      .map(o => (o.key, o.op)) == Seq((key(0, "dest"), "unsupp")))
+      .map(o => (o.key, o.op)) == Seq((key(0, "s1"), "mvout"),
+        (key(0, "s2"), "mvout"), (key(0, "dest"), "mvin")))
     assert(ops("LMPOP", "2", "l1", "l2", "LEFT").map(_.key) ==
       Seq(key(0, "l1"), key(0, "l2")))
   }
@@ -809,6 +811,108 @@ class RedisStateOpsSpec extends graft.SparkSuite {
     * version/CRC footer (structurally present, unchecked — the
     * master already verified it).
     */
+  test("SETBIT and BITFIELD fold as exact char-space byte surgery " +
+      "(t_bitops.c setbitCommand / bitfieldGeneric)") {
+    val k = key(0, "b")
+    def foldCmds(cmds: Seq[String]*): String = {
+      var r = 0L
+      val ps = cmds.toSeq.flatMap { argv =>
+        commandOps(argv, 0L)._2.map { o =>
+          r += 1
+          ("psync.000001.log", r, o)
+        }
+      }
+      fold(k, null, packed(ps: _*))
+    }
+    // replicate the fold's JSON string-value escape for expectations
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def strPayload(v: String): String =
+      "{\"t\":\"string\",\"e\":[[\"\",\"" + esc(v) + "\"]]}"
+    // bit 0 is the MSB of byte 0; missing bytes zero-pad
+    assert(foldCmds(Seq("SETBIT", "b", "2", "1")) ==
+      strPayload(" "))
+    assert(foldCmds(
+      Seq("SETBIT", "b", "2", "1"),
+      Seq("SETBIT", "b", "0", "1"),
+      Seq("SETBIT", "b", "2", "0"),
+      Seq("SETBIT", "b", "15", "1")) ==
+      strPayload("\u0080\u0001"))
+    // surgery on a SET value: "A" with bit 2 set reads "a"
+    assert(foldCmds(
+      Seq("SET", "b", "A"),
+      Seq("SETBIT", "b", "2", "1")) == strPayload("a"))
+    // WRONGTYPE: the server rejects, the hash stays
+    assert(foldCmds(
+      Seq("HSET", "b", "f", "v"),
+      Seq("SETBIT", "b", "0", "1")).contains("\"t\":\"hash\""))
+    // a tombstone is never resurrected by bit surgery
+    assert(foldCmds(
+      Seq("PFADD", "b", "x"),
+      Seq("SETBIT", "b", "0", "1"))
+      .startsWith(RedisStateOps.TombPrefix))
+    // parse gates: bad bit / negative / past-2^32 offsets fold
+    // nothing (server error); a past-cap offset tombstones
+    def ops(argv: String*): Seq[Op] = commandOps(argv, 0L)._2
+    assert(ops("SETBIT", "b", "0", "2").isEmpty)
+    assert(ops("SETBIT", "b", "-1", "1").isEmpty)
+    assert(ops("SETBIT", "b", (1L << 32).toString, "1").isEmpty)
+    assert(ops("SETBIT", "b", (1L << 29).toString, "1")
+      .map(_.op) == Seq("unsupp"))
+    // BITFIELD: unsigned SAT clamps at 2^w-1, WRAP truncates, FAIL
+    // skips the write; GET subcommands read only
+    assert(foldCmds(Seq("BITFIELD", "b", "GET", "u8", "0",
+      "SET", "u8", "0", "200")) == strPayload("È"))
+    assert(foldCmds(
+      Seq("BITFIELD", "b", "SET", "u8", "0", "200"),
+      Seq("BITFIELD", "b", "OVERFLOW", "SAT", "INCRBY", "u8", "0",
+        "100")) == strPayload("ÿ"))
+    assert(foldCmds(
+      Seq("BITFIELD", "b", "SET", "u8", "0", "200"),
+      Seq("BITFIELD", "b", "INCRBY", "u8", "0", "100")) ==
+      strPayload(",")) // WRAP default: 300 & 0xff = 44
+    assert(foldCmds(
+      Seq("BITFIELD", "b", "SET", "u8", "0", "200"),
+      Seq("BITFIELD", "b", "OVERFLOW", "FAIL", "INCRBY", "u8", "0",
+        "100")) == strPayload("È"))
+    // signed: i8 WRAP wraps through the sign, SAT clamps at -128
+    assert(foldCmds(
+      Seq("BITFIELD", "b", "SET", "i8", "0", "-1"),
+      Seq("BITFIELD", "b", "INCRBY", "i8", "0", "-128")) ==
+      strPayload("\u007f")) // -129 wraps to 127
+    assert(foldCmds(
+      Seq("BITFIELD", "b", "SET", "i8", "0", "-1"),
+      Seq("BITFIELD", "b", "OVERFLOW", "SAT", "INCRBY", "i8", "0",
+        "-128")) == strPayload("\u0080")) // clamped at -128
+    // typed `#` offsets multiply by the width; sub-byte widths only
+    // touch their bits
+    assert(foldCmds(Seq("BITFIELD", "b", "SET", "u4", "#3", "9")) ==
+      strPayload("\u0000\t"))
+    // one command folds its writes in order
+    assert(foldCmds(Seq("BITFIELD", "b", "SET", "u8", "0", "65",
+      "INCRBY", "u8", "8", "66")) == strPayload("AB"))
+    // i64 is the full signed width
+    assert(foldCmds(Seq("BITFIELD", "b", "SET", "i64", "0", "-2")) ==
+      strPayload("ÿÿÿÿÿÿÿþ"))
+    // ANY malformed subcommand rejects the WHOLE command
+    assert(ops("BITFIELD", "b", "SET", "u8", "0", "5", "BOGUS")
+      .isEmpty)
+    assert(ops("BITFIELD", "b", "SET", "u64", "0", "1").isEmpty)
+    assert(ops("BITFIELD", "b", "SET", "i65", "0", "1").isEmpty)
+    assert(ops("BITFIELD", "b", "INCRBY", "u8", "0", "garbage")
+      .isEmpty)
+    assert(ops("BITFIELD", "b", "OVERFLOW", "BAD").isEmpty)
+    // a GET-only BITFIELD writes nothing
+    assert(ops("BITFIELD", "b", "GET", "u8", "0").isEmpty)
+  }
+
   private def dump(valueType: Int, body: Array[Byte]): String = {
     val footer = Array[Byte](11, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     new String(valueType.toByte +: (body ++ footer),
@@ -1259,6 +1363,76 @@ class RedisStateOpsSpec extends graft.SparkSuite {
       .collect().map(_.getString(0)).toSet
     assert(!flat.contains(key(0, "c3")) &&
       flat.contains(key(0, "fin")), flat)
+  }
+
+  test("BITOP folds as a multi-source movement pair: byte-wise " +
+      "AND/OR/XOR/NOT with zero-padding, absent sources read empty, " +
+      "an empty result deletes the destination, unknown sources " +
+      "tombstone it (t_bitops.c bitopCommand)") {
+    val s = spark
+    import s.implicits._
+    def deltaDf(rows: Seq[(String, Long, String, Long, String,
+        String, String, String, Option[Long])]) =
+      rows.toDF("sseg", "rank", "key", "db", "op", "value_type",
+        "field", "value", "expire_ms")
+    val B = RedisStateOps.CommandRankBase
+    def opsOf(rank0: Long, argv: String*): Seq[(String, Long, String,
+        Long, String, String, String, String, Option[Long])] = {
+      var r = rank0
+      commandOps(argv, 0L)._2.map { o =>
+        r += 1
+        ("psync.000001.log", r, o.key, 0L, o.op, o.vtype, o.field,
+          o.value, o.ex)
+      }
+    }
+    val deltas = deltaDf(
+      opsOf(B + 0, "SET", "x1", "0123") ++
+      opsOf(B + 10, "SET", "x2", "ABCD") ++
+      opsOf(B + 20, "SET", "x3", "4567") ++
+      opsOf(B + 30, "SET", "x4", "zz") ++
+      opsOf(B + 40, "BITOP", "XOR", "bx", "x1", "x2") ++
+      opsOf(B + 50, "BITOP", "AND", "ba", "x1", "x3") ++
+      opsOf(B + 60, "BITOP", "OR", "bo", "x1", "x3") ++
+      opsOf(B + 70, "BITOP", "NOT", "bn", "x1") ++
+      // shorter source zero-pads to the longest
+      opsOf(B + 80, "BITOP", "XOR", "bz", "x1", "x4") ++
+      // an absent source reads as the empty string
+      opsOf(B + 90, "BITOP", "OR", "bm", "x1", "missing") ++
+      // all-absent sources: empty result DELETES the pre-seeded dst
+      opsOf(B + 100, "SET", "be", "old") ++
+      opsOf(B + 110, "BITOP", "AND", "be", "m1", "m2") ++
+      // a tombstoned source tombstones the destination
+      opsOf(B + 120, "PFADD", "xt", "v") ++
+      opsOf(B + 130, "BITOP", "OR", "bt", "x1", "xt") ++
+      // a source whose chars exceed 0xff has no byte image
+      opsOf(B + 140, "SET", "xe", "café日") ++
+      opsOf(B + 150, "BITOP", "NOT", "bxe", "xe"))
+    val out = RedisStateOps.Merger.merge(spark, None, deltas, 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def of(k: String) = out.get(key(0, k))
+    def sval(v: String) =
+      "{\"t\":\"string\",\"e\":[[\"\",\"" + v + "\"]]}"
+    assert(of("bx").contains(sval("qsqw")), of("bx"))
+    assert(of("ba").contains(sval("0123")), of("ba"))
+    assert(of("bo").contains(sval("4567")), of("bo"))
+    assert(of("bn").contains(sval("ÏÎÍÌ")),
+      of("bn"))
+    assert(of("bz").contains(sval("JK23")), of("bz"))
+    assert(of("bm").contains(sval("0123")), of("bm"))
+    assert(of("be").isEmpty, of("be"))
+    assert(of("bt").exists(_.startsWith(RedisStateOps.TombPrefix)),
+      of("bt"))
+    assert(of("bxe").exists(_.startsWith(RedisStateOps.TombPrefix)),
+      of("bxe"))
+    // sources are read-only
+    assert(of("x1").contains(sval("0123")), of("x1"))
+    // arity gates: NOT takes exactly one source, unknown subops fold
+    // nothing
+    assert(commandOps(Seq("BITOP", "NOT", "d", "a", "b"), 0L)
+      ._2.isEmpty)
+    assert(commandOps(Seq("BITOP", "NAND", "d", "a", "b"), 0L)
+      ._2.isEmpty)
+    assert(commandOps(Seq("BITOP", "AND", "d"), 0L)._2.isEmpty)
   }
 
   test("the merger folds a delta frame over a base frame with resets " +

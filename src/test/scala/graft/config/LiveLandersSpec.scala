@@ -60,10 +60,10 @@ class LiveLandersSpec extends graft.SparkSuite {
     // sessions 1..11: one SET each; session 5 also DELs s00 and
     // HSETs h f2 b; session 7 INCRs a counter seeded in session 6;
     // session 8 exercises the r15 exact LREM fold (queue = [b, c]);
-    // session 9 poisons a key with SETBIT (binary, unmodelable —
-    // SINTERSTORE folds exactly since r16) — the tombstone must
-    // survive the later SADD (r14 verdict Wrong #1) and stay off the
-    // published face
+    // session 9 poisons a key with PFADD (sketch bytes, unmodelable
+    // — SINTERSTORE folds exactly since r16, the bit families since
+    // r17) — the tombstone must survive the later SADD (r14 verdict
+    // Wrong #1) and stay off the published face
     val sessions: Seq[FakeWire] =
       fullWire(replId, Seq(resp("SET", "s00", "v00"),
         resp("HSET", "h", "f1", "a"))) +:
@@ -77,7 +77,7 @@ class LiveLandersSpec extends graft.SparkSuite {
             resp("LREM", "queue", "0", "a"),
             resp("RPUSH", "queue", "c"))
           case 9 => Seq(resp("SADD", "srcset", "x"),
-            resp("SETBIT", "lostkey", "7", "1"),
+            resp("PFADD", "lostkey", "m7"),
             resp("SADD", "lostkey", "y"))
           // r16 folds through the REAL pipeline: stream writers
           // (XADD with an in-command trim, XDEL) ...
@@ -160,7 +160,7 @@ class LiveLandersSpec extends graft.SparkSuite {
     val state = spark.read.parquet(s"$sink/redis.state")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val keys = state.keySet.map(_.split('\u0000')(1))
-    // `lostkey` (SETBIT target, then SADD'd) must be ABSENT: the
+    // `lostkey` (PFADD target, then SADD'd) must be ABSENT: the
     // tombstone is hidden from the face and the SADD cannot rebuild
     // partial state on top of it
     val wantKeys = Set("base", "h", "cnt", "queue", "srcset",
