@@ -55,10 +55,13 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField,
   * member set, the destination computes the algebra), RESTORE (the
   * payload is the RDB object encoding — decoded at landing time by
   * the snapshot decoder and folded as a full-knowledge write) and
-  * GEOADD (the score is pure geohash math), and the bit families
+  * GEOADD (the score is pure geohash math), the bit families
   * (SETBIT/BITFIELD as char-space byte surgery, BITOP as a
-  * multi-source movement pair). A command the fold cannot model
-  * (PFADD/PFMERGE sketch bytes, ...) leaves a PERSISTENT
+  * multi-source movement pair), and the GEO-STORE variants (exact
+  * haversine selection with a libm guard band tombstoning
+  * boundary-grazing members). A command the fold cannot model
+  * (PFADD/PFMERGE sketch bytes, SORT...STORE's BY/GET patterns,
+  * ...) leaves a PERSISTENT
   * TOMBSTONE on the keys it writes: the key drops out of the
   * published flat face (the face never lies about a key it lost
   * track of — the `redis.commands` log face keeps the ground truth),
@@ -575,15 +578,154 @@ object RedisStateOps {
         val n = argv(1).toLongOption.map(_.toInt).getOrElse(0)
         (db, argv.slice(2, 2 + n).map(r =>
           Op(stateKey(db, r), "unsupp", "", "", "", None)))
-      case "GEORADIUS" | "GEORADIUSBYMEMBER" | "GEOSEARCH" |
-          "SORT" =>
-        // read-only unless a STORE/STOREDIST option names a dest —
-        // and then the DEST is the written key, never argv(1) (a
-        // default-case drop would tombstone the read-only source
-        // and leave the real dest stale: present-but-wrong)
+      case "GEORADIUS" | "GEORADIUSBYMEMBER" =>
+        // read-only unless STORE/STOREDIST names a dest (last one
+        // wins, t_geo.c georadiusGeneric) — and then the write is a
+        // DETERMINISTIC selection over the source zset (decode the
+        // 52-bit scores, haversine against the center, radius
+        // filter, optional COUNT-closest truncation), so it rides
+        // the 1:1 movement pair with the spec computed source-side.
+        // WITH* + STORE is a server error; COUNT ... ANY stops at
+        // the first n found in hash-cell walk order — unmodelable,
+        // honest tombstone on the dest.
+        val byMember = cmd == "GEORADIUSBYMEMBER"
+        val optStart = if (byMember) 5 else 6
+        val core: Option[String] =
+          if (argv.size < optStart) None
+          else if (byMember)
+            for {
+              r <- argv(3).toDoubleOption
+              u <- geoUnit(argv(4))
+            } yield {
+              val sb = new java.lang.StringBuilder("{\"m\":")
+              jesc(sb, argv(2))
+              sb.append(",\"r\":").append(r * u)
+                .append(",\"u\":").append(u).append('}').toString
+            }
+          else
+            for {
+              lo <- argv(2).toDoubleOption
+              la <- argv(3).toDoubleOption
+              r <- argv(4).toDoubleOption
+              u <- geoUnit(argv(5))
+              _ <- geohashBits52(lo, la) // range-check like the server
+            } yield s"""{"c":[$lo,$la],"r":${r * u},"u":$u}"""
+        var i = optStart
+        var cnt: Option[Long] = None
+        var any = false
+        var desc = false
+        var withx = false
+        var storeKey: Option[String] = None
+        var storeDist = false
+        var ok = core.isDefined
+        while (ok && i < argv.size) {
+          argv(i).toUpperCase match {
+            case "WITHCOORD" | "WITHDIST" | "WITHHASH" =>
+              withx = true; i += 1
+            case "ASC" => desc = false; i += 1
+            case "DESC" => desc = true; i += 1
+            case "COUNT" if i + 1 < argv.size &&
+                argv(i + 1).toLongOption.exists(_ > 0) =>
+              cnt = argv(i + 1).toLongOption
+              if (i + 2 < argv.size &&
+                  argv(i + 2).equalsIgnoreCase("ANY")) {
+                any = true; i += 3
+              } else i += 2
+            case "STORE" if i + 1 < argv.size =>
+              storeKey = Some(argv(i + 1)); storeDist = false; i += 2
+            case "STOREDIST" if i + 1 < argv.size =>
+              storeKey = Some(argv(i + 1)); storeDist = true; i += 2
+            case _ => ok = false
+          }
+        }
+        (db, (storeKey, core) match {
+          case _ if !ok => Nil // malformed: server rejects
+          case (None, _) => Nil // pure read
+          case (Some(_), _) if withx => Nil // server rejects combo
+          case (Some(dst), _) if any =>
+            Seq(Op(stateKey(db, dst), "unsupp", "", "", "", None))
+          case (Some(dst), Some(spec0)) =>
+            val spec = geoSpecFinish(spec0, cnt, desc, storeDist)
+            Seq(Op(k(1), "mvout", "geo", stateKey(db, dst), spec,
+              None),
+              Op(stateKey(db, dst), "mvin", "geo", k(1), "", None))
+          case _ => Nil
+        })
+      case "GEOSEARCHSTORE" if argv.size >= 3 =>
+        // GEOSEARCHSTORE dst src <FROMMEMBER m | FROMLONLAT lon lat>
+        // <BYRADIUS r u | BYBOX w h u> [ASC|DESC] [COUNT n [ANY]]
+        // [STOREDIST] — the 6.2 form of the same deterministic
+        // selection (t_geo.c geoSearchStoreCommand); exactly one
+        // FROM and one BY or the server rejects.
+        var i = 3
+        var from: Option[String] = None
+        var by: Option[String] = None
+        var cnt: Option[Long] = None
+        var any = false
+        var desc = false
+        var storeDist = false
+        var ok = true
+        while (ok && i < argv.size) {
+          argv(i).toUpperCase match {
+            case "FROMMEMBER" if i + 1 < argv.size &&
+                from.isEmpty =>
+              val sb = new java.lang.StringBuilder("{\"m\":")
+              jesc(sb, argv(i + 1))
+              from = Some(sb.toString); i += 2
+            case "FROMLONLAT" if i + 2 < argv.size &&
+                from.isEmpty =>
+              from = for {
+                lo <- argv(i + 1).toDoubleOption
+                la <- argv(i + 2).toDoubleOption
+                _ <- geohashBits52(lo, la)
+              } yield s"""{"c":[$lo,$la]"""
+              ok = from.isDefined; i += 3
+            case "BYRADIUS" if i + 2 < argv.size && by.isEmpty =>
+              by = for {
+                r <- argv(i + 1).toDoubleOption
+                u <- geoUnit(argv(i + 2))
+              } yield s""","r":${r * u},"u":$u}"""
+              ok = by.isDefined; i += 3
+            case "BYBOX" if i + 3 < argv.size && by.isEmpty =>
+              by = for {
+                w <- argv(i + 1).toDoubleOption
+                h <- argv(i + 2).toDoubleOption
+                u <- geoUnit(argv(i + 3))
+              } yield s""","bx":[${w * u},${h * u}],"u":$u}"""
+              ok = by.isDefined; i += 4
+            case "ASC" => desc = false; i += 1
+            case "DESC" => desc = true; i += 1
+            case "COUNT" if i + 1 < argv.size &&
+                argv(i + 1).toLongOption.exists(_ > 0) =>
+              cnt = argv(i + 1).toLongOption
+              if (i + 2 < argv.size &&
+                  argv(i + 2).equalsIgnoreCase("ANY")) {
+                any = true; i += 3
+              } else i += 2
+            case "STOREDIST" => storeDist = true; i += 1
+            case _ => ok = false
+          }
+        }
+        (db, (from, by) match {
+          case _ if !ok => Nil
+          case (Some(f), Some(b)) if any =>
+            Seq(Op(k(1), "unsupp", "", "", "", None))
+          case (Some(f), Some(b)) =>
+            val spec = geoSpecFinish(f + b, cnt, desc, storeDist)
+            Seq(Op(k(2), "mvout", "geo", k(1), spec, None),
+              Op(k(1), "mvin", "geo", k(2), "", None))
+          case _ => Nil // missing FROM/BY: server rejects
+        })
+      case "GEOSEARCH" | "SORT" =>
+        // GEOSEARCH is a pure read; SORT is read-only unless STORE
+        // names a dest — and then the DEST is the written key, never
+        // argv(1) (a default-case drop would tombstone the read-only
+        // source and leave the real dest stale: present-but-wrong).
+        // SORT's BY/GET patterns read arbitrary other keys, so its
+        // store stays an honest tombstone.
         val dests = argv.zipWithIndex.collect {
-          case (a, i) if Set("STORE", "STOREDIST")
-              .contains(a.toUpperCase) && i + 1 < argv.size =>
+          case (a, i) if a.equalsIgnoreCase("STORE") &&
+              i + 1 < argv.size =>
             argv(i + 1)
         }
         (db, dests.distinct.map(r =>
@@ -1318,6 +1460,193 @@ object RedisStateOps {
       v
     }
     spread(x0) | (spread(y0) << 1)
+  }
+
+  /** Inverse of [[interleave64]] (geohash.c deinterleave64): packs
+    * the even bit positions into the low word (latitude offset) and
+    * the odd ones into the high word (longitude offset).
+    */
+  private def deinterleave64(bits: Long): (Long, Long) = {
+    def squash(v0: Long): Long = {
+      var v = v0 & 0x5555555555555555L
+      v = (v | (v >>> 1)) & 0x3333333333333333L
+      v = (v | (v >>> 2)) & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v >>> 4)) & 0x00FF00FF00FF00FFL
+      v = (v | (v >>> 8)) & 0x0000FFFF0000FFFFL
+      v = (v | (v >>> 16)) & 0x00000000FFFFFFFFL
+      v
+    }
+    (squash(bits), squash(bits >>> 1))
+  }
+
+  /** Decode a 52-bit geohash score to the cell-center (lon, lat) —
+    * geohash.c geohashDecode + geohashDecodeAreaToLongLat: each
+    * 26-bit offset spans [min, max] linearly, the decoded point is
+    * the cell midpoint, clamped to the WGS84 range (the encode's
+    * inclusive boundary can spill one cell past it).
+    */
+  private[operators] def geoDecode(bits: Long): (Double, Double) = {
+    val (ilat, ilon) = deinterleave64(bits)
+    val scale = (1L << 26).toDouble
+    val latMin = -85.05112878; val latMax = 85.05112878
+    val lonMin = -180.0; val lonMax = 180.0
+    val latLo = latMin + (ilat / scale) * (latMax - latMin)
+    val latHi = latMin + ((ilat + 1) / scale) * (latMax - latMin)
+    val lonLo = lonMin + (ilon / scale) * (lonMax - lonMin)
+    val lonHi = lonMin + ((ilon + 1) / scale) * (lonMax - lonMin)
+    val lon = math.min((lonLo + lonHi) / 2, lonMax)
+    val lat = math.min((latLo + latHi) / 2, latMax)
+    (math.max(lon, lonMin), math.max(lat, latMin))
+  }
+
+  private val EarthRadiusMeters = 6372797.560856
+
+  /** Haversine distance in meters (geohash_helper.c
+    * geohashGetDistance, incl. the same-longitude shortcut). Uses
+    * the same formula and IEEE double steps as the server; libm
+    * last-ULP differences are possible but only observable for a
+    * point within a ULP of a shape boundary.
+    */
+  private[operators] def geoDistance(lon1: Double, lat1: Double,
+      lon2: Double, lat2: Double): Double = {
+    def rad(d: Double) = d * (math.Pi / 180.0)
+    val lat1r = rad(lat1); val lat2r = rad(lat2)
+    val u = math.sin((lat2r - lat1r) / 2)
+    if (lon1 == lon2)
+      2.0 * EarthRadiusMeters * math.asin(math.abs(u))
+    else {
+      val lon1r = rad(lon1); val lon2r = rad(lon2)
+      val v = math.sin((lon2r - lon1r) / 2)
+      val a = u * u + math.cos(lat1r) * math.cos(lat2r) * v * v
+      2.0 * EarthRadiusMeters * math.asin(math.sqrt(a))
+    }
+  }
+
+  /** The meters-per-unit factors of t_geo.c extractUnitOrReply. */
+  private def geoUnit(u: String): Option[Double] =
+    u.toLowerCase match {
+      case "m" => Some(1.0)
+      case "km" => Some(1000.0)
+      case "mi" => Some(1609.34)
+      case "ft" => Some(0.3048)
+      case _ => None
+    }
+
+  /** Append the COUNT / DESC / STOREDIST tail to a geo spec whose
+    * core (`{"m":...` or `{"c":[...],"r"/"bx":...,"u":...}`) is
+    * already rendered.
+    */
+  private def geoSpecFinish(core: String, cnt: Option[Long],
+      desc: Boolean, storeDist: Boolean): String = {
+    val sb = new java.lang.StringBuilder(core)
+    sb.setLength(sb.length - 1) // strip the closing brace
+    cnt.foreach(n => sb.append(",\"n\":").append(n))
+    if (desc) sb.append(",\"desc\":1")
+    if (storeDist) sb.append(",\"d\":1")
+    sb.append('}').toString
+  }
+
+  /** The GEO-STORE selection kernel, run SOURCE-side where the zset
+    * is in hand: decode each member's 52-bit score to its cell
+    * center, filter by the shape (radius: haversine ≤ r; box: the
+    * per-axis distances of geohash_helper.c
+    * geohashGetDistanceIfInRectangle, each ≤ half the extent), apply
+    * COUNT-closest truncation (dist asc, DESC reverses — the
+    * server's implied-ASC rule when COUNT is given), and return the
+    * emission string: `P<zset>` carrying original scores (STORE) or
+    * unit-converted distances (STOREDIST), `D` when nothing matched
+    * (the store deletes its destination), `N` when a FROMMEMBER
+    * center is missing (the server errors; no dest effect), or `U`
+    * when the selection is AMBIGUOUS: a COUNT truncation splitting a
+    * near-equal-distance tie (the server's qsort order there is
+    * unspecified), or any member within [[GeoBoundaryBand]] of a
+    * shape boundary — the server computes the same formula in C
+    * libm whose last-ULP sin/cos may differ from the JVM's, so a
+    * boundary-grazing member's fate is unknowable here and the
+    * honest answer is a tombstone, not a guess (this band is why
+    * the fold can be exact at all: everything outside it is
+    * bit-determined).
+    */
+  private[operators] val GeoBoundaryBand = 1e-12
+
+  private def geoAmbiguous(dist: Double, bound: Double): Boolean =
+    math.abs(dist - bound) <= bound * GeoBoundaryBand
+
+  private def geoEmit(s: St, specJson: String): String = {
+    if (s.t != "zset" || s.m == null) return "U"
+    val spec = Json.mapper.readTree(specJson)
+    val center: Option[(Double, Double)] =
+      if (spec.has("m"))
+        Option(s.m.get(spec.get("m").asText()))
+          .flatMap(parseScore).map(d => geoDecode(d.toLong))
+      else {
+        val c = spec.get("c")
+        Some((c.get(0).asDouble(), c.get(1).asDouble()))
+      }
+    center match {
+      case None => "N" // missing center member: server errors
+      case Some((clon, clat)) =>
+        val sel = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Double)]
+        var grazing = false
+        s.m.forEach { (m, v) =>
+          parseScore(v).foreach { d =>
+            val (lon, lat) = geoDecode(d.toLong)
+            if (spec.has("r")) {
+              val r = spec.get("r").asDouble()
+              val dist = geoDistance(clon, clat, lon, lat)
+              if (geoAmbiguous(dist, r)) grazing = true
+              else if (dist <= r) {
+                sel += ((m, v, dist)); ()
+              }
+            } else {
+              val bx = spec.get("bx")
+              val hw = bx.get(0).asDouble() / 2
+              val hh = bx.get(1).asDouble() / 2
+              val lonDist = geoDistance(lon, lat, clon, lat)
+              val latDist = geoDistance(lon, lat, lon, clat)
+              if (geoAmbiguous(lonDist, hw) ||
+                  geoAmbiguous(latDist, hh)) grazing = true
+              else if (lonDist <= hw && latDist <= hh) {
+                sel += ((m, v, geoDistance(clon, clat, lon, lat)))
+                ()
+              }
+            }
+          }
+        }
+        val truncated: Option[Seq[(String, String, Double)]] =
+          if (grazing) None
+          else Option(spec.get("n")).map(_.asLong()) match {
+            case Some(n) if sel.size > n =>
+              val sorted =
+                if (spec.has("desc")) sel.sortBy(t => -t._3)
+                else sel.sortBy(_._3)
+              val ni = math.min(n, Int.MaxValue.toLong).toInt
+              // a tie (or a near-tie inside the libm band) across
+              // the truncation boundary is qsort-order ambiguous on
+              // the server
+              val a = sorted(ni - 1)._3
+              val b = sorted(ni)._3
+              if (a == b || math.abs(a - b) <=
+                  math.max(math.abs(a), math.abs(b)) *
+                    GeoBoundaryBand) None
+              else Some(sorted.take(ni).toSeq)
+            case _ => Some(sel.toSeq)
+          }
+        truncated match {
+          case None => "U"
+          case Some(Nil) => "D"
+          case Some(picked) =>
+            val storeDist = spec.has("d")
+            val unitF = spec.get("u").asDouble()
+            val st = new St("zset", None)
+            picked.foreach { case (m, v, dist) =>
+              st.map().put(m,
+                if (storeDist) num(dist / unitF) else v)
+            }
+            "P" + render(st)
+        }
+    }
   }
 
   /** Render a double the way Redis prints integral scores: integral
@@ -2096,7 +2425,8 @@ object RedisStateOps {
         if (op.vtype.startsWith("sset")) "S[]" // absent = empty set
         else if (op.vtype.startsWith("zst")) "Z[]"
         else if (op.vtype.startsWith("bop")) "R" // absent = empty str
-        else if (op.vtype == "zrs") "D" // empty range deletes dst
+        else if (op.vtype == "zrs" || op.vtype == "geo")
+          "D" // an empty selection deletes the destination
         else "N"
       case Some(s) if s.t == TombType => "U"
       case Some(s) => op.vtype match {
@@ -2160,6 +2490,10 @@ object RedisStateOps {
               sel.foreach { case (m, sc) => st.map().put(m, sc) }
               "P" + render(st)
           }
+        case "geo" =>
+          // the geo selection, shipped the same way (r17: the
+          // GEO-STORE variants fold exactly)
+          geoEmit(s, op.value)
         case _ => // lmv; aux = pop side
           if (s.t != "list" || s.l == null || s.l.isEmpty) "N"
           else "V" + (if (op.value == "L") s.l.head else s.l.last)
@@ -2260,7 +2594,7 @@ object RedisStateOps {
       case "ren" => None
       case "cpy" | "cpyr" => state
       case k2 if isMultiSrc(k2) => state // read-only sources
-      case "zrs" => state // read-only source
+      case "zrs" | "geo" => state // read-only sources
       case "smv" => state match {
         case Some(s) if s.t == "set" && s.m != null =>
           s.m.remove(op.value)
@@ -2300,7 +2634,7 @@ object RedisStateOps {
     if (data == "D") return None
     val isTomb = state.exists(_.t == TombType)
     op.vtype match {
-      case "ren" | "cpyr" | "zrs" if data.startsWith("P") =>
+      case "ren" | "cpyr" | "zrs" | "geo" if data.startsWith("P") =>
         Some(parse(data.substring(1)))
       case "cpy" if data.startsWith("P") => state match {
         case None => Some(parse(data.substring(1)))

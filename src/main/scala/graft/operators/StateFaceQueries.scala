@@ -712,13 +712,175 @@ object StateFaceQueries {
       |       post
       |FROM d, sp""".stripMargin
 
+  // ---------------------------------------------------------------- q159
+
+  /** Deterministic GEO-STORE fixture derived from `customer`, driven
+    * through the PRODUCTION command path (round-17: the GEO-STORE
+    * variants fold exactly). Per customer k a GEOADD lands its grid
+    * point (3°-spaced, so every shape boundary sits tens of km from
+    * any member — libm last-ULP differences cannot flip membership)
+    * into `g9:<segment>`; then, at ranks above every add, 100-
+    * divisible customers issue `GEOSEARCHSTORE sel:<k> ...
+    * BYRADIUS 500 km` and 50-mod-100 customers `box:<k> ... BYBOX
+    * 700 700 km`, both FROMLONLAT their own point. The oracle
+    * recomputes the 52-bit encode (Morton cascade), the cell-center
+    * decode, and the haversine with the same IEEE double steps —
+    * selections carry ORIGINAL geohash scores (exact integers), so
+    * the hash match is bit-exact. STOREDIST / COUNT semantics are
+    * pinned by RedisStateOpsSpec vectors instead (their rendered
+    * doubles and qsort tie rules are not cross-engine-stable).
+    */
+  def redisGeoStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("k"),
+      col("c_name").cast("string").as("nm"),
+      col("c_mktsegment").cast("string").as("seg"))
+      .as[(Long, String, String)]
+    val rows = c.flatMap { case (k, nm, seg) =>
+      val lon = s"${(k % 30) * 3}.25"
+      val lat = s"${(k % 20) * 3}.25"
+      val adds = Seq(
+        (RedisStateOps.CommandRankBase + k * 4,
+          Seq("GEOADD", s"g9:$seg", lon, lat, nm)))
+      val stores =
+        if (k % 100 == 0) Seq(((1L << 41) + k * 4,
+          Seq("GEOSEARCHSTORE", s"sel:$k", s"g9:$seg", "FROMLONLAT",
+            lon, lat, "BYRADIUS", "500", "km")))
+        else if (k % 100 == 50) Seq(((1L << 41) + k * 4,
+          Seq("GEOSEARCHSTORE", s"box:$k", s"g9:$seg", "FROMLONLAT",
+            lon, lat, "BYBOX", "700", "700", "km")))
+        else Nil
+      (adds ++ stores).flatMap { case (base, argv) =>
+        RedisStateOps.commandOps(argv, 0L)._2.zipWithIndex.map {
+          case (o, j) =>
+            ("psync.000001.log", base + j, o.key, 0L, o.op,
+              o.vtype, o.field, o.value, o.ex)
+        }
+      }
+    }.toDF("sseg", "rank", "key", "db", "op", "value_type", "field",
+      "value", "expire_ms")
+    val merged = RedisStateOps.Merger.merge(spark, None, rows, 0L)
+    RedisStateOps.Merger.flatView.get(merged)
+      .select(substring_index(col("key"), "\u0000", -1).as("key"),
+        col("payload"))
+  }
+
+  private val redisGeoStoreSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey AS k, c_name AS nm, c_mktsegment AS seg
+      |  FROM customer),
+      |p0 AS (
+      |  SELECT k, nm, seg,
+      |         (k % 30) * 3 + 0.25 AS lon,
+      |         (k % 20) * 3 + 0.25 AS lat
+      |  FROM c),
+      |m0 AS (
+      |  SELECT k, nm, seg, lon, lat,
+      |         CAST(FLOOR(((lat + 85.05112878)
+      |             / (85.05112878 + 85.05112878)) * 67108864.0)
+      |           AS BIGINT) AS a,
+      |         CAST(FLOOR(((lon + 180.0) / 360.0) * 67108864.0)
+      |           AS BIGINT) AS b
+      |  FROM p0),
+      |m1 AS (SELECT k, nm, seg, lon, lat, a AS a0, b AS b0,
+      |         ((a | (a << 16)) & 281470681808895) AS a,
+      |         ((b | (b << 16)) & 281470681808895) AS b FROM m0),
+      |m2 AS (SELECT k, nm, seg, lon, lat, a0, b0,
+      |         ((a | (a << 8)) & 71777214294589695) AS a,
+      |         ((b | (b << 8)) & 71777214294589695) AS b FROM m1),
+      |m3 AS (SELECT k, nm, seg, lon, lat, a0, b0,
+      |         ((a | (a << 4)) & 1085102592571150095) AS a,
+      |         ((b | (b << 4)) & 1085102592571150095) AS b FROM m2),
+      |m4 AS (SELECT k, nm, seg, lon, lat, a0, b0,
+      |         ((a | (a << 2)) & 3689348814741910323) AS a,
+      |         ((b | (b << 2)) & 3689348814741910323) AS b FROM m3),
+      |m5 AS (SELECT k, nm, seg, lon, lat, a0, b0,
+      |         ((a | (a << 1)) & 6148914691236517205) AS a,
+      |         ((b | (b << 1)) & 6148914691236517205) AS b FROM m4),
+      |geo0 AS (SELECT k, nm, seg, lon, lat, a0, b0,
+      |                (a | (b << 1)) AS bits FROM m5),
+      |pts AS (
+      |  SELECT seg, nm, bits, a0, b0 FROM (
+      |    SELECT seg, nm, bits, a0, b0,
+      |           row_number() OVER (PARTITION BY seg, nm
+      |                              ORDER BY k DESC) AS rn
+      |    FROM geo0) WHERE rn = 1),
+      |ctr AS (
+      |  SELECT seg, nm, bits,
+      |         ((-85.05112878 + (CAST(a0 AS DOUBLE) / 67108864.0)
+      |             * (85.05112878 - (-85.05112878)))
+      |          + (-85.05112878 + (CAST(a0 + 1 AS DOUBLE)
+      |              / 67108864.0)
+      |             * (85.05112878 - (-85.05112878)))) / 2 AS mlat,
+      |         ((-180.0 + (CAST(b0 AS DOUBLE) / 67108864.0)
+      |             * (180.0 - (-180.0)))
+      |          + (-180.0 + (CAST(b0 + 1 AS DOUBLE) / 67108864.0)
+      |             * (180.0 - (-180.0)))) / 2 AS mlon
+      |  FROM pts),
+      |stores AS (
+      |  SELECT k AS k0, seg, lon AS clon, lat AS clat,
+      |         CAST(k % 100 AS INT) AS tag
+      |  FROM p0 WHERE k % 100 = 0 OR k % 100 = 50),
+      |selr AS (
+      |  SELECT s.k0, p.nm, p.bits
+      |  FROM stores s JOIN ctr p ON p.seg = s.seg
+      |  WHERE s.tag = 0 AND
+      |    2.0 * 6372797.560856 * asin(sqrt(
+      |      sin((p.mlat * (pi() / 180.0)
+      |           - s.clat * (pi() / 180.0)) / 2)
+      |      * sin((p.mlat * (pi() / 180.0)
+      |             - s.clat * (pi() / 180.0)) / 2)
+      |      + cos(s.clat * (pi() / 180.0))
+      |        * cos(p.mlat * (pi() / 180.0))
+      |        * sin((p.mlon * (pi() / 180.0)
+      |               - s.clon * (pi() / 180.0)) / 2)
+      |        * sin((p.mlon * (pi() / 180.0)
+      |               - s.clon * (pi() / 180.0)) / 2)))
+      |    <= 500000.0),
+      |boxr AS (
+      |  SELECT s.k0, p.nm, p.bits
+      |  FROM stores s JOIN ctr p ON p.seg = s.seg
+      |  WHERE s.tag = 50 AND
+      |    2.0 * 6372797.560856 * asin(sqrt(
+      |      cos(p.mlat * (pi() / 180.0))
+      |      * cos(p.mlat * (pi() / 180.0))
+      |      * sin((s.clon * (pi() / 180.0)
+      |             - p.mlon * (pi() / 180.0)) / 2)
+      |      * sin((s.clon * (pi() / 180.0)
+      |             - p.mlon * (pi() / 180.0)) / 2)))
+      |    <= 350000.0
+      |    AND
+      |    2.0 * 6372797.560856 * asin(abs(
+      |      sin((s.clat * (pi() / 180.0)
+      |           - p.mlat * (pi() / 180.0)) / 2)))
+      |    <= 350000.0)
+      |SELECT 'g9:' || seg AS key,
+      |       '{"t":"zset","e":[' ||
+      |         string_agg('["' || nm || '","' || bits || '"]', ','
+      |           ORDER BY nm) || ']}' AS payload
+      |FROM pts GROUP BY seg
+      |UNION ALL
+      |SELECT 'sel:' || k0,
+      |       '{"t":"zset","e":[' ||
+      |         string_agg('["' || nm || '","' || bits || '"]', ','
+      |           ORDER BY nm) || ']}'
+      |FROM selr GROUP BY k0
+      |UNION ALL
+      |SELECT 'box:' || k0,
+      |       '{"t":"zset","e":[' ||
+      |         string_agg('["' || nm || '","' || bits || '"]', ','
+      |           ORDER BY nm) || ']}'
+      |FROM boxr GROUP BY k0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_redis_state_fold" -> (redisStateFold _),
     "q154_mongo_state_face" -> (mongoStateFace _),
     "q155_redis_stream_fold" -> (redisStreamFold _),
     "q156_redis_move_fold" -> (redisMoveFold _),
     "q157_redis_restore_geo" -> (redisRestoreGeo _),
-    "q158_redis_bit_fold" -> (redisBitFold _))
+    "q158_redis_bit_fold" -> (redisBitFold _),
+    "q159_redis_geo_store" -> (redisGeoStore _))
 
   val oracles: Map[String, String] = Map(
     "q153_redis_state_fold" -> redisStateFoldSql,
@@ -726,5 +888,6 @@ object StateFaceQueries {
     "q155_redis_stream_fold" -> redisStreamFoldSql,
     "q156_redis_move_fold" -> redisMoveFoldSql,
     "q157_redis_restore_geo" -> redisRestoreGeoSql,
-    "q158_redis_bit_fold" -> redisBitFoldSql)
+    "q158_redis_bit_fold" -> redisBitFoldSql,
+    "q159_redis_geo_store" -> redisGeoStoreSql)
 }

@@ -160,10 +160,12 @@ class RedisStateOpsSpec extends graft.SparkSuite {
       "-1").isEmpty)
     // GEO/SORT reads write only when STORE names a dest — and then
     // the DEST is the written key, never the read-only source
+    // (since r17 the GEO stores ride the movement pair exactly)
     assert(ops("GEOSEARCH", "g", "FROMMEMBER", "m", "BYRADIUS", "1",
       "km", "ASC").isEmpty)
     assert(ops("GEORADIUS", "g", "0", "0", "1", "km", "STORE", "d")
-      .map(o => (o.key, o.op)) == Seq((key(0, "d"), "unsupp")))
+      .map(o => (o.key, o.op)) == Seq((key(0, "g"), "mvout"),
+        (key(0, "d"), "mvin")))
     assert(ops("SORT", "src", "ALPHA").isEmpty)
     assert(ops("SORT", "src", "ALPHA", "STORE", "dst")
       .map(o => (o.key, o.op)) == Seq((key(0, "dst"), "unsupp")))
@@ -1433,6 +1435,133 @@ class RedisStateOpsSpec extends graft.SparkSuite {
     assert(commandOps(Seq("BITOP", "NAND", "d", "a", "b"), 0L)
       ._2.isEmpty)
     assert(commandOps(Seq("BITOP", "AND", "d"), 0L)._2.isEmpty)
+  }
+
+  test("GEO-STORE variants fold as exact selections over the source " +
+      "zset: radius/box filters on decoded cell centers, " +
+      "COUNT-closest truncation, STOREDIST unit conversion, empty " +
+      "selections delete, missing centers no-op (t_geo.c " +
+      "georadiusGeneric / geoSearchStoreCommand)") {
+    val s = spark
+    import s.implicits._
+    def deltaDf(rows: Seq[(String, Long, String, Long, String,
+        String, String, String, Option[Long])]) =
+      rows.toDF("sseg", "rank", "key", "db", "op", "value_type",
+        "field", "value", "expire_ms")
+    val B = RedisStateOps.CommandRankBase
+    def opsOf(rank0: Long, argv: String*): Seq[(String, Long, String,
+        Long, String, String, String, String, Option[Long])] = {
+      var r = rank0
+      commandOps(argv, 0L)._2.map { o =>
+        r += 1
+        ("psync.000001.log", r, o.key, 0L, o.op, o.vtype, o.field,
+          o.value, o.ex)
+      }
+    }
+    val deltas = deltaDf(
+      // the documented Sicily pair: Catania is ~56.4 km from
+      // (15, 37), Palermo ~190.4 km; they are ~166.3 km apart
+      opsOf(B + 0, "GEOADD", "geo", "13.361389", "38.115556",
+        "Palermo", "15.087269", "37.502669", "Catania") ++
+      opsOf(B + 10, "GEORADIUS", "geo", "15", "37", "200", "km",
+        "STORE", "near") ++
+      opsOf(B + 20, "GEORADIUS", "geo", "15", "37", "100", "km",
+        "STORE", "near100") ++
+      opsOf(B + 30, "GEORADIUS", "geo", "15", "37", "200", "km",
+        "COUNT", "1", "STORE", "nearest") ++
+      opsOf(B + 40, "GEORADIUS", "geo", "15", "37", "200", "km",
+        "COUNT", "1", "DESC", "STORE", "farthest") ++
+      opsOf(B + 50, "GEORADIUS", "geo", "15", "37", "200", "km",
+        "STOREDIST", "ndist") ++
+      opsOf(B + 60, "GEORADIUSBYMEMBER", "geo", "Catania", "100",
+        "km", "STORE", "bym") ++
+      opsOf(B + 70, "GEOSEARCHSTORE", "bbox", "geo", "FROMLONLAT",
+        "15", "37", "BYBOX", "400", "400", "km") ++
+      opsOf(B + 80, "GEOSEARCHSTORE", "bdist", "geo", "FROMMEMBER",
+        "Catania", "BYRADIUS", "200", "km", "STOREDIST") ++
+      // missing center member: the server errors, dest untouched
+      opsOf(B + 90, "SET", "bg", "keep") ++
+      opsOf(B + 100, "GEORADIUSBYMEMBER", "geo", "ghost", "100",
+        "km", "STORE", "bg") ++
+      // empty selection DELETES the pre-seeded destination
+      opsOf(B + 110, "SET", "be2", "x") ++
+      opsOf(B + 120, "GEORADIUS", "geo", "0", "0", "1", "m",
+        "STORE", "be2") ++
+      // a tombstoned source tombstones the destination
+      opsOf(B + 130, "PFADD", "gt", "x") ++
+      opsOf(B + 140, "GEORADIUS", "gt", "15", "37", "1", "km",
+        "STORE", "bt2") ++
+      // a member EXACTLY on the boundary (center = Catania's own
+      // cell center, radius 0 → distance 0 == bound): the libm
+      // guard band tombstones instead of guessing the server's side
+      opsOf(B + 150, {
+        val bits = RedisStateOps
+          .geohashBits52(15.087269, 37.502669).get
+        val (czLon, czLat) = RedisStateOps.geoDecode(bits)
+        Seq("GEORADIUS", "geo", czLon.toString, czLat.toString,
+          "0", "m", "STORE", "gz")
+      }: _*))
+    val out = RedisStateOps.Merger.merge(spark, None, deltas, 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def of(k: String) = out.get(key(0, k))
+    def members(p: String): Set[String] =
+      "\\[\"([^\"]+)\",\"[^\"]*\"\\]".r.findAllMatchIn(p)
+        .map(_.group(1)).toSet
+    def score(p: String, m: String): Option[String] = {
+      val re = ("\\[\"" + m + "\",\"([^\"]*)\"\\]").r
+      re.findFirstMatchIn(p).map(_.group(1))
+    }
+    assert(of("near").exists(p =>
+      members(p) == Set("Palermo", "Catania")), of("near"))
+    // STORE keeps the ORIGINAL geohash scores
+    assert(score(of("near").get, "Palermo") ==
+      score(of("geo").get, "Palermo"), of("near"))
+    assert(of("near100").exists(p =>
+      members(p) == Set("Catania")), of("near100"))
+    assert(of("nearest").exists(p =>
+      members(p) == Set("Catania")), of("nearest"))
+    assert(of("farthest").exists(p =>
+      members(p) == Set("Palermo")), of("farthest"))
+    // STOREDIST scores are unit distances (km here): the documented
+    // WITHDIST values 56.4413 / 190.4424
+    assert(of("ndist").exists(p =>
+      score(p, "Catania").exists(_.startsWith("56.44")) &&
+        score(p, "Palermo").exists(_.startsWith("190.44"))),
+      of("ndist"))
+    assert(of("bym").exists(p =>
+      members(p) == Set("Catania")), of("bym"))
+    assert(of("bbox").exists(p =>
+      members(p) == Set("Palermo", "Catania")), of("bbox"))
+    // FROMMEMBER + STOREDIST: Catania at 0, Palermo ~166.27 km
+    assert(of("bdist").exists(p =>
+      score(p, "Catania").contains("0") &&
+        score(p, "Palermo").exists(_.startsWith("166.2"))),
+      of("bdist"))
+    assert(of("bg").exists(_.contains("keep")), of("bg"))
+    assert(of("be2").isEmpty, of("be2"))
+    assert(of("bt2").exists(_.startsWith(RedisStateOps.TombPrefix)),
+      of("bt2"))
+    assert(of("gz").exists(_.startsWith(RedisStateOps.TombPrefix)),
+      of("gz"))
+    // sources are read-only
+    assert(of("geo").exists(p =>
+      members(p) == Set("Palermo", "Catania")), of("geo"))
+    // parse gates: COUNT ANY is an honest tombstone; WITH* + STORE
+    // and the pure reads fold nothing
+    def ops(argv: String*): Seq[Op] = commandOps(argv, 0L)._2
+    assert(ops("GEORADIUS", "g", "15", "37", "200", "km", "COUNT",
+      "5", "ANY", "STORE", "d").map(o => (o.key, o.op)) ==
+      Seq((key(0, "d"), "unsupp")))
+    assert(ops("GEORADIUS", "g", "15", "37", "200", "km",
+      "WITHDIST", "STORE", "d").isEmpty)
+    assert(ops("GEORADIUS", "g", "15", "37", "200", "km").isEmpty)
+    assert(ops("GEOSEARCH", "g", "FROMLONLAT", "15", "37",
+      "BYRADIUS", "200", "km").isEmpty)
+    assert(ops("GEOSEARCHSTORE", "d", "g", "FROMLONLAT", "15", "37")
+      .isEmpty) // missing BY: server rejects
+    assert(ops("GEOSEARCHSTORE", "d", "g", "FROMLONLAT", "15", "37",
+      "BYRADIUS", "200", "km", "COUNT", "2", "ANY")
+      .map(o => (o.key, o.op)) == Seq((key(0, "d"), "unsupp")))
   }
 
   test("the merger folds a delta frame over a base frame with resets " +
