@@ -716,20 +716,67 @@ object RedisStateOps {
               Op(k(1), "mvin", "geo", k(2), "", None))
           case _ => Nil // missing FROM/BY: server rejects
         })
-      case "GEOSEARCH" | "SORT" =>
-        // GEOSEARCH is a pure read; SORT is read-only unless STORE
-        // names a dest — and then the DEST is the written key, never
-        // argv(1) (a default-case drop would tombstone the read-only
-        // source and leave the real dest stale: present-but-wrong).
-        // SORT's BY/GET patterns read arbitrary other keys, so its
-        // store stays an honest tombstone.
-        val dests = argv.zipWithIndex.collect {
-          case (a, i) if a.equalsIgnoreCase("STORE") &&
-              i + 1 < argv.size =>
-            argv(i + 1)
+      case "GEOSEARCH" =>
+        (db, Nil) // pure read (the 6.2 STORE form is its own command)
+      case "SORT" if argv.size >= 2 =>
+        // SORT key [LIMIT off cnt] [ASC|DESC] [ALPHA] [BY pat]
+        // [GET pat ...] [STORE dst] — without BY/GET the sort is a
+        // DETERMINISTIC function of the source container (strtod
+        // numeric order, or ALPHA's memcmp order), so a STORE rides
+        // the 1:1 movement pair. BY/GET patterns read arbitrary
+        // OTHER keys the fold cannot see (and a pattern without `*`
+        // flips the server into nosort iteration order), so those
+        // stores stay honest tombstones; so does a negative LIMIT
+        // count (semantics not pinned here). The dest is the ONLY
+        // written key — a default-case drop would tombstone the
+        // read-only source and leave the real dest stale.
+        var i = 2
+        var desc = false
+        var alpha = false
+        var off = 0L
+        var cnt = -1L
+        var haveLimit = false
+        var byGet = false
+        var store: Option[String] = None
+        var ok = true
+        while (ok && i < argv.size) {
+          argv(i).toUpperCase match {
+            case "ASC" => desc = false; i += 1
+            case "DESC" => desc = true; i += 1
+            case "ALPHA" => alpha = true; i += 1
+            case "LIMIT" if i + 2 < argv.size =>
+              (argv(i + 1).toLongOption,
+                argv(i + 2).toLongOption) match {
+                case (Some(o), Some(c2)) if o >= 0 =>
+                  off = o; cnt = c2; haveLimit = true; i += 3
+                case _ => ok = false // server rejects
+              }
+            case "BY" | "GET" if i + 1 < argv.size =>
+              byGet = true; i += 2
+            case "STORE" if i + 1 < argv.size =>
+              store = Some(argv(i + 1)); i += 2
+            case _ => ok = false
+          }
         }
-        (db, dests.distinct.map(r =>
-          Op(stateKey(db, r), "unsupp", "", "", "", None)))
+        (db, (store, ok) match {
+          case (_, false) => Nil
+          case (None, _) => Nil // pure read
+          case (Some(dst), _) if byGet || (haveLimit && cnt < 0) =>
+            Seq(Op(stateKey(db, dst), "unsupp", "", "", "", None))
+          case (Some(dst), _) =>
+            val sb = new java.lang.StringBuilder("{")
+            if (alpha) sb.append("\"a\":1,")
+            if (desc) sb.append("\"desc\":1,")
+            if (haveLimit)
+              sb.append("\"o\":").append(off)
+                .append(",\"c\":").append(cnt).append(',')
+            if (sb.charAt(sb.length - 1) == ',')
+              sb.setLength(sb.length - 1)
+            sb.append('}')
+            Seq(Op(k(1), "mvout", "srt", stateKey(db, dst),
+              sb.toString, None),
+              Op(stateKey(db, dst), "mvin", "srt", k(1), "", None))
+        })
       case "XADD" if argv.size >= 3 =>
         // XADD key [NOMKSTREAM] [MAXLEN|MINID [=|~] thr [LIMIT n]]
         // <id> field value [field value ...] — the REPLICATED form
@@ -1571,6 +1618,109 @@ object RedisStateOps {
 
   private def geoAmbiguous(dist: Double, bound: Double): Boolean =
     math.abs(dist - bound) <= bound * GeoBoundaryBand
+
+  /** memcmp order of the UTF-8 encodings == code-point order — the
+    * server's ALPHA comparator (compareStringObjects). Java's
+    * `compareTo` diverges for supplementary characters (UTF-16 unit
+    * order), so compare code points explicitly.
+    */
+  private def codePointCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** The SORT…STORE selection kernel (sort.c sortCommand without
+    * BY/GET): collect the container's elements (list order / set
+    * members / zset MEMBERS — the stored result is always a LIST),
+    * sort numerically via strtod (ANY unparsable element errors the
+    * whole command server-side → `N`) or by ALPHA's memcmp order,
+    * apply LIMIT post-sort, and ship a list payload. Numeric ties
+    * between DISTINCT strings that reach the output window are
+    * qsort-order ambiguous on the server → `U`.
+    */
+  private def sortEmit(s: St, specJson: String): String = {
+    val spec = Json.mapper.readTree(specJson)
+    val elems: Option[Seq[String]] = s.t match {
+      case "list" => Some(Option(s.l).map(_.toSeq).getOrElse(Nil))
+      case "set" | "zset" =>
+        Some(Option(s.m).map { m =>
+          val b = Seq.newBuilder[String]
+          m.keySet().forEach(k2 => b += k2)
+          b.result()
+        }.getOrElse(Nil))
+      case _ => None // WRONGTYPE: server errors, unknown content
+    }
+    elems match {
+      case None => "U"
+      case Some(es) =>
+        val alpha = spec.has("a")
+        val desc = spec.has("desc")
+        val off = Option(spec.get("o")).map(_.asLong()).getOrElse(0L)
+        val cnt = Option(spec.get("c")).map(_.asLong())
+          .getOrElse(Long.MaxValue)
+        val sortedOpt: Option[Seq[String]] =
+          if (alpha) {
+            val cmp = new java.util.Comparator[String] {
+              def compare(a: String, b: String): Int =
+                codePointCompare(a, b)
+            }
+            val arr = es.toArray
+            java.util.Arrays.sort(arr, cmp)
+            Some(if (desc) arr.toSeq.reverse else arr.toSeq)
+          } else {
+            val parsed = es.map(e => (e, parseScore(e)))
+            if (parsed.exists(_._2.isEmpty)) None // server errors
+            else {
+              val sorted = parsed.map { case (e, d) => (e, d.get) }
+                .sortBy(_._2)
+              val ordered = if (desc) sorted.reverse else sorted
+              // a tie group of DISTINCT strings overlapping the
+              // output window is qsort-order ambiguous
+              val lo = math.min(off, Int.MaxValue.toLong).toInt
+              val hi =
+                if (cnt == Long.MaxValue) ordered.size.toLong
+                else math.min(off + cnt, ordered.size.toLong)
+              var idx = 0
+              var ambiguous = false
+              while (idx < ordered.size && !ambiguous) {
+                var end = idx + 1
+                while (end < ordered.size &&
+                    ordered(end)._2 == ordered(idx)._2) end += 1
+                if (end - idx > 1 &&
+                    ordered.slice(idx, end).map(_._1)
+                      .distinct.size > 1 &&
+                    idx < hi && end > lo) ambiguous = true
+                idx = end
+              }
+              if (ambiguous) Some(null)
+              else Some(ordered.map(_._1))
+            }
+          }
+        sortedOpt match {
+          case None => "N" // unparsable numeric: no dest effect
+          case Some(null) => "U"
+          case Some(sorted) =>
+            val lo = math.min(off, Int.MaxValue.toLong).toInt
+            val sliced =
+              if (cnt == Long.MaxValue) sorted.drop(lo)
+              else sorted.slice(lo,
+                math.min(off + cnt, Int.MaxValue.toLong).toInt)
+            if (sliced.isEmpty) "D"
+            else {
+              val st = new St("list", None)
+              sliced.foreach(e => st.list().append(e))
+              "P" + render(st)
+            }
+        }
+    }
+  }
 
   private def geoEmit(s: St, specJson: String): String = {
     if (s.t != "zset" || s.m == null) return "U"
@@ -2425,7 +2575,8 @@ object RedisStateOps {
         if (op.vtype.startsWith("sset")) "S[]" // absent = empty set
         else if (op.vtype.startsWith("zst")) "Z[]"
         else if (op.vtype.startsWith("bop")) "R" // absent = empty str
-        else if (op.vtype == "zrs" || op.vtype == "geo")
+        else if (op.vtype == "zrs" || op.vtype == "geo" ||
+            op.vtype == "srt")
           "D" // an empty selection deletes the destination
         else "N"
       case Some(s) if s.t == TombType => "U"
@@ -2494,6 +2645,9 @@ object RedisStateOps {
           // the geo selection, shipped the same way (r17: the
           // GEO-STORE variants fold exactly)
           geoEmit(s, op.value)
+        case "srt" =>
+          // the SORT...STORE result, shipped as a list payload
+          sortEmit(s, op.value)
         case _ => // lmv; aux = pop side
           if (s.t != "list" || s.l == null || s.l.isEmpty) "N"
           else "V" + (if (op.value == "L") s.l.head else s.l.last)
@@ -2594,7 +2748,7 @@ object RedisStateOps {
       case "ren" => None
       case "cpy" | "cpyr" => state
       case k2 if isMultiSrc(k2) => state // read-only sources
-      case "zrs" | "geo" => state // read-only sources
+      case "zrs" | "geo" | "srt" => state // read-only sources
       case "smv" => state match {
         case Some(s) if s.t == "set" && s.m != null =>
           s.m.remove(op.value)
@@ -2634,7 +2788,8 @@ object RedisStateOps {
     if (data == "D") return None
     val isTomb = state.exists(_.t == TombType)
     op.vtype match {
-      case "ren" | "cpyr" | "zrs" | "geo" if data.startsWith("P") =>
+      case "ren" | "cpyr" | "zrs" | "geo" | "srt"
+          if data.startsWith("P") =>
         Some(parse(data.substring(1)))
       case "cpy" if data.startsWith("P") => state match {
         case None => Some(parse(data.substring(1)))

@@ -873,6 +873,110 @@ object StateFaceQueries {
       |           ORDER BY nm) || ']}'
       |FROM boxr GROUP BY k0""".stripMargin
 
+  // ---------------------------------------------------------------- q160
+
+  /** Deterministic SORT…STORE fixture derived from `orders`, driven
+    * through the PRODUCTION command path (round-17): per order an
+    * RPUSH of floor(totalprice) onto `srt:<ckey>`, then — at ranks
+    * above every push — three sorts per customer: plain numeric
+    * (`ssort:`), DESC LIMIT 0 3 (`stop3:`), and ALPHA (`salpha:`).
+    * Duplicate prices tie as IDENTICAL strings (harmless — same
+    * content either side of the server's unstable qsort); the
+    * oracle re-sorts with CAST(AS DOUBLE) / binary collation.
+    */
+  def redisSortStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey").cast("long").as("okey"),
+      col("o_custkey").cast("long").as("ckey"),
+      floor(col("o_totalprice")).cast("long").as("price"))
+      .as[(Long, Long, Long)]
+    val pushes = o.flatMap { case (okey, ckey, price) =>
+      RedisStateOps.commandOps(
+        Seq("RPUSH", s"srt:$ckey", price.toString), 0L)._2
+        .zipWithIndex.map { case (op2, j) =>
+          ("psync.000001.log",
+            RedisStateOps.CommandRankBase + okey * 2 + j, op2.key,
+            0L, op2.op, op2.vtype, op2.field, op2.value, op2.ex)
+        }
+    }
+    val sorts = o.map(_._2).distinct().flatMap { ckey =>
+      val cmds = Seq(
+        Seq("SORT", s"srt:$ckey", "STORE", s"ssort:$ckey"),
+        Seq("SORT", s"srt:$ckey", "DESC", "LIMIT", "0", "3",
+          "STORE", s"stop3:$ckey"),
+        Seq("SORT", s"srt:$ckey", "ALPHA", "STORE", s"salpha:$ckey"))
+      cmds.zipWithIndex.flatMap { case (argv, i) =>
+        RedisStateOps.commandOps(argv, 0L)._2.zipWithIndex.map {
+          case (op2, j) =>
+            ("psync.000001.log", (1L << 41) + ckey * 8 + i * 2 + j,
+              op2.key, 0L, op2.op, op2.vtype, op2.field, op2.value,
+              op2.ex)
+        }
+      }
+    }
+    val rows = pushes.union(sorts)
+      .toDF("sseg", "rank", "key", "db", "op", "value_type", "field",
+        "value", "expire_ms")
+    val merged = RedisStateOps.Merger.merge(spark, None, rows, 0L)
+    RedisStateOps.Merger.flatView.get(merged)
+      .select(substring_index(col("key"), "\u0000", -1).as("key"),
+        col("payload"))
+  }
+
+  private val redisSortStoreSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS okey, o_custkey AS ckey,
+      |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price
+      |  FROM orders),
+      |lp AS (SELECT ckey, okey, CAST(price AS VARCHAR) AS v
+      |       FROM o),
+      |src AS (
+      |  SELECT ckey, v,
+      |         row_number() OVER (PARTITION BY ckey ORDER BY okey)
+      |           - 1 AS rn
+      |  FROM lp),
+      |num AS (
+      |  SELECT ckey, v,
+      |         row_number() OVER (PARTITION BY ckey
+      |           ORDER BY CAST(v AS DOUBLE), v) - 1 AS rn
+      |  FROM lp),
+      |top3 AS (
+      |  SELECT ckey, v, rn FROM (
+      |    SELECT ckey, v,
+      |           row_number() OVER (PARTITION BY ckey
+      |             ORDER BY CAST(v AS DOUBLE) DESC, v) - 1 AS rn
+      |    FROM lp) WHERE rn < 3),
+      |alp AS (
+      |  SELECT ckey, v,
+      |         row_number() OVER (PARTITION BY ckey ORDER BY v)
+      |           - 1 AS rn
+      |  FROM lp)
+      |SELECT 'srt:' || ckey AS key,
+      |       '{"t":"list","e":[' ||
+      |         string_agg('["' || lpad(CAST(rn AS VARCHAR), 6, '0')
+      |             || '","' || v || '"]', ',' ORDER BY rn) ||
+      |         ']}' AS payload
+      |FROM src GROUP BY ckey
+      |UNION ALL
+      |SELECT 'ssort:' || ckey,
+      |       '{"t":"list","e":[' ||
+      |         string_agg('["' || lpad(CAST(rn AS VARCHAR), 6, '0')
+      |             || '","' || v || '"]', ',' ORDER BY rn) || ']}'
+      |FROM num GROUP BY ckey
+      |UNION ALL
+      |SELECT 'stop3:' || ckey,
+      |       '{"t":"list","e":[' ||
+      |         string_agg('["' || lpad(CAST(rn AS VARCHAR), 6, '0')
+      |             || '","' || v || '"]', ',' ORDER BY rn) || ']}'
+      |FROM top3 GROUP BY ckey
+      |UNION ALL
+      |SELECT 'salpha:' || ckey,
+      |       '{"t":"list","e":[' ||
+      |         string_agg('["' || lpad(CAST(rn AS VARCHAR), 6, '0')
+      |             || '","' || v || '"]', ',' ORDER BY rn) || ']}'
+      |FROM alp GROUP BY ckey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_redis_state_fold" -> (redisStateFold _),
     "q154_mongo_state_face" -> (mongoStateFace _),
@@ -880,7 +984,8 @@ object StateFaceQueries {
     "q156_redis_move_fold" -> (redisMoveFold _),
     "q157_redis_restore_geo" -> (redisRestoreGeo _),
     "q158_redis_bit_fold" -> (redisBitFold _),
-    "q159_redis_geo_store" -> (redisGeoStore _))
+    "q159_redis_geo_store" -> (redisGeoStore _),
+    "q160_redis_sort_store" -> (redisSortStore _))
 
   val oracles: Map[String, String] = Map(
     "q153_redis_state_fold" -> redisStateFoldSql,
@@ -889,5 +994,6 @@ object StateFaceQueries {
     "q156_redis_move_fold" -> redisMoveFoldSql,
     "q157_redis_restore_geo" -> redisRestoreGeoSql,
     "q158_redis_bit_fold" -> redisBitFoldSql,
-    "q159_redis_geo_store" -> redisGeoStoreSql)
+    "q159_redis_geo_store" -> redisGeoStoreSql,
+    "q160_redis_sort_store" -> redisSortStoreSql)
 }

@@ -168,6 +168,10 @@ class RedisStateOpsSpec extends graft.SparkSuite {
         (key(0, "d"), "mvin")))
     assert(ops("SORT", "src", "ALPHA").isEmpty)
     assert(ops("SORT", "src", "ALPHA", "STORE", "dst")
+      .map(o => (o.key, o.op)) == Seq((key(0, "src"), "mvout"),
+        (key(0, "dst"), "mvin")))
+    // BY/GET patterns read other keys: honest tombstone on the dest
+    assert(ops("SORT", "src", "BY", "w_*", "STORE", "dst")
       .map(o => (o.key, o.op)) == Seq((key(0, "dst"), "unsupp")))
     // subcommand-first writers name their real key, not the subcmd
     // (r16: only the MKSTREAM form touches entry state at all)
@@ -1562,6 +1566,81 @@ class RedisStateOpsSpec extends graft.SparkSuite {
     assert(ops("GEOSEARCHSTORE", "d", "g", "FROMLONLAT", "15", "37",
       "BYRADIUS", "200", "km", "COUNT", "2", "ANY")
       .map(o => (o.key, o.op)) == Seq((key(0, "d"), "unsupp")))
+  }
+
+  test("SORT...STORE folds as a deterministic list: strtod numeric " +
+      "or ALPHA memcmp order, LIMIT post-sort, unparsable numerics " +
+      "no-op, ambiguous ties tombstone (sort.c sortCommand)") {
+    val s = spark
+    import s.implicits._
+    def deltaDf(rows: Seq[(String, Long, String, Long, String,
+        String, String, String, Option[Long])]) =
+      rows.toDF("sseg", "rank", "key", "db", "op", "value_type",
+        "field", "value", "expire_ms")
+    val B = RedisStateOps.CommandRankBase
+    def opsOf(rank0: Long, argv: String*): Seq[(String, Long, String,
+        Long, String, String, String, String, Option[Long])] = {
+      var r = rank0
+      commandOps(argv, 0L)._2.map { o =>
+        r += 1
+        ("psync.000001.log", r, o.key, 0L, o.op, o.vtype, o.field,
+          o.value, o.ex)
+      }
+    }
+    val deltas = deltaDf(
+      opsOf(B + 0, "RPUSH", "nums", "3", "1", "10") ++
+      opsOf(B + 10, "SORT", "nums", "STORE", "sn") ++
+      opsOf(B + 20, "SORT", "nums", "DESC", "STORE", "sd") ++
+      opsOf(B + 30, "SORT", "nums", "LIMIT", "1", "1", "STORE",
+        "sl") ++
+      opsOf(B + 40, "RPUSH", "strs", "b", "a", "c") ++
+      opsOf(B + 50, "SORT", "strs", "ALPHA", "STORE", "sa") ++
+      opsOf(B + 60, "SADD", "ns", "10", "2") ++
+      opsOf(B + 70, "SORT", "ns", "STORE", "ss") ++
+      opsOf(B + 80, "ZADD", "z", "5", "b", "1", "a") ++
+      opsOf(B + 90, "SORT", "z", "ALPHA", "STORE", "sz") ++
+      // an unparsable numeric errors the whole command: no dest
+      // effect
+      opsOf(B + 100, "RPUSH", "bad", "x") ++
+      opsOf(B + 110, "SET", "sb0", "keep") ++
+      opsOf(B + 120, "SORT", "bad", "STORE", "sb0") ++
+      // a numeric tie between DISTINCT strings in the output window
+      // is qsort-order ambiguous: honest tombstone
+      opsOf(B + 130, "RPUSH", "tie", "1", "1.0") ++
+      opsOf(B + 140, "SET", "st0", "x") ++
+      opsOf(B + 150, "SORT", "tie", "STORE", "st0") ++
+      // identical strings tie harmlessly
+      opsOf(B + 160, "RPUSH", "tid", "1", "1") ++
+      opsOf(B + 170, "SORT", "tid", "STORE", "sti") ++
+      // a tie sliced entirely OUT of the window folds fine
+      opsOf(B + 180, "RPUSH", "tw", "1", "1.0", "5") ++
+      opsOf(B + 190, "SORT", "tw", "DESC", "LIMIT", "0", "1",
+        "STORE", "stw") ++
+      // an absent source deletes the pre-seeded destination
+      opsOf(B + 200, "SET", "se0", "x") ++
+      opsOf(B + 210, "SORT", "missing", "STORE", "se0"))
+    val out = RedisStateOps.Merger.merge(spark, None, deltas, 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def of(k: String) = out.get(key(0, k))
+    def vals(p: String): Seq[String] =
+      "\\[\"\\d{6}\",\"([^\"]*)\"\\]".r.findAllMatchIn(p)
+        .map(_.group(1)).toSeq
+    assert(of("sn").exists(p => vals(p) == Seq("1", "3", "10")),
+      of("sn"))
+    assert(of("sd").exists(p => vals(p) == Seq("10", "3", "1")),
+      of("sd"))
+    assert(of("sl").exists(p => vals(p) == Seq("3")), of("sl"))
+    assert(of("sa").exists(p => vals(p) == Seq("a", "b", "c")),
+      of("sa"))
+    assert(of("ss").exists(p => vals(p) == Seq("2", "10")), of("ss"))
+    assert(of("sz").exists(p => vals(p) == Seq("a", "b")), of("sz"))
+    assert(of("sb0").exists(_.contains("keep")), of("sb0"))
+    assert(of("st0").exists(_.startsWith(RedisStateOps.TombPrefix)),
+      of("st0"))
+    assert(of("sti").exists(p => vals(p) == Seq("1", "1")),
+      of("sti"))
+    assert(of("stw").exists(p => vals(p) == Seq("5")), of("stw"))
+    assert(of("se0").isEmpty, of("se0"))
   }
 
   test("the merger folds a delta frame over a base frame with resets " +
