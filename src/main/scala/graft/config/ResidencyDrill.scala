@@ -44,9 +44,9 @@ object ResidencyDrill {
     // the command families a real keyspace carries so the
     // face-completeness census (round-16 verdict item 6) measures a
     // real rate — exact folds (GEOADD, RESTORE, RENAME, and since
-    // r17 the SETBIT/BITOP bit families) that must NOT tombstone,
-    // and sketch surgery (PFADD) that must, over bounded key
-    // families
+    // r17 the SETBIT/BITOP bit families, GEOSEARCHSTORE, and
+    // SORT...STORE) that must NOT tombstone, and sketch surgery
+    // (PFADD) that must, over bounded key families
     val mix = if (args.length >= 6) args(5) else "clean"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -131,9 +131,19 @@ object ResidencyDrill {
             else if (op < 85) // exact dump decode: no tombstone
               out.write(resp("RESTORE", s"rst:${n % 1000}", "0",
                 dumpStr(s"v$i"), "REPLACE"))
-            else if (op < 95) // exact bit fold since r17: no tomb
+            else if (op < 90) // exact bit fold since r17: no tomb
               out.write(resp("SETBIT", s"bits:${n % 500}",
                 (n % 64).toString, "1"))
+            else if (op < 92) // exact geo selection since r17
+              out.write(resp("GEOSEARCHSTORE", s"gnear:${n % 100}",
+                s"geo:${n % 100}", "FROMLONLAT", s"${n % 180}.25",
+                s"${n % 85}.25", "BYRADIUS", "300", "km"))
+            else if (op < 93) // list feed for the sort lane
+              out.write(resp("RPUSH", s"lst:${n % 200}",
+                s"v${i % 50}"))
+            else if (op < 95) // exact sort since r17: no tombstone
+              out.write(resp("SORT", s"lst:${n % 200}", "ALPHA",
+                "STORE", s"sorted:${n % 100}"))
             else if (op < 98) // sketch state: honest tombstone
               out.write(resp("PFADD", s"hll:${n % 100}", s"m$n"))
             else // multi-source byte fold since r17: no tombstone
