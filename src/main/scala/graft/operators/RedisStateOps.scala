@@ -594,22 +594,22 @@ object RedisStateOps {
           if (argv.size < optStart) None
           else if (byMember)
             for {
-              r <- argv(3).toDoubleOption
               u <- geoUnit(argv(4))
+              rm <- geoExtent(argv(3), u)
             } yield {
               val sb = new java.lang.StringBuilder("{\"m\":")
               jesc(sb, argv(2))
-              sb.append(",\"r\":").append(r * u)
+              sb.append(",\"r\":").append(rm)
                 .append(",\"u\":").append(u).append('}').toString
             }
           else
             for {
               lo <- argv(2).toDoubleOption
               la <- argv(3).toDoubleOption
-              r <- argv(4).toDoubleOption
               u <- geoUnit(argv(5))
+              rm <- geoExtent(argv(4), u)
               _ <- geohashBits52(lo, la) // range-check like the server
-            } yield s"""{"c":[$lo,$la],"r":${r * u},"u":$u}"""
+            } yield s"""{"c":[$lo,$la],"r":$rm,"u":$u}"""
         var i = optStart
         var cnt: Option[Long] = None
         var any = false
@@ -682,16 +682,16 @@ object RedisStateOps {
               ok = from.isDefined; i += 3
             case "BYRADIUS" if i + 2 < argv.size && by.isEmpty =>
               by = for {
-                r <- argv(i + 1).toDoubleOption
                 u <- geoUnit(argv(i + 2))
-              } yield s""","r":${r * u},"u":$u}"""
+                rm <- geoExtent(argv(i + 1), u)
+              } yield s""","r":$rm,"u":$u}"""
               ok = by.isDefined; i += 3
             case "BYBOX" if i + 3 < argv.size && by.isEmpty =>
               by = for {
-                w <- argv(i + 1).toDoubleOption
-                h <- argv(i + 2).toDoubleOption
                 u <- geoUnit(argv(i + 3))
-              } yield s""","bx":[${w * u},${h * u}],"u":$u}"""
+                wm <- geoExtent(argv(i + 1), u)
+                hm <- geoExtent(argv(i + 2), u)
+              } yield s""","bx":[$wm,$hm],"u":$u}"""
               ok = by.isDefined; i += 4
             case "ASC" => desc = false; i += 1
             case "DESC" => desc = true; i += 1
@@ -1578,6 +1578,17 @@ object RedisStateOps {
       case "ft" => Some(0.3048)
       case _ => None
     }
+
+  /** A shape extent operand: NaN and negatives are server errors
+    * (extractDistanceOrReply), so they fold as no-ops; an INFINITE
+    * extent is server-legal and clamps to Double.MaxValue — exact,
+    * because any extent past Earth's circumference already selects
+    * every member, and a finite value keeps the spec valid JSON.
+    */
+  private def geoExtent(tok: String, unit: Double): Option[Double] =
+    parseScore(tok) // the strtod mirror: inf forms are legal
+      .filter(d => d >= 0 && !d.isNaN)
+      .map(d => math.min(d * unit, Double.MaxValue))
 
   /** Append the COUNT / DESC / STOREDIST tail to a geo spec whose
     * core (`{"m":...` or `{"c":[...],"r"/"bx":...,"u":...}`) is

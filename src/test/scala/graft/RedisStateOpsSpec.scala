@@ -1566,6 +1566,15 @@ class RedisStateOpsSpec extends graft.SparkSuite {
     assert(ops("GEOSEARCHSTORE", "d", "g", "FROMLONLAT", "15", "37",
       "BYRADIUS", "200", "km", "COUNT", "2", "ANY")
       .map(o => (o.key, o.op)) == Seq((key(0, "d"), "unsupp")))
+    // an INFINITE radius is server-legal (selects everything) and
+    // folds via the Double.MaxValue clamp; NaN/negative extents are
+    // server errors and fold nothing
+    assert(ops("GEORADIUS", "g", "0", "0", "inf", "km", "STORE",
+      "d").map(_.op) == Seq("mvout", "mvin"))
+    assert(ops("GEORADIUS", "g", "0", "0", "nan", "km", "STORE",
+      "d").isEmpty)
+    assert(ops("GEORADIUS", "g", "0", "0", "-5", "km", "STORE",
+      "d").isEmpty)
   }
 
   test("SORT...STORE folds as a deterministic list: strtod numeric " +
