@@ -145,6 +145,30 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
                 case _ => false
               }) =>
             Seq(argv(2)) // BITOP's DESTINATION is argv(2)
+          case "SORT" =>
+            // a pattern-free, well-formed STORE defers its dest
+            // (BY/GET or a negative LIMIT count tombstone instead —
+            // not a movement)
+            var j = 2
+            var st: Option[String] = None
+            var bad = false
+            var pat = false
+            while (!bad && j < argv.size) {
+              argv(j).toUpperCase match {
+                case "ASC" | "DESC" | "ALPHA" => j += 1
+                case "LIMIT" if j + 2 < argv.size &&
+                    argv(j + 1).toLongOption.exists(_ >= 0) &&
+                    argv(j + 2).toLongOption.isDefined =>
+                  if (argv(j + 2).toLong < 0) pat = true
+                  j += 3
+                case "BY" | "GET" if j + 1 < argv.size =>
+                  pat = true; j += 2
+                case "STORE" if j + 1 < argv.size =>
+                  st = Some(argv(j + 1)); j += 2
+                case _ => bad = true
+              }
+            }
+            if (!bad && !pat) st.toSeq else Seq.empty
           case _ => Seq.empty
         }
       }.toSet
@@ -389,6 +413,101 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
                   }
                 }
               }
+          }
+        case "SORT" =>
+          // independent option walk + sort: only pattern-free STORE
+          // forms land; BY/GET (and a negative LIMIT count) drop the
+          // destination the way the fold's unsupp op does
+          var j = 2
+          var descQ = false
+          var alphaQ = false
+          var loQ = 0L
+          var cntQ = Long.MaxValue
+          var st = Option.empty[String]
+          var bad = false
+          var pat = false
+          while (!bad && j < argv.size) {
+            argv(j).toUpperCase match {
+              case "ASC" => descQ = false; j += 1
+              case "DESC" => descQ = true; j += 1
+              case "ALPHA" => alphaQ = true; j += 1
+              case "LIMIT" if j + 2 < argv.size &&
+                  argv(j + 1).toLongOption.exists(_ >= 0) &&
+                  argv(j + 2).toLongOption.isDefined =>
+                loQ = argv(j + 1).toLong
+                val c = argv(j + 2).toLong
+                if (c < 0) pat = true else cntQ = c
+                j += 3
+              case "BY" | "GET" if j + 1 < argv.size =>
+                pat = true; j += 2
+              case "STORE" if j + 1 < argv.size =>
+                st = Some(argv(j + 1)); j += 2
+              case _ => bad = true
+            }
+          }
+          if (!bad) st.foreach { dst =>
+            if (pat) { ttl.remove(dst); drop(dst) }
+            else if (untracked(k) || deferred(k)) {
+              // unknown/deferred source: no or unknown emission
+              ttl.remove(dst); drop(dst)
+            } else {
+              val es: Option[Seq[String]] = vals.get(k) match {
+                case Some(VL(v)) => Some(v)
+                case Some(VSet(m)) => Some(m.toSeq)
+                case Some(VZ(m)) => Some(m.keys.toSeq)
+                case None => Some(Nil)
+                case _ => None // WRONGTYPE: content unknowable
+              }
+              es match {
+                case None => ttl.remove(dst); drop(dst)
+                case Some(es0) =>
+                  val resOpt: Option[Seq[String]] =
+                    if (alphaQ) Some {
+                      // Ordering.String == the fold's code-point
+                      // order for the generator's ASCII value pool
+                      val srt = es0.sorted
+                      if (descQ) srt.reverse else srt
+                    } else {
+                      val scored = es0.map(e => (e, rscore(e)))
+                      if (scored.exists(_._2.isEmpty)) None
+                      else {
+                        val srt0 = scored
+                          .map { case (e, d) => (e, d.get) }
+                          .sortBy(_._2)
+                        val ord = if (descQ) srt0.reverse else srt0
+                        val hiQ =
+                          if (cntQ == Long.MaxValue) ord.size.toLong
+                          else math.min(loQ + cntQ, ord.size.toLong)
+                        val amb = ord.zipWithIndex
+                          .groupBy(_._1._2).values.exists { g =>
+                            g.map(_._1._1).distinct.size > 1 &&
+                              g.map(_._2).min < hiQ &&
+                              g.map(_._2).max + 1 > loQ
+                          }
+                        if (amb) Some(null) else Some(ord.map(_._1))
+                      }
+                    }
+                  resOpt match {
+                    case None => () // numeric parse error: no effect
+                    case Some(null) => ttl.remove(dst); drop(dst)
+                    case Some(full) =>
+                      val from =
+                        math.min(loQ, Int.MaxValue.toLong).toInt
+                      val sliced =
+                        if (cntQ == Long.MaxValue) full.drop(from)
+                        else full.slice(from,
+                          math.min(loQ + cntQ,
+                            Int.MaxValue.toLong).toInt)
+                      ttl.remove(dst)
+                      if (sliced.isEmpty) {
+                        vals.remove(dst); untracked -= dst
+                      } else {
+                        vals(dst) = VL(sliced.toVector)
+                        untracked -= dst
+                      }
+                  }
+              }
+            }
           }
         case "HSET" => vals.get(k) match {
           case Some(VH(m)) =>
@@ -1051,6 +1170,9 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
       def esc(s: String): String = s.flatMap {
         case '"' => "\\\""
         case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
         case c if c < 0x20 => f"\\u${c.toInt}%04x"
         case c => c.toString
       }
@@ -1110,7 +1232,7 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
       case _ => f"${rnd.nextDouble() * 20 - 10}%.2f"
     }
     def xid = s"${rnd.nextInt(9) + 1}-${rnd.nextInt(3)}"
-    rnd.nextInt(48) match {
+    rnd.nextInt(49) match {
       case 0 => Seq("SET", key, v)
       case 1 => Seq("SET", key, v, "KEEPTTL")
       case 2 => Seq("SET", key, v, "NX")
@@ -1405,6 +1527,41 @@ class RedisStateFoldPropertySpec extends AnyFunSuite {
               (rnd.nextInt(201) - 100).toString)
           else Seq.empty
         Seq("BITFIELD", key) ++ pre ++ sub1 ++ sub2
+      case 48 =>
+        // SORT ... STORE (r17): pattern-free forms over sortable-or-
+        // absent sources; digit pushes (sometimes the "n.0" twin)
+        // make numeric orders and window ties really occur; BY
+        // patterns exercise the tombstone path; dst may even be the
+        // source (deferred-source drop)
+        val src = keys(rnd.nextInt(keys.size))
+        val dst = key
+        def sortable(k2: String) = model.vals.get(k2) match {
+          case Some(VL(_)) | Some(VSet(_)) | Some(VZ(_)) | None =>
+            true
+          case _ => false
+        }
+        if (rnd.nextInt(3) == 0)
+          model.vals.get(src) match {
+            case Some(VL(_)) | None =>
+              val n = rnd.nextInt(12)
+              Seq("RPUSH", src,
+                if (rnd.nextBoolean()) n.toString else s"$n.0")
+            case _ => Seq("SET", dst, v)
+          }
+        else if (!sortable(src)) Seq("SET", dst, v)
+        else {
+          val lim =
+            if (rnd.nextInt(3) == 0)
+              Seq("LIMIT", rnd.nextInt(3).toString,
+                (rnd.nextInt(5) - 1).toString)
+            else Seq.empty
+          val dir = if (rnd.nextBoolean()) Seq("DESC") else Seq.empty
+          val al = if (rnd.nextBoolean()) Seq("ALPHA") else Seq.empty
+          val by =
+            if (rnd.nextInt(6) == 0) Seq("BY", "w_*") else Seq.empty
+          Seq("SORT", src) ++ lim ++ dir ++ al ++ by ++
+            Seq("STORE", dst)
+        }
       case _ =>
         // COPY: only effective forms replicate — REPLACE, or a
         // really-absent destination
