@@ -1058,7 +1058,8 @@ object RedisStateOps {
         // Conservatively drop the key it writes — its first operand,
         // which is the written key (or STORE dest) for every
         // remaining write command; dest-elsewhere shapes
-        // (GEORADIUS STORE) are handled explicitly above. The drop
+        // (SORT STORE with BY/GET, COUNT-ANY geo stores) are
+        // handled explicitly above. The drop
         // is a PERSISTENT tombstone (see
         // apply1) — absent-but-honest beats present-but-stale, and
         // element-level ops can never resurrect partial state on top
