@@ -1297,7 +1297,7 @@ object RedisStateOps {
     if (st.t == "list") {
       var i = 0
       if (st.l != null) st.l.foreach { v =>
-        emit(f"$i%06d", v); i += 1
+        emit(zpad(i, 6), v); i += 1
       }
     } else if (st.t == "stream") {
       // flatten entries to the RDB-landing field shape `id/field`,
@@ -1423,18 +1423,62 @@ object RedisStateOps {
     * the packed strings == sorting by (sseg, rank) because both lead
     * and rank is fixed-width.
     */
+  /** Zero-pad a non-negative long to `width` digits — the hot-path
+    * replacement for `f"...%0Nd"` (String.format re-parses its
+    * pattern on every call; these sites render once per op row /
+    * list element, millions of times per merge). Negative input
+    * falls back to String.format for byte-identical output
+    * (unreachable in practice: ranks and list indices are
+    * non-negative).
+    */
+  private def zpad(n: Long, width: Int): String =
+    if (n < 0) ("%0" + width + "d").format(n)
+    else {
+      val s = java.lang.Long.toString(n)
+      if (s.length >= width) s
+      else {
+        val sb = new java.lang.StringBuilder(width)
+        var k = width - s.length
+        while (k > 0) { sb.append('0'); k -= 1 }
+        sb.append(s).toString
+      }
+    }
+
   private[operators] val packOpF =
     (sseg: String, rank: Long, op: String, vtype: String,
         field: String, value: String, ex: java.lang.Long) => {
       val sb = new java.lang.StringBuilder()
       sb.append(pesc(sseg)).append('\u0001')
-      sb.append(f"$rank%020d").append('\u0001')
+      sb.append(zpad(rank, 20)).append('\u0001')
       sb.append(op).append('\u0001')
       sb.append(pesc(vtype)).append('\u0001')
       sb.append(pesc(field)).append('\u0001')
       sb.append(pesc(value)).append('\u0001')
       sb.append(if (ex == null) "" else ex.toString)
       sb.toString
+    }
+
+  /** Does the packed op list contain `op` as its OP field (the 3rd
+    * packed column)? Exact positional parse — a substring match
+    * could false-positive on a field/VALUE that happens to equal an
+    * op name. Every packed string carries all 6 separators, so the
+    * op field is always -terminated.
+    */
+  private[operators] def hasPackedOp(ops: Seq[String],
+      op: String): Boolean =
+    ops != null && ops.exists { p =>
+      var i = 0
+      var seps = 0
+      while (i < p.length && seps < 2) {
+        if (p.charAt(i) == '\u0001') seps += 1
+        i += 1
+      }
+      var j = 0
+      while (i < p.length && j < op.length &&
+          p.charAt(i) == op.charAt(j)) {
+        i += 1; j += 1
+      }
+      j == op.length && i < p.length && p.charAt(i) == '\u0001'
     }
 
   private def unpackOp(packed: String): (String, Long, Op) = {
@@ -3235,6 +3279,17 @@ object RedisStateOps {
     private val pinned =
       new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+    /** Pin a caller-owned frame to this merger's release lifecycle:
+      * it is unpersisted at the caller's post-write release() or at
+      * the next merge() entry. For landings/fixtures that persist
+      * their (window-bounded) delta frame so the merge's
+      * bookkeeping and packed passes read it once instead of
+      * recomputing an expensive upstream subtree per pass. Call
+      * AFTER merge() — the merge-entry self-drain would unpersist
+      * it before the fold consumed it.
+      */
+    private[graft] def pin(df: DataFrame): Unit = pinned.add(df)
+
     override def release(): Unit = {
       var df = pinned.poll()
       while (df != null) {
@@ -3272,19 +3327,31 @@ object RedisStateOps {
       // self-drain: whatever a previous un-released caller pinned is
       // stale by now (its consumer either ran or will recompute)
       release()
-      // reset points: one row per full RDB / FLUSH in the delta
-      // range — a handful per residency, driver-bounded by nature.
-      // The landing layer normalizes every reset shape to op "reset"
-      // with the db scope in `db` (-1 = all dbs; FLUSHALL/resetall
-      // maps there too — RedisLanding.segmentRows), so "reset" is
-      // the ONLY reset op a delta can carry.
+      // ONE narrow bookkeeping pass over the delta range: reset
+      // points AND the movement-window probe used to be two separate
+      // full passes (a reset collect, then an mvin isEmpty probe),
+      // each re-running the whole delta subtree — a parquet re-read
+      // on the LSM path, the entire upstream frame for a landing.
+      // This pass is column-pruned to (op, db, sseg, rank) and
+      // aggregated to one row per (op, db, segment) BEFORE the
+      // collect, so the driver sees O(segments in the window), never
+      // O(rows). The landing layer normalizes every reset shape to
+      // op "reset" with the db scope in `db` (-1 = all dbs;
+      // FLUSHALL/resetall maps there too — RedisLanding.segmentRows),
+      // so "reset" is the ONLY reset op a delta can carry.
+      val meta = deltas.where(col("op").isin("reset", "mvin"))
+        .groupBy(col("op"), col("db"), col("sseg"))
+        .agg(max(col("rank")).as("rank"))
+        .select(col("op"), col("db"), col("sseg"), col("rank"))
+        .as[(String, Long, String, Long)].collect()
+      // per-(node, db) max over per-segment maxima == max over the
+      // raw reset rows: the tuple order is (sseg, rank) and each
+      // sseg keeps its own max rank
       val resets = new ResetPoints(
-        deltas.filter(col("op") === "reset")
-          .select(col("db"), col("sseg"), col("rank"))
-          .as[(Long, String, Long)].collect()
-          .groupBy(r => (nodeOf(r._2), r._1))
+        meta.filter(_._1 == "reset")
+          .groupBy(r => (nodeOf(r._3), r._2))
           .map { case (k, rows) =>
-            k -> rows.map(r => (r._2, r._3)).max
+            k -> rows.map(r => (r._3, r._4)).max
           })
       val packU = udf(packOpF)
       // the fold closure carries the (tiny, serializable) reset map —
@@ -3300,42 +3367,51 @@ object RedisStateOps {
           col("expire_ms")))).as("ops"))
       // cross-key movement (RENAME/COPY/SMOVE/LMOVE destinations)
       // needs a SECOND fold phase; the common no-movement window
-      // stays the single-phase plan (the probe stops at the first
-      // mvin row — bounded by the delta range)
+      // stays the single-phase plan (the probe is free — it rode
+      // the bookkeeping pass above)
       val merged =
-        if (deltas.where(col("op") === "mvin").isEmpty)
+        if (!meta.exists(_._1 == "mvin"))
           fullOuter(base, opsByKey).select(col("key"),
             foldU(col("key"), col("payload"), col("ops"))
               .as("payload"))
-        else mergeWithMovement(spark, base, deltas, opsByKey, resets)
+        else mergeWithMovement(spark, base, opsByKey, resets)
       merged.where(col("payload").isNotNull)
     }
 
     /** The movement-window shape: phase A folds every key WITHOUT an
-      * incoming movement, collecting each mvout's emission; phase B
-      * folds the destination keys with the emissions injected into
-      * their op lists (sorted into place right before their mvin).
-      * Chains (a destination that is itself a later source) get no
-      * third phase: the second hop's mvin finds no emission and
+      * incoming movement — movement SOURCES through ONE combined
+      * fold that keeps both the landed payload and the mvout
+      * emissions (foldKeyEmit always computed the emissions; the
+      * previous plan discarded them in the payload branch and
+      * re-folded every source key in a separate emission branch,
+      * doubling the fold work on each source) — and phase B folds
+      * the destination keys with the emissions injected into their
+      * op lists (sorted into place right before their mvin). Chains
+      * (a destination that is itself a later source) get no third
+      * phase: the second hop's mvin finds no emission and
       * tombstones, honestly.
       *
-      * Plan shape (the 100 TB lens): the deferred/source key sets
-      * come from ONE scan of the raw deltas (no groupBy), the packed
-      * op frame is persisted so its shuffle runs once across the
-      * A/B/emission branches (bounded by the delta range — never
-      * O(state)), the big base⋈ops join and its fold run ONCE, and
-      * the emission fold re-joins only the movement-SOURCE keys
-      * against the base (a semi join on a bounded key set) — so
+      * Plan shape (the 100 TB lens): the packed op frame is
+      * persisted so its shuffle runs once across the A/B branches
+      * (bounded by the delta range — never O(state)); the
+      * deferred/source/non-movement op subsets are FILTERS of that
+      * cached frame (exact packed-op parse, one row per key already
+      * — no extra delta scan, no distinct shuffle, and on the ops
+      * side no join at all); the combined source fold is persisted
+      * (bounded by the window's movement SOURCES) because both the
+      * phase-A union and the phase-B emission injection consume it;
+      * and the big base⋈ops join and its fold run ONCE — so
       * movement cost scales with the window's movements, not with
       * state size.
       */
     private def mergeWithMovement(spark: SparkSession,
-        base: Option[DataFrame], deltas: DataFrame,
+        base: Option[DataFrame],
         opsByKey0: DataFrame, resets: ResetPoints): DataFrame = {
       val foldU = udf((key: String, p: String, ops: Seq[String]) =>
         foldKey(key, p, ops, resets))
-      val emitU = udf((key: String, p: String, ops: Seq[String]) =>
-        foldKeyEmit(key, p, ops, resets)._2)
+      val bothU = udf((key: String, p: String, ops: Seq[String]) =>
+        foldKeyEmit(key, p, ops, resets))
+      val hasOpU = udf(hasPackedOp _)
       // materialize the (delta-bounded) packed frame ONCE for the
       // A/B/emission branches. persist + the Merger.release()
       // lifecycle hook (round-16 verdict item 1): the r16 tree used
@@ -3368,27 +3444,45 @@ object RedisStateOps {
       val opsByKey = opsByKey0.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pinned.add(opsByKey)
-      val deferredKeys = deltas.where(col("op") === "mvin")
-        .select("key").distinct()
-      val mvSrcKeys = deltas.where(col("op") === "mvout")
-        .select("key").distinct()
-      val aOut = fullOuter(
-        base.map(_.join(deferredKeys, Seq("key"), "left_anti")),
-        opsByKey.join(deferredKeys, Seq("key"), "left_anti"))
+      val isDef = hasOpU(col("ops"), lit("mvin"))
+      val isSrc = hasOpU(col("ops"), lit("mvout"))
+      // op subsets as FILTERS of the cached packed frame: one row
+      // per key already, so no distinct shuffle and — unlike the raw
+      // mvin/mvout scans these replaced — no extra pass over the
+      // delta subtree; the ops side of each branch below needs no
+      // key-set join at all
+      val deferredKeys = opsByKey.where(isDef).select("key")
+      // phase A, non-movement keys: base keys with no movement op in
+      // the window (anti vs the movement key set) ∪ window keys with
+      // no movement op — fold, streamed (never persisted: with a
+      // base this side is O(state))
+      val aNonMv = fullOuter(
+        base.map(_.join(opsByKey.where(isDef || isSrc).select("key"),
+          Seq("key"), "left_anti")),
+        opsByKey.where(!isDef && !isSrc))
         .select(col("key"), foldU(col("key"), col("payload"),
           col("ops")).as("payload"))
-      // emissions: re-fold ONLY the phase-A movement-source keys
-      // (sources that are themselves destinations are phase-B keys
-      // whose emissions are dropped by design — the chain rule)
-      val srcKeys = mvSrcKeys
-        .join(deferredKeys, Seq("key"), "left_anti")
-      val emits = fullOuter(
-        base.map(_.join(srcKeys, Seq("key"), "left_semi")),
-        opsByKey.join(srcKeys, Seq("key"), "left_semi"))
-        .select(explode(emitU(col("key"), col("payload"),
-          col("ops"))).as("e"))
+      // phase A, movement sources (sources that are themselves
+      // destinations are phase-B keys whose emissions are dropped by
+      // design — the chain rule): ONE combined fold keeps the landed
+      // payload AND the mvout emissions; persisted because both the
+      // phase-A union and the emission injection consume it —
+      // bounded by the window's movement sources, never O(state)
+      val srcOps = opsByKey.where(isSrc && !isDef)
+      val srcFolded = fullOuter(
+        base.map(_.join(srcOps.select("key"), Seq("key"),
+          "left_semi")),
+        srcOps)
+        .select(col("key"), bothU(col("key"), col("payload"),
+          col("ops")).as("r"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned.add(srcFolded)
+      val aOut = aNonMv.unionByName(
+        srcFolded.select(col("key"), col("r._1").as("payload")))
+      val emits = srcFolded
+        .select(explode(col("r._2")).as("e"))
         .select(col("e._1").as("key"), col("e._2").as("mop"))
-      val bOps = opsByKey.join(deferredKeys, Seq("key"), "left_semi")
+      val bOps = opsByKey.where(isDef)
         .join(emits.groupBy("key")
           .agg(collect_list(col("mop")).as("eops")),
           Seq("key"), "left_outer")

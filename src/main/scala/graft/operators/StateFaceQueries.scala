@@ -414,7 +414,13 @@ object StateFaceQueries {
       }
     }.toDF("sseg", "rank", "key", "db", "op", "value_type", "field",
       "value", "expire_ms")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the command-built fixture is expensive per row (argv parse +
+    // commandOps on the executors); persist it so the merge's
+    // bookkeeping pass and packed groupBy read it once — pinned to
+    // the merger lifecycle, drained at the next merge/release
     val merged = RedisStateOps.Merger.merge(spark, None, rows, 0L)
+    RedisStateOps.Merger.pin(rows)
     // commandOps keys are `db \u0000 rkey`; the oracle compares the
     // bare key (db 0 throughout this fixture)
     RedisStateOps.Merger.flatView.get(merged)
@@ -633,7 +639,13 @@ object StateFaceQueries {
       }
     }.toDF("sseg", "rank", "key", "db", "op", "value_type", "field",
       "value", "expire_ms")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the command-built fixture is expensive per row (argv parse +
+    // commandOps on the executors); persist it so the merge's
+    // bookkeeping pass and packed groupBy read it once — pinned to
+    // the merger lifecycle, drained at the next merge/release
     val merged = RedisStateOps.Merger.merge(spark, None, rows, 0L)
+    RedisStateOps.Merger.pin(rows)
     RedisStateOps.Merger.flatView.get(merged)
       .select(substring_index(col("key"), "\u0000", -1).as("key"),
         col("payload"))
@@ -760,7 +772,13 @@ object StateFaceQueries {
       }
     }.toDF("sseg", "rank", "key", "db", "op", "value_type", "field",
       "value", "expire_ms")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the command-built fixture is expensive per row (argv parse +
+    // commandOps on the executors); persist it so the merge's
+    // bookkeeping pass and packed groupBy read it once — pinned to
+    // the merger lifecycle, drained at the next merge/release
     val merged = RedisStateOps.Merger.merge(spark, None, rows, 0L)
+    RedisStateOps.Merger.pin(rows)
     RedisStateOps.Merger.flatView.get(merged)
       .select(substring_index(col("key"), "\u0000", -1).as("key"),
         col("payload"))
@@ -918,7 +936,13 @@ object StateFaceQueries {
     val rows = pushes.union(sorts)
       .toDF("sseg", "rank", "key", "db", "op", "value_type", "field",
         "value", "expire_ms")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the command-built fixture is expensive per row (argv parse +
+    // commandOps on the executors); persist it so the merge's
+    // bookkeeping pass and packed groupBy read it once — pinned to
+    // the merger lifecycle, drained at the next merge/release
     val merged = RedisStateOps.Merger.merge(spark, None, rows, 0L)
+    RedisStateOps.Merger.pin(rows)
     RedisStateOps.Merger.flatView.get(merged)
       .select(substring_index(col("key"), "\u0000", -1).as("key"),
         col("payload"))
