@@ -132,6 +132,14 @@ object Bench {
       case (name, fn) =>
         val triple = try timeTriple(runNoop(fn(spark, sfDir)))
           catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+        // drain merger-pinned caches between queries: state-face
+        // fixtures pin frames to the merge lifecycle, released in
+        // production by the landed-table writer's post-write hook —
+        // the noop sink has no writer, so without this drain the
+        // last fixture's cache would pressure every later query's
+        // memory. Timing methodology is unchanged (the drain runs
+        // outside the timed region).
+        operators.RedisStateOps.Merger.release()
         name -> triple
     }
 

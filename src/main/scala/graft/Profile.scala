@@ -58,6 +58,8 @@ object Profile {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
           enabled = false
+          // same between-queries pin drain as Bench (untimed)
+          operators.RedisStateOps.Merger.release()
           println(f"===== $name total ${sec}%.2f s =====")
       }
     }

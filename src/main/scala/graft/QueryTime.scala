@@ -31,6 +31,8 @@ object QueryTime {
               .mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           }.sorted
+          // same between-queries pin drain as Bench (untimed)
+          operators.RedisStateOps.Merger.release()
           println(f"[qtime] $name: min=${times(0)}%.2f " +
             f"median=${times(1)}%.2f max=${times(2)}%.2f s")
       }

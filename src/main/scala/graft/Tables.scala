@@ -25,6 +25,25 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Restore scan parallelism over a physically unsplittable local
+    * fixture: each sf table is ONE parquet file with ONE row group,
+    * so its scan is a single task no matter the core count — every
+    * map-heavy consumer (text normalization, minhash, vector math,
+    * the command-fixture builders) would run its whole map phase on
+    * one core of local[32]. In production these inputs are many
+    * files/chunks (the SnapshotChunker / WARC ingestion contracts):
+    * there the scan already plans >= default-parallelism partitions,
+    * the condition never fires, and NO payload shuffle is added —
+    * the fan-out is scale-adaptive, not a local constant. (Same
+    * reasoning as BinlogReplay.binlogRoundtrip's explicit
+    * repartition and Bench's untimed snapshot re-shard.)
+    */
+  def fanout(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

@@ -62,7 +62,11 @@ object Verify {
             f"${(System.nanoTime() - t0) / 1e9}%.1f s")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
+        } finally
+          // drain merger-pinned caches between queries (the
+          // production writer's post-write release; the dump write
+          // above consumed the plan)
+          operators.RedisStateOps.Merger.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

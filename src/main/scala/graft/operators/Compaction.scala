@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Micro-batch change-stream compaction — the reference's `rdb_merge`
@@ -43,12 +42,21 @@ object Compaction {
   def compact(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
       rowType: Column): DataFrame = {
     val nullKey = keyCols.map(col(_).isNull).reduce(_ || _)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(orderCols.map(col(_).desc): _*)
+    // max_by over the order tuple instead of a row_number window:
+    // the same winner under the documented total-order contract
+    // (window `desc` is NULLS LAST; struct comparison puts a null
+    // order field below any value — both prefer the non-null), but
+    // an AGGREGATE does partial map-side reduction, so each mapper
+    // ships at most one row per key into the shuffle where the
+    // window shipped every row, and the reduce side needs no sort
+    // (optimization guide §2.3 "aggregate before you shuffle").
+    // struct(orderCols) is itself never null, so no row is silently
+    // skipped by max_by's null-ordering-value rule.
     val mergeable = df.filter(!nullKey)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(df.columns.map(col): _*),
+        struct(orderCols.map(col): _*)).as("_w"))
+      .select(col("_w.*"))
       .withColumn(ActionCol,
         when(rowType === "delete", lit(Delete)).otherwise(lit(Upsert)))
     val serial = df.filter(nullKey).withColumn(ActionCol, lit(Serial))

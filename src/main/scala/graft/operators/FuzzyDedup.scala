@@ -336,9 +336,15 @@ object FuzzyDedup {
     * asserted in DedupSpec — for any real corpus.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // fan out the single-file scan (tokenize+simhash would run one
+    // task otherwise — Tables.fanout is a no-op at cluster scale)
+    // and PIN the signature frame before the self-join (the q26/q88
+    // discipline): without the checkpoint the full corpus
+    // tokenize+simhash runs once PER JOIN SIDE
+    val d = Tables.fanout(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), tokenHashes(col("text")).as("hs"))
       .select(col("doc_id"), simhashFromHashes(col("hs")).as("fp"))
+      .localCheckpoint(false)
     d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
@@ -367,7 +373,7 @@ object FuzzyDedup {
   final val SimHalfMod = 1L << SimHalfBits
 
   def simhashBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.fanout(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), tokenHashes(col("text")).as("hs"))
       .select(col("doc_id"), simhashFromHashes(col("hs")).as("fp"))
     // band 0: low half; band 1: high half, offset to its own key space.

@@ -615,7 +615,7 @@ object HygieneOps {
   val WinnowWindow = 4
 
   def winnow(spark: SparkSession, dir: String): DataFrame =
-    winnowOf(Tables.documents(spark, dir))
+    winnowOf(Tables.fanout(spark, Tables.documents(spark, dir)))
 
   def winnowOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

@@ -713,7 +713,7 @@ object Multimodal {
       // NUL-prefixed so free text can never collide with a container
       // signature at offset 0 ("BM...", "GIF..." are valid text starts)
       .otherwise(encode(concat(lit("\u0000"), col("text")), "utf-8"))
-    Tables.documents(spark, dir)
+    Tables.fanout(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), payload.as("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>

@@ -119,7 +119,10 @@ object Relational2 {
     * is exercised without cross-engine JSON-formatting hazards.
     */
   def kafkaRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val changes = Cdc.changes(spark, dir)
+    // the envelope codec is per-row UDF work over a single-file scan:
+    // fan out so encode+decode runs at full parallelism (no-op at
+    // cluster scale — Tables.fanout)
+    val changes = graft.Tables.fanout(spark, Cdc.changes(spark, dir))
     val wrapped = KafkaEnvelope.wrap(changes, "app", "events",
       "cdc.app.events", col("event_id"), col("row_type"),
       beforeCols = Nil,
@@ -146,7 +149,7 @@ object Relational2 {
     * recovering both from the bytes.
     */
   def avroRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val changes = Cdc.changes(spark, dir)
+    val changes = graft.Tables.fanout(spark, Cdc.changes(spark, dir))
     val wrapped = graft.sinks.AvroEnvelope.wrap(changes, "app", "events",
       "cdc.app.events", col("event_id"), col("row_type"),
       beforeCols = Nil,

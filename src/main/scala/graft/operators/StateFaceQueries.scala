@@ -367,11 +367,14 @@ object StateFaceQueries {
     */
   def redisRestoreGeo(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val c = Tables.customer(spark, dir).select(
+    // fan out the single-file scan BEFORE the per-row command
+    // builder (narrow projection shuffles, commandOps then runs at
+    // full parallelism; no-op at cluster scale — Tables.fanout)
+    val c = Tables.fanout(spark, Tables.customer(spark, dir).select(
       col("c_custkey").cast("long").as("k"),
       col("c_name").cast("string").as("nm"),
       col("c_mktsegment").cast("string").as("seg"),
-      floor(col("c_acctbal")).cast("long").as("bal"))
+      floor(col("c_acctbal")).cast("long").as("bal")))
       .as[(Long, String, String, Long)]
     val rows = c.flatMap { case (k, nm, seg, bal) =>
       def enc6(n: Int) = (n & 0x3f).toChar.toString
@@ -588,8 +591,8 @@ object StateFaceQueries {
     */
   def redisBitFold(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val c = Tables.customer(spark, dir).select(
-      col("c_custkey").cast("long").as("k")).as[Long]
+    val c = Tables.fanout(spark, Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("k"))).as[Long]
     val rows = c.flatMap { k =>
       val d1 = f"${k % 10000}%04d"
       val d3 = f"${(k * 7 + 13) % 10000}%04d"
@@ -744,10 +747,10 @@ object StateFaceQueries {
     */
   def redisGeoStore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val c = Tables.customer(spark, dir).select(
+    val c = Tables.fanout(spark, Tables.customer(spark, dir).select(
       col("c_custkey").cast("long").as("k"),
       col("c_name").cast("string").as("nm"),
-      col("c_mktsegment").cast("string").as("seg"))
+      col("c_mktsegment").cast("string").as("seg")))
       .as[(Long, String, String)]
     val rows = c.flatMap { case (k, nm, seg) =>
       val lon = s"${(k % 30) * 3}.25"
@@ -904,10 +907,10 @@ object StateFaceQueries {
     */
   def redisSortStore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val o = Tables.orders(spark, dir).select(
+    val o = Tables.fanout(spark, Tables.orders(spark, dir).select(
       col("o_orderkey").cast("long").as("okey"),
       col("o_custkey").cast("long").as("ckey"),
-      floor(col("o_totalprice")).cast("long").as("price"))
+      floor(col("o_totalprice")).cast("long").as("price")))
       .as[(Long, Long, Long)]
     val pushes = o.flatMap { case (okey, ckey, price) =>
       RedisStateOps.commandOps(

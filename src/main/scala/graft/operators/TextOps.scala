@@ -66,7 +66,7 @@ object TextOps {
     * (per-row double arithmetic only — deterministic across engines).
     */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.fanout(spark, Tables.documents(spark, dir))
     val toks = tokens(col("text"))
     val stop = Seq("the", "a", "of", "to", "and", "in", "is")
     val nTokens = size(toks)
@@ -427,7 +427,8 @@ object TextOps {
     */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = graft.Tables.documents(spark, dir)
+    val d = graft.Tables.fanout(spark,
+      graft.Tables.documents(spark, dir))
     val toks = d.select(col("doc_id"),
       posexplode(tokens(normText(col("text")))).as(Seq("pos", "tok")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -504,7 +505,8 @@ object TextOps {
     * rolling-hash digest of the redacted text.
     */
   def piiRedactQuery(spark: SparkSession, dir: String): DataFrame = {
-    val d = graft.Tables.documents(spark, dir)
+    val d = graft.Tables.fanout(spark,
+      graft.Tables.documents(spark, dir))
     def s(c: Column) = c.cast("string")
     val contact = concat(
       lit(" contact user"), s(col("doc_id")),
@@ -629,7 +631,7 @@ object TextOps {
     * so both engines agree bit-for-bit. Map-only, zero shuffle.
     */
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
-    gopherRulesOf(Tables.documents(spark, dir))
+    gopherRulesOf(Tables.fanout(spark, Tables.documents(spark, dir)))
 
   private val gopherStops = Seq("the", "be", "to", "of", "and",
     "that", "have", "with")
@@ -833,7 +835,7 @@ object TextOps {
     * one 64-bit fingerprint per page leaves the mapper, never the text.
     */
   def c4Rules(spark: SparkSession, dir: String): DataFrame =
-    c4RulesOf(Tables.documents(spark, dir))
+    c4RulesOf(Tables.fanout(spark, Tables.documents(spark, dir)))
 
   def c4RulesOf(docs: DataFrame): DataFrame = {
     val lines = transform(split(col("page"), "\n"), l => trim(l))

@@ -118,9 +118,13 @@ object VectorOps {
     * for any real corpus.
     */
   def cosineNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    // fanout: parallelize the vector parse over the single-file scan
+    // (no-op at cluster scale); pin before the self-join so the
+    // parse+norm runs once, not once per join side
+    val e = Tables.fanout(spark, Tables.embeddings(spark, dir))
       .select(col("vec_id"), intVec(col("embedding")).as("xs"))
       .withColumn("norm", intDot(col("xs"), col("xs")))
+      .localCheckpoint(false)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", cosine(
         intDot(col("a.xs"), col("b.xs")),
@@ -184,7 +188,7 @@ object VectorOps {
     pmod((i + lit(j * 64)) * lit(2654435761L), lit(1000003L)) - lit(501001L)
 
   def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.embeddings(spark, dir)
+    Tables.fanout(spark, Tables.embeddings(spark, dir))
       .select(col("vec_id"), intVec(col("embedding")).as("xs"))
       .select(col("vec_id"), bucketExpr.as("bucket"))
       .groupBy(col("bucket"))
@@ -287,10 +291,13 @@ object VectorOps {
     * the full-corpus cross join never happens.
     */
   def bucketedNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    // same fanout-and-pin shape as cosineNearDups: one parallel
+    // parse pass shared by both join sides
+    val e = Tables.fanout(spark, Tables.embeddings(spark, dir))
       .select(col("vec_id"), intVec(col("embedding")).as("xs"))
       .withColumn("norm", intDot(col("xs"), col("xs")))
       .withColumn("bucket", bucketExpr)
+      .localCheckpoint(false)
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))

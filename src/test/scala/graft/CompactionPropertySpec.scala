@@ -60,6 +60,49 @@ class CompactionPropertySpec extends SparkSuite {
     }
   }
 
+  test("aggregate compaction matches the row_number window reference " +
+      "(null keys and null order fields included)") {
+    // compact() moved from a row_number().over(desc) window to a
+    // max_by(struct, struct) aggregate for map-side partial
+    // reduction; this pins the winner-for-winner equivalence,
+    // including the null corners: desc is NULLS LAST, struct-max
+    // ranks a null order field below any value — both prefer the
+    // non-null row.
+    import org.apache.spark.sql.expressions.Window
+    val rowsGen = Gen.listOfN(60, for {
+      key <- Gen.option(Gen.choose(0L, 5L))
+      ts <- Gen.option(Gen.choose(0L, 3L))
+      seq <- Gen.choose(0L, 1000L) // unique-ish tiebreaker
+      rt <- Gen.oneOf("insert", "update", "delete")
+      v <- Gen.alphaStr.map(_.take(3))
+    } yield (key, ts, seq, rt, v))
+    (1 to 25).foreach { i =>
+      val rows = sample(rowsGen, 1000L + i)
+        .zipWithIndex // make (ts, seq) a total order per key
+        .map { case ((k, ts, _, rt, v), ix) => (k, ts, ix.toLong, rt, v) }
+      val df = rows.toDF("k", "ts", "seq", "row_type", "v")
+      val got = Compaction.compact(df, Seq("k"), Seq("ts", "seq"),
+        col("row_type"))
+        .as[(Option[Long], Option[Long], Long, String, String, String)]
+        .collect().toSet
+      val nullKey = col("k").isNull
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("ts").desc, col("seq").desc)
+      val want = df.filter(!nullKey)
+        .withColumn("_rn", org.apache.spark.sql.functions
+          .row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+        .withColumn(Compaction.ActionCol,
+          when(col("row_type") === "delete", Compaction.Delete)
+            .otherwise(Compaction.Upsert))
+        .unionByName(df.filter(nullKey)
+          .withColumn(Compaction.ActionCol, lit(Compaction.Serial)))
+        .as[(Option[Long], Option[Long], Long, String, String, String)]
+        .collect().toSet
+      assert(got == want, s"seed ${1000 + i} diverged")
+    }
+  }
+
   test("compaction is idempotent: compacted state is a replay fixpoint") {
     (100 to 110).foreach { i =>
       val events = sample(seqGen, i.toLong)

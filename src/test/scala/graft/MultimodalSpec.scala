@@ -264,7 +264,14 @@ class MultimodalSpec extends SparkSuite {
         Multimodal.mediaSniff(spark, sf),
         Multimodal.imageDims(spark, sf))) {
       val plan = q.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange"), plan)
+      // mediaSniff fans out the unsplittable single-file scan
+      // (Tables.fanout, round-robin, a no-op on many-file inputs);
+      // no KEY shuffle may appear — media bytes never move by key
+      val keyExchanges =
+        "Exchange".r.findAllMatchIn(plan).size -
+          ("Exchange RoundRobinPartitioning\\(\\d+\\), " +
+            "REPARTITION_BY_NUM").r.findAllMatchIn(plan).size
+      assert(keyExchanges == 0, plan)
     }
   }
 

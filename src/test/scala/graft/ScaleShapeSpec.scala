@@ -37,6 +37,18 @@ class ScaleShapeSpec extends SparkSuite {
     }
   }
 
+  /** Exchange count EXCLUDING the scan fan-out: Tables.fanout adds
+    * one `Exchange RoundRobinPartitioning(n), REPARTITION_BY_NUM`
+    * directly over an unsplittable single-file local fixture scan
+    * (and nothing else in these plans round-robins). Key shuffles —
+    * hash/range/single-partition exchanges — still count, so the
+    * "payload bytes never shuffle by key" claims keep their teeth.
+    */
+  private def keyExchanges(plan: String): Int =
+    "Exchange".r.findAllMatchIn(plan).size -
+      "Exchange RoundRobinPartitioning\\(\\d+\\), REPARTITION_BY_NUM"
+        .r.findAllMatchIn(plan).size
+
   test("salted aggregation equals direct aggregation on a hot key") {
     // hot key: 90% of rows share key 1
     val df = spark.range(10000)
@@ -88,8 +100,11 @@ class ScaleShapeSpec extends SparkSuite {
       .contains("Exchange"))
     assert(!planOf(graft.operators.MongoOps.updateApply(spark, sf))
       .contains("Exchange"))
-    assert(!planOf(graft.operators.Relational2.avroRoundTrip(spark, sf))
-      .contains("Exchange"))
+    // the avro codec fans out the unsplittable single-file scan
+    // (Tables.fanout — a no-op on many-file inputs); the load-bearing
+    // claim stays: no KEY shuffle anywhere in the per-row plan
+    assert(keyExchanges(
+      planOf(graft.operators.Relational2.avroRoundTrip(spark, sf))) == 0)
     assert(!planOf(graft.operators.Cdc.scriptTransform(spark, sf))
       .contains("Exchange"))
   }
@@ -297,16 +312,18 @@ class ScaleShapeSpec extends SparkSuite {
     assert(!p.contains("Window"), p)
     assert(!p.contains("Join"), p)
     // the monotonic-deque expression selects and dedups per document,
-    // so nothing shuffles at all — scan → project → explode
-    val exchanges = "Exchange".r.findAllMatchIn(p).size
-    assert(exchanges == 0, p)
+    // so nothing KEY-shuffles at all — scan → (fanout) → project →
+    // explode; the only admissible exchange is the round-robin scan
+    // fan-out over the unsplittable local fixture (no-op at scale)
+    assert(keyExchanges(p) == 0, p)
   }
 
   test("q123 c4 rules is map-only; q124 boilerplate verdict joins " +
       "broadcast, line text never shuffles") {
     val p123 = graft.operators.TextOps.c4Rules(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(!p123.contains("Exchange"), p123)
+    // map-only modulo the scan fan-out (see q118 note)
+    assert(keyExchanges(p123) == 0, p123)
     assert(!p123.contains("Join"), p123)
     val p124 = graft.operators.CurationOps.lineBoilerplate(spark, sf)
       .queryExecution.executedPlan.toString
