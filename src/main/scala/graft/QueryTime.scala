@@ -17,6 +17,16 @@ object QueryTime {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Post-shuffle coalescing floor: AQE's default 1 MB
+      // minPartitionSize sizes partitions by BYTES, but the state-fold
+      // and codec stages are CPU-dense per byte — a 15 MB shuffle
+      // coalesced to 11 tasks leaves 21 of 32 cores idle for the most
+      // expensive stages. 256 KB lets parallelismFirst (default on)
+      // actually reach the core count; at production shuffle volumes
+      // every partition clears either floor, so the setting is inert
+      // at scale. Overridable for experiments.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "256k"))
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

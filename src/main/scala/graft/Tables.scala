@@ -38,8 +38,16 @@ object Tables {
     * reasoning as BinlogReplay.binlogRoundtrip's explicit
     * repartition and Bench's untimed snapshot re-shard.)
     */
-  def fanout(spark: SparkSession, df: DataFrame): DataFrame = {
-    val target = spark.sparkContext.defaultParallelism
+  /** @param over when the fanned frame feeds a UNION of `over`
+    *   branches, each branch maps every partition as its own task —
+    *   divide the target so the union's total map tasks land at the
+    *   core count instead of `over ×` it (the branches share ONE
+    *   reused exchange: same frame, same canonical subtree).
+    */
+  def fanout(spark: SparkSession, df: DataFrame,
+      over: Int = 1): DataFrame = {
+    val target =
+      math.max(1, spark.sparkContext.defaultParallelism / over)
     if (df.rdd.getNumPartitions < target) df.repartition(target)
     else df
   }

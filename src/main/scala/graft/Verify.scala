@@ -25,6 +25,16 @@ object Verify {
       // tear the session down: the local heartbeat shares one JVM, so
       // an expiry is always a false positive here — seen once when a
       // concurrent DuckDB sweep starved the driver for >120s
+      // Post-shuffle coalescing floor: AQE's default 1 MB
+      // minPartitionSize sizes partitions by BYTES, but the state-fold
+      // and codec stages are CPU-dense per byte — a 15 MB shuffle
+      // coalesced to 11 tasks leaves 21 of 32 cores idle for the most
+      // expensive stages. 256 KB lets parallelismFirst (default on)
+      // actually reach the core count; at production shuffle volumes
+      // every partition clears either floor, so the setting is inert
+      // at scale. Overridable for experiments.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "256k"))
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.ui.enabled", "false")

@@ -38,11 +38,15 @@ object StateFaceQueries {
     * key, per-key sequential apply, no driver loop.
     */
   def redisStateFold(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir).select(
+    // fan out the single-file scan under the 8 fixture branches
+    // (divided by branch count — they share one reused exchange),
+    // so the pack/partial-agg map stage runs at the core count
+    // instead of 8 single-task branch scans. No-op at cluster scale.
+    val o = Tables.fanout(spark, Tables.orders(spark, dir).select(
       col("o_orderkey").cast("long").as("okey"),
       col("o_custkey").cast("long").as("ckey"),
       col("o_orderstatus").cast("string").as("st"),
-      floor(col("o_totalprice")).cast("long").as("price"))
+      floor(col("o_totalprice")).cast("long").as("price")), over = 8)
     def row(rank: Column, key: Column, op0: String, vt: String,
         field: Column, value: Column, ex: Column): Seq[Column] =
       Seq(lit("psync.000001.log").as("sseg"),
@@ -138,10 +142,11 @@ object StateFaceQueries {
     * delete exercise the empty-but-alive stream render.
     */
   def redisStreamFold(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir).select(
+    // same branch-divided fan-out as q153 (3 fixture branches)
+    val o = Tables.fanout(spark, Tables.orders(spark, dir).select(
       col("o_orderkey").cast("long").as("okey"),
       col("o_custkey").cast("long").as("ckey"),
-      col("o_orderstatus").cast("string").as("st"))
+      col("o_orderstatus").cast("string").as("st")), over = 3)
     def row(rank: Column, key: Column, op0: String, field: Column,
         value: Column): Seq[Column] =
       Seq(lit("psync.000001.log").as("sseg"),
