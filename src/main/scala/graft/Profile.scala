@@ -13,8 +13,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val names = args.filter(_.startsWith("q"))
-    val sfDir = args.find(!_.startsWith("q"))
+    // a query selector is `qNNN` or a full query name — matched up to
+    // the first underscore EXACTLY ('q15' must not select q150–q159,
+    // and an sfDir whose basename starts with 'q' must not be eaten)
+    val isSel = (a: String) => a.matches("q\\d+(_.*)?")
+    val names = args.filter(isSel)
+    val sfDir = args.find(!isSel(_))
       .getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -58,7 +62,9 @@ object Profile {
     })
     spark.range(2000000).selectExpr("sum(id)").collect()
     names.foreach { prefix =>
-      SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach {
+      SparkEntry.queries.filter { case (n, _) =>
+        n == prefix || n.takeWhile(_ != '_') == prefix
+      }.foreach {
         case (name, fn) =>
           // cold run un-instrumented: plans/caches warm
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

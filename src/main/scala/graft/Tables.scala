@@ -43,6 +43,12 @@ object Tables {
     *   divide the target so the union's total map tasks land at the
     *   core count instead of `over ×` it (the branches share ONE
     *   reused exchange: same frame, same canonical subtree).
+    *
+    * PRECONDITION: `df` must be a scan(+project/filter) frame. The
+    * partition probe reads `df.rdd.getNumPartitions`, and under AQE
+    * `.rdd` finalizes the physical plan — for a post-shuffle frame
+    * that would EXECUTE the upstream stages at plan-build time.
+    * Every in-tree call site is a bare table scan; keep it that way.
     */
   def fanout(spark: SparkSession, df: DataFrame,
       over: Int = 1): DataFrame = {

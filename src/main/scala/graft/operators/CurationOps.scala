@@ -507,17 +507,28 @@ object CurationOps {
       val nmin = sym.join(labels.withColumnRenamed("v", "b2"),
           sym("b") === col("b2"))
         .groupBy(col("a")).agg(min(col("label")).as("nmin"))
-      // carry the previous label through the update: the convergence
-      // check then filters the just-checkpointed frame (cached blocks,
-      // no shuffle) instead of re-joining next against labels — one
-      // shuffle join per round saved.
+      // convergence check rides the checkpoint job itself: a fresh
+      // per-round accumulator counts label changes WHILE the eager
+      // localCheckpoint materializes the frame — one job per round
+      // instead of checkpoint + a separate isEmpty probe job.
+      // Retries/speculation can only OVER-count a non-zero round
+      // (harmless — only == 0 is read); a converged round adds 0
+      // from every attempt. The UDF is non-deterministic so the
+      // optimizer can never elide or duplicate the counting
+      // projection.
+      val acc = nodes.sparkSession.sparkContext
+        .longAccumulator(s"ccChanged_$i")
+      val bump = udf((old: Long, nw: Long) => {
+        if (nw != old) acc.add(1L)
+        nw
+      }).asNondeterministic()
       val next = labels.join(nmin, labels("v") === nmin("a"), "left")
-        .select(col("v"), col("label").as("old"),
-          least(col("label"), coalesce(col("nmin"), col("label")))
+        .select(col("v"), bump(col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))))
             .as("label"))
         .localCheckpoint()
-      converged = next.filter(col("label") =!= col("old")).isEmpty
-      labels = next.select(col("v"), col("label"))
+      converged = acc.value == 0L
+      labels = next
       i += 1
     }
     // Returning unconverged labels silently would let downstream dedup

@@ -1,9 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField,
   StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The Redis CURRENT-STATE face (`redis.state`): the live lane's
   * landed answer to "what does the keyspace hold right now", built by
@@ -1417,8 +1419,8 @@ object RedisStateOps {
     sb.toString
   }
 
-  /** Pack one op row into the sortable string the per-key
-    * collect_list aggregates: `sseg \u0001 rank(zero-padded) \u0001
+  /** Pack one op row into the sortable string the merger's per-key
+    * sorted-group fold streams: `sseg\u0001 rank(zero-padded) \u0001
     * op \u0001 vtype \u0001 field \u0001 value \u0001 ex`. Sorting
     * the packed strings == sorting by (sseg, rank) because both lead
     * and rank is fixed-width.
@@ -1456,29 +1458,6 @@ object RedisStateOps {
       sb.append(pesc(value)).append('\u0001')
       sb.append(if (ex == null) "" else ex.toString)
       sb.toString
-    }
-
-  /** Does the packed op list contain `op` as its OP field (the 3rd
-    * packed column)? Exact positional parse — a substring match
-    * could false-positive on a field/VALUE that happens to equal an
-    * op name. Every packed string carries all 6 separators, so the
-    * op field is always -terminated.
-    */
-  private[operators] def hasPackedOp(ops: Seq[String],
-      op: String): Boolean =
-    ops != null && ops.exists { p =>
-      var i = 0
-      var seps = 0
-      while (i < p.length && seps < 2) {
-        if (p.charAt(i) == '\u0001') seps += 1
-        i += 1
-      }
-      var j = 0
-      while (i < p.length && j < op.length &&
-          p.charAt(i) == op.charAt(j)) {
-        i += 1; j += 1
-      }
-      j == op.length && i < p.length && p.charAt(i) == '\u0001'
     }
 
   private def unpackOp(packed: String): (String, Long, Op) = {
@@ -3041,7 +3020,8 @@ object RedisStateOps {
   private[operators] val DualNodeSep = '\u0002'
 
   /** Fold one key: base payload (nullable) + packed ops (pre-sorted
-    * by the collect) → new payload or null (dead key), plus the
+    * — the merger's sorted-group fold streams them in (sseg, rank)
+    * order) → new payload or null (dead key), plus the
     * key's cross-key movement EMISSIONS: one (destination key,
     * packed `mvdata` op) per `mvout` the fold applied, targeted at
     * the paired `mvin`'s (sseg, rank) — the merger's second fold
@@ -3051,6 +3031,19 @@ object RedisStateOps {
     */
   private[operators] def foldKeyEmit(key: String,
       basePayload: String, packed: Seq[String],
+      resets: ResetPoints): (String, Seq[(String, String)]) =
+    foldKeyEmit(key, basePayload,
+      if (packed == null) Iterator.empty else packed.iterator,
+      resets)
+
+  /** Iterator form — the merger's sorted-group fold consumes the
+    * shuffle-sorted op stream directly, so a key's packed ops are
+    * never materialized as an array outside the fold (the surviving
+    * post-dedupe ops still buffer per key: the two-shard escape
+    * below replays them in both orders).
+    */
+  private[operators] def foldKeyEmit(key: String,
+      basePayload: String, packed: Iterator[String],
       resets: ResetPoints): (String, Seq[(String, String)]) = {
     val db = {
       val i = if (key == null) -1 else key.indexOf('\u0000')
@@ -3069,22 +3062,19 @@ object RedisStateOps {
     // double landing duplicates whole rows) + reset scoping, with
     // each op's provenance kept for the per-shard ordering below
     val surviving: Vector[(String, Long, String, Op)] = {
-      if (packed == null) Vector.empty
-      else {
-        val b = Vector.newBuilder[(String, Long, String, Op)]
-        var lastP: String = null
-        packed.foreach { p =>
-          if (p != lastP) {
-            lastP = p
-            val (sseg, rank, op) = unpackOp(p)
-            val node = nodeOf(sseg)
-            // an op preceding its own node's latest reset is dead
-            if (resets.keepOp(node, db, sseg, rank))
-              b += ((sseg, rank, node, op))
-          }
+      val b = Vector.newBuilder[(String, Long, String, Op)]
+      var lastP: String = null
+      packed.foreach { p =>
+        if (p != lastP) {
+          lastP = p
+          val (sseg, rank, op) = unpackOp(p)
+          val node = nodeOf(sseg)
+          // an op preceding its own node's latest reset is dead
+          if (resets.keepOp(node, db, sseg, rank))
+            b += ((sseg, rank, node, op))
         }
-        b.result()
       }
+      b.result()
     }
     def run(ops: Vector[(String, Long, String, Op)],
         emit: (String, String) => Unit): Option[St] = {
@@ -3232,6 +3222,10 @@ object RedisStateOps {
       packed: Seq[String], resets: ResetPoints): String =
     foldKeyEmit(key, basePayload, packed, resets)._1
 
+  private[operators] def foldKey(key: String, basePayload: String,
+      packed: Iterator[String], resets: ResetPoints): String =
+    foldKeyEmit(key, basePayload, packed, resets)._1
+
   // ---- the merger ----------------------------------------------------
 
   /** Latest reset point per (writer node, db): db -1 = the node's
@@ -3265,6 +3259,17 @@ object RedisStateOps {
     * they don't carry. It runs only on the CompactEvery cadence and
     * at finalize; the published flat face stays the cheap read.
     */
+  /** Row shapes for the merger's sorted-group folds (product
+    * encoders bind by NAME): `KP` carries one packed op — or, on a
+    * cogroup's base side, the base payload — per key; `TS` is the
+    * phase-B tagged side (tag 0 = base payload, tag 1 = emission),
+    * whose (tg, s) sort puts the single base row first and the
+    * emissions after it in packed-op order.
+    */
+  private[operators] final case class KP(key: String, p: String)
+  private[operators] final case class TS(key: String, tg: Int,
+      s: String)
+
   object Merger extends graft.sinks.LandedTable.Merger {
     override def deltaSchema: StructType = DeltaSchema
 
@@ -3277,7 +3282,7 @@ object RedisStateOps {
       * only costs a deterministic recompute.
       */
     private val pinned =
-      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+      new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
 
     /** Pin a caller-owned frame to this merger's release lifecycle:
       * it is unpersisted at the caller's post-write release() or at
@@ -3286,7 +3291,13 @@ object RedisStateOps {
       * bookkeeping and packed passes read it once instead of
       * recomputing an expensive upstream subtree per pass. Call
       * AFTER merge() — the merge-entry self-drain would unpersist
-      * it before the fold consumed it.
+      * it before the fold consumed it. SINGLE-THREADED merger use
+      * is part of the contract (true of every in-tree caller — the
+      * lander loop is one thread, fixtures are sequential): two
+      * interleaved merges on this singleton would self-drain each
+      * other's pinned frames, silently degrading the persists to
+      * full recomputes (correctness survives — unpersist only
+      * recomputes deterministically).
       */
     private[graft] def pin(df: DataFrame): Unit = pinned.add(df)
 
@@ -3310,16 +3321,76 @@ object RedisStateOps {
     override def flatView: Option[DataFrame => DataFrame] =
       Some(df => df.where(!col("payload").startsWith(TombPrefix)))
 
-    /** Base (key, payload) ⋈ packed ops, full-outer — base-only
-      * keys fold with null ops (reset scoping still applies),
-      * ops-only keys with a null base payload.
-      */
-    private def fullOuter(b: Option[DataFrame],
-        ops: DataFrame): DataFrame = b match {
-      case None =>
-        ops.withColumn("payload", lit(null).cast(StringType))
-      case Some(b0) => b0.join(ops, Seq("key"), "full_outer")
+    /** One (key, packed op) row per non-reset delta op — the fold's
+    * shuffle payload. The packed string is BOTH the op encoding and
+    * the secondary-sort key: sorting rows by it within each key is
+    * byte-identical to the sort_array order the fold historically
+    * consumed (UTF8String binary order either way).
+    */
+    private def packRows(deltas: DataFrame): DataFrame = {
+      val packU = udf(packOpF)
+      deltas.filter(col("op") =!= "reset")
+        .select(col("key"), packU(col("sseg"), col("rank"),
+          col("op"), col("value_type"), col("field"), col("value"),
+          col("expire_ms")).as("p"))
     }
+
+    /** The per-key fold as a sorted-group STREAM: hash-partition by
+      * key, sort within partitions by (key, packed op), fold each
+      * key's op iterator directly — no per-key collect_list array in
+      * an aggregation hash map, no sort_array copy (guide SS2.3/SS5:
+      * the sort spills gracefully; group state is one key at a
+      * time). With a base the fold is a sorted full-outer COGROUP
+      * (base keys with no window ops still fold — reset scoping can
+      * kill them); the base side holds at most one row per key (the
+      * previous merge's groupBy guarantees it). Null fold results
+      * (dead keys) are dropped inside the group function.
+      */
+    private def foldPlain(spark: SparkSession,
+        base: Option[DataFrame], rows: DataFrame,
+        resets: ResetPoints): DataFrame = {
+      import spark.implicits._
+      val ops = rows.groupBy(col("key")).as[String, KP]
+      val folded: Dataset[(String, String)] = base match {
+        case None =>
+          ops.flatMapSortedGroups(col("p")) { (k, it) =>
+            val pay = foldKey(k, null, it.map(_.p), resets)
+            if (pay == null) Iterator.empty else Iterator((k, pay))
+          }
+        case Some(b0) =>
+          val bg = b0.select(col("key"), col("payload").as("p"))
+            .groupBy(col("key")).as[String, KP]
+          bg.cogroupSorted(ops)()(col("p")) { (k, bIt, oIt) =>
+            val bp = if (bIt.hasNext) bIt.next().p else null
+            val pay = foldKey(k, bp, oIt.map(_.p), resets)
+            if (pay == null) Iterator.empty else Iterator((k, pay))
+          }
+      }
+      folded.toDF("key", "payload")
+    }
+
+    /** Merge two iterators that are each already sorted in Spark's
+      * string order (UTF8String = UTF-8 byte order) into one sorted
+      * stream — the phase-B equivalent of the historical
+      * sort_array(concat(ops, eops)). Cross-iterator comparisons go
+      * through UTF8String: JVM String.compareTo orders supplementary
+      * characters differently, and the merged order must be exactly
+      * what one Spark sort over the union would have produced.
+      */
+    private def mergeSorted(a: Iterator[String],
+        b: Iterator[String]): Iterator[String] =
+      new scala.collection.AbstractIterator[String] {
+        private val ab = a.buffered
+        private val bb = b.buffered
+        def hasNext: Boolean = ab.hasNext || bb.hasNext
+        def next(): String =
+          if (!bb.hasNext) ab.next()
+          else if (!ab.hasNext) bb.next()
+          else if (UTF8String.fromString(ab.head)
+              .compareTo(UTF8String.fromString(bb.head)) <= 0)
+            ab.next()
+          else bb.next()
+      }
 
     override def merge(spark: SparkSession, base: Option[DataFrame],
         deltas: DataFrame, deltaBytes: Long): DataFrame = {
@@ -3353,152 +3424,161 @@ object RedisStateOps {
           .map { case (k, rows) =>
             k -> rows.map(r => (r._3, r._4)).max
           })
-      val packU = udf(packOpF)
-      // the fold closure carries the (tiny, serializable) reset map —
-      // reset scoping and replay dedupe both happen inside the fold,
-      // with each op's provenance in hand
-      val foldU = udf((key: String, p: String, ops: Seq[String]) =>
-        foldKey(key, p, ops, resets))
-      val opsByKey = deltas
-        .filter(col("op") =!= "reset")
-        .groupBy("key")
-        .agg(sort_array(collect_list(packU(col("sseg"), col("rank"),
-          col("op"), col("value_type"), col("field"), col("value"),
-          col("expire_ms")))).as("ops"))
       // cross-key movement (RENAME/COPY/SMOVE/LMOVE destinations)
       // needs a SECOND fold phase; the common no-movement window
       // stays the single-phase plan (the probe is free — it rode
       // the bookkeeping pass above)
-      val merged =
-        if (!meta.exists(_._1 == "mvin"))
-          fullOuter(base, opsByKey).select(col("key"),
-            foldU(col("key"), col("payload"), col("ops"))
-              .as("payload"))
-        else mergeWithMovement(spark, base, opsByKey, resets)
-      merged.where(col("payload").isNotNull)
+      if (!meta.exists(_._1 == "mvin"))
+        foldPlain(spark, base, packRows(deltas), resets)
+      else mergeWithMovement(spark, base, deltas, resets)
     }
 
     /** The movement-window shape: phase A folds every key WITHOUT an
       * incoming movement — movement SOURCES through ONE combined
       * fold that keeps both the landed payload and the mvout
-      * emissions (foldKeyEmit always computed the emissions; the
-      * previous plan discarded them in the payload branch and
-      * re-folded every source key in a separate emission branch,
-      * doubling the fold work on each source) — and phase B folds
-      * the destination keys with the emissions injected into their
-      * op lists (sorted into place right before their mvin). Chains
-      * (a destination that is itself a later source) get no third
-      * phase: the second hop's mvin finds no emission and
-      * tombstones, honestly.
+      * emissions — and phase B folds the destination keys with the
+      * emissions merged into their sorted op streams right before
+      * their mvin. Chains (a destination that is itself a later
+      * source) get no third phase: the second hop's mvin finds no
+      * emission and tombstones, honestly.
       *
-      * Plan shape (the 100 TB lens): the packed op frame is
-      * persisted so its shuffle runs once across the A/B branches
-      * (bounded by the delta range — never O(state)); the
-      * deferred/source/non-movement op subsets are FILTERS of that
-      * cached frame (exact packed-op parse, one row per key already
-      * — no extra delta scan, no distinct shuffle, and on the ops
-      * side no join at all); the combined source fold is persisted
-      * (bounded by the window's movement SOURCES) because both the
-      * phase-A union and the phase-B emission injection consume it;
-      * and the big base⋈ops join and its fold run ONCE — so
-      * movement cost scales with the window's movements, not with
-      * state size.
+      * Plan shape (the 100 TB lens): per-key movement flags ride ONE
+      * window pass over the packed rows (computed from the raw `op`
+      * column — exactly the packed op field), and the flagged frame
+      * is persisted (bounded by the delta range — never O(state)),
+      * so each phase below is a FILTER of that cache that inherits
+      * its hash-partitioning: the branch folds add partition-local
+      * sorts but NO further key exchange. The non-movement phase-A
+      * branch streams (never persisted: with a base it is O(state));
+      * the combined source fold is persisted (bounded by the
+      * window's movement SOURCES) because both the phase-A union and
+      * the phase-B emission injection consume it; emissions join
+      * phase B as a second sorted cogroup side merged into the
+      * destination's op stream (no per-key array, no re-sort of the
+      * destination ops) — so movement cost scales with the window's
+      * movements, not with state size.
       */
     private def mergeWithMovement(spark: SparkSession,
-        base: Option[DataFrame],
-        opsByKey0: DataFrame, resets: ResetPoints): DataFrame = {
-      val foldU = udf((key: String, p: String, ops: Seq[String]) =>
-        foldKey(key, p, ops, resets))
-      val bothU = udf((key: String, p: String, ops: Seq[String]) =>
-        foldKeyEmit(key, p, ops, resets))
-      val hasOpU = udf(hasPackedOp _)
-      // materialize the (delta-bounded) packed frame ONCE for the
-      // A/B/emission branches. persist + the Merger.release()
-      // lifecycle hook (round-16 verdict item 1): the r16 tree used
-      // localCheckpoint because no merge-API hook could unpersist
-      // after the caller's write — per-cadence persists would have
-      // leaked for a residency's lifetime. compactTo/publishFlat now
-      // call release() post-write, and the pinned registry
-      // self-drains at the NEXT merge, so a caller that never
-      // releases (a monitor's read() poll, a fixture query) holds at
-      // most one frame. Measured on the all-movement q156 fixture at
-      // sf1 (min of 3): lazy persist 19.5 s ≈ localCheckpoint(true)
-      // 19.2 s — wall-clock is a WASH locally (an eager persist
-      // +count is strictly worse, 21.6 s: it pays the packed agg in
-      // a separate job). persist is kept for what the checkpoint
-      // can't do: no guaranteed local-disk write per cadence (on a
-      // shared cluster that disk is contended), and an executor loss
-      // recomputes lost partitions instead of failing the merge job
-      // wholesale. LAZY on purpose: AQE exchange reuse shares the
-      // one shuffle across the branches and the cache fills on first
-      // consumption (per-block compute locks — no 3× recompute).
-      // Unpersist is correctness-safe against stragglers: the fold
-      // recomputes deterministically (sort_array over unique
-      // (sseg, rank) prefixes). Consumption contract (unchanged from
-      // every lazy LandedTable.read frame, whose BASE paths the next
-      // compactTo also deletes post-commit): a lazily-held movement
+        base: Option[DataFrame], deltas: DataFrame,
+        resets: ResetPoints): DataFrame = {
+      import spark.implicits._
+      val packU = udf(packOpF)
+      // per-key movement flags from the RAW op column (identical to
+      // testing the packed op field — packOpF packs `op` verbatim),
+      // computed in one window pass riding the same key exchange the
+      // fold needs anyway. persist + the Merger.release() lifecycle
+      // hook: compactTo/publishFlat call release() post-write, and
+      // the pinned registry self-drains at the NEXT merge, so a
+      // caller that never releases (a monitor's read() poll, a
+      // fixture query) holds at most one window's frames. LAZY on
+      // purpose: the cache fills on first consumption. Unpersist is
+      // correctness-safe against stragglers: every branch recomputes
+      // deterministically. Consumption contract (unchanged from
+      // every lazy LandedTable.read frame): a lazily-held movement
       // frame must be consumed before the same table's next cadence
       // merge deletes the delta dirs it reads — in-tree consumers
       // (compactTo/publishFlat writes, the single-threaded lander
       // loop) all do.
-      val opsByKey = opsByKey0.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pinned.add(opsByKey)
-      val isDef = hasOpU(col("ops"), lit("mvin"))
-      val isSrc = hasOpU(col("ops"), lit("mvout"))
-      // op subsets as FILTERS of the cached packed frame: one row
-      // per key already, so no distinct shuffle and — unlike the raw
-      // mvin/mvout scans these replaced — no extra pass over the
-      // delta subtree; the ops side of each branch below needs no
-      // key-set join at all
-      val deferredKeys = opsByKey.where(isDef).select("key")
+      // partitionBy only (no orderBy): an orderBy("p") +
+      // whole-group-frame variant was measured FIRST — it would have
+      // let the cached frame carry the (key, p) ordering the branch
+      // folds need — and lost (q156 min 3.4 → 3.9 s, q158 1.7 → 2.0:
+      // the ordered window's per-row frame machinery costs more than
+      // the three partition-local branch sorts it saves).
+      val w = Window.partitionBy("key")
+      val flagged = deltas.filter(col("op") =!= "reset")
+        .select(col("key"), packU(col("sseg"), col("rank"),
+          col("op"), col("value_type"), col("field"), col("value"),
+          col("expire_ms")).as("p"),
+          (col("op") === "mvin").cast("int").as("mi"),
+          (col("op") === "mvout").cast("int").as("mo"))
+        .select(col("key"), col("p"),
+          (max(col("mi")).over(w) === 1).as("isdef"),
+          (max(col("mo")).over(w) === 1).as("issrc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned.add(flagged)
       // phase A, non-movement keys: base keys with no movement op in
       // the window (anti vs the movement key set) ∪ window keys with
-      // no movement op — fold, streamed (never persisted: with a
-      // base this side is O(state))
-      val aNonMv = fullOuter(
-        base.map(_.join(opsByKey.where(isDef || isSrc).select("key"),
+      // no movement op — streamed fold (never persisted: with a base
+      // this side is O(state))
+      val aNonMv = foldPlain(spark,
+        base.map(_.join(
+          flagged.where(col("isdef") || col("issrc")).select("key"),
           Seq("key"), "left_anti")),
-        opsByKey.where(!isDef && !isSrc))
-        .select(col("key"), foldU(col("key"), col("payload"),
-          col("ops")).as("payload"))
+        flagged.where(!col("isdef") && !col("issrc"))
+          .select("key", "p"),
+        resets)
       // phase A, movement sources (sources that are themselves
       // destinations are phase-B keys whose emissions are dropped by
       // design — the chain rule): ONE combined fold keeps the landed
       // payload AND the mvout emissions; persisted because both the
       // phase-A union and the emission injection consume it —
       // bounded by the window's movement sources, never O(state)
-      val srcOps = opsByKey.where(isSrc && !isDef)
-      val srcFolded = fullOuter(
-        base.map(_.join(srcOps.select("key"), Seq("key"),
-          "left_semi")),
-        srcOps)
-        .select(col("key"), bothU(col("key"), col("payload"),
-          col("ops")).as("r"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pinned.add(srcFolded)
+      val srcRows = flagged.where(col("issrc") && !col("isdef"))
+        .select("key", "p")
+      val srcG = srcRows.groupBy(col("key")).as[String, KP]
+      val srcF: Dataset[(String, String, Seq[(String, String)])] =
+        (base match {
+          case None =>
+            srcG.flatMapSortedGroups(col("p")) { (k, it) =>
+              Iterator(kpe(k, null, it, resets))
+            }
+          case Some(b0) =>
+            val bg = b0
+              .join(srcRows.select("key"), Seq("key"), "left_semi")
+              .select(col("key"), col("payload").as("p"))
+              .groupBy(col("key")).as[String, KP]
+            bg.cogroupSorted(srcG)()(col("p")) { (k, bIt, oIt) =>
+              val bp = if (bIt.hasNext) bIt.next().p else null
+              Iterator(kpe(k, bp, oIt, resets))
+            }
+        }).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned.add(srcF)
       val aOut = aNonMv.unionByName(
-        srcFolded.select(col("key"), col("r._1").as("payload")))
-      val emits = srcFolded
-        .select(explode(col("r._2")).as("e"))
-        .select(col("e._1").as("key"), col("e._2").as("mop"))
-      val bOps = opsByKey.where(isDef)
-        .join(emits.groupBy("key")
-          .agg(collect_list(col("mop")).as("eops")),
-          Seq("key"), "left_outer")
-        .select(col("key"), sort_array(concat(col("ops"),
-          coalesce(col("eops"), array().cast("array<string>"))))
-          .as("ops"))
-      val bJoined = base match {
-        case None =>
-          bOps.withColumn("payload", lit(null).cast(StringType))
-        case Some(b0) => bOps.join(
-          b0.join(deferredKeys, Seq("key"), "left_semi"),
-          Seq("key"), "left_outer")
+        srcF.select(col("_1").as("key"), col("_2").as("payload"))
+          .where(col("payload").isNotNull))
+      // phase B: destination keys fold with the emissions MERGED
+      // into their sorted op stream (both sides arrive sorted in
+      // Spark string order; mergeSorted keeps it) — mvdata rows sort
+      // immediately before their mvin exactly as the historical
+      // sort_array(concat(ops, eops)) placed them. The base payload
+      // rides the emission side as a tag-0 row so one cogroup serves
+      // all three inputs.
+      val emits = srcF.select(explode(col("_3")).as("e"))
+        .select(col("e._1").as("key"), lit(1).as("tg"),
+          col("e._2").as("s"))
+      val defRows = flagged.where(col("isdef")).select("key", "p")
+      val defG = defRows.groupBy(col("key")).as[String, KP]
+      val side2 = base match {
+        case None => emits
+        case Some(b0) =>
+          b0.join(defRows.select("key"), Seq("key"), "left_semi")
+            .select(col("key"), lit(0).as("tg"),
+              col("payload").as("s"))
+            .unionByName(emits)
       }
-      val bOut = bJoined.select(col("key"),
-        foldU(col("key"), col("payload"), col("ops")).as("payload"))
+      val s2G = side2.groupBy(col("key")).as[String, TS]
+      val bOut = defG.cogroupSorted(s2G)(col("p"))(col("tg"),
+          col("s")) { (k, dIt, sIt) =>
+        val sb = sIt.buffered
+        val bp = if (sb.hasNext && sb.head.tg == 0) sb.next().s
+          else null
+        val pay = foldKey(k, bp,
+          mergeSorted(dIt.map(_.p), sb.map(_.s)), resets)
+        if (pay == null) Iterator.empty else Iterator((k, pay))
+      }.toDF("key", "payload")
       aOut.unionByName(bOut)
+    }
+
+    /** The combined (payload, emissions) fold of one movement-source
+      * key — srcF's group function.
+      */
+    private def kpe(k: String, basePayload: String,
+        it: Iterator[KP], resets: ResetPoints)
+        : (String, String, Seq[(String, String)]) = {
+      val (pay, em) = foldKeyEmit(k, basePayload, it.map(_.p), resets)
+      (k, pay, em)
     }
   }
 }

@@ -216,6 +216,12 @@ object StateFaceQueries {
     * consecutive (the landing-layer invariant the emissions target).
     */
   def redisMoveFold(spark: SparkSession, dir: String): DataFrame = {
+    // NO fanout here, twice measured (r17, and r18 again after the
+    // sorted-group fold rewrite): a shared fanned projection under
+    // the 14 movement branches regressed q156 3.8 → 6.1 s min — the
+    // movement plan's branch structure defeats exchange reuse, so
+    // every branch re-pays the round-robin repartition (and its
+    // determinism sort) on top of the scan it was meant to save.
     val o = Tables.orders(spark, dir).select(
       col("o_orderkey").cast("long").as("okey"),
       col("o_custkey").cast("long").as("ckey"),

@@ -45,9 +45,12 @@ class ScaleShapeSpec extends SparkSuite {
     * "payload bytes never shuffle by key" claims keep their teeth.
     */
   private def keyExchanges(plan: String): Int =
-    "Exchange".r.findAllMatchIn(plan).size -
-      "Exchange RoundRobinPartitioning\\(\\d+\\), REPARTITION_BY_NUM"
-        .r.findAllMatchIn(plan).size
+    // negative lookbehind: a ReusedExchange re-reads an existing
+    // shuffle's output — counting it would double-charge the one
+    // exchange it reuses (and the bare substring also matched it)
+    "(?<![A-Za-z])Exchange ".r.findAllMatchIn(plan).size -
+      ("(?<![A-Za-z])Exchange RoundRobinPartitioning\\(\\d+\\), " +
+        "REPARTITION_BY_NUM").r.findAllMatchIn(plan).size
 
   test("salted aggregation equals direct aggregation on a hot key") {
     // hot key: 90% of rows share key 1
